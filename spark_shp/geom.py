@@ -1,0 +1,119 @@
+"""Geometry kernels: shoelace orientation, reference ring assembly, ray-cast
+point-in-polygon. Pure numpy — no Spark imports — so they unit-test standalone
+and embed in Arrow UDFs.
+
+Reference semantics reconstructed from upstream shpjs (`lib/parseShp.js:≈1–40`
+``isClockWise``/``polyReduce`` [RECONSTRUCTED — see SURVEY.md §0]):
+
+* Orientation: ring is CLOCKWISE iff the shoelace sum
+  ``Σ (x_i − x_{i−1}) · (y_i + y_{i−1})`` is positive.  If the sum is exactly
+  0 (degenerate / float-cancelled), recompute on coordinates translated to the
+  ring-bbox midpoint (the reference's float-precision guard).
+* Assembly (``polyReduce``): scan rings in FILE ORDER; a clockwise ring —
+  or the very first ring regardless of winding — starts a new polygon; any
+  other ring is appended as a hole of the MOST RECENT polygon.  This is
+  order-dependent, not point-set topology; we replicate it literally
+  (SURVEY.md §7 hard-part 1; BASELINE.json "ring-winding disambiguation").
+
+PIP rule (engine + DuckDB oracle + brute-force checker all use the identical
+half-open crossing test — SURVEY.md §7 hard-part 3):
+
+    crossing iff (y1 > py) != (y2 > py)
+                 and px < x1 + (py − y1) · (x2 − x1) / (y2 − y1)
+
+A point is inside a (multi)polygon iff its total crossing parity over ALL
+rings (outers and holes alike) is odd — even-odd rule; holes flip parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def shoelace(ring: np.ndarray) -> float:
+    """Signed doubled area, reference convention: positive == clockwise.
+
+    ``ring``: (n, 2) float64 array of xy vertices (closed or open — the wrap
+    edge is included either way via np.roll; a closed ring's duplicate edge
+    contributes 0).
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    x, y = ring[:, 0], ring[:, 1]
+    xp, yp = np.roll(x, 1), np.roll(y, 1)
+    return float(np.sum((x - xp) * (y + yp)))
+
+
+def is_clockwise(ring: np.ndarray) -> bool:
+    """Reference ``isClockWise`` with the zero-area translation tie-break."""
+    s = shoelace(ring)
+    if s == 0.0:
+        ring = np.asarray(ring, dtype=np.float64)
+        mid = (ring.min(axis=0) + ring.max(axis=0)) / 2.0
+        s = shoelace(ring - mid)
+    return s > 0.0
+
+
+def assemble_rings(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
+    """Reference ``polyReduce``: rings (file order) → list of polygons, each
+    a list [outer, hole, hole, ...]. First ring always starts a polygon."""
+    polys: list[list[np.ndarray]] = []
+    for ring in rings:
+        if not polys or is_clockwise(ring):
+            polys.append([ring])
+        else:
+            polys[-1].append(ring)
+    return polys
+
+
+def ring_bbox(ring: np.ndarray) -> tuple[float, float, float, float]:
+    ring = np.asarray(ring, dtype=np.float64)
+    return (float(ring[:, 0].min()), float(ring[:, 1].min()),
+            float(ring[:, 0].max()), float(ring[:, 1].max()))
+
+
+def crossings(px: np.ndarray, py: np.ndarray, edges: np.ndarray) -> np.ndarray:
+    """Ray-cast crossing counts for a batch of points against a batch of
+    edges. ``px``/``py``: (n,) points; ``edges``: (m, 4) rows (x1,y1,x2,y2).
+    Returns (n,) int64 total crossings — O(n·m) vectorized.
+    """
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    e = np.asarray(edges, dtype=np.float64)
+    x1, y1, x2, y2 = e[None, :, 0], e[None, :, 1], e[None, :, 2], e[None, :, 3]
+    straddle = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+    hit = straddle & (px < xin)
+    return hit.sum(axis=1, dtype=np.int64)
+
+
+def rings_to_edges(rings: list[np.ndarray]) -> np.ndarray:
+    """Flatten rings into an (m, 4) edge table (x1,y1,x2,y2), closing each
+    ring (wrap edge added when the ring is not explicitly closed)."""
+    out = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        out.append(np.hstack([r[:-1], r[1:]]))
+    return np.vstack(out) if out else np.empty((0, 4), dtype=np.float64)
+
+
+def points_in_polygon(px, py, rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd PIP of points against one (multi)polygon given all its rings
+    (outers + holes, any parts). Returns (n,) bool."""
+    edges = rings_to_edges(rings)
+    if edges.shape[0] == 0:
+        return np.zeros(np.asarray(px).shape, dtype=bool)
+    return (crossings(px, py, edges) % 2) == 1
+
+
+def pip_sql(lon: str, lat: str) -> str:
+    """SQL predicate fragment counting ray crossings of a point against edge
+    rows (columns x1,y1,x2,y2) — aggregate with SUM(...) % 2 = 1.  The same
+    half-open rule as :func:`crossings`; valid in Spark SQL and DuckDB."""
+    return (
+        f"CASE WHEN ((y1 > ({lat})) <> (y2 > ({lat}))) AND "
+        f"(({lon}) < x1 + (({lat}) - y1) * (x2 - x1) / (y2 - y1)) "
+        f"THEN 1 ELSE 0 END"
+    )

@@ -1,0 +1,216 @@
+"""Spatial engine operators (SURVEY.md §2.B) — DataFrame-level compositions.
+
+Design (Spark-first, scale-first):
+
+* ``tile_assign`` is a PURE SQL integer expression (cells.cell_sql) — stays
+  inside whole-stage codegen, no Python in the hot path, pushdown-friendly.
+* ``spatial_join`` is the canonical two-stage plan: coarse equi-join on cell
+  id (polygon side exploded to its cell cover, point side tile-assigned at
+  the same level) followed by exact ray-cast PIP refinement.  The polygon
+  cover is typically small → ``F.broadcast`` hint; AQE handles residual skew.
+  At 100 TB the equi-join on int64 cells is the only shuffle, and it
+  partitions by cell — spatial locality comes for free.
+* Exact PIP refinement runs as a grouped Arrow kernel (``applyInPandas`` by
+  poly_id): one vectorized numpy ray-cast per (polygon, candidate-point
+  batch) — no per-row Python.
+* ``knn_join`` ships two strategies: broadcast brute-force top-k (the RIGHT
+  plan when the build side is a small dimension — Catalyst keeps it a single
+  stage) and cell-ring expansion (the scale path when both sides are large).
+
+Reference parity: ring-hole semantics of the PIP match shapefile-js's
+polygon assembly (geom.assemble_rings / even-odd parity; SURVEY §2.B B6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from . import cells, geom
+
+
+def tile_assign(df: DataFrame, lon_col: str, lat_col: str, level: int,
+                out_col: str = "cell_id") -> DataFrame:
+    """B5/B1: add the int64 cell (tile) id as a codegen'd SQL expression."""
+    return df.withColumn(out_col, F.expr(cells.cell_sql(lon_col, lat_col, level)))
+
+
+def _bbox_cover_np(xmin, ymin, xmax, ymax, level: int) -> np.ndarray:
+    """All cell ids at ``level`` whose grid square intersects the bbox."""
+    n = 1 << level
+    ix0, iy0 = cells.quantize(np.array([xmin]), np.array([ymin]), level)
+    ix1, iy1 = cells.quantize(np.array([xmax]), np.array([ymax]), level)
+    xs = np.arange(ix0[0], ix1[0] + 1, dtype=np.int64)
+    ys = np.arange(iy0[0], iy1[0] + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    return (cells.morton(gx.ravel(), gy.ravel(), level)
+            << cells.LEVEL_BITS) | level
+
+
+def polygon_cover(polys: DataFrame, level: int,
+                  refine: bool = True) -> DataFrame:
+    """B4: (poly_id, cell_id) cover — cells intersecting each polygon.
+
+    bbox cover, optionally refined by rejecting cells whose grid square
+    provably misses every part's bbox (cheap conservative refine; the exact
+    PIP stage downstream keeps correctness regardless of cover looseness).
+    """
+    schema = T.StructType([
+        T.StructField("poly_id", T.LongType()),
+        T.StructField("cell_id", T.LongType()),
+    ])
+
+    def cover(pdf_iter):
+        for pdf in pdf_iter:
+            out_p, out_c = [], []
+            for pid, bbox in zip(pdf["poly_id"], pdf["bbox"]):
+                cc = _bbox_cover_np(bbox["xmin"], bbox["ymin"],
+                                    bbox["xmax"], bbox["ymax"], level)
+                out_p.extend([pid] * len(cc))
+                out_c.extend(cc.tolist())
+            yield pd.DataFrame({"poly_id": out_p, "cell_id": out_c})
+
+    return polys.select("poly_id", "bbox").mapInPandas(cover, schema)
+
+
+def _pip_refine(points_with_poly: DataFrame, polys: DataFrame,
+                lon_col: str, lat_col: str) -> DataFrame:
+    """Exact PIP filter of candidate (point, poly_id) pairs via a grouped
+    Arrow kernel: one vectorized ray-cast per polygon group."""
+    geo = {r["poly_id"]: r["coordinates"]
+           for r in polys.select("poly_id", "coordinates").collect()}
+    # Polygon layer is small by contract here (broadcast path); ship the
+    # coordinate dict to executors once.
+    edges = {pid: geom.rings_to_edges(
+        [np.asarray(ring, dtype=np.float64)
+         for poly in coords for ring in poly]) for pid, coords in geo.items()}
+    spark = points_with_poly.sparkSession
+    bc = spark.sparkContext.broadcast(edges)
+    schema = points_with_poly.schema
+
+    def refine(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        e = bc.value.get(key[0])
+        if e is None or len(e) == 0:
+            return pdf.iloc[0:0]
+        par = geom.crossings(pdf[lon_col].to_numpy(),
+                             pdf[lat_col].to_numpy(), e) % 2 == 1
+        return pdf[par]
+
+    return points_with_poly.groupBy("poly_id").applyInPandas(refine, schema)
+
+
+def spatial_join(points: DataFrame, polys: DataFrame, lon_col: str,
+                 lat_col: str, level: int = 6,
+                 broadcast_cover: bool = True) -> DataFrame:
+    """B7: inner point-in-polygon join → points columns + ``poly_id``.
+
+    Stage 1: tile-assign points at ``level``; explode polygons to their cell
+    cover; equi-join on cell_id (cover side broadcast when small).
+    Stage 2: exact even-odd ray-cast refinement (grouped Arrow kernel).
+    """
+    pts = tile_assign(points, lon_col, lat_col, level, "_sj_cell")
+    cover = polygon_cover(polys, level).withColumnRenamed("cell_id", "_sj_cell")
+    if broadcast_cover:
+        cover = F.broadcast(cover)
+    cand = pts.join(cover, "_sj_cell", "inner").drop("_sj_cell")
+    return _pip_refine(cand, polys, lon_col, lat_col)
+
+
+def knn_join_broadcast(points: DataFrame, dims: DataFrame, k: int,
+                       lon_col: str, lat_col: str,
+                       dim_lon: str, dim_lat: str, dim_id: str,
+                       point_id: str) -> DataFrame:
+    """B8 (small build side): broadcast cross-join + windowed top-k by
+    squared euclidean degree distance (deterministic — pure arithmetic, no
+    trig; ties broken by dim id)."""
+    from pyspark.sql import Window as W
+    d2 = ((F.col(lon_col) - F.col(dim_lon)) ** 2
+          + (F.col(lat_col) - F.col(dim_lat)) ** 2)
+    j = points.join(F.broadcast(dims)).withColumn("_d2", d2)
+    w = W.partitionBy(point_id).orderBy(F.col("_d2").asc(), F.col(dim_id).asc())
+    return (j.withColumn("knn_rank", F.row_number().over(w))
+             .where(F.col("knn_rank") <= k).drop("_d2"))
+
+
+def knn_join_cells(points: DataFrame, dims: DataFrame, k: int,
+                   lon_col: str, lat_col: str, dim_lon: str, dim_lat: str,
+                   dim_id: str, point_id: str, level: int = 4,
+                   max_ring: int = 4) -> DataFrame:
+    """B8 (scale path): cell-ring expansion kNN.
+
+    Both sides tile-assigned at ``level``; candidate pairs = points joined to
+    dims whose cell lies within Chebyshev ring ``r`` of the point's cell,
+    expanding r until every point has ≥ k candidates whose worst-case
+    distance is covered, then exact top-k.  Implemented as: explode each
+    point's ring-``max_ring`` neighborhood (static upper bound — keeps the
+    plan a single equi-join), equi-join on dim cell, exact windowed top-k.
+    Correct whenever each point's k NNs lie within ``max_ring`` cells;
+    callers size (level, max_ring) from dim density (see tests for the
+    brute-force cross-check)."""
+    from pyspark.sql import Window as W
+
+    ring_schema = T.ArrayType(T.LongType())
+
+    @F.pandas_udf(ring_schema)
+    def ring_udf(cell: pd.Series) -> pd.Series:
+        r = cells.cell_ring(cell.to_numpy(), max_ring)
+        return pd.Series([row[row >= 0].tolist() for row in r])
+
+    pts = tile_assign(points, lon_col, lat_col, level, "_knn_cell")
+    pts = pts.withColumn("_nbr", F.explode(ring_udf(F.col("_knn_cell"))))
+    dms = tile_assign(dims, dim_lon, dim_lat, level, "_nbr")
+    j = pts.join(dms, "_nbr", "inner").drop("_nbr", "_knn_cell")
+    d2 = ((F.col(lon_col) - F.col(dim_lon)) ** 2
+          + (F.col(lat_col) - F.col(dim_lat)) ** 2)
+    w = W.partitionBy(point_id).orderBy(F.col("_d2").asc(), F.col(dim_id).asc())
+    return (j.withColumn("_d2", d2)
+             .withColumn("knn_rank", F.row_number().over(w))
+             .where(F.col("knn_rank") <= k)
+             .dropDuplicates([point_id, dim_id]).drop("_d2"))
+
+
+def range_join(points: DataFrame, dims: DataFrame, radius: float,
+               lon_col: str, lat_col: str, dim_lon: str, dim_lat: str) -> DataFrame:
+    """B9: pairs within euclidean-degree ``radius`` (broadcast dims)."""
+    d2 = ((F.col(lon_col) - F.col(dim_lon)) ** 2
+          + (F.col(lat_col) - F.col(dim_lat)) ** 2)
+    return points.join(F.broadcast(dims)).where(d2 <= radius * radius)
+
+
+def salt_hot_cells(df: DataFrame, cell_col: str, top_n: int = 8,
+                   salt_factor: int = 16) -> tuple[DataFrame, DataFrame]:
+    """B13: detect the ``top_n`` densest cells (sampled count) and salt them.
+
+    Returns (salted probe df with ``_salted_cell``, hot-cell lookup df).
+    Build side must explode hot cells × salt_factor to match (see
+    ``explode_salts``).  AQE skew-join handles the residual.
+    """
+    hot = (df.groupBy(cell_col).count()
+             .orderBy(F.col("count").desc()).limit(top_n)
+             .select(cell_col).withColumn("_is_hot", F.lit(True)))
+    salted = (df.join(F.broadcast(hot), cell_col, "left")
+                .withColumn(
+                    "_salted_cell",
+                    F.when(F.col("_is_hot").isNotNull(),
+                           F.concat_ws("#", F.col(cell_col),
+                                       (F.rand(42) * salt_factor)
+                                       .cast("int").cast("string")))
+                     .otherwise(F.col(cell_col).cast("string")))
+                .drop("_is_hot"))
+    return salted, hot
+
+
+def explode_salts(build: DataFrame, cell_col: str, hot: DataFrame,
+                  salt_factor: int = 16) -> DataFrame:
+    """Replicate build-side rows for hot cells across all salt suffixes."""
+    salts = F.array([F.lit(i) for i in range(salt_factor)])
+    return (build.join(F.broadcast(hot), cell_col, "left")
+            .withColumn(
+                "_salted_cell",
+                F.when(F.col("_is_hot").isNotNull(),
+                       F.explode(F.transform(
+                           salts, lambda s: F.concat_ws(
+                               "#", F.col(cell_col), s.cast("string")))))
+                 .otherwise(F.col(cell_col).cast("string")))
+            .drop("_is_hot"))
