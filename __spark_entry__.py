@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Engine: spark_shp/ (SURVEY.md blueprint). Query registry: spark_shp/registry.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial-join + tile-assignment over sf0.001 — event points
+    PIP-joined to nation fence polygons (cell-cover equi-join + exact
+    ray-cast refine), aggregated per nation with the point's fine tile."""
+    from spark_shp import fixtures, spatial
+    from spark_shp.queries_spatial import _event_points, _nation_fences_df
+
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _event_points(spark, sf_dir)
+    pts = spatial.tile_assign(pts, "lon", "lat", 12, "tile_12")
+    polys = _nation_fences_df(spark, sf_dir)
+    joined = spatial.spatial_join(pts, polys, "lon", "lat", level=6)
+    return (joined.groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("tile_12").alias("n_tiles"),
+                 F.min("event_id").alias("min_event")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    from spark_shp.registry import queries as _q
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB ANSI-SQL twins of queries() (same column names/aliases)."""
+    from spark_shp.registry import oracle_sql as _o
+    return _o()

@@ -1,0 +1,462 @@
+"""Relational query surface (SURVEY.md §2.C) — driver-oracle-checked.
+
+Each entry: name → (spark_fn(spark, sf_dir) -> DataFrame, duckdb_oracle_sql).
+Oracle SQL runs on DuckDB views of the same parquet (driver contract).
+
+Cross-engine determinism rules used throughout (SURVEY §5.3):
+* money/double aggregates go through DECIMAL casts (exact, order-independent)
+  and are cast back to DOUBLE at the end — both engines produce bit-identical
+  values; column names are aliased identically on both sides.
+* window orderings always carry a unique tie-break column.
+* no trig / no engine-specific hash functions in oracle-checked outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+DEC = "decimal(18,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col):
+    """Exact decimal sum of a double column, surfaced as DOUBLE."""
+    return F.sum(F.col(col).cast(DEC)).cast("decimal(38,6)")
+
+
+# --- C6: hash aggregate, partial+final (TPC-H Q1 shape) ---------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1.0).cast(DEC) - F.col("l_discount").cast(DEC))
+    charge = disc * (F.lit(1.0).cast(DEC) + F.col("l_tax").cast(DEC))
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(_dsum("l_quantity").alias("sum_qty"),
+                 _dsum("l_extendedprice").alias("sum_base_price"),
+                 F.sum(disc).cast("decimal(38,6)").alias("sum_disc_price"),
+                 F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1.0 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1.0 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) * (CAST(1.0 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- C3 joins: multiway broadcast/sort-merge (TPC-H Q5 shape) ----------------
+
+def q_revenue_by_nation(spark, sf_dir):
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, n = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1.0).cast(DEC) - F.col("l_discount").cast(DEC))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.sum(rev).cast("decimal(38,6)").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+ORACLE_REVENUE_NATION = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1.0 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --- C3 semi / anti / outer --------------------------------------------------
+
+def q_customers_with_open_orders(spark, sf_dir):
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (c.join(o.where(F.col("o_orderstatus") == "O"),
+                   c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+ORACLE_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_custs"),
+                 _dsum("c_acctbal").alias("sum_bal")))
+
+
+ORACLE_ANTI = """
+SELECT c_mktsegment, COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_bal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_order_counts_outer(spark, sf_dir):
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return (c.join(cnt, c.c_custkey == cnt.o_custkey, "left")
+            .select("c_custkey",
+                    F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders")))
+
+
+ORACLE_OUTER = """
+SELECT c_custkey, COALESCE(cnt, 0) AS n_orders
+FROM customer LEFT JOIN
+  (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) oc
+ON c_custkey = o_custkey
+"""
+
+
+# --- C7/C8 window functions --------------------------------------------------
+
+def q_top3_parts_per_brand(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(),
+                                         F.col("p_partkey").asc())
+    return (p.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select("p_brand", "p_partkey", "p_retailprice", "rk"))
+
+
+ORACLE_TOP3 = """
+SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+  FROM part) t
+WHERE rk <= 3
+"""
+
+
+def q_running_order_totals(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    w = (W.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+         .rowsBetween(W.unboundedPreceding, 0))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w)
+         .cast("decimal(38,6)").alias("running_total"))
+
+
+ORACLE_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6))
+       AS running_total
+FROM orders WHERE o_custkey % 10 = 0
+"""
+
+
+def q_order_gaps(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(),
+                                           F.col("o_orderkey").asc())
+    return (o.select("o_custkey", "o_orderkey",
+                     F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"),
+                     F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+                     F.datediff(F.col("o_orderdate"),
+                                F.lag("o_orderdate", 1).over(w))
+                      .alias("gap_days")))
+
+
+ORACLE_GAPS = """
+SELECT o_custkey, o_orderkey,
+       LAG(o_orderkey, 1) OVER w AS prev_orderkey,
+       LEAD(o_orderkey, 1) OVER w AS next_orderkey,
+       CAST(DATEDIFF('day',
+            CAST(LAG(o_orderdate, 1) OVER w AS DATE),
+            CAST(o_orderdate AS DATE)) AS INT) AS gap_days
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+def q_acctbal_quartiles(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = W.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (c.select("c_custkey", F.ntile(4).over(w).alias("quartile"))
+            .groupBy("quartile").agg(F.count(F.lit(1)).alias("n"),
+                                     F.min("c_custkey").alias("min_key"),
+                                     F.max("c_custkey").alias("max_key")))
+
+
+ORACLE_NTILE = """
+SELECT quartile, COUNT(*) AS n, MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+FROM (SELECT c_custkey,
+             NTILE(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+      FROM customer) t
+GROUP BY quartile
+"""
+
+
+# --- C6 rollup / cube --------------------------------------------------------
+
+def q_rollup_sales(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dsum("l_quantity").alias("qty")))
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dsum("o_totalprice").alias("total")))
+
+
+ORACLE_CUBE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- C9 set operations -------------------------------------------------------
+
+def q_nation_set_ops(spark, sf_dir):
+    c, s = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    cn = c.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    sn = s.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = cn.intersect(sn).withColumn("tag", F.lit("both"))
+    only_c = cn.exceptAll(sn).withColumn("tag", F.lit("cust_only"))
+    return both.unionByName(only_c).groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n"), F.min("nationkey").alias("min_nk"))
+
+
+ORACLE_SET_OPS = """
+WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier),
+     u AS (
+       SELECT nationkey, 'both' AS tag FROM (SELECT * FROM cn INTERSECT SELECT * FROM sn)
+       UNION ALL
+       SELECT nationkey, 'cust_only' AS tag FROM (SELECT * FROM cn EXCEPT ALL SELECT * FROM sn)
+     )
+SELECT tag, COUNT(*) AS n, MIN(nationkey) AS min_nk FROM u GROUP BY tag
+"""
+
+
+# --- C10 scalar functions ----------------------------------------------------
+
+def q_string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (p.where(F.col("p_size") >= 40)
+            .select("p_partkey",
+                    F.upper(F.col("p_brand")).alias("brand_up"),
+                    F.substring(F.col("p_name"), 1, 8).alias("name8"),
+                    F.length(F.col("p_type")).alias("type_len"),
+                    F.concat_ws("|", F.col("p_brand"), F.col("p_type"))
+                     .alias("brand_type"),
+                    F.regexp_replace(F.col("p_name"), "[aeiou]", "")
+                     .alias("name_novowel")))
+
+
+ORACLE_STRING = """
+SELECT p_partkey, UPPER(p_brand) AS brand_up, SUBSTRING(p_name, 1, 8) AS name8,
+       LENGTH(p_type) AS type_len,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS name_novowel
+FROM part WHERE p_size >= 40
+"""
+
+
+def q_monthly_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.date_trunc("month", F.col("o_orderdate"))
+                      .alias("month"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 _dsum("o_totalprice").alias("total")))
+
+
+ORACLE_MONTHLY = """
+SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+FROM orders GROUP BY 1
+"""
+
+
+def q_json_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (e.select(k.alias("k"), "value", "event_type")
+            .groupBy((F.col("k") % 10).alias("k_bucket"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dsum("value").alias("sum_value")))
+
+
+ORACLE_JSON = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- C5 as-of join -----------------------------------------------------------
+
+def q_asof_event_order(spark, sf_dir):
+    """For each event, the most recent order of customer=user_id with
+    o_orderdate <= ts (as-of backward join)."""
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    j = e.join(o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts))
+    w = W.partitionBy("event_id").orderBy(F.col("o_orderdate").desc(),
+                                          F.col("o_orderkey").desc())
+    return (j.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+            .select("event_id", "user_id", "o_orderkey", "o_orderdate"))
+
+
+ORACLE_ASOF = """
+SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rn
+  FROM events e JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
+WHERE rn = 1
+"""
+
+
+# --- distinct / percentiles / conditional agg --------------------------------
+
+def q_distinct_combos(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("n_parts"),
+                 F.countDistinct("l_suppkey").alias("n_supps"),
+                 F.countDistinct("l_partkey", "l_suppkey").alias("n_ps")))
+
+
+ORACLE_DISTINCT = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_ps
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_quantity_percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_linestatus")
+            .agg(F.round(F.percentile("l_quantity", 0.25), 4).alias("p25"),
+                 F.round(F.percentile("l_quantity", 0.5), 4).alias("p50"),
+                 F.round(F.percentile("l_quantity", 0.75), 4).alias("p75")))
+
+
+ORACLE_PERCENTILES = """
+SELECT l_linestatus,
+       ROUND(QUANTILE_CONT(l_quantity, 0.25), 4) AS p25,
+       ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS p50,
+       ROUND(QUANTILE_CONT(l_quantity, 0.75), 4) AS p75
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q_conditional_pivot(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    def cnt(status):
+        return F.sum(F.when(F.col("o_orderstatus") == status, 1)
+                     .otherwise(0)).alias(f"n_{status.lower()}")
+    return (o.groupBy("o_orderpriority")
+            .agg(cnt("O"), cnt("F"), cnt("P"),
+                 _dsum("o_totalprice").alias("total")))
+
+
+ORACLE_PIVOT = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_union_parties(spark, sf_dir):
+    c, s = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    u = (c.select(F.col("c_nationkey").alias("nationkey"),
+                  F.lit("customer").alias("kind"))
+         .unionByName(s.select(F.col("s_nationkey").alias("nationkey"),
+                               F.lit("supplier").alias("kind"))))
+    return u.groupBy("nationkey", "kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+ORACLE_UNION = """
+SELECT nationkey, kind, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier) t
+GROUP BY nationkey, kind
+"""
+
+
+# --- C11 sketches (rows-only: engines' approx algorithms differ) -------------
+
+def q_approx_sketches(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                 F.round(F.percentile_approx("l_quantity", 0.5), 2)
+                  .alias("approx_median")))
+
+
+QUERIES: dict = {
+    "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
+    "revenue_by_nation": (q_revenue_by_nation, ORACLE_REVENUE_NATION),
+    "semi_join_open_orders": (q_customers_with_open_orders, ORACLE_SEMI),
+    "anti_join_no_orders": (q_customers_without_orders, ORACLE_ANTI),
+    "outer_join_order_counts": (q_order_counts_outer, ORACLE_OUTER),
+    "window_top3_per_brand": (q_top3_parts_per_brand, ORACLE_TOP3),
+    "window_running_totals": (q_running_order_totals, ORACLE_RUNNING),
+    "window_lag_lead_gaps": (q_order_gaps, ORACLE_GAPS),
+    "window_ntile_quartiles": (q_acctbal_quartiles, ORACLE_NTILE),
+    "rollup_sales": (q_rollup_sales, ORACLE_ROLLUP),
+    "cube_orders": (q_cube_orders, ORACLE_CUBE),
+    "set_ops_nations": (q_nation_set_ops, ORACLE_SET_OPS),
+    "string_functions": (q_string_funcs, ORACLE_STRING),
+    "date_trunc_monthly": (q_monthly_orders, ORACLE_MONTHLY),
+    "json_extract_events": (q_json_events, ORACLE_JSON),
+    "asof_join_event_order": (q_asof_event_order, ORACLE_ASOF),
+    "distinct_counts": (q_distinct_combos, ORACLE_DISTINCT),
+    "percentiles_exact": (q_quantity_percentiles, ORACLE_PERCENTILES),
+    "conditional_pivot": (q_conditional_pivot, ORACLE_PIVOT),
+    "union_parties": (q_union_parties, ORACLE_UNION),
+    "approx_sketches": (q_approx_sketches, None),
+}

@@ -1,0 +1,383 @@
+"""Spatial query surface (SURVEY.md §2.B) — driver-oracle-checked.
+
+Points come from the FIXTURES.md §4 spatialization of driver tables (events →
+points, nation → rectangle fences) and from the synthetic images table
+(FIXTURES.md §1 — the north-rule input, re-derivable row-by-row in SQL).
+Every geometry-producing formula has a DuckDB twin, so even the spatial joins
+get STRONG value-level oracles (edge-table ray-cast SQL — SURVEY §2.B B6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import types as T
+
+from . import cells, fixtures, geom, spatial
+from .hashing import u01_sql
+
+LVL = 6          # fence-scale cell level (cells ~5.6°x2.7°)
+LVL_FINE = 12    # tile-assignment level for density queries
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _event_points(spark, sf_dir) -> DataFrame:
+    return (_t(spark, sf_dir, "events")
+            .selectExpr("event_id", "user_id", "event_type", "value",
+                        f"{fixtures.EVENT_LON_SQL} AS lon",
+                        f"{fixtures.EVENT_LAT_SQL} AS lat"))
+
+
+EVENT_POINTS_SQL = f"""(
+  SELECT event_id, user_id, event_type, value,
+         {fixtures.EVENT_LON_SQL} AS lon, {fixtures.EVENT_LAT_SQL} AS lat
+  FROM events)"""
+
+
+def _nation_fences_df(spark, sf_dir) -> DataFrame:
+    """Nation rectangle fences as the engine's polygon-layer schema."""
+    nk = [r.n_nationkey for r in
+          _t(spark, sf_dir, "nation").select("n_nationkey").collect()]
+    names = {r.n_nationkey: r.n_name for r in
+             _t(spark, sf_dir, "nation").collect()}
+    cx, cy, hw = fixtures.nation_fences_np(np.array(sorted(nk)))
+    rows = []
+    for j, x, y, h in zip(sorted(nk), cx, cy, hw):
+        ring = fixtures._rect_ring(float(x), float(y), float(h), float(h), True)
+        rows.append((int(j), names[j],
+                     [[[list(map(float, p)) for p in ring]]],
+                     (float(x - h), float(y - h), float(x + h), float(y + h))))
+    schema = T.StructType([
+        T.StructField("poly_id", T.LongType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("coordinates", T.ArrayType(T.ArrayType(
+            T.ArrayType(T.ArrayType(T.DoubleType()))))),
+        T.StructField("bbox", T.StructType(
+            [T.StructField(n, T.DoubleType())
+             for n in ("xmin", "ymin", "xmax", "ymax")])),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+# --- B5/B1: tile assignment (pure codegen SQL — no Python in hot path) -------
+
+def q_tile_assign_events(spark, sf_dir):
+    pts = _event_points(spark, sf_dir)
+    return (spatial.tile_assign(pts, "lon", "lat", LVL_FINE)
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.min("event_id").alias("min_event")))
+
+
+ORACLE_TILE_ASSIGN = f"""
+SELECT {cells.cell_sql('lon', 'lat', LVL_FINE)} AS cell_id,
+       COUNT(*) AS n_points, MIN(event_id) AS min_event
+FROM {EVENT_POINTS_SQL} e
+GROUP BY 1
+"""
+
+
+# --- B2: hierarchy navigation -------------------------------------------------
+
+def q_cell_hierarchy(spark, sf_dir):
+    pts = spatial.tile_assign(_event_points(spark, sf_dir), "lon", "lat",
+                              LVL_FINE)
+    parent = F.expr(cells.cell_parent_sql("cell_id", 4))
+    return (pts.withColumn("parent_cell", parent)
+            .groupBy("parent_cell")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("cell_id").alias("n_children_seen")))
+
+
+ORACLE_HIERARCHY = f"""
+SELECT {cells.cell_parent_sql(cells.cell_sql('lon', 'lat', LVL_FINE), 4)} AS parent_cell,
+       COUNT(*) AS n,
+       COUNT(DISTINCT {cells.cell_sql('lon', 'lat', LVL_FINE)}) AS n_children_seen
+FROM {EVENT_POINTS_SQL} e
+GROUP BY 1
+"""
+
+
+# --- B3: k-ring neighbors (Arrow UDF vs pure-SQL offset oracle) ---------------
+
+def q_cell_ring_sum(spark, sf_dir):
+    """Σ of each event cell's valid ring-1 neighbor ids (exercises the
+    cell_ring Arrow kernel; deterministic scalar output per event)."""
+    pts = spatial.tile_assign(
+        _event_points(spark, sf_dir).where(F.col("event_id") % 20 == 0),
+        "lon", "lat", LVL)
+
+    @F.pandas_udf(T.LongType())
+    def ring_sum(cell: pd.Series) -> pd.Series:
+        r = cells.cell_ring(cell.to_numpy(), 1)
+        return pd.Series(np.where(r >= 0, r, 0).sum(axis=1))
+
+    return pts.select("event_id",
+                      ring_sum(F.col("cell_id")).alias("ring_sum"))
+
+
+_n = 1 << LVL
+ORACLE_RING_SUM = f"""
+WITH pts AS (
+  SELECT event_id,
+         GREATEST(0, LEAST({_n - 1}, CAST(FLOOR((lon + 180.0) / 360.0 * {float(_n)!r}) AS BIGINT))) AS ix,
+         GREATEST(0, LEAST({_n - 1}, CAST(FLOOR((lat + 85.0) / 170.0 * {float(_n)!r}) AS BIGINT))) AS iy
+  FROM {EVENT_POINTS_SQL} e WHERE event_id % 20 = 0),
+nbrs AS (
+  SELECT event_id, ix + dx.v AS nx, iy + dy.v AS ny
+  FROM pts
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dx(v)
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dy(v)
+  WHERE ix + dx.v BETWEEN 0 AND {_n - 1} AND iy + dy.v BETWEEN 0 AND {_n - 1})
+SELECT event_id,
+       SUM({cells.morton_sql('nx', 'ny')} * {1 << cells.LEVEL_BITS} + {LVL}) AS ring_sum
+FROM nbrs GROUP BY event_id
+"""
+
+
+# --- B4: polygon cover ---------------------------------------------------------
+
+def q_polygon_cover_nations(spark, sf_dir):
+    polys = _nation_fences_df(spark, sf_dir)
+    cov = spatial.polygon_cover(polys, LVL)
+    return (cov.groupBy("poly_id")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.min("cell_id").alias("min_cell"),
+                 F.max("cell_id").alias("max_cell"))
+            .withColumnRenamed("poly_id", "n_nationkey"))
+
+
+ORACLE_COVER = f"""
+WITH fences AS (
+  SELECT n_nationkey,
+         {fixtures.NATION_CLON_SQL} AS cx, {fixtures.NATION_CLAT_SQL} AS cy,
+         {fixtures.NATION_HALF_SQL} AS hw
+  FROM nation),
+bounds AS (
+  SELECT n_nationkey,
+         GREATEST(0, LEAST({_n - 1}, CAST(FLOOR((cx - hw + 180.0) / 360.0 * {float(_n)!r}) AS BIGINT))) AS ix0,
+         GREATEST(0, LEAST({_n - 1}, CAST(FLOOR((cx + hw + 180.0) / 360.0 * {float(_n)!r}) AS BIGINT))) AS ix1,
+         GREATEST(0, LEAST({_n - 1}, CAST(FLOOR((cy - hw + 85.0) / 170.0 * {float(_n)!r}) AS BIGINT))) AS iy0,
+         GREATEST(0, LEAST({_n - 1}, CAST(FLOOR((cy + hw + 85.0) / 170.0 * {float(_n)!r}) AS BIGINT))) AS iy1
+  FROM fences),
+cover AS (
+  SELECT n_nationkey,
+         {cells.morton_sql('gx.x', 'gy.y')} * {1 << cells.LEVEL_BITS} + {LVL} AS cell_id
+  FROM bounds,
+       LATERAL (SELECT UNNEST(GENERATE_SERIES(ix0, ix1)) AS x) gx,
+       LATERAL (SELECT UNNEST(GENERATE_SERIES(iy0, iy1)) AS y) gy)
+SELECT n_nationkey, COUNT(*) AS n_cells, MIN(cell_id) AS min_cell,
+       MAX(cell_id) AS max_cell
+FROM cover GROUP BY n_nationkey
+"""
+
+
+# --- B6/B7: exact point-in-polygon join ----------------------------------------
+
+def q_spatial_join_pairs(spark, sf_dir):
+    pts = _event_points(spark, sf_dir)
+    polys = _nation_fences_df(spark, sf_dir)
+    j = spatial.spatial_join(pts, polys, "lon", "lat", level=LVL)
+    return j.select("event_id", F.col("poly_id").alias("n_nationkey"))
+
+
+ORACLE_SJ_PAIRS = f"""
+SELECT e.event_id, g.n_nationkey
+FROM {EVENT_POINTS_SQL} e
+CROSS JOIN {fixtures.nation_edges_sql()} g
+GROUP BY e.event_id, g.n_nationkey, e.lon, e.lat
+HAVING SUM({geom.pip_sql('e.lon', 'e.lat')}) % 2 = 1
+"""
+
+
+def q_spatial_join_agg(spark, sf_dir):
+    pts = _event_points(spark, sf_dir)
+    polys = _nation_fences_df(spark, sf_dir)
+    j = spatial.spatial_join(pts, polys, "lon", "lat", level=LVL)
+    j = j.join(F.broadcast(polys.select("poly_id", "n_name")), "poly_id")
+    return (j.groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
+                  .alias("sum_value")))
+
+
+ORACLE_SJ_AGG = f"""
+WITH pairs AS (
+  SELECT e.event_id, e.value, g.n_nationkey, MIN(g.n_name) AS n_name
+  FROM {EVENT_POINTS_SQL} e
+  CROSS JOIN {fixtures.nation_edges_sql()} g
+  GROUP BY e.event_id, e.value, g.n_nationkey, e.lon, e.lat
+  HAVING SUM({geom.pip_sql('e.lon', 'e.lat')}) % 2 = 1)
+SELECT n_name, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+FROM pairs GROUP BY n_name
+"""
+
+
+# --- B8: kNN join ----------------------------------------------------------------
+
+def q_knn_events_nations(spark, sf_dir):
+    pts = _event_points(spark, sf_dir).where(F.col("event_id") % 10 == 0)
+    n = _t(spark, sf_dir, "nation")
+    dims = n.selectExpr("n_nationkey",
+                        f"{fixtures.NATION_CLON_SQL} AS dim_lon",
+                        f"{fixtures.NATION_CLAT_SQL} AS dim_lat")
+    j = spatial.knn_join_broadcast(pts, dims, 3, "lon", "lat",
+                                   "dim_lon", "dim_lat", "n_nationkey",
+                                   "event_id")
+    return j.select("event_id", "n_nationkey", "knn_rank")
+
+
+ORACLE_KNN = f"""
+WITH dims AS (
+  SELECT n_nationkey, {fixtures.NATION_CLON_SQL} AS dlon,
+         {fixtures.NATION_CLAT_SQL} AS dlat
+  FROM nation),
+ranked AS (
+  SELECT e.event_id, d.n_nationkey,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.event_id
+           ORDER BY (e.lon - d.dlon) * (e.lon - d.dlon)
+                  + (e.lat - d.dlat) * (e.lat - d.dlat) ASC,
+                    d.n_nationkey ASC) AS knn_rank
+  FROM {EVENT_POINTS_SQL} e CROSS JOIN dims d
+  WHERE e.event_id % 10 = 0)
+SELECT event_id, n_nationkey, knn_rank FROM ranked WHERE knn_rank <= 3
+"""
+
+
+# --- B9: range join ----------------------------------------------------------------
+
+def q_range_join_counts(spark, sf_dir):
+    pts = _event_points(spark, sf_dir)
+    n = _t(spark, sf_dir, "nation")
+    dims = n.selectExpr("n_nationkey",
+                        f"{fixtures.NATION_CLON_SQL} AS dim_lon",
+                        f"{fixtures.NATION_CLAT_SQL} AS dim_lat")
+    j = spatial.range_join(pts, dims, 5.0, "lon", "lat", "dim_lon", "dim_lat")
+    return (j.groupBy("n_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_within"),
+                 F.min("event_id").alias("min_event")))
+
+
+ORACLE_RANGE = f"""
+WITH dims AS (
+  SELECT n_nationkey, {fixtures.NATION_CLON_SQL} AS dlon,
+         {fixtures.NATION_CLAT_SQL} AS dlat
+  FROM nation)
+SELECT d.n_nationkey, COUNT(*) AS n_within, MIN(e.event_id) AS min_event
+FROM {EVENT_POINTS_SQL} e CROSS JOIN dims d
+WHERE (e.lon - d.dlon) * (e.lon - d.dlon)
+    + (e.lat - d.dlat) * (e.lat - d.dlat) <= 25.0
+GROUP BY d.n_nationkey
+"""
+
+
+# --- images table (FIXTURES §1): tile density + skew + flagship join -------------
+
+N_IMAGES_ORACLE = 3000
+
+
+def _images_meta_df(spark, n: int) -> DataFrame:
+    """Metadata-only images (no pixels) as pure SQL over range — codegen'd."""
+    m = fixtures.images_meta_sql("id")
+    return spark.range(0, n).selectExpr(
+        f"{m['image_id']} AS image_id", f"{m['w']} AS w", f"{m['h']} AS h",
+        f"{m['fmt']} AS fmt", f"{m['lon']} AS lon", f"{m['lat']} AS lat")
+
+
+def _images_meta_oracle_src(n: int) -> str:
+    m = fixtures.images_meta_sql("i")
+    return f"""(
+      SELECT {m['image_id']} AS image_id, {m['w']} AS w, {m['h']} AS h,
+             {m['fmt']} AS fmt, {m['lon']} AS lon, {m['lat']} AS lat
+      FROM (SELECT UNNEST(GENERATE_SERIES(0, {n - 1})) AS i) ids)"""
+
+
+def q_images_tile_density(spark, sf_dir):
+    img = _images_meta_df(spark, N_IMAGES_ORACLE)
+    return (spatial.tile_assign(img, "lon", "lat", 8)
+            .groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_images"))
+            .where(F.col("n_images") >= 5))
+
+
+ORACLE_IMG_DENSITY = f"""
+SELECT {cells.cell_sql('lon', 'lat', 8)} AS cell_id, COUNT(*) AS n_images
+FROM {_images_meta_oracle_src(N_IMAGES_ORACLE)} img
+GROUP BY 1 HAVING COUNT(*) >= 5
+"""
+
+
+def q_images_hot_cell(spark, sf_dir):
+    """Skew witness: the hot cell holds ~30% of all images (FIXTURES §1)."""
+    img = _images_meta_df(spark, N_IMAGES_ORACLE)
+    t = spatial.tile_assign(img, "lon", "lat", 8)
+    total = t.count()
+    return (t.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("cell_id").asc()).limit(3)
+            .withColumn("share_pct",
+                        F.round(F.col("n") * 100.0 / F.lit(float(total)), 4)))
+
+
+ORACLE_IMG_HOT = f"""
+WITH t AS (
+  SELECT {cells.cell_sql('lon', 'lat', 8)} AS cell_id
+  FROM {_images_meta_oracle_src(N_IMAGES_ORACLE)} img),
+c AS (SELECT cell_id, COUNT(*) AS n FROM t GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DECIMAL(38,6)) AS total FROM t)
+SELECT cell_id, n, ROUND(n * 100.0 / total, 4) AS share_pct
+FROM c, tot ORDER BY n DESC, cell_id ASC LIMIT 3
+"""
+
+
+def _fence_edges_values_sql(m: int = 64) -> str:
+    """Fence layer (FIXTURES §2: holes + multiparts) as an inline VALUES edge
+    table for the DuckDB oracle — deterministic fixture, known by
+    construction."""
+    e = fixtures.fence_edges(m)
+    rows = ",".join(
+        f"({int(r[0])},{r[1]!r},{r[2]!r},{r[3]!r},{r[4]!r})" for r in e)
+    return f"(SELECT * FROM (VALUES {rows}) AS fe(poly_id, x1, y1, x2, y2))"
+
+
+def q_images_fence_join(spark, sf_dir):
+    """FLAGSHIP shape: images tile-assigned + PIP-joined to the fence layer
+    (holes + multi-part polygons + pinned hot-spot fence), counts per fence.
+    This is the north-star metric's query at test scale."""
+    img = _images_meta_df(spark, N_IMAGES_ORACLE)
+    polys = fixtures.fences_df(spark, 64).drop("layer", "name")
+    j = spatial.spatial_join(img, polys, "lon", "lat", level=LVL)
+    return (j.groupBy("poly_id")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.min("image_id").alias("first_image")))
+
+
+ORACLE_IMG_FENCE = f"""
+WITH pairs AS (
+  SELECT img.image_id, fe.poly_id
+  FROM {_images_meta_oracle_src(N_IMAGES_ORACLE)} img
+  CROSS JOIN {_fence_edges_values_sql(64)} fe
+  GROUP BY img.image_id, fe.poly_id, img.lon, img.lat
+  HAVING SUM({geom.pip_sql('img.lon', 'img.lat')}) % 2 = 1)
+SELECT poly_id, COUNT(*) AS n_images, MIN(image_id) AS first_image
+FROM pairs GROUP BY poly_id
+"""
+
+
+QUERIES: dict = {
+    "tile_assign_events": (q_tile_assign_events, ORACLE_TILE_ASSIGN),
+    "cell_hierarchy": (q_cell_hierarchy, ORACLE_HIERARCHY),
+    "cell_ring_sum": (q_cell_ring_sum, ORACLE_RING_SUM),
+    "polygon_cover_nations": (q_polygon_cover_nations, ORACLE_COVER),
+    "spatial_join_pairs": (q_spatial_join_pairs, ORACLE_SJ_PAIRS),
+    "spatial_join_agg": (q_spatial_join_agg, ORACLE_SJ_AGG),
+    "knn_events_nations": (q_knn_events_nations, ORACLE_KNN),
+    "range_join_counts": (q_range_join_counts, ORACLE_RANGE),
+    "images_tile_density": (q_images_tile_density, ORACLE_IMG_DENSITY),
+    "images_hot_cell": (q_images_hot_cell, ORACLE_IMG_HOT),
+    "images_fence_join": (q_images_fence_join, ORACLE_IMG_FENCE),
+}

@@ -1,0 +1,524 @@
+"""Training-data pipeline operators over documents/embeddings/events:
+dedup (exact, MinHash-LSH, SimHash), n-gram Jaccard, language-ID & quality
+heuristics, token stats, winnowing fingerprints, quantized-cosine ANN,
+and batch-equivalents of the streaming window operators (C12 oracles).
+
+Cross-engine determinism: word→int hashing goes through the shared LCG mixer
+on (length, leading/second char codes) — same SQL fragment evaluated by Spark
+and DuckDB; embedding math is integer-quantized (round(x*1000) → BIGINT) so
+aggregation order can't perturb results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .hashing import mix_sql, u01_sql
+
+DEC = "decimal(18,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def word_hash_sql(w: str) -> str:
+    """Deterministic word→uint32 hash, identical in Spark SQL and DuckDB.
+    (COALESCE guards ascii('') which is NULL in Spark, 0 in DuckDB.)"""
+    k = (f"length({w}) * 1000003"
+         f" + COALESCE(ascii(substring({w}, 1, 1)), 0) * 251"
+         f" + COALESCE(ascii(substring({w}, 2, 1)), 0) * 31")
+    return mix_sql(k)
+
+
+# --- exact dedup ---------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy(F.md5(F.col("text")).alias("text_hash"))
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.min("doc_id").alias("keep_id")))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+# --- token stats / quality / language-ID ----------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round((F.length("text") - F.size(toks) + 1)
+                / F.size(toks).cast("double"), 6).alias("avg_tok_len"))
+
+
+ORACLE_TOKEN_STATS = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       ROUND((length(text) - len(string_split(text, ' ')) + 1)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_tok_len
+FROM documents
+"""
+
+
+STOPWORDS = ("a", "the")
+
+
+def q_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("double")
+    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+    uniq = F.size(F.array_distinct(toks)).cast("double")
+    score = F.round(
+        F.least(F.col("n_chars").cast("double"), F.lit(500.0)) / 500.0 * 0.3
+        + (uniq / n) * 0.4 + (1.0 - stop / n) * 0.3, 6)
+    return d.select("doc_id", score.alias("quality_score"))
+
+
+ORACLE_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ('{STOPWORDS[0]}', '{STOPWORDS[1]}'))) AS DOUBLE) AS stop,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS uniq
+  FROM documents)
+SELECT doc_id,
+       ROUND(LEAST(CAST(n_chars AS DOUBLE), 500.0) / 500.0 * 0.3
+             + (uniq / n) * 0.4 + (1.0 - stop / n) * 0.3, 6) AS quality_score
+FROM t
+"""
+
+
+def q_langid_heuristic(spark, sf_dir):
+    """Stopword-profile language ID (n-gram-free heuristic): score = share of
+    tokens in each profile; predicted = argmax (en profile wins ties)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("double")
+    en = F.size(F.filter(toks, lambda x: x.isin("a", "the", "fast", "slow"))) / n
+    de = F.size(F.filter(toks, lambda x: x.isin("der", "die", "und"))) / n
+    pred = F.when(de > en, F.lit("de")).otherwise(F.lit("en"))
+    return d.select("doc_id", "lang",
+                    F.round(en, 6).alias("en_score"),
+                    pred.alias("predicted_lang"))
+
+
+ORACLE_LANGID = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ('a', 'the', 'fast', 'slow'))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS en,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ('der', 'die', 'und'))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS de
+  FROM documents)
+SELECT doc_id, lang, ROUND(en, 6) AS en_score,
+       CASE WHEN de > en THEN 'de' ELSE 'en' END AS predicted_lang
+FROM t
+"""
+
+
+# --- MinHash + LSH banding -------------------------------------------------------
+
+N_PERMS = 8
+N_BANDS = 4  # 2 perms per band
+
+
+def _doc_words(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    words = _doc_words(spark, sf_dir).selectExpr(
+        "doc_id", f"{word_hash_sql('w')} AS wh")
+    perms = spark.range(N_PERMS).withColumnRenamed("id", "p")
+    return (words.crossJoin(perms)
+            .selectExpr("doc_id", "p",
+                        f"{mix_sql('wh + p * 7919')} AS h")
+            .groupBy("doc_id", "p").agg(F.min("h").alias("minhash")))
+
+
+ORACLE_MINHASH = f"""
+WITH words AS (
+  SELECT doc_id, {word_hash_sql('w')} AS wh
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents) t),
+perms AS (SELECT UNNEST(GENERATE_SERIES(0, {N_PERMS - 1})) AS p)
+SELECT doc_id, p, MIN({mix_sql('wh + p * 7919')}) AS minhash
+FROM words CROSS JOIN perms
+GROUP BY doc_id, p
+"""
+
+
+LSH_MOD = 10  # subset for the pair stage: tiny vocab → dense band collisions
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Near-dup candidate pairs: docs sharing ≥1 LSH band (2 perms/band),
+    scored by the number of matching bands. Runs on the %10 doc subset —
+    the synthetic corpus's 31-word vocabulary makes band collisions dense,
+    and the pair join is quadratic in collisions."""
+    sig = (q_minhash_signatures(spark, sf_dir)
+           .where(F.col("doc_id") % LSH_MOD == 0))
+    bands = (sig.withColumn("band", (F.col("p") / 2).cast("int"))
+             .groupBy("doc_id", "band")
+             .agg(F.concat_ws("_", F.sort_array(F.collect_list(
+                 F.concat_ws(":", F.col("p").cast("string"),
+                             F.col("minhash").cast("string")))))
+                  .alias("band_sig")))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.band_sig") == F.col("b.band_sig"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"), "a.band"))
+    return (pairs.groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_bands")))
+
+
+ORACLE_LSH_PAIRS = f"""
+WITH sig AS (
+  SELECT * FROM ({ORACLE_MINHASH}) s WHERE doc_id % {LSH_MOD} = 0),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(p / 2.0) AS INT) AS band,
+         string_agg(CAST(p AS VARCHAR) || ':' || CAST(minhash AS VARCHAR),
+                    '_' ORDER BY CAST(p AS VARCHAR) || ':' ||
+                    CAST(minhash AS VARCHAR)) AS band_sig
+  FROM sig GROUP BY doc_id, 2)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# --- SimHash -----------------------------------------------------------------------
+
+def q_simhash16(spark, sf_dir):
+    words = _doc_words(spark, sf_dir).selectExpr(
+        "doc_id", f"{word_hash_sql('w')} AS wh")
+    bits = words.selectExpr(
+        "doc_id", "wh",
+        "explode(sequence(0, 15)) AS b")
+    vote = bits.selectExpr(
+        "doc_id", "b",
+        "(CAST(FLOOR(wh / POWER(2.0, b)) AS BIGINT) % 2) * 2 - 1 AS v")
+    return (vote.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))
+            .selectExpr("doc_id",
+                        "CASE WHEN s >= 0 THEN CAST(POWER(2.0, b) AS BIGINT) "
+                        "ELSE 0 END AS bitval")
+            .groupBy("doc_id").agg(F.sum("bitval").alias("simhash")))
+
+
+ORACLE_SIMHASH = f"""
+WITH words AS (
+  SELECT doc_id, {word_hash_sql('w')} AS wh
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents) t),
+vote AS (
+  SELECT doc_id, b,
+         SUM((CAST(FLOOR(wh / POWER(2.0, b)) AS BIGINT) % 2) * 2 - 1) AS s
+  FROM words CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS b) bs
+  GROUP BY doc_id, b)
+SELECT doc_id,
+       SUM(CASE WHEN s >= 0 THEN CAST(POWER(2.0, b) AS BIGINT) ELSE 0 END)
+         AS simhash
+FROM vote GROUP BY doc_id
+"""
+
+
+# --- bigram Jaccard ------------------------------------------------------------------
+
+JACCARD_MOD = 25  # restrict to doc_id % 25 == 0 → ~20 docs → 190 pairs
+
+
+def q_bigram_jaccard(spark, sf_dir):
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % JACCARD_MOD == 0))
+    toks = d.select("doc_id", F.posexplode(F.split("text", " "))
+                    .alias("pos", "w"))
+    t2 = toks.selectExpr("doc_id", "pos - 1 AS pos", "w AS w2")
+    big = (toks.join(t2, ["doc_id", "pos"])
+           .select("doc_id", F.concat_ws(" ", "w", "w2").alias("shingle"))
+           .distinct())
+    sizes = big.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = big.alias("a"), big.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.selectExpr("doc_id AS doc_a", "sz AS sz_a")
+    sb = sizes.selectExpr("doc_id AS doc_b", "sz AS sz_b")
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .selectExpr("doc_a", "doc_b",
+                        "ROUND(inter / CAST(sz_a + sz_b - inter AS DOUBLE), 6)"
+                        " AS jaccard")
+            .where("jaccard >= 0.05"))
+
+
+ORACLE_JACCARD = f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents
+              WHERE doc_id % {JACCARD_MOD} = 0),
+big AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(generate_series(1, len(s) - 1),
+                i -> s[i] || ' ' || s[i + 1])) AS shingle
+  FROM docs),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM big GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM big a JOIN big b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.05
+"""
+
+
+# --- winnowing fingerprint -------------------------------------------------------------
+
+def q_doc_fingerprint(spark, sf_dir):
+    toks = (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.posexplode(F.split("text", " "))
+                    .alias("pos", "w"))
+            .selectExpr("doc_id", "pos", f"{word_hash_sql('w')} AS wh"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    roll = toks.select(
+        "doc_id",
+        (F.col("wh") + 31 * F.lead("wh", 1).over(w)
+         + 961 * F.lead("wh", 2).over(w)).alias("rh"))
+    return (roll.where(F.col("rh").isNotNull())
+            .groupBy("doc_id").agg(F.min("rh").alias("fingerprint"),
+                                   F.count(F.lit(1)).alias("n_windows")))
+
+
+ORACLE_FINGERPRINT = f"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, {word_hash_sql('w')} AS wh
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents) t),
+roll AS (
+  SELECT doc_id,
+         wh + 31 * LEAD(wh, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+            + 961 * LEAD(wh, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS rh
+  FROM toks)
+SELECT doc_id, MIN(rh) AS fingerprint, COUNT(*) AS n_windows
+FROM roll WHERE rh IS NOT NULL GROUP BY doc_id
+"""
+
+
+# --- embeddings: quantized cosine top-k + sign-LSH ANN buckets ---------------------------
+
+QVEC_MOD = 50
+DOT = ("aggregate(zip_with(qv, ev, (x, y) -> "
+       "CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT) * "
+       "CAST(ROUND(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)), "
+       "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force quantized-dot top-5 neighbors for every %50th vector.
+    Quantization (round(x*1000) → int) makes the score order-independent and
+    bit-identical across engines; rank ties break on vec_id."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = (e.where(F.col("vec_id") % QVEC_MOD == 0)
+         .selectExpr("vec_id AS qid", "embedding AS qv"))
+    c = e.selectExpr("vec_id AS nid", "embedding AS ev")
+    j = (q.join(F.broadcast(c), F.col("qid") != F.col("nid"))
+         .selectExpr("qid", "nid", f"{DOT} AS dot_q"))
+    w = W.partitionBy("qid").orderBy(F.col("dot_q").desc(),
+                                     F.col("nid").asc())
+    return (j.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5))
+
+
+ORACLE_COSINE = f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q
+  FROM embeddings),
+dots AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.q * b.q) AS dot_q
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % {QVEC_MOD} = 0
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, nid, dot_q,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY dot_q DESC, nid ASC) AS rank
+  FROM dots)
+SELECT qid, nid, dot_q, rank FROM ranked WHERE rank <= 5
+"""
+
+N_PLANES = 6
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Sign-LSH bucketing: 6 deterministic integer hyperplanes; bucket =
+    Σ (sign bit << j). The scale path for ANN — candidate sets shrink 2^6×."""
+    e = _t(spark, sf_dir, "embeddings")
+    flat = e.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+    planes = spark.range(N_PLANES).withColumnRenamed("id", "j")
+    comp = flat.crossJoin(planes).selectExpr(
+        "vec_id", "j",
+        "CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT) * "
+        f"CAST(ROUND(({u01_sql('j * 64 + i')} - 0.5) * 1000.0) AS BIGINT)"
+        " AS term")
+    bits = (comp.groupBy("vec_id", "j").agg(F.sum("term").alias("dot"))
+            .selectExpr("vec_id",
+                        "CASE WHEN dot >= 0 THEN "
+                        "CAST(POWER(2.0, j) AS BIGINT) ELSE 0 END AS bv"))
+    buckets = bits.groupBy("vec_id").agg(F.sum("bv").alias("bucket"))
+    return (buckets.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.min("vec_id").alias("min_vec")))
+
+
+ORACLE_ANN = f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q
+  FROM embeddings),
+comp AS (
+  SELECT vec_id, j,
+         SUM(q * CAST(ROUND(({u01_sql('j * 64 + i')} - 0.5) * 1000.0)
+                      AS BIGINT)) AS dot
+  FROM flat CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {N_PLANES - 1})) AS j) p
+  GROUP BY vec_id, j),
+buckets AS (
+  SELECT vec_id,
+         SUM(CASE WHEN dot >= 0 THEN CAST(POWER(2.0, j) AS BIGINT)
+             ELSE 0 END) AS bucket
+  FROM comp GROUP BY vec_id)
+SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
+FROM buckets GROUP BY bucket
+"""
+
+
+# --- streaming batch-equivalents (C12 oracles; live streams in streaming.py) -------------
+
+def q_tumbling_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast(DEC)).cast("decimal(38,6)")
+                  .alias("sum_value"))
+            .select(F.col("win.start").alias("window_start"), "event_type",
+                    "n", "sum_value"))
+
+
+ORACLE_TUMBLING = """
+SELECT DATE_TRUNC('hour', ts) AS window_start, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sliding_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .select(F.unix_seconds(F.col("win.start").cast("timestamp_ltz"))
+                    .alias("window_start_s"),
+                    "n", "n_users"))
+
+
+ORACLE_SLIDING = """
+SELECT CAST(FLOOR(EPOCH(ts) / 900) AS BIGINT) * 900 - k.v * 900
+         AS window_start_s,
+       COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(v)
+GROUP BY 1
+"""
+
+
+def q_session_windows(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = us - F.lag(us, 1).over(w)
+    marked = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1)
+                     .otherwise(0))
+    sess = marked.withColumn(
+        "sess_no", F.sum("new_sess").over(
+            w.rowsBetween(W.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "sess_no")
+            .agg(F.min("ts").alias("session_start"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 (F.max(F.unix_micros(F.col("ts").cast("timestamp_ltz")))
+                  - F.min(F.unix_micros(F.col("ts").cast("timestamp_ltz"))))
+                 .alias("dur_us"))
+            .drop("sess_no")
+            .select("user_id", "session_start", "n_events", "dur_us"))
+
+
+ORACLE_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM marked)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us
+FROM sess GROUP BY user_id, sess_no
+"""
+
+
+def q_event_dedup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (e.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+            .select("user_id", "event_type", "event_id", "ts"))
+
+
+ORACLE_EVENT_DEDUP = """
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events) t
+WHERE rn = 1
+"""
+
+
+QUERIES: dict = {
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
+    "quality_score": (q_quality_score, ORACLE_QUALITY),
+    "langid_heuristic": (q_langid_heuristic, ORACLE_LANGID),
+    "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_LSH_PAIRS),
+    "simhash16": (q_simhash16, ORACLE_SIMHASH),
+    "bigram_jaccard": (q_bigram_jaccard, ORACLE_JACCARD),
+    "doc_fingerprint": (q_doc_fingerprint, ORACLE_FINGERPRINT),
+    "cosine_topk": (q_cosine_topk, ORACLE_COSINE),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, ORACLE_ANN),
+    "tumbling_window": (q_tumbling_window, ORACLE_TUMBLING),
+    "sliding_window": (q_sliding_window, ORACLE_SLIDING),
+    "session_windows": (q_session_windows, ORACLE_SESSION),
+    "event_dedup": (q_event_dedup, ORACLE_EVENT_DEDUP),
+}

@@ -1,0 +1,282 @@
+"""Vectorized SHP/DBF decode kernels (SURVEY.md §2.A, A1–A15).
+
+Semantics replicate upstream shpjs (`lib/parseShp.js`, `parsedbf/index.js`
+[RECONSTRUCTED — SURVEY.md §0]; byte offsets independently pinned by the
+public ESRI Shapefile Technical Description and dBASE spec):
+
+* M-fold (A9): shape codes > 20 are reduced by 20, M values dropped.
+* Null shape (A10): record emitted with geometry None (keeps positional
+  alignment with DBF for the combine join).
+* Unknown shape code (A11): raises ``I don't know shp type "N"`` verbatim.
+* Polygon assembly (A6): geom.assemble_rings — CW ring (positive shoelace,
+  zero-area translation tie-break) or first ring starts a polygon; other
+  rings attach as holes of the most recent polygon.
+* Record scan (A2): trusts actual buffer length over the header's file
+  length (header-length lie guard).
+* DBF numerics (A14): JS ``parseFloat`` semantics — leading-float prefix
+  parse; blank/garbage → NaN (not NULL).
+* Reprojection (A12): .prj WKT → inverse transform to WGS84 at decode time;
+  malformed/unknown WKT → identity (reference try/catch behavior).
+
+Coordinate decode is numpy ``frombuffer`` per record — the reference's
+per-coordinate DataView loop becomes one vectorized read (SURVEY §4.2).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+
+from ..geom import assemble_rings
+
+_HAS_Z = {11, 13, 15, 18}
+
+
+def parse_header(buf: bytes) -> dict:
+    """A1: 100-byte SHP header."""
+    if len(buf) < 100:
+        raise ValueError("SHP buffer shorter than 100-byte header")
+    file_len_words = int(np.frombuffer(buf, ">i4", 1, 24)[0])
+    version = int(np.frombuffer(buf, "<i4", 1, 28)[0])
+    shp_type = int(np.frombuffer(buf, "<i4", 1, 32)[0])
+    bbox = np.frombuffer(buf, "<f8", 4, 36)
+    return {"length": file_len_words * 2, "version": version,
+            "type": shp_type,
+            "bbox": (float(bbox[0]), float(bbox[1]),
+                     float(bbox[2]), float(bbox[3]))}
+
+
+def record_scan(buf: bytes):
+    """A2: yield (rec_no, rec_type, payload) from offset 100.
+
+    Uses the real buffer length (not the header's), mirroring the
+    reference's guard against lying headers."""
+    off, n = 100, len(buf)
+    while off + 12 <= n:
+        rec_no = int(np.frombuffer(buf, ">i4", 1, off)[0])
+        content_words = int(np.frombuffer(buf, ">i4", 1, off + 4)[0])
+        rec_type = int(np.frombuffer(buf, "<i4", 1, off + 8)[0])
+        content_len = content_words * 2
+        payload = buf[off + 12: off + 8 + content_len]
+        yield rec_no, rec_type, payload
+        off += 8 + content_len
+
+
+def _check_type(num: int) -> tuple[int, bool]:
+    """A9/A11: M-fold and unknown-type error. → (base_type, had_m).
+
+    Only the spec's M codes (21/23/25/28) fold by −20; any other code —
+    including MultiPatch(31) — raises the reference's message with the
+    ORIGINAL number."""
+    is_m = num in (21, 23, 25, 28)
+    folded = num - 20 if is_m else num
+    if folded not in (0, 1, 3, 5, 8, 11, 13, 15, 18):
+        raise ValueError(f'I don\'t know shp type "{num}"')
+    return folded, is_m
+
+
+def _xy(payload: bytes, count: int, offset: int, trans=None) -> np.ndarray:
+    pts = np.frombuffer(payload, "<f8", count * 2, offset).reshape(count, 2)
+    if trans is not None:
+        pts = trans(pts)
+    return pts
+
+
+def _parse_parts(payload: bytes, has_z: bool, trans=None):
+    """Shared PolyLine/Polygon body: bbox(32) numParts numPoints parts pts
+    [+ z-range + z per point]; M block (if trailing) ignored."""
+    num_parts = int(np.frombuffer(payload, "<i4", 1, 32)[0])
+    num_points = int(np.frombuffer(payload, "<i4", 1, 36)[0])
+    parts = np.frombuffer(payload, "<i4", num_parts, 40)
+    pts_off = 40 + 4 * num_parts
+    pts = _xy(payload, num_points, pts_off, trans)
+    if has_z:
+        z_off = pts_off + 16 * num_points + 16  # skip zmin/zmax
+        z = np.frombuffer(payload, "<f8", num_points, z_off)
+        pts = np.column_stack([pts, z])
+    bounds = list(parts[1:]) + [num_points]
+    return [pts[s:e] for s, e in zip(parts, bounds)]
+
+
+def parse_record(rec_type: int, payload: bytes, trans=None):
+    """One record → GeoJSON-style dict or None (null shape).
+
+    ``trans``: optional (n,2)->(n,2) inverse-projection (A12)."""
+    if rec_type == 0:
+        return None
+    base, _ = _check_type(rec_type)
+    has_z = base in _HAS_Z
+    base_flat = base - 10 if has_z else base
+
+    if base_flat == 1:  # Point / PointZ (A3, A7)
+        pt = _xy(payload, 1, 0, trans)[0]
+        coords = [float(pt[0]), float(pt[1])]
+        if has_z:
+            coords.append(float(np.frombuffer(payload, "<f8", 1, 16)[0]))
+        return {"type": "Point", "coordinates": coords}
+
+    if base_flat == 8:  # MultiPoint / Z (A4, A8)
+        n = int(np.frombuffer(payload, "<i4", 1, 32)[0])
+        pts = _xy(payload, n, 36, trans)
+        if has_z:
+            z = np.frombuffer(payload, "<f8", n, 36 + 16 * n + 16)
+            pts = np.column_stack([pts, z])
+        return {"type": "MultiPoint", "coordinates": pts.tolist()}
+
+    if base_flat == 3:  # PolyLine / Z (A5, A8)
+        parts = _parse_parts(payload, has_z, trans)
+        if len(parts) == 1:
+            return {"type": "LineString", "coordinates": parts[0].tolist()}
+        return {"type": "MultiLineString",
+                "coordinates": [p.tolist() for p in parts]}
+
+    if base_flat == 5:  # Polygon / Z (A6, A8)
+        rings = _parse_parts(payload, has_z, trans)
+        # Assembly decisions use xy winding only; assemble_rings consumes
+        # rings in file order, so the full (xyz) rings map back positionally.
+        polys = assemble_rings([r[:, :2] for r in rings])
+        coords, pos = [], 0
+        for poly in polys:
+            coords.append([rings[pos + i].tolist()
+                           for i in range(len(poly))])
+            pos += len(poly)
+        if len(coords) == 1:
+            return {"type": "Polygon", "coordinates": coords[0]}
+        return {"type": "MultiPolygon", "coordinates": coords}
+
+    raise AssertionError("unreachable")
+
+
+def parse_shp(buf: bytes, trans=None) -> list:
+    """A1+A2+A3..A11: full .shp buffer → list of geometries (None = null).
+
+    The HEADER type drives the M-fold/unknown check like the reference's
+    dispatch-table construction; per-record types 0 are emitted as null."""
+    header = parse_header(buf)
+    _check_type(header["type"])
+    out = []
+    for _rec_no, rec_type, payload in record_scan(buf):
+        out.append(parse_record(rec_type, payload, trans))
+    return out
+
+
+# --- A12: .prj WKT → inverse transform --------------------------------------
+
+_R_MERC = 6378137.0
+
+
+def _inv_webmerc(pts: np.ndarray) -> np.ndarray:
+    lon = pts[:, 0] / _R_MERC * (180.0 / math.pi)
+    lat = (2.0 * np.arctan(np.exp(pts[:, 1] / _R_MERC))
+           - math.pi / 2.0) * (180.0 / math.pi)
+    return np.column_stack([lon, lat])
+
+
+def projection_from_wkt(wkt) -> "callable | None":
+    """WKT string → inverse-transform fn to WGS84 lon/lat, or None (identity).
+
+    Recognizes Pseudo-Mercator (EPSG:3857 / Mercator_1SP on the WGS84
+    sphere radius) and geographic CRSes (passthrough).  Unknown/malformed
+    WKT → None, matching the reference's try/catch → no transform."""
+    if not wkt or not isinstance(wkt, str):
+        return None
+    try:
+        if re.search(r'PROJECTION\["?Mercator', wkt, re.I) or "3857" in wkt:
+            return _inv_webmerc
+        if wkt.lstrip().upper().startswith("GEOGCS"):
+            return None
+        return None
+    except Exception:
+        return None
+
+
+# --- A13–A15: DBF ------------------------------------------------------------
+
+_FLOAT_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?")
+
+
+def js_parse_float(txt: str) -> float:
+    """JS parseFloat: longest leading float prefix; none → NaN."""
+    m = _FLOAT_RE.match(txt.strip())
+    return float(m.group(0)) if m else float("nan")
+
+
+def parse_dbf_header(buf: bytes):
+    """A13: (record_count, header_len, record_len, fields)."""
+    n_records = int(np.frombuffer(buf, "<u4", 1, 4)[0])
+    header_len = int(np.frombuffer(buf, "<u2", 1, 8)[0])
+    record_len = int(np.frombuffer(buf, "<u2", 1, 10)[0])
+    fields, off = [], 32
+    while off < len(buf) and buf[off] != 0x0D:
+        fd = buf[off:off + 32]
+        name = fd[0:11].split(b"\x00", 1)[0].decode("ascii", "replace")
+        fields.append({"name": name, "type": chr(fd[11]),
+                       "len": fd[16], "dec": fd[17]})
+        off += 32
+    return n_records, header_len, record_len, fields
+
+
+def _decode_value(ftype: str, raw: bytes, encoding: str):
+    if ftype in ("N", "F", "O"):
+        return js_parse_float(raw.decode("ascii", "replace"))
+    if ftype == "D":
+        txt = raw.decode("ascii", "replace").strip()
+        if len(txt) == 8 and txt.isdigit():
+            from datetime import date
+            return date(int(txt[:4]), int(txt[4:6]), int(txt[6:8]))
+        return None
+    if ftype == "L":
+        ch = raw[:1].decode("ascii", "replace").lower()
+        if ch in ("y", "t"):
+            return True
+        if ch in ("n", "f"):
+            return False
+        return None
+    return raw.decode(encoding, "replace").strip()
+
+
+def parse_dbf(buf: bytes, encoding: str = "latin-1") -> list[dict]:
+    """A14+A15: DBF buffer → list of row dicts.
+
+    Columnar inner loop: the record area is reshaped to an
+    (n_records, record_len) byte slab; each field decodes from one
+    contiguous column slice of that slab."""
+    n_records, header_len, record_len, fields = parse_dbf_header(buf)
+    avail = (len(buf) - header_len) // record_len if record_len else 0
+    n = min(n_records, max(avail, 0))
+    slab = np.frombuffer(buf, np.uint8, n * record_len,
+                         header_len).reshape(n, record_len)
+    rows = [dict() for _ in range(n)]
+    off = 1  # skip deletion flag
+    for f in fields:
+        col = slab[:, off:off + f["len"]]
+        for i in range(n):
+            rows[i][f["name"]] = _decode_value(
+                f["type"], col[i].tobytes(), encoding)
+        off += f["len"]
+    return rows
+
+
+def parse_cpg(buf: bytes | str | None) -> str:
+    """A15: .cpg content → python codec name (default latin-1)."""
+    if buf is None:
+        return "latin-1"
+    txt = buf.decode("ascii", "replace") if isinstance(buf, bytes) else buf
+    txt = txt.strip().lower()
+    if "utf" in txt and "8" in txt:
+        return "utf-8"
+    if "8859" in txt or "latin" in txt:
+        return "latin-1"
+    m = re.match(r"^(?:cp)?(\d{3,5})$", txt)
+    if m:
+        return f"cp{m.group(1)}"
+    return "latin-1"
+
+
+def combine(geoms: list, rows: list[dict]) -> list[dict]:
+    """A17: positional zip — feature i = geometry i + (dbf row i or {})."""
+    return [{"type": "Feature", "geometry": g,
+             "properties": rows[i] if i < len(rows) else {}}
+            for i, g in enumerate(geoms)]

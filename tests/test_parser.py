@@ -1,0 +1,279 @@
+"""Golden decode-parity tests (SURVEY.md §5.1 fixture categories, M1 gate):
+writer → parser → expected GeoJSON, exact float64 equality.
+
+Each fixture regenerates a reference test category (FIXTURES.md §3); the
+parser must match the reconstructed shapefile-js semantics bit-for-bit on
+coordinates and attribute rows.
+"""
+
+import math
+from datetime import date
+
+import numpy as np
+import pytest
+
+from spark_shp.hashing import u01
+from spark_shp.shp import parser, writer
+
+
+def pts5():
+    out = []
+    for rec in range(5):
+        lon = float(u01(np.int64(rec * 13 + 5)) * 360.0 - 180.0)
+        lat = float(u01(np.int64(rec * 13 + 9)) * 170.0 - 85.0)
+        out.append((lon, lat))
+    return out
+
+
+# --- fx_point ---------------------------------------------------------------
+
+def test_points_bit_for_bit():
+    coords = pts5()
+    buf = writer.write_shp([(writer.POINT, c) for c in coords])
+    h = parser.parse_header(buf)
+    assert h["type"] == writer.POINT and h["version"] == 1000
+    assert h["length"] == len(buf)
+    geoms = parser.parse_shp(buf)
+    assert [g["type"] for g in geoms] == ["Point"] * 5
+    for g, c in zip(geoms, coords):
+        assert g["coordinates"] == [c[0], c[1]]  # exact float64
+
+
+# --- fx_multipart -----------------------------------------------------------
+
+def test_polyline_parts_split():
+    p1 = [[(0.0, 0.0), (1.0, 1.0), (2.0, 0.5), (3.0, 2.0)]]
+    p2 = [[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0)],
+          [(5.0, 5.0), (6.0, 6.0), (7.0, 5.0)]]
+    p3 = [[(0.0, 0.0), (1.0, 0.0)], [(2.0, 0.0), (3.0, 0.0)],
+          [(4.0, 0.0), (5.0, 0.0)]]
+    buf = writer.write_shp([(writer.POLYLINE, p) for p in (p1, p2, p3)])
+    g1, g2, g3 = parser.parse_shp(buf)
+    assert g1["type"] == "LineString"
+    assert g1["coordinates"] == [[0.0, 0.0], [1.0, 1.0], [2.0, 0.5], [3.0, 2.0]]
+    assert g2["type"] == "MultiLineString" and len(g2["coordinates"]) == 2
+    assert g3["type"] == "MultiLineString" and len(g3["coordinates"]) == 3
+    assert g3["coordinates"][2] == [[4.0, 0.0], [5.0, 0.0]]
+
+
+# --- fx_poly_rings (the crux: A6) --------------------------------------------
+
+CW = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0)]
+CCW_HOLE = [(2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0), (2.0, 2.0)]
+
+
+def _shift(ring, dx):
+    return [(x + dx, y) for x, y in ring]
+
+
+def test_polygon_single_cw_ring():
+    buf = writer.write_shp([(writer.POLYGON, [CW])])
+    (g,) = parser.parse_shp(buf)
+    assert g["type"] == "Polygon"
+    assert g["coordinates"] == [[list(p) for p in CW]]
+
+
+def test_polygon_outer_plus_hole():
+    buf = writer.write_shp([(writer.POLYGON, [CW, CCW_HOLE])])
+    (g,) = parser.parse_shp(buf)
+    assert g["type"] == "Polygon" and len(g["coordinates"]) == 2
+    assert g["coordinates"][1] == [list(p) for p in CCW_HOLE]
+
+
+def test_polygon_mixed_order_leading_ccw():
+    """Leading CCW ring: reference polyReduce starts a polygon with it
+    anyway (accumulator empty); following CW starts a second polygon."""
+    buf = writer.write_shp([(writer.POLYGON, [CCW_HOLE, CW])])
+    (g,) = parser.parse_shp(buf)
+    assert g["type"] == "MultiPolygon"
+    assert len(g["coordinates"]) == 2
+    assert g["coordinates"][0] == [[list(p) for p in CCW_HOLE]]
+    assert g["coordinates"][1] == [[list(p) for p in CW]]
+
+
+def test_polygon_hole_binds_to_most_recent_outer():
+    """Two CW outers then one CCW: hole attaches to the SECOND outer."""
+    outer2 = _shift(CW, 20.0)
+    hole2 = _shift(CCW_HOLE, 20.0)
+    buf = writer.write_shp([(writer.POLYGON, [CW, outer2, hole2])])
+    (g,) = parser.parse_shp(buf)
+    assert g["type"] == "MultiPolygon"
+    assert [len(poly) for poly in g["coordinates"]] == [1, 2]
+    assert g["coordinates"][1][1] == [list(p) for p in hole2]
+
+
+# --- fx_null_interleave --------------------------------------------------------
+
+def test_null_shapes_keep_positional_alignment():
+    recs = [(writer.POINT, (1.0, 2.0)), (writer.NULL, None),
+            (writer.POINT, (3.0, 4.0)), (writer.NULL, None),
+            (writer.NULL, None), (writer.POINT, (5.0, 6.0))]
+    buf = writer.write_shp(recs, header_type=writer.POINT)
+    geoms = parser.parse_shp(buf)
+    assert [g is None for g in geoms] == [False, True, False, True, True, False]
+    dbf = writer.write_dbf([("NAME", "C", 8, 0)],
+                           [{"NAME": f"r{i}"} for i in range(6)])
+    rows = parser.parse_dbf(dbf)
+    feats = parser.combine(geoms, rows)
+    assert len(feats) == 6
+    assert feats[1]["geometry"] is None
+    assert feats[1]["properties"]["NAME"] == "r1"
+    assert feats[5]["geometry"]["coordinates"] == [5.0, 6.0]
+
+
+# --- fx_zm ---------------------------------------------------------------------
+
+def test_pointz_and_m_dropped():
+    buf = writer.write_shp([(writer.POINTZ, (1.5, 2.5, 3.5, 99.0))])
+    (g,) = parser.parse_shp(buf)
+    assert g["coordinates"] == [1.5, 2.5, 3.5]  # M dropped
+
+
+def test_polygonz_z_appended():
+    ring = [(0.0, 0.0, 1.0), (0.0, 10.0, 2.0), (10.0, 10.0, 3.0),
+            (10.0, 0.0, 4.0), (0.0, 0.0, 5.0)]
+    buf = writer.write_shp([(writer.POLYGONZ, [ring])])
+    (g,) = parser.parse_shp(buf)
+    assert g["type"] == "Polygon"
+    assert g["coordinates"][0][0] == [0.0, 0.0, 1.0]
+    assert g["coordinates"][0][4] == [0.0, 0.0, 5.0]
+
+
+def test_m_types_fold_to_base():
+    """PointM(21)/PolyLineM(23) decode identically to base types."""
+    bm = writer.write_shp([(writer.POINTM, (7.0, 8.0, 42.0))])
+    (gm,) = parser.parse_shp(bm)
+    assert gm == {"type": "Point", "coordinates": [7.0, 8.0]}
+    line = [[(0.0, 0.0), (1.0, 2.0)]]
+    blm = writer.write_shp([(writer.POLYLINEM, line)])
+    (glm,) = parser.parse_shp(blm)
+    assert glm == {"type": "LineString",
+                   "coordinates": [[0.0, 0.0], [1.0, 2.0]]}
+
+
+def test_multipointz():
+    pts = [(1.0, 2.0, 10.0), (3.0, 4.0, 20.0)]
+    buf = writer.write_shp([(writer.MULTIPOINTZ, pts)])
+    (g,) = parser.parse_shp(buf)
+    assert g["coordinates"] == [[1.0, 2.0, 10.0], [3.0, 4.0, 20.0]]
+
+
+# --- fx_bad_type ------------------------------------------------------------------
+
+def test_unknown_type_error_message():
+    buf = writer.write_shp([(writer.POINT, (0.0, 0.0))], header_type=31)
+    with pytest.raises(ValueError, match=r'I don\'t know shp type "31"'):
+        parser.parse_shp(buf)
+
+
+# --- fx_dbf_types -------------------------------------------------------------------
+
+def test_dbf_value_semantics():
+    fields = [("NAME", "C", 12, 0), ("QTY", "N", 8, 0),
+              ("PRICE", "F", 10, 2), ("DAY", "D", 8, 0), ("OK", "L", 1, 0)]
+    rows = [
+        {"NAME": "alpha  ", "QTY": 42, "PRICE": 19.99,
+         "DAY": date(2020, 2, 29), "OK": True},
+        {"NAME": "beta", "QTY": None, "PRICE": None, "DAY": None, "OK": False},
+        {"NAME": "", "QTY": "****", "PRICE": "  3.5", "DAY": "20240115",
+         "OK": "y"},
+        {"NAME": "d", "QTY": "-7", "PRICE": "12.5ab", "DAY": None, "OK": "?"},
+    ]
+    buf = writer.write_dbf(fields, rows)
+    out = parser.parse_dbf(buf)
+    assert out[0]["NAME"] == "alpha"           # trailing spaces trimmed
+    assert out[0]["QTY"] == 42.0 and out[0]["PRICE"] == 19.99
+    assert out[0]["DAY"] == date(2020, 2, 29) and out[0]["OK"] is True
+    assert math.isnan(out[1]["QTY"])           # blank numeric → NaN, not None
+    assert math.isnan(out[1]["PRICE"])
+    assert out[1]["DAY"] is None and out[1]["OK"] is False
+    assert math.isnan(out[2]["QTY"])           # '*'-padded → NaN
+    assert out[2]["PRICE"] == 3.5
+    assert out[2]["DAY"] == date(2024, 1, 15) and out[2]["OK"] is True
+    assert out[3]["QTY"] == -7.0
+    assert out[3]["PRICE"] == 12.5             # parseFloat prefix semantics
+    assert out[3]["OK"] is None                # '?' → null tri-state
+
+
+# --- fx_codepage ----------------------------------------------------------------------
+
+def test_codepage_decode():
+    fields = [("TXT", "C", 16, 0)]
+    buf_utf8 = writer.write_dbf(fields, [{"TXT": "café—π"}], encoding="utf-8")
+    assert parser.parse_dbf(buf_utf8, parser.parse_cpg(b"UTF-8"))[0]["TXT"] \
+        == "café—π"
+    buf_lat1 = writer.write_dbf(fields, [{"TXT": "café"}], encoding="latin-1")
+    assert parser.parse_dbf(
+        buf_lat1, parser.parse_cpg(b"ISO-8859-1"))[0]["TXT"] == "café"
+    assert parser.parse_cpg(None) == "latin-1"
+    assert parser.parse_cpg(b"1252") == "cp1252"
+
+
+# --- fx_webmerc -------------------------------------------------------------------------
+
+def test_webmercator_inverse():
+    lonlats = [(-73.9857, 40.7484), (2.3522, 48.8566), (0.0, 0.0),
+               (139.6917, 35.6895)]
+    R = 6378137.0
+    merc = [(math.radians(lon) * R,
+             math.log(math.tan(math.pi / 4 + math.radians(lat) / 2)) * R)
+            for lon, lat in lonlats]
+    buf = writer.write_shp([(writer.POINT, m) for m in merc])
+    trans = parser.projection_from_wkt(writer.WEBMERC_WKT)
+    assert trans is not None
+    geoms = parser.parse_shp(buf, trans)
+    for g, (lon, lat) in zip(geoms, lonlats):
+        assert abs(g["coordinates"][0] - lon) < 1e-9
+        assert abs(g["coordinates"][1] - lat) < 1e-9
+    # geographic WKT and garbage → identity (reference try/catch)
+    assert parser.projection_from_wkt(writer.WGS84_WKT) is None
+    assert parser.projection_from_wkt("NOT A WKT [[[") is None
+
+
+# --- fx_zip_* -----------------------------------------------------------------------------
+
+def _zip_bytes(members: dict[str, bytes]) -> bytes:
+    import io
+    import zipfile
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w") as z:
+        for name, data in members.items():
+            z.writestr(name, data)
+    return bio.getvalue()
+
+
+def test_zip_uppercase_and_macosx():
+    from spark_shp.shp import zipio
+    coords = pts5()
+    shp = writer.write_shp([(writer.POINT, c) for c in coords])
+    dbf = writer.write_dbf([("ID", "N", 4, 0)],
+                           [{"ID": i} for i in range(5)])
+    z = _zip_bytes({"layer1.SHP": shp, "layer1.DBF": dbf,
+                    "__MACOSX/layer1.SHP": b"ghost"})
+    layers = zipio.parse_zip(z)
+    assert len(layers) == 1
+    name, feats = layers[0]
+    assert name == "layer1" and len(feats) == 5
+    assert feats[0]["properties"]["ID"] == 0.0
+    assert feats[0]["geometry"]["coordinates"] == list(coords[0])
+
+
+def test_zip_multilayer_and_geojson():
+    from spark_shp.shp import zipio
+    shp = writer.write_shp([(writer.POINT, (1.0, 2.0))])
+    shp2 = writer.write_shp([(writer.POLYGON, [CW])])
+    z = _zip_bytes({"a.shp": shp, "b.shp": shp2,
+                    "extra.json": b'{"type": "FeatureCollection", "features": []}'})
+    layers = zipio.parse_zip(z)
+    assert [n for n, _ in layers] == ["a", "b", "extra"]
+    assert layers[2][1]["type"] == "FeatureCollection"
+
+
+def test_zip_empty_shp_and_no_layers():
+    from spark_shp.shp import zipio
+    empty = writer.write_shp([])
+    z = _zip_bytes({"e.shp": empty})
+    (name, feats), = zipio.parse_zip(z)
+    assert feats == []
+    with pytest.raises(ValueError, match="no layers founds"):
+        zipio.parse_zip(_zip_bytes({"readme.txt": b"hi"}))
