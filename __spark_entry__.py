@@ -27,6 +27,8 @@ def entry(spark: SparkSession) -> DataFrame:
     pts = spatial.tile_assign(pts, "lon", "lat", 12, "tile_12")
     polys = _nation_fences_df(spark, sf_dir)
     joined = spatial.spatial_join(pts, polys, "lon", "lat", level=6)
+    joined = joined.join(F.broadcast(polys.select("poly_id", "n_name")),
+                         "poly_id")
     return (joined.groupBy("n_name")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.countDistinct("tile_12").alias("n_tiles"),

@@ -1,0 +1,137 @@
+"""Benchmark harness (driver contract + BASELINE.md scale evidence).
+
+Default mode: runs the headline queries on local[$SPARK_GRAFT_CPUS] against
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": "...", "value": <sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "flagship_rows_per_sec": ...}
+
+The flagship is the north-star query shape (BASELINE.json): synthesize the
+images table (metadata footprint) at BENCH_IMAGES rows, tile-assign at level
+12, PIP-join against the 64-fence layer (holes/multiparts/hot cell), count
+per fence. Throughput = images rows / wall seconds.
+
+``--scaling`` mode (BENCH/BASELINE.md evidence): re-runs the flagship in two
+subprocesses at local[8] and local[32] on the SAME input and reports both
+throughputs + efficiency = (T8/T32) / (32/8) — the sandbox stand-in for
+N → 4N executors (north rule: ≥ 0.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary", "revenue_by_nation", "window_top3_per_brand",
+    "asof_join_event_order",
+    "tile_assign_events", "spatial_join_pairs", "knn_events_nations",
+    "images_fence_join",
+    "dedup_exact", "minhash_signatures", "simhash16", "cosine_topk",
+    "tumbling_window", "session_windows",
+]
+
+N_IMAGES = int(os.environ.get("BENCH_IMAGES", "1000000"))
+
+
+def run_flagship(spark, n_images: int) -> tuple[float, int]:
+    """North-star job: images → tile-assign L12 + fence spatial join."""
+    from pyspark.sql import functions as F
+    from spark_shp import fixtures, spatial
+    from spark_shp.queries_spatial import _images_meta_df
+
+    img = _images_meta_df(spark, n_images)
+    img = spatial.tile_assign(img, "lon", "lat", 12, "tile_12")
+    polys = fixtures.fences_df(spark, 64).drop("layer", "name")
+    t0 = time.time()
+    j = spatial.spatial_join(img, polys, "lon", "lat", level=6)
+    out = (j.groupBy("poly_id")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.countDistinct("tile_12").alias("tiles")).collect())
+    dt = time.time() - t0
+    assert len(out) > 0
+    return dt, n_images
+
+
+def main_bench():
+    from spark_shp.session import get_spark
+    from spark_shp.registry import queries
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("spark_shp_bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+
+    fl_sec, fl_rows = run_flagship(spark, N_IMAGES)
+    times["images_flagship_join"] = round(fl_sec, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline suite wall time (spatial-join+tile flagship "
+                  f"at {N_IMAGES} images + {len(HEADLINE)} oracle queries)",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+        "flagship_rows_per_sec": round(fl_rows / fl_sec),
+        "flagship_images": N_IMAGES,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+def main_flagship_only():
+    """Subprocess entry for --scaling: one flagship run, prints rows/sec."""
+    from spark_shp.session import get_spark
+    cpus = int(os.environ["SPARK_GRAFT_CPUS"])
+    spark = get_spark("spark_shp_scale", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup (JVM/codegen) on a small slice, then timed run
+    run_flagship(spark, 50_000)
+    sec, rows = run_flagship(spark, N_IMAGES)
+    print(json.dumps({"cpus": cpus, "sec": round(sec, 3),
+                      "rows_per_sec": round(rows / sec)}))
+    spark.stop()
+
+
+def main_scaling():
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, __file__, "--flagship-only"], env=env,
+            capture_output=True, text=True, check=True)
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    t8, t32 = results[8]["sec"], results[32]["sec"]
+    eff = (t8 / t32) / (32 / 8)
+    print(json.dumps({
+        "metric": "scaling efficiency local[8] -> local[32] (stand-in for "
+                  "N -> 4N executors)",
+        "images": N_IMAGES,
+        "local8": results[8], "local32": results[32],
+        "efficiency": round(eff, 4),
+        "target": 0.8,
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif "--flagship-only" in sys.argv:
+        main_flagship_only()
+    else:
+        main_bench()

@@ -1,0 +1,122 @@
+"""Multimodal column plumbing (builder brief: image/audio/video as opaque
+binary + typed metadata; decode / feature-extract / resize / frame-sample as
+Arrow-batched kernels).
+
+Image decode is REAL (spark_shp.codecs handles every fmt this engine
+produces). Audio/video decoding has no codec library in this container, so
+those decoders are deterministic STUBS behind the same Spark plumbing —
+schema, partitioning, UDF signature, and batch shape are real and tested;
+swap `_decode_audio`/`_sample_video_frames` for librosa/pyav on a cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+
+from . import codecs
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("mean_rgb", T.ArrayType(T.DoubleType())),
+    T.StructField("std_gray", T.DoubleType()),
+    T.StructField("edge_energy", T.DoubleType()),
+    T.StructField("thumb64", T.ArrayType(T.DoubleType())),
+])
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Decode → per-channel means, gray std, gradient energy, 8×8 thumbnail
+    (the 64-dim embedding the ANN operators consume)."""
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = codecs.decode(bytes(r.bytes), int(r.w), int(r.h),
+                                   r.fmt).astype(np.float64)
+                gray = px.mean(axis=2)
+                gy, gx = np.gradient(gray)
+                h, w = gray.shape
+                hh, ww = (h // 8) * 8, (w // 8) * 8
+                thumb = (gray[:hh, :ww]
+                         .reshape(8, hh // 8, 8, ww // 8).mean(axis=(1, 3)))
+                rows.append((r.image_id,
+                             px.mean(axis=(0, 1)).tolist(),
+                             float(gray.std()),
+                             float(np.sqrt(gx ** 2 + gy ** 2).mean()),
+                             (thumb.ravel() / 255.0).tolist()))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in FEATURE_SCHEMA])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, FEATURE_SCHEMA))
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize (pure numpy), re-encoded as raw bytes."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = codecs.decode(bytes(r.bytes), int(r.w), int(r.h), r.fmt)
+                yi = (np.arange(out_h) * r.h // out_h).astype(int)
+                xi = (np.arange(out_w) * r.w // out_w).astype(int)
+                small = px[yi][:, xi]
+                rows.append((r.image_id, codecs.encode(small, "raw"),
+                             out_w, out_h, "raw"))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))
+
+
+# --- audio/video: stubbed decoders, real plumbing ------------------------------
+
+def _decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
+    """STUB: no audio codec lib in this container. Deterministic fake decode
+    (bytes → int16 waveform) keeps the pipeline shape testable; replace with
+    soundfile/librosa on a real cluster."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    n = (len(raw) // 2) * 2
+    return raw[:n].view("<i2").astype(np.float32) / 32768.0
+
+
+def _sample_video_frames(data: bytes, n_frames: int) -> list[np.ndarray]:
+    """STUB: no video codec lib in this container (would be pyav)."""
+    raise NotImplementedError(
+        "video frame sampling requires a codec library not present in this "
+        "environment; the Spark plumbing below is exercised with audio/image")
+
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zero_crossings", T.LongType()),
+])
+
+
+def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """media(media_id, bytes) → waveform stats via the stub decoder."""
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                wav = _decode_audio(bytes(r.bytes), sample_rate)
+                zc = int(np.sum(np.abs(np.diff(np.signbit(wav)))))
+                rms = float(np.sqrt(np.mean(wav ** 2))) if len(wav) else 0.0
+                rows.append((r.media_id, len(wav), rms, zc))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA])
+
+    return media.select("media_id", "bytes").mapInPandas(work, AUDIO_SCHEMA)

@@ -1,0 +1,206 @@
+"""Decode-layer queries for the driver oracle harness (SURVEY.md §2.A):
+shapefile/DBF fixtures are synthesized in-driver (test-only writer), decoded
+DISTRIBUTED through the engine's ingest kernels, and checked against oracles
+that know the expected values by construction (u01 formulas / VALUES
+literals) — decode parity becomes part of CORRECTNESS_r{N}.json, not just
+pytest.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .hashing import u01_sql
+
+N_SHP_PTS = 64
+
+
+def _fx_points_shp() -> bytes:
+    import numpy as np
+    from .hashing import u01
+    from .shp import writer
+    recs = []
+    for rec in range(N_SHP_PTS):
+        lon = float(u01(np.int64(rec * 13 + 5)) * 360.0 - 180.0)
+        lat = float(u01(np.int64(rec * 13 + 9)) * 170.0 - 85.0)
+        recs.append((writer.POINT, (lon, lat)))
+    return writer.write_shp(recs)
+
+
+def q_shp_decode_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine decode of a Point shapefile → (rec_no, lon, lat); the oracle
+    recomputes the coordinates from the same integer formulas in SQL —
+    bit-for-bit float64 equality is the pass condition."""
+    blob = _fx_points_shp()
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        from .shp import parser
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows = [(rn, g["coordinates"][0], g["coordinates"][1])
+                        for (rn, rt, payload), g in zip(
+                            parser.record_scan(bytes(content)),
+                            parser.parse_shp(bytes(content)))]
+                yield pd.DataFrame(rows, columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+ORACLE_SHP_POINTS = f"""
+SELECT CAST(i + 1 AS INT) AS rec_no,
+       ({u01_sql('i * 13 + 5')} * 360.0 - 180.0) AS lon,
+       ({u01_sql('i * 13 + 9')} * 170.0 - 85.0) AS lat
+FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_SHP_PTS - 1})) AS i) t
+"""
+
+
+DBF_ROWS = [
+    ("alpha", 42.0, 19.99, "2020-02-29", True),
+    ("beta", None, None, None, False),
+    ("", None, 3.5, "2024-01-15", True),
+    ("d", -7.0, 12.5, None, None),
+]
+
+
+def q_dbf_decode_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine DBF decode (C/N/F/D/L typing incl. parseFloat blank→NaN, '*'
+    padding, tri-state logical) vs a VALUES-literal oracle. NaN is surfaced
+    as NULL at the SQL boundary (is_nan flag carries the distinction so the
+    reference's NaN-not-null semantics stay observable)."""
+    from datetime import date
+    from .shp import writer
+    fields = [("NAME", "C", 12, 0), ("QTY", "N", 8, 0),
+              ("PRICE", "F", 10, 2), ("DAY", "D", 8, 0), ("OK", "L", 1, 0)]
+    rows = [
+        {"NAME": "alpha  ", "QTY": 42, "PRICE": 19.99,
+         "DAY": date(2020, 2, 29), "OK": True},
+        {"NAME": "beta", "QTY": None, "PRICE": None, "DAY": None,
+         "OK": False},
+        {"NAME": "", "QTY": "****", "PRICE": "  3.5", "DAY": "20240115",
+         "OK": "y"},
+        {"NAME": "d", "QTY": "-7", "PRICE": "12.5ab", "DAY": None,
+         "OK": "?"},
+    ]
+    blob = writer.write_dbf(fields, rows)
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("qty", T.DoubleType()),
+        T.StructField("qty_is_nan", T.BooleanType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("day", T.DateType()),
+        T.StructField("ok", T.BooleanType()),
+    ])
+
+    def decode(batches):
+        import math
+        from .shp import parser
+        for pdf in batches:
+            for content in pdf["content"]:
+                out = []
+                for i, r in enumerate(parser.parse_dbf(bytes(content))):
+                    qty = r["QTY"]
+                    nan = isinstance(qty, float) and math.isnan(qty)
+                    price = r["PRICE"]
+                    pnan = isinstance(price, float) and math.isnan(price)
+                    out.append((i + 1, r["NAME"],
+                                None if nan else qty, nan,
+                                None if pnan else price,
+                                r["DAY"], r["OK"]))
+                yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+ORACLE_DBF_TYPES = """
+SELECT * FROM (VALUES
+  (CAST(1 AS INT), 'alpha', CAST(42.0 AS DOUBLE), FALSE,
+   CAST(19.99 AS DOUBLE), DATE '2020-02-29', TRUE),
+  (CAST(2 AS INT), 'beta', CAST(NULL AS DOUBLE), TRUE,
+   CAST(NULL AS DOUBLE), CAST(NULL AS DATE), FALSE),
+  (CAST(3 AS INT), '', CAST(NULL AS DOUBLE), TRUE,
+   CAST(3.5 AS DOUBLE), DATE '2024-01-15', TRUE),
+  (CAST(4 AS INT), 'd', CAST(-7.0 AS DOUBLE), FALSE,
+   CAST(12.5 AS DOUBLE), CAST(NULL AS DATE), CAST(NULL AS BOOLEAN))
+) AS t(rec_no, name, qty, qty_is_nan, price, day, ok)
+"""
+
+
+def q_shp_polygon_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring-winding assembly parity (A6 — the crux): decode the
+    mixed-ring-order fixture distributed, emit (rec_no, n_polys, n_rings,
+    ring signature) vs literal expectations derived from the reference's
+    polyReduce semantics."""
+    from .shp import writer
+    CW = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0)]
+    HOLE = [(2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0), (2.0, 2.0)]
+    sh = [(x + 20.0, y) for x, y in CW]
+    sh_hole = [(x + 20.0, y) for x, y in HOLE]
+    recs = [
+        (writer.POLYGON, [CW]),                 # single ring
+        (writer.POLYGON, [CW, HOLE]),           # outer + hole
+        (writer.POLYGON, [HOLE, CW]),           # leading CCW starts polygon
+        (writer.POLYGON, [CW, sh, sh_hole]),    # hole → most recent outer
+    ]
+    blob = writer.write_shp(recs)
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("geom_type", T.StringType()),
+        T.StructField("n_polys", T.IntegerType()),
+        T.StructField("rings_per_poly", T.StringType()),
+        T.StructField("first_vertex_x", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        from .shp import parser
+        for pdf in batches:
+            for content in pdf["content"]:
+                out = []
+                for i, g in enumerate(parser.parse_shp(bytes(content))):
+                    coords = (g["coordinates"]
+                              if g["type"] == "MultiPolygon"
+                              else [g["coordinates"]])
+                    out.append((i + 1, g["type"], len(coords),
+                                ",".join(str(len(p)) for p in coords),
+                                coords[0][0][0][0]))
+                yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+ORACLE_SHP_RINGS = """
+SELECT * FROM (VALUES
+  (CAST(1 AS INT), 'Polygon', CAST(1 AS INT), '1', CAST(0.0 AS DOUBLE)),
+  (CAST(2 AS INT), 'Polygon', CAST(1 AS INT), '2', CAST(0.0 AS DOUBLE)),
+  (CAST(3 AS INT), 'MultiPolygon', CAST(2 AS INT), '1,1', CAST(2.0 AS DOUBLE)),
+  (CAST(4 AS INT), 'MultiPolygon', CAST(2 AS INT), '1,2', CAST(0.0 AS DOUBLE))
+) AS t(rec_no, geom_type, n_polys, rings_per_poly, first_vertex_x)
+"""
+
+
+def q_images_phash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: full pixel pipeline — synthesize 120 images WITH pixels
+    (raw/png/qb codecs), decode, recompute phash, assert all match."""
+    from . import clip, fixtures
+    img = fixtures.images_df(spark, 120, partitions=8)
+    out = clip.phash_verify(img)
+    return (out.groupBy("match")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("hamming").alias("max_hamming")))
+
+
+QUERIES: dict = {
+    "shp_decode_points": (q_shp_decode_points, ORACLE_SHP_POINTS),
+    "dbf_decode_types": (q_dbf_decode_types, ORACLE_DBF_TYPES),
+    "shp_polygon_rings": (q_shp_polygon_rings, ORACLE_SHP_RINGS),
+    "images_phash_verify": (q_images_phash_verify, None),
+}

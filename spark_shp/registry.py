@@ -4,10 +4,10 @@ tests/bench. Each entry: name → (spark_fn(spark, sf_dir), duckdb_oracle|None).
 
 from __future__ import annotations
 
-from . import queries_rel, queries_spatial, queries_text
+from . import queries_rel, queries_shp, queries_spatial, queries_text
 
 ALL_QUERIES: dict = {}
-for mod in (queries_rel, queries_spatial, queries_text):
+for mod in (queries_rel, queries_spatial, queries_text, queries_shp):
     overlap = set(ALL_QUERIES) & set(mod.QUERIES)
     if overlap:
         raise RuntimeError(f"duplicate query names: {overlap}")

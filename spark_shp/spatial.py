@@ -203,14 +203,14 @@ def salt_hot_cells(df: DataFrame, cell_col: str, top_n: int = 8,
 
 def explode_salts(build: DataFrame, cell_col: str, hot: DataFrame,
                   salt_factor: int = 16) -> DataFrame:
-    """Replicate build-side rows for hot cells across all salt suffixes."""
+    """Replicate build-side rows for hot cells across all salt suffixes:
+    hot rows expand to salt_factor variants, cold rows keep one."""
     salts = F.array([F.lit(i) for i in range(salt_factor)])
+    variants = F.when(
+        F.col("_is_hot").isNotNull(),
+        F.transform(salts, lambda s: F.concat_ws(
+            "#", F.col(cell_col), s.cast("string")))
+    ).otherwise(F.array(F.col(cell_col).cast("string")))
     return (build.join(F.broadcast(hot), cell_col, "left")
-            .withColumn(
-                "_salted_cell",
-                F.when(F.col("_is_hot").isNotNull(),
-                       F.explode(F.transform(
-                           salts, lambda s: F.concat_ws(
-                               "#", F.col(cell_col), s.cast("string")))))
-                 .otherwise(F.col(cell_col).cast("string")))
+            .withColumn("_salted_cell", F.explode(variants))
             .drop("_is_hot"))

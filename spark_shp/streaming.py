@@ -1,0 +1,80 @@
+"""Structured Streaming surface (SURVEY.md §2.C C12).
+
+Real ``readStream`` pipelines over the events table replayed as a file
+stream: watermarked tumbling/sliding/session windows, stream dedup, and a
+stateful running counter via ``transformWithStateInPandas``-free composition
+(windowed agg). Batch-SQL equivalence of each windowing operator is asserted
+in tests (bounded input → final streaming result == batch result), which is
+the same contract the driver's oracle checks batch-side via
+queries_text.q_tumbling_window / q_sliding_window / q_session_windows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def replay_events_dir(spark: SparkSession, sf_dir: str, out_dir: str,
+                      n_splits: int = 8) -> str:
+    """Materialize events as N parquet splits for file-stream replay."""
+    os.makedirs(out_dir, exist_ok=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(n_splits).write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
+def events_stream(spark: SparkSession, replay_dir: str,
+                  files_per_trigger: int = 2) -> DataFrame:
+    """Parquet timestamps load as TIMESTAMP_NTZ in Spark 4; watermarks need
+    TIMESTAMP (LTZ) — cast on ingest (identity under the UTC session tz)."""
+    schema = spark.read.parquet(replay_dir).schema
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(replay_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp_ltz")))
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    return (stream.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").cast("timestamp_ntz")
+                    .alias("window_start"), "event_type", "n"))
+
+
+def sliding_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    return (stream.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").cast("timestamp_ntz")
+                    .alias("window_start"), "n"))
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "10 minutes") -> DataFrame:
+    return (stream.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("win.start").cast("timestamp_ntz")
+                    .alias("session_start"), "n_events"))
+
+
+def stream_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    return (stream.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"]))
+
+
+def run_to_completion(q_df: DataFrame, out_mode: str = "complete"):
+    """Run a bounded stream to exhaustion into an in-memory sink; return the
+    final table rows."""
+    import uuid
+    name = "snk_" + uuid.uuid4().hex[:8]
+    q = (q_df.writeStream.format("memory").queryName(name)
+         .outputMode(out_mode).start())
+    q.processAllAvailable()
+    spark = q_df.sparkSession
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    q.stop()
+    return rows

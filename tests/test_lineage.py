@@ -1,0 +1,108 @@
+"""Checkpoint/lineage resume tests (SURVEY.md §5.2 item 5, FIXTURES.md §6):
+kill the job mid-stage, restart, output identical + completed buckets not
+re-processed."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from spark_shp import lineage
+
+DRIVER = """
+import sys, os, time
+sys.path.insert(0, "/root/repo")
+out_dir, slow = sys.argv[1], sys.argv[2] == "slow"
+from pyspark.sql import functions as F
+from spark_shp.session import get_spark
+from spark_shp import lineage, spatial
+from spark_shp.queries_spatial import _images_meta_df
+
+spark = get_spark("lineage_kill", cpus=4)
+spark.sparkContext.setLogLevel("ERROR")
+img = _images_meta_df(spark, 4000)
+img = spatial.tile_assign(img, "lon", "lat", 8)
+# bucket on the MORTON part (low 5 bits of cell_id are the level)
+img = img.withColumn("bucket",
+                     F.pmod(F.floor(F.col("cell_id") / 32).cast("long"),
+                            F.lit(64)))
+lineage.checkpointed_write(img, out_dir, "decode", "bucket",
+                           cell_col="cell_id",
+                           throttle=0.4 if slow else 0.0)
+print("DONE", flush=True)
+spark.stop()
+"""
+
+
+def _run_driver(out_dir, slow, kill_after_manifests=None, timeout=300):
+    script = "/tmp/lineage_driver.py"
+    with open(script, "w") as f:
+        f.write(DRIVER)
+    p = subprocess.Popen([sys.executable, script, out_dir,
+                          "slow" if slow else "fast"],
+                         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                         text=True)
+    if kill_after_manifests is None:
+        p.wait(timeout=timeout)
+        return p.returncode
+    ldir = os.path.join(out_dir, "_lineage")
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        n = len([f for f in os.listdir(ldir)]) if os.path.isdir(ldir) else 0
+        if n >= kill_after_manifests:
+            os.kill(p.pid, signal.SIGKILL)
+            p.wait()
+            return -9
+        if p.poll() is not None:
+            return p.returncode  # finished before we could kill
+        time.sleep(0.05)
+    p.kill()
+    raise TimeoutError
+
+
+def test_checkpointed_write_and_resume_noop(spark, tmp_path):
+    out = str(tmp_path / "ck1")
+    img = spark.range(0, 500).withColumn(
+        "bucket", F.pmod(F.col("id"), F.lit(16))) \
+        .withColumn("cell", F.col("id") * 3)
+    r1 = lineage.checkpointed_write(img, out, "s1", "bucket", cell_col="cell")
+    assert r1 == {"done": 0, "new": 16}
+    assert len(lineage.completed_buckets(out, "s1")) == 16
+    # second run: everything committed → no new work
+    r2 = lineage.checkpointed_write(img, out, "s1", "bucket", cell_col="cell")
+    assert r2 == {"done": 16, "new": 0}
+    got = lineage.read_output(spark, out)
+    assert got.count() == 500
+    m = lineage.completed_buckets(out, "s1")[3]
+    assert m["rows"] == 500 // 16 + (1 if 3 < 500 % 16 else 0)
+    assert m["cell_min"] % 3 == 0 and m["status"] == "done"
+
+
+def test_kill_resume_identical_output(spark, tmp_path):
+    out_kill = str(tmp_path / "ck_kill")
+    out_ref = str(tmp_path / "ck_ref")
+    rc = _run_driver(out_ref, slow=False)
+    assert rc == 0
+    ref_buckets = set(lineage.completed_buckets(out_ref, "decode"))
+    rc = _run_driver(out_kill, slow=True, kill_after_manifests=8)
+    assert rc == -9
+    done_before = lineage.completed_buckets(out_kill, "decode")
+    assert 0 < len(done_before) < len(ref_buckets), "kill landed mid-job"
+    ts_before = {b: m["ts"] for b, m in done_before.items()}
+    # resume
+    rc = _run_driver(out_kill, slow=False)
+    assert rc == 0
+    done_after = lineage.completed_buckets(out_kill, "decode")
+    assert set(done_after) == ref_buckets
+    # previously committed buckets were NOT re-processed (manifest untouched)
+    for b, ts in ts_before.items():
+        assert done_after[b]["ts"] == ts
+    # output equals the uninterrupted run
+    a = lineage.read_output(spark, out_kill)
+    b = lineage.read_output(spark, out_ref)
+    assert a.count() == b.count() == 4000
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -1,0 +1,110 @@
+"""Spatial operator exactness vs brute force (SURVEY.md §5.2 item 4)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from spark_shp import cells, fixtures, geom, spatial
+from spark_shp.hashing import u01
+
+N_PTS = 3000
+
+
+@pytest.fixture(scope="module")
+def points_df(spark):
+    k = np.arange(N_PTS, dtype=np.int64)
+    lon = u01(k * 17 + 3) * 360.0 - 180.0
+    lat = u01(k * 17 + 5) * 170.0 - 85.0
+    import pandas as pd
+    return spark.createDataFrame(
+        pd.DataFrame({"pid": k, "lon": lon, "lat": lat}))
+
+
+def brute_pairs(m=64):
+    k = np.arange(N_PTS, dtype=np.int64)
+    lon = u01(k * 17 + 3) * 360.0 - 180.0
+    lat = u01(k * 17 + 5) * 170.0 - 85.0
+    expect = set()
+    for j in range(m):
+        inside = geom.points_in_polygon(lon, lat, fixtures.fence_rings(j))
+        for p in k[inside]:
+            expect.add((int(p), j))
+    return expect
+
+
+def test_tile_assign_matches_numpy(spark, points_df):
+    got = spatial.tile_assign(points_df, "lon", "lat", 12).collect()
+    k = np.arange(N_PTS, dtype=np.int64)
+    lon = u01(k * 17 + 3) * 360.0 - 180.0
+    lat = u01(k * 17 + 5) * 170.0 - 85.0
+    expect = dict(zip(k.tolist(),
+                      cells.cell_encode(lon, lat, 12).tolist()))
+    for r in got:
+        assert r.cell_id == expect[r.pid]
+
+
+def test_spatial_join_exact_vs_bruteforce(spark, points_df):
+    """Engine spatial join (cell cover + PIP refine) == O(n·m) numpy truth,
+    on fences WITH holes and multi-part polygons."""
+    polys = fixtures.fences_df(spark, 64).drop("layer", "name")
+    got = {(r.pid, r.poly_id) for r in
+           spatial.spatial_join(points_df, polys, "lon", "lat",
+                                level=6).select("pid", "poly_id").collect()}
+    assert got == brute_pairs()
+
+
+def test_spatial_join_level_invariance(spark, points_df):
+    """Join output must not depend on the index level (cover is only a
+    candidate filter; PIP decides)."""
+    polys = fixtures.fences_df(spark, 16).drop("layer", "name")
+    a = {(r.pid, r.poly_id) for r in
+         spatial.spatial_join(points_df, polys, "lon", "lat",
+                              level=4).select("pid", "poly_id").collect()}
+    b = {(r.pid, r.poly_id) for r in
+         spatial.spatial_join(points_df, polys, "lon", "lat",
+                              level=7).select("pid", "poly_id").collect()}
+    assert a == b
+
+
+def test_knn_cells_matches_broadcast(spark, points_df):
+    """Cell-ring kNN == brute-force broadcast kNN when max_ring covers the
+    neighborhood (64 fence centers, level 3, ring 4 ≈ half the grid)."""
+    import pandas as pd
+    j = np.arange(64)
+    params = [fixtures.fence_params(int(x)) for x in j]
+    dims = spark.createDataFrame(pd.DataFrame({
+        "fid": j, "dlon": [p[0] for p in params],
+        "dlat": [p[1] for p in params]}))
+    pts = points_df.where(F.col("pid") % 30 == 0)
+    want = {(r.pid, r.fid, r.knn_rank) for r in spatial.knn_join_broadcast(
+        pts, dims, 3, "lon", "lat", "dlon", "dlat", "fid", "pid").collect()}
+    got = {(r.pid, r.fid, r.knn_rank) for r in spatial.knn_join_cells(
+        pts, dims, 3, "lon", "lat", "dlon", "dlat", "fid", "pid",
+        level=3, max_ring=4).collect()}
+    # cell kNN is correct where the ring bound holds; require exact equality
+    # of the top-3 sets here because ring 4 at level 3 spans ±180° of grid
+    assert got == want
+
+
+def test_salting_preserves_join_results(spark, points_df):
+    """Hot-cell salted join == plain join (B13 is physical, not logical)."""
+    pts = spatial.tile_assign(points_df, "lon", "lat", 4)
+    # build side: distinct cells → tag
+    build = pts.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_in_cell"))
+    plain = {(r.pid, r.n_in_cell) for r in
+             pts.join(build, "cell_id").select("pid", "n_in_cell").collect()}
+    salted_probe, hot = spatial.salt_hot_cells(pts, "cell_id", top_n=4,
+                                               salt_factor=8)
+    salted_build = spatial.explode_salts(build, "cell_id", hot.withColumn(
+        "_is_hot", F.lit(True)), salt_factor=8)
+    got = {(r.pid, r.n_in_cell) for r in salted_probe.join(
+        salted_build.select("_salted_cell", "n_in_cell"),
+        "_salted_cell").select("pid", "n_in_cell").collect()}
+    assert got == plain
+
+
+def test_explain_tile_assign_is_codegen(spark, points_df):
+    """Tile assignment must stay JVM-side: no Python eval in the plan."""
+    plan = (spatial.tile_assign(points_df, "lon", "lat", 12)
+            ._jdf.queryExecution().toString())
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

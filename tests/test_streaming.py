@@ -1,0 +1,114 @@
+"""Structured Streaming ≡ batch equivalence on bounded input (C12,
+FIXTURES.md §5): run the real readStream pipelines to exhaustion and compare
+against the batch query surface the driver oracle checks.
+
+Equivalence runs use an effectively-infinite watermark (replay file order is
+arbitrary, and a tight watermark would correctly drop out-of-order events —
+late-data semantics get their own controlled-order test below)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_shp import streaming
+from spark_shp.queries_text import (q_session_windows, q_sliding_window,
+                                    q_tumbling_window)
+
+SF = "/root/testdata/sf0.001"
+WM = "3650 days"  # no-drop watermark for bounded equivalence
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_replay")
+    return streaming.replay_events_dir(spark, SF, str(d), n_splits=6)
+
+
+def test_tumbling_stream_equals_batch(spark, replay_dir):
+    got = streaming.run_to_completion(streaming.tumbling_counts(
+        streaming.events_stream(spark, replay_dir), watermark=WM))
+    want = {(r.window_start, r.event_type): r.n
+            for r in q_tumbling_window(spark, SF).collect()}
+    gmap = {(r.window_start, r.event_type): r.n for r in got}
+    assert gmap == want
+
+
+def test_sliding_stream_equals_batch(spark, replay_dir):
+    from datetime import timezone
+    got = streaming.run_to_completion(streaming.sliding_counts(
+        streaming.events_stream(spark, replay_dir), watermark=WM))
+    want = {r.window_start_s: r.n
+            for r in q_sliding_window(spark, SF).collect()}
+    gmap = {}
+    for r in got:
+        s = int(r.window_start.replace(tzinfo=timezone.utc).timestamp())
+        gmap[s] = gmap.get(s, 0) + r.n
+    assert gmap == want
+
+
+def test_session_stream_equals_batch(spark, replay_dir):
+    got = streaming.run_to_completion(streaming.session_counts(
+        streaming.events_stream(spark, replay_dir), watermark=WM))
+    want = {(r.user_id, r.session_start): r.n_events
+            for r in q_session_windows(spark, SF).collect()}
+    gmap = {(r.user_id, r.session_start): r.n_events for r in got}
+    assert gmap == want
+
+
+def test_stream_dedup_keys(spark, replay_dir):
+    got = streaming.run_to_completion(
+        streaming.stream_dedup(
+            streaming.events_stream(spark, replay_dir), watermark=WM),
+        out_mode="append")
+    keys = [(r.user_id, r.event_type) for r in got]
+    assert len(keys) == len(set(keys))
+    batch_keys = {(r.user_id, r.event_type) for r in
+                  spark.read.parquet(f"{SF}/events.parquet")
+                  .select("user_id", "event_type").distinct().collect()}
+    assert set(keys) == batch_keys
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Controlled file order: batch 1 advances the watermark far past window
+    W; batch 2 replays an event inside W. Update mode must NOT emit a new
+    update for W (late row dropped) but must process the fresh row."""
+    import pandas as pd
+    d = tmp_path / "late"
+    d.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    fresh = pd.Timestamp("2024-01-02 00:00:00")
+    pdf1 = pd.DataFrame({"ts": [t0, fresh], "k": ["a", "b"]})
+    spark.createDataFrame(pdf1).coalesce(1).write.parquet(str(d / "f1"))
+
+    schema = spark.read.parquet(str(d / "f1")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d) + "/*")
+              .withColumn("ts", F.col("ts").cast("timestamp_ltz")))
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour").alias("win"))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.col("win.start").cast("timestamp_ntz").alias("ws"), "n"))
+    q = (agg.writeStream.format("memory").queryName("late_sink")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    n_updates_before = spark.sql(
+        "SELECT count(*) FROM late_sink WHERE ws = '2024-01-01 00:00:00'"
+    ).first()[0]
+    # batch 2: one LATE event in window W (watermark is now ~fresh - 10min)
+    pdf2 = pd.DataFrame({"ts": [t0 + pd.Timedelta(minutes=1),
+                                fresh + pd.Timedelta(hours=1)],
+                         "k": ["late", "c"]})
+    spark.createDataFrame(pdf2).coalesce(1).write.parquet(str(d / "f2"))
+    time.sleep(0.2)
+    q.processAllAvailable()
+    n_updates_after = spark.sql(
+        "SELECT count(*) FROM late_sink WHERE ws = '2024-01-01 00:00:00'"
+    ).first()[0]
+    fresh_rows = spark.sql(
+        "SELECT count(*) FROM late_sink WHERE ws = '2024-01-02 01:00:00'"
+    ).first()[0]
+    q.stop()
+    assert n_updates_before == 1
+    assert n_updates_after == n_updates_before, "late row must be dropped"
+    assert fresh_rows == 1, "fresh row in batch 2 must be processed"
