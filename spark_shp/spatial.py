@@ -76,8 +76,15 @@ def polygon_cover(polys: DataFrame, level: int,
 
 def _pip_refine(points_with_poly: DataFrame, polys: DataFrame,
                 lon_col: str, lat_col: str) -> DataFrame:
-    """Exact PIP filter of candidate (point, poly_id) pairs via a grouped
-    Arrow kernel: one vectorized ray-cast per polygon group."""
+    """Exact PIP filter of candidate (point, poly_id) pairs.
+
+    Runs SHUFFLE-FREE: a mapInPandas over whatever partitioning the
+    candidate join produced, grouping by poly_id only WITHIN each Arrow
+    batch (one vectorized ray-cast per polygon per batch) against the
+    broadcast edge dict. A groupBy(poly_id) refine would re-shuffle all
+    candidates and concentrate the hot cell's 30% of rows in one task —
+    this shape keeps the flagship plan at a single shuffle (the final agg)
+    and immune to polygon skew."""
     geo = {r["poly_id"]: r["coordinates"]
            for r in polys.select("poly_id", "coordinates").collect()}
     # Polygon layer is small by contract here (broadcast path); ship the
@@ -89,15 +96,21 @@ def _pip_refine(points_with_poly: DataFrame, polys: DataFrame,
     bc = spark.sparkContext.broadcast(edges)
     schema = points_with_poly.schema
 
-    def refine(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        e = bc.value.get(key[0])
-        if e is None or len(e) == 0:
-            return pdf.iloc[0:0]
-        par = geom.crossings(pdf[lon_col].to_numpy(),
-                             pdf[lat_col].to_numpy(), e) % 2 == 1
-        return pdf[par]
+    def refine(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            lon = pdf[lon_col].to_numpy()
+            lat = pdf[lat_col].to_numpy()
+            for pid, idx in pdf.groupby("poly_id").indices.items():
+                e = bc.value.get(pid)
+                if e is None or len(e) == 0:
+                    continue
+                keep[idx] = (geom.crossings(lon[idx], lat[idx], e) % 2) == 1
+            yield pdf[keep]
 
-    return points_with_poly.groupBy("poly_id").applyInPandas(refine, schema)
+    return points_with_poly.mapInPandas(refine, schema)
 
 
 def spatial_join(points: DataFrame, polys: DataFrame, lon_col: str,

@@ -41,7 +41,7 @@ def test_read_shapefiles_end_to_end(spark, tmp_path):
     assert pts[2].geom_type == "Point"
     assert pts[2].coordinates[0][0][0] == [2.0, 1.0]
     assert pts[2].properties["NAME"] == "p2"
-    assert pts[2].properties["SCORE"] == "30.0"
+    assert pts[2].properties["SCORE"] == "20.0"
 
     fences = df.where("layer = 'fences'").orderBy("feature_id").collect()
     assert fences[0].geom_type == "Polygon"
