@@ -325,22 +325,59 @@ FROM roll WHERE rh IS NOT NULL GROUP BY doc_id
 # --- embeddings: quantized cosine top-k + sign-LSH ANN buckets ---------------------------
 
 QVEC_MOD = 50
-DOT = ("aggregate(zip_with(qv, ev, (x, y) -> "
-       "CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT) * "
-       "CAST(ROUND(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)), "
-       "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
 
 
 def q_cosine_topk(spark, sf_dir):
     """Brute-force quantized-dot top-5 neighbors for every %50th vector.
-    Quantization (round(x*1000) → int) makes the score order-independent and
-    bit-identical across engines; rank ties break on vec_id."""
+
+    Quantization (round(x*1000) → int64) makes the score order-independent
+    and bit-identical across engines; rank ties break on vec_id.
+
+    Scale shape: the (small) query matrix is collected and broadcast; one
+    mapInPandas pass over the corpus computes ALL query dots per Arrow batch
+    as a single integer matmul and emits only each batch's per-query top-5
+    (local top-k), so the final exact top-5 window sees ≤ 5·n_batches rows
+    per query instead of the full n_corpus — the classic partial-top-k
+    pattern that survives a 1000-executor corpus."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     e = _t(spark, sf_dir, "embeddings")
-    q = (e.where(F.col("vec_id") % QVEC_MOD == 0)
-         .selectExpr("vec_id AS qid", "embedding AS qv"))
-    c = e.selectExpr("vec_id AS nid", "embedding AS ev")
-    j = (q.join(F.broadcast(c), F.col("qid") != F.col("nid"))
-         .selectExpr("qid", "nid", f"{DOT} AS dot_q"))
+    qrows = (e.where(F.col("vec_id") % QVEC_MOD == 0)
+             .select("vec_id", "embedding").collect())
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qmat = np.rint(np.array([r.embedding for r in qrows],
+                            dtype=np.float64) * 1000.0).astype(np.int64)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+    schema = T.StructType([
+        T.StructField("qid", T.LongType()),
+        T.StructField("nid", T.LongType()),
+        T.StructField("dot_q", T.LongType()),
+    ])
+
+    def dots(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            nid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            emb = np.rint(np.stack(pdf["embedding"].to_numpy())
+                          .astype(np.float64) * 1000.0).astype(np.int64)
+            d = emb @ mat.T  # (batch, nq) exact int64
+            out_q, out_n, out_d = [], [], []
+            for j in range(len(ids)):
+                mask = nid != ids[j]
+                dj, nj = d[mask, j], nid[mask]
+                k = min(5, len(dj))
+                if k == 0:
+                    continue
+                # local top-k (ties: smaller nid wins, matching the window)
+                order = np.lexsort((nj, -dj))[:k]
+                out_q.extend([ids[j]] * k)
+                out_n.extend(nj[order].tolist())
+                out_d.extend(dj[order].tolist())
+            yield pd.DataFrame({"qid": out_q, "nid": out_n, "dot_q": out_d})
+
+    j = e.select("vec_id", "embedding").mapInPandas(dots, schema)
     w = W.partitionBy("qid").orderBy(F.col("dot_q").desc(),
                                      F.col("nid").asc())
     return (j.withColumn("rank", F.row_number().over(w))

@@ -118,14 +118,36 @@ def spatial_join(points: DataFrame, polys: DataFrame, lon_col: str,
                  broadcast_cover: bool = True) -> DataFrame:
     """B7: inner point-in-polygon join → points columns + ``poly_id``.
 
-    Stage 1: tile-assign points at ``level``; explode polygons to their cell
-    cover; equi-join on cell_id (cover side broadcast when small).
-    Stage 2: exact even-odd ray-cast refinement (grouped Arrow kernel).
+    Stage 1: tile-assign points at ``level`` (pure codegen SQL); equi-join
+    against the polygon layer's cell cover.
+    Stage 2: exact even-odd ray-cast refinement — shuffle-free mapInPandas
+    against broadcast edge tables (_pip_refine).
+
+    Broadcast path (small polygon layer — the north rule's "AQE-aware
+    broadcast of small polygon layers"): the layer is collected ONCE; its
+    cover is computed driver-side in numpy and broadcast-joined, so the only
+    Python stage in the plan is the refine and the only shuffle is whatever
+    the caller aggregates with. For big polygon layers pass
+    broadcast_cover=False to build the cover distributed (polygon_cover)
+    and let AQE pick the join strategy.
     """
     pts = tile_assign(points, lon_col, lat_col, level, "_sj_cell")
-    cover = polygon_cover(polys, level).withColumnRenamed("cell_id", "_sj_cell")
     if broadcast_cover:
-        cover = F.broadcast(cover)
+        rows = polys.select("poly_id", "bbox").collect()
+        import pandas as pd
+        cov_p, cov_c = [], []
+        for r in rows:
+            cc = _bbox_cover_np(r["bbox"]["xmin"], r["bbox"]["ymin"],
+                                r["bbox"]["xmax"], r["bbox"]["ymax"], level)
+            cov_p.extend([r["poly_id"]] * len(cc))
+            cov_c.extend(cc.tolist())
+        spark = points.sparkSession
+        cover = F.broadcast(spark.createDataFrame(
+            pd.DataFrame({"poly_id": pd.array(cov_p, dtype="int64"),
+                          "_sj_cell": pd.array(cov_c, dtype="int64")})))
+    else:
+        cover = (polygon_cover(polys, level)
+                 .withColumnRenamed("cell_id", "_sj_cell"))
     cand = pts.join(cover, "_sj_cell", "inner").drop("_sj_cell")
     return _pip_refine(cand, polys, lon_col, lat_col)
 
