@@ -447,6 +447,120 @@ FROM buckets GROUP BY bucket
 """
 
 
+# banded sign-LSH near-dup: 3 bands x 4 hyperplanes; a pair is a candidate if
+# it shares ANY band's bucket. Band width trades recall against candidate
+# volume: 2-plane bands (4 buckets) put ~25% of ALL pairs in the candidate
+# set — measured 1.2M pairs at sf0.1, the whole query's cost; 4-plane bands
+# (16 buckets/band, ~45% recall at cos 0.4) cut candidates ~4x. Exact verify
+# keeps cos >= 0.4 via all-integer math: with q = round(x*1000) and
+# n2 = sum(q^2), cos >= 2/5  <=>  dot > 0 AND 25*dot^2 >= 4*n2a*n2b
+# (dot <= 64*578^2 here, so every product < 2^63 — ANSI-overflow-safe and
+# bit-identical in Spark and DuckDB).
+N_BANDS, PLANES_PER_BAND = 3, 4
+
+
+def q_dedup_embedding_near(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (builder-brief dedup variant).
+
+    Scale shape: the LSH band self-join is the candidate generator — pairs
+    come from equi-joins on (band, bucket), never a cross join, so at 10^12
+    vectors the shuffle is keyed on buckets and AQE splits any hot bucket;
+    the exact verify touches candidates only.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    flat = e.select("vec_id", F.posexplode("embedding").alias("i", "x")) \
+        .selectExpr("vec_id", "i",
+                    "CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT) AS q")
+    nplanes = N_BANDS * PLANES_PER_BAND
+    planes = spark.range(nplanes).withColumnRenamed("id", "j")
+    comp = flat.crossJoin(planes).selectExpr(
+        "vec_id", "j",
+        "q * CAST(ROUND(({u} - 0.5) * 1000.0) AS BIGINT) AS term".format(
+            u=u01_sql("j * 64 + i")))
+    bands = (comp.groupBy("vec_id", "j").agg(F.sum("term").alias("dot"))
+             .selectExpr("vec_id",
+                         f"CAST(FLOOR(j / {PLANES_PER_BAND}) AS BIGINT) AS band",
+                         f"CASE WHEN dot >= 0 THEN CAST(POWER(2.0, "
+                         f"j % {PLANES_PER_BAND}) AS BIGINT) ELSE 0 END AS bv")
+             .groupBy("vec_id", "band").agg(F.sum("bv").alias("bucket")))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
+                       F.col("a.bucket") == F.col("b.bucket"),
+                       F.col("a.vec_id") < F.col("b.vec_id")])
+            .select(F.col("a.vec_id").alias("va"),
+                    F.col("b.vec_id").alias("vb")).distinct())
+    # exact verify: attach both embedding arrays and compute the quantized
+    # dot in one vectorized numpy pass per Arrow batch (same pattern as
+    # q_cosine_topk) — a SQL explode-join here shuffles |cand| x 64 rows,
+    # measured 6x slower than the rest of the suite combined
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ea = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = cand.join(ea, "va").join(eb, "vb")
+    schema = T.StructType([
+        T.StructField("vec_a", T.LongType()),
+        T.StructField("vec_b", T.LongType()),
+        T.StructField("dot_q", T.LongType()),
+    ])
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qa = np.rint(np.stack(pdf["ea"].to_numpy())
+                         .astype(np.float64) * 1000.0).astype(np.int64)
+            qb = np.rint(np.stack(pdf["eb"].to_numpy())
+                         .astype(np.float64) * 1000.0).astype(np.int64)
+            dot = np.einsum("ij,ij->i", qa, qb)
+            n2a = np.einsum("ij,ij->i", qa, qa)
+            n2b = np.einsum("ij,ij->i", qb, qb)
+            keep = (dot > 0) & (25 * dot * dot >= 4 * n2a * n2b)
+            yield pd.DataFrame({
+                "vec_a": pdf["va"].to_numpy()[keep],
+                "vec_b": pdf["vb"].to_numpy()[keep],
+                "dot_q": dot[keep]})
+
+    return pairs.mapInPandas(verify, schema)
+
+
+ORACLE_EMB_NEAR = f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q
+  FROM embeddings),
+norms AS (SELECT vec_id, SUM(q * q) AS n2 FROM flat GROUP BY vec_id),
+comp AS (
+  SELECT vec_id, j,
+         SUM(q * CAST(ROUND(({u01_sql('j * 64 + i')} - 0.5) * 1000.0)
+                      AS BIGINT)) AS dot
+  FROM flat CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0,
+       {N_BANDS * PLANES_PER_BAND - 1})) AS j) p
+  GROUP BY vec_id, j),
+bands AS (
+  SELECT vec_id, CAST(FLOOR(j / {PLANES_PER_BAND}) AS BIGINT) AS band,
+         SUM(CASE WHEN dot >= 0 THEN CAST(POWER(2.0, j % {PLANES_PER_BAND})
+             AS BIGINT) ELSE 0 END) AS bucket
+  FROM comp GROUP BY vec_id, band),
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+dots AS (
+  SELECT c.va, c.vb, SUM(fa.q * fb.q) AS dot_q
+  FROM cand c
+  JOIN flat fa ON fa.vec_id = c.va
+  JOIN flat fb ON fb.vec_id = c.vb AND fb.i = fa.i
+  GROUP BY c.va, c.vb)
+SELECT d.va AS vec_a, d.vb AS vec_b, d.dot_q
+FROM dots d JOIN norms na ON na.vec_id = d.va
+JOIN norms nb ON nb.vec_id = d.vb
+WHERE d.dot_q > 0 AND 25 * d.dot_q * d.dot_q >= 4 * na.n2 * nb.n2
+"""
+
+
 # --- streaming batch-equivalents (C12 oracles; live streams in streaming.py) -------------
 
 def q_tumbling_window(spark, sf_dir):
@@ -554,6 +668,7 @@ QUERIES: dict = {
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_FINGERPRINT),
     "cosine_topk": (q_cosine_topk, ORACLE_COSINE),
     "ann_lsh_buckets": (q_ann_lsh_buckets, ORACLE_ANN),
+    "dedup_embedding_near": (q_dedup_embedding_near, ORACLE_EMB_NEAR),
     "tumbling_window": (q_tumbling_window, ORACLE_TUMBLING),
     "sliding_window": (q_sliding_window, ORACLE_SLIDING),
     "session_windows": (q_session_windows, ORACLE_SESSION),

@@ -75,7 +75,8 @@ def polygon_cover(polys: DataFrame, level: int,
 
 
 def _pip_refine(points_with_poly: DataFrame, polys: DataFrame,
-                lon_col: str, lat_col: str) -> DataFrame:
+                lon_col: str, lat_col: str,
+                edges_by_poly: dict | None = None) -> DataFrame:
     """Exact PIP filter of candidate (point, poly_id) pairs.
 
     Runs SHUFFLE-FREE: a mapInPandas over whatever partitioning the
@@ -85,13 +86,16 @@ def _pip_refine(points_with_poly: DataFrame, polys: DataFrame,
     candidates and concentrate the hot cell's 30% of rows in one task —
     this shape keeps the flagship plan at a single shuffle (the final agg)
     and immune to polygon skew."""
-    geo = {r["poly_id"]: r["coordinates"]
-           for r in polys.select("poly_id", "coordinates").collect()}
-    # Polygon layer is small by contract here (broadcast path); ship the
-    # coordinate dict to executors once.
-    edges = {pid: geom.rings_to_edges(
-        [np.asarray(ring, dtype=np.float64)
-         for poly in coords for ring in poly]) for pid, coords in geo.items()}
+    if edges_by_poly is None:
+        geo = {r["poly_id"]: r["coordinates"]
+               for r in polys.select("poly_id", "coordinates").collect()}
+        # Polygon layer is small by contract here (broadcast path); ship the
+        # coordinate dict to executors once.
+        edges_by_poly = {pid: geom.rings_to_edges(
+            [np.asarray(ring, dtype=np.float64)
+             for poly in coords for ring in poly])
+            for pid, coords in geo.items()}
+    edges = edges_by_poly
     spark = points_with_poly.sparkSession
     bc = spark.sparkContext.broadcast(edges)
     schema = points_with_poly.schema
@@ -113,6 +117,32 @@ def _pip_refine(points_with_poly: DataFrame, polys: DataFrame,
     return points_with_poly.mapInPandas(refine, schema)
 
 
+# Above this many edges per polygon the inline-SQL refine expression stops
+# being worth codegen'ing (compile time + register pressure) and the Arrow
+# kernel path wins; fence/nation layers sit at ≤ 12.
+MAX_INLINE_EDGES = 64
+
+
+def _inline_parity_predicate(max_e: int, lon_col: str, lat_col: str) -> str:
+    """Even-odd ray-cast as ONE whole-stage-codegen SQL predicate over flat
+    edge columns ``_ej{i}_{x1,y1,x2,y2}``.
+
+    Bit-identical arithmetic to :func:`geom.crossings` (same half-open rule
+    ``(y1 > py) != (y2 > py)``, same left-to-right float64 expression for the
+    crossing x). Padding slots are degenerate edges (0,0,0,0): the straddle
+    conjunct is false, so they contribute 0 crossings.
+    """
+    terms = []
+    for i in range(max_e):
+        x1, y1 = f"_ej{i}_x1", f"_ej{i}_y1"
+        x2, y2 = f"_ej{i}_x2", f"_ej{i}_y2"
+        terms.append(
+            f"CASE WHEN (({y1} > {lat_col}) <> ({y2} > {lat_col})) AND "
+            f"({lon_col} < {x1} + ({lat_col} - {y1}) * ({x2} - {x1}) / "
+            f"({y2} - {y1})) THEN 1 ELSE 0 END")
+    return f"({' + '.join(terms)}) % 2 = 1"
+
+
 def spatial_join(points: DataFrame, polys: DataFrame, lon_col: str,
                  lat_col: str, level: int = 6,
                  broadcast_cover: bool = True) -> DataFrame:
@@ -120,36 +150,71 @@ def spatial_join(points: DataFrame, polys: DataFrame, lon_col: str,
 
     Stage 1: tile-assign points at ``level`` (pure codegen SQL); equi-join
     against the polygon layer's cell cover.
-    Stage 2: exact even-odd ray-cast refinement — shuffle-free mapInPandas
-    against broadcast edge tables (_pip_refine).
+    Stage 2: exact even-odd ray-cast refinement.
 
     Broadcast path (small polygon layer — the north rule's "AQE-aware
     broadcast of small polygon layers"): the layer is collected ONCE; its
-    cover is computed driver-side in numpy and broadcast-joined, so the only
-    Python stage in the plan is the refine and the only shuffle is whatever
-    the caller aggregates with. For big polygon layers pass
-    broadcast_cover=False to build the cover distributed (polygon_cover)
-    and let AQE pick the join strategy.
+    cover is computed driver-side in numpy and broadcast-joined WITH the
+    polygon's edge table flattened into padded columns, so the refine is a
+    plain codegen'd filter — the whole join is a single JVM stage with ZERO
+    Python and ZERO shuffles (scaling evidence: a mapInPandas refine here
+    oversubscribes a box 2× — task thread + Python worker per core — and
+    inverted the local[8]→local[32] scaling curve). Polygons with more than
+    MAX_INLINE_EDGES edges fall back to the Arrow kernel refine
+    (_pip_refine); for big polygon layers pass broadcast_cover=False to
+    build the cover distributed (polygon_cover) and let AQE pick the join
+    strategy.
     """
     pts = tile_assign(points, lon_col, lat_col, level, "_sj_cell")
-    if broadcast_cover:
-        rows = polys.select("poly_id", "bbox").collect()
-        import pandas as pd
-        cov_p, cov_c = [], []
-        for r in rows:
-            cc = _bbox_cover_np(r["bbox"]["xmin"], r["bbox"]["ymin"],
-                                r["bbox"]["xmax"], r["bbox"]["ymax"], level)
-            cov_p.extend([r["poly_id"]] * len(cc))
-            cov_c.extend(cc.tolist())
-        spark = points.sparkSession
-        cover = F.broadcast(spark.createDataFrame(
-            pd.DataFrame({"poly_id": pd.array(cov_p, dtype="int64"),
-                          "_sj_cell": pd.array(cov_c, dtype="int64")})))
-    else:
+    if not broadcast_cover:
         cover = (polygon_cover(polys, level)
                  .withColumnRenamed("cell_id", "_sj_cell"))
-    cand = pts.join(cover, "_sj_cell", "inner").drop("_sj_cell")
-    return _pip_refine(cand, polys, lon_col, lat_col)
+        cand = pts.join(cover, "_sj_cell", "inner").drop("_sj_cell")
+        return _pip_refine(cand, polys, lon_col, lat_col)
+
+    rows = polys.select("poly_id", "bbox", "coordinates").collect()
+    if not rows:
+        # empty polygon layer → empty join result, same schema as output
+        return (points.limit(0)
+                .withColumn("poly_id", F.lit(None).cast("long")))
+    edges_by_poly = {
+        r["poly_id"]: geom.rings_to_edges(
+            [np.asarray(ring, dtype=np.float64)
+             for poly in (r["coordinates"] or []) for ring in poly])
+        for r in rows}
+    max_e = max((len(e) for e in edges_by_poly.values()), default=0)
+    spark = points.sparkSession
+
+    cov_p, cov_c = [], []
+    for r in rows:
+        cc = _bbox_cover_np(r["bbox"]["xmin"], r["bbox"]["ymin"],
+                            r["bbox"]["xmax"], r["bbox"]["ymax"], level)
+        cov_p.extend([r["poly_id"]] * len(cc))
+        cov_c.extend(cc.tolist())
+    cov = {"poly_id": pd.array(cov_p, dtype="int64"),
+           "_sj_cell": pd.array(cov_c, dtype="int64")}
+
+    if max_e > MAX_INLINE_EDGES:
+        cover = F.broadcast(spark.createDataFrame(pd.DataFrame(cov)))
+        cand = pts.join(cover, "_sj_cell", "inner").drop("_sj_cell")
+        return _pip_refine(cand, polys, lon_col, lat_col,
+                           edges_by_poly=edges_by_poly)
+
+    # inline path: pad each polygon's edge table to max_e with degenerate
+    # (0,0,0,0) edges and flatten to per-edge double columns on the cover
+    pad = {pid: np.vstack([e, np.zeros((max_e - len(e), 4))])
+           if len(e) < max_e else e for pid, e in edges_by_poly.items()}
+    for i in range(max_e):
+        for k, name in enumerate(("x1", "y1", "x2", "y2")):
+            cov[f"_ej{i}_{name}"] = pd.array(
+                [float(pad[p][i, k]) for p in cov_p], dtype="float64")
+    cover = F.broadcast(spark.createDataFrame(pd.DataFrame(cov)))
+    cand = pts.join(cover, "_sj_cell", "inner")
+    kept = cand.where(F.expr(_inline_parity_predicate(max_e, lon_col,
+                                                      lat_col)))
+    drop = ["_sj_cell"] + [f"_ej{i}_{n}" for i in range(max_e)
+                           for n in ("x1", "y1", "x2", "y2")]
+    return kept.drop(*drop)
 
 
 def knn_join_broadcast(points: DataFrame, dims: DataFrame, k: int,
