@@ -53,7 +53,9 @@ def _images_table(spark, n_images: int) -> str:
     from spark_shp import iceberg_layout as ice
     from spark_shp.queries_spatial import _images_meta_df
 
-    root = f"/tmp/spark_shp_bench/images_{n_images}"
+    # v2: full input-hint schema (bytes/caption/phash columns present;
+    # flagship prunes them — the path name keys the cache to the schema)
+    root = f"/tmp/spark_shp_bench/images_v2_{n_images}"
     try:
         ice.read_table(spark, root)
         return root

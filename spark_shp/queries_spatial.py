@@ -282,12 +282,29 @@ GROUP BY d.n_nationkey
 N_IMAGES_ORACLE = 3000
 
 
-def _images_meta_df(spark, n: int) -> DataFrame:
-    """Metadata-only images (no pixels) as pure SQL over range — codegen'd."""
+def _images_meta_df(spark, n: int, full_schema: bool = True) -> DataFrame:
+    """Images table as pure SQL over range — codegen'd.
+
+    full_schema=True yields exactly the input-hint column set
+    (image_id:string, bytes:binary, w:int, h:int, fmt:string,
+    caption:string, phash:long) plus the derived lon/lat footprint. The
+    bytes payload is a compact deterministic stand-in (8-byte digest, the
+    sandbox-scale stand-in for real pixels — FIXTURES.md); spatial queries
+    never read it, and parquet column pruning makes its presence free for
+    them, which is the point at 100 TB: a spatial join over an image table
+    must not pay for the pixel column."""
     m = fixtures.images_meta_sql("id")
-    return spark.range(0, n).selectExpr(
-        f"{m['image_id']} AS image_id", f"{m['w']} AS w", f"{m['h']} AS h",
-        f"{m['fmt']} AS fmt", f"{m['lon']} AS lon", f"{m['lat']} AS lat")
+    cols = [f"{m['image_id']} AS image_id", f"{m['w']} AS w",
+            f"{m['h']} AS h", f"{m['fmt']} AS fmt",
+            f"{m['lon']} AS lon", f"{m['lat']} AS lat"]
+    if full_schema:
+        ph = fixtures.mixw_sql("id", 7)
+        cols += [
+            f"UNHEX(LPAD(HEX({ph}), 16, '0')) AS bytes",
+            f"CONCAT('synthetic image ', {m['image_id']}) AS caption",
+            f"CAST({ph} AS BIGINT) AS phash",
+        ]
+    return spark.range(0, n).selectExpr(*cols)
 
 
 def _images_meta_oracle_src(n: int) -> str:
