@@ -187,6 +187,125 @@ SELECT * FROM (VALUES
 """
 
 
+N_PL = 24
+
+
+def q_shp_polyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-part polyline parity (A5): every record is a 2-part x 3-point
+    MultiLineString with u01-formula coordinates; the decode must split
+    parts exactly where the offsets table says, and the oracle recomputes
+    every float64 from the same integer formulas — bit-for-bit."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import writer
+    recs = []
+    for r in range(N_PL):
+        parts = []
+        for p in range(2):
+            parts.append([
+                (float(u01(np.int64(r * 97 + p * 13 + q * 5 + 1)) * 360.0 - 180.0),
+                 float(u01(np.int64(r * 97 + p * 13 + q * 5 + 2)) * 170.0 - 85.0))
+                for q in range(3)])
+        recs.append((writer.POLYLINE, parts))
+    blob = writer.write_shp(recs)
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("part_no", T.IntegerType()),
+        T.StructField("pt_no", T.IntegerType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        from .shp import parser
+        for pdf in batches:
+            for content in pdf["content"]:
+                out = []
+                for i, g in enumerate(parser.parse_shp(bytes(content))):
+                    assert g["type"] == "MultiLineString", g["type"]
+                    for p, part in enumerate(g["coordinates"]):
+                        for q, (x, y) in enumerate(part):
+                            out.append((i + 1, p, q, x, y))
+                yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+ORACLE_SHP_POLYLINE = f"""
+SELECT CAST(r + 1 AS INT) AS rec_no, CAST(p AS INT) AS part_no,
+       CAST(q AS INT) AS pt_no,
+       ({u01_sql('r * 97 + p * 13 + q * 5 + 1')} * 360.0 - 180.0) AS x,
+       ({u01_sql('r * 97 + p * 13 + q * 5 + 2')} * 170.0 - 85.0) AS y
+FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_PL - 1})) AS r) rr,
+     (SELECT UNNEST(GENERATE_SERIES(0, 1)) AS p) pp,
+     (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS q) qq
+"""
+
+
+N_ZM = 32
+
+
+def q_shp_zm_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z kept / M dropped parity (A7/A9): one PointZ file (x,y,z,m — z is
+    the 3rd coordinate, m silently dropped) and one PointM file (type 21
+    folds to base Point, M dropped → 2D). Oracle recomputes both unions."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import writer
+
+    def xy(src, r):
+        return (float(u01(np.int64(src * 1009 + r * 31 + 1)) * 360.0 - 180.0),
+                float(u01(np.int64(src * 1009 + r * 31 + 2)) * 170.0 - 85.0))
+
+    blob_z = writer.write_shp([
+        (writer.POINTZ, (*xy(1, r),
+                         float(u01(np.int64(1009 + r * 31 + 3)) * 100.0),
+                         999.0))
+        for r in range(N_ZM)])
+    blob_m = writer.write_shp([
+        (writer.POINTM, (*xy(2, r), 777.0)) for r in range(N_ZM)])
+    schema = T.StructType([
+        T.StructField("src", T.IntegerType()),
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("z", T.DoubleType()),
+        T.StructField("n_coords", T.IntegerType()),
+    ])
+
+    def decode(batches):
+        from .shp import parser
+        for pdf in batches:
+            for src, content in zip(pdf["src"], pdf["content"]):
+                out = []
+                for i, g in enumerate(parser.parse_shp(bytes(content))):
+                    c = g["coordinates"]
+                    out.append((int(src), i + 1, c[0], c[1],
+                                c[2] if len(c) > 2 else None, len(c)))
+                yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    files = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2], "content": [blob_z, blob_m]}))
+    return files.mapInPandas(decode, schema)
+
+
+ORACLE_SHP_ZM = f"""
+SELECT CAST(1 AS INT) AS src, CAST(r + 1 AS INT) AS rec_no,
+       ({u01_sql('1009 + r * 31 + 1')} * 360.0 - 180.0) AS x,
+       ({u01_sql('1009 + r * 31 + 2')} * 170.0 - 85.0) AS y,
+       ({u01_sql('1009 + r * 31 + 3')} * 100.0) AS z,
+       CAST(3 AS INT) AS n_coords
+FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_ZM - 1})) AS r) t
+UNION ALL
+SELECT CAST(2 AS INT), CAST(r + 1 AS INT),
+       ({u01_sql('2018 + r * 31 + 1')} * 360.0 - 180.0),
+       ({u01_sql('2018 + r * 31 + 2')} * 170.0 - 85.0),
+       CAST(NULL AS DOUBLE), CAST(2 AS INT)
+FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_ZM - 1})) AS r) t
+"""
+
+
 def q_images_phash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: full pixel pipeline — synthesize 120 images WITH pixels
     (raw/png/qb codecs), decode, recompute phash, assert all match."""
@@ -202,5 +321,7 @@ QUERIES: dict = {
     "shp_decode_points": (q_shp_decode_points, ORACLE_SHP_POINTS),
     "dbf_decode_types": (q_dbf_decode_types, ORACLE_DBF_TYPES),
     "shp_polygon_rings": (q_shp_polygon_rings, ORACLE_SHP_RINGS),
+    "shp_polyline_parts": (q_shp_polyline_parts, ORACLE_SHP_POLYLINE),
+    "shp_zm_semantics": (q_shp_zm_semantics, ORACLE_SHP_ZM),
     "images_phash_verify": (q_images_phash_verify, None),
 }

@@ -232,6 +232,23 @@ def q_knn_events_nations(spark, sf_dir):
     return j.select("event_id", "n_nationkey", "knn_rank")
 
 
+def q_knn_events_nations_cells(spark, sf_dir):
+    """B8 scale path under the driver gate: identical contract to
+    q_knn_events_nations but via cell-ring expansion (knn_join_cells).
+    level=2 / max_ring=4 make the ring cover the whole 4x4 grid, so the
+    result is provably the exact global kNN — same oracle SQL as the
+    broadcast path, double-checking both implementations against DuckDB."""
+    pts = _event_points(spark, sf_dir).where(F.col("event_id") % 10 == 0)
+    n = _t(spark, sf_dir, "nation")
+    dims = n.selectExpr("n_nationkey",
+                        f"{fixtures.NATION_CLON_SQL} AS dim_lon",
+                        f"{fixtures.NATION_CLAT_SQL} AS dim_lat")
+    j = spatial.knn_join_cells(pts, dims, 3, "lon", "lat",
+                               "dim_lon", "dim_lat", "n_nationkey",
+                               "event_id", level=2, max_ring=4)
+    return j.select("event_id", "n_nationkey", "knn_rank")
+
+
 ORACLE_KNN = f"""
 WITH dims AS (
   SELECT n_nationkey, {fixtures.NATION_CLON_SQL} AS dlon,
@@ -393,6 +410,7 @@ QUERIES: dict = {
     "spatial_join_pairs": (q_spatial_join_pairs, ORACLE_SJ_PAIRS),
     "spatial_join_agg": (q_spatial_join_agg, ORACLE_SJ_AGG),
     "knn_events_nations": (q_knn_events_nations, ORACLE_KNN),
+    "knn_events_nations_cells": (q_knn_events_nations_cells, ORACLE_KNN),
     "range_join_counts": (q_range_join_counts, ORACLE_RANGE),
     "images_tile_density": (q_images_tile_density, ORACLE_IMG_DENSITY),
     "images_hot_cell": (q_images_hot_cell, ORACLE_IMG_HOT),
