@@ -467,22 +467,46 @@ def q_dedup_embedding_near(spark, sf_dir):
     vectors the shuffle is keyed on buckets and AQE splits any hot bucket;
     the exact verify touches candidates only.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from .hashing import u01
+
     e = _t(spark, sf_dir, "embeddings")
-    flat = e.select("vec_id", F.posexplode("embedding").alias("i", "x")) \
-        .selectExpr("vec_id", "i",
-                    "CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT) AS q")
+    # plane matrix is deterministic and tiny (12 x 64 int64) — computed once
+    # driver-side from the same u01 formula the oracle uses, then the band
+    # buckets come from ONE Arrow pass (integer matmul + sign bits); the
+    # previous posexplode + crossJoin + double-groupBy formulation shuffled
+    # |vectors| x 64 x 12 rows twice to compute the same 12 dots
     nplanes = N_BANDS * PLANES_PER_BAND
-    planes = spark.range(nplanes).withColumnRenamed("id", "j")
-    comp = flat.crossJoin(planes).selectExpr(
-        "vec_id", "j",
-        "q * CAST(ROUND(({u} - 0.5) * 1000.0) AS BIGINT) AS term".format(
-            u=u01_sql("j * 64 + i")))
-    bands = (comp.groupBy("vec_id", "j").agg(F.sum("term").alias("dot"))
-             .selectExpr("vec_id",
-                         f"CAST(FLOOR(j / {PLANES_PER_BAND}) AS BIGINT) AS band",
-                         f"CASE WHEN dot >= 0 THEN CAST(POWER(2.0, "
-                         f"j % {PLANES_PER_BAND}) AS BIGINT) ELSE 0 END AS bv")
-             .groupBy("vec_id", "band").agg(F.sum("bv").alias("bucket")))
+    jj, ii = np.meshgrid(np.arange(nplanes, dtype=np.int64),
+                         np.arange(64, dtype=np.int64), indexing="ij")
+    planes = np.rint((u01(jj * 64 + ii) - 0.5) * 1000.0).astype(np.int64)
+    bc_planes = spark.sparkContext.broadcast(planes)
+    band_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("band", T.LongType()),
+        T.StructField("bucket", T.LongType()),
+    ])
+
+    def band_buckets(batches):
+        pl = bc_planes.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.rint(np.stack(pdf["embedding"].to_numpy())
+                        .astype(np.float64) * 1000.0).astype(np.int64)
+            bits = (q @ pl.T >= 0).astype(np.int64)      # (n, nplanes)
+            weights = 1 << np.arange(PLANES_PER_BAND, dtype=np.int64)
+            buckets = bits.reshape(len(q), N_BANDS, PLANES_PER_BAND) @ weights
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame({
+                "vec_id": np.repeat(vid, N_BANDS),
+                "band": np.tile(np.arange(N_BANDS, dtype=np.int64), len(q)),
+                "bucket": buckets.ravel()})
+
+    bands = e.select("vec_id", "embedding").mapInPandas(band_buckets,
+                                                        band_schema)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
                        F.col("a.bucket") == F.col("b.bucket"),

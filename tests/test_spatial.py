@@ -108,3 +108,36 @@ def test_explain_tile_assign_is_codegen(spark, points_df):
     plan = (spatial.tile_assign(points_df, "lon", "lat", 12)
             ._jdf.queryExecution().toString())
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_explain_spatial_join_inline_is_pure_jvm(spark, points_df):
+    """Flagship join plan shape (BENCH finding #1): the broadcast-cover
+    inline path must be ONE BroadcastHashJoin with the ray-cast parity as
+    its condition and ZERO Python operators — a mapInPandas refine here
+    oversubscribes executors and inverted the scaling curve."""
+    polys = fixtures.fences_df(spark, 8).drop("layer", "name")
+    j = spatial.spatial_join(points_df, polys, "lon", "lat", level=6)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    for banned in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+                   "FlatMapGroupsInPandas"):
+        assert banned not in plan, f"Python stage {banned} in inline join"
+    assert "BroadcastHashJoin" in plan
+    # >64-edge layers must still fall back to the Arrow kernel
+    import pandas as pd
+    import math
+    ring = [[math.cos(2 * math.pi * k / 100) * 5 + 10,
+             math.sin(2 * math.pi * k / 100) * 5] for k in range(101)]
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("poly_id", T.LongType()),
+        T.StructField("coordinates", T.ArrayType(T.ArrayType(
+            T.ArrayType(T.ArrayType(T.DoubleType()))))),
+        T.StructField("bbox", T.StructType([
+            T.StructField(k, T.DoubleType())
+            for k in ("xmin", "ymin", "xmax", "ymax")])),
+    ])
+    big = spark.createDataFrame([(0, [[ring]], (5.0, -5.0, 15.0, 5.0))],
+                                schema)
+    plan2 = (spatial.spatial_join(points_df, big, "lon", "lat", level=6)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" in plan2
