@@ -36,10 +36,18 @@ def _current_version(root: str) -> int:
 
 def write_table(df: DataFrame, root: str, partition_by: str | None = None,
                 mode: str = "overwrite") -> dict:
-    """Write data + commit a new snapshot manifest. Returns the manifest."""
+    """Write data + commit a new snapshot manifest. Returns the manifest.
+
+    ``mode='append'`` commits a snapshot naming the parent's files plus the
+    newly written ones — prior snapshots stay readable (time travel).
+    ``mode='overwrite'`` physically replaces the data dir (sandbox
+    simplification: real Iceberg retains old files until expiry, so
+    overwrite here invalidates time travel to earlier snapshots)."""
     data_dir = os.path.join(root, "data")
     meta_dir = os.path.join(root, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
+    before = (set(glob.glob(os.path.join(data_dir, "**", "*.parquet"),
+                            recursive=True)) if mode == "append" else set())
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(partition_by)
@@ -49,11 +57,17 @@ def write_table(df: DataFrame, root: str, partition_by: str | None = None,
     files = []
     for p in sorted(glob.glob(os.path.join(data_dir, "**", "*.parquet"),
                               recursive=True)):
+        if p in before:
+            continue
         md = pq.read_metadata(p)
         files.append({"path": os.path.relpath(p, root),
                       "rows": md.num_rows,
                       "bytes": os.path.getsize(p)})
     version = _current_version(root) + 1
+    if mode == "append" and version > 1:
+        # Iceberg semantics: a snapshot names the table's FULL file set, so
+        # an append snapshot = parent's files + the files this commit added
+        files = table_stats(root)["files"] + files
     snapshot = {"snapshot_id": version, "ts_ms": int(time.time() * 1000),
                 "operation": mode, "files": files,
                 "total_rows": sum(f["rows"] for f in files)}
@@ -77,16 +91,24 @@ def write_table(df: DataFrame, root: str, partition_by: str | None = None,
     return snapshot
 
 
-def read_table(spark: SparkSession, root: str) -> DataFrame:
-    """Read the current snapshot (validates the manifest exists)."""
-    version = _current_version(root)
+def read_table(spark: SparkSession, root: str,
+               snapshot_id: int | None = None) -> DataFrame:
+    """Read a snapshot — the manifest's exact file list, not a directory
+    listing, so readers see a consistent committed file set (stray or
+    in-flight files are invisible) and ``snapshot_id`` gives time travel
+    to any retained version. ``basePath`` keeps hive-partition columns."""
+    version = snapshot_id or _current_version(root)
     if version == 0:
         raise FileNotFoundError(f"no committed snapshot under {root}")
-    return spark.read.parquet(os.path.join(root, "data"))
+    snap = table_stats(root, version)
+    paths = [os.path.join(root, f["path"]) for f in snap["files"]]
+    return (spark.read
+            .option("basePath", os.path.join(root, "data"))
+            .parquet(*paths))
 
 
-def table_stats(root: str) -> dict:
-    version = _current_version(root)
+def table_stats(root: str, snapshot_id: int | None = None) -> dict:
+    version = snapshot_id or _current_version(root)
     with open(os.path.join(root, "metadata",
                            f"snap-{version}.manifest.json")) as f:
         return json.load(f)

@@ -2,11 +2,12 @@
 
 Real ``readStream`` pipelines over the events table replayed as a file
 stream: watermarked tumbling/sliding/session windows, stream dedup, and a
-stateful running counter via ``transformWithStateInPandas``-free composition
-(windowed agg). Batch-SQL equivalence of each windowing operator is asserted
-in tests (bounded input → final streaming result == batch result), which is
-the same contract the driver's oracle checks batch-side via
-queries_text.q_tumbling_window / q_sliding_window / q_session_windows.
+custom stateful operator (per-user running totals via
+``applyInPandasWithState`` — keyed state across micro-batches). Batch-SQL
+equivalence of every operator is asserted in tests (bounded input → final
+streaming result == batch result), which is the same contract the driver's
+oracle checks batch-side via queries_text.q_tumbling_window /
+q_sliding_window / q_session_windows.
 """
 
 from __future__ import annotations
@@ -64,6 +65,48 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes",
 def stream_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return (stream.withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["user_id", "event_type"]))
+
+
+def stateful_user_totals(stream: DataFrame,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """C12/C13 custom stateful operator (``applyInPandasWithState``): per
+    user, maintain (n_events, sum_value_micros) across micro-batches and
+    emit the updated running totals each time the user's state changes.
+
+    Scale shape: state is keyed by user_id, partitioned by the state-store
+    shuffle; per batch each key sees one vectorized pandas call. The value
+    sum is kept in integer micros so the running total is order- and
+    batch-boundary-independent (exactly comparable to a batch groupBy)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value_micros", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+        import numpy as np
+        n, s = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += int(np.rint(pdf["value"].to_numpy(np.float64)
+                             * 1_000_000.0).astype(np.int64).sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value_micros": [s]})
+
+    return (stream.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
 
 
 def run_to_completion(q_df: DataFrame, out_mode: str = "complete"):

@@ -41,3 +41,35 @@ def test_iceberg_layout_roundtrip(spark, tmp_path):
     snap2 = ice.write_table(df.limit(10), root, partition_by="fmt_part")
     assert snap2["snapshot_id"] == 2
     assert ice.read_table(spark, root).count() == 10
+
+
+def test_iceberg_append_and_time_travel(spark, tmp_path):
+    """Append snapshots accumulate the file set; read_table(snapshot_id=N)
+    reproduces the table exactly as of commit N; hive-partition columns
+    survive the manifest-driven (explicit file list) read."""
+    from pyspark.sql import functions as F
+    from spark_shp import iceberg_layout as ice
+    from spark_shp.queries_spatial import _images_meta_df
+    root = str(tmp_path / "tbl")
+    df = _images_meta_df(spark, 100).withColumn("fmt_part", F.col("fmt"))
+    ice.write_table(df.where("fmt = 'raw'"), root, partition_by="fmt_part")
+    n1 = ice.read_table(spark, root).count()
+    snap2 = ice.write_table(df.where("fmt = 'png'"), root,
+                            partition_by="fmt_part", mode="append")
+    assert snap2["snapshot_id"] == 2
+    cur = ice.read_table(spark, root)
+    assert cur.count() == 100 - df.where("fmt = 'qb'").count()
+    # partition column present and correct after explicit-file-list read
+    assert set(r["fmt_part"] for r in
+               cur.select("fmt_part").distinct().collect()) == {"raw", "png"}
+    # time travel: snapshot 1 is exactly the pre-append table
+    old = ice.read_table(spark, root, snapshot_id=1)
+    assert old.count() == n1
+    assert set(r["fmt_part"] for r in
+               old.select("fmt_part").distinct().collect()) == {"raw"}
+    # stray uncommitted file is invisible to manifest-driven readers
+    import shutil, glob, os
+    src = glob.glob(os.path.join(root, "data", "**", "*.parquet"),
+                    recursive=True)[0]
+    shutil.copy(src, os.path.join(os.path.dirname(src), "stray.parquet"))
+    assert ice.read_table(spark, root).count() == cur.count()

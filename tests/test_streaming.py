@@ -112,3 +112,29 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     assert n_updates_before == 1
     assert n_updates_after == n_updates_before, "late row must be dropped"
     assert fresh_rows == 1, "fresh row in batch 2 must be processed"
+
+
+def test_stateful_user_totals_stream_equals_batch(spark, replay_dir):
+    """Custom applyInPandasWithState operator: after exhausting the bounded
+    stream, each user's LAST emitted running total equals the batch
+    groupBy — state survives micro-batch boundaries and the integer-micros
+    sum is replay-order-independent."""
+    got = streaming.run_to_completion(
+        streaming.stateful_user_totals(
+            streaming.events_stream(spark, replay_dir), watermark=WM),
+        out_mode="update")
+    # update-mode memory sink appends every emission; the final state per
+    # user is the row with the max n_events
+    final = {}
+    for r in got:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.sum_value_micros)
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.expr(
+                 "CAST(ROUND(value * 1000000.0) AS BIGINT)")).alias("s"))
+        .collect()}
+    assert final == want
