@@ -402,7 +402,95 @@ FROM pairs GROUP BY poly_id
 """
 
 
+# --- B10: raster↔vector clip coverage (oracle-checked half of clip_stats) ---------
+
+N_CLIP_IMGS = 24
+N_CLIP_FENCES = 8
+
+
+def _clip_fixture_rows():
+    """Deterministic (i, poly_id, lon, lat, w, h): image i straddles a
+    corner region of fence i % 8 (center at 0.7x-1.0x of the half-extent),
+    so its pixel lattice lands partly inside, partly outside — the clip
+    actually cuts; fences with holes (j % 4 == 0) also cut interior
+    pixels."""
+    rows = []
+    for i in range(N_CLIP_IMGS):
+        j = i % N_CLIP_FENCES
+        cx, cy, hx, hy = fixtures.fence_params(j)
+        rows.append((i, j,
+                     float(cx + hx * (0.7 + 0.3 * ((i * 7) % 5) / 4.0)),
+                     float(cy + hy * (0.7 + 0.3 * ((i * 11) % 5) / 4.0)),
+                     16 + 8 * (i % 3), 16 + 8 * ((i + 1) % 3)))
+    return rows
+
+
+def q_clip_coverage_stats(spark, sf_dir):
+    """B10 under the oracle gate: run the REAL decode→clip kernel
+    (raster_vector_clip: codec decode, pixel-center lattice, even-odd
+    ray-cast with holes, re-encode) and emit the SQL-checkable half of its
+    output — (image_id, poly_id, n_inside, n_pixels). The oracle recomputes
+    the lattice PIP per pixel center with bit-identical float expressions;
+    pixel VALUE invariants (zeroed outside, mean inside, PSNR) stay in
+    pytest where the codec exists."""
+    import numpy as np
+    from . import clip, geom
+
+    rows = _clip_fixture_rows()
+    pdfs = pd.DataFrame({
+        "image_id": [f"clip{i:03d}" for i, *_ in rows],
+        "poly_id": pd.array([r[1] for r in rows], dtype="int64"),
+        "lon": [r[2] for r in rows], "lat": [r[3] for r in rows],
+        "w": pd.array([r[4] for r in rows], dtype="int32"),
+        "h": pd.array([r[5] for r in rows], dtype="int32"),
+        "fmt": ["raw"] * len(rows),
+        "bytes": [np.ones((r[5], r[4], 3), dtype=np.uint8).tobytes()
+                  for r in rows],
+    })
+    images = spark.createDataFrame(pdfs)
+    edges = {j: geom.rings_to_edges(fixtures.fence_rings(j))
+             for j in range(N_CLIP_FENCES)}
+    out = clip.raster_vector_clip(images, edges)
+    return out.select("image_id", "poly_id", "n_inside", "n_pixels")
+
+
+def _clip_oracle_sql() -> str:
+    from .clip import DEG_PER_PX
+    imgs = ",".join(
+        f"('clip{i:03d}',{j},{lon!r},{lat!r},{w},{h})"
+        for i, j, lon, lat, w, h in _clip_fixture_rows())
+    # pixel-center formulas mirror clip._pixel_lattice op-for-op:
+    # plon = lon + ((x - w/2) + 0.5) * deg ; plat = lat + ((h/2 - y) - 0.5) * deg
+    return f"""
+WITH imgs AS (
+  SELECT * FROM (VALUES {imgs}) AS t(image_id, poly_id, lon, lat, w, h)),
+px AS (
+  SELECT image_id, poly_id, w, h,
+         lon + ((gx.x - w / 2.0) + 0.5) * {DEG_PER_PX!r} AS plon,
+         lat + ((h / 2.0 - gy.y) - 0.5) * {DEG_PER_PX!r} AS plat
+  FROM imgs,
+       LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS x) gx,
+       LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 1)) AS y) gy),
+hits AS (
+  SELECT p.image_id, p.poly_id, p.w, p.h, p.plon, p.plat
+  FROM px p JOIN {_fence_edges_values_sql(N_CLIP_FENCES)} fe
+    ON fe.poly_id = p.poly_id
+  GROUP BY p.image_id, p.poly_id, p.w, p.h, p.plon, p.plat
+  HAVING SUM({geom.pip_sql('p.plon', 'p.plat')}) % 2 = 1)
+SELECT i.image_id, i.poly_id,
+       COALESCE(n.n_inside, 0) AS n_inside,
+       CAST(i.w * i.h AS BIGINT) AS n_pixels
+FROM imgs i LEFT JOIN (
+  SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_inside
+  FROM hits GROUP BY image_id) n USING (image_id)
+"""
+
+
+ORACLE_CLIP = _clip_oracle_sql()
+
+
 QUERIES: dict = {
+    "clip_coverage_stats": (q_clip_coverage_stats, ORACLE_CLIP),
     "tile_assign_events": (q_tile_assign_events, ORACLE_TILE_ASSIGN),
     "cell_hierarchy": (q_cell_hierarchy, ORACLE_HIERARCHY),
     "cell_ring_sum": (q_cell_ring_sum, ORACLE_RING_SUM),
