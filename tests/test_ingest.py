@@ -67,3 +67,40 @@ def test_ingested_geometry_feeds_spatial_join(spark, tmp_path):
            spatial.spatial_join(pts, polys, "lon", "lat",
                                 level=4).select("pid", "poly_id").collect()}
     assert got == {(0, 0)}
+
+
+def test_points_fast_path_matches_parity_and_falls_back(spark, tmp_path):
+    """parse_shp_points_columns == parse_shp on uniform Point files; files
+    with interleaved null shapes reject the fast path (None) and
+    read_points_fast falls back to the per-record kernel with identical
+    output."""
+    import numpy as np
+    from spark_shp.shp import parser, writer
+
+    pts = [(float(i) / 3.0, float(-i) * 1.5) for i in range(200)]
+    blob = writer.write_shp([(writer.POINT, p) for p in pts])
+    fast = parser.parse_shp_points_columns(blob)
+    assert fast is not None
+    rec_no, x, y = fast
+    slow = parser.parse_shp(blob)
+    assert list(rec_no) == list(range(1, 201))
+    assert [[a, b] for a, b in zip(x, y)] == [g["coordinates"] for g in slow]
+
+    # null shape interleaved → not uniform → fast path refuses
+    mixed = writer.write_shp([(writer.POINT, (1.0, 2.0)), (writer.NULL, None),
+                              (writer.POINT, (3.0, 4.0))])
+    assert parser.parse_shp_points_columns(mixed) is None
+
+    d = tmp_path / "fastpts"
+    d.mkdir()
+    (d / "uniform.shp").write_bytes(blob)
+    (d / "mixed.shp").write_bytes(mixed)
+    rows = ingest.read_points_fast(spark, str(d) + "/*.shp").collect()
+    uni = sorted((r.rec_no, r.lon, r.lat) for r in rows
+                 if r.layer == "uniform")
+    assert uni == [(i + 1, *pts[i]) for i in range(200)]
+    mix = {r.rec_no: (r.lon, r.lat) for r in rows if r.layer == "mixed"}
+    assert mix[1] == (1.0, 2.0) and mix[3] == (3.0, 4.0)
+    # null shape → NULL coords in the flat schema (pandas NaN is the null
+    # marker, so Arrow surfaces it as SQL NULL — consistent with is_null)
+    assert mix[2] == (None, None)
