@@ -306,6 +306,62 @@ FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_ZM - 1})) AS r) t
 """
 
 
+N_WM = 40
+
+
+def q_shp_webmerc_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 under the oracle gate: a Point shapefile in EPSG:3857 meters with
+    its .prj sidecar decodes through the engine's inverse-Mercator kernel;
+    the oracle applies the closed-form inverse in SQL. Both sides round to
+    9 decimals — exp/atan are not correctly-rounded in every libm, so the
+    last ulp may differ between numpy and DuckDB; 1e-9 degrees (~0.1 µm)
+    absorbs that without weakening the check."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_WM, dtype=np.int64)
+    xm = (u01(i * 19 + 1) - 0.5) * 40000000.0
+    ym = (u01(i * 19 + 2) - 0.5) * 38000000.0
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    wkt = ('PROJCS["WGS 84 / Pseudo-Mercator",GEOGCS["WGS 84"],'
+           'PROJECTION["Mercator_1SP"],AUTHORITY["EPSG","3857"]]')
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(wkt)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+ORACLE_SHP_WEBMERC = f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         ({u01_sql('i * 19 + 1')} - 0.5) * 40000000.0 AS x,
+         ({u01_sql('i * 19 + 2')} - 0.5) * 38000000.0 AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_WM - 1})) AS i) t)
+SELECT rec_no,
+       ROUND(x / 6378137.0 * (180.0 / PI()), 9) AS lon,
+       ROUND((2.0 * ATAN(EXP(y / 6378137.0)) - PI() / 2.0)
+             * (180.0 / PI()), 9) AS lat
+FROM src
+"""
+
+
 def q_images_phash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: full pixel pipeline — synthesize 120 images WITH pixels
     (raw/png/qb codecs), decode, recompute phash, assert all match."""
@@ -323,5 +379,6 @@ QUERIES: dict = {
     "shp_polygon_rings": (q_shp_polygon_rings, ORACLE_SHP_RINGS),
     "shp_polyline_parts": (q_shp_polyline_parts, ORACLE_SHP_POLYLINE),
     "shp_zm_semantics": (q_shp_zm_semantics, ORACLE_SHP_ZM),
+    "shp_webmerc_reproject": (q_shp_webmerc_reproject, ORACLE_SHP_WEBMERC),
     "images_phash_verify": (q_images_phash_verify, None),
 }

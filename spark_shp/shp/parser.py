@@ -53,11 +53,13 @@ def record_scan(buf: bytes):
 
     Uses the real buffer length (not the header's), mirroring the
     reference's guard against lying headers."""
+    import struct
+    be = struct.Struct(">ii").unpack_from
+    le = struct.Struct("<i").unpack_from
     off, n = 100, len(buf)
     while off + 12 <= n:
-        rec_no = int(np.frombuffer(buf, ">i4", 1, off)[0])
-        content_words = int(np.frombuffer(buf, ">i4", 1, off + 4)[0])
-        rec_type = int(np.frombuffer(buf, "<i4", 1, off + 8)[0])
+        rec_no, content_words = be(buf, off)
+        rec_type, = le(buf, off + 8)
         content_len = content_words * 2
         payload = buf[off + 12: off + 8 + content_len]
         yield rec_no, rec_type, payload
