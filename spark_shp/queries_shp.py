@@ -362,6 +362,60 @@ FROM src
 """
 
 
+def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full north-star composition under ONE oracle: shapefile bytes →
+    vectorized decode (parse_shp_points_columns via the ingest kernel) →
+    cell tile-assign → exact PIP spatial join against the nation fence
+    layer → per-nation counts. DuckDB recomputes the points from the same
+    integer formulas and ray-casts against the same edge table."""
+    from . import fixtures, spatial
+    from .queries_spatial import _nation_fences_df
+
+    blob = _fx_points_shp()
+    schema = T.StructType([
+        T.StructField("rec_no", T.LongType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        from .shp import parser
+        for pdf in batches:
+            for content in pdf["content"]:
+                rec_no, x, y = parser.parse_shp_points_columns(bytes(content))
+                yield pd.DataFrame({"rec_no": rec_no, "lon": x, "lat": y})
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    pts = files.mapInPandas(decode, schema)
+    polys = _nation_fences_df(spark, sf_dir)
+    j = spatial.spatial_join(pts, polys, "lon", "lat", level=6)
+    return (j.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("rec_no").alias("first_rec"))
+        .withColumnRenamed("poly_id", "n_nationkey"))
+
+
+def _oracle_decode_index_join() -> str:
+    from . import fixtures, geom
+    return f"""
+WITH pts AS (
+  SELECT CAST(i + 1 AS BIGINT) AS rec_no,
+         ({u01_sql('i * 13 + 5')} * 360.0 - 180.0) AS lon,
+         ({u01_sql('i * 13 + 9')} * 170.0 - 85.0) AS lat
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_SHP_PTS - 1})) AS i) t),
+hits AS (
+  SELECT p.rec_no, g.n_nationkey
+  FROM pts p CROSS JOIN {fixtures.nation_edges_sql()} g
+  GROUP BY p.rec_no, g.n_nationkey, p.lon, p.lat
+  HAVING SUM({geom.pip_sql('p.lon', 'p.lat')}) % 2 = 1)
+SELECT n_nationkey, COUNT(*) AS n_points, MIN(rec_no) AS first_rec
+FROM hits GROUP BY n_nationkey
+"""
+
+
+ORACLE_DECODE_INDEX_JOIN = _oracle_decode_index_join()
+
+
 def q_images_phash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: full pixel pipeline — synthesize 120 images WITH pixels
     (raw/png/qb codecs), decode, recompute phash, assert all match."""
@@ -380,5 +434,7 @@ QUERIES: dict = {
     "shp_polyline_parts": (q_shp_polyline_parts, ORACLE_SHP_POLYLINE),
     "shp_zm_semantics": (q_shp_zm_semantics, ORACLE_SHP_ZM),
     "shp_webmerc_reproject": (q_shp_webmerc_reproject, ORACLE_SHP_WEBMERC),
+    "shp_decode_index_join": (q_shp_decode_index_join,
+                              ORACLE_DECODE_INDEX_JOIN),
     "images_phash_verify": (q_images_phash_verify, None),
 }
