@@ -61,6 +61,11 @@ def record_scan(buf: bytes):
         rec_no, content_words = be(buf, off)
         rec_type, = le(buf, off + 8)
         content_len = content_words * 2
+        if off + 8 + content_len > n:
+            # truncated trailing record: the payload the header promises is
+            # not all there — stop at the last intact record rather than
+            # handing a short buffer to the type parsers
+            return
         payload = buf[off + 12: off + 8 + content_len]
         yield rec_no, rec_type, payload
         off += 8 + content_len

@@ -277,3 +277,57 @@ def test_zip_empty_shp_and_no_layers():
     assert feats == []
     with pytest.raises(ValueError, match="no layers founds"):
         zipio.parse_zip(_zip_bytes({"readme.txt": b"hi"}))
+
+
+# --- robustness fuzzing ------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_fuzz_arbitrary_bytes_fail_controlled(blob):
+    """Arbitrary bytes never hang or corrupt: parse_shp either returns a
+    list or raises a controlled error (short header / unknown type /
+    malformed payload). The fast path additionally may only return None or
+    arrays that agree with the slow path."""
+    import numpy as np
+    from spark_shp.shp import parser
+    try:
+        out = parser.parse_shp(blob)
+        assert isinstance(out, list)
+        ok = True
+    except (ValueError, AssertionError, IndexError):
+        ok = False
+    fast = parser.parse_shp_points_columns(blob)
+    if fast is not None:
+        assert ok, "fast path accepted input the parity path rejected"
+        rec_no, x, y = fast
+        slow = parser.parse_shp(blob)
+        assert len(rec_no) == len(slow)
+        for k in range(len(slow)):
+            assert slow[k]["type"] == "Point"
+            sx, sy = slow[k]["coordinates"]
+            assert (x[k] == sx or (np.isnan(x[k]) and np.isnan(sx)))
+            assert (y[k] == sy or (np.isnan(y[k]) and np.isnan(sy)))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=400), st.integers(0, 63))
+def test_fuzz_truncated_valid_file(cut_tail, n_pts):
+    """A valid Point file truncated anywhere parses its intact prefix
+    records (buffer-length guard, A2) — never throws on mid-record cuts,
+    never yields a record whose payload was cut."""
+    from spark_shp.shp import parser, writer
+    blob = writer.write_shp(
+        [(writer.POINT, (float(i), float(-i))) for i in range(n_pts)])
+    cut = blob[: max(0, len(blob) - cut_tail)]
+    if len(cut) < 100:
+        import pytest
+        with pytest.raises(ValueError):
+            parser.parse_shp(cut)
+        return
+    out = parser.parse_shp(cut)
+    assert len(out) <= n_pts
+    for k, g in enumerate(out):
+        assert g == {"type": "Point", "coordinates": [float(k), float(-k)]}
