@@ -250,7 +250,9 @@ def parse_dbf_header(buf: bytes):
     header_len = int(np.frombuffer(buf, "<u2", 1, 8)[0])
     record_len = int(np.frombuffer(buf, "<u2", 1, 10)[0])
     fields, off = [], 32
-    while off < len(buf) and buf[off] != 0x0D:
+    # off+32 bound: a buffer truncated mid-descriptor (terminator never
+    # reached) contributes only its complete descriptors
+    while off + 32 <= len(buf) and buf[off] != 0x0D:
         fd = buf[off:off + 32]
         name = fd[0:11].split(b"\x00", 1)[0].decode("ascii", "replace")
         fields.append({"name": name, "type": chr(fd[11]),
@@ -287,6 +289,10 @@ def parse_dbf(buf: bytes, encoding: str = "latin-1") -> list[dict]:
     n_records, header_len, record_len, fields = parse_dbf_header(buf)
     avail = (len(buf) - header_len) // record_len if record_len else 0
     n = min(n_records, max(avail, 0))
+    if n <= 0:
+        # truncated inside the header / no intact record: nothing decodable
+        # (frombuffer would reject even a zero-count read past the buffer)
+        return []
     slab = np.frombuffer(buf, np.uint8, n * record_len,
                          header_len).reshape(n, record_len)
     rows = [dict() for _ in range(n)]

@@ -331,3 +331,34 @@ def test_fuzz_truncated_valid_file(cut_tail, n_pts):
     assert len(out) <= n_pts
     for k, g in enumerate(out):
         assert g == {"type": "Point", "coordinates": [float(k), float(-k)]}
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_fuzz_dbf_arbitrary_bytes(blob):
+    """Arbitrary bytes through parse_dbf: list out or controlled error."""
+    from spark_shp.shp import parser
+    try:
+        out = parser.parse_dbf(blob)
+        assert isinstance(out, list)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=120), st.integers(0, 9))
+def test_fuzz_dbf_truncated(cut_tail, n_rows):
+    """A truncated DBF parses its intact prefix rows (avail guard, A14)."""
+    from spark_shp.shp import writer, parser
+    fields = [("NAME", "C", 8, 0), ("QTY", "N", 6, 0)]
+    rows = [{"NAME": f"r{i}", "QTY": float(i)} for i in range(n_rows)]
+    blob = writer.write_dbf(fields, rows)
+    cut = blob[: max(0, len(blob) - cut_tail)]
+    try:
+        out = parser.parse_dbf(cut)
+    except ValueError:
+        assert len(cut) < 12  # only the bare header read may fail
+        return
+    assert len(out) <= n_rows
+    for i, r in enumerate(out):
+        assert r["NAME"] == f"r{i}" and r["QTY"] == float(i)
