@@ -104,3 +104,31 @@ def test_points_fast_path_matches_parity_and_falls_back(spark, tmp_path):
     # null shape → NULL coords in the flat schema (pandas NaN is the null
     # marker, so Arrow surfaces it as SQL NULL — consistent with is_null)
     assert mix[2] == (None, None)
+
+
+def test_fuzz_zip_demux_controlled_errors():
+    """Corrupt/arbitrary zip bytes fail controlled (BadZipFile/ValueError),
+    never hang; a valid zip with a truncated member raises controlled too."""
+    import io
+    import zipfile
+    import pytest
+    from hypothesis import given, settings, strategies as st
+    from spark_shp.shp import zipio
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(min_size=0, max_size=200))
+    def fuzz(blob):
+        try:
+            out = zipio.zip_demux(blob)
+            assert isinstance(out, dict)
+        except (zipfile.BadZipFile, ValueError, OSError, EOFError):
+            pass
+
+    fuzz()
+
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w") as z:
+        z.writestr("lyr.shp", b"x" * 500)
+    cut = bio.getvalue()[:-40]
+    with pytest.raises((zipfile.BadZipFile, ValueError, OSError, EOFError)):
+        zipio.zip_demux(cut)
