@@ -368,10 +368,21 @@ def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell tile-assign → exact PIP spatial join against the nation fence
     layer → per-nation counts. DuckDB recomputes the points from the same
     integer formulas and ray-casts against the same edge table."""
+    import numpy as np
     from . import fixtures, spatial
+    from .hashing import u01
     from .queries_spatial import _nation_fences_df
+    from .shp import writer
 
-    blob = _fx_points_shp()
+    # points clustered around nation fence centers (fence half-extent >= 2°,
+    # jitter +-3°) so roughly half land inside — a global-uniform fixture
+    # missed every fence and made the join check vacuous (0 rows)
+    i = np.arange(N_SHP_PTS, dtype=np.int64)
+    nk = i % 25
+    lon = (u01(nk * 7 + 1) * 360.0 - 180.0) + (u01(i * 29 + 11) - 0.5) * 6.0
+    lat = (u01(nk * 7 + 2) * 160.0 - 80.0) + (u01(i * 29 + 12) - 0.5) * 6.0
+    blob = writer.write_shp([(writer.POINT, (float(x), float(y)))
+                             for x, y in zip(lon, lat)])
     schema = T.StructType([
         T.StructField("rec_no", T.LongType()),
         T.StructField("lon", T.DoubleType()),
@@ -400,8 +411,10 @@ def _oracle_decode_index_join() -> str:
     return f"""
 WITH pts AS (
   SELECT CAST(i + 1 AS BIGINT) AS rec_no,
-         ({u01_sql('i * 13 + 5')} * 360.0 - 180.0) AS lon,
-         ({u01_sql('i * 13 + 9')} * 170.0 - 85.0) AS lat
+         (({u01_sql('(i % 25) * 7 + 1')} * 360.0 - 180.0)
+          + ({u01_sql('i * 29 + 11')} - 0.5) * 6.0) AS lon,
+         (({u01_sql('(i % 25) * 7 + 2')} * 160.0 - 80.0)
+          + ({u01_sql('i * 29 + 12')} - 0.5) * 6.0) AS lat
   FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_SHP_PTS - 1})) AS i) t),
 hits AS (
   SELECT p.rec_no, g.n_nationkey
