@@ -102,8 +102,13 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus
 
 
 def q_customers_without_orders(spark, sf_dir):
+    """Anti join that discriminates: customers with NO order above 400k.
+    (Anti-joining against ALL orders was vacuous on this data — every
+    customer has at least one order, so both engines agreed on an empty
+    result, which verifies nothing.)"""
     c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
-    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    big = o.where(F.col("o_totalprice") > 400000)
+    return (c.join(big, c.c_custkey == big.o_custkey, "left_anti")
             .groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).alias("n_custs"),
                  _dsum("c_acctbal").alias("sum_bal")))
@@ -113,7 +118,8 @@ ORACLE_ANTI = """
 SELECT c_mktsegment, COUNT(*) AS n_custs,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_bal
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
 GROUP BY c_mktsegment
 """
 
@@ -251,9 +257,14 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 # --- C9 set operations -------------------------------------------------------
 
 def q_nation_set_ops(spark, sf_dir):
+    """intersect / exceptAll over nation sets that actually differ: nations
+    with deeply negative customer vs supplier balances (unfiltered, both
+    sides covered all 25 nations and only the 'both' row ever appeared)."""
     c, s = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
-    cn = c.select(F.col("c_nationkey").alias("nationkey")).distinct()
-    sn = s.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    cn = (c.where(F.col("c_acctbal") < -700)
+          .select(F.col("c_nationkey").alias("nationkey")).distinct())
+    sn = (s.where(F.col("s_acctbal") < -700)
+          .select(F.col("s_nationkey").alias("nationkey")).distinct())
     both = cn.intersect(sn).withColumn("tag", F.lit("both"))
     only_c = cn.exceptAll(sn).withColumn("tag", F.lit("cust_only"))
     return both.unionByName(only_c).groupBy("tag").agg(
@@ -261,8 +272,10 @@ def q_nation_set_ops(spark, sf_dir):
 
 
 ORACLE_SET_OPS = """
-WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
-     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier),
+WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            WHERE c_acctbal < -700),
+     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+            WHERE s_acctbal < -700),
      u AS (
        SELECT nationkey, 'both' AS tag FROM (SELECT * FROM cn INTERSECT SELECT * FROM sn)
        UNION ALL
