@@ -132,3 +132,40 @@ def test_fuzz_zip_demux_controlled_errors():
     cut = bio.getvalue()[:-40]
     with pytest.raises((zipfile.BadZipFile, ValueError, OSError, EOFError)):
         zipio.zip_demux(cut)
+
+
+def test_read_shp_sharded_matches_whole_file(spark, tmp_path):
+    """Sharded decode of one big .shp via its .shx == whole-file decode:
+    same records, same rec_no, any shard count; uniform Point slices keep
+    the columnar fast path; a mixed file (null shapes) falls back per
+    shard and still agrees."""
+    import numpy as np
+    from spark_shp.shp import writer
+
+    d = tmp_path / "bigshp"
+    d.mkdir()
+    recs = [(writer.POINT, (float(i) * 0.5, float(-i) * 0.25))
+            for i in range(5000)]
+    (d / "big.shp").write_bytes(writer.write_shp(recs))
+    (d / "big.shx").write_bytes(writer.write_shx(recs))
+
+    whole = {(r.rec_no, r.lon, r.lat)
+             for r in ingest.read_points_fast(spark,
+                                              str(d) + "/*.shp").collect()}
+    for n_shards in (1, 7, 64):
+        sharded = {(r.rec_no, r.lon, r.lat)
+                   for r in ingest.read_shp_sharded(
+                       spark, str(d / "big.shp"), n_shards).collect()}
+        assert sharded == whole and len(whole) == 5000
+
+    mixed = [(writer.POINT, (1.0, 2.0)), (writer.NULL, None),
+             (writer.POINT, (3.0, 4.0))] * 40
+    (d / "mix.shp").write_bytes(writer.write_shp(mixed))
+    (d / "mix.shx").write_bytes(writer.write_shx(mixed))
+    got = sorted(((r.rec_no, r.lon, r.lat) for r in
+                  ingest.read_shp_sharded(spark, str(d / "mix.shp"),
+                                          9).collect()),
+                 key=lambda t: t[0])
+    assert len(got) == 120
+    assert got[0] == (1, 1.0, 2.0) and got[1] == (2, None, None)
+    assert got[2] == (3, 3.0, 4.0)
