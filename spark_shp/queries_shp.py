@@ -430,14 +430,20 @@ ORACLE_DECODE_INDEX_JOIN = _oracle_decode_index_join()
 
 
 def q_images_phash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: full pixel pipeline — synthesize 120 images WITH pixels
-    (raw/png/qb codecs), decode, recompute phash, assert all match."""
+    """Full pixel pipeline — synthesize 120 images WITH pixels (raw/png/qb
+    codecs), decode, recompute phash, verify per format. The oracle states
+    the invariants known BY CONSTRUCTION (input_hint per-row invariant):
+    every image of every format verifies (lossless → hamming 0 exactly,
+    quantized-lossy → hamming ≤ 4), 40 images per format."""
     from . import clip, fixtures
     img = fixtures.images_df(spark, 120, partitions=8)
-    out = clip.phash_verify(img)
-    return (out.groupBy("match")
+    out = clip.phash_verify(img).join(
+        img.select("image_id", "fmt"), "image_id")
+    return (out.groupBy("fmt")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.max("hamming").alias("max_hamming")))
+                 F.min(F.col("match").cast("int")).alias("all_match"),
+                 F.max(F.when(F.col("fmt") != "qb", F.col("hamming"))
+                       .otherwise(0)).alias("max_lossless_hamming")))
 
 
 QUERIES: dict = {
@@ -449,5 +455,11 @@ QUERIES: dict = {
     "shp_webmerc_reproject": (q_shp_webmerc_reproject, ORACLE_SHP_WEBMERC),
     "shp_decode_index_join": (q_shp_decode_index_join,
                               ORACLE_DECODE_INDEX_JOIN),
-    "images_phash_verify": (q_images_phash_verify, None),
+    "images_phash_verify": (q_images_phash_verify, """
+SELECT * FROM (VALUES
+  ('raw', CAST(40 AS BIGINT), 1, CAST(0 AS BIGINT)),
+  ('png', CAST(40 AS BIGINT), 1, CAST(0 AS BIGINT)),
+  ('qb',  CAST(40 AS BIGINT), 1, CAST(0 AS BIGINT))
+) AS t(fmt, n, all_match, max_lossless_hamming)
+"""),
 }
