@@ -443,11 +443,23 @@ GROUP BY nationkey, kind
 # --- C11 sketches (rows-only: engines' approx algorithms differ) -------------
 
 def q_approx_sketches(spark, sf_dir):
+    """C11 with a real oracle: sketch ESTIMATES can't value-match a
+    different engine's sketch, but their error bounds can — emit the exact
+    values plus booleans asserting each estimate lands within its bound
+    (HLL ±5%; percentile_approx with accuracy 10000 exact-ish → ±1 of the
+    true median). DuckDB recomputes the exact side and expects TRUE."""
     li = _t(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
-            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
-                 F.round(F.percentile_approx("l_quantity", 0.5), 2)
-                  .alias("approx_median")))
+            .agg(F.approx_count_distinct("l_partkey").alias("_apx"),
+                 F.countDistinct("l_partkey").alias("exact_parts"),
+                 F.percentile_approx("l_quantity", 0.5).alias("_amed"),
+                 F.expr("percentile(l_quantity, 0.5)").alias("_emed"))
+            .select(
+                "l_returnflag", "exact_parts",
+                (F.abs(F.col("_apx") - F.col("exact_parts"))
+                 <= F.col("exact_parts") * 0.05).alias("hll_within_5pct"),
+                (F.abs(F.col("_amed") - F.col("_emed")) <= 1.0)
+                .alias("median_within_1")))
 
 
 QUERIES: dict = {
@@ -471,5 +483,11 @@ QUERIES: dict = {
     "percentiles_exact": (q_quantity_percentiles, ORACLE_PERCENTILES),
     "conditional_pivot": (q_conditional_pivot, ORACLE_PIVOT),
     "union_parties": (q_union_parties, ORACLE_UNION),
-    "approx_sketches": (q_approx_sketches, None),
+    "approx_sketches": (q_approx_sketches, """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS hll_within_5pct,
+       TRUE AS median_within_1
+FROM lineitem GROUP BY l_returnflag
+"""),
 }

@@ -23,7 +23,7 @@ def test_registry_shapes():
     assert set(os_) <= set(qs)
     # rows-only entries are the documented non-SQL-expressible ones
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"approx_sketches"}
+    assert rows_only == set()
 
 
 def test_iceberg_layout_roundtrip(spark, tmp_path):
