@@ -193,6 +193,72 @@ def _points_from_blob(blob: bytes, trans, base: str) -> pd.DataFrame:
                          "lon": x, "lat": y})
 
 
+VERTICES_SCHEMA = T.StructType([
+    T.StructField("layer", T.StringType()),
+    T.StructField("rec_no", T.LongType()),
+    T.StructField("part_no", T.LongType()),
+    T.StructField("pt_no", T.LongType()),
+    T.StructField("x", T.DoubleType()),
+    T.StructField("y", T.DoubleType()),
+])
+
+
+def read_vertices_fast(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Scale-path ingest for polyline/polygon/multipoint layers: flat
+    vertex table (layer, rec_no, part_no, pt_no, x, y) via the columnar
+    kernel (parser.parse_shp_vertices_columns); non-uniform files fall
+    back to the per-record parity path flattened in the same file order
+    (for Polygon, part_no is the raw file-order ring index — raw vertices
+    are what tile-assign/cover-building consume; A6 assembly semantics
+    stay on the GeoJSON path)."""
+    from pyspark.sql import functions as F
+
+    files = (spark.read.format("binaryFile").load(path_glob)
+             .where(F.lower(F.col("path")).endswith(".shp"))
+             .select("path", "content"))
+
+    def decode(batches):
+        from .shp import parser
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                base = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                blob = bytes(content)
+                fast = parser.parse_shp_vertices_columns(blob)
+                if fast is not None:
+                    rec_no, part_no, pt_no, x, y = fast
+                else:
+                    nos, ps, qs, xs, ys = [], [], [], [], []
+                    hdr = parser.parse_header(blob)
+                    parser._check_type(hdr["type"])
+                    for no, rt, payload in parser.record_scan(blob):
+                        g = parser.parse_record(rt, payload, None)
+                        if g is None:
+                            continue
+                        t, c = g["type"], g["coordinates"]
+                        if t == "Point":
+                            parts = [[c]]
+                        elif t in ("MultiPoint", "LineString"):
+                            parts = [c]
+                        elif t in ("MultiLineString", "Polygon"):
+                            parts = c
+                        else:  # MultiPolygon: flatten back to ring order
+                            parts = [ring for poly in c for ring in poly]
+                        for p, pts in enumerate(parts):
+                            for q, pt in enumerate(pts):
+                                nos.append(no); ps.append(p); qs.append(q)
+                                xs.append(pt[0]); ys.append(pt[1])
+                    rec_no = np.array(nos, dtype=np.int64)
+                    part_no = np.array(ps, dtype=np.int64)
+                    pt_no = np.array(qs, dtype=np.int64)
+                    x = np.array(xs, dtype=np.float64)
+                    y = np.array(ys, dtype=np.float64)
+                yield pd.DataFrame({"layer": base, "rec_no": rec_no,
+                                    "part_no": part_no, "pt_no": pt_no,
+                                    "x": x, "y": y})
+
+    return files.mapInPandas(decode, VERTICES_SCHEMA)
+
+
 POINTS_SCHEMA = T.StructType([
     T.StructField("layer", T.StringType()),
     T.StructField("rec_no", T.LongType()),

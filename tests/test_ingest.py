@@ -169,3 +169,36 @@ def test_read_shp_sharded_matches_whole_file(spark, tmp_path):
     assert len(got) == 120
     assert got[0] == (1, 1.0, 2.0) and got[1] == (2, None, None)
     assert got[2] == (3, 3.0, 4.0)
+
+
+def test_read_vertices_fast_and_fallback(spark, tmp_path):
+    """Columnar vertex ingest == per-record fallback flattening, including
+    a file with a null shape (which forces the fallback path)."""
+    from spark_shp.shp import writer
+
+    d = tmp_path / "verts"
+    d.mkdir()
+    parts = [[[(float(r * 10 + p), float(q)) for q in range(3)]
+              for p in range(1 + r % 2)] for r in range(30)]
+    uni = [(writer.POLYLINE, ps) for ps in parts]
+    (d / "uni.shp").write_bytes(writer.write_shp(uni))
+    (d / "mix.shp").write_bytes(
+        writer.write_shp(uni[:5] + [(writer.NULL, None)] + uni[5:]))
+
+    rows = ingest.read_vertices_fast(spark, str(d) + "/*.shp").collect()
+    got_uni = sorted((r.rec_no, r.part_no, r.pt_no, r.x, r.y)
+                     for r in rows if r.layer == "uni")
+    want = sorted((r + 1, p, q, x, y)
+                  for r, ps in enumerate(parts)
+                  for p, pts in enumerate(ps)
+                  for q, (x, y) in enumerate(pts))
+    assert got_uni == want
+    # mixed file: same vertices, null contributes none, rec_no shifted by 1
+    # for records after the null
+    got_mix = sorted((r.rec_no, r.part_no, r.pt_no, r.x, r.y)
+                     for r in rows if r.layer == "mix")
+    want_mix = sorted((r + 1 if r < 5 else r + 2, p, q, x, y)
+                      for r, ps in enumerate(parts)
+                      for p, pts in enumerate(ps)
+                      for q, (x, y) in enumerate(pts))
+    assert got_mix == want_mix
