@@ -143,9 +143,57 @@ def _inline_parity_predicate(max_e: int, lon_col: str, lat_col: str) -> str:
     return f"({' + '.join(terms)}) % 2 = 1"
 
 
+def polygon_cover_edges(polys: DataFrame, level: int,
+                        max_edges: int) -> DataFrame:
+    """Distributed (poly_id, cell_id, edge-columns) cover: like
+    polygon_cover but each cover row carries its polygon's edge table
+    flattened into degenerate-padded columns, so the downstream candidate
+    join can refine with the inline-codegen parity predicate — no
+    Python stage, no broadcast of the polygon layer. Polygons with more
+    than ``max_edges`` edges raise (callers route those to the Arrow
+    refine)."""
+    cols = (["poly_id", "cell_id"]
+            + [f"_ej{i}_{k}" for i in range(max_edges)
+               for k in ("x1", "y1", "x2", "y2")])
+    schema = T.StructType(
+        [T.StructField("poly_id", T.LongType()),
+         T.StructField("cell_id", T.LongType())]
+        + [T.StructField(c, T.DoubleType()) for c in cols[2:]])
+
+    def cover(pdf_iter):
+        for pdf in pdf_iter:
+            out = []
+            for pid, bbox, coords in zip(pdf["poly_id"], pdf["bbox"],
+                                         pdf["coordinates"]):
+                # Arrow hands the ragged nesting as object ndarrays;
+                # np.asarray(obj_array, dtype=float) is unreliable on
+                # those — stack the point arrays explicitly
+                raw = coords if coords is not None else []
+                e = geom.rings_to_edges(
+                    [np.stack([np.asarray(p, dtype=np.float64)
+                               for p in ring])
+                     for poly in raw for ring in poly])
+                if len(e) > max_edges:
+                    raise ValueError(
+                        f"polygon {pid}: {len(e)} edges > {max_edges}; "
+                        "use the Arrow-refine path")
+                pad = np.zeros((max_edges, 4))
+                pad[: len(e)] = e
+                flat = pad.ravel()
+                cc = _bbox_cover_np(bbox["xmin"], bbox["ymin"],
+                                    bbox["xmax"], bbox["ymax"], level)
+                for c in cc.tolist():
+                    out.append((pid, c, *flat))
+            yield pd.DataFrame(out, columns=cols)
+
+    return (polys.select("poly_id", "bbox", "coordinates")
+            .mapInPandas(cover, schema))
+
+
 def spatial_join(points: DataFrame, polys: DataFrame, lon_col: str,
                  lat_col: str, level: int = 6,
-                 broadcast_cover: bool = True) -> DataFrame:
+                 broadcast_cover: bool = True,
+                 distributed_inline_edges: int | None = None) -> DataFrame:
     """B7: inner point-in-polygon join → points columns + ``poly_id``.
 
     Stage 1: tile-assign points at ``level`` (pure codegen SQL); equi-join
@@ -167,6 +215,20 @@ def spatial_join(points: DataFrame, polys: DataFrame, lon_col: str,
     """
     pts = tile_assign(points, lon_col, lat_col, level, "_sj_cell")
     if not broadcast_cover:
+        if distributed_inline_edges:
+            # big layer, small polygons: distributed cover CARRIES the
+            # padded edge columns, candidate equi-join shuffles on cell,
+            # refine is the same inline codegen predicate — no Python
+            # stage and no layer broadcast anywhere
+            max_e = distributed_inline_edges
+            cover = (polygon_cover_edges(polys, level, max_e)
+                     .withColumnRenamed("cell_id", "_sj_cell"))
+            cand = pts.join(cover, "_sj_cell", "inner")
+            kept = cand.where(F.expr(_inline_parity_predicate(
+                max_e, lon_col, lat_col)))
+            drop = ["_sj_cell"] + [f"_ej{i}_{k}" for i in range(max_e)
+                                   for k in ("x1", "y1", "x2", "y2")]
+            return kept.drop(*drop)
         cover = (polygon_cover(polys, level)
                  .withColumnRenamed("cell_id", "_sj_cell"))
         cand = pts.join(cover, "_sj_cell", "inner").drop("_sj_cell")

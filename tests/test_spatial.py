@@ -141,3 +141,19 @@ def test_explain_spatial_join_inline_is_pure_jvm(spark, points_df):
     plan2 = (spatial.spatial_join(points_df, big, "lon", "lat", level=6)
              ._jdf.queryExecution().executedPlan().toString())
     assert "MapInPandas" in plan2
+
+
+def test_distributed_inline_join_matches_broadcast(spark, points_df):
+    """All three spatial-join strategies produce identical pairs: broadcast
+    inline, distributed + Arrow refine, distributed + inline edges."""
+    polys = fixtures.fences_df(spark, 16).drop("layer", "name")
+    want = {(r.pid, r.poly_id) for r in spatial.spatial_join(
+        points_df, polys, "lon", "lat", level=6).select(
+        "pid", "poly_id").collect()}
+    arrow = {(r.pid, r.poly_id) for r in spatial.spatial_join(
+        points_df, polys, "lon", "lat", level=6,
+        broadcast_cover=False).select("pid", "poly_id").collect()}
+    inline = {(r.pid, r.poly_id) for r in spatial.spatial_join(
+        points_df, polys, "lon", "lat", level=6, broadcast_cover=False,
+        distributed_inline_edges=16).select("pid", "poly_id").collect()}
+    assert want == arrow == inline and len(want) > 0
