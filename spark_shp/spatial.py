@@ -193,7 +193,8 @@ def polygon_cover_edges(polys: DataFrame, level: int,
 def spatial_join(points: DataFrame, polys: DataFrame, lon_col: str,
                  lat_col: str, level: int = 6,
                  broadcast_cover: bool = True,
-                 distributed_inline_edges: int | None = None) -> DataFrame:
+                 distributed_inline_edges: int | None = None,
+                 salt_hot: int = 0, salt_factor: int = 16) -> DataFrame:
     """B7: inner point-in-polygon join → points columns + ``poly_id``.
 
     Stage 1: tile-assign points at ``level`` (pure codegen SQL); equi-join
@@ -219,15 +220,26 @@ def spatial_join(points: DataFrame, polys: DataFrame, lon_col: str,
             # big layer, small polygons: distributed cover CARRIES the
             # padded edge columns, candidate equi-join shuffles on cell,
             # refine is the same inline codegen predicate — no Python
-            # stage and no layer broadcast anywhere
+            # stage and no layer broadcast anywhere. salt_hot composes
+            # B13: the 30%-hot cell otherwise lands its candidates in one
+            # shuffle partition of the cell-keyed join
             max_e = distributed_inline_edges
             cover = (polygon_cover_edges(polys, level, max_e)
                      .withColumnRenamed("cell_id", "_sj_cell"))
-            cand = pts.join(cover, "_sj_cell", "inner")
-            kept = cand.where(F.expr(_inline_parity_predicate(
-                max_e, lon_col, lat_col)))
             drop = ["_sj_cell"] + [f"_ej{i}_{k}" for i in range(max_e)
                                    for k in ("x1", "y1", "x2", "y2")]
+            if salt_hot:
+                pts_s, hot = salt_hot_cells(pts, "_sj_cell",
+                                            top_n=salt_hot,
+                                            salt_factor=salt_factor)
+                cover_s = explode_salts(cover, "_sj_cell", hot,
+                                        salt_factor=salt_factor)
+                cand = pts_s.join(cover_s.drop("_sj_cell"), "_salted_cell")
+                drop.append("_salted_cell")
+            else:
+                cand = pts.join(cover, "_sj_cell", "inner")
+            kept = cand.where(F.expr(_inline_parity_predicate(
+                max_e, lon_col, lat_col)))
             return kept.drop(*drop)
         cover = (polygon_cover(polys, level)
                  .withColumnRenamed("cell_id", "_sj_cell"))

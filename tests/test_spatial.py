@@ -157,3 +157,16 @@ def test_distributed_inline_join_matches_broadcast(spark, points_df):
         points_df, polys, "lon", "lat", level=6, broadcast_cover=False,
         distributed_inline_edges=16).select("pid", "poly_id").collect()}
     assert want == arrow == inline and len(want) > 0
+
+
+def test_distributed_inline_join_salted_matches(spark, points_df):
+    """B13 composed with the distributed-inline join: salted == unsalted."""
+    polys = fixtures.fences_df(spark, 16).drop("layer", "name")
+    plain = {(r.pid, r.poly_id) for r in spatial.spatial_join(
+        points_df, polys, "lon", "lat", level=6, broadcast_cover=False,
+        distributed_inline_edges=16).select("pid", "poly_id").collect()}
+    salted = {(r.pid, r.poly_id) for r in spatial.spatial_join(
+        points_df, polys, "lon", "lat", level=6, broadcast_cover=False,
+        distributed_inline_edges=16, salt_hot=4,
+        salt_factor=8).select("pid", "poly_id").collect()}
+    assert salted == plain and len(plain) > 0
