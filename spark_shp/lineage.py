@@ -56,58 +56,53 @@ def checkpointed_write(df: DataFrame, out_dir: str, stage: str,
     """Write ``df`` bucket-by-bucket with per-bucket lineage commits; skips
     buckets already committed (resume). Returns {"done": n_prior, "new": n}.
     """
+    from pyspark.sql import types as T
+
     os.makedirs(_lineage_dir(out_dir), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "data"), exist_ok=True)
     prior = completed_buckets(out_dir, stage)
     todo = df
     if prior:
         todo = df.where(~F.col(bucket_col).isin(list(prior)))
-    n_buckets = (todo.select(bucket_col).distinct().count())
-    if n_buckets == 0:
-        return {"done": len(prior), "new": 0}
 
-    cols = todo.columns
-    cell_ix = cols.index(cell_col) if cell_col else None
-    bytes_ix = cols.index(bytes_col) if bytes_col else None
-    bucket_ix = cols.index(bucket_col)
-
-    def write_partition(rows_iter):
+    def write_group(pdf):
+        # one Arrow batch per bucket (groupBy applyInPandas) — vectorized
+        # end to end; the earlier foreachPartition per-Row tuple loop cost
+        # more than the actual parquet write
         import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        by_bucket: dict[int, list] = {}
-        for row in rows_iter:
-            by_bucket.setdefault(row[bucket_ix], []).append(tuple(row))
-        for bucket, rows in by_bucket.items():
-            if throttle:  # test-only hook: widens the kill-resume window
-                time.sleep(throttle)
-            pdf = pd.DataFrame(rows, columns=cols)
-            ddir = os.path.join(out_dir, "data", f"bucket={bucket}")
-            os.makedirs(ddir, exist_ok=True)
-            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
-                           os.path.join(ddir, "part.parquet"))
-            manifest = {
-                "stage": stage, "bucket": int(bucket), "rows": len(rows),
-                "status": "done", "ts": time.time(),
-                "cell_min": (int(pdf.iloc[:, cell_ix].min())
-                             if cell_ix is not None else None),
-                "cell_max": (int(pdf.iloc[:, cell_ix].max())
-                             if cell_ix is not None else None),
-                "bytes": (int(pdf.iloc[:, bytes_ix].sum())
-                          if bytes_ix is not None else None),
-            }
-            tmp = os.path.join(_lineage_dir(out_dir),
-                               f".tmp-{stage}-bucket-{bucket}.json")
-            final = os.path.join(_lineage_dir(out_dir),
-                                 f"{stage}-bucket-{bucket}.json")
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
-            os.replace(tmp, final)  # atomic commit point
+        if not len(pdf):
+            return pd.DataFrame({"bucket": [], "rows": []})
+        bucket = int(pdf[bucket_col].iloc[0])
+        if throttle:  # test-only hook: widens the kill-resume window
+            time.sleep(throttle)
+        ddir = os.path.join(out_dir, "data", f"bucket={bucket}")
+        os.makedirs(ddir, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       os.path.join(ddir, "part.parquet"))
+        manifest = {
+            "stage": stage, "bucket": bucket, "rows": len(pdf),
+            "status": "done", "ts": time.time(),
+            "cell_min": (int(pdf[cell_col].min()) if cell_col else None),
+            "cell_max": (int(pdf[cell_col].max()) if cell_col else None),
+            "bytes": (int(pdf[bytes_col].sum()) if bytes_col else None),
+        }
+        tmp = os.path.join(_lineage_dir(out_dir),
+                           f".tmp-{stage}-bucket-{bucket}.json")
+        final = os.path.join(_lineage_dir(out_dir),
+                             f"{stage}-bucket-{bucket}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, final)  # atomic commit point
+        return pd.DataFrame({"bucket": [bucket], "rows": [len(pdf)]})
 
-    (todo.repartition(max(n_buckets, 1), F.col(bucket_col))
-         .foreachPartition(write_partition))
-    return {"done": len(prior), "new": n_buckets}
+    stats_schema = T.StructType([T.StructField("bucket", T.LongType()),
+                                 T.StructField("rows", T.LongType())])
+    new = (todo.groupBy(bucket_col)
+           .applyInPandas(write_group, stats_schema).count())
+    return {"done": len(prior), "new": int(new)}
 
 
 def read_output(spark, out_dir: str) -> DataFrame:
