@@ -134,7 +134,7 @@ nbrs AS (
   CROSS JOIN (VALUES (-1), (0), (1)) AS dy(v)
   WHERE ix + dx.v BETWEEN 0 AND {_n - 1} AND iy + dy.v BETWEEN 0 AND {_n - 1})
 SELECT event_id,
-       SUM({cells.morton_sql('nx', 'ny')} * {1 << cells.LEVEL_BITS} + {LVL}) AS ring_sum
+       CAST(SUM({cells.morton_sql('nx', 'ny')} * {1 << cells.LEVEL_BITS} + {LVL}) AS BIGINT) AS ring_sum
 FROM nbrs GROUP BY event_id
 """
 
@@ -201,7 +201,7 @@ def q_spatial_join_agg(spark, sf_dir):
     j = j.join(F.broadcast(polys.select("poly_id", "n_name")), "poly_id")
     return (j.groupBy("n_name")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
+                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
                   .alias("sum_value")))
 
 
@@ -213,7 +213,7 @@ WITH pairs AS (
   GROUP BY e.event_id, e.value, g.n_nationkey, e.lon, e.lat
   HAVING SUM({geom.pip_sql('e.lon', 'e.lat')}) % 2 = 1)
 SELECT n_name, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
 FROM pairs GROUP BY n_name
 """
 

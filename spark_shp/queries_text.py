@@ -231,7 +231,8 @@ vote AS (
   FROM words CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS b) bs
   GROUP BY doc_id, b)
 SELECT doc_id,
-       SUM(CASE WHEN s >= 0 THEN CAST(POWER(2.0, b) AS BIGINT) ELSE 0 END)
+       CAST(SUM(CASE WHEN s >= 0 THEN CAST(POWER(2.0, b) AS BIGINT)
+                ELSE 0 END) AS BIGINT)
          AS simhash
 FROM vote GROUP BY doc_id
 """
@@ -390,7 +391,8 @@ WITH flat AS (
          CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q
   FROM embeddings),
 dots AS (
-  SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.q * b.q) AS dot_q
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS dot_q
   FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
   WHERE a.vec_id % {QVEC_MOD} = 0
   GROUP BY 1, 2),
@@ -439,8 +441,8 @@ comp AS (
   GROUP BY vec_id, j),
 buckets AS (
   SELECT vec_id,
-         SUM(CASE WHEN dot >= 0 THEN CAST(POWER(2.0, j) AS BIGINT)
-             ELSE 0 END) AS bucket
+         CAST(SUM(CASE WHEN dot >= 0 THEN CAST(POWER(2.0, j) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS bucket
   FROM comp GROUP BY vec_id)
 SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
 FROM buckets GROUP BY bucket
@@ -573,7 +575,7 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
 dots AS (
-  SELECT c.va, c.vb, SUM(fa.q * fb.q) AS dot_q
+  SELECT c.va, c.vb, CAST(SUM(fa.q * fb.q) AS BIGINT) AS dot_q
   FROM cand c
   JOIN flat fa ON fa.vec_id = c.va
   JOIN flat fb ON fb.vec_id = c.vb AND fb.i = fa.i
@@ -591,15 +593,17 @@ def q_tumbling_window(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(F.col("value").cast(DEC)).cast("decimal(38,6)")
+                 F.sum(F.col("value").cast(DEC)).cast("double")
                   .alias("sum_value"))
-            .select(F.col("win.start").alias("window_start"), "event_type",
+            .select(F.unix_seconds(F.col("win.start").cast("timestamp_ltz"))
+                    .alias("window_start_s"), "event_type",
                     "n", "sum_value"))
 
 
 ORACLE_TUMBLING = """
-SELECT DATE_TRUNC('hour', ts) AS window_start, event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) * 3600 AS window_start_s,
+       event_type, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
