@@ -26,7 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
     pts = _event_points(spark, sf_dir)
     pts = spatial.tile_assign(pts, "lon", "lat", 12, "tile_12")
     polys = _nation_fences_df(spark, sf_dir)
-    joined = spatial.spatial_join(pts, polys, "lon", "lat", level=6)
+    joined = spatial.spatial_join(pts, polys, "lon", "lat", level=6, broadcast_cover=True)
     joined = joined.join(F.broadcast(polys.select("poly_id", "n_name")),
                          "poly_id")
     return (joined.groupBy("n_name")

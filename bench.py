@@ -93,7 +93,7 @@ def build_flagship(spark, n_images: int):
     polys = fixtures.fences_df(spark, 64).drop("layer", "name")
     img = ice.read_table(spark, root).select("image_id", "lon", "lat")
     img = spatial.tile_assign(img, "lon", "lat", 12, "tile_12")
-    j = spatial.spatial_join(img, polys, "lon", "lat", level=6)
+    j = spatial.spatial_join(img, polys, "lon", "lat", level=6, broadcast_cover=True)
     # approx_count_distinct, not countDistinct: exact distinct-tile counting
     # re-shuffles every joined row keyed on (fence, tile) — at 10^12 rows
     # that shuffle IS the job. The HLL sketch keeps the agg one map-side

@@ -147,23 +147,47 @@ def read_points_fast(spark: SparkSession, path_glob: str) -> DataFrame:
              .where(F.lower(F.col("path")).endswith(".shp"))
              .select("path", "content"))
 
+    # .prj sidecars come through the SAME binaryFile reader as the .shp
+    # scan (works on any Hadoop filesystem — file:, hdfs://, s3a://; the
+    # previous os.path.exists/open silently skipped projections on
+    # non-local schemes and decoded unprojected meters). They're tiny
+    # (~100s of bytes), so collecting {layer: wkt} driver-side and
+    # broadcasting keeps the big .shp decode shuffle-free.
+    prjs = _prj_wkts(spark, path_glob)
+    bc_prjs = spark.sparkContext.broadcast(prjs)
+
     def decode(batches):
-        import os
         from .shp import parser
+        cache: dict[str, object] = {}
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
                 base = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-                trans = None
-                prj = path[: path.rfind(".")] + ".prj"
-                local = (prj.replace("file:", "", 1)
-                         if prj.startswith("file:") else prj)
-                if os.path.exists(local):
-                    with open(local, "rb") as fh:
-                        trans = parser.projection_from_wkt(
-                            fh.read().decode("ascii", "replace"))
-                yield _points_from_blob(bytes(content), trans, base)
+                if base not in cache:
+                    wkt = bc_prjs.value.get(base)
+                    cache[base] = (parser.projection_from_wkt(wkt)
+                                   if wkt else None)
+                yield _points_from_blob(bytes(content), cache[base], base)
 
     return files.mapInPandas(decode, schema)
+
+
+def _prj_wkts(spark: SparkSession, path_glob: str) -> dict[str, str]:
+    """{layer base name: .prj WKT} for every sidecar matching the glob,
+    read through binaryFile (filesystem-scheme agnostic). A glob pinned to
+    ``*.shp`` is rewritten to ``*.prj``; any other glob is re-filtered."""
+    import re
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    g = re.sub(r"\.shp$", ".prj", path_glob, flags=re.I)
+    try:
+        rows = (spark.read.format("binaryFile").load(g)
+                .where(F.lower(F.col("path")).endswith(".prj"))
+                .select("path", "content").collect())
+    except AnalysisException:          # no sidecars at all
+        return {}
+    return {r.path.rsplit("/", 1)[-1].rsplit(".", 1)[0]:
+            bytes(r.content).decode("ascii", "replace") for r in rows}
 
 
 def _points_from_blob(blob: bytes, trans, base: str) -> pd.DataFrame:

@@ -487,9 +487,13 @@ FROM events WHERE event_id % 20 = 0
 def q_approx_sketches(spark, sf_dir):
     """C11 with a real oracle: sketch ESTIMATES can't value-match a
     different engine's sketch, but their error bounds can — emit the exact
-    values plus booleans asserting each estimate lands within its bound
-    (HLL ±5%; percentile_approx with accuracy 10000 exact-ish → ±1 of the
-    true median). DuckDB recomputes the exact side and expects TRUE."""
+    values plus booleans asserting each estimate lands within its bound.
+    The HLL gate is 15% = 3x approx_count_distinct's rsd=0.05: rsd is a
+    relative STANDARD DEVIATION, not a guaranteed bound, so a 5% gate can
+    deterministically fail on an unlucky group at some other scale factor
+    (ADVICE r1); 3 sigma makes the gate robust without vacating it.
+    percentile_approx with default accuracy is exact-ish → ±1 of the true
+    median. DuckDB recomputes the exact side and expects TRUE."""
     li = _t(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
             .agg(F.approx_count_distinct("l_partkey").alias("_apx"),
@@ -499,7 +503,7 @@ def q_approx_sketches(spark, sf_dir):
             .select(
                 "l_returnflag", "exact_parts",
                 (F.abs(F.col("_apx") - F.col("exact_parts"))
-                 <= F.col("exact_parts") * 0.05).alias("hll_within_5pct"),
+                 <= F.col("exact_parts") * 0.15).alias("hll_within_3rsd"),
                 (F.abs(F.col("_amed") - F.col("_emed")) <= 1.0)
                 .alias("median_within_1")))
 
@@ -529,7 +533,7 @@ QUERIES: dict = {
     "approx_sketches": (q_approx_sketches, """
 SELECT l_returnflag,
        COUNT(DISTINCT l_partkey) AS exact_parts,
-       TRUE AS hll_within_5pct,
+       TRUE AS hll_within_3rsd,
        TRUE AS median_within_1
 FROM lineitem GROUP BY l_returnflag
 """),

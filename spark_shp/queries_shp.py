@@ -362,6 +362,119 @@ FROM src
 """
 
 
+N_UTM = 40
+_UTM_WKT = (
+    'PROJCS["WGS 84 / UTM zone 33N",GEOGCS["WGS 84",DATUM["WGS_1984",'
+    'SPHEROID["WGS 84",6378137,298.257223563]]],'
+    'PROJECTION["Transverse_Mercator"],'
+    'PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",15],'
+    'PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],'
+    'PARAMETER["false_northing",0],UNIT["metre",1]]')
+
+
+def q_shp_utm_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 completion under the oracle gate: a Point shapefile in UTM 33N
+    meters with a Transverse_Mercator .prj decodes through the engine's
+    Snyder-series inverse (parser.make_inv_tmerc); the oracle evaluates the
+    SAME series in DuckDB SQL from the same tmerc_constants() float64
+    values. Both sides round to 9 decimals (~0.1 µm) to absorb libm
+    sin/cos/tan ulp differences — same policy as shp_webmerc_reproject."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_UTM, dtype=np.int64)
+    xm = 200000.0 + u01(i * 23 + 3) * 600000.0   # easting within the zone
+    ym = u01(i * 23 + 4) * 9300000.0             # equator → ~84°N
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_UTM_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_utm_sql() -> str:
+    """Snyder inverse-TM series as DuckDB SQL, from the SAME float64
+    constants the engine kernel uses (parser.tmerc_constants) and with the
+    SAME operation order — the only divergence left is libm ulps."""
+    from .shp.parser import tmerc_constants
+    # CAST to DOUBLE: bare float literals parse as DECIMAL in DuckDB, and
+    # decimal arithmetic overflows (and would differ bitwise) — the decimal
+    # repr of a float64 round-trips exactly through CAST AS DOUBLE.
+    c = {k: f"CAST({v!r} AS DOUBLE)" for k, v in tmerc_constants(
+        6378137.0, 298.257223563, 15.0, 0.0, 0.9996,
+        500000.0, 0.0).items()}
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         200000.0 + {u01_sql('i * 23 + 3')} * 600000.0 AS x,
+         {u01_sql('i * 23 + 4')} * 9300000.0 AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_UTM - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no, x - {c['fe']} AS xx,
+         ({c['m0']} + (y - {c['fn']}) / {c['k0']})
+           / ({c['a']} * {c['m_coef']}) AS mu
+  FROM src),
+s2 AS (
+  SELECT rec_no, xx,
+         mu + {c['mu2']} * SIN(2.0 * mu) + {c['mu4']} * SIN(4.0 * mu)
+            + {c['mu6']} * SIN(6.0 * mu) + {c['mu8']} * SIN(8.0 * mu) AS phi1
+  FROM s1),
+s3 AS (
+  SELECT rec_no, xx, phi1, SIN(phi1) AS sin1, COS(phi1) AS cos1,
+         TAN(phi1) AS tan1
+  FROM s2),
+s4 AS (
+  SELECT rec_no, xx, phi1, sin1, cos1, tan1,
+         {c['ep2']} * cos1 * cos1 AS c1, tan1 * tan1 AS t1,
+         1.0 - {c['e2']} * sin1 * sin1 AS w
+  FROM s3),
+s5 AS (
+  SELECT rec_no, xx, phi1, cos1, tan1, c1, t1,
+         {c['a']} / SQRT(w) AS n1,
+         {c['a']} * (1.0 - {c['e2']}) / (w * SQRT(w)) AS r1
+  FROM s4),
+s6 AS (
+  SELECT rec_no, phi1, cos1, tan1, c1, t1, n1, r1,
+         xx / (n1 * {c['k0']}) AS d,
+         (xx / (n1 * {c['k0']})) * (xx / (n1 * {c['k0']})) AS d2
+  FROM s5)
+SELECT rec_no,
+       ROUND(DEGREES({c['lam0']} + (d
+                 - (1.0 + 2.0 * t1 + c1) * d2 * d / 6.0
+                 + (5.0 - 2.0 * c1 + 28.0 * t1 - 3.0 * c1 * c1
+                    + 8.0 * {c['ep2']} + 24.0 * t1 * t1)
+                   * d2 * d2 * d / 120.0) / cos1), 9) AS lon,
+       ROUND(DEGREES(phi1 - (n1 * tan1 / r1) * (
+                 d2 / 2.0
+                 - (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1 * c1
+                    - 9.0 * {c['ep2']}) * d2 * d2 / 24.0
+                 + (61.0 + 90.0 * t1 + 298.0 * c1 + 45.0 * t1 * t1
+                    - 252.0 * {c['ep2']} - 3.0 * c1 * c1)
+                   * d2 * d2 * d2 / 720.0)), 9) AS lat
+FROM s6
+"""
+
+
+ORACLE_SHP_UTM = _oracle_utm_sql()
+
+
 def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full north-star composition under ONE oracle: shapefile bytes →
     vectorized decode (parse_shp_points_columns via the ingest kernel) →
@@ -399,7 +512,7 @@ def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
     pts = files.mapInPandas(decode, schema)
     polys = _nation_fences_df(spark, sf_dir)
-    j = spatial.spatial_join(pts, polys, "lon", "lat", level=6)
+    j = spatial.spatial_join(pts, polys, "lon", "lat", level=6, broadcast_cover=True)
     return (j.groupBy("poly_id").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.min("rec_no").alias("first_rec"))
@@ -453,6 +566,7 @@ QUERIES: dict = {
     "shp_polyline_parts": (q_shp_polyline_parts, ORACLE_SHP_POLYLINE),
     "shp_zm_semantics": (q_shp_zm_semantics, ORACLE_SHP_ZM),
     "shp_webmerc_reproject": (q_shp_webmerc_reproject, ORACLE_SHP_WEBMERC),
+    "shp_utm_reproject": (q_shp_utm_reproject, ORACLE_SHP_UTM),
     "shp_decode_index_join": (q_shp_decode_index_join,
                               ORACLE_DECODE_INDEX_JOIN),
     "images_phash_verify": (q_images_phash_verify, """

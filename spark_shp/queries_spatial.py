@@ -181,7 +181,7 @@ FROM cover GROUP BY n_nationkey
 def q_spatial_join_pairs(spark, sf_dir):
     pts = _event_points(spark, sf_dir)
     polys = _nation_fences_df(spark, sf_dir)
-    j = spatial.spatial_join(pts, polys, "lon", "lat", level=LVL)
+    j = spatial.spatial_join(pts, polys, "lon", "lat", level=LVL, broadcast_cover=True)
     return j.select("event_id", F.col("poly_id").alias("n_nationkey"))
 
 
@@ -197,7 +197,7 @@ HAVING SUM({geom.pip_sql('e.lon', 'e.lat')}) % 2 = 1
 def q_spatial_join_agg(spark, sf_dir):
     pts = _event_points(spark, sf_dir)
     polys = _nation_fences_df(spark, sf_dir)
-    j = spatial.spatial_join(pts, polys, "lon", "lat", level=LVL)
+    j = spatial.spatial_join(pts, polys, "lon", "lat", level=LVL, broadcast_cover=True)
     j = j.join(F.broadcast(polys.select("poly_id", "n_name")), "poly_id")
     return (j.groupBy("n_name")
             .agg(F.count(F.lit(1)).alias("n_events"),
@@ -347,14 +347,18 @@ GROUP BY 1 HAVING COUNT(*) >= 5
 
 
 def q_images_hot_cell(spark, sf_dir):
-    """Skew witness: the hot cell holds ~30% of all images (FIXTURES §1)."""
+    """Skew witness: the hot cell holds ~30% of all images (FIXTURES §1).
+
+    The total folds into the SAME aggregation via a global window over the
+    grouped counts (a few dozen rows) — the previous separate t.count()
+    action scanned the input twice."""
     img = _images_meta_df(spark, N_IMAGES_ORACLE)
     t = spatial.tile_assign(img, "lon", "lat", 8)
-    total = t.count()
-    return (t.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.col("n").desc(), F.col("cell_id").asc()).limit(3)
-            .withColumn("share_pct",
-                        F.round(F.col("n") * 100.0 / F.lit(float(total)), 4)))
+    c = t.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(W.partitionBy())
+    return (c.withColumn("share_pct",
+                         F.round(F.col("n") * 100.0 / total, 4))
+            .orderBy(F.col("n").desc(), F.col("cell_id").asc()).limit(3))
 
 
 ORACLE_IMG_HOT = f"""
@@ -384,7 +388,7 @@ def q_images_fence_join(spark, sf_dir):
     This is the north-star metric's query at test scale."""
     img = _images_meta_df(spark, N_IMAGES_ORACLE)
     polys = fixtures.fences_df(spark, 64).drop("layer", "name")
-    j = spatial.spatial_join(img, polys, "lon", "lat", level=LVL)
+    j = spatial.spatial_join(img, polys, "lon", "lat", level=LVL, broadcast_cover=True)
     return (j.groupBy("poly_id")
             .agg(F.count(F.lit(1)).alias("n_images"),
                  F.min("image_id").alias("first_image")))

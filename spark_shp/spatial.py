@@ -122,6 +122,11 @@ def _pip_refine(points_with_poly: DataFrame, polys: DataFrame,
 # kernel path wins; fence/nation layers sit at ≤ 12.
 MAX_INLINE_EDGES = 64
 
+# Auto-route threshold: polygon layers up to this many rows collect+broadcast
+# (cover rows ≈ polys × cells/poly, each ≤ ~2 KB with 64 padded edge cols —
+# well under Spark's broadcast comfort zone); bigger layers stay distributed.
+AUTO_BROADCAST_MAX_POLYS = 4096
+
 
 def _inline_parity_predicate(max_e: int, lon_col: str, lat_col: str) -> str:
     """Even-odd ray-cast as ONE whole-stage-codegen SQL predicate over flat
@@ -141,6 +146,19 @@ def _inline_parity_predicate(max_e: int, lon_col: str, lat_col: str) -> str:
             f"({lon_col} < {x1} + ({lat_col} - {y1}) * ({x2} - {x1}) / "
             f"({y2} - {y1})) THEN 1 ELSE 0 END")
     return f"({' + '.join(terms)}) % 2 = 1"
+
+
+def _probe_layer(polys: DataFrame) -> tuple[int, int]:
+    """(row count, max edges per polygon) in ONE aggregation job — the
+    auto-route probe for :func:`spatial_join`. Edge count is a pure SQL
+    aggregate over the ragged coordinates (Σ rings (len-1)), so the probe
+    never deserializes geometry into Python."""
+    ring_edges = F.aggregate(
+        F.flatten(F.col("coordinates")), F.lit(0),
+        lambda acc, ring: acc + F.size(ring) - F.lit(1))
+    row = polys.agg(F.count(F.lit(1)).alias("n"),
+                    F.max(ring_edges).alias("max_e")).collect()[0]
+    return int(row["n"]), int(row["max_e"] or 0)
 
 
 def polygon_cover_edges(polys: DataFrame, level: int,
@@ -192,7 +210,7 @@ def polygon_cover_edges(polys: DataFrame, level: int,
 
 def spatial_join(points: DataFrame, polys: DataFrame, lon_col: str,
                  lat_col: str, level: int = 6,
-                 broadcast_cover: bool = True,
+                 broadcast_cover: bool | None = None,
                  distributed_inline_edges: int | None = None,
                  salt_hot: int = 0, salt_factor: int = 16) -> DataFrame:
     """B7: inner point-in-polygon join → points columns + ``poly_id``.
@@ -200,6 +218,19 @@ def spatial_join(points: DataFrame, polys: DataFrame, lon_col: str,
     Stage 1: tile-assign points at ``level`` (pure codegen SQL); equi-join
     against the polygon layer's cell cover.
     Stage 2: exact even-odd ray-cast refinement.
+
+    ``broadcast_cover=None`` (default) AUTO-ROUTES: one cheap aggregation
+    over the polygon layer (count + max edges per polygon — layers are the
+    small side of this join by orders of magnitude, so the probe is not a
+    second scan of anything big) picks
+      * layer ≤ AUTO_BROADCAST_MAX_POLYS → broadcast path (inline codegen
+        refine when max_e ≤ MAX_INLINE_EDGES, Arrow kernel refine above);
+      * bigger layer, inline-able polygons → distributed-inline path (the
+        5.9x-at-192M plan; composes with salt_hot);
+      * bigger layer, >MAX_INLINE_EDGES polygons → distributed cover +
+        Arrow refine.
+    Callers with a known shape pass broadcast_cover explicitly and skip the
+    probe (every repeated-query site in queries_*.py does).
 
     Broadcast path (small polygon layer — the north rule's "AQE-aware
     broadcast of small polygon layers"): the layer is collected ONCE; its
@@ -214,6 +245,15 @@ def spatial_join(points: DataFrame, polys: DataFrame, lon_col: str,
     build the cover distributed (polygon_cover) and let AQE pick the join
     strategy.
     """
+    if broadcast_cover is None:
+        n_polys, max_edges = _probe_layer(polys)
+        if n_polys <= AUTO_BROADCAST_MAX_POLYS:
+            broadcast_cover = True
+        else:
+            broadcast_cover = False
+            if (distributed_inline_edges is None
+                    and 0 < max_edges <= MAX_INLINE_EDGES):
+                distributed_inline_edges = max_edges
     pts = tile_assign(points, lon_col, lat_col, level, "_sj_cell")
     if not broadcast_cover:
         if distributed_inline_edges:
@@ -257,6 +297,12 @@ def spatial_join(points: DataFrame, polys: DataFrame, lon_col: str,
              for poly in (r["coordinates"] or []) for ring in poly])
         for r in rows}
     max_e = max((len(e) for e in edges_by_poly.values()), default=0)
+    if max_e == 0:
+        # every polygon is edge-less (empty coordinates): no point can be
+        # inside, and the inline path would otherwise emit the unparseable
+        # predicate "() % 2 = 1"
+        return (points.limit(0)
+                .withColumn("poly_id", F.lit(None).cast("long")))
     spark = points.sparkSession
 
     cov_p, cov_c = [], []

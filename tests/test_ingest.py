@@ -202,3 +202,34 @@ def test_read_vertices_fast_and_fallback(spark, tmp_path):
                       for p, pts in enumerate(ps)
                       for q, (x, y) in enumerate(pts))
     assert got_mix == want_mix
+
+
+def test_points_fast_prj_sidecar_via_binaryfile(spark, tmp_path):
+    """ADVICE r1: read_points_fast must load .prj through the binaryFile
+    reader (scheme-agnostic), not os.path — and produce the SAME projected
+    coordinates as read_shapefiles on a Web-Mercator layer."""
+    import math
+    from spark_shp.shp import writer
+
+    lonlats = [(-73.9857, 40.7484), (2.3522, 48.8566), (139.6917, 35.6895)]
+    R = 6378137.0
+    merc = [(math.radians(lon) * R,
+             math.log(math.tan(math.pi / 4 + math.radians(lat) / 2)) * R)
+            for lon, lat in lonlats]
+    d = tmp_path / "prjpts"
+    d.mkdir()
+    (d / "layer.shp").write_bytes(
+        writer.write_shp([(writer.POINT, m) for m in merc]))
+    (d / "layer.prj").write_text(writer.WEBMERC_WKT)
+    rows = sorted(ingest.read_points_fast(spark, str(d) + "/*.shp").collect(),
+                  key=lambda r: r.rec_no)
+    assert len(rows) == 3
+    for r, (lon, lat) in zip(rows, lonlats):
+        assert abs(r.lon - lon) < 1e-9 and abs(r.lat - lat) < 1e-9
+    # parity with the full GeoJSON ingest path on the same directory
+    feats = ingest.read_shapefiles(spark, str(d) + "/*").collect()
+    got = sorted((f.coordinates[0][0][0][0], f.coordinates[0][0][0][1])
+                 for f in feats)
+    want = sorted((r.lon, r.lat) for r in rows)
+    for (a, b), (c, e) in zip(got, want):
+        assert abs(a - c) < 1e-12 and abs(b - e) < 1e-12

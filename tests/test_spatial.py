@@ -170,3 +170,55 @@ def test_distributed_inline_join_salted_matches(spark, points_df):
         distributed_inline_edges=16, salt_hot=4,
         salt_factor=8).select("pid", "poly_id").collect()}
     assert salted == plain and len(plain) > 0
+
+
+def test_auto_route_probe_and_paths(spark, points_df, monkeypatch):
+    """broadcast_cover=None auto-routes: small layer → broadcast inline
+    (no Python, BroadcastHashJoin); layer above the threshold with
+    inline-able polygons → distributed-inline (no broadcast of the layer,
+    still no Python refine). Results identical either way."""
+    polys = fixtures.fences_df(spark, 16).drop("layer", "name")
+    n, max_e = spatial._probe_layer(polys)
+    assert n == 16 and 4 <= max_e <= 16
+
+    want = {(r.pid, r.poly_id) for r in spatial.spatial_join(
+        points_df, polys, "lon", "lat", level=6,
+        broadcast_cover=True).select("pid", "poly_id").collect()}
+
+    auto_small = spatial.spatial_join(points_df, polys, "lon", "lat", level=6)
+    plan = auto_small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "MapInPandas" not in plan
+    got = {(r.pid, r.poly_id)
+           for r in auto_small.select("pid", "poly_id").collect()}
+    assert got == want and len(want) > 0
+
+    monkeypatch.setattr(spatial, "AUTO_BROADCAST_MAX_POLYS", 4)
+    auto_big = spatial.spatial_join(points_df, polys, "lon", "lat", level=6)
+    plan2 = auto_big._jdf.queryExecution().executedPlan().toString()
+    # distributed-inline route: the cover is built by a MapInPandas stage
+    # (the broadcast route has none anywhere), and the parity refine stays
+    # a codegen Filter — no grouped-Python refine
+    assert "MapInPandas" in plan2
+    assert "FlatMapGroupsInPandas" not in plan2
+    got2 = {(r.pid, r.poly_id)
+            for r in auto_big.select("pid", "poly_id").collect()}
+    assert got2 == want
+
+
+def test_empty_edge_layer_returns_empty(spark, points_df):
+    """ADVICE r1: a layer whose polygons all have empty coordinates made
+    the inline path emit the unparseable predicate '() % 2 = 1'."""
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("poly_id", T.LongType()),
+        T.StructField("coordinates", T.ArrayType(T.ArrayType(
+            T.ArrayType(T.ArrayType(T.DoubleType()))))),
+        T.StructField("bbox", T.StructType([
+            T.StructField(k, T.DoubleType())
+            for k in ("xmin", "ymin", "xmax", "ymax")])),
+    ])
+    empty = spark.createDataFrame([(0, [], (0.0, 0.0, 1.0, 1.0))], schema)
+    out = spatial.spatial_join(points_df, empty, "lon", "lat", level=6,
+                               broadcast_cover=True)
+    assert out.count() == 0
+    assert "poly_id" in out.columns

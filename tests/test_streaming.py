@@ -26,11 +26,15 @@ def replay_dir(spark, tmp_path_factory):
 
 
 def test_tumbling_stream_equals_batch(spark, replay_dir):
+    from datetime import timezone
     got = streaming.run_to_completion(streaming.tumbling_counts(
         streaming.events_stream(spark, replay_dir), watermark=WM))
-    want = {(r.window_start, r.event_type): r.n
+    # batch emits epoch seconds (oracle-gate type normalization); the live
+    # stream's window struct stays a timestamp — convert like sliding
+    want = {(r.window_start_s, r.event_type): r.n
             for r in q_tumbling_window(spark, SF).collect()}
-    gmap = {(r.window_start, r.event_type): r.n for r in got}
+    gmap = {(int(r.window_start.replace(tzinfo=timezone.utc).timestamp()),
+             r.event_type): r.n for r in got}
     assert gmap == want
 
 
