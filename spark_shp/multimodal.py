@@ -26,28 +26,56 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+def _decode_stack(pdf: pd.DataFrame, idx: np.ndarray, w: int,
+                  h: int, fmt: str) -> np.ndarray:
+    """Decode a same-(w,h,fmt) group into ONE (n,h,w,3) float64 stack.
+    Raw images decode as a single frombuffer over the concatenated payloads;
+    compressed formats decode per image (zlib is inherently per-stream) but
+    all downstream math runs on the stack."""
+    blobs = pdf["bytes"].to_numpy()
+    if fmt == "raw":
+        flat = np.frombuffer(b"".join(bytes(blobs[i]) for i in idx),
+                             dtype=np.uint8)
+        return flat.reshape(len(idx), h, w, 3).astype(np.float64)
+    return np.stack([codecs.decode(bytes(blobs[i]), w, h, fmt)
+                     for i in idx]).astype(np.float64)
+
+
 def image_features(images: DataFrame) -> DataFrame:
     """Decode → per-channel means, gray std, gradient energy, 8×8 thumbnail
-    (the 64-dim embedding the ANN operators consume)."""
+    (the 64-dim embedding the ANN operators consume).
+
+    Batched (VERDICT perf r1): images group by (w, h, fmt) WITHIN each
+    Arrow batch and all feature math runs as stacked (n, h, w, …) numpy ops
+    — one set of array kernels per shape group instead of per-row Python
+    orchestration. Mixed-size batches degrade gracefully to one group per
+    shape (the ragged fallback is the grouping itself)."""
 
     def work(batches):
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                px = codecs.decode(bytes(r.bytes), int(r.w), int(r.h),
-                                   r.fmt).astype(np.float64)
-                gray = px.mean(axis=2)
-                gy, gx = np.gradient(gray)
-                h, w = gray.shape
+            if not len(pdf):
+                continue
+            n = len(pdf)
+            ids = pdf["image_id"].to_numpy()
+            out_rows = [None] * n
+            groups = pdf.groupby(["w", "h", "fmt"]).indices
+            for (w, h, fmt), idx in groups.items():
+                w, h = int(w), int(h)
+                px = _decode_stack(pdf, idx, w, h, fmt)     # (n,h,w,3)
+                gray = px.mean(axis=3)                      # (n,h,w)
+                mean_rgb = px.mean(axis=(1, 2))             # (n,3)
+                std_gray = gray.std(axis=(1, 2))
+                gy, gx = np.gradient(gray, axis=(1, 2))
+                edge = np.sqrt(gx ** 2 + gy ** 2).mean(axis=(1, 2))
                 hh, ww = (h // 8) * 8, (w // 8) * 8
-                thumb = (gray[:hh, :ww]
-                         .reshape(8, hh // 8, 8, ww // 8).mean(axis=(1, 3)))
-                rows.append((r.image_id,
-                             px.mean(axis=(0, 1)).tolist(),
-                             float(gray.std()),
-                             float(np.sqrt(gx ** 2 + gy ** 2).mean()),
-                             (thumb.ravel() / 255.0).tolist()))
-            yield pd.DataFrame(rows,
+                thumb = (gray[:, :hh, :ww]
+                         .reshape(len(idx), 8, hh // 8, 8, ww // 8)
+                         .mean(axis=(2, 4)).reshape(len(idx), 64) / 255.0)
+                for k, i in enumerate(idx):
+                    out_rows[i] = (ids[i], mean_rgb[k].tolist(),
+                                   float(std_gray[k]), float(edge[k]),
+                                   thumb[k].tolist())
+            yield pd.DataFrame(out_rows,
                                columns=[f.name for f in FEATURE_SCHEMA])
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
@@ -66,14 +94,20 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
     def work(batches):
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                px = codecs.decode(bytes(r.bytes), int(r.w), int(r.h), r.fmt)
-                yi = (np.arange(out_h) * r.h // out_h).astype(int)
-                xi = (np.arange(out_w) * r.w // out_w).astype(int)
-                small = px[yi][:, xi]
-                rows.append((r.image_id, codecs.encode(small, "raw"),
-                             out_w, out_h, "raw"))
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                px = _decode_stack(pdf, idx, w, h, fmt)     # (n,h,w,3)
+                yi = (np.arange(out_h) * h // out_h).astype(int)
+                xi = (np.arange(out_w) * w // out_w).astype(int)
+                small = px[:, yi][:, :, xi].astype(np.uint8)  # (n,oh,ow,3)
+                for k, i in enumerate(idx):
+                    rows[i] = (ids[i], codecs.encode(small[k], "raw"),
+                               out_w, out_h, "raw")
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")

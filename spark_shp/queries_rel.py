@@ -352,14 +352,44 @@ FROM events GROUP BY 1, 2
 
 def q_asof_event_order(spark, sf_dir):
     """For each event, the most recent order of customer=user_id with
-    o_orderdate <= ts (as-of backward join)."""
+    o_orderdate <= ts (as-of backward join).
+
+    Plan (SURVEY §2.C C5's union-merge): union orders and events into one
+    (user, time)-sorted stream, carry the latest order forward with
+    last(ignorenulls) over an unbounded-preceding window, keep event rows.
+    ONE shuffle on user_id and linear work per user — the round-1 non-equi
+    join materialized every (event × earlier-order) pair before its
+    row_number()=1, a per-user quadratic blow-up on heavy users at scale.
+    Orders sort before events at equal timestamps (kind 0 < 1) so an order
+    ON the event's date is visible (<=); same-date order ties resolve to
+    the max o_orderkey via the ascending key sort, matching the oracle's
+    ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1."""
     e = _t(spark, sf_dir, "events")
     o = _t(spark, sf_dir, "orders")
-    j = e.join(o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts))
-    w = W.partitionBy("event_id").orderBy(F.col("o_orderdate").desc(),
-                                          F.col("o_orderkey").desc())
-    return (j.withColumn("rn", F.row_number().over(w)).where("rn = 1")
-            .select("event_id", "user_id", "o_orderkey", "o_orderdate"))
+    orders = o.select(F.col("o_custkey").alias("user_id"),
+                      F.col("o_orderdate").alias("t"),
+                      F.lit(0).alias("kind"),
+                      F.lit(None).cast("long").alias("event_id"),
+                      "o_orderkey", "o_orderdate")
+    events = e.select("user_id", F.col("ts").alias("t"),
+                      F.lit(1).alias("kind"), "event_id",
+                      F.lit(None).cast("long").alias("o_orderkey"),
+                      F.lit(None).cast(dict(o.dtypes)["o_orderdate"])
+                       .alias("o_orderdate"))
+    u = orders.unionByName(events)
+    w = (W.partitionBy("user_id")
+         .orderBy(F.col("t").asc(), F.col("kind").asc(),
+                  F.col("o_orderkey").asc())
+         .rowsBetween(W.unboundedPreceding, 0))
+    picked = F.last(
+        F.when(F.col("kind") == 0,
+               F.struct("o_orderdate", "o_orderkey")),
+        ignorenulls=True).over(w)
+    return (u.withColumn("_p", picked)
+            .where((F.col("kind") == 1) & F.col("_p").isNotNull())
+            .select("event_id", "user_id",
+                    F.col("_p.o_orderkey").alias("o_orderkey"),
+                    F.col("_p.o_orderdate").alias("o_orderdate")))
 
 
 ORACLE_ASOF = """

@@ -326,26 +326,32 @@ FROM roll WHERE rh IS NOT NULL GROUP BY doc_id
 # --- embeddings: quantized cosine top-k + sign-LSH ANN buckets ---------------------------
 
 QVEC_MOD = 50
+QVEC_CAP = 2500          # query ids bounded: vec_id < CAP → ≤ CAP/MOD queries
 
 
 def q_cosine_topk(spark, sf_dir):
-    """Brute-force quantized-dot top-5 neighbors for every %50th vector.
+    """Brute-force quantized-dot top-5 neighbors for a BOUNDED query set
+    (every %50th vector with vec_id < 2500 → at most 50 queries no matter
+    the corpus size — round 1 collected a corpus-proportional 2% of all
+    vectors to the driver, which is a scale-killer at 10^12 rows; an
+    unbounded exact-top-k wants the ANN-bucket route instead).
 
     Quantization (round(x*1000) → int64) makes the score order-independent
     and bit-identical across engines; rank ties break on vec_id.
 
-    Scale shape: the (small) query matrix is collected and broadcast; one
-    mapInPandas pass over the corpus computes ALL query dots per Arrow batch
-    as a single integer matmul and emits only each batch's per-query top-5
-    (local top-k), so the final exact top-5 window sees ≤ 5·n_batches rows
-    per query instead of the full n_corpus — the classic partial-top-k
-    pattern that survives a 1000-executor corpus."""
+    Scale shape: the (constant-size) query matrix is collected and
+    broadcast; one mapInPandas pass over the corpus computes ALL query dots
+    per Arrow batch as a single integer matmul and emits only each batch's
+    per-query top-5 (local top-k), so the final exact top-5 window sees
+    ≤ 5·n_batches rows per query instead of the full n_corpus — the classic
+    partial-top-k pattern that survives a 1000-executor corpus."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     e = _t(spark, sf_dir, "embeddings")
-    qrows = (e.where(F.col("vec_id") % QVEC_MOD == 0)
+    qrows = (e.where((F.col("vec_id") % QVEC_MOD == 0)
+                     & (F.col("vec_id") < QVEC_CAP))
              .select("vec_id", "embedding").collect())
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     qmat = np.rint(np.array([r.embedding for r in qrows],
@@ -394,7 +400,7 @@ dots AS (
   SELECT a.vec_id AS qid, b.vec_id AS nid,
          CAST(SUM(a.q * b.q) AS BIGINT) AS dot_q
   FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
-  WHERE a.vec_id % {QVEC_MOD} = 0
+  WHERE a.vec_id % {QVEC_MOD} = 0 AND a.vec_id < {QVEC_CAP}
   GROUP BY 1, 2),
 ranked AS (
   SELECT qid, nid, dot_q,
@@ -468,7 +474,23 @@ def q_dedup_embedding_near(spark, sf_dir):
     come from equi-joins on (band, bucket), never a cross join, so at 10^12
     vectors the shuffle is keyed on buckets and AQE splits any hot bucket;
     the exact verify touches candidates only.
-    """
+
+    Round-2 cheapening (VERDICT perf #5): the band stage emits the
+    int16-quantized vector alongside (band, bucket) — the SAME np.rint
+    quantization the verify always used, and |q| ≤ 578 fits int16 — and the
+    verify runs BUCKET-LOCALLY: one applyInPandas group per (band, bucket)
+    does the all-pairs integer matmul (Q @ Q.T) inside the group and emits
+    only the qualifying pairs. The round-1 plan shipped every candidate
+    pair (2×512-byte float64 arrays each, ~2.3M rows at sf0.1) through a
+    self-join + two embedding joins + a distinct; all of that is gone — the
+    only shuffle left keys the 128-byte quantized rows by bucket, and the
+    qualifying-pair output is 5 orders of magnitude smaller than the
+    candidate set. Pairs sharing several bands produce the identical dot in
+    each (≤ 3) and collapse in the final cheap groupBy on 24-byte rows.
+    Skew note: a pathologically hot bucket is one task here; at 10^12 rows
+    cap bucket size by adding bands/planes (recall knob), or chunk the
+    matmul — the m² candidate pairs are inherent to LSH near-dup either
+    way."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -489,6 +511,7 @@ def q_dedup_embedding_near(spark, sf_dir):
         T.StructField("vec_id", T.LongType()),
         T.StructField("band", T.LongType()),
         T.StructField("bucket", T.LongType()),
+        T.StructField("q", T.ArrayType(T.ShortType())),
     ])
 
     def band_buckets(batches):
@@ -502,54 +525,43 @@ def q_dedup_embedding_near(spark, sf_dir):
             weights = 1 << np.arange(PLANES_PER_BAND, dtype=np.int64)
             buckets = bits.reshape(len(q), N_BANDS, PLANES_PER_BAND) @ weights
             vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            q16 = list(q.astype(np.int16))
             yield pd.DataFrame({
                 "vec_id": np.repeat(vid, N_BANDS),
                 "band": np.tile(np.arange(N_BANDS, dtype=np.int64), len(q)),
-                "bucket": buckets.ravel()})
+                "bucket": buckets.ravel(),
+                "q": [q16[k] for k in np.repeat(np.arange(len(q)), N_BANDS)],
+            })
 
     bands = e.select("vec_id", "embedding").mapInPandas(band_buckets,
                                                         band_schema)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
-                       F.col("a.bucket") == F.col("b.bucket"),
-                       F.col("a.vec_id") < F.col("b.vec_id")])
-            .select(F.col("a.vec_id").alias("va"),
-                    F.col("b.vec_id").alias("vb")).distinct())
-    # exact verify: attach both embedding arrays and compute the quantized
-    # dot in one vectorized numpy pass per Arrow batch (same pattern as
-    # q_cosine_topk) — a SQL explode-join here shuffles |cand| x 64 rows,
-    # measured 6x slower than the rest of the suite combined
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    ea = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
-    eb = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
-    pairs = cand.join(ea, "va").join(eb, "vb")
     schema = T.StructType([
         T.StructField("vec_a", T.LongType()),
         T.StructField("vec_b", T.LongType()),
         T.StructField("dot_q", T.LongType()),
     ])
 
-    def verify(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            qa = np.rint(np.stack(pdf["ea"].to_numpy())
-                         .astype(np.float64) * 1000.0).astype(np.int64)
-            qb = np.rint(np.stack(pdf["eb"].to_numpy())
-                         .astype(np.float64) * 1000.0).astype(np.int64)
-            dot = np.einsum("ij,ij->i", qa, qb)
-            n2a = np.einsum("ij,ij->i", qa, qa)
-            n2b = np.einsum("ij,ij->i", qb, qb)
-            keep = (dot > 0) & (25 * dot * dot >= 4 * n2a * n2b)
-            yield pd.DataFrame({
-                "vec_a": pdf["va"].to_numpy()[keep],
-                "vec_b": pdf["vb"].to_numpy()[keep],
-                "dot_q": dot[keep]})
+    def bucket_verify(_key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "dot_q": []},
+                                dtype="int64")
+        vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(vid)                  # triu ⇒ vec_a < vec_b
+        vid = vid[order]
+        q = np.stack(pdf["q"].to_numpy())[order].astype(np.int64)
+        dots = q @ q.T
+        n2 = np.einsum("ij,ij->i", q, q)
+        iu, ju = np.triu_indices(len(vid), k=1)
+        dot = dots[iu, ju]
+        keep = (dot > 0) & (25 * dot * dot >= 4 * n2[iu] * n2[ju])
+        return pd.DataFrame({"vec_a": vid[iu[keep]],
+                             "vec_b": vid[ju[keep]],
+                             "dot_q": dot[keep]})
 
-    return pairs.mapInPandas(verify, schema)
+    return (bands.groupBy("band", "bucket").applyInPandas(bucket_verify,
+                                                          schema)
+            .groupBy("vec_a", "vec_b")
+            .agg(F.max("dot_q").alias("dot_q")))
 
 
 ORACLE_EMB_NEAR = f"""
