@@ -55,7 +55,7 @@ def _images_table(spark, n_images: int) -> str:
 
     # v2: full input-hint schema (bytes/caption/phash columns present;
     # flagship prunes them — the path name keys the cache to the schema)
-    root = f"/tmp/spark_shp_bench/images_v2_{n_images}"
+    root = f"/tmp/spark_shp_bench/images_v3_{n_images}"
     try:
         ice.read_table(spark, root)
         return root

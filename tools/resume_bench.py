@@ -25,6 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 N = int(os.environ.get("RESUME_IMAGES", "24000000"))
+STAGE_INPUT = os.environ.get("RESUME_STAGE_INPUT", "1") == "1"
 OUT = f"/tmp/spark_shp_bench/resume_{N}"
 
 
@@ -59,7 +60,8 @@ def _job(out_dir: str, kill_after: int | None):
         threading.Thread(target=watcher, daemon=True).start()
 
     res = lineage.checkpointed_write(df, out_dir, "tile",
-                                     bucket_col="bucket", cell_col="cell")
+                                     bucket_col="bucket", cell_col="cell",
+                                     stage_input=STAGE_INPUT)
     print(json.dumps(res))
 
 
@@ -110,6 +112,7 @@ def main():
         "uninterrupted_sec": round(ref_s, 1),
         "killed_run_sec": round(kill_s, 1),
         "resume_sec": round(resume_s, 1),
+        "stage_input": STAGE_INPUT,
     }))
 
 
