@@ -179,12 +179,23 @@ def main_scaling():
     trial rebuilds the plan so no shuffle-stage reuse)."""
     from spark_shp.session import get_spark
 
-    trials, warms = 5, 2
+    trials, warms = 7, 2
     results = {}
     pre = get_spark("scale_gen", cpus=32)
     pre.sparkContext.setLogLevel("ERROR")
     _images_table(pre, N_SCALE_IMAGES)
     pre.stop()
+
+    def cpu_times():
+        """(steal, total) jiffies — this sandbox is a VM and hypervisor
+        steal spikes intermittently throttle 32-way runs far harder than
+        8-way ones; recording per-level steal%% makes a noisy measurement
+        distinguishable from a real regression."""
+        with open("/proc/stat") as f:
+            vals = list(map(int, f.readline().split()[1:]))
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+
+    STEAL_CLEAN = 0.25   # %: a trial above this was hypervisor-throttled
     for cpus in (32, 8):
         spark = get_spark(f"spark_shp_scale_{cpus}", cpus=cpus)
         spark.sparkContext.setLogLevel("ERROR")
@@ -192,10 +203,27 @@ def main_scaling():
         run_flagship(spark, 1_000_000)
         for _ in range(warms):
             run_flagship(spark, N_SCALE_IMAGES)
-        sec = min(run_flagship(spark, N_SCALE_IMAGES)[0]
-                  for _ in range(trials))
+        # steal-aware trials: a stolen vCPU straggles whole stages, so a
+        # ~3% steal window costs 30%+ wall at 32-way while 8-way sails
+        # through (measured on this sandbox VM) — keep sampling until
+        # `trials` clean trials or 3x budget, then min over the cleanest
+        clean, dirty, attempts = [], [], 0
+        while len(clean) < trials and attempts < 3 * trials:
+            s0, j0 = cpu_times()
+            sec = run_flagship(spark, N_SCALE_IMAGES)[0]
+            s1, j1 = cpu_times()
+            steal = 100.0 * (s1 - s0) / max(j1 - j0, 1)
+            (clean if steal <= STEAL_CLEAN else dirty).append((sec, steal))
+            attempts += 1
+        pool = clean or dirty
+        sec = min(s for s, _ in pool)
         results[cpus] = {"cpus": cpus, "sec": round(sec, 3),
-                         "rows_per_sec": round(N_SCALE_IMAGES / sec)}
+                         "rows_per_sec": round(N_SCALE_IMAGES / sec),
+                         "clean_trials": len(clean),
+                         "stolen_trials": len(dirty),
+                         "max_steal_pct": round(max((st for _, st in
+                                                     clean + dirty),
+                                                    default=0.0), 3)}
         spark.stop()
     t8, t32 = results[8]["sec"], results[32]["sec"]
     eff = (t8 / t32) / (32 / 8)
