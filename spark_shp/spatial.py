@@ -128,14 +128,16 @@ MAX_INLINE_EDGES = 64
 AUTO_BROADCAST_MAX_POLYS = 4096
 
 
-def _inline_parity_predicate(max_e: int, lon_col: str, lat_col: str) -> str:
-    """Even-odd ray-cast as ONE whole-stage-codegen SQL predicate over flat
-    edge columns ``_ej{i}_{x1,y1,x2,y2}``.
+def _inline_crossings_sum(max_e: int, lon_col: str, lat_col: str) -> str:
+    """Ray-cast crossing COUNT as one whole-stage-codegen SQL expression
+    over flat edge columns ``_ej{i}_{x1,y1,x2,y2}``.
 
     Bit-identical arithmetic to :func:`geom.crossings` (same half-open rule
     ``(y1 > py) != (y2 > py)``, same left-to-right float64 expression for the
     crossing x). Padding slots are degenerate edges (0,0,0,0): the straddle
-    conjunct is false, so they contribute 0 crossings.
+    conjunct is false, so they contribute 0 crossings. Crossings are
+    ADDITIVE over any partition of the edge set — the chunked distributed
+    path sums this expression across edge chunks before taking parity.
     """
     terms = []
     for i in range(max_e):
@@ -145,7 +147,13 @@ def _inline_parity_predicate(max_e: int, lon_col: str, lat_col: str) -> str:
             f"CASE WHEN (({y1} > {lat_col}) <> ({y2} > {lat_col})) AND "
             f"({lon_col} < {x1} + ({lat_col} - {y1}) * ({x2} - {x1}) / "
             f"({y2} - {y1})) THEN 1 ELSE 0 END")
-    return f"({' + '.join(terms)}) % 2 = 1"
+    return f"({' + '.join(terms)})"
+
+
+def _inline_parity_predicate(max_e: int, lon_col: str, lat_col: str) -> str:
+    """Even-odd ray-cast as ONE codegen SQL predicate (see
+    :func:`_inline_crossings_sum`)."""
+    return f"{_inline_crossings_sum(max_e, lon_col, lat_col)} % 2 = 1"
 
 
 def _probe_layer(polys: DataFrame) -> tuple[int, int]:
@@ -208,10 +216,55 @@ def polygon_cover_edges(polys: DataFrame, level: int,
             .mapInPandas(cover, schema))
 
 
+def polygon_cover_edges_chunked(polys: DataFrame, level: int,
+                                chunk_edges: int) -> DataFrame:
+    """Distributed (poly_id, chunk_no, cell_id, edge-columns) cover for
+    polygons of ANY edge count: each polygon's edge table splits into
+    ⌈E/chunk_edges⌉ degenerate-padded chunks and every cover cell carries
+    every chunk. Crossing counts are additive over the chunk partition, so
+    the downstream join refines by SUMming the inline crossings expression
+    per (point, polygon) and taking parity — arbitrarily large polygons
+    with no Python refine and no driver-side layer collect (the two things
+    the other >64-edge paths required)."""
+    cols = (["poly_id", "chunk_no", "cell_id"]
+            + [f"_ej{i}_{k}" for i in range(chunk_edges)
+               for k in ("x1", "y1", "x2", "y2")])
+    schema = T.StructType(
+        [T.StructField("poly_id", T.LongType()),
+         T.StructField("chunk_no", T.LongType()),
+         T.StructField("cell_id", T.LongType())]
+        + [T.StructField(c, T.DoubleType()) for c in cols[3:]])
+
+    def cover(pdf_iter):
+        for pdf in pdf_iter:
+            out = []
+            for pid, bbox, coords in zip(pdf["poly_id"], pdf["bbox"],
+                                         pdf["coordinates"]):
+                raw = coords if coords is not None else []
+                e = geom.rings_to_edges(
+                    [np.stack([np.asarray(p, dtype=np.float64)
+                               for p in ring])
+                     for poly in raw for ring in poly])
+                n_chunks = max(1, -(-len(e) // chunk_edges))
+                pad = np.zeros((n_chunks * chunk_edges, 4))
+                pad[: len(e)] = e
+                chunks = pad.reshape(n_chunks, chunk_edges * 4)
+                cc = _bbox_cover_np(bbox["xmin"], bbox["ymin"],
+                                    bbox["xmax"], bbox["ymax"], level)
+                for c in cc.tolist():
+                    for k in range(n_chunks):
+                        out.append((pid, k, c, *chunks[k]))
+            yield pd.DataFrame(out, columns=cols)
+
+    return (polys.select("poly_id", "bbox", "coordinates")
+            .mapInPandas(cover, schema))
+
+
 def spatial_join(points: DataFrame, polys: DataFrame, lon_col: str,
                  lat_col: str, level: int = 6,
                  broadcast_cover: bool | None = None,
                  distributed_inline_edges: int | None = None,
+                 distributed_chunked: bool = False,
                  salt_hot: int = 0, salt_factor: int = 16) -> DataFrame:
     """B7: inner point-in-polygon join → points columns + ``poly_id``.
 
@@ -227,8 +280,11 @@ def spatial_join(points: DataFrame, polys: DataFrame, lon_col: str,
         refine when max_e ≤ MAX_INLINE_EDGES, Arrow kernel refine above);
       * bigger layer, inline-able polygons → distributed-inline path (the
         5.9x-at-192M plan; composes with salt_hot);
-      * bigger layer, >MAX_INLINE_EDGES polygons → distributed cover +
-        Arrow refine.
+      * bigger layer, >MAX_INLINE_EDGES polygons → CHUNKED
+        distributed-inline path (crossings are additive over edge chunks:
+        sum the inline crossings expression per (point, polygon), parity
+        at the end) — still zero Python refine and zero driver-side layer
+        collect, at the cost of one (rid, poly)-keyed count aggregation.
     Callers with a known shape pass broadcast_cover explicitly and skip the
     probe (every repeated-query site in queries_*.py does).
 
@@ -251,11 +307,44 @@ def spatial_join(points: DataFrame, polys: DataFrame, lon_col: str,
             broadcast_cover = True
         else:
             broadcast_cover = False
-            if (distributed_inline_edges is None
-                    and 0 < max_edges <= MAX_INLINE_EDGES):
-                distributed_inline_edges = max_edges
+            if distributed_inline_edges is None and max_edges > 0:
+                if max_edges <= MAX_INLINE_EDGES:
+                    distributed_inline_edges = max_edges
+                else:
+                    distributed_inline_edges = MAX_INLINE_EDGES
+                    distributed_chunked = True
     pts = tile_assign(points, lon_col, lat_col, level, "_sj_cell")
     if not broadcast_cover:
+        if distributed_inline_edges and distributed_chunked:
+            # chunked distributed-inline: cover rows carry ⌈E/chunk⌉ edge
+            # chunks per polygon; refine = SUM of the codegen crossings
+            # expression over a (row-id, poly) group, parity at the end.
+            # Crossings are additive over any edge partition, so this is
+            # exact for polygons of ANY size — no Python, no layer collect.
+            # The transient _sj_rid keeps duplicate point rows distinct
+            # through the aggregation (it never reaches the output).
+            max_e = distributed_inline_edges
+            cover = (polygon_cover_edges_chunked(polys, level, max_e)
+                     .withColumnRenamed("cell_id", "_sj_cell"))
+            pts_r = pts.withColumn("_sj_rid",
+                                   F.monotonically_increasing_id())
+            if salt_hot:
+                pts_s, hot = salt_hot_cells(pts_r, "_sj_cell",
+                                            top_n=salt_hot,
+                                            salt_factor=salt_factor)
+                cover_s = explode_salts(cover, "_sj_cell", hot,
+                                        salt_factor=salt_factor)
+                cand = pts_s.join(cover_s.drop("_sj_cell"), "_salted_cell")
+            else:
+                cand = pts_r.join(cover, "_sj_cell", "inner")
+            cross = F.expr(_inline_crossings_sum(max_e, lon_col, lat_col))
+            pt_cols = list(points.columns)
+            agg = (cand.withColumn("_cross", cross)
+                   .groupBy("_sj_rid", "poly_id")
+                   .agg(*[F.first(c).alias(c) for c in pt_cols],
+                        F.sum("_cross").alias("_crossings")))
+            return (agg.where(F.col("_crossings") % 2 == 1)
+                    .select(*pt_cols, "poly_id"))
         if distributed_inline_edges:
             # big layer, small polygons: distributed cover CARRIES the
             # padded edge columns, candidate equi-join shuffles on cell,

@@ -222,3 +222,68 @@ def test_empty_edge_layer_returns_empty(spark, points_df):
                                broadcast_cover=True)
     assert out.count() == 0
     assert "poly_id" in out.columns
+
+
+def _circle_layer(spark, n_edges=101, cx=10.0, cy=0.0, r=40.0, pid=0):
+    import math
+    from pyspark.sql import types as T
+    ring = [[math.cos(2 * math.pi * k / n_edges) * r + cx,
+             math.sin(2 * math.pi * k / n_edges) * r + cy]
+            for k in range(n_edges + 1)]
+    schema = T.StructType([
+        T.StructField("poly_id", T.LongType()),
+        T.StructField("coordinates", T.ArrayType(T.ArrayType(
+            T.ArrayType(T.ArrayType(T.DoubleType()))))),
+        T.StructField("bbox", T.StructType([
+            T.StructField(k, T.DoubleType())
+            for k in ("xmin", "ymin", "xmax", "ymax")])),
+    ])
+    return spark.createDataFrame(
+        [(pid, [[ring]], (cx - r, cy - r, cx + r, cy + r))], schema)
+
+
+def test_chunked_distributed_inline_matches_arrow(spark, points_df):
+    """Crossings are additive over edge chunks: the chunked
+    distributed-inline join must equal the Arrow-refine ground truth on a
+    >64-edge polygon, with no Python refine stage and no layer collect."""
+    big = _circle_layer(spark, n_edges=101)
+    want = {(r.pid, r.poly_id) for r in spatial.spatial_join(
+        points_df, big, "lon", "lat", level=6,
+        broadcast_cover=True).select("pid", "poly_id").collect()}
+    assert len(want) > 0
+    chunked = spatial.spatial_join(
+        points_df, big, "lon", "lat", level=6, broadcast_cover=False,
+        distributed_inline_edges=16, distributed_chunked=True)
+    got = {(r.pid, r.poly_id)
+           for r in chunked.select("pid", "poly_id").collect()}
+    assert got == want
+    plan = chunked._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan     # no grouped-Python refine
+    # chunked + salted composes
+    salted = spatial.spatial_join(
+        points_df, big, "lon", "lat", level=6, broadcast_cover=False,
+        distributed_inline_edges=16, distributed_chunked=True,
+        salt_hot=4, salt_factor=8)
+    got_s = {(r.pid, r.poly_id)
+             for r in salted.select("pid", "poly_id").collect()}
+    assert got_s == want
+    # output columns: original point columns + poly_id, no transient keys
+    assert chunked.columns == points_df.columns + ["poly_id"]
+
+
+def test_auto_route_big_layer_many_edges_goes_chunked(spark, points_df,
+                                                      monkeypatch):
+    """Auto-route: a layer above the broadcast threshold whose polygons
+    exceed MAX_INLINE_EDGES must take the chunked path (round 1 fell back
+    to an Arrow refine that collected the whole layer driver-side)."""
+    big = _circle_layer(spark, n_edges=101)
+    monkeypatch.setattr(spatial, "AUTO_BROADCAST_MAX_POLYS", 0)
+    auto = spatial.spatial_join(points_df, big, "lon", "lat", level=6)
+    want = {(r.pid, r.poly_id) for r in spatial.spatial_join(
+        points_df, big, "lon", "lat", level=6,
+        broadcast_cover=True).select("pid", "poly_id").collect()}
+    got = {(r.pid, r.poly_id)
+           for r in auto.select("pid", "poly_id").collect()}
+    assert got == want and len(want) > 0
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
