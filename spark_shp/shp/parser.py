@@ -274,8 +274,24 @@ def parse_shp_vertices_columns(buf: bytes, trans=None):
     raw = np.frombuffer(buf, np.uint8)
 
     def gather(starts, lens):
-        """Vectorized ranges→bytes: one fancy-index gather, O(total)."""
+        """Vectorized ranges→bytes: one fancy-index gather, O(total).
+
+        When every (start, len) is 8- or 4-aligned — true for the parts
+        and coordinate tables of well-formed files, whose offsets and
+        sizes are all multiples of 4 — the gather runs on an int64/int32
+        view of the buffer: 4–8x fewer indices to materialize and move
+        (the round-1 residual lever, ~0.3 s per 38 MB at byte
+        granularity). Falls back to the byte gather otherwise."""
         total = int(lens.sum())
+        for unit, code in ((8, "<u8"), (4, "<u4")):
+            if (not np.any(starts % unit)) and (not np.any(lens % unit)):
+                v = raw[: (len(raw) // unit) * unit].view(code)
+                lu = lens // unit
+                seg_starts = np.cumsum(lu) - lu
+                within = (np.arange(total // unit, dtype=np.int64)
+                          - np.repeat(seg_starts, lu))
+                out = v[np.repeat(starts // unit, lu) + within]
+                return out.view(np.uint8)
         seg_starts = np.cumsum(lens) - lens
         within = np.arange(total, dtype=np.int64) - np.repeat(seg_starts,
                                                               lens)
