@@ -234,18 +234,21 @@ def q_knn_events_nations(spark, sf_dir):
 
 def q_knn_events_nations_cells(spark, sf_dir):
     """B8 scale path under the driver gate: identical contract to
-    q_knn_events_nations but via cell-ring expansion (knn_join_cells).
-    level=2 / max_ring=4 make the ring cover the whole 4x4 grid, so the
-    result is provably the exact global kNN — same oracle SQL as the
-    broadcast path, double-checking both implementations against DuckDB."""
+    q_knn_events_nations but via certify-or-repair cell-ring expansion
+    (knn_join_cells_exact). level=3 / max_ring=1 is DELIBERATELY too
+    tight for the plain ring join — many points' true neighbors fall
+    outside one ring — so this query exercises both the ring candidate
+    path and the per-point coverage proof + brute-force repair, and the
+    oracle (the same global-kNN SQL as the broadcast path) verifies the
+    composition is still exactly the global kNN."""
     pts = _event_points(spark, sf_dir).where(F.col("event_id") % 10 == 0)
     n = _t(spark, sf_dir, "nation")
     dims = n.selectExpr("n_nationkey",
                         f"{fixtures.NATION_CLON_SQL} AS dim_lon",
                         f"{fixtures.NATION_CLAT_SQL} AS dim_lat")
-    j = spatial.knn_join_cells(pts, dims, 3, "lon", "lat",
-                               "dim_lon", "dim_lat", "n_nationkey",
-                               "event_id", level=2, max_ring=4)
+    j = spatial.knn_join_cells_exact(pts, dims, 3, "lon", "lat",
+                                     "dim_lon", "dim_lat", "n_nationkey",
+                                     "event_id", level=3, max_ring=1)
     return j.select("event_id", "n_nationkey", "knn_rank")
 
 

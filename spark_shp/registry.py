@@ -17,7 +17,10 @@ from . import queries_rel, queries_shp, queries_spatial, queries_text
 
 # Same-operator variants parked beyond the driver's 50-query window.
 # Each name's operator family keeps >=1 in-window row:
-#   knn_events_nations_cells  -> B8 via knn_events_nations (same oracle)
+#   knn_events_nations        -> B8 via knn_events_nations_cells (same
+#                                oracle; the cells variant stays in-window
+#                                because it exercises the certify-or-repair
+#                                scale path, the richer half of B8)
 #   revenue_by_nation         -> C3/C6 via semi/anti/outer + pricing_summary
 #   window_top3/lag_lead/ntile-> C7 via window_running_totals (C8 top-k via
 #                                images_hot_cell's orderBy+limit)
@@ -26,7 +29,7 @@ from . import queries_rel, queries_shp, queries_spatial, queries_text
 #   distinct_counts           -> C6 distinct via cell_hierarchy/sliding_window
 #   percentiles_exact         -> C6 via pricing/rollup/cube/pivot
 _TAIL = [
-    "knn_events_nations_cells",
+    "knn_events_nations",
     "revenue_by_nation",
     "window_top3_per_brand",
     "window_lag_lead_gaps",

@@ -445,7 +445,7 @@ def knn_join_broadcast(points: DataFrame, dims: DataFrame, k: int,
 def knn_join_cells(points: DataFrame, dims: DataFrame, k: int,
                    lon_col: str, lat_col: str, dim_lon: str, dim_lat: str,
                    dim_id: str, point_id: str, level: int = 4,
-                   max_ring: int = 4) -> DataFrame:
+                   max_ring: int = 4, keep_dist: bool = False) -> DataFrame:
     """B8 (scale path): cell-ring expansion kNN.
 
     Both sides tile-assigned at ``level``; candidate pairs = points joined to
@@ -473,10 +473,63 @@ def knn_join_cells(points: DataFrame, dims: DataFrame, k: int,
     d2 = ((F.col(lon_col) - F.col(dim_lon)) ** 2
           + (F.col(lat_col) - F.col(dim_lat)) ** 2)
     w = W.partitionBy(point_id).orderBy(F.col("_d2").asc(), F.col(dim_id).asc())
-    return (j.withColumn("_d2", d2)
-             .withColumn("knn_rank", F.row_number().over(w))
-             .where(F.col("knn_rank") <= k)
-             .dropDuplicates([point_id, dim_id]).drop("_d2"))
+    out = (j.withColumn("_d2", d2)
+           .withColumn("knn_rank", F.row_number().over(w))
+           .where(F.col("knn_rank") <= k)
+           .dropDuplicates([point_id, dim_id]))
+    return out if keep_dist else out.drop("_d2")
+
+
+def knn_join_cells_exact(points: DataFrame, dims: DataFrame, k: int,
+                         lon_col: str, lat_col: str, dim_lon: str,
+                         dim_lat: str, dim_id: str, point_id: str,
+                         level: int | None = None,
+                         max_ring: int = 2) -> DataFrame:
+    """B8, always-exact scale path: cell-ring kNN plus a per-point coverage
+    guarantee with brute-force repair.
+
+    ``knn_join_cells`` is exact only when each point's k NNs lie within
+    ``max_ring`` cells — a sizing contract the caller had to get right.
+    This wrapper (a) auto-sizes ``level`` from the dim count so a ring
+    holds ~8k dims in expectation (one count() job, uniformity
+    assumption), and (b) PROVES exactness per point: a ring of radius r
+    is guaranteed to contain every dim within euclidean distance
+    (r-1)·min(cell_w, cell_h) of the point, so any point whose kth
+    candidate lies within that reach (and that found ≥ k candidates) has
+    a certified-correct top-k. The residual points — sparse-region
+    stragglers, typically a vanishing fraction — re-run through the
+    broadcast brute-force join. Output = certified rows ∪ repaired rows,
+    exactly equal to the brute-force join on every input.
+    """
+    import math
+
+    if level is None:
+        n_dims = dims.count()
+        cells_target = max(1.0, n_dims * (2 * max_ring + 1) ** 2
+                           / max(8 * k, 1))
+        level = max(1, min(12, int(math.log(cells_target, 4))))
+    got = knn_join_cells(points, dims, k, lon_col, lat_col, dim_lon,
+                         dim_lat, dim_id, point_id, level=level,
+                         max_ring=max_ring, keep_dist=True)
+    cell_w = 360.0 / (1 << level)
+    cell_h = 170.0 / (1 << level)
+    reach = max(max_ring - 1, 0) * min(cell_w, cell_h)
+    per = (got.groupBy(point_id)
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.max("_d2").alias("_maxd2")))
+    # certify (not flag): a point with ZERO ring candidates has no row in
+    # `per` at all, so selecting the provably-good set and anti-joining
+    # catches it, where a bad-set join would silently drop it
+    good_ids = per.where((F.col("_n") >= k)
+                         & (F.col("_maxd2") <= reach * reach)
+                         ).select(point_id)
+    certified = got.join(good_ids, point_id, "left_semi").drop("_d2")
+    # repair set: usually empty/tiny; brute force assumes dims is
+    # broadcastable (it is whenever the broadcast path was an option)
+    repair_pts = points.join(good_ids, point_id, "left_anti")
+    repaired = knn_join_broadcast(repair_pts, dims, k, lon_col, lat_col,
+                                  dim_lon, dim_lat, dim_id, point_id)
+    return certified.unionByName(repaired.select(*certified.columns))
 
 
 def range_join(points: DataFrame, dims: DataFrame, radius: float,

@@ -287,3 +287,32 @@ def test_auto_route_big_layer_many_edges_goes_chunked(spark, points_df,
     assert got == want and len(want) > 0
     plan = auto._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_knn_exact_repairs_undersized_ring(spark, points_df):
+    """knn_join_cells_exact == brute force EVEN when the ring is sized too
+    small for plain knn_join_cells to be correct (certify-or-repair), and
+    with auto-sized level."""
+    import pandas as pd
+    j = np.arange(64)
+    params = [fixtures.fence_params(int(x)) for x in j]
+    dims = spark.createDataFrame(pd.DataFrame({
+        "fid": j, "dlon": [p[0] for p in params],
+        "dlat": [p[1] for p in params]}))
+    pts = points_df.where(F.col("pid") % 10 == 0)
+    want = {(r.pid, r.fid, r.knn_rank) for r in spatial.knn_join_broadcast(
+        pts, dims, 3, "lon", "lat", "dlon", "dlat", "fid", "pid").collect()}
+    # deliberately undersized: level 5, ring 1 — the plain cells join WILL
+    # miss neighbors here; exact must repair to brute-force equality
+    plain = {(r.pid, r.fid, r.knn_rank) for r in spatial.knn_join_cells(
+        pts, dims, 3, "lon", "lat", "dlon", "dlat", "fid", "pid",
+        level=5, max_ring=1).collect()}
+    assert plain != want          # the sizing really is too small
+    got = {(r.pid, r.fid, r.knn_rank) for r in spatial.knn_join_cells_exact(
+        pts, dims, 3, "lon", "lat", "dlon", "dlat", "fid", "pid",
+        level=5, max_ring=1).collect()}
+    assert got == want
+    # auto-sized level (level=None probes the dim count)
+    auto = {(r.pid, r.fid, r.knn_rank) for r in spatial.knn_join_cells_exact(
+        pts, dims, 3, "lon", "lat", "dlon", "dlat", "fid", "pid").collect()}
+    assert auto == want
