@@ -409,6 +409,76 @@ FROM pairs GROUP BY poly_id
 """
 
 
+# --- B7 chunked path: many-edge polygons, distributed, oracle-checked -------------
+
+def _bigpoly_rings() -> dict[int, list[list[tuple[float, float]]]]:
+    """Two many-edge polygons known by construction: a 48-edge circle with
+    a 24-edge hole, and an 80-edge circle — both above MAX_INLINE_EDGES
+    in total so the single-chunk inline path can't take them."""
+    import math
+
+    def circle(cx, cy, r, n):
+        return [(cx + r * math.cos(2 * math.pi * k / n),
+                 cy + r * math.sin(2 * math.pi * k / n))
+                for k in range(n)] + [(cx + r, cy)]
+
+    return {0: [circle(20.0, 10.0, 25.0, 48), circle(20.0, 10.0, 10.0, 24)],
+            1: [circle(-60.0, -30.0, 20.0, 80)]}
+
+
+def _bigpoly_df(spark) -> DataFrame:
+    rows = []
+    for pid, rings in _bigpoly_rings().items():
+        xs = [p[0] for ring in rings for p in ring]
+        ys = [p[1] for ring in rings for p in ring]
+        rows.append((pid, [[[list(p) for p in ring] for ring in rings]],
+                     (min(xs), min(ys), max(xs), max(ys))))
+    schema = T.StructType([
+        T.StructField("poly_id", T.LongType()),
+        T.StructField("coordinates", T.ArrayType(T.ArrayType(
+            T.ArrayType(T.ArrayType(T.DoubleType()))))),
+        T.StructField("bbox", T.StructType(
+            [T.StructField(n, T.DoubleType())
+             for n in ("xmin", "ymin", "xmax", "ymax")])),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def _bigpoly_edges_values_sql() -> str:
+    rows = []
+    for pid, rings in _bigpoly_rings().items():
+        for ring in rings:
+            for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+                rows.append(f"({pid},{x1!r},{y1!r},{x2!r},{y2!r})")
+    return (f"(SELECT * FROM (VALUES {','.join(rows)}) "
+            f"AS fe(poly_id, x1, y1, x2, y2))")
+
+
+def q_spatial_join_chunked(spark, sf_dir):
+    """B7 chunked distributed-inline path under the DRIVER gate: event
+    points PIP-joined to >MAX_INLINE_EDGES polygons (72- and 80-edge, one
+    with a hole) via edge-chunked cover rows + summed codegen crossings —
+    the route auto-picked for big many-edge layers, here forced explicitly
+    with chunk=16 (5 chunks/polygon). The oracle ray-casts the identical
+    edge table in SQL; even-odd hole semantics included."""
+    pts = _event_points(spark, sf_dir)
+    polys = _bigpoly_df(spark)
+    j = spatial.spatial_join(pts, polys, "lon", "lat", level=LVL,
+                             broadcast_cover=False,
+                             distributed_inline_edges=16,
+                             distributed_chunked=True)
+    return j.select("event_id", "poly_id")
+
+
+ORACLE_SJ_CHUNKED = f"""
+SELECT e.event_id, fe.poly_id
+FROM {EVENT_POINTS_SQL} e
+CROSS JOIN {_bigpoly_edges_values_sql()} fe
+GROUP BY e.event_id, fe.poly_id, e.lon, e.lat
+HAVING SUM({geom.pip_sql('e.lon', 'e.lat')}) % 2 = 1
+"""
+
+
 # --- B10: raster↔vector clip coverage (oracle-checked half of clip_stats) ---------
 
 N_CLIP_IMGS = 24
@@ -504,6 +574,7 @@ QUERIES: dict = {
     "polygon_cover_nations": (q_polygon_cover_nations, ORACLE_COVER),
     "spatial_join_pairs": (q_spatial_join_pairs, ORACLE_SJ_PAIRS),
     "spatial_join_agg": (q_spatial_join_agg, ORACLE_SJ_AGG),
+    "spatial_join_chunked": (q_spatial_join_chunked, ORACLE_SJ_CHUNKED),
     "knn_events_nations": (q_knn_events_nations, ORACLE_KNN),
     "knn_events_nations_cells": (q_knn_events_nations_cells, ORACLE_KNN),
     "range_join_counts": (q_range_join_counts, ORACLE_RANGE),
