@@ -455,6 +455,138 @@ FROM buckets GROUP BY bucket
 """
 
 
+# --- IVF ANN: coarse-quantizer buckets + nprobe search ---------------------------
+
+IVF_CENT_MOD, IVF_CENT_CAP = 100, 1600   # centroids: ≤ 16, fixed at any scale
+IVF_Q_MOD, IVF_Q_CAP = 250, 2500         # queries:   ≤ 10, fixed at any scale
+IVF_NPROBE, IVF_TOPK = 2, 3
+
+
+def q_ann_ivf_search(spark, sf_dir):
+    """IVF-style ANN (the brief's second scale path next to sign-LSH):
+    a bounded deterministic centroid set (vectors with id % 100 == 0,
+    id < 1600 — a stand-in coarse quantizer; swap in k-means centroids on
+    a real corpus) partitions the corpus by nearest-centroid (integer L2,
+    ties to the smaller centroid id); a bounded query set probes its
+    IVF_NPROBE nearest centroids and exact-searches ONLY those inverted
+    lists for its top-3 (quantized dot, ties to smaller vec id).
+
+    Scale shape: assignment is one Arrow pass (integer matmul against the
+    broadcast ≤16×64 centroid matrix) — the corpus shuffles once, keyed by
+    centroid; search touches nprobe/ncentroids of the corpus. All math is
+    round(x*1000) int64, so the DuckDB oracle reproduces every rank
+    bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent_rows = (e.where((F.col("vec_id") % IVF_CENT_MOD == 0)
+                         & (F.col("vec_id") < IVF_CENT_CAP))
+                 .select("vec_id", "embedding").collect())
+    cent_rows.sort(key=lambda r: r.vec_id)
+    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    cmat = np.rint(np.array([r.embedding for r in cent_rows],
+                            dtype=np.float64) * 1000.0).astype(np.int64)
+    qrows = (e.where((F.col("vec_id") % IVF_Q_MOD == 0)
+                     & (F.col("vec_id") < IVF_Q_CAP))
+             .select("vec_id", "embedding").collect())
+    qrows.sort(key=lambda r: r.vec_id)
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qmat = np.rint(np.array([r.embedding for r in qrows],
+                            dtype=np.float64) * 1000.0).astype(np.int64)
+
+    def nearest_cents(mat, n):
+        """(rows, n) centroid ids by ascending integer L2, tie → smaller."""
+        d = ((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        order = np.lexsort((np.broadcast_to(cids, d.shape), d), axis=1)
+        return cids[order[:, :n]]
+
+    probes = {int(q): nearest_cents(qmat, IVF_NPROBE)[i]
+              for i, q in enumerate(qids)}
+    # bucket -> queries probing it (tiny, broadcast with the matrices)
+    probe_map: dict[int, list[int]] = {}
+    for qi, cs in probes.items():
+        for c in cs:
+            probe_map.setdefault(int(c), []).append(qi)
+    bc = spark.sparkContext.broadcast(
+        (cids, cmat, qids, qmat, probe_map))
+    schema = T.StructType([
+        T.StructField("qid", T.LongType()),
+        T.StructField("nid", T.LongType()),
+        T.StructField("dot_q", T.LongType()),
+    ])
+
+    def search(batches):
+        cids_, cmat_, qids_, qmat_, pmap = bc.value
+        qidx = {int(q): i for i, q in enumerate(qids_)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vq = np.rint(np.stack(pdf["embedding"].to_numpy())
+                         .astype(np.float64) * 1000.0).astype(np.int64)
+            nid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # assign each corpus vector to its nearest centroid
+            d = ((vq[:, None, :] - cmat_[None, :, :]) ** 2).sum(axis=2)
+            order = np.lexsort((np.broadcast_to(cids_, d.shape), d), axis=1)
+            own = cids_[order[:, 0]]
+            out_q, out_n, out_d = [], [], []
+            for c, qlist in pmap.items():
+                mask = own == c
+                if not mask.any():
+                    continue
+                sub_n, sub_v = nid[mask], vq[mask]
+                dots = sub_v @ qmat_.T                     # (m, nq)
+                for qi in qlist:
+                    j = qidx[qi]
+                    keep = sub_n != qi                     # exclude self
+                    out_q.extend([qi] * int(keep.sum()))
+                    out_n.extend(sub_n[keep].tolist())
+                    out_d.extend(dots[keep, j].tolist())
+            yield pd.DataFrame({"qid": out_q, "nid": out_n, "dot_q": out_d})
+
+    hits = e.select("vec_id", "embedding").mapInPandas(search, schema)
+    w = W.partitionBy("qid").orderBy(F.col("dot_q").desc(),
+                                     F.col("nid").asc())
+    return (hits.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= IVF_TOPK))
+
+
+ORACLE_ANN_IVF = f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q
+  FROM embeddings),
+cents AS (SELECT vec_id AS cid, i, q FROM flat
+          WHERE vec_id % {IVF_CENT_MOD} = 0 AND vec_id < {IVF_CENT_CAP}),
+assign AS (
+  SELECT vec_id, cid, ROW_NUMBER() OVER (
+           PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rk
+  FROM (SELECT f.vec_id, c.cid, SUM((f.q - c.q) * (f.q - c.q)) AS d
+        FROM flat f JOIN cents c ON f.i = c.i
+        GROUP BY f.vec_id, c.cid)),
+own AS (SELECT vec_id, cid FROM assign WHERE rk = 1),
+probes AS (SELECT vec_id AS qid, cid FROM assign
+           WHERE rk <= {IVF_NPROBE}
+             AND vec_id % {IVF_Q_MOD} = 0 AND vec_id < {IVF_Q_CAP}),
+cand AS (
+  SELECT p.qid, o.vec_id AS nid
+  FROM probes p JOIN own o ON o.cid = p.cid AND o.vec_id <> p.qid),
+dots AS (
+  SELECT c.qid, c.nid, CAST(SUM(fq.q * fn.q) AS BIGINT) AS dot_q
+  FROM cand c
+  JOIN flat fq ON fq.vec_id = c.qid
+  JOIN flat fn ON fn.vec_id = c.nid AND fn.i = fq.i
+  GROUP BY c.qid, c.nid)
+SELECT qid, nid, dot_q,
+       CAST(rank AS INT) AS rank
+FROM (SELECT qid, nid, dot_q, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY dot_q DESC, nid ASC) AS rank
+      FROM dots)
+WHERE rank <= {IVF_TOPK}
+"""
+
+
 # banded sign-LSH near-dup: 3 bands x 4 hyperplanes; a pair is a candidate if
 # it shares ANY band's bucket. Band width trades recall against candidate
 # volume: 2-plane bands (4 buckets) put ~25% of ALL pairs in the candidate
@@ -708,6 +840,7 @@ QUERIES: dict = {
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_FINGERPRINT),
     "cosine_topk": (q_cosine_topk, ORACLE_COSINE),
     "ann_lsh_buckets": (q_ann_lsh_buckets, ORACLE_ANN),
+    "ann_ivf_search": (q_ann_ivf_search, ORACLE_ANN_IVF),
     "dedup_embedding_near": (q_dedup_embedding_near, ORACLE_EMB_NEAR),
     "tumbling_window": (q_tumbling_window, ORACLE_TUMBLING),
     "sliding_window": (q_sliding_window, ORACLE_SLIDING),

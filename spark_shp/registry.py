@@ -25,11 +25,13 @@ from . import queries_rel, queries_shp, queries_spatial, queries_text
 #   window_top3/lag_lead/ntile-> C7 via window_running_totals (C8 top-k via
 #                                images_hot_cell's orderBy+limit)
 #   union_parties             -> C9 via set_ops_nations
+#   sliding_window            -> C12 via tumbling/session/event_dedup
 #   string/date_trunc/json    -> C10 via scalar_functions_suite
 #   distinct_counts           -> C6 distinct via cell_hierarchy/sliding_window
 #   percentiles_exact         -> C6 via pricing/rollup/cube/pivot
 _TAIL = [
     "knn_events_nations",
+    "sliding_window",
     "revenue_by_nation",
     "window_top3_per_brand",
     "window_lag_lead_gaps",
