@@ -16,6 +16,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from .hashing import mix_sql, u01_sql
 
 DEC = "decimal(18,6)"
+# NTZ epoch literal: timestampdiff against it converts a TIMESTAMP_NTZ to
+# epoch seconds/micros as PURE wall-clock arithmetic — unlike
+# unix_seconds(cast(... AS timestamp_ltz)), which shifts by the session
+# timezone and silently broke the oracle match under non-UTC sessions
+_NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -739,7 +744,7 @@ def q_tumbling_window(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("value").cast(DEC)).cast("double")
                   .alias("sum_value"))
-            .select(F.unix_seconds(F.col("win.start").cast("timestamp_ltz"))
+            .select(F.expr(f"timestampdiff(SECOND, {_NTZ_EPOCH}, win.start)")
                     .alias("window_start_s"), "event_type",
                     "n", "sum_value"))
 
@@ -757,7 +762,7 @@ def q_sliding_window(spark, sf_dir):
     return (e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.countDistinct("user_id").alias("n_users"))
-            .select(F.unix_seconds(F.col("win.start").cast("timestamp_ltz"))
+            .select(F.expr(f"timestampdiff(SECOND, {_NTZ_EPOCH}, win.start)")
                     .alias("window_start_s"),
                     "n", "n_users"))
 
@@ -774,7 +779,7 @@ GROUP BY 1
 def q_session_windows(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    us = F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, ts)")
     gap = us - F.lag(us, 1).over(w)
     marked = e.withColumn(
         "new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1)
@@ -785,8 +790,7 @@ def q_session_windows(spark, sf_dir):
     return (sess.groupBy("user_id", "sess_no")
             .agg(F.min("ts").alias("session_start"),
                  F.count(F.lit(1)).alias("n_events"),
-                 (F.max(F.unix_micros(F.col("ts").cast("timestamp_ltz")))
-                  - F.min(F.unix_micros(F.col("ts").cast("timestamp_ltz"))))
+                 F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))")
                  .alias("dur_us"))
             .drop("sess_no")
             .select("user_id", "session_start", "n_events", "dur_us"))
