@@ -54,12 +54,22 @@ def write_table(df: DataFrame, root: str, partition_by: str | None = None,
     their own snapshots until :func:`expire_snapshots`."""
     meta_dir = os.path.join(root, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
-    version = _current_version(root) + 1
+    # Never reuse a version that already has a committed manifest — a crash
+    # between the manifest write and the version-hint update would otherwise
+    # make the next commit collide with committed data.
+    version = max([_current_version(root)] + _retained_versions(root)) + 1
     snap_dir = os.path.join(root, "data", f"snap-{version}")
+    tmp_dir = os.path.join(root, "data", f".snap-{version}.inprogress")
+    # An orphaned dir with no manifest is debris from a crash mid-write;
+    # clear it so the commit can retry instead of wedging on mode('error').
+    for stale in (tmp_dir, snap_dir):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
     w = df.write.mode("error")           # snapshot dirs are write-once
     if partition_by:
         w = w.partitionBy(partition_by)
-    w.parquet(snap_dir)
+    w.parquet(tmp_dir)
+    os.rename(tmp_dir, snap_dir)         # atomic publish of the data dir
 
     import pyarrow.parquet as pq
     files = []
@@ -123,7 +133,13 @@ def read_table(spark: SparkSession, root: str,
     by_dir: dict[str, list[str]] = {}
     for f in snap["files"]:
         parts = f["path"].split("/")          # data/snap-N/.../file.parquet
-        by_dir.setdefault("/".join(parts[:2]), []).append(
+        # Legacy (pre-snapshot-dir) layout put hive partition dirs directly
+        # under data/ — basePath must stay at data/ there, or the partition
+        # column would silently vanish from the returned schema.
+        key = ("/".join(parts[:2])
+               if len(parts) > 1 and parts[1].startswith("snap-")
+               else parts[0])
+        by_dir.setdefault(key, []).append(
             os.path.join(root, f["path"]))
     reads = [spark.read.option("basePath", os.path.join(root, d))
              .parquet(*sorted(paths))

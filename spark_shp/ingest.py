@@ -125,7 +125,8 @@ def read_shapefiles(spark: SparkSession, path_glob: str) -> DataFrame:
     return files.groupBy("base").applyInPandas(decode, GEOM_SCHEMA)
 
 
-def read_points_fast(spark: SparkSession, path_glob: str) -> DataFrame:
+def read_points_fast(spark: SparkSession, path_glob: str,
+                     on_unsupported_crs: str = "raise") -> DataFrame:
     """Scale-path ingest for point telemetry (the dominant 100 TB shape):
     binaryFile scan → vectorized columnar decode
     (parser.parse_shp_points_columns, one strided frombuffer per file) →
@@ -134,7 +135,12 @@ def read_points_fast(spark: SparkSession, path_glob: str) -> DataFrame:
     read; .prj sidecars are fetched per layer inside the task). Files that
     are not uniform Point files fall back to the per-record parity kernel,
     so results always equal read_shapefiles' geometry stream (null shapes
-    surface as SQL NULL coordinates)."""
+    surface as SQL NULL coordinates).
+
+    ``on_unsupported_crs``: ``"raise"`` (default) aborts on a layer whose
+    .prj names an unimplemented PROJECTION; ``"skip"`` drops that layer;
+    ``"null"`` keeps its records with NULL coordinates — one bad sidecar
+    in a mixed multi-layer directory need not abort the whole ingest."""
     from pyspark.sql import functions as F, types as T
 
     schema = T.StructType([
@@ -156,25 +162,47 @@ def read_points_fast(spark: SparkSession, path_glob: str) -> DataFrame:
     prjs = _prj_wkts(spark, path_glob)
     bc_prjs = spark.sparkContext.broadcast(prjs)
 
+    _UNSUPPORTED = object()
+
     def decode(batches):
         from .shp import parser
         cache: dict[str, object] = {}
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
-                base = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-                if base not in cache:
-                    wkt = bc_prjs.value.get(base)
-                    cache[base] = (parser.projection_from_wkt(wkt)
-                                   if wkt else None)
-                yield _points_from_blob(bytes(content), cache[base], base)
+                # sidecars are keyed by the full path stem, not the bare
+                # basename — two layers named alike in different dirs must
+                # each resolve their own (possibly absent) projection
+                stem = path.rsplit(".", 1)[0]
+                base = stem.rsplit("/", 1)[-1]
+                if stem not in cache:
+                    wkt = bc_prjs.value.get(stem)
+                    try:
+                        cache[stem] = (parser.projection_from_wkt(wkt)
+                                       if wkt else None)
+                    except ValueError:
+                        if on_unsupported_crs == "raise":
+                            raise
+                        cache[stem] = _UNSUPPORTED
+                trans = cache[stem]
+                if trans is _UNSUPPORTED:
+                    if on_unsupported_crs == "skip":
+                        continue
+                    out = _points_from_blob(bytes(content), None, base)
+                    out["lon"] = np.nan   # "null": keep record alignment,
+                    out["lat"] = np.nan   # never emit unprojected meters
+                    yield out
+                else:
+                    yield _points_from_blob(bytes(content), trans, base)
 
     return files.mapInPandas(decode, schema)
 
 
 def _prj_wkts(spark: SparkSession, path_glob: str) -> dict[str, str]:
-    """{layer base name: .prj WKT} for every sidecar matching the glob,
-    read through binaryFile (filesystem-scheme agnostic). A glob pinned to
-    ``*.shp`` is rewritten to ``*.prj``; any other glob is re-filtered."""
+    """{layer path stem (full path minus extension): .prj WKT} for every
+    sidecar matching the glob, read through binaryFile (filesystem-scheme
+    agnostic). A glob pinned to ``*.shp`` is rewritten to ``*.prj``; any
+    other glob is re-filtered. Keyed by full-path stem so same-named
+    layers in different directories never share a sidecar."""
     import re
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
@@ -186,7 +214,7 @@ def _prj_wkts(spark: SparkSession, path_glob: str) -> dict[str, str]:
                 .select("path", "content").collect())
     except AnalysisException:          # no sidecars at all
         return {}
-    return {r.path.rsplit("/", 1)[-1].rsplit(".", 1)[0]:
+    return {r.path.rsplit(".", 1)[0]:
             bytes(r.content).decode("ascii", "replace") for r in rows}
 
 

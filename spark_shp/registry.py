@@ -62,6 +62,34 @@ if len(ALL_QUERIES) > DRIVER_WINDOW:
         f"{len(ALL_QUERIES)} core queries exceed the driver's "
         f"{DRIVER_WINDOW}-query CORRECTNESS window; move redundant "
         f"variants to _TAIL")
+
+# The driver-visible window, pinned EXPLICITLY: module import order and
+# per-module registration order are load-bearing, and a count check alone
+# can't catch an accidental reorder that swaps a gated query out of the
+# window (ADVICE r2). Any intentional change must update this list.
+EXPECTED_WINDOW = (
+    "shp_decode_points", "dbf_decode_types", "shp_polygon_rings",
+    "shp_polyline_parts", "shp_zm_semantics", "shp_webmerc_reproject",
+    "shp_utm_reproject", "shp_decode_index_join", "images_phash_verify",
+    "clip_coverage_stats", "tile_assign_events", "cell_hierarchy",
+    "cell_ring_sum", "polygon_cover_nations", "spatial_join_pairs",
+    "spatial_join_agg", "spatial_join_chunked", "knn_events_nations_cells",
+    "range_join_counts", "images_tile_density", "images_hot_cell",
+    "images_fence_join", "dedup_exact", "token_stats", "quality_score",
+    "langid_heuristic", "minhash_signatures", "minhash_lsh_pairs",
+    "simhash16", "bigram_jaccard", "doc_fingerprint", "cosine_topk",
+    "ann_lsh_buckets", "ann_ivf_search", "dedup_embedding_near",
+    "tumbling_window", "session_windows", "event_dedup", "pricing_summary",
+    "semi_join_open_orders", "anti_join_no_orders",
+    "outer_join_order_counts", "window_running_totals", "rollup_sales",
+    "cube_orders", "set_ops_nations", "asof_join_event_order",
+    "conditional_pivot", "scalar_functions_suite", "approx_sketches",
+)
+if tuple(ALL_QUERIES) != EXPECTED_WINDOW:
+    raise RuntimeError(
+        "driver-window query order drifted from EXPECTED_WINDOW: "
+        f"{[(a, b) for a, b in zip(ALL_QUERIES, EXPECTED_WINDOW) if a != b][:5]}")
+
 ALL_QUERIES.update({n: _MERGED[n] for n in _TAIL})
 
 

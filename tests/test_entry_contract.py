@@ -113,3 +113,39 @@ def test_iceberg_overwrite_retention_and_expiry(spark, tmp_path):
     assert ice.read_table(spark, root).count() == 35
     # snap-1's data dir is gone from disk
     assert not os.path.isdir(os.path.join(root, "data", "snap-1"))
+
+
+def test_iceberg_crash_recovery(spark, tmp_path):
+    """ADVICE r2: a crash between the data write and the manifest commit
+    must not wedge the table — and a crash between the manifest and the
+    version-hint update must not make the next commit collide with
+    committed data."""
+    import json
+    import os
+
+    from spark_shp import iceberg_layout as ice
+    from spark_shp.queries_spatial import _images_meta_df
+    root = str(tmp_path / "tbl")
+    df = _images_meta_df(spark, 50)
+    ice.write_table(df, root)
+
+    # crash BEFORE manifest: orphan data/snap-2 with no manifest
+    orphan = os.path.join(root, "data", "snap-2")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-junk.parquet"), "wb").close()
+    snap = ice.write_table(df.limit(7), root)      # must retry, not wedge
+    assert snap["snapshot_id"] == 2
+    assert ice.read_table(spark, root).count() == 7
+    assert not os.path.exists(os.path.join(orphan, "part-junk.parquet"))
+
+    # crash AFTER manifest but BEFORE hint: hint rolls back to 2 while
+    # snap-3's manifest exists → next commit must take version 4, never 3
+    ice.write_table(df.limit(5), root)             # commits snapshot 3
+    hint = os.path.join(root, "metadata", "version-hint.text")
+    with open(hint, "w") as f:
+        f.write("2")
+    snap4 = ice.write_table(df.limit(9), root)
+    assert snap4["snapshot_id"] == 4
+    assert ice.read_table(spark, root).count() == 9
+    # snapshot 3's committed files stayed intact and time-travelable
+    assert ice.read_table(spark, root, snapshot_id=3).count() == 5

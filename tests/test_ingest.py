@@ -233,3 +233,59 @@ def test_points_fast_prj_sidecar_via_binaryfile(spark, tmp_path):
     want = sorted((r.lon, r.lat) for r in rows)
     for (a, b), (c, e) in zip(got, want):
         assert abs(a - c) < 1e-12 and abs(b - e) < 1e-12
+
+
+def test_points_fast_prj_keyed_by_path_not_basename(spark, tmp_path):
+    """ADVICE r2: two same-named layers in different directories must each
+    resolve their OWN sidecar — a basename-keyed lookup would project the
+    raw-lonlat layer with the other layer's Web-Mercator WKT."""
+    import math
+
+    lonlats = [(-73.9857, 40.7484), (2.3522, 48.8566)]
+    R = 6378137.0
+    merc = [(math.radians(lon) * R,
+             math.log(math.tan(math.pi / 4 + math.radians(lat) / 2)) * R)
+            for lon, lat in lonlats]
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    (a / "layer.shp").write_bytes(
+        writer.write_shp([(writer.POINT, m) for m in merc]))
+    (a / "layer.prj").write_text(writer.WEBMERC_WKT)
+    (b / "layer.shp").write_bytes(           # same name, NO sidecar
+        writer.write_shp([(writer.POINT, p) for p in lonlats]))
+    rows = ingest.read_points_fast(spark, str(tmp_path) + "/*/*.shp").collect()
+    assert len(rows) == 4
+    got = sorted((round(r.lon, 6), round(r.lat, 6)) for r in rows)
+    # both layers must land on the SAME lon/lat pairs: a/ via inverse
+    # Mercator, b/ untouched
+    want = sorted([(round(lon, 6), round(lat, 6)) for lon, lat in lonlats] * 2)
+    assert got == want
+
+
+def test_points_fast_unsupported_crs_modes(spark, tmp_path):
+    """ADVICE r2: one unsupported .prj in a mixed directory can be skipped
+    or nulled instead of aborting the whole multi-layer ingest."""
+    import pytest
+
+    d = tmp_path / "mix"
+    d.mkdir()
+    (d / "good.shp").write_bytes(
+        writer.write_shp([(writer.POINT, (1.0, 2.0))]))
+    (d / "bad.shp").write_bytes(
+        writer.write_shp([(writer.POINT, (3.0, 4.0))]))
+    (d / "bad.prj").write_text(
+        'PROJCS["weird",GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]]],'
+        'PROJECTION["Sinusoidal"],UNIT["metre",1]]')
+    glob = str(d) + "/*.shp"
+    with pytest.raises(Exception):           # default: loud failure
+        ingest.read_points_fast(spark, glob).collect()
+    skipped = ingest.read_points_fast(
+        spark, glob, on_unsupported_crs="skip").collect()
+    assert sorted((r.layer, r.lon, r.lat) for r in skipped) == [
+        ("good", 1.0, 2.0)]
+    nulled = {r.layer: (r.lon, r.lat) for r in ingest.read_points_fast(
+        spark, glob, on_unsupported_crs="null").collect()}
+    assert nulled["good"] == (1.0, 2.0)
+    bl, bt = nulled["bad"]
+    assert (bl is None or bl != bl) and (bt is None or bt != bt)
