@@ -244,12 +244,24 @@ FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_PL - 1})) AS r) rr,
 
 
 N_ZM = 32
+N_MP = 8          # MultiPointZ records (3 points each)       — A4 + A8
+N_NUL = 12        # Point file with every 3rd record null      — A10
+# PolygonZ vertex plan: outer CW ring + CCW hole, 5 verts each — A8
+_PGZ_XY = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0),
+           (2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0), (2.0, 2.0)]
+N_PLZ = 6         # PolyLineZ: 2 parts x 3 points              — A8
 
 
 def q_shp_zm_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z kept / M dropped parity (A7/A9): one PointZ file (x,y,z,m — z is
-    the 3rd coordinate, m silently dropped) and one PointM file (type 21
-    folds to base Point, M dropped → 2D). Oracle recomputes both unions."""
+    """Z/M/null decode parity in one gated row (A4, A7, A8, A9, A10 —
+    upstream ``lib/parseShp.js:≈95-148`` [RECONSTRUCTED]):
+    src=1 PointZ (z kept as 3rd coordinate, m dropped), src=2 PointM
+    (type 21 folds to base Point, 2D), src=3 MultiPointZ (per-point rows;
+    the z block is stored separately from xy and must re-align), src=4
+    Point file with interleaved null shapes (record slots preserved, NULL
+    coords), src=5 PolygonZ (outer+hole; z grouped by ring), src=6
+    PolyLineZ (2 parts; z grouped by part). The oracle recomputes every
+    float64 from the same integer formulas — bit-for-bit."""
     import numpy as np
     from .hashing import u01
     from .shp import writer
@@ -265,6 +277,31 @@ def q_shp_zm_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in range(N_ZM)])
     blob_m = writer.write_shp([
         (writer.POINTM, (*xy(2, r), 777.0)) for r in range(N_ZM)])
+
+    def mp_pt(r, p):
+        k = r * 31 + p * 7
+        return (float(u01(np.int64(3027 + k + 1)) * 360.0 - 180.0),
+                float(u01(np.int64(3027 + k + 2)) * 170.0 - 85.0),
+                float(u01(np.int64(3027 + k + 3)) * 100.0))
+
+    blob_mp = writer.write_shp([
+        (writer.MULTIPOINTZ, [mp_pt(r, p) for p in range(3)])
+        for r in range(N_MP)])
+    blob_nul = writer.write_shp([
+        (writer.NULL, None) if r % 3 == 2 else (writer.POINT, xy(4, r))
+        for r in range(N_NUL)])
+    pgz = [(x, y, float(u01(np.int64(5045 + k * 17 + 7)) * 50.0))
+           for k, (x, y) in enumerate(_PGZ_XY)]
+    blob_pgz = writer.write_shp([(writer.POLYGONZ, [pgz[:5], pgz[5:]])])
+
+    def plz_pt(k):
+        return (float(u01(np.int64(6054 + k * 13 + 1)) * 360.0 - 180.0),
+                float(u01(np.int64(6054 + k * 13 + 2)) * 170.0 - 85.0),
+                float(u01(np.int64(6054 + k * 13 + 3)) * 25.0))
+
+    blob_plz = writer.write_shp([
+        (writer.POLYLINEZ, [[plz_pt(k) for k in range(3)],
+                            [plz_pt(k) for k in range(3, N_PLZ)]])])
     schema = T.StructType([
         T.StructField("src", T.IntegerType()),
         T.StructField("rec_no", T.IntegerType()),
@@ -279,16 +316,44 @@ def q_shp_zm_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             for src, content in zip(pdf["src"], pdf["content"]):
                 out = []
+                k = 0                  # per-file vertex ordinal (src 5/6)
                 for i, g in enumerate(parser.parse_shp(bytes(content))):
-                    c = g["coordinates"]
-                    out.append((int(src), i + 1, c[0], c[1],
-                                c[2] if len(c) > 2 else None, len(c)))
+                    if g is None:      # A10: null shape keeps its slot
+                        out.append((int(src), i + 1, None, None, None, 0))
+                        continue
+                    t, c = g["type"], g["coordinates"]
+                    if t == "Point":
+                        out.append((int(src), i + 1, c[0], c[1],
+                                    c[2] if len(c) > 2 else None, len(c)))
+                    elif t == "MultiPoint":   # per-point, record-aligned
+                        for p in c:
+                            out.append((int(src), i + 1, p[0], p[1],
+                                        p[2] if len(p) > 2 else None,
+                                        len(p)))
+                    else:              # rings/parts → flat vertex stream
+                        if t == "LineString":
+                            parts = [c]
+                        elif t in ("MultiLineString", "Polygon"):
+                            parts = c
+                        else:          # MultiPolygon
+                            parts = [ring for poly in c for ring in poly]
+                        for part in parts:
+                            for p in part:
+                                k += 1
+                                out.append((int(src), k, p[0], p[1],
+                                            p[2] if len(p) > 2 else None,
+                                            len(p)))
                 yield pd.DataFrame(out, columns=[f.name for f in schema])
 
     files = spark.createDataFrame(
-        pd.DataFrame({"src": [1, 2], "content": [blob_z, blob_m]}))
+        pd.DataFrame({"src": [1, 2, 3, 4, 5, 6],
+                      "content": [blob_z, blob_m, blob_mp, blob_nul,
+                                  blob_pgz, blob_plz]}))
     return files.mapInPandas(decode, schema)
 
+
+_PGZ_VALUES = ", ".join(f"({k}, {x!r}, {y!r})"
+                        for k, (x, y) in enumerate(_PGZ_XY))
 
 ORACLE_SHP_ZM = f"""
 SELECT CAST(1 AS INT) AS src, CAST(r + 1 AS INT) AS rec_no,
@@ -303,6 +368,35 @@ SELECT CAST(2 AS INT), CAST(r + 1 AS INT),
        ({u01_sql('2018 + r * 31 + 2')} * 170.0 - 85.0),
        CAST(NULL AS DOUBLE), CAST(2 AS INT)
 FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_ZM - 1})) AS r) t
+UNION ALL
+SELECT CAST(3 AS INT), CAST(r + 1 AS INT),
+       ({u01_sql('3027 + r * 31 + p * 7 + 1')} * 360.0 - 180.0),
+       ({u01_sql('3027 + r * 31 + p * 7 + 2')} * 170.0 - 85.0),
+       ({u01_sql('3027 + r * 31 + p * 7 + 3')} * 100.0),
+       CAST(3 AS INT)
+FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_MP - 1})) AS r) a,
+     (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS p) b
+UNION ALL
+SELECT CAST(4 AS INT), CAST(r + 1 AS INT),
+       CASE WHEN r % 3 = 2 THEN NULL
+            ELSE ({u01_sql('4036 + r * 31 + 1')} * 360.0 - 180.0) END,
+       CASE WHEN r % 3 = 2 THEN NULL
+            ELSE ({u01_sql('4036 + r * 31 + 2')} * 170.0 - 85.0) END,
+       CAST(NULL AS DOUBLE),
+       CAST(CASE WHEN r % 3 = 2 THEN 0 ELSE 2 END AS INT)
+FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_NUL - 1})) AS r) t
+UNION ALL
+SELECT CAST(5 AS INT), CAST(k + 1 AS INT),
+       CAST(x AS DOUBLE), CAST(y AS DOUBLE),
+       ({u01_sql('5045 + k * 17 + 7')} * 50.0), CAST(3 AS INT)
+FROM (VALUES {_PGZ_VALUES}) AS v(k, x, y)
+UNION ALL
+SELECT CAST(6 AS INT), CAST(k + 1 AS INT),
+       ({u01_sql('6054 + k * 13 + 1')} * 360.0 - 180.0),
+       ({u01_sql('6054 + k * 13 + 2')} * 170.0 - 85.0),
+       ({u01_sql('6054 + k * 13 + 3')} * 25.0),
+       CAST(3 AS INT)
+FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_PLZ - 1})) AS k) t
 """
 
 
