@@ -569,6 +569,186 @@ FROM s6
 ORACLE_SHP_UTM = _oracle_utm_sql()
 
 
+N_LCC = 40
+# SPCS-83 California zone 5 style 2SP parameters (meters)
+_LCC_WKT = (
+    'PROJCS["CA zone 5 style",GEOGCS["WGS 84",DATUM["WGS_1984",'
+    'SPHEROID["WGS 84",6378137,298.257223563]]],'
+    'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+    'PARAMETER["standard_parallel_1",34.03],'
+    'PARAMETER["standard_parallel_2",35.47],'
+    'PARAMETER["latitude_of_origin",33.5],'
+    'PARAMETER["central_meridian",-118],'
+    'PARAMETER["false_easting",2000000],'
+    'PARAMETER["false_northing",500000],UNIT["metre",1]]')
+
+
+def q_shp_lcc_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 Lambert-Conformal-Conic (2SP State-Plane form) under the oracle
+    gate — the most common US/national-grid .prj family the engine
+    previously raised on (VERDICT r2 missing #1). Point shapefile in LCC
+    meters + .prj → engine's Snyder eq. 15-11/3-5 inverse
+    (parser.make_inv_lcc); the oracle evaluates the SAME series in DuckDB
+    from the same lcc_constants() float64 values; 9-decimal rounding
+    absorbs libm ulps (same policy as UTM/webmerc)."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_LCC, dtype=np.int64)
+    xm = 1700000.0 + u01(i * 37 + 3) * 600000.0
+    ym = 200000.0 + u01(i * 37 + 4) * 600000.0
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_LCC_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_lcc_sql() -> str:
+    """Snyder inverse-LCC as DuckDB SQL from the SAME float64 constants the
+    engine kernel uses (parser.lcc_constants), same operation order."""
+    from .shp.parser import lcc_constants
+    cv = lcc_constants(6378137.0, 298.257223563, -118.0, 33.5,
+                       34.03, 35.47, 1.0, 2000000.0, 500000.0)
+    c = {k: f"CAST({v!r} AS DOUBLE)" for k, v in cv.items()}
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         1700000.0 + {u01_sql('i * 37 + 3')} * 600000.0 AS x,
+         200000.0 + {u01_sql('i * 37 + 4')} * 600000.0 AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_LCC - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no, x - {c['fe']} AS xx,
+         {c['rho0']} - (y - {c['fn']}) AS yr
+  FROM src),
+s2 AS (
+  SELECT rec_no, xx, yr,
+         POWER(SQRT(xx * xx + yr * yr) / {c['af']},
+               1.0 / {c['n']}) AS tp
+  FROM s1),
+s3 AS (
+  SELECT rec_no, xx, yr, PI() / 2.0 - 2.0 * ATAN(tp) AS chi
+  FROM s2)
+SELECT rec_no,
+       ROUND(DEGREES({c['lam0']} + ATAN2(xx, yr) / {c['n']}), 9) AS lon,
+       ROUND(DEGREES(chi + {c['c2']} * SIN(2.0 * chi)
+                         + {c['c4']} * SIN(4.0 * chi)
+                         + {c['c6']} * SIN(6.0 * chi)
+                         + {c['c8']} * SIN(8.0 * chi)), 9) AS lat
+FROM s3
+"""
+
+
+ORACLE_SHP_LCC = _oracle_lcc_sql()
+
+
+N_ALB = 40
+# CONUS Albers (EPSG:5070-style parameters on WGS84)
+_ALBERS_WKT = (
+    'PROJCS["CONUS Albers style",GEOGCS["WGS 84",DATUM["WGS_1984",'
+    'SPHEROID["WGS 84",6378137,298.257223563]]],'
+    'PROJECTION["Albers_Conic_Equal_Area"],'
+    'PARAMETER["standard_parallel_1",29.5],'
+    'PARAMETER["standard_parallel_2",45.5],'
+    'PARAMETER["latitude_of_center",23],'
+    'PARAMETER["longitude_of_center",-96],'
+    'PARAMETER["false_easting",0],'
+    'PARAMETER["false_northing",0],UNIT["metre",1]]')
+
+
+def q_shp_albers_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 Albers-Equal-Area under the oracle gate (the other half of the
+    US national-grid family): Point shapefile in CONUS-Albers meters →
+    engine's Snyder eq. 14-19/3-18 inverse (parser.make_inv_albers); the
+    oracle evaluates the SAME series in DuckDB from the same
+    albers_constants() float64 values; 9-decimal rounding policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_ALB, dtype=np.int64)
+    xm = (u01(i * 41 + 3) - 0.5) * 4000000.0
+    ym = u01(i * 41 + 4) * 3000000.0
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_ALBERS_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_albers_sql() -> str:
+    """Snyder inverse-Albers as DuckDB SQL from the SAME float64 constants
+    the engine kernel uses (parser.albers_constants). The q/qp ratio is
+    clamped to [-1, 1] on both sides (np.clip / GREATEST+LEAST) before
+    ASIN."""
+    from .shp.parser import albers_constants
+    cv = albers_constants(6378137.0, 298.257223563, -96.0, 23.0,
+                          29.5, 45.5, 0.0, 0.0)
+    c = {k: f"CAST({v!r} AS DOUBLE)" for k, v in cv.items()}
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         ({u01_sql('i * 41 + 3')} - 0.5) * 4000000.0 AS x,
+         {u01_sql('i * 41 + 4')} * 3000000.0 AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_ALB - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no, x - {c['fe']} AS xx,
+         {c['rho0']} - (y - {c['fn']}) AS yr
+  FROM src),
+s2 AS (
+  SELECT rec_no, xx, yr,
+         ({c['c']} - (xx * xx + yr * yr) * {c['n']} * {c['n']}
+            / ({c['a']} * {c['a']})) / {c['n']} AS q
+  FROM s1),
+s3 AS (
+  SELECT rec_no, xx, yr,
+         ASIN(GREATEST(-1.0, LEAST(1.0, q / {c['qp']}))) AS beta
+  FROM s2)
+SELECT rec_no,
+       ROUND(DEGREES({c['lam0']} + ATAN2(xx, yr) / {c['n']}), 9) AS lon,
+       ROUND(DEGREES(beta + {c['b2']} * SIN(2.0 * beta)
+                          + {c['b4']} * SIN(4.0 * beta)
+                          + {c['b6']} * SIN(6.0 * beta)), 9) AS lat
+FROM s3
+"""
+
+
+ORACLE_SHP_ALBERS = _oracle_albers_sql()
+
+
 def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full north-star composition under ONE oracle: shapefile bytes →
     vectorized decode (parse_shp_points_columns via the ingest kernel) →
@@ -663,6 +843,9 @@ QUERIES: dict = {
     "shp_utm_reproject": (q_shp_utm_reproject, ORACLE_SHP_UTM),
     "shp_decode_index_join": (q_shp_decode_index_join,
                               ORACLE_DECODE_INDEX_JOIN),
+    # parked in registry._TAIL (same A12 family as webmerc/utm rows)
+    "shp_lcc_reproject": (q_shp_lcc_reproject, ORACLE_SHP_LCC),
+    "shp_albers_reproject": (q_shp_albers_reproject, ORACLE_SHP_ALBERS),
     "images_phash_verify": (q_images_phash_verify, """
 SELECT * FROM (VALUES
   ('raw', CAST(40 AS BIGINT), 1, CAST(0 AS BIGINT)),

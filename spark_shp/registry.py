@@ -30,6 +30,8 @@ from . import queries_rel, queries_shp, queries_spatial, queries_text
 #   distinct_counts           -> C6 distinct via cell_hierarchy/sliding_window
 #   percentiles_exact         -> C6 via pricing/rollup/cube/pivot
 _TAIL = [
+    "shp_lcc_reproject",      # A12 via shp_webmerc/utm_reproject in-window
+    "shp_albers_reproject",   # A12 (same family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

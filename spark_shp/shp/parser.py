@@ -429,14 +429,146 @@ def make_inv_tmerc(a: float, inv_f: float, lon0_deg: float, lat0_deg: float,
     return inv
 
 
+def _conic_m_t_q(e2: float, phi: float) -> tuple[float, float, float]:
+    """Snyder conic helpers at latitude phi (radians): m (eq. 14-15),
+    t (eq. 15-9), q (eq. 3-12)."""
+    e = math.sqrt(e2)
+    s = math.sin(phi)
+    m = math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+    t = (math.tan(math.pi / 4.0 - phi / 2.0)
+         / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
+    q = (1.0 - e2) * (s / (1.0 - e2 * s * s)
+                      - (1.0 / (2.0 * e))
+                      * math.log((1.0 - e * s) / (1.0 + e * s)))
+    return m, t, q
+
+
+def lcc_constants(a: float, inv_f: float, lon0_deg: float, lat0_deg: float,
+                  lat1_deg: float, lat2_deg: float, k0: float,
+                  fe: float, fn: float) -> dict:
+    """Point-independent Lambert-Conformal-Conic constants (Snyder 1987
+    eq. 14-15, 15-7a..15-10, plus the conformal-latitude series eq. 3-5).
+    2SP when lat1 != lat2 (State Plane, national grids); 1SP otherwise
+    (n = sin(lat0), with k0). Shared float64 source for the numpy inverse
+    kernel AND the DuckDB oracle generator — same policy as
+    :func:`tmerc_constants`."""
+    e2 = (2.0 - 1.0 / inv_f) / inv_f
+    phi1, phi2 = math.radians(lat1_deg), math.radians(lat2_deg)
+    m1, t1, _ = _conic_m_t_q(e2, phi1)
+    _, t0, _ = _conic_m_t_q(e2, math.radians(lat0_deg))
+    if lat1_deg != lat2_deg:                       # 2SP
+        m2, t2, _ = _conic_m_t_q(e2, phi2)
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    else:                                          # 1SP
+        n = math.sin(phi1)
+    f = m1 / (n * t1 ** n)
+    e4 = e2 * e2
+    e6 = e4 * e2
+    e8 = e4 * e4
+    return {
+        "n": n, "af": a * k0 * f, "rho0": a * k0 * f * t0 ** n,
+        "lam0": math.radians(lon0_deg), "fe": fe, "fn": fn,
+        # conformal → geodetic latitude series (Snyder eq. 3-5)
+        "c2": e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0,
+        "c4": 7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0,
+        "c6": 7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0,
+        "c8": 4279.0 * e8 / 161280.0,
+    }
+
+
+def make_inv_lcc(a: float, inv_f: float, lon0_deg: float, lat0_deg: float,
+                 lat1_deg: float, lat2_deg: float, k0: float = 1.0,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Closed-form Lambert-Conformal-Conic inverse (Snyder 1987 eq. 15-11
+    reversed via 14-10/14-11 + conformal-latitude series 3-5; ~0.1 mm).
+    Returns a vectorized (n,2) meters → (n,2) lon/lat° fn."""
+    c = lcc_constants(a, inv_f, lon0_deg, lat0_deg, lat1_deg, lat2_deg,
+                      k0, fe, fn)
+    n, af, rho0, lam0 = c["n"], c["af"], c["rho0"], c["lam0"]
+    c2, c4, c6, c8 = c["c2"], c["c4"], c["c6"], c["c8"]
+    sgn = 1.0 if n >= 0 else -1.0
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        x = (pts[:, 0] - c["fe"]) * sgn
+        yr = (rho0 - (pts[:, 1] - c["fn"])) * sgn
+        rho = np.sqrt(x * x + yr * yr)
+        tp = (rho / abs(af)) ** (1.0 / n)
+        chi = math.pi / 2.0 - 2.0 * np.arctan(tp)
+        phi = (chi + c2 * np.sin(2.0 * chi) + c4 * np.sin(4.0 * chi)
+               + c6 * np.sin(6.0 * chi) + c8 * np.sin(8.0 * chi))
+        lam = lam0 + np.arctan2(x, yr) / n
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
+
+def albers_constants(a: float, inv_f: float, lon0_deg: float, lat0_deg: float,
+                     lat1_deg: float, lat2_deg: float,
+                     fe: float, fn: float) -> dict:
+    """Point-independent Albers-Equal-Area constants (Snyder 1987
+    eq. 14-12a..14-15, 3-12, plus the authalic-latitude series eq. 3-18).
+    Same shared-constants policy as :func:`lcc_constants`."""
+    e2 = (2.0 - 1.0 / inv_f) / inv_f
+    e = math.sqrt(e2)
+    m1, _, q1 = _conic_m_t_q(e2, math.radians(lat1_deg))
+    _, _, q0 = _conic_m_t_q(e2, math.radians(lat0_deg))
+    if lat1_deg != lat2_deg:                       # 2SP
+        m2, _, q2 = _conic_m_t_q(e2, math.radians(lat2_deg))
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    else:                                          # 1SP
+        n = math.sin(math.radians(lat1_deg))
+    cc = m1 * m1 + n * q1
+    qp = (1.0 - e2) * (1.0 / (1.0 - e2)
+                       - (1.0 / (2.0 * e))
+                       * math.log((1.0 - e) / (1.0 + e)))
+    e4 = e2 * e2
+    e6 = e4 * e2
+    return {
+        "n": n, "c": cc, "rho0": a * math.sqrt(cc - n * q0) / n,
+        "a": a, "qp": qp, "lam0": math.radians(lon0_deg), "fe": fe, "fn": fn,
+        # authalic → geodetic latitude series (Snyder eq. 3-18)
+        "b2": e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0,
+        "b4": 23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0,
+        "b6": 761.0 * e6 / 45360.0,
+    }
+
+
+def make_inv_albers(a: float, inv_f: float, lon0_deg: float, lat0_deg: float,
+                    lat1_deg: float, lat2_deg: float,
+                    fe: float = 0.0, fn: float = 0.0):
+    """Closed-form Albers-Equal-Area-Conic inverse (Snyder 1987 eq. 14-19
+    + authalic-latitude series 3-18). Returns a vectorized (n,2) meters →
+    (n,2) lon/lat° fn."""
+    c = albers_constants(a, inv_f, lon0_deg, lat0_deg, lat1_deg, lat2_deg,
+                         fe, fn)
+    n, cc, rho0, qp, lam0 = c["n"], c["c"], c["rho0"], c["qp"], c["lam0"]
+    b2, b4, b6 = c["b2"], c["b4"], c["b6"]
+    sgn = 1.0 if n >= 0 else -1.0
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        x = (pts[:, 0] - c["fe"]) * sgn
+        yr = (rho0 - (pts[:, 1] - c["fn"])) * sgn
+        # rho² used directly (not sqrt-then-square) so the DuckDB oracle
+        # can reproduce the identical float64 sequence
+        q = (cc - (x * x + yr * yr) * n * n / (c["a"] * c["a"])) / n
+        beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+        phi = (beta + b2 * np.sin(2.0 * beta) + b4 * np.sin(4.0 * beta)
+               + b6 * np.sin(6.0 * beta))
+        lam = lam0 + np.arctan2(x, yr) / n
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
+
 def projection_from_wkt(wkt) -> "callable | None":
     """WKT string → inverse-transform fn to WGS84 lon/lat, or None (identity).
 
     Recognizes Pseudo-Mercator (EPSG:3857 / Mercator_1SP on the WGS84
     sphere radius), Transverse-Mercator / Gauss–Krüger (UTM, State-Plane TM
     zones — ellipsoidal Snyder-series inverse with WKT-supplied central
-    meridian / origin / scale / false E-N / spheroid), and geographic CRSes
-    (passthrough). Malformed / non-WKT content → None, matching the
+    meridian / origin / scale / false E-N / spheroid), Lambert Conformal
+    Conic (1SP and 2SP — State Plane / national grids), Albers Equal Area
+    Conic (1SP/2SP), and geographic CRSes (passthrough). Malformed / non-WKT content → None, matching the
     reference's proj4 try/catch → no transform. A *well-formed* PROJCS whose
     PROJECTION the engine lacks raises instead of silently decoding
     projected meters as degrees — that failure corrupted coordinates
@@ -444,6 +576,30 @@ def projection_from_wkt(wkt) -> "callable | None":
     if not wkt or not isinstance(wkt, str):
         return None
     try:
+        if re.search(r'PROJECTION\["?Lambert[_ ]?Conformal[_ ]?Conic',
+                     wkt, re.I):
+            p = _wkt_params(wkt)
+            a, inv_f = _wkt_spheroid(wkt)
+            lat0 = p.get("latitude_of_origin", p.get("latitude_of_center",
+                                                     0.0))
+            sp1 = p.get("standard_parallel_1", lat0)
+            sp2 = p.get("standard_parallel_2", sp1)   # absent → 1SP
+            return make_inv_lcc(
+                a, inv_f,
+                p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+                lat0, sp1, sp2, p.get("scale_factor", 1.0),
+                p.get("false_easting", 0.0), p.get("false_northing", 0.0))
+        if re.search(r'PROJECTION\["?Albers', wkt, re.I):
+            p = _wkt_params(wkt)
+            a, inv_f = _wkt_spheroid(wkt)
+            lat0 = p.get("latitude_of_origin", p.get("latitude_of_center",
+                                                     0.0))
+            sp1 = p.get("standard_parallel_1", lat0)
+            return make_inv_albers(
+                a, inv_f,
+                p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+                lat0, sp1, p.get("standard_parallel_2", sp1),
+                p.get("false_easting", 0.0), p.get("false_northing", 0.0))
         if re.search(r'PROJECTION\["?Transverse[_ ]?Mercator', wkt, re.I):
             p = _wkt_params(wkt)
             a, inv_f = _wkt_spheroid(wkt)

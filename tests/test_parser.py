@@ -463,10 +463,10 @@ def test_unknown_projection_raises_not_identity():
     """A well-formed PROJCS the engine can't invert must raise loudly —
     round 1 silently decoded Lambert meters as degrees (VERDICT missing #1)."""
     import pytest
-    wkt = ('PROJCS["NAD83 / Conus Albers",'
-           'PROJECTION["Albers_Conic_Equal_Area"],'
-           'PARAMETER["central_meridian",-96]]')
-    with pytest.raises(ValueError, match="Albers_Conic_Equal_Area"):
+    wkt = ('PROJCS["World Sinusoidal",'
+           'PROJECTION["Sinusoidal"],'
+           'PARAMETER["central_meridian",0]]')
+    with pytest.raises(ValueError, match="Sinusoidal"):
         parser.projection_from_wkt(wkt)
 
 
@@ -488,3 +488,114 @@ def test_record_scan_negative_content_len_terminates():
     assert parser.parse_shp_vertices_columns(
         writer.write_shp([(writer.POLYLINE, [[(0.0, 0.0), (1.0, 1.0)]])])[:100]
         + evil[100:]) is None
+
+
+# --- A12: Lambert Conformal Conic / Albers inverses -------------------------
+
+def _conic_fwd_helpers():
+    import math
+    a, invf = 6378137.0, 298.257223563
+    e2 = (2 - 1 / invf) / invf
+    e = math.sqrt(e2)
+
+    def mtq(phi):
+        return parser._conic_m_t_q(e2, phi)
+    return a, e2, e, mtq
+
+
+def test_lcc_2sp_inverse_roundtrip():
+    """Forward-project with independently written Snyder 15-1..15-10, then
+    check projection_from_wkt's inverse recovers lon/lat to <1e-9 deg."""
+    import math
+    import numpy as np
+    a, e2, e, mtq = _conic_fwd_helpers()
+    lon0, lat0, sp1, sp2, fe, fn = -118.0, 33.5, 34.03, 35.47, 2e6, 5e5
+    m1, t1, _ = mtq(math.radians(sp1))
+    m2, t2, _ = mtq(math.radians(sp2))
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    F = m1 / (n * t1 ** n)
+    _, t0, _ = mtq(math.radians(lat0))
+    rho0 = a * F * t0 ** n
+    pts = [(-121.5, 31.2), (-118.0, 34.5), (-114.2, 37.9), (-119.7, 33.5)]
+    xy = []
+    for lon, lat in pts:
+        _, t, _ = mtq(math.radians(lat))
+        rho = a * F * t ** n
+        th = n * math.radians(lon - lon0)
+        xy.append((fe + rho * math.sin(th), fn + rho0 - rho * math.cos(th)))
+    wkt = ('PROJCS["x",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID['
+           '"WGS 84",6378137,298.257223563]]],'
+           'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+           'PARAMETER["standard_parallel_1",34.03],'
+           'PARAMETER["standard_parallel_2",35.47],'
+           'PARAMETER["latitude_of_origin",33.5],'
+           'PARAMETER["central_meridian",-118],'
+           'PARAMETER["false_easting",2000000],'
+           'PARAMETER["false_northing",500000],UNIT["metre",1]]')
+    inv = parser.projection_from_wkt(wkt)
+    back = inv(np.array(xy))
+    assert np.abs(back - np.array(pts)).max() < 1e-9
+
+
+def test_lcc_1sp_scale_factor_roundtrip():
+    """1SP form (n = sin(lat0), k0 multiplies aF) — no standard_parallel
+    parameters in the WKT."""
+    import math
+    import numpy as np
+    a, e2, e, mtq = _conic_fwd_helpers()
+    lon0, lat0, k0, fe, fn = 2.337, 46.8, 0.99987742, 6e5, 2e5
+    n = math.sin(math.radians(lat0))
+    m0, t0, _ = mtq(math.radians(lat0))
+    F = m0 / (n * t0 ** n)
+    rho0 = a * k0 * F * t0 ** n
+    pts = [(0.5, 44.0), (2.337, 46.8), (6.0, 49.5)]
+    xy = []
+    for lon, lat in pts:
+        _, t, _ = mtq(math.radians(lat))
+        rho = a * k0 * F * t ** n
+        th = n * math.radians(lon - lon0)
+        xy.append((fe + rho * math.sin(th), fn + rho0 - rho * math.cos(th)))
+    wkt = ('PROJCS["x",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID['
+           '"WGS 84",6378137,298.257223563]]],'
+           'PROJECTION["Lambert_Conformal_Conic_1SP"],'
+           'PARAMETER["latitude_of_origin",46.8],'
+           'PARAMETER["central_meridian",2.337],'
+           'PARAMETER["scale_factor",0.99987742],'
+           'PARAMETER["false_easting",600000],'
+           'PARAMETER["false_northing",200000],UNIT["metre",1]]')
+    inv = parser.projection_from_wkt(wkt)
+    back = inv(np.array(xy))
+    assert np.abs(back - np.array(pts)).max() < 1e-9
+
+
+def test_albers_inverse_roundtrip():
+    """CONUS Albers: forward via Snyder 14-1..14-15, inverse recovers to
+    <2e-8 deg (~2 mm — the truncation of the 3-term authalic series
+    eq. 3-18; parity with the SQL oracle is exact regardless)."""
+    import math
+    import numpy as np
+    a, e2, e, mtq = _conic_fwd_helpers()
+    lon0, lat0, s1, s2 = -96.0, 23.0, 29.5, 45.5
+    m1, _, q1 = mtq(math.radians(s1))
+    m2, _, q2 = mtq(math.radians(s2))
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    _, _, q0 = mtq(math.radians(lat0))
+    rho0 = a * math.sqrt(C - n * q0) / n
+    pts = [(-120.0, 35.0), (-96.0, 23.0), (-75.0, 45.0), (-100.0, 49.0)]
+    xy = []
+    for lon, lat in pts:
+        _, _, q = mtq(math.radians(lat))
+        rho = a * math.sqrt(C - n * q) / n
+        th = n * math.radians(lon - lon0)
+        xy.append((rho * math.sin(th), rho0 - rho * math.cos(th)))
+    wkt = ('PROJCS["x",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID['
+           '"WGS 84",6378137,298.257223563]]],'
+           'PROJECTION["Albers_Conic_Equal_Area"],'
+           'PARAMETER["standard_parallel_1",29.5],'
+           'PARAMETER["standard_parallel_2",45.5],'
+           'PARAMETER["latitude_of_center",23],'
+           'PARAMETER["longitude_of_center",-96],UNIT["metre",1]]')
+    inv = parser.projection_from_wkt(wkt)
+    back = inv(np.array(xy))
+    assert np.abs(back - np.array(pts)).max() < 2e-8
