@@ -42,7 +42,8 @@ def clip_pixels(pixels: np.ndarray, lon: float, lat: float,
     Returns (clipped, n_inside)."""
     h, w, _ = pixels.shape
     gx, gy = _pixel_lattice(w, h, lon, lat, deg_per_px)
-    inside = (geom.crossings(gx.ravel(), gy.ravel(), edges) % 2 == 1)
+    inside = (geom.crossings_chunked(gx.ravel(), gy.ravel(), edges)
+              % 2 == 1)
     mask = inside.reshape(h, w)
     out = pixels.copy()
     out[~mask] = 0

@@ -111,7 +111,8 @@ def _pip_refine(points_with_poly: DataFrame, polys: DataFrame,
                 e = bc.value.get(pid)
                 if e is None or len(e) == 0:
                     continue
-                keep[idx] = (geom.crossings(lon[idx], lat[idx], e) % 2) == 1
+                keep[idx] = (geom.crossings_chunked(lon[idx], lat[idx], e)
+                             % 2) == 1
             yield pdf[keep]
 
     return points_with_poly.mapInPandas(refine, schema)
