@@ -833,6 +833,142 @@ def q_images_phash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .otherwise(0)).alias("max_lossless_hamming")))
 
 
+N_ZIP_PTS = 20
+_ZIP_POLY_SQ = [(0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0)]
+_ZIP_POLY_HOLE = [(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0), (1.0, 1.0)]
+_ZIP_JSON_PTS = [(10.5, -3.25), (-77.0, 38.5), (2.25, 48.75)]
+
+
+def _fx_zip_bundle() -> tuple[bytes, dict]:
+    """Multi-layer zip (A16–A18, A20 — upstream ``lib/index.js:≈55-120``
+    shp.parseZip [RECONSTRUCTED]): uppercase-extension point layer with DBF
+    attributes, polygon layer with a hole, a GeoJSON ``.json`` member, a
+    ``__MACOSX`` ghost, and a non-layer ``readme.txt``. Returns (zip bytes,
+    expected per-layer aggregates computed from the INPUT coordinates —
+    decode is an exact float64 roundtrip, so engine sums must match these
+    bit-for-bit)."""
+    import io
+    import json as _json
+    import zipfile
+    import numpy as np
+    from .hashing import u01
+    from .shp import writer
+
+    r = np.arange(N_ZIP_PTS, dtype=np.int64)
+    lon = u01(r * 11 + 1) * 360.0 - 180.0
+    lat = u01(r * 11 + 2) * 170.0 - 85.0
+    qty = (r * 3).astype(np.float64)
+    pts_shp = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(lon, lat)])
+    pts_dbf = writer.write_dbf([("QTY", "N", 8, 0)],
+                               [{"QTY": int(q)} for q in qty])
+    polys_shp = writer.write_shp([
+        (writer.POLYGON, [_ZIP_POLY_SQ]),
+        (writer.POLYGON, [_ZIP_POLY_SQ, _ZIP_POLY_HOLE]),
+    ])
+    gj = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "geometry": {"type": "Point",
+                                         "coordinates": [x, y]},
+         "properties": {}} for x, y in _ZIP_JSON_PTS]}
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w") as z:
+        z.writestr("pts.SHP", pts_shp)           # A16: case-normalized ext
+        z.writestr("pts.DBF", pts_dbf)
+        z.writestr("polys.shp", polys_shp)
+        z.writestr("extra.json", _json.dumps(gj))  # A20 passthrough
+        z.writestr("__MACOSX/._pts.SHP", b"\x00\x01junk")  # ghost: skipped
+        z.writestr("readme.txt", b"not a layer")
+    poly_all = _ZIP_POLY_SQ + _ZIP_POLY_SQ + _ZIP_POLY_HOLE
+    expected = {
+        "pts": (N_ZIP_PTS, float(np.sum(lon)), float(np.sum(lat)),
+                float(np.sum(qty))),
+        "polys": (2, float(np.sum([p[0] for p in poly_all])),
+                  float(np.sum([p[1] for p in poly_all])), None),
+        "extra": (len(_ZIP_JSON_PTS),
+                  float(np.sum([p[0] for p in _ZIP_JSON_PTS])),
+                  float(np.sum([p[1] for p in _ZIP_JSON_PTS])), None),
+    }
+    return bio.getvalue(), expected
+
+
+def q_shp_zip_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zip-bundle decode end-to-end under the gate (VERDICT r2 next-step
+    #8): the multi-layer fixture zip demuxes DISTRIBUTED through
+    zipio.parse_zip (ghost members skipped, extensions case-normalized,
+    DBF positionally zip-joined, .json passthrough) and each layer
+    aggregates to (n_features, coordinate sums, attribute sum)."""
+    from pyspark.sql import types as T2
+
+    blob, _ = _fx_zip_bundle()
+    schema = T.StructType([
+        T.StructField("layer", T.StringType()),
+        T.StructField("n_features", T.IntegerType()),
+        T.StructField("sum_x", T.DoubleType()),
+        T.StructField("sum_y", T.DoubleType()),
+        T.StructField("sum_attr", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        import numpy as np
+        from .shp import zipio
+        for pdf in batches:
+            for content in pdf["content"]:
+                out = []
+                for name, feats in zipio.parse_zip(bytes(content)):
+                    if isinstance(feats, dict):      # A20: geojson layer
+                        flist = feats["features"]
+                        xs = np.array([f["geometry"]["coordinates"][0]
+                                       for f in flist])
+                        ys = np.array([f["geometry"]["coordinates"][1]
+                                       for f in flist])
+                        out.append((name, len(flist), float(np.sum(xs)),
+                                    float(np.sum(ys)), None))
+                        continue
+                    xs, ys, attrs = [], [], []
+                    for f in feats:
+                        g = f["geometry"]
+                        if g is None:
+                            continue
+                        if g["type"] == "Point":
+                            xs.append(g["coordinates"][0])
+                            ys.append(g["coordinates"][1])
+                        else:                        # rings → all vertices
+                            rings = (g["coordinates"]
+                                     if g["type"] == "Polygon"
+                                     else [r for p in g["coordinates"]
+                                           for r in p])
+                            for ring in rings:
+                                xs.extend(p[0] for p in ring)
+                                ys.extend(p[1] for p in ring)
+                        q = f["properties"].get("QTY")
+                        if q is not None:
+                            attrs.append(float(q))
+                    out.append((name, len(feats),
+                                float(np.sum(np.array(xs))),
+                                float(np.sum(np.array(ys))),
+                                float(np.sum(np.array(attrs)))
+                                if attrs else None))
+                yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_zip_bundle() -> str:
+    _, exp = _fx_zip_bundle()
+    rows = []
+    for layer in sorted(exp):
+        n, sx, sy, sa = exp[layer]
+        sa_sql = "CAST(NULL AS DOUBLE)" if sa is None else f"CAST({sa!r} AS DOUBLE)"
+        rows.append(f"('{layer}', CAST({n} AS INT), CAST({sx!r} AS DOUBLE), "
+                    f"CAST({sy!r} AS DOUBLE), {sa_sql})")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows)
+            + ") AS t(layer, n_features, sum_x, sum_y, sum_attr)")
+
+
+ORACLE_ZIP_BUNDLE = _oracle_zip_bundle()
+
+
 QUERIES: dict = {
     "shp_decode_points": (q_shp_decode_points, ORACLE_SHP_POINTS),
     "dbf_decode_types": (q_dbf_decode_types, ORACLE_DBF_TYPES),
@@ -846,6 +982,8 @@ QUERIES: dict = {
     # parked in registry._TAIL (same A12 family as webmerc/utm rows)
     "shp_lcc_reproject": (q_shp_lcc_reproject, ORACLE_SHP_LCC),
     "shp_albers_reproject": (q_shp_albers_reproject, ORACLE_SHP_ALBERS),
+    # parked in registry._TAIL (A16-A18/A20 zip plumbing, pytest + diffcheck)
+    "shp_zip_bundle": (q_shp_zip_bundle, ORACLE_ZIP_BUNDLE),
     "images_phash_verify": (q_images_phash_verify, """
 SELECT * FROM (VALUES
   ('raw', CAST(40 AS BIGINT), 1, CAST(0 AS BIGINT)),
