@@ -255,27 +255,51 @@ VERTICES_SCHEMA = T.StructType([
 ])
 
 
-def read_vertices_fast(spark: SparkSession, path_glob: str) -> DataFrame:
+def read_vertices_fast(spark: SparkSession, path_glob: str,
+                       on_unsupported_crs: str = "raise") -> DataFrame:
     """Scale-path ingest for polyline/polygon/multipoint layers: flat
     vertex table (layer, rec_no, part_no, pt_no, x, y) via the columnar
     kernel (parser.parse_shp_vertices_columns); non-uniform files fall
     back to the per-record parity path flattened in the same file order
     (for Polygon, part_no is the raw file-order ring index — raw vertices
     are what tile-assign/cover-building consume; A6 assembly semantics
-    stay on the GeoJSON path)."""
+    stay on the GeoJSON path).
+
+    .prj sidecars resolve per layer path-stem exactly like
+    :func:`read_points_fast` (previously this path silently ignored them,
+    emitting projected meters where the GeoJSON path emitted degrees);
+    ``on_unsupported_crs`` has the same raise/skip semantics ("null" is
+    treated as "skip" here — NULL vertices carry no information)."""
     from pyspark.sql import functions as F
 
     files = (spark.read.format("binaryFile").load(path_glob)
              .where(F.lower(F.col("path")).endswith(".shp"))
              .select("path", "content"))
+    prjs = _prj_wkts(spark, path_glob)
+    bc_prjs = spark.sparkContext.broadcast(prjs)
+    _UNSUPPORTED = object()
 
     def decode(batches):
         from .shp import parser
+        cache: dict[str, object] = {}
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
-                base = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                stem = path.rsplit(".", 1)[0]
+                base = stem.rsplit("/", 1)[-1]
+                if stem not in cache:
+                    wkt = bc_prjs.value.get(stem)
+                    try:
+                        cache[stem] = (parser.projection_from_wkt(wkt)
+                                       if wkt else None)
+                    except ValueError:
+                        if on_unsupported_crs == "raise":
+                            raise
+                        cache[stem] = _UNSUPPORTED
+                trans = cache[stem]
+                if trans is _UNSUPPORTED:
+                    continue
                 blob = bytes(content)
-                fast = parser.parse_shp_vertices_columns(blob)
+                fast = parser.parse_shp_vertices_columns(blob, trans)
                 if fast is not None:
                     rec_no, part_no, pt_no, x, y = fast
                 else:
@@ -283,7 +307,7 @@ def read_vertices_fast(spark: SparkSession, path_glob: str) -> DataFrame:
                     hdr = parser.parse_header(blob)
                     parser._check_type(hdr["type"])
                     for no, rt, payload in parser.record_scan(blob):
-                        g = parser.parse_record(rt, payload, None)
+                        g = parser.parse_record(rt, payload, trans)
                         if g is None:
                             continue
                         t, c = g["type"], g["coordinates"]

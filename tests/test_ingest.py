@@ -289,3 +289,34 @@ def test_points_fast_unsupported_crs_modes(spark, tmp_path):
     assert nulled["good"] == (1.0, 2.0)
     bl, bt = nulled["bad"]
     assert (bl is None or bl != bl) and (bt is None or bt != bt)
+
+
+def test_vertices_fast_applies_prj_sidecar(spark, tmp_path):
+    """read_vertices_fast previously ignored .prj and emitted projected
+    meters where read_shapefiles emitted degrees — the two scale paths
+    must agree on a Web-Mercator polyline layer."""
+    import math
+
+    lonlats = [[(-73.9857, 40.7484), (2.3522, 48.8566)],
+               [(139.6917, 35.6895), (151.2093, -33.8688)]]
+    R = 6378137.0
+
+    def fwd(lon, lat):
+        return (math.radians(lon) * R,
+                math.log(math.tan(math.pi / 4 + math.radians(lat) / 2)) * R)
+
+    d = tmp_path / "vln"
+    d.mkdir()
+    (d / "lines.shp").write_bytes(writer.write_shp([
+        (writer.POLYLINE, [[fwd(*p) for p in part]]) for part in lonlats]))
+    (d / "lines.prj").write_text(writer.WEBMERC_WKT)
+    rows = sorted(ingest.read_vertices_fast(
+        spark, str(d) + "/*.shp").collect(),
+        key=lambda r: (r.rec_no, r.part_no, r.pt_no))
+    want = [(i + 1, 0, q, lon, lat)
+            for i, part in enumerate(lonlats)
+            for q, (lon, lat) in enumerate(part)]
+    assert len(rows) == len(want)
+    for r, (rec, p, q, lon, lat) in zip(rows, want):
+        assert (r.rec_no, r.part_no, r.pt_no) == (rec, p, q)
+        assert abs(r.x - lon) < 1e-9 and abs(r.y - lat) < 1e-9
