@@ -599,3 +599,65 @@ def test_albers_inverse_roundtrip():
     inv = parser.projection_from_wkt(wkt)
     back = inv(np.array(xy))
     assert np.abs(back - np.array(pts)).max() < 2e-8
+
+
+def test_conic_inverses_roundtrip_property():
+    """Property: for random in-range conic parameters and points, the
+    engine inverse recovers what an independently written Snyder forward
+    produced — LCC to <1e-8°, Albers to <5e-8° (authalic series
+    truncation)."""
+    import math
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    a, invf = 6378137.0, 298.257223563
+    e2 = (2 - 1 / invf) / invf
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        lon0=st.floats(-150, 150),
+        lat0=st.floats(5, 55),
+        dsp1=st.floats(0.5, 8),
+        dsp2=st.floats(0.5, 8),
+        dlon=st.floats(-15, 15),
+        dlat=st.floats(-12, 12),
+    )
+    def check(lon0, lat0, dsp1, dsp2, dlon, dlat):
+        sp1, sp2 = lat0 + dsp1, lat0 + dsp1 + dsp2
+        lon, lat = lon0 + dlon, lat0 + dlat
+
+        def mtq(phi):
+            return parser._conic_m_t_q(e2, phi)
+
+        # LCC forward (Snyder 15-1..15-10)
+        m1, t1, _ = mtq(math.radians(sp1))
+        m2, t2, _ = mtq(math.radians(sp2))
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+        F = m1 / (n * t1 ** n)
+        _, t0, _ = mtq(math.radians(lat0))
+        rho0 = a * F * t0 ** n
+        _, t, _ = mtq(math.radians(lat))
+        rho = a * F * t ** n
+        th = n * math.radians(lon - lon0)
+        xy = np.array([[rho * math.sin(th), rho0 - rho * math.cos(th)]])
+        inv = parser.make_inv_lcc(a, invf, lon0, lat0, sp1, sp2)
+        back = inv(xy)[0]
+        assert abs(back[0] - lon) < 1e-8 and abs(back[1] - lat) < 1e-8
+
+        # Albers forward (Snyder 14-1..14-15)
+        m1a, _, q1 = mtq(math.radians(sp1))
+        m2a, _, q2 = mtq(math.radians(sp2))
+        na = (m1a * m1a - m2a * m2a) / (q2 - q1)
+        C = m1a * m1a + na * q1
+        _, _, q0 = mtq(math.radians(lat0))
+        rho0a = a * math.sqrt(C - na * q0) / na
+        _, _, q = mtq(math.radians(lat))
+        rhoa = a * math.sqrt(C - na * q) / na
+        tha = na * math.radians(lon - lon0)
+        xya = np.array([[rhoa * math.sin(tha),
+                         rho0a - rhoa * math.cos(tha)]])
+        inva = parser.make_inv_albers(a, invf, lon0, lat0, sp1, sp2)
+        backa = inva(xya)[0]
+        assert abs(backa[0] - lon) < 5e-8 and abs(backa[1] - lat) < 5e-8
+
+    check()
