@@ -44,14 +44,23 @@ def _current_version(root: str) -> int:
 
 
 def write_table(df: DataFrame, root: str, partition_by: str | None = None,
-                mode: str = "overwrite") -> dict:
+                mode: str = "overwrite",
+                cluster_by: str | None = None) -> dict:
     """Write data + commit a new snapshot manifest. Returns the manifest.
 
     Data files land in ``data/snap-<version>/`` (immutable once committed).
     ``mode='append'``: the new snapshot names the parent's files plus the
     newly written ones. ``mode='overwrite'``: the new snapshot names only
     the new files — the parent's files remain on disk and readable through
-    their own snapshots until :func:`expire_snapshots`."""
+    their own snapshots until :func:`expire_snapshots`.
+
+    ``cluster_by``: range-repartition + sort the data by this column before
+    writing (Iceberg's sort-order / Z-order role for a single key — a
+    space-filling cell id IS the interleaved-bit key, so sorting by it
+    clusters spatially). Each file then covers a tight value range, and the
+    per-file min/max recorded in the manifest lets :func:`scan_table` skip
+    files wholesale — the data-skipping mechanic that turns a 100 TB
+    spatial range query into a few-file read."""
     meta_dir = os.path.join(root, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     # Never reuse a version that already has a committed manifest — a crash
@@ -65,6 +74,9 @@ def write_table(df: DataFrame, root: str, partition_by: str | None = None,
     for stale in (tmp_dir, snap_dir):
         if os.path.isdir(stale):
             shutil.rmtree(stale)
+    if cluster_by:
+        df = (df.repartitionByRange(cluster_by)
+              .sortWithinPartitions(cluster_by))
     w = df.write.mode("error")           # snapshot dirs are write-once
     if partition_by:
         w = w.partitionBy(partition_by)
@@ -72,13 +84,40 @@ def write_table(df: DataFrame, root: str, partition_by: str | None = None,
     os.rename(tmp_dir, snap_dir)         # atomic publish of the data dir
 
     import pyarrow.parquet as pq
+    stat_cols = [f.name for f in df.schema.fields
+                 if f.dataType.simpleString() in
+                 ("bigint", "int", "smallint", "tinyint", "double", "float",
+                  "date", "string")]
     files = []
     for p in sorted(glob.glob(os.path.join(snap_dir, "**", "*.parquet"),
                               recursive=True)):
         md = pq.read_metadata(p)
-        files.append({"path": os.path.relpath(p, root),
-                      "rows": md.num_rows,
-                      "bytes": os.path.getsize(p)})
+        entry = {"path": os.path.relpath(p, root),
+                 "rows": md.num_rows,
+                 "bytes": os.path.getsize(p)}
+        # per-file column bounds from parquet row-group stats (Iceberg
+        # manifest lower_bounds/upper_bounds) — the data-skipping source
+        bounds: dict[str, list] = {}
+        schema_names = md.schema.names
+        for rg in range(md.num_row_groups):
+            grp = md.row_group(rg)
+            for ci in range(grp.num_columns):
+                col = grp.column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                if (name not in stat_cols or st is None
+                        or not st.has_min_max):
+                    continue
+                lo, hi = st.min, st.max
+                if name in bounds:
+                    bounds[name] = [min(bounds[name][0], lo),
+                                    max(bounds[name][1], hi)]
+                else:
+                    bounds[name] = [lo, hi]
+        if bounds:
+            entry["bounds"] = {k: [_json_safe(v) for v in b]
+                               for k, b in bounds.items()}
+        files.append(entry)
     if mode == "append" and version > 1:
         # Iceberg semantics: a snapshot names the table's FULL file set, so
         # an append snapshot = parent's files + the files this commit added
@@ -106,6 +145,50 @@ def write_table(df: DataFrame, root: str, partition_by: str | None = None,
     return snapshot
 
 
+def _json_safe(v):
+    """Parquet stats → JSON-serializable (bytes = UTF-8 string stats)."""
+    import datetime
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
+
+
+def scan_table(spark: SparkSession, root: str, col: str,
+               lo, hi, snapshot_id: int | None = None) -> tuple[DataFrame,
+                                                                dict]:
+    """Range scan with manifest-level file skipping: read ONLY the data
+    files whose recorded [min, max] bounds for ``col`` overlap [lo, hi],
+    with the residual ``col BETWEEN lo AND hi`` filter applied on top (file
+    bounds are necessary, not sufficient). Returns (DataFrame, report) —
+    report = {"files_total", "files_read", "files_skipped"}.
+
+    With :func:`write_table`'s ``cluster_by`` on the same column, bounds
+    are tight and disjoint, so a cell-range query over a 100 TB table
+    plans as a scan of the few files that actually cover that range —
+    Iceberg data skipping without the runtime jar. A file written before
+    bounds were recorded is always read (safe fallback)."""
+    from pyspark.sql import functions as F
+
+    snap = table_stats(root, snapshot_id)
+    keep, skipped = [], 0
+    for f in snap["files"]:
+        b = f.get("bounds", {}).get(col)
+        if b is not None and (b[0] > hi or b[1] < lo):
+            skipped += 1
+            continue
+        keep.append(os.path.join(root, f["path"]))
+    report = {"files_total": len(snap["files"]), "files_read": len(keep),
+              "files_skipped": skipped}
+    if not keep:
+        df = read_table(spark, root, snapshot_id).limit(0)
+    else:
+        df = _read_file_list(spark, root,
+                             [os.path.relpath(p, root) for p in keep])
+    return df.where(F.col(col).between(lo, hi)), report
+
+
 def _retained_versions(root: str) -> list[int]:
     """Snapshot ids whose manifest still exists (not yet expired)."""
     return sorted(
@@ -130,17 +213,21 @@ def read_table(spark: SparkSession, root: str,
     if version == 0:
         raise FileNotFoundError(f"no committed snapshot under {root}")
     snap = table_stats(root, version)
+    return _read_file_list(spark, root, [f["path"] for f in snap["files"]])
+
+
+def _read_file_list(spark: SparkSession, root: str,
+                    rel_paths: list[str]) -> DataFrame:
+    """Scan an explicit manifest file list, one basePath per commit dir so
+    hive partition columns survive (legacy pre-snapshot-dir layout keeps
+    basePath at data/)."""
     by_dir: dict[str, list[str]] = {}
-    for f in snap["files"]:
-        parts = f["path"].split("/")          # data/snap-N/.../file.parquet
-        # Legacy (pre-snapshot-dir) layout put hive partition dirs directly
-        # under data/ — basePath must stay at data/ there, or the partition
-        # column would silently vanish from the returned schema.
+    for rel in rel_paths:
+        parts = rel.split("/")                # data/snap-N/.../file.parquet
         key = ("/".join(parts[:2])
                if len(parts) > 1 and parts[1].startswith("snap-")
                else parts[0])
-        by_dir.setdefault(key, []).append(
-            os.path.join(root, f["path"]))
+        by_dir.setdefault(key, []).append(os.path.join(root, rel))
     reads = [spark.read.option("basePath", os.path.join(root, d))
              .parquet(*sorted(paths))
              for d, paths in sorted(by_dir.items())]

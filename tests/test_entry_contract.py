@@ -149,3 +149,37 @@ def test_iceberg_crash_recovery(spark, tmp_path):
     assert ice.read_table(spark, root).count() == 9
     # snapshot 3's committed files stayed intact and time-travelable
     assert ice.read_table(spark, root, snapshot_id=3).count() == 5
+
+
+def test_iceberg_cluster_by_and_data_skipping(spark, tmp_path):
+    """cluster_by sorts files into tight cell ranges and scan_table prunes
+    by manifest bounds: a narrow range query reads a strict subset of the
+    files yet returns exactly the rows a full-scan filter returns."""
+    from pyspark.sql import functions as F
+
+    from spark_shp import iceberg_layout as ice
+    root = str(tmp_path / "tbl")
+    df = (spark.range(0, 100_000, numPartitions=16)
+          .withColumn("cell", (F.col("id") * 2654435761 % 4096))
+          .withColumn("payload", F.md5(F.col("id").cast("string"))))
+    ice.write_table(df, root, cluster_by="cell")
+    n_files = len(ice.table_stats(root)["files"])
+    assert n_files > 1                         # multiple range partitions
+
+    got, rep = ice.scan_table(spark, root, "cell", 100, 150)
+    assert rep["files_skipped"] > 0
+    assert rep["files_read"] < rep["files_total"]
+    want = df.where(F.col("cell").between(100, 150))
+    assert got.count() == want.count() > 0
+    assert (got.agg(F.sum("id")).collect()[0][0]
+            == want.agg(F.sum("id")).collect()[0][0])
+
+    # unclustered write: bounds exist but overlap — scan still CORRECT
+    root2 = str(tmp_path / "tbl2")
+    ice.write_table(df, root2)
+    got2, rep2 = ice.scan_table(spark, root2, "cell", 100, 150)
+    assert got2.count() == want.count()
+    # out-of-domain range prunes everything, returns empty with a schema
+    got3, rep3 = ice.scan_table(spark, root, "cell", 10_000, 20_000)
+    assert rep3["files_read"] == 0 and got3.count() == 0
+    assert got3.columns == got.columns
