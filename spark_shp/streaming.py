@@ -62,6 +62,24 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes",
                     .alias("session_start"), "n_events"))
 
 
+def streaming_tile_density(stream: DataFrame, level: int = 8,
+                           watermark: str = "10 minutes") -> DataFrame:
+    """North-star spatial rollup as a CONTINUOUS aggregate: tile-assign
+    each event (pure codegen SQL expression — stateless, so it rides the
+    stream with no extra shuffle) then watermarked tumbling count per
+    (tile, hour). At 100 TB/day event rates this is the hypertable-style
+    cell-density materialization; streaming state is keyed by
+    (window, tile) and bounded by watermark expiry."""
+    from . import spatial
+
+    tiled = spatial.tile_assign(stream, "lon", "lat", level, "tile")
+    return (tiled.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("win"), "tile")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").cast("timestamp_ntz")
+                    .alias("window_start"), "tile", "n"))
+
+
 def stream_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return (stream.withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["user_id", "event_type"]))

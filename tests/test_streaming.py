@@ -142,3 +142,31 @@ def test_stateful_user_totals_stream_equals_batch(spark, replay_dir):
                  "CAST(ROUND(value * 1000000.0) AS BIGINT)")).alias("s"))
         .collect()}
     assert final == want
+
+
+def test_streaming_tile_density_equals_batch(spark, replay_dir):
+    """Tile-assign on a stream + windowed density == the same rollup run
+    as one batch query (the continuous spatial aggregate contract)."""
+    from spark_shp import spatial
+
+    from spark_shp import fixtures
+
+    def spatialize(df):
+        return df.selectExpr("*", f"{fixtures.EVENT_LON_SQL} AS lon",
+                             f"{fixtures.EVENT_LAT_SQL} AS lat")
+
+    got = sorted(
+        (r.window_start, r.tile, r.n)
+        for r in streaming.run_to_completion(
+            streaming.streaming_tile_density(
+                spatialize(streaming.events_stream(spark, replay_dir)),
+                watermark=WM)))
+    ev = spatialize(spark.read.parquet(replay_dir)
+                    .withColumn("ts", F.col("ts").cast("timestamp_ltz")))
+    batch = (spatial.tile_assign(ev, "lon", "lat", 8, "tile")
+             .groupBy(F.window("ts", "1 hour").alias("win"), "tile")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select(F.col("win.start").cast("timestamp_ntz")
+                     .alias("window_start"), "tile", "n"))
+    want = sorted((r.window_start, r.tile, r.n) for r in batch.collect())
+    assert got == want and len(got) > 0
