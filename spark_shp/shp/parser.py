@@ -560,6 +560,68 @@ def make_inv_albers(a: float, inv_f: float, lon0_deg: float, lat0_deg: float,
     return inv
 
 
+def polar_stereo_constants(a: float, inv_f: float, lon0_deg: float,
+                           lat_ts_deg: float, k0: float, fe: float,
+                           fn: float, south: bool) -> dict:
+    """Point-independent Polar-Stereographic constants (Snyder 1987
+    eq. 15-9, 21-32..21-35, conformal-latitude series 3-5). ``lat_ts`` is
+    the standard parallel (true-scale latitude); when |lat_ts| == 90 the
+    scale comes from k0 via eq. 21-33's limit form. ``south=True`` mirrors
+    the aspect. Shared float64 source for kernel + oracle."""
+    e2 = (2.0 - 1.0 / inv_f) / inv_f
+    e = math.sqrt(e2)
+    ts_abs = abs(lat_ts_deg)
+    if ts_abs >= 89.999999:          # pole itself: rho = 2 a k0 t / C
+        cpole = math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+        scale = 2.0 * a * k0 / cpole
+    else:
+        phi_c = math.radians(ts_abs)
+        m_c, t_c, _ = _conic_m_t_q(e2, phi_c)
+        scale = a * m_c / t_c        # rho = scale * t  (eq. 21-34)
+    e4 = e2 * e2
+    e6 = e4 * e2
+    e8 = e4 * e4
+    return {
+        "scale": scale, "lam0": math.radians(lon0_deg), "fe": fe, "fn": fn,
+        "south": south,
+        "c2": e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0,
+        "c4": 7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0,
+        "c6": 7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0,
+        "c8": 4279.0 * e8 / 161280.0,
+    }
+
+
+def make_inv_polar_stereo(a: float, inv_f: float, lon0_deg: float,
+                          lat_ts_deg: float, k0: float = 1.0,
+                          fe: float = 0.0, fn: float = 0.0,
+                          south: bool = False):
+    """Closed-form Polar-Stereographic inverse (Snyder 1987 eq. 21-39/
+    21-40 reversed + conformal series 3-5). North aspect:
+    λ = λ0 + atan2(x, -y); south mirrors x/y and negates φ. Returns a
+    vectorized (n,2) meters → (n,2) lon/lat° fn."""
+    c = polar_stereo_constants(a, inv_f, lon0_deg, lat_ts_deg, k0, fe, fn,
+                               south)
+    scale, lam0 = c["scale"], c["lam0"]
+    c2, c4, c6, c8 = c["c2"], c["c4"], c["c6"], c["c8"]
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        x = pts[:, 0] - c["fe"]
+        y = pts[:, 1] - c["fn"]
+        rho = np.sqrt(x * x + y * y)
+        tp = rho / scale
+        chi = math.pi / 2.0 - 2.0 * np.arctan(tp)
+        phi = (chi + c2 * np.sin(2.0 * chi) + c4 * np.sin(4.0 * chi)
+               + c6 * np.sin(6.0 * chi) + c8 * np.sin(8.0 * chi))
+        if south:                    # forward south: y = fn + rho*cos(dlam)
+            lam = lam0 + np.arctan2(x, y)
+            phi = -phi
+        else:                        # forward north: y = fn - rho*cos(dlam)
+            lam = lam0 + np.arctan2(x, -y)
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
+
 def projection_from_wkt(wkt) -> "callable | None":
     """WKT string → inverse-transform fn to WGS84 lon/lat, or None (identity).
 
@@ -568,7 +630,9 @@ def projection_from_wkt(wkt) -> "callable | None":
     zones — ellipsoidal Snyder-series inverse with WKT-supplied central
     meridian / origin / scale / false E-N / spheroid), Lambert Conformal
     Conic (1SP and 2SP — State Plane / national grids), Albers Equal Area
-    Conic (1SP/2SP), and geographic CRSes (passthrough). Malformed / non-WKT content → None, matching the
+    Conic (1SP/2SP), Polar Stereographic (north/south aspects — Arctic/
+    Antarctic grids; generic oblique Stereographic still raises), and
+    geographic CRSes (passthrough). Malformed / non-WKT content → None, matching the
     reference's proj4 try/catch → no transform. A *well-formed* PROJCS whose
     PROJECTION the engine lacks raises instead of silently decoding
     projected meters as degrees — that failure corrupted coordinates
@@ -589,6 +653,27 @@ def projection_from_wkt(wkt) -> "callable | None":
                 p.get("central_meridian", p.get("longitude_of_center", 0.0)),
                 lat0, sp1, sp2, p.get("scale_factor", 1.0),
                 p.get("false_easting", 0.0), p.get("false_northing", 0.0))
+        if re.search(r'PROJECTION\["?(Polar[_ ]?Stereographic'
+                     r'|Stereographic[_ ]?(North|South)[_ ]?Pole)',
+                     wkt, re.I):
+            p = _wkt_params(wkt)
+            a, inv_f = _wkt_spheroid(wkt)
+            lat_ts = p.get("standard_parallel_1",
+                           p.get("latitude_of_standard_parallel",
+                                 p.get("latitude_of_origin", 90.0)))
+            # south aspect: negative standard parallel / origin, or an
+            # explicit South_Pole projection name
+            south = (lat_ts < 0.0
+                     or bool(re.search(r"South[_ ]?Pole", wkt, re.I)))
+            return make_inv_polar_stereo(
+                a, inv_f,
+                p.get("central_meridian",
+                      p.get("longitude_of_origin",
+                            p.get("straight_vertical_longitude_from_pole",
+                                  0.0))),
+                lat_ts, p.get("scale_factor", 1.0),
+                p.get("false_easting", 0.0), p.get("false_northing", 0.0),
+                south)
         if re.search(r'PROJECTION\["?Albers', wkt, re.I):
             p = _wkt_params(wkt)
             a, inv_f = _wkt_spheroid(wkt)

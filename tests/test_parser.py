@@ -661,3 +661,60 @@ def test_conic_inverses_roundtrip_property():
         assert abs(backa[0] - lon) < 5e-8 and abs(backa[1] - lat) < 5e-8
 
     check()
+
+
+def test_polar_stereographic_inverse_roundtrip():
+    """North (EPSG:3413-style, lat_ts=70, lon0=-45) and south
+    (EPSG:3031-style, lat_ts=-71, lon0=0) aspects: forward via Snyder
+    21-33/21-34, inverse recovers lon/lat to <1e-9 deg."""
+    import math
+    import numpy as np
+    a, e2, e, mtq = _conic_fwd_helpers()
+
+    def fwd(lon, lat, lon0, lat_ts, south, fe=0.0, fn=0.0):
+        ts = abs(lat_ts)
+        m_c, t_c, _ = mtq(math.radians(ts))
+        scale = a * m_c / t_c
+        if south:
+            lon, lat, lon0 = -0.0 + lon, lat, lon0  # t with phi -> -lat
+            _, t, _ = mtq(math.radians(-lat))
+            rho = scale * t
+            dl = math.radians(lon - lon0)
+            return fe + rho * math.sin(dl), fn + rho * math.cos(dl)
+        _, t, _ = mtq(math.radians(lat))
+        rho = scale * t
+        dl = math.radians(lon - lon0)
+        return fe + rho * math.sin(dl), fn - rho * math.cos(dl)
+
+    north_wkt = ('PROJCS["x",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID['
+                 '"WGS 84",6378137,298.257223563]]],'
+                 'PROJECTION["Polar_Stereographic"],'
+                 'PARAMETER["standard_parallel_1",70],'
+                 'PARAMETER["central_meridian",-45],'
+                 'PARAMETER["false_easting",0],'
+                 'PARAMETER["false_northing",0],UNIT["metre",1]]')
+    pts_n = [(-30.0, 75.0), (-45.0, 85.0), (100.0, 72.0), (-135.0, 66.0)]
+    inv_n = parser.projection_from_wkt(north_wkt)
+    xy_n = np.array([fwd(lo, la, -45.0, 70.0, False) for lo, la in pts_n])
+    err_n = np.abs(inv_n(xy_n) - np.array(pts_n)).max()
+    assert err_n < 1e-9
+
+    south_wkt = ('PROJCS["x",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID['
+                 '"WGS 84",6378137,298.257223563]]],'
+                 'PROJECTION["Polar_Stereographic"],'
+                 'PARAMETER["standard_parallel_1",-71],'
+                 'PARAMETER["central_meridian",0],'
+                 'PARAMETER["false_easting",0],'
+                 'PARAMETER["false_northing",0],UNIT["metre",1]]')
+    pts_s = [(0.0, -75.0), (90.0, -80.0), (-120.0, -70.0), (170.0, -88.0)]
+    inv_s = parser.projection_from_wkt(south_wkt)
+    xy_s = np.array([fwd(lo, la, 0.0, -71.0, True) for lo, la in pts_s])
+    err_s = np.abs(inv_s(xy_s) - np.array(pts_s)).max()
+    assert err_s < 1e-9
+
+    # generic (oblique) Stereographic stays unsupported -> loud failure
+    import pytest
+    with pytest.raises(ValueError, match="Stereographic"):
+        parser.projection_from_wkt(
+            'PROJCS["x",PROJECTION["Stereographic"],'
+            'PARAMETER["central_meridian",0]]')
