@@ -749,6 +749,89 @@ FROM s3
 ORACLE_SHP_ALBERS = _oracle_albers_sql()
 
 
+N_PST = 40
+# Antarctic Polar Stereographic (EPSG:3031-style on WGS84)
+_PST_WKT = (
+    'PROJCS["Antarctic PS style",GEOGCS["WGS 84",DATUM["WGS_1984",'
+    'SPHEROID["WGS 84",6378137,298.257223563]]],'
+    'PROJECTION["Polar_Stereographic"],'
+    'PARAMETER["standard_parallel_1",-71],'
+    'PARAMETER["central_meridian",0],'
+    'PARAMETER["false_easting",0],'
+    'PARAMETER["false_northing",0],UNIT["metre",1]]')
+
+
+def q_shp_stereo_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 Polar Stereographic (south aspect) under the oracle gate:
+    Point shapefile in Antarctic-PS meters → engine's Snyder
+    eq. 21-33/21-34 inverse (parser.make_inv_polar_stereo); the oracle
+    evaluates the SAME series in DuckDB from the same
+    polar_stereo_constants() float64 values; 9-decimal rounding policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_PST, dtype=np.int64)
+    xm = (u01(i * 43 + 3) - 0.5) * 4000000.0
+    ym = (u01(i * 43 + 4) - 0.5) * 4000000.0
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_PST_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_stereo_sql() -> str:
+    """Snyder inverse polar stereographic (south) as DuckDB SQL from the
+    SAME float64 constants the engine kernel uses."""
+    from .shp.parser import polar_stereo_constants
+    cv = polar_stereo_constants(6378137.0, 298.257223563, 0.0, -71.0,
+                                1.0, 0.0, 0.0, True)
+    c = {k: (f"CAST({v!r} AS DOUBLE)" if isinstance(v, float) else v)
+         for k, v in cv.items()}
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         ({u01_sql('i * 43 + 3')} - 0.5) * 4000000.0 AS x,
+         ({u01_sql('i * 43 + 4')} - 0.5) * 4000000.0 AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_PST - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no, x - {c['fe']} AS xx, y - {c['fn']} AS yy
+  FROM src),
+s2 AS (
+  SELECT rec_no, xx, yy,
+         PI() / 2.0 - 2.0 * ATAN(SQRT(xx * xx + yy * yy)
+                                 / {c['scale']}) AS chi
+  FROM s1)
+SELECT rec_no,
+       ROUND(DEGREES({c['lam0']} + ATAN2(xx, yy)), 9) AS lon,
+       ROUND(-DEGREES(chi + {c['c2']} * SIN(2.0 * chi)
+                          + {c['c4']} * SIN(4.0 * chi)
+                          + {c['c6']} * SIN(6.0 * chi)
+                          + {c['c8']} * SIN(8.0 * chi)), 9) AS lat
+FROM s2
+"""
+
+
+ORACLE_SHP_STEREO = _oracle_stereo_sql()
+
+
 def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full north-star composition under ONE oracle: shapefile bytes →
     vectorized decode (parse_shp_points_columns via the ingest kernel) →
@@ -982,6 +1065,7 @@ QUERIES: dict = {
     # parked in registry._TAIL (same A12 family as webmerc/utm rows)
     "shp_lcc_reproject": (q_shp_lcc_reproject, ORACLE_SHP_LCC),
     "shp_albers_reproject": (q_shp_albers_reproject, ORACLE_SHP_ALBERS),
+    "shp_stereo_reproject": (q_shp_stereo_reproject, ORACLE_SHP_STEREO),
     # parked in registry._TAIL (A16-A18/A20 zip plumbing, pytest + diffcheck)
     "shp_zip_bundle": (q_shp_zip_bundle, ORACLE_ZIP_BUNDLE),
     "images_phash_verify": (q_images_phash_verify, """

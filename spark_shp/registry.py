@@ -34,6 +34,7 @@ from . import queries_rel, queries_shp, queries_spatial, queries_text
 _TAIL = [
     "shp_lcc_reproject",      # A12 via shp_webmerc/utm_reproject in-window
     "shp_albers_reproject",   # A12 (same family)
+    "shp_stereo_reproject",   # A12 (same family)
     "shp_zip_bundle",         # A16-A18/A20 zip demux e2e (pytest in-window
                               # coverage via shp fixtures; exact diffcheck)
     "knn_events_nations",

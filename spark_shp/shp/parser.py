@@ -674,6 +674,26 @@ def projection_from_wkt(wkt) -> "callable | None":
                 lat_ts, p.get("scale_factor", 1.0),
                 p.get("false_easting", 0.0), p.get("false_northing", 0.0),
                 south)
+        if re.search(r'PROJECTION\["?(Equirectangular'
+                     r'|Equidistant[_ ]?Cylindrical|Plate[_ ]?Carree)',
+                     wkt, re.I):
+            p = _wkt_params(wkt)
+            a, _ = _wkt_spheroid(wkt)
+            lat1 = math.radians(p.get("standard_parallel_1",
+                                      p.get("latitude_of_origin", 0.0)))
+            lon0 = p.get("central_meridian", 0.0)
+            fe = p.get("false_easting", 0.0)
+            fn = p.get("false_northing", 0.0)
+            cos1 = math.cos(lat1)
+
+            def inv_eqc(pts: np.ndarray) -> np.ndarray:
+                # spherical Plate-Carrée (Snyder eq. 12-5/12-6): the form
+                # web map servers and global rasters actually emit
+                lon = lon0 + np.degrees((pts[:, 0] - fe) / (a * cos1))
+                lat = np.degrees((pts[:, 1] - fn) / a)
+                return np.column_stack([lon, lat])
+
+            return inv_eqc
         if re.search(r'PROJECTION\["?Albers', wkt, re.I):
             p = _wkt_params(wkt)
             a, inv_f = _wkt_spheroid(wkt)

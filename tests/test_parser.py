@@ -718,3 +718,24 @@ def test_polar_stereographic_inverse_roundtrip():
         parser.projection_from_wkt(
             'PROJCS["x",PROJECTION["Stereographic"],'
             'PARAMETER["central_meridian",0]]')
+
+
+def test_equirectangular_inverse():
+    """Plate-Carrée / Equidistant-Cylindrical: x = a cos(lat1) dlon,
+    y = a lat (spherical form) — inverse recovers degrees exactly."""
+    import math
+    import numpy as np
+    a = 6378137.0
+    lat1, lon0 = 30.0, 10.0
+    cos1 = math.cos(math.radians(lat1))
+    pts = [(12.5, 48.1), (-60.0, -15.0), (10.0, 0.0)]
+    xy = np.array([[a * cos1 * math.radians(lon - lon0),
+                    a * math.radians(lat)] for lon, lat in pts])
+    wkt = ('PROJCS["x",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID['
+           '"WGS 84",6378137,298.257223563]]],'
+           'PROJECTION["Equirectangular"],'
+           'PARAMETER["standard_parallel_1",30],'
+           'PARAMETER["central_meridian",10],UNIT["metre",1]]')
+    inv = parser.projection_from_wkt(wkt)
+    back = inv(xy)
+    assert np.abs(back - np.array(pts)).max() < 1e-9
