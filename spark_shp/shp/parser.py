@@ -349,6 +349,31 @@ def _wkt_params(wkt: str) -> dict:
         r'PARAMETER\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)', wkt, re.I)}
 
 
+def _wkt_linear_unit(wkt: str) -> float:
+    """Meters-per-unit of the PROJCS linear UNIT (the LAST ``UNIT[...]``
+    in WKT1 — the GEOGCS's angular degree unit appears earlier, nested).
+    US State Plane zones routinely ship in feet (0.3048...); treating
+    those as meters silently corrupts every coordinate. An angular-looking
+    factor in last position means malformed WKT → 1.0 (meters)."""
+    units = re.findall(r'UNIT\[\s*"[^"]*"\s*,\s*([-+0-9.eE]+)', wkt, re.I)
+    if not units:
+        return 1.0
+    factor = float(units[-1])
+    return factor if factor > 0.01 else 1.0
+
+
+def _with_unit(inv, unit: float):
+    """Wrap an inverse so raw coordinates convert unit → meters first
+    (false eastings/northings are converted where constants are built)."""
+    if unit == 1.0 or inv is None:
+        return inv
+
+    def f(pts):
+        return inv(np.asarray(pts, dtype=np.float64) * unit)
+
+    return f
+
+
 def _wkt_spheroid(wkt: str) -> tuple[float, float]:
     """(semi-major a, inverse flattening) from SPHEROID[...]; WGS84 default."""
     m = re.search(r'SPHEROID\[\s*"[^"]*"\s*,\s*([-+0-9.eE]+)\s*,'
@@ -640,6 +665,9 @@ def projection_from_wkt(wkt) -> "callable | None":
     if not wkt or not isinstance(wkt, str):
         return None
     try:
+        # PROJCS linear unit (feet-based State Plane zones are common);
+        # false E/N are expressed in this unit, raw coordinates too
+        unit = _wkt_linear_unit(wkt)
         if re.search(r'PROJECTION\["?Lambert[_ ]?Conformal[_ ]?Conic',
                      wkt, re.I):
             p = _wkt_params(wkt)
@@ -648,11 +676,12 @@ def projection_from_wkt(wkt) -> "callable | None":
                                                      0.0))
             sp1 = p.get("standard_parallel_1", lat0)
             sp2 = p.get("standard_parallel_2", sp1)   # absent → 1SP
-            return make_inv_lcc(
+            return _with_unit(make_inv_lcc(
                 a, inv_f,
                 p.get("central_meridian", p.get("longitude_of_center", 0.0)),
                 lat0, sp1, sp2, p.get("scale_factor", 1.0),
-                p.get("false_easting", 0.0), p.get("false_northing", 0.0))
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
         if re.search(r'PROJECTION\["?(Polar[_ ]?Stereographic'
                      r'|Stereographic[_ ]?(North|South)[_ ]?Pole)',
                      wkt, re.I):
@@ -665,15 +694,16 @@ def projection_from_wkt(wkt) -> "callable | None":
             # explicit South_Pole projection name
             south = (lat_ts < 0.0
                      or bool(re.search(r"South[_ ]?Pole", wkt, re.I)))
-            return make_inv_polar_stereo(
+            return _with_unit(make_inv_polar_stereo(
                 a, inv_f,
                 p.get("central_meridian",
                       p.get("longitude_of_origin",
                             p.get("straight_vertical_longitude_from_pole",
                                   0.0))),
                 lat_ts, p.get("scale_factor", 1.0),
-                p.get("false_easting", 0.0), p.get("false_northing", 0.0),
-                south)
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit,
+                south), unit)
         if re.search(r'PROJECTION\["?(Equirectangular'
                      r'|Equidistant[_ ]?Cylindrical|Plate[_ ]?Carree)',
                      wkt, re.I):
@@ -682,8 +712,8 @@ def projection_from_wkt(wkt) -> "callable | None":
             lat1 = math.radians(p.get("standard_parallel_1",
                                       p.get("latitude_of_origin", 0.0)))
             lon0 = p.get("central_meridian", 0.0)
-            fe = p.get("false_easting", 0.0)
-            fn = p.get("false_northing", 0.0)
+            fe = p.get("false_easting", 0.0) * unit
+            fn = p.get("false_northing", 0.0) * unit
             cos1 = math.cos(lat1)
 
             def inv_eqc(pts: np.ndarray) -> np.ndarray:
@@ -693,29 +723,31 @@ def projection_from_wkt(wkt) -> "callable | None":
                 lat = np.degrees((pts[:, 1] - fn) / a)
                 return np.column_stack([lon, lat])
 
-            return inv_eqc
+            return _with_unit(inv_eqc, unit)
         if re.search(r'PROJECTION\["?Albers', wkt, re.I):
             p = _wkt_params(wkt)
             a, inv_f = _wkt_spheroid(wkt)
             lat0 = p.get("latitude_of_origin", p.get("latitude_of_center",
                                                      0.0))
             sp1 = p.get("standard_parallel_1", lat0)
-            return make_inv_albers(
+            return _with_unit(make_inv_albers(
                 a, inv_f,
                 p.get("central_meridian", p.get("longitude_of_center", 0.0)),
                 lat0, sp1, p.get("standard_parallel_2", sp1),
-                p.get("false_easting", 0.0), p.get("false_northing", 0.0))
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
         if re.search(r'PROJECTION\["?Transverse[_ ]?Mercator', wkt, re.I):
             p = _wkt_params(wkt)
             a, inv_f = _wkt_spheroid(wkt)
-            return make_inv_tmerc(
+            return _with_unit(make_inv_tmerc(
                 a, inv_f,
                 p.get("central_meridian", p.get("longitude_of_center", 0.0)),
                 p.get("latitude_of_origin", p.get("latitude_of_center", 0.0)),
                 p.get("scale_factor", 1.0),
-                p.get("false_easting", 0.0), p.get("false_northing", 0.0))
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
         if re.search(r'PROJECTION\["?Mercator', wkt, re.I) or "3857" in wkt:
-            return _inv_webmerc
+            return _with_unit(_inv_webmerc, unit)
         proj = re.search(r'PROJECTION\[\s*"([^"]+)"', wkt, re.I)
         if proj:
             raise ValueError(

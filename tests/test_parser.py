@@ -739,3 +739,46 @@ def test_equirectangular_inverse():
     inv = parser.projection_from_wkt(wkt)
     back = inv(xy)
     assert np.abs(back - np.array(pts)).max() < 1e-9
+
+
+def test_projcs_linear_unit_feet():
+    """US State Plane in US survey feet: the PROJCS UNIT factor must scale
+    raw coordinates AND false eastings before the meter-based inverse —
+    treating feet as meters silently corrupts every coordinate."""
+    import math
+    import numpy as np
+    a, e2, e, mtq = _conic_fwd_helpers()
+    FT = 0.30480060960121924            # US survey foot
+    lon0, lat0, sp1, sp2 = -118.0, 33.5, 34.03, 35.47
+    fe_ft, fn_ft = 6561666.667, 1640416.667
+    m1, t1, _ = mtq(math.radians(sp1))
+    m2, t2, _ = mtq(math.radians(sp2))
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    F = m1 / (n * t1 ** n)
+    _, t0, _ = mtq(math.radians(lat0))
+    rho0 = a * F * t0 ** n
+    pts = [(-121.5, 31.2), (-118.0, 34.5), (-114.2, 37.9)]
+    xy_ft = []
+    for lon, lat in pts:
+        _, t, _ = mtq(math.radians(lat))
+        rho = a * F * t ** n
+        th = n * math.radians(lon - lon0)
+        x_m = rho * math.sin(th)
+        y_m = rho0 - rho * math.cos(th)
+        xy_ft.append((x_m / FT + fe_ft, y_m / FT + fn_ft))
+    wkt = ('PROJCS["CA zone 5 ftUS",GEOGCS["WGS 84",DATUM["WGS_1984",'
+           'SPHEROID["WGS 84",6378137,298.257223563]],'
+           'UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+           'PARAMETER["standard_parallel_1",34.03],'
+           'PARAMETER["standard_parallel_2",35.47],'
+           'PARAMETER["latitude_of_origin",33.5],'
+           'PARAMETER["central_meridian",-118],'
+           'PARAMETER["false_easting",6561666.667],'
+           'PARAMETER["false_northing",1640416.667],'
+           'UNIT["US survey foot",0.30480060960121924]]')
+    inv = parser.projection_from_wkt(wkt)
+    back = inv(np.array(xy_ft))
+    assert np.abs(back - np.array(pts)).max() < 1e-8
+    # meter-unit WKT still behaves (unit=1 fast path)
+    assert parser._wkt_linear_unit('PROJCS["x",UNIT["metre",1]]') == 1.0
