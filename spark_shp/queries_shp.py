@@ -73,7 +73,9 @@ def q_dbf_decode_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine DBF decode (C/N/F/D/L typing incl. parseFloat blank→NaN, '*'
     padding, tri-state logical) vs a VALUES-literal oracle. NaN is surfaced
     as NULL at the SQL boundary (is_nan flag carries the distinction so the
-    reference's NaN-not-null semantics stay observable)."""
+    reference's NaN-not-null semantics stay observable). src=2 adds A15:
+    a cp1251-encoded DBF whose .cpg sidecar (content ``1251``) drives the
+    text decode — Cyrillic names must round-trip exactly."""
     from datetime import date
     from .shp import writer
     fields = [("NAME", "C", 12, 0), ("QTY", "N", 8, 0),
@@ -89,7 +91,12 @@ def q_dbf_decode_types(spark: SparkSession, sf_dir: str) -> DataFrame:
          "OK": "?"},
     ]
     blob = writer.write_dbf(fields, rows)
+    cyr_fields = [("NAME", "C", 12, 0), ("QTY", "N", 8, 0)]
+    cyr_rows = [{"NAME": "Москва", "QTY": 1},
+                {"NAME": "Пермь", "QTY": 2}]
+    blob_cyr = writer.write_dbf(cyr_fields, cyr_rows, encoding="cp1251")
     schema = T.StructType([
+        T.StructField("src", T.IntegerType()),
         T.StructField("rec_no", T.IntegerType()),
         T.StructField("name", T.StringType()),
         T.StructField("qty", T.DoubleType()),
@@ -103,34 +110,43 @@ def q_dbf_decode_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         import math
         from .shp import parser
         for pdf in batches:
-            for content in pdf["content"]:
+            for src, content, cpg in zip(pdf["src"], pdf["content"],
+                                         pdf["cpg"]):
+                enc = parser.parse_cpg(cpg)
                 out = []
-                for i, r in enumerate(parser.parse_dbf(bytes(content))):
+                for i, r in enumerate(parser.parse_dbf(bytes(content),
+                                                       enc)):
                     qty = r["QTY"]
                     nan = isinstance(qty, float) and math.isnan(qty)
-                    price = r["PRICE"]
+                    price = r.get("PRICE")
                     pnan = isinstance(price, float) and math.isnan(price)
-                    out.append((i + 1, r["NAME"],
+                    out.append((int(src), i + 1, r["NAME"],
                                 None if nan else qty, nan,
                                 None if pnan else price,
-                                r["DAY"], r["OK"]))
+                                r.get("DAY"), r.get("OK")))
                 yield pd.DataFrame(out, columns=[f.name for f in schema])
 
-    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    files = spark.createDataFrame(pd.DataFrame(
+        {"src": [1, 2], "content": [blob, blob_cyr],
+         "cpg": [None, b"1251"]}))
     return files.mapInPandas(decode, schema)
 
 
 ORACLE_DBF_TYPES = """
 SELECT * FROM (VALUES
-  (CAST(1 AS INT), 'alpha', CAST(42.0 AS DOUBLE), FALSE,
+  (CAST(1 AS INT), CAST(1 AS INT), 'alpha', CAST(42.0 AS DOUBLE), FALSE,
    CAST(19.99 AS DOUBLE), DATE '2020-02-29', TRUE),
-  (CAST(2 AS INT), 'beta', CAST(NULL AS DOUBLE), TRUE,
+  (CAST(1 AS INT), CAST(2 AS INT), 'beta', CAST(NULL AS DOUBLE), TRUE,
    CAST(NULL AS DOUBLE), CAST(NULL AS DATE), FALSE),
-  (CAST(3 AS INT), '', CAST(NULL AS DOUBLE), TRUE,
+  (CAST(1 AS INT), CAST(3 AS INT), '', CAST(NULL AS DOUBLE), TRUE,
    CAST(3.5 AS DOUBLE), DATE '2024-01-15', TRUE),
-  (CAST(4 AS INT), 'd', CAST(-7.0 AS DOUBLE), FALSE,
-   CAST(12.5 AS DOUBLE), CAST(NULL AS DATE), CAST(NULL AS BOOLEAN))
-) AS t(rec_no, name, qty, qty_is_nan, price, day, ok)
+  (CAST(1 AS INT), CAST(4 AS INT), 'd', CAST(-7.0 AS DOUBLE), FALSE,
+   CAST(12.5 AS DOUBLE), CAST(NULL AS DATE), CAST(NULL AS BOOLEAN)),
+  (CAST(2 AS INT), CAST(1 AS INT), 'Москва', CAST(1.0 AS DOUBLE), FALSE,
+   CAST(NULL AS DOUBLE), CAST(NULL AS DATE), CAST(NULL AS BOOLEAN)),
+  (CAST(2 AS INT), CAST(2 AS INT), 'Пермь', CAST(2.0 AS DOUBLE), FALSE,
+   CAST(NULL AS DOUBLE), CAST(NULL AS DATE), CAST(NULL AS BOOLEAN))
+) AS t(src, rec_no, name, qty, qty_is_nan, price, day, ok)
 """
 
 
