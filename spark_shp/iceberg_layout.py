@@ -231,7 +231,37 @@ def _read_file_list(spark: SparkSession, root: str,
     reads = [spark.read.option("basePath", os.path.join(root, d))
              .parquet(*sorted(paths))
              for d, paths in sorted(by_dir.items())]
-    return reduce(lambda a, b: a.unionByName(b), reads)
+    # allowMissingColumns: snapshots written before a column was added
+    # surface NULLs for it (Iceberg schema-evolution read semantics)
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                  reads)
+
+
+def compact(spark: SparkSession, root: str, target_file_mb: int = 256,
+            partition_by: str | None = None,
+            cluster_by: str | None = None) -> dict:
+    """Iceberg ``rewriteDataFiles``: fold the current snapshot's file set
+    into ~``target_file_mb`` files as a NEW snapshot (prior snapshots stay
+    time-travelable until :func:`expire_snapshots`). The small-files
+    problem is the classic operational failure at 100 TB — a streaming or
+    per-batch writer leaves thousands of KB-files whose open/footer
+    overhead dominates scans; periodic compaction restores scan-sized
+    files and (with ``cluster_by``) re-tightens bounds for data skipping."""
+    snap = table_stats(root)
+    total_bytes = sum(f["bytes"] for f in snap["files"])
+    n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = read_table(spark, root)
+    if cluster_by is None:
+        df = df.coalesce(n_out)      # narrow — no shuffle to merge files
+    new = write_table(df, root, partition_by=partition_by,
+                      cluster_by=cluster_by, mode="overwrite")
+    assert new["total_rows"] == snap["total_rows"], \
+        f'compaction changed row count: {snap["total_rows"]} -> ' \
+        f'{new["total_rows"]}'
+    return {"snapshot_id": new["snapshot_id"],
+            "files_before": len(snap["files"]),
+            "files_after": len(new["files"]),
+            "bytes": total_bytes}
 
 
 def table_stats(root: str, snapshot_id: int | None = None) -> dict:

@@ -183,3 +183,33 @@ def test_iceberg_cluster_by_and_data_skipping(spark, tmp_path):
     got3, rep3 = ice.scan_table(spark, root, "cell", 10_000, 20_000)
     assert rep3["files_read"] == 0 and got3.count() == 0
     assert got3.columns == got.columns
+
+
+def test_iceberg_compact_and_schema_evolution(spark, tmp_path):
+    """compact() folds a many-small-file snapshot into few files with the
+    same rows (old snapshot still time-travelable); a snapshot appended
+    with a NEW column reads across snapshots with NULLs for the old files
+    (schema-evolution read semantics)."""
+    from pyspark.sql import functions as F
+
+    from spark_shp import iceberg_layout as ice
+    root = str(tmp_path / "tbl")
+    df = (spark.range(0, 20_000, numPartitions=32)
+          .withColumn("v", F.md5(F.col("id").cast("string"))))
+    ice.write_table(df, root)                       # 32 small files
+    before = len(ice.table_stats(root)["files"])
+    rep = ice.compact(spark, root, target_file_mb=256)
+    assert rep["files_after"] < before and rep["files_after"] >= 1
+    assert ice.read_table(spark, root).count() == 20_000
+    # snapshot 1 (pre-compaction) still reads its own file set
+    assert ice.read_table(spark, root, snapshot_id=1).count() == 20_000
+
+    # append with an extra column: union-by-name fills NULL for old files
+    extra = (spark.range(20_000, 21_000, numPartitions=2)
+             .withColumn("v", F.md5(F.col("id").cast("string")))
+             .withColumn("lang", F.lit("en")))
+    ice.write_table(extra, root, mode="append")
+    cur = ice.read_table(spark, root)
+    assert cur.count() == 21_000 and "lang" in cur.columns
+    assert cur.where(F.col("lang").isNull()).count() == 20_000
+    assert cur.where(F.col("lang") == "en").count() == 1_000
