@@ -566,6 +566,34 @@ FROM imgs i LEFT JOIN (
 ORACLE_CLIP = _clip_oracle_sql()
 
 
+def q_distance_join_events(spark, sf_dir):
+    """Big-big distance join (spatial.distance_join_cells — cell-bucketed
+    3×3-ring candidates + exact refine, one shuffle, no broadcast): event
+    pairs within 0.5 euclidean degrees, deduped a<b, folded to a count +
+    id checksum the DuckDB cross-join oracle can replay exactly."""
+    pts = _event_points(spark, sf_dir).select("event_id", "lon", "lat")
+    pairs = spatial.distance_join_cells(pts, pts, 0.5)
+    return (pairs.where(F.col("l_event_id") < F.col("r_event_id"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(F.col("l_event_id") * 100000
+                       + F.col("r_event_id")).alias("pair_sum"),
+                 F.min("l_event_id").alias("min_a")))
+
+
+ORACLE_DISTANCE_JOIN = f"""
+WITH p AS (SELECT event_id, lon, lat FROM {EVENT_POINTS_SQL} t),
+pairs AS (
+  SELECT a.event_id AS ai, b.event_id AS bi
+  FROM p a JOIN p b ON a.event_id < b.event_id
+  WHERE (a.lon - b.lon) * (a.lon - b.lon)
+        + (a.lat - b.lat) * (a.lat - b.lat) <= 0.25)
+SELECT COUNT(*) AS n_pairs,
+       CAST(SUM(ai * 100000 + bi) AS BIGINT) AS pair_sum,
+       MIN(ai) AS min_a
+FROM pairs
+"""
+
+
 QUERIES: dict = {
     "clip_coverage_stats": (q_clip_coverage_stats, ORACLE_CLIP),
     "tile_assign_events": (q_tile_assign_events, ORACLE_TILE_ASSIGN),
@@ -581,4 +609,6 @@ QUERIES: dict = {
     "images_tile_density": (q_images_tile_density, ORACLE_IMG_DENSITY),
     "images_hot_cell": (q_images_hot_cell, ORACLE_IMG_HOT),
     "images_fence_join": (q_images_fence_join, ORACLE_IMG_FENCE),
+    # parked in registry._TAIL (B9 family: range_join_counts in-window)
+    "distance_join_events": (q_distance_join_events, ORACLE_DISTANCE_JOIN),
 }

@@ -35,6 +35,7 @@ _TAIL = [
     "shp_lcc_reproject",      # A12 via shp_webmerc/utm_reproject in-window
     "shp_albers_reproject",   # A12 (same family)
     "shp_stereo_reproject",   # A12 (same family)
+    "distance_join_events",   # B9 via range_join_counts in-window
     "shp_zip_bundle",         # A16-A18/A20 zip demux e2e (pytest in-window
                               # coverage via shp fixtures; exact diffcheck)
     "knn_events_nations",

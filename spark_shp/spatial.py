@@ -541,6 +541,50 @@ def range_join(points: DataFrame, dims: DataFrame, radius: float,
     return points.join(F.broadcast(dims)).where(d2 <= radius * radius)
 
 
+def distance_join_cells(left: DataFrame, right: DataFrame, radius: float,
+                        lon_l: str = "lon", lat_l: str = "lat",
+                        lon_r: str = "lon", lat_r: str = "lat") -> DataFrame:
+    """Big-big distance join (all pairs within euclidean-degree
+    ``radius``): grid both sides at a level whose cell size ≥ radius, fan
+    the LEFT side out to its 3×3 neighbor cells, equi-join on the cell
+    key, refine with the exact distance — entirely DataFrame ops, one
+    shuffle keyed on the grid cell, 9× left duplication. This is the
+    shape that survives when NEITHER side fits a broadcast (use
+    :func:`range_join` when the dims side is small).
+
+    Every output column of ``left`` is prefixed ``l_`` and of ``right``
+    ``r_`` (like :func:`spatial_join`'s pair output)."""
+    import math as _math
+
+    from . import cells
+
+    # cell must be at least radius wide in BOTH axes (lat span 170 is the
+    # binding constraint) so candidates are confined to the 3x3 ring
+    level = max(0, min(cells.LEVEL_MAX if hasattr(cells, "LEVEL_MAX")
+                       else 24,
+                       int(_math.floor(_math.log2(170.0 / radius)))))
+    ixl, iyl = cells.quantize_sql(lon_l, lat_l, level)
+    ixr, iyr = cells.quantize_sql(lon_r, lat_r, level)
+    l2 = (left.select(*[F.col(c).alias(f"l_{c}") for c in left.columns],
+                      F.expr(ixl).alias("_ix0"), F.expr(iyl).alias("_iy0"))
+          .withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0),
+                                               F.lit(1))))
+          .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0),
+                                               F.lit(1))))
+          .withColumn("_ix", F.col("_ix0") + F.col("_dx"))
+          .withColumn("_iy", F.col("_iy0") + F.col("_dy"))
+          .drop("_ix0", "_iy0", "_dx", "_dy"))
+    r2 = right.select(*[F.col(c).alias(f"r_{c}") for c in right.columns],
+                      F.expr(ixr).alias("_ix"), F.expr(iyr).alias("_iy"))
+    dx = F.col(f"l_{lon_l}") - F.col(f"r_{lon_r}")
+    dy = F.col(f"l_{lat_l}") - F.col(f"r_{lat_r}")
+    # plain multiplication (not POWER) so a SQL oracle reproduces the
+    # float64 sequence exactly
+    return (l2.join(r2, ["_ix", "_iy"])
+            .where(dx * dx + dy * dy <= radius * radius)
+            .drop("_ix", "_iy"))
+
+
 def salt_hot_cells(df: DataFrame, cell_col: str, top_n: int = 8,
                    salt_factor: int = 16) -> tuple[DataFrame, DataFrame]:
     """B13: detect the ``top_n`` densest cells (sampled count) and salt them.

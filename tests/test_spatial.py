@@ -316,3 +316,26 @@ def test_knn_exact_repairs_undersized_ring(spark, points_df):
     auto = {(r.pid, r.fid, r.knn_rank) for r in spatial.knn_join_cells_exact(
         pts, dims, 3, "lon", "lat", "dlon", "dlat", "fid", "pid").collect()}
     assert auto == want
+
+
+def test_distance_join_cells_matches_bruteforce(spark):
+    """Cell-bucketed distance join == numpy brute force on random points,
+    including pairs that straddle grid-cell boundaries."""
+    import numpy as np
+    import pandas as pd
+    from spark_shp import spatial
+
+    rng = np.random.default_rng(11)
+    n_l, n_r, radius = 300, 250, 2.5
+    lons_l = rng.uniform(-20, 20, n_l); lats_l = rng.uniform(-15, 15, n_l)
+    lons_r = rng.uniform(-20, 20, n_r); lats_r = rng.uniform(-15, 15, n_r)
+    left = spark.createDataFrame(pd.DataFrame(
+        {"id": np.arange(n_l), "lon": lons_l, "lat": lats_l}))
+    right = spark.createDataFrame(pd.DataFrame(
+        {"id": np.arange(n_r), "lon": lons_r, "lat": lats_r}))
+    got = sorted((r.l_id, r.r_id) for r in
+                 spatial.distance_join_cells(left, right, radius).collect())
+    d2 = ((lons_l[:, None] - lons_r[None, :]) ** 2
+          + (lats_l[:, None] - lats_r[None, :]) ** 2)
+    want = sorted(map(tuple, np.argwhere(d2 <= radius * radius)))
+    assert got == want and len(want) > 100
