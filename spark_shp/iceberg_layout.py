@@ -45,7 +45,8 @@ def _current_version(root: str) -> int:
 
 def write_table(df: DataFrame, root: str, partition_by: str | None = None,
                 mode: str = "overwrite",
-                cluster_by: str | None = None) -> dict:
+                cluster_by: str | None = None,
+                cluster_partitions: int | None = None) -> dict:
     """Write data + commit a new snapshot manifest. Returns the manifest.
 
     Data files land in ``data/snap-<version>/`` (immutable once committed).
@@ -75,7 +76,11 @@ def write_table(df: DataFrame, root: str, partition_by: str | None = None,
         if os.path.isdir(stale):
             shutil.rmtree(stale)
     if cluster_by:
-        df = (df.repartitionByRange(cluster_by)
+        # explicit cluster_partitions pins the output file count (AQE
+        # otherwise coalesces small tables into one file — no skipping)
+        args = ([cluster_partitions, cluster_by]
+                if cluster_partitions else [cluster_by])
+        df = (df.repartitionByRange(*args)
               .sortWithinPartitions(cluster_by))
     w = df.write.mode("error")           # snapshot dirs are write-once
     if partition_by:

@@ -213,3 +213,23 @@ def test_iceberg_compact_and_schema_evolution(spark, tmp_path):
     assert cur.count() == 21_000 and "lang" in cur.columns
     assert cur.where(F.col("lang").isNull()).count() == 20_000
     assert cur.where(F.col("lang") == "en").count() == 1_000
+
+
+def test_scan_table_string_bounds_and_empty_side(spark, tmp_path):
+    """Manifest bounds work for string columns (parquet stats decode as
+    UTF-8), and a range that matches no file returns an empty frame with
+    the right schema."""
+    from pyspark.sql import functions as F
+
+    from spark_shp import iceberg_layout as ice
+    root = str(tmp_path / "tbl")
+    df = (spark.range(0, 5_000, numPartitions=4)
+          .withColumn("lang", F.element_at(
+              F.array(F.lit("de"), F.lit("en"), F.lit("fr"), F.lit("pt")),
+              (F.col("id") % 4 + 1).cast("int"))))
+    ice.write_table(df, root, cluster_by="lang", cluster_partitions=4)
+    got, rep = ice.scan_table(spark, root, "lang", "en", "en")
+    assert got.count() == 1250
+    assert rep["files_skipped"] >= 1
+    got2, rep2 = ice.scan_table(spark, root, "lang", "zz", "zz")
+    assert got2.count() == 0 and got2.columns == got.columns

@@ -339,3 +339,23 @@ def test_distance_join_cells_matches_bruteforce(spark):
           + (lats_l[:, None] - lats_r[None, :]) ** 2)
     want = sorted(map(tuple, np.argwhere(d2 <= radius * radius)))
     assert got == want and len(want) > 100
+
+
+def test_distance_join_cells_empty_and_tiny_radius(spark):
+    """Empty right side → empty result with pair schema; radius smaller
+    than any gap → no pairs (grid level clamps sanely)."""
+    import numpy as np
+    import pandas as pd
+    from spark_shp import spatial
+
+    left = spark.createDataFrame(pd.DataFrame(
+        {"id": [0, 1], "lon": [0.0, 10.0], "lat": [0.0, 10.0]}))
+    empty = spark.createDataFrame([], "id bigint, lon double, lat double")
+    out = spatial.distance_join_cells(left, empty, 1.0)
+    assert out.count() == 0
+    assert set(out.columns) == {"l_id", "l_lon", "l_lat",
+                                "r_id", "r_lon", "r_lat"}
+    tiny = spatial.distance_join_cells(left, left, 1e-6)
+    # only self-pairs at distance 0 survive a tiny radius
+    assert sorted((r.l_id, r.r_id) for r in tiny.collect()) == [(0, 0),
+                                                                (1, 1)]
