@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 GEOM_SCHEMA = T.StructType([
     T.StructField("feature_id", T.LongType()),
@@ -82,6 +82,91 @@ def features_to_records(layer: str, features: list[dict]) -> list[dict]:
                            for k, v in f["properties"].items()},
         })
     return rows
+
+
+def denormalize_rank4(geom_type: str | None, coords):
+    """Inverse of :func:`normalize_rank4`: rank-4 ragged coordinates →
+    GeoJSON geometry dict (None for null shapes)."""
+    if geom_type is None or coords is None:
+        return None
+    if geom_type == "Point":
+        return {"type": "Point", "coordinates": coords[0][0][0]}
+    if geom_type in ("MultiPoint", "LineString"):
+        return {"type": geom_type, "coordinates": coords[0][0]}
+    if geom_type in ("MultiLineString", "Polygon"):
+        return {"type": geom_type, "coordinates": coords[0]}
+    if geom_type == "MultiPolygon":
+        return {"type": geom_type, "coordinates": coords}
+    raise ValueError(f"unknown geometry type {geom_type}")
+
+
+def write_geojson(features: DataFrame, out_dir: str) -> None:
+    """The reference's OUTPUT artifact at scale: write the geometry
+    DataFrame as newline-delimited GeoJSON features (GeoJSONSeq — one
+    Feature per line, the streaming/scalable form of a FeatureCollection),
+    partitioned by layer. Distributed text write; float64 coordinates
+    round-trip exactly through Python's shortest-repr json encoding."""
+    import json
+
+    from pyspark.sql import types as T2
+
+    schema = T.StructType([T.StructField("layer", T.StringType()),
+                           T.StructField("value", T.StringType())])
+
+    def _py(o):
+        if isinstance(o, np.ndarray):
+            return [_py(x) for x in o]
+        if isinstance(o, (list, tuple)):
+            return [_py(x) for x in o]
+        if isinstance(o, np.generic):
+            return o.item()
+        return o
+
+    def encode(batches):
+        for pdf in batches:
+            out_layer, out_val = [], []
+            for r in pdf.itertuples(index=False):
+                geom = denormalize_rank4(r.geom_type, _py(r.coordinates))
+                feat = {"type": "Feature", "geometry": geom,
+                        "properties": dict(r.properties or {}),
+                        "id": int(r.feature_id)}
+                out_layer.append(r.layer)
+                out_val.append(json.dumps(feat, separators=(",", ":")))
+            yield pd.DataFrame({"layer": out_layer, "value": out_val})
+
+    (features.select("layer", "feature_id", "geom_type", "coordinates",
+                     "properties")
+     .mapInPandas(encode, schema)
+     .write.mode("overwrite").partitionBy("layer").text(out_dir))
+
+
+def read_geojson_seq(spark: SparkSession, path: str) -> DataFrame:
+    """Read a :func:`write_geojson` directory back into the GEOM_SCHEMA
+    geometry DataFrame (layer recovered from the partition column)."""
+    import json
+
+    txt = (spark.read.option("basePath", path).text(f"{path}/layer=*")
+           .withColumn("layer", F.regexp_extract(
+               F.input_file_name(), r"layer=([^/]+)/", 1)))
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for layer, line in zip(pdf["layer"], pdf["value"]):
+                f = json.loads(line)
+                g = f["geometry"]
+                out.append({
+                    "feature_id": f.get("id"),
+                    "layer": layer,
+                    "geom_type": g["type"] if g else None,
+                    "coordinates": normalize_rank4(g),
+                    "bbox": _geom_bbox(g),
+                    "is_null": g is None,
+                    "properties": f.get("properties") or {},
+                })
+            yield pd.DataFrame(out, columns=[f.name for f in GEOM_SCHEMA])
+
+    return txt.mapInPandas(decode, GEOM_SCHEMA)
 
 
 def read_shapefiles(spark: SparkSession, path_glob: str) -> DataFrame:

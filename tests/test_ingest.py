@@ -320,3 +320,28 @@ def test_vertices_fast_applies_prj_sidecar(spark, tmp_path):
     for r, (rec, p, q, lon, lat) in zip(rows, want):
         assert (r.rec_no, r.part_no, r.pt_no) == (rec, p, q)
         assert abs(r.x - lon) < 1e-9 and abs(r.y - lat) < 1e-9
+
+
+def test_geojson_sink_roundtrip(spark, tmp_path):
+    """shapefile dir → geometry DF → GeoJSONSeq sink → reader: features
+    (geometry types, exact float64 coordinates, properties, null shapes)
+    survive the full conversion round trip — the reference's output
+    artifact, distributed."""
+    d = _write_fixture_dir(tmp_path)
+    feats = ingest.read_shapefiles(spark, d + "/*")
+    out = str(tmp_path / "gj")
+    ingest.write_geojson(feats, out)
+    back = ingest.read_geojson_seq(spark, out)
+
+    def canon(df):
+        return sorted(
+            ((r.layer, r.feature_id, r.geom_type, r.is_null,
+              None if r.coordinates is None else
+              tuple(tuple(tuple(tuple(p) for p in b) for b in a)
+                    for a in r.coordinates),
+              None if r.properties is None else
+              tuple(sorted(r.properties.items()))))
+            for r in df.collect())
+
+    a, b = canon(feats), canon(back)
+    assert len(a) > 0 and a == b
