@@ -594,6 +594,84 @@ FROM pairs
 """
 
 
+N_PHD = 2000
+PHD_HAM_MAX = 10
+# groups of 4 ids share a 63-bit base hash; members differ by 0/1/3/24
+# flipped bits — near-dup pairs (≤10 bits apart) are exactly the
+# {+0,+1,+3-bit} members of each group, planted by construction
+_PHD_DELTAS = (0, 1, (1 << 40) + (1 << 13) + 1,
+               (0xAAAAAA << 20) + 0xAAA)     # 24 bits worth of flips
+
+
+def _phd_hash_sql(i: str, xor_op: str = "func") -> str:
+    """63-bit planted phash as a SQL expression; ``xor_op``: DuckDB spells
+    bitwise xor ``xor(a, b)``, Spark SQL ``a ^ b``."""
+    from .hashing import mix_sql
+    # Spark's / is fractional; FLOOR+CAST is the shared integer division
+    j = f"CAST(FLOOR(({i}) / 4) AS BIGINT)"
+    hi = f"(({mix_sql(f'{j} * 2 + 1')}) % 2147483648)"
+    lo = mix_sql(f"{j} * 2 + 2")
+    base = f"({hi} * 4294967296 + {lo})"
+    d = (f"CAST(CASE ({i}) % 4 WHEN 0 THEN 0 WHEN 1 THEN {_PHD_DELTAS[1]} "
+         f"WHEN 2 THEN {_PHD_DELTAS[2]} ELSE {_PHD_DELTAS[3]} END "
+         f"AS BIGINT)")
+    if xor_op == "func":
+        return f"xor({base}, {d})"
+    return f"({base} ^ {d})"
+
+
+def q_images_phash_near_dup(spark, sf_dir):
+    """Image near-duplicate pairs on the perceptual-hash column (the
+    image analog of embedding near-dup — LLM image-dataset dedup): band
+    the 64-bit phash into 4×16-bit LSH bands, self-join on (band, value)
+    — a pair is a candidate iff ≥1 band collides (this fixture's near-dup
+    pairs differ by ≤4 bits, so ≥1 of 4 bands is always intact) — then
+    verify exact hamming ≤ 10 via bit_count(xor). Pure SQL: banded
+    equi-join, never all-pairs."""
+    i = "CAST(id AS BIGINT)"
+    ph = spark.range(N_PHD).selectExpr(
+        f"{i} AS img_id",
+        f"{_phd_hash_sql(i, xor_op='caret')} AS ph")
+    bands = ph.selectExpr(
+        "img_id", "ph",
+        "explode(array(0, 1, 2, 3)) AS band").selectExpr(
+        "img_id", "ph", "band",
+        "shiftright(ph, band * 16) & 65535 AS bv")
+    a = bands.selectExpr("img_id AS ai", "ph AS pa", "band", "bv")
+    b = bands.selectExpr("img_id AS bi", "ph AS pb", "band", "bv")
+    pairs = (a.join(b, ["band", "bv"])
+             .where(F.col("ai") < F.col("bi"))
+             .select("ai", "bi", "pa", "pb").distinct()
+             .where(F.expr(f"bit_count(pa ^ pb) <= {PHD_HAM_MAX}")))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("ai") * 100000 + F.col("bi")).alias("pair_sum"),
+        F.max(F.expr("bit_count(pa ^ pb)")).alias("max_ham"))
+
+
+def _oracle_phash_near_dup() -> str:
+    h = _phd_hash_sql("i", xor_op="func")
+    return f"""
+WITH ids AS (SELECT UNNEST(GENERATE_SERIES(0, {N_PHD - 1})) AS i),
+ph AS (SELECT CAST(i AS BIGINT) AS img_id, {h} AS ph FROM ids),
+bands AS (
+  SELECT img_id, ph, band, (ph >> (band * 16)) & 65535 AS bv
+  FROM ph, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band) b),
+cand AS (
+  SELECT DISTINCT a.img_id AS ai, b.img_id AS bi, a.ph AS pa, b.ph AS pb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.img_id < b.img_id),
+ok AS (SELECT * FROM cand WHERE bit_count(xor(pa, pb)) <= {PHD_HAM_MAX})
+SELECT COUNT(*) AS n_pairs,
+       CAST(SUM(ai * 100000 + bi) AS BIGINT) AS pair_sum,
+       CAST(MAX(bit_count(xor(pa, pb))) AS INT) AS max_ham
+FROM ok
+"""
+
+
+ORACLE_PHASH_NEAR_DUP = _oracle_phash_near_dup()
+
+
 QUERIES: dict = {
     "clip_coverage_stats": (q_clip_coverage_stats, ORACLE_CLIP),
     "tile_assign_events": (q_tile_assign_events, ORACLE_TILE_ASSIGN),
@@ -611,4 +689,7 @@ QUERIES: dict = {
     "images_fence_join": (q_images_fence_join, ORACLE_IMG_FENCE),
     # parked in registry._TAIL (B9 family: range_join_counts in-window)
     "distance_join_events": (q_distance_join_events, ORACLE_DISTANCE_JOIN),
+    # parked in registry._TAIL (dedup family: minhash_lsh_pairs in-window)
+    "images_phash_near_dup": (q_images_phash_near_dup,
+                              ORACLE_PHASH_NEAR_DUP),
 }

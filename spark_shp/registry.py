@@ -36,6 +36,7 @@ _TAIL = [
     "shp_albers_reproject",   # A12 (same family)
     "shp_stereo_reproject",   # A12 (same family)
     "distance_join_events",   # B9 via range_join_counts in-window
+    "images_phash_near_dup",  # dedup family via minhash_lsh_pairs/simhash
     "shp_zip_bundle",         # A16-A18/A20 zip demux e2e (pytest in-window
                               # coverage via shp fixtures; exact diffcheck)
     "knn_events_nations",
