@@ -155,13 +155,19 @@ def main_bench():
                 qs[name](spark, warm_sf).count()
             except Exception:
                 pass
+    # two timed passes, per-query min: the same min-of-trials rule the
+    # flagship uses, applied per query — a single pass bills whichever
+    # queries collide with a neighbor-VM contention burst (±15-35%
+    # observed on this box at zero steal) for the burst
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            sec = round(time.time() - t0, 3)
+            times[name] = min(times.get(name, float("inf")), sec)
+            print(f"# {name}: {n} rows in {sec}s", file=sys.stderr)
 
     # flagship: 5 trials, report best (JIT/codegen warms over the first
     # runs; min also rides out hypervisor-steal spikes on this shared VM)
