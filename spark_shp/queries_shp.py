@@ -848,6 +848,33 @@ FROM s2
 ORACLE_SHP_STEREO = _oracle_stereo_sql()
 
 
+def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — ALL five supported .prj projection families under ONE gated
+    row (the shp_zm_semantics consolidation pattern applied to CRS): each
+    family decodes its own Point shapefile + WKT through the engine's
+    inverse kernel, tagged with a family id, unioned. Driver-gates the
+    conic families (LCC 2SP, Albers) and Polar Stereographic that
+    previously lived tail-only, without widening the 50-query window.
+    Upstream anchor: proj4-based reprojection in lib/index.js:≈125-140
+    [RECONSTRUCTED]."""
+    fams = [q_shp_webmerc_reproject, q_shp_utm_reproject,
+            q_shp_lcc_reproject, q_shp_albers_reproject,
+            q_shp_stereo_reproject]
+    out = None
+    for fam_id, fn in enumerate(fams):
+        d = fn(spark, sf_dir).select(
+            F.lit(fam_id).cast("int").alias("fam"), "rec_no", "lon", "lat")
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+ORACLE_REPROJECT_FAMILIES = "\nUNION ALL\n".join(
+    f"SELECT CAST({i} AS INT) AS fam, rec_no, lon, lat FROM ({sql}\n) f{i}"
+    for i, sql in enumerate([
+        ORACLE_SHP_WEBMERC, ORACLE_SHP_UTM, ORACLE_SHP_LCC,
+        ORACLE_SHP_ALBERS, ORACLE_SHP_STEREO]))
+
+
 def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full north-star composition under ONE oracle: shapefile bytes →
     vectorized decode (parse_shp_points_columns via the ingest kernel) →
@@ -1074,11 +1101,14 @@ QUERIES: dict = {
     "shp_polygon_rings": (q_shp_polygon_rings, ORACLE_SHP_RINGS),
     "shp_polyline_parts": (q_shp_polyline_parts, ORACLE_SHP_POLYLINE),
     "shp_zm_semantics": (q_shp_zm_semantics, ORACLE_SHP_ZM),
-    "shp_webmerc_reproject": (q_shp_webmerc_reproject, ORACLE_SHP_WEBMERC),
-    "shp_utm_reproject": (q_shp_utm_reproject, ORACLE_SHP_UTM),
+    "shp_reproject_families": (q_shp_reproject_families,
+                               ORACLE_REPROJECT_FAMILIES),
     "shp_decode_index_join": (q_shp_decode_index_join,
                               ORACLE_DECODE_INDEX_JOIN),
-    # parked in registry._TAIL (same A12 family as webmerc/utm rows)
+    # parked in registry._TAIL (A12 per-family variants; the combined
+    # shp_reproject_families row driver-gates all five)
+    "shp_webmerc_reproject": (q_shp_webmerc_reproject, ORACLE_SHP_WEBMERC),
+    "shp_utm_reproject": (q_shp_utm_reproject, ORACLE_SHP_UTM),
     "shp_lcc_reproject": (q_shp_lcc_reproject, ORACLE_SHP_LCC),
     "shp_albers_reproject": (q_shp_albers_reproject, ORACLE_SHP_ALBERS),
     "shp_stereo_reproject": (q_shp_stereo_reproject, ORACLE_SHP_STEREO),

@@ -32,10 +32,11 @@ from . import queries_rel, queries_shp, queries_spatial, queries_text
 #   distinct_counts           -> C6 distinct via cell_hierarchy/sliding_window
 #   percentiles_exact         -> C6 via pricing/rollup/cube/pivot
 _TAIL = [
-    "shp_lcc_reproject",      # A12 via shp_webmerc/utm_reproject in-window
+    "shp_webmerc_reproject",  # A12: all five families driver-gated via the
+    "shp_utm_reproject",      #   combined shp_reproject_families row
+    "shp_lcc_reproject",      # A12 (same family)
     "shp_albers_reproject",   # A12 (same family)
     "shp_stereo_reproject",   # A12 (same family)
-    "distance_join_events",   # B9 via range_join_counts in-window
     "images_phash_near_dup",  # dedup family via minhash_lsh_pairs/simhash
     "shp_zip_bundle",         # A16-A18/A20 zip demux e2e (pytest in-window
                               # coverage via shp fixtures; exact diffcheck)
@@ -78,13 +79,14 @@ if len(ALL_QUERIES) > DRIVER_WINDOW:
 # window (ADVICE r2). Any intentional change must update this list.
 EXPECTED_WINDOW = (
     "shp_decode_points", "dbf_decode_types", "shp_polygon_rings",
-    "shp_polyline_parts", "shp_zm_semantics", "shp_webmerc_reproject",
-    "shp_utm_reproject", "shp_decode_index_join", "images_phash_verify",
+    "shp_polyline_parts", "shp_zm_semantics", "shp_reproject_families",
+    "shp_decode_index_join", "images_phash_verify",
     "clip_coverage_stats", "tile_assign_events", "cell_hierarchy",
     "cell_ring_sum", "polygon_cover_nations", "spatial_join_pairs",
     "spatial_join_agg", "spatial_join_chunked", "knn_events_nations_cells",
     "range_join_counts", "images_tile_density", "images_hot_cell",
-    "images_fence_join", "dedup_exact", "token_stats", "quality_score",
+    "images_fence_join", "distance_join_events",
+    "dedup_exact", "token_stats", "quality_score",
     "langid_heuristic", "minhash_signatures", "minhash_lsh_pairs",
     "simhash16", "bigram_jaccard", "doc_fingerprint", "cosine_topk",
     "ann_lsh_buckets", "ann_ivf_search", "dedup_embedding_near",
