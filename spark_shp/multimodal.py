@@ -3,10 +3,11 @@ binary + typed metadata; decode / feature-extract / resize / frame-sample as
 Arrow-batched kernels).
 
 Image decode is REAL (spark_shp.codecs handles every fmt this engine
-produces). Audio/video decoding has no codec library in this container, so
-those decoders are deterministic STUBS behind the same Spark plumbing —
-schema, partitioning, UDF signature, and batch shape are real and tested;
-swap `_decode_audio`/`_sample_video_frames` for librosa/pyav on a cluster.
+produces). Audio/video decode is REAL for the RIFF formats that need no
+codec library (spark_shp.riff): PCM / IEEE-float WAV at any bit depth and
+channel count, and AVI with uncompressed BI_RGB 'DIB ' frames. Compressed
+codecs (MP3/AAC/H.264/MJPEG) raise loudly — no codec library exists in
+this container; swap the decode fns for librosa/pyav on a real cluster.
 """
 
 from __future__ import annotations
@@ -15,7 +16,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, types as T
 
-from . import codecs
+from . import codecs, riff
 
 FEATURE_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -114,22 +115,31 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
             .mapInPandas(work, schema))
 
 
-# --- audio/video: stubbed decoders, real plumbing ------------------------------
+# --- audio/video: real RIFF decode (WAV / uncompressed AVI), loud otherwise ---
 
 def _decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
-    """STUB: no audio codec lib in this container. Deterministic fake decode
-    (bytes → int16 waveform) keeps the pipeline shape testable; replace with
-    soundfile/librosa on a real cluster."""
+    """RIFF/WAVE bytes decode for real (riff.wav_decode: PCM 8/16/24/32-bit
+    + IEEE float, any channel count, mixed down to mono). Non-WAV bytes fall
+    back to the deterministic raw-int16 interpretation so headerless PCM
+    streams keep flowing; compressed-in-WAV raises (no codec lib here)."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        wav, _ = riff.wav_decode(data)
+        return wav.mean(axis=1) if wav.shape[1] > 1 else wav[:, 0]
     raw = np.frombuffer(data, dtype=np.uint8)
     n = (len(raw) // 2) * 2
     return raw[:n].view("<i2").astype(np.float32) / 32768.0
 
 
-def _sample_video_frames(data: bytes, n_frames: int) -> list[np.ndarray]:
-    """STUB: no video codec lib in this container (would be pyav)."""
+def _sample_video_frames(data: bytes, n_frames: int) -> np.ndarray:
+    """RIFF/AVI with a BI_RGB 'DIB ' stream decodes for real
+    (riff.avi_sample_frames, evenly spaced). Compressed streams and
+    non-AVI bytes raise loudly — those need a codec library (pyav) not
+    present in this environment."""
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return riff.avi_sample_frames(data, n_frames)[0]
     raise NotImplementedError(
-        "video frame sampling requires a codec library not present in this "
-        "environment; the Spark plumbing below is exercised with audio/image")
+        "only uncompressed BI_RGB AVI decodes without a codec library; this "
+        "environment has none (would be pyav on a real cluster)")
 
 
 AUDIO_SCHEMA = T.StructType([
@@ -141,7 +151,10 @@ AUDIO_SCHEMA = T.StructType([
 
 
 def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
-    """media(media_id, bytes) → waveform stats via the stub decoder."""
+    """media(media_id, bytes) → waveform stats. WAV bytes decode for real
+    (PCM/float, mono-mixed); headerless bytes use the int16 fallback.
+    Variable-length waveform decode is inherently per-stream, but each
+    stream's stats run as whole-array numpy ops over the Arrow batch."""
 
     def work(batches):
         for pdf in batches:
@@ -154,3 +167,38 @@ def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA])
 
     return media.select("media_id", "bytes").mapInPandas(work, AUDIO_SCHEMA)
+
+
+VIDEO_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("n_sampled", T.IntegerType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("mean_rgb", T.ArrayType(T.DoubleType())),
+    T.StructField("motion", T.DoubleType()),
+])
+
+
+def video_features(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """media(media_id, bytes) → per-video stats over n_frames evenly-sampled
+    frames: mean RGB across the sampled stack and mean |Δ| between
+    consecutive sampled frames (a scene-change / motion proxy).
+
+    The decode (riff.avi_decode) gathers every frame into ONE (n, h, w, 3)
+    stack and all feature math is stacked numpy — per-video Python is just
+    the container walk."""
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                fr = _sample_video_frames(bytes(r.bytes), n_frames)
+                mean = fr.reshape(-1, 3).mean(axis=0)
+                motion = (float(np.abs(np.diff(fr.astype(np.float64),
+                                               axis=0)).mean())
+                          if len(fr) > 1 else 0.0)
+                rows.append((r.media_id, len(fr), fr.shape[2], fr.shape[1],
+                             [float(v) for v in mean], motion))
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA])
+
+    return media.select("media_id", "bytes").mapInPandas(work, VIDEO_SCHEMA)
