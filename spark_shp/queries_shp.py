@@ -848,18 +848,119 @@ FROM s2
 ORACLE_SHP_STEREO = _oracle_stereo_sql()
 
 
+N_LAEA = 40
+# ETRS89-LAEA Europe (EPSG:3035-style oblique aspect)
+_LAEA_WKT = (
+    'PROJCS["ETRS89-LAEA style",GEOGCS["WGS 84",DATUM["WGS_1984",'
+    'SPHEROID["WGS 84",6378137,298.257223563]]],'
+    'PROJECTION["Lambert_Azimuthal_Equal_Area"],'
+    'PARAMETER["latitude_of_center",52],'
+    'PARAMETER["longitude_of_center",10],'
+    'PARAMETER["false_easting",4321000],'
+    'PARAMETER["false_northing",3210000],UNIT["metre",1]]')
+
+
+def q_shp_laea_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 Lambert Azimuthal Equal Area (oblique, EPSG:3035 family — the
+    EU standard grid) under the oracle gate: Point shapefile in LAEA
+    meters → engine's Snyder eq. 24-26..24-29 inverse
+    (parser.make_inv_laea); the oracle evaluates the SAME math in DuckDB
+    from the same laea_constants() float64 values; 9-decimal rounding
+    policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_LAEA, dtype=np.int64)
+    xm = 2500000.0 + u01(i * 47 + 3) * 3500000.0
+    ym = 1400000.0 + u01(i * 47 + 4) * 3800000.0
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_LAEA_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_laea_sql() -> str:
+    """Snyder inverse-LAEA (oblique) as DuckDB SQL from the SAME float64
+    constants the engine kernel uses (parser.laea_constants), same
+    operation order (x/d and d*y folded first, rho from the folded
+    coords). qq/qp is clamped on both sides before ASIN."""
+    from .shp.parser import laea_constants
+    cv = laea_constants(6378137.0, 298.257223563, 10.0, 52.0,
+                        4321000.0, 3210000.0)
+    c = {k: (f"CAST({v!r} AS DOUBLE)" if isinstance(v, float) else v)
+         for k, v in cv.items()}
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         2500000.0 + {u01_sql('i * 47 + 3')} * 3500000.0 AS x,
+         1400000.0 + {u01_sql('i * 47 + 4')} * 3800000.0 AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_LAEA - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no, (x - {c['fe']}) / {c['d']} AS xd,
+         {c['d']} * (y - {c['fn']}) AS yd
+  FROM src),
+s2 AS (
+  SELECT rec_no, xd, yd, SQRT(xd * xd + yd * yd) AS rho
+  FROM s1),
+s3 AS (
+  SELECT rec_no, xd, yd, rho,
+         2.0 * ASIN(GREATEST(-1.0, LEAST(1.0,
+                    rho / (2.0 * {c['rq']})))) AS ce
+  FROM s2),
+s4 AS (
+  SELECT rec_no, xd, yd, rho, SIN(ce) AS sin_ce, COS(ce) AS cos_ce
+  FROM s3),
+s5 AS (
+  SELECT rec_no, xd, yd, rho, sin_ce, cos_ce,
+         ASIN(GREATEST(-1.0, LEAST(1.0,
+              {c['qp']} * (cos_ce * {c['sin_b1']}
+                           + yd * sin_ce * {c['cos_b1']} / rho)
+              / {c['qp']}))) AS beta
+  FROM s4)
+SELECT rec_no,
+       ROUND(DEGREES({c['lam0']} + ATAN2(xd * sin_ce,
+                 rho * {c['cos_b1']} * cos_ce
+                 - yd * {c['sin_b1']} * sin_ce)), 9) AS lon,
+       ROUND(DEGREES(beta + {c['b2']} * SIN(2.0 * beta)
+                          + {c['b4']} * SIN(4.0 * beta)
+                          + {c['b6']} * SIN(6.0 * beta)), 9) AS lat
+FROM s5
+"""
+
+
+ORACLE_SHP_LAEA = _oracle_laea_sql()
+
+
 def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 — ALL five supported .prj projection families under ONE gated
+    """A12 — ALL six supported .prj projection families under ONE gated
     row (the shp_zm_semantics consolidation pattern applied to CRS): each
     family decodes its own Point shapefile + WKT through the engine's
     inverse kernel, tagged with a family id, unioned. Driver-gates the
-    conic families (LCC 2SP, Albers) and Polar Stereographic that
-    previously lived tail-only, without widening the 50-query window.
+    conic families (LCC 2SP, Albers), Polar Stereographic, and LAEA
+    (EPSG:3035 EU grid) without widening the 50-query window.
     Upstream anchor: proj4-based reprojection in lib/index.js:≈125-140
     [RECONSTRUCTED]."""
     fams = [q_shp_webmerc_reproject, q_shp_utm_reproject,
             q_shp_lcc_reproject, q_shp_albers_reproject,
-            q_shp_stereo_reproject]
+            q_shp_stereo_reproject, q_shp_laea_reproject]
     out = None
     for fam_id, fn in enumerate(fams):
         d = fn(spark, sf_dir).select(
@@ -872,7 +973,7 @@ ORACLE_REPROJECT_FAMILIES = "\nUNION ALL\n".join(
     f"SELECT CAST({i} AS INT) AS fam, rec_no, lon, lat FROM ({sql}\n) f{i}"
     for i, sql in enumerate([
         ORACLE_SHP_WEBMERC, ORACLE_SHP_UTM, ORACLE_SHP_LCC,
-        ORACLE_SHP_ALBERS, ORACLE_SHP_STEREO]))
+        ORACLE_SHP_ALBERS, ORACLE_SHP_STEREO, ORACLE_SHP_LAEA]))
 
 
 def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1112,6 +1213,7 @@ QUERIES: dict = {
     "shp_lcc_reproject": (q_shp_lcc_reproject, ORACLE_SHP_LCC),
     "shp_albers_reproject": (q_shp_albers_reproject, ORACLE_SHP_ALBERS),
     "shp_stereo_reproject": (q_shp_stereo_reproject, ORACLE_SHP_STEREO),
+    "shp_laea_reproject": (q_shp_laea_reproject, ORACLE_SHP_LAEA),
     # parked in registry._TAIL (A16-A18/A20 zip plumbing, pytest + diffcheck)
     "shp_zip_bundle": (q_shp_zip_bundle, ORACLE_ZIP_BUNDLE),
     "images_phash_verify": (q_images_phash_verify, """

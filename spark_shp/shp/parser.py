@@ -647,6 +647,83 @@ def make_inv_polar_stereo(a: float, inv_f: float, lon0_deg: float,
     return inv
 
 
+def laea_constants(a: float, inv_f: float, lon0_deg: float, lat0_deg: float,
+                   fe: float, fn: float) -> dict:
+    """Point-independent Lambert-Azimuthal-Equal-Area constants (Snyder
+    1987 eq. 3-12, 24-19..24-21, authalic-latitude series eq. 3-18) — the
+    ETRS89-LAEA (EPSG:3035) / polar-LAEA family. Same shared-constants
+    policy as :func:`lcc_constants`: one float64 source for the numpy
+    kernel and any SQL oracle."""
+    e2 = (2.0 - 1.0 / inv_f) / inv_f
+    e = math.sqrt(e2)
+    qp = (1.0 - e2) * (1.0 / (1.0 - e2)
+                       - (1.0 / (2.0 * e))
+                       * math.log((1.0 - e) / (1.0 + e)))
+    phi0 = math.radians(lat0_deg)
+    m1, _, q0 = _conic_m_t_q(e2, phi0)
+    polar = 0 if abs(lat0_deg) < 89.999999 else (1 if lat0_deg > 0 else -1)
+    rq = a * math.sqrt(qp / 2.0)
+    if polar:
+        beta1 = math.copysign(math.pi / 2.0, lat0_deg)
+        d = 1.0
+    else:
+        beta1 = math.asin(q0 / qp)
+        d = a * m1 / (rq * math.cos(beta1))
+    e4 = e2 * e2
+    e6 = e4 * e2
+    return {
+        "a": a, "qp": qp, "rq": rq, "d": d, "polar": polar,
+        "sin_b1": math.sin(beta1), "cos_b1": math.cos(beta1),
+        "lam0": math.radians(lon0_deg), "fe": fe, "fn": fn,
+        # authalic → geodetic latitude series (Snyder eq. 3-18)
+        "b2": e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0,
+        "b4": 23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0,
+        "b6": 761.0 * e6 / 45360.0,
+    }
+
+
+def make_inv_laea(a: float, inv_f: float, lon0_deg: float, lat0_deg: float,
+                  fe: float = 0.0, fn: float = 0.0):
+    """Closed-form Lambert-Azimuthal-Equal-Area inverse (Snyder 1987
+    eq. 24-26..24-29 oblique, 24-31 polar aspects, authalic series 3-18).
+    Returns a vectorized (n,2) meters → (n,2) lon/lat° fn."""
+    c = laea_constants(a, inv_f, lon0_deg, lat0_deg, fe, fn)
+    qp, rq, d, lam0 = c["qp"], c["rq"], c["d"], c["lam0"]
+    sb1, cb1 = c["sin_b1"], c["cos_b1"]
+    b2, b4, b6 = c["b2"], c["b4"], c["b6"]
+    polar = c["polar"]
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        x = pts[:, 0] - fe
+        y = pts[:, 1] - fn
+        if polar:
+            rho2 = x * x + y * y
+            q = qp - rho2 / (a * a)
+            if polar > 0:
+                lam = lam0 + np.arctan2(x, -y)
+            else:
+                q = -q
+                lam = lam0 + np.arctan2(x, y)
+            beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+        else:
+            xd = x / d
+            yd = d * y
+            rho = np.sqrt(xd * xd + yd * yd)
+            ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+            sin_ce, cos_ce = np.sin(ce), np.cos(ce)
+            with np.errstate(invalid="ignore"):
+                qq = qp * (cos_ce * sb1 + yd * sin_ce * cb1 / rho)
+            qq = np.where(rho == 0.0, qp * sb1, qq)     # center point
+            beta = np.arcsin(np.clip(qq / qp, -1.0, 1.0))
+            lam = lam0 + np.arctan2(
+                xd * sin_ce, rho * cb1 * cos_ce - yd * sb1 * sin_ce)
+        phi = (beta + b2 * np.sin(2.0 * beta) + b4 * np.sin(4.0 * beta)
+               + b6 * np.sin(6.0 * beta))
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
+
 def projection_from_wkt(wkt) -> "callable | None":
     """WKT string → inverse-transform fn to WGS84 lon/lat, or None (identity).
 
@@ -655,8 +732,10 @@ def projection_from_wkt(wkt) -> "callable | None":
     zones — ellipsoidal Snyder-series inverse with WKT-supplied central
     meridian / origin / scale / false E-N / spheroid), Lambert Conformal
     Conic (1SP and 2SP — State Plane / national grids), Albers Equal Area
-    Conic (1SP/2SP), Polar Stereographic (north/south aspects — Arctic/
-    Antarctic grids; generic oblique Stereographic still raises), and
+    Conic (1SP/2SP), Lambert Azimuthal Equal Area (oblique — ETRS89-LAEA
+    EPSG:3035 — and both polar aspects), Polar Stereographic (north/south
+    aspects — Arctic/Antarctic grids; generic oblique Stereographic still
+    raises), and
     geographic CRSes (passthrough). Malformed / non-WKT content → None, matching the
     reference's proj4 try/catch → no transform. A *well-formed* PROJCS whose
     PROJECTION the engine lacks raises instead of silently decoding
@@ -724,6 +803,15 @@ def projection_from_wkt(wkt) -> "callable | None":
                 return np.column_stack([lon, lat])
 
             return _with_unit(inv_eqc, unit)
+        if re.search(r'PROJECTION\["?Lambert[_ ]?Azimuthal', wkt, re.I):
+            p = _wkt_params(wkt)
+            a, inv_f = _wkt_spheroid(wkt)
+            return _with_unit(make_inv_laea(
+                a, inv_f,
+                p.get("longitude_of_center", p.get("central_meridian", 0.0)),
+                p.get("latitude_of_center", p.get("latitude_of_origin", 0.0)),
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
         if re.search(r'PROJECTION\["?Albers', wkt, re.I):
             p = _wkt_params(wkt)
             a, inv_f = _wkt_spheroid(wkt)

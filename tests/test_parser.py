@@ -782,3 +782,80 @@ def test_projcs_linear_unit_feet():
     assert np.abs(back - np.array(pts)).max() < 1e-8
     # meter-unit WKT still behaves (unit=1 fast path)
     assert parser._wkt_linear_unit('PROJCS["x",UNIT["metre",1]]') == 1.0
+
+
+def test_laea_oblique_inverse_roundtrip():
+    """ETRS89-LAEA (EPSG:3035-shaped) oblique aspect: forward via
+    independently written Snyder 24-17..24-21 + 3-12, the engine inverse
+    (24-26..24-29 + authalic series 3-18) recovers lon/lat. Tolerance is
+    the documented eq. 3-18 series truncation (~1.5 mm)."""
+    import math
+    import numpy as np
+    a, e2, e, mtq = _conic_fwd_helpers()
+    lon0, lat0, fe, fn = 10.0, 52.0, 4321000.0, 3210000.0
+    qp = (1 - e2) * (1 / (1 - e2) - (1 / (2 * e))
+                     * math.log((1 - e) / (1 + e)))
+    m1, _, q0 = mtq(math.radians(lat0))
+    beta1 = math.asin(q0 / qp)
+    rq = a * math.sqrt(qp / 2)
+    D = a * m1 / (rq * math.cos(beta1))
+    pts = [(10.0, 52.0), (-9.1, 38.7), (24.9, 60.2), (14.5, 35.9),
+           (31.0, 68.9)]
+    xy = []
+    for lon, lat in pts:
+        _, _, q = mtq(math.radians(lat))
+        beta = math.asin(q / qp)
+        dlam = math.radians(lon - lon0)
+        B = rq * math.sqrt(2 / (1 + math.sin(beta1) * math.sin(beta)
+                                + math.cos(beta1) * math.cos(beta)
+                                * math.cos(dlam)))
+        xy.append((fe + B * D * math.cos(beta) * math.sin(dlam),
+                   fn + (B / D) * (math.cos(beta1) * math.sin(beta)
+                                   - math.sin(beta1) * math.cos(beta)
+                                   * math.cos(dlam))))
+    wkt = ('PROJCS["ETRS89-extended / LAEA Europe",GEOGCS["ETRS89",'
+           'DATUM["European_Terrestrial_Reference_System_1989",'
+           'SPHEROID["GRS 1980",6378137,298.257223563]],'
+           'UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Lambert_Azimuthal_Equal_Area"],'
+           'PARAMETER["latitude_of_center",52],'
+           'PARAMETER["longitude_of_center",10],'
+           'PARAMETER["false_easting",4321000],'
+           'PARAMETER["false_northing",3210000],UNIT["metre",1]]')
+    inv = parser.projection_from_wkt(wkt)
+    back = inv(np.array(xy))
+    assert np.abs(back - np.array(pts)).max() < 5e-8
+    # projection center roundtrips exactly (rho == 0 branch)
+    center = inv(np.array([[fe, fn]]))
+    assert np.abs(center - np.array([[lon0, lat0]])).max() < 5e-8
+
+
+def test_laea_polar_inverse_roundtrip():
+    """North-polar LAEA aspect (EPSG:3574-shaped): forward via Snyder
+    24-23/24-24 (rho = a*sqrt(qp - q)), inverse recovers."""
+    import math
+    import numpy as np
+    a, e2, e, mtq = _conic_fwd_helpers()
+    lon0 = -40.0
+    qp = (1 - e2) * (1 / (1 - e2) - (1 / (2 * e))
+                     * math.log((1 - e) / (1 + e)))
+    pts = [(-40.0, 75.0), (10.0, 64.5), (-130.0, 58.0), (179.0, 81.0)]
+    xy = []
+    for lon, lat in pts:
+        _, _, q = mtq(math.radians(lat))
+        rho = a * math.sqrt(qp - q)
+        dlam = math.radians(lon - lon0)
+        xy.append((rho * math.sin(dlam), -rho * math.cos(dlam)))
+    wkt = ('PROJCS["WGS 84 / North Pole LAEA Atlantic",GEOGCS["WGS 84",'
+           'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+           'UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Lambert_Azimuthal_Equal_Area"],'
+           'PARAMETER["latitude_of_center",90],'
+           'PARAMETER["longitude_of_center",-40],'
+           'PARAMETER["false_easting",0],'
+           'PARAMETER["false_northing",0],UNIT["metre",1]]')
+    inv = parser.projection_from_wkt(wkt)
+    back = inv(np.array(xy))
+    err = np.abs(back - np.array(pts))
+    err[:, 0] = np.minimum(err[:, 0], 360.0 - err[:, 0])   # lon wrap at 179
+    assert err.max() < 5e-8
