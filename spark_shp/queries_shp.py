@@ -949,18 +949,192 @@ FROM s5
 ORACLE_SHP_LAEA = _oracle_laea_sql()
 
 
+N_MERC = 40
+# EPSG:3395-style World Mercator (ellipsoidal 1SP — no pseudo-mercator
+# markers, so the dispatch must pick the ellipsoidal kernel)
+_MERC3395_WKT = (
+    'PROJCS["World Mercator style",GEOGCS["WGS 84",DATUM["WGS_1984",'
+    'SPHEROID["WGS 84",6378137,298.257223563]]],'
+    'PROJECTION["Mercator_1SP"],'
+    'PARAMETER["central_meridian",12],'
+    'PARAMETER["scale_factor",1],'
+    'PARAMETER["false_easting",500000],'
+    'PARAMETER["false_northing",250000],UNIT["metre",1]]')
+
+
+def q_shp_merc3395_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 ellipsoidal Mercator (EPSG:3395 World-Mercator family) under
+    the oracle gate: Point shapefile in World-Mercator meters → engine's
+    Snyder eq. 7-10 inverse + conformal series (parser.make_inv_mercator
+    — NOT the spherical web-mercator kernel, which is ~20 km off in
+    latitude); the oracle evaluates the SAME math in DuckDB from the same
+    mercator_constants() float64 values; 9-decimal rounding policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_MERC, dtype=np.int64)
+    xm = (u01(i * 53 + 3) - 0.5) * 30000000.0
+    ym = (u01(i * 53 + 4) - 0.5) * 28000000.0
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_MERC3395_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_merc3395_sql() -> str:
+    """Snyder inverse ellipsoidal Mercator as DuckDB SQL from the SAME
+    float64 constants the engine kernel uses (parser.mercator_constants)."""
+    from .shp.parser import mercator_constants
+    cv = mercator_constants(6378137.0, 298.257223563, 12.0, 1.0, None,
+                            500000.0, 250000.0)
+    c = {k: (f"CAST({v!r} AS DOUBLE)" if isinstance(v, float) else v)
+         for k, v in cv.items()}
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         ({u01_sql('i * 53 + 3')} - 0.5) * 30000000.0 AS x,
+         ({u01_sql('i * 53 + 4')} - 0.5) * 28000000.0 AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_MERC - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no, x - {c['fe']} AS xx, y - {c['fn']} AS yy
+  FROM src),
+s2 AS (
+  SELECT rec_no, xx,
+         PI() / 2.0 - 2.0 * ATAN(EXP(-yy / {c['ak']})) AS chi
+  FROM s1)
+SELECT rec_no,
+       ROUND(DEGREES({c['lam0']} + xx / {c['ak']}), 9) AS lon,
+       ROUND(DEGREES(chi + {c['c2']} * SIN(2.0 * chi)
+                         + {c['c4']} * SIN(4.0 * chi)
+                         + {c['c6']} * SIN(6.0 * chi)
+                         + {c['c8']} * SIN(8.0 * chi)), 9) AS lat
+FROM s2
+"""
+
+
+ORACLE_SHP_MERC3395 = _oracle_merc3395_sql()
+
+
+N_SINU = 40
+# MODIS land-grid Sinusoidal (true sphere: SPHEROID[..., 0])
+_SINU_WKT = (
+    'PROJCS["MODIS Sinusoidal style",GEOGCS["GCS_Undefined",'
+    'DATUM["Undefined",SPHEROID["User_Defined_Spheroid",6371007.181,0.0]],'
+    'UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Sinusoidal"],'
+    'PARAMETER["False_Easting",0.0],'
+    'PARAMETER["False_Northing",0.0],'
+    'PARAMETER["Central_Meridian",0.0],UNIT["Meter",1.0]]')
+
+
+def q_shp_sinusoidal_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 Sinusoidal (the MODIS land-product grid — a true sphere,
+    SPHEROID inverse-flattening 0, exercising the e=0 degeneracy under
+    the gate): Point shapefile in sinusoidal meters → engine's Snyder
+    eq. 25-5..25-11 inverse (parser.make_inv_sinusoidal); the oracle
+    evaluates the SAME math in DuckDB from the same tmerc_constants()
+    float64 values; 9-decimal rounding policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_SINU, dtype=np.int64)
+    xm = (u01(i * 59 + 3) - 0.5) * 30000000.0
+    ym = (u01(i * 59 + 4) - 0.5) * 17000000.0
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_SINU_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_sinusoidal_sql() -> str:
+    """Snyder inverse Sinusoidal as DuckDB SQL from the SAME float64
+    constants the engine kernel uses (parser.tmerc_constants at k0=1,
+    lat0=0 — the rectifying series the sinusoidal inverse shares). On the
+    MODIS sphere every series coefficient is exactly 0.0, but the oracle
+    still evaluates the full expression so the float64 op sequence is
+    identical to the numpy kernel's."""
+    from .shp.parser import tmerc_constants
+    cv = tmerc_constants(6371007.181, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    c = {k: (f"CAST({v!r} AS DOUBLE)" if isinstance(v, float) else v)
+         for k, v in cv.items()}
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         ({u01_sql('i * 59 + 3')} - 0.5) * 30000000.0 AS x,
+         ({u01_sql('i * 59 + 4')} - 0.5) * 17000000.0 AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_SINU - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no, x - {c['fe']} AS xx,
+         (y - {c['fn']}) / ({c['a']} * {c['m_coef']}) AS mu
+  FROM src),
+s2 AS (
+  SELECT rec_no, xx,
+         mu + {c['mu2']} * SIN(2.0 * mu) + {c['mu4']} * SIN(4.0 * mu)
+            + {c['mu6']} * SIN(6.0 * mu) + {c['mu8']} * SIN(8.0 * mu)
+           AS phi
+  FROM s1)
+SELECT rec_no,
+       ROUND(DEGREES({c['lam0']} + xx
+                 * SQRT(1.0 - {c['e2']} * SIN(phi) * SIN(phi))
+                 / ({c['a']} * COS(phi))), 9) AS lon,
+       ROUND(DEGREES(phi), 9) AS lat
+FROM s2
+"""
+
+
+ORACLE_SHP_SINUSOIDAL = _oracle_sinusoidal_sql()
+
+
 def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 — ALL six supported .prj projection families under ONE gated
+    """A12 — ALL eight supported .prj projection families under ONE gated
     row (the shp_zm_semantics consolidation pattern applied to CRS): each
     family decodes its own Point shapefile + WKT through the engine's
     inverse kernel, tagged with a family id, unioned. Driver-gates the
-    conic families (LCC 2SP, Albers), Polar Stereographic, and LAEA
-    (EPSG:3035 EU grid) without widening the 50-query window.
+    conic families (LCC 2SP, Albers), Polar Stereographic, LAEA
+    (EPSG:3035 EU grid), ellipsoidal Mercator (EPSG:3395), and Sinusoidal
+    (MODIS sphere) without widening the 50-query window.
     Upstream anchor: proj4-based reprojection in lib/index.js:≈125-140
     [RECONSTRUCTED]."""
     fams = [q_shp_webmerc_reproject, q_shp_utm_reproject,
             q_shp_lcc_reproject, q_shp_albers_reproject,
-            q_shp_stereo_reproject, q_shp_laea_reproject]
+            q_shp_stereo_reproject, q_shp_laea_reproject,
+            q_shp_merc3395_reproject, q_shp_sinusoidal_reproject]
     out = None
     for fam_id, fn in enumerate(fams):
         d = fn(spark, sf_dir).select(
@@ -973,7 +1147,8 @@ ORACLE_REPROJECT_FAMILIES = "\nUNION ALL\n".join(
     f"SELECT CAST({i} AS INT) AS fam, rec_no, lon, lat FROM ({sql}\n) f{i}"
     for i, sql in enumerate([
         ORACLE_SHP_WEBMERC, ORACLE_SHP_UTM, ORACLE_SHP_LCC,
-        ORACLE_SHP_ALBERS, ORACLE_SHP_STEREO, ORACLE_SHP_LAEA]))
+        ORACLE_SHP_ALBERS, ORACLE_SHP_STEREO, ORACLE_SHP_LAEA,
+        ORACLE_SHP_MERC3395, ORACLE_SHP_SINUSOIDAL]))
 
 
 def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1196,6 +1371,136 @@ def _oracle_zip_bundle() -> str:
 ORACLE_ZIP_BUNDLE = _oracle_zip_bundle()
 
 
+N_WAV = 24
+
+
+def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio under the oracle gate: each task synthesizes a
+    PCM WAV from a deterministic integer formula (sample k of stream i =
+    ((i*48271 + k*16807) % 65536) - 32768), then decodes it through the
+    REAL RIFF container walk (riff.wav_decode — fmt/data chunk parse,
+    int16 → float) and reduces to integer stats DuckDB reproduces from
+    the same formula: sample count, sum |s|, and sign-change count. All
+    aggregation is in exact int64, so the row hashes must match
+    bit-for-bit if and only if the container decode is faithful."""
+    import numpy as np
+    from . import riff
+
+    schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].astype(int):
+                n = 120 + (i * 37) % 181
+                k = np.arange(n, dtype=np.int64)
+                s = ((i * 48271 + k * 16807) % 65536 - 32768).astype(np.int16)
+                wav, rate = riff.wav_decode(riff.wav_encode(s, 16000))
+                got = np.round(wav[:, 0].astype(np.float64)
+                               * 32768.0).astype(np.int64)
+                assert rate == 16000 and len(got) == n
+                zc = int(np.sum((got[1:] < 0) != (got[:-1] < 0)))
+                rows.append((f"wav{i:03d}", n, int(np.abs(got).sum()), zc))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (spark.range(0, N_WAV, numPartitions=4)
+            .mapInPandas(work, schema))
+
+
+ORACLE_WAV_STATS = f"""
+WITH ids AS (SELECT UNNEST(GENERATE_SERIES(0, {N_WAV - 1})) AS i),
+samp AS (
+  SELECT i, k, ((i * 48271 + k * 16807) % 65536) - 32768 AS s
+  FROM ids, GENERATE_SERIES(0, 300) g(k)
+  WHERE k < 120 + (i * 37) % 181),
+lagged AS (
+  SELECT i, s, LAG(s) OVER (PARTITION BY i ORDER BY k) AS prev
+  FROM samp)
+SELECT printf('wav%03d', i) AS media_id,
+       COUNT(*) AS n_samples,
+       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND (s < 0) != (prev < 0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM lagged
+GROUP BY i
+"""
+
+
+N_AVI = 12
+
+
+def q_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video under the oracle gate: each task synthesizes an
+    uncompressed BI_RGB AVI whose pixel (f,y,x,c) of video i is
+    (i*7 + f*131 + y*17 + x*29 + c*13) % 256, decodes it through the REAL
+    RIFF/AVI walk (riff.avi_decode — hdrl/strf parse, movi frame gather,
+    bottom-up row flip, BGR→RGB, stride-padding strip), and reduces to a
+    position-and-channel-weighted int64 checksum that DuckDB reproduces:
+    wsum = Σ px · (((f·h + y)·w + x)·3 + c + 1). The weighting makes the
+    hash sensitive to frame order, row orientation, column order, and
+    channel order — a plain sum would pass even with a flipped decode.
+    Widths include stride-padded cases (w·3 not divisible by 4)."""
+    import numpy as np
+    from . import riff
+
+    schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("w", T.LongType()),
+        T.StructField("h", T.LongType()),
+        T.StructField("wsum", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].astype(int):
+                nf = 2 + i % 3
+                w = 7 + (i % 4) * 3       # 7/10/13/16: strides 21/30/39/48
+                h = 6 + (i % 2) * 5
+                f, y, x, c = np.ogrid[0:nf, 0:h, 0:w, 0:3]
+                px = ((i * 7 + f * 131 + y * 17 + x * 29 + c * 13)
+                      % 256).astype(np.uint8)
+                dec, fps = riff.avi_decode(riff.avi_encode(px, fps=10))
+                assert fps == 10 and dec.shape == (nf, h, w, 3)
+                wgt = (((f * h + y) * w + x) * 3 + c + 1).astype(np.int64)
+                wsum = int((dec.astype(np.int64) * wgt).sum())
+                rows.append((f"avi{i:03d}", nf, w, h, wsum))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (spark.range(0, N_AVI, numPartitions=4)
+            .mapInPandas(work, schema))
+
+
+ORACLE_AVI_STATS = f"""
+WITH ids AS (
+  SELECT i, 2 + i % 3 AS nf, 7 + (i % 4) * 3 AS w, 6 + (i % 2) * 5 AS h
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_AVI - 1})) AS i) t),
+px AS (
+  SELECT i, nf, w, h,
+         ((i * 7 + f * 131 + y * 17 + x * 29 + c * 13) % 256)
+           * (((f * h + y) * w + x) * 3 + c + 1) AS term
+  FROM ids,
+       GENERATE_SERIES(0, 4) gf(f),
+       GENERATE_SERIES(0, 11) gy(y),
+       GENERATE_SERIES(0, 16) gx(x),
+       GENERATE_SERIES(0, 2) gc(c)
+  WHERE f < nf AND y < h AND x < w)
+SELECT printf('avi%03d', i) AS media_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(w AS BIGINT) AS w,
+       CAST(h AS BIGINT) AS h,
+       CAST(SUM(term) AS BIGINT) AS wsum
+FROM px
+GROUP BY i, nf, w, h
+"""
+
+
 QUERIES: dict = {
     "shp_decode_points": (q_shp_decode_points, ORACLE_SHP_POINTS),
     "dbf_decode_types": (q_dbf_decode_types, ORACLE_DBF_TYPES),
@@ -1214,8 +1519,16 @@ QUERIES: dict = {
     "shp_albers_reproject": (q_shp_albers_reproject, ORACLE_SHP_ALBERS),
     "shp_stereo_reproject": (q_shp_stereo_reproject, ORACLE_SHP_STEREO),
     "shp_laea_reproject": (q_shp_laea_reproject, ORACLE_SHP_LAEA),
+    "shp_merc3395_reproject": (q_shp_merc3395_reproject,
+                               ORACLE_SHP_MERC3395),
+    "shp_sinusoidal_reproject": (q_shp_sinusoidal_reproject,
+                                 ORACLE_SHP_SINUSOIDAL),
     # parked in registry._TAIL (A16-A18/A20 zip plumbing, pytest + diffcheck)
     "shp_zip_bundle": (q_shp_zip_bundle, ORACLE_ZIP_BUNDLE),
+    # parked in registry._TAIL (multimodal RIFF decode under the gate;
+    # in-window image coverage via images_phash_verify/clip_coverage_stats)
+    "wav_decode_stats": (q_wav_decode_stats, ORACLE_WAV_STATS),
+    "avi_frame_stats": (q_avi_frame_stats, ORACLE_AVI_STATS),
     "images_phash_verify": (q_images_phash_verify, """
 SELECT * FROM (VALUES
   ('raw', CAST(40 AS BIGINT), 1, CAST(0 AS BIGINT)),

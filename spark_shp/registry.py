@@ -38,9 +38,13 @@ _TAIL = [
     "shp_albers_reproject",   # A12 (same family)
     "shp_stereo_reproject",   # A12 (same family)
     "shp_laea_reproject",     # A12 (same family)
+    "shp_merc3395_reproject",  # A12 (same family)
+    "shp_sinusoidal_reproject",  # A12 (same family)
     "images_phash_near_dup",  # dedup family via minhash_lsh_pairs/simhash
     "shp_zip_bundle",         # A16-A18/A20 zip demux e2e (pytest in-window
                               # coverage via shp fixtures; exact diffcheck)
+    "wav_decode_stats",       # multimodal audio RIFF decode (exact oracle)
+    "avi_frame_stats",        # multimodal video RIFF decode (exact oracle)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

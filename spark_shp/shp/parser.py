@@ -383,6 +383,15 @@ def _wkt_spheroid(wkt: str) -> tuple[float, float]:
     return 6378137.0, 298.257223563
 
 
+def _e2_of(inv_f: float) -> float:
+    """First eccentricity squared from inverse flattening; inv_f == 0 is
+    the WKT convention for a SPHERE (MODIS sinusoidal, authalic-sphere
+    grids) — e² = 0, every Snyder series below degenerates correctly."""
+    if inv_f == 0.0:
+        return 0.0
+    return (2.0 - 1.0 / inv_f) / inv_f
+
+
 def tmerc_constants(a: float, inv_f: float, lon0_deg: float, lat0_deg: float,
                     k0: float, fe: float, fn: float) -> dict:
     """Point-independent Transverse-Mercator constants (Snyder 1987
@@ -390,7 +399,7 @@ def tmerc_constants(a: float, inv_f: float, lon0_deg: float, lat0_deg: float,
     DuckDB oracle SQL generator — both consume these exact float64 values,
     so the only cross-engine divergence left is libm sin/cos ulps, absorbed
     by the 1e-9° terminal rounding (same policy as the webmerc oracle)."""
-    e2 = (2.0 - 1.0 / inv_f) / inv_f          # e^2 = 2f - f^2
+    e2 = _e2_of(inv_f)                        # e^2 = 2f - f^2
     ep2 = e2 / (1.0 - e2)
     e1 = (1.0 - math.sqrt(1.0 - e2)) / (1.0 + math.sqrt(1.0 - e2))
     m_coef = (1.0 - e2 / 4.0 - 3.0 * e2 ** 2 / 64.0 - 5.0 * e2 ** 3 / 256.0)
@@ -724,13 +733,86 @@ def make_inv_laea(a: float, inv_f: float, lon0_deg: float, lat0_deg: float,
     return inv
 
 
+def mercator_constants(a: float, inv_f: float, lon0_deg: float,
+                       k0: float, sp1_deg, fe: float, fn: float) -> dict:
+    """Point-independent ELLIPSOIDAL Mercator constants (Snyder 1987
+    eq. 7-8/7-13 + conformal-latitude series 3-5) — the EPSG:3395 World
+    Mercator family. 2SP form when a standard parallel is given
+    (k0 = m(sp1), Snyder eq. 14-15); 1SP uses scale_factor. inv_f == 0
+    degenerates to the exact spherical Mercator (all series terms 0).
+    Shared float64 source for the numpy kernel and any SQL oracle."""
+    e2 = _e2_of(inv_f)
+    if sp1_deg is not None:
+        s = math.sin(math.radians(sp1_deg))
+        k0 = math.cos(math.radians(sp1_deg)) / math.sqrt(1.0 - e2 * s * s)
+    e4 = e2 * e2
+    e6 = e4 * e2
+    e8 = e4 * e4
+    return {
+        "ak": a * k0, "lam0": math.radians(lon0_deg), "fe": fe, "fn": fn,
+        "c2": e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0,
+        "c4": 7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0,
+        "c6": 7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0,
+        "c8": 4279.0 * e8 / 161280.0,
+    }
+
+
+def make_inv_mercator(a: float, inv_f: float, lon0_deg: float,
+                      k0: float = 1.0, sp1_deg=None,
+                      fe: float = 0.0, fn: float = 0.0):
+    """Closed-form ellipsoidal Mercator inverse (Snyder 1987 eq. 7-10
+    reversed: t = exp(-y/(a k0)), χ = π/2 − 2 atan t, conformal series
+    3-5). Returns a vectorized (n,2) meters → (n,2) lon/lat° fn."""
+    c = mercator_constants(a, inv_f, lon0_deg, k0, sp1_deg, fe, fn)
+    ak, lam0 = c["ak"], c["lam0"]
+    c2, c4, c6, c8 = c["c2"], c["c4"], c["c6"], c["c8"]
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        x = pts[:, 0] - fe
+        y = pts[:, 1] - fn
+        chi = math.pi / 2.0 - 2.0 * np.arctan(np.exp(-y / ak))
+        phi = (chi + c2 * np.sin(2.0 * chi) + c4 * np.sin(4.0 * chi)
+               + c6 * np.sin(6.0 * chi) + c8 * np.sin(8.0 * chi))
+        lam = lam0 + x / ak
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
+
+def make_inv_sinusoidal(a: float, inv_f: float, lon0_deg: float,
+                        fe: float = 0.0, fn: float = 0.0):
+    """Closed-form Sinusoidal inverse (Snyder 1987 eq. 25-5..25-11: φ from
+    the rectifying-latitude series already built by tmerc_constants, then
+    λ = λ0 + x·sqrt(1−e²sin²φ)/(a cosφ)) — the MODIS land-product grid
+    (sphere, inv_f == 0 → φ = y/a exactly). Returns a vectorized (n,2)
+    meters → (n,2) lon/lat° fn."""
+    c = tmerc_constants(a, inv_f, lon0_deg, 0.0, 1.0, fe, fn)
+    e2, m_coef, lam0 = c["e2"], c["m_coef"], c["lam0"]
+    mu2, mu4, mu6, mu8 = c["mu2"], c["mu4"], c["mu6"], c["mu8"]
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        x = pts[:, 0] - fe
+        y = pts[:, 1] - fn
+        mu = y / (a * m_coef)
+        phi = (mu + mu2 * np.sin(2.0 * mu) + mu4 * np.sin(4.0 * mu)
+               + mu6 * np.sin(6.0 * mu) + mu8 * np.sin(8.0 * mu))
+        sinp = np.sin(phi)
+        lam = lam0 + x * np.sqrt(1.0 - e2 * sinp * sinp) / (a * np.cos(phi))
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
+
 def projection_from_wkt(wkt) -> "callable | None":
     """WKT string → inverse-transform fn to WGS84 lon/lat, or None (identity).
 
-    Recognizes Pseudo-Mercator (EPSG:3857 / Mercator_1SP on the WGS84
-    sphere radius), Transverse-Mercator / Gauss–Krüger (UTM, State-Plane TM
-    zones — ellipsoidal Snyder-series inverse with WKT-supplied central
-    meridian / origin / scale / false E-N / spheroid), Lambert Conformal
+    Recognizes Pseudo-Mercator (EPSG:3857 — sphere, dispatched on the
+    authority/name markers real 3857 WKTs carry), ellipsoidal Mercator
+    1SP/2SP (EPSG:3395 World Mercator family), Sinusoidal (MODIS grid,
+    sphere or ellipsoid), Transverse-Mercator / Gauss–Krüger (UTM,
+    State-Plane TM zones — ellipsoidal Snyder-series inverse with
+    WKT-supplied central meridian / origin / scale / false E-N /
+    spheroid), Lambert Conformal
     Conic (1SP and 2SP — State Plane / national grids), Albers Equal Area
     Conic (1SP/2SP), Lambert Azimuthal Equal Area (oblique — ETRS89-LAEA
     EPSG:3035 — and both polar aspects), Polar Stereographic (north/south
@@ -834,8 +916,36 @@ def projection_from_wkt(wkt) -> "callable | None":
                 p.get("scale_factor", 1.0),
                 p.get("false_easting", 0.0) * unit,
                 p.get("false_northing", 0.0) * unit), unit)
+        if re.search(r'PROJECTION\["?Sinusoidal', wkt, re.I):
+            p = _wkt_params(wkt)
+            a, inv_f = _wkt_spheroid(wkt)
+            return _with_unit(make_inv_sinusoidal(
+                a, inv_f,
+                p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
         if re.search(r'PROJECTION\["?Mercator', wkt, re.I) or "3857" in wkt:
-            return _with_unit(_inv_webmerc, unit)
+            # Real EPSG:3857 WKTs always carry a marker (authority code,
+            # Pseudo/Web-Mercator name, Auxiliary_Sphere projection, or a
+            # sphere PROJ4 extension) — those decode on the sphere. A plain
+            # Mercator_1SP/2SP on a true ellipsoid is the EPSG:3395 World
+            # Mercator family: the sphere approximation is off by up to
+            # ~20 km in latitude, so it gets the ellipsoidal inverse.
+            if ("3857" in wkt
+                    or re.search(r"Pseudo[-_ ]?Mercator|Web[_ ]?Mercator"
+                                 r"|Auxiliary[_ ]?Sphere"
+                                 r"|Popular[_ ]?Visualisation", wkt, re.I)
+                    or re.search(r"\+nadgrids=@null|\+b=6378137", wkt)):
+                return _with_unit(_inv_webmerc, unit)
+            p = _wkt_params(wkt)
+            a, inv_f = _wkt_spheroid(wkt)
+            return _with_unit(make_inv_mercator(
+                a, inv_f, p.get("central_meridian", 0.0),
+                p.get("scale_factor", 1.0),
+                p.get("standard_parallel_1",
+                      p.get("latitude_of_true_scale")),
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
         proj = re.search(r'PROJECTION\[\s*"([^"]+)"', wkt, re.I)
         if proj:
             raise ValueError(

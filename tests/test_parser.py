@@ -463,10 +463,10 @@ def test_unknown_projection_raises_not_identity():
     """A well-formed PROJCS the engine can't invert must raise loudly —
     round 1 silently decoded Lambert meters as degrees (VERDICT missing #1)."""
     import pytest
-    wkt = ('PROJCS["World Sinusoidal",'
-           'PROJECTION["Sinusoidal"],'
+    wkt = ('PROJCS["S-JTSK Krovak",'
+           'PROJECTION["Krovak"],'
            'PARAMETER["central_meridian",0]]')
-    with pytest.raises(ValueError, match="Sinusoidal"):
+    with pytest.raises(ValueError, match="Krovak"):
         parser.projection_from_wkt(wkt)
 
 
@@ -859,3 +859,129 @@ def test_laea_polar_inverse_roundtrip():
     err = np.abs(back - np.array(pts))
     err[:, 0] = np.minimum(err[:, 0], 360.0 - err[:, 0])   # lon wrap at 179
     assert err.max() < 5e-8
+
+
+def test_mercator_ellipsoidal_inverse_roundtrip():
+    """EPSG:3395-style World Mercator (plain Mercator_1SP on WGS84, no
+    pseudo-mercator markers): forward via independent Snyder eq. 7-7/7-8
+    (y = -a*ln(t)), engine inverse recovers; and the result must DIFFER
+    from the spherical web-mercator decode by kilometers — the silent
+    corruption the dispatch fix prevents."""
+    import math
+    import numpy as np
+    a, e2, e, mtq = _conic_fwd_helpers()
+    pts = [(0.0, 0.0), (12.5, 41.9), (-58.4, -34.6), (151.2, 33.9)]
+    xy = []
+    for lon, lat in pts:
+        _, t, _ = mtq(math.radians(lat))
+        xy.append((a * math.radians(lon), -a * math.log(t)))
+    wkt = ('PROJCS["WGS 84 / World Mercator",GEOGCS["WGS 84",'
+           'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+           'UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Mercator_1SP"],'
+           'PARAMETER["central_meridian",0],'
+           'PARAMETER["scale_factor",1],'
+           'PARAMETER["false_easting",0],'
+           'PARAMETER["false_northing",0],UNIT["metre",1],'
+           'AUTHORITY["EPSG","3395"]]')
+    inv = parser.projection_from_wkt(wkt)
+    back = inv(np.array(xy))
+    assert np.abs(back - np.array(pts)).max() < 1e-9
+    # the sphere inverse applied to the same meters lands ~0.1-0.2 deg off
+    sph = parser._inv_webmerc(np.array(xy))
+    assert np.abs(sph[1:, 1] - np.array(pts)[1:, 1]).max() > 0.05
+
+
+def test_mercator_2sp_standard_parallel_roundtrip():
+    """Mercator_2SP: k0 comes from the standard parallel (Snyder 14-15)."""
+    import math
+    import numpy as np
+    a, e2, e, mtq = _conic_fwd_helpers()
+    sp1 = -41.0
+    m1, _, _ = mtq(math.radians(sp1))
+    pts = [(174.8, -36.8), (147.3, -42.9)]
+    xy = []
+    for lon, lat in pts:
+        _, t, _ = mtq(math.radians(lat))
+        xy.append((a * m1 * math.radians(lon - 100.0),
+                   -a * m1 * math.log(t)))
+    wkt = ('PROJCS["x",GEOGCS["WGS 84",DATUM["WGS_1984",'
+           'SPHEROID["WGS 84",6378137,298.257223563]]],'
+           'PROJECTION["Mercator_2SP"],'
+           'PARAMETER["standard_parallel_1",-41],'
+           'PARAMETER["central_meridian",100],'
+           'PARAMETER["false_easting",0],'
+           'PARAMETER["false_northing",0],UNIT["metre",1]]')
+    inv = parser.projection_from_wkt(wkt)
+    back = inv(np.array(xy))
+    assert np.abs(back - np.array(pts)).max() < 1e-9
+
+
+def test_webmercator_markers_still_spherical():
+    """The 3857 fixture WKT (Pseudo-Mercator name + authority) keeps the
+    spherical path after the ellipsoidal-Mercator dispatch fix."""
+    import math
+    import numpy as np
+    R = 6378137.0
+    pts = [(2.3522, 48.8566)]
+    xy = [(math.radians(lon) * R,
+           math.log(math.tan(math.pi / 4 + math.radians(lat) / 2)) * R)
+          for lon, lat in pts]
+    inv = parser.projection_from_wkt(writer.WEBMERC_WKT)
+    back = inv(np.array(xy))
+    assert np.abs(back - np.array(pts)).max() < 1e-9
+
+
+def test_sinusoidal_modis_sphere_roundtrip():
+    """MODIS sinusoidal grid: SPHEROID[...,0] means a true sphere
+    (R = 6371007.181) — forward x = R*cos(phi)*dlam, y = R*phi, the
+    inverse must recover exactly (all series terms vanish at e = 0)."""
+    import math
+    import numpy as np
+    R = 6371007.181
+    lon0 = 0.0
+    pts = [(-63.0, -10.0), (20.3, 47.9), (115.0, -31.9), (0.0, 0.0)]
+    xy = [(R * math.cos(math.radians(lat)) * math.radians(lon - lon0),
+           R * math.radians(lat)) for lon, lat in pts]
+    wkt = ('PROJCS["MODIS Sinusoidal",GEOGCS["GCS_Undefined",'
+           'DATUM["Undefined",SPHEROID["User_Defined_Spheroid",'
+           '6371007.181,0.0]],UNIT["Degree",0.0174532925199433]],'
+           'PROJECTION["Sinusoidal"],'
+           'PARAMETER["False_Easting",0.0],'
+           'PARAMETER["False_Northing",0.0],'
+           'PARAMETER["Central_Meridian",0.0],UNIT["Meter",1.0]]')
+    inv = parser.projection_from_wkt(wkt)
+    back = inv(np.array(xy))
+    assert np.abs(back - np.array(pts)).max() < 1e-9
+
+
+def test_sinusoidal_ellipsoidal_roundtrip():
+    """Ellipsoidal sinusoidal on WGS84: forward via independently written
+    Snyder 25-1/25-2 (x = a*cos(phi)*dlam/sqrt(1-e2*sin^2), y = M(phi)
+    from eq. 3-21), inverse recovers through the rectifying series."""
+    import math
+    import numpy as np
+    a, e2, e, mtq = _conic_fwd_helpers()
+    lon0 = -90.0
+    pts = [(-100.0, 35.0), (-80.2, 25.8), (-90.0, 0.0), (-60.0, -20.0)]
+    xy = []
+    for lon, lat in pts:
+        phi = math.radians(lat)
+        s = math.sin(phi)
+        M = a * ((1 - e2 / 4 - 3 * e2 ** 2 / 64 - 5 * e2 ** 3 / 256) * phi
+                 - (3 * e2 / 8 + 3 * e2 ** 2 / 32
+                    + 45 * e2 ** 3 / 1024) * math.sin(2 * phi)
+                 + (15 * e2 ** 2 / 256
+                    + 45 * e2 ** 3 / 1024) * math.sin(4 * phi)
+                 - (35 * e2 ** 3 / 3072) * math.sin(6 * phi))
+        xy.append((a * math.cos(phi) * math.radians(lon - lon0)
+                   / math.sqrt(1 - e2 * s * s), M))
+    wkt = ('PROJCS["x",GEOGCS["WGS 84",DATUM["WGS_1984",'
+           'SPHEROID["WGS 84",6378137,298.257223563]]],'
+           'PROJECTION["Sinusoidal"],'
+           'PARAMETER["central_meridian",-90],'
+           'PARAMETER["false_easting",0],'
+           'PARAMETER["false_northing",0],UNIT["metre",1]]')
+    inv = parser.projection_from_wkt(wkt)
+    back = inv(np.array(xy))
+    assert np.abs(back - np.array(pts)).max() < 1e-8
