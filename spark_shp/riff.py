@@ -54,26 +54,34 @@ def wav_encode(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
     """(n,) or (n, ch) float in [-1, 1] → PCM WAV bytes (16/24/32-bit int,
     or IEEE float32 with bits=32 via fmt tag 3 when the input is float32
     and bits == 0 is not exposed — use bits=16/24 for int, bits=32 → f32)."""
-    s = np.asarray(samples, dtype=np.float64)
+    s = np.asarray(samples)
     if s.ndim == 1:
         s = s[:, None]
     n, ch = s.shape
-    # quantization scale is 2^(bits-1) on BOTH sides (encode clips the one
-    # overflowing code at +1.0) so a roundtrip is within 1 LSB everywhere
-    if bits == 32:
-        fmt_tag, payload = WAVE_FMT_FLOAT, s.astype("<f4").tobytes()
-    elif bits == 16:
-        q = np.clip(np.round(s * 32768.0), -32768, 32767).astype("<i2")
-        fmt_tag, payload = WAVE_FMT_PCM, q.tobytes()
-    elif bits == 24:
-        q = np.clip(np.round(s * 8388608.0), -8388608, 8388607).astype("<i4")
-        b = q.view(np.uint8).reshape(n * ch, 4)[:, :3]   # little-endian 24
-        fmt_tag, payload = WAVE_FMT_PCM, np.ascontiguousarray(b).tobytes()
-    elif bits == 8:
-        q = np.clip(np.round(s * 128.0) + 128, 0, 255).astype(np.uint8)
-        fmt_tag, payload = WAVE_FMT_PCM, q.tobytes()
+    if s.dtype == np.int16:        # already-quantized PCM: exact passthrough
+        if bits != 16:
+            raise ValueError("int16 input requires bits=16")
+        fmt_tag = WAVE_FMT_PCM
+        payload = np.ascontiguousarray(s.astype("<i2")).tobytes()
     else:
-        raise ValueError(f"unsupported bit depth {bits}")
+        s = s.astype(np.float64)
+        # quantization scale is 2^(bits-1) on BOTH sides (encode clips the
+        # one overflowing code at +1.0) so a roundtrip is within 1 LSB
+        if bits == 32:
+            fmt_tag, payload = WAVE_FMT_FLOAT, s.astype("<f4").tobytes()
+        elif bits == 16:
+            q = np.clip(np.round(s * 32768.0), -32768, 32767).astype("<i2")
+            fmt_tag, payload = WAVE_FMT_PCM, q.tobytes()
+        elif bits == 24:
+            q = np.clip(np.round(s * 8388608.0),
+                        -8388608, 8388607).astype("<i4")
+            b = q.view(np.uint8).reshape(n * ch, 4)[:, :3]  # little-endian 24
+            fmt_tag, payload = WAVE_FMT_PCM, np.ascontiguousarray(b).tobytes()
+        elif bits == 8:
+            q = np.clip(np.round(s * 128.0) + 128, 0, 255).astype(np.uint8)
+            fmt_tag, payload = WAVE_FMT_PCM, q.tobytes()
+        else:
+            raise ValueError(f"unsupported bit depth {bits}")
     block = ch * (bits // 8)
     fmt = struct.pack("<HHIIHH", fmt_tag, ch, sample_rate,
                       sample_rate * block, block, bits)
