@@ -832,6 +832,92 @@ WHERE rn = 1
 """
 
 
+# --- near-dup clustering (connected components over LSH pairs) ---------------
+
+def q_dedup_clusters(spark, sf_dir):
+    """The clustering step of the dedup pipeline: strong LSH candidate
+    pairs (n_bands >= 4, the precision knob) become duplicate GROUPS via
+    distributed min-label propagation (spark_shp.graph.connected_components
+    — one shuffle per round, driver holds only a convergence counter,
+    lineage truncated per round). Each doc maps to the minimum doc_id of
+    its component — the canonical survivor a 100 TB dedup would keep. The
+    oracle recomputes components with a recursive transitive-closure CTE."""
+    from .graph import connected_components
+    pairs = (q_minhash_lsh_pairs(spark, sf_dir)
+             .where(F.col("n_bands") >= 4))
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return comp.select(F.col("node").alias("doc_id"),
+                       F.col("component").alias("cluster"))
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE p AS (
+  SELECT * FROM ({ORACLE_LSH_PAIRS}) lp WHERE n_bands >= 4),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM p
+  UNION ALL SELECT doc_b, doc_a FROM p),
+nodes AS (SELECT DISTINCT s AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m)
+SELECT n AS doc_id, MIN(m) AS cluster FROM reach GROUP BY n
+"""
+
+
+# --- PII scrubbing ------------------------------------------------------------
+
+# Bracket classes ([.] [+]) instead of backslash escapes: Spark SQL string
+# literals eat lone backslashes while DuckDB's don't, so any \-escape would
+# hand the two engines different patterns.
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+_PHONE_RE = "[+]1-[0-9]{3}-[0-9]{4}"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Training-data PII scrub: every document gets a deterministic
+    synthetic contact line appended (the real corpus text has no PII, and
+    proving zero false positives on it is part of the check), then email
+    and phone patterns are counted and redacted. The scrubbed STRING
+    itself is in the gated output, so replacement semantics (all-match,
+    ordering, pattern dialect) must agree between Spark's Java regex and
+    DuckDB's RE2 — the patterns stay inside the common subset."""
+    d = _t(spark, sf_dir, "documents")
+    aug = d.selectExpr(
+        "doc_id",
+        "concat(text, ' contact user', CAST(doc_id AS STRING),"
+        " '@mail.example.org or +1-',"
+        " lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-',"
+        " lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) AS aug")
+    return aug.selectExpr(
+        "doc_id",
+        f"CAST(size(regexp_extract_all(aug, '{_EMAIL_RE}', 0)) AS BIGINT)"
+        " AS n_emails",
+        f"CAST(size(regexp_extract_all(aug, '{_PHONE_RE}', 0)) AS BIGINT)"
+        " AS n_phones",
+        f"regexp_replace(regexp_replace(aug, '{_EMAIL_RE}', '<EMAIL>'),"
+        f" '{_PHONE_RE}', '<PHONE>') AS scrubbed")
+
+
+ORACLE_PII_SCRUB = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.org or +1-'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{_EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{_PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       regexp_replace(regexp_replace(aug, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM aug
+"""
+
+
 QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
@@ -850,4 +936,9 @@ QUERIES: dict = {
     "sliding_window": (q_sliding_window, ORACLE_SLIDING),
     "session_windows": (q_session_windows, ORACLE_SESSION),
     "event_dedup": (q_event_dedup, ORACLE_EVENT_DEDUP),
+    # parked in registry._TAIL (dedup family in-window rows:
+    # minhash_lsh_pairs / dedup_exact; scalar-regex via
+    # scalar_functions_suite)
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
 }

@@ -45,6 +45,8 @@ _TAIL = [
                               # coverage via shp fixtures; exact diffcheck)
     "wav_decode_stats",       # multimodal audio RIFF decode (exact oracle)
     "avi_frame_stats",        # multimodal video RIFF decode (exact oracle)
+    "dedup_clusters",         # near-dup CC clustering (exact oracle)
+    "pii_scrub",              # PII redaction (exact oracle)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",
