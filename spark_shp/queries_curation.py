@@ -1,0 +1,244 @@
+"""Corpus-curation & multi-resolution rollup operators (training-data
+pipeline surface, SURVEY.md §6 family): deterministic train/val/test
+splitting with stratified sampling, benchmark-contamination detection via
+n-gram overlap, one-pass tile-pyramid rollups, and polygon shape metrics
+(area / perimeter / centroid) over the fence layer.
+
+All four are driver-oracle-checked (exact DuckDB twins); they park in
+registry._TAIL because their operator families (C6/C7 window+agg, shingle
+join, B1/B2 cells, B4-B6 geometry) keep in-window rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import types as T
+
+from . import cells, fixtures, geom, spatial
+from .hashing import mix_sql
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- deterministic split + stratified sampling --------------------------------
+
+SPLIT_SQL = (f"CASE WHEN {mix_sql('doc_id')} % 100 < 80 THEN 'train' "
+             f"WHEN {mix_sql('doc_id')} % 100 < 90 THEN 'val' "
+             "ELSE 'test' END")
+STRAT_QUOTA = 20  # docs kept per (lang, split) stratum
+
+
+def q_corpus_split_stratified(spark, sf_dir):
+    """Hash-deterministic 80/10/10 split + per-(lang, split) stratified
+    sample of STRAT_QUOTA docs, ranked by an independent hash so the sample
+    is uniform within each stratum. Reproducible on any cluster size: rank
+    depends only on doc_id, never on partitioning or arrival order — the
+    property that makes a 100 TB re-run (or an incremental top-up) emit the
+    identical sample. One window shuffle keyed by the stratum."""
+    d = _t(spark, sf_dir, "documents")
+    d = d.selectExpr("doc_id", "lang", f"{SPLIT_SQL} AS split",
+                     f"{mix_sql('doc_id * 31 + 7')} AS rk")
+    w = W.partitionBy("lang", "split").orderBy("rk", "doc_id")
+    return (d.withColumn("rn", F.row_number().over(w))
+            .selectExpr("doc_id", "lang", "split",
+                        f"CAST(rn <= {STRAT_QUOTA} AS INT) AS sampled"))
+
+
+ORACLE_SPLIT = f"""
+WITH s AS (
+  SELECT doc_id, lang, {SPLIT_SQL} AS split,
+         {mix_sql('doc_id * 31 + 7')} AS rk
+  FROM documents),
+r AS (
+  SELECT doc_id, lang, split,
+         ROW_NUMBER() OVER (PARTITION BY lang, split
+                            ORDER BY rk, doc_id) AS rn
+  FROM s)
+SELECT doc_id, lang, split,
+       CAST(CASE WHEN rn <= {STRAT_QUOTA} THEN 1 ELSE 0 END AS INT) AS sampled
+FROM r
+"""
+
+
+# --- benchmark contamination via trigram shingle overlap ----------------------
+
+BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 -> "held-out benchmark" doc
+
+
+def q_contamination_check(spark, sf_dir):
+    """Per training doc: how many of its distinct word trigrams appear in
+    ANY benchmark doc (doc_id % BENCH_MOD == 0) — the n-gram-overlap
+    decontamination pass every eval-aware corpus build runs. Scale shape:
+    distinct (doc, shingle) pairs equi-join the (much smaller) distinct
+    benchmark-shingle set on the shingle key — one shuffle keyed by
+    shingle, never doc x doc; the benchmark side is NOT broadcast because
+    at 100 TB it need not fit on one executor."""
+    d = _t(spark, sf_dir, "documents")
+    sh = (d.selectExpr("doc_id", "split(text, ' ') AS w")
+          .where(F.expr("size(w) >= 3"))
+          .selectExpr("doc_id",
+                      "explode(transform(sequence(0, size(w) - 3),"
+                      " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))"
+                      " AS shingle")
+          .distinct())
+    bench = (sh.where(F.col("doc_id") % BENCH_MOD == 0)
+             .select("shingle").distinct().withColumn("hit", F.lit(1)))
+    train = sh.where(F.col("doc_id") % BENCH_MOD != 0)
+    return (train.join(bench, "shingle", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.count("hit").alias("n_shared"))
+            .selectExpr("doc_id", "n_shingles", "n_shared",
+                        "ROUND(CAST(n_shared AS DOUBLE)"
+                        " / CAST(n_shingles AS DOUBLE), 6) AS contam_ratio"))
+
+
+ORACLE_CONTAMINATION = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         w[i.i] || ' ' || w[i.i + 1] || ' ' || w[i.i + 2] AS shingle
+  FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, len(w) - 2)) AS i) i
+  WHERE len(w) >= 3),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+train AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0)
+SELECT t.doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shared,
+       ROUND(CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS contam_ratio
+FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
+GROUP BY t.doc_id
+"""
+
+
+# --- one-pass tile pyramid rollup ---------------------------------------------
+
+PYR_BASE = 12
+PYR_STEPS = (0, 2, 4, 6)  # levels 12, 10, 8, 6
+
+
+def q_tile_pyramid(spark, sf_dir):
+    """Multi-resolution tile counts (web-map pyramid / hypertable rollup):
+    every event contributes to its cell at levels 12/10/8/6 via an explode
+    of the parent chain, then ONE groupBy — a single shuffle builds the
+    whole pyramid, vs one shuffle per level for the naive per-level
+    re-aggregation. Parent ids are pure integer codegen (cell_parent_sql),
+    so the explode stays inside whole-stage codegen."""
+    pts = spatial.tile_assign(
+        _t(spark, sf_dir, "events")
+        .selectExpr("event_id", f"{fixtures.EVENT_LON_SQL} AS lon",
+                    f"{fixtures.EVENT_LAT_SQL} AS lat"),
+        "lon", "lat", PYR_BASE)
+    levels = F.array(*[
+        F.struct(F.lit(PYR_BASE - s).alias("level"),
+                 (F.col("cell_id") if s == 0
+                  else F.expr(cells.cell_parent_sql("cell_id", s)))
+                 .alias("cell"))
+        for s in PYR_STEPS])
+    return (pts.select(F.explode(levels).alias("lc"))
+            .groupBy(F.col("lc.level").alias("level"),
+                     F.col("lc.cell").alias("cell"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+_BASE_CELL = cells.cell_sql(fixtures.EVENT_LON_SQL.replace("event_id", "e.event_id"),
+                            fixtures.EVENT_LAT_SQL.replace("event_id", "e.event_id"),
+                            PYR_BASE)
+ORACLE_PYRAMID = "\nUNION ALL\n".join(
+    f"""SELECT {PYR_BASE - s} AS level,
+       {(_BASE_CELL if s == 0 else cells.cell_parent_sql(_BASE_CELL, s))} AS cell,
+       COUNT(*) AS n
+FROM events e GROUP BY 2"""
+    for s in PYR_STEPS)
+
+
+# --- polygon metrics: area / perimeter / centroid -----------------------------
+
+def polygon_stats(polys: DataFrame) -> DataFrame:
+    """(poly_id, coordinates) -> (poly_id, area, perimeter, cx, cy) via the
+    shoelace formula over ALL rings: holes (opposite winding) subtract from
+    signed area and pull the centroid away, multi-parts add — no per-ring
+    special-casing. Batched Arrow kernel: each batch concatenates every
+    ring's edges once and segment-sums with np.add.reduceat, so cost is one
+    vectorized pass per batch, not per polygon."""
+    out_schema = T.StructType([
+        T.StructField("poly_id", T.LongType()),
+        T.StructField("area", T.DoubleType()),
+        T.StructField("perimeter", T.DoubleType()),
+        T.StructField("cx", T.DoubleType()),
+        T.StructField("cy", T.DoubleType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            eds, seg, counts = [], [0], []
+            for coords in pdf["coordinates"]:
+                # Arrow hands ragged nesting back as object arrays; stack
+                # each ring's points explicitly rather than trusting asarray
+                # to infer the (n, 2) shape.
+                rings = [np.stack([np.asarray(pt, dtype=np.float64)
+                                   for pt in ring])
+                         for part in coords for ring in part]
+                e = geom.rings_to_edges(rings)
+                eds.append(e)
+                counts.append(e.shape[0])
+            e = np.vstack(eds)
+            starts = np.cumsum([0] + counts[:-1])
+            x1, y1, x2, y2 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+            cross = x1 * y2 - x2 * y1
+            per = np.hypot(x2 - x1, y2 - y1)
+            sa = np.add.reduceat(cross, starts) / 2.0
+            sp = np.add.reduceat(per, starts)
+            sx = np.add.reduceat((x1 + x2) * cross, starts) / 6.0
+            sy = np.add.reduceat((y1 + y2) * cross, starts) / 6.0
+            yield pd.DataFrame({
+                "poly_id": pdf["poly_id"].to_numpy(),
+                "area": np.abs(sa),
+                "perimeter": sp,
+                "cx": sx / sa,
+                "cy": sy / sa,
+            })
+
+    return polys.select("poly_id", "coordinates").mapInPandas(
+        kernel, out_schema)
+
+
+def q_polygon_metrics(spark, sf_dir):
+    stats = polygon_stats(fixtures.fences_df(spark, 64))
+    return stats.select(
+        "poly_id",
+        *[F.round(c, 6).alias(c) for c in ("area", "perimeter", "cx", "cy")])
+
+
+def _oracle_polygon_metrics() -> str:
+    from .queries_spatial import _fence_edges_values_sql
+    return f"""
+WITH s AS (
+  SELECT poly_id,
+         SUM(x1 * y2 - x2 * y1) / 2.0 AS sa,
+         SUM(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))) AS sp,
+         SUM((x1 + x2) * (x1 * y2 - x2 * y1)) / 6.0 AS sx,
+         SUM((y1 + y2) * (x1 * y2 - x2 * y1)) / 6.0 AS sy
+  FROM (SELECT poly_id, CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
+               CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
+        FROM {_fence_edges_values_sql(64)} v) fe
+  GROUP BY poly_id)
+SELECT poly_id, ROUND(ABS(sa), 6) AS area, ROUND(sp, 6) AS perimeter,
+       ROUND(sx / sa, 6) AS cx, ROUND(sy / sa, 6) AS cy
+FROM s
+"""
+
+
+QUERIES: dict = {
+    "corpus_split_stratified": (q_corpus_split_stratified, ORACLE_SPLIT),
+    "contamination_check": (q_contamination_check, ORACLE_CONTAMINATION),
+    "tile_pyramid": (q_tile_pyramid, ORACLE_PYRAMID),
+    "polygon_metrics": (q_polygon_metrics, _oracle_polygon_metrics()),
+}

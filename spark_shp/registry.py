@@ -15,7 +15,8 @@ tools/diffcheck.py and pytest still verify them exactly, locally.
 
 from __future__ import annotations
 
-from . import queries_rel, queries_shp, queries_spatial, queries_text
+from . import (queries_curation, queries_rel, queries_shp, queries_spatial,
+               queries_text)
 
 # Same-operator variants parked beyond the driver's 50-query window.
 # Each name's operator family keeps >=1 in-window row:
@@ -47,6 +48,10 @@ _TAIL = [
     "avi_frame_stats",        # multimodal video RIFF decode (exact oracle)
     "dedup_clusters",         # near-dup CC clustering (exact oracle)
     "pii_scrub",              # PII redaction (exact oracle)
+    "corpus_split_stratified",  # hash split + stratified sample (C7 family)
+    "contamination_check",    # benchmark n-gram overlap (shingle-join family)
+    "tile_pyramid",           # one-shuffle multi-level rollup (B1/B2 family)
+    "polygon_metrics",        # shoelace area/perimeter/centroid (B4-B6 family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",
@@ -62,7 +67,8 @@ _TAIL = [
 ]
 
 _MERGED: dict = {}
-for mod in (queries_shp, queries_spatial, queries_text, queries_rel):
+for mod in (queries_shp, queries_spatial, queries_text, queries_rel,
+            queries_curation):
     overlap = set(_MERGED) & set(mod.QUERIES)
     if overlap:
         raise RuntimeError(f"duplicate query names: {overlap}")
