@@ -202,3 +202,61 @@ def video_features(media: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA])
 
     return media.select("media_id", "bytes").mapInPandas(work, VIDEO_SCHEMA)
+
+
+# --- deterministic augmentation with orientation-sensitive checksums ----------
+
+def _aug_weights(h: int, w: int) -> np.ndarray:
+    """Position-and-channel weight lattice 1 + (x*31 + y*17 + c*7) % 101 on
+    OUTPUT coordinates: a flipped row order, transposed axes, BGR swap, or
+    off-by-one crop origin all change the weighted sum."""
+    y, x, c = np.meshgrid(np.arange(h, dtype=np.int64),
+                          np.arange(w, dtype=np.int64),
+                          np.arange(3, dtype=np.int64), indexing="ij")
+    return 1 + (x * 31 + y * 17 + c * 7) % 101
+
+
+def augment_checksums(images: DataFrame, res_w: int = 16,
+                      res_h: int = 16) -> DataFrame:
+    """The training-augmentation family (horizontal flip, center crop to
+    half extent, 90-degree rotation, nearest-neighbor resize) reduced to
+    exact int64 checksums per image. Shape-grouped stacks: one decode and
+    one einsum per (w, h, fmt) group — zero per-pixel Python. The resize
+    index mapping is the SAME y*h//out_h rule resize_images ships, so the
+    gated row pins the production mapping."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("cs_flip", T.LongType()),
+        T.StructField("cs_crop", T.LongType()),
+        T.StructField("cs_rot90", T.LongType()),
+        T.StructField("cs_resize", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                px = _decode_stack(pdf, idx, w, h, fmt).astype(np.int64)
+                flip = px[:, :, ::-1, :]
+                h2, w2 = h // 2, w // 2
+                y0, x0 = h // 4, w // 4
+                crop = px[:, y0:y0 + h2, x0:x0 + w2, :]
+                rot = np.rot90(px, k=1, axes=(1, 2))   # (n, w, h, 3)
+                yi = (np.arange(res_h) * h // res_h).astype(int)
+                xi = (np.arange(res_w) * w // res_w).astype(int)
+                res = px[:, yi][:, :, xi]
+                cs = [np.einsum("nhwc,hwc->n", a, _aug_weights(
+                          a.shape[1], a.shape[2]))
+                      for a in (flip, crop, rot, res)]
+                for k, i in enumerate(idx):
+                    rows[i] = (ids[i], int(cs[0][k]), int(cs[1][k]),
+                               int(cs[2][k]), int(cs[3][k]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

@@ -236,9 +236,81 @@ FROM s
 """
 
 
+# --- image augmentation checksums ---------------------------------------------
+
+N_AUG = 36  # ids 0..35; qb (lossy) excluded -> 24 raw/png images
+
+
+def q_image_augment(spark, sf_dir):
+    """Training augmentations (flip / center-crop / rot90 / NN-resize) over
+    real decoded bytes, reduced to orientation-sensitive exact checksums.
+    The oracle recomputes every checksum from the pixel FORMULA
+    P(y,x,c) = mix(i*1000003 + y*4096 + x*4 + c) % 256 with the transform's
+    index remapping — a flipped axis, BGR swap, stride bug, or off-by-one
+    crop/resize origin in the engine's kernel changes the sum."""
+    from . import multimodal
+    img = fixtures.images_df(spark, N_AUG, partitions=4).where(
+        F.col("fmt") != "qb")
+    return multimodal.augment_checksums(img)
+
+
+def _oracle_image_augment() -> str:
+    m = fixtures.images_meta_sql("i")
+
+    def px(y: str, x: str) -> str:
+        return f"({mix_sql(f'i * 1000003 + ({y}) * 4096 + ({x}) * 4 + cc.c')} % 256)"
+
+    def wgt(y: str, x: str) -> str:
+        return f"(1 + (({x}) * 31 + ({y}) * 17 + cc.c * 7) % 101)"
+
+    def lattice(ny: str, nx: str) -> str:
+        return f"""
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, {ny} - 1)) AS y) yy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, {nx} - 1)) AS x) xx,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c) cc"""
+
+    return f"""
+WITH imgs AS (
+  SELECT i, {m['w']} AS w, {m['h']} AS h, {m['image_id']} AS image_id
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_AUG - 1})) AS i) t
+  WHERE i % 3 <> 2),
+flip AS (
+  SELECT image_id,
+         CAST(SUM({px('yy.y', 'w - 1 - xx.x')} * {wgt('yy.y', 'xx.x')})
+              AS BIGINT) AS cs_flip
+  FROM imgs, {lattice('h', 'w')}
+  GROUP BY image_id),
+crop AS (
+  SELECT image_id,
+         CAST(SUM({px('h // 4 + yy.y', 'w // 4 + xx.x')}
+                  * {wgt('yy.y', 'xx.x')}) AS BIGINT) AS cs_crop
+  FROM imgs, {lattice('h // 2', 'w // 2')}
+  GROUP BY image_id),
+rot AS (
+  -- np.rot90 on (h, w): out[a, b] = in[b, w - 1 - a]; y iterates a (0..w-1)
+  SELECT image_id,
+         CAST(SUM({px('xx.x', 'w - 1 - yy.y')} * {wgt('yy.y', 'xx.x')})
+              AS BIGINT) AS cs_rot90
+  FROM imgs, {lattice('w', 'h')}
+  GROUP BY image_id),
+res AS (
+  SELECT image_id,
+         CAST(SUM({px('(yy.y * h) // 16', '(xx.x * w) // 16')}
+                  * {wgt('yy.y', 'xx.x')}) AS BIGINT) AS cs_resize
+  FROM imgs, {lattice('16', '16')}
+  GROUP BY image_id)
+SELECT f.image_id, f.cs_flip, c.cs_crop, r.cs_rot90, s.cs_resize
+FROM flip f
+JOIN crop c ON c.image_id = f.image_id
+JOIN rot r ON r.image_id = f.image_id
+JOIN res s ON s.image_id = f.image_id
+"""
+
+
 QUERIES: dict = {
     "corpus_split_stratified": (q_corpus_split_stratified, ORACLE_SPLIT),
     "contamination_check": (q_contamination_check, ORACLE_CONTAMINATION),
     "tile_pyramid": (q_tile_pyramid, ORACLE_PYRAMID),
     "polygon_metrics": (q_polygon_metrics, _oracle_polygon_metrics()),
+    "image_augment_checksums": (q_image_augment, _oracle_image_augment()),
 }

@@ -52,6 +52,7 @@ _TAIL = [
     "contamination_check",    # benchmark n-gram overlap (shingle-join family)
     "tile_pyramid",           # one-shuffle multi-level rollup (B1/B2 family)
     "polygon_metrics",        # shoelace area/perimeter/centroid (B4-B6 family)
+    "image_augment_checksums",  # flip/crop/rot90/resize exact (B11 family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -1,0 +1,46 @@
+"""Kernel-level checks for the curation module (the oracle gate covers the
+full queries; these pin the numpy kernels against hand-computed values)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+
+def test_polygon_stats_rectangle_with_hole(spark):
+    from spark_shp.queries_curation import polygon_stats
+    outer = [[0.0, 0.0], [0.0, 4.0], [6.0, 4.0], [6.0, 0.0], [0.0, 0.0]]
+    # outer above is CW (negative shoelace); this hole winds CCW (positive)
+    hole = [[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]]
+    schema = T.StructType([
+        T.StructField("poly_id", T.LongType()),
+        T.StructField("coordinates", T.ArrayType(T.ArrayType(
+            T.ArrayType(T.ArrayType(T.DoubleType()))))),
+    ])
+    df = spark.createDataFrame([(7, [[outer, hole]])], schema)
+    r = polygon_stats(df).collect()[0]
+    assert r["poly_id"] == 7
+    assert abs(r["area"] - 23.0) < 1e-12          # 24 minus 1 for the hole
+    assert abs(r["perimeter"] - 24.0) < 1e-12     # 20 outer + 4 hole
+    # centroid of full rect (3, 2) pulled away from the hole at (1.5, 1.5)
+    assert r["cx"] > 3.0 and r["cy"] > 2.0
+
+
+def test_augment_checksums_hand_computed(spark):
+    from spark_shp import codecs
+    from spark_shp.multimodal import augment_checksums
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    df = spark.createDataFrame(
+        [("im0", bytearray(codecs.encode(px, "raw")), 2, 2, "raw")],
+        "image_id: string, bytes: binary, w: int, h: int, fmt: string")
+    r = augment_checksums(df, res_w=2, res_h=2).collect()[0]
+
+    wgt = 1 + (np.arange(2)[None, :, None] * 31
+               + np.arange(2)[:, None, None] * 17
+               + np.arange(3)[None, None, :] * 7) % 101
+    p = px.astype(np.int64)
+    assert r["cs_flip"] == int((p[:, ::-1, :] * wgt).sum())
+    assert r["cs_rot90"] == int((np.rot90(p, axes=(0, 1)) * wgt).sum())
+    assert r["cs_resize"] == int((p * wgt).sum())   # 2x2 -> 2x2 identity
+    # center crop of a 2x2 at quarter origin is the single pixel (0, 0)
+    assert r["cs_crop"] == int((p[0:1, 0:1] * wgt[0:1, 0:1]).sum())
