@@ -236,6 +236,67 @@ FROM s
 """
 
 
+# --- per-user trajectory statistics -------------------------------------------
+
+_HAV = ("(12742.0 * asin(sqrt("
+        "pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)"
+        " + cos(radians({lat1})) * cos(radians({lat2}))"
+        " * pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))")
+
+
+def _hav(lon1, lat1, lon2, lat2) -> str:
+    return _HAV.format(lon1=lon1, lat1=lat1, lon2=lon2, lat2=lat2)
+
+
+def q_trajectory_stats(spark, sf_dir):
+    """Per-user movement summary over the event stream: haversine path
+    length hop-by-hop (event_id order — the deterministic tiebreak a
+    wall-clock-ordered stream lacks), net first-to-last displacement, and
+    bbox extent. One shuffle keyed by user_id; the window walk is linear
+    per user. Spark and DuckDB both evaluate the same closed-form haversine
+    SQL, and ROUND(.., 6) swallows the at-most-last-ulp libm divergence."""
+    e = (_t(spark, sf_dir, "events")
+         .selectExpr("event_id", "user_id",
+                     f"{fixtures.EVENT_LON_SQL} AS lon",
+                     f"{fixtures.EVENT_LAT_SQL} AS lat"))
+    w = W.partitionBy("user_id").orderBy("event_id")
+    hop = _hav("prev_lon", "prev_lat", "lon", "lat")
+    return (e.withColumn("prev_lon", F.lag("lon").over(w))
+            .withColumn("prev_lat", F.lag("lat").over(w))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.expr(hop)), 6).alias("path_km"),
+                 F.round(F.expr(_hav(
+                     "min_by(lon, event_id)", "min_by(lat, event_id)",
+                     "max_by(lon, event_id)", "max_by(lat, event_id)")), 6)
+                 .alias("net_km"),
+                 F.round((F.max("lon") - F.min("lon"))
+                         * (F.max("lat") - F.min("lat")), 6)
+                 .alias("bbox_area")))
+
+
+def _oracle_trajectory() -> str:
+    from .queries_spatial import EVENT_POINTS_SQL
+    hop = _hav("prev_lon", "prev_lat", "lon", "lat")
+    net = _hav("first_lon", "first_lat", "last_lon", "last_lat")
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, lon, lat,
+         LAG(lon) OVER w AS prev_lon, LAG(lat) OVER w AS prev_lat
+  FROM {EVENT_POINTS_SQL} p
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+g AS (
+  SELECT user_id, COUNT(*) AS n_events, SUM({hop}) AS path,
+         MIN_BY(lon, event_id) AS first_lon, MIN_BY(lat, event_id) AS first_lat,
+         MAX_BY(lon, event_id) AS last_lon, MAX_BY(lat, event_id) AS last_lat,
+         (MAX(lon) - MIN(lon)) * (MAX(lat) - MIN(lat)) AS bbox
+  FROM e GROUP BY user_id)
+SELECT user_id, n_events, ROUND(path, 6) AS path_km,
+       ROUND({net}, 6) AS net_km, ROUND(bbox, 6) AS bbox_area
+FROM g
+"""
+
+
 # --- image augmentation checksums ---------------------------------------------
 
 N_AUG = 36  # ids 0..35; qb (lossy) excluded -> 24 raw/png images
@@ -313,4 +374,5 @@ QUERIES: dict = {
     "tile_pyramid": (q_tile_pyramid, ORACLE_PYRAMID),
     "polygon_metrics": (q_polygon_metrics, _oracle_polygon_metrics()),
     "image_augment_checksums": (q_image_augment, _oracle_image_augment()),
+    "trajectory_stats": (q_trajectory_stats, _oracle_trajectory()),
 }

@@ -53,6 +53,7 @@ _TAIL = [
     "tile_pyramid",           # one-shuffle multi-level rollup (B1/B2 family)
     "polygon_metrics",        # shoelace area/perimeter/centroid (B4-B6 family)
     "image_augment_checksums",  # flip/crop/rot90/resize exact (B11 family)
+    "trajectory_stats",       # per-user haversine path/displacement (C7+B)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",
