@@ -44,3 +44,15 @@ def test_augment_checksums_hand_computed(spark):
     assert r["cs_resize"] == int((p * wgt).sum())   # 2x2 -> 2x2 identity
     # center crop of a 2x2 at quarter origin is the single pixel (0, 0)
     assert r["cs_crop"] == int((p[0:1, 0:1] * wgt[0:1, 0:1]).sum())
+
+
+def test_tile_pyramid_single_shuffle_pure_jvm(spark):
+    """The pyramid's selling point: ALL levels aggregate in one shuffle and
+    the parent-chain explode stays inside codegen (no Python operators)."""
+    from spark_shp.queries_curation import q_tile_pyramid
+    df = q_tile_pyramid(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = physical.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
