@@ -1121,20 +1121,103 @@ FROM s2
 ORACLE_SHP_SINUSOIDAL = _oracle_sinusoidal_sql()
 
 
+N_MOLL = 40
+_MOLL_WKT = (
+    'PROJCS["World_Mollweide",GEOGCS["GCS_WGS_1984",'
+    'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Mollweide"],'
+    'PARAMETER["False_Easting",0.0],'
+    'PARAMETER["False_Northing",0.0],'
+    'PARAMETER["Central_Meridian",0.0],UNIT["Meter",1.0]]')
+
+
+def q_shp_mollweide_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 Mollweide (ESRI World_Mollweide / EPSG:54009 — the equal-area
+    world map family; PROJ treats it as spherical-only with R = semimajor):
+    Point shapefile in Mollweide meters → engine's Snyder eq. 31-4..31-7
+    closed-form inverse (parser.make_inv_mollweide); the oracle evaluates
+    the SAME math in DuckDB from the same mollweide_constants() float64
+    values; 9-decimal rounding policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_MOLL, dtype=np.int64)
+    xm = (u01(i * 61 + 3) - 0.5) * 34000000.0
+    ym = (u01(i * 61 + 4) - 0.5) * 17000000.0   # inside |y| < R*sqrt(2)
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_MOLL_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_mollweide_sql() -> str:
+    """Snyder eq. 31-4..31-7 inverse Mollweide as DuckDB SQL from the SAME
+    float64 constants the engine kernel uses (parser.mollweide_constants)."""
+    from .shp.parser import mollweide_constants
+    cv = mollweide_constants(6378137.0, 0.0, 0.0, 0.0)
+    c = {k: f"CAST({v!r} AS DOUBLE)" for k, v in cv.items()}
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         ({u01_sql('i * 61 + 3')} - 0.5) * 34000000.0 AS x,
+         ({u01_sql('i * 61 + 4')} - 0.5) * 17000000.0 AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_MOLL - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no, x - {c['fe']} AS xx,
+         ASIN(GREATEST(-1.0, LEAST(1.0, (y - {c['fn']}) / {c['rs2']})))
+           AS theta
+  FROM src),
+s2 AS (
+  SELECT rec_no, xx, theta,
+         ASIN(GREATEST(-1.0, LEAST(1.0,
+              (2.0 * theta + SIN(2.0 * theta)) / {c['pi']}))) AS phi
+  FROM s1)
+SELECT rec_no,
+       ROUND(DEGREES({c['lam0']} + {c['pi']} * xx
+                     / (2.0 * {c['rs2']} * COS(theta))), 9) AS lon,
+       ROUND(DEGREES(phi), 9) AS lat
+FROM s2
+"""
+
+
+ORACLE_SHP_MOLLWEIDE = _oracle_mollweide_sql()
+
+
 def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 — ALL eight supported .prj projection families under ONE gated
+    """A12 — ALL nine supported .prj projection families under ONE gated
     row (the shp_zm_semantics consolidation pattern applied to CRS): each
     family decodes its own Point shapefile + WKT through the engine's
     inverse kernel, tagged with a family id, unioned. Driver-gates the
     conic families (LCC 2SP, Albers), Polar Stereographic, LAEA
     (EPSG:3035 EU grid), ellipsoidal Mercator (EPSG:3395), and Sinusoidal
-    (MODIS sphere) without widening the 50-query window.
+    (MODIS sphere), and Mollweide (EPSG:54009 equal-area world)
+    without widening the 50-query window.
     Upstream anchor: proj4-based reprojection in lib/index.js:≈125-140
     [RECONSTRUCTED]."""
     fams = [q_shp_webmerc_reproject, q_shp_utm_reproject,
             q_shp_lcc_reproject, q_shp_albers_reproject,
             q_shp_stereo_reproject, q_shp_laea_reproject,
-            q_shp_merc3395_reproject, q_shp_sinusoidal_reproject]
+            q_shp_merc3395_reproject, q_shp_sinusoidal_reproject,
+            q_shp_mollweide_reproject]
     out = None
     for fam_id, fn in enumerate(fams):
         d = fn(spark, sf_dir).select(
@@ -1148,7 +1231,7 @@ ORACLE_REPROJECT_FAMILIES = "\nUNION ALL\n".join(
     for i, sql in enumerate([
         ORACLE_SHP_WEBMERC, ORACLE_SHP_UTM, ORACLE_SHP_LCC,
         ORACLE_SHP_ALBERS, ORACLE_SHP_STEREO, ORACLE_SHP_LAEA,
-        ORACLE_SHP_MERC3395, ORACLE_SHP_SINUSOIDAL]))
+        ORACLE_SHP_MERC3395, ORACLE_SHP_SINUSOIDAL, ORACLE_SHP_MOLLWEIDE]))
 
 
 def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1523,6 +1606,8 @@ QUERIES: dict = {
                                ORACLE_SHP_MERC3395),
     "shp_sinusoidal_reproject": (q_shp_sinusoidal_reproject,
                                  ORACLE_SHP_SINUSOIDAL),
+    "shp_mollweide_reproject": (q_shp_mollweide_reproject,
+                                ORACLE_SHP_MOLLWEIDE),
     # parked in registry._TAIL (A16-A18/A20 zip plumbing, pytest + diffcheck)
     "shp_zip_bundle": (q_shp_zip_bundle, ORACLE_ZIP_BUNDLE),
     # parked in registry._TAIL (multimodal RIFF decode under the gate;

@@ -803,6 +803,38 @@ def make_inv_sinusoidal(a: float, inv_f: float, lon0_deg: float,
     return inv
 
 
+def mollweide_constants(a: float, lon0_deg: float,
+                        fe: float = 0.0, fn: float = 0.0) -> dict:
+    """Shared float64 constants for the Mollweide inverse — consumed by the
+    numpy kernel AND the DuckDB oracle generator so both evaluate the same
+    literal values. PROJ semantics: Mollweide is a spherical-only
+    projection; on an ellipsoidal datum the semimajor axis is used as the
+    sphere radius (``+proj=moll`` behavior)."""
+    return {"rs2": a * math.sqrt(2.0), "lam0": math.radians(lon0_deg),
+            "fe": fe, "fn": fn, "pi": math.pi}
+
+
+def make_inv_mollweide(a: float, lon0_deg: float,
+                       fe: float = 0.0, fn: float = 0.0):
+    """Closed-form Mollweide inverse (Snyder 1987 eq. 31-4..31-7):
+    θ = arcsin(y / (R√2)), φ = arcsin((2θ + sin 2θ) / π),
+    λ = λ0 + πx / (2R√2 cos θ). Returns a vectorized (n,2) meters →
+    (n,2) lon/lat° fn. (ESRI World_Mollweide / EPSG:54009 family.)"""
+    c = mollweide_constants(a, lon0_deg, fe, fn)
+    rs2, lam0, pi = c["rs2"], c["lam0"], c["pi"]
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        x = pts[:, 0] - fe
+        y = pts[:, 1] - fn
+        theta = np.arcsin(np.clip(y / rs2, -1.0, 1.0))
+        phi = np.arcsin(np.clip(
+            (2.0 * theta + np.sin(2.0 * theta)) / pi, -1.0, 1.0))
+        lam = lam0 + pi * x / (2.0 * rs2 * np.cos(theta))
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
+
 def projection_from_wkt(wkt) -> "callable | None":
     """WKT string → inverse-transform fn to WGS84 lon/lat, or None (identity).
 
@@ -921,6 +953,14 @@ def projection_from_wkt(wkt) -> "callable | None":
             a, inv_f = _wkt_spheroid(wkt)
             return _with_unit(make_inv_sinusoidal(
                 a, inv_f,
+                p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
+        if re.search(r'PROJECTION\["?Mollweide', wkt, re.I):
+            p = _wkt_params(wkt)
+            a, _inv_f = _wkt_spheroid(wkt)  # spherical-only: R = semimajor
+            return _with_unit(make_inv_mollweide(
+                a,
                 p.get("central_meridian", p.get("longitude_of_center", 0.0)),
                 p.get("false_easting", 0.0) * unit,
                 p.get("false_northing", 0.0) * unit), unit)

@@ -985,3 +985,37 @@ def test_sinusoidal_ellipsoidal_roundtrip():
     inv = parser.projection_from_wkt(wkt)
     back = inv(np.array(xy))
     assert np.abs(back - np.array(pts)).max() < 1e-8
+
+
+def test_mollweide_inverse_roundtrip():
+    """World Mollweide (EPSG:54009 family): forward via independently
+    written Snyder 31-1..31-3 (Newton-solve 2t + sin 2t = pi sin(phi),
+    x = 2*sqrt(2)/pi * R * dlam * cos t, y = sqrt(2) * R * sin t) — the
+    closed-form inverse must recover lon/lat. Spherical-only projection:
+    R = semimajor even on a WGS84 datum (PROJ +proj=moll behavior)."""
+    import math
+    import numpy as np
+    R = 6378137.0
+    pts = [(-63.0, -10.0), (20.3, 47.9), (115.0, -31.9), (0.0, 0.0),
+           (-170.0, 80.0), (12.5, -89.0)]
+    xy = []
+    for lon, lat in pts:
+        phi = math.radians(lat)
+        t = phi
+        for _ in range(50):
+            f = 2.0 * t + math.sin(2.0 * t) - math.pi * math.sin(phi)
+            t -= f / (2.0 + 2.0 * math.cos(2.0 * t))
+        xy.append((2.0 * math.sqrt(2.0) / math.pi * R
+                   * math.radians(lon) * math.cos(t),
+                   math.sqrt(2.0) * R * math.sin(t)))
+    wkt = ('PROJCS["World_Mollweide",GEOGCS["GCS_WGS_1984",'
+           'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,'
+           '298.257223563]],PRIMEM["Greenwich",0.0],'
+           'UNIT["Degree",0.0174532925199433]],'
+           'PROJECTION["Mollweide"],'
+           'PARAMETER["False_Easting",0.0],'
+           'PARAMETER["False_Northing",0.0],'
+           'PARAMETER["Central_Meridian",0.0],UNIT["Meter",1.0]]')
+    inv = parser.projection_from_wkt(wkt)
+    back = inv(np.array(xy))
+    assert np.abs(back - np.array(pts)).max() < 1e-8
