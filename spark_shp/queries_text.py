@@ -865,6 +865,46 @@ SELECT n AS doc_id, MIN(m) AS cluster FROM reach GROUP BY n
 """
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """The LAST step of the dedup pipeline: per duplicate cluster, keep the
+    highest-quality member (quality_score desc, doc_id asc tiebreak) and
+    report group size — the doc set a 100 TB curation job would actually
+    emit. Docs outside any cluster are their own singleton survivors, so
+    SUM(n_members) == corpus size (the conservation invariant a dropped
+    or double-counted doc breaks). One extra shuffle over the clusters:
+    a left join of docs to cluster labels + one max_by aggregation."""
+    docs = q_quality_score(spark, sf_dir)
+    clusters = q_dedup_clusters(spark, sf_dir)
+    lab = (docs.join(clusters, "doc_id", "left")
+           .select("doc_id", "quality_score",
+                   F.coalesce("cluster", "doc_id").alias("cluster")))
+    return (lab.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.expr("max_by(doc_id, struct(quality_score, -doc_id))")
+                 .alias("survivor_id"),
+                 F.round(F.max("quality_score"), 6).alias("best_quality")))
+
+
+ORACLE_DEDUP_SURVIVORS = f"""
+WITH q AS ({ORACLE_QUALITY}),
+c AS ({ORACLE_DEDUP_CLUSTERS}),
+lab AS (
+  SELECT q.doc_id, q.quality_score, COALESCE(c.cluster, q.doc_id) AS cluster
+  FROM q LEFT JOIN c ON q.doc_id = c.doc_id),
+agg AS (
+  SELECT cluster, COUNT(*) AS n_members,
+         ROUND(MAX(quality_score), 6) AS best_quality
+  FROM lab GROUP BY cluster),
+sel AS (
+  SELECT cluster, doc_id AS survivor_id,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY quality_score DESC, doc_id) AS rn
+  FROM lab)
+SELECT a.cluster, a.n_members, s.survivor_id, a.best_quality
+FROM agg a JOIN sel s ON s.cluster = a.cluster AND s.rn = 1
+"""
+
+
 # --- PII scrubbing ------------------------------------------------------------
 
 # Bracket classes ([.] [+]) instead of backslash escapes: Spark SQL string
@@ -940,5 +980,6 @@ QUERIES: dict = {
     # minhash_lsh_pairs / dedup_exact; scalar-regex via
     # scalar_functions_suite)
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "dedup_survivors": (q_dedup_survivors, ORACLE_DEDUP_SURVIVORS),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
 }

@@ -48,6 +48,7 @@ _TAIL = [
     "wav_decode_stats",       # multimodal audio RIFF decode (exact oracle)
     "avi_frame_stats",        # multimodal video RIFF decode (exact oracle)
     "dedup_clusters",         # near-dup CC clustering (exact oracle)
+    "dedup_survivors",        # per-cluster best-quality survivor (exact)
     "pii_scrub",              # PII redaction (exact oracle)
     "corpus_split_stratified",  # hash split + stratified sample (C7 family)
     "contamination_check",    # benchmark n-gram overlap (shingle-join family)
