@@ -33,14 +33,16 @@ def connected_components(edges: DataFrame, src: str = "src",
     for _ in range(max_iter):
         nbr = (sym.join(labels, sym["b"] == labels["node"])
                .groupBy("a").agg(F.min("label").alias("nbr_min")))
+        # Checkpoint BEFORE the convergence count: the count then scans the
+        # materialized rows instead of re-executing the round's join — one
+        # join per round, not two.
         stepped = (labels.join(nbr, labels["node"] == nbr["a"], "left")
                    .select("node", "label",
                            F.least("label", F.coalesce("nbr_min", "label"))
-                           .alias("new_label")))
+                           .alias("new_label"))
+                   .localCheckpoint())
         changed = stepped.where(F.col("new_label") < F.col("label")).count()
-        labels = (stepped.select("node",
-                                 F.col("new_label").alias("label"))
-                  .localCheckpoint())
+        labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     sym.unpersist()
