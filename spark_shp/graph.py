@@ -19,10 +19,18 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_iter: int = 50) -> DataFrame:
+                         dst: str = "dst", max_iter: int = 50,
+                         method: str = "hop") -> DataFrame:
     """(src, dst) edge list → (node, component) where component is the
     minimum node id reachable from ``node``. Nodes appear iff they occur
-    in an edge; callers union isolated nodes afterwards if needed."""
+    in an edge; callers union isolated nodes afterwards if needed.
+
+    method="hop" (default): one edge-join round per iteration — O(diameter)
+    rounds, the right default for near-dup graphs (dense clusters, tiny
+    diameters). method="jump" adds a pointer-jumping shortcut (each node
+    also adopts its label's label) — two joins per round but O(log
+    diameter) rounds, the scale path for long-chain graphs where O(d)
+    rounds would mean thousands of shuffles."""
     sym = (edges.selectExpr(f"{src} AS a", f"{dst} AS b")
            .union(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
            .distinct()
@@ -33,14 +41,26 @@ def connected_components(edges: DataFrame, src: str = "src",
     for _ in range(max_iter):
         nbr = (sym.join(labels, sym["b"] == labels["node"])
                .groupBy("a").agg(F.min("label").alias("nbr_min")))
-        # Checkpoint BEFORE the convergence count: the count then scans the
-        # materialized rows instead of re-executing the round's join — one
-        # join per round, not two.
         stepped = (labels.join(nbr, labels["node"] == nbr["a"], "left")
                    .select("node", "label",
                            F.least("label", F.coalesce("nbr_min", "label"))
-                           .alias("new_label"))
-                   .localCheckpoint())
+                           .alias("new_label")))
+        if method == "jump":
+            # Pointer jumping: every label is itself a node id in `labels`,
+            # so chase one level (label -> label's label). Reachable-set
+            # distance to the minimum roughly halves per round.
+            lut = labels.select(F.col("node").alias("j_node"),
+                                F.col("label").alias("j_label"))
+            stepped = (stepped.join(
+                lut, stepped["new_label"] == lut["j_node"], "left")
+                .select("node", "label",
+                        F.least("new_label", F.coalesce("j_label",
+                                                        "new_label"))
+                        .alias("new_label")))
+        # Checkpoint BEFORE the convergence count: the count then scans the
+        # materialized rows instead of re-executing the round's join(s) —
+        # each join runs once per round.
+        stepped = stepped.localCheckpoint()
         changed = stepped.where(F.col("new_label") < F.col("label")).count()
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:

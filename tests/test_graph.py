@@ -27,3 +27,17 @@ def test_chain_diameter_exceeds_one_round(spark):
 def test_self_loop_and_duplicate_edges(spark):
     got = _cc(spark, [(5, 5), (1, 2), (2, 1), (1, 2)])
     assert got == {5: 5, 1: 1, 2: 1}
+
+
+def test_jump_matches_hop_and_converges_in_fewer_rounds(spark):
+    # 1 chain of 40 nodes: hop needs ~39 rounds; jump must finish within a
+    # max_iter far below the diameter, and both agree.
+    edges = [(i, i + 1) for i in range(39)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    from spark_shp.graph import connected_components
+    jump = connected_components(df, "src", "dst", max_iter=12,
+                                method="jump").collect()
+    assert {r["component"] for r in jump} == {0}
+    assert len(jump) == 40
+    hop = connected_components(df, "src", "dst").collect()
+    assert sorted(map(tuple, hop)) == sorted(map(tuple, jump))
