@@ -56,3 +56,42 @@ def test_tile_pyramid_single_shuffle_pure_jvm(spark):
     physical = df._jdf.queryExecution().executedPlan().toString()
     n_exchanges = physical.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
+
+
+def test_polygon_stats_random_rect_batch(spark):
+    """50 seeded random rectangles (half with a centered half-extent hole):
+    area/perimeter/centroid are analytically known; one Spark job checks
+    the whole batch through the reduceat-segmented kernel (segment
+    boundaries are the bug surface batching introduces)."""
+    from spark_shp.queries_curation import polygon_stats
+    from pyspark.sql import types as T
+    rng = np.random.default_rng(7)
+    rows, expect = [], {}
+    for j in range(50):
+        cx, cy = rng.uniform(-170, 170), rng.uniform(-80, 80)
+        hx, hy = rng.uniform(0.5, 5.0), rng.uniform(0.5, 5.0)
+        ring = [[cx - hx, cy - hy], [cx - hx, cy + hy], [cx + hx, cy + hy],
+                [cx + hx, cy - hy], [cx - hx, cy - hy]]
+        rings = [ring]
+        area, per = 4 * hx * hy, 4 * (hx + hy)
+        if j % 2 == 0:
+            hole = [[cx - hx / 2, cy - hy / 2], [cx + hx / 2, cy - hy / 2],
+                    [cx + hx / 2, cy + hy / 2], [cx - hx / 2, cy + hy / 2],
+                    [cx - hx / 2, cy - hy / 2]]
+            rings.append(hole)
+            area -= hx * hy
+            per += 2 * (hx + hy)
+        rows.append((j, [rings]))
+        expect[j] = (area, per, cx, cy)
+    schema = T.StructType([
+        T.StructField("poly_id", T.LongType()),
+        T.StructField("coordinates", T.ArrayType(T.ArrayType(
+            T.ArrayType(T.ArrayType(T.DoubleType()))))),
+    ])
+    got = polygon_stats(spark.createDataFrame(rows, schema)).collect()
+    assert len(got) == 50
+    for r in got:
+        area, per, cx, cy = expect[r["poly_id"]]
+        assert abs(r["area"] - area) < 1e-9
+        assert abs(r["perimeter"] - per) < 1e-9
+        assert abs(r["cx"] - cx) < 1e-9 and abs(r["cy"] - cy) < 1e-9
