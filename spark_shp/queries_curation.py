@@ -236,6 +236,49 @@ FROM s
 """
 
 
+# --- caption x tile stats (image+caption pair invariant, spatially) -----------
+
+N_CAP = 200
+CAP_LVL = 4
+
+
+def q_caption_tile_stats(spark, sf_dir):
+    """The input-hint pair invariant (caption equality) under the gate,
+    aggregated spatially: synthesized image+caption rows tile-assign at a
+    coarse level and reduce caption char/token sums per tile. The oracle
+    REBUILDS every caption string from the metadata formulas (printf %.3f
+    — IEEE round-half-even on both sides), so any caption corruption,
+    id-padding bug, or tile mis-assignment shifts a sum."""
+    img = fixtures.images_df(spark, N_CAP, partitions=4, with_pixels=False)
+    t = spatial.tile_assign(img, "lon", "lat", CAP_LVL)
+    return (t.groupBy(F.col("cell_id").alias("tile"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.length("caption")).alias("sum_chars"),
+                 F.sum(F.size(F.split("caption", " "))).alias("sum_tokens"),
+                 F.min(F.length("image_id")).alias("id_len")))
+
+
+def _oracle_caption_tiles() -> str:
+    m = fixtures.images_meta_sql("i")
+    return f"""
+WITH imgs AS (
+  SELECT i, {m['lon']} AS lon, {m['lat']} AS lat, {m['image_id']} AS image_id
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_CAP - 1})) AS i) t),
+cap AS (
+  SELECT i, lon, lat, image_id,
+         'synthetic image ' || CAST(i AS VARCHAR) || ' at ('
+           || printf('%.3f', lon) || ',' || printf('%.3f', lat) || ')'
+           AS caption
+  FROM imgs)
+SELECT {cells.cell_sql('lon', 'lat', CAP_LVL)} AS tile,
+       COUNT(*) AS n,
+       CAST(SUM(length(caption)) AS BIGINT) AS sum_chars,
+       CAST(SUM(len(string_split(caption, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(MIN(length(image_id)) AS INT) AS id_len
+FROM cap GROUP BY 1
+"""
+
+
 # --- per-user trajectory statistics -------------------------------------------
 
 _HAV = ("(12742.0 * asin(sqrt("
@@ -375,4 +418,5 @@ QUERIES: dict = {
     "polygon_metrics": (q_polygon_metrics, _oracle_polygon_metrics()),
     "image_augment_checksums": (q_image_augment, _oracle_image_augment()),
     "trajectory_stats": (q_trajectory_stats, _oracle_trajectory()),
+    "caption_tile_stats": (q_caption_tile_stats, _oracle_caption_tiles()),
 }

@@ -56,6 +56,7 @@ _TAIL = [
     "polygon_metrics",        # shoelace area/perimeter/centroid (B4-B6 family)
     "image_augment_checksums",  # flip/crop/rot90/resize exact (B11 family)
     "trajectory_stats",       # per-user haversine path/displacement (C7+B)
+    "caption_tile_stats",     # caption-equality invariant per tile (B5+text)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",
