@@ -1202,22 +1202,132 @@ FROM s2
 ORACLE_SHP_MOLLWEIDE = _oracle_mollweide_sql()
 
 
+N_OBLQ = 40
+_RD_WKT = (
+    'PROJCS["Amersfoort_RD_New",GEOGCS["GCS_Amersfoort",'
+    'DATUM["D_Amersfoort",SPHEROID["Bessel_1841",6377397.155,299.15281]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Double_Stereographic"],'
+    'PARAMETER["False_Easting",155000.0],'
+    'PARAMETER["False_Northing",463000.0],'
+    'PARAMETER["Central_Meridian",5.38763888888889],'
+    'PARAMETER["Scale_Factor",0.9999079],'
+    'PARAMETER["Latitude_Of_Origin",52.1561605555556],UNIT["Meter",1.0]]')
+_RD_PARAMS = (6377397.155, 299.15281, 5.38763888888889, 52.1561605555556,
+              0.9999079, 155000.0, 463000.0)
+
+
+def q_shp_oblique_stereo_reproject(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """A12 Oblique ("double") Stereographic — EPSG:28992 Amersfoort / RD
+    New, the Dutch national grid (ESRI alias Double_Stereographic; also
+    Romanian Stereo 70): Point shapefile in RD meters → engine's EPSG
+    Guidance Note 7-2 inverse (parser.make_inv_oblique_stereo, conformal
+    sphere + 4 fixed Newton steps on the isometric latitude, verified
+    3.5e-9° against the published EPSG worked example); the oracle unrolls
+    the SAME op sequence in DuckDB from the same oblique_stereo_constants()
+    float64 values; 9-decimal rounding policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_OBLQ, dtype=np.int64)
+    xm = u01(i * 67 + 3) * 300000.0            # RD-zone easting range
+    ym = 300000.0 + u01(i * 67 + 4) * 350000.0
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_RD_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_oblique_stereo_sql() -> str:
+    """EPSG 7-2 double-stereographic inverse as DuckDB SQL, op-for-op the
+    numpy kernel's sequence (incl. the four FIXED Newton iterations on the
+    isometric latitude), from the same shared float64 constants."""
+    from .shp.parser import oblique_stereo_constants
+    import math
+    cv = oblique_stereo_constants(*_RD_PARAMS)
+    c = {k: f"CAST({v!r} AS DOUBLE)" for k, v in cv.items()}
+    pi = f"CAST({math.pi!r} AS DOUBLE)"
+    newton = (f"phi - (LN(TAN(phi / 2.0 + {pi} / 4.0)"
+              f" * POW((1.0 - {c['e']} * SIN(phi))"
+              f" / (1.0 + {c['e']} * SIN(phi)), {c['e']} / 2.0)) - psi)"
+              f" * COS(phi) * (1.0 - {c['e2']} * SIN(phi) * SIN(phi))"
+              f" / (1.0 - {c['e2']}) AS phi")
+    its = "\n".join(
+        f"it{k} AS (SELECT rec_no, lam, psi, {newton} FROM it{k - 1}),"
+        for k in range(1, 5))
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         {u01_sql('i * 67 + 3')} * 300000.0 AS x,
+         300000.0 + {u01_sql('i * 67 + 4')} * 350000.0 AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_OBLQ - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no, x - {c['fe']} AS xx, y - {c['fn']} AS yy FROM src),
+s2 AS (
+  SELECT rec_no, xx, yy,
+         ATAN2(xx, {c['h']} + yy) AS i2,
+         ATAN2(xx, {c['g']} - yy) - ATAN2(xx, {c['h']} + yy) AS j
+  FROM s1),
+s3 AS (
+  SELECT rec_no,
+         {c['chi0']} + 2.0 * ATAN((yy - xx * TAN(j / 2.0)) / {c['rk']})
+           AS chi,
+         (j + 2.0 * i2) / {c['n']} + {c['lam0']} AS lam
+  FROM s2),
+s4 AS (
+  SELECT rec_no, lam,
+         0.5 * LN((1.0 + SIN(chi)) / ({c['c']} * (1.0 - SIN(chi))))
+           / {c['n']} AS psi
+  FROM s3),
+it0 AS (
+  SELECT rec_no, lam, psi, 2.0 * ATAN(EXP(psi)) - {pi} / 2.0 AS phi
+  FROM s4),
+{its}
+sel AS (SELECT * FROM it4)
+SELECT rec_no, ROUND(DEGREES(lam), 9) AS lon, ROUND(DEGREES(phi), 9) AS lat
+FROM sel
+"""
+
+
+ORACLE_SHP_OBLIQUE_STEREO = _oracle_oblique_stereo_sql()
+
+
 def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 — ALL nine supported .prj projection families under ONE gated
+    """A12 — ALL ten supported .prj projection families under ONE gated
     row (the shp_zm_semantics consolidation pattern applied to CRS): each
     family decodes its own Point shapefile + WKT through the engine's
     inverse kernel, tagged with a family id, unioned. Driver-gates the
     conic families (LCC 2SP, Albers), Polar Stereographic, LAEA
     (EPSG:3035 EU grid), ellipsoidal Mercator (EPSG:3395), and Sinusoidal
-    (MODIS sphere), and Mollweide (EPSG:54009 equal-area world)
-    without widening the 50-query window.
+    (MODIS sphere), Mollweide (EPSG:54009 equal-area world), and
+    Oblique/Double Stereographic (EPSG:28992 Dutch RD) without widening
+    the 50-query window.
     Upstream anchor: proj4-based reprojection in lib/index.js:≈125-140
     [RECONSTRUCTED]."""
     fams = [q_shp_webmerc_reproject, q_shp_utm_reproject,
             q_shp_lcc_reproject, q_shp_albers_reproject,
             q_shp_stereo_reproject, q_shp_laea_reproject,
             q_shp_merc3395_reproject, q_shp_sinusoidal_reproject,
-            q_shp_mollweide_reproject]
+            q_shp_mollweide_reproject, q_shp_oblique_stereo_reproject]
     out = None
     for fam_id, fn in enumerate(fams):
         d = fn(spark, sf_dir).select(
@@ -1231,7 +1341,8 @@ ORACLE_REPROJECT_FAMILIES = "\nUNION ALL\n".join(
     for i, sql in enumerate([
         ORACLE_SHP_WEBMERC, ORACLE_SHP_UTM, ORACLE_SHP_LCC,
         ORACLE_SHP_ALBERS, ORACLE_SHP_STEREO, ORACLE_SHP_LAEA,
-        ORACLE_SHP_MERC3395, ORACLE_SHP_SINUSOIDAL, ORACLE_SHP_MOLLWEIDE]))
+        ORACLE_SHP_MERC3395, ORACLE_SHP_SINUSOIDAL, ORACLE_SHP_MOLLWEIDE,
+        ORACLE_SHP_OBLIQUE_STEREO]))
 
 
 def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1608,6 +1719,8 @@ QUERIES: dict = {
                                  ORACLE_SHP_SINUSOIDAL),
     "shp_mollweide_reproject": (q_shp_mollweide_reproject,
                                 ORACLE_SHP_MOLLWEIDE),
+    "shp_oblique_stereo_reproject": (q_shp_oblique_stereo_reproject,
+                                     ORACLE_SHP_OBLIQUE_STEREO),
     # parked in registry._TAIL (A16-A18/A20 zip plumbing, pytest + diffcheck)
     "shp_zip_bundle": (q_shp_zip_bundle, ORACLE_ZIP_BUNDLE),
     # parked in registry._TAIL (multimodal RIFF decode under the gate;

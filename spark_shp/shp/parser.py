@@ -803,6 +803,75 @@ def make_inv_sinusoidal(a: float, inv_f: float, lon0_deg: float,
     return inv
 
 
+def oblique_stereo_constants(a: float, inv_f: float, lon0_deg: float,
+                             lat0_deg: float, k0: float = 1.0,
+                             fe: float = 0.0, fn: float = 0.0) -> dict:
+    """Shared float64 constants for the EPSG Guidance Note 7-2 Oblique
+    ("double") Stereographic — the EPSG:28992 Amersfoort / RD New and
+    Stereo-70 family: project to a conformal sphere of radius
+    R = sqrt(rho0*nu0), then sphere-stereographic about the conformal
+    origin chi0. Consumed by the numpy kernel AND the DuckDB oracle
+    generator (same literal float64 values)."""
+    e2 = _e2_of(inv_f)
+    e = math.sqrt(e2)
+    phi0 = math.radians(lat0_deg)
+    s0 = math.sin(phi0)
+    rho0 = a * (1.0 - e2) / (1.0 - e2 * s0 * s0) ** 1.5
+    nu0 = a / math.sqrt(1.0 - e2 * s0 * s0)
+    R = math.sqrt(rho0 * nu0)
+    n = math.sqrt(1.0 + e2 * math.cos(phi0) ** 4 / (1.0 - e2))
+    S1 = (1.0 + s0) / (1.0 - s0)
+    S2 = (1.0 - e * s0) / (1.0 + e * s0)
+    w1 = (S1 * S2 ** e) ** n
+    sin_chi00 = (w1 - 1.0) / (w1 + 1.0)
+    c = ((n + s0) * (1.0 - sin_chi00)) / ((n - s0) * (1.0 + sin_chi00))
+    w2 = c * w1
+    chi0 = math.asin((w2 - 1.0) / (w2 + 1.0))
+    rk = 2.0 * R * k0
+    return {
+        "e": e, "e2": e2, "n": n, "c": c, "chi0": chi0, "rk": rk,
+        "g": rk * math.tan(math.pi / 4.0 - chi0 / 2.0),
+        "h": 2.0 * rk * math.tan(chi0)
+             + rk * math.tan(math.pi / 4.0 - chi0 / 2.0),
+        "lam0": math.radians(lon0_deg), "fe": fe, "fn": fn,
+    }
+
+
+def make_inv_oblique_stereo(a: float, inv_f: float, lon0_deg: float,
+                            lat0_deg: float, k0: float = 1.0,
+                            fe: float = 0.0, fn: float = 0.0):
+    """EPSG 7-2 Oblique Stereographic inverse (the double-stereographic
+    used by Dutch RD New / Romanian Stereo 70): sphere-stereographic
+    un-project about the conformal origin, then invert the conformal →
+    geodetic latitude with four fixed Newton steps on the isometric
+    latitude (fixed count keeps the float64 op sequence identical to the
+    SQL oracle). Returns a vectorized (n,2) meters → (n,2) lon/lat° fn."""
+    cst = oblique_stereo_constants(a, inv_f, lon0_deg, lat0_deg, k0, fe, fn)
+    e, e2, n, c = cst["e"], cst["e2"], cst["n"], cst["c"]
+    chi0, rk, g, h, lam0 = (cst["chi0"], cst["rk"], cst["g"], cst["h"],
+                            cst["lam0"])
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        x = pts[:, 0] - cst["fe"]
+        y = pts[:, 1] - cst["fn"]
+        i = np.arctan2(x, h + y)
+        j = np.arctan2(x, g - y) - i
+        chi = chi0 + 2.0 * np.arctan((y - x * np.tan(j / 2.0)) / rk)
+        lam = (j + 2.0 * i) / n + lam0
+        psi = 0.5 * np.log((1.0 + np.sin(chi))
+                           / (c * (1.0 - np.sin(chi)))) / n
+        phi = 2.0 * np.arctan(np.exp(psi)) - math.pi / 2.0
+        for _ in range(4):
+            sp = np.sin(phi)
+            psi_i = np.log(np.tan(phi / 2.0 + math.pi / 4.0)
+                           * ((1.0 - e * sp) / (1.0 + e * sp)) ** (e / 2.0))
+            phi = phi - (psi_i - psi) * np.cos(phi) * (1.0 - e2 * sp * sp) \
+                / (1.0 - e2)
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
+
 def mollweide_constants(a: float, lon0_deg: float,
                         fe: float = 0.0, fn: float = 0.0) -> dict:
     """Shared float64 constants for the Mollweide inverse — consumed by the
@@ -897,6 +966,26 @@ def projection_from_wkt(wkt) -> "callable | None":
                 p.get("false_easting", 0.0) * unit,
                 p.get("false_northing", 0.0) * unit,
                 south), unit)
+        if re.search(r'PROJECTION\["?(Oblique[_ ]?Stereographic'
+                     r'|Double[_ ]?Stereographic|Stereographic)',
+                     wkt, re.I):
+            p = _wkt_params(wkt)
+            a, inv_f = _wkt_spheroid(wkt)
+            lat0 = p.get("latitude_of_origin",
+                         p.get("latitude_of_center", 0.0))
+            if abs(lat0) >= 89.999999:   # plain name with a polar origin
+                return _with_unit(make_inv_polar_stereo(
+                    a, inv_f, p.get("central_meridian", 0.0), lat0,
+                    p.get("scale_factor", 1.0),
+                    p.get("false_easting", 0.0) * unit,
+                    p.get("false_northing", 0.0) * unit,
+                    lat0 < 0.0), unit)
+            return _with_unit(make_inv_oblique_stereo(
+                a, inv_f,
+                p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+                lat0, p.get("scale_factor", 1.0),
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
         if re.search(r'PROJECTION\["?(Equirectangular'
                      r'|Equidistant[_ ]?Cylindrical|Plate[_ ]?Carree)',
                      wkt, re.I):

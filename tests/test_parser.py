@@ -712,12 +712,16 @@ def test_polar_stereographic_inverse_roundtrip():
     err_s = np.abs(inv_s(xy_s) - np.array(pts_s)).max()
     assert err_s < 1e-9
 
-    # generic (oblique) Stereographic stays unsupported -> loud failure
-    import pytest
-    with pytest.raises(ValueError, match="Stereographic"):
-        parser.projection_from_wkt(
-            'PROJCS["x",PROJECTION["Stereographic"],'
-            'PARAMETER["central_meridian",0]]')
+    # generic (oblique) Stereographic now resolves to the EPSG 7-2 double-
+    # stereographic kernel (see test_oblique_stereographic_wkt_dispatch)
+    # instead of raising: a mid-latitude origin must NOT hit the polar path
+    assert parser.projection_from_wkt(
+        'PROJCS["x",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS84",'
+        '6378137,298.257223563]],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Stereographic"],'
+        'PARAMETER["central_meridian",0],'
+        'PARAMETER["latitude_of_origin",45.0],'
+        'PARAMETER["scale_factor",1.0],UNIT["metre",1]]') is not None
 
 
 def test_equirectangular_inverse():
@@ -1019,3 +1023,49 @@ def test_mollweide_inverse_roundtrip():
     inv = parser.projection_from_wkt(wkt)
     back = inv(np.array(xy))
     assert np.abs(back - np.array(pts)).max() < 1e-8
+
+
+def test_oblique_stereographic_epsg_worked_example():
+    """EPSG Guidance Note 7-2 worked example for Amersfoort / RD New
+    (EPSG:28992, double stereographic on Bessel 1841): E 196105.283,
+    N 557057.739 must invert to exactly 53°N 6°E."""
+    import numpy as np
+    inv = parser.make_inv_oblique_stereo(
+        6377397.155, 299.15281,
+        5.0 + 23.0 / 60 + 15.5 / 3600,
+        52.0 + 9.0 / 60 + 22.178 / 3600,
+        0.9999079, 155000.0, 463000.0)
+    out = inv(np.array([[196105.283, 557057.739]]))
+    assert np.abs(out - np.array([[6.0, 53.0]])).max() < 1e-7
+
+
+def test_oblique_stereographic_wkt_dispatch():
+    """Double_Stereographic WKT routes to the oblique kernel; a plain
+    'Stereographic' with a polar origin still routes to the polar kernel."""
+    import numpy as np
+    rd = ('PROJCS["RD_New",GEOGCS["GCS_Amersfoort",DATUM["D_Amersfoort",'
+          'SPHEROID["Bessel_1841",6377397.155,299.15281]],'
+          'UNIT["Degree",0.0174532925199433]],'
+          'PROJECTION["Double_Stereographic"],'
+          'PARAMETER["False_Easting",155000.0],'
+          'PARAMETER["False_Northing",463000.0],'
+          'PARAMETER["Central_Meridian",5.38763888888889],'
+          'PARAMETER["Scale_Factor",0.9999079],'
+          'PARAMETER["Latitude_Of_Origin",52.1561605555556],'
+          'UNIT["Meter",1.0]]')
+    inv = parser.projection_from_wkt(rd)
+    out = inv(np.array([[196105.283, 557057.739]]))
+    assert np.abs(out - np.array([[6.0, 53.0]])).max() < 1e-7
+    polar = ('PROJCS["UPS_N",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+             'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+             'UNIT["Degree",0.0174532925199433]],'
+             'PROJECTION["Stereographic"],'
+             'PARAMETER["False_Easting",2000000.0],'
+             'PARAMETER["False_Northing",2000000.0],'
+             'PARAMETER["Central_Meridian",0.0],'
+             'PARAMETER["Scale_Factor",0.994],'
+             'PARAMETER["Latitude_Of_Origin",90.0],UNIT["Meter",1.0]]')
+    inv_p = parser.projection_from_wkt(polar)
+    # north pole maps to the false origin under the polar kernel
+    out_p = inv_p(np.array([[2000000.0, 1000000.0]]))
+    assert abs(out_p[0, 1] - 81.0) < 1.5  # ~1e6 m south of the pole
