@@ -236,6 +236,83 @@ FROM s
 """
 
 
+# --- quadtree cover compaction (H3 `compact` analog) --------------------------
+
+CMP_LVL = 6
+CMP_MIN = 2
+
+
+def q_cell_compact_cover(spark, sf_dir):
+    """Compact each nation's level-6 rectangle cover: full 4-child sibling
+    sets collapse to their parent, repeatedly down to level 2 — the
+    cover-compression step that keeps big polygon covers broadcastable.
+    Gated outputs: per nation, cell count before/after and an exact sum
+    checksum of the compacted ids (level is embedded in the id, so a cell
+    compacted to the wrong level shifts the sum)."""
+    from .queries_spatial import _nation_fences_df
+    cov = (spatial.polygon_cover(_nation_fences_df(spark, sf_dir), CMP_LVL)
+           .withColumnRenamed("poly_id", "n_nationkey")
+           .select("n_nationkey", "cell_id"))
+    comp = spatial.compact_cells(cov, "cell_id", ("n_nationkey",),
+                                 min_level=CMP_MIN)
+    before = cov.groupBy("n_nationkey").agg(
+        F.count(F.lit(1)).alias("n_before"))
+    after = comp.groupBy("n_nationkey").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.sum("cell_id").alias("cells_checksum"))
+    return before.join(after, "n_nationkey")
+
+
+def _oracle_cell_compact() -> str:
+    from .queries_spatial import ORACLE_COVER
+    mod = 1 << cells.LEVEL_BITS
+    par = cells.cell_parent_sql("cell_id", 1)
+
+    steps, kept_names, cur = [], [], "cur0"
+    steps.append(f"""cur0 AS (
+  SELECT n_nationkey, cell_id FROM cover)""")
+    for k, lvl in enumerate(range(CMP_LVL, CMP_MIN, -1)):
+        nxt = f"cur{k + 1}"
+        steps.append(f"""at{k} AS (
+  SELECT * FROM {cur} WHERE cell_id % {mod} = {lvl}),
+rest{k} AS (
+  SELECT * FROM {cur} WHERE cell_id % {mod} <> {lvl}),
+cnt{k} AS (
+  SELECT n_nationkey, {par} AS p, COUNT(*) AS c
+  FROM at{k} GROUP BY 1, 2),
+kept{k} AS (
+  SELECT a.n_nationkey, a.cell_id
+  FROM at{k} a JOIN cnt{k} c
+    ON c.n_nationkey = a.n_nationkey AND c.p = {par.replace('cell_id', 'a.cell_id')}
+  WHERE c.c < 4),
+prom{k} AS (
+  SELECT n_nationkey, p AS cell_id FROM cnt{k} WHERE c = 4),
+{nxt} AS (
+  SELECT * FROM rest{k} UNION ALL SELECT * FROM prom{k})""")
+        kept_names.append(f"kept{k}")
+        cur = nxt
+    final_union = "\nUNION ALL\n".join(
+        [f"  SELECT * FROM {n}" for n in kept_names]
+        + [f"  SELECT * FROM {cur}"])
+    # ORACLE_COVER ends with a final SELECT over its own `cover` CTE; reuse
+    # just the WITH-chain by re-stating it here up to `cover`.
+    cover_with = ORACLE_COVER.split("SELECT n_nationkey, COUNT(*)")[0].rstrip()
+    assert cover_with.endswith(")"), "ORACLE_COVER shape changed"
+    return f"""{cover_with},
+{','.join(steps)},
+final AS (
+{final_union}),
+bef AS (
+  SELECT n_nationkey, COUNT(*) AS n_before FROM cover GROUP BY 1),
+aft AS (
+  SELECT n_nationkey, COUNT(*) AS n_after,
+         CAST(SUM(cell_id) AS BIGINT) AS cells_checksum
+  FROM final GROUP BY 1)
+SELECT b.n_nationkey, b.n_before, a.n_after, a.cells_checksum
+FROM bef b JOIN aft a ON a.n_nationkey = b.n_nationkey
+"""
+
+
 # --- caption x tile stats (image+caption pair invariant, spatially) -----------
 
 N_CAP = 200
@@ -419,4 +496,5 @@ QUERIES: dict = {
     "image_augment_checksums": (q_image_augment, _oracle_image_augment()),
     "trajectory_stats": (q_trajectory_stats, _oracle_trajectory()),
     "caption_tile_stats": (q_caption_tile_stats, _oracle_caption_tiles()),
+    "cell_compact_cover": (q_cell_compact_cover, _oracle_cell_compact()),
 }

@@ -58,6 +58,7 @@ _TAIL = [
     "image_augment_checksums",  # flip/crop/rot90/resize exact (B11 family)
     "trajectory_stats",       # per-user haversine path/displacement (C7+B)
     "caption_tile_stats",     # caption-equality invariant per tile (B5+text)
+    "cell_compact_cover",     # quadtree cover compaction (B2/B4 family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

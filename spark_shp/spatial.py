@@ -623,3 +623,44 @@ def explode_salts(build: DataFrame, cell_col: str, hot: DataFrame,
     return (build.join(F.broadcast(hot), cell_col, "left")
             .withColumn("_salted_cell", F.explode(variants))
             .drop("_is_hot"))
+
+
+def compact_cells(df: DataFrame, cell_col: str = "cell_id",
+                  group_cols: tuple = (), min_level: int = 0) -> DataFrame:
+    """Quadtree cover compaction (the H3 ``compact`` analog): wherever all
+    FOUR children of a parent cell are present (per group), replace them by
+    the parent, repeatedly, until ``min_level``. Shrinks polygon covers
+    before they're broadcast/joined — a dense region collapses to a few
+    coarse cells while ragged edges stay fine-grained.
+
+    One groupBy per level step (levels are bounded, typically ≤16); each
+    step's kept/promoted split is a single aggregation over the shrinking
+    survivor set, so total work is O(levels) shuffles over ever-smaller
+    data. Exact inverse: exploding every emitted cell back to the input
+    level reproduces the input set."""
+    from . import cells as C
+
+    gcols = list(group_cols)
+    lvl_expr = f"(({cell_col}) % {1 << C.LEVEL_BITS})"
+    cur = df.select(*gcols, cell_col)
+    out = None
+    # levels present can vary per row only if the caller mixed levels;
+    # compaction steps run from the max level down to min_level
+    max_level = cur.selectExpr(f"max({lvl_expr}) AS l").collect()[0]["l"]
+    if max_level is None:
+        return df.limit(0)
+    for _lvl in range(int(max_level), min_level, -1):
+        at_lvl = cur.where(F.expr(f"{lvl_expr} = {_lvl}"))
+        rest = cur.where(F.expr(f"{lvl_expr} != {_lvl}"))
+        parent = F.expr(C.cell_parent_sql(cell_col, 1))
+        counts = (at_lvl.withColumn("_p", parent)
+                  .groupBy(*gcols, "_p")
+                  .agg(F.count(F.lit(1)).alias("_c"),
+                       F.collect_list(cell_col).alias("_kids")))
+        kept = (counts.where(F.col("_c") < 4)
+                .select(*gcols, F.explode("_kids").alias(cell_col)))
+        promoted = (counts.where(F.col("_c") == 4)
+                    .select(*gcols, F.col("_p").alias(cell_col)))
+        out = kept if out is None else out.unionByName(kept)
+        cur = rest.unionByName(promoted)
+    return cur if out is None else out.unionByName(cur)

@@ -95,3 +95,38 @@ def test_polygon_stats_random_rect_batch(spark):
         assert abs(r["area"] - area) < 1e-9
         assert abs(r["perimeter"] - per) < 1e-9
         assert abs(r["cx"] - cx) < 1e-9 and abs(r["cy"] - cy) < 1e-9
+
+
+def test_compact_cells_roundtrip_and_merging(spark):
+    """A full 2x2 sibling block collapses to its parent (and cascades when
+    the promoted parents again form a full block); ragged cells survive.
+    Re-expanding every output cell to the input level reproduces the input
+    set exactly (the compaction invariant)."""
+    from spark_shp import cells as C, spatial
+
+    lvl = 6
+    # full block: the 16 level-6 cells under one level-4 ancestor
+    anc = C.cell_encode(np.array([10.0]), np.array([20.0]), lvl - 2)[0]
+    kids = C.cell_children(np.array([anc]))[0]
+    grandkids = C.cell_children(kids).ravel()
+    # ragged: 3 of 4 children of some other parent
+    other = C.cell_encode(np.array([100.0]), np.array([-30.0]), lvl - 1)[0]
+    ragged = C.cell_children(np.array([other]))[0][:3]
+    cells_in = np.concatenate([grandkids, ragged]).astype(np.int64)
+    df = spark.createDataFrame([(int(c),) for c in cells_in],
+                               "cell_id: long")
+    out = spatial.compact_cells(df, "cell_id", min_level=2)
+    got = sorted(r["cell_id"] for r in out.collect())
+    assert got == sorted([int(anc)] + [int(c) for c in ragged])
+
+    # invariant: expanding back to `lvl` reproduces the input multiset
+    def expand(c):
+        if c % (1 << C.LEVEL_BITS) == lvl:
+            return [c]
+        out = []
+        for k in C.cell_children(np.array([c]))[0]:
+            out.extend(expand(int(k)))
+        return out
+
+    back = sorted(x for c in got for x in expand(c))
+    assert back == sorted(int(c) for c in cells_in)
