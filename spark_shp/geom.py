@@ -135,3 +135,34 @@ def pip_sql(lon: str, lat: str) -> str:
         f"(({lon}) < x1 + (({lat}) - y1) * (x2 - x1) / (y2 - y1)) "
         f"THEN 1 ELSE 0 END"
     )
+
+
+def ring_self_intersections(ring: np.ndarray) -> int:
+    """Count PROPER self-intersections of a ring boundary (crossing pairs
+    of non-adjacent edges; touching at shared endpoints or collinear
+    overlap doesn't count). Vectorized over all edge pairs — validity QA
+    for decoded polygons (a bowtie ring has 1). O(m^2) in edge count,
+    intended for per-feature validation, not the join hot path."""
+    r = np.asarray(ring, dtype=np.float64)
+    if not np.array_equal(r[0], r[-1]):
+        r = np.vstack([r, r[:1]])
+    p, q = r[:-1], r[1:]
+    m = p.shape[0]
+    if m < 4:
+        return 0
+
+    def ccw(ax, ay, bx, by, cx, cy):
+        return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+    ax, ay = p[:, 0][:, None], p[:, 1][:, None]
+    bx, by = q[:, 0][:, None], q[:, 1][:, None]
+    cx, cy = p[:, 0][None, :], p[:, 1][None, :]
+    dx, dy = q[:, 0][None, :], q[:, 1][None, :]
+    d1 = ccw(ax, ay, bx, by, cx, cy) * ccw(ax, ay, bx, by, dx, dy)
+    d2 = ccw(cx, cy, dx, dy, ax, ay) * ccw(cx, cy, dx, dy, bx, by)
+    cross = (d1 < 0) & (d2 < 0)
+    i = np.arange(m)
+    upper = i[:, None] < i[None, :]                   # each pair once
+    adjacent = (i[None, :] - i[:, None] == 1)
+    wrap = (i[:, None] == 0) & (i[None, :] == m - 1)
+    return int(np.sum(cross & upper & ~adjacent & ~wrap))

@@ -236,6 +236,93 @@ FROM s
 """
 
 
+# --- ring validity (self-intersection QA) -------------------------------------
+
+def _validity_rings():
+    """64 fence outer rings (valid by construction) + a bowtie (1 proper
+    self-intersection) + a pentagram (5) — deterministic fixture shared by
+    the Spark kernel input and the oracle's VALUES edge table."""
+    import math
+    rings = [(j, fixtures.fence_rings(j)[0]) for j in range(64)]
+    rings.append((100, np.array(
+        [[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0], [0.0, 0.0]])))
+    star = [(math.cos(math.radians(90 + 144 * k)),
+             math.sin(math.radians(90 + 144 * k))) for k in range(5)]
+    rings.append((101, np.array(star + star[:1], dtype=np.float64)))
+    return rings
+
+
+def q_ring_validity(spark, sf_dir):
+    """Geometry QA: count PROPER self-intersections per decoded ring
+    (crossing non-adjacent edge pairs — a bowtie has 1, a pentagram 5,
+    every fence rectangle 0). The vectorized pairwise kernel
+    (geom.ring_self_intersections) runs per feature inside mapInPandas;
+    the oracle replays the identical ccw sign tests over a VALUES edge
+    table built from the same fixture."""
+    rows = [(int(sid), [[float(x), float(y)] for x, y in ring])
+            for sid, ring in _validity_rings()]
+    schema = T.StructType([
+        T.StructField("shape_id", T.LongType()),
+        T.StructField("ring", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+    out_schema = T.StructType([
+        T.StructField("shape_id", T.LongType()),
+        T.StructField("n_edges", T.IntegerType()),
+        T.StructField("n_self_x", T.IntegerType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            res = []
+            for sid, ring in zip(pdf["shape_id"], pdf["ring"]):
+                r = np.stack([np.asarray(pt, dtype=np.float64)
+                              for pt in ring])
+                res.append((int(sid), int(r.shape[0] - 1),
+                            geom.ring_self_intersections(r)))
+            yield pd.DataFrame(res, columns=["shape_id", "n_edges",
+                                             "n_self_x"])
+
+    return (spark.createDataFrame(rows, schema)
+            .repartition(8, "shape_id").mapInPandas(work, out_schema))
+
+
+def _oracle_ring_validity() -> str:
+    vals = []
+    for sid, ring in _validity_rings():
+        r = np.asarray(ring, dtype=np.float64)
+        for k in range(r.shape[0] - 1):
+            vals.append(f"({sid},{k},{r[k, 0]!r},{r[k, 1]!r},"
+                        f"{r[k + 1, 0]!r},{r[k + 1, 1]!r})")
+
+    def ccw(ax, ay, bx, by, cx, cy):
+        return (f"(({bx} - {ax}) * ({cy} - {ay})"
+                f" - ({by} - {ay}) * ({cx} - {ax}))")
+
+    d1 = (f"{ccw('a.x1','a.y1','a.x2','a.y2','b.x1','b.y1')}"
+          f" * {ccw('a.x1','a.y1','a.x2','a.y2','b.x2','b.y2')}")
+    d2 = (f"{ccw('b.x1','b.y1','b.x2','b.y2','a.x1','a.y1')}"
+          f" * {ccw('b.x1','b.y1','b.x2','b.y2','a.x2','a.y2')}")
+    return f"""
+WITH e AS (
+  SELECT shape_id, eid, CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
+         CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
+  FROM (VALUES {','.join(vals)}) v(shape_id, eid, x1, y1, x2, y2)),
+m AS (SELECT shape_id, CAST(MAX(eid) + 1 AS INT) AS n_edges
+      FROM e GROUP BY 1),
+x AS (
+  SELECT a.shape_id, COUNT(*) AS nx
+  FROM e a JOIN e b ON b.shape_id = a.shape_id AND a.eid < b.eid
+  JOIN m ON m.shape_id = a.shape_id
+  WHERE b.eid - a.eid <> 1
+    AND NOT (a.eid = 0 AND b.eid = m.n_edges - 1)
+    AND ({d1}) < 0 AND ({d2}) < 0
+  GROUP BY a.shape_id)
+SELECT m.shape_id, m.n_edges,
+       CAST(COALESCE(x.nx, 0) AS INT) AS n_self_x
+FROM m LEFT JOIN x ON x.shape_id = m.shape_id
+"""
+
+
 # --- quadtree cover compaction (H3 `compact` analog) --------------------------
 
 CMP_LVL = 6
@@ -497,4 +584,5 @@ QUERIES: dict = {
     "trajectory_stats": (q_trajectory_stats, _oracle_trajectory()),
     "caption_tile_stats": (q_caption_tile_stats, _oracle_caption_tiles()),
     "cell_compact_cover": (q_cell_compact_cover, _oracle_cell_compact()),
+    "ring_validity": (q_ring_validity, _oracle_ring_validity()),
 }

@@ -59,6 +59,7 @@ _TAIL = [
     "trajectory_stats",       # per-user haversine path/displacement (C7+B)
     "caption_tile_stats",     # caption-equality invariant per tile (B5+text)
     "cell_compact_cover",     # quadtree cover compaction (B2/B4 family)
+    "ring_validity",          # self-intersection QA (B6/geom family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",
