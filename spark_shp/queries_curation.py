@@ -504,6 +504,53 @@ FROM g
 """
 
 
+# --- origin-destination tile flows --------------------------------------------
+
+OD_LVL = 3
+
+
+def q_od_flows(spark, sf_dir):
+    """Origin→destination flow matrix: consecutive events per user become
+    directed (from_tile, to_tile) hops at a coarse cell level — the
+    movement-analytics rollup (commute matrices, migration flows). One
+    user-keyed window shuffle + one flow-keyed aggregation; self-loops
+    (hops within a tile) kept, labeled, and counted separately."""
+    e = (_t(spark, sf_dir, "events")
+         .selectExpr("event_id", "user_id",
+                     f"{fixtures.EVENT_LON_SQL} AS lon",
+                     f"{fixtures.EVENT_LAT_SQL} AS lat"))
+    t = spatial.tile_assign(e, "lon", "lat", OD_LVL)
+    w = W.partitionBy("user_id").orderBy("event_id")
+    hops = (t.withColumn("from_tile", F.lag("cell_id").over(w))
+            .where(F.col("from_tile").isNotNull()))
+    return (hops.groupBy(F.col("from_tile"),
+                         F.col("cell_id").alias("to_tile"))
+            .agg(F.count(F.lit(1)).alias("n_hops"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .withColumn("is_self_loop",
+                        (F.col("from_tile") == F.col("to_tile")).cast("int")))
+
+
+def _oracle_od_flows() -> str:
+    from .queries_spatial import EVENT_POINTS_SQL
+    cell = cells.cell_sql("lon", "lat", OD_LVL)
+    return f"""
+WITH t AS (
+  SELECT event_id, user_id, {cell} AS tile FROM {EVENT_POINTS_SQL} p),
+hops AS (
+  SELECT user_id, tile AS to_tile,
+         LAG(tile) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS from_tile
+  FROM t)
+SELECT from_tile, to_tile, COUNT(*) AS n_hops,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(CASE WHEN from_tile = to_tile THEN 1 ELSE 0 END AS INT)
+         AS is_self_loop
+FROM hops WHERE from_tile IS NOT NULL
+GROUP BY from_tile, to_tile
+"""
+
+
 # --- image augmentation checksums ---------------------------------------------
 
 N_AUG = 36  # ids 0..35; qb (lossy) excluded -> 24 raw/png images
@@ -585,4 +632,5 @@ QUERIES: dict = {
     "caption_tile_stats": (q_caption_tile_stats, _oracle_caption_tiles()),
     "cell_compact_cover": (q_cell_compact_cover, _oracle_cell_compact()),
     "ring_validity": (q_ring_validity, _oracle_ring_validity()),
+    "od_flows": (q_od_flows, _oracle_od_flows()),
 }

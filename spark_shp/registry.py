@@ -60,6 +60,7 @@ _TAIL = [
     "caption_tile_stats",     # caption-equality invariant per tile (B5+text)
     "cell_compact_cover",     # quadtree cover compaction (B2/B4 family)
     "ring_validity",          # self-intersection QA (B6/geom family)
+    "od_flows",               # origin->destination tile flow matrix (B5+C7)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",
