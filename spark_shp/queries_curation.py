@@ -341,7 +341,7 @@ def q_cell_compact_cover(spark, sf_dir):
            .withColumnRenamed("poly_id", "n_nationkey")
            .select("n_nationkey", "cell_id"))
     comp = spatial.compact_cells(cov, "cell_id", ("n_nationkey",),
-                                 min_level=CMP_MIN)
+                                 min_level=CMP_MIN, level=CMP_LVL)
     before = cov.groupBy("n_nationkey").agg(
         F.count(F.lit(1)).alias("n_before"))
     after = comp.groupBy("n_nationkey").agg(

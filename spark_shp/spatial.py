@@ -626,7 +626,8 @@ def explode_salts(build: DataFrame, cell_col: str, hot: DataFrame,
 
 
 def compact_cells(df: DataFrame, cell_col: str = "cell_id",
-                  group_cols: tuple = (), min_level: int = 0) -> DataFrame:
+                  group_cols: tuple = (), min_level: int = 0,
+                  level: "int | None" = None) -> DataFrame:
     """Quadtree cover compaction (the H3 ``compact`` analog): wherever all
     FOUR children of a parent cell are present (per group), replace them by
     the parent, repeatedly, until ``min_level``. Shrinks polygon covers
@@ -642,14 +643,16 @@ def compact_cells(df: DataFrame, cell_col: str = "cell_id",
 
     gcols = list(group_cols)
     lvl_expr = f"(({cell_col}) % {1 << C.LEVEL_BITS})"
-    cur = df.select(*gcols, cell_col)
+    # localCheckpoint: the per-level loop below would otherwise re-plan AND
+    # re-execute the full upstream (e.g. a polygon_cover) once per level
+    cur = df.select(*gcols, cell_col).localCheckpoint()
     out = None
-    # levels present can vary per row only if the caller mixed levels;
-    # compaction steps run from the max level down to min_level
-    max_level = cur.selectExpr(f"max({lvl_expr}) AS l").collect()[0]["l"]
-    if max_level is None:
-        return df.limit(0)
-    for _lvl in range(int(max_level), min_level, -1):
+    if level is None:
+        # caller didn't pin the input level; probe it (single-scalar agg)
+        level = cur.selectExpr(f"max({lvl_expr}) AS l").collect()[0]["l"]
+        if level is None:
+            return df.limit(0)
+    for _lvl in range(int(level), min_level, -1):
         at_lvl = cur.where(F.expr(f"{lvl_expr} = {_lvl}"))
         rest = cur.where(F.expr(f"{lvl_expr} != {_lvl}"))
         parent = F.expr(C.cell_parent_sql(cell_col, 1))
@@ -662,5 +665,7 @@ def compact_cells(df: DataFrame, cell_col: str = "cell_id",
         promoted = (counts.where(F.col("_c") == 4)
                     .select(*gcols, F.col("_p").alias(cell_col)))
         out = kept if out is None else out.unionByName(kept)
-        cur = rest.unionByName(promoted)
+        # truncate lineage each level: the survivor set shrinks but its
+        # plan would deepen by a groupBy+union per level otherwise
+        cur = rest.unionByName(promoted).localCheckpoint()
     return cur if out is None else out.unionByName(cur)
