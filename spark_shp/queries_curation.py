@@ -622,6 +622,189 @@ JOIN res s ON s.image_id = f.image_id
 """
 
 
+# --- passage-level dedup (C4/RefinedWeb-style) ---------------------------------
+
+PASSAGE_W = 3  # tokens per (non-overlapping) passage window
+
+
+def q_dedup_passages(spark, sf_dir):
+    """Passage-level exact dedup with document reconstruction: each doc's
+    token stream is chunked into fixed ``PASSAGE_W``-token windows, a passage
+    survives only at its globally-first occurrence (min doc_id, then min
+    position), and every doc is re-assembled from its surviving passages in
+    original order. This is the C4/RefinedWeb curation step BETWEEN doc-level
+    `dedup_exact` and fuzzy `minhash_lsh_pairs`: boilerplate shared across
+    documents is removed without dropping whole docs. Scale shape: ONE
+    shuffle keyed by passage content (row_number window) + one doc_id
+    aggregation — never all-pairs, no driver state."""
+    return dedup_passages(_t(spark, sf_dir, "documents"))
+
+
+def dedup_passages(d: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(PASSAGE_W))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(toks, i * PASSAGE_W + 1, PASSAGE_W), " "))
+    ex = d.select("doc_id", F.posexplode(chunks).alias("idx", "passage"))
+    w = W.partitionBy("passage").orderBy("doc_id", "idx")
+    k = ex.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("idx", "passage"))
+    return (k.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_passages"),
+                 F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+                  .alias("n_kept"),
+                 F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(kept_struct)),
+                     lambda s: s["passage"])).alias("scrubbed_text")))
+
+
+ORACLE_DEDUP_PASSAGES = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(u.i AS INT) AS idx,
+         array_to_string(ts[(u.i*{PASSAGE_W}+1):(u.i*{PASSAGE_W}+{PASSAGE_W})],
+                         ' ') AS passage
+  FROM toks,
+       UNNEST(range(0, CAST(ceil(len(ts)/{PASSAGE_W}.0) AS BIGINT))) AS u(i)),
+k AS (
+  SELECT doc_id, idx, passage,
+         row_number() OVER (PARTITION BY passage
+                            ORDER BY doc_id, idx) AS rn
+  FROM chunks)
+SELECT doc_id, COUNT(*) AS n_passages,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(passage, ' ' ORDER BY idx)
+                FILTER (WHERE rn = 1), '') AS scrubbed_text
+FROM k GROUP BY doc_id
+"""
+
+
+# --- Gopher-style repetition quality signals -----------------------------------
+
+def q_repetition_signals(spark, sf_dir):
+    """Per-doc repetition signals (the Gopher/MassiveText quality-filter
+    family): top-token fraction, top-bigram fraction, and duplicate-bigram
+    fraction. Complements `quality_score` (length/stopword/uniq ratios) with
+    the repetition axis used to drop boilerplate/spam docs. Pure JVM:
+    bigrams built by zip_with over adjacent slices (no self-join), two
+    doc-keyed aggregations."""
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def repetition_signals(d: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    base = d.select("doc_id", toks.alias("ts"), bigrams.alias("bgs"))
+    tok_stats = (base.select("doc_id", F.explode("ts").alias("tok"))
+                 .groupBy("doc_id", "tok")
+                 .agg(F.count(F.lit(1)).alias("c"))
+                 .groupBy("doc_id")
+                 .agg(F.max("c").alias("mx"), F.sum("c").alias("n")))
+    bg_stats = (base.select("doc_id", F.explode("bgs").alias("bg"))
+                .groupBy("doc_id", "bg")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("doc_id")
+                .agg(F.max("c").alias("mxb"), F.sum("c").alias("nb"),
+                     F.count(F.lit(1)).alias("db")))
+    return (tok_stats.join(bg_stats, "doc_id")
+            .select("doc_id",
+                    F.col("n").alias("n_tokens"),
+                    F.round(F.col("mx") / F.col("n").cast("double"), 6)
+                     .alias("top_token_frac"),
+                    F.round(F.col("mxb") / F.col("nb").cast("double"), 6)
+                     .alias("top_bigram_frac"),
+                    F.round(1.0 - F.col("db") / F.col("nb").cast("double"), 6)
+                     .alias("dup_bigram_frac")))
+
+
+ORACLE_REPETITION = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+tk AS (SELECT doc_id, ts[u.i] AS tok
+       FROM toks, UNNEST(range(1, len(ts) + 1)) AS u(i)),
+bg AS (SELECT doc_id, ts[u.i] || ' ' || ts[u.i + 1] AS b
+       FROM toks, UNNEST(range(1, len(ts))) AS u(i)),
+tc AS (SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS n
+       FROM (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2)
+       GROUP BY doc_id),
+bc AS (SELECT doc_id, MAX(c) AS mxb, CAST(SUM(c) AS BIGINT) AS nb,
+              COUNT(*) AS db
+       FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+       GROUP BY doc_id)
+SELECT tc.doc_id, tc.n AS n_tokens,
+       ROUND(tc.mx / CAST(tc.n AS DOUBLE), 6) AS top_token_frac,
+       ROUND(bc.mxb / CAST(bc.nb AS DOUBLE), 6) AS top_bigram_frac,
+       ROUND(1.0 - bc.db / CAST(bc.nb AS DOUBLE), 6) AS dup_bigram_frac
+FROM tc JOIN bc ON bc.doc_id = tc.doc_id
+"""
+
+
+# --- focal statistics (neighborhood-weighted grid smoothing) -------------------
+
+FOCAL_LVL = 6  # same grid as the B3 ring queries
+
+
+def q_focal_density(spark, sf_dir):
+    """Focal statistics over the event grid (the raster 'focal sum' /
+    kernel-density-on-cells op): each cell's smoothed density is the
+    integer-weighted sum of event counts over its 5x5 neighborhood
+    (weight 4 center / 2 at Chebyshev distance 1 / 1 at distance 2, clamped
+    at grid edges). All-integer math keeps the result exact under the value
+    hash. Scale shape: one (ix,iy)-keyed count aggregation, a 25-element
+    codegen explode (pure JVM), one target-cell aggregation — the
+    constant-fan-out stencil pattern that survives any grid size."""
+    e = _t(spark, sf_dir, "events").selectExpr(
+        f"{fixtures.EVENT_LON_SQL} AS lon", f"{fixtures.EVENT_LAT_SQL} AS lat")
+    ix, iy = cells.quantize_sql("lon", "lat", FOCAL_LVL)
+    cnt = (e.selectExpr(f"{ix} AS ix", f"{iy} AS iy")
+           .groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("cnt")))
+    offs = [(dx, dy, {0: 4, 1: 2, 2: 1}[max(abs(dx), abs(dy))])
+            for dx in range(-2, 3) for dy in range(-2, 3)]
+    off_arr = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(wt).alias("wt")) for dx, dy, wt in offs])
+    hi = (1 << FOCAL_LVL) - 1
+    sh = (cnt.select("ix", "iy", "cnt", F.explode(off_arr).alias("o"))
+          .select((F.col("ix") + F.col("o.dx")).alias("nx"),
+                  (F.col("iy") + F.col("o.dy")).alias("ny"),
+                  (F.col("cnt") * F.col("o.wt")).alias("wc"))
+          .where(F.col("nx").between(0, hi) & F.col("ny").between(0, hi)))
+    return (sh.groupBy("nx", "ny")
+            .agg(F.sum("wc").alias("focal_sum"),
+                 F.count(F.lit(1)).alias("n_src"))
+            .selectExpr(
+                f"{cells.morton_sql('nx', 'ny')} * {1 << cells.LEVEL_BITS}"
+                f" + {FOCAL_LVL} AS cell_id",
+                "CAST(focal_sum AS BIGINT) AS focal_sum", "n_src"))
+
+
+def _oracle_focal_density() -> str:
+    from .queries_spatial import EVENT_POINTS_SQL
+    ix, iy = cells.quantize_sql("lon", "lat", FOCAL_LVL)
+    hi = (1 << FOCAL_LVL) - 1
+    return f"""
+WITH cnts AS (
+  SELECT {ix} AS ix, {iy} AS iy, COUNT(*) AS cnt
+  FROM {EVENT_POINTS_SQL} p GROUP BY 1, 2),
+sh AS (
+  SELECT ix + dx.v AS nx, iy + dy.v AS ny,
+         cnt * (CASE WHEN GREATEST(ABS(dx.v), ABS(dy.v)) = 0 THEN 4
+                     WHEN GREATEST(ABS(dx.v), ABS(dy.v)) = 1 THEN 2
+                     ELSE 1 END) AS wc
+  FROM cnts
+  CROSS JOIN (VALUES (-2), (-1), (0), (1), (2)) AS dx(v)
+  CROSS JOIN (VALUES (-2), (-1), (0), (1), (2)) AS dy(v)
+  WHERE ix + dx.v BETWEEN 0 AND {hi} AND iy + dy.v BETWEEN 0 AND {hi})
+SELECT {cells.morton_sql('nx', 'ny')} * {1 << cells.LEVEL_BITS}
+         + {FOCAL_LVL} AS cell_id,
+       CAST(SUM(wc) AS BIGINT) AS focal_sum, COUNT(*) AS n_src
+FROM sh GROUP BY nx, ny
+"""
+
+
 QUERIES: dict = {
     "corpus_split_stratified": (q_corpus_split_stratified, ORACLE_SPLIT),
     "contamination_check": (q_contamination_check, ORACLE_CONTAMINATION),
@@ -633,4 +816,7 @@ QUERIES: dict = {
     "cell_compact_cover": (q_cell_compact_cover, _oracle_cell_compact()),
     "ring_validity": (q_ring_validity, _oracle_ring_validity()),
     "od_flows": (q_od_flows, _oracle_od_flows()),
+    "dedup_passages": (q_dedup_passages, ORACLE_DEDUP_PASSAGES),
+    "repetition_signals": (q_repetition_signals, ORACLE_REPETITION),
+    "focal_density": (q_focal_density, _oracle_focal_density()),
 }

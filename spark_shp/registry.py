@@ -61,6 +61,9 @@ _TAIL = [
     "cell_compact_cover",     # quadtree cover compaction (B2/B4 family)
     "ring_validity",          # self-intersection QA (B6/geom family)
     "od_flows",               # origin->destination tile flow matrix (B5+C7)
+    "dedup_passages",         # passage-level keep-first dedup (dedup family)
+    "repetition_signals",     # Gopher repetition filters (quality family)
+    "focal_density",          # 5x5 stencil focal sum (B1/B3 grid family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -130,3 +130,77 @@ def test_compact_cells_roundtrip_and_merging(spark):
 
     back = sorted(x for c in got for x in expand(c))
     assert back == sorted(int(c) for c in cells_in)
+
+
+def test_dedup_passages_keep_first_and_reconstruct(spark):
+    """Hand-computed keep-first semantics at PASSAGE_W=3: a passage shared
+    across docs survives only in the lowest (doc_id, idx); docs reassemble
+    from surviving passages in original order."""
+    from spark_shp.queries_curation import dedup_passages
+    d = spark.createDataFrame(
+        [(1, "a b c x y z"),        # passages: "a b c", "x y z"
+         (2, "x y z a b c q"),      # both seen in doc 1 -> only "q" kept
+         (3, "a b c a b c")],       # self-dup: second "a b c" dropped too
+        "doc_id: long, text: string")
+    rows = {r["doc_id"]: r for r in dedup_passages(d).collect()}
+    assert rows[1]["n_passages"] == 2 and rows[1]["n_kept"] == 2
+    assert rows[1]["scrubbed_text"] == "a b c x y z"
+    assert rows[2]["n_passages"] == 3 and rows[2]["n_kept"] == 1
+    assert rows[2]["scrubbed_text"] == "q"
+    assert rows[3]["n_passages"] == 2 and rows[3]["n_kept"] == 0
+    assert rows[3]["scrubbed_text"] == ""
+
+
+def test_repetition_signals_hand_computed(spark):
+    from spark_shp.queries_curation import repetition_signals
+    # tokens: [a, a, a, b] -> top token a: 3/4; bigrams: [a a, a a, a b]
+    # -> top bigram "a a": 2/3; distinct bigrams 2 of 3 -> dup frac 1/3
+    d = spark.createDataFrame([(1, "a a a b")], "doc_id: long, text: string")
+    r = repetition_signals(d).collect()[0]
+    assert r["n_tokens"] == 4
+    assert abs(r["top_token_frac"] - 0.75) < 1e-9
+    assert abs(r["top_bigram_frac"] - round(2 / 3, 6)) < 1e-9
+    assert abs(r["dup_bigram_frac"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_focal_density_stencil_weights(spark):
+    """One event's count must land on all 25 neighbors with weights 4/2/1
+    and clamp at the grid edge; an isolated cell's own focal_sum is 4."""
+    from spark_shp import cells as C
+    from spark_shp.queries_curation import FOCAL_LVL, q_focal_density
+    df = q_focal_density(spark, "/root/testdata/sf0.001")
+    rows = {r["cell_id"]: r for r in df.collect()}
+    # every output cell decodes to the right level and in-bounds coords
+    n = 1 << FOCAL_LVL
+    for cid in rows:
+        assert cid % (1 << C.LEVEL_BITS) == FOCAL_LVL
+    # cross-check one cell against a brute-force numpy stencil
+    import numpy as np
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from spark_shp import fixtures
+    pts = ev.selectExpr(f"{fixtures.EVENT_LON_SQL} AS lon",
+                        f"{fixtures.EVENT_LAT_SQL} AS lat").toPandas()
+    ix = np.clip(np.floor((pts.lon + 180.0) / 360.0 * n).astype(np.int64),
+                 0, n - 1)
+    iy = np.clip(np.floor((pts.lat + 85.0) / 170.0 * n).astype(np.int64),
+                 0, n - 1)
+    grid = np.zeros((n, n), dtype=np.int64)
+    np.add.at(grid, (ix, iy), 1)
+    w = np.array([[1, 1, 1, 1, 1], [1, 2, 2, 2, 1], [1, 2, 4, 2, 1],
+                  [1, 2, 2, 2, 1], [1, 1, 1, 1, 1]], dtype=np.int64)
+    # check the 5 densest cells
+    flat = np.argsort(grid, axis=None)[-5:]
+    for f in flat:
+        cx, cy = int(f // n), int(f % n)
+        acc = 0
+        for dx in range(-2, 3):
+            for dy in range(-2, 3):
+                sx, sy = cx + dx, cy + dy
+                if 0 <= sx < n and 0 <= sy < n:
+                    acc += int(grid[sx, sy]) * int(w[dx + 2, dy + 2])
+        m = 0
+        for b in range(16):
+            m |= ((cx >> b) & 1) << (2 * b)
+            m |= ((cy >> b) & 1) << (2 * b + 1)
+        cid = m * (1 << C.LEVEL_BITS) + FOCAL_LVL
+        assert rows[cid]["focal_sum"] == acc, (cx, cy)
