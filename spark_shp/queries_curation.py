@@ -805,6 +805,151 @@ FROM sh GROUP BY nx, ny
 """
 
 
+# --- adaptive hotspot clustering (grid-DBSCAN via connected components) --------
+
+HOT_LVL = 7  # 128x128 grid
+
+
+def q_hotspot_clusters(spark, sf_dir):
+    """Density-based spatial clustering of the event grid (the DBSCAN /
+    Getis-Ord hotspot analog for cells): a cell is HOT when its event count
+    exceeds 2x the mean count over occupied cells (a data-adaptive
+    threshold — at any corpus size the hot set stays in the Poisson tail,
+    so components stay small and label propagation converges in a few
+    rounds), and 8-adjacent hot cells merge into clusters via distributed
+    connected components (graph.py — one shuffle per round, driver holds a
+    counter only). Output: per-cluster cell/event counts and integer bbox,
+    all-integer so the value hash is exact. Scale shape: one grid count
+    aggregation, a 1-row broadcast threshold, a constant-fan-out (8)
+    neighbor explode + one equi-join for edges — never all-pairs."""
+    from .graph import connected_components
+    n = 1 << HOT_LVL
+    e = _t(spark, sf_dir, "events").selectExpr(
+        f"{fixtures.EVENT_LON_SQL} AS lon", f"{fixtures.EVENT_LAT_SQL} AS lat")
+    ix, iy = cells.quantize_sql("lon", "lat", HOT_LVL)
+    cnt = (e.selectExpr(f"{ix} AS ix", f"{iy} AS iy")
+           .groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("cnt")))
+    stats = cnt.agg(F.sum("cnt").alias("s"), F.count(F.lit(1)).alias("m"))
+    hot = (cnt.crossJoin(F.broadcast(stats))
+           .where(F.col("cnt").cast("double") >=
+                  (F.lit(2.0) * F.col("s").cast("double")) / F.col("m"))
+           .select("ix", "iy", "cnt",
+                   (F.col("ix") * n + F.col("iy")).alias("key"))
+           .persist())
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)]
+    off_arr = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                        for dx, dy in offs])
+    nbr = (hot.select("key", "ix", "iy", F.explode(off_arr).alias("o"))
+           .select("key", (F.col("ix") + F.col("o.dx")).alias("nx"),
+                   (F.col("iy") + F.col("o.dy")).alias("ny"))
+           .where(F.col("nx").between(0, n - 1) &
+                  F.col("ny").between(0, n - 1))
+           .select("key", (F.col("nx") * n + F.col("ny")).alias("nk")))
+    edges = (nbr.join(hot.select(F.col("key").alias("nk")), "nk")
+             .where(F.col("key") < F.col("nk"))
+             .select(F.col("key").alias("src"), F.col("nk").alias("dst")))
+    comp = connected_components(edges, "src", "dst")
+    lab = (hot.join(comp, hot["key"] == comp["node"], "left")
+           .select("ix", "iy", "cnt",
+                   F.coalesce("component", "key").alias("cluster")))
+    return (lab.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("cnt").alias("n_events"),
+                 F.min("ix").alias("min_ix"), F.max("ix").alias("max_ix"),
+                 F.min("iy").alias("min_iy"), F.max("iy").alias("max_iy"))
+            .withColumn("n_events", F.col("n_events").cast("long")))
+
+
+def _oracle_hotspot_clusters() -> str:
+    from .queries_spatial import EVENT_POINTS_SQL
+    ix, iy = cells.quantize_sql("lon", "lat", HOT_LVL)
+    n = 1 << HOT_LVL
+    return f"""
+WITH RECURSIVE cnts AS (
+  SELECT {ix} AS ix, {iy} AS iy, COUNT(*) AS cnt
+  FROM {EVENT_POINTS_SQL} p GROUP BY 1, 2),
+hot AS (
+  SELECT ix, iy, cnt, ix * {n} + iy AS key FROM cnts
+  WHERE CAST(cnt AS DOUBLE) >=
+        (2.0 * (SELECT CAST(SUM(cnt) AS DOUBLE) FROM cnts))
+        / (SELECT COUNT(*) FROM cnts)),
+ed AS (
+  SELECT h.key AS s, (h.ix + dx.v) * {n} + (h.iy + dy.v) AS d
+  FROM hot h
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dx(v)
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dy(v)
+  WHERE NOT (dx.v = 0 AND dy.v = 0)
+    AND h.ix + dx.v BETWEEN 0 AND {n - 1}
+    AND h.iy + dy.v BETWEEN 0 AND {n - 1}),
+edges AS (
+  SELECT e.s, e.d FROM ed e JOIN hot h2 ON h2.key = e.d),
+reach(k, m) AS (
+  SELECT key, key FROM hot
+  UNION
+  SELECT r.k, e.d FROM reach r JOIN edges e ON e.s = r.m),
+comp AS (SELECT k AS key, MIN(m) AS cluster FROM reach GROUP BY k)
+SELECT c.cluster, COUNT(*) AS n_cells, CAST(SUM(h.cnt) AS BIGINT) AS n_events,
+       MIN(h.ix) AS min_ix, MAX(h.ix) AS max_ix,
+       MIN(h.iy) AS min_iy, MAX(h.iy) AS max_iy
+FROM hot h JOIN comp c ON c.key = h.key
+GROUP BY c.cluster
+"""
+
+
+# --- TF-IDF keyword extraction --------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document top-k keywords by TF-IDF (the classic keyword-extraction
+    / relevance-weighting pass of a text corpus pipeline): tf = in-doc term
+    count, idf = ln((N+1)/(df+1)) with N = corpus size, df = docs containing
+    the term. Rank is computed over the ROUNDED score (6 dp) with a term
+    tiebreak so ordering is reproducible across engines and partitionings.
+    Scale shape: one (doc,term) count shuffle, one term-keyed df
+    aggregation joined back on the term key, a 1-row broadcast N — never
+    doc x doc, no driver state."""
+    return tfidf_keywords(_t(spark, sf_dir, "documents"))
+
+
+def tfidf_keywords(d: DataFrame) -> DataFrame:
+    tf = (d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(df_, "term").crossJoin(F.broadcast(n_docs))
+              .withColumn("score", F.round(
+                  F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) /
+                                      (F.col("df") + F.lit(1.0))), 6)))
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TFIDF_TOPK)
+            .select("doc_id", "term", "rank", "score"))
+
+
+ORACLE_TFIDF = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+tf AS (
+  SELECT doc_id, ts[u.i] AS term, COUNT(*) AS tf
+  FROM toks, UNNEST(range(1, len(ts) + 1)) AS u(i)
+  GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS score
+  FROM tf JOIN dfreq ON dfreq.term = tf.term CROSS JOIN n),
+r AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, term, rank, score FROM r WHERE rank <= {TFIDF_TOPK}
+"""
+
+
 QUERIES: dict = {
     "corpus_split_stratified": (q_corpus_split_stratified, ORACLE_SPLIT),
     "contamination_check": (q_contamination_check, ORACLE_CONTAMINATION),
@@ -819,4 +964,6 @@ QUERIES: dict = {
     "dedup_passages": (q_dedup_passages, ORACLE_DEDUP_PASSAGES),
     "repetition_signals": (q_repetition_signals, ORACLE_REPETITION),
     "focal_density": (q_focal_density, _oracle_focal_density()),
+    "hotspot_clusters": (q_hotspot_clusters, _oracle_hotspot_clusters()),
+    "tfidf_keywords": (q_tfidf_keywords, ORACLE_TFIDF),
 }

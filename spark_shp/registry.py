@@ -64,6 +64,8 @@ _TAIL = [
     "dedup_passages",         # passage-level keep-first dedup (dedup family)
     "repetition_signals",     # Gopher repetition filters (quality family)
     "focal_density",          # 5x5 stencil focal sum (B1/B3 grid family)
+    "hotspot_clusters",       # grid-DBSCAN via CC (B5 + graph family)
+    "tfidf_keywords",         # TF-IDF top-k keywords (text/quality family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

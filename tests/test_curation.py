@@ -204,3 +204,79 @@ def test_focal_density_stencil_weights(spark):
             m |= ((cy >> b) & 1) << (2 * b + 1)
         cid = m * (1 << C.LEVEL_BITS) + FOCAL_LVL
         assert rows[cid]["focal_sum"] == acc, (cx, cy)
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    """3-doc corpus, hand-computed idf: a term in every doc scores lower
+    than a rarer term with the same tf; ranks use the term tiebreak."""
+    import math
+    from spark_shp.queries_curation import tfidf_keywords
+    d = spark.createDataFrame(
+        [(1, "apple apple banana common"),
+         (2, "banana cherry common"),
+         (3, "cherry cherry cherry common")],
+        "doc_id: long, text: string")
+    rows = [(r["doc_id"], r["rank"], r["term"], r["score"])
+            for r in tfidf_keywords(d).collect()]
+    got = {(d_, rk): (t, s) for d_, rk, t, s in rows}
+
+    def idf(df):
+        return math.log((3 + 1.0) / (df + 1.0))
+    # doc 1: apple tf=2 df=1 -> 2*ln(2); banana tf=1 df=2; common tf=1 df=3
+    assert got[(1, 1)] == ("apple", round(2 * idf(1), 6))
+    assert got[(1, 2)] == ("banana", round(idf(2), 6))
+    assert got[(1, 3)] == ("common", round(idf(3), 6))
+    # doc 3: cherry tf=3 dominates; common is rank 2; no rank 3 exists
+    assert got[(3, 1)] == ("cherry", round(3 * idf(2), 6))
+    assert got[(3, 2)] == ("common", round(idf(3), 6))
+    assert (3, 3) not in got and len(rows) == 8
+
+
+def test_hotspot_clusters_vs_bruteforce_floodfill(spark):
+    """The cluster partition must equal a brute-force union-find over
+    8-adjacent hot cells computed in numpy from the raw events."""
+    import numpy as np
+    from spark_shp import fixtures
+    from spark_shp.queries_curation import HOT_LVL, q_hotspot_clusters
+    out = q_hotspot_clusters(spark, "/root/testdata/sf0.001").collect()
+    n = 1 << HOT_LVL
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pts = ev.selectExpr(f"{fixtures.EVENT_LON_SQL} AS lon",
+                        f"{fixtures.EVENT_LAT_SQL} AS lat").toPandas()
+    ix = np.clip(np.floor((pts.lon + 180.0) / 360.0 * n).astype(np.int64),
+                 0, n - 1)
+    iy = np.clip(np.floor((pts.lat + 85.0) / 170.0 * n).astype(np.int64),
+                 0, n - 1)
+    grid = np.zeros((n, n), dtype=np.int64)
+    np.add.at(grid, (ix, iy), 1)
+    occ = grid[grid > 0]
+    thr = (2.0 * occ.sum()) / occ.size
+    hot = {(int(x), int(y)) for x, y in zip(*np.where(grid >= thr))
+           if grid[x, y] >= thr}
+    # union-find flood fill
+    parent = {c: c for c in hot}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    for (x, y) in hot:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = (x + dx, y + dy)
+                if nb != (x, y) and nb in hot:
+                    ra, rb = find((x, y)), find(nb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    expect = {}
+    for c in hot:
+        expect.setdefault(find(c), []).append(c)
+    exp_stats = {min(x * n + y for x, y in mem):
+                 (len(mem), int(sum(grid[x, y] for x, y in mem)))
+                 for mem in expect.values()}
+    got_stats = {r["cluster"]: (r["n_cells"], r["n_events"]) for r in out}
+    assert got_stats == exp_stats
+    # conservation: every hot cell is in exactly one cluster
+    assert sum(v[0] for v in got_stats.values()) == len(hot)
