@@ -897,6 +897,117 @@ GROUP BY c.cluster
 """
 
 
+# --- global spatial autocorrelation (Moran's I / Geary's C) --------------------
+
+AC_LVL = 7  # 128x128 lattice, 8-neighbor (queen) contiguity
+
+
+def _autocorr_formulas(n_cells: int, w_pairs: int) -> tuple[str, str]:
+    """Moran's I and Geary's C over the FULL lattice (empty cells are x=0
+    observations), rearranged so every aggregate is an exact integer and
+    each statistic is ONE float64 division of two integers — bit-identical
+    on any engine and any aggregation order:
+      I = (n^2*P - 2*n*Sx*D + W*Sx^2) / (W * (n*Sx2 - Sx^2))
+      C = (n-1) * (2*D2 - 2*P) * n / (2*W * (n*Sx2 - Sx^2))
+    with P = sum over ordered adjacent pairs of x_i*x_j, D = sum deg_i*x_i,
+    D2 = sum deg_i*x_i^2, Sx/Sx2 = first/second moments, W = ordered
+    adjacent-pair count (a lattice constant)."""
+    n, w = n_cells, w_pairs
+    den = f"({n} * sx2 - sx * sx)"
+    i_num = f"({n} * {n} * p_adj - 2 * {n} * sx * d_deg + {w} * sx * sx)"
+    c_num = f"(({n} - 1) * (2 * d2_deg - 2 * p_adj) * {n})"
+    return (f"ROUND(CAST({i_num} AS DOUBLE) / CAST({w} * {den} AS DOUBLE), 9)",
+            f"ROUND(CAST({c_num} AS DOUBLE) / CAST(2 * {w} * {den} AS DOUBLE),"
+            " 9)")
+
+
+def q_spatial_autocorr(spark, sf_dir):
+    """Global spatial autocorrelation of the event-count lattice — Moran's I
+    and Geary's C under queen (8-neighbor) contiguity, the first-reach
+    spatial statistic for 'is this density surface clustered, random, or
+    dispersed?'. Everything distributed is integer-exact: per-cell counts,
+    a constant-fan-out neighbor explode + one equi-join for the adjacent
+    cross-moment P, closed-form per-cell lattice degree for D/D2 (edge
+    cells have fewer neighbors), and the lattice-constant W; each statistic
+    is a single integer/integer division (int64-safe to ~1e9 events at
+    this level). Scale shape: one grid aggregation + one neighbor
+    equi-join, output is ONE row."""
+    n = 1 << AC_LVL
+    e = _t(spark, sf_dir, "events").selectExpr(
+        f"{fixtures.EVENT_LON_SQL} AS lon", f"{fixtures.EVENT_LAT_SQL} AS lat")
+    ix, iy = cells.quantize_sql("lon", "lat", AC_LVL)
+    cnt = (e.selectExpr(f"{ix} AS ix", f"{iy} AS iy")
+           .groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("cnt"))
+           .persist())
+    deg = ((F.least(F.col("ix") + 1, F.lit(n - 1)) -
+            F.greatest(F.col("ix") - 1, F.lit(0)) + 1) *
+           (F.least(F.col("iy") + 1, F.lit(n - 1)) -
+            F.greatest(F.col("iy") - 1, F.lit(0)) + 1) - 1)
+    moments = cnt.agg(
+        F.sum("cnt").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sx2"),
+        F.sum(deg * F.col("cnt")).alias("d_deg"),
+        F.sum(deg * F.col("cnt") * F.col("cnt")).alias("d2_deg"))
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)]
+    off_arr = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                        for dx, dy in offs])
+    nbr = (cnt.select("cnt", F.explode(off_arr).alias("o"),
+                      (F.col("ix") + F.col("o.dx")).alias("nx"),
+                      (F.col("iy") + F.col("o.dy")).alias("ny"))
+           .where(F.col("nx").between(0, n - 1) &
+                  F.col("ny").between(0, n - 1)))
+    rhs = cnt.select(F.col("ix").alias("nx"), F.col("iy").alias("ny"),
+                     F.col("cnt").alias("ncnt"))
+    p_adj = (nbr.join(rhs, ["nx", "ny"])
+             .agg(F.sum(F.col("cnt") * F.col("ncnt")).alias("p_adj")))
+    n_cells = n * n
+    w_pairs = 4 * n * (n - 1) + 4 * (n - 1) * (n - 1)
+    moran, geary = _autocorr_formulas(n_cells, w_pairs)
+    return (moments.crossJoin(p_adj)
+            .selectExpr(f"{n_cells} AS n_cells", f"{w_pairs} AS w_pairs",
+                        "CAST(sx AS BIGINT) AS sx",
+                        "CAST(sx2 AS BIGINT) AS sx2",
+                        "CAST(p_adj AS BIGINT) AS p_adj",
+                        "CAST(d_deg AS BIGINT) AS d_deg",
+                        f"{moran} AS moran_i", f"{geary} AS geary_c"))
+
+
+def _oracle_spatial_autocorr() -> str:
+    from .queries_spatial import EVENT_POINTS_SQL
+    ix, iy = cells.quantize_sql("lon", "lat", AC_LVL)
+    n = 1 << AC_LVL
+    n_cells = n * n
+    w_pairs = 4 * n * (n - 1) + 4 * (n - 1) * (n - 1)
+    moran, geary = _autocorr_formulas(n_cells, w_pairs)
+    return f"""
+WITH cnts AS (
+  SELECT {ix} AS ix, {iy} AS iy, COUNT(*) AS cnt
+  FROM {EVENT_POINTS_SQL} p GROUP BY 1, 2),
+degd AS (
+  SELECT ix, iy, cnt,
+         (LEAST(ix + 1, {n - 1}) - GREATEST(ix - 1, 0) + 1)
+       * (LEAST(iy + 1, {n - 1}) - GREATEST(iy - 1, 0) + 1) - 1 AS deg
+  FROM cnts),
+mom AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS sx,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sx2,
+         CAST(SUM(deg * cnt) AS BIGINT) AS d_deg,
+         CAST(SUM(deg * cnt * cnt) AS BIGINT) AS d2_deg
+  FROM degd),
+padj AS (
+  SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS p_adj
+  FROM cnts a
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dx(v)
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dy(v)
+  JOIN cnts b ON b.ix = a.ix + dx.v AND b.iy = a.iy + dy.v
+  WHERE NOT (dx.v = 0 AND dy.v = 0))
+SELECT {n_cells} AS n_cells, {w_pairs} AS w_pairs, sx, sx2, p_adj, d_deg,
+       {moran} AS moran_i, {geary} AS geary_c
+FROM mom CROSS JOIN padj
+"""
+
+
 # --- TF-IDF keyword extraction --------------------------------------------------
 
 TFIDF_TOPK = 3
@@ -966,4 +1077,5 @@ QUERIES: dict = {
     "focal_density": (q_focal_density, _oracle_focal_density()),
     "hotspot_clusters": (q_hotspot_clusters, _oracle_hotspot_clusters()),
     "tfidf_keywords": (q_tfidf_keywords, ORACLE_TFIDF),
+    "spatial_autocorr": (q_spatial_autocorr, _oracle_spatial_autocorr()),
 }

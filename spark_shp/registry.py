@@ -66,6 +66,7 @@ _TAIL = [
     "focal_density",          # 5x5 stencil focal sum (B1/B3 grid family)
     "hotspot_clusters",       # grid-DBSCAN via CC (B5 + graph family)
     "tfidf_keywords",         # TF-IDF top-k keywords (text/quality family)
+    "spatial_autocorr",       # Moran's I / Geary's C (B1/B3 stats family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

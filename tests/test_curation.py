@@ -280,3 +280,45 @@ def test_hotspot_clusters_vs_bruteforce_floodfill(spark):
     assert got_stats == exp_stats
     # conservation: every hot cell is in exactly one cluster
     assert sum(v[0] for v in got_stats.values()) == len(hot)
+
+
+def test_spatial_autocorr_vs_definitional_numpy(spark):
+    """The integer-rearranged Moran's I / Geary's C must equal the textbook
+    definitional formulas computed in numpy over the full lattice (empty
+    cells are x=0 observations; queen contiguity with edge clamping)."""
+    import numpy as np
+    from spark_shp import fixtures
+    from spark_shp.queries_curation import AC_LVL, q_spatial_autocorr
+    r = q_spatial_autocorr(spark, "/root/testdata/sf0.001").collect()[0]
+    n = 1 << AC_LVL
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pts = ev.selectExpr(f"{fixtures.EVENT_LON_SQL} AS lon",
+                        f"{fixtures.EVENT_LAT_SQL} AS lat").toPandas()
+    ix = np.clip(np.floor((pts.lon + 180.0) / 360.0 * n).astype(np.int64),
+                 0, n - 1)
+    iy = np.clip(np.floor((pts.lat + 85.0) / 170.0 * n).astype(np.int64),
+                 0, n - 1)
+    x = np.zeros((n, n), dtype=np.float64)
+    np.add.at(x, (ix, iy), 1.0)
+    xb = x.mean()
+    d = x - xb
+    num_m = 0.0   # sum over ordered adjacent pairs of d_i * d_j
+    num_c = 0.0   # sum over ordered adjacent pairs of (x_i - x_j)^2
+    w = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if (dx, dy) == (0, 0):
+                continue
+            a = d[max(0, dx):n + min(0, dx), max(0, dy):n + min(0, dy)]
+            b = d[max(0, -dx):n + min(0, -dx), max(0, -dy):n + min(0, -dy)]
+            num_m += (a * b).sum()
+            num_c += ((a - b) ** 2).sum()
+            w += a.size
+    assert w == r["w_pairs"]
+    s2 = (d * d).sum()
+    moran = (n * n / w) * num_m / s2
+    geary = (n * n - 1) * num_c / (2 * w * s2)
+    assert abs(r["moran_i"] - moran) < 1e-6
+    assert abs(r["geary_c"] - geary) < 1e-6
+    # integer moments sanity: sx is the event count
+    assert r["sx"] == len(pts)
