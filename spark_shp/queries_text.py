@@ -834,6 +834,42 @@ WHERE rn = 1
 
 # --- near-dup clustering (connected components over LSH pairs) ---------------
 
+def q_attribution_pairs(spark, sf_dir):
+    """Batch twin of streaming.attribution_pairs (the stream-stream
+    interval join): every (view, click) pair by the same user with the
+    click inside the 2-hour post-view horizon, delay in exact integer
+    microseconds. Scale shape: one user_id-keyed equi-join with the range
+    predicate applied post-match — fan-out bounded by views-per-user
+    within the horizon, never a cross join; at stream scale the same plan
+    runs incrementally with watermark-evicted state
+    (streaming.py::attribution_pairs, stream≡batch pytest-asserted)."""
+    e = (_t(spark, sf_dir, "events")
+         .withColumn("ts", F.col("ts").cast("timestamp_ltz")))
+    v = (e.where(F.col("event_type") == "view")
+         .select("user_id", F.col("ts").alias("view_ts"),
+                 F.col("event_id").alias("view_id")))
+    c = (e.where(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("click_ts"),
+                 F.col("event_id").alias("click_id")))
+    return (v.join(c, (v["user_id"] == c["c_user"]) &
+                   (c["click_ts"] >= v["view_ts"]) &
+                   (c["click_ts"] <= v["view_ts"] +
+                    F.expr("INTERVAL 2 HOURS")))
+            .select("user_id", "view_id", "click_id",
+                    (F.unix_micros("click_ts") -
+                     F.unix_micros("view_ts")).alias("delay_us")))
+
+
+ORACLE_ATTRIBUTION = """
+SELECT a.user_id, a.event_id AS view_id, b.event_id AS click_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS delay_us
+FROM events a JOIN events b ON b.user_id = a.user_id
+WHERE a.event_type = 'view' AND b.event_type = 'click'
+  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """The clustering step of the dedup pipeline: strong LSH candidate
     pairs (n_bands >= 4, the precision knob) become duplicate GROUPS via
@@ -982,4 +1018,5 @@ QUERIES: dict = {
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_survivors": (q_dedup_survivors, ORACLE_DEDUP_SURVIVORS),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
+    "attribution_pairs": (q_attribution_pairs, ORACLE_ATTRIBUTION),
 }

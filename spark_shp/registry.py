@@ -67,6 +67,7 @@ _TAIL = [
     "hotspot_clusters",       # grid-DBSCAN via CC (B5 + graph family)
     "tfidf_keywords",         # TF-IDF top-k keywords (text/quality family)
     "spatial_autocorr",       # Moran's I / Geary's C (B1/B3 stats family)
+    "attribution_pairs",      # stream-stream interval join batch twin (C12)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

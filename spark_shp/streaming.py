@@ -127,6 +127,36 @@ def stateful_user_totals(stream: DataFrame,
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def attribution_pairs(views: DataFrame, clicks: DataFrame,
+                      horizon: str = "2 hours",
+                      watermark: str = "10 minutes") -> DataFrame:
+    """C12 stream-stream interval join — the attribution shape: each click
+    matches every view by the same user in the preceding ``horizon``.
+
+    Both sides are watermarked and the join condition bounds BOTH event
+    times, so the state store can evict a buffered view once the click
+    watermark passes view_ts + horizon — state stays bounded by
+    horizon x arrival rate at any stream length (the property that makes a
+    stream-stream join survive an unbounded 100 TB/day stream). Inner join
+    in append mode; the delay is kept in exact integer microseconds so the
+    result is batch-comparable bit-for-bit (queries_text.
+    q_attribution_pairs is the gated batch twin)."""
+    v = (views.withWatermark("ts", watermark)
+         .select("user_id", F.col("ts").alias("view_ts"),
+                 F.col("event_id").alias("view_id")))
+    c = (clicks.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("click_ts"),
+                 F.col("event_id").alias("click_id")))
+    return (v.join(c, (v["user_id"] == c["c_user"]) &
+                   (c["click_ts"] >= v["view_ts"]) &
+                   (c["click_ts"] <= v["view_ts"] +
+                    F.expr(f"INTERVAL {horizon}")))
+            .select("user_id", "view_id", "click_id",
+                    (F.unix_micros("click_ts") -
+                     F.unix_micros("view_ts")).alias("delay_us")))
+
+
 def run_to_completion(q_df: DataFrame, out_mode: str = "complete"):
     """Run a bounded stream to exhaustion into an in-memory sink; return the
     final table rows."""

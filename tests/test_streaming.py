@@ -170,3 +170,21 @@ def test_streaming_tile_density_equals_batch(spark, replay_dir):
                      .alias("window_start"), "tile", "n"))
     want = sorted((r.window_start, r.tile, r.n) for r in batch.collect())
     assert got == want and len(got) > 0
+
+
+def test_attribution_stream_stream_join_equals_batch(spark, replay_dir):
+    """Stream-stream interval join: the same replay split into a view
+    stream and a click stream must emit exactly the batch twin's pairs."""
+    from spark_shp.queries_text import q_attribution_pairs
+    st = streaming.events_stream(spark, replay_dir)
+    got = streaming.run_to_completion(
+        streaming.attribution_pairs(
+            st.where(F.col("event_type") == "view"),
+            st.where(F.col("event_type") == "click"),
+            watermark=WM),
+        out_mode="append")
+    want = q_attribution_pairs(spark, SF).collect()
+    key = lambda r: (r["user_id"], r["view_id"], r["click_id"],
+                     r["delay_us"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(want) > 0
