@@ -46,7 +46,8 @@ def _current_version(root: str) -> int:
 def write_table(df: DataFrame, root: str, partition_by: str | None = None,
                 mode: str = "overwrite",
                 cluster_by: str | None = None,
-                cluster_partitions: int | None = None) -> dict:
+                cluster_partitions: int | None = None,
+                carry_files: list | None = None) -> dict:
     """Write data + commit a new snapshot manifest. Returns the manifest.
 
     Data files land in ``data/snap-<version>/`` (immutable once committed).
@@ -127,6 +128,9 @@ def write_table(df: DataFrame, root: str, partition_by: str | None = None,
         # Iceberg semantics: a snapshot names the table's FULL file set, so
         # an append snapshot = parent's files + the files this commit added
         files = table_stats(root)["files"] + files
+    elif carry_files is not None:
+        # merge commit: untouched parent files carried by name, zero I/O
+        files = list(carry_files) + files
     snapshot = {"snapshot_id": version, "ts_ms": int(time.time() * 1000),
                 "operation": mode, "files": files,
                 "total_rows": sum(f["rows"] for f in files)}
@@ -267,6 +271,82 @@ def compact(spark: SparkSession, root: str, target_file_mb: int = 256,
             "files_before": len(snap["files"]),
             "files_after": len(new["files"]),
             "bytes": total_bytes}
+
+
+MERGE_KEYSET_CAP = 1_000_000  # update keys held driver-side for exact skip
+
+
+def merge_table(spark: SparkSession, root: str, updates: DataFrame,
+                key: str, partition_by: str | None = None,
+                cluster_by: str | None = None) -> dict:
+    """Iceberg copy-on-write MERGE (upsert): rows in ``updates`` replace
+    same-``key`` rows of the current snapshot, new keys are inserted; the
+    result is a NEW snapshot (prior versions stay time-travelable).
+
+    Only data files whose manifest [min, max] bounds for ``key`` contain at
+    least one update key are rewritten; every other file is carried into
+    the new snapshot BY NAME — zero read, zero write. A CDC batch into a
+    100 TB table therefore costs O(touched files), not O(table). File
+    selection is exact set membership when the update-key set fits
+    driver-side (sorted array + binary search per file, capped at
+    MERGE_KEYSET_CAP — ~8 MB of int64), degrading to [min, max] range
+    overlap above the cap; a file without recorded bounds is always
+    rewritten (safe fallback). The rewrite itself is one anti-join of the
+    touched files against the (broadcast) update keys, unioned with the
+    updates — Spark's own MERGE INTO physical shape for copy-on-write.
+
+    ``updates`` must be key-unique (the caller's CDC compaction contract);
+    duplicate update keys raise. Returns a report dict."""
+    from pyspark.sql import functions as F
+
+    snap = table_stats(root)
+    n_updates = updates.count()
+    if n_updates == 0:
+        return {"snapshot_id": snap["snapshot_id"], "noop": True,
+                "files_rewritten": 0, "files_carried": len(snap["files"])}
+    dup = n_updates - updates.select(key).distinct().count()
+    if dup:
+        raise ValueError(f"updates contain {dup} duplicate '{key}' keys")
+
+    if n_updates <= MERGE_KEYSET_CAP:
+        import numpy as np
+        keys = np.sort(updates.select(key).toPandas()[key].to_numpy())
+
+        def overlaps(lo, hi) -> bool:
+            i = int(np.searchsorted(keys, lo, side="left"))
+            return i < keys.size and keys[i] <= hi
+    else:
+        row = updates.agg(F.min(key), F.max(key)).first()
+        klo, khi = row[0], row[1]
+
+        def overlaps(lo, hi) -> bool:
+            return not (lo > khi or hi < klo)
+
+    touched, carried = [], []
+    for f in snap["files"]:
+        b = f.get("bounds", {}).get(key)
+        if b is None or overlaps(b[0], b[1]):
+            touched.append(f)
+        else:
+            carried.append(f)
+
+    if touched:
+        old = _read_file_list(spark, root, [f["path"] for f in touched])
+        upd_keys = updates.select(key)
+        if n_updates <= MERGE_KEYSET_CAP:   # broadcast only CDC-sized sides
+            upd_keys = F.broadcast(upd_keys)
+        kept = old.join(upd_keys, key, "left_anti")
+        new_data = kept.unionByName(updates.select(*old.columns))
+    else:
+        new_data = updates
+    new = write_table(new_data, root, partition_by=partition_by,
+                      mode="merge", cluster_by=cluster_by,
+                      carry_files=carried)
+    return {"snapshot_id": new["snapshot_id"],
+            "files_rewritten": len(touched),
+            "files_carried": len(carried),
+            "update_rows": n_updates,
+            "total_rows": new["total_rows"]}
 
 
 def table_stats(root: str, snapshot_id: int | None = None) -> dict:

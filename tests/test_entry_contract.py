@@ -233,3 +233,51 @@ def test_scan_table_string_bounds_and_empty_side(spark, tmp_path):
     assert rep["files_skipped"] >= 1
     got2, rep2 = ice.scan_table(spark, root, "lang", "zz", "zz")
     assert got2.count() == 0 and got2.columns == got.columns
+
+
+def test_iceberg_merge_copy_on_write(spark, tmp_path):
+    """MERGE (upsert) must rewrite ONLY the files whose key bounds contain
+    an update key, carry every other file by name (byte-identical paths in
+    both manifests), keep the pre-merge snapshot time-travelable, and
+    produce exact upsert semantics — including an update batch whose
+    [min, max] range spans every file but whose KEY SET touches one."""
+    from spark_shp import iceberg_layout as ice
+
+    root = str(tmp_path / "tbl")
+    base = spark.range(0, 400).selectExpr("id AS k", "id * 10 AS v")
+    s1 = ice.write_table(base, root, cluster_by="k", cluster_partitions=4)
+    assert len(s1["files"]) == 4
+
+    # keys 50..59 live in file 0's bounds; 1000 is outside every file —
+    # the naive range check [50, 1000] would touch ALL files
+    upd = spark.createDataFrame(
+        [(k, k * 10 + 1) for k in range(50, 60)] + [(1000, 7)], "k: long, v: long")
+    rep = ice.merge_table(spark, root, upd, "k")
+    assert rep["files_rewritten"] == 1 and rep["files_carried"] == 3
+    assert rep["total_rows"] == 401                      # 400 + 1 insert
+
+    got = {r["k"]: r["v"] for r in ice.read_table(spark, root).collect()}
+    assert len(got) == 401 and got[1000] == 7
+    for k in range(50, 60):
+        assert got[k] == k * 10 + 1                      # updated
+    assert got[49] == 490 and got[60] == 600             # untouched
+
+    # carried files appear by NAME in both manifests; time travel intact
+    f1 = {f["path"] for f in ice.table_stats(root, s1["snapshot_id"])["files"]}
+    f2 = {f["path"] for f in ice.table_stats(root)["files"]}
+    assert len(f1 & f2) == 3
+    old = {r["k"]: r["v"] for r in
+           ice.read_table(spark, root, s1["snapshot_id"]).collect()}
+    assert old[55] == 550 and 1000 not in old
+
+    # duplicate update keys violate the CDC contract
+    dup = spark.createDataFrame([(1, 1), (1, 2)], "k: long, v: long")
+    try:
+        ice.merge_table(spark, root, dup, "k")
+        assert False, "expected ValueError on duplicate keys"
+    except ValueError:
+        pass
+
+    # empty updates are a no-op commit
+    rep0 = ice.merge_table(spark, root, upd.limit(0), "k")
+    assert rep0.get("noop") is True
