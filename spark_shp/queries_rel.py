@@ -538,7 +538,102 @@ def q_approx_sketches(spark, sf_dir):
                 .alias("median_within_1")))
 
 
+# --- event funnel + cohort retention (C7 window/agg analytics family) -------
+
+def q_funnel_stages(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase per user: stage
+    k's timestamp is the user's FIRST qualifying event at or after stage
+    k-1 (the classic strictly-ordered funnel). Depth plus exact integer-µs
+    stage delays. Scale shape: three user-keyed conditional aggregations
+    (each one shuffle on user_id, no self-join fan-out, no window over the
+    whole event history)."""
+    e = (_t(spark, sf_dir, "events")
+         .select("user_id", "event_type",
+                 F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                 .alias("us")))
+    v = (e.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("us").alias("t_view")))
+    c = (e.join(v, "user_id")
+         .where((F.col("event_type") == "click") &
+                (F.col("us") >= F.col("t_view")))
+         .groupBy("user_id").agg(F.min("us").alias("t_click")))
+    p = (e.join(c, "user_id")
+         .where((F.col("event_type") == "purchase") &
+                (F.col("us") >= F.col("t_click")))
+         .groupBy("user_id").agg(F.min("us").alias("t_purchase")))
+    out = (v.join(c, "user_id", "left").join(p, "user_id", "left")
+           .select("user_id",
+                   (F.lit(1) + F.col("t_click").isNotNull().cast("int")
+                    + F.col("t_purchase").isNotNull().cast("int"))
+                   .alias("depth"),
+                   (F.col("t_click") - F.col("t_view"))
+                   .alias("view_to_click_us"),
+                   (F.col("t_purchase") - F.col("t_click"))
+                   .alias("click_to_purchase_us")))
+    return out
+
+
+ORACLE_FUNNEL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+v AS (SELECT user_id, MIN(us) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(us) AS t_click
+      FROM e JOIN v ON v.user_id = e.user_id
+      WHERE event_type = 'click' AND us >= t_view GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(us) AS t_purchase
+      FROM e JOIN c ON c.user_id = e.user_id
+      WHERE event_type = 'purchase' AND us >= t_click GROUP BY e.user_id)
+SELECT v.user_id,
+       1 + CAST(c.t_click IS NOT NULL AS INT)
+         + CAST(p.t_purchase IS NOT NULL AS INT) AS depth,
+       c.t_click - v.t_view AS view_to_click_us,
+       p.t_purchase - c.t_click AS click_to_purchase_us
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = v.user_id
+"""
+
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix: users grouped by first-activity week
+    (the cohort), counted once per subsequent active week at each offset —
+    the standard retention triangle. All-integer (epoch-µs week buckets),
+    so exact under the value hash. Scale shape: one user-keyed min
+    aggregation, one distinct (user, week) aggregation, one
+    (cohort, offset) count — three shuffles, each on a shrinking key
+    space, no self-join."""
+    e = (_t(spark, sf_dir, "events")
+         .select("user_id",
+                 F.floor(F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                         / F.lit(WEEK_US)).alias("week")))
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = (e.join(first, "user_id")
+              .select("user_id", "cohort_week",
+                      (F.col("week") - F.col("cohort_week"))
+                      .alias("week_offset"))
+              .distinct())
+    return (active.groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+ORACLE_COHORT = f"""
+WITH e AS (SELECT user_id,
+                  CAST(FLOOR(epoch_us(ts) / {WEEK_US}.0) AS BIGINT) AS week
+           FROM events),
+f AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, f.cohort_week,
+             e.week - f.cohort_week AS week_offset
+      FROM e JOIN f ON f.user_id = e.user_id)
+SELECT cohort_week, week_offset, COUNT(*) AS n_users
+FROM a GROUP BY 1, 2
+"""
+
+
 QUERIES: dict = {
+    "funnel_stages": (q_funnel_stages, ORACLE_FUNNEL),
+    "cohort_retention": (q_cohort_retention, ORACLE_COHORT),
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "revenue_by_nation": (q_revenue_by_nation, ORACLE_REVENUE_NATION),
     "semi_join_open_orders": (q_customers_with_open_orders, ORACLE_SEMI),

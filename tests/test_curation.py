@@ -322,3 +322,45 @@ def test_spatial_autocorr_vs_definitional_numpy(spark):
     assert abs(r["geary_c"] - geary) < 1e-6
     # integer moments sanity: sx is the event count
     assert r["sx"] == len(pts)
+
+
+def test_funnel_and_cohort_hand_computed(spark, tmp_path):
+    """4-user funnel: full conversion, click-before-view (doesn't count),
+    view-only, and no view at all (excluded); cohort matrix from the same
+    events."""
+    import datetime as dt
+    from spark_shp.queries_rel import q_funnel_stages, q_cohort_retention
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(days, secs=0):
+        return t0 + dt.timedelta(days=days, seconds=secs)
+
+    rows = [
+        (1, ts(0), "view"), (1, ts(0, 60), "click"), (1, ts(1), "purchase"),
+        (2, ts(0, 30), "click"), (2, ts(1), "view"),   # click precedes view
+        (3, ts(2), "view"),
+        (4, ts(0), "purchase"),                        # never views
+        (1, ts(15), "view"),                           # week-2 activity
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, ts: timestamp, "
+                                     "event_type: string")
+    d = str(tmp_path / "sf")
+    import os
+    os.makedirs(d, exist_ok=True)
+    df.write.parquet(f"{d}/events.parquet")
+
+    f = {r["user_id"]: r for r in q_funnel_stages(spark, d).collect()}
+    assert set(f) == {1, 2, 3}                         # user 4 excluded
+    assert f[1]["depth"] == 3
+    assert f[1]["view_to_click_us"] == 60 * 1_000_000
+    assert f[1]["click_to_purchase_us"] == (86400 - 60) * 1_000_000
+    assert f[2]["depth"] == 1 and f[2]["view_to_click_us"] is None
+    assert f[3]["depth"] == 1
+
+    c = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+         for r in q_cohort_retention(spark, d).collect()}
+    # users 1,2,4 first active in week of Jan 1; user 3 on Jan 3 (same week);
+    # user 1 active again 15 days later (offset 2)
+    w0 = min(k[0] for k in c)
+    assert c[(w0, 0)] == 4
+    assert c[(w0, 2)] == 1 and len(c) == 2
