@@ -1311,8 +1311,117 @@ FROM sel
 ORACLE_SHP_OBLIQUE_STEREO = _oracle_oblique_stereo_sql()
 
 
+N_HOM = 40
+# Peninsular-Malaysia BRSO style (EPSG:3376 parameters on GRS80) — the
+# Hotine Oblique Mercator family (also Alaska zone 1, Swiss-style obliques)
+_HOM_PARAMS = (6378137.0, 298.257222101, 102.25, 4.0,
+               323.0257964666666, 323.13010236111114, 0.99984, 0.0, 0.0, "A")
+_HOM_WKT = (
+    'PROJCS["BRSO style",GEOGCS["GRS 80",DATUM["D_unknown",'
+    'SPHEROID["GRS80",6378137,298.257222101]]],'
+    'PROJECTION["Hotine_Oblique_Mercator_Azimuth_Natural_Origin"],'
+    'PARAMETER["latitude_of_center",4],'
+    'PARAMETER["longitude_of_center",102.25],'
+    'PARAMETER["azimuth",323.0257964666666],'
+    'PARAMETER["rectified_grid_angle",323.13010236111114],'
+    'PARAMETER["scale_factor",0.99984],'
+    'PARAMETER["false_easting",0],'
+    'PARAMETER["false_northing",0],UNIT["metre",1]]')
+
+
+def q_shp_hom_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 Hotine Oblique Mercator (EPSG 9812 variant A; BRSO Malaysia
+    parameters — the family also covering Alaska zone 1 and Swiss-style
+    oblique aspects): Point shapefile in grid meters + .prj → engine's
+    EPSG 7-2 inverse (parser.make_inv_hom, verified 2.3e-8° against the
+    published Timbalai/RSO-Borneo worked example); the oracle replays the
+    SAME op sequence in DuckDB from the same hom_constants() float64
+    values; 9-decimal rounding policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_HOM, dtype=np.int64)
+    xm = 250000.0 + u01(i * 73 + 3) * 450000.0
+    ym = 200000.0 + u01(i * 73 + 4) * 450000.0
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_HOM_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_hom_sql() -> str:
+    """EPSG 9812 Hotine-Oblique-Mercator inverse as DuckDB SQL, op-for-op
+    the numpy kernel's sequence, from the same hom_constants() float64
+    values."""
+    import math
+    from .shp.parser import hom_constants
+    cv = hom_constants(*_HOM_PARAMS)
+    c = {k: f"CAST({v!r} AS DOUBLE)" for k, v in cv.items()
+         if isinstance(v, float)}
+    pi = f"CAST({math.pi!r} AS DOUBLE)"
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         250000.0 + {u01_sql('i * 73 + 3')} * 450000.0 AS x,
+         200000.0 + {u01_sql('i * 73 + 4')} * 450000.0 AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_HOM - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no,
+         (x - {c['fe']}) * {c['cgc']} - (y - {c['fn']}) * {c['sgc']} AS vp,
+         (y - {c['fn']}) * {c['cgc']} + (x - {c['fe']}) * {c['sgc']}
+           + {c['u_off']} AS up
+  FROM src),
+s2 AS (
+  SELECT rec_no, up, EXP(-{c['b_over_a']} * vp) AS q FROM s1),
+s3 AS (
+  SELECT rec_no, (q - 1.0 / q) / 2.0 AS s, (q + 1.0 / q) / 2.0 AS t,
+         {c['b_over_a']} * up AS bua
+  FROM s2),
+s4 AS (
+  SELECT rec_no, s, bua, SIN(bua) AS v,
+         (SIN(bua) * {c['cg0']} + s * {c['sg0']}) / t AS u
+  FROM s3),
+s5 AS (
+  SELECT rec_no, s, bua, v,
+         {pi} / 2.0 - 2.0 * ATAN(
+           POWER({c['h']} / SQRT((1.0 + u) / (1.0 - u)), {c['inv_b']}))
+           AS chi
+  FROM s4)
+SELECT rec_no,
+       ROUND(DEGREES({c['lam0']}
+             - ATAN2(s * {c['cg0']} - v * {c['sg0']}, COS(bua))
+               / {c['b']}), 9) AS lon,
+       ROUND(DEGREES(chi + {c['c2']} * SIN(2.0 * chi)
+                         + {c['c4']} * SIN(4.0 * chi)
+                         + {c['c6']} * SIN(6.0 * chi)
+                         + {c['c8']} * SIN(8.0 * chi)), 9) AS lat
+FROM s5
+"""
+
+
+ORACLE_SHP_HOM = _oracle_hom_sql()
+
+
 def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 — ALL ten supported .prj projection families under ONE gated
+    """A12 — ALL eleven supported .prj projection families under ONE gated
     row (the shp_zm_semantics consolidation pattern applied to CRS): each
     family decodes its own Point shapefile + WKT through the engine's
     inverse kernel, tagged with a family id, unioned. Driver-gates the
@@ -1327,7 +1436,8 @@ def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_shp_lcc_reproject, q_shp_albers_reproject,
             q_shp_stereo_reproject, q_shp_laea_reproject,
             q_shp_merc3395_reproject, q_shp_sinusoidal_reproject,
-            q_shp_mollweide_reproject, q_shp_oblique_stereo_reproject]
+            q_shp_mollweide_reproject, q_shp_oblique_stereo_reproject,
+            q_shp_hom_reproject]
     out = None
     for fam_id, fn in enumerate(fams):
         d = fn(spark, sf_dir).select(
@@ -1342,7 +1452,7 @@ ORACLE_REPROJECT_FAMILIES = "\nUNION ALL\n".join(
         ORACLE_SHP_WEBMERC, ORACLE_SHP_UTM, ORACLE_SHP_LCC,
         ORACLE_SHP_ALBERS, ORACLE_SHP_STEREO, ORACLE_SHP_LAEA,
         ORACLE_SHP_MERC3395, ORACLE_SHP_SINUSOIDAL, ORACLE_SHP_MOLLWEIDE,
-        ORACLE_SHP_OBLIQUE_STEREO]))
+        ORACLE_SHP_OBLIQUE_STEREO, ORACLE_SHP_HOM]))
 
 
 def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1721,6 +1831,7 @@ QUERIES: dict = {
                                 ORACLE_SHP_MOLLWEIDE),
     "shp_oblique_stereo_reproject": (q_shp_oblique_stereo_reproject,
                                      ORACLE_SHP_OBLIQUE_STEREO),
+    "shp_hom_reproject": (q_shp_hom_reproject, ORACLE_SHP_HOM),
     # parked in registry._TAIL (A16-A18/A20 zip plumbing, pytest + diffcheck)
     "shp_zip_bundle": (q_shp_zip_bundle, ORACLE_ZIP_BUNDLE),
     # parked in registry._TAIL (multimodal RIFF decode under the gate;

@@ -904,6 +904,123 @@ def make_inv_mollweide(a: float, lon0_deg: float,
     return inv
 
 
+def hom_constants(a: float, inv_f: float, lonc_deg: float, lat0_deg: float,
+                  azi_deg: float, gamma_deg: float, k0: float,
+                  fe: float, fn: float, variant: str = "A") -> dict:
+    """Point-independent Hotine Oblique Mercator constants (Snyder 1987
+    eq. 9-11..9-24 / EPSG Guidance Note 7-2 method 9812 "variant A" and
+    9815 "variant B" — Alaska zone 1, Malaysia BRSO/RSO, Swiss-style
+    oblique aspects). Shared float64 source for the numpy inverse kernel
+    AND the DuckDB oracle generator — same policy as :func:`lcc_constants`.
+
+    ``variant="B"`` (Azimuth_Center names): false E/N apply at the
+    projection CENTER, so the reverse adds ``|u_c|*sign(lat0)`` to u'."""
+    e2 = (2.0 - 1.0 / inv_f) / inv_f
+    e = math.sqrt(e2)
+    phi0 = math.radians(lat0_deg)
+    alphac = math.radians(azi_deg)
+    gammac = math.radians(gamma_deg)
+    s0, c0 = math.sin(phi0), math.cos(phi0)
+    bb = math.sqrt(1.0 + e2 * c0 ** 4 / (1.0 - e2))
+    aa = a * bb * k0 * math.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0)
+    t0 = (math.tan(math.pi / 4.0 - phi0 / 2.0)
+          / ((1.0 - e * s0) / (1.0 + e * s0)) ** (e / 2.0))
+    dd = bb * math.sqrt(1.0 - e2) / (c0 * math.sqrt(1.0 - e2 * s0 * s0))
+    d2 = max(dd * dd, 1.0)
+    sgn = 1.0 if lat0_deg >= 0 else -1.0
+    ff = dd + math.sqrt(d2 - 1.0) * sgn
+    hh = ff * t0 ** bb                          # Snyder's E
+    gg = (ff - 1.0 / ff) / 2.0
+    gamma0 = math.asin(math.sin(alphac) / dd)
+    lam0 = math.radians(lonc_deg) - math.asin(gg * math.tan(gamma0)) / bb
+    if abs(math.cos(alphac)) < 1e-12:           # EPSG: alpha_c = 90 deg
+        uc = aa * (math.radians(lonc_deg) - lam0)
+    else:
+        uc = (aa / bb) * math.atan2(math.sqrt(d2 - 1.0),
+                                    math.cos(alphac)) * sgn
+    e4 = e2 * e2
+    e6 = e4 * e2
+    e8 = e4 * e4
+    return {
+        "b": bb, "a_": aa, "h": hh, "b_over_a": bb / aa,
+        "inv_b": 1.0 / bb, "lam0": lam0,
+        "sg0": math.sin(gamma0), "cg0": math.cos(gamma0),
+        "sgc": math.sin(gammac), "cgc": math.cos(gammac),
+        "u_off": (abs(uc) * sgn) if variant == "B" else 0.0,
+        "fe": fe, "fn": fn,
+        # conformal -> geodetic latitude series (Snyder eq. 3-5)
+        "c2": e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0,
+        "c4": 7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0,
+        "c6": 7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0,
+        "c8": 4279.0 * e8 / 161280.0,
+        "e": e,
+    }
+
+
+def make_inv_hom(a: float, inv_f: float, lonc_deg: float, lat0_deg: float,
+                 azi_deg: float, gamma_deg: float, k0: float = 1.0,
+                 fe: float = 0.0, fn: float = 0.0, variant: str = "A"):
+    """Closed-form Hotine Oblique Mercator inverse (EPSG 9812/9815 reverse
+    formulas; conformal-latitude series 3-5). Returns a vectorized (n,2)
+    grid meters → (n,2) lon/lat° fn."""
+    c = hom_constants(a, inv_f, lonc_deg, lat0_deg, azi_deg, gamma_deg,
+                      k0, fe, fn, variant)
+    ba, ib, hh = c["b_over_a"], c["inv_b"], c["h"]
+    sg0, cg0, sgc, cgc = c["sg0"], c["cg0"], c["sgc"], c["cgc"]
+    lam0, u_off = c["lam0"], c["u_off"]
+    c2, c4, c6, c8 = c["c2"], c["c4"], c["c6"], c["c8"]
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        de = pts[:, 0] - c["fe"]
+        dn = pts[:, 1] - c["fn"]
+        vp = de * cgc - dn * sgc
+        up = dn * cgc + de * sgc + u_off
+        q = np.exp(-ba * vp)
+        s = (q - 1.0 / q) / 2.0
+        t = (q + 1.0 / q) / 2.0
+        bua = ba * up
+        v = np.sin(bua)
+        u = (v * cg0 + s * sg0) / t
+        tp = (hh / np.sqrt((1.0 + u) / (1.0 - u))) ** ib
+        chi = np.pi / 2.0 - 2.0 * np.arctan(tp)
+        phi = (chi + c2 * np.sin(2.0 * chi) + c4 * np.sin(4.0 * chi)
+               + c6 * np.sin(6.0 * chi) + c8 * np.sin(8.0 * chi))
+        lam = lam0 - np.arctan2(s * cg0 - v * sg0, np.cos(bua)) / c["b"]
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
+
+def hom_forward(a: float, inv_f: float, lonc_deg: float, lat0_deg: float,
+                azi_deg: float, gamma_deg: float, k0: float = 1.0,
+                fe: float = 0.0, fn: float = 0.0, variant: str = "A"):
+    """Independent HOM forward (Snyder eq. 9-25..9-34 via the EPSG forward
+    sequence) — test-only roundtrip witness for :func:`make_inv_hom`."""
+    c = hom_constants(a, inv_f, lonc_deg, lat0_deg, azi_deg, gamma_deg,
+                      k0, fe, fn, variant)
+    e = c["e"]
+
+    def fwd(lon_deg, lat_deg):
+        phi = math.radians(lat_deg)
+        sp = math.sin(phi)
+        t = (math.tan(math.pi / 4.0 - phi / 2.0)
+             / ((1.0 - e * sp) / (1.0 + e * sp)) ** (e / 2.0))
+        q = c["h"] / t ** c["b"]
+        s = (q - 1.0 / q) / 2.0
+        tt = (q + 1.0 / q) / 2.0
+        dl = c["b"] * (math.radians(lon_deg) - c["lam0"])
+        v = math.sin(dl)
+        u_ = (-v * c["cg0"] + s * c["sg0"]) / tt
+        vq = math.log((1.0 - u_) / (1.0 + u_)) / (2.0 * c["b_over_a"])
+        uq = (math.atan2(s * c["cg0"] + v * c["sg0"], math.cos(dl))
+              / c["b_over_a"]) - c["u_off"]
+        east = vq * c["cgc"] + uq * c["sgc"] + c["fe"]
+        north = uq * c["cgc"] - vq * c["sgc"] + c["fn"]
+        return east, north
+
+    return fwd
+
+
 def projection_from_wkt(wkt) -> "callable | None":
     """WKT string → inverse-transform fn to WGS84 lon/lat, or None (identity).
 
@@ -1027,6 +1144,21 @@ def projection_from_wkt(wkt) -> "callable | None":
                 lat0, sp1, p.get("standard_parallel_2", sp1),
                 p.get("false_easting", 0.0) * unit,
                 p.get("false_northing", 0.0) * unit), unit)
+        if re.search(r'PROJECTION\["?(Hotine[_ ]?)?Oblique[_ ]?Mercator',
+                     wkt, re.I):
+            p = _wkt_params(wkt)
+            a, inv_f = _wkt_spheroid(wkt)
+            azi = p.get("azimuth", 90.0)
+            variant = ("B" if re.search(r"Azimuth[_ ]?Center", wkt, re.I)
+                       else "A")
+            return _with_unit(make_inv_hom(
+                a, inv_f,
+                p.get("longitude_of_center", p.get("central_meridian", 0.0)),
+                p.get("latitude_of_center", p.get("latitude_of_origin", 0.0)),
+                azi, p.get("rectified_grid_angle", azi),
+                p.get("scale_factor", 1.0),
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit, variant), unit)
         if re.search(r'PROJECTION\["?Transverse[_ ]?Mercator', wkt, re.I):
             p = _wkt_params(wkt)
             a, inv_f = _wkt_spheroid(wkt)

@@ -1069,3 +1069,56 @@ def test_oblique_stereographic_wkt_dispatch():
     # north pole maps to the false origin under the polar kernel
     out_p = inv_p(np.array([[2000000.0, 1000000.0]]))
     assert abs(out_p[0, 1] - 81.0) < 1.5  # ~1e6 m south of the pole
+
+
+def test_hom_epsg_worked_example_and_roundtrip():
+    """Hotine Oblique Mercator vs the published EPSG Guidance Note 7-2
+    worked example (Timbalai 1948 / RSO Borneo, method 9815 variant B):
+    inverse of (679245.73, 596562.78) must be 5°23'14.1129"N,
+    115°48'19.8196"E to the example's own precision (~1e-4 arcsec =
+    3e-8°). Roundtrip vs the independent forward for both variants."""
+    import numpy as np
+    from spark_shp.shp import parser
+
+    args = (6377298.556, 300.8017, 115.0, 4.0,
+            53 + 18 / 60 + 56.9537 / 3600, 53 + 7 / 60 + 48.3685 / 3600,
+            0.99984, 590476.87, 442857.65)
+    inv = parser.make_inv_hom(*args, variant="B")
+    lon, lat = inv(np.array([[679245.73, 596562.78]]))[0]
+    assert abs(lat - (5 + 23 / 60 + 14.1129 / 3600)) < 5e-8
+    assert abs(lon - (115 + 48 / 60 + 19.8196 / 3600)) < 5e-8
+
+    for variant in ("A", "B"):
+        fwd = parser.hom_forward(*args, variant=variant)
+        ivv = parser.make_inv_hom(*args, variant=variant)
+        for la in (0.5, 2.0, 4.0, 6.0, 7.5):
+            for lo in (112.0, 115.0, 119.0):
+                e, n = fwd(lo, la)
+                lo2, la2 = ivv(np.array([[e, n]]))[0]
+                assert abs(lo2 - lo) < 1e-9 and abs(la2 - la) < 1e-9
+
+
+def test_hom_wkt_dispatch_variants():
+    """ESRI Natural_Origin names route to variant A, Azimuth_Center to B
+    (same params, different grid origin -> different coordinates for the
+    same grid point, offset by u_c along the rectified axis)."""
+    import numpy as np
+    from spark_shp.shp import parser
+
+    base = ('PROJCS["x",GEOGCS["g",DATUM["d",'
+            'SPHEROID["s",6377298.556,300.8017]]],'
+            'PROJECTION["Hotine_Oblique_Mercator_Azimuth_%s"],'
+            'PARAMETER["latitude_of_center",4],'
+            'PARAMETER["longitude_of_center",115],'
+            'PARAMETER["azimuth",53.31582047222222],'
+            'PARAMETER["rectified_grid_angle",53.13010236111111],'
+            'PARAMETER["scale_factor",0.99984],'
+            'PARAMETER["false_easting",0],'
+            'PARAMETER["false_northing",0],UNIT["metre",1]]')
+    pt = np.array([[100000.0, 100000.0]])
+    va = parser.projection_from_wkt(base % "Natural_Origin")(pt)[0]
+    vb = parser.projection_from_wkt(base % "Center")(pt)[0]
+    assert not np.allclose(va, vb)   # origins differ by u_c
+    # both decode to plausible Borneo-region coordinates
+    for lon, lat in (va, vb):
+        assert 100.0 < lon < 130.0 and -10.0 < lat < 20.0
