@@ -631,9 +631,47 @@ FROM a GROUP BY 1, 2
 """
 
 
+def q_ohlc_hourly(spark, sf_dir):
+    """Time-series resampling (the OHLC/candlestick shape): per event_type
+    and hour, open/close by min_by/max_by on an exact integer-µs time key
+    with event_id tiebreak, high/low via exact DECIMAL min/max surfaced as
+    DOUBLE. One (type, hour)-keyed aggregation — the downsample-to-bars
+    pass of any metrics/market pipeline, map-side combinable."""
+    e = (_t(spark, sf_dir, "events")
+         .select("event_type", "value", "event_id",
+                 F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                 .alias("us")))
+    hour = F.floor(F.col("us") / F.lit(3_600_000_000)).alias("hour_bucket")
+    return (e.groupBy("event_type", hour)
+            .agg(F.expr("min_by(value, us * 1000 + event_id % 1000)")
+                 .cast(DEC).cast("double").alias("open"),
+                 F.max(F.col("value").cast(DEC)).cast("double").alias("high"),
+                 F.min(F.col("value").cast(DEC)).cast("double").alias("low"),
+                 F.expr("max_by(value, us * 1000 + event_id % 1000)")
+                 .cast(DEC).cast("double").alias("close"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+ORACLE_OHLC = """
+WITH e AS (
+  SELECT event_type, value, event_id, epoch_us(ts) AS us FROM events)
+SELECT event_type,
+       CAST(FLOOR(us / 3600000000.0) AS BIGINT) AS hour_bucket,
+       CAST(CAST(min_by(value, us * 1000 + event_id % 1000)
+            AS DECIMAL(18,6)) AS DOUBLE) AS open,
+       CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS high,
+       CAST(MIN(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS low,
+       CAST(CAST(max_by(value, us * 1000 + event_id % 1000)
+            AS DECIMAL(18,6)) AS DOUBLE) AS close,
+       COUNT(*) AS n
+FROM e GROUP BY 1, 2
+"""
+
+
 QUERIES: dict = {
     "funnel_stages": (q_funnel_stages, ORACLE_FUNNEL),
     "cohort_retention": (q_cohort_retention, ORACLE_COHORT),
+    "ohlc_hourly": (q_ohlc_hourly, ORACLE_OHLC),
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "revenue_by_nation": (q_revenue_by_nation, ORACLE_REVENUE_NATION),
     "semi_join_open_orders": (q_customers_with_open_orders, ORACLE_SEMI),

@@ -71,6 +71,7 @@ _TAIL = [
     "attribution_pairs",      # stream-stream interval join batch twin (C12)
     "funnel_stages",          # ordered conversion funnel (C7/agg family)
     "cohort_retention",       # weekly cohort-retention matrix (C7/agg family)
+    "ohlc_hourly",            # OHLC time-series resample (C6/agg family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

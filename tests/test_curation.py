@@ -364,3 +364,28 @@ def test_funnel_and_cohort_hand_computed(spark, tmp_path):
     w0 = min(k[0] for k in c)
     assert c[(w0, 0)] == 4
     assert c[(w0, 2)] == 1 and len(c) == 2
+
+
+def test_new_operator_plan_shapes(spark):
+    """The late-round operators must stay pure JVM (no Python eval
+    operators in the plan) with a bounded shuffle count — the plan
+    discipline the 100 TB brief demands."""
+    from spark_shp.queries_curation import (q_dedup_passages,
+                                            q_focal_density,
+                                            q_repetition_signals,
+                                            q_tfidf_keywords)
+    sf = "/root/testdata/sf0.001"
+    budgets = {  # max Exchange hashpartitioning allowed
+        q_focal_density: 2,       # cell counts + stencil re-aggregation
+        q_dedup_passages: 2,      # passage-keyed window + doc_id agg
+        q_repetition_signals: 5,  # 2x (explode agg + doc rollup) + join
+        q_tfidf_keywords: 5,      # tf agg, df agg, term join, doc window
+    }
+    for fn, budget in budgets.items():
+        df = fn(spark, sf)
+        plan = df._jdf.queryExecution().toString()
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "ArrowEvalPython" not in plan, fn.__name__
+        physical = df._jdf.queryExecution().executedPlan().toString()
+        n = physical.count("Exchange hashpartitioning")
+        assert n <= budget, f"{fn.__name__}: {n} shuffles > {budget}"
