@@ -668,10 +668,62 @@ FROM e GROUP BY 1, 2
 """
 
 
+def q_profile_orders(spark, sf_dir):
+    """Data-profiling operator (the quality-report pass every ingest
+    pipeline runs before training): per column of `orders` — null count,
+    exact distinct count, min/max rendered to strings — computed in ONE
+    pass via conditional aggregation (no per-column scans, no driver
+    loops; numeric min/max through DECIMAL for exactness). Output is one
+    row per column so the report shape is stable at any table width."""
+    o = _t(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    specs = []
+    for col, kind in [("o_orderkey", "i"), ("o_custkey", "i"),
+                      ("o_totalprice", "d"), ("o_orderdate", "s"),
+                      ("o_orderstatus", "s")]:
+        # doubles render through DECIMAL strings: double->string scientific
+        # notation diverges between engines, DECIMAL(18,6) text does not
+        mn, mx = F.min(col), F.max(col)
+        if kind == "d":
+            mn = F.min(F.col(col).cast(DEC))
+            mx = F.max(F.col(col).cast(DEC))
+        specs.append(F.struct(
+            F.lit(col).alias("col"),
+            n.cast("long").alias("n_rows"),
+            F.sum(F.col(col).isNull().cast("long")).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            mn.cast("string").alias("min_str"),
+            mx.cast("string").alias("max_str")))
+    return (o.agg(F.array(*specs).alias("a"))
+            .select(F.explode("a").alias("s")).select("s.*"))
+
+
+def _profile_oracle() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+            "o_orderstatus"]
+    parts = []
+    for c in cols:
+        # numeric/date/string min computed NATIVELY, rendered after —
+        # MIN(CAST(x AS VARCHAR)) would be lexicographic ("10" < "9")
+        inner = (f"CAST({c} AS DECIMAL(18,6))" if c == "o_totalprice"
+                 else c)
+        mn = f"CAST(MIN({inner}) AS VARCHAR)"
+        mx = f"CAST(MAX({inner}) AS VARCHAR)"
+        parts.append(f"""
+SELECT '{c}' AS col, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       {mn} AS min_str, {mx} AS max_str
+FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES: dict = {
     "funnel_stages": (q_funnel_stages, ORACLE_FUNNEL),
     "cohort_retention": (q_cohort_retention, ORACLE_COHORT),
     "ohlc_hourly": (q_ohlc_hourly, ORACLE_OHLC),
+    "profile_orders": (q_profile_orders, _profile_oracle()),
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "revenue_by_nation": (q_revenue_by_nation, ORACLE_REVENUE_NATION),
     "semi_join_open_orders": (q_customers_with_open_orders, ORACLE_SEMI),

@@ -72,6 +72,7 @@ _TAIL = [
     "funnel_stages",          # ordered conversion funnel (C7/agg family)
     "cohort_retention",       # weekly cohort-retention matrix (C7/agg family)
     "ohlc_hourly",            # OHLC time-series resample (C6/agg family)
+    "profile_orders",         # one-pass data-profiling report (C6 family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",
