@@ -911,14 +911,24 @@ def _autocorr_formulas(n_cells: int, w_pairs: int) -> tuple[str, str]:
       C = (n-1) * (2*D2 - 2*P) * n / (2*W * (n*Sx2 - Sx^2))
     with P = sum over ordered adjacent pairs of x_i*x_j, D = sum deg_i*x_i,
     D2 = sum deg_i*x_i^2, Sx/Sx2 = first/second moments, W = ordered
-    adjacent-pair count (a lattice constant)."""
-    n, w = n_cells, w_pairs
-    den = f"({n} * sx2 - sx * sx)"
-    i_num = f"({n} * {n} * p_adj - 2 * {n} * sx * d_deg + {w} * sx * sx)"
-    c_num = f"(({n} - 1) * (2 * d2_deg - 2 * p_adj) * {n})"
-    return (f"ROUND(CAST({i_num} AS DOUBLE) / CAST({w} * {den} AS DOUBLE), 9)",
-            f"ROUND(CAST({c_num} AS DOUBLE) / CAST(2 * {w} * {den} AS DOUBLE),"
-            " 9)")
+    adjacent-pair count (a lattice constant).
+
+    The MOMENTS stay exact int64 (distributed integer sums are exact in
+    any order); the final composition runs in float64 — n^2*P alone
+    overflows int64 past ~2.7M events (caught by the 200M-row bench), and
+    float64 products of the same exact inputs in the same literal order
+    are still bit-identical across engines (every op correctly
+    rounded)."""
+    n, w = float(n_cells), float(w_pairs)
+    m = {k: f"CAST({k} AS DOUBLE)" for k in
+         ("sx", "sx2", "p_adj", "d_deg", "d2_deg")}
+    den = f"({n!r} * {m['sx2']} - {m['sx']} * {m['sx']})"
+    i_num = (f"({n!r} * {n!r} * {m['p_adj']} - 2.0 * {n!r} * {m['sx']}"
+             f" * {m['d_deg']} + {w!r} * {m['sx']} * {m['sx']})")
+    c_num = (f"(({n!r} - 1.0) * (2.0 * {m['d2_deg']} - 2.0 * {m['p_adj']})"
+             f" * {n!r})")
+    return (f"ROUND({i_num} / ({w!r} * {den}), 9)",
+            f"ROUND({c_num} / (2.0 * {w!r} * {den}), 9)")
 
 
 def q_spatial_autocorr(spark, sf_dir):
@@ -929,9 +939,10 @@ def q_spatial_autocorr(spark, sf_dir):
     a constant-fan-out neighbor explode + one equi-join for the adjacent
     cross-moment P, closed-form per-cell lattice degree for D/D2 (edge
     cells have fewer neighbors), and the lattice-constant W; each statistic
-    is a single integer/integer division (int64-safe to ~1e9 events at
-    this level). Scale shape: one grid aggregation + one neighbor
-    equi-join, output is ONE row."""
+    composes those exact moments in float64 (bit-identical cross-engine;
+    the moments themselves stay exact int64 to ~4e11 events on this
+    lattice — Sx2 <= N^2/n_cells). Scale shape: one grid aggregation + one
+    neighbor equi-join, output is ONE row."""
     n = 1 << AC_LVL
     e = _t(spark, sf_dir, "events").selectExpr(
         f"{fixtures.EVENT_LON_SQL} AS lon", f"{fixtures.EVENT_LAT_SQL} AS lat")
