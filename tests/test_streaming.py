@@ -188,3 +188,60 @@ def test_attribution_stream_stream_join_equals_batch(spark, replay_dir):
                      r["delay_us"])
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert len(want) > 0
+
+
+def test_attribution_join_drops_late_clicks(spark, tmp_path):
+    """Stream-stream join state eviction: after the watermark passes
+    view_ts + horizon, the buffered view is gone, so a late-arriving
+    in-horizon click must produce NO pair — the bounded-state contract."""
+    import pandas as pd
+    d = tmp_path / "attr"
+    d.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    far = pd.Timestamp("2024-01-03 00:00:00")
+    pdf1 = pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": [t0, t0 + pd.Timedelta(minutes=1), far],
+        "event_id": [10, 11, 99],
+        "event_type": ["view", "click", "view"]})
+    spark.createDataFrame(pdf1).coalesce(1).write.parquet(str(d / "f1"))
+
+    schema = spark.read.parquet(str(d / "f1")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d) + "/*")
+              .withColumn("ts", F.col("ts").cast("timestamp_ltz")))
+    pairs = streaming.attribution_pairs(
+        stream.where(F.col("event_type") == "view"),
+        stream.where(F.col("event_type") == "click"),
+        horizon="2 hours", watermark="10 minutes")
+    q = (pairs.writeStream.format("memory").queryName("attr_sink")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    got1 = spark.sql("SELECT view_id, click_id FROM attr_sink").collect()
+    assert {(r["view_id"], r["click_id"]) for r in got1} == {(10, 11)}
+
+    # batch 2: a far-future CLICK. The global watermark is the MIN across
+    # both sides' watermark nodes, so an idle click stream PINS it (batch 1
+    # only advanced the view side) — the advancing row must be a click.
+    # Spark then evicts join state at END of this batch (a late row in the
+    # SAME batch as the cleanup could still match; the contract is bounded
+    # state + no missed in-bound matches, not eager drops).
+    pdf2 = pd.DataFrame({
+        "user_id": [3], "ts": [far + pd.Timedelta(hours=1)],
+        "event_id": [98], "event_type": ["click"]})
+    spark.createDataFrame(pdf2).coalesce(1).write.parquet(str(d / "f2"))
+    time.sleep(0.2)
+    q.processAllAvailable()
+
+    # batch 3: a click 2 min after the t0 view — IN horizon by event time,
+    # but the view's state was evicted in batch 2 -> no pair
+    pdf3 = pd.DataFrame({
+        "user_id": [1], "ts": [t0 + pd.Timedelta(minutes=2)],
+        "event_id": [12], "event_type": ["click"]})
+    spark.createDataFrame(pdf3).coalesce(1).write.parquet(str(d / "f3"))
+    time.sleep(0.2)
+    q.processAllAvailable()
+    got2 = spark.sql("SELECT view_id, click_id FROM attr_sink").collect()
+    q.stop()
+    assert {(r["view_id"], r["click_id"]) for r in got2} == {(10, 11)}, \
+        "late click must not see evicted view state"
