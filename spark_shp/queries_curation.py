@@ -1072,6 +1072,49 @@ SELECT doc_id, term, rank, score FROM r WHERE rank <= {TFIDF_TOPK}
 """
 
 
+# --- array higher-order-function suite (C10/C13 JVM-lambda coverage) -----------
+
+def q_array_functions_suite(spark, sf_dir):
+    """One wide row per doc exercising the array higher-order functions
+    (filter / aggregate / exists / zip_with+sequence / array_distinct /
+    array_sort / slice / array_join) — the C10 surface a user composing
+    token pipelines actually touches. Everything stays in codegen'd JVM
+    lambdas (no Python); the oracle recomputes each value relationally, so
+    this also cross-checks Spark's HOF semantics against a plain-SQL
+    reading. All-integer/string outputs, exact under the value hash."""
+    d = _t(spark, sf_dir, "documents")
+    return d.selectExpr(
+        "doc_id",
+        "size(filter(split(text, ' '), t -> length(t) > 4)) AS n_long",
+        "aggregate(split(text, ' '), 0L, (acc, t) -> acc + length(t))"
+        " AS sum_len",
+        "size(array_distinct(split(text, ' '))) AS n_uniq",
+        "array_join(slice(array_sort(split(text, ' ')), 1, 3), ',')"
+        " AS first3",
+        "CAST(exists(split(text, ' '), t -> t = 'the') AS INT) AS has_the",
+        "aggregate(zip_with(split(text, ' '),"
+        " sequence(1, size(split(text, ' '))),"
+        " (t, i) -> i * length(t)), 0L, (a, x) -> a + x) AS pos_weight")
+
+
+ORACLE_ARRAY_SUITE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+ex AS (SELECT doc_id, ts[u.i] AS tok, CAST(u.i AS BIGINT) AS pos
+       FROM toks, UNNEST(range(1, len(ts) + 1)) AS u(i))
+SELECT t.doc_id,
+       CAST(SUM(CASE WHEN LENGTH(e.tok) > 4 THEN 1 ELSE 0 END) AS INT)
+         AS n_long,
+       CAST(SUM(LENGTH(e.tok)) AS BIGINT) AS sum_len,
+       CAST(COUNT(DISTINCT e.tok) AS INT) AS n_uniq,
+       array_to_string((list_sort(ANY_VALUE(t.ts)))[1:3], ',') AS first3,
+       CAST(MAX(CASE WHEN e.tok = 'the' THEN 1 ELSE 0 END) AS INT)
+         AS has_the,
+       CAST(SUM(e.pos * LENGTH(e.tok)) AS BIGINT) AS pos_weight
+FROM toks t JOIN ex e ON e.doc_id = t.doc_id
+GROUP BY t.doc_id
+"""
+
+
 QUERIES: dict = {
     "corpus_split_stratified": (q_corpus_split_stratified, ORACLE_SPLIT),
     "contamination_check": (q_contamination_check, ORACLE_CONTAMINATION),
@@ -1089,4 +1132,5 @@ QUERIES: dict = {
     "hotspot_clusters": (q_hotspot_clusters, _oracle_hotspot_clusters()),
     "tfidf_keywords": (q_tfidf_keywords, ORACLE_TFIDF),
     "spatial_autocorr": (q_spatial_autocorr, _oracle_spatial_autocorr()),
+    "array_functions_suite": (q_array_functions_suite, ORACLE_ARRAY_SUITE),
 }

@@ -73,6 +73,7 @@ _TAIL = [
     "cohort_retention",       # weekly cohort-retention matrix (C7/agg family)
     "ohlc_hourly",            # OHLC time-series resample (C6/agg family)
     "profile_orders",         # one-pass data-profiling report (C6 family)
+    "array_functions_suite",  # array HOF coverage (C10/C13 family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",
