@@ -15,8 +15,8 @@ tools/diffcheck.py and pytest still verify them exactly, locally.
 
 from __future__ import annotations
 
-from . import (queries_curation, queries_rel, queries_shp, queries_spatial,
-               queries_text)
+from . import (queries_analytics, queries_curation, queries_rel, queries_shp,
+               queries_spatial, queries_text)
 
 # Same-operator variants parked beyond the driver's 50-query window.
 # Each name's operator family keeps >=1 in-window row:
@@ -74,6 +74,12 @@ _TAIL = [
     "ohlc_hourly",            # OHLC time-series resample (C6/agg family)
     "profile_orders",         # one-pass data-profiling report (C6 family)
     "array_functions_suite",  # array HOF coverage (C10/C13 family)
+    "chunk_documents",        # RAG/pretraining token chunker (text family)
+    "pareto_frontier",        # 2-D skyline via running-max (C7/C8 family)
+    "gapfill_locf",           # hourly spine + LOCF fill (C5/C7 family)
+    "cell_morphology",        # raster erosion/boundary (B3 stencil family)
+    "map_algebra_cells",      # two-layer raster algebra (B1/B5 family)
+    "geohash_encode",         # canonical geohash interop (B1 family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",
@@ -90,7 +96,7 @@ _TAIL = [
 
 _MERGED: dict = {}
 for mod in (queries_shp, queries_spatial, queries_text, queries_rel,
-            queries_curation):
+            queries_curation, queries_analytics):
     overlap = set(_MERGED) & set(mod.QUERIES)
     if overlap:
         raise RuntimeError(f"duplicate query names: {overlap}")

@@ -1,0 +1,156 @@
+"""Independent (non-oracle) checks for the queries_analytics batch:
+brute-force / reference-implementation cross-checks so a same-bug-both-
+engines failure mode in the shared SQL can't hide behind the differential.
+"""
+
+import duckdb
+import numpy as np
+import pytest
+
+from spark_shp import cells, fixtures
+from spark_shp.queries_analytics import (
+    CHUNK_SIZE, CHUNK_STRIDE, GAPFILL_USER_MOD, HOUR_US, MORPH_LEVEL,
+    _geohash6_sql, q_cell_morphology, q_chunk_documents, q_gapfill_locf,
+    q_pareto_frontier)
+
+SF = "/root/testdata/sf0.001"
+
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash6_ref(lon: float, lat: float) -> str:
+    """Textbook bisection geohash — a genuinely different algorithm from
+    the Morton-spread SQL (no interleave tricks)."""
+    lo_rng, la_rng = [-180.0, 180.0], [-90.0, 90.0]
+    bits, out, ch, even = 0, [], 0, True
+    while len(out) < 6:
+        rng, v = (lo_rng, lon) if even else (la_rng, lat)
+        mid = (rng[0] + rng[1]) / 2
+        ch = ch * 2 + (1 if v >= mid else 0)
+        rng[1 if v < mid else 0] = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(_B32[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_sql_matches_bisection_reference():
+    rng = np.random.default_rng(7)
+    lons = np.concatenate([rng.uniform(-180, 180, 200),
+                           [-5.603, -0.1257, 139.7, 0.0, -179.999, 179.999]])
+    lats = np.concatenate([rng.uniform(-85, 85, 200),
+                           [42.605, 51.5085, 35.68, 0.0, -84.9, 84.9]])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts(lon DOUBLE, lat DOUBLE)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)",
+                    list(zip(lons.tolist(), lats.tolist())))
+    got = [r[0] for r in con.execute(
+        f"SELECT {_geohash6_sql('lon', 'lat')} FROM pts").fetchall()]
+    want = [_geohash6_ref(lo, la) for lo, la in zip(lons, lats)]
+    assert got == want
+    # pin the published vectors explicitly
+    assert want[-6:-3] == ["ezs42s", "gcpvj0", "xn76fz"]
+
+
+def test_pareto_frontier_vs_bruteforce(spark):
+    out = {(r.p_partkey, r.p_retailprice, r.p_size)
+           for r in q_pareto_frontier(spark, SF).collect()}
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT p_partkey, p_retailprice, p_size FROM "
+        f"read_parquet('{SF}/part.parquet')").fetchall()
+    key = np.array([(p, s) for _, p, s in rows])
+    price, size = key[:, 0], key[:, 1]
+    dominated = np.zeros(len(rows), dtype=bool)
+    for i in range(len(rows)):
+        dominated[i] = np.any((price <= price[i]) & (size >= size[i]) &
+                              ((price < price[i]) | (size > size[i])))
+    want = {rows[i] for i in range(len(rows)) if not dominated[i]}
+    assert out == want and len(out) > 0
+    # every survivor must be mutually non-dominated
+    fp = sorted(out, key=lambda r: (r[1], -r[2]))
+    for a, b in zip(fp, fp[1:]):
+        assert a[1] < b[1] or (a[1] == b[1] and a[2] == b[2])
+
+
+def test_cell_morphology_vs_numpy_erosion(spark):
+    out = {r.ix: (r.n_occ, r.n_interior, r.checksum)
+           for r in q_cell_morphology(spark, SF).collect()}
+    con = duckdb.connect()
+    ix_sql, iy_sql = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                        fixtures.EVENT_LAT_SQL, MORPH_LEVEL)
+    pts = con.execute(
+        f"SELECT DISTINCT {ix_sql} AS ix, {iy_sql} AS iy FROM "
+        f"read_parquet('{SF}/events.parquet')").fetchnumpy()
+    n = 1 << MORPH_LEVEL
+    grid = np.zeros((n + 2, n + 2), dtype=bool)  # 1-cell pad = lattice edge
+    grid[pts["ix"] + 1, pts["iy"] + 1] = True
+    nb = sum(np.roll(np.roll(grid, dx, 0), dy, 1)
+             for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+             if (dx, dy) != (0, 0))
+    interior = grid & (nb == 8)
+    want = {}
+    for ix in range(n):
+        occ_iy = np.nonzero(grid[ix + 1, 1:n + 1])[0]
+        if occ_iy.size == 0:
+            continue
+        ins = interior[ix + 1, occ_iy + 1]
+        want[ix] = (occ_iy.size, int(ins.sum()),
+                    int((occ_iy * (1 + ins.astype(np.int64))).sum()))
+    assert out == want
+
+
+def test_chunk_documents_covers_and_reconstructs(spark):
+    rows = q_chunk_documents(spark, SF).collect()
+    con = duckdb.connect()
+    texts = dict(con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')")
+        .fetchall())
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, chs in by_doc.items():
+        toks = texts[doc_id].split(" ")
+        chs.sort(key=lambda r: r.chunk_idx)
+        # chunk starts step STRIDE, sizes min(CHUNK_SIZE, remaining)
+        for r in chs:
+            s = r.chunk_idx * CHUNK_STRIDE
+            want = toks[s:s + CHUNK_SIZE]
+            assert r.chunk_text == " ".join(want)
+            assert r.n_toks == len(want)
+        # coverage: stride < size ⇒ every token appears in some chunk
+        covered = set()
+        for r in chs:
+            s = r.chunk_idx * CHUNK_STRIDE
+            covered.update(range(s, s + r.n_toks))
+        assert covered == set(range(len(toks)))
+
+
+def test_gapfill_locf_spine_and_carry(spark):
+    rows = q_gapfill_locf(spark, SF).collect()
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, epoch_us(ts) AS us, value, event_id FROM "
+        f"read_parquet('{SF}/events.parquet') "
+        f"WHERE user_id % {GAPFILL_USER_MOD} = 0 "
+        f"ORDER BY user_id, us, event_id").fetchall()
+    assert rows and ev
+    per_user = {}
+    for u, us, v, eid in ev:
+        per_user.setdefault(u, []).append((us // HOUR_US, us, eid, v))
+    got = {}
+    for r in rows:
+        got.setdefault(r.user_id, {})[r.hr] = (r.val, r.observed)
+    assert set(got) == set(per_user)
+    for u, evs in per_user.items():
+        hrs = sorted(got[u])
+        assert hrs == list(range(evs[0][0], evs[-1][0] + 1))  # dense spine
+        for hr in hrs:
+            prior = [t for t in evs if t[0] <= hr]
+            want_val = max(prior)[3]  # latest (hr, us, eid) at/before hr
+            val, observed = got[u][hr]
+            assert val == want_val
+            assert observed == (1 if any(t[0] == hr for t in evs) else 0)
