@@ -356,6 +356,267 @@ FROM g GROUP BY 1
 """
 
 
+# --- decayed_cell_scores: exponentially time-decayed density ------------------
+
+DECAY_BUCKET_US = 6 * HOUR_US  # one half-life = 6 hours
+DECAY_MAX_BUCKET = 10
+DECAY_SCALE = 1024  # weight = 1024 >> bucket — exact integers throughout
+
+
+def q_decayed_cell_scores(spark, sf_dir):
+    """Freshness-weighted density per cell: each event contributes
+    1024 / 2^b where b = min(10, age in 6-hour half-lives from the
+    corpus's newest event) — the recency-decayed heatmap every monitoring
+    rollup wants, kept EXACT by using power-of-two integer weights instead
+    of float exp(). The global max timestamp is a one-row aggregate
+    broadcast into the scan (no second pass, no driver round-trip
+    dependency on data size); then one map-side-combinable groupBy."""
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us",
+        f"{cells.cell_sql(fixtures.EVENT_LON_SQL, fixtures.EVENT_LAT_SQL, ALGEBRA_LEVEL)} AS cell_id")
+    mx = e.agg(F.max("us").alias("mx"))
+    j = e.crossJoin(F.broadcast(mx))
+    b = (f"LEAST({DECAY_MAX_BUCKET}, "
+         f"CAST(FLOOR((mx - us) / {float(DECAY_BUCKET_US)!r}) AS BIGINT))")
+    w = f"CAST(FLOOR({DECAY_SCALE} / POWER(2.0, {b})) AS BIGINT)"
+    return (j.selectExpr("cell_id", f"{w} AS w")
+            .groupBy("cell_id")
+            .agg(F.sum("w").alias("score"), F.count(F.lit(1)).alias("n"))
+            .where(F.col("score") >= DECAY_SCALE)
+            .selectExpr("cell_id", "CAST(score AS BIGINT) AS score",
+                        "CAST(n AS BIGINT) AS n"))
+
+
+def _oracle_decayed() -> str:
+    b = (f"LEAST({DECAY_MAX_BUCKET}, "
+         f"CAST(FLOOR((mx - us) / {float(DECAY_BUCKET_US)!r}) AS BIGINT))")
+    w = f"CAST(FLOOR({DECAY_SCALE} / POWER(2.0, {b})) AS BIGINT)"
+    return f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS us,
+         {cells.cell_sql(fixtures.EVENT_LON_SQL, fixtures.EVENT_LAT_SQL, ALGEBRA_LEVEL)} AS cell_id
+  FROM events),
+m AS (SELECT MAX(us) AS mx FROM e)
+SELECT cell_id, CAST(SUM({w}) AS BIGINT) AS score,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM e, m GROUP BY cell_id HAVING SUM({w}) >= {DECAY_SCALE}
+"""
+
+
+# --- bearing_histogram: 8-octant compass histogram of consecutive moves ------
+
+def _octant_sql(dx: str, dy: str) -> str:
+    """Octant 0..7 counterclockwise from East, split at the 45° lines —
+    decided purely by sign and |dx| vs |dy| comparisons (no atan2, no
+    trig), so the bucket is bit-deterministic on both engines. Boundary
+    ties resolve by the CASE order (>= vs >), identically everywhere."""
+    adx, ady = f"ABS({dx})", f"ABS({dy})"
+    return f"""CASE
+  WHEN ({dx}) >= 0 AND ({dy}) >= 0 THEN
+    (CASE WHEN {ady} > {adx} THEN 1 ELSE 0 END)
+  WHEN ({dx}) < 0 AND ({dy}) >= 0 THEN
+    (CASE WHEN {ady} > {adx} THEN 2 ELSE 3 END)
+  WHEN ({dx}) < 0 AND ({dy}) < 0 THEN
+    (CASE WHEN {ady} > {adx} THEN 5 ELSE 4 END)
+  ELSE (CASE WHEN {ady} > {adx} THEN 6 ELSE 7 END) END"""
+
+
+def q_bearing_histogram(spark, sf_dir):
+    """Per-user direction-of-travel histogram: consecutive event positions
+    become moves, bucketed into 8 compass octants by pure comparisons
+    (see _octant_sql — no trig, exact), with integer-µs dwell sums. The
+    movement-pattern profile of a trajectory pipeline. One user-keyed
+    window shuffle + one agg; zero-length moves are excluded so the
+    octant never sees a 0/0 direction."""
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us",
+        f"{fixtures.EVENT_LON_SQL} AS lon", f"{fixtures.EVENT_LAT_SQL} AS lat")
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    m = (e.withColumn("plon", F.lag("lon").over(w))
+         .withColumn("plat", F.lag("lat").over(w))
+         .withColumn("pus", F.lag("us").over(w))
+         .where("plon IS NOT NULL AND (lon != plon OR lat != plat)"))
+    oct_ = _octant_sql("lon - plon", "lat - plat")
+    return (m.selectExpr("user_id", f"CAST({oct_} AS INT) AS octant",
+                         "us - pus AS dur_us")
+            .groupBy("user_id", "octant")
+            .agg(F.count(F.lit(1)).alias("n_moves"),
+                 F.sum("dur_us").alias("sum_dur_us"))
+            .selectExpr("user_id", "octant",
+                        "CAST(n_moves AS BIGINT) AS n_moves",
+                        "CAST(sum_dur_us AS BIGINT) AS sum_dur_us"))
+
+
+def _oracle_bearing() -> str:
+    oct_ = _octant_sql("lon - plon", "lat - plat")
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         {fixtures.EVENT_LON_SQL} AS lon, {fixtures.EVENT_LAT_SQL} AS lat
+  FROM events),
+m AS (
+  SELECT user_id, lon, lat, us,
+         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat,
+         LAG(us) OVER w AS pus
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+SELECT user_id, CAST({oct_} AS INT) AS octant,
+       CAST(COUNT(*) AS BIGINT) AS n_moves,
+       CAST(SUM(us - pus) AS BIGINT) AS sum_dur_us
+FROM m WHERE plon IS NOT NULL AND (lon != plon OR lat != plat)
+GROUP BY 1, 2
+"""
+
+
+# --- scd2_intervals: slowly-changing-dimension type-2 build -------------------
+
+def q_scd2_intervals(spark, sf_dir):
+    """Build an SCD type-2 dimension from the orders stream: per customer,
+    consecutive orders sharing o_orderpriority collapse into one validity
+    interval [valid_from, valid_to), valid_to = next interval's start
+    (NULL for the current version) — the gaps-and-islands pattern every
+    warehouse dimension load runs. Timestamps are copied, never computed,
+    so they hash exactly. Two windows + one agg, all keyed by customer —
+    one shuffle, linear per key."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = F.when(
+        F.lag("o_orderpriority").over(w).isNull()
+        | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
+        1).otherwise(0)
+    grp = (o.withColumn("chg", chg)
+           .withColumn("grp", F.sum("chg").over(
+               w.rowsBetween(W.unboundedPreceding, 0))))
+    g = (grp.groupBy("o_custkey", "grp")
+         .agg(F.min("o_orderpriority").alias("priority"),
+              F.min("o_orderdate").alias("valid_from"),
+              F.count(F.lit(1)).alias("n_orders")))
+    w2 = W.partitionBy("o_custkey").orderBy("grp")
+    return (g.withColumn("valid_to", F.lead("valid_from").over(w2))
+            .selectExpr("o_custkey", "priority", "valid_from", "valid_to",
+                        "CAST(n_orders AS BIGINT) AS n_orders"))
+
+
+ORACLE_SCD2 = """
+WITH o AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         CASE WHEN LAG(o_orderpriority) OVER w IS NULL
+              OR LAG(o_orderpriority) OVER w != o_orderpriority
+         THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+g0 AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate,
+         SUM(chg) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM o),
+g AS (
+  SELECT o_custkey, grp, MIN(o_orderpriority) AS priority,
+         MIN(o_orderdate) AS valid_from, COUNT(*) AS n_orders
+  FROM g0 GROUP BY o_custkey, grp)
+SELECT o_custkey, priority, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY grp)
+         AS valid_to,
+       CAST(n_orders AS BIGINT) AS n_orders
+FROM g
+"""
+
+
+# --- triangle_count: degree-oriented triangle counting on the dedup graph ----
+
+TRI_MIN_BANDS = 4  # same edge set dedup_clusters uses
+
+
+def triangle_census(pairs: DataFrame) -> DataFrame:
+    """Triangle census of an undirected simple graph given as distinct
+    (doc_a, doc_b) edges with doc_a < doc_b: node / edge / wedge /
+    triangle counts plus the global clustering coefficient 3T/W. Uses
+    DEGREE ORIENTATION — every edge is directed from its lower-(degree,
+    id) endpoint, so each triangle is counted exactly once and the wedge
+    fan-out per node is bounded by its oriented out-degree (the standard
+    trick that keeps distributed triangle counting from exploding on hubs
+    at 100 TB; a hub of degree d contributes O(d) as a spoke but only
+    O(out-deg²) as a pivot). Two equi-joins on node keys; all counts
+    exact int64; the coefficient is one int/int division."""
+    deg = (pairs.selectExpr("doc_a AS v").unionAll(
+        pairs.selectExpr("doc_b AS v"))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    # sortable orientation key: degree-major, id tiebreak (d*2^32 + v is
+    # exact: d, v both < 2^31 here and at any plausible corpus scale the
+    # product stays < 2^52 — the repo's ANSI-overflow rule)
+    e = (pairs
+         .join(deg.selectExpr("v AS doc_a", "d AS da"), "doc_a")
+         .join(deg.selectExpr("v AS doc_b", "d AS db"), "doc_b")
+         .selectExpr(
+             "CASE WHEN da * 4294967296 + doc_a < db * 4294967296 + doc_b "
+             "THEN doc_a ELSE doc_b END AS src",
+             "CASE WHEN da * 4294967296 + doc_a < db * 4294967296 + doc_b "
+             "THEN db * 4294967296 + doc_b ELSE da * 4294967296 + doc_a "
+             "END AS dst_key",
+             "CASE WHEN da * 4294967296 + doc_a < db * 4294967296 + doc_b "
+             "THEN doc_b ELSE doc_a END AS dst"))
+    o1, o2 = e.alias("o1"), e.alias("o2")
+    wedges = (o1.join(o2, (F.col("o1.src") == F.col("o2.src"))
+                      & (F.col("o1.dst_key") < F.col("o2.dst_key")))
+              .select(F.col("o1.dst").alias("w1"),
+                      F.col("o2.dst").alias("w2")))
+    closing = e.selectExpr("src AS w1", "dst AS w2")
+    tri = wedges.join(closing, ["w1", "w2"]).agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.sum(F.expr("d * (d - 1)")).alias("wedges2"))
+    ne = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (nn.crossJoin(ne).crossJoin(tri).selectExpr(
+        "CAST(n_nodes AS BIGINT) AS n_nodes",
+        "CAST(n_edges AS BIGINT) AS n_edges",
+        "CAST(wedges2 / 2 AS BIGINT) AS n_wedges",
+        "CAST(n_triangles AS BIGINT) AS n_triangles",
+        "CASE WHEN wedges2 > 0 THEN CAST(3 * n_triangles * 2 AS DOUBLE) "
+        "/ wedges2 END AS clustering_coef"))
+
+
+def q_triangle_count(spark, sf_dir):
+    """Triangle census of the near-duplicate graph (LSH pairs with
+    ≥ TRI_MIN_BANDS matching bands — the dedup_clusters edge set).
+    See triangle_census for the degree-orientation plan."""
+    from .queries_text import q_minhash_lsh_pairs
+    pairs = (q_minhash_lsh_pairs(spark, sf_dir)
+             .where(F.col("n_bands") >= TRI_MIN_BANDS)
+             .select("doc_a", "doc_b"))
+    return triangle_census(pairs)
+
+
+def _oracle_triangles() -> str:
+    from .queries_text import ORACLE_LSH_PAIRS
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({ORACLE_LSH_PAIRS}) lp
+  WHERE n_bands >= {TRI_MIN_BANDS}),
+deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b FROM pairs) u
+  GROUP BY v),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM pairs p1 JOIN pairs p2 ON p2.doc_a = p1.doc_b
+  JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+         (SELECT COUNT(*) FROM pairs) AS n_edges,
+         (SELECT SUM(d * (d - 1)) FROM deg) AS wedges2,
+         (SELECT n_triangles FROM tri) AS n_triangles)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(wedges2 / 2 AS BIGINT) AS n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       CASE WHEN wedges2 > 0 THEN CAST(3 * n_triangles * 2 AS DOUBLE)
+       / wedges2 END AS clustering_coef
+FROM agg
+"""
+
+
 QUERIES: dict = {
     "chunk_documents": (q_chunk_documents, ORACLE_CHUNKS),
     "pareto_frontier": (q_pareto_frontier, ORACLE_PARETO),
@@ -363,4 +624,8 @@ QUERIES: dict = {
     "cell_morphology": (q_cell_morphology, _oracle_morphology()),
     "map_algebra_cells": (q_map_algebra_cells, _oracle_map_algebra()),
     "geohash_encode": (q_geohash_encode, _oracle_geohash()),
+    "decayed_cell_scores": (q_decayed_cell_scores, _oracle_decayed()),
+    "bearing_histogram": (q_bearing_histogram, _oracle_bearing()),
+    "scd2_intervals": (q_scd2_intervals, ORACLE_SCD2),
+    "triangle_count": (q_triangle_count, _oracle_triangles()),
 }

@@ -80,6 +80,10 @@ _TAIL = [
     "cell_morphology",        # raster erosion/boundary (B3 stencil family)
     "map_algebra_cells",      # two-layer raster algebra (B1/B5 family)
     "geohash_encode",         # canonical geohash interop (B1 family)
+    "decayed_cell_scores",    # recency-decayed heatmap (B5/agg family)
+    "bearing_histogram",      # 8-octant move histogram (trajectory family)
+    "scd2_intervals",         # SCD type-2 dimension build (C7 family)
+    "triangle_count",         # degree-oriented triangle census (graph family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -154,3 +154,95 @@ def test_gapfill_locf_spine_and_carry(spark):
             val, observed = got[u][hr]
             assert val == want_val
             assert observed == (1 if any(t[0] == hr for t in evs) else 0)
+
+
+def test_triangle_census_on_hand_built_graphs(spark):
+    from spark_shp.queries_analytics import triangle_census
+
+    def census(edges):
+        df = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges],
+            "doc_a long, doc_b long")
+        return triangle_census(df).collect()[0]
+
+    # path graph 1-2-3-4: 0 triangles, 2 wedges
+    r = census([(1, 2), (2, 3), (3, 4)])
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 3, 2, 0)
+    assert r.clustering_coef == 0.0
+    # K4: 4 triangles, 12 wedges, coef 1.0
+    r = census([(a, b) for a in range(1, 5) for b in range(a + 1, 5)])
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert r.clustering_coef == 1.0
+    # bowtie (two triangles sharing node 3)
+    r = census([(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5)])
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 6, 2)
+    # star K1,5 (hub): wedges C(5,2)=10, no triangles — the orientation
+    # must not blow up or double count around the hub
+    r = census([(9, k) for k in range(1, 6)])
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (6, 5, 10, 0)
+
+
+def test_octant_sql_matches_atan2():
+    import math
+
+    from spark_shp.queries_analytics import _octant_sql
+    rng = np.random.default_rng(3)
+    dx = rng.normal(size=300)
+    dy = rng.normal(size=300)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(dx DOUBLE, dy DOUBLE)")
+    con.executemany("INSERT INTO v VALUES (?, ?)",
+                    list(zip(dx.tolist(), dy.tolist())))
+    got = [r[0] for r in con.execute(
+        f"SELECT {_octant_sql('dx', 'dy')} FROM v").fetchall()]
+    for o, x, y in zip(got, dx, dy):
+        ang = math.atan2(y, x) % (2 * math.pi)
+        want = int(ang // (math.pi / 4)) % 8
+        assert o == want, (x, y, o, want)
+
+
+def test_scd2_intervals_hand_case(spark):
+    from spark_shp.queries_analytics import q_scd2_intervals
+    rows = q_scd2_intervals(spark, SF).collect()
+    con = duckdb.connect()
+    orders = con.execute(
+        f"SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey FROM "
+        f"read_parquet('{SF}/orders.parquet') ORDER BY 1, 3, 4").fetchall()
+    per = {}
+    for c, p, d, k in orders:
+        per.setdefault(c, []).append((p, d))
+    # rebuild islands per customer sequentially
+    want = []
+    for c, seq in per.items():
+        runs = []
+        for p, d in seq:
+            if not runs or runs[-1][0] != p:
+                runs.append([p, d, 0])
+            runs[-1][2] += 1
+        for i, (p, d, n) in enumerate(runs):
+            vt = runs[i + 1][1] if i + 1 < len(runs) else None
+            want.append((c, p, d, vt, n))
+    got = sorted((r.o_custkey, r.priority, r.valid_from, r.valid_to,
+                  r.n_orders) for r in rows)
+    assert got == sorted(want)
+    # interval chaining: valid_to of one version == valid_from of the next
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    for c, rs in by_cust.items():
+        rs.sort(key=lambda r: r.valid_from)
+        assert rs[-1].valid_to is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from
+
+
+def test_decayed_scores_weights_are_halving_powers(spark):
+    from spark_shp.queries_analytics import (DECAY_MAX_BUCKET, DECAY_SCALE,
+                                             q_decayed_cell_scores)
+    rows = q_decayed_cell_scores(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # a score is a sum of n weights, each DECAY_SCALE >> b with
+        # b <= DECAY_MAX_BUCKET, so bounds are checkable per row
+        assert r.n * (DECAY_SCALE >> DECAY_MAX_BUCKET) <= r.score
+        assert r.score <= r.n * DECAY_SCALE
