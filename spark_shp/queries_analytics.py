@@ -617,6 +617,237 @@ FROM agg
 """
 
 
+# --- markov_transitions: event-type transition matrix -------------------------
+
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition counts + probabilities over per-user
+    event sequences — the n-gram/transition statistics a sequence-model
+    feature pipeline extracts. One user-keyed window shuffle for the lag,
+    one global (prev,next) agg (tiny key space: |event_type|²), then the
+    per-prev normalizer folds in via a window over the aggregated matrix
+    (a few dozen rows — no second scan). Counts exact int64, probability
+    ONE int/int division."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        "ts", "event_id")
+    m = (e.withColumn("prev_type", F.lag("event_type").over(w))
+         .where("prev_type IS NOT NULL")
+         .groupBy("prev_type", F.col("event_type").alias("next_type"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    tot = W.partitionBy("prev_type")
+    return (m.withColumn("row_total", F.sum("n").over(tot))
+            .selectExpr("prev_type", "next_type",
+                        "CAST(n AS BIGINT) AS n",
+                        "CAST(n AS DOUBLE) / row_total AS p"))
+
+
+ORACLE_MARKOV = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+m AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p
+FROM m
+"""
+
+
+# --- rfm_segments: recency/frequency/monetary customer scoring ---------------
+
+_D18 = "DECIMAL(18,6)"
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: per customer, recency (days since last
+    order, against the corpus max date), frequency (order count), monetary
+    (DECIMAL-exact spend), each scored into quintiles by ntile with a
+    custkey tiebreak so the bucketing is total-order deterministic across
+    engines and partitionings. The three ntile windows run over the
+    per-customer AGGREGATE (one row per customer), not the fact table.
+    Monetary goes through DECIMAL and back to DOUBLE — the repo's exact-
+    money pattern."""
+    o = _t(spark, sf_dir, "orders")
+    per = (o.groupBy("o_custkey")
+           .agg(F.max("o_orderdate").alias("last_order"),
+                F.count(F.lit(1)).alias("frequency"),
+                F.sum(F.col("o_totalprice").cast(_D18))
+                .cast("decimal(38,6)").cast("double").alias("monetary")))
+    mx = per.agg(F.max("last_order").alias("mxd"))
+    j = per.crossJoin(F.broadcast(mx)).selectExpr(
+        "o_custkey", "frequency", "monetary",
+        "CAST(datediff(mxd, last_order) AS BIGINT) AS recency_days")
+    r_w = W.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    f_w = W.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    m_w = W.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    return (j.withColumn("r_score", F.ntile(5).over(r_w))
+            .withColumn("f_score", F.ntile(5).over(f_w))
+            .withColumn("m_score", F.ntile(5).over(m_w))
+            .selectExpr("o_custkey", "recency_days",
+                        "CAST(frequency AS BIGINT) AS frequency", "monetary",
+                        "CAST(r_score AS INT) AS r_score",
+                        "CAST(f_score AS INT) AS f_score",
+                        "CAST(m_score AS INT) AS m_score",
+                        "CONCAT(r_score, f_score, m_score) AS segment"))
+
+
+ORACLE_RFM = f"""
+WITH per AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         CAST(CAST(SUM(CAST(o_totalprice AS {_D18})) AS DECIMAL(38,6))
+              AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey),
+mx AS (SELECT MAX(last_order) AS mxd FROM per),
+j AS (
+  SELECT o_custkey, frequency, monetary,
+         CAST(datediff('day', last_order, mxd) AS BIGINT) AS recency_days
+  FROM per, mx),
+s AS (
+  SELECT j.*,
+         NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
+  FROM j)
+SELECT o_custkey, recency_days, CAST(frequency AS BIGINT) AS frequency,
+       monetary, CAST(r_score AS INT) AS r_score,
+       CAST(f_score AS INT) AS f_score, CAST(m_score AS INT) AS m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM s
+"""
+
+
+# --- benford_first_digit: leading-digit distribution data-quality check ------
+
+def q_benford_first_digit(spark, sf_dir):
+    """Benford's-law audit of order totals — the classic anomaly /
+    fabricated-data screen. The leading digit comes from the integer cents
+    rendered as a string (FLOOR(x*100+0.5) is the same float64 op sequence
+    on both engines; integer-to-string rendering is identical), never from
+    float log10, so digit boundaries can't flip. Expected Benford share is
+    the identical LN literal sequence on both engines; observed share is
+    count/total with the total folded in via a 9-row window."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.selectExpr(
+        "SUBSTRING(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) "
+        "AS STRING), 1, 1) AS digit")
+    return (d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+            .selectExpr(
+                "digit", "CAST(n AS BIGINT) AS n",
+                "CAST(n AS DOUBLE) / SUM(n) OVER () AS observed_share",
+                "LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0) "
+                "AS benford_share"))
+
+
+ORACLE_BENFORD = """
+WITH d AS (
+  SELECT SUBSTRING(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS digit
+  FROM orders),
+g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) / SUM(n) OVER () AS observed_share,
+       LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0) AS benford_share
+FROM g
+"""
+
+
+# --- seasonality_profile: day-of-week x hour-of-day activity matrix ----------
+
+DAY_US = 24 * HOUR_US
+
+
+def q_seasonality_profile(spark, sf_dir):
+    """(day-of-week, hour-of-day) activity matrix over events — the
+    seasonality fingerprint behind anomaly baselines and capacity models.
+    Both buckets derive from integer epoch-microsecond arithmetic
+    (1970-01-01 was a Thursday, hence the +4), NOT from engine date_part
+    functions whose week-start conventions differ (Spark dayofweek is
+    1=Sunday, DuckDB's is 0=Sunday) — engine-independent by construction.
+    One map-side-combinable agg; 168 output rows at any scale."""
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us")
+    return (e.selectExpr(
+        f"CAST((CAST(FLOOR(us / {float(DAY_US)!r}) AS BIGINT) + 4) % 7 "
+        "AS INT) AS dow",
+        f"CAST(CAST(FLOOR(us / {float(HOUR_US)!r}) AS BIGINT) % 24 "
+        "AS INT) AS hod",
+        "user_id")
+        .groupBy("dow", "hod")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"))
+        .selectExpr("dow", "hod", "CAST(n_events AS BIGINT) AS n_events",
+                    "CAST(n_users AS BIGINT) AS n_users"))
+
+
+ORACLE_SEASONALITY = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events)
+SELECT CAST((CAST(FLOOR(us / {float(DAY_US)!r}) AS BIGINT) + 4) % 7
+            AS INT) AS dow,
+       CAST(CAST(FLOOR(us / {float(HOUR_US)!r}) AS BIGINT) % 24
+            AS INT) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM e GROUP BY 1, 2
+"""
+
+
+# --- inventory_balance: signed running balance per part -----------------------
+
+def q_inventory_balance(spark, sf_dir):
+    """Running-inventory reconstruction: lineitem quantities (integer-
+    valued doubles, cast exact) signed by return flag ('R' returns stock,
+    others draw it down), accumulated per part in ship order; report each
+    part's final balance and its running min/max — the drawdown envelope.
+    ONE part-keyed window shuffle does the cumsum and the envelope; the
+    final agg is map-side-combinable on the same partitioning. All
+    integers, exact at any aggregation order."""
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey",
+        "CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) "
+        "ELSE -CAST(l_quantity AS BIGINT) END AS dq",
+        "l_shipdate", "l_orderkey", "l_linenumber")
+    w = (W.partitionBy("l_partkey")
+         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+         .rowsBetween(W.unboundedPreceding, 0))
+    b = li.withColumn("bal", F.sum("dq").over(w))
+    return (b.groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("n_moves"),
+                 F.sum("dq").alias("final_balance"),
+                 F.min("bal").alias("min_balance"),
+                 F.max("bal").alias("max_balance"))
+            .selectExpr("l_partkey", "CAST(n_moves AS BIGINT) AS n_moves",
+                        "CAST(final_balance AS BIGINT) AS final_balance",
+                        "CAST(min_balance AS BIGINT) AS min_balance",
+                        "CAST(max_balance AS BIGINT) AS max_balance"))
+
+
+ORACLE_INVENTORY = """
+WITH m AS (
+  SELECT l_partkey,
+         CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+         ELSE -CAST(l_quantity AS BIGINT) END AS dq,
+         l_shipdate, l_orderkey, l_linenumber
+  FROM lineitem),
+b AS (
+  SELECT l_partkey, dq,
+         SUM(dq) OVER (PARTITION BY l_partkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING) AS bal
+  FROM m)
+SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_moves,
+       CAST(SUM(dq) AS BIGINT) AS final_balance,
+       CAST(MIN(bal) AS BIGINT) AS min_balance,
+       CAST(MAX(bal) AS BIGINT) AS max_balance
+FROM b GROUP BY l_partkey
+"""
+
+
 QUERIES: dict = {
     "chunk_documents": (q_chunk_documents, ORACLE_CHUNKS),
     "pareto_frontier": (q_pareto_frontier, ORACLE_PARETO),
@@ -628,4 +859,9 @@ QUERIES: dict = {
     "bearing_histogram": (q_bearing_histogram, _oracle_bearing()),
     "scd2_intervals": (q_scd2_intervals, ORACLE_SCD2),
     "triangle_count": (q_triangle_count, _oracle_triangles()),
+    "markov_transitions": (q_markov_transitions, ORACLE_MARKOV),
+    "rfm_segments": (q_rfm_segments, ORACLE_RFM),
+    "benford_first_digit": (q_benford_first_digit, ORACLE_BENFORD),
+    "seasonality_profile": (q_seasonality_profile, ORACLE_SEASONALITY),
+    "inventory_balance": (q_inventory_balance, ORACLE_INVENTORY),
 }

@@ -84,6 +84,11 @@ _TAIL = [
     "bearing_histogram",      # 8-octant move histogram (trajectory family)
     "scd2_intervals",         # SCD type-2 dimension build (C7 family)
     "triangle_count",         # degree-oriented triangle census (graph family)
+    "markov_transitions",     # event-type transition matrix (C7 family)
+    "rfm_segments",           # RFM quintile segmentation (C6/C7 family)
+    "benford_first_digit",    # Benford data-quality audit (C6 family)
+    "seasonality_profile",    # dow x hod activity matrix (C6 family)
+    "inventory_balance",      # signed running balance per part (C7 family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",
