@@ -848,6 +848,264 @@ FROM b GROUP BY l_partkey
 """
 
 
+# --- hex_bin: hexagonal (axial) binning — the H3-shaped alternative grid -----
+
+HEX_SIZE_DEG = 3.0
+_SQRT3_3 = repr(3.0 ** 0.5 / 3.0)  # identical literal on both engines
+
+
+def _hex_stages(lon: str, lat: str) -> list[str]:
+    """Flat-top hexagonal axial binning (the redblobgames pixel→hex
+    formulation): fractional axial coords, cube rounding via
+    FLOOR(x+0.5) (written explicitly — Spark ROUND and DuckDB ROUND could
+    disagree at halves, FLOOR(+0.5) cannot), then the reset-the-largest-
+    residual correction. Returned as staged SELECT expressions so Spark
+    (selectExpr chain) and DuckDB (nested CTEs) evaluate the IDENTICAL
+    float64 op sequence. FLOOR is cast to BIGINT explicitly because Spark
+    FLOOR yields BIGINT while DuckDB's yields DOUBLE."""
+    s = repr(HEX_SIZE_DEG)
+    stage1 = [
+        f"((2.0 / 3.0 * ({lon})) / {s}) AS cx",
+        f"((-1.0 / 3.0 * ({lon}) + {_SQRT3_3} * ({lat})) / {s}) AS cz",
+    ]
+    stage2 = [
+        "cx", "cz", "(-cx - cz) AS cy",
+        "CAST(FLOOR(cx + 0.5) AS BIGINT) AS rx",
+        "CAST(FLOOR(cz + 0.5) AS BIGINT) AS rz",
+    ]
+    stage3 = [
+        "cx", "cy", "cz", "rx", "rz",
+        "CAST(FLOOR(cy + 0.5) AS BIGINT) AS ry",
+    ]
+    stage4 = [
+        "CASE WHEN ABS(rx - cx) > ABS(ry - cy) AND ABS(rx - cx) > ABS(rz - cz) "
+        "THEN -ry - rz ELSE rx END AS hq",
+        "CASE WHEN ABS(rx - cx) > ABS(ry - cy) AND ABS(rx - cx) > ABS(rz - cz) "
+        "THEN rz "
+        "WHEN ABS(ry - cy) > ABS(rz - cz) THEN rz "
+        "ELSE -rx - ry END AS hr",
+    ]
+    return [stage1, stage2, stage3, stage4]
+
+
+def q_hex_bin(spark, sf_dir):
+    """Hexagonal binning of events — the H3-shaped grid (hexagons have
+    uniform neighbor distance; squares don't), on a flat axial lattice.
+    Same scale shape as tile_assign: pure codegen arithmetic, one
+    map-side-combinable agg. The cube-rounding branch logic is decided by
+    float comparisons over the identical op sequence on both engines."""
+    st = _hex_stages(fixtures.EVENT_LON_SQL, fixtures.EVENT_LAT_SQL)
+    d = _t(spark, sf_dir, "events").selectExpr("event_id", *st[0])
+    d = d.selectExpr("event_id", *st[1])
+    d = d.selectExpr("event_id", *st[2])
+    d = d.selectExpr("event_id", *st[3])
+    return (d.groupBy("hq", "hr")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("event_id").alias("id_sum"))
+            .selectExpr("hq", "hr", "CAST(n_events AS BIGINT) AS n_events",
+                        "CAST(id_sum AS BIGINT) AS id_sum"))
+
+
+def _oracle_hex() -> str:
+    st = _hex_stages(fixtures.EVENT_LON_SQL, fixtures.EVENT_LAT_SQL)
+    return f"""
+WITH s1 AS (SELECT event_id, {', '.join(st[0])} FROM events),
+s2 AS (SELECT event_id, {', '.join(st[1])} FROM s1),
+s3 AS (SELECT event_id, {', '.join(st[2])} FROM s2),
+s4 AS (SELECT event_id, {', '.join(st[3])} FROM s3)
+SELECT hq, hr, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM s4 GROUP BY 1, 2
+"""
+
+
+# --- pq_codes: product quantization of the embedding table -------------------
+
+PQ_BLOCKS = 4        # sub-spaces over the 64-dim embedding
+PQ_BLOCK_DIM = 16
+PQ_K = 4             # centroids per block → 2-bit codes
+
+
+def _pq_codebook() -> list:
+    """Deterministic codebook: PQ_BLOCKS x PQ_K x PQ_BLOCK_DIM float64
+    literals derived from the repo hash family — embedded as identical
+    repr() literals in BOTH engines' SQL, so no cross-engine math is ever
+    performed to obtain them."""
+    from .hashing import mix
+    import numpy as np
+    idx = np.arange(PQ_BLOCKS * PQ_K * PQ_BLOCK_DIM, dtype=np.int64)
+    vals = (mix(idx * 13 + 5).astype(np.float64) / 4294967296.0) - 0.5
+    return vals.reshape(PQ_BLOCKS, PQ_K, PQ_BLOCK_DIM).tolist()
+
+
+def _pq_exprs(elem: "callable") -> list[str]:
+    """Per-block argmin-of-4 code expressions. ``elem(i)`` renders the
+    0-based embedding element access in the target dialect (Spark arrays
+    are 0-based, DuckDB lists 1-based). Each distance is an explicitly
+    parenthesized left-fold of 16 squared-difference terms — a fixed op
+    sequence, so both engines compute bit-identical float64 distances and
+    the strict-< argmin chain picks the same code with ties resolved to
+    the lowest code."""
+    cb = _pq_codebook()
+    exprs = []
+    for b in range(PQ_BLOCKS):
+        dists = []
+        for c in range(PQ_K):
+            terms = []
+            for j in range(PQ_BLOCK_DIM):
+                e = elem(b * PQ_BLOCK_DIM + j)
+                lit = repr(cb[b][c][j])
+                terms.append(
+                    f"(CAST({e} AS DOUBLE) - {lit}) "
+                    f"* (CAST({e} AS DOUBLE) - {lit})")
+            acc = terms[0]
+            for t in terms[1:]:
+                acc = f"({acc} + {t})"
+            dists.append(acc)
+        d0, d1, d2, d3 = dists
+        code = (f"CAST(CASE WHEN {d0} <= {d1} AND {d0} <= {d2} AND "
+                f"{d0} <= {d3} THEN 0 WHEN {d1} <= {d2} AND {d1} <= {d3} "
+                f"THEN 1 WHEN {d2} <= {d3} THEN 2 ELSE 3 END AS INT)")
+        exprs.append(f"{code} AS c{b}")
+    return exprs
+
+
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encoding of the embedding corpus — the
+    compression step of an IVF-PQ ANN index (each 64-dim float vector
+    becomes 4 2-bit codes against per-block codebooks). Map-only codegen
+    arithmetic over the scan: at 100 TB this runs at I/O speed with no
+    shuffle, and downstream ANN search operates on the 1-byte codes.
+    The sandbox codebook is a deterministic literal stand-in (the repo's
+    IVF pattern — swap in trained centroids on a real corpus; ann.py has
+    the distributed k-means)."""
+    exprs = _pq_exprs(lambda i: f"embedding[{i}]")
+    return (_t(spark, sf_dir, "embeddings")
+            .selectExpr("vec_id", "label", *exprs))
+
+
+def _oracle_pq() -> str:
+    exprs = _pq_exprs(lambda i: f"embedding[{i + 1}]")
+    return f"SELECT vec_id, label, {', '.join(exprs)} FROM embeddings"
+
+
+# --- pagerank_fixedpoint: integer PageRank on the dedup graph ----------------
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000
+PR_BASE = 150_000  # (1-d) * SCALE with d = 0.85
+
+
+def q_pagerank_fixedpoint(spark, sf_dir):
+    """PageRank-style centrality on the near-duplicate graph, computed in
+    FIXED-POINT integer arithmetic so every iteration is bit-exact on any
+    engine and any aggregation order: per-edge contribution is
+    FLOOR(rank/deg), the damped update is PR_BASE + FLOOR(sum*85/100.0)
+    (sum*85 stays < 2**52 up to ~10^6-node graphs at this scale — the
+    repo's ANSI-overflow rule). PR_ITERS unrolled iterations, each ONE
+    shuffle keyed by destination; ranks materialize per iteration instead
+    of growing a deep lineage. The oracle unrolls the identical recurrence
+    as chained CTEs."""
+    from .queries_text import q_minhash_lsh_pairs
+    pairs = (q_minhash_lsh_pairs(spark, sf_dir)
+             .where(F.col("n_bands") >= TRI_MIN_BANDS)
+             .select("doc_a", "doc_b"))
+    edges = pairs.selectExpr("doc_a AS s", "doc_b AS d").unionAll(
+        pairs.selectExpr("doc_b AS s", "doc_a AS d"))
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    e = edges.join(deg, "s")
+    ranks = deg.selectExpr("s AS v", f"CAST({PR_SCALE} AS BIGINT) AS rank")
+    for _ in range(PR_ITERS):
+        contrib = (e.join(ranks.withColumnRenamed("v", "s"), "s")
+                   .selectExpr("d", "CAST(FLOOR(rank / CAST(deg AS DOUBLE)) "
+                               "AS BIGINT) AS c"))
+        ranks = (contrib.groupBy("d").agg(F.sum("c").alias("sc"))
+                 .selectExpr("d AS v",
+                             f"CAST({PR_BASE} + FLOOR(sc * 85 / 100.0) "
+                             "AS BIGINT) AS rank"))
+    return ranks.selectExpr("v AS doc_id", "rank")
+
+
+def _oracle_pagerank() -> str:
+    from .queries_text import ORACLE_LSH_PAIRS
+    it = """
+it{n} AS (
+  SELECT e.d AS v,
+         CAST({base} + FLOOR(SUM(CAST(FLOOR(r.rank / CAST(e.deg AS DOUBLE))
+              AS BIGINT)) * 85 / 100.0) AS BIGINT) AS rank
+  FROM e JOIN it{p} r ON r.v = e.s GROUP BY e.d)"""
+    chain = ",".join(
+        it.format(n=i + 1, p=i, base=PR_BASE) for i in range(PR_ITERS))
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({ORACLE_LSH_PAIRS}) lp
+  WHERE n_bands >= {TRI_MIN_BANDS}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
+e AS (SELECT edges.s, edges.d, deg.deg FROM edges JOIN deg USING (s)),
+it0 AS (SELECT s AS v, CAST({PR_SCALE} AS BIGINT) AS rank FROM deg),
+{chain}
+SELECT v AS doc_id, rank FROM it{PR_ITERS}
+"""
+
+
+# --- user_entropy: behavioral-diversity score ---------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_user_entropy(spark, sf_dir):
+    """Shannon entropy of each user's event-type mix — the behavioral-
+    diversity feature of a user-modeling pipeline. The event-type alphabet
+    is pivoted to FIXED columns first (one conditional agg), so the
+    entropy is an explicitly parenthesized 5-term literal expression —
+    the identical float64 op sequence on both engines (the repo's
+    autocorr rule for float formulas), never a float SUM whose
+    accumulation order the engine picks. Reported at ROUND(...,6): JVM
+    Math.log and DuckDB's libm ln differ by 1 ulp on some inputs
+    (measured here, row 8 at sf0.01) — the same reason tfidf_keywords
+    ranks over the rounded score."""
+    e = _t(spark, sf_dir, "events")
+    aggs = [F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long").alias(f"n_{t}") for t in EVENT_TYPES]
+    per = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"), *aggs)
+    terms = [
+        f"(CASE WHEN n_{t} > 0 THEN (CAST(n_{t} AS DOUBLE) / n) "
+        f"* LN(CAST(n_{t} AS DOUBLE) / n) ELSE 0.0 END)"
+        for t in EVENT_TYPES]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"({acc} + {t})"
+    cols = ["user_id", "CAST(n AS BIGINT) AS n_events"] + \
+        [f"n_{t}" for t in EVENT_TYPES] + [f"ROUND(-({acc}), 6) AS entropy"]
+    return per.selectExpr(*cols)
+
+
+def _oracle_entropy() -> str:
+    counts = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{t}" for t in EVENT_TYPES)
+    terms = [
+        f"(CASE WHEN n_{t} > 0 THEN (CAST(n_{t} AS DOUBLE) / n) "
+        f"* LN(CAST(n_{t} AS DOUBLE) / n) ELSE 0.0 END)"
+        for t in EVENT_TYPES]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"({acc} + {t})"
+    cols = ", ".join(f"n_{t}" for t in EVENT_TYPES)
+    return f"""
+WITH per AS (
+  SELECT user_id, COUNT(*) AS n,
+         {counts}
+  FROM events GROUP BY user_id)
+SELECT user_id, CAST(n AS BIGINT) AS n_events, {cols},
+       ROUND(-({acc}), 6) AS entropy
+FROM per
+"""
+
+
 QUERIES: dict = {
     "chunk_documents": (q_chunk_documents, ORACLE_CHUNKS),
     "pareto_frontier": (q_pareto_frontier, ORACLE_PARETO),
@@ -864,4 +1122,8 @@ QUERIES: dict = {
     "benford_first_digit": (q_benford_first_digit, ORACLE_BENFORD),
     "seasonality_profile": (q_seasonality_profile, ORACLE_SEASONALITY),
     "inventory_balance": (q_inventory_balance, ORACLE_INVENTORY),
+    "hex_bin": (q_hex_bin, _oracle_hex()),
+    "pq_codes": (q_pq_codes, _oracle_pq()),
+    "pagerank_fixedpoint": (q_pagerank_fixedpoint, _oracle_pagerank()),
+    "user_entropy": (q_user_entropy, _oracle_entropy()),
 }

@@ -89,6 +89,10 @@ _TAIL = [
     "benford_first_digit",    # Benford data-quality audit (C6 family)
     "seasonality_profile",    # dow x hod activity matrix (C6 family)
     "inventory_balance",      # signed running balance per part (C7 family)
+    "hex_bin",                # hexagonal axial binning (B1/B5 family)
+    "pq_codes",               # product-quantization codes (ANN family)
+    "pagerank_fixedpoint",    # integer PageRank (graph family)
+    "user_entropy",           # behavioral entropy (C6/quality family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",
