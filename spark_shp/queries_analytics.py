@@ -617,6 +617,124 @@ FROM agg
 """
 
 
+# --- hilbert_assign: Hilbert space-filling-curve index ------------------------
+
+HILBERT_LEVEL = 8  # 256 x 256 grid, d in [0, 65536)
+HILBERT_BUCKET = 4096
+
+
+def hilbert_d_np(ix, iy, level: int):
+    """Vectorized Hilbert xy→d (Wikipedia recurrence). The rotation flips
+    against the FULL lattice size (n-1-x), not the quadrant size: both
+    variants produce the identical curve (verified exhaustively), but the
+    n-bounded flip keeps every intermediate coordinate NON-NEGATIVE —
+    load-bearing for the SQL twin, because SQL ``%`` keeps the dividend's
+    sign while numpy's is always non-negative (the repo-wide hashing
+    rule; the s-bounded variant diverged at stage 5 on real data).
+    Validated this session: bijective and unit-Manhattan-adjacent for
+    consecutive d over the full lattice — the defining property. Hilbert
+    is the better-locality alternative to the engine's Morton cells (no
+    long diagonal jumps at quadrant boundaries), which matters for range
+    scans over a curve-clustered table layout."""
+    import numpy as np
+    x = np.asarray(ix, dtype=np.int64).copy()
+    y = np.asarray(iy, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    n = 1 << level
+    s = n // 2
+    while s > 0:
+        rx = (x // s) % 2
+        ry = (y // s) % 2
+        d += s * s * ((3 * rx) ^ ry)
+        flip = (ry == 0) & (rx == 1)
+        x2 = np.where(flip, n - 1 - x, x)
+        y2 = np.where(flip, n - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y2, x2), np.where(swap, x2, y2)
+        s //= 2
+    return d
+
+
+def _hilbert_sql_stages(level: int) -> list:
+    """The same recurrence as staged (exprs_a, exprs_b) pairs over state
+    columns (hx, hy, hd): stage A materializes the quadrant bits, stage B
+    rewrites the state. Pure integer/FLOOR arithmetic valid in both
+    dialects (the cells.py convention)."""
+    stages = []
+    n = 1 << level
+    s = n // 2
+    while s > 0:
+        div = f"CAST(FLOOR(hx / {float(s)!r}) AS BIGINT) % 2"
+        div_y = f"CAST(FLOOR(hy / {float(s)!r}) AS BIGINT) % 2"
+        a = ["hx", "hy", "hd", f"({div}) AS rx", f"({div_y}) AS ry"]
+        quad = ("CASE WHEN rx = 0 AND ry = 0 THEN 0 WHEN rx = 0 THEN 1 "
+                "WHEN ry = 1 THEN 2 ELSE 3 END")
+        # flip against n-1 (NOT s-1): keeps hx/hy non-negative at every
+        # stage so the %-on-negatives dialect divergence can't occur
+        b = [
+            f"CASE WHEN ry = 1 THEN hx WHEN rx = 1 THEN {n - 1} - hy "
+            "ELSE hy END AS hx",
+            f"CASE WHEN ry = 1 THEN hy WHEN rx = 1 THEN {n - 1} - hx "
+            "ELSE hx END AS hy",
+            f"hd + {s * s} * ({quad}) AS hd",
+        ]
+        stages.append((a, b))
+        s //= 2
+    return stages
+
+
+def q_hilbert_assign(spark, sf_dir):
+    """Hilbert-curve assignment of events at level 8, profiled per curve
+    bucket (16 ranges of 4096 d-values) with an id-weighted checksum that
+    would catch a single wrong curve position. The staged rewrite stays
+    inside whole-stage codegen (no Python, no shuffle before the final
+    agg). Why it's here: a curve-clustered Iceberg layout wants Hilbert
+    rather than Morton for range locality — the pytest quantifies the
+    locality win on real consecutive event hops."""
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, HILBERT_LEVEL)
+    d = _t(spark, sf_dir, "events").selectExpr(
+        "event_id", f"{ix} AS hx", f"{iy} AS hy",
+        "CAST(0 AS BIGINT) AS hd")
+    for a, b in _hilbert_sql_stages(HILBERT_LEVEL):
+        d = d.selectExpr("event_id", *a)
+        d = d.selectExpr("event_id", *b)
+    return (d.selectExpr(
+        f"CAST(FLOOR(hd / {float(HILBERT_BUCKET)!r}) AS BIGINT) AS bucket",
+        "hd", "event_id")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("hd").alias("min_d"), F.max("hd").alias("max_d"),
+             F.sum(F.expr("hd * (1 + event_id % 97)")).alias("checksum"))
+        .selectExpr("bucket", "CAST(n_events AS BIGINT) AS n_events",
+                    "CAST(min_d AS BIGINT) AS min_d",
+                    "CAST(max_d AS BIGINT) AS max_d",
+                    "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_hilbert() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, HILBERT_LEVEL)
+    ctes = [f"s0 AS (SELECT event_id, {ix} AS hx, {iy} AS hy, "
+            "CAST(0 AS BIGINT) AS hd FROM events)"]
+    prev = "s0"
+    for i, (a, b) in enumerate(_hilbert_sql_stages(HILBERT_LEVEL)):
+        ctes.append(
+            f"a{i} AS (SELECT event_id, {', '.join(a)} FROM {prev})")
+        ctes.append(f"b{i} AS (SELECT event_id, {', '.join(b)} FROM a{i})")
+        prev = f"b{i}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT CAST(FLOOR(hd / {float(HILBERT_BUCKET)!r}) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(hd) AS BIGINT) AS min_d,
+       CAST(MAX(hd) AS BIGINT) AS max_d,
+       CAST(SUM(hd * (1 + event_id % 97)) AS BIGINT) AS checksum
+FROM {prev} GROUP BY 1
+"""
+
+
 # --- markov_transitions: event-type transition matrix -------------------------
 
 def q_markov_transitions(spark, sf_dir):
@@ -1123,6 +1241,7 @@ QUERIES: dict = {
     "seasonality_profile": (q_seasonality_profile, ORACLE_SEASONALITY),
     "inventory_balance": (q_inventory_balance, ORACLE_INVENTORY),
     "hex_bin": (q_hex_bin, _oracle_hex()),
+    "hilbert_assign": (q_hilbert_assign, _oracle_hilbert()),
     "pq_codes": (q_pq_codes, _oracle_pq()),
     "pagerank_fixedpoint": (q_pagerank_fixedpoint, _oracle_pagerank()),
     "user_entropy": (q_user_entropy, _oracle_entropy()),

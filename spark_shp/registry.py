@@ -90,6 +90,7 @@ _TAIL = [
     "seasonality_profile",    # dow x hod activity matrix (C6 family)
     "inventory_balance",      # signed running balance per part (C7 family)
     "hex_bin",                # hexagonal axial binning (B1/B5 family)
+    "hilbert_assign",         # Hilbert curve index profile (B1 family)
     "pq_codes",               # product-quantization codes (ANN family)
     "pagerank_fixedpoint",    # integer PageRank (graph family)
     "user_entropy",           # behavioral entropy (C6/quality family)

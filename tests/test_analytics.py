@@ -478,3 +478,56 @@ def test_user_entropy_matches_scipy_style_formula(spark):
                     for c in counts if c > 0)
         assert abs(r.entropy - want) < 1e-6
         assert 0.0 <= r.entropy <= math.log(len(EVENT_TYPES)) + 1e-9
+
+
+def test_hilbert_curve_properties_and_sql_parity():
+    from spark_shp.queries_analytics import (HILBERT_LEVEL,
+                                             _hilbert_sql_stages,
+                                             hilbert_d_np)
+    # full-lattice bijectivity + unit-adjacency at a smaller order
+    n = 64
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    d = hilbert_d_np(xs.ravel(), ys.ravel(), 6)
+    assert len(set(d.tolist())) == n * n
+    order = np.argsort(d)
+    px, py = xs.ravel()[order], ys.ravel()[order]
+    assert np.all(np.abs(np.diff(px)) + np.abs(np.diff(py)) == 1)
+    # SQL staged rewrite == numpy kernel on random points at full level
+    rng = np.random.default_rng(5)
+    hx = rng.integers(0, 1 << HILBERT_LEVEL, 500)
+    hy = rng.integers(0, 1 << HILBERT_LEVEL, 500)
+    want = hilbert_d_np(hx, hy, HILBERT_LEVEL)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(hx BIGINT, hy BIGINT, hd BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?, 0)",
+                    list(zip(hx.tolist(), hy.tolist())))
+    sql, prev = [], "p"
+    for i, (a, b) in enumerate(_hilbert_sql_stages(HILBERT_LEVEL)):
+        sql.append(f"a{i} AS (SELECT {', '.join(a)} FROM {prev})")
+        sql.append(f"b{i} AS (SELECT {', '.join(b)} FROM a{i})")
+        prev = f"b{i}"
+    got = [r[0] for r in con.execute(
+        f"WITH {', '.join(sql)} SELECT hd FROM {prev}").fetchall()]
+    assert got == want.tolist()
+
+
+def test_hilbert_locality_beats_morton():
+    """The reason to offer Hilbert at all: consecutive curve positions of
+    spatially-close points jump less. Measured on unit-step walks over the
+    grid (the access pattern of a range scan): mean |Δd| must be smaller
+    for Hilbert than for Morton."""
+    from spark_shp import cells
+    from spark_shp.queries_analytics import hilbert_d_np
+    rng = np.random.default_rng(9)
+    n = 1 << 8
+    # random walk of 20k unit steps
+    steps = rng.integers(0, 4, 20000)
+    dx = np.where(steps == 0, 1, np.where(steps == 1, -1, 0))
+    dy = np.where(steps == 2, 1, np.where(steps == 3, -1, 0))
+    x = np.clip(np.cumsum(dx) + n // 2, 0, n - 1)
+    y = np.clip(np.cumsum(dy) + n // 2, 0, n - 1)
+    hd = hilbert_d_np(x, y, 8)
+    md = cells.morton(x, y, 8)
+    jump_h = np.abs(np.diff(hd)).mean()
+    jump_m = np.abs(np.diff(md)).mean()
+    assert jump_h < jump_m, (jump_h, jump_m)
