@@ -326,14 +326,34 @@ def _geohash6_sql(lon: str, lat: str) -> str:
     return "CONCAT(" + ", ".join(chars) + ")"
 
 
+def geohash6_spark_expr(lon: str, lat: str) -> str:
+    """Spark-side geohash: the interleaved 30-bit integer appears ONCE,
+    rendered base-32 by CONV and re-alphabeted by TRANSLATE (Spark CONV
+    digits are 0-9A-V; geohash's alphabet skips a/i/l/o). The
+    per-character arithmetic formulation (_geohash6_sql, kept for the
+    DuckDB oracle where it runs on sf0.01-sized inputs) duplicates the
+    whole Morton tree into each of 6 SUBSTRING chars after projection
+    collapse — measured 31x slower than Morton at 200M rows
+    (BENCH/ANALYTICS.json before/after)."""
+    n = 1 << GH_BITS_PER_AXIS
+    ix = (f"GREATEST(0, LEAST({n - 1}, CAST(FLOOR((({lon}) + 180.0) / 360.0 "
+          f"* {float(n)!r}) AS BIGINT)))")
+    iy = (f"GREATEST(0, LEAST({n - 1}, CAST(FLOOR((({lat}) + 90.0) / 180.0 "
+          f"* {float(n)!r}) AS BIGINT)))")
+    g = cells.morton_sql(iy, ix)
+    return (f"TRANSLATE(LPAD(CONV(CAST(({g}) AS STRING), 10, 32), 6, '0'), "
+            f"'0123456789ABCDEFGHIJKLMNOPQRSTUV', '{GH_ALPHABET}')")
+
+
 def q_geohash_encode(spark, sf_dir):
     """Geohash the events table and aggregate per 4-character prefix —
     interop with the one cell format the rest of the geo world speaks.
     The full 6-char hash is gated through MIN(gh6) per prefix plus an
     event-id checksum, so a single wrong bit in any row flips the result.
-    Pure codegen arithmetic + one groupBy: scales like tile_assign."""
+    Pure codegen arithmetic + one groupBy: scales like tile_assign (see
+    geohash6_spark_expr for the CONV formulation that keeps it there)."""
     e = _t(spark, sf_dir, "events")
-    gh = _geohash6_sql(fixtures.EVENT_LON_SQL, fixtures.EVENT_LAT_SQL)
+    gh = geohash6_spark_expr(fixtures.EVENT_LON_SQL, fixtures.EVENT_LAT_SQL)
     return (e.selectExpr("event_id", f"{gh} AS gh6")
             .selectExpr("event_id", "gh6", "SUBSTRING(gh6, 1, 4) AS gh4")
             .groupBy("gh4")
@@ -683,22 +703,85 @@ def _hilbert_sql_stages(level: int) -> list:
     return stages
 
 
+HILBERT_BITS = 16  # fixed internal word width of the branchless transform
+
+
+def hilbert_branchless_stages(level: int) -> list:
+    """Hilbert xy→d as ~12 staged projections of pure int64 bitwise ops —
+    the word-parallel parallel-prefix formulation (the per-level rotation
+    state for ALL levels is computed at once by a log-step prefix scan
+    over bitmasks, then index bits are recovered and Morton-interleaved;
+    public-domain branchless technique). Verified bit-identical to
+    hilbert_d_np over the FULL 256x256 and 64x64 lattices.
+
+    Why this shape and not the per-level recurrence: both alternatives
+    measured catastrophically slow at 20M rows on local[32] —
+    the staged CASE recurrence 3.6M rows/s (Catalyst inlines the
+    mutually-referencing CASE stages into a ~2^levels tree) and an
+    `aggregate()` HOF fold 2.0M rows/s (linear tree, but Spark evaluates
+    higher-order functions INTERPRETED, never codegen) — while this
+    branchless chain runs 34.5M rows/s at the same N, at Morton
+    tile-assign speed, entirely inside whole-stage codegen. A
+    vectorized-numpy pandas_udf of the same algorithm reached only
+    20M rows/s (Arrow transfer bound). Numbers: BENCH/ANALYTICS.json.
+
+    Input columns: hx, hy (quantized level-`level` cells). Output: hd.
+    Every intermediate is non-negative, every op is &, |, ^, shifts."""
+    m = (1 << HILBERT_BITS) - 1
+    sh = HILBERT_BITS - level
+
+    def sr(v, k):
+        return f"SHIFTRIGHT({v}, {k})"
+
+    rounds = [[f"SHIFTLEFT(hx, {sh}) AS x", f"SHIFTLEFT(hy, {sh}) AS y"]]
+    rounds.append(["x", "y", "(x ^ y) AS a", f"({m} ^ (x ^ y)) AS b",
+                   f"({m} ^ (x | y)) AS c", f"(x & (y ^ {m})) AS d"])
+    rounds.append(["x", "y",
+                   f"(a | {sr('b', 1)}) AS A",
+                   f"({sr('a', 1)} ^ a) AS B",
+                   f"(({sr('c', 1)} ^ (b & {sr('d', 1)})) ^ c) AS C",
+                   f"(((a & {sr('c', 1)}) ^ {sr('d', 1)}) ^ d) AS D"])
+    for k in (2, 4):
+        rounds.append([
+            "x", "y",
+            f"((A & {sr('A', k)}) ^ (B & {sr('B', k)})) AS A",
+            f"((A & {sr('B', k)}) ^ (B & {sr('(A ^ B)', k)})) AS B",
+            f"(C ^ ((A & {sr('C', k)}) ^ (B & {sr('D', k)}))) AS C",
+            f"(D ^ ((B & {sr('C', k)}) ^ ((A ^ B) & {sr('D', k)}))) AS D"])
+    rounds.append([
+        "x", "y", "A", "B",
+        f"(C ^ ((A & {sr('C', 8)}) ^ (B & {sr('D', 8)}))) AS C",
+        f"(D ^ ((B & {sr('C', 8)}) ^ ((A ^ B) & {sr('D', 8)}))) AS D"])
+    rounds.append(["x", "y",
+                   f"(C ^ {sr('C', 1)}) AS a", f"(D ^ {sr('D', 1)}) AS b"])
+    rounds.append(["(x ^ y) AS i0",
+                   f"(b | ({m} ^ ((x ^ y) | a))) AS i1"])
+    for shf, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                      (2, 0x33333333), (1, 0x55555555)):
+        rounds.append([
+            f"((i0 | SHIFTLEFT(i0, {shf})) & {mask}) AS i0",
+            f"((i1 | SHIFTLEFT(i1, {shf})) & {mask}) AS i1"])
+    rounds.append([
+        f"SHIFTRIGHT(SHIFTLEFT(i1, 1) | i0, {2 * sh}) AS hd"])
+    return rounds
+
+
 def q_hilbert_assign(spark, sf_dir):
     """Hilbert-curve assignment of events at level 8, profiled per curve
     bucket (16 ranges of 4096 d-values) with an id-weighted checksum that
-    would catch a single wrong curve position. The staged rewrite stays
-    inside whole-stage codegen (no Python, no shuffle before the final
-    agg). Why it's here: a curve-clustered Iceberg layout wants Hilbert
-    rather than Morton for range locality — the pytest quantifies the
-    locality win on real consecutive event hops."""
+    would catch a single wrong curve position. The branchless bitwise
+    stages stay inside whole-stage codegen (no Python, no shuffle before
+    the final agg) — see hilbert_branchless_stages for why it's neither
+    a staged CASE recurrence nor an aggregate() fold. Why it's here: a
+    curve-clustered Iceberg layout wants Hilbert rather than Morton for
+    range locality — the pytest quantifies the locality win on real
+    consecutive event hops."""
     ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
                                 fixtures.EVENT_LAT_SQL, HILBERT_LEVEL)
     d = _t(spark, sf_dir, "events").selectExpr(
-        "event_id", f"{ix} AS hx", f"{iy} AS hy",
-        "CAST(0 AS BIGINT) AS hd")
-    for a, b in _hilbert_sql_stages(HILBERT_LEVEL):
-        d = d.selectExpr("event_id", *a)
-        d = d.selectExpr("event_id", *b)
+        "event_id", f"{ix} AS hx", f"{iy} AS hy")
+    for stage in hilbert_branchless_stages(HILBERT_LEVEL):
+        d = d.selectExpr("event_id", *stage)
     return (d.selectExpr(
         f"CAST(FLOOR(hd / {float(HILBERT_BUCKET)!r}) AS BIGINT) AS bucket",
         "hd", "event_id")
@@ -1094,9 +1177,16 @@ def q_pq_codes(spark, sf_dir):
     becomes 4 2-bit codes against per-block codebooks). Map-only codegen
     arithmetic over the scan: at 100 TB this runs at I/O speed with no
     shuffle, and downstream ANN search operates on the 1-byte codes.
-    The sandbox codebook is a deterministic literal stand-in (the repo's
-    IVF pattern — swap in trained centroids on a real corpus; ann.py has
-    the distributed k-means)."""
+    Formulation note (measured, 2M vecs on local[32]): the flat argmin
+    CASE — which textually repeats each 16-term distance tree in several
+    branches — is the FASTEST Spark shape (522k vecs/s) because codegen's
+    subexpression elimination evaluates each distance once; an
+    aggregate() HOF fold of the same math is 6.8x slower (77k vecs/s,
+    HOFs are interpreted, never codegen), and pre-staging the 16
+    distances as columns adds a projection for no gain (441k). Numbers:
+    BENCH/ANALYTICS.json. The sandbox codebook is a deterministic
+    literal stand-in (the repo's IVF pattern — swap in trained centroids
+    on a real corpus; ann.py has the distributed k-means)."""
     exprs = _pq_exprs(lambda i: f"embedding[{i}]")
     return (_t(spark, sf_dir, "embeddings")
             .selectExpr("vec_id", "label", *exprs))

@@ -511,6 +511,27 @@ def test_hilbert_curve_properties_and_sql_parity():
     assert got == want.tolist()
 
 
+def test_hilbert_branchless_spark_parity_full_lattice(spark):
+    """The shipped Spark formulation (branchless parallel-prefix bitwise
+    stages — the one that stays in whole-stage codegen) must reproduce
+    the numpy recurrence kernel over the ENTIRE level-8 lattice, and at
+    a second level so the width-shift handling can't be a coincidence."""
+    from spark_shp.queries_analytics import (HILBERT_LEVEL,
+                                             hilbert_branchless_stages,
+                                             hilbert_d_np)
+    for level in (HILBERT_LEVEL, 6):
+        n = 1 << level
+        d = spark.range(0, n * n).selectExpr(
+            "id", f"CAST(id % {n} AS BIGINT) AS hx",
+            f"CAST(id div {n} AS BIGINT) AS hy")
+        for stage in hilbert_branchless_stages(level):
+            d = d.selectExpr("id", *stage)
+        got = np.array([r.hd for r in d.orderBy("id").collect()])
+        ids = np.arange(n * n)
+        want = hilbert_d_np(ids % n, ids // n, level)
+        assert np.array_equal(got, want), level
+
+
 def test_hilbert_locality_beats_morton():
     """The reason to offer Hilbert at all: consecutive curve positions of
     spatially-close points jump less. Measured on unit-step walks over the
