@@ -1314,6 +1314,217 @@ FROM per
 """
 
 
+# --- aspect_bucketing: aspect-ratio batch packing for image training ----------
+
+AB_BATCH = 32  # images per training batch
+
+# ratio ladder by integer cross-multiplication — no float ratio is ever
+# formed, so the bucket edges are exact in any dialect:
+#   0: r <  3/4   (tall)          4w < 3h
+#   1: 3/4 <= r < 1               w  <  h
+#   2: 1   <= r < 4/3  (square)   3w < 4h
+#   3: 4/3 <= r < 2               w  < 2h
+#   4: r >= 2     (wide)
+_AB_BUCKET = ("CASE WHEN 4 * w < 3 * h THEN 0 WHEN w < h THEN 1 "
+              "WHEN 3 * w < 4 * h THEN 2 WHEN w < 2 * h THEN 3 ELSE 4 END")
+
+
+def q_aspect_bucketing(spark, sf_dir):
+    """Aspect-ratio bucketing + batch packing over the images table — the
+    step a multimodal training pipeline runs so each batch holds
+    same-shape images (variable aspect training a la SDXL: bucket by
+    ratio, fill fixed-size batches inside each bucket). Buckets come from
+    integer cross-multiplication (exact), batch ids from one
+    ROW_NUMBER per bucket (deterministic: ordered by the unique image
+    ordinal, so the packing is identical on any cluster size), and the
+    id-weighted checksum would catch a single image in the wrong batch.
+    One window shuffle on a 5-value key + one agg; at 100 TB the bucket
+    key is extended with a coarse hash prefix so no single bucket
+    serializes into one task (same salting pattern as salt_hot_cells)."""
+    m = fixtures.images_meta_sql("id")
+    img = spark.range(0, N_IMAGES_ORACLE).selectExpr(
+        "id AS img_num", f"{m['w']} AS w", f"{m['h']} AS h")
+    b = img.selectExpr("img_num", "w", "h",
+                       f"CAST({_AB_BUCKET} AS INT) AS bucket")
+    rn = b.selectExpr(
+        "img_num", "bucket",
+        "ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY img_num) - 1 "
+        "AS rn")
+    return (rn.selectExpr(
+        "img_num", "bucket",
+        f"CAST(FLOOR(rn / {AB_BATCH}) AS BIGINT) AS batch")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_images"),
+             F.expr("MAX(batch) + 1").alias("n_batches"),
+             F.expr(f"CAST(FLOOR(COUNT(*) / {AB_BATCH}) AS BIGINT)")
+             .alias("n_full_batches"),
+             F.expr(f"COUNT(*) % {AB_BATCH}").alias("remainder"),
+             F.expr("SUM(img_num * (1 + batch % 97))").alias("checksum"))
+        .selectExpr("bucket", "CAST(n_images AS BIGINT) AS n_images",
+                    "CAST(n_batches AS BIGINT) AS n_batches",
+                    "n_full_batches",
+                    "CAST(remainder AS BIGINT) AS remainder",
+                    "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_aspect() -> str:
+    m = fixtures.images_meta_sql("i")
+    return f"""
+WITH img AS (
+  SELECT i AS img_num, {m['w']} AS w, {m['h']} AS h
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_IMAGES_ORACLE - 1})) AS i) t),
+b AS (SELECT img_num, CAST({_AB_BUCKET} AS INT) AS bucket FROM img),
+rn AS (SELECT img_num, bucket,
+              ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY img_num) - 1
+              AS rn FROM b),
+p AS (SELECT img_num, bucket,
+             CAST(FLOOR(rn / {AB_BATCH}) AS BIGINT) AS batch FROM rn)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(MAX(batch) + 1 AS BIGINT) AS n_batches,
+       CAST(FLOOR(COUNT(*) / {AB_BATCH}) AS BIGINT) AS n_full_batches,
+       CAST(COUNT(*) % {AB_BATCH} AS BIGINT) AS remainder,
+       CAST(SUM(img_num * (1 + batch % 97)) AS BIGINT) AS checksum
+FROM p GROUP BY 1
+"""
+
+
+# --- staypoint_detect: trajectory stay-point extraction ------------------------
+
+SP_LEVEL = 4            # 16x16 grid — coarse enough for real dwell runs
+SP_RING = 1             # Chebyshev cell radius that still counts as "staying"
+SP_MIN_DWELL_US = 3_600_000_000  # 1 hour
+
+
+def q_staypoint_detect(spark, sf_dir):
+    """Stay-point detection over per-user event trajectories — the
+    mobility-mining primitive (home/work/POI discovery): a stay is a
+    maximal run of consecutive pings where every hop stays within a
+    Chebyshev cell ring, kept if it spans >= 1 h. Classic
+    gaps-and-islands: one lag window marks the run breaks, a running sum
+    numbers the segments, and everything is integer (cell coords, µs
+    dwell) so the hash is exact. Two window passes + two aggs all keyed
+    by user_id — ONE shuffle at scale because the exchange is reused
+    across same-key windows."""
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, SP_LEVEL)
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us",
+        f"{ix} AS ix", f"{iy} AS iy")
+    w = "PARTITION BY user_id ORDER BY us, event_id"
+    brk = e.selectExpr(
+        "user_id", "us", "ix", "iy",
+        f"LAG(ix) OVER ({w}) AS pix", f"LAG(iy) OVER ({w}) AS piy")
+    seg = brk.selectExpr(
+        "user_id", "us",
+        "CASE WHEN pix IS NULL OR GREATEST(ABS(ix - pix), ABS(iy - piy)) "
+        f"> {SP_RING} THEN 1 ELSE 0 END AS is_break").selectExpr(
+        "user_id", "us",
+        f"SUM(is_break) OVER ({w.replace('event_id', 'us')} "
+        "ROWS UNBOUNDED PRECEDING) AS seg")
+    stays = (seg.groupBy("user_id", "seg")
+             .agg(F.count(F.lit(1)).alias("n_pts"),
+                  F.expr("MAX(us) - MIN(us)").alias("dwell_us"),
+                  F.min("us").alias("start_us"))
+             .where(f"n_pts >= 2 AND dwell_us >= {SP_MIN_DWELL_US}"))
+    return (stays.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_stays"),
+                 F.sum("dwell_us").alias("sum_dwell_us"),
+                 F.sum("n_pts").alias("sum_pts"),
+                 F.expr("SUM(start_us % 1000003)").alias("checksum"))
+            .selectExpr("user_id", "CAST(n_stays AS BIGINT) AS n_stays",
+                        "CAST(sum_dwell_us AS BIGINT) AS sum_dwell_us",
+                        "CAST(sum_pts AS BIGINT) AS sum_pts",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_staypoint() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, SP_LEVEL)
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {ix} AS ix, {iy} AS iy
+  FROM events),
+brk AS (
+  SELECT user_id, us, ix, iy, LAG(ix) OVER w AS pix, LAG(iy) OVER w AS piy
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+seg AS (
+  SELECT user_id, us,
+         SUM(CASE WHEN pix IS NULL OR
+                  GREATEST(ABS(ix - pix), ABS(iy - piy)) > {SP_RING}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us
+                 ROWS UNBOUNDED PRECEDING) AS seg
+  FROM brk),
+stays AS (
+  SELECT user_id, seg, COUNT(*) AS n_pts, MAX(us) - MIN(us) AS dwell_us,
+         MIN(us) AS start_us
+  FROM seg GROUP BY 1, 2
+  HAVING COUNT(*) >= 2 AND MAX(us) - MIN(us) >= {SP_MIN_DWELL_US})
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_stays,
+       CAST(SUM(dwell_us) AS BIGINT) AS sum_dwell_us,
+       CAST(SUM(n_pts) AS BIGINT) AS sum_pts,
+       CAST(SUM(start_us % 1000003) AS BIGINT) AS checksum
+FROM stays GROUP BY 1
+"""
+
+
+# --- mixture_weights: pretraining domain-mixture sampling plan -----------------
+
+MIX_BUDGET = 1_000_000  # documents to sample across domains
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Domain-mixture sampling plan over the documents corpus — the data
+    recipe step of a pretraining pipeline (temperature-weighted domain
+    sampling, alpha = 0.5): each source's weight is sqrt(total chars),
+    the token-count proxy, so small domains are up-weighted relative to
+    proportional sampling. sqrt is taken via FLOOR to an exact BIGINT
+    (IEEE sqrt of an int64-sized integer is correctly rounded and can't
+    straddle an integer below 2^52 — documented engine-parity rule), so
+    the per-domain planned-document counts are deterministic integers on
+    both engines; only the reporting weight is float, under the repo's
+    round-6 rule. One agg + one broadcast-size window — scales as a
+    map-side combine over any corpus."""
+    d = (_t(spark, sf_dir, "documents")
+         .groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("n_chars").alias("tot_chars")))
+    s = d.selectExpr(
+        "source", "n_docs", "tot_chars",
+        "CAST(FLOOR(SQRT(CAST(tot_chars AS DOUBLE))) AS BIGINT) AS s")
+    return (s.selectExpr(
+        "source", "n_docs", "tot_chars", "s",
+        "SUM(s) OVER () AS total_s")
+        .selectExpr(
+        "source", "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(tot_chars AS BIGINT) AS tot_chars",
+        "s AS sqrt_chars",
+        "ROUND(CAST(s AS DOUBLE) / total_s, 6) AS weight",
+        f"CAST(FLOOR(({float(MIX_BUDGET)!r} * s) / total_s) AS BIGINT) "
+        "AS planned_docs"))
+
+
+def _oracle_mixture() -> str:
+    return f"""
+WITH d AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS tot_chars
+  FROM documents GROUP BY 1),
+s AS (
+  SELECT source, n_docs, tot_chars,
+         CAST(FLOOR(SQRT(CAST(tot_chars AS DOUBLE))) AS BIGINT) AS s
+  FROM d),
+t AS (SELECT source, n_docs, tot_chars, s, SUM(s) OVER () AS total_s FROM s)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(tot_chars AS BIGINT) AS tot_chars,
+       s AS sqrt_chars,
+       ROUND(CAST(s AS DOUBLE) / total_s, 6) AS weight,
+       CAST(FLOOR(({float(MIX_BUDGET)!r} * s) / total_s) AS BIGINT)
+         AS planned_docs
+FROM t
+"""
+
+
 QUERIES: dict = {
     "chunk_documents": (q_chunk_documents, ORACLE_CHUNKS),
     "pareto_frontier": (q_pareto_frontier, ORACLE_PARETO),
@@ -1335,4 +1546,7 @@ QUERIES: dict = {
     "pq_codes": (q_pq_codes, _oracle_pq()),
     "pagerank_fixedpoint": (q_pagerank_fixedpoint, _oracle_pagerank()),
     "user_entropy": (q_user_entropy, _oracle_entropy()),
+    "aspect_bucketing": (q_aspect_bucketing, _oracle_aspect()),
+    "staypoint_detect": (q_staypoint_detect, _oracle_staypoint()),
+    "mixture_weights": (q_mixture_weights, _oracle_mixture()),
 }

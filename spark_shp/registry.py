@@ -94,6 +94,9 @@ _TAIL = [
     "pq_codes",               # product-quantization codes (ANN family)
     "pagerank_fixedpoint",    # integer PageRank (graph family)
     "user_entropy",           # behavioral entropy (C6/quality family)
+    "aspect_bucketing",       # aspect-ratio batch packing (B11/multimodal)
+    "staypoint_detect",       # trajectory stay-point mining (B5/C7 family)
+    "mixture_weights",        # domain-mixture sampling plan (text family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

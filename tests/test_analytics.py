@@ -552,3 +552,84 @@ def test_hilbert_locality_beats_morton():
     jump_h = np.abs(np.diff(hd)).mean()
     jump_m = np.abs(np.diff(md)).mean()
     assert jump_h < jump_m, (jump_h, jump_m)
+
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_aspect_bucketing_batch_laws(spark):
+    """Bucket edges on hand-picked dims + the packing laws: every bucket's
+    batch count follows from its size, remainders are < batch size, and
+    the global image count is conserved."""
+    from spark_shp.queries_analytics import (AB_BATCH, _AB_BUCKET,
+                                             q_aspect_bucketing)
+    # hand-picked (w, h) -> bucket: square=2, 2:1 wide=4, 1:2 tall=0,
+    # 4:3=3 (r=4/3 is the [4/3, 2) bucket), 3:4=1 (r=3/4 is [3/4, 1)),
+    # 5:4=2 (1.25 < 4/3), 4:5=1, 3:2=3, 2:3=0 (2/3 < 3/4)
+    hand = [(16, 16, 2), (32, 16, 4), (16, 32, 0), (64, 48, 3),
+            (48, 64, 1), (80, 64, 2), (64, 80, 1), (48, 32, 3),
+            (32, 48, 0)]
+    rows = spark.createDataFrame(
+        [(w, h) for w, h, _ in hand], "w INT, h INT").selectExpr(
+        "w", "h", f"{_AB_BUCKET} AS bucket").collect()
+    for (w, h, want), r in zip(hand, rows):
+        assert r.bucket == want, (w, h, r.bucket, want)
+    out = q_aspect_bucketing(spark, SF001).collect()
+    from spark_shp.queries_spatial import N_IMAGES_ORACLE
+    assert sum(r.n_images for r in out) == N_IMAGES_ORACLE
+    for r in out:
+        assert 0 <= r.remainder < AB_BATCH
+        assert r.n_full_batches == r.n_images // AB_BATCH
+        assert r.n_batches == r.n_full_batches + (1 if r.remainder else 0)
+
+
+def test_staypoint_detect_matches_sequential_bruteforce(spark):
+    """Replay the segmentation sequentially in Python over the same
+    events and compare every per-user statistic."""
+    from spark_shp import cells, fixtures
+    from spark_shp.queries_analytics import (SP_LEVEL, SP_MIN_DWELL_US,
+                                             SP_RING, q_staypoint_detect)
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, SP_LEVEL)
+    e = spark.read.parquet(f"{SF001}/events.parquet").selectExpr(
+        "user_id", "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us",
+        f"{ix} AS ix", f"{iy} AS iy").collect()
+    byu = {}
+    for r in e:
+        byu.setdefault(r.user_id, []).append(r)
+    want = {}
+    for u, rows in byu.items():
+        rows.sort(key=lambda r: (r.us, r.event_id))
+        segs, cur = [], [rows[0]]
+        for p, q in zip(rows, rows[1:]):
+            if max(abs(q.ix - p.ix), abs(q.iy - p.iy)) <= SP_RING:
+                cur.append(q)
+            else:
+                segs.append(cur)
+                cur = [q]
+        segs.append(cur)
+        stays = [s for s in segs
+                 if len(s) >= 2 and s[-1].us - s[0].us >= SP_MIN_DWELL_US]
+        if stays:
+            want[u] = (len(stays),
+                       sum(s[-1].us - s[0].us for s in stays),
+                       sum(len(s) for s in stays),
+                       sum(s[0].us % 1000003 for s in stays))
+    got = {r.user_id: (r.n_stays, r.sum_dwell_us, r.sum_pts, r.checksum)
+           for r in q_staypoint_detect(spark, SF001).collect()}
+    assert got == want and want
+
+
+def test_mixture_weights_laws(spark):
+    """Weights sum to ~1, planned docs never exceed the budget, and the
+    plan is monotone in domain size (more chars -> never fewer docs)."""
+    from spark_shp.queries_analytics import MIX_BUDGET, q_mixture_weights
+    rows = q_mixture_weights(spark, SF001).collect()
+    assert rows
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    assert sum(r.planned_docs for r in rows) <= MIX_BUDGET
+    by_chars = sorted(rows, key=lambda r: r.tot_chars)
+    for a, b in zip(by_chars, by_chars[1:]):
+        assert a.planned_docs <= b.planned_docs
+        assert a.sqrt_chars == int(a.tot_chars ** 0.5)
