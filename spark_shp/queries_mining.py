@@ -1,0 +1,331 @@
+"""Spatial-mining & curation operators, batch 7: per-group convex hulls,
+edit-distance near-duplicate verification, and trajectory densification.
+
+All three are oracle-gated exact (DuckDB twins) and park in registry._TAIL —
+their operator families (B4-B6 geometry kernels, dedup candidate-verify,
+B5/C7 trajectory windows) keep in-window rows.
+
+Reference parity: the upstream shapefile-js surface is geometry ingest
+(SURVEY.md §2.A [RECONSTRUCTED]); these extend the engine's §6
+training-data-pipeline family the brief requires on top of it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import cells, fixtures
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- convex_hull_groups: per-group convex hull via monotone chain --------------
+#
+# The scale trick is the REDUCTION, not the hull: per (group, ix) only the
+# min-iy and max-iy points can lie on the hull boundary, so one map-side-
+# combinable aggregate shrinks ANY corpus to <= 2 * 2**HULL_LEVEL points per
+# group before the Arrow kernel runs.  The per-group kernel input is therefore
+# corpus-size-independent — the property that lets this run over 10^12 rows
+# (the groupBy agg is the only full-data pass; the hull itself touches <=128
+# rows per group).  All coordinates are quantized lattice integers, so every
+# output (doubled shoelace area, squared edge lengths, boundary checksum) is
+# an exact int64 on both engines.
+
+HULL_LEVEL = 6        # 64x64 lattice -> <= 128 reduced points per group
+HULL_GROUPS = 8       # group key = user_id % HULL_GROUPS
+
+_HULL_SCHEMA = ("g BIGINT, n_boundary BIGINT, n_cycle BIGINT, area2 BIGINT, "
+                "sum_edge_sq BIGINT, checksum BIGINT")
+
+
+def hull_cycle(pts):
+    """CCW closed boundary cycle of the convex hull of distinct lattice
+    points, KEEPING collinear boundary points (Andrew monotone chain with a
+    strict pop test).  Returns the vertex list of the closed walk (last edge
+    wraps to the first vertex); a single point returns [p] (zero edges).
+    For an all-collinear set the walk runs down and back, visiting interior
+    collinear points twice — exactly the set of directed boundary edges the
+    brute-force half-plane oracle admits."""
+    P = sorted(pts)
+    if len(P) == 1:
+        return P
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def chain(points):
+        h = []
+        for p in points:
+            while len(h) >= 2 and cross(h[-2], h[-1], p) < 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = chain(P)
+    upper = chain(P[::-1])
+    return lower[:-1] + upper[:-1]
+
+
+def hull_metrics(pts):
+    """Exact integer hull metrics of a distinct lattice point set: boundary
+    vertex count, directed-edge count, |doubled shoelace area|, sum of
+    squared edge lengths, and a per-edge-start checksum (multiplicity-aware,
+    so a degenerate down-and-back walk hashes differently from a one-way
+    walk)."""
+    cyc = hull_cycle(pts)
+    m = len(cyc)
+    if m == 1:
+        x, y = cyc[0]
+        return 1, 0, 0, 0, x * 131 + y
+    area2 = 0
+    edge_sq = 0
+    chk = 0
+    for i in range(m):
+        ax, ay = cyc[i]
+        bx, by = cyc[(i + 1) % m]
+        area2 += ax * by - bx * ay
+        edge_sq += (ax - bx) ** 2 + (ay - by) ** 2
+        chk += ax * 131 + ay
+    return len(set(cyc)), m, abs(area2), edge_sq, chk
+
+
+def q_convex_hull_groups(spark, sf_dir):
+    """Per-group convex hull of event point clouds (the footprint/coverage
+    primitive: service areas, per-source spatial extent QA).  Plan: one
+    map-side-combinable groupBy reduces the corpus to extreme lattice points
+    (<= 2 per (group, x-column)), then an Arrow-grouped monotone-chain kernel
+    emits exact integer hull metrics per group.  The oracle proves the SAME
+    hull a genuinely different way: brute-force half-plane edge admission
+    (edge a->b is on the CCW boundary iff no point lies strictly right of it
+    and no collinear point splits it) — O(n^3) is affordable there precisely
+    because the reduction bounds n by the lattice, not the corpus."""
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, HULL_LEVEL)
+    e = _t(spark, sf_dir, "events").selectExpr(
+        f"user_id % {HULL_GROUPS} AS g", f"{ix} AS ix", f"{iy} AS iy")
+    red = e.groupBy("g", "ix").agg(F.min("iy").alias("y1"),
+                                   F.max("iy").alias("y2"))
+    pts = (red.selectExpr("g", "ix AS x", "explode(array(y1, y2)) AS y")
+           .distinct())
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(pdf["g"].iloc[0])
+        p = list(zip(pdf["x"].astype(int), pdf["y"].astype(int)))
+        nb, nc, a2, esq, chk = hull_metrics(sorted(set(p)))
+        return pd.DataFrame([{"g": g, "n_boundary": nb, "n_cycle": nc,
+                              "area2": a2, "sum_edge_sq": esq,
+                              "checksum": chk}])
+
+    return pts.groupBy("g").applyInPandas(kernel, _HULL_SCHEMA)
+
+
+def _oracle_hull() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, HULL_LEVEL)
+    cr = "((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x))"
+    return f"""
+WITH e AS (
+  SELECT user_id % {HULL_GROUPS} AS g, {ix} AS ix, {iy} AS iy FROM events),
+red AS (SELECT g, ix, MIN(iy) AS y1, MAX(iy) AS y2 FROM e GROUP BY 1, 2),
+pts AS (
+  SELECT DISTINCT g, ix AS x, UNNEST([y1, y2]) AS y FROM red),
+edges AS (
+  SELECT a.g, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM pts a JOIN pts b ON a.g = b.g
+  WHERE NOT (a.x = b.x AND a.y = b.y)
+    AND NOT EXISTS (
+      SELECT 1 FROM pts c
+      WHERE c.g = a.g
+        AND NOT (c.x = a.x AND c.y = a.y)
+        AND NOT (c.x = b.x AND c.y = b.y)
+        AND ({cr} < 0 OR ({cr} = 0
+             AND c.x BETWEEN LEAST(a.x, b.x) AND GREATEST(a.x, b.x)
+             AND c.y BETWEEN LEAST(a.y, b.y) AND GREATEST(a.y, b.y))))),
+agg AS (
+  SELECT g, COUNT(DISTINCT ax * 4096 + ay) AS n_boundary,
+         COUNT(*) AS n_cycle,
+         ABS(SUM(ax * by - bx * ay)) AS area2,
+         SUM((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) AS sum_edge_sq,
+         SUM(ax * 131 + ay) AS checksum
+  FROM edges GROUP BY 1),
+base AS (SELECT g, COUNT(*) AS n_pts, MIN(x * 131 + y) AS solo
+         FROM pts GROUP BY 1)
+SELECT base.g,
+       CAST(CASE WHEN base.n_pts = 1 THEN 1 ELSE agg.n_boundary END
+            AS BIGINT) AS n_boundary,
+       CAST(COALESCE(agg.n_cycle, 0) AS BIGINT) AS n_cycle,
+       CAST(COALESCE(agg.area2, 0) AS BIGINT) AS area2,
+       CAST(COALESCE(agg.sum_edge_sq, 0) AS BIGINT) AS sum_edge_sq,
+       CAST(CASE WHEN base.n_pts = 1 THEN base.solo ELSE agg.checksum END
+            AS BIGINT) AS checksum
+FROM base LEFT JOIN agg ON base.g = agg.g
+"""
+
+
+# --- dedup_editdist: banded edit-distance near-duplicate verification ----------
+#
+# The curation step after candidate generation: exact Levenshtein on prefix
+# windows over length-banded candidate pairs.  The 100 TB shape is in the
+# JOIN KEY, not a post-join filter: the sampled probe side EXPLODES its
+# length into the {n-1, n, n+1} band so the |Δchars| <= 1 constraint is an
+# equi-join on (source, band_key) — no per-source pair blowup ever
+# materializes.  Both engines run the same textbook DP (ASCII corpus; Spark
+# `levenshtein` and DuckDB `levenshtein` agree — pinned by pytest).
+
+ED_PREFIX = 200       # distance computed on the first ED_PREFIX chars
+ED_SAMPLE_MOD = 3     # probe side = docs with doc_id % 3 == 0
+ED_NEAR = 120         # "near" threshold on the prefix distance
+
+
+def q_dedup_editdist(spark, sf_dir):
+    """Edit-distance near-dup verify over length-banded candidates.  Probe
+    docs (deterministic 1-in-3 sample) join archive docs on
+    (source, n_chars band) via key explosion, then one vectorized JVM
+    levenshtein per pair; per-source aggregate keeps the gate row count
+    bounded.  At scale: equi-join shuffle on a composite key (no skew — the
+    band splits each source), distance is JVM codegen, zero Python."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "source", "n_chars",
+        f"substr(text, 1, {ED_PREFIX}) AS t")
+    probe = (d.where(f"doc_id % {ED_SAMPLE_MOD} = 0")
+             .selectExpr("doc_id AS a_id", "source", "t AS a_t",
+                         "explode(array(n_chars - 1, n_chars, n_chars + 1)) "
+                         "AS k"))
+    arch = d.selectExpr("doc_id AS b_id", "source", "t AS b_t",
+                        "n_chars AS k")
+    pairs = (probe.join(arch, ["source", "k"])
+             .where("a_id < b_id")
+             .selectExpr("source", "a_id", "b_id",
+                         "levenshtein(a_t, b_t) AS dist"))
+    return (pairs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_candidates"),
+                 F.expr(f"SUM(CASE WHEN dist <= {ED_NEAR} THEN 1 ELSE 0 END)")
+                 .alias("n_near"),
+                 F.min("dist").alias("min_dist"),
+                 F.max("dist").alias("max_dist"),
+                 F.sum("dist").alias("sum_dist"),
+                 F.expr("SUM(a_id * 997 + b_id + dist)").alias("checksum"))
+            .selectExpr("source",
+                        "CAST(n_candidates AS BIGINT) AS n_candidates",
+                        "CAST(n_near AS BIGINT) AS n_near",
+                        "CAST(min_dist AS BIGINT) AS min_dist",
+                        "CAST(max_dist AS BIGINT) AS max_dist",
+                        "CAST(sum_dist AS BIGINT) AS sum_dist",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+ORACLE_EDITDIST = f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars, substr(text, 1, {ED_PREFIX}) AS t
+  FROM documents),
+pairs AS (
+  SELECT a.source, a.doc_id AS a_id, b.doc_id AS b_id,
+         levenshtein(a.t, b.t) AS dist
+  FROM d a JOIN d b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+   AND ABS(a.n_chars - b.n_chars) <= 1
+  WHERE a.doc_id % {ED_SAMPLE_MOD} = 0)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN dist <= {ED_NEAR} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_near,
+       CAST(MIN(dist) AS BIGINT) AS min_dist,
+       CAST(MAX(dist) AS BIGINT) AS max_dist,
+       CAST(SUM(dist) AS BIGINT) AS sum_dist,
+       CAST(SUM(a_id * 997 + b_id + dist) AS BIGINT) AS checksum
+FROM pairs GROUP BY 1
+"""
+
+
+# --- trajectory_densify: integer-lerp path resampling -> tile coverage ---------
+#
+# GPS densification (map-matching / coverage heatmaps need evenly-spaced
+# samples, not raw pings): every consecutive ping pair per user is resampled
+# at Chebyshev-unit steps on the level-12 lattice by an INTEGER lerp —
+# x0 + FLOOR(dx * j / n) is exact in both dialects (products < 2**52; when
+# dx*j/n is a true integer the float division is exact, otherwise it is
+# >= 1/n away from one, far beyond float64 error), so the resampled points
+# and their tile counts hash identically.  Semi-open sampling (j in 0..n-1)
+# makes consecutive segments tile without double-counting shared endpoints.
+
+DENS_LEVEL = 12       # 4096x4096 source lattice
+DENS_CAP = 48         # max samples per segment (teleport guard)
+DENS_COARSE = 64      # coarse tile = lattice cell / 64 -> 64x64 output grid
+
+
+def q_trajectory_densify(spark, sf_dir):
+    """Densify per-user trajectories by integer lerp and count resampled
+    points per coarse tile.  One window shuffle on user_id (lag), then a
+    constant-bounded explode (<= DENS_CAP rows per segment) and one
+    map-side-combined agg on the tile key — the same one-shuffle shape as
+    staypoint_detect, with the fan-out bounded by construction so no segment
+    can blow up a task at any corpus size."""
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, DENS_LEVEL)
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us",
+        f"{ix} AS x1", f"{iy} AS y1")
+    w = "PARTITION BY user_id ORDER BY us, event_id"
+    seg = e.selectExpr(
+        "user_id", "x1", "y1",
+        f"LAG(x1) OVER ({w}) AS x0", f"LAG(y1) OVER ({w}) AS y0")
+    seg = seg.where("x0 IS NOT NULL").selectExpr(
+        "user_id", "x0", "y0", "x1 - x0 AS dx", "y1 - y0 AS dy",
+        f"GREATEST(1, LEAST({DENS_CAP}, GREATEST(ABS(x1 - x0), "
+        "ABS(y1 - y0)))) AS n")
+    samp = (seg.selectExpr("user_id", "x0", "y0", "dx", "dy", "n",
+                           "explode(sequence(0, n - 1)) AS j")
+            .selectExpr("user_id",
+                        "x0 + CAST(FLOOR(dx * j / n) AS BIGINT) AS xs",
+                        "y0 + CAST(FLOOR(dy * j / n) AS BIGINT) AS ys"))
+    return (samp.selectExpr(
+        "user_id",
+        f"CAST(FLOOR(xs / {float(DENS_COARSE)!r}) AS BIGINT) AS tx",
+        f"CAST(FLOOR(ys / {float(DENS_COARSE)!r}) AS BIGINT) AS ty",
+        "xs", "ys")
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("n_samples"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.expr("SUM((xs * 4096 + ys) % 1000003)").alias("checksum"))
+        .selectExpr("tx", "ty", "CAST(n_samples AS BIGINT) AS n_samples",
+                    "CAST(n_users AS BIGINT) AS n_users",
+                    "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_densify() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, DENS_LEVEL)
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {ix} AS x1, {iy} AS y1
+  FROM events),
+seg0 AS (
+  SELECT user_id, x1, y1, LAG(x1) OVER w AS x0, LAG(y1) OVER w AS y0
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+seg AS (
+  SELECT user_id, x0, y0, x1 - x0 AS dx, y1 - y0 AS dy,
+         GREATEST(1, LEAST({DENS_CAP},
+                           GREATEST(ABS(x1 - x0), ABS(y1 - y0)))) AS n
+  FROM seg0 WHERE x0 IS NOT NULL),
+samp AS (
+  SELECT user_id,
+         x0 + CAST(FLOOR(dx * j / n) AS BIGINT) AS xs,
+         y0 + CAST(FLOOR(dy * j / n) AS BIGINT) AS ys
+  FROM seg, UNNEST(GENERATE_SERIES(0, n - 1)) AS t(j))
+SELECT CAST(FLOOR(xs / {float(DENS_COARSE)!r}) AS BIGINT) AS tx,
+       CAST(FLOOR(ys / {float(DENS_COARSE)!r}) AS BIGINT) AS ty,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM((xs * 4096 + ys) % 1000003) AS BIGINT) AS checksum
+FROM samp GROUP BY 1, 2
+"""
+
+
+QUERIES: dict = {
+    "convex_hull_groups": (q_convex_hull_groups, _oracle_hull()),
+    "dedup_editdist": (q_dedup_editdist, ORACLE_EDITDIST),
+    "trajectory_densify": (q_trajectory_densify, _oracle_densify()),
+}

@@ -15,8 +15,8 @@ tools/diffcheck.py and pytest still verify them exactly, locally.
 
 from __future__ import annotations
 
-from . import (queries_analytics, queries_curation, queries_rel, queries_shp,
-               queries_spatial, queries_text)
+from . import (queries_analytics, queries_curation, queries_mining,
+               queries_rel, queries_shp, queries_spatial, queries_text)
 
 # Same-operator variants parked beyond the driver's 50-query window.
 # Each name's operator family keeps >=1 in-window row:
@@ -97,6 +97,9 @@ _TAIL = [
     "aspect_bucketing",       # aspect-ratio batch packing (B11/multimodal)
     "staypoint_detect",       # trajectory stay-point mining (B5/C7 family)
     "mixture_weights",        # domain-mixture sampling plan (text family)
+    "convex_hull_groups",     # per-group convex hull (B4-B6 geometry family)
+    "dedup_editdist",         # banded Levenshtein near-dup (dedup family)
+    "trajectory_densify",     # integer-lerp path resampling (B5/C7 family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",
@@ -113,7 +116,7 @@ _TAIL = [
 
 _MERGED: dict = {}
 for mod in (queries_shp, queries_spatial, queries_text, queries_rel,
-            queries_curation, queries_analytics):
+            queries_curation, queries_analytics, queries_mining):
     overlap = set(_MERGED) & set(mod.QUERIES)
     if overlap:
         raise RuntimeError(f"duplicate query names: {overlap}")

@@ -1,0 +1,198 @@
+"""Independent cross-checks for queries_mining: a same-bug-both-engines
+failure in the shared SQL can't hide behind the differential gate.
+"""
+
+import duckdb
+import numpy as np
+import pytest
+
+from spark_shp.queries_mining import (
+    DENS_CAP, ED_PREFIX, HULL_GROUPS, HULL_LEVEL, hull_cycle, hull_metrics,
+    q_convex_hull_groups, q_dedup_editdist, q_trajectory_densify)
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- convex hull: monotone chain vs brute-force half-plane admission ---------
+
+def _brute_edges(pts):
+    """The oracle's edge rule, replicated in pure python: directed edge
+    (a, b) is on the boundary iff no point is strictly right of it and no
+    collinear point splits it."""
+    edges = []
+    for a in pts:
+        for b in pts:
+            if a == b:
+                continue
+            ok = True
+            for c in pts:
+                if c == a or c == b:
+                    continue
+                cr = ((b[0] - a[0]) * (c[1] - a[1])
+                      - (b[1] - a[1]) * (c[0] - a[0]))
+                between = (min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+                           and min(a[1], b[1]) <= c[1] <= max(a[1], b[1]))
+                if cr < 0 or (cr == 0 and between):
+                    ok = False
+                    break
+            if ok:
+                edges.append((a, b))
+    return edges
+
+
+def _metrics_from_edges(pts, edges):
+    if len(pts) == 1:
+        x, y = pts[0]
+        return 1, 0, 0, 0, x * 131 + y
+    nb = len({e[0] for e in edges})
+    area2 = abs(sum(a[0] * b[1] - b[0] * a[1] for a, b in edges))
+    esq = sum((a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2 for a, b in edges)
+    chk = sum(a[0] * 131 + a[1] for a, _ in edges)
+    return nb, len(edges), area2, esq, chk
+
+
+def test_hull_metrics_match_half_plane_bruteforce_random():
+    rng = np.random.default_rng(11)
+    for trial in range(120):
+        n = int(rng.integers(1, 14))
+        span = int(rng.integers(2, 12))
+        pts = sorted({(int(rng.integers(0, span)), int(rng.integers(0, span)))
+                      for _ in range(n)})
+        got = hull_metrics(pts)
+        want = _metrics_from_edges(pts, _brute_edges(pts))
+        assert got == want, (trial, pts, got, want)
+
+
+def test_hull_metrics_degenerate_cases():
+    # single point
+    assert hull_metrics([(3, 4)]) == (1, 0, 0, 0, 3 * 131 + 4)
+    # two points: down-and-back walk, zero area, both edges counted
+    nb, nc, a2, esq, chk = hull_metrics([(0, 0), (3, 4)])
+    assert (nb, nc, a2, esq) == (2, 2, 0, 50)
+    # all-collinear run: every point is a boundary vertex, interior points
+    # appear twice in the cycle (down-and-back)
+    pts = [(0, 0), (1, 1), (2, 2), (3, 3)]
+    assert hull_metrics(pts) == _metrics_from_edges(pts, _brute_edges(pts))
+    cyc = hull_cycle(pts)
+    assert len(cyc) == 2 * len(pts) - 2
+    # square with center point: center never on the boundary
+    pts = [(0, 0), (2, 0), (0, 2), (2, 2), (1, 1)]
+    nb, nc, a2, esq, chk = hull_metrics(pts)
+    assert (nb, nc, a2) == (4, 4, 8)
+
+
+def test_hull_query_groups_and_bounds(spark):
+    rows = {r.g: r for r in q_convex_hull_groups(spark, SF).collect()}
+    assert set(rows) == set(range(HULL_GROUPS))
+    lattice = 1 << HULL_LEVEL
+    for r in rows.values():
+        assert 0 < r.area2 <= 2 * (lattice - 1) ** 2
+        assert r.n_boundary <= r.n_cycle
+        assert r.n_cycle >= 3
+
+
+# --- edit distance: Spark == DuckDB == textbook DP ----------------------------
+
+def _dp_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_parity_across_engines(spark):
+    cases = [("kitten", "sitting"), ("", "abc"), ("same", "same"),
+             ("a row fast merge", "a row slow merge xx"),
+             ("abcdef" * 30, "abcdxf" * 30)]
+    sdf = spark.createDataFrame(cases, "a string, b string")
+    got_spark = [r[0] for r in
+                 sdf.selectExpr("levenshtein(a, b)").collect()]
+    con = duckdb.connect()
+    got_duck = [con.execute("SELECT levenshtein(?, ?)", list(c)).fetchone()[0]
+                for c in cases]
+    want = [_dp_lev(a, b) for a, b in cases]
+    assert got_spark == want
+    assert got_duck == want
+
+
+def test_dedup_editdist_candidates_obey_band(spark):
+    import pyspark.sql.functions as F
+    out = q_dedup_editdist(spark, SF).collect()
+    assert out, "fixture produced no candidate pairs"
+    docs = {r.doc_id: r for r in spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "source", "n_chars").collect()}
+    # rebuild the candidate set brute-force and compare counts per source
+    from collections import Counter
+    want = Counter()
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        if a % 3:
+            continue
+        for b in ids:
+            if (b > a and docs[a].source == docs[b].source
+                    and abs(docs[a].n_chars - docs[b].n_chars) <= 1):
+                want[docs[a].source] += 1
+    got = {r.source: r.n_candidates for r in out}
+    assert got == dict(want)
+    for r in out:
+        assert 0 <= r.min_dist <= r.max_dist <= ED_PREFIX
+
+
+# --- trajectory densification -------------------------------------------------
+
+def test_densify_segment_laws(spark):
+    """Per-segment: sample count equals the Chebyshev step count (capped),
+    the first sample is the segment start, and every sample lies inside the
+    segment bounding box — checked against a numpy lerp on random segments
+    through the same SQL expressions DuckDB runs."""
+    rng = np.random.default_rng(5)
+    segs = [(int(rng.integers(0, 4096)), int(rng.integers(0, 4096)),
+             int(rng.integers(0, 4096)), int(rng.integers(0, 4096)))
+            for _ in range(200)] + [(7, 7, 7, 7), (0, 0, 4095, 0),
+                                    (10, 10, 10, 60)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s(x0 BIGINT, y0 BIGINT, x1 BIGINT, y1 BIGINT)")
+    con.executemany("INSERT INTO s VALUES (?,?,?,?)", segs)
+    rows = con.execute(f"""
+        WITH seg AS (
+          SELECT x0, y0, x1 - x0 AS dx, y1 - y0 AS dy,
+                 GREATEST(1, LEAST({DENS_CAP},
+                                   GREATEST(ABS(x1-x0), ABS(y1-y0)))) AS n,
+                 ROW_NUMBER() OVER () - 1 AS sid
+          FROM s)
+        SELECT sid, j, x0 + CAST(FLOOR(dx * j / n) AS BIGINT),
+               y0 + CAST(FLOOR(dy * j / n) AS BIGINT)
+        FROM seg, UNNEST(GENERATE_SERIES(0, n - 1)) AS t(j)
+        ORDER BY sid, j""").fetchall()
+    by_sid = {}
+    for sid, j, xs, ys in rows:
+        by_sid.setdefault(sid, []).append((j, xs, ys))
+    for sid, (x0, y0, x1, y1) in enumerate(segs):
+        n = max(1, min(DENS_CAP, max(abs(x1 - x0), abs(y1 - y0))))
+        samples = by_sid[sid]
+        assert len(samples) == n
+        assert samples[0][1:] == (x0, y0)
+        js = np.arange(n)
+        xs = x0 + np.floor((x1 - x0) * js / n).astype(np.int64)
+        ys = y0 + np.floor((y1 - y0) * js / n).astype(np.int64)
+        assert [s[1] for s in samples] == xs.tolist()
+        assert [s[2] for s in samples] == ys.tolist()
+        for _, sx, sy in samples:
+            assert min(x0, x1) <= sx <= max(x0, x1)
+            assert min(y0, y1) <= sy <= max(y0, y1)
+
+
+def test_densify_query_conservation(spark):
+    out = q_trajectory_densify(spark, SF)
+    total = out.groupBy().sum("n_samples").collect()[0][0]
+    # total samples = sum over segments of n (>= 1 per segment); segments =
+    # events - distinct users (each user's first ping has no predecessor)
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert total >= n_events - n_users
+    assert total <= (n_events - n_users) * DENS_CAP
