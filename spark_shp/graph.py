@@ -67,3 +67,42 @@ def connected_components(edges: DataFrame, src: str = "src",
             break
     sym.unpersist()
     return labels.select("node", F.col("label").alias("component"))
+
+
+def kcore_rounds(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Bounded k-core peel: ``rounds`` fixed iterations of "drop every node
+    whose degree in the surviving subgraph is < k", returning one row per
+    round: (round, n_alive, checksum).  Round 0 is the full node set; the
+    peel has converged iff the last two rounds are identical (callers gate
+    that — the fixed bound is what makes the result reproducible as a
+    finite SQL unrolling on any engine).
+
+    Scale shape: each round is one degree aggregation over the surviving
+    edge list (two broadcast semi-joins against the alive set + groupBy) —
+    the alive set only shrinks, so every round is cheaper than the last;
+    localCheckpoint truncates lineage so round r never re-plans rounds
+    0..r-1.  Rounds whose alive set is empty emit no row (both engines
+    agree: the SQL twin filters empty rounds with HAVING)."""
+    bi = (edges.selectExpr("a AS u", "b AS v")
+          .union(edges.selectExpr("b AS u", "a AS v"))
+          .localCheckpoint())
+    alive = bi.selectExpr("u AS node").distinct().localCheckpoint()
+    snaps = [alive.selectExpr("CAST(0 AS BIGINT) AS round", "node")]
+    for r in range(1, rounds + 1):
+        a_u = alive.selectExpr("node AS u")
+        a_v = alive.selectExpr("node AS v")
+        deg = (bi.join(F.broadcast(a_u), "u", "semi")
+               .join(F.broadcast(a_v), "v", "semi")
+               .groupBy("u").agg(F.count(F.lit(1)).alias("d")))
+        alive = (deg.where(f"d >= {k}").selectExpr("u AS node")
+                 .localCheckpoint())
+        snaps.append(alive.selectExpr(f"CAST({r} AS BIGINT) AS round",
+                                      "node"))
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.union(s)
+    return (out.groupBy("round")
+            .agg(F.count(F.lit(1)).alias("n_alive"),
+                 F.expr("SUM(node * 131)").alias("checksum"))
+            .selectExpr("round", "CAST(n_alive AS BIGINT) AS n_alive",
+                        "CAST(checksum AS BIGINT) AS checksum"))

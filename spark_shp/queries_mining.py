@@ -329,3 +329,235 @@ QUERIES: dict = {
     "dedup_editdist": (q_dedup_editdist, ORACLE_EDITDIST),
     "trajectory_densify": (q_trajectory_densify, _oracle_densify()),
 }
+
+
+# --- kcore_decompose: bounded k-core peel on a deterministic graph -------------
+#
+# The degeneracy/coreness primitive (community-core extraction, spam-farm
+# detection on link graphs).  The graph is synthesized from the shared hash
+# family so both engines build the IDENTICAL edge list; the peel runs a
+# FIXED number of rounds so the whole computation unrolls to finite SQL —
+# pytest asserts the fixture converges well inside the bound (last two
+# rounds equal), so the bounded result IS the k-core, not an approximation.
+
+KC_NV = 600          # nodes
+KC_NE = 2400         # raw edge draws (self-loops and dups removed)
+KC_K = 5             # core degree threshold
+KC_ROUNDS = 8        # fixture converges by round 5 (trace 411,393,388,385,384)
+
+
+def _kc_edge_exprs() -> tuple:
+    from .hashing import mix_sql
+    return (f"({mix_sql('id')}) % {KC_NV}",
+            f"({mix_sql('id * 2 + 1')}) % {KC_NV}")
+
+
+def q_kcore_decompose(spark, sf_dir):
+    """Per-round k-core peel summary (round, surviving nodes, id checksum).
+    Spark runs the real iterative operator (graph.kcore_rounds: degree agg
+    over the shrinking subgraph per round, broadcast semi-joins,
+    localCheckpoint lineage truncation); the oracle unrolls the same rounds
+    as chained CTEs.  At 100 TB the edge list is the only large input —
+    each round is one shuffle over it and the alive set only shrinks."""
+    from . import graph
+    ax, bx = _kc_edge_exprs()
+    raw = spark.range(0, KC_NE).selectExpr(f"{ax} AS x", f"{bx} AS y")
+    edges = (raw.where("x <> y")
+             .selectExpr("LEAST(x, y) AS a", "GREATEST(x, y) AS b")
+             .distinct())
+    return graph.kcore_rounds(edges, KC_K, KC_ROUNDS)
+
+
+def _oracle_kcore() -> str:
+    ax, bx = _kc_edge_exprs()
+    ctes = [f"""ids AS (SELECT UNNEST(GENERATE_SERIES(0, {KC_NE - 1})) AS id),
+raw AS (SELECT {ax} AS x, {bx} AS y FROM ids),
+ed AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+       FROM raw WHERE x <> y),
+bi AS (SELECT a AS u, b AS v FROM ed UNION ALL SELECT b AS u, a AS v FROM ed),
+alive0 AS (SELECT DISTINCT u AS node FROM bi)"""]
+    for r in range(1, KC_ROUNDS + 1):
+        ctes.append(f"""deg{r} AS (
+  SELECT u AS node, COUNT(*) AS d FROM bi
+  WHERE u IN (SELECT node FROM alive{r - 1})
+    AND v IN (SELECT node FROM alive{r - 1})
+  GROUP BY 1),
+alive{r} AS (SELECT node FROM deg{r} WHERE d >= {KC_K})""")
+    sels = [f"""SELECT CAST({r} AS BIGINT) AS round,
+       CAST(COUNT(*) AS BIGINT) AS n_alive,
+       CAST(SUM(node * 131) AS BIGINT) AS checksum
+FROM alive{r} HAVING COUNT(*) > 0""" for r in range(KC_ROUNDS + 1)]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+# --- interval_coverage: per-customer interval union (gaps-and-islands) ---------
+#
+# The interval-union primitive (SLA coverage, sensor uptime, ad-exposure
+# windows): merge each customer's overlapping order-activity intervals and
+# measure total covered days.  Interval ends are exact epoch-day integers;
+# the island break test uses a running MAX over an explicit
+# ROWS ... 1 PRECEDING frame, identical in both dialects.
+
+IV_DAY_US = 86_400_000_000
+
+
+def q_interval_coverage(spark, sf_dir):
+    """Merge overlapping per-customer activity intervals
+    [order day, order day + 1 + orderkey % 14) and report islands, covered
+    days, and the largest merged span.  Classic gaps-and-islands: one
+    customer-keyed window pass (running MAX of interval ends marks the
+    breaks, running SUM numbers the islands) + two aggs that reuse the same
+    exchange — ONE shuffle at any scale."""
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_custkey AS cust", "o_orderkey AS okey",
+        f"CAST(FLOOR(unix_micros(CAST(o_orderdate AS TIMESTAMP_LTZ)) "
+        f"/ {float(IV_DAY_US)!r}) AS BIGINT) AS s")
+    o = o.selectExpr("cust", "okey", "s", "s + 1 + okey % 14 AS e")
+    w = "PARTITION BY cust ORDER BY s, okey"
+    brk = o.selectExpr(
+        "cust", "okey", "s", "e",
+        f"MAX(e) OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+        "PRECEDING) AS prev_end")
+    isl = brk.selectExpr(
+        "cust", "s", "e",
+        "CASE WHEN prev_end IS NULL OR s > prev_end THEN 1 ELSE 0 END "
+        "AS is_break").selectExpr(
+        "cust", "s", "e",
+        f"SUM(is_break) OVER ({w.replace(', okey', ', s')} "
+        "ROWS UNBOUNDED PRECEDING) AS isl")
+    islands = (isl.groupBy("cust", "isl")
+               .agg(F.min("s").alias("ist"), F.max("e").alias("ien"),
+                    F.count(F.lit(1)).alias("n_iv")))
+    return (islands.groupBy("cust")
+            .agg(F.count(F.lit(1)).alias("n_islands"),
+                 F.expr("SUM(ien - ist)").alias("covered_days"),
+                 F.expr("MAX(ien - ist)").alias("max_island_days"),
+                 F.sum("n_iv").alias("n_intervals"),
+                 F.expr("SUM(ist % 10007 + ien % 10007)").alias("checksum"))
+            .selectExpr("cust", "CAST(n_islands AS BIGINT) AS n_islands",
+                        "CAST(covered_days AS BIGINT) AS covered_days",
+                        "CAST(max_island_days AS BIGINT) AS max_island_days",
+                        "CAST(n_intervals AS BIGINT) AS n_intervals",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+ORACLE_INTERVALS = f"""
+WITH o AS (
+  SELECT o_custkey AS cust, o_orderkey AS okey,
+         CAST(FLOOR(epoch_us(o_orderdate) / {float(IV_DAY_US)!r}) AS BIGINT)
+           AS s
+  FROM orders),
+iv AS (SELECT cust, okey, s, s + 1 + okey % 14 AS e FROM o),
+brk AS (
+  SELECT cust, s, e,
+         MAX(e) OVER (PARTITION BY cust ORDER BY s, okey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end,
+         okey
+  FROM iv),
+isl AS (
+  SELECT cust, s, e,
+         SUM(CASE WHEN prev_end IS NULL OR s > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY cust ORDER BY s, okey
+                 ROWS UNBOUNDED PRECEDING) AS isl
+  FROM brk),
+islands AS (
+  SELECT cust, isl, MIN(s) AS ist, MAX(e) AS ien, COUNT(*) AS n_iv
+  FROM isl GROUP BY 1, 2)
+SELECT cust, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(ien - ist) AS BIGINT) AS covered_days,
+       CAST(MAX(ien - ist) AS BIGINT) AS max_island_days,
+       CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+       CAST(SUM(ist % 10007 + ien % 10007) AS BIGINT) AS checksum
+FROM islands GROUP BY 1
+"""
+
+
+# --- bfs_distance_cells: multi-source BFS distance transform on the grid -------
+#
+# The raster proximity operator (distance-to-nearest-facility /
+# nearest-hotspot bands): Chebyshev BFS from hash-selected seed cells over
+# the occupied-cell set, capped at BFS_ROUNDS.  Seeds come from the shared
+# hash so the seed set is identical at every corpus size and on both
+# engines; the cumulative-frontier construction makes dist = min rounds.
+
+BFS_LEVEL = 5        # 32x32 grid -> occupied set bounded by 1024 cells
+BFS_ROUNDS = 4
+BFS_SEED_MOD = 17    # ~6% of occupied cells are seeds
+
+
+def q_bfs_distance_cells(spark, sf_dir):
+    """Distance histogram of occupied cells to their nearest seed cell
+    (-1 = beyond BFS_ROUNDS).  Spark runs the real iterative frontier
+    expansion: per round, explode 8 neighbor offsets from the previous
+    frontier, equi-join against the occupied set (never a theta join),
+    anti-join against already-reached, localCheckpoint.  The occupied set
+    is bounded by the lattice (<= 1024 rows) regardless of corpus size —
+    the groupBy that builds it is the only full-data pass."""
+    from .hashing import mix_sql
+    n = 1 << BFS_LEVEL
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, BFS_LEVEL)
+    occ = (_t(spark, sf_dir, "events")
+           .selectExpr(f"{ix} AS ix", f"{iy} AS iy")
+           .groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint())
+    seeds = occ.where(f"({mix_sql(f'ix * {n} + iy')}) % {BFS_SEED_MOD} = 0")
+    reached = seeds.selectExpr("ix", "iy", "c",
+                               "CAST(0 AS BIGINT) AS dist").localCheckpoint()
+    frontier = reached.select("ix", "iy")
+    for r in range(1, BFS_ROUNDS + 1):
+        nb = (frontier.selectExpr("ix", "iy",
+                                  "explode(sequence(-1, 1)) AS dx")
+              .selectExpr("ix + dx AS ix", "iy",
+                          "explode(sequence(-1, 1)) AS dy")
+              .selectExpr("ix", "iy + dy AS iy")
+              .distinct())
+        newly = (occ.join(nb, ["ix", "iy"], "semi")
+                 .join(reached.select("ix", "iy"), ["ix", "iy"], "anti")
+                 .selectExpr("ix", "iy", "c",
+                             f"CAST({r} AS BIGINT) AS dist")
+                 .localCheckpoint())
+        reached = reached.union(newly).localCheckpoint()
+        frontier = newly.select("ix", "iy")
+    unreached = (occ.join(reached.select("ix", "iy"), ["ix", "iy"], "anti")
+                 .selectExpr("ix", "iy", "c", "CAST(-1 AS BIGINT) AS dist"))
+    return (reached.union(unreached)
+            .groupBy("dist")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("c").alias("n_events"),
+                 F.expr(f"SUM(ix * {n} + iy)").alias("checksum"))
+            .selectExpr("dist", "CAST(n_cells AS BIGINT) AS n_cells",
+                        "CAST(n_events AS BIGINT) AS n_events",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_bfs() -> str:
+    from .hashing import mix_sql
+    n = 1 << BFS_LEVEL
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, BFS_LEVEL)
+    ctes = [f"""occ AS (
+  SELECT {ix} AS ix, {iy} AS iy, COUNT(*) AS c FROM events GROUP BY 1, 2),
+r0 AS (SELECT ix, iy FROM occ
+       WHERE ({mix_sql(f'ix * {n} + iy')}) % {BFS_SEED_MOD} = 0)"""]
+    for r in range(1, BFS_ROUNDS + 1):
+        ctes.append(f"""r{r} AS (
+  SELECT DISTINCT o.ix, o.iy FROM occ o JOIN r{r - 1} s
+    ON ABS(o.ix - s.ix) <= 1 AND ABS(o.iy - s.iy) <= 1)""")
+    dist_case = "CASE " + " ".join(
+        f"WHEN ix * {n} + iy IN (SELECT ix * {n} + iy FROM r{r}) THEN {r}"
+        for r in range(BFS_ROUNDS + 1)) + " ELSE -1 END"
+    return ("WITH " + ",\n".join(ctes) + f""",
+sel AS (SELECT ix, iy, c, {dist_case} AS dist FROM occ)
+SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(SUM(ix * {n} + iy) AS BIGINT) AS checksum
+FROM sel GROUP BY 1""")
+
+
+QUERIES.update({
+    "kcore_decompose": (q_kcore_decompose, _oracle_kcore()),
+    "interval_coverage": (q_interval_coverage, ORACLE_INTERVALS),
+    "bfs_distance_cells": (q_bfs_distance_cells, _oracle_bfs()),
+})

@@ -100,6 +100,9 @@ _TAIL = [
     "convex_hull_groups",     # per-group convex hull (B4-B6 geometry family)
     "dedup_editdist",         # banded Levenshtein near-dup (dedup family)
     "trajectory_densify",     # integer-lerp path resampling (B5/C7 family)
+    "kcore_decompose",        # bounded k-core peel (graph family)
+    "interval_coverage",      # per-customer interval union (C7 family)
+    "bfs_distance_cells",     # multi-source BFS distance transform (B3/graph)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

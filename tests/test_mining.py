@@ -196,3 +196,110 @@ def test_densify_query_conservation(spark):
     n_users = e.select("user_id").distinct().count()
     assert total >= n_events - n_users
     assert total <= (n_events - n_users) * DENS_CAP
+
+
+# --- k-core ---------------------------------------------------------------------
+
+def _kc_graph():
+    from spark_shp.hashing import mix
+    from spark_shp.queries_mining import KC_NE, KC_NV
+    i = np.arange(KC_NE, dtype=np.int64)
+    a, b = mix(i) % KC_NV, mix(2 * i + 1) % KC_NV
+    m = a != b
+    return set(zip(np.minimum(a[m], b[m]).tolist(),
+                   np.maximum(a[m], b[m]).tolist()))
+
+
+def test_kcore_converges_and_matches_sequential_peel(spark):
+    from spark_shp.queries_mining import KC_K, KC_ROUNDS, q_kcore_decompose
+    rows = {r["round"]: r for r in q_kcore_decompose(spark, SF).collect()}
+    # fixture must converge inside the bound: bounded peel == true k-core
+    assert rows[KC_ROUNDS].n_alive == rows[KC_ROUNDS - 1].n_alive
+    assert rows[KC_ROUNDS].checksum == rows[KC_ROUNDS - 1].checksum
+    # python sequential peel, an independent implementation
+    edges = _kc_graph()
+    alive = {x for e in edges for x in e}
+    assert rows[0].n_alive == len(alive)
+    for r in range(1, KC_ROUNDS + 1):
+        deg = {}
+        for x, y in edges:
+            if x in alive and y in alive:
+                deg[x] = deg.get(x, 0) + 1
+                deg[y] = deg.get(y, 0) + 1
+        alive = {n for n, d in deg.items() if d >= KC_K}
+        assert rows[r].n_alive == len(alive), r
+        assert rows[r].checksum == sum(n * 131 for n in alive), r
+    # every surviving node really has >= K neighbors inside the core
+    core_deg = {}
+    for x, y in edges:
+        if x in alive and y in alive:
+            core_deg[x] = core_deg.get(x, 0) + 1
+            core_deg[y] = core_deg.get(y, 0) + 1
+    assert alive and all(core_deg[n] >= KC_K for n in alive)
+
+
+# --- interval coverage ----------------------------------------------------------
+
+def test_interval_coverage_matches_sequential_merge(spark):
+    from spark_shp.queries_mining import q_interval_coverage
+    got = {r.cust: r for r in q_interval_coverage(spark, SF).collect()}
+    orders = spark.read.parquet(f"{SF}/orders.parquet").selectExpr(
+        "o_custkey", "o_orderkey",
+        "CAST(FLOOR(unix_micros(CAST(o_orderdate AS TIMESTAMP_LTZ)) "
+        "/ 86400000000.0) AS BIGINT) AS s").collect()
+    per_cust = {}
+    for r in orders:
+        per_cust.setdefault(r.o_custkey, []).append(
+            (r.s, r.s + 1 + r.o_orderkey % 14))
+    for cust, ivs in per_cust.items():
+        ivs.sort()
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+                islands[-1][2] += 1
+            else:
+                islands.append([s, e, 1])
+        g = got[cust]
+        assert g.n_islands == len(islands)
+        assert g.covered_days == sum(e - s for s, e, _ in islands)
+        assert g.max_island_days == max(e - s for s, e, _ in islands)
+        assert g.n_intervals == len(ivs)
+
+
+# --- BFS distance transform -----------------------------------------------------
+
+def test_bfs_distance_matches_numpy_chebyshev(spark):
+    from spark_shp.hashing import mix
+    from spark_shp.queries_mining import (BFS_LEVEL, BFS_ROUNDS,
+                                          BFS_SEED_MOD,
+                                          q_bfs_distance_cells)
+    from spark_shp import cells as C, fixtures as FX
+    got = {r.dist: (r.n_cells, r.n_events, r.checksum)
+           for r in q_bfs_distance_cells(spark, SF).collect()}
+    n = 1 << BFS_LEVEL
+    ix, iy = C.quantize_sql(FX.EVENT_LON_SQL, FX.EVENT_LAT_SQL, BFS_LEVEL)
+    occ_rows = (spark.read.parquet(f"{SF}/events.parquet")
+                .selectExpr(f"{ix} AS ix", f"{iy} AS iy")
+                .groupBy("ix", "iy").count().collect())
+    occ = {(r.ix, r.iy): r["count"] for r in occ_rows}
+    seeds = {k for k in occ if mix(k[0] * n + k[1]) % BFS_SEED_MOD == 0}
+    assert seeds, "fixture produced no seed cells"
+    # brute-force multi-source Chebyshev BFS over the occupied set
+    dist = {k: (0 if k in seeds else -1) for k in occ}
+    frontier = set(seeds)
+    for r in range(1, BFS_ROUNDS + 1):
+        nxt = set()
+        for (x, y) in frontier:
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    k = (x + dx, y + dy)
+                    if k in occ and dist[k] == -1:
+                        dist[k] = r
+                        nxt.add(k)
+        frontier = nxt
+    want = {}
+    for k, d in dist.items():
+        nc, ne, ck = want.get(d, (0, 0, 0))
+        want[d] = (nc + 1, ne + occ[k], ck + k[0] * n + k[1])
+    assert got == want
