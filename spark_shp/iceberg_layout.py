@@ -47,7 +47,8 @@ def write_table(df: DataFrame, root: str, partition_by: str | None = None,
                 mode: str = "overwrite",
                 cluster_by: str | None = None,
                 cluster_partitions: int | None = None,
-                carry_files: list | None = None) -> dict:
+                carry_files: list | None = None,
+                properties: dict | None = None) -> dict:
     """Write data + commit a new snapshot manifest. Returns the manifest.
 
     Data files land in ``data/snap-<version>/`` (immutable once committed).
@@ -126,14 +127,26 @@ def write_table(df: DataFrame, root: str, partition_by: str | None = None,
         files.append(entry)
     if mode == "append" and version > 1:
         # Iceberg semantics: a snapshot names the table's FULL file set, so
-        # an append snapshot = parent's files + the files this commit added
-        files = table_stats(root)["files"] + files
+        # an append snapshot = parent's files + the files this commit added.
+        # The parent is the newest RETAINED MANIFEST, not the version hint:
+        # after a crash between manifest write and hint update the hint is
+        # one behind, and resolving the parent through it would silently
+        # drop the committed-but-unhinted snapshot's rows from every
+        # subsequent append.
+        parent = max((v for v in _retained_versions(root) if v < version),
+                     default=0)
+        if parent:
+            files = table_stats(root, parent)["files"] + files
     elif carry_files is not None:
         # merge commit: untouched parent files carried by name, zero I/O
         files = list(carry_files) + files
     snapshot = {"snapshot_id": version, "ts_ms": int(time.time() * 1000),
                 "operation": mode, "files": files,
                 "total_rows": sum(f["rows"] for f in files)}
+    if properties:
+        # commit-level properties (e.g. the streaming micro-batch id) live
+        # INSIDE the manifest so they are atomic with the snapshot itself
+        snapshot["properties"] = dict(properties)
     with open(os.path.join(meta_dir, f"snap-{version}.manifest.json"),
               "w") as f:
         json.dump(snapshot, f, indent=1)
@@ -387,3 +400,38 @@ def expire_snapshots(root: str, keep_last: int = 1) -> dict:
                 os.path.join(snap_dir, "**", "*.parquet"), recursive=True):
             shutil.rmtree(snap_dir, ignore_errors=True)
     return {"expired": expired, "deleted_files": deleted}
+
+
+def committed_stream_batches(root: str) -> set:
+    """Micro-batch ids already committed into this table (scanned from the
+    retained snapshot manifests' commit properties). Used by the streaming
+    sink's exactly-once check: because the batch id is stored inside the
+    manifest, a crash anywhere around the commit leaves the id visible iff
+    the snapshot itself is visible — there is no window where data is
+    committed but its batch id is not."""
+    out = set()
+    for v in _retained_versions(root):
+        p = os.path.join(root, "metadata", f"snap-{v}.manifest.json")
+        try:
+            with open(p) as f:
+                props = json.load(f).get("properties") or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        if "stream_batch_id" in props:
+            out.add(props["stream_batch_id"])
+    return out
+
+
+def append_stream_batch(batch_df: DataFrame, root: str, batch_id: int,
+                        partition_by: str | None = None) -> dict | None:
+    """Idempotent micro-batch append: commit ``batch_df`` as an append
+    snapshot tagged with ``batch_id``, or do NOTHING if a retained snapshot
+    already carries that id (checkpoint rewind / foreachBatch retry).
+    Returns the manifest, or None when skipped/empty."""
+    if batch_df.isEmpty():
+        return None
+    if batch_id in committed_stream_batches(root):
+        return None
+    return write_table(batch_df, root, mode="append",
+                       partition_by=partition_by,
+                       properties={"stream_batch_id": batch_id})

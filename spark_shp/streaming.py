@@ -169,3 +169,23 @@ def run_to_completion(q_df: DataFrame, out_mode: str = "complete"):
     rows = spark.sql(f"SELECT * FROM {name}").collect()
     q.stop()
     return rows
+
+
+def stream_to_table(stream: DataFrame, root: str, checkpoint_dir: str):
+    """Streaming ingest into the Iceberg-layout table (C1 x C12): one
+    append snapshot per micro-batch via ``foreachBatch``, exactly-once
+    across restarts.  Structured Streaming's foreachBatch contract is
+    at-least-once — after a crash the last batch is REPLAYED — so the sink
+    must deduplicate: the micro-batch id is committed INSIDE the snapshot
+    manifest (iceberg_layout.append_stream_batch), making the
+    data-plus-batch-id commit atomic; a replayed id is detected and
+    skipped.  Readers see only committed snapshots (manifest file lists,
+    never directory listings), so a crash mid-append is invisible."""
+    from . import iceberg_layout
+
+    def commit(batch_df, batch_id):
+        iceberg_layout.append_stream_batch(batch_df, root, batch_id)
+
+    return (stream.writeStream.foreachBatch(commit)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append"))

@@ -245,3 +245,64 @@ def test_attribution_join_drops_late_clicks(spark, tmp_path):
     q.stop()
     assert {(r["view_id"], r["click_id"]) for r in got2} == {(10, 11)}, \
         "late click must not see evicted view state"
+
+
+def test_stream_to_iceberg_table_exactly_once(spark, replay_dir, tmp_path):
+    """Streaming ingest -> Iceberg-layout table: (a) the final table equals
+    the batch input exactly; (b) one append snapshot per non-empty
+    micro-batch, each carrying its batch id in the manifest; (c) a REPLAYED
+    micro-batch (the foreachBatch at-least-once failure mode) is a no-op;
+    (d) time travel to the first snapshot sees only that batch's rows."""
+    from spark_shp import iceberg_layout as il
+
+    root = str(tmp_path / "events_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    stream = streaming.events_stream(spark, replay_dir, files_per_trigger=2)
+    q = streaming.stream_to_table(stream, root, ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    batch = spark.read.parquet(replay_dir)
+    got = il.read_table(spark, root)
+    assert got.count() == batch.count()
+    # exact multiset equality on the key column
+    assert (got.groupBy("event_id").count().where("count > 1").count() == 0)
+    assert (got.select("event_id").exceptAll(
+        batch.select("event_id")).count() == 0)
+
+    committed = il.committed_stream_batches(root)
+    versions = il._retained_versions(root)
+    assert len(committed) == len(versions) >= 2
+
+    # (c) replay a batch id that is already committed -> skipped, no growth
+    before = il.table_stats(root)["total_rows"]
+    out = il.append_stream_batch(batch.limit(5), root,
+                                 batch_id=sorted(committed)[0])
+    assert out is None
+    assert il.table_stats(root)["total_rows"] == before
+    # a NEW batch id really appends
+    out = il.append_stream_batch(batch.limit(5), root, batch_id=10 ** 6)
+    assert out is not None
+    assert il.table_stats(root)["total_rows"] == before + 5
+
+    # (d) time travel: the first snapshot holds strictly fewer rows
+    first = il.read_table(spark, root, snapshot_id=versions[0])
+    assert 0 < first.count() < before
+
+
+def test_append_parent_resolution_survives_stale_hint(spark, tmp_path):
+    """Crash window: manifest N committed but version-hint still at N-1.
+    The next append must carry snapshot N's files (parent = newest retained
+    manifest), not resolve the parent through the stale hint."""
+    import os
+    from spark_shp import iceberg_layout as il
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+    il.write_table(df, root)                       # snap 1
+    il.write_table(df, root, mode="append")        # snap 2 (20 rows)
+    # simulate the crash: rewind the hint to 1
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    il.write_table(df, root, mode="append")        # snap 3 must carry snap 2
+    assert il.table_stats(root, 3)["total_rows"] == 30
