@@ -561,3 +561,86 @@ QUERIES.update({
     "interval_coverage": (q_interval_coverage, ORACLE_INTERVALS),
     "bfs_distance_cells": (q_bfs_distance_cells, _oracle_bfs()),
 })
+
+
+# --- image_dup_clusters: phash near-dup pairs -> clusters -> survivors ---------
+#
+# Completes the IMAGE dedup pipeline the way dedup_clusters/dedup_survivors
+# complete the document one: banded-phash candidate pairs (the
+# images_phash_near_dup construction) become duplicate groups via
+# distributed min-label propagation, singletons conserved, one canonical
+# survivor per group.  SUM(n_members) == corpus size is the invariant a
+# dropped or double-counted image breaks (gated: the cluster rows hash it).
+
+
+def q_image_dup_clusters(spark, sf_dir):
+    """Image duplicate groups over the perceptual-hash graph.  Pairs come
+    from the 4x16-bit banded LSH self-join + exact hamming<=10 verify (pure
+    JVM SQL, never all-pairs); groups from graph.connected_components (one
+    shuffle per round, lineage truncated); images in no pair are singleton
+    clusters of themselves.  Per cluster: size, canonical survivor (min
+    id), and an id checksum.  At 10^12 images the pair join is the only
+    corpus-scale stage — CC runs on the (much smaller) duplicate subgraph."""
+    from .graph import connected_components
+    from .queries_spatial import N_PHD, PHD_HAM_MAX, _phd_hash_sql
+    i = "CAST(id AS BIGINT)"
+    ph = spark.range(N_PHD).selectExpr(
+        f"{i} AS img_id", f"{_phd_hash_sql(i, xor_op='caret')} AS ph")
+    bands = ph.selectExpr(
+        "img_id", "ph", "explode(array(0, 1, 2, 3)) AS band").selectExpr(
+        "img_id", "band", "shiftright(ph, band * 16) & 65535 AS bv", "ph")
+    a = bands.selectExpr("img_id AS ai", "ph AS pa", "band", "bv")
+    b = bands.selectExpr("img_id AS bi", "ph AS pb", "band", "bv")
+    pairs = (a.join(b, ["band", "bv"])
+             .where(F.col("ai") < F.col("bi"))
+             .select("ai", "bi", "pa", "pb").distinct()
+             .where(F.expr(f"bit_count(pa ^ pb) <= {PHD_HAM_MAX}"))
+             .select("ai", "bi"))
+    comp = connected_components(pairs, "ai", "bi")
+    lab = (ph.join(comp, ph["img_id"] == comp["node"], "left")
+           .selectExpr("img_id",
+                       "COALESCE(component, img_id) AS cluster"))
+    return (lab.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.min("img_id").alias("survivor_id"),
+                 F.expr("SUM(img_id * 31 + 7)").alias("checksum"))
+            .selectExpr("cluster", "CAST(n_members AS BIGINT) AS n_members",
+                        "CAST(survivor_id AS BIGINT) AS survivor_id",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_image_clusters() -> str:
+    from .queries_spatial import N_PHD, PHD_HAM_MAX, _phd_hash_sql
+    h = _phd_hash_sql("i", xor_op="func")
+    return f"""
+WITH RECURSIVE ids AS (
+  SELECT UNNEST(GENERATE_SERIES(0, {N_PHD - 1})) AS i),
+ph AS (SELECT CAST(i AS BIGINT) AS img_id, {h} AS ph FROM ids),
+bands AS (
+  SELECT img_id, ph, band, (ph >> (band * 16)) & 65535 AS bv
+  FROM ph, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band) b),
+pairs AS (
+  SELECT DISTINCT a.img_id AS ai, b.img_id AS bi, a.ph AS pa, b.ph AS pb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.img_id < b.img_id),
+ok AS (SELECT ai, bi FROM pairs WHERE bit_count(xor(pa, pb)) <= {PHD_HAM_MAX}),
+edges AS (SELECT ai AS s, bi AS d FROM ok UNION ALL SELECT bi, ai FROM ok),
+nodes AS (SELECT DISTINCT s AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m),
+comp AS (SELECT n AS img_id, MIN(m) AS component FROM reach GROUP BY n),
+lab AS (
+  SELECT p.img_id, COALESCE(c.component, p.img_id) AS cluster
+  FROM ph p LEFT JOIN comp c ON p.img_id = c.img_id)
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(img_id) AS BIGINT) AS survivor_id,
+       CAST(SUM(img_id * 31 + 7) AS BIGINT) AS checksum
+FROM lab GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "image_dup_clusters": (q_image_dup_clusters, _oracle_image_clusters()),
+})

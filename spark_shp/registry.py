@@ -103,6 +103,7 @@ _TAIL = [
     "kcore_decompose",        # bounded k-core peel (graph family)
     "interval_coverage",      # per-customer interval union (C7 family)
     "bfs_distance_cells",     # multi-source BFS distance transform (B3/graph)
+    "image_dup_clusters",     # image dedup groups + survivors (dedup/image)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

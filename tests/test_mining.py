@@ -303,3 +303,25 @@ def test_bfs_distance_matches_numpy_chebyshev(spark):
         nc, ne, ck = want.get(d, (0, 0, 0))
         want[d] = (nc + 1, ne + occ[k], ck + k[0] * n + k[1])
     assert got == want
+
+
+# --- image dedup clusters ---------------------------------------------------------
+
+def test_image_dup_clusters_conservation_and_planted_structure(spark):
+    """The phash fixture plants groups of 4 consecutive ids sharing a base
+    hash with {0, 1, 3, 24}-bit deltas; hamming <= 10 links exactly members
+    {0,1,2} of each group, so clusters must be 500 triples + 500 singletons
+    (the +24-bit member), and SUM(n_members) must equal the corpus."""
+    from spark_shp.queries_mining import q_image_dup_clusters
+    from spark_shp.queries_spatial import N_PHD
+    rows = q_image_dup_clusters(spark, SF).collect()
+    assert sum(r.n_members for r in rows) == N_PHD
+    sizes = sorted(r.n_members for r in rows)
+    assert sizes.count(3) == N_PHD // 4
+    assert sizes.count(1) == N_PHD // 4
+    for r in rows:
+        assert r.survivor_id == r.cluster  # component label = min member
+        if r.n_members == 3:
+            assert r.cluster % 4 == 0      # triples start each 4-block
+            assert r.checksum == sum((r.cluster + k) * 31 + 7
+                                     for k in range(3))
