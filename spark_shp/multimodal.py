@@ -260,3 +260,54 @@ def augment_checksums(images: DataFrame, res_w: int = 16,
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+def mosaic_checksums(images: DataFrame, res: int = 16,
+                     grid: int = 2) -> DataFrame:
+    """Multi-image composition (B11): each image is NN-resized to
+    ``res`` x ``res`` and placed at its ``slot`` in a ``grid`` x ``grid``
+    collage; the collage reduces to ONE exact int64 checksum whose weights
+    are evaluated at MOSAIC coordinates, so the per-image partial sums
+    simply add — the collage never materializes, and a wrong slot, flipped
+    axis, or resize off-by-one changes the sum.  Input needs columns
+    (tile, slot, image_id, bytes, w, h, fmt); same shape-grouped decode
+    stacks as augment_checksums (zero per-pixel Python)."""
+    schema = T.StructType([
+        T.StructField("tile", T.LongType()),
+        T.StructField("image_id", T.StringType()),
+        T.StructField("cs", T.LongType()),
+    ])
+    # per-slot weight lattices, precomputed once: weight at mosaic coords
+    # (oy + y, ox + x, c) with the shared 1 + (x*31 + y*17 + c*7) % 101 rule
+    y, x, c = np.meshgrid(np.arange(res, dtype=np.int64),
+                          np.arange(res, dtype=np.int64),
+                          np.arange(3, dtype=np.int64), indexing="ij")
+    slot_w = []
+    for s in range(grid * grid):
+        oy, ox = (s // grid) * res, (s % grid) * res
+        slot_w.append(1 + ((ox + x) * 31 + (oy + y) * 17 + c * 7) % 101)
+    slot_w = np.stack(slot_w)
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tiles = pdf["tile"].to_numpy()
+            ids = pdf["image_id"].to_numpy()
+            slots = pdf["slot"].to_numpy().astype(int)
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                px = _decode_stack(pdf, idx, w, h, fmt).astype(np.int64)
+                yi = (np.arange(res) * h // res).astype(int)
+                xi = (np.arange(res) * w // res).astype(int)
+                resized = px[:, yi][:, :, xi]
+                cs = np.einsum("nhwc,nhwc->n", resized, slot_w[slots[idx]])
+                for k, i in enumerate(idx):
+                    rows[i] = (int(tiles[i]), ids[i], int(cs[k]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("tile", "slot", "image_id", "bytes", "w", "h",
+                          "fmt")
+            .mapInPandas(work, schema))

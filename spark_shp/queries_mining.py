@@ -644,3 +644,93 @@ FROM lab GROUP BY 1
 QUERIES.update({
     "image_dup_clusters": (q_image_dup_clusters, _oracle_image_clusters()),
 })
+
+
+# --- image_mosaic_tiles: per-tile thumbnail collage over real pixels -----------
+#
+# The dataset-preview / contact-sheet composition op: the first MOS_K
+# images of each coarse tile are NN-resized and placed into a 2x2 collage.
+# Because the checksum weights are evaluated at MOSAIC coordinates, the
+# per-image partial sums are additive — the collage itself never
+# materializes and the whole op is decode + one einsum per shape group +
+# one tile-keyed agg.  The oracle rebuilds every thumbnail pixel from the
+# generator formula P(y,x,c) = mix(i*1000003 + y*4096 + x*4 + c) % 256
+# with the resize index remapping and slot offsets — a wrong slot
+# assignment, row-order flip, or resize origin bug shifts the tile sum.
+
+MOS_N = 48           # ids 0..47; qb (lossy) excluded -> 32 raw/png images
+MOS_LVL = 2          # coarse tiles so most tiles fill all 4 slots
+MOS_K = 4            # 2x2 collage
+MOS_RES = 16
+
+
+def q_image_mosaic_tiles(spark, sf_dir):
+    """Per-tile 2x2 mosaic checksums over real decoded bytes.  Plan:
+    codegen tile-assign -> one tile-keyed ROW_NUMBER window (deterministic
+    slot order by image ordinal) -> shape-grouped Arrow decode/resize
+    kernel -> tile agg.  At 10^12 images the window and agg share the tile
+    key (one shuffle); the kernel is the same bounded-thumbnail math at
+    any corpus size."""
+    from . import multimodal, spatial
+    img = fixtures.images_df(spark, MOS_N, partitions=4).where(
+        F.col("fmt") != "qb")
+    t = spatial.tile_assign(img, "lon", "lat", MOS_LVL).selectExpr(
+        "cell_id AS tile", "image_id", "bytes", "w", "h", "fmt",
+        "CAST(substr(image_id, 4) AS BIGINT) AS i")
+    sel = (t.selectExpr(
+        "*", "ROW_NUMBER() OVER (PARTITION BY tile ORDER BY i) - 1 AS slot")
+        .where(f"slot < {MOS_K}"))
+    cs = multimodal.mosaic_checksums(sel, res=MOS_RES, grid=2)
+    withi = cs.selectExpr("tile", "cs",
+                          "CAST(substr(image_id, 4) AS BIGINT) AS i")
+    return (withi.groupBy("tile")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("cs").alias("mosaic_cs"),
+                 F.expr("SUM(i * 13)").alias("ids_cs"))
+            .selectExpr("tile", "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(mosaic_cs AS BIGINT) AS mosaic_cs",
+                        "CAST(ids_cs AS BIGINT) AS ids_cs"))
+
+
+def _oracle_mosaic() -> str:
+    from .hashing import mix_sql
+    m = fixtures.images_meta_sql("i")
+    tile = cells.cell_sql("lon", "lat", MOS_LVL)
+    yi = f"CAST(FLOOR(yy.y * h / {float(MOS_RES)!r}) AS BIGINT)"
+    xi = f"CAST(FLOOR(xx.x * w / {float(MOS_RES)!r}) AS BIGINT)"
+    px = f"({mix_sql(f'i * 1000003 + ({yi}) * 4096 + ({xi}) * 4 + cc.c')} % 256)"
+    wgt = (f"(1 + ((ox + xx.x) * 31 + (oy + yy.y) * 17 + cc.c * 7) % 101)")
+    return f"""
+WITH imgs AS (
+  SELECT i, {m['w']} AS w, {m['h']} AS h,
+         {m['lon']} AS lon, {m['lat']} AS lat
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {MOS_N - 1})) AS i) t
+  WHERE i % 3 <> 2),
+tiled AS (
+  SELECT i, w, h, {tile} AS tile FROM imgs),
+sel AS (
+  SELECT i, w, h, tile,
+         ROW_NUMBER() OVER (PARTITION BY tile ORDER BY i) - 1 AS slot
+  FROM tiled QUALIFY slot < {MOS_K}),
+placed AS (
+  SELECT i, w, h, tile,
+         CAST(FLOOR(slot / 2) AS BIGINT) * {MOS_RES} AS oy,
+         (slot % 2) * {MOS_RES} AS ox
+  FROM sel),
+cs AS (
+  SELECT tile, i, SUM({px} * {wgt}) AS cs
+  FROM placed,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, {MOS_RES - 1})) AS y) yy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, {MOS_RES - 1})) AS x) xx,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c) cc
+  GROUP BY tile, i)
+SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(cs) AS BIGINT) AS mosaic_cs,
+       CAST(SUM(i * 13) AS BIGINT) AS ids_cs
+FROM cs GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "image_mosaic_tiles": (q_image_mosaic_tiles, _oracle_mosaic()),
+})

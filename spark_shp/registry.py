@@ -104,6 +104,7 @@ _TAIL = [
     "interval_coverage",      # per-customer interval union (C7 family)
     "bfs_distance_cells",     # multi-source BFS distance transform (B3/graph)
     "image_dup_clusters",     # image dedup groups + survivors (dedup/image)
+    "image_mosaic_tiles",     # per-tile thumbnail collage checksums (B11)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

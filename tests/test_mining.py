@@ -325,3 +325,46 @@ def test_image_dup_clusters_conservation_and_planted_structure(spark):
             assert r.cluster % 4 == 0      # triples start each 4-block
             assert r.checksum == sum((r.cluster + k) * 31 + 7
                                      for k in range(3))
+
+
+# --- image mosaic -----------------------------------------------------------------
+
+def test_mosaic_checksum_equals_materialized_collage(spark):
+    """The query never builds the collage (per-image sums add because the
+    weights live in mosaic coordinates); this test BUILDS it — decode real
+    bytes, NN-resize, paste into a 32x32x3 array, weight the whole array —
+    and checks the additive construction against the materialized one."""
+    from spark_shp import codecs, fixtures, spatial
+    from spark_shp.queries_mining import (MOS_K, MOS_LVL, MOS_N, MOS_RES,
+                                          q_image_mosaic_tiles)
+    got = {r.tile: r for r in q_image_mosaic_tiles(spark, SF).collect()}
+
+    rows = (spatial.tile_assign(
+        fixtures.images_df(spark, MOS_N, partitions=2), "lon", "lat",
+        MOS_LVL).where("fmt <> 'qb'")
+        .selectExpr("cell_id AS tile", "image_id", "bytes", "w", "h", "fmt")
+        .collect())
+    per_tile = {}
+    for r in sorted(rows, key=lambda r: r.image_id):
+        per_tile.setdefault(r.tile, []).append(r)
+    want = {}
+    res, grid = MOS_RES, 2
+    yy, xx, cc = np.meshgrid(np.arange(grid * res), np.arange(grid * res),
+                             np.arange(3), indexing="ij")
+    wgt = 1 + (xx * 31 + yy * 17 + cc * 7) % 101
+    for tile, members in per_tile.items():
+        members = members[:MOS_K]
+        collage = np.zeros((grid * res, grid * res, 3), dtype=np.int64)
+        ids_cs = 0
+        for s, r in enumerate(members):
+            px = codecs.decode(bytes(r.bytes), r.w, r.h, r.fmt).astype(
+                np.int64)
+            yi = (np.arange(res) * r.h // res).astype(int)
+            xi = (np.arange(res) * r.w // res).astype(int)
+            thumb = px[yi][:, xi]
+            oy, ox = (s // grid) * res, (s % grid) * res
+            collage[oy:oy + res, ox:ox + res] = thumb
+            ids_cs += int(r.image_id[3:]) * 13
+        want[tile] = (len(members), int((collage * wgt).sum()), ids_cs)
+    assert {t: (r.n_images, r.mosaic_cs, r.ids_cs)
+            for t, r in got.items()} == want
