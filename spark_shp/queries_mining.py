@@ -734,3 +734,190 @@ FROM cs GROUP BY 1
 QUERIES.update({
     "image_mosaic_tiles": (q_image_mosaic_tiles, _oracle_mosaic()),
 })
+
+
+# --- bloom_prefilter: deterministic Bloom-filter join pre-filter ----------------
+#
+# The runtime-row-filter pattern (Spark's own runtime bloom pushdown /
+# Iceberg bloom columns): build a 4096-bit Bloom filter over the open
+# orders' customer keys, probe every customer, and measure the filter's
+# selectivity against the exact semi-join truth.  All hashes come from the
+# shared integer family and the filter is 63-bit int64 words built with
+# BIT_OR, so the whole structure — including every false positive — is
+# bit-identical on both engines and the gate is exact, not statistical.
+
+BF_BITS = 4096
+BF_WORD = 63         # bits per word: DuckDB's BIGINT << raises on shift 63
+                     # (signed overflow), so words hold 63 bits and the
+                     # sign bit is never produced on either engine
+BF_K = 3             # hash functions
+
+
+def _bf_bit(key: str, j: str) -> str:
+    from .hashing import mix_sql
+    return f"({mix_sql(f'({key}) * 31 + ({j}) * 7 + 1')}) % {BF_BITS}"
+
+
+def q_bloom_prefilter(spark, sf_dir):
+    """Bloom pre-filter quality report per market segment: probes that
+    pass the filter (all BF_K bits set) vs exact membership, separating
+    true hits from false positives.  Build side: one groupBy-BIT_OR over
+    k x |keys| tiny rows -> 66 words (a broadcastable runtime filter at
+    any scale); probe side: explode k bit positions, ONE equi-join on the
+    word index, pass iff all k bits present.  The exact truth comes from a
+    broadcast semi-join — the thing the filter would short-circuit at
+    100 TB."""
+    o = _t(spark, sf_dir, "orders").where("o_orderstatus = 'O'")
+    keys = o.select("o_custkey").distinct()
+    bits = keys.selectExpr(
+        "o_custkey", f"explode(sequence(0, {BF_K - 1})) AS j").selectExpr(
+        f"{_bf_bit('o_custkey', 'j')} AS bit").selectExpr(
+        f"CAST(FLOOR(bit / 63.0) AS BIGINT) AS word", "bit % 63 AS pos")
+    words = (bits.groupBy("word")
+             .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
+                         "CAST(pos AS INT)))").alias("w")))
+    probes = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "c_mktsegment")
+    pbits = probes.selectExpr(
+        "c_custkey", "c_mktsegment",
+        f"explode(sequence(0, {BF_K - 1})) AS j").selectExpr(
+        "c_custkey", "c_mktsegment",
+        f"{_bf_bit('c_custkey', 'j')} AS bit").selectExpr(
+        "c_custkey", "c_mktsegment",
+        "CAST(FLOOR(bit / 63.0) AS BIGINT) AS word", "bit % 63 AS pos")
+    hit = (pbits.join(F.broadcast(words), "word", "left")
+           .selectExpr("c_custkey", "c_mktsegment",
+                       "CASE WHEN w IS NOT NULL AND "
+                       "(shiftright(w, CAST(pos AS INT)) & 1) = 1 "
+                       "THEN 1 ELSE 0 END AS b"))
+    passed = (hit.groupBy("c_custkey", "c_mktsegment")
+              .agg(F.expr(f"CAST(SUM(b) = {BF_K} AS INT)").alias("maybe")))
+    truth = (passed.join(keys.selectExpr("o_custkey AS c_custkey")
+                         .withColumn("t", F.lit(1)), "c_custkey", "left")
+             .selectExpr("c_mktsegment", "maybe",
+                         "CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END "
+                         "AS is_member"))
+    return (truth.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_probes"),
+                 F.sum("maybe").alias("n_pass"),
+                 F.sum("is_member").alias("n_members"),
+                 F.expr("SUM(CASE WHEN maybe = 1 AND is_member = 0 "
+                        "THEN 1 ELSE 0 END)").alias("n_false_pos"),
+                 F.expr("SUM(CASE WHEN maybe = 0 AND is_member = 1 "
+                        "THEN 1 ELSE 0 END)").alias("n_false_neg"))
+            .selectExpr("c_mktsegment",
+                        "CAST(n_probes AS BIGINT) AS n_probes",
+                        "CAST(n_pass AS BIGINT) AS n_pass",
+                        "CAST(n_members AS BIGINT) AS n_members",
+                        "CAST(n_false_pos AS BIGINT) AS n_false_pos",
+                        "CAST(n_false_neg AS BIGINT) AS n_false_neg"))
+
+
+def _oracle_bloom() -> str:
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+bits AS (
+  SELECT {_bf_bit('o_custkey', 'j')} AS bit
+  FROM keys, (SELECT UNNEST(GENERATE_SERIES(0, {BF_K - 1})) AS j) js),
+words AS (
+  SELECT CAST(FLOOR(bit / 63.0) AS BIGINT) AS word,
+         BIT_OR(CAST(1 AS BIGINT) << CAST(bit % 63 AS INT)) AS w
+  FROM bits GROUP BY 1),
+pbits AS (
+  SELECT c_custkey, c_mktsegment, {_bf_bit('c_custkey', 'j')} AS bit
+  FROM customer, (SELECT UNNEST(GENERATE_SERIES(0, {BF_K - 1})) AS j) js),
+hit AS (
+  SELECT p.c_custkey, p.c_mktsegment,
+         CASE WHEN w.w IS NOT NULL AND
+              ((w.w >> CAST(p.bit % 63 AS INT)) & 1) = 1
+              THEN 1 ELSE 0 END AS b
+  FROM (SELECT c_custkey, c_mktsegment, bit,
+               CAST(FLOOR(bit / 63.0) AS BIGINT) AS word FROM pbits) p
+  LEFT JOIN words w ON p.word = w.word),
+passed AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(SUM(b) = {BF_K} AS INT) AS maybe
+  FROM hit GROUP BY 1, 2),
+truth AS (
+  SELECT p.c_mktsegment, p.maybe,
+         CASE WHEN k.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS is_member
+  FROM passed p LEFT JOIN keys k ON p.c_custkey = k.o_custkey)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(maybe) AS BIGINT) AS n_pass,
+       CAST(SUM(is_member) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN maybe = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN maybe = 0 AND is_member = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_neg
+FROM truth GROUP BY 1
+"""
+
+
+# --- cm_heavy_hitters: count-min sketch frequency estimation -------------------
+#
+# The C11 family's other classic: a d x w count-min sketch over order
+# customer keys, estimates = min over rows, compared against exact counts.
+# Deterministic hash rows from the shared family make every counter — and
+# therefore every over-estimate — reproducible, so the gate is exact.
+
+CM_D = 4
+CM_W = 256
+CM_TOPK = 10
+
+
+def q_cm_heavy_hitters(spark, sf_dir):
+    """Top-k heavy hitters by count-min estimate, with the exact count and
+    the (always non-negative) over-estimate per key.  Sketch build is one
+    groupBy over d x |rows| tiny tuples — a mergeable, fixed-size summary
+    (the 100 TB point: d*w counters regardless of corpus); estimation
+    joins each distinct key's d buckets back by ONE equi-join on
+    (row, bucket).  Ordering by (estimate DESC, key) is total, so top-k is
+    deterministic on any engine."""
+    from .hashing import mix_sql
+    o = _t(spark, sf_dir, "orders")
+    cnt = (o.selectExpr("o_custkey", f"explode(sequence(0, {CM_D - 1})) AS j")
+           .selectExpr("j", f"({mix_sql('o_custkey * 5 + j * 11 + 3')}) "
+                       f"% {CM_W} AS bucket")
+           .groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c")))
+    keys = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("exact"))
+    kb = keys.selectExpr(
+        "o_custkey", "exact",
+        f"explode(sequence(0, {CM_D - 1})) AS j").selectExpr(
+        "o_custkey", "exact", "j",
+        f"({mix_sql('o_custkey * 5 + j * 11 + 3')}) % {CM_W} AS bucket")
+    est = (kb.join(F.broadcast(cnt), ["j", "bucket"])
+           .groupBy("o_custkey", "exact")
+           .agg(F.min("c").alias("est")))
+    return (est.orderBy(F.desc("est"), "o_custkey").limit(CM_TOPK)
+            .selectExpr("o_custkey", "CAST(est AS BIGINT) AS est",
+                        "CAST(exact AS BIGINT) AS exact",
+                        "CAST(est - exact AS BIGINT) AS overestimate"))
+
+
+def _oracle_cm() -> str:
+    from .hashing import mix_sql
+    b = f"({mix_sql('o_custkey * 5 + j * 11 + 3')}) % {CM_W}"
+    return f"""
+WITH js AS (SELECT UNNEST(GENERATE_SERIES(0, {CM_D - 1})) AS j),
+cnt AS (
+  SELECT j, {b} AS bucket, COUNT(*) AS c
+  FROM orders, js GROUP BY 1, 2),
+keys AS (SELECT o_custkey, COUNT(*) AS exact FROM orders GROUP BY 1),
+kb AS (
+  SELECT o_custkey, exact, j, {b} AS bucket FROM keys, js),
+est AS (
+  SELECT kb.o_custkey, kb.exact, MIN(cnt.c) AS est
+  FROM kb JOIN cnt ON kb.j = cnt.j AND kb.bucket = cnt.bucket
+  GROUP BY 1, 2)
+SELECT o_custkey, CAST(est AS BIGINT) AS est,
+       CAST(exact AS BIGINT) AS exact,
+       CAST(est - exact AS BIGINT) AS overestimate
+FROM est ORDER BY est DESC, o_custkey LIMIT {CM_TOPK}
+"""
+
+
+QUERIES.update({
+    "bloom_prefilter": (q_bloom_prefilter, _oracle_bloom()),
+    "cm_heavy_hitters": (q_cm_heavy_hitters, _oracle_cm()),
+})

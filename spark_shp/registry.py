@@ -105,6 +105,8 @@ _TAIL = [
     "bfs_distance_cells",     # multi-source BFS distance transform (B3/graph)
     "image_dup_clusters",     # image dedup groups + survivors (dedup/image)
     "image_mosaic_tiles",     # per-tile thumbnail collage checksums (B11)
+    "bloom_prefilter",        # deterministic Bloom runtime filter (C11)
+    "cm_heavy_hitters",       # count-min heavy hitters (C11 family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

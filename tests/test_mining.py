@@ -368,3 +368,57 @@ def test_mosaic_checksum_equals_materialized_collage(spark):
         want[tile] = (len(members), int((collage * wgt).sum()), ids_cs)
     assert {t: (r.n_images, r.mosaic_cs, r.ids_cs)
             for t, r in got.items()} == want
+
+
+# --- bloom filter + count-min sketch ----------------------------------------------
+
+def test_bloom_prefilter_no_false_negatives_and_python_replication(spark):
+    from spark_shp.hashing import mix
+    from spark_shp.queries_mining import (BF_BITS, BF_K, q_bloom_prefilter)
+    rows = q_bloom_prefilter(spark, SF).collect()
+    assert rows
+    # Bloom filters NEVER have false negatives — structural, not statistical
+    assert all(r.n_false_neg == 0 for r in rows)
+    assert all(r.n_pass >= r.n_members for r in rows)
+    # replicate the filter in python and check one segment's pass count
+    orders = spark.read.parquet(f"{SF}/orders.parquet").where(
+        "o_orderstatus = 'O'").select("o_custkey").distinct().collect()
+    keys = {r.o_custkey for r in orders}
+    bits = set()
+    for k in keys:
+        for j in range(BF_K):
+            bits.add(int(mix(k * 31 + j * 7 + 1)) % BF_BITS)
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_mktsegment").collect()
+    want = {}
+    for c in cust:
+        ok = all(int(mix(c.c_custkey * 31 + j * 7 + 1)) % BF_BITS in bits
+                 for j in range(BF_K))
+        n_pass, n_probe = want.get(c.c_mktsegment, (0, 0))
+        want[c.c_mktsegment] = (n_pass + ok, n_probe + 1)
+    got = {r.c_mktsegment: (r.n_pass, r.n_probes) for r in rows}
+    assert got == want
+
+
+def test_cm_heavy_hitters_overestimates_and_python_sketch(spark):
+    from spark_shp.hashing import mix
+    from spark_shp.queries_mining import CM_D, CM_TOPK, CM_W, \
+        q_cm_heavy_hitters
+    rows = q_cm_heavy_hitters(spark, SF).collect()
+    assert len(rows) == CM_TOPK
+    # count-min never underestimates
+    assert all(r.overestimate >= 0 for r in rows)
+    # python sketch replication
+    od = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_custkey").collect()
+    import collections
+    exact = collections.Counter(r.o_custkey for r in od)
+    counters = collections.Counter()
+    for k, c in exact.items():
+        for j in range(CM_D):
+            counters[(j, int(mix(k * 5 + j * 11 + 3)) % CM_W)] += c
+    for r in rows:
+        est = min(counters[(j, int(mix(r.o_custkey * 5 + j * 11 + 3))
+                            % CM_W)] for j in range(CM_D))
+        assert est == r.est
+        assert exact[r.o_custkey] == r.exact
