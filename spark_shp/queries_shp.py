@@ -1420,15 +1420,127 @@ FROM s5
 ORACLE_SHP_HOM = _oracle_hom_sql()
 
 
+N_KRO = 40
+_KRO_WKT = (
+    'PROJCS["S-JTSK_Krovak_East_North",GEOGCS["GCS_S_JTSK",'
+    'DATUM["D_S_JTSK",SPHEROID["Bessel_1841",6377397.155,299.1528128]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Krovak"],'
+    'PARAMETER["False_Easting",0.0],'
+    'PARAMETER["False_Northing",0.0],'
+    'PARAMETER["Pseudo_Standard_Parallel_1",78.5],'
+    'PARAMETER["Scale_Factor",0.9999],'
+    'PARAMETER["Azimuth",30.28813975277778],'
+    'PARAMETER["Longitude_Of_Center",24.83333333333333],'
+    'PARAMETER["Latitude_Of_Center",49.5],UNIT["Meter",1.0]]')
+_KRO_PARAMS = (6377397.155, 299.1528128, 24.83333333333333, 49.5,
+               30.28813975277778, 78.5, 0.9999, 0.0, 0.0)
+
+
+def q_shp_krovak_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 Krovak (EPSG method 9819) — the Czech/Slovak S-JTSK national
+    grid (EPSG:5514 East-North axis convention, the axes shapefiles
+    actually carry): Point shapefile in Krovak meters -> engine inverse
+    (parser.make_inv_krovak: un-rotate the oblique Gaussian cone, four
+    fixed iterations on the sphere->ellipsoid latitude; the forward twin
+    reproduces the published EPSG GN7-2 worked example to ~2 cm, pinned in
+    pytest). The oracle unrolls the identical float64 op sequence in
+    DuckDB from the same krovak_constants(); 9-decimal rounding policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_KRO, dtype=np.int64)
+    xm = -880000.0 + u01(i * 71 + 5) * 420000.0    # EPSG:5514 easting range
+    ym = -1220000.0 + u01(i * 71 + 6) * 280000.0
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_KRO_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_krovak_sql() -> str:
+    """EPSG 9819 Krovak inverse as DuckDB SQL, op-for-op the numpy
+    kernel's sequence (incl. the four FIXED latitude iterations), from the
+    same shared krovak_constants() float64 values."""
+    import math
+    from .shp.parser import krovak_constants
+    cv = krovak_constants(*_KRO_PARAMS)
+    c = {k: f"CAST({v!r} AS DOUBLE)" for k, v in cv.items()}
+    ca = f"CAST({math.cos(cv['alpha'])!r} AS DOUBLE)"
+    sa = f"CAST({math.sin(cv['alpha'])!r} AS DOUBLE)"
+    pi = f"CAST({math.pi!r} AS DOUBLE)"
+    step = (f"2.0 * (ATAN(base * POW((1.0 + {c['e']} * SIN(phi))"
+            f" / (1.0 - {c['e']} * SIN(phi)), {c['e']} / 2.0)) - {pi} / 4.0)"
+            " AS phi")
+    its = "\n".join(
+        f"it{k} AS (SELECT rec_no, lam, base, {step} FROM it{k - 1}),"
+        for k in range(1, 5))
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         -880000.0 + {u01_sql('i * 71 + 5')} * 420000.0 AS x,
+         -1220000.0 + {u01_sql('i * 71 + 6')} * 280000.0 AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_KRO - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no, -(y - {c['fn']}) AS xs, -(x - {c['fe']}) AS ys FROM src),
+s2 AS (
+  SELECT rec_no, SQRT(xs * xs + ys * ys) AS r, ATAN2(ys, xs) AS theta
+  FROM s1),
+s3 AS (
+  SELECT rec_no, theta * {c['invn']} AS d,
+         2.0 * (ATAN(POW({c['r0']} / r, {c['invn']}) * {c['tp']})
+                - {pi} / 4.0) AS t
+  FROM s2),
+s4 AS (
+  SELECT rec_no, d,
+         ASIN({ca} * SIN(t) - {sa} * COS(t) * COS(d)) AS u, t
+  FROM s3),
+s5 AS (
+  SELECT rec_no, u,
+         ASIN(COS(t) * SIN(d) / COS(u)) AS v
+  FROM s4),
+it0 AS (
+  SELECT rec_no, {c['lam0']} - v / {c['B']} AS lam,
+         {c['ti']} * POW(TAN(u / 2.0 + {pi} / 4.0), {c['invB']}) AS base,
+         u AS phi
+  FROM s5),
+{its}
+sel AS (SELECT * FROM it4)
+SELECT rec_no, ROUND(DEGREES(lam), 9) AS lon, ROUND(DEGREES(phi), 9) AS lat
+FROM sel
+"""
+
+
+ORACLE_SHP_KROVAK = _oracle_krovak_sql()
+
+
 def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 — ALL eleven supported .prj projection families under ONE gated
+    """A12 — ALL twelve supported .prj projection families under ONE gated
     row (the shp_zm_semantics consolidation pattern applied to CRS): each
     family decodes its own Point shapefile + WKT through the engine's
     inverse kernel, tagged with a family id, unioned. Driver-gates the
     conic families (LCC 2SP, Albers), Polar Stereographic, LAEA
     (EPSG:3035 EU grid), ellipsoidal Mercator (EPSG:3395), and Sinusoidal
     (MODIS sphere), Mollweide (EPSG:54009 equal-area world), and
-    Oblique/Double Stereographic (EPSG:28992 Dutch RD) without widening
+    Oblique/Double Stereographic (EPSG:28992 Dutch RD), and Krovak (S-JTSK) without widening
     the 50-query window.
     Upstream anchor: proj4-based reprojection in lib/index.js:≈125-140
     [RECONSTRUCTED]."""
@@ -1437,7 +1549,7 @@ def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_shp_stereo_reproject, q_shp_laea_reproject,
             q_shp_merc3395_reproject, q_shp_sinusoidal_reproject,
             q_shp_mollweide_reproject, q_shp_oblique_stereo_reproject,
-            q_shp_hom_reproject]
+            q_shp_hom_reproject, q_shp_krovak_reproject]
     out = None
     for fam_id, fn in enumerate(fams):
         d = fn(spark, sf_dir).select(
@@ -1452,7 +1564,7 @@ ORACLE_REPROJECT_FAMILIES = "\nUNION ALL\n".join(
         ORACLE_SHP_WEBMERC, ORACLE_SHP_UTM, ORACLE_SHP_LCC,
         ORACLE_SHP_ALBERS, ORACLE_SHP_STEREO, ORACLE_SHP_LAEA,
         ORACLE_SHP_MERC3395, ORACLE_SHP_SINUSOIDAL, ORACLE_SHP_MOLLWEIDE,
-        ORACLE_SHP_OBLIQUE_STEREO, ORACLE_SHP_HOM]))
+        ORACLE_SHP_OBLIQUE_STEREO, ORACLE_SHP_HOM, ORACLE_SHP_KROVAK]))
 
 
 def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1829,6 +1941,7 @@ QUERIES: dict = {
                                  ORACLE_SHP_SINUSOIDAL),
     "shp_mollweide_reproject": (q_shp_mollweide_reproject,
                                 ORACLE_SHP_MOLLWEIDE),
+    "shp_krovak_reproject": (q_shp_krovak_reproject, ORACLE_SHP_KROVAK),
     "shp_oblique_stereo_reproject": (q_shp_oblique_stereo_reproject,
                                      ORACLE_SHP_OBLIQUE_STEREO),
     "shp_hom_reproject": (q_shp_hom_reproject, ORACLE_SHP_HOM),

@@ -1021,6 +1021,79 @@ def hom_forward(a: float, inv_f: float, lonc_deg: float, lat0_deg: float,
     return fwd
 
 
+def krovak_constants(a: float, inv_f: float, lonc_deg: float,
+                     latc_deg: float, azimuth_deg: float,
+                     pseudo_sp_deg: float, k0: float = 0.9999,
+                     fe: float = 0.0, fn: float = 0.0) -> dict:
+    """Point-independent constants for EPSG method 9819 (Krovak, the
+    Czech/Slovak S-JTSK oblique conformal conic): Gaussian sphere about
+    the projection centre, oblique rotation by the cone-axis azimuth,
+    conic with the pseudo standard parallel. Shared between the numpy
+    kernel and the DuckDB oracle generator (same float64 literals)."""
+    e2 = _e2_of(inv_f)
+    e = math.sqrt(e2)
+    phic = math.radians(latc_deg)
+    sc = math.sin(phic)
+    A = a * math.sqrt(1.0 - e2) / (1.0 - e2 * sc * sc)
+    B = math.sqrt(1.0 + e2 * math.cos(phic) ** 4 / (1.0 - e2))
+    g0 = math.asin(sc / B)
+    t0 = (math.tan(math.pi / 4.0 + g0 / 2.0)
+          * ((1.0 + e * sc) / (1.0 - e * sc)) ** (e * B / 2.0)
+          / math.tan(math.pi / 4.0 + phic / 2.0) ** B)
+    phip = math.radians(pseudo_sp_deg)
+    n = math.sin(phip)
+    r0 = k0 * A / math.tan(phip)
+    return {
+        "e": e, "e2": e2, "B": B, "invB": 1.0 / B, "t0": t0,
+        "ti": t0 ** (-1.0 / B), "n": n, "invn": 1.0 / n, "r0": r0,
+        "alpha": math.radians(azimuth_deg),
+        "tp": math.tan(math.pi / 4.0 + phip / 2.0),
+        "lam0": math.radians(lonc_deg), "fe": fe, "fn": fn,
+    }
+
+
+def make_inv_krovak(a: float, inv_f: float, lonc_deg: float,
+                    latc_deg: float, azimuth_deg: float,
+                    pseudo_sp_deg: float, k0: float = 0.9999,
+                    fe: float = 0.0, fn: float = 0.0):
+    """EPSG 9819 Krovak inverse in the GIS East-North axis convention
+    (EPSG:5514: easting = -westing, northing = -southing — the axes
+    shapefiles in the wild carry; the native CRS is south/west-positive).
+    Un-rotate the oblique cone, then invert the Gaussian-sphere latitude
+    with four FIXED iterations (EPSG prescribes iterate-to-convergence,
+    which this fixture reaches by round 3; the fixed count keeps the
+    float64 op sequence identical to the SQL oracle).  Returns a
+    vectorized (n,2) meters -> (n,2) lon/lat degrees function."""
+    cst = krovak_constants(a, inv_f, lonc_deg, latc_deg, azimuth_deg,
+                           pseudo_sp_deg, k0, fe, fn)
+    e, B, invB = cst["e"], cst["B"], cst["invB"]
+    ti, n, invn, r0 = cst["ti"], cst["n"], cst["invn"], cst["r0"]
+    alpha, tp, lam0 = cst["alpha"], cst["tp"], cst["lam0"]
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        xs = -(pts[:, 1] - cst["fn"])    # southing  = -(northing)
+        ys = -(pts[:, 0] - cst["fe"])    # westing   = -(easting)
+        r = np.sqrt(xs * xs + ys * ys)
+        theta = np.arctan2(ys, xs)
+        d = theta * invn
+        t = 2.0 * (np.arctan(np.power(r0 / r, invn) * tp) - math.pi / 4.0)
+        u = np.arcsin(math.cos(alpha) * np.sin(t)
+                      - math.sin(alpha) * np.cos(t) * np.cos(d))
+        v = np.arcsin(np.cos(t) * np.sin(d) / np.cos(u))
+        lam = lam0 - v / B
+        base = ti * np.power(np.tan(u / 2.0 + math.pi / 4.0), invB)
+        phi = u
+        for _ in range(4):
+            sp = np.sin(phi)
+            phi = 2.0 * (np.arctan(
+                base * np.power((1.0 + e * sp) / (1.0 - e * sp), e / 2.0))
+                - math.pi / 4.0)
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
+
+
 def projection_from_wkt(wkt) -> "callable | None":
     """WKT string → inverse-transform fn to WGS84 lon/lat, or None (identity).
 
@@ -1142,6 +1215,19 @@ def projection_from_wkt(wkt) -> "callable | None":
                 a, inv_f,
                 p.get("central_meridian", p.get("longitude_of_center", 0.0)),
                 lat0, sp1, p.get("standard_parallel_2", sp1),
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
+        if re.search(r'PROJECTION\["?Krovak', wkt, re.I):
+            p = _wkt_params(wkt)
+            a, inv_f = _wkt_spheroid(wkt)
+            return _with_unit(make_inv_krovak(
+                a, inv_f,
+                p.get("longitude_of_center", p.get("central_meridian", 0.0)),
+                p.get("latitude_of_center", p.get("latitude_of_origin",
+                                                  0.0)),
+                p.get("azimuth", 30.28813975277778),
+                p.get("pseudo_standard_parallel_1", 78.5),
+                p.get("scale_factor", 0.9999),
                 p.get("false_easting", 0.0) * unit,
                 p.get("false_northing", 0.0) * unit), unit)
         if re.search(r'PROJECTION\["?(Hotine[_ ]?)?Oblique[_ ]?Mercator',

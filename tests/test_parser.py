@@ -463,10 +463,10 @@ def test_unknown_projection_raises_not_identity():
     """A well-formed PROJCS the engine can't invert must raise loudly —
     round 1 silently decoded Lambert meters as degrees (VERDICT missing #1)."""
     import pytest
-    wkt = ('PROJCS["S-JTSK Krovak",'
-           'PROJECTION["Krovak"],'
-           'PARAMETER["central_meridian",0]]')
-    with pytest.raises(ValueError, match="Krovak"):
+    wkt = ('PROJCS["NZ Map Grid",'
+           'PROJECTION["New_Zealand_Map_Grid"],'
+           'PARAMETER["central_meridian",173]]')
+    with pytest.raises(ValueError, match="New_Zealand_Map_Grid"):
         parser.projection_from_wkt(wkt)
 
 
@@ -1122,3 +1122,64 @@ def test_hom_wkt_dispatch_variants():
     # both decode to plausible Borneo-region coordinates
     for lon, lat in (va, vb):
         assert 100.0 < lon < 130.0 and -10.0 < lat < 20.0
+
+
+def test_krovak_epsg_worked_example_and_roundtrip():
+    """EPSG Guidance Note 7-2 worked example for S-JTSK / Krovak (method
+    9819): lat 50°12'32.4416"N, lon 16°50'59.1790"E Greenwich ->
+    Southing 1050538.63, Westing 568991.00 (the azimuth's arc-second
+    rounding costs ~2 cm).  The inverse must return the geographic
+    coordinates from those grid values, and roundtrip an independent
+    forward to <1e-9 degrees across the EPSG:5514 extent."""
+    import math
+    import numpy as np
+    from spark_shp.shp.parser import krovak_constants, make_inv_krovak
+    from spark_shp.queries_shp import _KRO_PARAMS
+
+    cst = krovak_constants(*_KRO_PARAMS)
+
+    def fwd(lon_deg, lat_deg):
+        e, B, t0 = cst["e"], cst["B"], cst["t0"]
+        n, r0, alpha = cst["n"], cst["r0"], cst["alpha"]
+        tp, lam0 = cst["tp"], cst["lam0"]
+        phi, lam = math.radians(lat_deg), math.radians(lon_deg)
+        sp = math.sin(phi)
+        u = 2.0 * (math.atan(t0 * math.tan(phi / 2 + math.pi / 4) ** B
+                   / ((1 + e * sp) / (1 - e * sp)) ** (e * B / 2))
+                   - math.pi / 4)
+        v = B * (lam0 - lam)
+        t = math.asin(math.cos(alpha) * math.sin(u)
+                      + math.sin(alpha) * math.cos(u) * math.cos(v))
+        d = math.asin(math.cos(u) * math.sin(v) / math.cos(t))
+        r = r0 * tp ** n / math.tan(t / 2 + math.pi / 4) ** n
+        return r * math.cos(n * d), r * math.sin(n * d)  # southing, westing
+
+    lat = 50 + 12 / 60 + 32.4416 / 3600
+    lon = 16 + 50 / 60 + 59.1790 / 3600
+    xs, ys = fwd(lon, lat)
+    assert abs(xs - 1050538.63) < 0.05
+    assert abs(ys - 568991.00) < 0.05
+
+    inv = make_inv_krovak(*_KRO_PARAMS)
+    out = inv(np.array([[-ys, -xs]]))    # EPSG:5514 East-North axes
+    assert abs(out[0, 0] - lon) < 1e-9
+    assert abs(out[0, 1] - lat) < 1e-9
+
+    rng = np.random.default_rng(3)
+    lons = rng.uniform(12.0, 22.5, 200)
+    lats = rng.uniform(47.7, 51.1, 200)
+    grid = np.array([fwd(lo, la) for lo, la in zip(lons, lats)])
+    back = inv(np.column_stack([-grid[:, 1], -grid[:, 0]]))
+    assert np.max(np.abs(back[:, 0] - lons)) < 1e-9
+    assert np.max(np.abs(back[:, 1] - lats)) < 1e-9
+
+
+def test_krovak_wkt_dispatch():
+    from spark_shp.shp.parser import projection_from_wkt
+    from spark_shp.queries_shp import _KRO_WKT
+    import numpy as np
+    trans = projection_from_wkt(_KRO_WKT)
+    assert trans is not None
+    out = trans(np.array([[-568990.9967, -1050538.6431]]))
+    assert abs(out[0, 0] - 16.84977194) < 1e-6
+    assert abs(out[0, 1] - 50.20901156) < 1e-6
