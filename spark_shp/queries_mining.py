@@ -921,3 +921,145 @@ QUERIES.update({
     "bloom_prefilter": (q_bloom_prefilter, _oracle_bloom()),
     "cm_heavy_hitters": (q_cm_heavy_hitters, _oracle_cm()),
 })
+
+
+# --- twap_values: exact-integer time-weighted average ---------------------------
+#
+# The TimescaleDB time_weight / OHLC-family op: the value column is a step
+# function between events; TWAP = integral(value dt) / total dt.  A float
+# integral would be aggregation-order-dependent, so the integral is made
+# EXACT: values quantize to integer cents via FLOOR(x*100 + 0.5) (the
+# explicit half-up rule — engine ROUND half-rules never enter) and dwell
+# times to whole seconds; each term is < 5e4 cents x 1e6 s bounds, far
+# inside int64 at gate scale (at 10^12 rows the accumulator moves to
+# DECIMAL(38)).  The final TWAP is ONE int/int division — bit-identical on
+# any engine and partitioning.
+
+TW_BUCKETS = 25      # report per user_id % TW_BUCKETS
+
+
+def q_twap_values(spark, sf_dir):
+    """Per-bucket time-weighted average of the event value stream: one
+    user-keyed window (LEAD for the dwell), integer integral, one
+    map-side-combined agg on the bucket key."""
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us",
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc")
+    w = "PARTITION BY user_id ORDER BY us, event_id"
+    seg = e.selectExpr(
+        "user_id", "vc", "us", f"LEAD(us) OVER ({w}) AS next_us")
+    seg = seg.where("next_us IS NOT NULL").selectExpr(
+        f"user_id % {TW_BUCKETS} AS bucket", "vc",
+        "CAST(FLOOR((next_us - us) / 1000000.0) AS BIGINT) AS dt_s")
+    return (seg.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_segments"),
+                 F.expr("SUM(vc * dt_s)").alias("integral_cs"),
+                 F.sum("dt_s").alias("total_s"))
+            .selectExpr("bucket",
+                        "CAST(n_segments AS BIGINT) AS n_segments",
+                        "CAST(integral_cs AS BIGINT) AS integral_cs",
+                        "CAST(total_s AS BIGINT) AS total_s",
+                        "CAST(integral_cs AS DOUBLE) / total_s "
+                        "AS twap_cents"))
+
+
+ORACLE_TWAP = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events),
+seg0 AS (
+  SELECT user_id, vc, us, LEAD(us) OVER w AS next_us
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+seg AS (
+  SELECT user_id % {TW_BUCKETS} AS bucket, vc,
+         CAST(FLOOR((next_us - us) / 1000000.0) AS BIGINT) AS dt_s
+  FROM seg0 WHERE next_us IS NOT NULL)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(vc * dt_s) AS BIGINT) AS integral_cs,
+       CAST(SUM(dt_s) AS BIGINT) AS total_s,
+       CAST(SUM(vc * dt_s) AS DOUBLE) / SUM(dt_s) AS twap_cents
+FROM seg GROUP BY 1
+"""
+
+
+# --- trajectory_simplify: snap + consecutive-run collapse -----------------------
+#
+# The dual of trajectory_densify (the vector-tile / track-storage
+# simplifier): snap each ping to a level-8 cell and keep only points that
+# CHANGE cell — consecutive duplicates collapse, preserving the visit
+# order.  The order-SENSITIVE checksum (cell weighted by its kept-sequence
+# index) catches a reordering or a dropped/extra retained point that
+# symmetric sums would miss.  All integer; one user-keyed window shuffle
+# reused by both window passes and the agg.
+
+SIMP_LEVEL = 8
+
+
+def q_trajectory_simplify(spark, sf_dir):
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, SIMP_LEVEL)
+    n = 1 << SIMP_LEVEL
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us",
+        f"({ix}) * {n} + ({iy}) AS cell")
+    w = "PARTITION BY user_id ORDER BY us, event_id"
+    kept = e.selectExpr(
+        "user_id", "us", "event_id", "cell",
+        f"LAG(cell) OVER ({w}) AS prev_cell").selectExpr(
+        "user_id", "us", "event_id", "cell",
+        "CASE WHEN prev_cell IS NULL OR cell <> prev_cell THEN 1 ELSE 0 "
+        "END AS keep")
+    seqd = kept.where("keep = 1").selectExpr(
+        "user_id", "cell",
+        f"ROW_NUMBER() OVER ({w}) AS seq")
+    tot = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_points"))
+    agg = (seqd.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_kept"),
+                F.expr("SUM(cell * (seq % 97))").alias("path_checksum"),
+                F.max("seq").alias("max_seq")))
+    return (tot.join(agg, "user_id")
+            .selectExpr("user_id", "CAST(n_points AS BIGINT) AS n_points",
+                        "CAST(n_kept AS BIGINT) AS n_kept",
+                        "CAST(max_seq AS BIGINT) AS max_seq",
+                        "CAST(path_checksum AS BIGINT) AS path_checksum"))
+
+
+def _oracle_simplify() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, SIMP_LEVEL)
+    n = 1 << SIMP_LEVEL
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         ({ix}) * {n} + ({iy}) AS cell
+  FROM events),
+kept AS (
+  SELECT user_id, us, event_id, cell,
+         CASE WHEN LAG(cell) OVER w IS NULL OR cell <> LAG(cell) OVER w
+              THEN 1 ELSE 0 END AS keep
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+seqd AS (
+  SELECT user_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS seq
+  FROM kept WHERE keep = 1),
+tot AS (SELECT user_id, COUNT(*) AS n_points FROM e GROUP BY 1),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_kept,
+         SUM(cell * (seq % 97)) AS path_checksum, MAX(seq) AS max_seq
+  FROM seqd GROUP BY 1)
+SELECT t.user_id, CAST(t.n_points AS BIGINT) AS n_points,
+       CAST(a.n_kept AS BIGINT) AS n_kept,
+       CAST(a.max_seq AS BIGINT) AS max_seq,
+       CAST(a.path_checksum AS BIGINT) AS path_checksum
+FROM tot t JOIN agg a ON t.user_id = a.user_id
+"""
+
+
+QUERIES.update({
+    "twap_values": (q_twap_values, ORACLE_TWAP),
+    "trajectory_simplify": (q_trajectory_simplify, _oracle_simplify()),
+})

@@ -108,6 +108,8 @@ _TAIL = [
     "image_mosaic_tiles",     # per-tile thumbnail collage checksums (B11)
     "bloom_prefilter",        # deterministic Bloom runtime filter (C11)
     "cm_heavy_hitters",       # count-min heavy hitters (C11 family)
+    "twap_values",            # exact-integer time-weighted average (C6)
+    "trajectory_simplify",    # snap + run collapse, densify dual (B5)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -276,7 +276,7 @@ def test_points_fast_unsupported_crs_modes(spark, tmp_path):
     (d / "bad.prj").write_text(
         'PROJCS["weird",GEOGCS["WGS 84",DATUM["WGS_1984",'
         'SPHEROID["WGS 84",6378137,298.257223563]]],'
-        'PROJECTION["Krovak"],UNIT["metre",1]]')
+        'PROJECTION["New_Zealand_Map_Grid"],UNIT["metre",1]]')
     glob = str(d) + "/*.shp"
     with pytest.raises(Exception):           # default: loud failure
         ingest.read_points_fast(spark, glob).collect()

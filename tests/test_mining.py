@@ -422,3 +422,60 @@ def test_cm_heavy_hitters_overestimates_and_python_sketch(spark):
                             % CM_W)] for j in range(CM_D))
         assert est == r.est
         assert exact[r.o_custkey] == r.exact
+
+
+# --- TWAP + trajectory simplification ----------------------------------------------
+
+def test_twap_matches_sequential_integration(spark):
+    from spark_shp.queries_mining import TW_BUCKETS, q_twap_values
+    got = {r.bucket: r for r in q_twap_values(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "user_id", "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us",
+        "value").collect()
+    per_user = {}
+    for r in ev:
+        per_user.setdefault(r.user_id, []).append(r)
+    import math
+    want = {}
+    for u, rows in per_user.items():
+        rows.sort(key=lambda r: (r.us, r.event_id))
+        b = u % TW_BUCKETS
+        n, integ, tot = want.get(b, (0, 0, 0))
+        for a, nx in zip(rows, rows[1:]):
+            vc = math.floor(a.value * 100 + 0.5)
+            dt = math.floor((nx.us - a.us) / 1e6)
+            n, integ, tot = n + 1, integ + vc * dt, tot + dt
+        want[b] = (n, integ, tot)
+    for b, (n, integ, tot) in want.items():
+        g = got[b]
+        assert (g.n_segments, g.integral_cs, g.total_s) == (n, integ, tot)
+        assert g.twap_cents == integ / tot
+
+
+def test_trajectory_simplify_sequential_replay(spark):
+    from spark_shp import cells as C, fixtures as FX
+    from spark_shp.queries_mining import SIMP_LEVEL, q_trajectory_simplify
+    got = {r.user_id: r for r in q_trajectory_simplify(spark, SF).collect()}
+    n = 1 << SIMP_LEVEL
+    ix, iy = C.quantize_sql(FX.EVENT_LON_SQL, FX.EVENT_LAT_SQL, SIMP_LEVEL)
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "user_id", "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us",
+        f"({ix}) * {n} + ({iy}) AS cell").collect()
+    per_user = {}
+    for r in ev:
+        per_user.setdefault(r.user_id, []).append(r)
+    for u, rows in per_user.items():
+        rows.sort(key=lambda r: (r.us, r.event_id))
+        kept = []
+        for r in rows:
+            if not kept or r.cell != kept[-1]:
+                kept.append(r.cell)
+        g = got[u]
+        assert g.n_points == len(rows)
+        assert g.n_kept == g.max_seq == len(kept)
+        assert g.path_checksum == sum(
+            c * ((i + 1) % 97) for i, c in enumerate(kept))
+        # simplification never keeps two equal consecutive cells
+        assert all(a != b for a, b in zip(kept, kept[1:]))
