@@ -1063,3 +1063,108 @@ QUERIES.update({
     "twap_values": (q_twap_values, ORACLE_TWAP),
     "trajectory_simplify": (q_trajectory_simplify, _oracle_simplify()),
 })
+
+
+# --- lm_bigram_score: corpus-LM quality scoring (CCNet-style) -------------------
+#
+# The language-model quality filter of a pretraining pipeline (CCNet /
+# Wikipedia-LM perplexity bucketing): score each document by the average
+# MLE bigram log-probability under the CORPUS's own bigram statistics.
+# p(w2|w1) = count(w1 w2) / count(w1 .) is an exact int/int ratio; LN is
+# the one float op (JVM Math.log vs libm differ by <=1 ulp — the
+# documented round-6 rule absorbs the per-term drift and the
+# aggregation-order drift of the float SUM, both ~1e-13 at this scale).
+
+LM_ROUND = 6
+
+
+def q_lm_bigram_score(spark, sf_dir):
+    """Per-doc average bigram log-prob under corpus MLE statistics.  Scale
+    shape: two corpus-wide count aggregations (bigram, bigram-prefix) and
+    two equi-joins keyed by them — the classic shuffle-on-ngram plan; the
+    per-doc reduce reuses the doc key.  No Python anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    bg = (d.select("doc_id", bigrams.alias("bgs"))
+          .select("doc_id", F.explode("bgs").alias("bg"))
+          .withColumn("pfx", F.split(F.col("bg"), " ")[0]))
+    cb = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    cp = bg.groupBy("pfx").agg(F.count(F.lit(1)).alias("cp"))
+    scored = (bg.join(cb, "bg").join(cp, "pfx")
+              .selectExpr("doc_id", "LN(CAST(cb AS DOUBLE) / cp) AS lp"))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.expr(f"ROUND(SUM(lp) / COUNT(*), {LM_ROUND})")
+                 .alias("avg_logprob"))
+            .selectExpr("doc_id", "CAST(n_bigrams AS BIGINT) AS n_bigrams",
+                        "avg_logprob"))
+
+
+ORACLE_LM_SCORE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+bg AS (SELECT doc_id, ts[u.i] || ' ' || ts[u.i + 1] AS bg, ts[u.i] AS pfx
+       FROM toks, UNNEST(range(1, len(ts))) AS u(i)),
+cb AS (SELECT bg, COUNT(*) AS cb FROM bg GROUP BY 1),
+cp AS (SELECT pfx, COUNT(*) AS cp FROM bg GROUP BY 1),
+scored AS (
+  SELECT bg.doc_id, LN(CAST(cb.cb AS DOUBLE) / cp.cp) AS lp
+  FROM bg JOIN cb ON bg.bg = cb.bg JOIN cp ON bg.pfx = cp.pfx)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(lp) / COUNT(*), {LM_ROUND}) AS avg_logprob
+FROM scored GROUP BY 1
+"""
+
+
+# --- quadkey_encode: Bing-maps quadkey interop ----------------------------------
+#
+# The third tile-id interop format next to geohash and Hilbert: quadkey =
+# the Morton code's base-4 digits, MSB-first, one char per zoom level.
+# Spark renders via CONV(m, 10, 4), DuckDB via to_base(m, 4) — different
+# builtins, same digits — then LPAD to the zoom; the shared Morton spread
+# supplies the integer.
+
+QK_LEVEL = 8         # 8-char quadkeys
+QK_PREFIX = 4        # report per 4-char prefix
+
+
+def q_quadkey_encode(spark, sf_dir):
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, QK_LEVEL)
+    m = cells.morton_sql(ix, iy)
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        f"LPAD(CONV(CAST(({m}) AS STRING), 10, 4), {QK_LEVEL}, '0') AS qk")
+    return (e.selectExpr("substr(qk, 1, %d) AS prefix" % QK_PREFIX, "qk",
+                         "event_id")
+            .groupBy("prefix")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("qk").alias("min_qk"), F.max("qk").alias("max_qk"),
+                 F.expr("SUM(event_id % 999983)").alias("checksum"))
+            .selectExpr("prefix", "CAST(n AS BIGINT) AS n",
+                        "min_qk", "max_qk",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_quadkey() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, QK_LEVEL)
+    m = cells.morton_sql(ix, iy)
+    return f"""
+WITH e AS (
+  SELECT event_id, LPAD(to_base({m}, 4), {QK_LEVEL}, '0') AS qk
+  FROM events)
+SELECT substr(qk, 1, {QK_PREFIX}) AS prefix,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(qk) AS min_qk, MAX(qk) AS max_qk,
+       CAST(SUM(event_id % 999983) AS BIGINT) AS checksum
+FROM e GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "lm_bigram_score": (q_lm_bigram_score, ORACLE_LM_SCORE),
+    "quadkey_encode": (q_quadkey_encode, _oracle_quadkey()),
+})

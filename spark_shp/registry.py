@@ -110,6 +110,8 @@ _TAIL = [
     "cm_heavy_hitters",       # count-min heavy hitters (C11 family)
     "twap_values",            # exact-integer time-weighted average (C6)
     "trajectory_simplify",    # snap + run collapse, densify dual (B5)
+    "lm_bigram_score",        # corpus-LM quality scoring (text family)
+    "quadkey_encode",         # Bing quadkey interop (B1 family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

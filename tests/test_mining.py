@@ -479,3 +479,62 @@ def test_trajectory_simplify_sequential_replay(spark):
             c * ((i + 1) % 97) for i, c in enumerate(kept))
         # simplification never keeps two equal consecutive cells
         assert all(a != b for a, b in zip(kept, kept[1:]))
+
+
+# --- corpus-LM scoring + quadkey ----------------------------------------------------
+
+def test_lm_bigram_score_matches_python_mle(spark):
+    import math
+    from collections import Counter
+    from spark_shp.queries_mining import LM_ROUND, q_lm_bigram_score
+    got = {r.doc_id: r for r in q_lm_bigram_score(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text").collect()
+    cb, cp, per_doc = Counter(), Counter(), {}
+    for d in docs:
+        ts = d.text.split(" ")
+        bgs = [(a, b) for a, b in zip(ts, ts[1:])]
+        per_doc[d.doc_id] = bgs
+        for a, b in bgs:
+            cb[(a, b)] += 1
+            cp[a] += 1
+    for doc_id, bgs in per_doc.items():
+        lps = [math.log(cb[bg] / cp[bg[0]]) for bg in bgs]
+        g = got[doc_id]
+        assert g.n_bigrams == len(bgs)
+        assert abs(g.avg_logprob - sum(lps) / len(lps)) < 10 ** -LM_ROUND
+        assert g.avg_logprob <= 0.0   # MLE probabilities never exceed 1
+
+
+def _quadkey_ref(lon, lat, level):
+    """Textbook quadkey: per zoom level pick the quadrant digit — a
+    genuinely different algorithm from the Morton-spread SQL."""
+    n = 1 << level
+    ix = min(n - 1, max(0, int((lon + 180.0) / 360.0 * n)))
+    iy = min(n - 1, max(0, int((lat + 85.0) / 170.0 * n)))
+    digits = []
+    for lvl in range(level - 1, -1, -1):
+        digits.append(str(((ix >> lvl) & 1) | (((iy >> lvl) & 1) << 1)))
+    return "".join(digits)
+
+
+def test_quadkey_sql_matches_bisection_reference():
+    import duckdb
+    import numpy as np
+    from spark_shp import cells as C
+    from spark_shp.queries_mining import QK_LEVEL
+    rng = np.random.default_rng(9)
+    lons = rng.uniform(-180, 180, 300)
+    lats = rng.uniform(-85, 85, 300)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts(lon DOUBLE, lat DOUBLE)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)",
+                    list(zip(lons.tolist(), lats.tolist())))
+    ix, iy = C.quantize_sql("lon", "lat", QK_LEVEL)
+    m = C.morton_sql(ix, iy)
+    got = [r[0] for r in con.execute(
+        f"SELECT LPAD(to_base({m}, 4), {QK_LEVEL}, '0') FROM pts"
+    ).fetchall()]
+    want = [_quadkey_ref(lo, la, QK_LEVEL)
+            for lo, la in zip(lons, lats)]
+    assert got == want
