@@ -1168,3 +1168,74 @@ QUERIES.update({
     "lm_bigram_score": (q_lm_bigram_score, ORACLE_LM_SCORE),
     "quadkey_encode": (q_quadkey_encode, _oracle_quadkey()),
 })
+
+
+# --- geometric_median: fixed-iteration Weiszfeld ---------------------------------
+#
+# The robust spatial center (1-median / facility location — the statistic
+# outliers can't drag the way a mean is dragged).  Weiszfeld's algorithm
+# x' = SUM(p/d) / SUM(1/d) runs a FIXED 8 iterations from the centroid so
+# the float64 op sequence unrolls identically on both engines (same
+# pattern as the CRS Newton inverses); d gets a 1e-9 floor so a point
+# sitting exactly on the estimate can't divide by zero.  The iteration is
+# contractive, so the ~1e-15 aggregation-order noise of the float SUMs
+# never amplifies — round-6 output is deterministic.  Scale shape: per
+# iteration ONE map-side-combined aggregation over the points keyed by the
+# group (the estimate is a broadcast G-row table); 8 iterations = 8
+# passes, each whole-stage codegen.
+
+WZ_ITERS = 8
+WZ_EPS = 1e-9
+
+
+def q_geometric_median(spark, sf_dir):
+    e = (_t(spark, sf_dir, "events")
+         .selectExpr("event_type AS g",
+                     f"{fixtures.EVENT_LON_SQL} AS px",
+                     f"{fixtures.EVENT_LAT_SQL} AS py")
+         .localCheckpoint())
+    est = e.groupBy("g").agg(F.avg("px").alias("mx"),
+                             F.avg("py").alias("my"))
+    d = (f"(SQRT((px - mx) * (px - mx) + (py - my) * (py - my)) "
+         f"+ CAST({WZ_EPS!r} AS DOUBLE))")
+    for _ in range(WZ_ITERS):
+        est = (e.join(F.broadcast(est), "g")
+               .selectExpr("g", f"px / {d} AS wx", f"py / {d} AS wy",
+                           f"1.0 / {d} AS w")
+               .groupBy("g")
+               .agg(F.expr("SUM(wx) / SUM(w)").alias("mx"),
+                    F.expr("SUM(wy) / SUM(w)").alias("my")))
+    n = e.groupBy("g").agg(F.count(F.lit(1)).alias("n_points"))
+    return (n.join(est, "g")
+            .selectExpr("g", "CAST(n_points AS BIGINT) AS n_points",
+                        "ROUND(mx, 6) AS median_lon",
+                        "ROUND(my, 6) AS median_lat"))
+
+
+def _oracle_geometric_median() -> str:
+    from .queries_spatial import EVENT_POINTS_SQL
+    d = (f"(SQRT((px - mx) * (px - mx) + (py - my) * (py - my)) "
+         f"+ CAST({WZ_EPS!r} AS DOUBLE))")
+    its = "\n".join(
+        f"""it{k} AS (
+  SELECT e.g, SUM(px / {d}) / SUM(1.0 / {d}) AS mx2,
+         SUM(py / {d}) / SUM(1.0 / {d}) AS my2
+  FROM e JOIN it{k - 1}r i ON e.g = i.g GROUP BY e.g),
+it{k}r AS (SELECT g, mx2 AS mx, my2 AS my FROM it{k}),"""
+        for k in range(1, WZ_ITERS + 1))
+    return f"""
+WITH e AS (
+  SELECT event_type AS g, lon AS px, lat AS py FROM {EVENT_POINTS_SQL} p),
+it0r AS (
+  SELECT g, AVG(px) AS mx, AVG(py) AS my FROM e GROUP BY 1),
+{its}
+n AS (SELECT g, COUNT(*) AS n_points FROM e GROUP BY 1)
+SELECT n.g, CAST(n.n_points AS BIGINT) AS n_points,
+       ROUND(f.mx, 6) AS median_lon, ROUND(f.my, 6) AS median_lat
+FROM n JOIN it{WZ_ITERS}r f ON n.g = f.g
+"""
+
+
+QUERIES.update({
+    "geometric_median": (q_geometric_median, _oracle_geometric_median()),
+})

@@ -112,6 +112,7 @@ _TAIL = [
     "trajectory_simplify",    # snap + run collapse, densify dual (B5)
     "lm_bigram_score",        # corpus-LM quality scoring (text family)
     "quadkey_encode",         # Bing quadkey interop (B1 family)
+    "geometric_median",       # fixed-iteration Weiszfeld 1-median (B)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

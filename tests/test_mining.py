@@ -538,3 +538,33 @@ def test_quadkey_sql_matches_bisection_reference():
     want = [_quadkey_ref(lo, la, QK_LEVEL)
             for lo, la in zip(lons, lats)]
     assert got == want
+
+
+# --- geometric median -----------------------------------------------------------------
+
+def test_geometric_median_matches_numpy_weiszfeld_and_beats_mean(spark):
+    from spark_shp.queries_mining import (WZ_EPS, WZ_ITERS,
+                                          q_geometric_median)
+    from spark_shp import fixtures as FX
+    got = {r.g: r for r in q_geometric_median(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_type AS g", f"{FX.EVENT_LON_SQL} AS px",
+        f"{FX.EVENT_LAT_SQL} AS py").collect()
+    by_g = {}
+    for r in ev:
+        by_g.setdefault(r.g, []).append((r.px, r.py))
+    for g, pts in by_g.items():
+        P = np.array(pts)
+        m = P.mean(axis=0)
+        for _ in range(WZ_ITERS):
+            d = np.sqrt(((P - m) ** 2).sum(axis=1)) + WZ_EPS
+            m = (P / d[:, None]).sum(axis=0) / (1.0 / d).sum()
+        assert abs(got[g].median_lon - round(m[0], 6)) <= 1e-6
+        assert abs(got[g].median_lat - round(m[1], 6)) <= 1e-6
+        assert got[g].n_points == len(pts)
+        # 1-median property: total distance at the Weiszfeld point never
+        # exceeds total distance at the centroid
+        c = P.mean(axis=0)
+        dw = np.sqrt(((P - m) ** 2).sum(axis=1)).sum()
+        dc = np.sqrt(((P - c) ** 2).sum(axis=1)).sum()
+        assert dw <= dc + 1e-9
