@@ -1239,3 +1239,85 @@ FROM n JOIN it{WZ_ITERS}r f ON n.g = f.g
 QUERIES.update({
     "geometric_median": (q_geometric_median, _oracle_geometric_median()),
 })
+
+
+# --- fence_overlap_pairs: polygon-overlay candidate generation ------------------
+#
+# The overlay/conflation first stage (which polygons even touch?): every
+# fence bbox scatters to the coarse grid cells it covers (bounded <=4 cells
+# per fence at this level), candidates come from ONE cell-keyed equi-join —
+# never an all-pairs cross — and the exact bbox-overlap predicate + area
+# refine the candidates.  Because the fences are axis-aligned rectangles,
+# the bbox intersection IS the outer-ring intersection, so the reported
+# area is a true overlay area.  The ORACLE runs the brute-force O(M^2)
+# pair join instead — equality proves the grid candidate generation is
+# LOSSLESS, not just that both sides agree on some candidate set.
+
+FOV_M = 64           # fence count (fixtures layer size)
+FOV_LEVEL = 3        # 8x8 world grid; fence bboxes span <= 2 cells per axis
+
+
+def _fence_bbox_sql(j: str) -> dict:
+    from .hashing import u01_sql
+    cx = (f"(CASE WHEN ({j}) = 63 THEN {fixtures.HOT_LON + 0.005!r} "
+          f"ELSE {u01_sql(f'({j}) * 7 + 1')} * 360.0 - 180.0 END)")
+    cy = (f"(CASE WHEN ({j}) = 63 THEN {fixtures.HOT_LAT + 0.005!r} "
+          f"ELSE {u01_sql(f'({j}) * 7 + 2')} * 160.0 - 80.0 END)")
+    hx = (f"(CASE WHEN ({j}) = 63 THEN 1.0 "
+          f"ELSE 0.5 + {u01_sql(f'({j}) * 7 + 3')} * 4.0 END)")
+    hy = (f"(CASE WHEN ({j}) = 63 THEN 1.0 "
+          f"ELSE 0.5 + {u01_sql(f'({j}) * 7 + 4')} * 4.0 END)")
+    return {"xmin": f"({cx} - {hx})", "xmax": f"({cx} + {hx})",
+            "ymin": f"({cy} - {hy})", "ymax": f"({cy} + {hy})"}
+
+
+def q_fence_overlap_pairs(spark, sf_dir):
+    b = _fence_bbox_sql("id")
+    f = spark.range(0, FOV_M).selectExpr(
+        "id AS j", f"{b['xmin']} AS xmin", f"{b['xmax']} AS xmax",
+        f"{b['ymin']} AS ymin", f"{b['ymax']} AS ymax")
+    qx0, qy0 = cells.quantize_sql("xmin", "ymin", FOV_LEVEL)
+    qx1, qy1 = cells.quantize_sql("xmax", "ymax", FOV_LEVEL)
+    cover = (f.selectExpr("*", f"explode(sequence({qx0}, {qx1})) AS cx")
+             .selectExpr("*", f"explode(sequence({qy0}, {qy1})) AS cy"))
+    a = cover.selectExpr("j AS aj", "xmin AS ax0", "xmax AS ax1",
+                         "ymin AS ay0", "ymax AS ay1", "cx", "cy")
+    bb = cover.selectExpr("j AS bj", "xmin AS bx0", "xmax AS bx1",
+                          "ymin AS by0", "ymax AS by1", "cx", "cy")
+    pairs = (a.join(bb, ["cx", "cy"]).where("aj < bj")
+             .drop("cx", "cy").distinct()
+             .where("ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 "
+                    "AND by0 <= ay1"))
+    return pairs.selectExpr(
+        "aj", "bj",
+        "ROUND((LEAST(ax1, bx1) - GREATEST(ax0, bx0)) * "
+        "(LEAST(ay1, by1) - GREATEST(ay0, by0)), 9) AS overlap_area",
+        "CAST((ax0 <= bx0 AND bx1 <= ax1 AND ay0 <= by0 AND by1 <= ay1) "
+        "OR (bx0 <= ax0 AND ax1 <= bx1 AND by0 <= ay0 AND ay1 <= by1) "
+        "AS INT) AS is_containment")
+
+
+def _oracle_fence_overlap() -> str:
+    b = _fence_bbox_sql("j")
+    return f"""
+WITH f AS (
+  SELECT j, {b['xmin']} AS x0, {b['xmax']} AS x1,
+         {b['ymin']} AS y0, {b['ymax']} AS y1
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {FOV_M - 1})) AS j) t)
+SELECT a.j AS aj, b.j AS bj,
+       ROUND((LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0)) *
+             (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0)), 9)
+         AS overlap_area,
+       CAST((a.x0 <= b.x0 AND b.x1 <= a.x1 AND a.y0 <= b.y0
+             AND b.y1 <= a.y1)
+         OR (b.x0 <= a.x0 AND a.x1 <= b.x1 AND b.y0 <= a.y0
+             AND a.y1 <= b.y1) AS INT) AS is_containment
+FROM f a JOIN f b
+  ON a.j < b.j AND a.x0 <= b.x1 AND b.x0 <= a.x1
+ AND a.y0 <= b.y1 AND b.y0 <= a.y1
+"""
+
+
+QUERIES.update({
+    "fence_overlap_pairs": (q_fence_overlap_pairs, _oracle_fence_overlap()),
+})

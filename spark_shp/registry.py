@@ -113,6 +113,7 @@ _TAIL = [
     "lm_bigram_score",        # corpus-LM quality scoring (text family)
     "quadkey_encode",         # Bing quadkey interop (B1 family)
     "geometric_median",       # fixed-iteration Weiszfeld 1-median (B)
+    "fence_overlap_pairs",    # polygon-overlay candidates (B4/B7)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -568,3 +568,35 @@ def test_geometric_median_matches_numpy_weiszfeld_and_beats_mean(spark):
         dw = np.sqrt(((P - m) ** 2).sum(axis=1)).sum()
         dc = np.sqrt(((P - c) ** 2).sum(axis=1)).sum()
         assert dw <= dc + 1e-9
+
+
+# --- polygon overlay candidates -----------------------------------------------------
+
+def test_fence_overlap_pairs_vs_numpy_bruteforce(spark):
+    from spark_shp import fixtures as FX
+    from spark_shp.queries_mining import FOV_M, q_fence_overlap_pairs
+    got = {(r.aj, r.bj): (r.overlap_area, r.is_containment)
+           for r in q_fence_overlap_pairs(spark, SF).collect()}
+    boxes = {}
+    for j in range(FOV_M):
+        cx, cy, hx, hy = FX.fence_params(j)
+        boxes[j] = (cx - hx, cy - hy, cx + hx, cy + hy)
+    want = {}
+    for a in range(FOV_M):
+        for b in range(a + 1, FOV_M):
+            ax0, ay0, ax1, ay1 = boxes[a]
+            bx0, by0, bx1, by1 = boxes[b]
+            if ax0 <= bx1 and bx0 <= ax1 and ay0 <= by1 and by0 <= ay1:
+                area = ((min(ax1, bx1) - max(ax0, bx0))
+                        * (min(ay1, by1) - max(ay0, by0)))
+                cont = int((ax0 <= bx0 and bx1 <= ax1 and ay0 <= by0
+                            and by1 <= ay1)
+                           or (bx0 <= ax0 and ax1 <= bx1 and by0 <= ay0
+                               and ay1 <= by1))
+                want[(a, b)] = (round(area, 9), cont)
+    # grid candidate generation is LOSSLESS: exact pair-set equality
+    assert set(got) == set(want)
+    for k, (area, cont) in want.items():
+        assert abs(got[k][0] - area) < 1e-9
+        assert got[k][1] == cont
+        assert area > 0
