@@ -1321,3 +1321,103 @@ FROM f a JOIN f b
 QUERIES.update({
     "fence_overlap_pairs": (q_fence_overlap_pairs, _oracle_fence_overlap()),
 })
+
+
+# --- rect_union_area: Klee's union of rectangles (sweep by coordinate slabs) ----
+#
+# Overlay stage 2 after fence_overlap_pairs: the TOTAL footprint area of
+# the fence layer's outer rings (double-counting removed) — the
+# coverage-accounting primitive (service-area totals, dedup of mosaic
+# footprints).  Classic computational-geometry sweep, expressed
+# relationally: distinct x coordinates cut the plane into vertical slabs,
+# a rect joins every slab it spans, and per slab the covered y-length is
+# an interval union — the SAME gaps-and-islands as interval_coverage, on
+# floats.  At 10^12 polygons the slab join is grid-partitioned first (one
+# sweep per grid stripe); at the fixture's 64 rects the plan is a tiny
+# broadcast theta-join.  Float sums over ~10^2 slabs are order-noisy at
+# 1e-13 — round-6 output per the repo rule.
+
+
+def q_rect_union_area(spark, sf_dir):
+    b = _fence_bbox_sql("id")
+    f = spark.range(0, FOV_M).selectExpr(
+        "id AS j", f"{b['xmin']} AS x0", f"{b['xmax']} AS x1",
+        f"{b['ymin']} AS y0", f"{b['ymax']} AS y1").localCheckpoint()
+    xs = (f.selectExpr("x0 AS x").union(f.selectExpr("x1 AS x")).distinct()
+          .selectExpr("x", "LEAD(x) OVER (ORDER BY x) AS xn")
+          .where("xn IS NOT NULL"))
+    sr = (xs.join(f, (F.col("x0") <= F.col("x")) & (F.col("x1") >= F.col("xn")))
+          .selectExpr("x", "xn", "j", "y0", "y1"))
+    w = "PARTITION BY x ORDER BY y0, j"
+    isl = sr.selectExpr(
+        "x", "xn", "y0", "y1", "j",
+        f"MAX(y1) OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+        "PRECEDING) AS prev_end").selectExpr(
+        "x", "xn", "y0", "y1", "j",
+        "CASE WHEN prev_end IS NULL OR y0 > prev_end THEN 1 ELSE 0 END "
+        "AS brk").selectExpr(
+        "x", "xn", "y0", "y1",
+        f"SUM(brk) OVER ({w} ROWS UNBOUNDED PRECEDING) AS isl")
+    slab = (isl.groupBy("x", "xn", "isl")
+            .agg(F.expr("MAX(y1) - MIN(y0)").alias("ylen"))
+            .groupBy("x", "xn")
+            .agg(F.expr("SUM(ylen)").alias("ycov")))
+    tot = (slab.selectExpr("(xn - x) * ycov AS a")
+           .groupBy().agg(F.expr("SUM(a)").alias("union_area"),
+                          F.count(F.lit(1)).alias("n_slabs")))
+    per = f.groupBy().agg(
+        F.expr("SUM((x1 - x0) * (y1 - y0))").alias("sum_area"),
+        F.count(F.lit(1)).alias("n_rects"))
+    return (per.crossJoin(tot)
+            .selectExpr("CAST(n_rects AS BIGINT) AS n_rects",
+                        "CAST(n_slabs AS BIGINT) AS n_slabs",
+                        "ROUND(union_area, 6) AS union_area",
+                        "ROUND(sum_area, 6) AS sum_area",
+                        "ROUND(sum_area - union_area, 6) AS overlap_waste"))
+
+
+def _oracle_rect_union() -> str:
+    b = _fence_bbox_sql("j")
+    return f"""
+WITH f AS (
+  SELECT j, {b['xmin']} AS x0, {b['xmax']} AS x1,
+         {b['ymin']} AS y0, {b['ymax']} AS y1
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {FOV_M - 1})) AS j) t),
+xs0 AS (SELECT DISTINCT x FROM
+        (SELECT x0 AS x FROM f UNION ALL SELECT x1 FROM f)),
+xs AS (SELECT x, LEAD(x) OVER (ORDER BY x) AS xn FROM xs0
+       QUALIFY xn IS NOT NULL),
+sr AS (
+  SELECT xs.x, xs.xn, f.j, f.y0, f.y1
+  FROM xs JOIN f ON f.x0 <= xs.x AND f.x1 >= xs.xn),
+isl AS (
+  SELECT x, xn, y0, y1,
+         SUM(CASE WHEN prev_end IS NULL OR y0 > prev_end THEN 1 ELSE 0
+             END) OVER (PARTITION BY x ORDER BY y0, j
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM (SELECT x, xn, y0, y1, j,
+               MAX(y1) OVER (PARTITION BY x ORDER BY y0, j
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev_end
+        FROM sr)),
+slab AS (
+  SELECT x, xn, SUM(ylen) AS ycov
+  FROM (SELECT x, xn, isl, MAX(y1) - MIN(y0) AS ylen
+        FROM isl GROUP BY 1, 2, 3)
+  GROUP BY 1, 2),
+tot AS (SELECT SUM((xn - x) * ycov) AS union_area, COUNT(*) AS n_slabs
+        FROM slab),
+per AS (SELECT SUM((x1 - x0) * (y1 - y0)) AS sum_area, COUNT(*) AS n_rects
+        FROM f)
+SELECT CAST(per.n_rects AS BIGINT) AS n_rects,
+       CAST(tot.n_slabs AS BIGINT) AS n_slabs,
+       ROUND(tot.union_area, 6) AS union_area,
+       ROUND(per.sum_area, 6) AS sum_area,
+       ROUND(per.sum_area - tot.union_area, 6) AS overlap_waste
+FROM per, tot
+"""
+
+
+QUERIES.update({
+    "rect_union_area": (q_rect_union_area, _oracle_rect_union()),
+})

@@ -114,6 +114,7 @@ _TAIL = [
     "quadkey_encode",         # Bing quadkey interop (B1 family)
     "geometric_median",       # fixed-iteration Weiszfeld 1-median (B)
     "fence_overlap_pairs",    # polygon-overlay candidates (B4/B7)
+    "rect_union_area",        # Klee union-of-rectangles sweep (B4)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

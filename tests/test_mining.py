@@ -600,3 +600,62 @@ def test_fence_overlap_pairs_vs_numpy_bruteforce(spark):
         assert abs(got[k][0] - area) < 1e-9
         assert got[k][1] == cont
         assert area > 0
+
+
+# --- union-of-rectangles area --------------------------------------------------------
+
+def test_rect_union_area_vs_inclusion_exclusion_and_sweep(spark):
+    from itertools import combinations
+    from spark_shp import fixtures as FX
+    from spark_shp.queries_mining import FOV_M, q_rect_union_area
+    row = q_rect_union_area(spark, SF).collect()[0]
+    boxes = []
+    for j in range(FOV_M):
+        cx, cy, hx, hy = FX.fence_params(j)
+        boxes.append((cx - hx, cy - hy, cx + hx, cy + hy))
+    # independent python sweep over all 64
+    xs = sorted({b[0] for b in boxes} | {b[2] for b in boxes})
+    union = 0.0
+    for xa, xb in zip(xs, xs[1:]):
+        ivs = sorted((b[1], b[3]) for b in boxes
+                     if b[0] <= xa and b[2] >= xb)
+        end, cov = None, 0.0
+        for y0, y1 in ivs:
+            if end is None or y0 > end:
+                cov += y1 - y0
+                end = y1
+            elif y1 > end:
+                cov += y1 - end
+                end = y1
+        union += (xb - xa) * cov
+    assert abs(row.union_area - union) < 1e-6
+    assert row.n_rects == FOV_M
+    assert row.sum_area > row.union_area > 0
+    assert abs(row.overlap_waste - (row.sum_area - row.union_area)) < 2e-6
+
+    # inclusion-exclusion on a small subset — a genuinely different
+    # algorithm (2^k signed intersection areas), exact for rectangles
+    sub = boxes[:6]
+
+    def inter_area(sel):
+        x0 = max(b[0] for b in sel); x1 = min(b[2] for b in sel)
+        y0 = max(b[1] for b in sel); y1 = min(b[3] for b in sel)
+        return max(0.0, x1 - x0) * max(0.0, y1 - y0)
+
+    ie = 0.0
+    for k in range(1, len(sub) + 1):
+        for combo in combinations(sub, k):
+            ie += (-1) ** (k + 1) * inter_area(combo)
+    # replicate the sweep on the same subset
+    xs = sorted({b[0] for b in sub} | {b[2] for b in sub})
+    sweep = 0.0
+    for xa, xb in zip(xs, xs[1:]):
+        ivs = sorted((b[1], b[3]) for b in sub if b[0] <= xa and b[2] >= xb)
+        end, cov = None, 0.0
+        for y0, y1 in ivs:
+            if end is None or y0 > end:
+                cov += y1 - y0; end = y1
+            elif y1 > end:
+                cov += y1 - end; end = y1
+        sweep += (xb - xa) * cov
+    assert abs(ie - sweep) < 1e-9
