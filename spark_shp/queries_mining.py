@@ -1421,3 +1421,110 @@ FROM per, tot
 QUERIES.update({
     "rect_union_area": (q_rect_union_area, _oracle_rect_union()),
 })
+
+
+# --- phrase_pmi_mining: collocation mining with greedy non-overlap counts -------
+#
+# AutoPhrase-style corpus collocation mining: the top adjacent word pairs
+# by count, scored with PMI, plus the GREEDY NON-OVERLAPPING occurrence
+# count — the number a tokenizer would actually merge ("a a a a" holds 3
+# adjacent (a,a) pairs but only 2 greedy merges).  Greedy counting is
+# relational: within each (doc, pair), consecutive matching positions form
+# islands and an island of length L yields FLOOR((L+1)/2) merges —
+# left-to-right greedy, exactly.  PMI's LN sits under the round-6 rule;
+# every count is exact int64.
+
+PMI_TOPK = 20
+
+
+def q_phrase_pmi_mining(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    pos = (d.select("doc_id", F.posexplode(bigrams).alias("p0", "bg"))
+           .selectExpr("doc_id", "p0 + 1 AS pos", "bg"))
+    uni = (d.select(F.explode(toks).alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("cu")))
+    tot = uni.groupBy().agg(F.sum("cu").alias("nt"))
+    cb = pos.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"),
+                               F.countDistinct("doc_id").alias("n_docs"))
+    nb = cb.groupBy().agg(F.sum("cb").alias("nb"))
+    top = (cb.orderBy(F.desc("cb"), "bg").limit(PMI_TOPK)
+           .withColumn("w1", F.split("bg", " ")[0])
+           .withColumn("w2", F.split("bg", " ")[1]))
+    # greedy non-overlap: islands of consecutive matching positions
+    tp = top.select("bg")
+    isl = (pos.join(F.broadcast(tp), "bg")
+           .selectExpr("bg", "doc_id", "pos",
+                       "LAG(pos) OVER (PARTITION BY bg, doc_id "
+                       "ORDER BY pos) AS prev")
+           .selectExpr("bg", "doc_id", "pos",
+                       "CASE WHEN prev IS NULL OR pos - prev > 1 THEN 1 "
+                       "ELSE 0 END AS brk")
+           .selectExpr("bg", "doc_id", "pos",
+                       "SUM(brk) OVER (PARTITION BY bg, doc_id ORDER BY "
+                       "pos ROWS UNBOUNDED PRECEDING) AS isl"))
+    greedy = (isl.groupBy("bg", "doc_id", "isl")
+              .agg(F.count(F.lit(1)).alias("len"))
+              .selectExpr("bg",
+                          "CAST(FLOOR((len + 1) / 2.0) AS BIGINT) AS g")
+              .groupBy("bg").agg(F.sum("g").alias("greedy_count")))
+    u1 = uni.selectExpr("tok AS w1", "cu AS cu1")
+    u2 = uni.selectExpr("tok AS w2", "cu AS cu2")
+    return (top.join(F.broadcast(u1), "w1").join(F.broadcast(u2), "w2")
+            .join(greedy, "bg").crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(nb))
+            .selectExpr(
+                "bg AS bigram", "CAST(cb AS BIGINT) AS n_adjacent",
+                "CAST(greedy_count AS BIGINT) AS n_greedy",
+                "CAST(n_docs AS BIGINT) AS n_docs",
+                "ROUND(LN((CAST(cb AS DOUBLE) / nb) / "
+                "((CAST(cu1 AS DOUBLE) / nt) * "
+                "(CAST(cu2 AS DOUBLE) / nt))), 6) AS pmi"))
+
+
+ORACLE_PMI = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+pos AS (SELECT doc_id, u.i AS pos, ts[u.i] || ' ' || ts[u.i + 1] AS bg
+        FROM toks, UNNEST(range(1, len(ts))) AS u(i)),
+uni AS (SELECT ts[u.i] AS tok, COUNT(*) AS cu
+        FROM toks, UNNEST(range(1, len(ts) + 1)) AS u(i) GROUP BY 1),
+tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS nt FROM uni),
+cb AS (SELECT bg, COUNT(*) AS cb, COUNT(DISTINCT doc_id) AS n_docs
+       FROM pos GROUP BY 1),
+nb AS (SELECT CAST(SUM(cb) AS BIGINT) AS nb FROM cb),
+top AS (SELECT bg, cb, n_docs,
+               string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+        FROM cb ORDER BY cb DESC, bg LIMIT {PMI_TOPK}),
+isl AS (
+  SELECT bg, doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY bg, doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS isl
+  FROM (SELECT p.bg, p.doc_id, p.pos,
+               LAG(p.pos) OVER (PARTITION BY p.bg, p.doc_id
+                                ORDER BY p.pos) AS prev
+        FROM pos p JOIN top t ON p.bg = t.bg)),
+greedy AS (
+  SELECT bg, CAST(SUM(g) AS BIGINT) AS greedy_count
+  FROM (SELECT bg, doc_id, isl,
+               CAST(FLOOR((COUNT(*) + 1) / 2.0) AS BIGINT) AS g
+        FROM isl GROUP BY 1, 2, 3)
+  GROUP BY 1)
+SELECT t.bg AS bigram, CAST(t.cb AS BIGINT) AS n_adjacent,
+       g.greedy_count AS n_greedy, CAST(t.n_docs AS BIGINT) AS n_docs,
+       ROUND(LN((CAST(t.cb AS DOUBLE) / nb.nb) /
+                ((CAST(u1.cu AS DOUBLE) / tot.nt) *
+                 (CAST(u2.cu AS DOUBLE) / tot.nt))), 6) AS pmi
+FROM top t
+JOIN uni u1 ON u1.tok = t.w1
+JOIN uni u2 ON u2.tok = t.w2
+JOIN greedy g ON g.bg = t.bg, tot, nb
+"""
+
+
+QUERIES.update({
+    "phrase_pmi_mining": (q_phrase_pmi_mining, ORACLE_PMI),
+})

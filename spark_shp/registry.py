@@ -115,6 +115,7 @@ _TAIL = [
     "geometric_median",       # fixed-iteration Weiszfeld 1-median (B)
     "fence_overlap_pairs",    # polygon-overlay candidates (B4/B7)
     "rect_union_area",        # Klee union-of-rectangles sweep (B4)
+    "phrase_pmi_mining",      # PMI collocations + greedy merges (text)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

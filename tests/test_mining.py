@@ -659,3 +659,40 @@ def test_rect_union_area_vs_inclusion_exclusion_and_sweep(spark):
                 cov += y1 - end; end = y1
         sweep += (xb - xa) * cov
     assert abs(ie - sweep) < 1e-9
+
+
+# --- PMI phrase mining ----------------------------------------------------------------
+
+def test_phrase_pmi_greedy_counts_match_sequential_scan(spark):
+    import math
+    from collections import Counter
+    from spark_shp.queries_mining import PMI_TOPK, q_phrase_pmi_mining
+    rows = q_phrase_pmi_mining(spark, SF).collect()
+    assert len(rows) == PMI_TOPK
+    docs = [r.text.split(" ") for r in
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .select("text").collect()]
+    cu, cb = Counter(), Counter()
+    for ts in docs:
+        cu.update(ts)
+        cb.update(zip(ts, ts[1:]))
+    nt, nb = sum(cu.values()), sum(cb.values())
+    top = sorted(cb.items(), key=lambda kv: (-kv[1], kv[0]))[:PMI_TOPK]
+    assert {r.bigram for r in rows} == {" ".join(k) for k, _ in top}
+    for r in rows:
+        a, b = r.bigram.split(" ")
+        assert r.n_adjacent == cb[(a, b)]
+        pmi = math.log((cb[(a, b)] / nb) / ((cu[a] / nt) * (cu[b] / nt)))
+        assert abs(r.pmi - pmi) < 1e-6
+        # greedy count by an actual left-to-right scan
+        g = 0
+        for ts in docs:
+            i = 0
+            while i < len(ts) - 1:
+                if ts[i] == a and ts[i + 1] == b:
+                    g += 1
+                    i += 2
+                else:
+                    i += 1
+        assert r.n_greedy == g
+        assert r.n_greedy <= r.n_adjacent
