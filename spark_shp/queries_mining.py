@@ -1,13 +1,23 @@
-"""Spatial-mining & curation operators, batch 7: per-group convex hulls,
-edit-distance near-duplicate verification, and trajectory densification.
+"""Spatial-mining, curation & analytics operators (round-3 batches 7+):
 
-All three are oracle-gated exact (DuckDB twins) and park in registry._TAIL —
-their operator families (B4-B6 geometry kernels, dedup candidate-verify,
-B5/C7 trajectory windows) keep in-window rows.
+geometry      — convex hulls, overlay candidate pairs, union-of-rectangles
+                sweep, geometric median (fixed-iteration Weiszfeld),
+                trajectory densify / simplify, BFS distance transform,
+                quadkey interop
+dedup/text    — banded Levenshtein verify, image phash dup clusters,
+                corpus-LM bigram scoring, PMI phrase mining with greedy
+                non-overlap merge counts
+sketch/graph  — deterministic Bloom runtime filter, count-min heavy
+                hitters, bounded k-core peel
+time series   — exact-integer TWAP, interval-union coverage, lead-lag
+                cross-correlation
+multimodal    — per-tile image mosaic checksums over real decoded bytes
 
-Reference parity: the upstream shapefile-js surface is geometry ingest
-(SURVEY.md §2.A [RECONSTRUCTED]); these extend the engine's §6
-training-data-pipeline family the brief requires on top of it.
+All oracle-gated exact (DuckDB twins) and parked in registry._TAIL — each
+operator family keeps an in-window row.  Reference parity: the upstream
+shapefile-js surface is geometry ingest (SURVEY.md §2.A [RECONSTRUCTED]);
+these extend the engine's §6 training-data-pipeline family the brief
+requires on top of it.
 """
 
 from __future__ import annotations
@@ -1527,4 +1537,80 @@ JOIN greedy g ON g.bg = t.bg, tot, nb
 
 QUERIES.update({
     "phrase_pmi_mining": (q_phrase_pmi_mining, ORACLE_PMI),
+})
+
+
+# --- event_lag_correlation: lead-lag cross-correlation of event streams ---------
+#
+# The signal-processing op of product analytics (does `view` activity lead
+# `purchase` activity, and by how many hours?): Pearson correlation between
+# the hourly count series of two event types at lags 0..MAX_LAG.  Counts
+# are exact int64, every moment (sums, cross-products) is an exact int64
+# aggregate, and the correlation composes them in ONE literal float
+# expression — bit-deterministic at any aggregation order, same rule as
+# spatial_autocorr.  Scale shape: one hour-keyed count agg, then a
+# MAX_LAG-way broadcast of the tiny series against itself (hour+lag
+# equi-join).
+
+LAG_MAX = 3
+LAG_A, LAG_B = "view", "purchase"
+
+
+def q_event_lag_correlation(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) "
+        "/ 3600000000.0) AS BIGINT) AS h")
+    cnt = (e.where(f"event_type IN ('{LAG_A}', '{LAG_B}')")
+           .groupBy("h", "event_type").agg(F.count(F.lit(1)).alias("c")))
+    a = cnt.where(f"event_type = '{LAG_A}'").selectExpr("h", "c AS ca")
+    b = cnt.where(f"event_type = '{LAG_B}'").selectExpr("h AS hb",
+                                                        "c AS cb")
+    lags = a.selectExpr("h", "ca",
+                        f"explode(sequence(0, {LAG_MAX})) AS lag")
+    j = lags.join(F.broadcast(b),
+                  F.expr("hb = h + lag")).drop("hb")
+    m = (j.groupBy("lag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("ca").alias("sx"), F.sum("cb").alias("sy"),
+              F.expr("SUM(ca * ca)").alias("sxx"),
+              F.expr("SUM(cb * cb)").alias("syy"),
+              F.expr("SUM(ca * cb)").alias("sxy")))
+    return m.selectExpr(
+        "CAST(lag AS BIGINT) AS lag", "CAST(n AS BIGINT) AS n_hours",
+        "CAST(sxy AS BIGINT) AS sxy",
+        "ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
+        "SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * "
+        "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) "
+        "AS pearson_r")
+
+
+ORACLE_LAG_CORR = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h
+  FROM events WHERE event_type IN ('{LAG_A}', '{LAG_B}')),
+cnt AS (SELECT h, event_type, COUNT(*) AS c FROM e GROUP BY 1, 2),
+a AS (SELECT h, c AS ca FROM cnt WHERE event_type = '{LAG_A}'),
+b AS (SELECT h AS hb, c AS cb FROM cnt WHERE event_type = '{LAG_B}'),
+j AS (
+  SELECT lag, a.ca, b.cb
+  FROM a, (SELECT UNNEST(GENERATE_SERIES(0, {LAG_MAX})) AS lag) l
+  JOIN b ON b.hb = a.h + lag),
+m AS (
+  SELECT lag, COUNT(*) AS n, SUM(ca) AS sx, SUM(cb) AS sy,
+         SUM(ca * ca) AS sxx, SUM(cb * cb) AS syy, SUM(ca * cb) AS sxy
+  FROM j GROUP BY 1)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_hours,
+       CAST(sxy AS BIGINT) AS sxy,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                  (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         AS pearson_r
+FROM m
+"""
+
+
+QUERIES.update({
+    "event_lag_correlation": (q_event_lag_correlation, ORACLE_LAG_CORR),
 })

@@ -116,6 +116,7 @@ _TAIL = [
     "fence_overlap_pairs",    # polygon-overlay candidates (B4/B7)
     "rect_union_area",        # Klee union-of-rectangles sweep (B4)
     "phrase_pmi_mining",      # PMI collocations + greedy merges (text)
+    "event_lag_correlation",  # lead-lag Pearson r from int moments (C6)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

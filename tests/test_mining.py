@@ -696,3 +696,32 @@ def test_phrase_pmi_greedy_counts_match_sequential_scan(spark):
                     i += 1
         assert r.n_greedy == g
         assert r.n_greedy <= r.n_adjacent
+
+
+# --- lead-lag correlation -------------------------------------------------------------
+
+def test_event_lag_correlation_matches_numpy_pearson(spark):
+    from spark_shp.queries_mining import (LAG_A, LAG_B, LAG_MAX,
+                                          q_event_lag_correlation)
+    got = {r.lag: r for r in q_event_lag_correlation(spark, SF).collect()}
+    assert set(got) == set(range(LAG_MAX + 1))
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_type",
+        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) "
+        "/ 3600000000.0) AS BIGINT) AS h").collect()
+    from collections import Counter
+    ca, cb = Counter(), Counter()
+    for r in ev:
+        if r.event_type == LAG_A:
+            ca[r.h] += 1
+        elif r.event_type == LAG_B:
+            cb[r.h] += 1
+    for lag in range(LAG_MAX + 1):
+        hs = [h for h in ca if (h + lag) in cb]
+        x = np.array([ca[h] for h in hs], dtype=float)
+        y = np.array([cb[h + lag] for h in hs], dtype=float)
+        r = got[lag]
+        assert r.n_hours == len(hs)
+        assert r.sxy == int((x * y).sum())
+        want = np.corrcoef(x, y)[0, 1]
+        assert abs(r.pearson_r - want) < 1e-6
