@@ -1614,3 +1614,113 @@ FROM m
 QUERIES.update({
     "event_lag_correlation": (q_event_lag_correlation, ORACLE_LAG_CORR),
 })
+
+
+# --- sequence_motifs: per-user event-type trigram mining -------------------------
+#
+# Sequence mining one step past markov_transitions' pairs: the most common
+# event-type TRIGRAMS across user timelines (the "view->click->purchase"
+# funnel motifs).  Two lag windows over the same user-keyed sort (one
+# exchange), exact integer counts, total-ordered top-K.
+
+MOTIF_TOPK = 15
+
+
+def q_sequence_motifs(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us")
+    w = "PARTITION BY user_id ORDER BY us, event_id"
+    tri = e.selectExpr(
+        "user_id", "event_type AS c",
+        f"LAG(event_type, 2) OVER ({w}) AS a",
+        f"LAG(event_type, 1) OVER ({w}) AS b").where("a IS NOT NULL")
+    return (tri.groupBy("a", "b", "c")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .orderBy(F.desc("n"), "a", "b", "c").limit(MOTIF_TOPK)
+            .selectExpr("a", "b", "c", "CAST(n AS BIGINT) AS n",
+                        "CAST(n_users AS BIGINT) AS n_users"))
+
+
+ORACLE_MOTIFS = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+tri AS (
+  SELECT user_id, event_type AS c,
+         LAG(event_type, 2) OVER w AS a, LAG(event_type, 1) OVER w AS b
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tri WHERE a IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY n DESC, a, b, c LIMIT {MOTIF_TOPK}
+"""
+
+
+# --- outlier_audit: Tukey-fence outlier detection per group ----------------------
+#
+# The data-QA staple: per order-priority group, quartiles of the price
+# distribution and the count of Tukey outliers (outside [Q1-1.5*IQR,
+# Q3+1.5*IQR]).  Quartile semantics differ subtly between engines'
+# percentile builtins, so the quartiles come from EXPLICIT ranks over
+# integer cents — Q1 = value at rank CEIL(n/4), Q3 at rank CEIL(3n/4),
+# deterministic and identical by construction; fences stay exact integers
+# (x4 scaling instead of the 1.5 float multiplier).
+
+def q_outlier_audit(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS grp", "o_orderkey",
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+    w = "PARTITION BY grp ORDER BY cents, o_orderkey"
+    r = o.selectExpr("grp", "cents", f"ROW_NUMBER() OVER ({w}) AS rk",
+                     f"COUNT(*) OVER (PARTITION BY grp) AS n")
+    q = (r.where("rk = CAST(CEIL(n / 4.0) AS BIGINT) "
+                 "OR rk = CAST(CEIL(3.0 * n / 4.0) AS BIGINT)")
+         .groupBy("grp").agg(F.min("cents").alias("q1"),
+                             F.max("cents").alias("q3")))
+    # fences scaled x4: lo = 4*q1*... keep integers: x outside iff
+    # 4x < 4q1 - 6(q3-q1) or 4x > 4q3 + 6(q3-q1)
+    j = o.join(F.broadcast(q), "grp")
+    return (j.groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("q1").alias("q1_cents"),
+                 F.max("q3").alias("q3_cents"),
+                 F.expr("SUM(CASE WHEN 4 * cents < 4 * q1 - 6 * (q3 - q1) "
+                        "OR 4 * cents > 4 * q3 + 6 * (q3 - q1) "
+                        "THEN 1 ELSE 0 END)").alias("n_outliers"))
+            .selectExpr("grp", "CAST(n_rows AS BIGINT) AS n_rows",
+                        "CAST(q1_cents AS BIGINT) AS q1_cents",
+                        "CAST(q3_cents AS BIGINT) AS q3_cents",
+                        "CAST(n_outliers AS BIGINT) AS n_outliers"))
+
+
+ORACLE_OUTLIERS = """
+WITH o AS (
+  SELECT o_orderpriority AS grp, o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+r AS (
+  SELECT grp, cents,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents, o_orderkey)
+           AS rk,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM o),
+q AS (
+  SELECT grp, MIN(cents) AS q1, MAX(cents) AS q3
+  FROM r WHERE rk = CAST(CEIL(n / 4.0) AS BIGINT)
+          OR rk = CAST(CEIL(3.0 * n / 4.0) AS BIGINT)
+  GROUP BY 1)
+SELECT o.grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(q.q1) AS BIGINT) AS q1_cents,
+       CAST(MAX(q.q3) AS BIGINT) AS q3_cents,
+       CAST(SUM(CASE WHEN 4 * cents < 4 * q.q1 - 6 * (q.q3 - q.q1)
+                OR 4 * cents > 4 * q.q3 + 6 * (q.q3 - q.q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM o JOIN q ON o.grp = q.grp GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "sequence_motifs": (q_sequence_motifs, ORACLE_MOTIFS),
+    "outlier_audit": (q_outlier_audit, ORACLE_OUTLIERS),
+})

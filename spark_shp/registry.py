@@ -117,6 +117,8 @@ _TAIL = [
     "rect_union_area",        # Klee union-of-rectangles sweep (B4)
     "phrase_pmi_mining",      # PMI collocations + greedy merges (text)
     "event_lag_correlation",  # lead-lag Pearson r from int moments (C6)
+    "sequence_motifs",        # event-type trigram mining (C7 family)
+    "outlier_audit",          # Tukey-fence outliers, exact ranks (C6)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -725,3 +725,51 @@ def test_event_lag_correlation_matches_numpy_pearson(spark):
         assert r.sxy == int((x * y).sum())
         want = np.corrcoef(x, y)[0, 1]
         assert abs(r.pearson_r - want) < 1e-6
+
+
+# --- motifs + outlier audit -----------------------------------------------------------
+
+def test_sequence_motifs_match_python_scan(spark):
+    from collections import Counter
+    from spark_shp.queries_mining import MOTIF_TOPK, q_sequence_motifs
+    rows = q_sequence_motifs(spark, SF).collect()
+    assert len(rows) == MOTIF_TOPK
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "user_id", "event_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us").collect()
+    per_user = {}
+    for r in ev:
+        per_user.setdefault(r.user_id, []).append(r)
+    cnt, users = Counter(), {}
+    for u, rs in per_user.items():
+        rs.sort(key=lambda r: (r.us, r.event_id))
+        ts = [r.event_type for r in rs]
+        for tri in zip(ts, ts[1:], ts[2:]):
+            cnt[tri] += 1
+            users.setdefault(tri, set()).add(u)
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:MOTIF_TOPK]
+    assert [((r.a, r.b, r.c), r.n) for r in rows] == top
+    for r in rows:
+        assert r.n_users == len(users[(r.a, r.b, r.c)])
+
+
+def test_outlier_audit_matches_numpy_tukey(spark):
+    import math
+    from spark_shp.queries_mining import q_outlier_audit
+    got = {r.grp: r for r in q_outlier_audit(spark, SF).collect()}
+    od = spark.read.parquet(f"{SF}/orders.parquet").selectExpr(
+        "o_orderpriority AS grp", "o_totalprice").collect()
+    by_g = {}
+    for r in od:
+        by_g.setdefault(r.grp, []).append(
+            math.floor(r.o_totalprice * 100 + 0.5))
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        q1 = vals[math.ceil(n / 4) - 1]
+        q3 = vals[math.ceil(3 * n / 4) - 1]
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        out = sum(1 for v in vals if v < lo or v > hi)
+        r = got[g]
+        assert (r.n_rows, r.q1_cents, r.q3_cents, r.n_outliers) == \
+            (n, q1, q3, out)
