@@ -1016,21 +1016,24 @@ def q_trajectory_simplify(spark, sf_dir):
         "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us",
         f"({ix}) * {n} + ({iy}) AS cell")
     w = "PARTITION BY user_id ORDER BY us, event_id"
+    # n_points rides the SAME user-keyed exchange as the lag window — a
+    # separate groupBy branch would re-scan events and add a second
+    # shuffle + join (measured: 2 exchanges -> 1 after this fold)
     kept = e.selectExpr(
         "user_id", "us", "event_id", "cell",
-        f"LAG(cell) OVER ({w}) AS prev_cell").selectExpr(
-        "user_id", "us", "event_id", "cell",
+        f"LAG(cell) OVER ({w}) AS prev_cell",
+        "COUNT(*) OVER (PARTITION BY user_id) AS n_points").selectExpr(
+        "user_id", "us", "event_id", "cell", "n_points",
         "CASE WHEN prev_cell IS NULL OR cell <> prev_cell THEN 1 ELSE 0 "
         "END AS keep")
     seqd = kept.where("keep = 1").selectExpr(
-        "user_id", "cell",
+        "user_id", "cell", "n_points",
         f"ROW_NUMBER() OVER ({w}) AS seq")
-    tot = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_points"))
-    agg = (seqd.groupBy("user_id")
-           .agg(F.count(F.lit(1)).alias("n_kept"),
-                F.expr("SUM(cell * (seq % 97))").alias("path_checksum"),
-                F.max("seq").alias("max_seq")))
-    return (tot.join(agg, "user_id")
+    return (seqd.groupBy("user_id")
+            .agg(F.max("n_points").alias("n_points"),
+                 F.count(F.lit(1)).alias("n_kept"),
+                 F.expr("SUM(cell * (seq % 97))").alias("path_checksum"),
+                 F.max("seq").alias("max_seq"))
             .selectExpr("user_id", "CAST(n_points AS BIGINT) AS n_points",
                         "CAST(n_kept AS BIGINT) AS n_kept",
                         "CAST(max_seq AS BIGINT) AS max_seq",

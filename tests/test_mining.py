@@ -773,3 +773,30 @@ def test_outlier_audit_matches_numpy_tukey(spark):
         r = got[g]
         assert (r.n_rows, r.q1_cents, r.q3_cents, r.n_outliers) == \
             (n, q1, q3, out)
+
+
+# --- physical-plan pins for the scale claims ---------------------------------------
+
+def test_plan_shapes_of_mining_ops(spark):
+    """Pins for the shuffle-count claims in the docstrings: simplification
+    reuses ONE user-keyed exchange across both windows, the agg, and the
+    join; interval merge is one customer-keyed pass; TWAP is the user
+    window plus the bucket agg (two); the trigram miner shares one
+    user-keyed exchange before the motif agg + top-k. All JVM-only (no
+    Python eval nodes)."""
+    from spark_shp.queries_mining import (q_interval_coverage,
+                                          q_sequence_motifs,
+                                          q_trajectory_simplify,
+                                          q_twap_values)
+
+    def shape(df):
+        plan = df._jdf.queryExecution().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        physical = df._jdf.queryExecution().executedPlan().toString()
+        return physical.count("Exchange hashpartitioning")
+
+    assert shape(q_trajectory_simplify(spark, SF)) == 1
+    assert shape(q_interval_coverage(spark, SF)) == 1
+    assert shape(q_twap_values(spark, SF)) == 2
+    assert shape(q_sequence_motifs(spark, SF)) <= 3  # window + agg + topk
