@@ -1763,3 +1763,121 @@ QUERIES.update({
     "sequence_motifs": (q_sequence_motifs, ORACLE_MOTIFS),
     "outlier_audit": (q_outlier_audit, ORACLE_OUTLIERS),
 })
+
+
+# --- knox_spacetime: space-time interaction test ---------------------------------
+#
+# The Knox statistic (epidemiology / crime analytics): do events cluster
+# in space AND time together, beyond what their separate space and time
+# clusterings imply?  Observed = pairs close in both; expected under
+# independence = n_space * n_time / n_pairs; ratio > 1 = interaction.
+# All three pair counts come from BUCKETED equi-joins (cell ring for
+# space, bucket ring for time — bucket width >= threshold, so a 3-ring
+# provably contains every qualifying pair); counts are exact int64 and
+# the ratio is one literal float expression.  pytest brute-forces all
+# pairs at sf0.001 to prove the bucket joins lossless.
+
+KNOX_TYPE = "purchase"
+KNOX_DEG = 2.0                  # Chebyshev degrees
+KNOX_US = 6 * 3600 * 1000000    # 6 hours
+KNOX_CELL = 6                   # lon 5.6deg / lat 2.66deg >= threshold
+KNOX_TBUCKET = KNOX_US          # bucket width == threshold
+
+
+def q_knox_spacetime(spark, sf_dir):
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, KNOX_CELL)
+    e = (_t(spark, sf_dir, "events")
+         .where(f"event_type = '{KNOX_TYPE}'")
+         .selectExpr("event_id",
+                     f"{fixtures.EVENT_LON_SQL} AS lon",
+                     f"{fixtures.EVENT_LAT_SQL} AS lat",
+                     "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us",
+                     f"{ix} AS cx", f"{iy} AS cy",
+                     f"CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) "
+                     f"/ {float(KNOX_TBUCKET)!r}) AS BIGINT) AS tb")
+         .localCheckpoint())
+
+    sp = (f"ABS(a_lon - lon) <= {KNOX_DEG!r} AND "
+          f"ABS(a_lat - lat) <= {KNOX_DEG!r}")
+    tm = f"ABS(a_us - us) <= {KNOX_US}"
+
+    # space key: 3x3 cell ring via two explodes; time rides as predicate
+    a = e.selectExpr("event_id AS a_id", "lon AS a_lon", "lat AS a_lat",
+                     "us AS a_us", "explode(sequence(cx - 1, cx + 1)) AS jx",
+                     "cy AS acy")
+    a = a.selectExpr("a_id", "a_lon", "a_lat", "a_us", "jx",
+                     "explode(sequence(acy - 1, acy + 1)) AS jy")
+    b = e.selectExpr("event_id", "lon", "lat", "us", "cx AS jx", "cy AS jy")
+    sp_pairs = (a.join(b, ["jx", "jy"])
+                .where(f"a_id < event_id AND {sp}")
+                .select("a_id", "event_id", "a_us", "us").distinct())
+    n_s = sp_pairs.groupBy().agg(F.count(F.lit(1)).alias("n_space"))
+    n_st = (sp_pairs.where(tm)
+            .groupBy().agg(F.count(F.lit(1)).alias("n_both")))
+    # time pairs: +-1 time-bucket ring
+    ta = e.selectExpr("event_id AS a_id", "us AS a_us",
+                      "explode(sequence(tb - 1, tb + 1)) AS jt")
+    tb_ = e.selectExpr("event_id", "us", "tb AS jt")
+    n_t = (ta.join(tb_, "jt").where(f"a_id < event_id AND {tm}")
+           .select("a_id", "event_id").distinct()
+           .groupBy().agg(F.count(F.lit(1)).alias("n_time")))
+    n = e.groupBy().agg(F.count(F.lit(1)).alias("n_events"))
+    return (n.crossJoin(n_s).crossJoin(n_t).crossJoin(n_st)
+            .selectExpr(
+                "CAST(n_events AS BIGINT) AS n_events",
+                "CAST(n_space AS BIGINT) AS n_space",
+                "CAST(n_time AS BIGINT) AS n_time",
+                "CAST(n_both AS BIGINT) AS n_both",
+                "ROUND(CAST(n_both AS DOUBLE) / "
+                "((CAST(n_space AS DOUBLE) * n_time) / "
+                "(CAST(n_events AS DOUBLE) * (n_events - 1) / 2.0)), 6) "
+                "AS knox_ratio"))
+
+
+def _oracle_knox() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, KNOX_CELL)
+    return f"""
+WITH e AS (
+  SELECT event_id, {fixtures.EVENT_LON_SQL} AS lon,
+         {fixtures.EVENT_LAT_SQL} AS lat, epoch_us(ts) AS us,
+         {ix} AS cx, {iy} AS cy,
+         CAST(FLOOR(epoch_us(ts) / {float(KNOX_TBUCKET)!r}) AS BIGINT) AS tb
+  FROM events WHERE event_type = '{KNOX_TYPE}'),
+sp AS (
+  SELECT DISTINCT a.event_id AS a_id, b.event_id AS b_id,
+         a.us AS a_us, b.us AS b_us
+  FROM (SELECT e.*, cx + dx.d AS jx, cy + dy.d AS jy
+        FROM e, (SELECT UNNEST([-1, 0, 1]) AS d) dx,
+                (SELECT UNNEST([-1, 0, 1]) AS d) dy) a
+  JOIN e b ON b.cx = a.jx AND b.cy = a.jy AND a.event_id < b.event_id
+  WHERE ABS(a.lon - b.lon) <= {KNOX_DEG!r}
+    AND ABS(a.lat - b.lat) <= {KNOX_DEG!r}),
+tp AS (
+  SELECT DISTINCT a.event_id AS a_id, b.event_id AS b_id
+  FROM (SELECT e.*, tb + dt.d AS jt
+        FROM e, (SELECT UNNEST([-1, 0, 1]) AS d) dt) a
+  JOIN e b ON b.tb = a.jt AND a.event_id < b.event_id
+  WHERE ABS(a.us - b.us) <= {KNOX_US}),
+c AS (
+  SELECT (SELECT COUNT(*) FROM e) AS n_events,
+         (SELECT COUNT(*) FROM sp) AS n_space,
+         (SELECT COUNT(*) FROM tp) AS n_time,
+         (SELECT COUNT(*) FROM sp
+          WHERE ABS(a_us - b_us) <= {KNOX_US}) AS n_both)
+SELECT CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_space AS BIGINT) AS n_space,
+       CAST(n_time AS BIGINT) AS n_time,
+       CAST(n_both AS BIGINT) AS n_both,
+       ROUND(CAST(n_both AS DOUBLE) /
+             ((CAST(n_space AS DOUBLE) * n_time) /
+              (CAST(n_events AS DOUBLE) * (n_events - 1) / 2.0)), 6)
+         AS knox_ratio
+FROM c
+"""
+
+
+QUERIES.update({
+    "knox_spacetime": (q_knox_spacetime, _oracle_knox()),
+})

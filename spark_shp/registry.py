@@ -119,6 +119,7 @@ _TAIL = [
     "event_lag_correlation",  # lead-lag Pearson r from int moments (C6)
     "sequence_motifs",        # event-type trigram mining (C7 family)
     "outlier_audit",          # Tukey-fence outliers, exact ranks (C6)
+    "knox_spacetime",         # Knox space-time interaction test (B/C6)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

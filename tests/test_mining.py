@@ -800,3 +800,32 @@ def test_plan_shapes_of_mining_ops(spark):
     assert shape(q_interval_coverage(spark, SF)) == 1
     assert shape(q_twap_values(spark, SF)) == 2
     assert shape(q_sequence_motifs(spark, SF)) <= 3  # window + agg + topk
+
+
+# --- Knox space-time interaction --------------------------------------------------------
+
+def test_knox_bucket_joins_are_lossless_vs_all_pairs(spark):
+    from spark_shp.queries_mining import (KNOX_DEG, KNOX_TYPE, KNOX_US,
+                                          q_knox_spacetime)
+    from spark_shp import fixtures as FX
+    row = q_knox_spacetime(spark, SF).collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").where(
+        f"event_type = '{KNOX_TYPE}'").selectExpr(
+        "event_id", f"{FX.EVENT_LON_SQL} AS lon",
+        f"{FX.EVENT_LAT_SQL} AS lat",
+        "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us").collect()
+    pts = [(r.lon, r.lat, r.us) for r in ev]
+    n = len(pts)
+    n_s = n_t = n_b = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (abs(pts[i][0] - pts[j][0]) <= KNOX_DEG
+                 and abs(pts[i][1] - pts[j][1]) <= KNOX_DEG)
+            t = abs(pts[i][2] - pts[j][2]) <= KNOX_US
+            n_s += s
+            n_t += t
+            n_b += s and t
+    assert (row.n_events, row.n_space, row.n_time, row.n_both) == \
+        (n, n_s, n_t, n_b)
+    expected = (n_s * n_t) / (n * (n - 1) / 2)
+    assert abs(row.knox_ratio - n_b / expected) < 1e-6
