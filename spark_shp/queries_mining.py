@@ -1881,3 +1881,134 @@ FROM c
 QUERIES.update({
     "knox_spacetime": (q_knox_spacetime, _oracle_knox()),
 })
+
+
+# --- trend_regression: per-group OLS from exact integer moments ------------------
+#
+# Closed-form least squares of hourly activity value against time, per
+# event type — the trend-detection primitive (is purchase value drifting
+# up?).  x = hour index (int), y = summed cents (int): every moment
+# (n, Sx, Sy, Sxx, Sxy, Syy) is an exact int64 aggregate; slope,
+# intercept and R^2 compose them in literal float expressions — the
+# spatial_autocorr determinism rule.  One hour-keyed count agg + one tiny
+# group agg.
+
+
+def q_trend_regression(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "event_type AS g",
+        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) "
+        "/ 3600000000.0) AS BIGINT) AS h",
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc")
+    hourly = (e.groupBy("g", "h").agg(F.sum("vc").alias("y"))
+              .selectExpr("g", "h", "y"))
+    base = hourly.groupBy("g").agg(F.min("h").alias("h0"))
+    m = (hourly.join(F.broadcast(base), "g")
+         .selectExpr("g", "h - h0 AS x", "y")
+         .groupBy("g")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.expr("SUM(x * x)").alias("sxx"),
+              F.expr("SUM(x * y)").alias("sxy"),
+              F.expr("SUM(y * y)").alias("syy")))
+    return m.selectExpr(
+        "g", "CAST(n AS BIGINT) AS n_hours",
+        "ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
+        "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) "
+        "AS slope_cents_per_hour",
+        "ROUND((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - "
+        "CAST(sx AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * sxx - "
+        "CAST(sx AS DOUBLE) * sx)) * sx) / n, 6) AS intercept_cents",
+        "ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * "
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) / "
+        "((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * "
+        "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) "
+        "AS r_squared")
+
+
+ORACLE_TREND = """
+WITH e AS (
+  SELECT event_type AS g,
+         CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events),
+hourly AS (SELECT g, h, SUM(vc) AS y FROM e GROUP BY 1, 2),
+base AS (SELECT g, MIN(h) AS h0 FROM hourly GROUP BY 1),
+m AS (
+  SELECT hourly.g, COUNT(*) AS n, SUM(h - h0) AS sx, SUM(y) AS sy,
+         SUM((h - h0) * (h - h0)) AS sxx, SUM((h - h0) * y) AS sxy,
+         SUM(y * y) AS syy
+  FROM hourly JOIN base ON hourly.g = base.g GROUP BY 1)
+SELECT g, CAST(n AS BIGINT) AS n_hours,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+         AS slope_cents_per_hour,
+       ROUND((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy -
+             CAST(sx AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * sxx -
+             CAST(sx AS DOUBLE) * sx)) * sx) / n, 6) AS intercept_cents,
+       ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) *
+              (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) /
+             ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+              (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         AS r_squared
+FROM m
+"""
+
+
+# --- gini_concentration: inequality / skew audit ----------------------------------
+#
+# The workload-skew and contribution-inequality metric (what share of
+# events do the heaviest users generate?): Gini coefficient of per-user
+# event counts, G = (2 * SUM(i * x_i)) / (n * SUM(x)) - (n + 1) / n over
+# counts sorted ascending.  The rank window runs over the per-user
+# AGGREGATE (never the fact table), rank ties break on user_id so the
+# i*x_i sum is identical on any engine, and every aggregate is exact
+# int64 — G is one literal float expression.  Top-decile share rides the
+# same aggregate.
+
+
+def q_gini_concentration(spark, sf_dir):
+    per_user = (_t(spark, sf_dir, "events")
+                .groupBy("user_id").agg(F.count(F.lit(1)).alias("x")))
+    r = per_user.selectExpr(
+        "user_id", "x",
+        "ROW_NUMBER() OVER (ORDER BY x, user_id) AS i",
+        "COUNT(*) OVER () AS n")
+    m = r.groupBy().agg(
+        F.max("n").alias("n"),
+        F.sum("x").alias("sx"),
+        F.expr("SUM(i * x)").alias("six"),
+        F.expr("SUM(CASE WHEN i > n - CAST(FLOOR(n / 10.0) AS BIGINT) "
+               "THEN x ELSE 0 END)").alias("top_decile"))
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_users",
+        "CAST(sx AS BIGINT) AS n_events",
+        "ROUND((2.0 * six) / (CAST(n AS DOUBLE) * sx) - "
+        "(CAST(n AS DOUBLE) + 1.0) / n, 6) AS gini",
+        "ROUND(CAST(top_decile AS DOUBLE) / sx, 6) AS top_decile_share")
+
+
+ORACLE_GINI = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1),
+r AS (
+  SELECT user_id, x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i,
+         COUNT(*) OVER () AS n
+  FROM per_user),
+m AS (
+  SELECT MAX(n) AS n, SUM(x) AS sx, SUM(i * x) AS six,
+         SUM(CASE WHEN i > n - CAST(FLOOR(n / 10.0) AS BIGINT)
+             THEN x ELSE 0 END) AS top_decile
+  FROM r)
+SELECT CAST(n AS BIGINT) AS n_users, CAST(sx AS BIGINT) AS n_events,
+       ROUND((2.0 * six) / (CAST(n AS DOUBLE) * sx) -
+             (CAST(n AS DOUBLE) + 1.0) / n, 6) AS gini,
+       ROUND(CAST(top_decile AS DOUBLE) / sx, 6) AS top_decile_share
+FROM m
+"""
+
+
+QUERIES.update({
+    "trend_regression": (q_trend_regression, ORACLE_TREND),
+    "gini_concentration": (q_gini_concentration, ORACLE_GINI),
+})

@@ -120,6 +120,8 @@ _TAIL = [
     "sequence_motifs",        # event-type trigram mining (C7 family)
     "outlier_audit",          # Tukey-fence outliers, exact ranks (C6)
     "knox_spacetime",         # Knox space-time interaction test (B/C6)
+    "trend_regression",       # per-group OLS from int moments (C6)
+    "gini_concentration",     # Gini skew/inequality audit (C6)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -829,3 +829,47 @@ def test_knox_bucket_joins_are_lossless_vs_all_pairs(spark):
         (n, n_s, n_t, n_b)
     expected = (n_s * n_t) / (n * (n - 1) / 2)
     assert abs(row.knox_ratio - n_b / expected) < 1e-6
+
+
+# --- OLS trend + Gini ---------------------------------------------------------------------
+
+def test_trend_regression_matches_numpy_polyfit(spark):
+    from spark_shp.queries_mining import q_trend_regression
+    got = {r.g: r for r in q_trend_regression(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_type AS g",
+        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) "
+        "/ 3600000000.0) AS BIGINT) AS h",
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc").collect()
+    from collections import defaultdict
+    hourly = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        hourly[r.g][r.h] += r.vc
+    for g, hs in hourly.items():
+        h0 = min(hs)
+        x = np.array([h - h0 for h in sorted(hs)], dtype=float)
+        y = np.array([hs[h] for h in sorted(hs)], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        r2 = np.corrcoef(x, y)[0, 1] ** 2
+        r = got[g]
+        assert r.n_hours == len(x)
+        assert abs(r.slope_cents_per_hour - slope) < 1e-4
+        assert abs(r.intercept_cents - intercept) < 1e-2
+        assert abs(r.r_squared - r2) < 1e-6
+
+
+def test_gini_matches_textbook_formula_and_bounds(spark):
+    from spark_shp.queries_mining import q_gini_concentration
+    row = q_gini_concentration(spark, SF).collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").groupBy(
+        "user_id").count().collect()
+    xs = sorted(r["count"] for r in ev)
+    n, sx = len(xs), sum(xs)
+    gini = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * sx) \
+        - (n + 1) / n
+    assert row.n_users == n and row.n_events == sx
+    assert abs(row.gini - gini) < 1e-6
+    assert 0.0 <= row.gini < 1.0
+    td = sum(xs[n - n // 10:])
+    assert abs(row.top_decile_share - td / sx) < 1e-6
+    assert row.top_decile_share >= (n // 10) / n * 0.5  # sanity
