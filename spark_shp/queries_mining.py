@@ -2012,3 +2012,82 @@ QUERIES.update({
     "trend_regression": (q_trend_regression, ORACLE_TREND),
     "gini_concentration": (q_gini_concentration, ORACLE_GINI),
 })
+
+
+# --- changepoint_detect: exact-integer CUSUM change-point ------------------------
+#
+# Change detection over each event type's hourly count series: the
+# classic CUSUM statistic max_k |S_k - k*Sn/n| located WITHOUT any float —
+# scaling by n gives |n*S_k - k*Sn|, an exact int64, so the argmax hour
+# and the statistic are bit-deterministic (ties break on the earlier
+# hour).  One hour-keyed count agg + one group-keyed running-sum window
+# over the TINY hourly aggregate; the normalized score is one literal
+# float division at the end.
+
+
+def q_changepoint_detect(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "event_type AS g",
+        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) "
+        "/ 3600000000.0) AS BIGINT) AS h")
+    hourly = e.groupBy("g", "h").agg(F.count(F.lit(1)).alias("c"))
+    w = "PARTITION BY g ORDER BY h"
+    run = hourly.selectExpr(
+        "g", "h", "c",
+        f"SUM(c) OVER ({w} ROWS UNBOUNDED PRECEDING) AS sk",
+        f"ROW_NUMBER() OVER ({w}) AS k",
+        "SUM(c) OVER (PARTITION BY g) AS sn",
+        "COUNT(*) OVER (PARTITION BY g) AS n")
+    # tiebreak (max d, then EARLIER hour) packed into ONE int64 key:
+    # d * 2^20 - h is unique per group (h < 2^20 hours since epoch) and
+    # both engines' max_by take a plain integer ordering value — DuckDB
+    # rejects struct keys and widens the n*sk product to HUGEINT, so d is
+    # explicitly cast back (products bounded ~1e9 here; DECIMAL at 1e12)
+    dev = run.selectExpr("g", "h", "k", "n", "sn",
+                         "CAST(ABS(n * sk - k * sn) AS BIGINT) AS d")
+    best = (dev.groupBy("g")
+            .agg(F.expr("MAX_BY(h, d * 1048576 - h)").alias("change_hour"),
+                 F.max("d").alias("d"),
+                 F.max("n").alias("n_hours"), F.max("sn").alias("n_events")))
+    return best.selectExpr(
+        "g", "CAST(change_hour AS BIGINT) AS change_hour",
+        "CAST(d AS BIGINT) AS cusum_scaled",
+        "CAST(n_hours AS BIGINT) AS n_hours",
+        "CAST(n_events AS BIGINT) AS n_events",
+        "ROUND(CAST(d AS DOUBLE) / (CAST(n_hours AS DOUBLE) * n_events), "
+        "6) AS cusum_norm")
+
+
+ORACLE_CHANGEPOINT = """
+WITH e AS (
+  SELECT event_type AS g,
+         CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h
+  FROM events),
+hourly AS (SELECT g, h, COUNT(*) AS c FROM e GROUP BY 1, 2),
+run AS (
+  SELECT g, h, c,
+         SUM(c) OVER (PARTITION BY g ORDER BY h
+                      ROWS UNBOUNDED PRECEDING) AS sk,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS k,
+         SUM(c) OVER (PARTITION BY g) AS sn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM hourly),
+dev AS (SELECT g, h, k, n, sn,
+               CAST(ABS(n * sk - k * sn) AS BIGINT) AS d FROM run),
+best AS (
+  SELECT g, MAX_BY(h, d * 1048576 - h) AS change_hour, MAX(d) AS d,
+         MAX(n) AS n_hours, MAX(sn) AS n_events
+  FROM dev GROUP BY 1)
+SELECT g, CAST(change_hour AS BIGINT) AS change_hour,
+       CAST(d AS BIGINT) AS cusum_scaled,
+       CAST(n_hours AS BIGINT) AS n_hours,
+       CAST(n_events AS BIGINT) AS n_events,
+       ROUND(CAST(d AS DOUBLE) / (CAST(n_hours AS DOUBLE) * n_events), 6)
+         AS cusum_norm
+FROM best
+"""
+
+
+QUERIES.update({
+    "changepoint_detect": (q_changepoint_detect, ORACLE_CHANGEPOINT),
+})

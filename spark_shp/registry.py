@@ -122,6 +122,7 @@ _TAIL = [
     "knox_spacetime",         # Knox space-time interaction test (B/C6)
     "trend_regression",       # per-group OLS from int moments (C6)
     "gini_concentration",     # Gini skew/inequality audit (C6)
+    "changepoint_detect",     # exact-integer CUSUM change-point (C6)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

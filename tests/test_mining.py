@@ -873,3 +873,32 @@ def test_gini_matches_textbook_formula_and_bounds(spark):
     td = sum(xs[n - n // 10:])
     assert abs(row.top_decile_share - td / sx) < 1e-6
     assert row.top_decile_share >= (n // 10) / n * 0.5  # sanity
+
+
+# --- CUSUM change-point ----------------------------------------------------------------
+
+def test_changepoint_matches_sequential_cusum(spark):
+    from collections import defaultdict
+    from spark_shp.queries_mining import q_changepoint_detect
+    got = {r.g: r for r in q_changepoint_detect(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_type AS g",
+        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) "
+        "/ 3600000000.0) AS BIGINT) AS h").collect()
+    hourly = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        hourly[r.g][r.h] += 1
+    for g, hs in hourly.items():
+        hours = sorted(hs)
+        n, sn = len(hours), sum(hs.values())
+        sk, best = 0, None
+        for k, h in enumerate(hours, 1):
+            sk += hs[h]
+            d = abs(n * sk - k * sn)
+            if best is None or d > best[0] or (d == best[0]
+                                               and h < best[1]):
+                best = (d, h)
+        r = got[g]
+        assert (r.cusum_scaled, r.change_hour) == best
+        assert (r.n_hours, r.n_events) == (n, sn)
+        assert abs(r.cusum_norm - best[0] / (n * sn)) < 1e-6
