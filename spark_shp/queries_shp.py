@@ -1532,8 +1532,111 @@ FROM sel
 ORACLE_SHP_KROVAK = _oracle_krovak_sql()
 
 
+N_CAS = 40
+_CAS_WKT = (
+    'PROJCS["Cassini_Test_Grid",GEOGCS["GCS_Bessel",'
+    'DATUM["D_Bessel",SPHEROID["Bessel_1841",6377397.155,299.1528128]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Cassini"],'
+    'PARAMETER["False_Easting",50000.0],'
+    'PARAMETER["False_Northing",100000.0],'
+    'PARAMETER["Central_Meridian",10.0],'
+    'PARAMETER["Latitude_Of_Origin",50.0],UNIT["Meter",1.0]]')
+_CAS_PARAMS = (6377397.155, 299.1528128, 10.0, 50.0, 50000.0, 100000.0)
+
+
+def q_shp_cassini_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 Cassini-Soldner (EPSG method 9806 — Trinidad/Cyprus/Palestine
+    cadastral grids): Point shapefile in Cassini meters -> engine inverse
+    (parser.make_inv_cassini: TM rectifying-latitude machinery + the short
+    Cassini D-series; sub-mm truncation in the +-150 km band the
+    projection is used in). The oracle unrolls the identical float64 op
+    sequence in DuckDB from the same tmerc_constants(); 9-decimal
+    rounding policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_CAS, dtype=np.int64)
+    xm = -100000.0 + u01(i * 83 + 3) * 300000.0   # +-150 km of the CM (+FE)
+    ym = -50000.0 + u01(i * 83 + 4) * 350000.0
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_CAS_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_cassini_sql() -> str:
+    """Cassini-Soldner inverse as DuckDB SQL, op-for-op the numpy kernel
+    (same tmerc_constants float64 values, k0 = 1)."""
+    from .shp.parser import tmerc_constants
+    c = {k: f"CAST({v!r} AS DOUBLE)" for k, v in tmerc_constants(
+        _CAS_PARAMS[0], _CAS_PARAMS[1], _CAS_PARAMS[2], _CAS_PARAMS[3],
+        1.0, _CAS_PARAMS[4], _CAS_PARAMS[5]).items()}
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         -100000.0 + {u01_sql('i * 83 + 3')} * 300000.0 AS x,
+         -50000.0 + {u01_sql('i * 83 + 4')} * 350000.0 AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_CAS - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no, x - {c['fe']} AS xx,
+         ({c['m0']} + (y - {c['fn']})) / ({c['a']} * {c['m_coef']}) AS mu
+  FROM src),
+s2 AS (
+  SELECT rec_no, xx,
+         mu + {c['mu2']} * SIN(2.0 * mu) + {c['mu4']} * SIN(4.0 * mu)
+            + {c['mu6']} * SIN(6.0 * mu) + {c['mu8']} * SIN(8.0 * mu) AS phi1
+  FROM s1),
+s3 AS (
+  SELECT rec_no, xx, phi1, SIN(phi1) AS sin1, COS(phi1) AS cos1,
+         TAN(phi1) AS tan1
+  FROM s2),
+s4 AS (
+  SELECT rec_no, xx, phi1, cos1, tan1, tan1 * tan1 AS t1,
+         1.0 - {c['e2']} * sin1 * sin1 AS w
+  FROM s3),
+s5 AS (
+  SELECT rec_no, xx, phi1, cos1, tan1, t1,
+         {c['a']} / SQRT(w) AS n1,
+         {c['a']} * (1.0 - {c['e2']}) / (w * SQRT(w)) AS r1
+  FROM s4),
+s6 AS (
+  SELECT rec_no, phi1, cos1, tan1, t1, n1, r1, xx / n1 AS d,
+         (xx / n1) * (xx / n1) AS d2
+  FROM s5)
+SELECT rec_no,
+       ROUND(DEGREES({c['lam0']} + (d - t1 * d2 * d / 3.0
+                 + (1.0 + 3.0 * t1) * t1 * d2 * d2 * d / 15.0) / cos1), 9)
+         AS lon,
+       ROUND(DEGREES(phi1 - (n1 * tan1 / r1) * (d2 / 2.0
+                 - (1.0 + 3.0 * t1) * d2 * d2 / 24.0)), 9) AS lat
+FROM s6
+"""
+
+
+ORACLE_SHP_CASSINI = _oracle_cassini_sql()
+
+
 def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 — ALL twelve supported .prj projection families under ONE gated
+    """A12 — ALL thirteen supported .prj projection families under ONE gated
     row (the shp_zm_semantics consolidation pattern applied to CRS): each
     family decodes its own Point shapefile + WKT through the engine's
     inverse kernel, tagged with a family id, unioned. Driver-gates the
@@ -1549,7 +1652,8 @@ def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_shp_stereo_reproject, q_shp_laea_reproject,
             q_shp_merc3395_reproject, q_shp_sinusoidal_reproject,
             q_shp_mollweide_reproject, q_shp_oblique_stereo_reproject,
-            q_shp_hom_reproject, q_shp_krovak_reproject]
+            q_shp_hom_reproject, q_shp_krovak_reproject,
+            q_shp_cassini_reproject]
     out = None
     for fam_id, fn in enumerate(fams):
         d = fn(spark, sf_dir).select(
@@ -1564,7 +1668,8 @@ ORACLE_REPROJECT_FAMILIES = "\nUNION ALL\n".join(
         ORACLE_SHP_WEBMERC, ORACLE_SHP_UTM, ORACLE_SHP_LCC,
         ORACLE_SHP_ALBERS, ORACLE_SHP_STEREO, ORACLE_SHP_LAEA,
         ORACLE_SHP_MERC3395, ORACLE_SHP_SINUSOIDAL, ORACLE_SHP_MOLLWEIDE,
-        ORACLE_SHP_OBLIQUE_STEREO, ORACLE_SHP_HOM, ORACLE_SHP_KROVAK]))
+        ORACLE_SHP_OBLIQUE_STEREO, ORACLE_SHP_HOM, ORACLE_SHP_KROVAK,
+        ORACLE_SHP_CASSINI]))
 
 
 def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1942,6 +2047,8 @@ QUERIES: dict = {
     "shp_mollweide_reproject": (q_shp_mollweide_reproject,
                                 ORACLE_SHP_MOLLWEIDE),
     "shp_krovak_reproject": (q_shp_krovak_reproject, ORACLE_SHP_KROVAK),
+    "shp_cassini_reproject": (q_shp_cassini_reproject,
+                              ORACLE_SHP_CASSINI),
     "shp_oblique_stereo_reproject": (q_shp_oblique_stereo_reproject,
                                      ORACLE_SHP_OBLIQUE_STEREO),
     "shp_hom_reproject": (q_shp_hom_reproject, ORACLE_SHP_HOM),

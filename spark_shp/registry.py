@@ -45,6 +45,7 @@ _TAIL = [
     "shp_oblique_stereo_reproject",  # A12 (same family)
     "shp_hom_reproject",      # A12 (same family — Hotine Oblique Mercator)
     "shp_krovak_reproject",   # A12 (same family — Krovak S-JTSK)
+    "shp_cassini_reproject",  # A12 (same family — Cassini-Soldner)
     "images_phash_near_dup",  # dedup family via minhash_lsh_pairs/simhash
     "shp_zip_bundle",         # A16-A18/A20 zip demux e2e (pytest in-window
                               # coverage via shp fixtures; exact diffcheck)

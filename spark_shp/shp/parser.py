@@ -1021,6 +1021,44 @@ def hom_forward(a: float, inv_f: float, lonc_deg: float, lat0_deg: float,
     return fwd
 
 
+def make_inv_cassini(a: float, inv_f: float, lon0_deg: float,
+                     lat0_deg: float, fe: float = 0.0, fn: float = 0.0):
+    """Cassini-Soldner inverse (EPSG method 9806 — the old cadastral
+    grids: Trinidad, Cyprus, Palestine, historic German/Danish surveys):
+    Snyder 1987 eq. 8-32..8-34 reverse. Reuses the Transverse-Mercator
+    rectifying-latitude machinery (tmerc_constants with k0=1): M1 = M0 +
+    northing directly, footpoint latitude via the eq. 3-26 series, then
+    the short Cassini D-series (T1-only coefficients — the projection is
+    only used near its central meridian, where the truncation is sub-mm).
+    Returns a vectorized (n,2) meters -> (n,2) lon/lat degrees fn."""
+    c = tmerc_constants(a, inv_f, lon0_deg, lat0_deg, 1.0, fe, fn)
+    e2, m_coef, m0, lam0 = c["e2"], c["m_coef"], c["m0"], c["lam0"]
+    mu2, mu4, mu6, mu8 = c["mu2"], c["mu4"], c["mu6"], c["mu8"]
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        x = pts[:, 0] - fe
+        y = pts[:, 1] - fn
+        mu = (m0 + y) / (a * m_coef)
+        phi1 = (mu + mu2 * np.sin(2.0 * mu) + mu4 * np.sin(4.0 * mu)
+                + mu6 * np.sin(6.0 * mu) + mu8 * np.sin(8.0 * mu))
+        sin1, cos1, tan1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
+        t1 = tan1 * tan1
+        w = 1.0 - e2 * sin1 * sin1
+        n1 = a / np.sqrt(w)
+        r1 = a * (1.0 - e2) / (w * np.sqrt(w))
+        d = x / n1
+        d2 = d * d
+        phi = phi1 - (n1 * tan1 / r1) * (d2 / 2.0
+                                         - (1.0 + 3.0 * t1) * d2 * d2
+                                         / 24.0)
+        lam = lam0 + (d - t1 * d2 * d / 3.0
+                      + (1.0 + 3.0 * t1) * t1 * d2 * d2 * d / 15.0) / cos1
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
+
+
 def krovak_constants(a: float, inv_f: float, lonc_deg: float,
                      latc_deg: float, azimuth_deg: float,
                      pseudo_sp_deg: float, k0: float = 0.9999,
@@ -1215,6 +1253,16 @@ def projection_from_wkt(wkt) -> "callable | None":
                 a, inv_f,
                 p.get("central_meridian", p.get("longitude_of_center", 0.0)),
                 lat0, sp1, p.get("standard_parallel_2", sp1),
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
+        if re.search(r'PROJECTION\["?Cassini', wkt, re.I):
+            p = _wkt_params(wkt)
+            a, inv_f = _wkt_spheroid(wkt)
+            return _with_unit(make_inv_cassini(
+                a, inv_f,
+                p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+                p.get("latitude_of_origin", p.get("latitude_of_center",
+                                                  0.0)),
                 p.get("false_easting", 0.0) * unit,
                 p.get("false_northing", 0.0) * unit), unit)
         if re.search(r'PROJECTION\["?Krovak', wkt, re.I):

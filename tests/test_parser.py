@@ -1183,3 +1183,66 @@ def test_krovak_wkt_dispatch():
     out = trans(np.array([[-568990.9967, -1050538.6431]]))
     assert abs(out[0, 0] - 16.84977194) < 1e-6
     assert abs(out[0, 1] - 50.20901156) < 1e-6
+
+
+def test_cassini_roundtrip_against_independent_forward():
+    """Snyder eq. 8-13..8-18 Cassini-Soldner FORWARD (written
+    independently of the inverse) roundtrips through the engine inverse to
+    <1e-8 degrees across the +-150 km central-meridian band the
+    projection is used in."""
+    import math
+    import numpy as np
+    from spark_shp.shp.parser import make_inv_cassini, tmerc_constants
+    from spark_shp.queries_shp import _CAS_PARAMS
+
+    a, inv_f, lon0, lat0, fe, fn = _CAS_PARAMS
+    c = tmerc_constants(a, inv_f, lon0, lat0, 1.0, fe, fn)
+    e2, m_coef, m0 = c["e2"], c["m_coef"], c["m0"]
+    ep2 = c["ep2"]
+
+    def meridian_arc(phi):
+        return a * (m_coef * phi
+                    - (3 * e2 / 8 + 3 * e2 ** 2 / 32
+                       + 45 * e2 ** 3 / 1024) * math.sin(2 * phi)
+                    + (15 * e2 ** 2 / 256
+                       + 45 * e2 ** 3 / 1024) * math.sin(4 * phi)
+                    - (35 * e2 ** 3 / 3072) * math.sin(6 * phi))
+
+    def fwd(lon_deg, lat_deg):
+        phi = math.radians(lat_deg)
+        lam = math.radians(lon_deg) - math.radians(lon0)
+        t = math.tan(phi) ** 2
+        cc = ep2 * math.cos(phi) ** 2
+        A = lam * math.cos(phi)
+        n = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        x = n * (A - t * A ** 3 / 6
+                 - (8 - t + 8 * cc) * t * A ** 5 / 120)
+        y = (meridian_arc(phi) - m0
+             + n * math.tan(phi) * (A ** 2 / 2
+                                    + (5 - t + 6 * cc) * A ** 4 / 24))
+        return x + fe, y + fn
+
+    rng = np.random.default_rng(17)
+    lons = rng.uniform(lon0 - 1.9, lon0 + 1.9, 200)
+    lats = rng.uniform(lat0 - 0.5, lat0 + 3.0, 200)
+    grid = np.array([fwd(lo, la) for lo, la in zip(lons, lats)])
+    inv = make_inv_cassini(a, inv_f, lon0, lat0, fe, fn)
+    back = inv(grid)
+    # 5e-8 deg ~ 5.5 mm: the compounded truncation of the 2-term forward
+    # vs 2-term inverse D-series at the +-150 km band edge (the projection
+    # is specified for exactly this near-meridian regime)
+    assert np.max(np.abs(back[:, 0] - lons)) < 5e-8
+    assert np.max(np.abs(back[:, 1] - lats)) < 5e-8
+
+
+def test_cassini_wkt_dispatch():
+    import numpy as np
+    from spark_shp.shp.parser import projection_from_wkt
+    from spark_shp.queries_shp import _CAS_WKT
+    trans = projection_from_wkt(_CAS_WKT)
+    assert trans is not None
+    # FE/FN map back to the projection origin
+    out = trans(np.array([[50000.0, 100000.0]]))
+    assert abs(out[0, 0] - 10.0) < 1e-12
+    # latitude pays the eq. 3-26 rectifying-series truncation (~2.5e-9 deg)
+    assert abs(out[0, 1] - 50.0) < 1e-8
