@@ -2091,3 +2091,92 @@ FROM best
 QUERIES.update({
     "changepoint_detect": (q_changepoint_detect, ORACLE_CHANGEPOINT),
 })
+
+
+# --- slope_aspect_raster: Horn gradients on the density grid ----------------------
+#
+# The terrain-analysis pair (slope/aspect, Horn 1981 — the standard GIS
+# 3x3 kernel) applied to the event-density raster: gx = (NE+2E+SE) -
+# (NW+2W+SW), gy likewise, expressed as ONE constant 3x3 scatter explode +
+# one target-cell aggregation (the focal_density pattern with SIGNED
+# weights).  Counts are integers so the gradients and slope^2 = gx^2+gy^2
+# are exact int64; aspect reuses the sign/|dx|-vs-|dy| octant bucket (no
+# trig).  Cells outside the occupied set contribute 0 — identical on both
+# engines by construction.
+
+SLOPE_LEVEL = 6
+
+
+def q_slope_aspect_raster(spark, sf_dir):
+    from .queries_analytics import _octant_sql
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, SLOPE_LEVEL)
+    occ = (_t(spark, sf_dir, "events")
+           .selectExpr(f"{ix} AS cx", f"{iy} AS cy")
+           .groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("c")))
+    # scatter each cell's count to its 3x3 neighborhood with Horn weights
+    sc = (occ.selectExpr("cx", "cy", "c",
+                         "explode(sequence(-1, 1)) AS dx")
+          .selectExpr("cx", "cy", "c", "dx",
+                      "explode(sequence(-1, 1)) AS dy")
+          .selectExpr("cx + dx AS tx", "cy + dy AS ty",
+                      # neighbor at offset (dx,dy) from target: the
+                      # SOURCE sits at (-dx,-dy) relative to the target,
+                      # so weights flip sign
+                      "c * (-dx) * (2 - ABS(dy)) AS gxc",
+                      "c * (-dy) * (2 - ABS(dx)) AS gyc",
+                      "CAST(dx = 0 AND dy = 0 AS INT) AS is_center"))
+    g = (sc.groupBy("tx", "ty")
+         .agg(F.expr("SUM(gxc)").alias("gx"),
+              F.expr("SUM(gyc)").alias("gy"),
+              F.expr("SUM(is_center)").alias("occupied"))
+         .where("occupied = 1"))
+    oct_ = _octant_sql("gx", "gy")
+    return (g.selectExpr(
+        "gx", "gy",
+        f"CASE WHEN gx = 0 AND gy = 0 THEN -1 ELSE {oct_} END AS aspect",
+        "gx * gx + gy * gy AS slope2")
+        .groupBy("aspect")
+        .agg(F.count(F.lit(1)).alias("n_cells"),
+             F.sum("slope2").alias("sum_slope2"),
+             F.max("slope2").alias("max_slope2"))
+        .selectExpr("CAST(aspect AS INT) AS aspect",
+                    "CAST(n_cells AS BIGINT) AS n_cells",
+                    "CAST(sum_slope2 AS BIGINT) AS sum_slope2",
+                    "CAST(max_slope2 AS BIGINT) AS max_slope2"))
+
+
+def _oracle_slope_aspect() -> str:
+    from .queries_analytics import _octant_sql
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, SLOPE_LEVEL)
+    oct_ = _octant_sql("gx", "gy")
+    return f"""
+WITH occ AS (
+  SELECT {ix} AS cx, {iy} AS cy, COUNT(*) AS c FROM events GROUP BY 1, 2),
+sc AS (
+  SELECT cx + dx.d AS tx, cy + dy.d AS ty,
+         c * (-dx.d) * (2 - ABS(dy.d)) AS gxc,
+         c * (-dy.d) * (2 - ABS(dx.d)) AS gyc,
+         CAST(dx.d = 0 AND dy.d = 0 AS INT) AS is_center
+  FROM occ, (SELECT UNNEST([-1, 0, 1]) AS d) dx,
+       (SELECT UNNEST([-1, 0, 1]) AS d) dy),
+g AS (
+  SELECT tx, ty, SUM(gxc) AS gx, SUM(gyc) AS gy
+  FROM sc GROUP BY 1, 2
+  HAVING SUM(is_center) = 1),
+cls AS (
+  SELECT gx, gy,
+         CASE WHEN gx = 0 AND gy = 0 THEN -1 ELSE {oct_} END AS aspect,
+         gx * gx + gy * gy AS slope2
+  FROM g)
+SELECT CAST(aspect AS INT) AS aspect, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(slope2) AS BIGINT) AS sum_slope2,
+       CAST(MAX(slope2) AS BIGINT) AS max_slope2
+FROM cls GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "slope_aspect_raster": (q_slope_aspect_raster, _oracle_slope_aspect()),
+})

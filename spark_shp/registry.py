@@ -124,6 +124,7 @@ _TAIL = [
     "trend_regression",       # per-group OLS from int moments (C6)
     "gini_concentration",     # Gini skew/inequality audit (C6)
     "changepoint_detect",     # exact-integer CUSUM change-point (C6)
+    "slope_aspect_raster",    # Horn gradients on the density grid (B3)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -902,3 +902,47 @@ def test_changepoint_matches_sequential_cusum(spark):
         assert (r.cusum_scaled, r.change_hour) == best
         assert (r.n_hours, r.n_events) == (n, sn)
         assert abs(r.cusum_norm - best[0] / (n * sn)) < 1e-6
+
+
+# --- Horn slope/aspect -----------------------------------------------------------------
+
+def test_slope_aspect_matches_numpy_horn_kernel(spark):
+    import math
+    from collections import Counter
+    from spark_shp import cells as C, fixtures as FX
+    from spark_shp.queries_mining import SLOPE_LEVEL, q_slope_aspect_raster
+    got = {r.aspect: (r.n_cells, r.sum_slope2, r.max_slope2)
+           for r in q_slope_aspect_raster(spark, SF).collect()}
+    ix, iy = C.quantize_sql(FX.EVENT_LON_SQL, FX.EVENT_LAT_SQL, SLOPE_LEVEL)
+    occ_rows = (spark.read.parquet(f"{SF}/events.parquet")
+                .selectExpr(f"{ix} AS cx", f"{iy} AS cy")
+                .groupBy("cx", "cy").count().collect())
+    occ = {(r.cx, r.cy): r["count"] for r in occ_rows}
+
+    def v(x, y):
+        return occ.get((x, y), 0)
+
+    def octant(dx, dy):
+        # the repo's octant convention (sign + |dx| vs |dy| comparisons;
+        # boundary ties pinned against atan2 in test_analytics) — what
+        # this test independently checks is the HORN GRADIENT plumbing
+        adx, ady = abs(dx), abs(dy)
+        if dx >= 0 and dy >= 0:
+            return 1 if ady > adx else 0
+        if dx < 0 and dy >= 0:
+            return 2 if ady > adx else 3
+        if dx < 0 and dy < 0:
+            return 5 if ady > adx else 4
+        return 6 if ady > adx else 7
+
+    want = {}
+    for (x, y) in occ:
+        gx = (v(x + 1, y + 1) + 2 * v(x + 1, y) + v(x + 1, y - 1)
+              - v(x - 1, y + 1) - 2 * v(x - 1, y) - v(x - 1, y - 1))
+        gy = (v(x + 1, y + 1) + 2 * v(x, y + 1) + v(x - 1, y + 1)
+              - v(x + 1, y - 1) - 2 * v(x, y - 1) - v(x - 1, y - 1))
+        a = -1 if gx == 0 and gy == 0 else octant(gx, gy)
+        s2 = gx * gx + gy * gy
+        n, ss, mx = want.get(a, (0, 0, 0))
+        want[a] = (n + 1, ss + s2, max(mx, s2))
+    assert got == want
