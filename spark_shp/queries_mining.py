@@ -2180,3 +2180,100 @@ FROM cls GROUP BY 1
 QUERIES.update({
     "slope_aspect_raster": (q_slope_aspect_raster, _oracle_slope_aspect()),
 })
+
+
+# --- wkt_point_ingest: WKT string-geometry interop -------------------------------
+#
+# The remaining text geometry interchange format next to shp/dbf/zip/
+# GeoJSON/WKB: 'POINT (lon lat)' strings parsed back to coordinates by
+# regexp extraction.  The WKT is RENDERED from micro-degree integers by
+# string surgery (sign + integer part + zero-padded fraction) — never a
+# float printf, whose rounding mode differs between java.util.Formatter
+# (HALF_UP) and C printf (half-even) — and the parse is regexp_extract +
+# CAST AS DOUBLE (correctly-rounded strtod on both engines), so the
+# µdeg -> WKT -> µdeg roundtrip is exact and gated per tile.
+
+WKT_LEVEL = 4
+
+
+def _udeg_sql(v: str) -> str:
+    return f"CAST(FLOOR(({v}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def _wkt_render_sql(u: str) -> str:
+    """micro-degree int64 -> decimal string with 6 fraction digits."""
+    return (f"CONCAT(CASE WHEN ({u}) < 0 THEN '-' ELSE '' END, "
+            f"CAST(CAST(FLOOR(ABS({u}) / 1000000.0) AS BIGINT) AS STRING), "
+            f"'.', LPAD(CAST(ABS({u}) % 1000000 AS STRING), 6, '0'))")
+
+
+def q_wkt_point_ingest(spark, sf_dir):
+    ulon = _udeg_sql(fixtures.EVENT_LON_SQL)
+    ulat = _udeg_sql(fixtures.EVENT_LAT_SQL)
+    wkt = (f"CONCAT('POINT (', {_wkt_render_sql('ulon')}, ' ', "
+           f"{_wkt_render_sql('ulat')}, ')')")
+    src = (_t(spark, sf_dir, "events")
+           .selectExpr("event_id", f"{ulon} AS ulon", f"{ulat} AS ulat")
+           .selectExpr("event_id", "ulon", "ulat", f"{wkt} AS wkt"))
+    # bracket classes, not backslash escapes: Spark SQL string literals
+    # consume lone backslashes while DuckDB's don't (the pii_scrub rule)
+    pat = r"POINT [(]([-0-9.]+) ([-0-9.]+)[)]"
+    parsed = src.selectExpr(
+        "event_id", "ulon", "ulat",
+        f"CAST(regexp_extract(wkt, '{pat}', 1) AS DOUBLE) AS plon",
+        f"CAST(regexp_extract(wkt, '{pat}', 2) AS DOUBLE) AS plat")
+    chk = parsed.selectExpr(
+        "event_id",
+        f"{_udeg_sql('plon')} AS rlon", f"{_udeg_sql('plat')} AS rlat",
+        "ulon", "ulat", "plon", "plat")
+    ix, iy = cells.quantize_sql("plon / 1.0", "plat / 1.0", WKT_LEVEL)
+    return (chk.selectExpr(
+        "event_id", "rlon", "rlat", "ulon", "ulat",
+        f"({ix}) * {1 << WKT_LEVEL} + ({iy}) AS tile")
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.expr("SUM(CAST(rlon = ulon AND rlat = ulat AS INT))")
+             .alias("n_roundtrip_exact"),
+             F.sum("rlon").alias("sum_ulon"),
+             F.sum("rlat").alias("sum_ulat"))
+        .selectExpr("tile", "CAST(n AS BIGINT) AS n",
+                    "CAST(n_roundtrip_exact AS BIGINT) AS n_roundtrip_exact",
+                    "CAST(sum_ulon AS BIGINT) AS sum_ulon",
+                    "CAST(sum_ulat AS BIGINT) AS sum_ulat"))
+
+
+def _oracle_wkt() -> str:
+    ulon = _udeg_sql(fixtures.EVENT_LON_SQL)
+    ulat = _udeg_sql(fixtures.EVENT_LAT_SQL)
+    wkt = (f"CONCAT('POINT (', {_wkt_render_sql('ulon')}, ' ', "
+           f"{_wkt_render_sql('ulat')}, ')')")
+    pat = r"POINT \(([-0-9.]+) ([-0-9.]+)\)"
+    ix, iy = cells.quantize_sql("plon / 1.0", "plat / 1.0", WKT_LEVEL)
+    return f"""
+WITH src AS (
+  SELECT event_id, {ulon} AS ulon, {ulat} AS ulat FROM events),
+w AS (SELECT event_id, ulon, ulat, {wkt} AS wkt FROM src),
+parsed AS (
+  SELECT event_id, ulon, ulat,
+         CAST(regexp_extract(wkt, 'POINT [(]([-0-9.]+) ([-0-9.]+)[)]', 1)
+              AS DOUBLE) AS plon,
+         CAST(regexp_extract(wkt, 'POINT [(]([-0-9.]+) ([-0-9.]+)[)]', 2)
+              AS DOUBLE) AS plat
+  FROM w),
+chk AS (
+  SELECT event_id, ulon, ulat, plon, plat,
+         {_udeg_sql('plon')} AS rlon, {_udeg_sql('plat')} AS rlat
+  FROM parsed)
+SELECT ({ix}) * {1 << WKT_LEVEL} + ({iy}) AS tile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(rlon = ulon AND rlat = ulat AS INT)) AS BIGINT)
+         AS n_roundtrip_exact,
+       CAST(SUM(rlon) AS BIGINT) AS sum_ulon,
+       CAST(SUM(rlat) AS BIGINT) AS sum_ulat
+FROM chk GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "wkt_point_ingest": (q_wkt_point_ingest, _oracle_wkt()),
+})

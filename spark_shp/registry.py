@@ -125,6 +125,7 @@ _TAIL = [
     "gini_concentration",     # Gini skew/inequality audit (C6)
     "changepoint_detect",     # exact-integer CUSUM change-point (C6)
     "slope_aspect_raster",    # Horn gradients on the density grid (B3)
+    "wkt_point_ingest",       # WKT string-geometry interop (A-family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -946,3 +946,33 @@ def test_slope_aspect_matches_numpy_horn_kernel(spark):
         n, ss, mx = want.get(a, (0, 0, 0))
         want[a] = (n + 1, ss + s2, max(mx, s2))
     assert got == want
+
+
+# --- WKT interop -----------------------------------------------------------------------
+
+def test_wkt_roundtrip_is_exact_for_every_event(spark):
+    from spark_shp.queries_mining import q_wkt_point_ingest
+    rows = q_wkt_point_ingest(spark, SF).collect()
+    total = sum(r.n for r in rows)
+    exact = sum(r.n_roundtrip_exact for r in rows)
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert total == n_events
+    assert exact == total  # µdeg -> WKT -> µdeg loses nothing, ever
+
+
+def test_wkt_render_matches_python_formatting(spark):
+    """The integer string-surgery renderer equals python's own decimal
+    rendering of µdeg/1e6 with 6 forced fraction digits, including
+    negatives and tiny magnitudes."""
+    from spark_shp.queries_mining import _wkt_render_sql
+    import duckdb
+    cases = [0, 1, -1, 999999, -999999, 1000000, -1000000, 123456789,
+             -123456789, 179999999, -179999999, 5, -5, 84999999]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(u BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(c,) for c in cases])
+    got = [r[0] for r in con.execute(
+        f"SELECT {_wkt_render_sql('u')} FROM t").fetchall()]
+    want = [("-" if c < 0 else "") + f"{abs(c) // 1000000}."
+            + f"{abs(c) % 1000000:06d}" for c in cases]
+    assert got == want
