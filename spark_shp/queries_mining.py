@@ -2277,3 +2277,185 @@ FROM chk GROUP BY 1
 QUERIES.update({
     "wkt_point_ingest": (q_wkt_point_ingest, _oracle_wkt()),
 })
+
+
+# --- anova_f: one-way ANOVA across groups -----------------------------------------
+#
+# Classical between/within variance decomposition of order value across
+# order priorities: SSB/SSW from exact integer-DOLLAR moments (cents
+# squared overflow int64 at this row count — SUM(v^2) must stay exact, so
+# the unit drops a factor 100; DECIMAL(38) takes over past ~1e9 rows), F
+# in one literal float expression (the spatial_autocorr rule).  One
+# map-side combinable group agg + a single 5-row reduce.
+
+
+def q_anova_f(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS g",
+        "CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v")
+    per = o.groupBy("g").agg(F.count(F.lit(1)).alias("n"),
+                             F.sum("v").alias("s"),
+                             F.expr("SUM(v * v)").alias("ss"))
+    # ssb folds over the FIXED priority alphabet in one literal expression
+    # (the user_entropy rule): a SUM(s*s/n) float aggregate is
+    # aggregation-order-dependent at the last ulp, which ROUND(,4) cannot
+    # absorb at 1e14 magnitudes — the pivot makes the op order identical
+    # on both engines
+    tot = (per.groupBy()
+           .agg(F.sum("n").alias("nt"), F.sum("s").alias("st"),
+                F.sum("ss").alias("sst"), F.count(F.lit(1)).alias("k"),
+                *[F.expr(f"MIN(CASE WHEN g = '{g}' THEN n END)")
+                  .alias(f"n{i}") for i, g in enumerate(['1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'])],
+                *[F.expr(f"MIN(CASE WHEN g = '{g}' THEN s END)")
+                  .alias(f"s{i}") for i, g in enumerate(['1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'])])
+           .withColumn("ssb_part", F.expr("(CAST(s0 AS DOUBLE) * s0 / n0) + (CAST(s1 AS DOUBLE) * s1 / n1) + (CAST(s2 AS DOUBLE) * s2 / n2) + (CAST(s3 AS DOUBLE) * s3 / n3) + (CAST(s4 AS DOUBLE) * s4 / n4)")))
+    return tot.selectExpr(
+        "CAST(k AS BIGINT) AS n_groups", "CAST(nt AS BIGINT) AS n_rows",
+        "ROUND(ssb_part - CAST(st AS DOUBLE) * st / nt, 4) AS ss_between",
+        "ROUND(CAST(sst AS DOUBLE) - ssb_part, 4) AS ss_within",
+        "ROUND(((ssb_part - CAST(st AS DOUBLE) * st / nt) / (k - 1)) / "
+        "((CAST(sst AS DOUBLE) - ssb_part) / (nt - k)), 6) AS f_stat")
+
+
+ORACLE_ANOVA = """
+WITH o AS (
+  SELECT o_orderpriority AS g,
+         CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
+  FROM orders),
+per AS (SELECT g, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+        FROM o GROUP BY 1),
+piv AS (
+  SELECT SUM(n) AS nt, SUM(s) AS st, SUM(ss) AS sst, COUNT(*) AS k,
+         MIN(CASE WHEN g = '1-URGENT' THEN n END) AS n0, MIN(CASE WHEN g = '1-URGENT' THEN s END) AS s0, MIN(CASE WHEN g = '2-HIGH' THEN n END) AS n1, MIN(CASE WHEN g = '2-HIGH' THEN s END) AS s1, MIN(CASE WHEN g = '3-MEDIUM' THEN n END) AS n2, MIN(CASE WHEN g = '3-MEDIUM' THEN s END) AS s2, MIN(CASE WHEN g = '4-NOT SPECIFIED' THEN n END) AS n3, MIN(CASE WHEN g = '4-NOT SPECIFIED' THEN s END) AS s3, MIN(CASE WHEN g = '5-LOW' THEN n END) AS n4, MIN(CASE WHEN g = '5-LOW' THEN s END) AS s4
+  FROM per),
+tot AS (SELECT *, (CAST(s0 AS DOUBLE) * s0 / n0) + (CAST(s1 AS DOUBLE) * s1 / n1) + (CAST(s2 AS DOUBLE) * s2 / n2) + (CAST(s3 AS DOUBLE) * s3 / n3) + (CAST(s4 AS DOUBLE) * s4 / n4) AS ssb_part FROM piv)
+SELECT CAST(k AS BIGINT) AS n_groups, CAST(nt AS BIGINT) AS n_rows,
+       ROUND(ssb_part - CAST(st AS DOUBLE) * st / nt, 4) AS ss_between,
+       ROUND(CAST(sst AS DOUBLE) - ssb_part, 4) AS ss_within,
+       ROUND(((ssb_part - CAST(st AS DOUBLE) * st / nt) / (k - 1)) /
+             ((CAST(sst AS DOUBLE) - ssb_part) / (nt - k)), 6) AS f_stat
+FROM tot
+"""
+
+
+# --- mann_kendall: non-parametric trend test ---------------------------------------
+#
+# The rank-based complement to trend_regression: S = SUM over hour pairs
+# of SIGN(x_j - x_i), j > i — an exact integer from a self-join over the
+# TINY hourly aggregate (the fact table never self-joins), with the
+# tie-corrected variance from exact tie-group counts; Z in one literal
+# float expression.
+
+
+def q_mann_kendall(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "event_type AS g",
+        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) "
+        "/ 3600000000.0) AS BIGINT) AS h")
+    hourly = e.groupBy("g", "h").agg(F.count(F.lit(1)).alias("x"))
+    a = hourly.selectExpr("g", "h AS hi", "x AS xi")
+    b = hourly.selectExpr("g", "h AS hj", "x AS xj")
+    s = (a.join(b, "g").where("hj > hi")
+         .selectExpr("g", "CAST(SIGN(xj - xi) AS BIGINT) AS sg")
+         .groupBy("g").agg(F.sum("sg").alias("s")))
+    n = hourly.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    ties = (hourly.groupBy("g", "x").agg(F.count(F.lit(1)).alias("t"))
+            .where("t > 1")
+            .groupBy("g")
+            .agg(F.expr("SUM(t * (t - 1) * (2 * t + 5))").alias("tie_adj")))
+    j = (n.join(s, "g").join(ties, "g", "left")
+         .selectExpr("g", "n", "s", "COALESCE(tie_adj, 0) AS tie_adj"))
+    # var = (n(n-1)(2n+5) - tie_adj) / 18 ; Z with continuity correction
+    return j.selectExpr(
+        "g", "CAST(n AS BIGINT) AS n_hours", "CAST(s AS BIGINT) AS s",
+        "CAST(n * (n - 1) * (2 * n + 5) - tie_adj AS BIGINT) AS var18",
+        "ROUND((CAST(s AS DOUBLE) - CAST(SIGN(s) AS DOUBLE)) / "
+        "SQRT((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tie_adj) "
+        "/ 18.0), 6) AS z")
+
+
+ORACLE_MK = """
+WITH e AS (
+  SELECT event_type AS g,
+         CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h
+  FROM events),
+hourly AS (SELECT g, h, COUNT(*) AS x FROM e GROUP BY 1, 2),
+s AS (
+  SELECT a.g, CAST(SUM(SIGN(b.x - a.x)) AS BIGINT) AS s
+  FROM hourly a JOIN hourly b ON a.g = b.g AND b.h > a.h
+  GROUP BY 1),
+n AS (SELECT g, COUNT(*) AS n FROM hourly GROUP BY 1),
+ties AS (
+  SELECT g, SUM(t * (t - 1) * (2 * t + 5)) AS tie_adj
+  FROM (SELECT g, x, COUNT(*) AS t FROM hourly GROUP BY 1, 2)
+  WHERE t > 1 GROUP BY 1)
+SELECT n.g, CAST(n.n AS BIGINT) AS n_hours, s.s AS s,
+       CAST(n.n * (n.n - 1) * (2 * n.n + 5) - COALESCE(ties.tie_adj, 0)
+            AS BIGINT) AS var18,
+       ROUND((CAST(s.s AS DOUBLE) - CAST(SIGN(s.s) AS DOUBLE)) /
+             SQRT((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+                   - COALESCE(ties.tie_adj, 0)) / 18.0), 6) AS z
+FROM n JOIN s ON n.g = s.g LEFT JOIN ties ON n.g = ties.g
+"""
+
+
+# --- association_rules: market-basket lift over event types ------------------------
+#
+# Association-rule mining (the retail/market-basket classic) over the
+# "basket" of event types each user exhibits: support, confidence and
+# lift for every ordered type pair from exact integer user counts; the
+# ratios are single literal float expressions.  One distinct
+# (user, type) reduce + a type-pair self-join over the per-user SETS
+# never the fact table.
+
+
+def q_association_rules(spark, sf_dir):
+    ut = (_t(spark, sf_dir, "events")
+          .selectExpr("user_id", "event_type").distinct())
+    n_users = ut.selectExpr("user_id").distinct() \
+        .groupBy().agg(F.count(F.lit(1)).alias("nu"))
+    item = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    a = ut.selectExpr("user_id", "event_type AS ante")
+    b = ut.selectExpr("user_id", "event_type AS cons")
+    pair = (a.join(b, "user_id").where("ante <> cons")
+            .groupBy("ante", "cons").agg(F.count(F.lit(1)).alias("both")))
+    ia = item.selectExpr("event_type AS ante", "cnt AS ca")
+    ic = item.selectExpr("event_type AS cons", "cnt AS cc")
+    return (pair.join(F.broadcast(ia), "ante").join(F.broadcast(ic), "cons")
+            .crossJoin(F.broadcast(n_users))
+            .selectExpr(
+                "ante", "cons", "CAST(both AS BIGINT) AS n_both",
+                "CAST(ca AS BIGINT) AS n_ante",
+                "CAST(cc AS BIGINT) AS n_cons",
+                "ROUND(CAST(both AS DOUBLE) / nu, 6) AS support",
+                "ROUND(CAST(both AS DOUBLE) / ca, 6) AS confidence",
+                "ROUND((CAST(both AS DOUBLE) * nu) / "
+                "(CAST(ca AS DOUBLE) * cc), 6) AS lift"))
+
+
+ORACLE_ASSOC = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT COUNT(DISTINCT user_id) AS nu FROM ut),
+item AS (SELECT event_type, COUNT(*) AS cnt FROM ut GROUP BY 1),
+pair AS (
+  SELECT a.event_type AS ante, b.event_type AS cons, COUNT(*) AS both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+   AND a.event_type <> b.event_type
+  GROUP BY 1, 2)
+SELECT p.ante, p.cons, CAST(p.both AS BIGINT) AS n_both,
+       CAST(ia.cnt AS BIGINT) AS n_ante, CAST(ic.cnt AS BIGINT) AS n_cons,
+       ROUND(CAST(p.both AS DOUBLE) / nu.nu, 6) AS support,
+       ROUND(CAST(p.both AS DOUBLE) / ia.cnt, 6) AS confidence,
+       ROUND((CAST(p.both AS DOUBLE) * nu.nu) /
+             (CAST(ia.cnt AS DOUBLE) * ic.cnt), 6) AS lift
+FROM pair p
+JOIN item ia ON ia.event_type = p.ante
+JOIN item ic ON ic.event_type = p.cons, nu
+"""
+
+
+QUERIES.update({
+    "anova_f": (q_anova_f, ORACLE_ANOVA),
+    "mann_kendall": (q_mann_kendall, ORACLE_MK),
+    "association_rules": (q_association_rules, ORACLE_ASSOC),
+})

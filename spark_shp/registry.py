@@ -126,6 +126,9 @@ _TAIL = [
     "changepoint_detect",     # exact-integer CUSUM change-point (C6)
     "slope_aspect_raster",    # Horn gradients on the density grid (B3)
     "wkt_point_ingest",       # WKT string-geometry interop (A-family)
+    "anova_f",                # one-way ANOVA from int moments (C6)
+    "mann_kendall",           # rank trend test, exact integer S (C6)
+    "association_rules",      # market-basket support/conf/lift (C6)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

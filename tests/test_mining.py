@@ -976,3 +976,81 @@ def test_wkt_render_matches_python_formatting(spark):
     want = [("-" if c < 0 else "") + f"{abs(c) // 1000000}."
             + f"{abs(c) % 1000000:06d}" for c in cases]
     assert got == want
+
+
+# --- ANOVA + Mann-Kendall + association rules ------------------------------------------
+
+def test_anova_f_matches_scipy_style_decomposition(spark):
+    import math
+    from collections import defaultdict
+    from spark_shp.queries_mining import q_anova_f
+    row = q_anova_f(spark, SF).collect()[0]
+    od = spark.read.parquet(f"{SF}/orders.parquet").selectExpr(
+        "o_orderpriority AS g", "o_totalprice").collect()
+    groups = defaultdict(list)
+    for r in od:
+        groups[r.g].append(math.floor(r.o_totalprice + 0.5))
+    allv = [v for vs in groups.values() for v in vs]
+    gm = sum(allv) / len(allv)
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - gm) ** 2
+              for vs in groups.values())
+    ssw = sum((v - sum(vs) / len(vs)) ** 2
+              for vs in groups.values() for v in vs)
+    k, n = len(groups), len(allv)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row.n_groups == k and row.n_rows == n
+    assert abs(row.ss_between - ssb) / ssb < 1e-9
+    assert abs(row.ss_within - ssw) / ssw < 1e-9
+    assert abs(row.f_stat - f) < 1e-5
+
+
+def test_mann_kendall_matches_sequential_pairs(spark):
+    from collections import defaultdict
+    from spark_shp.queries_mining import q_mann_kendall
+    got = {r.g: r for r in q_mann_kendall(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_type AS g",
+        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) "
+        "/ 3600000000.0) AS BIGINT) AS h").collect()
+    hourly = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        hourly[r.g][r.h] += 1
+    for g, hs in hourly.items():
+        xs = [hs[h] for h in sorted(hs)]
+        n = len(xs)
+        s = sum((xs[j] > xs[i]) - (xs[j] < xs[i])
+                for i in range(n) for j in range(i + 1, n))
+        from collections import Counter
+        tie = sum(t * (t - 1) * (2 * t + 5)
+                  for t in Counter(xs).values() if t > 1)
+        var18 = n * (n - 1) * (2 * n + 5) - tie
+        r = got[g]
+        assert (r.n_hours, r.s, r.var18) == (n, s, var18)
+        import math
+        z = (s - (1 if s > 0 else -1 if s < 0 else 0)) \
+            / math.sqrt(var18 / 18.0)
+        assert abs(r.z - z) < 1e-6
+
+
+def test_association_rules_laws(spark):
+    from spark_shp.queries_mining import q_association_rules
+    rows = q_association_rules(spark, SF).collect()
+    assert len(rows) == 20  # 5 types x 4 ordered partners
+    ut = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "user_id", "event_type").distinct().collect()
+    users = {}
+    for r in ut:
+        users.setdefault(r.user_id, set()).add(r.event_type)
+    nu = len(users)
+    for r in rows:
+        both = sum(1 for s in users.values()
+                   if r.ante in s and r.cons in s)
+        ca = sum(1 for s in users.values() if r.ante in s)
+        assert r.n_both == both and r.n_ante == ca
+        assert abs(r.support - both / nu) < 1e-6
+        assert abs(r.confidence - both / ca) < 1e-6
+        assert r.confidence <= 1.0
+    # lift symmetry: lift(a,b) == lift(b,a)
+    lifts = {(r.ante, r.cons): r.lift for r in rows}
+    for (a, b), l in lifts.items():
+        assert abs(l - lifts[(b, a)]) < 1e-6
