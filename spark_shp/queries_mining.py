@@ -2459,3 +2459,101 @@ QUERIES.update({
     "mann_kendall": (q_mann_kendall, ORACLE_MK),
     "association_rules": (q_association_rules, ORACLE_ASSOC),
 })
+
+
+# --- distribution_drift: PSI + exact 1-D Wasserstein -------------------------------
+#
+# The data-drift monitors an ML training pipeline runs before every
+# refresh: each event type's hour-of-week activity distribution compared
+# against the whole-corpus baseline.  Two complementary metrics:
+#   * EMD (1-D Wasserstein) — SUM over the 168 ordered bins of
+#     |CDF_type - CDF_base|, kept EXACT by integer cross-multiplication
+#     (|cum_t * n_base - cum_base * n_t| sums in int64; one final
+#     division normalizes);
+#   * PSI — sum of (p_t - p_b) * ln(p_t / p_b) with add-one smoothing
+#     (zero bins stay defined), LN under the repo round-6 rule.
+# Bins use the seasonality epoch arithmetic (engine date_part conventions
+# never enter); one map-side-combinable bin agg + a 168-row window.
+
+DRIFT_DAY_US = 86_400_000_000
+DRIFT_HOUR_US = 3_600_000_000
+
+
+def q_distribution_drift(spark, sf_dir):
+    bin_sql = (f"CAST((CAST(FLOOR(us / {float(DRIFT_DAY_US)!r}) AS BIGINT) "
+               f"+ 4) % 7 AS BIGINT) * 24 + "
+               f"CAST(FLOOR(us / {float(DRIFT_HOUR_US)!r}) AS BIGINT) % 24")
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "event_type AS g",
+        "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us").selectExpr(
+        "g", f"({bin_sql}) AS b")
+    # dense 168-bin spine per type so zero bins participate in both metrics
+    types = e.select("g").distinct()
+    spine = types.selectExpr("g", "explode(sequence(0, 167)) AS b")
+    cnt = e.groupBy("g", "b").agg(F.count(F.lit(1)).alias("c"))
+    full = (spine.join(cnt, ["g", "b"], "left")
+            .selectExpr("g", "b", "COALESCE(c, 0) AS c"))
+    base = (full.groupBy("b").agg(F.sum("c").alias("cb")))
+    j = (full.join(F.broadcast(base), "b")
+         .selectExpr("g", "b", "c", "cb",
+                     "SUM(c) OVER (PARTITION BY g ORDER BY b "
+                     "ROWS UNBOUNDED PRECEDING) AS cum_t",
+                     "SUM(cb) OVER (PARTITION BY g ORDER BY b "
+                     "ROWS UNBOUNDED PRECEDING) AS cum_b",
+                     "SUM(c) OVER (PARTITION BY g) AS nt",
+                     "SUM(cb) OVER (PARTITION BY g) AS nb"))
+    return (j.groupBy("g")
+            .agg(F.max("nt").alias("nt"), F.max("nb").alias("nb"),
+                 F.expr("SUM(ABS(cum_t * nb - cum_b * nt))").alias("emd_x"),
+                 F.expr(
+                     "SUM((CAST(c + 1 AS DOUBLE) / (nt + 168) - "
+                     "CAST(cb + 1 AS DOUBLE) / (nb + 168)) * "
+                     "LN((CAST(c + 1 AS DOUBLE) / (nt + 168)) / "
+                     "(CAST(cb + 1 AS DOUBLE) / (nb + 168))))").alias("psi"))
+            .selectExpr("g", "CAST(nt AS BIGINT) AS n_events",
+                        "CAST(emd_x AS BIGINT) AS emd_scaled",
+                        "ROUND(CAST(emd_x AS DOUBLE) / "
+                        "(CAST(nt AS DOUBLE) * nb), 6) AS emd_bins",
+                        "ROUND(psi, 6) AS psi"))
+
+
+def _oracle_drift() -> str:
+    bin_sql = (f"CAST((CAST(FLOOR(us / {float(DRIFT_DAY_US)!r}) AS BIGINT) "
+               f"+ 4) % 7 AS BIGINT) * 24 + "
+               f"CAST(FLOOR(us / {float(DRIFT_HOUR_US)!r}) AS BIGINT) % 24")
+    return f"""
+WITH e AS (
+  SELECT event_type AS g, ({bin_sql}) AS b
+  FROM (SELECT event_type, epoch_us(ts) AS us FROM events)),
+types AS (SELECT DISTINCT g FROM e),
+spine AS (SELECT g, u.b FROM types,
+          (SELECT UNNEST(GENERATE_SERIES(0, 167)) AS b) u),
+cnt AS (SELECT g, b, COUNT(*) AS c FROM e GROUP BY 1, 2),
+dense AS (
+  SELECT s.g, s.b, COALESCE(cnt.c, 0) AS c
+  FROM spine s LEFT JOIN cnt ON cnt.g = s.g AND cnt.b = s.b),
+base AS (SELECT b, SUM(c) AS cb FROM dense GROUP BY 1),
+j AS (
+  SELECT f.g, f.b, f.c, base.cb,
+         SUM(f.c) OVER (PARTITION BY f.g ORDER BY f.b
+                        ROWS UNBOUNDED PRECEDING) AS cum_t,
+         SUM(base.cb) OVER (PARTITION BY f.g ORDER BY f.b
+                            ROWS UNBOUNDED PRECEDING) AS cum_b,
+         SUM(f.c) OVER (PARTITION BY f.g) AS nt,
+         SUM(base.cb) OVER (PARTITION BY f.g) AS nb
+  FROM dense f JOIN base ON base.b = f.b)
+SELECT g, CAST(MAX(nt) AS BIGINT) AS n_events,
+       CAST(SUM(ABS(cum_t * nb - cum_b * nt)) AS BIGINT) AS emd_scaled,
+       ROUND(CAST(SUM(ABS(cum_t * nb - cum_b * nt)) AS DOUBLE) /
+             (CAST(MAX(nt) AS DOUBLE) * MAX(nb)), 6) AS emd_bins,
+       ROUND(SUM((CAST(c + 1 AS DOUBLE) / (nt + 168) -
+                  CAST(cb + 1 AS DOUBLE) / (nb + 168)) *
+                 LN((CAST(c + 1 AS DOUBLE) / (nt + 168)) /
+                    (CAST(cb + 1 AS DOUBLE) / (nb + 168)))), 6) AS psi
+FROM j GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "distribution_drift": (q_distribution_drift, _oracle_drift()),
+})

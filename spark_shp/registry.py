@@ -129,6 +129,7 @@ _TAIL = [
     "anova_f",                # one-way ANOVA from int moments (C6)
     "mann_kendall",           # rank trend test, exact integer S (C6)
     "association_rules",      # market-basket support/conf/lift (C6)
+    "distribution_drift",     # PSI + exact 1-D Wasserstein drift (C6)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -1054,3 +1054,35 @@ def test_association_rules_laws(spark):
     lifts = {(r.ante, r.cons): r.lift for r in rows}
     for (a, b), l in lifts.items():
         assert abs(l - lifts[(b, a)]) < 1e-6
+
+
+# --- distribution drift ------------------------------------------------------------------
+
+def test_distribution_drift_matches_numpy_emd_and_psi(spark):
+    import math
+    from collections import defaultdict
+    from spark_shp.queries_mining import q_distribution_drift
+    got = {r.g: r for r in q_distribution_drift(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_type AS g",
+        "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us").collect()
+    bins = defaultdict(lambda: np.zeros(168, dtype=np.int64))
+    for r in ev:
+        b = ((r.us // 86_400_000_000 + 4) % 7) * 24 \
+            + (r.us // 3_600_000_000) % 24
+        bins[r.g][int(b)] += 1
+    base = sum(bins.values())
+    nb = int(base.sum())
+    for g, c in bins.items():
+        nt = int(c.sum())
+        cum_t, cum_b = np.cumsum(c), np.cumsum(base)
+        emd_x = int(np.abs(cum_t * nb - cum_b * nt).sum())
+        pa = (c + 1) / (nt + 168)
+        pb = (base + 1) / (nb + 168)
+        psi = float(((pa - pb) * np.log(pa / pb)).sum())
+        r = got[g]
+        assert r.n_events == nt
+        assert r.emd_scaled == emd_x
+        assert abs(r.emd_bins - emd_x / (nt * nb)) < 1e-6
+        assert abs(r.psi - psi) < 1e-6
+        assert r.psi >= 0 or abs(r.psi) < 1e-6  # PSI is non-negative
