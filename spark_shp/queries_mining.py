@@ -2557,3 +2557,72 @@ FROM j GROUP BY 1
 QUERIES.update({
     "distribution_drift": (q_distribution_drift, _oracle_drift()),
 })
+
+
+# --- image_histogram_stats: pixel-value histograms over real bytes ----------------
+#
+# The exposure/contrast QA pass (B11 family): decode real raw/png bytes,
+# bucket every pixel value into 8 equal-width bins, and aggregate exact
+# counts per (format, bucket) with an image-index-weighted checksum that
+# catches a histogram attributed to the wrong image.  The oracle
+# recomputes every bucket count from the generator formula
+# P(y,x,c) = mix(i*1000003 + y*4096 + x*4 + c) % 256 by lattice sums.
+
+HIST_N = 24          # ids 0..23; qb (lossy) excluded -> 16 raw/png images
+HIST_BUCKETS = 8
+
+
+def q_image_histogram_stats(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, HIST_N, partitions=4).where(
+        F.col("fmt") != "qb")
+    # the kernel emits all 8 buckets per image incl. zero counts; the
+    # oracle's per-image rows exist only for non-empty buckets — drop
+    # zeros so n_images means "images with pixels in this bin" on both
+    h = multimodal.histogram_checksums(img, buckets=HIST_BUCKETS).where(
+        "n_px > 0")
+    withi = h.selectExpr(
+        "image_id", "bucket", "n_px",
+        "CAST(substr(image_id, 4) AS BIGINT) AS i",
+        "CASE WHEN CAST(substr(image_id, 4) AS BIGINT) % 3 = 0 "
+        "THEN 'raw' ELSE 'png' END AS fmt")
+    return (withi.groupBy("fmt", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("n_px").alias("n_pixels"),
+                 F.expr("SUM(n_px * (i + 7))").alias("checksum"))
+            .selectExpr("fmt", "CAST(bucket AS INT) AS bucket",
+                        "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(n_pixels AS BIGINT) AS n_pixels",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_image_hist() -> str:
+    from .hashing import mix_sql
+    m = fixtures.images_meta_sql("i")
+    px = mix_sql("i * 1000003 + yy.y * 4096 + xx.x * 4 + cc.c")
+    width = 256 // HIST_BUCKETS
+    return f"""
+WITH imgs AS (
+  SELECT i, {m['w']} AS w, {m['h']} AS h,
+         CASE WHEN i % 3 = 0 THEN 'raw' ELSE 'png' END AS fmt
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {HIST_N - 1})) AS i) t
+  WHERE i % 3 <> 2),
+pix AS (
+  SELECT i, fmt,
+         CAST(FLOOR((({px}) % 256) / {float(width)!r}) AS INT) AS bucket
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 1)) AS y) yy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS x) xx,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c) cc),
+per AS (
+  SELECT i, fmt, bucket, COUNT(*) AS n_px FROM pix GROUP BY 1, 2, 3)
+SELECT fmt, bucket, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(n_px) AS BIGINT) AS n_pixels,
+       CAST(SUM(n_px * (i + 7)) AS BIGINT) AS checksum
+FROM per GROUP BY 1, 2
+"""
+
+
+QUERIES.update({
+    "image_histogram_stats": (q_image_histogram_stats, _oracle_image_hist()),
+})

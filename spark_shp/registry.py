@@ -130,6 +130,7 @@ _TAIL = [
     "mann_kendall",           # rank trend test, exact integer S (C6)
     "association_rules",      # market-basket support/conf/lift (C6)
     "distribution_drift",     # PSI + exact 1-D Wasserstein drift (C6)
+    "image_histogram_stats",  # pixel-value histograms, real decode (B11)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

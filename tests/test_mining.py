@@ -1086,3 +1086,34 @@ def test_distribution_drift_matches_numpy_emd_and_psi(spark):
         assert abs(r.emd_bins - emd_x / (nt * nb)) < 1e-6
         assert abs(r.psi - psi) < 1e-6
         assert r.psi >= 0 or abs(r.psi) < 1e-6  # PSI is non-negative
+
+
+# --- image pixel histograms ---------------------------------------------------------------
+
+def test_image_histogram_matches_real_decode(spark):
+    """Rebuild every histogram by decoding the real bytes in python
+    (codecs.decode, independent of the mapInPandas kernel path) and
+    bucketing with numpy."""
+    from spark_shp import codecs, fixtures
+    from spark_shp.queries_mining import (HIST_BUCKETS, HIST_N,
+                                          q_image_histogram_stats)
+    got = {(r.fmt, r.bucket): (r.n_images, r.n_pixels, r.checksum)
+           for r in q_image_histogram_stats(spark, SF).collect()}
+    width = 256 // HIST_BUCKETS
+    want = {}
+    for i in range(HIST_N):
+        if i % 3 == 2:
+            continue
+        row = fixtures.image_row(i)
+        px = codecs.decode(row["bytes"], row["w"], row["h"],
+                           row["fmt"]).astype(np.int64)
+        counts = np.bincount((px // width).ravel(),
+                             minlength=HIST_BUCKETS)
+        for b in range(HIST_BUCKETS):
+            if counts[b] == 0:
+                continue
+            k = (row["fmt"], b)
+            n, npx, ck = want.get(k, (0, 0, 0))
+            want[k] = (n + 1, npx + int(counts[b]),
+                       ck + int(counts[b]) * (i + 7))
+    assert got == want
