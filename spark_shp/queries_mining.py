@@ -1910,7 +1910,9 @@ def q_trend_regression(spark, sf_dir):
               F.sum("x").alias("sx"), F.sum("y").alias("sy"),
               F.expr("SUM(x * x)").alias("sxx"),
               F.expr("SUM(x * y)").alias("sxy"),
-              F.expr("SUM(y * y)").alias("syy")))
+              # y is an hourly cents SUM (~1e8 at 100M rows), so y*y needs
+              # the DECIMAL accumulator — int64 overflowed in the 100M bench
+              F.expr("SUM(CAST(y AS DECIMAL(38, 0)) * y)").alias("syy")))
     return m.selectExpr(
         "g", "CAST(n AS BIGINT) AS n_hours",
         "ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
@@ -1937,7 +1939,7 @@ base AS (SELECT g, MIN(h) AS h0 FROM hourly GROUP BY 1),
 m AS (
   SELECT hourly.g, COUNT(*) AS n, SUM(h - h0) AS sx, SUM(y) AS sy,
          SUM((h - h0) * (h - h0)) AS sxx, SUM((h - h0) * y) AS sxy,
-         SUM(y * y) AS syy
+         SUM(CAST(y AS DECIMAL(38, 0)) * y) AS syy
   FROM hourly JOIN base ON hourly.g = base.g GROUP BY 1)
 SELECT g, CAST(n AS BIGINT) AS n_hours,
        ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
@@ -2295,7 +2297,8 @@ def q_anova_f(spark, sf_dir):
         "CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v")
     per = o.groupBy("g").agg(F.count(F.lit(1)).alias("n"),
                              F.sum("v").alias("s"),
-                             F.expr("SUM(v * v)").alias("ss"))
+                             F.expr("SUM(CAST(v * v AS DECIMAL(38, 0)))")
+                             .alias("ss"))
     # ssb folds over the FIXED priority alphabet in one literal expression
     # (the user_entropy rule): a SUM(s*s/n) float aggregate is
     # aggregation-order-dependent at the last ulp, which ROUND(,4) cannot
@@ -2322,7 +2325,8 @@ WITH o AS (
   SELECT o_orderpriority AS g,
          CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
   FROM orders),
-per AS (SELECT g, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+per AS (SELECT g, COUNT(*) AS n, SUM(v) AS s,
+               SUM(CAST(v * v AS DECIMAL(38, 0))) AS ss
         FROM o GROUP BY 1),
 piv AS (
   SELECT SUM(n) AS nt, SUM(s) AS st, SUM(ss) AS sst, COUNT(*) AS k,

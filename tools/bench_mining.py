@@ -30,6 +30,8 @@ TRIALS = 2
 
 
 def synthesize(spark):
+    if os.path.isdir(os.path.join(OUT, "orders.parquet")):
+        return  # reuse within a session (same N by construction)
     if os.path.isdir(OUT):
         shutil.rmtree(OUT)
     os.makedirs(OUT)
@@ -62,9 +64,11 @@ def synthesize(spark):
 
 def main():
     from spark_shp.queries_mining import (
-        q_convex_hull_groups, q_event_lag_correlation, q_interval_coverage,
-        q_outlier_audit, q_sequence_motifs, q_trajectory_densify,
-        q_trajectory_simplify, q_twap_values)
+        q_anova_f, q_changepoint_detect, q_convex_hull_groups,
+        q_distribution_drift, q_event_lag_correlation, q_gini_concentration,
+        q_interval_coverage, q_mann_kendall, q_outlier_audit,
+        q_sequence_motifs, q_trajectory_densify, q_trajectory_simplify,
+        q_trend_regression, q_twap_values)
 
     spark = get_spark("bench_mining", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -83,7 +87,18 @@ def main():
         # densify fans out <=48 samples per segment: run at N/10 input and
         # report BOTH input rows/s and emitted samples/s
         ("trajectory_densify", q_trajectory_densify, N // 10),
+        # the stats family: all reduce to tiny aggregates
+        ("anova_f", q_anova_f, N),
+        ("trend_regression", q_trend_regression, N),
+        ("mann_kendall", q_mann_kendall, N),
+        ("changepoint_detect", q_changepoint_detect, N),
+        ("gini_concentration", q_gini_concentration, N),
+        ("distribution_drift", q_distribution_drift, N),
     ]
+    only = os.environ.get("BENCH_MINING_ONLY")
+    if only:
+        names = set(only.split(","))
+        ops = [o for o in ops if o[0] in names]
     results = {}
     for name, fn, rows in ops:
         sf_dir = OUT
@@ -126,8 +141,13 @@ def main():
         "clearCache() before each (CacheManager canonical-plan pitfall)",
         "results": results,
     }
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH", "MINING.json"), "w") as f:
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH", "MINING.json")
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            doc = json.load(f)
+        doc["results"].update(results)
+    with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps({k: v["rows_per_sec"] for k, v in results.items()}))
     spark.stop()
