@@ -2630,3 +2630,93 @@ FROM per GROUP BY 1, 2
 QUERIES.update({
     "image_histogram_stats": (q_image_histogram_stats, _oracle_image_hist()),
 })
+
+
+# --- dag_critical_path: longest path through a layered dependency DAG ------------
+#
+# The scheduler/build-system primitive (critical-path analysis of an ETL
+# dependency graph): longest weighted path in a DAG.  The graph is a
+# 10-layer pipeline synthesized from the shared hash family (edges only
+# cross adjacent layers, so the DP depth is bounded BY CONSTRUCTION at
+# D-1 relaxation rounds — no convergence loop to trust); parallel edges
+# collapse deterministically to MAX weight.  Spark runs the real
+# iterative max-relaxation (one edge-keyed shuffle per round,
+# localCheckpoint); the oracle unrolls the same D-1 rounds as chained
+# CTEs.  All-integer weights keep every distance exact.
+
+DAG_LAYERS = 10
+DAG_WIDTH = 60
+DAG_EDGES = 2400
+
+
+def _dag_edges_sql():
+    from .hashing import mix_sql
+    l_ = f"({mix_sql('id * 5 + 1')}) % {DAG_LAYERS - 1}"
+    return (f"({l_}) * {DAG_WIDTH} + ({mix_sql('id * 5 + 2')}) "
+            f"% {DAG_WIDTH}",
+            f"(({l_}) + 1) * {DAG_WIDTH} + ({mix_sql('id * 5 + 3')}) "
+            f"% {DAG_WIDTH}",
+            f"1 + ({mix_sql('id * 5 + 4')}) % 99")
+
+
+def q_dag_critical_path(spark, sf_dir):
+    ue, ve, we = _dag_edges_sql()
+    raw = spark.range(0, DAG_EDGES).selectExpr(
+        f"{ue} AS u", f"{ve} AS v", f"{we} AS w")
+    edges = (raw.groupBy("u", "v").agg(F.max("w").alias("w"))
+             .localCheckpoint())
+    nodes = (edges.selectExpr("u AS node")
+             .union(edges.selectExpr("v AS node")).distinct())
+    dist = nodes.selectExpr("node", "CAST(0 AS BIGINT) AS d") \
+        .localCheckpoint()
+    for _ in range(DAG_LAYERS - 1):
+        relaxed = (edges.join(dist.selectExpr("node AS u", "d AS du"), "u")
+                   .groupBy("v").agg(F.expr("MAX(du + w)").alias("dv")))
+        dist = (dist.join(relaxed.selectExpr("v AS node", "dv"),
+                          "node", "left")
+                .selectExpr("node", "GREATEST(d, COALESCE(dv, 0)) AS d")
+                .localCheckpoint())
+    return (dist.selectExpr(
+        f"CAST(FLOOR(node / {float(DAG_WIDTH)!r}) AS BIGINT) AS layer",
+        "node", "d")
+        .groupBy("layer")
+        .agg(F.count(F.lit(1)).alias("n_nodes"),
+             F.expr("SUM(CAST(d > 0 AS INT))").alias("n_reached"),
+             F.max("d").alias("critical_path"),
+             F.expr("SUM(d * 131 + node)").alias("checksum"))
+        .selectExpr("layer", "CAST(n_nodes AS BIGINT) AS n_nodes",
+                    "CAST(n_reached AS BIGINT) AS n_reached",
+                    "CAST(critical_path AS BIGINT) AS critical_path",
+                    "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_dag() -> str:
+    ue, ve, we = _dag_edges_sql()
+    ue, ve, we = (x.replace("id", "i") for x in (ue, ve, we))
+    ctes = [f"""raw AS (
+  SELECT {ue} AS u, {ve} AS v, {we} AS w
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {DAG_EDGES - 1})) AS i) t),
+ed AS (SELECT u, v, MAX(w) AS w FROM raw GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT u AS node FROM
+          (SELECT u FROM ed UNION ALL SELECT v FROM ed) x(u)),
+d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM nodes)"""]
+    for r in range(1, DAG_LAYERS):
+        ctes.append(f"""rx{r} AS (
+  SELECT ed.v, MAX(p.d + ed.w) AS dv
+  FROM ed JOIN d{r - 1} p ON p.node = ed.u GROUP BY 1),
+d{r} AS (
+  SELECT p.node, GREATEST(p.d, COALESCE(rx{r}.dv, 0)) AS d
+  FROM d{r - 1} p LEFT JOIN rx{r} ON rx{r}.v = p.node)""")
+    last = f"d{DAG_LAYERS - 1}"
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(FLOOR(node / {float(DAG_WIDTH)!r}) AS BIGINT) AS layer,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(CAST(d > 0 AS INT)) AS BIGINT) AS n_reached,
+       CAST(MAX(d) AS BIGINT) AS critical_path,
+       CAST(SUM(d * 131 + node) AS BIGINT) AS checksum
+FROM {last} GROUP BY 1""")
+
+
+QUERIES.update({
+    "dag_critical_path": (q_dag_critical_path, _oracle_dag()),
+})

@@ -131,6 +131,7 @@ _TAIL = [
     "association_rules",      # market-basket support/conf/lift (C6)
     "distribution_drift",     # PSI + exact 1-D Wasserstein drift (C6)
     "image_histogram_stats",  # pixel-value histograms, real decode (B11)
+    "dag_critical_path",      # layered-DAG longest path (graph family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

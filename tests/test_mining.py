@@ -1117,3 +1117,37 @@ def test_image_histogram_matches_real_decode(spark):
             want[k] = (n + 1, npx + int(counts[b]),
                        ck + int(counts[b]) * (i + 7))
     assert got == want
+
+
+# --- DAG critical path ----------------------------------------------------------------------
+
+def test_dag_critical_path_matches_topological_dp(spark):
+    from spark_shp.hashing import mix
+    from spark_shp.queries_mining import (DAG_EDGES, DAG_LAYERS, DAG_WIDTH,
+                                          q_dag_critical_path)
+    got = {r.layer: r for r in q_dag_critical_path(spark, SF).collect()}
+    i = np.arange(DAG_EDGES, dtype=np.int64)
+    l_ = mix(i * 5 + 1) % (DAG_LAYERS - 1)
+    u = l_ * DAG_WIDTH + mix(i * 5 + 2) % DAG_WIDTH
+    v = (l_ + 1) * DAG_WIDTH + mix(i * 5 + 3) % DAG_WIDTH
+    w = 1 + mix(i * 5 + 4) % 99
+    edges = {}
+    for a, b, c in zip(u.tolist(), v.tolist(), w.tolist()):
+        edges[(a, b)] = max(edges.get((a, b), 0), c)
+    nodes = sorted({x for e in edges for x in e})
+    dist = {n: 0 for n in nodes}
+    for n in nodes:  # topological order = node id order (layered)
+        for (a, b), c in edges.items():
+            if a == n:
+                dist[b] = max(dist[b], dist[a] + c)
+    want = {}
+    for n, d in dist.items():
+        lyr = n // DAG_WIDTH
+        cnt, rch, mx, ck = want.get(lyr, (0, 0, 0, 0))
+        want[lyr] = (cnt + 1, rch + (d > 0), max(mx, d), ck + d * 131 + n)
+    assert {l: (r.n_nodes, r.n_reached, r.critical_path, r.checksum)
+            for l, r in got.items()} == want
+    # layer 0 holds only sources (nothing points into it) and the deepest
+    # layers carry the longest chains
+    assert got[0].critical_path == 0 and got[0].n_reached == 0
+    assert got[max(got)].critical_path >= (DAG_LAYERS - 1)  # >=1 per hop
