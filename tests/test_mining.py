@@ -1151,3 +1151,31 @@ def test_dag_critical_path_matches_topological_dp(spark):
     # layers carry the longest chains
     assert got[0].critical_path == 0 and got[0].n_reached == 0
     assert got[max(got)].critical_path >= (DAG_LAYERS - 1)  # >=1 per hop
+
+
+# --- hypothesis properties ---------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.sets(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+               min_size=1, max_size=12))
+def test_hull_metrics_property_fuzz(pts):
+    pts = sorted(pts)
+    assert hull_metrics(pts) == _metrics_from_edges(pts, _brute_edges(pts))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(-179_999_999, 179_999_999))
+def test_wkt_render_property_fuzz(u):
+    import duckdb
+    from spark_shp.queries_mining import _wkt_render_sql
+    got = duckdb.connect().execute(
+        f"SELECT {_wkt_render_sql(str(u))}").fetchone()[0]
+    want = ("-" if u < 0 else "") + f"{abs(u) // 1000000}." \
+        + f"{abs(u) % 1000000:06d}"
+    assert got == want
+    # and the parse round-trips: strtod of the string re-quantizes to u
+    import math
+    assert math.floor(float(got) * 1e6 + 0.5) == u
