@@ -2720,3 +2720,79 @@ FROM {last} GROUP BY 1""")
 QUERIES.update({
     "dag_critical_path": (q_dag_critical_path, _oracle_dag()),
 })
+
+
+# --- tree_rollup: hierarchical aggregation via closed-form ancestor explode -------
+#
+# Subtree rollups over an org/BOM-style hierarchy WITHOUT recursion: the
+# customer keys form an implicit binary tree (parent = child // 2), so a
+# node's whole ancestor chain is the closed form FLOOR(node / 2^k),
+# k = 0..depth — a CONSTANT fan-out explode (the materialized-path trick),
+# one shuffle on the ancestor key, no iteration at all.  Every aggregate
+# is exact integer cents; subtree count conservation
+# (SUM over a level of n_subtree == total nodes below it + level size)
+# is pinned in pytest.
+
+TREE_DEPTH = 22      # covers custkey < 2^22 at every gate SF
+
+
+def q_tree_rollup(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS node",
+        "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents")
+    anc = (c.selectExpr("node", "cents",
+                        f"explode(sequence(0, {TREE_DEPTH})) AS k")
+           .selectExpr("CAST(FLOOR(node / POW(2.0, k)) AS BIGINT) "
+                       "AS ancestor", "cents", "node")
+           .where("ancestor >= 1"))
+    roll = (anc.groupBy("ancestor")
+            .agg(F.count(F.lit(1)).alias("n_subtree"),
+                 F.sum("cents").alias("subtree_cents"),
+                 F.min("node").alias("min_node"),
+                 F.max("node").alias("max_node")))
+    # report one summary row per tree LEVEL — the EXACT bit length
+    # (LENGTH of the base-2 rendering, the quadkey different-builtins
+    # trick), never FLOOR(LOG2(x)): Spark computes LOG2 as a log ratio
+    # whose last ulp can flip the floor at exact powers of two
+    return (roll.selectExpr(
+        "CAST(LENGTH(CONV(CAST(ancestor AS STRING), 10, 2)) - 1 "
+        "AS BIGINT) AS level",
+        "n_subtree", "subtree_cents", "ancestor")
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_ancestors"),
+             F.sum("n_subtree").alias("sum_subtree_nodes"),
+             F.max("n_subtree").alias("max_subtree_nodes"),
+             F.sum("subtree_cents").alias("sum_cents"),
+             F.expr("SUM(ancestor % 999983)").alias("checksum"))
+        .selectExpr("level", "CAST(n_ancestors AS BIGINT) AS n_ancestors",
+                    "CAST(sum_subtree_nodes AS BIGINT) AS sum_subtree_nodes",
+                    "CAST(max_subtree_nodes AS BIGINT) AS max_subtree_nodes",
+                    "CAST(sum_cents AS BIGINT) AS sum_cents",
+                    "CAST(checksum AS BIGINT) AS checksum"))
+
+
+ORACLE_TREE = f"""
+WITH c AS (
+  SELECT c_custkey AS node,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer),
+anc AS (
+  SELECT CAST(FLOOR(node / POW(2.0, k)) AS BIGINT) AS ancestor, cents, node
+  FROM c, (SELECT UNNEST(GENERATE_SERIES(0, {TREE_DEPTH})) AS k) ks
+  WHERE CAST(FLOOR(node / POW(2.0, k)) AS BIGINT) >= 1),
+roll AS (
+  SELECT ancestor, COUNT(*) AS n_subtree, SUM(cents) AS subtree_cents
+  FROM anc GROUP BY 1)
+SELECT CAST(LENGTH(to_base(ancestor, 2)) - 1 AS BIGINT) AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_ancestors,
+       CAST(SUM(n_subtree) AS BIGINT) AS sum_subtree_nodes,
+       CAST(MAX(n_subtree) AS BIGINT) AS max_subtree_nodes,
+       CAST(SUM(subtree_cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(ancestor % 999983) AS BIGINT) AS checksum
+FROM roll GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "tree_rollup": (q_tree_rollup, ORACLE_TREE),
+})

@@ -132,6 +132,7 @@ _TAIL = [
     "distribution_drift",     # PSI + exact 1-D Wasserstein drift (C6)
     "image_histogram_stats",  # pixel-value histograms, real decode (B11)
     "dag_critical_path",      # layered-DAG longest path (graph family)
+    "tree_rollup",            # hierarchy subtree rollup, no recursion (C6)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

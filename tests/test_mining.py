@@ -1179,3 +1179,34 @@ def test_wkt_render_property_fuzz(u):
     # and the parse round-trips: strtod of the string re-quantizes to u
     import math
     assert math.floor(float(got) * 1e6 + 0.5) == u
+
+
+# --- tree rollup --------------------------------------------------------------------------
+
+def test_tree_rollup_matches_recursive_python(spark):
+    import math
+    from collections import defaultdict
+    from spark_shp.queries_mining import q_tree_rollup
+    got = {r.level: r for r in q_tree_rollup(spark, SF).collect()}
+    cust = spark.read.parquet(f"{SF}/customer.parquet").selectExpr(
+        "c_custkey", "c_acctbal").collect()
+    vals = {r.c_custkey: math.floor(r.c_acctbal * 100 + 0.5) for r in cust}
+    # genuinely recursive subtree accumulation (child -> parent walks)
+    n_sub, c_sub = defaultdict(int), defaultdict(int)
+    for node, cents in vals.items():
+        a = node
+        while a >= 1:
+            n_sub[a] += 1
+            c_sub[a] += cents
+            a //= 2
+    want = {}
+    for a, n in n_sub.items():
+        lvl = a.bit_length() - 1
+        na, sn, mx, sc, ck = want.get(lvl, (0, 0, 0, 0, 0))
+        want[lvl] = (na + 1, sn + n, max(mx, n), sc + c_sub[a],
+                     ck + a % 999983)
+    assert {l: (r.n_ancestors, r.sum_subtree_nodes, r.max_subtree_nodes,
+                r.sum_cents, r.checksum) for l, r in got.items()} == want
+    # the root (level 0) sees every node with key >= 1 (key 0 has no
+    # ancestor chain under parent = child // 2 — excluded on both engines)
+    assert got[0].max_subtree_nodes == sum(1 for k in vals if k >= 1)
