@@ -2414,8 +2414,13 @@ FROM n JOIN s ON n.g = s.g LEFT JOIN ties ON n.g = ties.g
 
 
 def q_association_rules(spark, sf_dir):
+    # materialize the distinct basket table ONCE: four downstream
+    # consumers (user count, item counts, both join sides) otherwise each
+    # re-scan events and re-shuffle the distinct (measured: 8 exchanges
+    # -> 4 after this fold)
     ut = (_t(spark, sf_dir, "events")
-          .selectExpr("user_id", "event_type").distinct())
+          .selectExpr("user_id", "event_type").distinct()
+          .localCheckpoint())
     n_users = ut.selectExpr("user_id").distinct() \
         .groupBy().agg(F.count(F.lit(1)).alias("nu"))
     item = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
@@ -2733,7 +2738,9 @@ QUERIES.update({
 # (SUM over a level of n_subtree == total nodes below it + level size)
 # is pinned in pytest.
 
-TREE_DEPTH = 22      # covers custkey < 2^22 at every gate SF
+TREE_DEPTH = 27      # covers custkey < 2^27 (the 100M bench); at
+                     # gate SFs the extra k's floor to ancestor 0
+                     # and are filtered — results identical
 
 
 def q_tree_rollup(spark, sf_dir):

@@ -1210,3 +1210,25 @@ def test_tree_rollup_matches_recursive_python(spark):
     # the root (level 0) sees every node with key >= 1 (key 0 has no
     # ancestor chain under parent = child // 2 — excluded on both engines)
     assert got[0].max_subtree_nodes == sum(1 for k in vals if k >= 1)
+
+
+def test_plan_shapes_of_late_ops(spark):
+    """Shuffle-count pins for the late batch: tree rollup is the ancestor
+    agg + the level agg (two exchanges, no join); slope/aspect is the
+    occupancy agg + the scatter-target agg + final octant agg (three);
+    association rules shares the distinct (user,type) exchange. All
+    JVM-only."""
+    from spark_shp.queries_mining import (q_association_rules,
+                                          q_slope_aspect_raster,
+                                          q_tree_rollup)
+
+    def shape(df):
+        plan = df._jdf.queryExecution().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        physical = df._jdf.queryExecution().executedPlan().toString()
+        return physical.count("Exchange hashpartitioning")
+
+    assert shape(q_tree_rollup(spark, SF)) == 2
+    assert shape(q_slope_aspect_raster(spark, SF)) <= 3
+    assert shape(q_association_rules(spark, SF)) <= 4

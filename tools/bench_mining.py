@@ -30,7 +30,7 @@ TRIALS = 2
 
 
 def synthesize(spark):
-    if os.path.isdir(os.path.join(OUT, "orders.parquet")):
+    if os.path.isdir(os.path.join(OUT, "customer.parquet")):
         return  # reuse within a session (same N by construction)
     if os.path.isdir(OUT):
         shutil.rmtree(OUT)
@@ -60,11 +60,17 @@ def synthesize(spark):
         "WHEN 1 THEN '2-HIGH' WHEN 2 THEN '3-MEDIUM' WHEN 3 THEN "
         "'4-NOT SPECIFIED' ELSE '5-LOW' END AS o_orderpriority")
     od.write.parquet(f"{OUT}/orders.parquet")
+    # customers: the hierarchy/rollup input (implicit binary tree on key)
+    cu = spark.range(0, N, 1, 256).selectExpr(
+        "id AS c_custkey",
+        f"{u01_sql('id * 23 + 8')} * 11000.0 - 1000.0 AS c_acctbal")
+    cu.write.parquet(f"{OUT}/customer.parquet")
 
 
 def main():
     from spark_shp.queries_mining import (
-        q_anova_f, q_changepoint_detect, q_convex_hull_groups,
+        q_anova_f, q_association_rules, q_changepoint_detect,
+        q_convex_hull_groups, q_tree_rollup,
         q_distribution_drift, q_event_lag_correlation, q_gini_concentration,
         q_interval_coverage, q_mann_kendall, q_outlier_audit,
         q_sequence_motifs, q_trajectory_densify, q_trajectory_simplify,
@@ -94,6 +100,9 @@ def main():
         ("changepoint_detect", q_changepoint_detect, N),
         ("gini_concentration", q_gini_concentration, N),
         ("distribution_drift", q_distribution_drift, N),
+        # hierarchy rollup: ~27x ancestor fan-out through ONE shuffle
+        ("tree_rollup", q_tree_rollup, N),
+        ("association_rules", q_association_rules, N),
     ]
     only = os.environ.get("BENCH_MINING_ONLY")
     if only:
