@@ -2803,3 +2803,217 @@ FROM roll GROUP BY 1
 QUERIES.update({
     "tree_rollup": (q_tree_rollup, ORACLE_TREE),
 })
+
+
+# --- trajectory_crossings: exact segment-intersection overlay ------------------
+#
+# Overlay stage 3 (after fence_overlap_pairs = candidates on bboxes and
+# rect_union_area = region union): PROPER intersections between line
+# segments of DIFFERENT users' trajectories — the conflict-detection /
+# road-network-inference primitive.  The intersection predicate is the
+# textbook four-orientation sign test on INTEGER lattice coordinates, so
+# every distributed comparison is exact int64 (coords < 2^14, orients
+# < 2^31, sign products < 2^62 — ANSI-safe) and the value hash cannot
+# drift.  Trajectories are bounded random walks (cumulative hashed steps
+# in [-128, 127] from a hashed start cell, clamped to the lattice), so
+# consecutive points are LOCAL: a segment's bbox spans <= 2 grid cells
+# per axis and the scatter explode is bounded <= 4 at ANY corpus size —
+# candidates come from ONE cell-keyed equi-join.  The ORACLE is the
+# brute-force O(M^2) pair join with the IDENTICAL sign tests — gate
+# equality therefore PROVES the grid candidate generation is lossless,
+# the fence_overlap_pairs trick applied to segments.  (The oracle join
+# compares PRE-COMPUTED bbox columns: LEAST/GREATEST expressions inside
+# the join condition trip a DuckDB IEJoin internal error — a real
+# dialect landmine found by this build.)  Users are hash-sampled
+# (user_id % 3) only to keep the brute-force oracle affordable at sf0.1;
+# the engine path never materializes all-pairs.
+
+TC_HOME = 64      # 64x64 start-cell grid
+TC_WIN = 256      # grid cell size (lattice units); max |step| = 128
+TC_MAX = TC_HOME * TC_WIN - 1
+
+
+def _tc_segments_sql(us_expr: str) -> str:
+    """Dialect-shared CTE body: sampled users' consecutive-event walk
+    segments on the integer lattice, with precomputed bbox columns."""
+    from .hashing import u01_sql
+    hx = f"CAST(FLOOR({u01_sql('user_id * 13 + 5')} * {TC_HOME}) AS BIGINT)"
+    hy = f"CAST(FLOOR({u01_sql('user_id * 13 + 6')} * {TC_HOME}) AS BIGINT)"
+    sx = (f"CAST(FLOOR({u01_sql('event_id * 17 + 3')} * {TC_WIN}) AS BIGINT)"
+          f" - {TC_WIN // 2}")
+    sy = (f"CAST(FLOOR({u01_sql('event_id * 17 + 4')} * {TC_WIN}) AS BIGINT)"
+          f" - {TC_WIN // 2}")
+    w = "PARTITION BY user_id ORDER BY us, event_id"
+    walk = (f"GREATEST(0, LEAST({TC_MAX}, "
+            f"h{{a}} * {TC_WIN} + {TC_WIN // 2} + "
+            f"SUM(s{{a}}) OVER ({w} ROWS UNBOUNDED PRECEDING)))")
+    return f"""
+  SELECT user_id,
+         ROW_NUMBER() OVER ({w}) AS seq,
+         LAG(x) OVER ({w}) AS x0,
+         LAG(y) OVER ({w}) AS y0,
+         x AS x1, y AS y1
+  FROM (SELECT user_id, event_id, us,
+               {walk.format(a='x')} AS x,
+               {walk.format(a='y')} AS y
+        FROM (SELECT user_id, event_id, {us_expr} AS us,
+                     {hx} AS hx, {hy} AS hy, ({sx}) AS sx, ({sy}) AS sy
+              FROM events WHERE user_id % 3 = 0) raw) pts
+"""
+
+
+# sign tests shared by engine and oracle (a = segment A, b = segment B):
+# dN = orientation of one endpoint against the other segment's line
+_TC_TESTS = [
+    "(bx1 - bx0) * (ay0 - by0) - (by1 - by0) * (ax0 - bx0) AS d1",
+    "(bx1 - bx0) * (ay1 - by0) - (by1 - by0) * (ax1 - bx0) AS d2",
+    "(ax1 - ax0) * (by0 - ay0) - (ay1 - ay0) * (bx0 - ax0) AS d3",
+    "(ax1 - ax0) * (by1 - ay0) - (ay1 - ay0) * (bx1 - ax0) AS d4",
+]
+
+_TC_CLASSIFY = [
+    "CASE WHEN d1 * d2 < 0 AND d3 * d4 < 0 THEN 1 ELSE 0 END AS is_proper",
+    """CASE WHEN NOT (d1 * d2 < 0 AND d3 * d4 < 0)
+            AND d1 * d2 <= 0 AND d3 * d4 <= 0
+            AND LEAST(ax0, ax1) <= GREATEST(bx0, bx1)
+            AND LEAST(bx0, bx1) <= GREATEST(ax0, ax1)
+            AND LEAST(ay0, ay1) <= GREATEST(by0, by1)
+            AND LEAST(by0, by1) <= GREATEST(ay0, ay1)
+       THEN 1 ELSE 0 END AS is_touch""",
+]
+
+
+def q_trajectory_crossings(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    seg = spark.sql(
+        "SELECT * FROM (" +
+        _tc_segments_sql("unix_micros(CAST(ts AS TIMESTAMP_LTZ))") +
+        ") s WHERE x0 IS NOT NULL AND NOT (x0 = x1 AND y0 = y1)")
+    # bounded scatter: bbox spans <= 2 cells per axis by construction
+    cover = seg.selectExpr(
+        "user_id", "seq", "x0", "y0", "x1", "y1",
+        f"explode(sequence(CAST(FLOOR(LEAST(x0, x1) / {TC_WIN}.0) AS BIGINT), "
+        f"CAST(FLOOR(GREATEST(x0, x1) / {TC_WIN}.0) AS BIGINT))) AS cx")
+    cover = cover.selectExpr(
+        "*",
+        f"explode(sequence(CAST(FLOOR(LEAST(y0, y1) / {TC_WIN}.0) AS BIGINT), "
+        f"CAST(FLOOR(GREATEST(y0, y1) / {TC_WIN}.0) AS BIGINT))) AS cy")
+    a = cover.selectExpr("user_id AS ua", "seq AS sa", "x0 AS ax0",
+                         "y0 AS ay0", "x1 AS ax1", "y1 AS ay1", "cx", "cy")
+    b = cover.selectExpr("user_id AS ub", "seq AS sb", "x0 AS bx0",
+                         "y0 AS by0", "x1 AS bx1", "y1 AS by1", "cx", "cy")
+    pairs = (a.join(b, ["cx", "cy"]).where("ua < ub")
+             .drop("cx", "cy").distinct())
+    tested = pairs.selectExpr("*", *_TC_TESTS) \
+        .selectExpr("ua", "ub", "sa", "sb", *_TC_CLASSIFY)
+    return (tested.groupBy("ua", "ub")
+            .agg(F.expr("SUM(is_proper)").alias("n_cross"),
+                 F.expr("SUM(is_touch)").alias("n_touch"),
+                 F.expr("SUM(CASE WHEN is_proper = 1 OR is_touch = 1 "
+                        "THEN (sa * 1009 + sb) % 999983 ELSE 0 END)")
+                 .alias("checksum"))
+            .where("n_cross + n_touch > 0")
+            .selectExpr("ua", "ub", "CAST(n_cross AS BIGINT) AS n_cross",
+                        "CAST(n_touch AS BIGINT) AS n_touch",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_crossings() -> str:
+    return f"""
+WITH seg0 AS ({_tc_segments_sql('epoch_us(ts)')}),
+seg AS (SELECT user_id, seq, x0, y0, x1, y1,
+               LEAST(x0, x1) AS xlo, GREATEST(x0, x1) AS xhi,
+               LEAST(y0, y1) AS ylo, GREATEST(y0, y1) AS yhi
+        FROM seg0
+        WHERE x0 IS NOT NULL AND NOT (x0 = x1 AND y0 = y1)),
+pairs AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, a.seq AS sa, b.seq AS sb,
+         a.x0 AS ax0, a.y0 AS ay0, a.x1 AS ax1, a.y1 AS ay1,
+         b.x0 AS bx0, b.y0 AS by0, b.x1 AS bx1, b.y1 AS by1
+  FROM seg a JOIN seg b
+    ON a.user_id < b.user_id
+   AND a.xlo <= b.xhi AND b.xlo <= a.xhi
+   AND a.ylo <= b.yhi AND b.ylo <= a.yhi),
+tested AS (
+  SELECT ua, ub, sa, sb, {', '.join(_TC_CLASSIFY)}
+  FROM (SELECT ua, ub, sa, sb, ax0, ay0, ax1, ay1, bx0, by0, bx1, by1,
+               {', '.join(_TC_TESTS)}
+        FROM pairs))
+SELECT ua, ub, CAST(SUM(is_proper) AS BIGINT) AS n_cross,
+       CAST(SUM(is_touch) AS BIGINT) AS n_touch,
+       CAST(SUM(CASE WHEN is_proper = 1 OR is_touch = 1
+                THEN (sa * 1009 + sb) % 999983 ELSE 0 END) AS BIGINT)
+         AS checksum
+FROM tested GROUP BY ua, ub
+HAVING SUM(is_proper) + SUM(is_touch) > 0
+"""
+
+
+QUERIES.update({
+    "trajectory_crossings": (q_trajectory_crossings, _oracle_crossings()),
+})
+
+
+# --- theil_sen_slope: robust median-of-pairwise-slopes regression ---------------
+#
+# The robust complement of trend_regression's OLS (and the estimator
+# Mann-Kendall is the test for): per event_type, the Theil-Sen slope over
+# the HOURLY cents series = the median of all pairwise slopes
+# (v2-v1)/(h2-h1).  Scale shape: the corpus-sized pass is one map-side-
+# combined (type, hour) aggregate; the pair fan-out lives on the tiny
+# time-bounded aggregate (720 hours -> 259k pairs/type), corpus-
+# independent.  Exactness: each slope is ONE IEEE division of exact int64
+# num/den (bit-identical across engines); the median is selected by rank
+# over (slope, num, den) — rows tied on all three are interchangeable for
+# the output — and the reported columns are the EXACT integer numerator/
+# denominator of the median pair plus the round-9 quotient.
+
+def q_theil_sen_slope(spark, sf_dir):
+    hourly = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) / 3600000000.0) "
+        "AS BIGINT) AS h",
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc"
+    ).groupBy("event_type", "h").agg(F.sum("vc").alias("v"))
+    a = hourly.selectExpr("event_type", "h AS h1", "v AS v1")
+    b = hourly.selectExpr("event_type AS et2", "h AS h2", "v AS v2")
+    pairs = (a.join(b, (a.event_type == b.et2) & (a.h1 < b.h2))
+             .selectExpr("event_type", "v2 - v1 AS num", "h2 - h1 AS den",
+                         "CAST(v2 - v1 AS DOUBLE) / (h2 - h1) AS slope"))
+    w = "PARTITION BY event_type ORDER BY slope, num, den"
+    ranked = pairs.selectExpr(
+        "event_type", "num", "den", "slope",
+        f"ROW_NUMBER() OVER ({w}) AS rk",
+        "COUNT(*) OVER (PARTITION BY event_type) AS n_pairs")
+    return (ranked.where("rk = CAST((n_pairs + 1) / 2 AS BIGINT)")
+            .selectExpr("event_type", "CAST(n_pairs AS BIGINT) AS n_pairs",
+                        "num AS med_num", "den AS med_den",
+                        "ROUND(slope, 9) AS ts_slope"))
+
+
+ORACLE_THEIL_SEN = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type, b.v - a.v AS num, b.h - a.h AS den,
+         CAST(b.v - a.v AS DOUBLE) / (b.h - a.h) AS slope
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND a.h < b.h),
+ranked AS (
+  SELECT event_type, num, den, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope, num, den) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM pairs)
+SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+       num AS med_num, den AS med_den, ROUND(slope, 9) AS ts_slope
+FROM ranked WHERE rk = CAST(FLOOR((n_pairs + 1) / 2.0) AS BIGINT)
+"""
+
+
+QUERIES.update({
+    "theil_sen_slope": (q_theil_sen_slope, ORACLE_THEIL_SEN),
+})

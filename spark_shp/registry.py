@@ -133,6 +133,8 @@ _TAIL = [
     "image_histogram_stats",  # pixel-value histograms, real decode (B11)
     "dag_critical_path",      # layered-DAG longest path (graph family)
     "tree_rollup",            # hierarchy subtree rollup, no recursion (C6)
+    "trajectory_crossings",   # exact segment-intersection overlay (B4-B7)
+    "theil_sen_slope",        # robust median-of-slopes trend (C6)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

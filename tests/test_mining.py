@@ -1232,3 +1232,147 @@ def test_plan_shapes_of_late_ops(spark):
     assert shape(q_tree_rollup(spark, SF)) == 2
     assert shape(q_slope_aspect_raster(spark, SF)) <= 3
     assert shape(q_association_rules(spark, SF)) <= 4
+
+
+# --- trajectory_crossings: brute-force numpy segment intersection -------------
+
+def _seg_intersect_brute(a, b):
+    """Textbook segment intersection, written independently with numpy
+    floats + exact integer orientation: returns (proper, touch)."""
+    (ax0, ay0, ax1, ay1), (bx0, by0, bx1, by1) = a, b
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    d1 = orient(bx0, by0, bx1, by1, ax0, ay0)
+    d2 = orient(bx0, by0, bx1, by1, ax1, ay1)
+    d3 = orient(ax0, ay0, ax1, ay1, bx0, by0)
+    d4 = orient(ax0, ay0, ax1, ay1, bx1, by1)
+    proper = (d1 > 0) != (d2 > 0) and d1 != 0 and d2 != 0 \
+        and (d3 > 0) != (d4 > 0) and d3 != 0 and d4 != 0
+    bbox = (min(ax0, ax1) <= max(bx0, bx1) and min(bx0, bx1) <= max(ax0, ax1)
+            and min(ay0, ay1) <= max(by0, by1)
+            and min(by0, by1) <= max(ay0, ay1))
+    touch = (not proper and d1 * d2 <= 0 and d3 * d4 <= 0 and bbox)
+    return proper, touch
+
+
+def test_crossings_match_bruteforce(spark):
+    """Engine totals at sf0.001 == a pure-python all-pairs sweep over the
+    same walk segments (rebuilt via the oracle's segment CTE in DuckDB)."""
+    from spark_shp.queries_mining import _tc_segments_sql, q_trajectory_crossings
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF}/events.parquet')")
+    seg = con.sql(
+        "WITH s AS (" + _tc_segments_sql("epoch_us(ts)") + ") "
+        "SELECT user_id, seq, x0, y0, x1, y1 FROM s "
+        "WHERE x0 IS NOT NULL AND NOT (x0 = x1 AND y0 = y1)").df()
+    rows = list(seg.itertuples(index=False))
+    want = {}
+    for i, r in enumerate(rows):
+        for s in rows[i + 1:]:
+            if r.user_id == s.user_id:
+                continue
+            ua, ub = sorted((r.user_id, s.user_id))
+            A, B = (r, s) if r.user_id < s.user_id else (s, r)
+            p, t = _seg_intersect_brute(
+                (A.x0, A.y0, A.x1, A.y1), (B.x0, B.y0, B.x1, B.y1))
+            if p or t:
+                k = (ua, ub)
+                c = want.setdefault(k, [0, 0, 0])
+                c[0] += p
+                c[1] += t
+                c[2] += (A.seq * 1009 + B.seq) % 999983
+    got = {(r.ua, r.ub): (r.n_cross, r.n_touch, r.checksum)
+           for r in q_trajectory_crossings(spark, SF).collect()}
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert sum(v[0] for v in want.values()) > 0  # fixture has real crossings
+
+
+def test_crossings_hand_cases(spark):
+    """The sign-test SQL on hand-built segments: an X crossing is proper,
+    a T junction and a shared endpoint are touches, parallel disjoint and
+    collinear-disjoint are neither."""
+    from spark_shp.queries_mining import _TC_CLASSIFY, _TC_TESTS
+
+    cases = [
+        # (name, a, b, proper, touch)
+        ("x_cross", (0, 0, 10, 10), (0, 10, 10, 0), 1, 0),
+        ("t_junction", (0, 0, 10, 0), (5, 0, 5, 8), 0, 1),
+        ("shared_end", (0, 0, 10, 0), (10, 0, 20, 5), 0, 1),
+        ("parallel", (0, 0, 10, 0), (0, 3, 10, 3), 0, 0),
+        ("collinear_gap", (0, 0, 4, 0), (6, 0, 9, 0), 0, 0),
+        ("collinear_overlap", (0, 0, 6, 0), (4, 0, 9, 0), 0, 1),
+    ]
+    df = spark.createDataFrame(
+        [(n, *a, *b) for n, a, b, _, _ in cases],
+        "name string, ax0 long, ay0 long, ax1 long, ay1 long, "
+        "bx0 long, by0 long, bx1 long, by1 long")
+    got = {r.name: (r.is_proper, r.is_touch)
+           for r in df.selectExpr("*", *_TC_TESTS)
+           .selectExpr("name", *_TC_CLASSIFY).collect()}
+    for n, _, _, p, t in cases:
+        assert got[n] == (p, t), n
+
+
+# --- theil_sen_slope: numpy median-of-slopes replication ----------------------
+
+def test_theil_sen_matches_numpy(spark):
+    from spark_shp.queries_mining import q_theil_sen_slope
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF}/events.parquet')")
+    hourly = con.sql("""
+        SELECT event_type, CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT)
+                 AS h,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS v
+        FROM events GROUP BY 1, 2""").df()
+    got = {r.event_type: (r.n_pairs, r.med_num, r.med_den, r.ts_slope)
+           for r in q_theil_sen_slope(spark, SF).collect()}
+    for et, g in hourly.groupby("event_type"):
+        h = g.h.to_numpy()
+        v = g.v.to_numpy()
+        i, j = np.triu_indices(len(h), k=1)
+        # numpy sorts the quotient; ties across distinct (num, den) pairs
+        # are interchangeable for the reported slope value
+        order = np.lexsort((v[j] - v[i], h[j] - h[i],
+                            (v[j] - v[i]) / (h[j] - h[i])))
+        k = order[(len(order) + 1) // 2 - 1]
+        n_pairs, num, den = len(order), v[j][k] - v[i][k], h[j][k] - h[i][k]
+        assert got[et][0] == n_pairs
+        assert got[et][3] == pytest.approx(num / den, abs=1e-9)
+
+
+def test_theil_sen_recovers_clean_trend(spark):
+    """On exact linear data v = 7*h dollars (700 cents/hour) + noise on
+    <50% of points, the median slope is exactly 700 — the robustness
+    property OLS lacks."""
+    from spark_shp.queries_mining import q_theil_sen_slope
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = []
+        for h in range(24):
+            noise = 100000 if h % 5 == 0 else 0  # 5/24 contaminated
+            rows.append((h, "2024-01-01 %02d:30:00" % h, 7.0 * h + noise))
+        spark.createDataFrame(rows, "event_id long, ts string, value double") \
+            .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts",
+                        "CAST(1 AS BIGINT) AS user_id",
+                        "'a' AS event_type", "value",
+                        "'{}' AS props") \
+            .write.parquet(os.path.join(d, "events.parquet"))
+        out = q_theil_sen_slope(spark, d).collect()
+        assert len(out) == 1
+        assert out[0].ts_slope == pytest.approx(700.0, abs=1e-9)
+
+
+def test_plan_shapes_of_crossings_theil_sen(spark):
+    from spark_shp.queries_mining import (q_theil_sen_slope,
+                                          q_trajectory_crossings)
+
+    for q in (q_trajectory_crossings, q_theil_sen_slope):
+        plan = q(spark, SF)._jdf.queryExecution().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
