@@ -3017,3 +3017,226 @@ FROM ranked WHERE rk = CAST(FLOOR((n_pairs + 1) / 2.0) AS BIGINT)
 QUERIES.update({
     "theil_sen_slope": (q_theil_sen_slope, ORACLE_THEIL_SEN),
 })
+
+
+# --- chisq_independence: contingency-table chi-square test ----------------------
+#
+# The categorical-association complement of anova_f (numeric-vs-category)
+# and mann_kendall (trend): is event_type independent of day-of-week?
+# The corpus-sized pass is ONE map-side-combined (type, dow) count; the
+# 35-cell contingency table plus its margins are exact int64, and each
+# cell's chi-square term is composed as a literal float expression of
+# those integers (the spatial_autocorr rule).  Day-of-week comes from
+# pure epoch-us arithmetic ((day + 4) % 7, 1970-01-01 = Thursday) so
+# engine week-start conventions never enter (the seasonality_profile
+# rule).  Per-type contributions sum 7 floats — order-noisy in the last
+# ulp — so the output is ROUND(..., 6) (the PSI rule).
+
+def q_chisq_independence(spark, sf_dir):
+    cell = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST((FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) / 86400000000.0)"
+        " + 4) % 7 AS BIGINT) AS dow"
+    ).groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
+    margins = cell.selectExpr(
+        "event_type", "dow", "o",
+        "SUM(o) OVER (PARTITION BY event_type) AS r",
+        "SUM(o) OVER (PARTITION BY dow) AS c",
+        "SUM(o) OVER () AS n")
+    return (margins.selectExpr(
+        "event_type", "o", "r",
+        # (o - r*c/n)^2 / (r*c/n), composed from exact ints in one literal
+        # float expression per cell
+        "POW(CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) "
+        "/ CAST(n AS DOUBLE), 2) / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) "
+        "/ CAST(n AS DOUBLE)) AS term")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_dows"),
+             F.max("r").alias("n_type"),
+             F.expr("ROUND(SUM(term), 6)").alias("chi2_contrib"))
+        .selectExpr("event_type", "CAST(n_dows AS BIGINT) AS n_dows",
+                    "CAST(n_type AS BIGINT) AS n_type", "chi2_contrib"))
+
+
+ORACLE_CHISQ = """
+WITH cell AS (
+  SELECT event_type,
+         CAST((FLOOR(epoch_us(ts) / 86400000000.0) + 4) % 7 AS BIGINT)
+           AS dow,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2),
+margins AS (
+  SELECT event_type, dow, o,
+         CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+         CAST(SUM(o) OVER (PARTITION BY dow) AS BIGINT) AS c,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM cell)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_dows,
+       CAST(MAX(r) AS BIGINT) AS n_type,
+       ROUND(SUM(POW(CAST(o AS DOUBLE) - CAST(r AS DOUBLE)
+                 * CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 2)
+             / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                / CAST(n AS DOUBLE))), 6) AS chi2_contrib
+FROM margins GROUP BY event_type
+"""
+
+
+QUERIES.update({
+    "chisq_independence": (q_chisq_independence, ORACLE_CHISQ),
+})
+
+
+# --- nearest_seed_zones: discrete Voronoi / service-area assignment ------------
+#
+# Assign every occupied level-12 cell to its nearest of K hashed seed
+# sites (squared Chebyshev-free Euclidean distance, exact int64) — the
+# service-area / coverage-zoning primitive, and the spatial analog of
+# pq_codes' centroid argmin.  The argmin is ONE packed-integer MIN
+# (d * 64 + seed_id: d <= 2*4095^2 < 2^26, packed < 2^32 — strict-<
+# semantics with the LOWEST seed id winning ties, engine-independent by
+# construction).  The corpus-sized pass is the occupancy groupBy; the
+# seed fan-out (x64) lives on the occupied-cell aggregate.  Per-zone
+# stats are all exact integers.
+
+NSZ_K = 24            # seed sites
+NSZ_LEVEL = 12        # 4096x4096 lattice (matches DENS_LEVEL)
+
+
+def _nsz_seed_exprs() -> list:
+    from .hashing import u01_sql
+    n = 1 << NSZ_LEVEL
+    return [
+        "s AS seed_id",
+        f"CAST(FLOOR({u01_sql('s * 31 + 7')} * {n}) AS BIGINT) AS sx",
+        f"CAST(FLOOR({u01_sql('s * 31 + 8')} * {n}) AS BIGINT) AS sy",
+    ]
+
+
+def q_nearest_seed_zones(spark, sf_dir):
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, NSZ_LEVEL)
+    occ = (_t(spark, sf_dir, "events")
+           .selectExpr(f"{ix} AS ix", f"{iy} AS iy")
+           .groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("n_events")))
+    seeds = spark.range(0, NSZ_K).selectExpr("id AS s") \
+        .selectExpr(*_nsz_seed_exprs())
+    packed = (occ.crossJoin(F.broadcast(seeds))
+              .selectExpr("ix", "iy", "n_events",
+                          "((ix - sx) * (ix - sx) + (iy - sy) * (iy - sy)) "
+                          "* 64 + seed_id AS pk")
+              .groupBy("ix", "iy", "n_events")
+              .agg(F.min("pk").alias("pk")))
+    return (packed.selectExpr("pk % 64 AS zone",
+                              "CAST(pk / 64 AS BIGINT) AS d2",
+                              "ix", "iy", "n_events")
+            .groupBy("zone")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("n_events").alias("n_events"),
+                 F.sum("d2").alias("sum_d2"),
+                 F.max("d2").alias("max_d2"),
+                 F.expr("SUM((ix * 4096 + iy) % 999983)").alias("checksum"))
+            .selectExpr("CAST(zone AS BIGINT) AS zone",
+                        "CAST(n_cells AS BIGINT) AS n_cells",
+                        "CAST(n_events AS BIGINT) AS n_events",
+                        "CAST(sum_d2 AS BIGINT) AS sum_d2",
+                        "CAST(max_d2 AS BIGINT) AS max_d2",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_nsz() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, NSZ_LEVEL)
+    return f"""
+WITH occ AS (
+  SELECT {ix} AS ix, {iy} AS iy, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+seeds AS (SELECT {', '.join(_nsz_seed_exprs())}
+          FROM (SELECT UNNEST(GENERATE_SERIES(0, {NSZ_K - 1})) AS s) t),
+packed AS (
+  SELECT ix, iy, n_events,
+         MIN(((ix - sx) * (ix - sx) + (iy - sy) * (iy - sy)) * 64 + seed_id)
+           AS pk
+  FROM occ, seeds GROUP BY 1, 2, 3)
+SELECT CAST(pk % 64 AS BIGINT) AS zone,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(pk / 64) AS BIGINT)) AS BIGINT) AS sum_d2,
+       CAST(MAX(CAST(FLOOR(pk / 64) AS BIGINT)) AS BIGINT) AS max_d2,
+       CAST(SUM((ix * 4096 + iy) % 999983) AS BIGINT) AS checksum
+FROM packed GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "nearest_seed_zones": (q_nearest_seed_zones, _oracle_nsz()),
+})
+
+
+# --- max_drawdown: running-peak DP vs brute-force pair oracle -------------------
+#
+# Maximum drawdown of the cumulative hourly cents series per event_type —
+# the risk/monitoring classic.  The ENGINE runs the linear DP (running
+# MAX window over the cumulative sum, one shuffle); the ORACLE runs the
+# definitional brute force (max over all hour pairs i <= j of
+# cum_i - cum_j, ~260k pairs per type on the time-bounded hourly
+# aggregate) — two genuinely different algorithms that must agree
+# exactly, int64 end to end.  The reported trough is the EARLIEST hour
+# achieving the maximum drawdown (deterministic tiebreak).
+
+def q_max_drawdown(spark, sf_dir):
+    hourly = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) / 3600000000.0) "
+        "AS BIGINT) AS h",
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc"
+    ).groupBy("event_type", "h").agg(F.sum("vc").alias("v"))
+    w = "PARTITION BY event_type ORDER BY h"
+    dd = hourly.selectExpr(
+        "event_type", "h",
+        f"SUM(v) OVER ({w} ROWS UNBOUNDED PRECEDING) AS cum").selectExpr(
+        "event_type", "h", "cum",
+        f"MAX(cum) OVER ({w} ROWS UNBOUNDED PRECEDING) - cum AS dd")
+    return (
+        dd.selectExpr("event_type", "h", "dd",
+                      "MAX(dd) OVER (PARTITION BY event_type) AS mx")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_hours"),
+             F.max("dd").alias("max_dd"),
+             F.expr("MIN(CASE WHEN dd = mx THEN h END)").alias("trough_h"))
+        .selectExpr("event_type", "CAST(n_hours AS BIGINT) AS n_hours",
+                    "CAST(max_dd AS BIGINT) AS max_dd",
+                    "CAST(trough_h AS BIGINT) AS trough_h"))
+
+
+ORACLE_DRAWDOWN = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, h,
+         CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY h
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM hourly),
+pairs AS (
+  SELECT a.event_type, b.h AS hj, a.cum - b.cum AS dd
+  FROM cum a JOIN cum b
+    ON a.event_type = b.event_type AND a.h <= b.h),
+per_trough AS (
+  SELECT event_type, hj, MAX(dd) AS dd_at_j
+  FROM pairs GROUP BY 1, 2)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(MAX(dd_at_j) AS BIGINT) AS max_dd,
+       CAST(MIN(CASE WHEN dd_at_j = (SELECT MAX(p2.dd_at_j) FROM per_trough
+                                     p2 WHERE p2.event_type =
+                                     per_trough.event_type)
+                THEN hj END) AS BIGINT) AS trough_h
+FROM per_trough GROUP BY event_type
+"""
+
+
+QUERIES.update({
+    "max_drawdown": (q_max_drawdown, ORACLE_DRAWDOWN),
+})

@@ -133,6 +133,9 @@ _TAIL = [
     "image_histogram_stats",  # pixel-value histograms, real decode (B11)
     "dag_critical_path",      # layered-DAG longest path (graph family)
     "tree_rollup",            # hierarchy subtree rollup, no recursion (C6)
+    "chisq_independence",     # contingency chi-square test (C6 stats)
+    "nearest_seed_zones",     # discrete Voronoi zoning (B1/B5 family)
+    "max_drawdown",           # running-peak DP vs pair brute force (C6)
     "trajectory_crossings",   # exact segment-intersection overlay (B4-B7)
     "theil_sen_slope",        # robust median-of-slopes trend (C6)
     "knn_events_nations",

@@ -1376,3 +1376,118 @@ def test_plan_shapes_of_crossings_theil_sen(spark):
         plan = q(spark, SF)._jdf.queryExecution().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+# --- chisq_independence: numpy contingency replication -------------------------
+
+def test_chisq_matches_numpy(spark):
+    from spark_shp.queries_mining import q_chisq_independence
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF}/events.parquet')")
+    tab = con.sql("""
+        SELECT event_type,
+               CAST((FLOOR(epoch_us(ts) / 86400000000.0) + 4) % 7 AS BIGINT)
+                 AS dow, COUNT(*) AS o
+        FROM events GROUP BY 1, 2""").df()
+    piv = tab.pivot_table(index="event_type", columns="dow", values="o",
+                          fill_value=0)
+    obs = piv.to_numpy(dtype=float)
+    r = obs.sum(axis=1, keepdims=True)
+    c = obs.sum(axis=0, keepdims=True)
+    n = obs.sum()
+    exp = r @ c / n
+    # numpy computes contributions over the FULL rectangle; the query only
+    # over occupied cells — restrict to cells with o > 0
+    contrib = np.where(obs > 0, (obs - exp) ** 2 / exp, 0.0).sum(axis=1)
+    got = {row.event_type: row for row in
+           q_chisq_independence(spark, SF).collect()}
+    for et, want in zip(piv.index, contrib):
+        assert got[et].chi2_contrib == pytest.approx(want, abs=1e-4)
+        assert got[et].n_type == int(piv.loc[et].sum())
+
+
+def test_chisq_dow_epoch_rule():
+    """(day + 4) % 7 is Sunday-anchored day-of-week (Sunday=0):
+    1970-01-01 was a Thursday -> 4; pinned against python's calendar."""
+    import datetime
+    for d in (0, 1, 3, 6, 7, 19000, 20321):
+        dt = datetime.date(1970, 1, 1) + datetime.timedelta(days=d)
+        assert (d + 4) % 7 == (dt.weekday() + 1) % 7
+
+
+# --- nearest_seed_zones: brute-force numpy Voronoi ------------------------------
+
+def test_nearest_seed_zones_bruteforce(spark):
+    from spark_shp.hashing import u01
+    from spark_shp.queries_mining import (NSZ_K, NSZ_LEVEL,
+                                          q_nearest_seed_zones)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF}/events.parquet')")
+    from spark_shp import cells, fixtures
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, NSZ_LEVEL)
+    occ = con.sql(f"SELECT {ix} AS ix, {iy} AS iy, COUNT(*) AS ne "
+                  "FROM events GROUP BY 1, 2").df()
+    s = np.arange(NSZ_K)
+    n = 1 << NSZ_LEVEL
+    sx = np.floor(u01(s * 31 + 7) * n).astype(np.int64)
+    sy = np.floor(u01(s * 31 + 8) * n).astype(np.int64)
+    d2 = ((occ["ix"].to_numpy()[:, None] - sx[None, :]) ** 2
+          + (occ["iy"].to_numpy()[:, None] - sy[None, :]) ** 2)
+    zone = np.argmin(d2, axis=1)          # argmin takes the FIRST minimum
+    dmin = d2[np.arange(len(occ)), zone]  # = lowest seed_id on ties
+    got = {r.zone: r for r in q_nearest_seed_zones(spark, SF).collect()}
+    assert sum(r.n_cells for r in got.values()) == len(occ)
+    for z in np.unique(zone):
+        m = zone == z
+        assert got[z].n_cells == int(m.sum())
+        assert got[z].sum_d2 == int(dmin[m].sum())
+        assert got[z].n_events == int(occ["ne"].to_numpy()[m].sum())
+
+
+# --- max_drawdown: sequential python replication --------------------------------
+
+def test_max_drawdown_sequential(spark):
+    from spark_shp.queries_mining import q_max_drawdown
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF}/events.parquet')")
+    hourly = con.sql("""
+        SELECT event_type, CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT)
+                 AS h,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS v
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    got = {r.event_type: r for r in q_max_drawdown(spark, SF).collect()}
+    for et, g in hourly.groupby("event_type"):
+        cum = peak = 0
+        best, trough = -1, None
+        for _, row in g.iterrows():
+            cum += int(row.v)
+            peak = max(peak, cum)
+            dd = peak - cum
+            if dd > best:
+                best, trough = dd, int(row.h)
+        assert got[et].max_dd == best
+        assert got[et].trough_h == trough
+        assert got[et].n_hours == len(g)
+
+
+def test_plan_shapes_of_stats_trio(spark):
+    from spark_shp.queries_mining import (q_chisq_independence,
+                                          q_max_drawdown,
+                                          q_nearest_seed_zones)
+
+    for q in (q_chisq_independence, q_nearest_seed_zones, q_max_drawdown):
+        qe = q(spark, SF)._jdf.queryExecution()
+        plan = qe.toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+    # the Voronoi assign must broadcast the seed side, never shuffle it
+    phys = q_nearest_seed_zones(spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in phys or "BroadcastExchange" in phys
