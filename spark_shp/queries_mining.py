@@ -2828,23 +2828,29 @@ QUERIES.update({
 # (user_id % 3) only to keep the brute-force oracle affordable at sf0.1;
 # the engine path never materializes all-pairs.
 
-TC_HOME = 64      # 64x64 start-cell grid
+TC_HOME = 64      # 64x64 start-cell grid (gate value; bench scales it
+                  # with the corpus so crossing density stays constant)
 TC_WIN = 256      # grid cell size (lattice units); max |step| = 128
-TC_MAX = TC_HOME * TC_WIN - 1
 
 
-def _tc_segments_sql(us_expr: str) -> str:
+def _tc_segments_sql(us_expr: str, home: int = TC_HOME) -> str:
     """Dialect-shared CTE body: sampled users' consecutive-event walk
-    segments on the integer lattice, with precomputed bbox columns."""
+    segments on the integer lattice, with precomputed bbox columns.
+
+    Orientation products in the classify stage stay < 2^40 for any
+    ``home``: every evaluated pair is cell-local (bbox-overlap join /
+    cell-keyed candidates), so coordinate differences are < 3 * TC_WIN
+    even on a 4096^2-cell bench world."""
     from .hashing import u01_sql
-    hx = f"CAST(FLOOR({u01_sql('user_id * 13 + 5')} * {TC_HOME}) AS BIGINT)"
-    hy = f"CAST(FLOOR({u01_sql('user_id * 13 + 6')} * {TC_HOME}) AS BIGINT)"
+    tc_max = home * TC_WIN - 1
+    hx = f"CAST(FLOOR({u01_sql('user_id * 13 + 5')} * {home}) AS BIGINT)"
+    hy = f"CAST(FLOOR({u01_sql('user_id * 13 + 6')} * {home}) AS BIGINT)"
     sx = (f"CAST(FLOOR({u01_sql('event_id * 17 + 3')} * {TC_WIN}) AS BIGINT)"
           f" - {TC_WIN // 2}")
     sy = (f"CAST(FLOOR({u01_sql('event_id * 17 + 4')} * {TC_WIN}) AS BIGINT)"
           f" - {TC_WIN // 2}")
     w = "PARTITION BY user_id ORDER BY us, event_id"
-    walk = (f"GREATEST(0, LEAST({TC_MAX}, "
+    walk = (f"GREATEST(0, LEAST({tc_max}, "
             f"h{{a}} * {TC_WIN} + {TC_WIN // 2} + "
             f"SUM(s{{a}}) OVER ({w} ROWS UNBOUNDED PRECEDING)))")
     return f"""
@@ -2883,11 +2889,11 @@ _TC_CLASSIFY = [
 ]
 
 
-def q_trajectory_crossings(spark, sf_dir):
+def q_trajectory_crossings(spark, sf_dir, home: int = TC_HOME):
     _t(spark, sf_dir, "events").createOrReplaceTempView("events")
     seg = spark.sql(
         "SELECT * FROM (" +
-        _tc_segments_sql("unix_micros(CAST(ts AS TIMESTAMP_LTZ))") +
+        _tc_segments_sql("unix_micros(CAST(ts AS TIMESTAMP_LTZ))", home) +
         ") s WHERE x0 IS NOT NULL AND NOT (x0 = x1 AND y0 = y1)")
     # bounded scatter: bbox spans <= 2 cells per axis by construction
     cover = seg.selectExpr(
@@ -2902,8 +2908,22 @@ def q_trajectory_crossings(spark, sf_dir):
                          "y0 AS ay0", "x1 AS ax1", "y1 AS ay1", "cx", "cy")
     b = cover.selectExpr("user_id AS ub", "seq AS sb", "x0 AS bx0",
                          "y0 AS by0", "x1 AS bx1", "y1 AS by1", "cx", "cy")
+    # report-once dedup BY CONSTRUCTION, not by .distinct(): a pair that
+    # shares k cells is kept only in the cell containing the top-left
+    # corner of the bbox intersection (that corner lies in both bboxes,
+    # so its cell is in both covers).  The original .distinct() was a
+    # full shuffle of every wide candidate row — ~40 GB of spill at the
+    # 100M bench; this is a free per-row predicate.  Pairs whose bboxes
+    # don't overlap can slip through once, but they contribute 0 to
+    # every aggregate (is_proper = is_touch = 0) and the HAVING drops
+    # empty groups, so the result is unchanged — the brute-force oracle
+    # equality proves it.
     pairs = (a.join(b, ["cx", "cy"]).where("ua < ub")
-             .drop("cx", "cy").distinct())
+             .where(f"cx = CAST(FLOOR(GREATEST(LEAST(ax0, ax1), "
+                    f"LEAST(bx0, bx1)) / {TC_WIN}.0) AS BIGINT) AND "
+                    f"cy = CAST(FLOOR(GREATEST(LEAST(ay0, ay1), "
+                    f"LEAST(by0, by1)) / {TC_WIN}.0) AS BIGINT)")
+             .drop("cx", "cy"))
     tested = pairs.selectExpr("*", *_TC_TESTS) \
         .selectExpr("ua", "ub", "sa", "sb", *_TC_CLASSIFY)
     return (tested.groupBy("ua", "ub")
@@ -2969,23 +2989,53 @@ QUERIES.update({
 # denominator of the median pair plus the round-9 quotient.
 
 def q_theil_sen_slope(spark, sf_dir):
+    """Two-phase histogram selection (the outlier_audit pattern): a full
+    rank window PARTITION BY event_type serializes each type's ~2.3M
+    pairs into one task (measured 37 s at the 100M bench).  Instead the
+    pairs are bucketed by FLOOR(slope) — a monotonic PREFIX of the
+    (slope, num, den) order, so the k-th element's bucket is found from
+    the tiny per-bucket histogram and only THAT bucket's rows are ever
+    rank-sorted.  Pair generation broadcasts the time-bounded hourly
+    aggregate, so enumeration parallelism follows the probe side, not
+    the 5 type keys."""
     hourly = _t(spark, sf_dir, "events").selectExpr(
         "event_type",
         "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) / 3600000000.0) "
         "AS BIGINT) AS h",
         "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc"
     ).groupBy("event_type", "h").agg(F.sum("vc").alias("v"))
-    a = hourly.selectExpr("event_type", "h AS h1", "v AS v1")
+    a = hourly.selectExpr("event_type", "h AS h1", "v AS v1") \
+        .repartition(32)
     b = hourly.selectExpr("event_type AS et2", "h AS h2", "v AS v2")
-    pairs = (a.join(b, (a.event_type == b.et2) & (a.h1 < b.h2))
+    pairs = (a.join(F.broadcast(b),
+                    (a.event_type == b.et2) & (a.h1 < b.h2))
+             # GREATEST(.,1) is a no-op for every surviving row (the join
+             # guarantees den >= 1) but keeps ANSI mode happy: codegen can
+             # evaluate the fused projection on rows the join condition
+             # rejects, and a phantom den = 0 then raises DIVIDE_BY_ZERO
              .selectExpr("event_type", "v2 - v1 AS num", "h2 - h1 AS den",
-                         "CAST(v2 - v1 AS DOUBLE) / (h2 - h1) AS slope"))
-    w = "PARTITION BY event_type ORDER BY slope, num, den"
-    ranked = pairs.selectExpr(
-        "event_type", "num", "den", "slope",
-        f"ROW_NUMBER() OVER ({w}) AS rk",
-        "COUNT(*) OVER (PARTITION BY event_type) AS n_pairs")
-    return (ranked.where("rk = CAST((n_pairs + 1) / 2 AS BIGINT)")
+                         "CAST(v2 - v1 AS DOUBLE) / GREATEST(h2 - h1, 1) "
+                         "AS slope")
+             .selectExpr("*", "CAST(FLOOR(slope) AS BIGINT) AS bkt"))
+    hist = pairs.groupBy("event_type", "bkt").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    wb = "PARTITION BY event_type ORDER BY bkt"
+    target = (hist.selectExpr(
+        "event_type", "bkt", "cnt",
+        f"SUM(cnt) OVER ({wb} ROWS UNBOUNDED PRECEDING) AS cum",
+        "SUM(cnt) OVER (PARTITION BY event_type) AS n_pairs")
+        .selectExpr("event_type", "bkt", "cnt", "cum", "n_pairs",
+                    "CAST(FLOOR((n_pairs + 1) / 2.0) AS BIGINT) AS k")
+        .where("k > cum - cnt AND k <= cum")
+        .selectExpr("event_type AS et3", "bkt AS bkt3",
+                    "k - (cum - cnt) AS k_in", "n_pairs"))
+    wr = "PARTITION BY event_type ORDER BY slope, num, den"
+    return (pairs.join(F.broadcast(target),
+                       (pairs.event_type == target.et3)
+                       & (pairs.bkt == target.bkt3))
+            .selectExpr("event_type", "num", "den", "slope", "k_in",
+                        "n_pairs", f"ROW_NUMBER() OVER ({wr}) AS rk")
+            .where("rk = k_in")
             .selectExpr("event_type", "CAST(n_pairs AS BIGINT) AS n_pairs",
                         "num AS med_num", "den AS med_den",
                         "ROUND(slope, 9) AS ts_slope"))
@@ -3113,19 +3163,30 @@ def _nsz_seed_exprs() -> list:
 
 
 def q_nearest_seed_zones(spark, sf_dir):
+    """The argmin is a flat LEAST over 24 literal-seed terms (the
+    pq_codes codegen pattern), NOT a seed-table join: the cross-join
+    formulation re-shuffled ~16.7M occupied cells x 24 candidate rows
+    through the re-group at the 100M bench; LEAST is a free projection
+    and the zone rollup's map-side combine sees only 24 groups.  Seed
+    coordinates come from the shared numpy hash kernel, bit-identical to
+    the oracle's SQL seeds by the repo-wide hash-agreement property."""
+    from .hashing import u01
+    import numpy as np
+    n = 1 << NSZ_LEVEL
+    s = np.arange(NSZ_K)
+    sx = np.floor(u01(s * 31 + 7) * n).astype(np.int64)
+    sy = np.floor(u01(s * 31 + 8) * n).astype(np.int64)
+    terms = ", ".join(
+        f"((ix - {int(x)}) * (ix - {int(x)}) + (iy - {int(y)}) "
+        f"* (iy - {int(y)})) * 64 + {k}"
+        for k, (x, y) in enumerate(zip(sx, sy)))
     ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
                                 fixtures.EVENT_LAT_SQL, NSZ_LEVEL)
     occ = (_t(spark, sf_dir, "events")
            .selectExpr(f"{ix} AS ix", f"{iy} AS iy")
            .groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("n_events")))
-    seeds = spark.range(0, NSZ_K).selectExpr("id AS s") \
-        .selectExpr(*_nsz_seed_exprs())
-    packed = (occ.crossJoin(F.broadcast(seeds))
-              .selectExpr("ix", "iy", "n_events",
-                          "((ix - sx) * (ix - sx) + (iy - sy) * (iy - sy)) "
-                          "* 64 + seed_id AS pk")
-              .groupBy("ix", "iy", "n_events")
-              .agg(F.min("pk").alias("pk")))
+    packed = occ.selectExpr("ix", "iy", "n_events",
+                            f"LEAST({terms}) AS pk")
     return (packed.selectExpr("pk % 64 AS zone",
                               "CAST(pk / 64 AS BIGINT) AS d2",
                               "ix", "iy", "n_events")
@@ -3239,4 +3300,181 @@ FROM per_trough GROUP BY event_type
 
 QUERIES.update({
     "max_drawdown": (q_max_drawdown, ORACLE_DRAWDOWN),
+})
+
+
+# --- ks_test: two-sample Kolmogorov-Smirnov on exact integer CDFs ---------------
+#
+# Completes the distribution-comparison family (distribution_drift = PSI +
+# Wasserstein against a reference WINDOW; this is the two-SAMPLE test
+# between event types).  The statistic is kept exact the Wasserstein way:
+# D = max_c |F1(c) - F2(c)| is evaluated as the integer cross-
+# multiplication |cum1*n2 - cum2*n1| over the pooled cents support, so
+# the argmax and the max are engine-independent; the reported D is ONE
+# int/int division.  The corpus-sized pass is one map-side-combined
+# (sample, cents) count; the cumulative window runs on the value-bounded
+# support (<= 49k cents rows), corpus-independent.
+
+KS_A, KS_B = "view", "click"
+
+
+def q_ks_test(spark, sf_dir):
+    counts = (_t(spark, sf_dir, "events")
+              .where(f"event_type IN ('{KS_A}', '{KS_B}')")
+              .selectExpr(f"CAST(event_type = '{KS_A}' AS INT) AS is_a",
+                          "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c")
+              .groupBy("c")
+              .agg(F.expr("SUM(is_a)").alias("a"),
+                   F.expr("SUM(1 - is_a)").alias("b")))
+    cum = counts.selectExpr(
+        "c",
+        "SUM(a) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum_a",
+        "SUM(b) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum_b",
+        "SUM(a) OVER () AS n_a", "SUM(b) OVER () AS n_b")
+    gap = cum.selectExpr(
+        "c", "n_a", "n_b",
+        "ABS(cum_a * n_b - cum_b * n_a) AS d_num")
+    return (gap.selectExpr(
+        "c", "n_a", "n_b", "d_num",
+        "MAX(d_num) OVER () AS d_max")
+        .where("d_num = d_max")
+        .groupBy().agg(
+            F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+            F.max("d_max").alias("d_num"),
+            F.min("c").alias("at_cents"))
+        .selectExpr("CAST(n_a AS BIGINT) AS n_a",
+                    "CAST(n_b AS BIGINT) AS n_b",
+                    "CAST(d_num AS BIGINT) AS d_num",
+                    "CAST(at_cents AS BIGINT) AS at_cents",
+                    "ROUND(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) "
+                    "* CAST(n_b AS DOUBLE)), 9) AS ks_d"))
+
+
+ORACLE_KS = f"""
+WITH counts AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+         CAST(SUM(CAST(event_type = '{KS_A}' AS INT)) AS BIGINT) AS a,
+         CAST(SUM(1 - CAST(event_type = '{KS_A}' AS INT)) AS BIGINT) AS b
+  FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')
+  GROUP BY 1),
+cum AS (
+  SELECT c,
+         CAST(SUM(a) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_a,
+         CAST(SUM(b) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_b,
+         CAST(SUM(a) OVER () AS BIGINT) AS n_a,
+         CAST(SUM(b) OVER () AS BIGINT) AS n_b
+  FROM counts),
+gap AS (
+  SELECT c, n_a, n_b, ABS(cum_a * n_b - cum_b * n_a) AS d_num
+  FROM cum),
+mx AS (SELECT MAX(d_num) AS d_max FROM gap)
+SELECT CAST(MAX(n_a) AS BIGINT) AS n_a, CAST(MAX(n_b) AS BIGINT) AS n_b,
+       CAST(MAX(d_num) AS BIGINT) AS d_num,
+       CAST(MIN(c) AS BIGINT) AS at_cents,
+       ROUND(CAST(MAX(d_num) AS DOUBLE) / (CAST(MAX(n_a) AS DOUBLE)
+             * CAST(MAX(n_b) AS DOUBLE)), 9) AS ks_d
+FROM gap, mx WHERE gap.d_num = mx.d_max
+"""
+
+
+QUERIES.update({
+    "ks_test": (q_ks_test, ORACLE_KS),
+})
+
+
+# --- kaplan_meier: survival curve with right censoring --------------------------
+#
+# Time-to-event survival (the churn/reliability classic): per user, the
+# HOURS from first activity to the first 'error' event; users who never
+# error are right-censored at the end of the observation window — a real
+# censoring mechanism, not a degenerate one (first->last-activity spans
+# make every user "active at window end" in a uniform-event corpus, which
+# yields an empty curve — found at gate time).  The corpus-sized pass is
+# ONE user-keyed aggregate (min hour, min error hour); everything after
+# runs on the hour-bounded duration histogram.  At-risk and death counts
+# are exact integers (reverse-cumulative window); S(t) multiplies <= span
+# rational factors, so it is reported as ROUND(EXP(SUM(LN(...))), 6) — LN
+# differs by 1 ulp between JVM and libm (the tfidf/user_entropy rule).
+
+
+def q_kaplan_meier(spark, sf_dir):
+    users = _t(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) / 3600000000.0)"
+        " AS BIGINT) AS h",
+        "CAST(event_type = 'error' AS INT) AS is_err"
+    ).groupBy("user_id").agg(
+        F.expr("MIN(h)").alias("h0"),
+        F.expr("MAX(h)").alias("h1"),
+        F.expr("MIN(CASE WHEN is_err = 1 THEN h END)").alias("he"))
+    lived = (users
+             .crossJoin(F.broadcast(
+                 users.groupBy().agg(F.max("h1").alias("hmax"))))
+             .selectExpr(
+                 "CASE WHEN he IS NOT NULL THEN he - h0 "
+                 "ELSE hmax - h0 END AS dur",
+                 "CAST(he IS NOT NULL AS INT) AS churned"))
+    hist = lived.groupBy("dur").agg(
+        F.expr("SUM(churned)").alias("deaths"),
+        F.count(F.lit(1)).alias("ending"))
+    w_at = "ORDER BY dur DESC ROWS UNBOUNDED PRECEDING"
+    w_km = "ORDER BY dur ROWS UNBOUNDED PRECEDING"
+    return (hist.selectExpr(
+        "dur", "deaths", f"SUM(ending) OVER ({w_at}) AS n_risk")
+        .where("deaths > 0")
+        # the last churn time can have deaths = n_risk (everyone left
+        # dies): S(t) = 0 there, and LN(0) must never be evaluated
+        .selectExpr(
+            "dur", "deaths", "n_risk",
+            f"SUM(CASE WHEN deaths = n_risk THEN 1 ELSE 0 END) "
+            f"OVER ({w_km}) AS zeros",
+            f"SUM(CASE WHEN deaths < n_risk THEN "
+            f"LN(CAST(n_risk - deaths AS DOUBLE) / CAST(n_risk AS DOUBLE))"
+            f" ELSE 0.0 END) OVER ({w_km}) AS lnsum")
+        .selectExpr("CAST(dur AS BIGINT) AS dur",
+                    "CAST(deaths AS BIGINT) AS deaths",
+                    "CAST(n_risk AS BIGINT) AS n_risk",
+                    "CASE WHEN zeros > 0 THEN 0.0 "
+                    "ELSE ROUND(EXP(lnsum), 6) END AS km_survival"))
+
+
+ORACLE_KM = """
+WITH users AS (
+  SELECT user_id,
+         MIN(CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT)) AS h0,
+         MAX(CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT)) AS h1,
+         MIN(CASE WHEN event_type = 'error'
+             THEN CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT)
+             END) AS he
+  FROM events GROUP BY 1),
+lived AS (
+  SELECT CASE WHEN he IS NOT NULL THEN he - h0
+         ELSE (SELECT MAX(h1) FROM users) - h0 END AS dur,
+         CAST(he IS NOT NULL AS INT) AS churned
+  FROM users),
+hist AS (
+  SELECT dur, CAST(SUM(churned) AS BIGINT) AS deaths,
+         CAST(COUNT(*) AS BIGINT) AS ending
+  FROM lived GROUP BY 1),
+risk AS (
+  SELECT dur, deaths,
+         CAST(SUM(ending) OVER (ORDER BY dur DESC ROWS UNBOUNDED
+                                PRECEDING) AS BIGINT) AS n_risk
+  FROM hist)
+SELECT dur, deaths, n_risk,
+       CASE WHEN SUM(CASE WHEN deaths = n_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) > 0 THEN 0.0
+       ELSE ROUND(EXP(SUM(CASE WHEN deaths < n_risk THEN
+                          LN(CAST(n_risk - deaths AS DOUBLE)
+                             / CAST(n_risk AS DOUBLE)) ELSE 0.0 END)
+                      OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)), 6)
+       END AS km_survival
+FROM (SELECT dur, deaths, n_risk FROM risk WHERE deaths > 0) t
+"""
+
+
+QUERIES.update({
+    "kaplan_meier": (q_kaplan_meier, ORACLE_KM),
 })

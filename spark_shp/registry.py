@@ -136,6 +136,8 @@ _TAIL = [
     "chisq_independence",     # contingency chi-square test (C6 stats)
     "nearest_seed_zones",     # discrete Voronoi zoning (B1/B5 family)
     "max_drawdown",           # running-peak DP vs pair brute force (C6)
+    "ks_test",                # two-sample KS, exact integer CDFs (C6)
+    "kaplan_meier",           # survival/churn curve, right-censored (C6)
     "trajectory_crossings",   # exact segment-intersection overlay (B4-B7)
     "theil_sen_slope",        # robust median-of-slopes trend (C6)
     "knn_events_nations",

@@ -4,6 +4,7 @@ failure in the shared SQL can't hide behind the differential gate.
 
 import duckdb
 import numpy as np
+import pandas as pd
 import pytest
 
 from spark_shp.queries_mining import (
@@ -1487,7 +1488,75 @@ def test_plan_shapes_of_stats_trio(spark):
         plan = qe.toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
-    # the Voronoi assign must broadcast the seed side, never shuffle it
+    # the Voronoi assign is a literal LEAST projection: no join at all,
+    # and the only corpus-scale exchange is the occupancy groupBy
     phys = q_nearest_seed_zones(spark, SF)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in phys or "BroadcastExchange" in phys
+    assert "Join" not in phys
+    assert phys.count("Exchange hashpartitioning") <= 2
+
+
+# --- ks_test: scipy-free numpy replication --------------------------------------
+
+def test_ks_matches_numpy(spark):
+    from spark_shp.queries_mining import KS_A, KS_B, q_ks_test
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF}/events.parquet')")
+    df = con.sql(f"""
+        SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')""").df()
+    a = np.sort(df[df.event_type == KS_A].c.to_numpy())
+    b = np.sort(df[df.event_type == KS_B].c.to_numpy())
+    support = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, support, side="right") / len(a)
+    fb = np.searchsorted(b, support, side="right") / len(b)
+    d = np.abs(fa - fb)
+    got = q_ks_test(spark, SF).collect()[0]
+    assert got.n_a == len(a) and got.n_b == len(b)
+    assert got.ks_d == pytest.approx(d.max(), abs=1e-9)
+    # argmax location: the query reports the SMALLEST cents achieving max
+    assert got.at_cents == int(support[
+        np.nonzero(np.isclose(d, d.max(), atol=1e-12))[0][0]])
+
+
+# --- kaplan_meier: lifelines-free sequential replication -------------------------
+
+def test_kaplan_meier_sequential(spark):
+    from spark_shp.queries_mining import q_kaplan_meier
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF}/events.parquet')")
+    users = con.sql("""
+        SELECT user_id,
+               MIN(CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT)) AS h0,
+               MAX(CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT)) AS h1,
+               MIN(CASE WHEN event_type = 'error'
+                   THEN CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT)
+                   END) AS he
+        FROM events GROUP BY 1""").df()
+    hmax = users.h1.max()
+    durs, churn = [], []
+    for _, u in users.iterrows():
+        if not pd.isna(u.he):
+            durs.append(int(u.he - u.h0))
+            churn.append(True)
+        else:
+            durs.append(int(hmax - u.h0))
+            churn.append(False)
+    durs = np.array(durs)
+    churn = np.array(churn)
+    got = q_kaplan_meier(spark, SF).collect()
+    s = 1.0
+    rows = iter(sorted(got, key=lambda r: r.dur))
+    for t in np.unique(durs[churn]):
+        n_risk = int((durs >= t).sum())
+        deaths = int(((durs == t) & churn).sum())
+        s *= (n_risk - deaths) / n_risk
+        r = next(rows)
+        assert (r.dur, r.deaths, r.n_risk) == (int(t), deaths, n_risk)
+        assert r.km_survival == pytest.approx(s, abs=1e-5)
+    # the curve is non-trivial on this fixture
+    assert len(got) > 3 and got[-1].km_survival < 1.0

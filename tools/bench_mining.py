@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from spark_shp.hashing import mix_sql, u01_sql  # noqa: E402
 from spark_shp.session import get_spark  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
 OUT = "/tmp/bench_mining_sf"
@@ -70,7 +71,10 @@ def synthesize(spark):
 def main():
     from spark_shp.queries_mining import (
         q_anova_f, q_association_rules, q_changepoint_detect,
-        q_convex_hull_groups, q_tree_rollup,
+        q_chisq_independence, q_convex_hull_groups, q_kaplan_meier,
+        q_ks_test, q_max_drawdown,
+        q_nearest_seed_zones, q_theil_sen_slope, q_trajectory_crossings,
+        q_tree_rollup,
         q_distribution_drift, q_event_lag_correlation, q_gini_concentration,
         q_interval_coverage, q_mann_kendall, q_outlier_audit,
         q_sequence_motifs, q_trajectory_densify, q_trajectory_simplify,
@@ -103,6 +107,23 @@ def main():
         # hierarchy rollup: ~27x ancestor fan-out through ONE shuffle
         ("tree_rollup", q_tree_rollup, N),
         ("association_rules", q_association_rules, N),
+        ("theil_sen_slope", q_theil_sen_slope, N),
+        ("ks_test", q_ks_test, N),
+        ("kaplan_meier", q_kaplan_meier, N),
+        ("max_drawdown", q_max_drawdown, N),
+        ("chisq_independence", q_chisq_independence, N),
+        # Voronoi zoning: ~16.7M occupied cells x 24 broadcast seeds
+        ("nearest_seed_zones", q_nearest_seed_zones, N),
+        # segment overlay: world scaled 64->4096 cells/axis so crossing
+        # density per cell matches the gate fixture (quadratic otherwise).
+        # The ~23M output pair rows are rolled up IN the measured plan —
+        # a .collect() of 23M rows times the py4j transfer, not the
+        # operator (measured: 176 s collect vs the rollup run)
+        ("trajectory_crossings",
+         lambda s, d: q_trajectory_crossings(s, d, home=4096)
+         .groupBy().agg(F.count(F.lit(1)).alias("n_pairs"),
+                        F.sum("n_cross").alias("total_cross"),
+                        F.sum("checksum").alias("checksum")), N),
     ]
     only = os.environ.get("BENCH_MINING_ONLY")
     if only:
