@@ -3478,3 +3478,108 @@ FROM (SELECT dur, deaths, n_risk FROM risk WHERE deaths > 0) t
 QUERIES.update({
     "kaplan_meier": (q_kaplan_meier, ORACLE_KM),
 })
+
+
+# --- hll_registers: deterministic HyperLogLog distinct-count sketch --------------
+#
+# Completes the C11 sketch trio (Bloom runtime filter, count-min heavy
+# hitters, HLL cardinality) with an EXACT gate: every register value
+# M_j = MAX(rank) is an order-independent integer aggregate, so the whole
+# sketch state — not just the estimate — hashes bit-for-bit.  The rank
+# (leading-zero count + 1 of a 32-bit hash) is computed WITHOUT float
+# log2: LENGTH(bin(w)) is the minimal binary length in both dialects, so
+# rank = 33 - LENGTH(bin(w)) is exact integer math.  Z = sum 2^-M_j is
+# kept exact by scaling to s_num = sum 2^(33-M_j) (<= 64 * 2^33, int64;
+# POWER(2, k) is exact in IEEE float64 for k <= 33 and casts exactly).
+# The corpus-scale pass is the (event_type, user_id) distinct; registers
+# (64/type) and the spine are corpus-independent.  Small-range linear
+# counting (E <= 2.5m with empty registers) follows the published
+# algorithm; LN is reported under round-6 (the JVM-vs-libm 1-ulp rule).
+
+HLL_M = 64            # registers per group (b = 6 index bits)
+HLL_ALPHA = 0.7093409548395029        # 0.7213 / (1 + 1.079 / 64)
+
+
+def q_hll_registers(spark, sf_dir):
+    from .hashing import mix_sql
+    d = (_t(spark, sf_dir, "events")
+         .select("event_type", "user_id").distinct())
+    hashed = d.selectExpr(
+        "event_type",
+        f"({mix_sql('user_id * 3 + 1')}) % {HLL_M} AS j",
+        f"{mix_sql('user_id * 5 + 2')} AS wv")
+    regs = hashed.groupBy("event_type", "j").agg(
+        F.expr("MAX(CASE WHEN wv = 0 THEN 33 "
+               "ELSE 33 - LENGTH(bin(wv)) END)").alias("mj"))
+    exact = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_distinct"))
+    spine = exact.selectExpr(
+        "event_type", "exact_distinct",
+        f"explode(sequence(0, {HLL_M - 1})) AS j")
+    full = (spine.join(regs, ["event_type", "j"], "left")
+            .selectExpr("event_type", "exact_distinct",
+                        "COALESCE(mj, 0) AS m"))
+    agg = full.groupBy("event_type", "exact_distinct").agg(
+        F.expr("SUM(CAST(POWER(2, 33 - m) AS BIGINT))").alias("s_num"),
+        F.expr("SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END)").alias("n_zero"))
+    raw = (f"(CAST({HLL_ALPHA!r} AS DOUBLE) * {float(HLL_M * HLL_M)!r} * "
+           f"{float(2.0 ** 33)!r} / CAST(s_num AS DOUBLE))")
+    est = (f"CASE WHEN {raw} <= {2.5 * HLL_M!r} AND n_zero > 0 "
+           f"THEN ROUND({float(HLL_M)!r} * LN({float(HLL_M)!r} "
+           f"/ CAST(n_zero AS DOUBLE)), 6) ELSE ROUND({raw}, 6) END")
+    return agg.selectExpr(
+        "event_type",
+        "CAST(n_zero AS BIGINT) AS n_zero_regs",
+        "CAST(s_num AS BIGINT) AS s_num",
+        f"{est} AS hll_est",
+        "CAST(exact_distinct AS BIGINT) AS exact_distinct",
+        f"ROUND(({est} - exact_distinct) / CAST(exact_distinct AS DOUBLE),"
+        " 6) AS rel_err")
+
+
+def _oracle_hll() -> str:
+    from .hashing import mix_sql
+    raw = (f"(CAST({HLL_ALPHA!r} AS DOUBLE) * {float(HLL_M * HLL_M)!r} * "
+           f"{float(2.0 ** 33)!r} / CAST(s_num AS DOUBLE))")
+    est = (f"CASE WHEN {raw} <= {2.5 * HLL_M!r} AND n_zero > 0 "
+           f"THEN ROUND({float(HLL_M)!r} * LN({float(HLL_M)!r} "
+           f"/ CAST(n_zero AS DOUBLE)), 6) ELSE ROUND({raw}, 6) END")
+    return f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+hashed AS (
+  SELECT event_type,
+         ({mix_sql('user_id * 3 + 1')}) % {HLL_M} AS j,
+         {mix_sql('user_id * 5 + 2')} AS wv
+  FROM d),
+regs AS (
+  SELECT event_type, j,
+         MAX(CASE WHEN wv = 0 THEN 33
+             ELSE 33 - LENGTH(bin(wv)) END) AS mj
+  FROM hashed GROUP BY 1, 2),
+exact AS (SELECT event_type, COUNT(*) AS exact_distinct FROM d GROUP BY 1),
+spine AS (
+  SELECT event_type, exact_distinct, u.j
+  FROM exact, (SELECT UNNEST(GENERATE_SERIES(0, {HLL_M - 1})) AS j) u),
+full_regs AS (
+  SELECT s.event_type, s.exact_distinct, COALESCE(r.mj, 0) AS m
+  FROM spine s LEFT JOIN regs r ON r.event_type = s.event_type
+                               AND r.j = s.j),
+agg AS (
+  SELECT event_type, exact_distinct,
+         SUM(CAST(POWER(2, 33 - m) AS BIGINT)) AS s_num,
+         SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS n_zero
+  FROM full_regs GROUP BY 1, 2)
+SELECT event_type,
+       CAST(n_zero AS BIGINT) AS n_zero_regs,
+       CAST(s_num AS BIGINT) AS s_num,
+       {est} AS hll_est,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       ROUND(({est} - exact_distinct) / CAST(exact_distinct AS DOUBLE), 6)
+         AS rel_err
+FROM agg
+"""
+
+
+QUERIES.update({
+    "hll_registers": (q_hll_registers, _oracle_hll()),
+})

@@ -140,6 +140,7 @@ _TAIL = [
     "kaplan_meier",           # survival/churn curve, right-censored (C6)
     "trajectory_crossings",   # exact segment-intersection overlay (B4-B7)
     "theil_sen_slope",        # robust median-of-slopes trend (C6)
+    "hll_registers",          # HyperLogLog register sketch (C11 family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",
