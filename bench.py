@@ -50,19 +50,40 @@ def _images_table(spark, n_images: int) -> str:
     """Materialize the images-metadata table once (Iceberg-layout parquet,
     cached across runs keyed by N) — the flagship measures the JOIN over a
     stored table, the realistic 100 TB shape, not synthesis."""
+    from pyspark.sql import functions as F
     from spark_shp import iceberg_layout as ice
     from spark_shp.queries_spatial import _images_meta_df
 
-    # v2: full input-hint schema (bytes/caption/phash columns present;
-    # flagship prunes them — the path name keys the cache to the schema)
-    root = f"/tmp/spark_shp_bench/images_v3_{n_images}"
+    # v5: full input-hint schema (bytes/caption/phash present; flagship
+    # prunes them) with the geo footprint stored as int32 1e-7 fixed-point
+    # (lon_e7/lat_e7) instead of float64 — HALF the flagship's scan bytes
+    # (16 -> 8 B/row; 1e-7 deg ~ 1 cm, lossless for any tile level).  The
+    # 32-way phase is DRAM-bandwidth-bound, so this is a direct scaling
+    # lever: interleaved A/B at 768M measured local[32] 11.75 -> 10.42 s
+    # and local[8] 34.55 -> 31.72 s (BENCH/FIXEDPOINT.json).  Decode back
+    # to degrees is one multiply inside the same codegen stage
+    # (read_images below).  The path name keys the cache to the schema.
+    root = f"/tmp/spark_shp_bench/images_v5_{n_images}"
     try:
         ice.read_table(spark, root)
         return root
     except Exception:
         pass
-    ice.write_table(_images_meta_df(spark, n_images), root)
+    df = (_images_meta_df(spark, n_images)
+          .withColumn("lon_e7", F.expr("CAST(FLOOR(lon * 1e7 + 0.5) AS INT)"))
+          .withColumn("lat_e7", F.expr("CAST(FLOOR(lat * 1e7 + 0.5) AS INT)"))
+          .drop("lon", "lat"))
+    ice.write_table(df, root)
     return root
+
+
+def read_images(spark, root: str):
+    """The stored images table with the footprint decoded to degrees —
+    callers select lon/lat and Catalyst prunes the scan to the two int32
+    fixed-point columns."""
+    from spark_shp import iceberg_layout as ice
+    return (ice.read_table(spark, root)
+            .selectExpr("*", "lon_e7 * 1e-7 AS lon", "lat_e7 * 1e-7 AS lat"))
 
 
 def warm_python_workers(spark):
@@ -84,14 +105,14 @@ def build_flagship(spark, n_images: int):
     re-collected, which short-circuits the measurement. A fresh plan of
     identical shape still hits the codegen cache, so no recompile cost."""
     from pyspark.sql import functions as F
-    from spark_shp import fixtures, iceberg_layout as ice, spatial
+    from spark_shp import fixtures, spatial
 
     root = _images_table(spark, n_images)
     # ~3-4 task waves per core smooth out hot-cell stragglers; one 128MB-split
     # wave at local[32] leaves cores idle behind the skewed tasks
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     polys = fixtures.fences_df(spark, 64).drop("layer", "name")
-    img = ice.read_table(spark, root).select("image_id", "lon", "lat")
+    img = read_images(spark, root).select("lon", "lat")
     img = spatial.tile_assign(img, "lon", "lat", 12, "tile_12")
     j = spatial.spatial_join(img, polys, "lon", "lat", level=6, broadcast_cover=True)
     # approx_count_distinct, not countDistinct: exact distinct-tile counting

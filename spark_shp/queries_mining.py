@@ -3583,3 +3583,464 @@ FROM agg
 QUERIES.update({
     "hll_registers": (q_hll_registers, _oracle_hll()),
 })
+
+
+# --- flow_direction_d8: D8 steepest-descent flow routing on the density DEM ----
+#
+# The O'Callaghan & Mark (1984) D8 kernel — the hydrology/GIS primitive
+# behind watershed delineation — run on the event-density raster as the
+# DEM (unoccupied cells are elevation 0).  EXACT by construction: for
+# positive drops a, b the distance-weighted comparison a/1 > b/sqrt(2) is
+# equivalent to 2*a^2 > b^2, so the per-direction score is the INTEGER
+# 2*drop^2 (cardinal) / drop^2 (diagonal) and no float ever enters the
+# argmax; ties break to the lowest direction index (E,NE,N,...,SE), and
+# cells with no positive drop split into flat (-1, max raw drop = 0) vs
+# pit (-2, all neighbors strictly higher).  Plan shape = the focal_density
+# scatter: ONE constant 9-way codegen explode + one target-cell
+# aggregation (8 conditional integer sums) — a single shuffle keyed by
+# target cell, no joins, no Python.  int64 bound: 2*drop^2 <= 2*c_max^2
+# needs c_max <= ~2.1e9 events in one cell (beyond any corpus here; move
+# scores to DECIMAL(38,0) past that — the repo's money-sum rule).  Level 4
+# saturates the grid at the gate SFs so pits, flats, and every direction
+# class appear (level 6 left the density DEM so sparse that the steepest
+# drop was almost always to an EMPTY neighbor — tiebreak behavior, not
+# kernel behavior).
+
+FLOW_LEVEL = 4
+# direction index -> offset from the cell TO the neighbor
+_D8 = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)]
+
+
+def _d8_exprs():
+    """Shared Spark/DuckDB expression strings over the projected drop
+    columns d0..d7 (d_i = zc - zn_i; empty neighbors have elevation 0)."""
+    scores = [
+        f"(CASE WHEN d{i} > 0 THEN {('2 * ' if dx == 0 or dy == 0 else '')}"
+        f"d{i} * d{i} ELSE -1 END)"
+        for i, (dx, dy) in enumerate(_D8)]
+    best = f"GREATEST({', '.join(scores)})"
+    pick = "CASE " + " ".join(
+        f"WHEN {s} = best AND best >= 1 THEN {i}" for i, s in
+        enumerate(scores)) + " ELSE -9 END"
+    max_drop = "GREATEST(" + ", ".join(f"d{i}" for i in range(8)) + ")"
+    return scores, best, pick, max_drop
+
+
+def _flow_cells(spark, sf_dir):
+    """Per-cell D8 classification: (tx, ty, zc, fdir, d0..d7) for every
+    occupied cell — the shared front half of flow direction/accumulation."""
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, FLOW_LEVEL)
+    occ = (_t(spark, sf_dir, "events")
+           .selectExpr(f"{ix} AS cx", f"{iy} AS cy")
+           .groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("c")))
+    sc = (occ.selectExpr("cx", "cy", "c",
+                         "explode(sequence(-1, 1)) AS dx")
+          .selectExpr("cx", "cy", "c", "dx",
+                      "explode(sequence(-1, 1)) AS dy")
+          .selectExpr("cx + dx AS tx", "cy + dy AS ty",
+                      "c", "-dx AS sx", "-dy AS sy"))
+    aggs = [F.expr("SUM(CASE WHEN sx = 0 AND sy = 0 THEN c ELSE 0 END)")
+            .alias("zc")]
+    aggs += [F.expr(f"SUM(CASE WHEN sx = {dx} AND sy = {dy} "
+                    "THEN c ELSE 0 END)").alias(f"zn{i}")
+             for i, (dx, dy) in enumerate(_D8)]
+    aggs.append(F.expr("SUM(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END)")
+                .alias("occupied"))
+    g = sc.groupBy("tx", "ty").agg(*aggs).where("occupied = 1")
+    scores, best, pick, max_drop = _d8_exprs()
+    dstage = g.selectExpr(
+        "tx", "ty", "zc", *[f"zc - zn{i} AS d{i}" for i in range(8)])
+    cls = dstage.selectExpr(
+        "tx", "ty", "zc", f"{best} AS best", f"{max_drop} AS max_drop",
+        *[f"d{i}" for i in range(8)])
+    return cls.selectExpr(
+        "tx", "ty", "zc",
+        f"CASE WHEN best >= 1 THEN {pick} "
+        "WHEN max_drop = 0 THEN -1 ELSE -2 END AS fdir",
+        *[f"d{i}" for i in range(8)])
+
+
+def q_flow_direction_d8(spark, sf_dir):
+    chosen = "CASE " + " ".join(
+        f"WHEN fdir = {i} THEN d{i}" for i in range(8)) + " ELSE 0 END"
+    return (_flow_cells(spark, sf_dir)
+            .selectExpr("fdir", f"{chosen} AS chosen_drop", "zc")
+            .groupBy("fdir")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("chosen_drop").alias("sum_drop"),
+                 F.sum("zc").alias("sum_elev"))
+            .selectExpr("CAST(fdir AS INT) AS fdir",
+                        "CAST(n_cells AS BIGINT) AS n_cells",
+                        "CAST(sum_drop AS BIGINT) AS sum_drop",
+                        "CAST(sum_elev AS BIGINT) AS sum_elev"))
+
+
+def _flow_oracle_cte() -> str:
+    """The shared oracle CTE chain occ→sc→g→dstage→cls→dirs; `dirs` has
+    (tx, ty, zc, fdir, d0..d7) — the twin of _flow_cells."""
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, FLOW_LEVEL)
+    scores, best, pick, max_drop = _d8_exprs()
+    zn_sums = ",\n         ".join(
+        f"SUM(CASE WHEN sx = {dx} AND sy = {dy} THEN c ELSE 0 END) AS zn{i}"
+        for i, (dx, dy) in enumerate(_D8))
+    d_cols = ", ".join(f"zc - zn{i} AS d{i}" for i in range(8))
+    return f"""occ AS (
+  SELECT {ix} AS cx, {iy} AS cy, COUNT(*) AS c FROM events GROUP BY 1, 2),
+sc AS (
+  SELECT cx + dx.d AS tx, cy + dy.d AS ty, c,
+         -dx.d AS sx, -dy.d AS sy
+  FROM occ, (SELECT UNNEST([-1, 0, 1]) AS d) dx,
+       (SELECT UNNEST([-1, 0, 1]) AS d) dy),
+g AS (
+  SELECT tx, ty,
+         SUM(CASE WHEN sx = 0 AND sy = 0 THEN c ELSE 0 END) AS zc,
+         {zn_sums},
+         SUM(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END) AS occupied
+  FROM sc GROUP BY 1, 2),
+dstage AS (
+  SELECT tx, ty, zc, {d_cols} FROM g WHERE occupied = 1),
+cls AS (
+  SELECT tx, ty, zc, {best} AS best, {max_drop} AS max_drop,
+         {', '.join(f'd{i}' for i in range(8))}
+  FROM dstage),
+dirs AS (
+  SELECT tx, ty, zc,
+         CASE WHEN best >= 1 THEN {pick}
+              WHEN max_drop = 0 THEN -1 ELSE -2 END AS fdir,
+         {', '.join(f'd{i}' for i in range(8))}
+  FROM cls)"""
+
+
+def _oracle_flow_d8() -> str:
+    chosen = "CASE " + " ".join(
+        f"WHEN fdir = {i} THEN d{i}" for i in range(8)) + " ELSE 0 END"
+    return f"""
+WITH {_flow_oracle_cte()}
+SELECT CAST(fdir AS INT) AS fdir,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM({chosen}) AS BIGINT) AS sum_drop,
+       CAST(SUM(zc) AS BIGINT) AS sum_elev
+FROM dirs GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "flow_direction_d8": (q_flow_direction_d8, _oracle_flow_d8()),
+})
+
+
+# --- idw_interpolate: inverse-distance-weighted fill of empty raster cells -----
+#
+# The Shepard-interpolation raster op (gap-filling a sparse measurement
+# grid): every UNOCCUPIED level-8 cell with >=1 occupied 8-neighbor gets
+# value = sum(w_i * z_i) / sum(w_i), w = 1/d^2.  EXACT: on the integer
+# cell grid the only neighbor distances are d^2 in {1, 2}, so scaling by
+# K = 2 makes every weight an integer (cardinal 2, diagonal 1); the cell
+# field z is the per-cell SUM of integer event-value cents (FLOOR(v*100
+# + 0.5) — the repo's half-up rule); num and den are exact int64
+# aggregates and the IDW value is ONE int/int float division, bit-equal
+# on any engine or aggregation order.  Plan shape: one groupBy to build
+# the field, one constant 9-way scatter explode, one target-cell
+# aggregation — two shuffles, no joins, no Python; output is bounded by
+# 8x the occupied-cell count (grid-bounded, corpus-independent).
+
+IDW_LEVEL = 8
+
+
+def q_idw_interpolate(spark, sf_dir):
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, IDW_LEVEL)
+    occ = (_t(spark, sf_dir, "events")
+           .selectExpr(f"{ix} AS cx", f"{iy} AS cy",
+                       "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc")
+           .groupBy("cx", "cy").agg(F.sum("vc").alias("zv")))
+    sc = (occ.selectExpr("cx", "cy", "zv",
+                         "explode(sequence(-1, 1)) AS dx")
+          .selectExpr("cx", "cy", "zv", "dx",
+                      "explode(sequence(-1, 1)) AS dy")
+          .selectExpr(
+              "cx + dx AS tx", "cy + dy AS ty", "zv",
+              "CASE WHEN dx = 0 AND dy = 0 THEN 0 "
+              "WHEN dx = 0 OR dy = 0 THEN 2 ELSE 1 END AS w",
+              "CAST(dx = 0 AND dy = 0 AS INT) AS is_center"))
+    g = (sc.groupBy("tx", "ty")
+         .agg(F.expr("SUM(w * zv)").alias("num"),
+              F.expr("SUM(w)").alias("den"),
+              F.expr("SUM(is_center)").alias("occupied"))
+         .where("occupied = 0 AND den > 0"))
+    return g.selectExpr(
+        "CAST(tx AS BIGINT) AS tx", "CAST(ty AS BIGINT) AS ty",
+        "CAST(num AS BIGINT) AS num", "CAST(den AS BIGINT) AS den",
+        "CAST(num AS DOUBLE) / den AS idw_cents")
+
+
+def _oracle_idw() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, IDW_LEVEL)
+    return f"""
+WITH occ AS (
+  SELECT {ix} AS cx, {iy} AS cy,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS zv
+  FROM events GROUP BY 1, 2),
+sc AS (
+  SELECT cx + dx.d AS tx, cy + dy.d AS ty, zv,
+         CASE WHEN dx.d = 0 AND dy.d = 0 THEN 0
+              WHEN dx.d = 0 OR dy.d = 0 THEN 2 ELSE 1 END AS w,
+         CAST(dx.d = 0 AND dy.d = 0 AS INT) AS is_center
+  FROM occ, (SELECT UNNEST([-1, 0, 1]) AS d) dx,
+       (SELECT UNNEST([-1, 0, 1]) AS d) dy),
+g AS (
+  SELECT tx, ty, SUM(w * zv) AS num, SUM(w) AS den
+  FROM sc GROUP BY 1, 2
+  HAVING SUM(is_center) = 0 AND SUM(w) > 0)
+SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+       CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+       CAST(num AS DOUBLE) / den AS idw_cents
+FROM g
+"""
+
+
+QUERIES.update({
+    "idw_interpolate": (q_idw_interpolate, _oracle_idw()),
+})
+
+
+# --- pps_sample: deterministic probability-proportional-to-size sampling -------
+#
+# The corpus-mixing EXECUTION step (mixture_weights is the plan): Bernoulli
+# PPS / Poisson sampling where doc i is kept with probability w_i / w_max
+# (w = n_chars).  The acceptance test is ALL-INTEGER — keep iff
+# mix(doc_id) * w_max < w * 2^32 — so the sample is bit-identical on any
+# engine, partitioning, or cluster size (the property that makes a
+# training-data sample reproducible across reruns).  Bounds: mix < 2^32
+# and w <= ~1e5 chars keep both products < 2^49 (ANSI-safe int64).  The
+# global w_max scalar is a 1-row broadcast joined map-side; everything
+# else is a filter + map-side-combinable aggregate — one real shuffle on
+# `source`.  Per-source output carries exact integer tallies plus the
+# sampled vs expected inclusion fractions as single int/int divisions
+# (expected_frac = SUM(w)/(n*w_max) = mean inclusion probability).
+
+def q_pps_sample(spark, sf_dir):
+    from .hashing import mix_sql
+    d = (_t(spark, sf_dir, "documents")
+         .selectExpr("doc_id", "source", "n_chars AS w",
+                     f"{mix_sql('doc_id')} AS h"))
+    wmax = d.groupBy().agg(F.max("w").alias("w_max"))
+    j = d.crossJoin(F.broadcast(wmax))
+    tagged = j.selectExpr(
+        "source", "w", "w_max",
+        "CAST(h * w_max < w * 4294967296 AS INT) AS kept")
+    return (tagged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("kept").alias("n_sampled"),
+                 F.expr("SUM(kept * w)").alias("w_sampled"),
+                 F.sum("w").alias("w_total"),
+                 F.max("w_max").alias("w_max"))
+            .selectExpr(
+                "source",
+                "CAST(n_docs AS BIGINT) AS n_docs",
+                "CAST(n_sampled AS BIGINT) AS n_sampled",
+                "CAST(w_sampled AS BIGINT) AS w_sampled",
+                "CAST(n_sampled AS DOUBLE) / n_docs AS sampled_frac",
+                "CAST(w_total AS DOUBLE) / (n_docs * w_max) "
+                "AS expected_frac"))
+
+
+def _oracle_pps() -> str:
+    from .hashing import mix_sql
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars AS w, {mix_sql('doc_id')} AS h
+  FROM documents),
+mx AS (SELECT MAX(w) AS w_max FROM d),
+tagged AS (
+  SELECT source, w, w_max,
+         CAST(h * w_max < w * 4294967296 AS INT) AS kept
+  FROM d, mx)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_sampled,
+       CAST(SUM(kept * w) AS BIGINT) AS w_sampled,
+       CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS sampled_frac,
+       CAST(SUM(w) AS DOUBLE) / (COUNT(*) * MAX(w_max)) AS expected_frac
+FROM tagged GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "pps_sample": (q_pps_sample, _oracle_pps()),
+})
+
+
+# --- soundex_blocking: phonetic blocking for record linkage ---------------------
+#
+# The classic entity-resolution BLOCKING step: group candidate strings by
+# a phonetic key so the quadratic matcher only runs inside blocks.  The
+# code is American Soundex WITHOUT the H/W non-separator exception
+# (documented variant; robert/rupert -> R163 still holds), implemented
+# from scratch in dialect-shared SQL because DuckDB has no soundex() and
+# matching Spark's builtin edge-for-edge would gate on an opaque JVM
+# implementation: TRANSLATE maps letters to digit classes, six regexp
+# passes collapse each digit's runs (RE2 has no pattern backreferences,
+# so no '([1-6])\\1+'), zeros (vowels) drop AFTER collapsing so
+# vowel-separated repeats survive — the standard rule.  Plan shape:
+# tokenize-explode + two map-side-combinable aggregations; block stats
+# are bounded by the phonetic code space (26 * 7^3), corpus-independent.
+# Candidate-pair count per block is the exact n*(n-1)/2 over DISTINCT
+# tokens — the number the matcher would actually face.
+
+_SOUNDEX_MAP = "01230120022455012623010202"  # a..z -> digit class
+
+
+def _soundex_sql(tok: str, dialect: str) -> str:
+    """Phonetic code of lowercase alpha token `tok` (shared semantics;
+    only the regexp_replace global-flag spelling differs by dialect)."""
+    d = f"TRANSLATE({tok}, 'abcdefghijklmnopqrstuvwxyz', '{_SOUNDEX_MAP}')"
+    for digit in "123456":
+        if dialect == "spark":
+            d = f"regexp_replace({d}, '{digit}{{2,}}', '{digit}')"
+        else:
+            d = f"regexp_replace({d}, '{digit}{{2,}}', '{digit}', 'g')"
+    tail = f"REPLACE(SUBSTR({d}, 2), '0', '')"
+    return (f"(UPPER(SUBSTR({tok}, 1, 1)) || "
+            f"SUBSTR(RPAD({tail}, 3, '0'), 1, 3))")
+
+
+def q_soundex_blocking(spark, sf_dir):
+    toks = (_t(spark, sf_dir, "documents")
+            .selectExpr("explode(split(text, ' ')) AS tok")
+            .where("LENGTH(tok) >= 2 AND "
+                   "TRANSLATE(tok, 'abcdefghijklmnopqrstuvwxyz', '') = ''"))
+    coded = toks.selectExpr(
+        "tok", f"{_soundex_sql('tok', 'spark')} AS code")
+    per_tok = (coded.groupBy("code", "tok")
+               .agg(F.count(F.lit(1)).alias("n_occ")))
+    return (per_tok.groupBy("code")
+            .agg(F.count(F.lit(1)).alias("n_distinct_tokens"),
+                 F.sum("n_occ").alias("n_tokens"),
+                 F.min("tok").alias("first_token"))
+            .selectExpr(
+                "code",
+                "CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens",
+                "CAST(n_tokens AS BIGINT) AS n_tokens",
+                "CAST(n_distinct_tokens * (n_distinct_tokens - 1) / 2 "
+                "AS BIGINT) AS n_candidate_pairs",
+                "first_token"))
+
+
+def _oracle_soundex() -> str:
+    code = _soundex_sql("tok", "duckdb")
+    return f"""
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+ok AS (
+  SELECT tok FROM toks
+  WHERE LENGTH(tok) >= 2
+    AND TRANSLATE(tok, 'abcdefghijklmnopqrstuvwxyz', '') = ''),
+coded AS (SELECT tok, {code} AS code FROM ok),
+per_tok AS (
+  SELECT code, tok, COUNT(*) AS n_occ FROM coded GROUP BY 1, 2),
+blocks AS (
+  SELECT code, COUNT(*) AS n_distinct_tokens, SUM(n_occ) AS n_tokens,
+         MIN(tok) AS first_token
+  FROM per_tok GROUP BY 1)
+SELECT code,
+       CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct_tokens * (n_distinct_tokens - 1) / 2 AS BIGINT)
+         AS n_candidate_pairs,
+       first_token
+FROM blocks
+"""
+
+
+QUERIES.update({
+    "soundex_blocking": (q_soundex_blocking, _oracle_soundex()),
+})
+
+
+# --- flow_accumulation: upstream-cell counts over the D8 flow forest ----------
+#
+# The second half of the hydrology pair (flow direction -> flow
+# accumulation -> stream network): acc(c) = number of cells whose D8
+# pointer chain passes through c, itself included.  The pointer graph is
+# acyclic BY CONSTRUCTION — a pointer only exists for a strictly positive
+# drop, so elevation strictly decreases along every chain and the
+# iteration acc <- 1 + sum(acc of immediate upstream cells) reaches its
+# fixed point after max-chain-length rounds.  Spark runs that iteration
+# distributed (one join + one groupBy per round, localCheckpoint caps
+# plan depth — the connected_components pattern); the driver holds ONE
+# scalar (the convergence total) per round.  Pointers that leave the
+# occupied cell set drain off-raster (outlets) and contribute nothing.
+# The DuckDB twin is an independent recursive walk CTE counting visits
+# per cell.  At depth D the Spark cost is D bounded shuffles of the
+# (bounded) grid; for deep chains switch to the pointer-doubling variant
+# in graph.py (O(log D) rounds) — same trade documented there.
+
+def _flow_next_exprs():
+    nx = "CASE " + " ".join(
+        f"WHEN fdir = {i} THEN tx + ({dx})"
+        for i, (dx, dy) in enumerate(_D8)) + " END"
+    ny = "CASE " + " ".join(
+        f"WHEN fdir = {i} THEN ty + ({dy})"
+        for i, (dx, dy) in enumerate(_D8)) + " END"
+    return nx, ny
+
+
+def q_flow_accumulation(spark, sf_dir):
+    nx, ny = _flow_next_exprs()
+    base = (_flow_cells(spark, sf_dir)
+            .selectExpr("tx", "ty", f"{nx} AS nx", f"{ny} AS ny")
+            .localCheckpoint())
+    occ = base.select("tx", "ty")
+    edges = (base.where("nx IS NOT NULL")
+             .join(occ.selectExpr("tx AS ox", "ty AS oy"),
+                   (F.col("nx") == F.col("ox")) & (F.col("ny") == F.col("oy")),
+                   "leftsemi")
+             .select("tx", "ty", "nx", "ny")
+             .localCheckpoint())
+    acc = occ.withColumn("acc", F.lit(1)).localCheckpoint()
+    prev = acc.count()          # sum(acc) at round 0: every acc = 1
+    for _ in range(4096):       # hard bound >> any possible chain length
+        contrib = (acc.join(edges, ["tx", "ty"])
+                   .groupBy("nx", "ny").agg(F.sum("acc").alias("up")))
+        acc = (occ.join(contrib,
+                        (occ.tx == contrib.nx) & (occ.ty == contrib.ny),
+                        "left")
+               .selectExpr("tx", "ty", "1 + COALESCE(up, 0) AS acc")
+               .localCheckpoint())
+        total = acc.agg(F.sum("acc")).first()[0]
+        if total == prev:       # monotone non-decreasing -> fixed point
+            break
+        prev = total
+    return (acc.groupBy("acc")
+            .agg(F.count(F.lit(1)).alias("n_cells"))
+            .selectExpr("CAST(acc AS BIGINT) AS acc",
+                        "CAST(n_cells AS BIGINT) AS n_cells"))
+
+
+def _oracle_flow_acc() -> str:
+    nx, ny = _flow_next_exprs()
+    return f"""
+WITH RECURSIVE {_flow_oracle_cte()},
+nextp AS (
+  SELECT tx, ty, {nx} AS nx, {ny} AS ny FROM dirs),
+edges AS (
+  SELECT n.tx, n.ty, n.nx, n.ny FROM nextp n
+  WHERE n.nx IS NOT NULL
+    AND EXISTS (SELECT 1 FROM nextp o WHERE o.tx = n.nx AND o.ty = n.ny)),
+walk(px, py) AS (
+  SELECT tx, ty FROM nextp
+  UNION ALL
+  SELECT e.nx, e.ny FROM walk w JOIN edges e ON e.tx = w.px AND e.ty = w.py),
+acc AS (SELECT px, py, COUNT(*) AS acc FROM walk GROUP BY 1, 2)
+SELECT CAST(acc AS BIGINT) AS acc, CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM acc GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "flow_accumulation": (q_flow_accumulation, _oracle_flow_acc()),
+})

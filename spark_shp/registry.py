@@ -141,6 +141,11 @@ _TAIL = [
     "trajectory_crossings",   # exact segment-intersection overlay (B4-B7)
     "theil_sen_slope",        # robust median-of-slopes trend (C6)
     "hll_registers",          # HyperLogLog register sketch (C11 family)
+    "flow_direction_d8",      # D8 steepest-descent flow routing (B3)
+    "flow_accumulation",      # upstream counts over the D8 forest (B3)
+    "idw_interpolate",        # inverse-distance gap-fill raster (B3/B5)
+    "pps_sample",             # deterministic PPS corpus sampling (text)
+    "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

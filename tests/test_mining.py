@@ -1560,3 +1560,219 @@ def test_kaplan_meier_sequential(spark):
         assert r.km_survival == pytest.approx(s, abs=1e-5)
     # the curve is non-trivial on this fixture
     assert len(got) > 3 and got[-1].km_survival < 1.0
+
+
+# --- flow_direction_d8: numpy steepest-descent replication ----------------------
+
+def _py_flow_dirs():
+    """Per-cell (fdir, chosen_drop, elev) by float steepest-descent — an
+    independent replication of the integer-score kernel."""
+    from spark_shp import cells, fixtures
+    from spark_shp.queries_mining import _D8, FLOW_LEVEL
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF}/events.parquet')")
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, FLOW_LEVEL)
+    occ = con.sql(f"SELECT {ix} AS ix, {iy} AS iy, COUNT(*) AS c "
+                  "FROM events GROUP BY 1, 2").df()
+    n = 1 << FLOW_LEVEL
+    # pad the DEM by 1 so off-grid neighbors read elevation 0
+    z = np.zeros((n + 2, n + 2), dtype=np.int64)
+    z[occ["ix"].to_numpy() + 1, occ["iy"].to_numpy() + 1] = \
+        occ["c"].to_numpy()
+    sqrt2 = float(np.sqrt(2.0))
+    out = {}
+    for x, y, c in occ.itertuples(index=False):
+        best_rate, fdir, chosen, max_drop = 0.0, None, 0, None
+        for i, (dx, dy) in enumerate(_D8):
+            drop = int(c) - int(z[x + 1 + dx, y + 1 + dy])
+            max_drop = drop if max_drop is None else max(max_drop, drop)
+            if drop <= 0:
+                continue
+            rate = drop / (1.0 if dx == 0 or dy == 0 else sqrt2)
+            if rate > best_rate:        # strict > = first-max tiebreak
+                best_rate, fdir, chosen = rate, i, drop
+        if fdir is None:
+            fdir, chosen = (-1 if max_drop == 0 else -2), 0
+        out[(int(x), int(y))] = (fdir, chosen, int(c))
+    return out
+
+
+def test_flow_d8_bruteforce(spark):
+    from spark_shp.queries_mining import q_flow_direction_d8
+
+    hist = {}
+    for (x, y), (fdir, chosen, c) in _py_flow_dirs().items():
+        nc, sd, se = hist.get(fdir, (0, 0, 0))
+        hist[fdir] = (nc + 1, sd + chosen, se + c)
+    got = {r.fdir: (r.n_cells, r.sum_drop, r.sum_elev)
+           for r in q_flow_direction_d8(spark, SF).collect()}
+    assert got == hist
+
+
+def test_flow_accumulation_bruteforce(spark):
+    from spark_shp.queries_mining import _D8, q_flow_accumulation
+
+    dirs = _py_flow_dirs()
+    acc = {cell: 0 for cell in dirs}
+    for start in dirs:                   # walk every chain to its outlet
+        cur = start
+        while cur in acc:
+            acc[cur] += 1
+            fdir = dirs[cur][0]
+            if fdir < 0:
+                break
+            dx, dy = _D8[fdir]
+            cur = (cur[0] + dx, cur[1] + dy)
+    hist = {}
+    for v in acc.values():
+        hist[v] = hist.get(v, 0) + 1
+    got = {r.acc: r.n_cells for r in q_flow_accumulation(spark, SF).collect()}
+    assert got == hist
+    # acyclicity witness: total chain-position tokens == sum(acc)
+    assert sum(a * n for a, n in got.items()) == sum(acc.values())
+
+
+# --- idw_interpolate: numpy gap-fill replication ---------------------------------
+
+def test_idw_bruteforce(spark):
+    from spark_shp import cells, fixtures
+    from spark_shp.queries_mining import IDW_LEVEL, q_idw_interpolate
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF}/events.parquet')")
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, IDW_LEVEL)
+    occ = con.sql(
+        f"SELECT {ix} AS ix, {iy} AS iy, "
+        "SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS zv "
+        "FROM events GROUP BY 1, 2").df()
+    field = {(int(x), int(y)): int(v)
+             for x, y, v in occ.itertuples(index=False)}
+    exp = {}
+    for (x, y), _ in field.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                t = (x + dx, y + dy)
+                if (dx == dy == 0) or t in field or t in exp:
+                    continue
+                num = den = 0
+                for ex in (-1, 0, 1):
+                    for ey in (-1, 0, 1):
+                        if ex == ey == 0:
+                            continue
+                        s = field.get((t[0] + ex, t[1] + ey))
+                        if s is not None:
+                            w = 2 if (ex == 0 or ey == 0) else 1
+                            num, den = num + w * s, den + w
+                exp[t] = (num, den, num / den)
+    rows = q_idw_interpolate(spark, SF).collect()
+    got = {(r.tx, r.ty): (r.num, r.den, r.idw_cents) for r in rows}
+    assert got == exp
+
+
+# --- pps_sample: numpy acceptance-test replication + invariants -----------------
+
+def test_pps_sample_bruteforce(spark):
+    from spark_shp.hashing import mix
+    from spark_shp.queries_mining import q_pps_sample
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    d = con.sql("SELECT doc_id, source, n_chars FROM documents").df()
+    w = d["n_chars"].to_numpy().astype(np.int64)
+    h = mix(d["doc_id"].to_numpy()).astype(np.int64)
+    w_max = int(w.max())
+    kept = h * w_max < w * 4294967296
+    # invariant: a max-weight doc is ALWAYS kept (p = w/w_max = 1)
+    assert kept[w == w_max].all()
+    rows = q_pps_sample(spark, SF).collect()
+    assert sum(r.n_sampled for r in rows) == int(kept.sum())
+    for r in rows:
+        m = (d["source"] == r.source).to_numpy()
+        assert r.n_docs == int(m.sum())
+        assert r.n_sampled == int(kept[m].sum())
+        assert r.w_sampled == int(w[m][kept[m]].sum())
+
+
+def test_plan_shapes_of_flow_idw_pps(spark):
+    from spark_shp.queries_mining import (q_flow_direction_d8,
+                                          q_idw_interpolate, q_pps_sample)
+
+    for q in (q_flow_direction_d8, q_idw_interpolate, q_pps_sample):
+        qe = q(spark, SF)._jdf.queryExecution()
+        plan = qe.toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+    # both raster ops: constant scatter explode, no join; exchanges =
+    # occupancy groupBy + target-cell groupBy (+ flow's final <=10-key
+    # histogram agg — grid-bounded, not corpus-scale)
+    for q, max_ex in ((q_flow_direction_d8, 3), (q_idw_interpolate, 2)):
+        phys = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in phys
+        assert phys.count("Exchange hashpartitioning") <= max_ex
+    # pps: the w_max scalar joins broadcast, never shuffled
+    phys = q_pps_sample(spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in phys
+    assert phys.count("Exchange hashpartitioning") <= 1
+
+
+# --- soundex_blocking: python replication + published vectors -------------------
+
+def _py_soundex(tok: str) -> str:
+    """The operator's documented variant: American Soundex without the
+    H/W non-separator exception."""
+    m = dict(zip("abcdefghijklmnopqrstuvwxyz", "01230120022455012623010202"))
+    d = "".join(m[c] for c in tok)
+    out = []
+    for ch in d:
+        if not (out and out[-1] == ch and ch != "0"):
+            out.append(ch)
+    # collapse runs of the same non-zero digit (zeros only matter as
+    # separators and are dropped below, so their runs are irrelevant)
+    c = "".join(out)
+    tail = c[1:].replace("0", "")
+    return tok[0].upper() + (tail + "000")[:3]
+
+
+def test_soundex_vectors():
+    from spark_shp.queries_mining import _soundex_sql
+
+    con = duckdb.connect()
+    vecs = {"robert": "R163", "rupert": "R163", "tymczak": "T522",
+            "pfister": "P236", "jackson": "J250", "ring": "R520",
+            "ashcraft": "A226"}   # A226: no-H/W variant (NARA gives A261)
+    for tok, want in vecs.items():
+        got = con.sql(
+            f"SELECT {_soundex_sql(repr(tok), 'duckdb')}").fetchone()[0]
+        assert got == want, (tok, got, want)
+        assert _py_soundex(tok) == want, (tok, _py_soundex(tok), want)
+
+
+def test_soundex_blocking_bruteforce(spark):
+    from spark_shp.queries_mining import q_soundex_blocking
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    toks = [r[0] for r in con.sql(
+        "SELECT tok FROM (SELECT UNNEST(string_split(text, ' ')) AS tok "
+        "FROM documents) WHERE LENGTH(tok) >= 2").fetchall()]
+    import collections
+    blocks = collections.defaultdict(collections.Counter)
+    for t in toks:
+        if t.isalpha() and t.islower():
+            blocks[_py_soundex(t)][t] += 1
+    rows = q_soundex_blocking(spark, SF).collect()
+    assert len(rows) == len(blocks)
+    for r in rows:
+        b = blocks[r.code]
+        assert r.n_distinct_tokens == len(b)
+        assert r.n_tokens == sum(b.values())
+        assert r.first_token == min(b)
+        assert r.n_candidate_pairs == len(b) * (len(b) - 1) // 2

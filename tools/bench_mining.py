@@ -78,7 +78,9 @@ def main():
         q_distribution_drift, q_event_lag_correlation, q_gini_concentration,
         q_interval_coverage, q_mann_kendall, q_outlier_audit,
         q_sequence_motifs, q_trajectory_densify, q_trajectory_simplify,
-        q_trend_regression, q_twap_values)
+        q_trend_regression, q_twap_values,
+        q_flow_accumulation, q_flow_direction_d8, q_hll_registers,
+        q_idw_interpolate)
 
     spark = get_spark("bench_mining", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -112,6 +114,13 @@ def main():
         ("kaplan_meier", q_kaplan_meier, N),
         ("max_drawdown", q_max_drawdown, N),
         ("chisq_independence", q_chisq_independence, N),
+        # HLL: the corpus-scale pass is one (event_type, user_id) distinct
+        ("hll_registers", q_hll_registers, N),
+        # D8 raster pair: groupBy to a 256-cell grid (map-side combine),
+        # then constant-size scatter/iteration — corpus cost is the scan
+        ("flow_direction_d8", q_flow_direction_d8, N),
+        ("flow_accumulation", q_flow_accumulation, N),
+        ("idw_interpolate", q_idw_interpolate, N),
         # Voronoi zoning: ~16.7M occupied cells x 24 broadcast seeds
         ("nearest_seed_zones", q_nearest_seed_zones, N),
         # segment overlay: world scaled 64->4096 cells/axis so crossing

@@ -37,14 +37,14 @@ def _job(out_dir: str, kill_after: int | None):
     import threading
 
     from pyspark.sql import functions as F
-    from bench import _images_table
-    from spark_shp import cells, iceberg_layout as ice, lineage, spatial
+    from bench import _images_table, read_images
+    from spark_shp import cells, lineage, spatial
     from spark_shp.session import get_spark
 
     spark = get_spark("resume_bench", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
     root = _images_table(spark, N)
-    img = ice.read_table(spark, root).select("image_id", "lon", "lat")
+    img = read_images(spark, root).select("image_id", "lon", "lat")
     img = spatial.tile_assign(img, "lon", "lat", 12, "cell")
     df = img.withColumn("bucket",
                         F.expr(cells.cell_parent_sql("cell", 8)))

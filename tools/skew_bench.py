@@ -36,8 +36,8 @@ SALT = 16
 
 def main():
     from pyspark.sql import functions as F
-    from bench import _images_table, warm_python_workers
-    from spark_shp import cells, iceberg_layout as ice, spatial
+    from bench import _images_table, read_images, warm_python_workers
+    from spark_shp import cells, spatial
     from spark_shp.session import get_spark
 
     spark = get_spark("skew_bench")
@@ -50,7 +50,7 @@ def main():
     warm_python_workers(spark)
 
     def probe():
-        img = ice.read_table(spark, root).select("lon", "lat")
+        img = read_images(spark, root).select("lon", "lat")
         return spatial.tile_assign(img, "lon", "lat", LEVEL, "cell")
 
     # build side: 16 rows per distinct level-6 cell (big enough that Spark
