@@ -4044,3 +4044,86 @@ FROM acc GROUP BY 1
 QUERIES.update({
     "flow_accumulation": (q_flow_accumulation, _oracle_flow_acc()),
 })
+
+
+# --- watershed_labels: drainage-basin labeling over the D8 forest -------------
+#
+# The third hydrology primitive (direction -> accumulation -> WATERSHED
+# delineation): every cell is labeled by the OUTLET its chain drains to —
+# a root is a pit/flat cell or a cell whose pointer exits the occupied
+# set.  Spark resolves roots by POINTER DOUBLING (p <- p(p), roots are
+# self-loops so the composition is total): O(log depth) rounds, each one
+# self-equi-join + localCheckpoint, driver holds one changed-count
+# scalar — the scale shape for long chains where the accumulation-style
+# per-step iteration would need O(depth) rounds.  The oracle walks every
+# chain to its root with an independent recursive CTE.  Per-basin output
+# (outlet, member count, drained elevation mass) is grid-bounded.
+
+def q_watershed_labels(spark, sf_dir):
+    nx, ny = _flow_next_exprs()
+    base = (_flow_cells(spark, sf_dir)
+            .selectExpr("tx", "ty", "zc", f"{nx} AS nx", f"{ny} AS ny")
+            .localCheckpoint())
+    occ = base.select("tx", "ty", "zc")
+    edges = (base.where("nx IS NOT NULL")
+             .join(occ.selectExpr("tx AS ox", "ty AS oy"),
+                   (F.col("nx") == F.col("ox")) & (F.col("ny") == F.col("oy")),
+                   "leftsemi")
+             .select("tx", "ty", "nx", "ny"))
+    # parent map, total: roots (no out-edge into the occupied set) loop
+    ptr = (occ.join(edges, ["tx", "ty"], "left")
+           .selectExpr("tx", "ty",
+                       "COALESCE(nx, tx) AS rx", "COALESCE(ny, ty) AS ry")
+           .localCheckpoint())
+    for _ in range(64):          # 2^64 cells >> any chain: log-depth bound
+        hop = ptr.selectExpr("tx AS htx", "ty AS hty",
+                             "rx AS hrx", "ry AS hry")
+        nxt = (ptr.join(hop, (F.col("rx") == F.col("htx"))
+                        & (F.col("ry") == F.col("hty")))
+               .selectExpr("tx", "ty", "hrx AS rx", "hry AS ry")
+               .localCheckpoint())
+        changed = (nxt.selectExpr("tx", "ty", "rx", "ry")
+                   .exceptAll(ptr.selectExpr("tx", "ty", "rx", "ry"))
+                   .count())
+        ptr = nxt
+        if changed == 0:
+            break
+    return (ptr.join(occ, ["tx", "ty"])
+            .groupBy("rx", "ry")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("zc").alias("sum_elev"))
+            .selectExpr("CAST(rx AS BIGINT) AS rx", "CAST(ry AS BIGINT) AS ry",
+                        "CAST(n_cells AS BIGINT) AS n_cells",
+                        "CAST(sum_elev AS BIGINT) AS sum_elev"))
+
+
+def _oracle_watershed() -> str:
+    nx, ny = _flow_next_exprs()
+    return f"""
+WITH RECURSIVE {_flow_oracle_cte()},
+nextp AS (
+  SELECT tx, ty, zc, {nx} AS nx, {ny} AS ny FROM dirs),
+edges AS (
+  SELECT n.tx, n.ty, n.nx, n.ny FROM nextp n
+  WHERE n.nx IS NOT NULL
+    AND EXISTS (SELECT 1 FROM nextp o WHERE o.tx = n.nx AND o.ty = n.ny)),
+walk(sx, sy, px, py) AS (
+  SELECT tx, ty, tx, ty FROM nextp
+  UNION ALL
+  SELECT w.sx, w.sy, e.nx, e.ny
+  FROM walk w JOIN edges e ON e.tx = w.px AND e.ty = w.py),
+roots AS (
+  SELECT w.sx, w.sy, w.px AS rx, w.py AS ry
+  FROM walk w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.tx = w.px AND e.ty = w.py))
+SELECT CAST(r.rx AS BIGINT) AS rx, CAST(r.ry AS BIGINT) AS ry,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n.zc) AS BIGINT) AS sum_elev
+FROM roots r JOIN nextp n ON n.tx = r.sx AND n.ty = r.sy
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({
+    "watershed_labels": (q_watershed_labels, _oracle_watershed()),
+})

@@ -143,6 +143,7 @@ _TAIL = [
     "hll_registers",          # HyperLogLog register sketch (C11 family)
     "flow_direction_d8",      # D8 steepest-descent flow routing (B3)
     "flow_accumulation",      # upstream counts over the D8 forest (B3)
+    "watershed_labels",       # drainage-basin labels, pointer doubling (B3)
     "idw_interpolate",        # inverse-distance gap-fill raster (B3/B5)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)

@@ -1776,3 +1776,29 @@ def test_soundex_blocking_bruteforce(spark):
         assert r.n_tokens == sum(b.values())
         assert r.first_token == min(b)
         assert r.n_candidate_pairs == len(b) * (len(b) - 1) // 2
+
+
+def test_watershed_labels_bruteforce(spark):
+    from spark_shp.queries_mining import _D8, q_watershed_labels
+
+    dirs = _py_flow_dirs()
+    def root_of(cell):
+        while True:
+            fdir = dirs[cell][0]
+            if fdir < 0:
+                return cell
+            dx, dy = _D8[fdir]
+            nxt = (cell[0] + dx, cell[1] + dy)
+            if nxt not in dirs:      # pointer exits the occupied set
+                return cell
+            cell = nxt
+    basins = {}
+    for cell, (_, _, c) in dirs.items():
+        r = root_of(cell)
+        n, se = basins.get(r, (0, 0))
+        basins[r] = (n + 1, se + c)
+    got = {(r.rx, r.ry): (r.n_cells, r.sum_elev)
+           for r in q_watershed_labels(spark, SF).collect()}
+    assert got == basins
+    # conservation: every occupied cell belongs to exactly one basin
+    assert sum(n for n, _ in got.values()) == len(dirs)
