@@ -4127,3 +4127,306 @@ GROUP BY 1, 2
 QUERIES.update({
     "watershed_labels": (q_watershed_labels, _oracle_watershed()),
 })
+
+
+# --- map_match_segments: snap points to the nearest road segment -----------------
+#
+# The map-matching primitive (GPS trace -> road network conformance):
+# every occupied level-10 grid cell snaps to the road SEGMENT minimizing
+# point-to-segment distance.  Exactness trick: all 24 road segments share
+# ONE squared length (integer direction vectors of norm^2 = 2500), so the
+# clamped-projection distance d^2 = |v|^2 - dot^2/|d|^2 becomes the
+# common-denominator integer numerator
+#     dnum = |v|^2 * 2500 - dot^2        (interior;  >= 0 by Cauchy-Schwarz)
+#     dnum = |p-a|^2 * 2500 / |p-b|^2 * 2500   (clamped endpoints)
+# so the argmin is a plain integer MIN over the packed key dnum*32+seg
+# (seg < 32 breaks ties toward the lower id) — no rational comparison, no
+# float.  Scale shape: the network is a FORMULA (shared constants embed as
+# literals in both engines), so matching is a LEAST() over 24 unrolled
+# codegen expressions — zero joins, zero extra shuffle; the only
+# corpus-scale pass is the occupied-cell groupBy.  Per-segment output is
+# bounded by the network size.
+
+MM_LEVEL = 10
+MM_LEN2 = 2500
+# integer lattice directions with |d|^2 = 2500 (Pythagorean spectrum)
+_MM_DIRS = [(50, 0), (0, 50), (30, 40), (40, 30),
+            (48, 14), (14, 48), (40, -30), (48, -14)]
+
+
+def road_segments(n: int = 24) -> list[tuple[int, int, int, int, int]]:
+    """The deterministic road network: (seg, ax, ay, dx, dy); b = a + d."""
+    from .hashing import mix
+    out = []
+    for s in range(n):
+        ax = int(mix(s * 7 + 1) % 960)
+        ay = int(mix(s * 7 + 2) % 960)
+        dx, dy = _MM_DIRS[int(mix(s * 7 + 3) % len(_MM_DIRS))]
+        out.append((s, ax, ay, dx, dy))
+    return out
+
+
+def _mm_key_sql(px: str, py: str) -> str:
+    """Packed argmin key MIN_s(dnum_s * 32 + s) as one LEAST() expression
+    of integer point columns — identical text in Spark SQL and DuckDB."""
+    terms = []
+    for s, ax, ay, dx, dy in road_segments():
+        vx, vy = f"(({px}) - {ax})", f"(({py}) - {ay})"
+        wx, wy = f"(({px}) - {ax + dx})", f"(({py}) - {ay + dy})"
+        dot = f"({vx} * ({dx}) + {vy} * ({dy}))"
+        v2 = f"({vx} * {vx} + {vy} * {vy})"
+        w2 = f"({wx} * {wx} + {wy} * {wy})"
+        dnum = (f"(CASE WHEN {dot} <= 0 THEN {v2} * {MM_LEN2} "
+                f"WHEN {dot} >= {MM_LEN2} THEN {w2} * {MM_LEN2} "
+                f"ELSE {v2} * {MM_LEN2} - {dot} * {dot} END)")
+        terms.append(f"({dnum} * 32 + {s})")
+    return "LEAST(" + ", ".join(terms) + ")"
+
+
+def q_map_match_segments(spark, sf_dir):
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, MM_LEVEL)
+    occ = (_t(spark, sf_dir, "events")
+           .selectExpr(f"{ix} AS px", f"{iy} AS py")
+           .groupBy("px", "py").agg(F.count(F.lit(1)).alias("c")))
+    key = _mm_key_sql("px", "py")
+    m = occ.selectExpr("px", "py", "c", f"{key} AS k") \
+           .selectExpr("px", "py", "c",
+                       "CAST(k % 32 AS INT) AS seg",
+                       "CAST(FLOOR(k / 32) AS BIGINT) AS dnum")
+    return (m.groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("c").alias("n_points"),
+                 F.sum("dnum").alias("sum_dnum"),
+                 F.expr("SUM((px * 1024 + py) * c)").alias("checksum"))
+            .selectExpr("seg", "CAST(n_cells AS BIGINT) AS n_cells",
+                        "CAST(n_points AS BIGINT) AS n_points",
+                        "CAST(sum_dnum AS BIGINT) AS sum_dnum",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_map_match() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, MM_LEVEL)
+    key = _mm_key_sql("px", "py")
+    return f"""
+WITH occ AS (
+  SELECT {ix} AS px, {iy} AS py, COUNT(*) AS c FROM events GROUP BY 1, 2),
+m AS (
+  SELECT px, py, c, CAST(({key}) % 32 AS INT) AS seg,
+         CAST(FLOOR(({key}) / 32) AS BIGINT) AS dnum
+  FROM occ)
+SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(c) AS BIGINT) AS n_points,
+       CAST(SUM(dnum) AS BIGINT) AS sum_dnum,
+       CAST(SUM((px * 1024 + py) * c) AS BIGINT) AS checksum
+FROM m GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "map_match_segments": (q_map_match_segments, _oracle_map_match()),
+})
+
+
+# --- sobel_edge_stats: Sobel gradient energy over real decoded bytes -------------
+#
+# The blur/edge-content QA filter (B11 family — a curation pipeline drops
+# near-uniform or over-sharp images): decode real raw/png bytes, run the
+# 3x3 Sobel operator on the green channel, and reduce each image to the
+# exact-int64 interior energy SUM(|gx| + |gy|).  The kernel is one sliced
+# whole-stack convolution per (w, h, fmt) decode group
+# (multimodal.sobel_checksums); the oracle re-derives every gradient from
+# the generator formula P(y,x,1) = mix(i*1000003 + y*4096 + x*4 + 1) % 256
+# by 6-point lattice sums — a genuinely independent computation path
+# (bytes -> codec -> numpy slices vs formula -> SQL lattice).  Lossy qb is
+# excluded (quantized reconstruction would break bit-exactness; its decode
+# is PSNR-gated in pytest instead).
+
+SOBEL_N = 24
+
+
+def q_sobel_edge_stats(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, SOBEL_N, partitions=4).where(
+        F.col("fmt") != "qb")
+    e = multimodal.sobel_checksums(img)
+    withi = e.selectExpr(
+        "energy", "CAST(substr(image_id, 4) AS BIGINT) AS i",
+        "CASE WHEN CAST(substr(image_id, 4) AS BIGINT) % 3 = 0 "
+        "THEN 'raw' ELSE 'png' END AS fmt")
+    return (withi.groupBy("fmt")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("energy").alias("sum_energy"),
+                 F.min("energy").alias("min_energy"),
+                 F.max("energy").alias("max_energy"),
+                 F.expr("SUM(energy * (i + 7))").alias("checksum"))
+            .selectExpr("fmt", "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(sum_energy AS BIGINT) AS sum_energy",
+                        "CAST(min_energy AS BIGINT) AS min_energy",
+                        "CAST(max_energy AS BIGINT) AS max_energy",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_sobel() -> str:
+    from .hashing import mix_sql
+    m = fixtures.images_meta_sql("i")
+
+    def p(dy: int, dx: int) -> str:
+        key = (f"i * 1000003 + (yy.y + {dy}) * 4096 "
+               f"+ (xx.x + {dx}) * 4 + 1")
+        return f"(({mix_sql(key)}) % 256)"
+
+    gx = (f"(({p(-1, 1)} + 2 * {p(0, 1)} + {p(1, 1)}) "
+          f"- ({p(-1, -1)} + 2 * {p(0, -1)} + {p(1, -1)}))")
+    gy = (f"(({p(1, -1)} + 2 * {p(1, 0)} + {p(1, 1)}) "
+          f"- ({p(-1, -1)} + 2 * {p(-1, 0)} + {p(-1, 1)}))")
+    return f"""
+WITH imgs AS (
+  SELECT i, {m['w']} AS w, {m['h']} AS h,
+         CASE WHEN i % 3 = 0 THEN 'raw' ELSE 'png' END AS fmt
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {SOBEL_N - 1})) AS i) t
+  WHERE i % 3 <> 2),
+grad AS (
+  SELECT i, fmt, ABS({gx}) + ABS({gy}) AS g
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(1, h - 2)) AS y) yy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(1, w - 2)) AS x) xx),
+per AS (SELECT i, fmt, SUM(g) AS energy FROM grad GROUP BY 1, 2)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(energy) AS BIGINT) AS sum_energy,
+       CAST(MIN(energy) AS BIGINT) AS min_energy,
+       CAST(MAX(energy) AS BIGINT) AS max_energy,
+       CAST(SUM(energy * (i + 7)) AS BIGINT) AS checksum
+FROM per GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "sobel_edge_stats": (q_sobel_edge_stats, _oracle_sobel()),
+})
+
+
+# --- bpe_pair_counts: adjacent-symbol pair frequencies (tokenizer training) ------
+#
+# The inner loop of BPE tokenizer training (count all adjacent symbol
+# pairs, merge the most frequent): per word, every adjacent CHARACTER
+# pair, counted corpus-wide with doc frequencies, plus the deterministic
+# merge ranking (count DESC, pair ASC — the tiebreak real trainers pin for
+# reproducibility).  Scale shape: pair extraction is map-side
+# (split + transform + substring, no self-join, no per-char shuffle); the
+# one corpus-scale shuffle is the pair groupBy, and the rank window runs
+# over the alphabet^2-bounded AGGREGATE, never the corpus.
+
+def q_bpe_pair_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = (d.selectExpr("doc_id", "explode(split(text, ' ')) AS word")
+             .where("char_length(word) >= 2")
+             .selectExpr("doc_id",
+                         "explode(transform(sequence(1, char_length(word) "
+                         "- 1), p -> substring(word, p, 2))) AS pair"))
+    agg = (pairs.groupBy("pair")
+           .agg(F.count(F.lit(1)).alias("n_pairs"),
+                F.countDistinct("doc_id").alias("n_docs")))
+    w = F.expr("ROW_NUMBER() OVER (ORDER BY n_pairs DESC, pair)")
+    return (agg.withColumn("merge_rank", w)
+            .where("merge_rank <= 40")
+            .selectExpr("CAST(merge_rank AS INT) AS merge_rank", "pair",
+                        "CAST(n_pairs AS BIGINT) AS n_pairs",
+                        "CAST(n_docs AS BIGINT) AS n_docs"))
+
+
+ORACLE_BPE = """
+WITH words AS (
+  SELECT doc_id, w.word FROM documents,
+  LATERAL (SELECT UNNEST(string_split(text, ' ')) AS word) w
+  WHERE LENGTH(w.word) >= 2),
+pairs AS (
+  SELECT doc_id, substr(word, p.p, 2) AS pair FROM words,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LENGTH(word) - 1)) AS p) p),
+agg AS (
+  SELECT pair, COUNT(*) AS n_pairs, COUNT(DISTINCT doc_id) AS n_docs
+  FROM pairs GROUP BY 1),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY n_pairs DESC, pair) AS merge_rank, *
+  FROM agg)
+SELECT CAST(merge_rank AS INT) AS merge_rank, pair,
+       CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_docs AS BIGINT) AS n_docs
+FROM ranked WHERE merge_rank <= 40
+"""
+
+
+QUERIES.update({
+    "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE),
+})
+
+
+# --- vocab_growth: Heaps-law vocabulary growth curve ------------------------------
+#
+# The corpus-size planning curve (how fast does the vocabulary grow as
+# documents stream in?): per corpus decile, the number of NEW terms whose
+# first occurrence falls in that decile, the cumulative vocabulary, and
+# the cumulative token count — the (tokens, vocab) pairs a Heaps-law fit
+# consumes.  Scale shape: first occurrence is MIN(doc_id) per term (one
+# token-keyed shuffle with map-side combine); deciles and both cumulative
+# windows run over the 10-row AGGREGATE.  Decile = FLOOR(first_doc * 10 /
+# n_docs) is exact: quotient error << 1/n_docs, and exact multiples divide
+# exactly in IEEE-754 (the repo FLOOR-division rule).
+
+def q_vocab_growth(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    toks = d.selectExpr("doc_id", "explode(split(text, ' ')) AS tok") \
+            .where("tok <> ''")
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    new_terms = (first.crossJoin(F.broadcast(nd))
+                 .selectExpr("CAST(FLOOR(first_doc * 10 / nd) AS INT) "
+                             "AS decile")
+                 .groupBy("decile")
+                 .agg(F.count(F.lit(1)).alias("n_new_terms")))
+    tok_per = (toks.crossJoin(F.broadcast(nd))
+               .selectExpr("CAST(FLOOR(doc_id * 10 / nd) AS INT) AS decile")
+               .groupBy("decile")
+               .agg(F.count(F.lit(1)).alias("n_tokens")))
+    j = new_terms.join(tok_per, "decile", "full")
+    return (j.selectExpr(
+        "decile", "COALESCE(n_new_terms, 0) AS n_new_terms",
+        "COALESCE(n_tokens, 0) AS nt")
+        .selectExpr(
+            "decile", "CAST(n_new_terms AS BIGINT) AS n_new_terms",
+            "CAST(SUM(n_new_terms) OVER (ORDER BY decile) AS BIGINT) "
+            "AS vocab_cum",
+            "CAST(SUM(nt) OVER (ORDER BY decile) AS BIGINT) "
+            "AS tokens_cum"))
+
+
+ORACLE_VOCAB = """
+WITH nd AS (SELECT COUNT(*) AS nd FROM documents),
+toks AS (
+  SELECT doc_id, t.tok FROM documents,
+  LATERAL (SELECT UNNEST(string_split(text, ' ')) AS tok) t
+  WHERE t.tok <> ''),
+first AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY 1),
+new_terms AS (
+  SELECT CAST(FLOOR(first_doc * 10 / nd.nd) AS INT) AS decile,
+         COUNT(*) AS n_new_terms
+  FROM first, nd GROUP BY 1),
+tok_per AS (
+  SELECT CAST(FLOOR(doc_id * 10 / nd.nd) AS INT) AS decile,
+         COUNT(*) AS n_tokens
+  FROM toks, nd GROUP BY 1),
+j AS (
+  SELECT COALESCE(n.decile, t.decile) AS decile,
+         COALESCE(n.n_new_terms, 0) AS n_new_terms,
+         COALESCE(t.n_tokens, 0) AS nt
+  FROM new_terms n FULL JOIN tok_per t ON n.decile = t.decile)
+SELECT decile, CAST(n_new_terms AS BIGINT) AS n_new_terms,
+       CAST(SUM(n_new_terms) OVER (ORDER BY decile) AS BIGINT) AS vocab_cum,
+       CAST(SUM(nt) OVER (ORDER BY decile) AS BIGINT) AS tokens_cum
+FROM j
+"""
+
+
+QUERIES.update({
+    "vocab_growth": (q_vocab_growth, ORACLE_VOCAB),
+})

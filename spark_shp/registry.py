@@ -144,6 +144,10 @@ _TAIL = [
     "flow_direction_d8",      # D8 steepest-descent flow routing (B3)
     "flow_accumulation",      # upstream counts over the D8 forest (B3)
     "watershed_labels",       # drainage-basin labels, pointer doubling (B3)
+    "map_match_segments",     # nearest-road-segment snap, exact int argmin (B6/B9)
+    "sobel_edge_stats",       # Sobel gradient energy, real decode (B11)
+    "bpe_pair_counts",        # BPE tokenizer-training pair frequencies (text)
+    "vocab_growth",           # Heaps-law vocabulary growth curve (text)
     "idw_interpolate",        # inverse-distance gap-fill raster (B3/B5)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)

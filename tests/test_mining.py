@@ -1802,3 +1802,166 @@ def test_watershed_labels_bruteforce(spark):
     assert got == basins
     # conservation: every occupied cell belongs to exactly one basin
     assert sum(n for n, _ in got.values()) == len(dirs)
+
+
+def test_map_match_exact_argmin_vs_float_geometry(spark):
+    """The packed-integer argmin must agree with textbook float
+    point-to-segment distance on every occupied cell (ties -> lower id)."""
+    import numpy as np
+    from spark_shp.queries_mining import (MM_LEVEL, q_map_match_segments,
+                                          road_segments)
+    from spark_shp.hashing import u01
+
+    segs = road_segments()
+    # replicate the event -> level-10 cell quantization
+    con = duckdb.connect()
+    eids = con.sql(f"SELECT event_id FROM "
+                   f"read_parquet('{SF}/events.parquet')") \
+        .df()["event_id"].to_numpy().astype(np.int64)
+    lon = u01(eids) * 360.0 - 180.0
+    lat = u01(eids * 2 + 1) * 170.0 - 85.0
+    n = 1 << MM_LEVEL
+    px = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(int)
+    py = np.clip(np.floor((lat + 85.0) / 170.0 * n), 0, n - 1).astype(int)
+    pts = {}
+    for x, y in zip(px, py):
+        pts[(x, y)] = pts.get((x, y), 0) + 1
+
+    def seg_d2(x, y, s):
+        _, ax, ay, dx, dy = s
+        vx, vy = x - ax, y - ay
+        dot = vx * dx + vy * dy
+        if dot <= 0:
+            return (vx * vx + vy * vy) * 2500
+        if dot >= 2500:
+            wx, wy = x - ax - dx, y - ay - dy
+            return (wx * wx + wy * wy) * 2500
+        return (vx * vx + vy * vy) * 2500 - dot * dot
+
+    exp = {}
+    for (x, y), c in pts.items():
+        best = min((seg_d2(x, y, s), s[0]) for s in segs)
+        st = exp.setdefault(best[1], [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += c
+        st[2] += best[0]
+        st[3] += (x * 1024 + y) * c
+        # cross-check the integer numerator against float geometry
+        _, ax, ay, dx, dy = segs[best[1]]
+        t = np.clip((x - ax) * dx + (y - ay) * dy, 0, 2500) / 2500.0
+        fd2 = (x - ax - t * dx) ** 2 + (y - ay - t * dy) ** 2
+        assert abs(best[0] / 2500.0 - fd2) < 1e-6
+
+    got = {r.seg: [r.n_cells, r.n_points, r.sum_dnum, r.checksum]
+           for r in q_map_match_segments(spark, SF).collect()}
+    assert got == exp
+
+
+def test_sobel_kernel_vs_direct_convolution():
+    """The sliced whole-stack Sobel must equal a textbook per-pixel
+    convolution on the generator pixels, for every fixture size."""
+    import numpy as np
+    from spark_shp import fixtures
+
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=np.int64)
+    ky = kx.T
+    for i in [0, 1, 3, 4, 7]:           # raw and png ids, mixed sizes
+        m = fixtures.images_meta(np.array([i]))
+        w, h = int(m["w"][0]), int(m["h"][0])
+        g = fixtures.image_pixels(i, w, h)[..., 1].astype(np.int64)
+        direct = 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                win = g[y - 1:y + 2, x - 1:x + 2]
+                direct += abs((win * kx).sum()) + abs((win * ky).sum())
+        p = g[None]
+        gx = ((p[:, :-2, 2:] + 2 * p[:, 1:-1, 2:] + p[:, 2:, 2:])
+              - (p[:, :-2, :-2] + 2 * p[:, 1:-1, :-2] + p[:, 2:, :-2]))
+        gy = ((p[:, 2:, :-2] + 2 * p[:, 2:, 1:-1] + p[:, 2:, 2:])
+              - (p[:, :-2, :-2] + 2 * p[:, :-2, 1:-1] + p[:, :-2, 2:]))
+        assert int((np.abs(gx) + np.abs(gy)).sum()) == direct
+
+
+def test_sobel_edge_stats_decode_path(spark):
+    """q_sobel_edge_stats through the REAL decode path must equal the
+    formula recomputation per format."""
+    import numpy as np
+    from spark_shp import fixtures
+    from spark_shp.queries_mining import SOBEL_N, q_sobel_edge_stats
+
+    exp = {}
+    for i in range(SOBEL_N):
+        if i % 3 == 2:
+            continue
+        fmt = "raw" if i % 3 == 0 else "png"
+        m = fixtures.images_meta(np.array([i]))
+        w, h = int(m["w"][0]), int(m["h"][0])
+        p = fixtures.image_pixels(i, w, h)[..., 1].astype(np.int64)[None]
+        gx = ((p[:, :-2, 2:] + 2 * p[:, 1:-1, 2:] + p[:, 2:, 2:])
+              - (p[:, :-2, :-2] + 2 * p[:, 1:-1, :-2] + p[:, 2:, :-2]))
+        gy = ((p[:, 2:, :-2] + 2 * p[:, 2:, 1:-1] + p[:, 2:, 2:])
+              - (p[:, :-2, :-2] + 2 * p[:, :-2, 1:-1] + p[:, :-2, 2:]))
+        e = int((np.abs(gx) + np.abs(gy)).sum())
+        st = exp.setdefault(fmt, [0, 0, 10 ** 18, 0, 0])
+        st[0] += 1
+        st[1] += e
+        st[2] = min(st[2], e)
+        st[3] = max(st[3], e)
+        st[4] += e * (i + 7)
+    got = {r.fmt: [r.n_images, r.sum_energy, r.min_energy, r.max_energy,
+                   r.checksum]
+           for r in q_sobel_edge_stats(spark, SF).collect()}
+    assert got == exp
+
+
+def test_bpe_pair_counts_bruteforce(spark):
+    """Pure-python BPE pair counting over the raw parquet must match."""
+    con = duckdb.connect()
+    docs = con.sql(f"SELECT doc_id, text FROM "
+                   f"read_parquet('{SF}/documents.parquet')").fetchall()
+    from collections import Counter
+    cnt, docset = Counter(), {}
+    for doc_id, text in docs:
+        for word in text.split(" "):
+            for p in range(len(word) - 1):
+                pair = word[p:p + 2]
+                cnt[pair] += 1
+                docset.setdefault(pair, set()).add(doc_id)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:40]
+    exp = {r + 1: (pair, n, len(docset[pair]))
+           for r, (pair, n) in enumerate(ranked)}
+    from spark_shp.queries_mining import q_bpe_pair_counts
+    got = {r.merge_rank: (r.pair, r.n_pairs, r.n_docs)
+           for r in q_bpe_pair_counts(spark, SF).collect()}
+    assert got == exp
+
+
+def test_vocab_growth_bruteforce(spark):
+    """Sequential first-occurrence scan must reproduce the decile curve,
+    and the last decile's vocab_cum must equal the total vocabulary."""
+    con = duckdb.connect()
+    docs = con.sql(f"SELECT doc_id, text FROM "
+                   f"read_parquet('{SF}/documents.parquet') "
+                   f"ORDER BY doc_id").fetchall()
+    nd = len(docs)
+    seen, new_terms, n_tokens = set(), {}, {}
+    for doc_id, text in docs:
+        dec = doc_id * 10 // nd
+        for tok in text.split(" "):
+            if not tok:
+                continue
+            n_tokens[dec] = n_tokens.get(dec, 0) + 1
+            if tok not in seen:
+                seen.add(tok)
+                new_terms[dec] = new_terms.get(dec, 0) + 1
+    from spark_shp.queries_mining import q_vocab_growth
+    rows = sorted(q_vocab_growth(spark, SF).collect(),
+                  key=lambda r: r.decile)
+    vc = tc = 0
+    for r in rows:
+        assert r.n_new_terms == new_terms.get(r.decile, 0)
+        vc += new_terms.get(r.decile, 0)
+        tc += n_tokens.get(r.decile, 0)
+        assert r.vocab_cum == vc
+        assert r.tokens_cum == tc
+    assert rows[-1].vocab_cum == len(seen)
