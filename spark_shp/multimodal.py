@@ -386,3 +386,112 @@ def sobel_checksums(images: DataFrame) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+def blob_checksums(images: DataFrame, thresh: int = 128) -> DataFrame:
+    """4-adjacency connected-component labeling of the thresholded green
+    channel (blob detection — the object-count QA pass): per image, the
+    number of blobs, the largest blob's pixel count, and the exact sum of
+    min-labels (label = y*w + x of each blob's smallest-index pixel —
+    orientation-sensitive, catches flips/transposes).  Vectorized
+    min-label propagation over the WHOLE decode stack at once; rounds are
+    bounded by the longest in-blob shortest path (<= h*w), convergence is
+    checked on the stack, not per image."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_blobs", T.LongType()),
+        T.StructField("max_blob", T.LongType()),
+        T.StructField("label_sum", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                g = _decode_stack(pdf, idx, w, h, fmt)[..., 1]
+                mask = g >= thresh                          # (n, h, w)
+                big = np.int64(h * w)
+                yy, xx = np.meshgrid(np.arange(h, dtype=np.int64),
+                                     np.arange(w, dtype=np.int64),
+                                     indexing="ij")
+                lab = np.where(mask, (yy * w + xx)[None], big).copy()
+                while True:
+                    nxt = lab.copy()
+                    nxt[:, 1:, :] = np.minimum(nxt[:, 1:, :], lab[:, :-1, :])
+                    nxt[:, :-1, :] = np.minimum(nxt[:, :-1, :], lab[:, 1:, :])
+                    nxt[:, :, 1:] = np.minimum(nxt[:, :, 1:], lab[:, :, :-1])
+                    nxt[:, :, :-1] = np.minimum(nxt[:, :, :-1], lab[:, :, 1:])
+                    nxt = np.where(mask, nxt, big)
+                    if np.array_equal(nxt, lab):
+                        break
+                    lab = nxt
+                for k, i in enumerate(idx):
+                    lv = lab[k][mask[k]]
+                    if lv.size == 0:
+                        rows[i] = (ids[i], 0, 0, 0)
+                        continue
+                    uniq, counts = np.unique(lv, return_counts=True)
+                    rows[i] = (ids[i], int(uniq.size),
+                               int(counts.max()), int(uniq.sum()))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))
+
+
+def orientation_checksums(images: DataFrame) -> DataFrame:
+    """HOG-style gradient-orientation octant counts: Sobel (gx, gy) on the
+    green channel, every interior pixel with a nonzero gradient bucketed
+    into 8 octants by the engine-shared comparison-only rule (sign and
+    |gx| vs |gy|; ties by the CASE order — no atan2).  Emits per
+    (image_id, octant) exact counts."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("octant", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            out = []
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                p = _decode_stack(pdf, idx, w, h, fmt)[..., 1] \
+                    .astype(np.int64)
+                gx = ((p[:, :-2, 2:] + 2 * p[:, 1:-1, 2:] + p[:, 2:, 2:])
+                      - (p[:, :-2, :-2] + 2 * p[:, 1:-1, :-2]
+                         + p[:, 2:, :-2]))
+                gy = ((p[:, 2:, :-2] + 2 * p[:, 2:, 1:-1] + p[:, 2:, 2:])
+                      - (p[:, :-2, :-2] + 2 * p[:, :-2, 1:-1]
+                         + p[:, :-2, 2:]))
+                ax, ay = np.abs(gx), np.abs(gy)
+                steep = ay > ax
+                oct_ = np.where(
+                    (gx >= 0) & (gy >= 0), np.where(steep, 1, 0),
+                    np.where((gx < 0) & (gy >= 0), np.where(steep, 2, 3),
+                             np.where((gx < 0) & (gy < 0),
+                                      np.where(steep, 5, 4),
+                                      np.where(steep, 6, 7))))
+                live = (gx != 0) | (gy != 0)
+                flat = np.where(live, oct_, 8) + \
+                    np.arange(len(idx))[:, None, None] * 9
+                counts = np.bincount(flat.ravel(),
+                                     minlength=len(idx) * 9)
+                counts = counts.reshape(len(idx), 9)
+                for k, i in enumerate(idx):
+                    for o in range(8):
+                        if counts[k, o]:
+                            out.append((ids[i], o, int(counts[k, o])))
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

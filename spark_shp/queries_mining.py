@@ -4430,3 +4430,160 @@ FROM j
 QUERIES.update({
     "vocab_growth": (q_vocab_growth, ORACLE_VOCAB),
 })
+
+
+# --- image_blob_count: connected-component blob detection on real bytes ----------
+#
+# Blob detection (the object-count / fragmentation QA pass of an image
+# pipeline): threshold the green channel at 128 and label 4-adjacency
+# connected components.  Spark labels by vectorized min-label propagation
+# over the whole decode stack (multimodal.blob_checksums); the oracle
+# labels the SAME components by a recursive transitive-closure CTE over
+# the formula-generated mask — a genuinely different algorithm and data
+# path.  Restricted to the 16x16 fixture sizes so the oracle's closure
+# stays lattice-bounded; lossy qb excluded.  Output per format:
+# n_images, total blobs, the largest blob, and the exact min-label sum
+# (label = y*16+x of each blob's smallest pixel — catches flips).
+
+BLOB_N = 1200         # ids scanned; ~1/25 are 16x16, 2/3 of those raw/png
+
+
+def q_image_blob_count(spark, sf_dir):
+    from . import multimodal
+    img = (fixtures.images_df(spark, BLOB_N, partitions=8)
+           .where("fmt <> 'qb' AND w = 16 AND h = 16"))
+    b = multimodal.blob_checksums(img, thresh=128)
+    withi = b.selectExpr(
+        "n_blobs", "max_blob", "label_sum",
+        "CAST(substr(image_id, 4) AS BIGINT) AS i",
+        "CASE WHEN CAST(substr(image_id, 4) AS BIGINT) % 3 = 0 "
+        "THEN 'raw' ELSE 'png' END AS fmt")
+    return (withi.groupBy("fmt")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("n_blobs").alias("sum_blobs"),
+                 F.max("max_blob").alias("max_blob"),
+                 F.expr("SUM(label_sum * (i + 7))").alias("checksum"))
+            .selectExpr("fmt", "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(sum_blobs AS BIGINT) AS sum_blobs",
+                        "CAST(max_blob AS BIGINT) AS max_blob",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_blobs() -> str:
+    from .hashing import mix_sql
+    m = fixtures.images_meta_sql("i")
+    px = mix_sql("i * 1000003 + yy.y * 4096 + xx.x * 4 + 1")
+    return f"""
+WITH RECURSIVE imgs AS (
+  SELECT i, CASE WHEN i % 3 = 0 THEN 'raw' ELSE 'png' END AS fmt
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {BLOB_N - 1})) AS i) t
+  WHERE i % 3 <> 2 AND {m['w']} = 16 AND {m['h']} = 16),
+pix AS (
+  SELECT i, fmt, yy.y AS y, xx.x AS x
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS y) yy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS x) xx
+  WHERE (({px}) % 256) >= 128),
+adj AS (
+  SELECT a.i, a.y AS ay, a.x AS ax, b.y AS by, b.x AS bx
+  FROM pix a JOIN pix b
+    ON a.i = b.i AND ABS(a.y - b.y) + ABS(a.x - b.x) = 1),
+reach(i, y, x, lab) AS (
+  SELECT i, y, x, y * 16 + x FROM pix
+  UNION
+  SELECT r.i, e.ay, e.ax, r.lab
+  FROM reach r JOIN adj e ON e.i = r.i AND e.by = r.y AND e.bx = r.x),
+lbl AS (
+  SELECT i, y, x, MIN(lab) AS lab FROM reach GROUP BY 1, 2, 3),
+blob AS (
+  SELECT i, lab, COUNT(*) AS sz FROM lbl GROUP BY 1, 2),
+per AS (
+  SELECT i, COUNT(*) AS n_blobs, MAX(sz) AS max_blob,
+         SUM(lab) AS label_sum
+  FROM blob GROUP BY 1)
+SELECT g.fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(COALESCE(p.n_blobs, 0)) AS BIGINT) AS sum_blobs,
+       CAST(MAX(COALESCE(p.max_blob, 0)) AS BIGINT) AS max_blob,
+       CAST(SUM(COALESCE(p.label_sum, 0) * (g.i + 7)) AS BIGINT) AS checksum
+FROM imgs g LEFT JOIN per p ON p.i = g.i
+GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "image_blob_count": (q_image_blob_count, _oracle_blobs()),
+})
+
+
+# --- grad_orientation_hist: HOG-style gradient-orientation octants ---------------
+#
+# The orientation-distribution descriptor (HOG's binning step, the
+# texture/structure QA signal): Sobel (gx, gy) per interior pixel of the
+# green channel, bucketed into 8 octants by the SAME comparison-only rule
+# as bearing_histogram (sign + |gx| vs |gy|, ties by CASE order — no
+# atan2 anywhere), zero-gradient pixels excluded.  Spark buckets on the
+# decoded stack with one vectorized bincount per shape group
+# (multimodal.orientation_checksums); the oracle re-derives every
+# gradient from the pixel formula and buckets with the SQL octant CASE.
+
+def q_grad_orientation_hist(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, SOBEL_N, partitions=4).where(
+        F.col("fmt") != "qb")
+    o = multimodal.orientation_checksums(img)
+    withi = o.selectExpr(
+        "octant", "n_px", "CAST(substr(image_id, 4) AS BIGINT) AS i",
+        "CASE WHEN CAST(substr(image_id, 4) AS BIGINT) % 3 = 0 "
+        "THEN 'raw' ELSE 'png' END AS fmt")
+    return (withi.groupBy("fmt", "octant")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("n_px").alias("n_pixels"),
+                 F.expr("SUM(n_px * (i + 7))").alias("checksum"))
+            .selectExpr("fmt", "CAST(octant AS INT) AS octant",
+                        "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(n_pixels AS BIGINT) AS n_pixels",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_orientation() -> str:
+    from .hashing import mix_sql
+    from .queries_analytics import _octant_sql
+    m = fixtures.images_meta_sql("i")
+
+    def p(dy: int, dx: int) -> str:
+        key = (f"i * 1000003 + (yy.y + {dy}) * 4096 "
+               f"+ (xx.x + {dx}) * 4 + 1")
+        return f"(({mix_sql(key)}) % 256)"
+
+    gx = (f"(({p(-1, 1)} + 2 * {p(0, 1)} + {p(1, 1)}) "
+          f"- ({p(-1, -1)} + 2 * {p(0, -1)} + {p(1, -1)}))")
+    gy = (f"(({p(1, -1)} + 2 * {p(1, 0)} + {p(1, 1)}) "
+          f"- ({p(-1, -1)} + 2 * {p(-1, 0)} + {p(-1, 1)}))")
+    oct_ = _octant_sql("gx", "gy")
+    return f"""
+WITH imgs AS (
+  SELECT i, {m['w']} AS w, {m['h']} AS h,
+         CASE WHEN i % 3 = 0 THEN 'raw' ELSE 'png' END AS fmt
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {SOBEL_N - 1})) AS i) t
+  WHERE i % 3 <> 2),
+grad AS (
+  SELECT i, fmt, {gx} AS gx, {gy} AS gy
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(1, h - 2)) AS y) yy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(1, w - 2)) AS x) xx),
+bucketed AS (
+  SELECT i, fmt, CAST({oct_} AS INT) AS octant
+  FROM grad WHERE gx <> 0 OR gy <> 0),
+per AS (
+  SELECT i, fmt, octant, COUNT(*) AS n_px FROM bucketed GROUP BY 1, 2, 3)
+SELECT fmt, octant, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(n_px) AS BIGINT) AS n_pixels,
+       CAST(SUM(n_px * (i + 7)) AS BIGINT) AS checksum
+FROM per GROUP BY 1, 2
+"""
+
+
+QUERIES.update({
+    "grad_orientation_hist": (q_grad_orientation_hist,
+                              _oracle_orientation()),
+})

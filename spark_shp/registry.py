@@ -146,6 +146,8 @@ _TAIL = [
     "watershed_labels",       # drainage-basin labels, pointer doubling (B3)
     "map_match_segments",     # nearest-road-segment snap, exact int argmin (B6/B9)
     "sobel_edge_stats",       # Sobel gradient energy, real decode (B11)
+    "image_blob_count",       # CC blob detection, real decode (B11)
+    "grad_orientation_hist",  # HOG-style octant histogram, real decode (B11)
     "bpe_pair_counts",        # BPE tokenizer-training pair frequencies (text)
     "vocab_growth",           # Heaps-law vocabulary growth curve (text)
     "idw_interpolate",        # inverse-distance gap-fill raster (B3/B5)

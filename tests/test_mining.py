@@ -1965,3 +1965,131 @@ def test_vocab_growth_bruteforce(spark):
         assert r.vocab_cum == vc
         assert r.tokens_cum == tc
     assert rows[-1].vocab_cum == len(seen)
+
+
+def test_blob_labeling_vs_union_find():
+    """Stack min-label propagation must match a classic union-find flood
+    fill on the generator masks, for several 16x16 fixture images."""
+    import numpy as np
+    from spark_shp import fixtures
+
+    def uf_blobs(mask):
+        h, w = mask.shape
+        parent = {}
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for y in range(h):
+            for x in range(w):
+                if mask[y, x]:
+                    parent[(y, x)] = (y, x)
+        for y in range(h):
+            for x in range(w):
+                if not mask[y, x]:
+                    continue
+                for ny, nx in ((y + 1, x), (y, x + 1)):
+                    if ny < h and nx < w and mask[ny, nx]:
+                        ra, rb = find((y, x)), find((ny, nx))
+                        if ra != rb:
+                            parent[rb] = ra
+        comps = {}
+        for cell in parent:
+            comps.setdefault(find(cell), []).append(cell)
+        sizes = sorted(len(v) for v in comps.values())
+        labels = sorted(min(y * w + x for y, x in v)
+                        for v in comps.values())
+        return len(comps), sizes[-1] if sizes else 0, sum(labels)
+
+    from spark_shp.queries_mining import BLOB_N
+    found = 0
+    for i in range(BLOB_N):
+        if i % 3 == 2:
+            continue
+        m = fixtures.images_meta(np.array([i]))
+        if int(m["w"][0]) != 16 or int(m["h"][0]) != 16:
+            continue
+        mask = fixtures.image_pixels(i, 16, 16)[..., 1] >= 128
+        nb, mx, ls = uf_blobs(mask)
+        # replicate the stack kernel on this single image
+        big = np.int64(256)
+        yy, xx = np.meshgrid(np.arange(16, dtype=np.int64),
+                             np.arange(16, dtype=np.int64), indexing="ij")
+        lab = np.where(mask, (yy * 16 + xx), big)[None].copy()
+        while True:
+            nxt = lab.copy()
+            nxt[:, 1:, :] = np.minimum(nxt[:, 1:, :], lab[:, :-1, :])
+            nxt[:, :-1, :] = np.minimum(nxt[:, :-1, :], lab[:, 1:, :])
+            nxt[:, :, 1:] = np.minimum(nxt[:, :, 1:], lab[:, :, :-1])
+            nxt[:, :, :-1] = np.minimum(nxt[:, :, :-1], lab[:, :, 1:])
+            nxt = np.where(mask[None], nxt, big)
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        lv = lab[0][mask]
+        uniq, counts = np.unique(lv, return_counts=True)
+        assert (len(uniq), int(counts.max()), int(uniq.sum())) == (nb, mx, ls)
+        found += 1
+        if found >= 8:
+            break
+    assert found >= 8
+
+
+def test_grad_orientation_octants_vs_atan2(spark):
+    """The comparison-only octant rule must agree with atan2 binning away
+    from the 45-degree boundaries, and the gated query must reproduce the
+    formula recomputation end-to-end at SOBEL_N."""
+    import math
+    import numpy as np
+    from spark_shp import fixtures
+    from spark_shp.queries_mining import SOBEL_N, q_grad_orientation_hist
+
+    def octant(gx, gy):
+        ax, ay = abs(gx), abs(gy)
+        if gx >= 0 and gy >= 0:
+            return 1 if ay > ax else 0
+        if gx < 0 and gy >= 0:
+            return 2 if ay > ax else 3
+        if gx < 0 and gy < 0:
+            return 5 if ay > ax else 4
+        return 6 if ay > ax else 7
+
+    rng = [(3, 1), (1, 3), (-2, 5), (-5, 2), (-4, -1), (-1, -4),
+           (2, -5), (5, -2), (7, 0), (0, 7), (-7, 0), (0, -7)]
+    for gx, gy in rng:
+        if abs(gx) != abs(gy):
+            a = math.atan2(gy, gx) % (2 * math.pi)
+            bin_ = int(a // (math.pi / 4)) % 8
+            if abs(a % (math.pi / 4)) > 1e-9:       # off-boundary only
+                assert octant(gx, gy) == bin_
+
+    exp = {}
+    for i in range(SOBEL_N):
+        if i % 3 == 2:
+            continue
+        fmt = "raw" if i % 3 == 0 else "png"
+        m = fixtures.images_meta(np.array([i]))
+        w, h = int(m["w"][0]), int(m["h"][0])
+        p = fixtures.image_pixels(i, w, h)[..., 1].astype(np.int64)
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                gx = ((p[y - 1, x + 1] + 2 * p[y, x + 1] + p[y + 1, x + 1])
+                      - (p[y - 1, x - 1] + 2 * p[y, x - 1]
+                         + p[y + 1, x - 1]))
+                gy = ((p[y + 1, x - 1] + 2 * p[y + 1, x] + p[y + 1, x + 1])
+                      - (p[y - 1, x - 1] + 2 * p[y - 1, x]
+                         + p[y - 1, x + 1]))
+                if gx == 0 and gy == 0:
+                    continue
+                key = (fmt, octant(gx, gy))
+                st = exp.setdefault(key, [set(), 0, 0])
+                st[0].add(i)
+                st[1] += 1
+                st[2] += i + 7
+    want = {k: (len(v[0]), v[1], v[2]) for k, v in exp.items()}
+    got = {(r.fmt, r.octant): (r.n_images, r.n_pixels, r.checksum)
+           for r in q_grad_orientation_hist(spark, SF).collect()}
+    assert got == want
