@@ -495,3 +495,58 @@ def orientation_checksums(images: DataFrame) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+# 4x4 signed template for template_match_peaks: K[u,v] =
+# mix(9000001 + u*4 + v) % 256 - 128 (the gate oracle re-derives it)
+def template_kernel() -> np.ndarray:
+    from .hashing import mix
+    uv = np.arange(16, dtype=np.int64)
+    return (mix(9000001 + uv) % 256 - 128).reshape(4, 4)
+
+
+def template_match_checksums(images: DataFrame) -> DataFrame:
+    """Template matching (patch search): exact integer cross-correlation
+    of a fixed 4x4 signed kernel against the green channel; per image the
+    peak score and its FIRST (row-major) location.  The argmax is the
+    packed key MAX(score * 2^24 + (2^24-1 - pos)) — score dominates (the
+    low part is always in [0, 2^24), so floor-shift recovers it even for
+    negative scores), position breaks ties toward the first occurrence,
+    everything stays int64.  One 16-term shifted-slice accumulation per
+    decode stack."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("peak_pos", T.LongType()),
+    ])
+    kern = template_kernel()
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                p = _decode_stack(pdf, idx, w, h, fmt)[..., 1] \
+                    .astype(np.int64)
+                oh, ow = h - 3, w - 3
+                score = np.zeros((len(idx), oh, ow), dtype=np.int64)
+                for u in range(4):
+                    for v in range(4):
+                        score += kern[u, v] * p[:, u:u + oh, v:v + ow]
+                pos = (np.arange(oh, dtype=np.int64)[:, None] * w
+                       + np.arange(ow, dtype=np.int64)[None, :])
+                top = np.int64((1 << 24) - 1)
+                key = (score << np.int64(24)) + (top - pos[None])
+                best = key.reshape(len(idx), -1).max(axis=1)
+                for k, i in enumerate(idx):
+                    b = int(best[k])
+                    rows[i] = (ids[i], b >> 24,
+                               int(top) - (b & int(top)))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

@@ -4310,48 +4310,54 @@ QUERIES.update({
 # --- bpe_pair_counts: adjacent-symbol pair frequencies (tokenizer training) ------
 #
 # The inner loop of BPE tokenizer training (count all adjacent symbol
-# pairs, merge the most frequent): per word, every adjacent CHARACTER
-# pair, counted corpus-wide with doc frequencies, plus the deterministic
-# merge ranking (count DESC, pair ASC — the tiebreak real trainers pin for
-# reproducibility).  Scale shape: pair extraction is map-side
-# (split + transform + substring, no self-join, no per-char shuffle); the
-# one corpus-scale shuffle is the pair groupBy, and the rank window runs
-# over the alphabet^2-bounded AGGREGATE, never the corpus.
+# pairs, merge the most frequent): every adjacent CHARACTER pair inside a
+# word, counted corpus-wide, plus the deterministic merge ranking
+# (count DESC, pair ASC — the tiebreak real trainers pin for
+# reproducibility) and the number of distinct vocabulary words containing
+# the pair.  Scale shape — the one real BPE trainers use: aggregate the
+# WORD HISTOGRAM first (one token-keyed shuffle, map-side combine shrinks
+# every partition to its distinct words), then explode pairs over the
+# vocabulary-bounded aggregate with frequency weights.  Pair work is
+# proportional to |vocab|, not corpus tokens (29.4 s -> 1.25 s at 270M
+# pairs / 100M tokens vs the instance-explode plan, BENCH/MINING.json);
+# the rank window runs over the alphabet^2-bounded aggregate.
 
 def q_bpe_pair_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    pairs = (d.selectExpr("doc_id", "explode(split(text, ' ')) AS word")
-             .where("char_length(word) >= 2")
-             .selectExpr("doc_id",
-                         "explode(transform(sequence(1, char_length(word) "
-                         "- 1), p -> substring(word, p, 2))) AS pair"))
+    wf = (d.selectExpr("explode(split(text, ' ')) AS word")
+          .where("char_length(word) >= 2")
+          .groupBy("word").agg(F.count(F.lit(1)).alias("wc")))
+    pairs = (wf.selectExpr("word", "wc",
+                           "explode(sequence(1, char_length(word) - 1)) "
+                           "AS p")
+             .selectExpr("word", "wc", "substring(word, p, 2) AS pair"))
     agg = (pairs.groupBy("pair")
-           .agg(F.count(F.lit(1)).alias("n_pairs"),
-                F.countDistinct("doc_id").alias("n_docs")))
+           .agg(F.sum("wc").alias("n_pairs"),
+                F.countDistinct("word").alias("n_words")))
     w = F.expr("ROW_NUMBER() OVER (ORDER BY n_pairs DESC, pair)")
     return (agg.withColumn("merge_rank", w)
             .where("merge_rank <= 40")
             .selectExpr("CAST(merge_rank AS INT) AS merge_rank", "pair",
                         "CAST(n_pairs AS BIGINT) AS n_pairs",
-                        "CAST(n_docs AS BIGINT) AS n_docs"))
+                        "CAST(n_words AS BIGINT) AS n_words"))
 
 
 ORACLE_BPE = """
-WITH words AS (
-  SELECT doc_id, w.word FROM documents,
+WITH wf AS (
+  SELECT w.word, COUNT(*) AS wc FROM documents,
   LATERAL (SELECT UNNEST(string_split(text, ' ')) AS word) w
-  WHERE LENGTH(w.word) >= 2),
+  WHERE LENGTH(w.word) >= 2 GROUP BY 1),
 pairs AS (
-  SELECT doc_id, substr(word, p.p, 2) AS pair FROM words,
+  SELECT word, wc, substr(word, p.p, 2) AS pair FROM wf,
   LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LENGTH(word) - 1)) AS p) p),
 agg AS (
-  SELECT pair, COUNT(*) AS n_pairs, COUNT(DISTINCT doc_id) AS n_docs
+  SELECT pair, SUM(wc) AS n_pairs, COUNT(DISTINCT word) AS n_words
   FROM pairs GROUP BY 1),
 ranked AS (
   SELECT ROW_NUMBER() OVER (ORDER BY n_pairs DESC, pair) AS merge_rank, *
   FROM agg)
 SELECT CAST(merge_rank AS INT) AS merge_rank, pair,
-       CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_docs AS BIGINT) AS n_docs
+       CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_words AS BIGINT) AS n_words
 FROM ranked WHERE merge_rank <= 40
 """
 
@@ -4586,4 +4592,187 @@ FROM per GROUP BY 1, 2
 QUERIES.update({
     "grad_orientation_hist": (q_grad_orientation_hist,
                               _oracle_orientation()),
+})
+
+
+# --- template_match_peaks: exact cross-correlation patch search ------------------
+#
+# Template matching (the patch-search primitive behind logo/watermark
+# detection and registration): exact integer cross-correlation of a fixed
+# 4x4 signed kernel (K[u,v] = mix(9000001 + u*4+v) % 256 - 128) against
+# the green channel of REAL decoded bytes; per image the peak score and
+# its FIRST row-major location via the packed argmax key
+# score*2^24 + (2^24-1 - pos) (multimodal.template_match_checksums).  The
+# oracle re-derives every score from the pixel formula and finds the same
+# peak by MAX + MIN-over-ties — a different argmax mechanism.  Lossy qb
+# excluded.
+
+def q_template_match_peaks(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, SOBEL_N, partitions=4).where(
+        F.col("fmt") != "qb")
+    t = multimodal.template_match_checksums(img)
+    withi = t.selectExpr(
+        "peak", "peak_pos", "CAST(substr(image_id, 4) AS BIGINT) AS i",
+        "CASE WHEN CAST(substr(image_id, 4) AS BIGINT) % 3 = 0 "
+        "THEN 'raw' ELSE 'png' END AS fmt")
+    return (withi.groupBy("fmt")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("peak").alias("sum_peak"),
+                 F.max("peak").alias("max_peak"),
+                 F.expr("SUM(peak_pos * (i + 7))").alias("pos_checksum"))
+            .selectExpr("fmt", "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(sum_peak AS BIGINT) AS sum_peak",
+                        "CAST(max_peak AS BIGINT) AS max_peak",
+                        "CAST(pos_checksum AS BIGINT) AS pos_checksum"))
+
+
+def _oracle_template() -> str:
+    from .hashing import mix_sql
+    from .multimodal import template_kernel
+    m = fixtures.images_meta_sql("i")
+    kern = template_kernel()
+
+    def p(dy: int, dx: int) -> str:
+        key = (f"i * 1000003 + (yy.y + {dy}) * 4096 "
+               f"+ (xx.x + {dx}) * 4 + 1")
+        return f"(({mix_sql(key)}) % 256)"
+
+    score = " + ".join(f"({int(kern[u, v])}) * {p(u, v)}"
+                       for u in range(4) for v in range(4))
+    return f"""
+WITH imgs AS (
+  SELECT i, {m['w']} AS w, {m['h']} AS h,
+         CASE WHEN i % 3 = 0 THEN 'raw' ELSE 'png' END AS fmt
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {SOBEL_N - 1})) AS i) t
+  WHERE i % 3 <> 2),
+sc AS (
+  SELECT i, fmt, w, yy.y AS y, xx.x AS x, {score} AS score
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 4)) AS y) yy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 4)) AS x) xx),
+pk AS (SELECT i, fmt, MAX(score) AS peak FROM sc GROUP BY 1, 2),
+loc AS (
+  SELECT p.i, p.fmt, p.peak, MIN(s.y * s.w + s.x) AS peak_pos
+  FROM pk p JOIN sc s ON s.i = p.i AND s.score = p.peak
+  GROUP BY 1, 2, 3)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(peak) AS BIGINT) AS sum_peak,
+       CAST(MAX(peak) AS BIGINT) AS max_peak,
+       CAST(SUM(peak_pos * (i + 7)) AS BIGINT) AS pos_checksum
+FROM loc GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "template_match_peaks": (q_template_match_peaks, _oracle_template()),
+})
+
+
+# --- viewshed_rays: line-of-sight visibility along compass rays ------------------
+#
+# The viewshed primitive (terrain visibility analysis) on the event
+# density raster: an observer at the grid center looks along the 8
+# compass rays; an occupied cell is VISIBLE iff its elevation angle
+# (zc - z0) / d strictly exceeds every prior angle on the ray.  The angle
+# is ONE float division of exact ints — the identical-literal-op rule —
+# and the running comparison is a window MAX over prior ray cells, so the
+# verdict is bit-deterministic on both engines.  Scale shape: one
+# corpus-scale groupBy to the grid, then per-ray windows over <=
+# 2^LEVEL-bounded sets; only occupied cells participate (documented
+# semantics: visibility OF occupied cells THROUGH occupied cells).
+
+VS_LEVEL = 6          # 64 x 64 grid; observer at (32, 32)
+VS_CX = 32
+VS_CY = 32
+
+
+def _vs_occ(spark, sf_dir):
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, VS_LEVEL)
+    return (_t(spark, sf_dir, "events")
+            .selectExpr(f"{ix} AS tx", f"{iy} AS ty")
+            .groupBy("tx", "ty").agg(F.count(F.lit(1)).alias("zc")))
+
+
+_VS_RAY = (f"CASE "
+           f"WHEN ty = {VS_CY} AND tx > {VS_CX} THEN 0 "
+           f"WHEN tx - {VS_CX} = ty - {VS_CY} AND tx > {VS_CX} THEN 1 "
+           f"WHEN tx = {VS_CX} AND ty > {VS_CY} THEN 2 "
+           f"WHEN {VS_CX} - tx = ty - {VS_CY} AND ty > {VS_CY} THEN 3 "
+           f"WHEN ty = {VS_CY} AND tx < {VS_CX} THEN 4 "
+           f"WHEN tx - {VS_CX} = ty - {VS_CY} AND tx < {VS_CX} THEN 5 "
+           f"WHEN tx = {VS_CX} AND ty < {VS_CY} THEN 6 "
+           f"WHEN {VS_CX} - tx = ty - {VS_CY} AND ty < {VS_CY} THEN 7 "
+           f"ELSE -1 END")
+
+_VS_D = f"GREATEST(ABS(tx - {VS_CX}), ABS(ty - {VS_CY}))"
+
+
+def q_viewshed_rays(spark, sf_dir):
+    # one corpus scan: the grid-bounded occupancy is pinned, z0 and the
+    # ray pass both read the materialized <=4096-row aggregate
+    occ = _vs_occ(spark, sf_dir).localCheckpoint()
+    z0 = occ.selectExpr(
+        f"COALESCE(MAX(CASE WHEN tx = {VS_CX} AND ty = {VS_CY} "
+        "THEN zc END), 0) AS z0")
+    ray = (occ.crossJoin(F.broadcast(z0))
+           .selectExpr("tx", "ty", "zc", "z0",
+                       f"{_VS_RAY} AS ray", f"{_VS_D} AS d")
+           .where("ray >= 0 AND d > 0")
+           .selectExpr("ray", "d", "zc",
+                       "(zc - z0) / CAST(d AS DOUBLE) AS ang"))
+    vis = ray.selectExpr(
+        "ray", "d", "zc", "ang",
+        "MAX(ang) OVER (PARTITION BY ray ORDER BY d "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior")
+    return (vis.selectExpr(
+        "ray", "d", "zc",
+        "CASE WHEN prior IS NULL OR ang > prior THEN 1 ELSE 0 END AS v")
+        .groupBy("ray")
+        .agg(F.count(F.lit(1)).alias("n_cells"),
+             F.sum("v").alias("n_visible"),
+             F.max(F.expr("CASE WHEN v = 1 THEN d END")).alias("max_d_vis"),
+             F.expr("SUM(v * (d * 1000 + zc))").alias("checksum"))
+        .selectExpr("CAST(ray AS INT) AS ray",
+                    "CAST(n_cells AS BIGINT) AS n_cells",
+                    "CAST(n_visible AS BIGINT) AS n_visible",
+                    "CAST(max_d_vis AS BIGINT) AS max_d_vis",
+                    "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_viewshed() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, VS_LEVEL)
+    return f"""
+WITH occ AS (
+  SELECT {ix} AS tx, {iy} AS ty, COUNT(*) AS zc FROM events GROUP BY 1, 2),
+z0t AS (
+  SELECT COALESCE(MAX(CASE WHEN tx = {VS_CX} AND ty = {VS_CY} THEN zc END),
+                  0) AS z0 FROM occ),
+ray AS (
+  SELECT {_VS_RAY} AS ray, {_VS_D} AS d, zc,
+         (zc - z0) / CAST({_VS_D} AS DOUBLE) AS ang
+  FROM occ, z0t
+  WHERE ({_VS_RAY}) >= 0 AND ({_VS_D}) > 0),
+vis AS (
+  SELECT ray, d, zc, ang,
+         MAX(ang) OVER (PARTITION BY ray ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior
+  FROM ray),
+flag AS (
+  SELECT ray, d, zc,
+         CASE WHEN prior IS NULL OR ang > prior THEN 1 ELSE 0 END AS v
+  FROM vis)
+SELECT CAST(ray AS INT) AS ray, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS n_visible,
+       CAST(MAX(CASE WHEN v = 1 THEN d END) AS BIGINT) AS max_d_vis,
+       CAST(SUM(v * (d * 1000 + zc)) AS BIGINT) AS checksum
+FROM flag GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "viewshed_rays": (q_viewshed_rays, _oracle_viewshed()),
 })

@@ -147,6 +147,8 @@ _TAIL = [
     "map_match_segments",     # nearest-road-segment snap, exact int argmin (B6/B9)
     "sobel_edge_stats",       # Sobel gradient energy, real decode (B11)
     "image_blob_count",       # CC blob detection, real decode (B11)
+    "template_match_peaks",   # exact cross-correlation patch search (B11)
+    "viewshed_rays",          # line-of-sight visibility on the raster (B3/B10)
     "grad_orientation_hist",  # HOG-style octant histogram, real decode (B11)
     "bpe_pair_counts",        # BPE tokenizer-training pair frequencies (text)
     "vocab_growth",           # Heaps-law vocabulary growth curve (text)

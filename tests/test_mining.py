@@ -1915,23 +1915,29 @@ def test_sobel_edge_stats_decode_path(spark):
 
 
 def test_bpe_pair_counts_bruteforce(spark):
-    """Pure-python BPE pair counting over the raw parquet must match."""
+    """Pure-python BPE pair counting over the raw parquet must match:
+    n_pairs = occurrences weighted by word frequency, n_words = distinct
+    vocabulary words containing the pair."""
     con = duckdb.connect()
-    docs = con.sql(f"SELECT doc_id, text FROM "
+    docs = con.sql(f"SELECT text FROM "
                    f"read_parquet('{SF}/documents.parquet')").fetchall()
     from collections import Counter
-    cnt, docset = Counter(), {}
-    for doc_id, text in docs:
+    wf = Counter()
+    for (text,) in docs:
         for word in text.split(" "):
-            for p in range(len(word) - 1):
-                pair = word[p:p + 2]
-                cnt[pair] += 1
-                docset.setdefault(pair, set()).add(doc_id)
+            if len(word) >= 2:
+                wf[word] += 1
+    cnt, words = Counter(), {}
+    for word, wc in wf.items():
+        for p in range(len(word) - 1):
+            pair = word[p:p + 2]
+            cnt[pair] += wc
+            words.setdefault(pair, set()).add(word)
     ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:40]
-    exp = {r + 1: (pair, n, len(docset[pair]))
+    exp = {r + 1: (pair, n, len(words[pair]))
            for r, (pair, n) in enumerate(ranked)}
     from spark_shp.queries_mining import q_bpe_pair_counts
-    got = {r.merge_rank: (r.pair, r.n_pairs, r.n_docs)
+    got = {r.merge_rank: (r.pair, r.n_pairs, r.n_words)
            for r in q_bpe_pair_counts(spark, SF).collect()}
     assert got == exp
 
@@ -2093,3 +2099,80 @@ def test_grad_orientation_octants_vs_atan2(spark):
     got = {(r.fmt, r.octant): (r.n_images, r.n_pixels, r.checksum)
            for r in q_grad_orientation_hist(spark, SF).collect()}
     assert got == want
+
+
+def test_template_match_vs_bruteforce(spark):
+    """The packed-key argmax must find the textbook (peak, first-pos) for
+    every fixture image, and the gated query must reproduce it."""
+    import numpy as np
+    from spark_shp import fixtures
+    from spark_shp.multimodal import template_kernel
+    from spark_shp.queries_mining import SOBEL_N, q_template_match_peaks
+
+    kern = template_kernel()
+    exp = {}
+    for i in range(SOBEL_N):
+        if i % 3 == 2:
+            continue
+        fmt = "raw" if i % 3 == 0 else "png"
+        m = fixtures.images_meta(np.array([i]))
+        w, h = int(m["w"][0]), int(m["h"][0])
+        g = fixtures.image_pixels(i, w, h)[..., 1].astype(np.int64)
+        best = None
+        for y in range(h - 3):
+            for x in range(w - 3):
+                s = int((g[y:y + 4, x:x + 4] * kern).sum())
+                if best is None or s > best[0]:
+                    best = (s, y * w + x)
+        st = exp.setdefault(fmt, [0, 0, -10 ** 18, 0])
+        st[0] += 1
+        st[1] += best[0]
+        st[2] = max(st[2], best[0])
+        st[3] += best[1] * (i + 7)
+    got = {r.fmt: [r.n_images, r.sum_peak, r.max_peak, r.pos_checksum]
+           for r in q_template_match_peaks(spark, SF).collect()}
+    assert got == exp
+
+
+def test_viewshed_rays_bruteforce(spark):
+    """Sequential per-ray line-of-sight walk must reproduce the gated
+    visibility verdicts (strict-> rule, observer at grid center)."""
+    from spark_shp import cells, fixtures
+    from spark_shp.queries_mining import (VS_CX, VS_CY, VS_LEVEL,
+                                          q_viewshed_rays)
+
+    con = duckdb.connect()
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, VS_LEVEL)
+    occ = {(r[0], r[1]): r[2] for r in con.sql(
+        f"SELECT {ix} AS tx, {iy} AS ty, COUNT(*) FROM "
+        f"read_parquet('{SF}/events.parquet') GROUP BY 1, 2").fetchall()}
+    z0 = occ.get((VS_CX, VS_CY), 0)
+    dirs = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1),
+            (1, -1)]
+    exp = {}
+    for ray, (dx, dy) in enumerate(dirs):
+        cellsr = []
+        d = 1
+        while True:
+            c = (VS_CX + dx * d, VS_CY + dy * d)
+            if not (0 <= c[0] < 2 ** VS_LEVEL and 0 <= c[1] < 2 ** VS_LEVEL):
+                break
+            if c in occ:
+                cellsr.append((d, occ[c]))
+            d += 1
+        if not cellsr:
+            continue
+        prior, n_vis, max_d, cs = None, 0, None, 0
+        for d, zc in cellsr:
+            ang = (zc - z0) / d
+            v = prior is None or ang > prior
+            prior = ang if prior is None else max(prior, ang)
+            if v:
+                n_vis += 1
+                max_d = d
+                cs += d * 1000 + zc
+        exp[ray] = (len(cellsr), n_vis, max_d, cs)
+    got = {r.ray: (r.n_cells, r.n_visible, r.max_d_vis, r.checksum)
+           for r in q_viewshed_rays(spark, SF).collect()}
+    assert got == exp

@@ -32,6 +32,8 @@ TRIALS = 2
 
 def synthesize(spark):
     if os.path.isdir(os.path.join(OUT, "customer.parquet")):
+        if not os.path.isdir(os.path.join(OUT, "documents.parquet")):
+            _synthesize_documents(spark)
         return  # reuse within a session (same N by construction)
     if os.path.isdir(OUT):
         shutil.rmtree(OUT)
@@ -66,6 +68,19 @@ def synthesize(spark):
         "id AS c_custkey",
         f"{u01_sql('id * 23 + 8')} * 11000.0 - 1000.0 AS c_acctbal")
     cu.write.parquet(f"{OUT}/customer.parquet")
+    _synthesize_documents(spark)
+
+
+def _synthesize_documents(spark):
+    # documents: N/10 docs x 10 tokens from a 1000-word vocab (the token
+    # ops measure tokens/s; text shape matches the gate corpus's
+    # space-separated lowercase words)
+    words = " || ' ' || ".join(
+        f"concat('w', ({mix_sql(f'id * 10 + {k}')}) % 1000)"
+        for k in range(10))
+    dc = spark.range(0, N // 10, 1, 256).selectExpr(
+        "id AS doc_id", f"{words} AS text")
+    dc.write.parquet(f"{OUT}/documents.parquet")
 
 
 def main():
@@ -80,7 +95,9 @@ def main():
         q_sequence_motifs, q_trajectory_densify, q_trajectory_simplify,
         q_trend_regression, q_twap_values,
         q_flow_accumulation, q_flow_direction_d8, q_hll_registers,
-        q_idw_interpolate)
+        q_idw_interpolate,
+        q_bpe_pair_counts, q_map_match_segments, q_vocab_growth,
+        q_watershed_labels)
 
     spark = get_spark("bench_mining", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -128,6 +145,14 @@ def main():
         # The ~23M output pair rows are rolled up IN the measured plan —
         # a .collect() of 23M rows times the py4j transfer, not the
         # operator (measured: 176 s collect vs the rollup run)
+        # map matching: 24 unrolled codegen LEAST terms, zero joins —
+        # corpus cost is the occupied-cell groupBy
+        ("map_match_segments", q_map_match_segments, N),
+        # watershed: grid-bounded pointer doubling after one corpus scan
+        ("watershed_labels", q_watershed_labels, N),
+        # token ops run on the documents table: N/10 docs x 10 tokens
+        ("bpe_pair_counts", q_bpe_pair_counts, N // 10, "docs"),
+        ("vocab_growth", q_vocab_growth, N // 10, "docs"),
         ("trajectory_crossings",
          lambda s, d: q_trajectory_crossings(s, d, home=4096)
          .groupBy().agg(F.count(F.lit(1)).alias("n_pairs"),
@@ -139,9 +164,10 @@ def main():
         names = set(only.split(","))
         ops = [o for o in ops if o[0] in names]
     results = {}
-    for name, fn, rows in ops:
+    for name, fn, rows, *rest in ops:
+        kind = rest[0] if rest else "events"
         sf_dir = OUT
-        if rows != N:
+        if rows != N and kind == "events":
             # subset via a limited rewrite once (cheap at N/10)
             sub = f"{OUT}_sub"
             if not os.path.isdir(f"{sub}/events.parquet"):
