@@ -4776,3 +4776,177 @@ FROM flag GROUP BY 1
 QUERIES.update({
     "viewshed_rays": (q_viewshed_rays, _oracle_viewshed()),
 })
+
+
+# --- zonal_stats: per-polygon statistics of the density raster -------------------
+#
+# Zonal statistics (THE raster x vector GIS reduction: mean elevation per
+# watershed, population per district): per nation fence, statistics of
+# the level-6 event-density raster cells whose CENTROID lies inside the
+# fence.  Scale shape: ONE corpus-scale groupBy to the <=4096-cell grid,
+# then a broadcast join against the 25-row fence layer; the zone test is
+# pure codegen comparisons (axis-aligned fences).  Half-open [lo, hi)
+# containment; mean = ONE float division of exact ints (identical-
+# literal-op rule).
+
+ZS_LEVEL = 6
+
+
+def q_zonal_stats(spark, sf_dir):
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, ZS_LEVEL)
+    n = 1 << ZS_LEVEL
+    cellsdf = (_t(spark, sf_dir, "events")
+               .selectExpr(f"{ix} AS tx", f"{iy} AS ty")
+               .groupBy("tx", "ty").agg(F.count(F.lit(1)).alias("zc"))
+               .selectExpr("tx", "ty", "zc",
+                           f"-180.0 + (tx + 0.5) * {360.0 / n!r} AS lon_c",
+                           f"-85.0 + (ty + 0.5) * {170.0 / n!r} AS lat_c"))
+    zones = _t(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey", "n_name",
+        f"{fixtures.NATION_CLON_SQL} AS cx",
+        f"{fixtures.NATION_CLAT_SQL} AS cy",
+        f"{fixtures.NATION_HALF_SQL} AS hw")
+    j = cellsdf.join(
+        F.broadcast(zones),
+        F.expr("lon_c >= cx - hw AND lon_c < cx + hw AND "
+               "lat_c >= cy - hw AND lat_c < cy + hw"))
+    return (j.groupBy("n_nationkey", "n_name")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("zc").alias("sum_events"),
+                 F.max("zc").alias("max_zc"),
+                 F.expr("SUM(zc * (tx * 64 + ty))").alias("checksum"))
+            .selectExpr("CAST(n_nationkey AS BIGINT) AS n_nationkey",
+                        "n_name",
+                        "CAST(n_cells AS BIGINT) AS n_cells",
+                        "CAST(sum_events AS BIGINT) AS sum_events",
+                        "CAST(max_zc AS BIGINT) AS max_zc",
+                        "SUM_EVENTS / CAST(n_cells AS DOUBLE) AS mean_zc",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_zonal() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, ZS_LEVEL)
+    n = 1 << ZS_LEVEL
+    return f"""
+WITH cellsr AS (
+  SELECT tx, ty, zc,
+         -180.0 + (tx + 0.5) * {360.0 / n!r} AS lon_c,
+         -85.0 + (ty + 0.5) * {170.0 / n!r} AS lat_c
+  FROM (SELECT {ix} AS tx, {iy} AS ty, COUNT(*) AS zc
+        FROM events GROUP BY 1, 2) g),
+zones AS (
+  SELECT n_nationkey, n_name,
+         {fixtures.NATION_CLON_SQL} AS cx,
+         {fixtures.NATION_CLAT_SQL} AS cy,
+         {fixtures.NATION_HALF_SQL} AS hw
+  FROM nation),
+j AS (
+  SELECT z.n_nationkey, z.n_name, c.tx, c.ty, c.zc
+  FROM cellsr c JOIN zones z
+    ON c.lon_c >= z.cx - z.hw AND c.lon_c < z.cx + z.hw
+   AND c.lat_c >= z.cy - z.hw AND c.lat_c < z.cy + z.hw)
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(zc) AS BIGINT) AS sum_events,
+       CAST(MAX(zc) AS BIGINT) AS max_zc,
+       CAST(SUM(zc) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS mean_zc,
+       CAST(SUM(zc * (tx * 64 + ty)) AS BIGINT) AS checksum
+FROM j GROUP BY 1, 2
+"""
+
+
+QUERIES.update({
+    "zonal_stats": (q_zonal_stats, _oracle_zonal()),
+})
+
+
+# --- cost_distance_cells: weighted least-cost distance over the raster -----------
+#
+# The cost-surface primitive (least-cost path / accessibility analysis —
+# D8 flow's weighted cousin): entering a cell costs 1 + (zc % 9); the
+# distance of every occupied cell from the nearest hash-selected seed is
+# the minimum path cost over 8-adjacency.  Spark runs FIXED-round
+# Bellman-Ford relaxation (the kcore trick: a fixed bound unrolls the
+# iterative operator to finite SQL for the oracle, and pytest proves the
+# fixture reaches fixpoint inside the bound, so the bounded result IS the
+# cost distance): per round one 8-offset explode + equi-join + MIN over
+# the <=256-row grid aggregate, localCheckpoint keeps the plan flat.  The
+# oracle unrolls the same rounds as chained CTEs with a theta join — a
+# different relaxation formulation.  One corpus-scale pass (the grid
+# groupBy); everything after is grid-bounded.
+
+CD_LEVEL = 4
+CD_ROUNDS = 32
+_CD_SEED = "(({m}) % 19) = 0"
+
+
+def _cd_seed_sql(tx: str, ty: str) -> str:
+    from .hashing import mix_sql
+    return _CD_SEED.format(m=mix_sql(f"({tx}) * 31 + ({ty}) * 17 + 5"))
+
+
+def q_cost_distance_cells(spark, sf_dir):
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, CD_LEVEL)
+    grid = (_t(spark, sf_dir, "events")
+            .selectExpr(f"{ix} AS tx", f"{iy} AS ty")
+            .groupBy("tx", "ty").agg(F.count(F.lit(1)).alias("zc"))
+            .selectExpr("tx", "ty", "1 + zc % 9 AS cost")
+            .localCheckpoint())
+    dist = grid.where(_cd_seed_sql("tx", "ty")) \
+        .selectExpr("tx", "ty", "CAST(0 AS BIGINT) AS dist") \
+        .localCheckpoint()
+    nbr = (grid.selectExpr("tx", "ty", "cost",
+                           "explode(sequence(-1, 1)) AS dx")
+           .selectExpr("tx", "ty", "cost", "dx",
+                       "explode(sequence(-1, 1)) AS dy")
+           .where("NOT (dx = 0 AND dy = 0)")
+           .selectExpr("tx - dx AS fx", "ty - dy AS fy",
+                       "tx", "ty", "cost")
+           .localCheckpoint())
+    for _ in range(CD_ROUNDS):
+        relaxed = (dist.selectExpr("tx AS fx", "ty AS fy", "dist AS fd")
+                   .join(nbr, ["fx", "fy"])
+                   .selectExpr("tx", "ty", "fd + cost AS dd")
+                   .union(dist.selectExpr("tx", "ty", "dist AS dd"))
+                   .groupBy("tx", "ty")
+                   .agg(F.min("dd").alias("dist")))
+        dist = relaxed.localCheckpoint()
+    return dist.selectExpr("CAST(tx AS BIGINT) AS tx",
+                           "CAST(ty AS BIGINT) AS ty",
+                           "CAST(dist AS BIGINT) AS dist")
+
+
+def _oracle_cost_distance() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, CD_LEVEL)
+    seed = _cd_seed_sql("tx", "ty")
+    # every CTE is MATERIALIZED (DuckDB-only syntax; the oracle never
+    # runs in Spark): each round references the previous one twice, and
+    # DuckDB inlines plain CTEs, which would expand the chain ~2^rounds
+    ctes = [f"""grid AS MATERIALIZED (
+  SELECT tx, ty, 1 + zc % 9 AS cost
+  FROM (SELECT {ix} AS tx, {iy} AS ty, COUNT(*) AS zc
+        FROM events GROUP BY 1, 2) g),
+d0 AS MATERIALIZED (
+  SELECT tx, ty, CAST(0 AS BIGINT) AS dist FROM grid WHERE {seed})"""]
+    for r in range(CD_ROUNDS):
+        ctes.append(f"""d{r + 1} AS MATERIALIZED (
+  SELECT x.tx, x.ty, MIN(x.dd) AS dist FROM (
+    SELECT tx, ty, dist AS dd FROM d{r}
+    UNION ALL
+    SELECT g.tx, g.ty, d.dist + g.cost AS dd
+    FROM d{r} d JOIN grid g
+      ON ABS(g.tx - d.tx) <= 1 AND ABS(g.ty - d.ty) <= 1
+     AND NOT (g.tx = d.tx AND g.ty = d.ty)
+  ) x GROUP BY 1, 2)""")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty, "
+            f"CAST(dist AS BIGINT) AS dist FROM d{CD_ROUNDS}")
+
+
+QUERIES.update({
+    "cost_distance_cells": (q_cost_distance_cells, _oracle_cost_distance()),
+})

@@ -149,6 +149,8 @@ _TAIL = [
     "image_blob_count",       # CC blob detection, real decode (B11)
     "template_match_peaks",   # exact cross-correlation patch search (B11)
     "viewshed_rays",          # line-of-sight visibility on the raster (B3/B10)
+    "zonal_stats",            # raster x vector zonal statistics (B4/B10)
+    "cost_distance_cells",    # weighted least-cost distance raster (B3)
     "grad_orientation_hist",  # HOG-style octant histogram, real decode (B11)
     "bpe_pair_counts",        # BPE tokenizer-training pair frequencies (text)
     "vocab_growth",           # Heaps-law vocabulary growth curve (text)

@@ -2176,3 +2176,137 @@ def test_viewshed_rays_bruteforce(spark):
     got = {r.ray: (r.n_cells, r.n_visible, r.max_d_vis, r.checksum)
            for r in q_viewshed_rays(spark, SF).collect()}
     assert got == exp
+
+
+def test_zonal_stats_bruteforce(spark):
+    """numpy replication: quantize events, roll up the grid, test every
+    cell centroid against every fence rectangle."""
+    import numpy as np
+    from spark_shp.fixtures import nation_fences_np
+    from spark_shp.hashing import u01
+    from spark_shp.queries_mining import ZS_LEVEL, q_zonal_stats
+
+    con = duckdb.connect()
+    eids = con.sql(f"SELECT event_id FROM "
+                   f"read_parquet('{SF}/events.parquet')") \
+        .df()["event_id"].to_numpy().astype(np.int64)
+    nk = con.sql(f"SELECT n_nationkey, n_name FROM "
+                 f"read_parquet('{SF}/nation.parquet')").fetchall()
+    lon = u01(eids) * 360.0 - 180.0
+    lat = u01(eids * 2 + 1) * 170.0 - 85.0
+    n = 1 << ZS_LEVEL
+    tx = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(int)
+    ty = np.clip(np.floor((lat + 85.0) / 170.0 * n), 0, n - 1).astype(int)
+    grid = {}
+    for x, y in zip(tx, ty):
+        grid[(x, y)] = grid.get((x, y), 0) + 1
+    keys = np.array([k for k, _ in nk], dtype=np.int64)
+    cx, cy, hw = nation_fences_np(keys)
+    exp = {}
+    for (x, y), zc in grid.items():
+        lc = -180.0 + (x + 0.5) * 360.0 / n
+        tc = -85.0 + (y + 0.5) * 170.0 / n
+        for i, (k, name) in enumerate(nk):
+            if (cx[i] - hw[i] <= lc < cx[i] + hw[i]
+                    and cy[i] - hw[i] <= tc < cy[i] + hw[i]):
+                st = exp.setdefault((k, name), [0, 0, 0, 0])
+                st[0] += 1
+                st[1] += zc
+                st[2] = max(st[2], zc)
+                st[3] += zc * (x * 64 + y)
+    want = {k: (v[0], v[1], v[2], v[1] / v[0], v[3])
+            for k, v in exp.items()}
+    got = {(r.n_nationkey, r.n_name):
+           (r.n_cells, r.sum_events, r.max_zc, r.mean_zc, r.checksum)
+           for r in q_zonal_stats(spark, SF).collect()}
+    assert got == want
+
+
+def _py_cost_grid(sf_dir):
+    import numpy as np
+    from spark_shp import cells, fixtures
+    from spark_shp.queries_mining import CD_LEVEL
+
+    con = duckdb.connect()
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, CD_LEVEL)
+    rows = con.sql(f"SELECT {ix} AS tx, {iy} AS ty, COUNT(*) FROM "
+                   f"read_parquet('{sf_dir}/events.parquet') "
+                   "GROUP BY 1, 2").fetchall()
+    return {(r[0], r[1]): 1 + r[2] % 9 for r in rows}
+
+
+def test_cost_distance_vs_dijkstra_and_fixpoint(spark):
+    """Exact Dijkstra must equal the round-bounded relaxation, and the
+    fixture must reach fixpoint strictly inside CD_ROUNDS (so the bounded
+    result IS the cost distance, not a truncation)."""
+    import heapq
+    from spark_shp.hashing import mix
+    from spark_shp.queries_mining import (CD_ROUNDS,
+                                          q_cost_distance_cells)
+
+    grid = _py_cost_grid(SF)
+    seeds = [c for c in grid
+             if mix(c[0] * 31 + c[1] * 17 + 5) % 19 == 0]
+    assert seeds, "fixture must select at least one seed"
+    # Dijkstra (exact, unbounded)
+    dist = {c: 0 for c in seeds}
+    pq = [(0, c) for c in seeds]
+    heapq.heapify(pq)
+    hops = {c: 0 for c in seeds}
+    while pq:
+        d, c = heapq.heappop(pq)
+        if d > dist.get(c, 1 << 60):
+            continue
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                n = (c[0] + dx, c[1] + dy)
+                if n not in grid:
+                    continue
+                nd = d + grid[n]
+                if nd < dist.get(n, 1 << 60):
+                    dist[n] = nd
+                    hops[n] = hops[c] + 1
+                    heapq.heappush(pq, (nd, n))
+    # fixpoint bound: Bellman-Ford needs <= max shortest-path hop count
+    assert max(hops.values()) < CD_ROUNDS
+    got = {(r.tx, r.ty): r.dist
+           for r in q_cost_distance_cells(spark, SF).collect()}
+    assert got == dist
+
+
+def test_cost_distance_fixpoint_at_gate_sfs():
+    """Python Bellman-Ford replication at sf0.01 and sf0.1: the shortest-
+    path hop diameter stays inside CD_ROUNDS, so the gate rows compare
+    CONVERGED distances at every scale factor the driver runs."""
+    import heapq
+    from spark_shp.hashing import mix
+    from spark_shp.queries_mining import CD_ROUNDS
+
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        grid = _py_cost_grid(sf_dir)
+        seeds = [c for c in grid
+                 if mix(c[0] * 31 + c[1] * 17 + 5) % 19 == 0]
+        dist = {c: 0 for c in seeds}
+        hops = {c: 0 for c in seeds}
+        pq = [(0, c) for c in seeds]
+        heapq.heapify(pq)
+        while pq:
+            d, c = heapq.heappop(pq)
+            if d > dist.get(c, 1 << 60):
+                continue
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    n = (c[0] + dx, c[1] + dy)
+                    if n not in grid:
+                        continue
+                    nd = d + grid[n]
+                    if nd < dist.get(n, 1 << 60):
+                        dist[n] = nd
+                        hops[n] = hops[c] + 1
+                        heapq.heappush(pq, (nd, n))
+        assert hops and max(hops.values()) < CD_ROUNDS, sf_dir
