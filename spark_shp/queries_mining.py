@@ -4950,3 +4950,156 @@ d0 AS MATERIALIZED (
 QUERIES.update({
     "cost_distance_cells": (q_cost_distance_cells, _oracle_cost_distance()),
 })
+
+
+# --- linear_reference: milepost binning along matched road segments --------------
+#
+# Linear referencing (the transportation-GIS primitive after map
+# matching: WHERE along the road is the traffic?): every matched cell
+# projects onto its winning segment at parameter t = clamp(dot, 0, 2500)
+# / 2500; the exact-integer numerator bins directly into ten mileposts
+# (bin = LEAST(9, FLOOR(clamp(dot) / 250)) — no float ever).  The winning
+# segment re-derives its own dot via a 24-way CASE on the packed-argmin
+# seg id, so the whole operator stays one LEAST + one CASE of codegen
+# constants over the occupied-cell aggregate; output is bounded by
+# segments x 10 bins.
+
+def _mm_dot_sql(px: str, py: str) -> str:
+    """dot(p - a_s, d_s) of the WINNING segment as a CASE on seg."""
+    whens = []
+    for s, ax, ay, dx, dy in road_segments():
+        whens.append(f"WHEN seg = {s} THEN "
+                     f"((({px}) - {ax}) * ({dx}) + (({py}) - {ay}) * ({dy}))")
+    return "CASE " + " ".join(whens) + " END"
+
+
+def q_linear_reference(spark, sf_dir):
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, MM_LEVEL)
+    occ = (_t(spark, sf_dir, "events")
+           .selectExpr(f"{ix} AS px", f"{iy} AS py")
+           .groupBy("px", "py").agg(F.count(F.lit(1)).alias("c")))
+    key = _mm_key_sql("px", "py")
+    m = occ.selectExpr("px", "py", "c",
+                       f"CAST(({key}) % 32 AS INT) AS seg")
+    dot = _mm_dot_sql("px", "py")
+    binned = m.selectExpr(
+        "seg", "c", "px", "py",
+        f"CAST(LEAST(9, GREATEST(0, FLOOR(({dot}) / 250.0))) AS INT) "
+        "AS milepost")
+    return (binned.groupBy("seg", "milepost")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("c").alias("n_points"),
+                 F.expr("SUM((px * 1024 + py) * c)").alias("checksum"))
+            .selectExpr("seg", "milepost",
+                        "CAST(n_cells AS BIGINT) AS n_cells",
+                        "CAST(n_points AS BIGINT) AS n_points",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_linear_ref() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, MM_LEVEL)
+    key = _mm_key_sql("px", "py")
+    dot = _mm_dot_sql("px", "py")
+    return f"""
+WITH occ AS (
+  SELECT {ix} AS px, {iy} AS py, COUNT(*) AS c FROM events GROUP BY 1, 2),
+m AS (
+  SELECT px, py, c, CAST(({key}) % 32 AS INT) AS seg FROM occ),
+binned AS (
+  SELECT seg, c, px, py,
+         CAST(LEAST(9, GREATEST(0, FLOOR(({dot}) / 250.0))) AS INT)
+           AS milepost
+  FROM m)
+SELECT seg, milepost, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(c) AS BIGINT) AS n_points,
+       CAST(SUM((px * 1024 + py) * c) AS BIGINT) AS checksum
+FROM binned GROUP BY 1, 2
+"""
+
+
+QUERIES.update({
+    "linear_reference": (q_linear_reference, _oracle_linear_ref()),
+})
+
+
+# --- burst_episodes: peak-hour episode mining per event type ---------------------
+#
+# Burst/peak detection (the temporal-mining step behind alerting and
+# capacity planning): an hour is a PEAK for an event type iff it ranks in
+# the type's top decile by count (rank = ROW_NUMBER ordered by cnt DESC,
+# hr ASC — deterministic tiebreak; the rank rule stays non-degenerate at
+# ANY corpus size, unlike a 2x-mean threshold, which no hour clears once
+# Poisson fluctuations shrink at scale — measured: 0 rows at sf0.1).
+# Consecutive peak hours chain into EPISODES by gaps-and-islands
+# (island = hr - ROW_NUMBER over the type's peak hours).  Scale shape:
+# one corpus-scale (type, hour) groupBy with map-side combine; both rank
+# and island windows run over the hours-bounded aggregate.
+
+def q_burst_episodes(spark, sf_dir):
+    hourly = (_t(spark, sf_dir, "events")
+              .selectExpr("event_type",
+                          "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ))"
+                          " / 3600000000) AS BIGINT) AS hr")
+              .groupBy("event_type", "hr")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    ranked = hourly.selectExpr(
+        "event_type", "hr", "cnt",
+        "ROW_NUMBER() OVER (PARTITION BY event_type "
+        "ORDER BY cnt DESC, hr) AS rk",
+        "COUNT(*) OVER (PARTITION BY event_type) AS n_hours")
+    burst = (ranked.where("rk * 10 <= n_hours")
+             .selectExpr("event_type", "hr", "cnt",
+                         "hr - ROW_NUMBER() OVER (PARTITION BY event_type "
+                         "ORDER BY hr) AS island"))
+    ep = (burst.groupBy("event_type", "island")
+          .agg(F.count(F.lit(1)).alias("len"),
+               F.max("cnt").alias("peak"),
+               F.sum("cnt").alias("vol")))
+    return (ep.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_episodes"),
+                 F.sum("len").alias("n_peak_hours"),
+                 F.max("len").alias("longest"),
+                 F.max("peak").alias("peak_cnt"),
+                 F.sum("vol").alias("peak_volume"))
+            .selectExpr("event_type",
+                        "CAST(n_episodes AS BIGINT) AS n_episodes",
+                        "CAST(n_peak_hours AS BIGINT) AS n_peak_hours",
+                        "CAST(longest AS BIGINT) AS longest",
+                        "CAST(peak_cnt AS BIGINT) AS peak_cnt",
+                        "CAST(peak_volume AS BIGINT) AS peak_volume"))
+
+
+ORACLE_BURST = """
+WITH hourly AS (
+  SELECT event_type, CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, hr, cnt,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, hr) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_hours
+  FROM hourly),
+burst AS (
+  SELECT event_type, hr, cnt,
+         hr - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr)
+           AS island
+  FROM ranked WHERE rk * 10 <= n_hours),
+ep AS (
+  SELECT event_type, island, COUNT(*) AS len, MAX(cnt) AS peak,
+         SUM(cnt) AS vol
+  FROM burst GROUP BY 1, 2)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_episodes,
+       CAST(SUM(len) AS BIGINT) AS n_peak_hours,
+       CAST(MAX(len) AS BIGINT) AS longest,
+       CAST(MAX(peak) AS BIGINT) AS peak_cnt,
+       CAST(SUM(vol) AS BIGINT) AS peak_volume
+FROM ep GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "burst_episodes": (q_burst_episodes, ORACLE_BURST),
+})

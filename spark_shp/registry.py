@@ -151,6 +151,8 @@ _TAIL = [
     "viewshed_rays",          # line-of-sight visibility on the raster (B3/B10)
     "zonal_stats",            # raster x vector zonal statistics (B4/B10)
     "cost_distance_cells",    # weighted least-cost distance raster (B3)
+    "linear_reference",       # milepost binning along matched segments (B6/B9)
+    "burst_episodes",         # temporal burst detection, gaps-and-islands (C7)
     "grad_orientation_hist",  # HOG-style octant histogram, real decode (B11)
     "bpe_pair_counts",        # BPE tokenizer-training pair frequencies (text)
     "vocab_growth",           # Heaps-law vocabulary growth curve (text)

@@ -2310,3 +2310,89 @@ def test_cost_distance_fixpoint_at_gate_sfs():
                         hops[n] = hops[c] + 1
                         heapq.heappush(pq, (nd, n))
         assert hops and max(hops.values()) < CD_ROUNDS, sf_dir
+
+
+def test_linear_reference_bruteforce(spark):
+    """Replicate argmin + projection parameter binning in python."""
+    import numpy as np
+    from spark_shp.hashing import u01
+    from spark_shp.queries_mining import (MM_LEVEL, q_linear_reference,
+                                          road_segments)
+
+    segs = road_segments()
+    con = duckdb.connect()
+    eids = con.sql(f"SELECT event_id FROM "
+                   f"read_parquet('{SF}/events.parquet')") \
+        .df()["event_id"].to_numpy().astype(np.int64)
+    lon = u01(eids) * 360.0 - 180.0
+    lat = u01(eids * 2 + 1) * 170.0 - 85.0
+    n = 1 << MM_LEVEL
+    px = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(int)
+    py = np.clip(np.floor((lat + 85.0) / 170.0 * n), 0, n - 1).astype(int)
+    pts = {}
+    for x, y in zip(px, py):
+        pts[(x, y)] = pts.get((x, y), 0) + 1
+
+    def seg_d2(x, y, s):
+        _, ax, ay, dx, dy = s
+        vx, vy = x - ax, y - ay
+        dot = vx * dx + vy * dy
+        if dot <= 0:
+            return (vx * vx + vy * vy) * 2500
+        if dot >= 2500:
+            wx, wy = x - ax - dx, y - ay - dy
+            return (wx * wx + wy * wy) * 2500
+        return (vx * vx + vy * vy) * 2500 - dot * dot
+
+    exp = {}
+    for (x, y), c in pts.items():
+        _, sid = min((seg_d2(x, y, s), s[0]) for s in segs)
+        _, ax, ay, dx, dy = segs[sid]
+        dot = (x - ax) * dx + (y - ay) * dy
+        mp = min(9, max(0, dot // 250))
+        st = exp.setdefault((sid, mp), [0, 0, 0])
+        st[0] += 1
+        st[1] += c
+        st[2] += (x * 1024 + y) * c
+    got = {(r.seg, r.milepost): [r.n_cells, r.n_points, r.checksum]
+           for r in q_linear_reference(spark, SF).collect()}
+    assert got == exp
+
+
+def test_burst_episodes_bruteforce(spark):
+    """Sequential rank + island scan over the hourly counts must match."""
+    from spark_shp.queries_mining import q_burst_episodes
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT event_type, CAST(FLOOR(epoch_us(ts) / 3600000000) "
+        f"AS BIGINT) AS hr, COUNT(*) FROM "
+        f"read_parquet('{SF}/events.parquet') GROUP BY 1, 2").fetchall()
+    by_type = {}
+    for et, hr, cnt in rows:
+        by_type.setdefault(et, {})[hr] = cnt
+    exp = {}
+    for et, hours in by_type.items():
+        n_hours = len(hours)
+        ranked = sorted(hours.items(), key=lambda kv: (-kv[1], kv[0]))
+        burst = sorted(h for h, _ in ranked[:n_hours // 10])
+        if not burst:
+            continue
+        episodes = []
+        cur = [burst[0]]
+        for h in burst[1:]:
+            if h == cur[-1] + 1:
+                cur.append(h)
+            else:
+                episodes.append(cur)
+                cur = [h]
+        episodes.append(cur)
+        exp[et] = (len(episodes), len(burst),
+                   max(len(e) for e in episodes),
+                   max(hours[h] for h in burst),
+                   sum(hours[h] for h in burst))
+    assert exp, "fixture must produce peak hours"
+    got = {r.event_type: (r.n_episodes, r.n_peak_hours, r.longest,
+                          r.peak_cnt, r.peak_volume)
+           for r in q_burst_episodes(spark, SF).collect()}
+    assert got == exp
