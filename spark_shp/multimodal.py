@@ -550,3 +550,101 @@ def template_match_checksums(images: DataFrame) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+def glcm_checksums(images: DataFrame, levels: int = 8) -> DataFrame:
+    """Horizontal gray-level co-occurrence texture features over real
+    decoded bytes (the Haralick-texture QA pass of an image-curation
+    pipeline): per image, exact-int64 GLCM contrast (sum of
+    count·(i−j)²) and energy (sum of squared pair counts) over pixel
+    values quantized to ``levels`` gray levels, all three channels,
+    offset (0, 1).  Shape-grouped decode stacks; the per-image pair
+    histogram is ONE offset bincount over the whole stack — zero
+    per-pixel Python."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_pairs", T.LongType()),
+        T.StructField("contrast", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ])
+    shift = 256 // levels
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            out = []
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                q = (_decode_stack(pdf, idx, w, h, fmt)
+                     .astype(np.int64) // shift)        # (n, h, w, 3)
+                left, right = q[:, :, :-1, :], q[:, :, 1:, :]
+                contrast = ((left - right) ** 2) \
+                    .reshape(len(idx), -1).sum(axis=1)
+                code = (left * levels + right
+                        + np.arange(len(idx), dtype=np.int64)
+                        [:, None, None, None] * levels * levels)
+                counts = np.bincount(
+                    code.ravel(), minlength=len(idx) * levels * levels)
+                energy = (counts.reshape(len(idx), -1).astype(np.int64)
+                          ** 2).sum(axis=1)
+                n_pairs = h * (w - 1) * 3
+                for k, i in enumerate(idx):
+                    out.append((ids[i], n_pairs, int(contrast[k]),
+                                int(energy[k])))
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))
+
+
+def distortion_checksums(images: DataFrame) -> DataFrame:
+    """Codec-distortion audit over real decoded bytes: per image, the
+    exact-int64 sum of squared errors and max abs error between the
+    DECODED pixels and the generator ground truth
+    P(y,x,c) = mix(i·1000003 + y·4096 + x·4 + c) % 256.  Lossless
+    formats (raw/png) must come back with sse = 0 — this is the
+    bit-exactness proof of the decode path itself — while the lossy qb
+    codec's quantization error is exactly reproducible.  Shape-grouped
+    decode stacks; ground truth is one vectorized hash over the whole
+    (n, h, w, 3) lattice."""
+    from .fixtures import image_pixels  # local: avoid import cycle risk
+    from .hashing import mix
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("sse", T.LongType()),
+        T.StructField("max_err", T.LongType()),
+    ])
+    _ = image_pixels  # single-image twin of the stacked hash below
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            out = []
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                dec = _decode_stack(pdf, idx, w, h, fmt).astype(np.int64)
+                nums = np.array([int(ids[i][3:]) for i in idx],
+                                dtype=np.int64)
+                y, x, c = np.meshgrid(np.arange(h, dtype=np.int64),
+                                      np.arange(w, dtype=np.int64),
+                                      np.arange(3, dtype=np.int64),
+                                      indexing="ij")
+                k = (nums[:, None, None, None] * 1_000_003
+                     + y * 4096 + x * 4 + c)
+                err = dec - (mix(k) % 256).astype(np.int64)
+                sse = (err ** 2).reshape(len(idx), -1).sum(axis=1)
+                mx = np.abs(err).reshape(len(idx), -1).max(axis=1)
+                for j, i in enumerate(idx):
+                    out.append((ids[i], h * w * 3, int(sse[j]),
+                                int(mx[j])))
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

@@ -15,8 +15,9 @@ tools/diffcheck.py and pytest still verify them exactly, locally.
 
 from __future__ import annotations
 
-from . import (queries_analytics, queries_curation, queries_mining,
-               queries_rel, queries_shp, queries_spatial, queries_text)
+from . import (queries_analytics, queries_curation, queries_insights,
+               queries_mining, queries_rel, queries_shp, queries_spatial,
+               queries_text)
 
 # Same-operator variants parked beyond the driver's 50-query window.
 # Each name's operator family keeps >=1 in-window row:
@@ -157,6 +158,10 @@ _TAIL = [
     "bpe_pair_counts",        # BPE tokenizer-training pair frequencies (text)
     "vocab_growth",           # Heaps-law vocabulary growth curve (text)
     "idw_interpolate",        # inverse-distance gap-fill raster (B3/B5)
+    "std_dev_ellipse",        # directional-distribution ellipse (B/C6 stats)
+    "codec_distortion",       # decode bit-exactness + qb SSE audit (B11)
+    "glcm_texture",           # Haralick co-occurrence texture QA (B11)
+    "emerging_hotspots",      # space-time-cube trend classes (B1/B3/C6)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",
@@ -175,7 +180,8 @@ _TAIL = [
 
 _MERGED: dict = {}
 for mod in (queries_shp, queries_spatial, queries_text, queries_rel,
-            queries_curation, queries_analytics, queries_mining):
+            queries_curation, queries_analytics, queries_mining,
+            queries_insights):
     overlap = set(_MERGED) & set(mod.QUERIES)
     if overlap:
         raise RuntimeError(f"duplicate query names: {overlap}")

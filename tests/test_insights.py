@@ -1,0 +1,136 @@
+"""Cross-checks for queries_insights: each gated operator re-derived by an
+independent algorithm (numpy eig for the ellipse, brute-force pair loops for
+GLCM, direct pixel-formula error for distortion, pandas Mann-Kendall for the
+hotspot classes)."""
+
+import numpy as np
+import pandas as pd
+
+from spark_shp import codecs, fixtures
+from spark_shp.hashing import mix, u01
+from spark_shp.queries_insights import (
+    DIST_N, GLCM_LEVELS, GLCM_N, HOT_LVL, q_codec_distortion,
+    q_emerging_hotspots, q_glcm_texture, q_std_dev_ellipse)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _event_points(sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    eid = ev["event_id"].to_numpy(dtype=np.int64)
+    lon = u01(eid) * 360.0 - 180.0
+    lat = u01(eid * 2 + 1) * 170.0 - 85.0
+    return ev, lon, lat
+
+
+def test_std_dev_ellipse_matches_numpy_eig(spark):
+    out = {r["g"]: r for r in q_std_dev_ellipse(spark, SF).collect()}
+    ev, lon, lat = _event_points(SF)
+    for g, rows in ev.groupby("event_type").indices.items():
+        ix = np.floor(lon[rows] * 1e6).astype(np.int64).astype(np.float64)
+        iy = np.floor(lat[rows] * 1e6).astype(np.int64).astype(np.float64)
+        n = len(rows)
+        # population covariance (the ellipse uses /n, not /(n-1))
+        cov = np.cov(np.stack([ix, iy]), bias=True)
+        evals = np.sort(np.linalg.eigvalsh(cov))
+        r = out[g]
+        assert r["n_events"] == n
+        assert abs(r["cx_udeg"] - ix.mean()) < 1e-4
+        assert abs(r["cy_udeg"] - iy.mean()) < 1e-4
+        assert abs(r["sigma_major"] - np.sqrt(evals[1])) < 1e-3
+        assert abs(r["sigma_minor"] - np.sqrt(evals[0])) < 1e-3
+        # theta is the major-axis direction: rotating by -theta must
+        # diagonalize the covariance (cross term ~ 0)
+        t = r["theta"]
+        c, s = np.cos(t), np.sin(t)
+        rot = np.array([[c, s], [-s, c]])
+        d = rot @ cov @ rot.T
+        assert abs(d[0, 1]) < 1e-2 * max(1.0, abs(d[0, 0]))
+
+
+def test_glcm_matches_bruteforce_pairs(spark):
+    rows = {r["fmt"]: r for r in q_glcm_texture(spark, SF).collect()}
+    shift = 256 // GLCM_LEVELS
+    agg = {}
+    for i in range(GLCM_N):
+        m = fixtures.images_meta(np.array([i]))
+        w, h = int(m["w"][0]), int(m["h"][0])
+        fmt = fixtures.FMTS[i % 3]
+        px = fixtures.image_pixels(i, w, h)
+        dec = codecs.decode(codecs.encode(px, fmt), w, h, fmt)
+        q = dec.astype(np.int64) // shift
+        counts = {}
+        contrast = 0
+        for y in range(h):
+            for x in range(w - 1):
+                for c in range(3):
+                    pair = (q[y, x, c], q[y, x + 1, c])
+                    counts[pair] = counts.get(pair, 0) + 1
+                    contrast += (pair[0] - pair[1]) ** 2
+        energy = sum(v * v for v in counts.values())
+        a = agg.setdefault(fmt, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += h * (w - 1) * 3
+        a[2] += contrast
+        a[3] += energy
+        a[4] += contrast * (i + 5)
+    for fmt, (ni, npair, con, en, chk) in agg.items():
+        r = rows[fmt]
+        assert (r["n_images"], r["n_pairs"], r["contrast"], r["energy"],
+                r["checksum"]) == (ni, npair, con, en, chk)
+
+
+def test_codec_distortion_lossless_and_qb_formula(spark):
+    rows = {r["fmt"]: r for r in q_codec_distortion(spark, SF).collect()}
+    assert rows["raw"]["total_sse"] == 0 and rows["raw"]["psnr_db"] is None
+    assert rows["png"]["total_sse"] == 0 and rows["png"]["worst_err"] == 0
+    # qb error is exactly (P % 4) - 2 per pixel
+    sse = chk = npx = 0
+    for i in range(DIST_N):
+        if i % 3 != 2:
+            continue
+        m = fixtures.images_meta(np.array([i]))
+        w, h = int(m["w"][0]), int(m["h"][0])
+        px = fixtures.image_pixels(i, w, h).astype(np.int64)
+        err = px % 4 - 2
+        sse += int((err ** 2).sum())
+        chk += int((err ** 2).sum()) * (i + 3)
+        npx += h * w * 3
+    r = rows["qb"]
+    assert r["total_sse"] == sse and r["checksum"] == chk
+    assert r["worst_err"] == 2 and r["n_pixels"] == npx
+    assert abs(r["psnr_db"]
+               - round(10 * np.log10(65025.0 * npx / sse), 6)) < 1e-9
+
+
+def test_emerging_hotspots_matches_pandas(spark):
+    out = {(r["hot"], r["trend"]): r
+           for r in q_emerging_hotspots(spark, SF).collect()}
+    ev, lon, lat = _event_points(SF)
+    from spark_shp import cells
+    cell = cells.cell_encode(lon, lat, HOT_LVL)
+    d = (ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    df = pd.DataFrame({"cell": cell, "d": d})
+    daily = df.groupby(["cell", "d"]).size().rename("c").reset_index()
+    tot = daily.groupby("cell")["c"].sum()
+    gt, nc = int(tot.sum()), len(tot)
+    agg = {}
+    for cl, grp in daily.groupby("cell"):
+        cs = grp.sort_values("d")["c"].to_numpy()
+        s = 0
+        for i in range(len(cs)):
+            for j in range(i + 1, len(cs)):
+                s += int(np.sign(cs[j] - cs[i]))
+        hot = 1 if int(tot[cl]) * nc >= 2 * gt else 0
+        trend = "up" if s > 0 else ("down" if s < 0 else "flat")
+        a = agg.setdefault((hot, trend), [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += int(tot[cl])
+        a[2] += s
+        a[3] += int(cl)
+    assert set(out) == set(agg)
+    for k, (ncl, nev, ss, chk) in agg.items():
+        r = out[k]
+        assert (r["n_cells"], r["n_events"], r["sum_s"],
+                r["checksum"]) == (ncl, nev, ss, chk)
