@@ -325,3 +325,172 @@ QUERIES: dict = {
     "glcm_texture": (q_glcm_texture, _oracle_glcm()),
     "emerging_hotspots": (q_emerging_hotspots, _oracle_hotspots()),
 }
+
+
+# --- strahler_order: stream ordering over the D8 flow forest ----------------------
+#
+# The third hydrology primitive after direction/accumulation/watershed:
+# Strahler order — leaves are order 1; a cell's order is the max of its
+# upstream orders, +1 when >= 2 upstream cells attain that max.  The DP
+# from all-ones is MONOTONE non-decreasing on the acyclic D8 forest, so
+# Spark iterates (one upstream agg + one count-at-max join per round,
+# localCheckpoint keeps the plan O(1) deep, the driver holds ONE
+# convergence scalar) until the order sum is stable = the least fixed
+# point.  The oracle unrolls STR_ROUNDS rounds as chained CTEs — the
+# kcore trick: pytest proves the fixture converges inside the bound at
+# every gate SF, so the bounded result IS the Strahler order.  All sets
+# are grid-bounded (level-4 lattice), never corpus-bounded.
+
+STR_ROUNDS = 12
+
+
+def q_strahler_order(spark, sf_dir):
+    from .queries_mining import _flow_cells, _flow_next_exprs
+    nx, ny = _flow_next_exprs()
+    base = (_flow_cells(spark, sf_dir)
+            .selectExpr("tx", "ty", f"{nx} AS nx", f"{ny} AS ny")
+            .localCheckpoint())
+    occ = base.select("tx", "ty")
+    edges = (base.where("nx IS NOT NULL")
+             .join(occ.selectExpr("tx AS ox", "ty AS oy"),
+                   (F.col("nx") == F.col("ox")) & (F.col("ny") == F.col("oy")),
+                   "leftsemi")
+             .select("tx", "ty", "nx", "ny").localCheckpoint())
+    ordd = occ.selectExpr("tx", "ty", "CAST(1 AS BIGINT) AS o") \
+              .localCheckpoint()
+    prev = ordd.count()          # sum(o) at round 0: every o = 1
+    for _ in range(STR_ROUNDS):
+        up = ordd.join(edges, ["tx", "ty"]).selectExpr("nx", "ny", "o")
+        mx = up.groupBy("nx", "ny").agg(F.max("o").alias("m"))
+        cnt = (up.join(mx, ["nx", "ny"]).where("o = m")
+               .groupBy("nx", "ny", "m").agg(F.count(F.lit(1)).alias("k")))
+        ordd = (occ.join(cnt, (occ.tx == cnt.nx) & (occ.ty == cnt.ny),
+                         "left")
+                .selectExpr("tx", "ty",
+                            "COALESCE(CASE WHEN k >= 2 THEN m + 1 "
+                            "ELSE m END, CAST(1 AS BIGINT)) AS o")
+                .localCheckpoint())
+        total = ordd.agg(F.sum("o")).first()[0]
+        if total == prev:        # monotone non-decreasing -> fixed point
+            break
+        prev = total
+    return (ordd.groupBy("o")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.expr("SUM(tx * 16 + ty)").alias("checksum"))
+            .selectExpr("CAST(o AS BIGINT) AS strahler",
+                        "CAST(n_cells AS BIGINT) AS n_cells",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_strahler() -> str:
+    from .queries_mining import _flow_next_exprs, _flow_oracle_cte
+    nx, ny = _flow_next_exprs()
+    rounds = []
+    for r in range(1, STR_ROUNDS + 1):
+        p = f"o{r - 1}"
+        # MATERIALIZED (DuckDB-only syntax; the oracle never runs in
+        # Spark): each round references the previous one several times,
+        # and inlined CTEs would re-execute the whole chain per reference
+        # — ~4^rounds parquet scans (observed as an fd blowup)
+        rounds.append(f"""up{r} AS MATERIALIZED (
+  SELECT e.nx, e.ny, o.o FROM edges e
+  JOIN {p} o ON o.tx = e.tx AND o.ty = e.ty),
+mx{r} AS MATERIALIZED (SELECT nx, ny, MAX(o) AS m FROM up{r} GROUP BY 1, 2),
+cnt{r} AS MATERIALIZED (
+  SELECT u.nx, u.ny, m.m, COUNT(*) AS k
+  FROM up{r} u JOIN mx{r} m ON u.nx = m.nx AND u.ny = m.ny
+  WHERE u.o = m.m GROUP BY 1, 2, 3),
+o{r} AS MATERIALIZED (
+  SELECT d.tx, d.ty,
+         COALESCE(CASE WHEN c.k >= 2 THEN c.m + 1 ELSE c.m END,
+                  CAST(1 AS BIGINT)) AS o
+  FROM o0 d LEFT JOIN cnt{r} c ON c.nx = d.tx AND c.ny = d.ty)""")
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_flow_oracle_cte()},
+nextp AS MATERIALIZED (
+  SELECT tx, ty, {nx} AS nx, {ny} AS ny FROM dirs),
+edges AS MATERIALIZED (
+  SELECT n.tx, n.ty, n.nx, n.ny FROM nextp n
+  WHERE n.nx IS NOT NULL
+    AND EXISTS (SELECT 1 FROM nextp o WHERE o.tx = n.nx AND o.ty = n.ny)),
+o0 AS MATERIALIZED (SELECT tx, ty, CAST(1 AS BIGINT) AS o FROM dirs),
+{chain}
+SELECT CAST(o AS BIGINT) AS strahler, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(tx * 16 + ty) AS BIGINT) AS checksum
+FROM o{STR_ROUNDS} GROUP BY 1
+"""
+
+
+# --- zipf_fit: rank-frequency power-law audit of the token distribution -----------
+#
+# The Zipf-law corpus audit (is the token distribution natural-language-
+# shaped?): OLS of ln(freq) on ln(rank) over the top-N terms.  Rank ties
+# break on the term string so the top-N set is engine-independent; both
+# logs are ROUND-6 then snapped to exact 1e-6-scaled int64s (the repo's
+# libm guard), so every OLS moment is an exact integer aggregate and
+# slope/intercept/R^2 are literal float compositions.  One token-count
+# shuffle; everything after the term aggregate is N rows.
+
+ZIPF_TOPN = 200
+
+_ZQ = ("CAST(FLOOR(ROUND(LN(rank), 6) * 1000000.0 + 0.5) AS BIGINT)",
+       "CAST(FLOOR(ROUND(LN(freq), 6) * 1000000.0 + 0.5) AS BIGINT)")
+
+_ZSLOPE = ("((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
+           "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))")
+_ZIPF_OUT = (
+    "CAST(n AS BIGINT) AS n_terms",
+    # + 0.0 normalizes IEEE negative zero: a near-flat fit rounds to -0.0
+    # on one engine and +0.0 on the other (observed at sf0.01)
+    # slope is dimensionless (x and y share the 1e-6 scale — it cancels);
+    # only the intercept is in y units and needs unscaling
+    f"ROUND({_ZSLOPE}, 6) + 0.0 AS slope",
+    f"ROUND((CAST(sy AS DOUBLE) - {_ZSLOPE} * sx) / n / 1000000.0, 6) + 0.0 "
+    "AS intercept",
+    "ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * "
+    "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) / "
+    "((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * "
+    "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r_squared",
+)
+
+
+def q_zipf_fit(spark, sf_dir):
+    freq = (_t(spark, sf_dir, "documents")
+            .select(F.explode(F.split("text", " ")).alias("term"))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("freq")))
+    top = freq.selectExpr(
+        "term", "freq",
+        "ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank") \
+        .where(f"rank <= {ZIPF_TOPN}")
+    pts = top.selectExpr(f"{_ZQ[0]} AS x", f"{_ZQ[1]} AS y")
+    m = pts.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.expr("SUM(x * x)").alias("sxx"),
+        F.expr("SUM(x * y)").alias("sxy"),
+        F.expr("SUM(y * y)").alias("syy"))
+    return m.selectExpr(*_ZIPF_OUT)
+
+
+ORACLE_ZIPF = f"""
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS term FROM documents),
+freq AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY 1),
+top AS (
+  SELECT term, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank
+  FROM freq QUALIFY rank <= {ZIPF_TOPN}),
+pts AS (SELECT {_ZQ[0]} AS x, {_ZQ[1]} AS y FROM top),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM pts)
+SELECT {', '.join(_ZIPF_OUT)}
+FROM m
+"""
+
+
+QUERIES.update({
+    "strahler_order": (q_strahler_order, _oracle_strahler()),
+    "zipf_fit": (q_zipf_fit, ORACLE_ZIPF),
+})

@@ -162,6 +162,8 @@ _TAIL = [
     "codec_distortion",       # decode bit-exactness + qb SSE audit (B11)
     "glcm_texture",           # Haralick co-occurrence texture QA (B11)
     "emerging_hotspots",      # space-time-cube trend classes (B1/B3/C6)
+    "strahler_order",         # stream ordering over the D8 forest (B3)
+    "zipf_fit",               # rank-frequency power-law audit (text/C6)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

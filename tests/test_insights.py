@@ -134,3 +134,82 @@ def test_emerging_hotspots_matches_pandas(spark):
         r = out[k]
         assert (r["n_cells"], r["n_events"], r["sum_s"],
                 r["checksum"]) == (ncl, nev, ss, chk)
+
+
+def _py_d8(sf_dir, level=4):
+    """Pure-python twin of the D8 forest: per-cell pointer + edge list."""
+    from spark_shp import cells
+    ev, lon, lat = _event_points(sf_dir)
+    ix, iy = cells.quantize(lon, lat, level)
+    z = {}
+    for a, b in zip(ix, iy):
+        z[(int(a), int(b))] = z.get((int(a), int(b)), 0) + 1
+    d8 = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1),
+          (1, -1)]
+    edges = {}
+    for (cx, cy), zc in z.items():
+        best, pick = 0, None
+        for i, (dx, dy) in enumerate(d8):
+            d = zc - z.get((cx + dx, cy + dy), 0)
+            if d <= 0:
+                continue
+            s = (2 if dx == 0 or dy == 0 else 1) * d * d
+            if s > best:
+                best, pick = s, i
+        if pick is not None:
+            tgt = (cx + d8[pick][0], cy + d8[pick][1])
+            if tgt in z:
+                edges[(cx, cy)] = tgt
+    return z, edges
+
+
+def test_strahler_matches_python_dp_and_converges(spark):
+    from spark_shp.queries_insights import STR_ROUNDS, q_strahler_order
+    for sf_dir in (SF, "/root/testdata/sf0.01"):
+        z, edges = _py_d8(sf_dir)
+        # iterate the same monotone DP; count rounds to fixpoint
+        o = {c: 1 for c in z}
+        rounds = 0
+        while True:
+            up = {}
+            for src, tgt in edges.items():
+                up.setdefault(tgt, []).append(o[src])
+            new = {}
+            for c in z:
+                if c not in up:
+                    new[c] = 1
+                else:
+                    m = max(up[c])
+                    new[c] = m + 1 if up[c].count(m) >= 2 else m
+            rounds += 1
+            if new == o:
+                break
+            o = new
+        assert rounds <= STR_ROUNDS, (sf_dir, rounds)
+        agg = {}
+        for (cx, cy), v in o.items():
+            a = agg.setdefault(v, [0, 0])
+            a[0] += 1
+            a[1] += cx * 16 + cy
+        out = {r["strahler"]: (r["n_cells"], r["checksum"])
+               for r in q_strahler_order(spark, sf_dir).collect()}
+        assert out == {k: tuple(v) for k, v in agg.items()}, sf_dir
+
+
+def test_zipf_fit_matches_numpy_lstsq(spark):
+    from spark_shp.queries_insights import ZIPF_TOPN, q_zipf_fit
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    freq = {}
+    for t in docs["text"]:
+        for w in t.split(" "):
+            freq[w] = freq.get(w, 0) + 1
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOPN]
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    y = np.log(np.array([c for _, c in top], dtype=np.float64))
+    slope, intercept = np.polyfit(x, y, 1)
+    r = q_zipf_fit(spark, SF).collect()[0]
+    assert r["n_terms"] == len(top)
+    assert abs(r["slope"] - slope) < 1e-4
+    assert abs(r["intercept"] - intercept) < 1e-4
+    cc = np.corrcoef(x, y)[0, 1]
+    assert abs(r["r_squared"] - cc * cc) < 1e-4
