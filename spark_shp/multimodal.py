@@ -648,3 +648,53 @@ def distortion_checksums(images: DataFrame) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+def equalize_checksums(images: DataFrame) -> DataFrame:
+    """Histogram equalization over real decoded bytes (the contrast-
+    normalization pass of an image-curation pipeline): per image, pool
+    all channels, build the 256-bin CDF, and remap each pixel to
+    e = FLOOR((cdf(v) − cdf_min) · 255 / (n_px − cdf_min)) — the textbook
+    integer formula, so every output is exact.  Returns per image the
+    equalized-value sum and a POSITION-weighted checksum that catches a
+    correct histogram applied with the wrong pixel mapping.  Shape-grouped
+    decode; the per-image CDF is one offset bincount + cumsum over the
+    stack."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("sum_eq", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            out = []
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                px = _decode_stack(pdf, idx, w, h, fmt).astype(np.int64)
+                n, npx = len(idx), h * w * 3
+                flat = px + np.arange(n, dtype=np.int64)[
+                    :, None, None, None] * 256
+                counts = np.bincount(flat.ravel(), minlength=n * 256) \
+                    .reshape(n, 256)
+                cdf = counts.cumsum(axis=1)
+                # cdf_min = cdf at each image's smallest present value
+                cdf_min = np.where(counts.cumsum(axis=1) > 0, cdf,
+                                   np.int64(1) << 60).min(axis=1)
+                den = np.maximum(npx - cdf_min, 1)
+                emap = (cdf - cdf_min[:, None]) * 255 // den[:, None]
+                eq = np.take_along_axis(
+                    emap, px.reshape(n, -1), axis=1)     # (n, npx)
+                pos = np.arange(npx, dtype=np.int64) + 1
+                for k, i in enumerate(idx):
+                    out.append((ids[i], npx, int(eq[k].sum()),
+                                int((eq[k] * pos).sum())))
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

@@ -494,3 +494,212 @@ QUERIES.update({
     "strahler_order": (q_strahler_order, _oracle_strahler()),
     "zipf_fit": (q_zipf_fit, ORACLE_ZIPF),
 })
+
+
+# --- hist_equalize: histogram equalization over real decoded bytes ----------------
+#
+# The contrast-normalization pass: per image, pool channels, build the
+# 256-bin CDF, remap e = FLOOR((cdf(v) − cdf_min)·255 / (n_px − cdf_min))
+# — all exact integers.  The POSITION-weighted checksum (Σ e·pos, pos =
+# (y·w + x)·3 + c + 1) catches a correct histogram applied through the
+# wrong mapping (flipped rows, channel swap).  Spark runs the real decode
+# (qb included); the oracle rebuilds value, CDF, and remap from the
+# generator formula by lattice sums + one window.
+
+EQ_N = 24
+
+
+def q_hist_equalize(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, EQ_N, partitions=4)
+    e = multimodal.equalize_checksums(img)
+    withi = e.selectExpr(
+        "n_px", "sum_eq", "checksum",
+        "CAST(substr(image_id, 4) AS BIGINT) AS i",
+        "CASE (CAST(substr(image_id, 4) AS BIGINT) % 3) WHEN 0 THEN 'raw' "
+        "WHEN 1 THEN 'png' ELSE 'qb' END AS fmt")
+    return (withi.groupBy("fmt")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("n_px").alias("n_pixels"),
+                 F.sum("sum_eq").alias("sum_eq"),
+                 F.expr("SUM(checksum * (i + 11))").alias("checksum"))
+            .selectExpr("fmt", "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(n_pixels AS BIGINT) AS n_pixels",
+                        "CAST(sum_eq AS BIGINT) AS sum_eq",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_equalize() -> str:
+    from .hashing import mix_sql
+    m = fixtures.images_meta_sql("i")
+    px = mix_sql("i * 1000003 + yy.y * 4096 + xx.x * 4 + cc.c")
+    v = (f"CASE WHEN fmt = 'qb' THEN CAST(FLOOR((({px}) % 256) / 4.0) "
+         f"AS BIGINT) * 4 + 2 ELSE ({px}) % 256 END")
+    return f"""
+WITH imgs AS MATERIALIZED (
+  SELECT i, {m['w']} AS w, {m['h']} AS h, {m['fmt']} AS fmt
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {EQ_N - 1})) AS i) t),
+pix AS MATERIALIZED (
+  SELECT i, fmt, w, h, {v} AS v,
+         (yy.y * w + xx.x) * 3 + cc.c + 1 AS pos
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 1)) AS y) yy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS x) xx,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c) cc),
+hist AS (
+  SELECT i, v, COUNT(*) AS cnt FROM pix GROUP BY 1, 2),
+cdf AS (
+  SELECT i, v, SUM(cnt) OVER (PARTITION BY i ORDER BY v) AS cdf
+  FROM hist),
+lims AS (
+  SELECT i, MIN(cdf) AS cdfmin, MAX(cdf) AS npx FROM cdf GROUP BY 1),
+emap AS (
+  SELECT cdf.i, cdf.v,
+         CAST(FLOOR((cdf.cdf - l.cdfmin) * 255.0 /
+                    GREATEST(l.npx - l.cdfmin, 1)) AS BIGINT) AS e
+  FROM cdf JOIN lims l ON cdf.i = l.i),
+per AS (
+  SELECT p.i, p.fmt, COUNT(*) AS n_px, SUM(e.e) AS sum_eq,
+         SUM(e.e * p.pos) AS checksum
+  FROM pix p JOIN emap e ON p.i = e.i AND p.v = e.v
+  GROUP BY 1, 2)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(n_px) AS BIGINT) AS n_pixels,
+       CAST(SUM(sum_eq) AS BIGINT) AS sum_eq,
+       CAST(SUM(checksum * (i + 11)) AS BIGINT) AS checksum
+FROM per GROUP BY 1
+"""
+
+
+# --- ab_test_ztest: two-proportion experiment readout -----------------------------
+#
+# The experimentation-analytics primitive: users hash-split into variants
+# A/B (the corpus_split family's deterministic assignment), conversion =
+# the user's purchase share exceeds 20% (purchases * 5 > total events —
+# an integer comparison that stays non-degenerate at every corpus size;
+# "any purchase" saturates to 100% here at ~67 events/user, making the
+# pooled rate 1 and the z denominator exactly 0 — found by the gate when
+# Spark ANSI raised DIVIDE_BY_ZERO).  Counts are exact integers from ONE
+# user-keyed shuffle; rates, pooled rate, and the two-proportion z
+# statistic compose them in a literal float expression (round-6, negative
+# zero normalized, CAST(1 AS DOUBLE) because a bare 1.0 parses as DECIMAL
+# in Spark but DOUBLE in DuckDB); degenerate pools return NULL.
+
+_AB_Z = ("(CASE WHEN ca + cb = 0 OR ca + cb = na + nb "
+         "THEN CAST(NULL AS DOUBLE) ELSE "
+         "ROUND((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) / "
+         "SQRT((CAST(ca + cb AS DOUBLE) / (na + nb)) * "
+         "(CAST(1 AS DOUBLE) - CAST(ca + cb AS DOUBLE) / (na + nb)) * "
+         "(CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)), 6) + 0.0 "
+         "END)")
+
+
+def q_ab_test_ztest(spark, sf_dir):
+    from .hashing import mix_sql
+    v = f"({mix_sql('user_id * 7 + 5')}) % 2"
+    per_user = (_t(spark, sf_dir, "events")
+                .selectExpr("user_id",
+                            "CASE WHEN event_type = 'purchase' THEN 1 "
+                            "ELSE 0 END AS p")
+                .groupBy("user_id")
+                .agg(F.sum("p").alias("np"), F.count(F.lit(1)).alias("nt"))
+                .selectExpr("user_id",
+                            "CASE WHEN np * 5 > nt THEN 1 ELSE 0 END "
+                            "AS conv", f"{v} AS v"))
+    m = per_user.groupBy().agg(
+        F.expr("SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END)").alias("na"),
+        F.expr("SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END)").alias("nb"),
+        F.expr("SUM(CASE WHEN v = 0 THEN conv ELSE 0 END)").alias("ca"),
+        F.expr("SUM(CASE WHEN v = 1 THEN conv ELSE 0 END)").alias("cb"))
+    return m.selectExpr(
+        "CAST(na AS BIGINT) AS n_a", "CAST(nb AS BIGINT) AS n_b",
+        "CAST(ca AS BIGINT) AS conv_a", "CAST(cb AS BIGINT) AS conv_b",
+        "ROUND(CAST(ca AS DOUBLE) / na, 6) AS rate_a",
+        "ROUND(CAST(cb AS DOUBLE) / nb, 6) AS rate_b",
+        f"{_AB_Z} AS z_score")
+
+
+def _oracle_ab() -> str:
+    from .hashing import mix_sql
+    v = f"({mix_sql('user_id * 7 + 5')}) % 2"
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   * 5 > COUNT(*) THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY 1),
+m AS (
+  SELECT SUM(CASE WHEN {v} = 0 THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN {v} = 1 THEN 1 ELSE 0 END) AS nb,
+         SUM(CASE WHEN {v} = 0 THEN conv ELSE 0 END) AS ca,
+         SUM(CASE WHEN {v} = 1 THEN conv ELSE 0 END) AS cb
+  FROM per_user)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(ca AS BIGINT) AS conv_a, CAST(cb AS BIGINT) AS conv_b,
+       ROUND(CAST(ca AS DOUBLE) / na, 6) AS rate_a,
+       ROUND(CAST(cb AS DOUBLE) / nb, 6) AS rate_b,
+       {_AB_Z} AS z_score
+FROM m
+"""
+
+
+# --- ewma_forecast: exponential smoothing with dyadic weights ---------------------
+#
+# One-step-ahead forecast of each event type's hourly count via simple
+# exponential smoothing with alpha = 1/2 over the previous 16
+# OBSERVATIONS (row-lagged: gaps in the hourly series are skipped, the
+# same convention on both engines).  Dyadic weights make the forecast
+# EXACT: num = Σ_{{j=1..16}} y_{{t−j}} · 2^(16−j) is an int64 and the
+# forecast is ONE division by 2^16 — no float recurrence, bit-identical
+# at any partitioning.  One hour-keyed count shuffle + one tiny window.
+
+EWMA_LAGS = 16
+
+
+def _ewma_num() -> str:
+    return " + ".join(
+        f"COALESCE(LAG(c, {j}) OVER (PARTITION BY g ORDER BY h), 0) "
+        f"* {1 << (EWMA_LAGS - j)}" for j in range(1, EWMA_LAGS + 1))
+
+
+def q_ewma_forecast(spark, sf_dir):
+    hourly = (_t(spark, sf_dir, "events")
+              .selectExpr("event_type AS g",
+                          "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ))"
+                          " / 3600000000) AS BIGINT) AS h")
+              .groupBy("g", "h").agg(F.count(F.lit(1)).alias("c")))
+    seq = hourly.selectExpr(
+        "g", "h", "c", f"{_ewma_num()} AS num",
+        "ROW_NUMBER() OVER (PARTITION BY g ORDER BY h DESC) AS rdesc")
+    return (seq.where("rdesc = 1")
+            .selectExpr("g", "CAST(h AS BIGINT) AS last_h",
+                        "CAST(c AS BIGINT) AS actual",
+                        f"ROUND(num / CAST({1 << EWMA_LAGS} AS DOUBLE), 6) "
+                        "AS forecast",
+                        "ROUND(ABS(c - num / "
+                        f"CAST({1 << EWMA_LAGS} AS DOUBLE)), 6) AS abs_err"))
+
+
+def _oracle_ewma() -> str:
+    return f"""
+WITH hourly AS (
+  SELECT event_type AS g,
+         CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+seq AS (
+  SELECT g, h, c, {_ewma_num()} AS num,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY h DESC) AS rdesc
+  FROM hourly)
+SELECT g, CAST(h AS BIGINT) AS last_h, CAST(c AS BIGINT) AS actual,
+       ROUND(num / CAST({1 << EWMA_LAGS} AS DOUBLE), 6) AS forecast,
+       ROUND(ABS(c - num / CAST({1 << EWMA_LAGS} AS DOUBLE)), 6) AS abs_err
+FROM seq WHERE rdesc = 1
+"""
+
+
+QUERIES.update({
+    "hist_equalize": (q_hist_equalize, _oracle_equalize()),
+    "ab_test_ztest": (q_ab_test_ztest, _oracle_ab()),
+    "ewma_forecast": (q_ewma_forecast, _oracle_ewma()),
+})

@@ -164,6 +164,9 @@ _TAIL = [
     "emerging_hotspots",      # space-time-cube trend classes (B1/B3/C6)
     "strahler_order",         # stream ordering over the D8 forest (B3)
     "zipf_fit",               # rank-frequency power-law audit (text/C6)
+    "hist_equalize",          # histogram equalization, real decode (B11)
+    "ab_test_ztest",          # two-proportion experiment readout (C6)
+    "ewma_forecast",          # dyadic-weight exponential smoothing (C6/C7)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

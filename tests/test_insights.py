@@ -213,3 +213,66 @@ def test_zipf_fit_matches_numpy_lstsq(spark):
     assert abs(r["intercept"] - intercept) < 1e-4
     cc = np.corrcoef(x, y)[0, 1]
     assert abs(r["r_squared"] - cc * cc) < 1e-4
+
+
+def test_hist_equalize_matches_numpy(spark):
+    from spark_shp.queries_insights import EQ_N, q_hist_equalize
+    out = {r["fmt"]: r for r in q_hist_equalize(spark, SF).collect()}
+    agg = {}
+    for i in range(EQ_N):
+        m = fixtures.images_meta(np.array([i]))
+        w, h = int(m["w"][0]), int(m["h"][0])
+        fmt = fixtures.FMTS[i % 3]
+        px = fixtures.image_pixels(i, w, h)
+        dec = codecs.decode(codecs.encode(px, fmt), w, h, fmt) \
+            .astype(np.int64)
+        counts = np.bincount(dec.ravel(), minlength=256)
+        cdf = counts.cumsum()
+        cdfmin = int(cdf[counts.nonzero()[0][0]])
+        npx = h * w * 3
+        emap = (cdf - cdfmin) * 255 // max(npx - cdfmin, 1)
+        eq = emap[dec.ravel()]
+        pos = np.arange(npx, dtype=np.int64) + 1
+        a = agg.setdefault(fmt, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += npx
+        a[2] += int(eq.sum())
+        a[3] += int((eq * pos).sum()) * (i + 11)
+    for fmt, (ni, npx_, se, chk) in agg.items():
+        r = out[fmt]
+        assert (r["n_images"], r["n_pixels"], r["sum_eq"],
+                r["checksum"]) == (ni, npx_, se, chk)
+
+
+def test_ab_test_matches_pandas(spark):
+    from spark_shp.queries_insights import q_ab_test_ztest
+    r = q_ab_test_ztest(spark, SF).collect()[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    per = ev.groupby("user_id").agg(
+        np_=("event_type", lambda s: int((s == "purchase").sum())),
+        nt=("event_type", "size"))
+    conv = (per["np_"] * 5 > per["nt"]).astype(int)
+    v = mix(per.index.to_numpy(dtype=np.int64) * 7 + 5) % 2
+    na, nb = int((v == 0).sum()), int((v == 1).sum())
+    ca, cb = int(conv[v == 0].sum()), int(conv[v == 1].sum())
+    assert (r["n_a"], r["n_b"], r["conv_a"], r["conv_b"]) == (na, nb, ca, cb)
+    p1, p2, pool = ca / na, cb / nb, (ca + cb) / (na + nb)
+    z = (p1 - p2) / np.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    assert abs(r["z_score"] - z) < 1e-5
+    assert 0 < ca < na and 0 < cb < nb  # the metric is non-degenerate
+
+
+def test_ewma_forecast_matches_pandas(spark):
+    from spark_shp.queries_insights import EWMA_LAGS, q_ewma_forecast
+    out = {r["g"]: r for r in q_ewma_forecast(spark, SF).collect()}
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    hr = (ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+          // 3_600_000_000)
+    df = pd.DataFrame({"g": ev["event_type"], "h": hr})
+    for g, grp in df.groupby("g"):
+        series = grp.groupby("h").size().sort_index().to_numpy()
+        num = sum(int(series[-1 - j]) * (1 << (EWMA_LAGS - j))
+                  for j in range(1, EWMA_LAGS + 1) if j < len(series))
+        r = out[g]
+        assert r["actual"] == int(series[-1])
+        assert abs(r["forecast"] - round(num / (1 << EWMA_LAGS), 6)) < 1e-9
