@@ -703,3 +703,229 @@ QUERIES.update({
     "ab_test_ztest": (q_ab_test_ztest, _oracle_ab()),
     "ewma_forecast": (q_ewma_forecast, _oracle_ewma()),
 })
+
+
+# --- k_anonymity: privacy equivalence-class audit ----------------------------------
+#
+# The k-anonymity audit of a quasi-identifier tuple (the privacy
+# counterpart of pii_scrub's redaction): group the corpus by QI =
+# (event_type, hour-of-day, level-4 cell), count equivalence classes,
+# and report how many rows sit in classes smaller than K — the
+# re-identification risk surface.  Two aggregations, all exact integers;
+# class sets are bounded by the QI domain (5 types x 24 hours x lattice),
+# never by corpus size.
+
+KANON_K = 10
+KANON_LVL = 4
+
+
+def q_k_anonymity(spark, sf_dir):
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, KANON_LVL)
+    cls = (_t(spark, sf_dir, "events")
+           .selectExpr("event_type",
+                       "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ))"
+                       " / 3600000000) AS BIGINT) % 24 AS hod",
+                       f"{ix} AS cx", f"{iy} AS cy")
+           .groupBy("event_type", "hod", "cx", "cy")
+           .agg(F.count(F.lit(1)).alias("sz")))
+    return (cls.groupBy().agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.expr(f"SUM(CASE WHEN sz < {KANON_K} THEN 1 ELSE 0 END)")
+        .alias("n_small"),
+        F.expr(f"SUM(CASE WHEN sz < {KANON_K} THEN sz ELSE 0 END)")
+        .alias("rows_at_risk"),
+        F.min("sz").alias("min_class"),
+        F.max("sz").alias("max_class"),
+        F.sum("sz").alias("n_rows"))
+        .selectExpr("CAST(n_classes AS BIGINT) AS n_classes",
+                    "CAST(n_small AS BIGINT) AS n_small",
+                    "CAST(rows_at_risk AS BIGINT) AS rows_at_risk",
+                    "CAST(min_class AS BIGINT) AS min_class",
+                    "CAST(max_class AS BIGINT) AS max_class",
+                    "CAST(rows_at_risk AS DOUBLE) / n_rows AS risk_share"))
+
+
+def _oracle_kanon() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, KANON_LVL)
+    return f"""
+WITH cls AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) % 24 AS hod,
+         {ix} AS cx, {iy} AS cy, COUNT(*) AS sz
+  FROM events GROUP BY 1, 2, 3, 4)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN sz < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small,
+       CAST(SUM(CASE WHEN sz < {KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(MIN(sz) AS BIGINT) AS min_class,
+       CAST(MAX(sz) AS BIGINT) AS max_class,
+       CAST(SUM(CASE WHEN sz < {KANON_K} THEN sz ELSE 0 END) AS DOUBLE)
+         / SUM(sz) AS risk_share
+FROM cls
+"""
+
+
+# --- fk_integrity: referential-integrity audit across the star schema -------------
+#
+# The data-quality classic: for each FK relationship, count child rows
+# whose key has no parent (anti-join orphans), with distinct-orphan-key
+# counts and min/max orphan keys pinning WHICH keys dangle, not just how
+# many.  Each relationship is one anti-join keyed by the FK — the join
+# shuffles the child once; parents broadcast when small.  Four bounded
+# one-row aggregates unioned.
+
+_FK_RELS = (
+    ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+
+def q_fk_integrity(spark, sf_dir):
+    outs = []
+    for rel, child, fk, parent, pk in _FK_RELS:
+        c = _t(spark, sf_dir, child).select(F.col(fk).alias("k"))
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        tot = c.groupBy().agg(F.count(F.lit(1)).alias("n_child"))
+        orph = (c.join(F.broadcast(p), "k", "leftanti")
+                .groupBy().agg(
+                    F.count(F.lit(1)).alias("n_orphan"),
+                    F.countDistinct("k").alias("n_orphan_keys"),
+                    F.min("k").alias("min_orphan"),
+                    F.max("k").alias("max_orphan")))
+        outs.append(tot.crossJoin(orph).selectExpr(
+            f"'{rel}' AS rel", "CAST(n_child AS BIGINT) AS n_child",
+            "CAST(n_orphan AS BIGINT) AS n_orphan",
+            "CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys",
+            "CAST(min_orphan AS BIGINT) AS min_orphan",
+            "CAST(max_orphan AS BIGINT) AS max_orphan"))
+    r = outs[0]
+    for o in outs[1:]:
+        r = r.unionAll(o)
+    return r
+
+
+def _oracle_fk() -> str:
+    parts = []
+    for rel, child, fk, parent, pk in _FK_RELS:
+        parts.append(f"""
+SELECT '{rel}' AS rel,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_child,
+       CAST(COUNT(*) AS BIGINT) AS n_orphan,
+       CAST(COUNT(DISTINCT {fk}) AS BIGINT) AS n_orphan_keys,
+       CAST(MIN({fk}) AS BIGINT) AS min_orphan,
+       CAST(MAX({fk}) AS BIGINT) AS max_orphan
+FROM {child} c
+WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})""")
+    return "\nUNION ALL\n".join(parts)
+
+
+# --- ripley_k_bands: multi-distance point-pattern analysis -------------------------
+#
+# Ripley's K at three nested radii (0.5deg / 1deg / 2deg Euclidean on the
+# quantized udeg lattice) over purchase points: pair counts come from the
+# Knox-style 3x3 cell-ring equi-join at level 6 (cell height 2.66deg >=
+# the max radius, so the ring provably contains every qualifying pair —
+# pytest brute-forces all pairs at sf0.001), distances are exact int64
+# udeg^2, and K-hat(r) = A * 2 * n_pairs / n^2 with the CSR comparison
+# K/(pi r^2) are literal float compositions.
+
+RIPLEY_TYPE = "purchase"
+RIPLEY_CELL = 6
+RIPLEY_R_UDEG = (500000, 1000000, 2000000)
+_RIPLEY_AREA = "61200.0"       # 360 x 170 study window, deg^2
+
+
+def _ripley_out() -> list:
+    # float constants are pre-folded in python and emitted as ONE
+    # CAST(... AS DOUBLE) literal each: bare numeric literals parse as
+    # DECIMAL in both engines, and DECIMAL x DECIMAL overflowed in DuckDB
+    import math
+    outs = ["CAST(n_events AS BIGINT) AS n_events"]
+    for r in RIPLEY_R_UDEG:
+        deg = r / 1e6
+        area2 = f"CAST({2.0 * float(_RIPLEY_AREA)!r} AS DOUBLE)"
+        pir2 = f"CAST({math.pi * deg * deg!r} AS DOUBLE)"
+        outs += [
+            f"CAST(c{r} AS BIGINT) AS n_pairs_{r}",
+            f"ROUND({area2} * c{r} / "
+            f"(CAST(n_events AS DOUBLE) * n_events), 6) AS khat_{r}",
+            f"ROUND({area2} * c{r} / "
+            f"(CAST(n_events AS DOUBLE) * n_events) / {pir2}, 6) + 0.0 "
+            f"AS csr_ratio_{r}",
+        ]
+    return outs
+
+
+def q_ripley_k_bands(spark, sf_dir):
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, RIPLEY_CELL)
+    e = (_t(spark, sf_dir, "events")
+         .where(f"event_type = '{RIPLEY_TYPE}'")
+         .selectExpr("event_id", f"{_EV_UDEG[0]} AS ux",
+                     f"{_EV_UDEG[1]} AS uy", f"{ix} AS cx", f"{iy} AS cy")
+         .localCheckpoint())
+    a = e.selectExpr("event_id AS a_id", "ux AS a_ux", "uy AS a_uy",
+                     "explode(sequence(cx - 1, cx + 1)) AS jx", "cy AS acy")
+    a = a.selectExpr("a_id", "a_ux", "a_uy", "jx",
+                     "explode(sequence(acy - 1, acy + 1)) AS jy")
+    b = e.selectExpr("event_id", "ux", "uy", "cx AS jx", "cy AS jy")
+    rmax = max(RIPLEY_R_UDEG)
+    pairs = (a.join(b, ["jx", "jy"])
+             .where("a_id < event_id")
+             .selectExpr("a_id", "event_id",
+                         "(a_ux - ux) * (a_ux - ux) + "
+                         "(a_uy - uy) * (a_uy - uy) AS d2")
+             .where(f"d2 <= {rmax}::BIGINT * {rmax}")
+             .distinct())
+    cnt = pairs.groupBy().agg(*[
+        F.expr(f"SUM(CASE WHEN d2 <= {r}::BIGINT * {r} THEN 1 ELSE 0 END)")
+        .alias(f"c{r}") for r in RIPLEY_R_UDEG])
+    n = e.groupBy().agg(F.count(F.lit(1)).alias("n_events"))
+    return (n.crossJoin(cnt)
+            .selectExpr(*[f"COALESCE(c{r}, 0) AS c{r}"
+                          for r in RIPLEY_R_UDEG], "n_events")
+            .selectExpr(*_ripley_out()))
+
+
+def _oracle_ripley() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, RIPLEY_CELL)
+    rmax = max(RIPLEY_R_UDEG)
+    band_sums = ",\n         ".join(
+        f"SUM(CASE WHEN d2 <= {r}::BIGINT * {r} THEN 1 ELSE 0 END) AS c{r}"
+        for r in RIPLEY_R_UDEG)
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT event_id, {_EV_UDEG[0]} AS ux, {_EV_UDEG[1]} AS uy,
+         {ix} AS cx, {iy} AS cy
+  FROM events WHERE event_type = '{RIPLEY_TYPE}'),
+pairs AS (
+  SELECT DISTINCT a.event_id AS a_id, b.event_id AS b_id,
+         (a.ux - b.ux) * (a.ux - b.ux) +
+         (a.uy - b.uy) * (a.uy - b.uy) AS d2
+  FROM (SELECT e.*, cx + dx.d AS jx, cy + dy.d AS jy
+        FROM e, (SELECT UNNEST([-1, 0, 1]) AS d) dx,
+                (SELECT UNNEST([-1, 0, 1]) AS d) dy) a
+  JOIN e b ON b.cx = a.jx AND b.cy = a.jy AND a.event_id < b.event_id
+  WHERE (a.ux - b.ux) * (a.ux - b.ux) +
+        (a.uy - b.uy) * (a.uy - b.uy) <= {rmax}::BIGINT * {rmax}),
+cnt AS (
+  SELECT {band_sums}
+  FROM pairs),
+n AS (SELECT COUNT(*) AS n_events FROM e)
+SELECT {', '.join(_ripley_out())}
+FROM n, (SELECT {', '.join(f'COALESCE(c{r}, 0) AS c{r}'
+                           for r in RIPLEY_R_UDEG)} FROM cnt) c
+"""
+
+
+QUERIES.update({
+    "k_anonymity": (q_k_anonymity, _oracle_kanon()),
+    "fk_integrity": (q_fk_integrity, _oracle_fk()),
+    "ripley_k_bands": (q_ripley_k_bands, _oracle_ripley()),
+})

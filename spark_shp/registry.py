@@ -167,6 +167,9 @@ _TAIL = [
     "hist_equalize",          # histogram equalization, real decode (B11)
     "ab_test_ztest",          # two-proportion experiment readout (C6)
     "ewma_forecast",          # dyadic-weight exponential smoothing (C6/C7)
+    "k_anonymity",            # privacy equivalence-class audit (C6/quality)
+    "fk_integrity",           # referential-integrity orphan audit (C3/C6)
+    "ripley_k_bands",         # multi-distance point-pattern K (B/C6 stats)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

@@ -276,3 +276,62 @@ def test_ewma_forecast_matches_pandas(spark):
         r = out[g]
         assert r["actual"] == int(series[-1])
         assert abs(r["forecast"] - round(num / (1 << EWMA_LAGS), 6)) < 1e-9
+
+
+def test_k_anonymity_matches_pandas(spark):
+    from spark_shp import cells
+    from spark_shp.queries_insights import (KANON_K, KANON_LVL,
+                                            q_k_anonymity)
+    r = q_k_anonymity(spark, SF).collect()[0]
+    ev, lon, lat = _event_points(SF)
+    ix, iy = cells.quantize(lon, lat, KANON_LVL)
+    hod = (ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+           // 3_600_000_000) % 24
+    df = pd.DataFrame({"t": ev["event_type"], "hod": hod,
+                       "cx": ix, "cy": iy})
+    sz = df.groupby(["t", "hod", "cx", "cy"]).size()
+    small = sz[sz < KANON_K]
+    assert r["n_classes"] == len(sz)
+    assert r["n_small"] == len(small)
+    assert r["rows_at_risk"] == int(small.sum())
+    assert (r["min_class"], r["max_class"]) == (int(sz.min()),
+                                                int(sz.max()))
+    assert abs(r["risk_share"] - small.sum() / sz.sum()) < 1e-12
+
+
+def test_fk_integrity_matches_pandas(spark):
+    from spark_shp.queries_insights import _FK_RELS, q_fk_integrity
+    out = {r["rel"]: r for r in q_fk_integrity(spark, SF).collect()}
+    for rel, child, fk, parent, pk in _FK_RELS:
+        c = pd.read_parquet(f"{SF}/{child}.parquet")[fk]
+        p = set(pd.read_parquet(f"{SF}/{parent}.parquet")[pk])
+        orph = c[~c.isin(p)]
+        r = out[rel]
+        assert r["n_child"] == len(c)
+        assert r["n_orphan"] == len(orph)
+        assert r["n_orphan_keys"] == orph.nunique()
+        if len(orph):
+            assert (r["min_orphan"], r["max_orphan"]) == (orph.min(),
+                                                          orph.max())
+        else:
+            assert r["min_orphan"] is None and r["max_orphan"] is None
+
+
+def test_ripley_ring_join_is_lossless_vs_bruteforce(spark):
+    from spark_shp.queries_insights import (RIPLEY_R_UDEG, RIPLEY_TYPE,
+                                            q_ripley_k_bands)
+    r = q_ripley_k_bands(spark, SF).collect()[0]
+    ev, lon, lat = _event_points(SF)
+    sel = (ev["event_type"] == RIPLEY_TYPE).to_numpy()
+    ux = np.floor(lon[sel] * 1e6).astype(np.int64)
+    uy = np.floor(lat[sel] * 1e6).astype(np.int64)
+    n = int(sel.sum())
+    assert r["n_events"] == n
+    d2 = ((ux[:, None] - ux[None, :]).astype(np.int64) ** 2
+          + (uy[:, None] - uy[None, :]).astype(np.int64) ** 2)
+    iu = np.triu_indices(n, k=1)
+    for rad in RIPLEY_R_UDEG:
+        cnt = int((d2[iu] <= rad * rad).sum())
+        assert r[f"n_pairs_{rad}"] == cnt, rad
+        khat = 61200.0 * 2 * cnt / (float(n) * n)
+        assert abs(r[f"khat_{rad}"] - khat) < 1e-5
