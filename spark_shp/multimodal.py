@@ -698,3 +698,47 @@ def equalize_checksums(images: DataFrame) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+def quadtree_checksums(images: DataFrame, depth: int = 3) -> DataFrame:
+    """Quadtree homogeneity profile over real decoded bytes: at each depth
+    d the image splits into 2^d x 2^d blocks (widths here are multiples of
+    2^depth); per block the value RANGE (max - min over the block, channels
+    pooled) measures homogeneity — the split criterion of an adaptive
+    quadtree encoder.  Returns per (image, depth) the exact-int64 range
+    sum and a block-position-weighted checksum.  Shape-grouped decode;
+    each depth is one stacked reshape + axis max/min."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("n_blocks", T.LongType()),
+        T.StructField("range_sum", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            out = []
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                px = _decode_stack(pdf, idx, w, h, fmt).astype(np.int64)
+                n = len(idx)
+                for d in range(depth + 1):
+                    nb = 1 << d
+                    b = px.reshape(n, nb, h // nb, nb, w // nb, 3)
+                    rng = (b.max(axis=(2, 4, 5))
+                           - b.min(axis=(2, 4, 5)))     # (n, nb, nb)
+                    wgt = (np.arange(nb, dtype=np.int64)[:, None] * nb
+                           + np.arange(nb, dtype=np.int64)[None, :] + 1)
+                    for k, i in enumerate(idx):
+                        out.append((ids[i], d, nb * nb,
+                                    int(rng[k].sum()),
+                                    int((rng[k] * wgt).sum())))
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

@@ -929,3 +929,232 @@ QUERIES.update({
     "fk_integrity": (q_fk_integrity, _oracle_fk()),
     "ripley_k_bands": (q_ripley_k_bands, _oracle_ripley()),
 })
+
+
+# --- image_quadtree: adaptive-decomposition homogeneity profile --------------------
+#
+# The split criterion of a quadtree image encoder, profiled per depth:
+# at depth d the image is 2^d x 2^d blocks and each block's value RANGE
+# (max − min, channels pooled) says how much a split would help.  All
+# exact int64 (range sums + block-position-weighted checksums that catch
+# a transposed block grid); the oracle rebuilds every block extreme from
+# the pixel formula with FLOOR-bucketed block indices.  Depth 3 divides
+# every fixture width (multiples of 16).
+
+QT_N = 24
+QT_DEPTH = 3
+
+
+def q_image_quadtree(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, QT_N, partitions=4)
+    q = multimodal.quadtree_checksums(img, depth=QT_DEPTH)
+    withi = q.selectExpr(
+        "depth", "n_blocks", "range_sum", "checksum",
+        "CAST(substr(image_id, 4) AS BIGINT) AS i",
+        "CASE (CAST(substr(image_id, 4) AS BIGINT) % 3) WHEN 0 THEN 'raw' "
+        "WHEN 1 THEN 'png' ELSE 'qb' END AS fmt")
+    return (withi.groupBy("fmt", "depth")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("n_blocks").alias("n_blocks"),
+                 F.sum("range_sum").alias("range_sum"),
+                 F.expr("SUM(checksum * (i + 7))").alias("checksum"))
+            .selectExpr("fmt", "CAST(depth AS INT) AS depth",
+                        "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(n_blocks AS BIGINT) AS n_blocks",
+                        "CAST(range_sum AS BIGINT) AS range_sum",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_quadtree() -> str:
+    from .hashing import mix_sql
+    m = fixtures.images_meta_sql("i")
+    px = mix_sql("i * 1000003 + yy.y * 4096 + xx.x * 4 + cc.c")
+    v = (f"CASE WHEN fmt = 'qb' THEN CAST(FLOOR((({px}) % 256) / 4.0) "
+         f"AS BIGINT) * 4 + 2 ELSE ({px}) % 256 END")
+    return f"""
+WITH imgs AS MATERIALIZED (
+  SELECT i, {m['w']} AS w, {m['h']} AS h, {m['fmt']} AS fmt
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {QT_N - 1})) AS i) t),
+pix AS MATERIALIZED (
+  SELECT i, fmt, w, h, yy.y AS y, xx.x AS x, {v} AS v
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 1)) AS y) yy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS x) xx,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c) cc),
+blocks AS (
+  SELECT i, fmt, dd.d AS depth,
+         CAST(FLOOR(y * (1 << dd.d) / CAST(h AS DOUBLE)) AS BIGINT) AS by_,
+         CAST(FLOOR(x * (1 << dd.d) / CAST(w AS DOUBLE)) AS BIGINT) AS bx,
+         MAX(v) - MIN(v) AS rng
+  FROM pix, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, {QT_DEPTH})) AS d) dd
+  GROUP BY 1, 2, 3, 4, 5),
+per AS (
+  SELECT i, fmt, depth, COUNT(*) AS n_blocks, SUM(rng) AS range_sum,
+         SUM(rng * (by_ * (1 << depth) + bx + 1)) AS checksum
+  FROM blocks GROUP BY 1, 2, 3)
+SELECT fmt, CAST(depth AS INT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(n_blocks) AS BIGINT) AS n_blocks,
+       CAST(SUM(range_sum) AS BIGINT) AS range_sum,
+       CAST(SUM(checksum * (i + 7)) AS BIGINT) AS checksum
+FROM per GROUP BY 1, 2
+"""
+
+
+# --- runs_test: Wald–Wolfowitz randomness audit of the hourly series ---------------
+#
+# Is each event type's hourly count series random or trending/oscillating?
+# Signs of hour-over-hour CHANGE (ties dropped) form a binary sequence;
+# the number of runs vs the expectation 1 + 2·n1·n2/(n1+n2) gives the
+# classic z statistic.  Two window passes over the tiny hourly aggregate;
+# every count is exact int64 and z is one literal float composition
+# (round-6, negative-zero normalized, CAST-double divisions).
+
+_RT_E = ("(CAST(1 AS DOUBLE) + CAST(2 AS DOUBLE) * n_up * n_down / "
+         "(n_up + n_down))")
+_RT_V = ("(CAST(2 AS DOUBLE) * n_up * n_down * "
+         "(CAST(2 AS DOUBLE) * n_up * n_down - n_up - n_down) / "
+         "((CAST(n_up + n_down AS DOUBLE)) * (n_up + n_down) * "
+         "(n_up + n_down - 1)))")
+_RT_Z = (f"(CASE WHEN n_up = 0 OR n_down = 0 OR n_up + n_down < 2 "
+         f"THEN CAST(NULL AS DOUBLE) ELSE "
+         f"ROUND((n_runs - {_RT_E}) / SQRT({_RT_V}), 6) + 0.0 END)")
+
+
+def q_runs_test(spark, sf_dir):
+    hourly = (_t(spark, sf_dir, "events")
+              .selectExpr("event_type AS g",
+                          "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ))"
+                          " / 3600000000) AS BIGINT) AS h")
+              .groupBy("g", "h").agg(F.count(F.lit(1)).alias("c")))
+    sgn = (hourly.selectExpr(
+        "g", "h", "c",
+        "c - LAG(c) OVER (PARTITION BY g ORDER BY h) AS dc")
+        .where("dc IS NOT NULL AND dc <> 0")
+        .selectExpr("g", "h", "CASE WHEN dc > 0 THEN 1 ELSE 0 END AS s"))
+    runs = sgn.selectExpr(
+        "g", "s",
+        "CASE WHEN LAG(s) OVER (PARTITION BY g ORDER BY h) IS NULL "
+        "OR LAG(s) OVER (PARTITION BY g ORDER BY h) <> s THEN 1 ELSE 0 END"
+        " AS brk")
+    m = runs.groupBy("g").agg(
+        F.expr("SUM(s)").alias("n_up"),
+        F.expr("SUM(1 - s)").alias("n_down"),
+        F.expr("SUM(brk)").alias("n_runs"))
+    return m.selectExpr(
+        "g", "CAST(n_up AS BIGINT) AS n_up",
+        "CAST(n_down AS BIGINT) AS n_down",
+        "CAST(n_runs AS BIGINT) AS n_runs",
+        f"{_RT_Z} AS z_score")
+
+
+def _oracle_runs() -> str:
+    return f"""
+WITH hourly AS (
+  SELECT event_type AS g,
+         CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+sgn AS (
+  SELECT g, h, CASE WHEN dc > 0 THEN 1 ELSE 0 END AS s
+  FROM (SELECT g, h, c,
+               c - LAG(c) OVER (PARTITION BY g ORDER BY h) AS dc
+        FROM hourly)
+  WHERE dc IS NOT NULL AND dc <> 0),
+runs AS (
+  SELECT g, s,
+         CASE WHEN LAG(s) OVER (PARTITION BY g ORDER BY h) IS NULL
+              OR LAG(s) OVER (PARTITION BY g ORDER BY h) <> s
+         THEN 1 ELSE 0 END AS brk
+  FROM sgn),
+m AS (
+  SELECT g, SUM(s) AS n_up, SUM(1 - s) AS n_down, SUM(brk) AS n_runs
+  FROM runs GROUP BY 1)
+SELECT g, CAST(n_up AS BIGINT) AS n_up,
+       CAST(n_down AS BIGINT) AS n_down,
+       CAST(n_runs AS BIGINT) AS n_runs,
+       {_RT_Z} AS z_score
+FROM m
+"""
+
+
+# --- seasonal_decompose: trend / hour-of-day seasonal split ------------------------
+#
+# STL-lite over each event type's hourly series: trend = centered 25-hour
+# moving sum (full windows only), deviation d = 25·c − SUM25 (EXACT int —
+# the x25 scaling keeps the subtraction integer), seasonal index per
+# hour-of-day = Σd / (25·n) in ONE division, and the remainder variance
+# composes exact integer moments (Σd, Σd²) in one literal — the
+# spatial_autocorr determinism rule applied to time-series decomposition.
+
+SD_HALF = 12         # 25-hour centered window
+
+
+def q_seasonal_decompose(spark, sf_dir):
+    hourly = (_t(spark, sf_dir, "events")
+              .selectExpr("event_type AS g",
+                          "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ))"
+                          " / 3600000000) AS BIGINT) AS h")
+              .groupBy("g", "h").agg(F.count(F.lit(1)).alias("c")))
+    w = "PARTITION BY g ORDER BY h"
+    full = hourly.selectExpr(
+        "g", "h", "c",
+        f"SUM(c) OVER ({w} ROWS BETWEEN {SD_HALF} PRECEDING AND "
+        f"{SD_HALF} FOLLOWING) AS s25",
+        f"COUNT(*) OVER ({w} ROWS BETWEEN {SD_HALF} PRECEDING AND "
+        f"{SD_HALF} FOLLOWING) AS w25")
+    dev = (full.where(f"w25 = {2 * SD_HALF + 1}")
+           .selectExpr("g", "h % 24 AS hod", "c",
+                       f"{2 * SD_HALF + 1} * c - s25 AS d"))
+    per = dev.groupBy("g", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"), F.sum("d").alias("sd"),
+        F.expr("SUM(d * d)").alias("sdd"))
+    return per.selectExpr(
+        "g", "CAST(hod AS INT) AS hod", "CAST(n AS BIGINT) AS n_hours",
+        "ROUND(CAST(sc AS DOUBLE) / n, 6) AS mean_count",
+        f"ROUND(CAST(sd AS DOUBLE) / ({2 * SD_HALF + 1} * n), 6) "
+        "AS seasonal_dev",
+        f"ROUND((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n) / n / "
+        f"{float((2 * SD_HALF + 1) ** 2)!r}, 6) AS remainder_var")
+
+
+def _oracle_seasonal() -> str:
+    n25 = 2 * SD_HALF + 1
+    return f"""
+WITH hourly AS (
+  SELECT event_type AS g,
+         CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+full_w AS (
+  SELECT g, h, c,
+         SUM(c) OVER (PARTITION BY g ORDER BY h
+                      ROWS BETWEEN {SD_HALF} PRECEDING AND {SD_HALF}
+                      FOLLOWING) AS s25,
+         COUNT(*) OVER (PARTITION BY g ORDER BY h
+                        ROWS BETWEEN {SD_HALF} PRECEDING AND {SD_HALF}
+                        FOLLOWING) AS w25
+  FROM hourly),
+dev AS (
+  SELECT g, h % 24 AS hod, c, {n25} * c - s25 AS d
+  FROM full_w WHERE w25 = {n25}),
+per AS (
+  SELECT g, hod, COUNT(*) AS n, SUM(c) AS sc, SUM(d) AS sd,
+         SUM(d * d) AS sdd
+  FROM dev GROUP BY 1, 2)
+SELECT g, CAST(hod AS INT) AS hod, CAST(n AS BIGINT) AS n_hours,
+       ROUND(CAST(sc AS DOUBLE) / n, 6) AS mean_count,
+       ROUND(CAST(sd AS DOUBLE) / ({n25} * n), 6) AS seasonal_dev,
+       ROUND((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n) / n /
+             {float(n25 ** 2)!r}, 6) AS remainder_var
+FROM per
+"""
+
+
+QUERIES.update({
+    "image_quadtree": (q_image_quadtree, _oracle_quadtree()),
+    "runs_test": (q_runs_test, _oracle_runs()),
+    "seasonal_decompose": (q_seasonal_decompose, _oracle_seasonal()),
+})

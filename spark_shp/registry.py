@@ -170,6 +170,9 @@ _TAIL = [
     "k_anonymity",            # privacy equivalence-class audit (C6/quality)
     "fk_integrity",           # referential-integrity orphan audit (C3/C6)
     "ripley_k_bands",         # multi-distance point-pattern K (B/C6 stats)
+    "image_quadtree",         # quadtree homogeneity profile (B11/B2)
+    "runs_test",              # Wald-Wolfowitz randomness audit (C6 stats)
+    "seasonal_decompose",     # STL-lite trend/seasonal split (C6/C7)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

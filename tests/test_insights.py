@@ -335,3 +335,84 @@ def test_ripley_ring_join_is_lossless_vs_bruteforce(spark):
         assert r[f"n_pairs_{rad}"] == cnt, rad
         khat = 61200.0 * 2 * cnt / (float(n) * n)
         assert abs(r[f"khat_{rad}"] - khat) < 1e-5
+
+
+def test_image_quadtree_matches_numpy(spark):
+    from spark_shp.queries_insights import QT_DEPTH, QT_N, q_image_quadtree
+    out = {(r["fmt"], r["depth"]): r
+           for r in q_image_quadtree(spark, SF).collect()}
+    agg = {}
+    for i in range(QT_N):
+        m = fixtures.images_meta(np.array([i]))
+        w, h = int(m["w"][0]), int(m["h"][0])
+        fmt = fixtures.FMTS[i % 3]
+        px = fixtures.image_pixels(i, w, h)
+        dec = codecs.decode(codecs.encode(px, fmt), w, h, fmt) \
+            .astype(np.int64)
+        for d in range(QT_DEPTH + 1):
+            nb = 1 << d
+            b = dec.reshape(nb, h // nb, nb, w // nb, 3)
+            rng = b.max(axis=(1, 3, 4)) - b.min(axis=(1, 3, 4))
+            wgt = (np.arange(nb)[:, None] * nb + np.arange(nb)[None, :]
+                   + 1)
+            a = agg.setdefault((fmt, d), [0, 0, 0, 0])
+            a[0] += 1
+            a[1] += nb * nb
+            a[2] += int(rng.sum())
+            a[3] += int((rng * wgt).sum()) * (i + 7)
+    for k, (ni, nbk, rs, chk) in agg.items():
+        r = out[k]
+        assert (r["n_images"], r["n_blocks"], r["range_sum"],
+                r["checksum"]) == (ni, nbk, rs, chk), k
+
+
+def _hourly_series(sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    hr = (ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+          // 3_600_000_000)
+    return pd.DataFrame({"g": ev["event_type"], "h": hr})
+
+
+def test_runs_test_matches_python(spark):
+    from spark_shp.queries_insights import q_runs_test
+    out = {r["g"]: r for r in q_runs_test(spark, SF).collect()}
+    df = _hourly_series(SF)
+    for g, grp in df.groupby("g"):
+        c = grp.groupby("h").size().sort_index().to_numpy()
+        signs = [1 if b > a else 0 for a, b in zip(c, c[1:]) if b != a]
+        n1, n2 = sum(signs), len(signs) - sum(signs)
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b) \
+            if signs else 0
+        r = out[g]
+        assert (r["n_up"], r["n_down"], r["n_runs"]) == (n1, n2, runs)
+        if n1 and n2:
+            e = 1 + 2 * n1 * n2 / (n1 + n2)
+            v = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                 / ((n1 + n2) ** 2 * (n1 + n2 - 1)))
+            assert abs(r["z_score"] - (runs - e) / np.sqrt(v)) < 1e-5
+
+
+def test_seasonal_decompose_matches_python(spark):
+    from spark_shp.queries_insights import SD_HALF, q_seasonal_decompose
+    out = {(r["g"], r["hod"]): r
+           for r in q_seasonal_decompose(spark, SF).collect()}
+    df = _hourly_series(SF)
+    n25 = 2 * SD_HALF + 1
+    for g, grp in df.groupby("g"):
+        ser = grp.groupby("h").size().sort_index()
+        hs, cs = ser.index.to_numpy(), ser.to_numpy()
+        rows = {}
+        for k in range(SD_HALF, len(cs) - SD_HALF):
+            s25 = int(cs[k - SD_HALF:k + SD_HALF + 1].sum())
+            d = n25 * int(cs[k]) - s25
+            hod = int(hs[k]) % 24
+            rows.setdefault(hod, []).append((int(cs[k]), d))
+        for hod, vals in rows.items():
+            cvals = np.array([v[0] for v in vals], dtype=np.float64)
+            dvals = np.array([v[1] for v in vals], dtype=np.float64)
+            r = out[(g, hod)]
+            assert r["n_hours"] == len(vals)
+            assert abs(r["mean_count"] - cvals.mean()) < 1e-5
+            assert abs(r["seasonal_dev"] - dvals.mean() / n25) < 1e-5
+            assert abs(r["remainder_var"]
+                       - dvals.var() / n25 ** 2) < 1e-4
