@@ -875,13 +875,16 @@ def q_ripley_k_bands(spark, sf_dir):
                      "explode(sequence(acy - 1, acy + 1)) AS jy")
     b = e.selectExpr("event_id", "ux", "uy", "cx AS jx", "cy AS jy")
     rmax = max(RIPLEY_R_UDEG)
+    # no distinct: the probe side explodes its 3x3 ring but the build side
+    # carries its own single cell, so every qualifying pair matches EXACTLY
+    # once -- the counts aggregate map-side and no pair set is ever
+    # shuffled or sorted (a .distinct() here spilled at 100M rows)
     pairs = (a.join(b, ["jx", "jy"])
              .where("a_id < event_id")
              .selectExpr("a_id", "event_id",
                          "(a_ux - ux) * (a_ux - ux) + "
                          "(a_uy - uy) * (a_uy - uy) AS d2")
-             .where(f"d2 <= {rmax}::BIGINT * {rmax}")
-             .distinct())
+             .where(f"d2 <= {rmax}::BIGINT * {rmax}"))
     cnt = pairs.groupBy().agg(*[
         F.expr(f"SUM(CASE WHEN d2 <= {r}::BIGINT * {r} THEN 1 ELSE 0 END)")
         .alias(f"c{r}") for r in RIPLEY_R_UDEG])
@@ -905,7 +908,7 @@ WITH e AS MATERIALIZED (
          {ix} AS cx, {iy} AS cy
   FROM events WHERE event_type = '{RIPLEY_TYPE}'),
 pairs AS (
-  SELECT DISTINCT a.event_id AS a_id, b.event_id AS b_id,
+  SELECT a.event_id AS a_id, b.event_id AS b_id,
          (a.ux - b.ux) * (a.ux - b.ux) +
          (a.uy - b.uy) * (a.uy - b.uy) AS d2
   FROM (SELECT e.*, cx + dx.d AS jx, cy + dy.d AS jy
