@@ -1161,3 +1161,160 @@ QUERIES.update({
     "runs_test": (q_runs_test, _oracle_runs()),
     "seasonal_decompose": (q_seasonal_decompose, _oracle_seasonal()),
 })
+
+
+# --- bootstrap_ci: Poisson-bootstrap confidence interval ---------------------------
+#
+# The web-scale bootstrap: per replicate r, each row gets a deterministic
+# Poisson(1)-approximating integer weight w in {0,1,2,3} (hash thresholds
+# 368/736/920 of mix(id*37+r) % 1000 ~ the Poisson pmf), so replicate
+# sums are exact int64 and each replicate mean is ONE division.  The
+# Spark side computes ALL B=32 replicates in a SINGLE pass (64
+# conditional sums, no explode — the corpus is read once at any size);
+# the oracle cross-joins a 32-row series instead (correctness twin, 32x
+# the rows, fine at gate SFs).  The CI is explicit ranks 2 and 31 of the
+# 32 replicate means (ties break on replicate id).
+
+BOOT_B = 32
+BOOT_TYPE = "purchase"
+
+
+def _boot_w(r: int) -> str:
+    from .hashing import mix_sql
+    m = f"({mix_sql(f'event_id * 37 + {r}')}) % 1000"
+    return (f"(CASE WHEN ({m}) < 368 THEN 0 WHEN ({m}) < 736 THEN 1 "
+            f"WHEN ({m}) < 920 THEN 2 ELSE 3 END)")
+
+
+def q_bootstrap_ci(spark, sf_dir):
+    base = (_t(spark, sf_dir, "events")
+            .where(f"event_type = '{BOOT_TYPE}'")
+            .selectExpr("event_id",
+                        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc"))
+    aggs = [F.count(F.lit(1)).alias("n0"), F.sum("vc").alias("s0")]
+    for r in range(BOOT_B):
+        w = _boot_w(r)
+        aggs.append(F.expr(f"SUM({w})").alias(f"n{r}_"))
+        aggs.append(F.expr(f"SUM({w} * vc)").alias(f"s{r}_"))
+    m = base.groupBy().agg(*aggs)
+    reps = m.selectExpr(
+        "n0", "s0",
+        "stack(" + str(BOOT_B) + ", " + ", ".join(
+            f"{r}, n{r}_, s{r}_" for r in range(BOOT_B)) +
+        ") AS (r, nr, sr)")
+    ranked = reps.selectExpr(
+        "n0", "s0", "r", "nr", "sr",
+        "CAST(sr AS DOUBLE) / nr AS mean_r",
+        "ROW_NUMBER() OVER (ORDER BY CAST(sr AS DOUBLE) / nr, r) AS rk")
+    return (ranked.groupBy().agg(
+        F.max("n0").alias("n_events"), F.max("s0").alias("s0"),
+        F.expr("MAX(CASE WHEN rk = 2 THEN mean_r END)").alias("lo"),
+        F.expr(f"MAX(CASE WHEN rk = {BOOT_B - 1} THEN mean_r END)")
+        .alias("hi"))
+        .selectExpr("CAST(n_events AS BIGINT) AS n_events",
+                    "ROUND(CAST(s0 AS DOUBLE) / n_events, 6) "
+                    "AS point_mean_cents",
+                    "ROUND(lo, 6) AS ci_lo_cents",
+                    "ROUND(hi, 6) AS ci_hi_cents",
+                    f"CAST({BOOT_B} AS INT) AS n_replicates"))
+
+
+def _oracle_bootstrap() -> str:
+    from .hashing import mix_sql
+    m = f"({mix_sql('event_id * 37 + rr.r')}) % 1000"
+    w = (f"(CASE WHEN ({m}) < 368 THEN 0 WHEN ({m}) < 736 THEN 1 "
+         f"WHEN ({m}) < 920 THEN 2 ELSE 3 END)")
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events WHERE event_type = '{BOOT_TYPE}'),
+pop AS (SELECT COUNT(*) AS n0, SUM(vc) AS s0 FROM base),
+reps AS (
+  SELECT rr.r, SUM({w}) AS nr, SUM({w} * vc) AS sr
+  FROM base, (SELECT UNNEST(GENERATE_SERIES(0, {BOOT_B - 1})) AS r) rr
+  GROUP BY 1),
+ranked AS (
+  SELECT r, CAST(sr AS DOUBLE) / nr AS mean_r,
+         ROW_NUMBER() OVER (ORDER BY CAST(sr AS DOUBLE) / nr, r) AS rk
+  FROM reps)
+SELECT CAST(n0 AS BIGINT) AS n_events,
+       ROUND(CAST(s0 AS DOUBLE) / n0, 6) AS point_mean_cents,
+       ROUND(MAX(CASE WHEN rk = 2 THEN mean_r END), 6) AS ci_lo_cents,
+       ROUND(MAX(CASE WHEN rk = {BOOT_B - 1} THEN mean_r END), 6)
+         AS ci_hi_cents,
+       CAST({BOOT_B} AS INT) AS n_replicates
+FROM pop, ranked
+GROUP BY n0, s0
+"""
+
+
+# --- nation_distance_matrix: geodesic nearest-neighbor table -----------------------
+#
+# The distance-matrix classic over the nation fence layer: haversine
+# great-circle distance between every pair of fence centers (25 x 25,
+# broadcast cross join — the layer is a dim table), top-3 nearest per
+# nation by a rank whose tiebreak is the neighbor key.  The trig composes
+# the SHARED center formulas in one literal float expression (round-6);
+# ranking happens over the ROUNDED distance so order is engine-stable.
+
+NDM_TOPK = 3
+_NDM_R = 6371.0088   # IAU mean Earth radius, km
+
+
+def _ndm_centers(alias: str, key: str) -> str:
+    from .hashing import u01_sql
+    return (f"{u01_sql(f'{key} * 7 + 1')} * 360.0 - 180.0 AS {alias}x, "
+            f"{u01_sql(f'{key} * 7 + 2')} * 160.0 - 80.0 AS {alias}y")
+
+
+_NDM_DIST = (
+    f"ROUND(CAST({2 * _NDM_R!r} AS DOUBLE) * ASIN(SQRT("
+    "POW(SIN(RADIANS(by - ay) / 2), 2) + COS(RADIANS(ay)) * "
+    "COS(RADIANS(by)) * POW(SIN(RADIANS(bx - ax) / 2), 2))), 6)")
+
+
+def q_nation_distance_matrix(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    a = n.selectExpr("n_nationkey AS a_key", "n_name AS a_name",
+                     _ndm_centers("a", "n_nationkey").split(", ")[0],
+                     _ndm_centers("a", "n_nationkey").split(", ")[1])
+    b = n.selectExpr("n_nationkey AS b_key",
+                     _ndm_centers("b", "n_nationkey").split(", ")[0],
+                     _ndm_centers("b", "n_nationkey").split(", ")[1])
+    d = (a.crossJoin(F.broadcast(b)).where("a_key <> b_key")
+         .selectExpr("a_key", "a_name", "b_key", f"{_NDM_DIST} AS km"))
+    top = d.selectExpr(
+        "a_key", "a_name", "b_key", "km",
+        "ROW_NUMBER() OVER (PARTITION BY a_key ORDER BY km, b_key) AS rk")
+    return (top.where(f"rk <= {NDM_TOPK}")
+            .selectExpr("CAST(a_key AS BIGINT) AS nationkey", "a_name",
+                        "CAST(rk AS INT) AS rk",
+                        "CAST(b_key AS BIGINT) AS neighbor_key", "km"))
+
+
+def _oracle_ndm() -> str:
+    return f"""
+WITH n AS (
+  SELECT n_nationkey, n_name, {_ndm_centers('c', 'n_nationkey')}
+  FROM nation),
+d AS (
+  SELECT a.n_nationkey AS a_key, a.n_name AS a_name,
+         b.n_nationkey AS b_key,
+         a.cx AS ax, a.cy AS ay, b.cx AS bx, b.cy AS by
+  FROM n a, n b WHERE a.n_nationkey <> b.n_nationkey),
+km AS (
+  SELECT a_key, a_name, b_key, {_NDM_DIST} AS km FROM d),
+top AS (
+  SELECT a_key, a_name, b_key, km,
+         ROW_NUMBER() OVER (PARTITION BY a_key ORDER BY km, b_key) AS rk
+  FROM km)
+SELECT CAST(a_key AS BIGINT) AS nationkey, a_name AS a_name,
+       CAST(rk AS INT) AS rk, CAST(b_key AS BIGINT) AS neighbor_key, km
+FROM top WHERE rk <= {NDM_TOPK}
+"""
+
+
+QUERIES.update({
+    "bootstrap_ci": (q_bootstrap_ci, _oracle_bootstrap()),
+    "nation_distance_matrix": (q_nation_distance_matrix, _oracle_ndm()),
+})

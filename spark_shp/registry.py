@@ -173,6 +173,8 @@ _TAIL = [
     "image_quadtree",         # quadtree homogeneity profile (B11/B2)
     "runs_test",              # Wald-Wolfowitz randomness audit (C6 stats)
     "seasonal_decompose",     # STL-lite trend/seasonal split (C6/C7)
+    "bootstrap_ci",           # Poisson-bootstrap CI, one-pass B=32 (C6)
+    "nation_distance_matrix",  # geodesic nearest-neighbor table (B/C6)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

@@ -416,3 +416,49 @@ def test_seasonal_decompose_matches_python(spark):
             assert abs(r["seasonal_dev"] - dvals.mean() / n25) < 1e-5
             assert abs(r["remainder_var"]
                        - dvals.var() / n25 ** 2) < 1e-4
+
+
+def test_bootstrap_ci_matches_python(spark):
+    from spark_shp.queries_insights import (BOOT_B, BOOT_TYPE,
+                                            q_bootstrap_ci)
+    r = q_bootstrap_ci(spark, SF).collect()[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    sel = ev[ev["event_type"] == BOOT_TYPE]
+    eid = sel["event_id"].to_numpy(dtype=np.int64)
+    vc = np.floor(sel["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    assert r["n_events"] == len(vc)
+    assert abs(r["point_mean_cents"] - vc.mean()) < 1e-4
+    means = []
+    for rep in range(BOOT_B):
+        m = mix(eid * 37 + rep) % 1000
+        w = np.select([m < 368, m < 736, m < 920], [0, 1, 2], 3)
+        means.append((w * vc).sum() / w.sum())
+    means.sort()
+    assert abs(r["ci_lo_cents"] - means[1]) < 1e-4
+    assert abs(r["ci_hi_cents"] - means[BOOT_B - 2]) < 1e-4
+    assert r["ci_lo_cents"] <= r["point_mean_cents"] <= r["ci_hi_cents"]
+
+
+def test_nation_distance_matrix_matches_numpy(spark):
+    from spark_shp.queries_insights import NDM_TOPK, _NDM_R, \
+        q_nation_distance_matrix
+    rows = q_nation_distance_matrix(spark, SF).collect()
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    k = nat["n_nationkey"].to_numpy(dtype=np.int64)
+    cx = u01(k * 7 + 1) * 360.0 - 180.0
+    cy = u01(k * 7 + 2) * 160.0 - 80.0
+    lam, phi = np.radians(cx), np.radians(cy)
+    d = 2 * _NDM_R * np.arcsin(np.sqrt(
+        np.sin((phi[:, None] - phi[None, :]) / 2) ** 2
+        + np.cos(phi[:, None]) * np.cos(phi[None, :])
+        * np.sin((lam[:, None] - lam[None, :]) / 2) ** 2))
+    np.fill_diagonal(d, np.inf)
+    byn = {}
+    for r in rows:
+        byn.setdefault(r["nationkey"], []).append(r)
+    assert all(len(v) == NDM_TOPK for v in byn.values())
+    for i, key in enumerate(k):
+        got = sorted(byn[key], key=lambda r: r["rk"])
+        order = np.argsort(np.round(d[i], 6), kind="stable")[:NDM_TOPK]
+        for rr, j in zip(got, order):
+            assert abs(rr["km"] - d[i, j]) < 1e-3
