@@ -742,3 +742,45 @@ def quadtree_checksums(images: DataFrame, depth: int = 3) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+BAYER4 = np.array([[0, 8, 2, 10], [12, 4, 14, 6],
+                   [3, 11, 1, 9], [15, 7, 13, 5]], dtype=np.int64)
+
+
+def dither_checksums(images: DataFrame) -> DataFrame:
+    """Ordered (Bayer 4x4) dithering over real decoded bytes — the
+    halftoning / 1-bit-per-channel quantization pass: pixel turns on when
+    v > B[y%4][x%4]*16 + 8 (the integer form of (B+0.5)*16), per channel.
+    Returns per image the exact on-pixel count and a position-weighted
+    checksum that catches a shifted or transposed threshold matrix."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("n_on", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            out = []
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                px = _decode_stack(pdf, idx, w, h, fmt).astype(np.int64)
+                ty = BAYER4[np.arange(h) % 4][:, np.arange(w) % 4]
+                thr = (ty * 16 + 8)[None, :, :, None]    # (1, h, w, 1)
+                on = px > thr                            # (n, h, w, 3)
+                npx = h * w * 3
+                pos = (np.arange(npx, dtype=np.int64) + 1).reshape(
+                    1, h, w, 3)
+                for k, i in enumerate(idx):
+                    out.append((ids[i], npx, int(on[k].sum()),
+                                int((on[k] * pos[0]).sum())))
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

@@ -1318,3 +1318,142 @@ QUERIES.update({
     "bootstrap_ci": (q_bootstrap_ci, _oracle_bootstrap()),
     "nation_distance_matrix": (q_nation_distance_matrix, _oracle_ndm()),
 })
+
+
+# --- image_dither: ordered (Bayer) halftoning over real decoded bytes --------------
+#
+# 1-bit-per-channel quantization with the classic Bayer 4x4 threshold
+# matrix: pixel on iff v > B[y%4][x%4]*16 + 8 (the integer form of
+# (B+0.5)*16, so no float enters).  Exact on-counts + position-weighted
+# checksums (a shifted/transposed matrix changes them); the oracle
+# replays the matrix as a 16-branch integer CASE on (y%4)*4 + x%4.
+
+DITHER_N = 24
+_BAYER_FLAT = (0, 8, 2, 10, 12, 4, 14, 6, 3, 11, 1, 9, 15, 7, 13, 5)
+
+
+def q_image_dither(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, DITHER_N, partitions=4)
+    d = multimodal.dither_checksums(img)
+    withi = d.selectExpr(
+        "n_px", "n_on", "checksum",
+        "CAST(substr(image_id, 4) AS BIGINT) AS i",
+        "CASE (CAST(substr(image_id, 4) AS BIGINT) % 3) WHEN 0 THEN 'raw' "
+        "WHEN 1 THEN 'png' ELSE 'qb' END AS fmt")
+    return (withi.groupBy("fmt")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("n_px").alias("n_pixels"),
+                 F.sum("n_on").alias("n_on"),
+                 F.expr("SUM(checksum * (i + 13))").alias("checksum"))
+            .selectExpr("fmt", "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(n_pixels AS BIGINT) AS n_pixels",
+                        "CAST(n_on AS BIGINT) AS n_on",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_dither() -> str:
+    from .hashing import mix_sql
+    m = fixtures.images_meta_sql("i")
+    px = mix_sql("i * 1000003 + yy.y * 4096 + xx.x * 4 + cc.c")
+    v = (f"CASE WHEN fmt = 'qb' THEN CAST(FLOOR((({px}) % 256) / 4.0) "
+         f"AS BIGINT) * 4 + 2 ELSE ({px}) % 256 END")
+    bayer = "CASE (yy.y % 4) * 4 + (xx.x % 4) " + " ".join(
+        f"WHEN {k} THEN {b}" for k, b in enumerate(_BAYER_FLAT)) + " END"
+    return f"""
+WITH imgs AS MATERIALIZED (
+  SELECT i, {m['w']} AS w, {m['h']} AS h, {m['fmt']} AS fmt
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {DITHER_N - 1})) AS i) t),
+pix AS (
+  SELECT i, fmt,
+         CASE WHEN ({v}) > ({bayer}) * 16 + 8 THEN 1 ELSE 0 END AS onn,
+         (yy.y * w + xx.x) * 3 + cc.c + 1 AS pos
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 1)) AS y) yy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS x) xx,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c) cc),
+per AS (
+  SELECT i, fmt, COUNT(*) AS n_px, SUM(onn) AS n_on,
+         SUM(onn * pos) AS checksum
+  FROM pix GROUP BY 1, 2)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(n_px) AS BIGINT) AS n_pixels,
+       CAST(SUM(n_on) AS BIGINT) AS n_on,
+       CAST(SUM(checksum * (i + 13)) AS BIGINT) AS checksum
+FROM per GROUP BY 1
+"""
+
+
+# --- item_cooccurrence: item-item collaborative-filtering table --------------------
+#
+# The classic co-occurrence recommender build: baskets = orders, items =
+# parts folded to 200 SKUs (l_partkey % 200), co(i,j) = baskets holding
+# both, cosine = co / sqrt(n_i * n_j).  The pair set is bounded by
+# (basket size)^2 per basket — never items^2 globally — so the self-join
+# scales with order volume at bounded basket width; item marginals (200
+# rows) broadcast back; top-3 per item ranks over the ROUNDED cosine with
+# a neighbor tiebreak (engine-stable).
+
+COOC_MOD = 200
+COOC_TOPK = 3
+
+
+def q_item_cooccurrence(spark, sf_dir):
+    bi = (_t(spark, sf_dir, "lineitem")
+          .selectExpr("l_orderkey AS bk", f"l_partkey % {COOC_MOD} AS it")
+          .distinct())
+    ni = bi.groupBy("it").agg(F.count(F.lit(1)).alias("n"))
+    a = bi.selectExpr("bk", "it AS i")
+    b = bi.selectExpr("bk", "it AS j")
+    co = (a.join(b, "bk").where("i < j")
+          .groupBy("i", "j").agg(F.count(F.lit(1)).alias("co")))
+    # symmetrize so every item ranks all its neighbors
+    sym = co.selectExpr("i", "j", "co").unionAll(
+        co.selectExpr("j AS i", "i AS j", "co"))
+    scored = (sym.join(F.broadcast(ni.selectExpr("it AS i", "n AS n_i")),
+                       "i")
+              .join(F.broadcast(ni.selectExpr("it AS j", "n AS n_j")), "j")
+              .selectExpr("i", "j", "co", "n_i", "n_j",
+                          "ROUND(co / SQRT(CAST(n_i AS DOUBLE) * n_j), 6)"
+                          " AS cosine"))
+    top = scored.selectExpr(
+        "i", "j", "co", "cosine",
+        "ROW_NUMBER() OVER (PARTITION BY i ORDER BY cosine DESC, j) AS rk")
+    return (top.where(f"rk <= {COOC_TOPK}")
+            .selectExpr("CAST(i AS BIGINT) AS item", "CAST(rk AS INT) AS rk",
+                        "CAST(j AS BIGINT) AS neighbor",
+                        "CAST(co AS BIGINT) AS n_cobaskets", "cosine"))
+
+
+def _oracle_cooc() -> str:
+    return f"""
+WITH bi AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey % {COOC_MOD} AS it
+  FROM lineitem),
+ni AS (SELECT it, COUNT(*) AS n FROM bi GROUP BY 1),
+co AS (
+  SELECT a.it AS i, b.it AS j, COUNT(*) AS co
+  FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it
+  GROUP BY 1, 2),
+sym AS (
+  SELECT i, j, co FROM co
+  UNION ALL SELECT j AS i, i AS j, co FROM co),
+scored AS (
+  SELECT s.i, s.j, s.co,
+         ROUND(s.co / SQRT(CAST(na.n AS DOUBLE) * nb.n), 6) AS cosine
+  FROM sym s JOIN ni na ON na.it = s.i JOIN ni nb ON nb.it = s.j),
+top AS (
+  SELECT i, j, co, cosine,
+         ROW_NUMBER() OVER (PARTITION BY i ORDER BY cosine DESC, j) AS rk
+  FROM scored)
+SELECT CAST(i AS BIGINT) AS item, CAST(rk AS INT) AS rk,
+       CAST(j AS BIGINT) AS neighbor, CAST(co AS BIGINT) AS n_cobaskets,
+       cosine
+FROM top WHERE rk <= {COOC_TOPK}
+"""
+
+
+QUERIES.update({
+    "image_dither": (q_image_dither, _oracle_dither()),
+    "item_cooccurrence": (q_item_cooccurrence, _oracle_cooc()),
+})

@@ -175,6 +175,8 @@ _TAIL = [
     "seasonal_decompose",     # STL-lite trend/seasonal split (C6/C7)
     "bootstrap_ci",           # Poisson-bootstrap CI, one-pass B=32 (C6)
     "nation_distance_matrix",  # geodesic nearest-neighbor table (B/C6)
+    "image_dither",           # Bayer ordered halftoning, real decode (B11)
+    "item_cooccurrence",      # item-item CF recommender table (C3/C6)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

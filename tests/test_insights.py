@@ -462,3 +462,64 @@ def test_nation_distance_matrix_matches_numpy(spark):
         order = np.argsort(np.round(d[i], 6), kind="stable")[:NDM_TOPK]
         for rr, j in zip(got, order):
             assert abs(rr["km"] - d[i, j]) < 1e-3
+
+
+def test_image_dither_matches_numpy(spark):
+    from spark_shp.multimodal import BAYER4
+    from spark_shp.queries_insights import DITHER_N, q_image_dither
+    out = {r["fmt"]: r for r in q_image_dither(spark, SF).collect()}
+    agg = {}
+    for i in range(DITHER_N):
+        m = fixtures.images_meta(np.array([i]))
+        w, h = int(m["w"][0]), int(m["h"][0])
+        fmt = fixtures.FMTS[i % 3]
+        px = fixtures.image_pixels(i, w, h)
+        dec = codecs.decode(codecs.encode(px, fmt), w, h, fmt) \
+            .astype(np.int64)
+        thr = (BAYER4[np.arange(h) % 4][:, np.arange(w) % 4] * 16
+               + 8)[:, :, None]
+        on = dec > thr
+        npx = h * w * 3
+        pos = np.arange(npx, dtype=np.int64).reshape(h, w, 3) + 1
+        a = agg.setdefault(fmt, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += npx
+        a[2] += int(on.sum())
+        a[3] += int((on * pos).sum()) * (i + 13)
+    for fmt, (ni, npx_, non, chk) in agg.items():
+        r = out[fmt]
+        assert (r["n_images"], r["n_pixels"], r["n_on"],
+                r["checksum"]) == (ni, npx_, non, chk)
+
+
+def test_item_cooccurrence_matches_pandas(spark):
+    from spark_shp.queries_insights import (COOC_MOD, COOC_TOPK,
+                                            q_item_cooccurrence)
+    rows = q_item_cooccurrence(spark, SF).collect()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    bi = (li.assign(it=li["l_partkey"] % COOC_MOD)
+          [["l_orderkey", "it"]].drop_duplicates())
+    ni = bi.groupby("it").size().to_dict()
+    co = {}
+    for _, grp in bi.groupby("l_orderkey"):
+        its = sorted(grp["it"])
+        for x in range(len(its)):
+            for y in range(x + 1, len(its)):
+                if its[x] != its[y]:
+                    co[(its[x], its[y])] = co.get((its[x], its[y]), 0) + 1
+    scored = {}
+    for (i, j), c in co.items():
+        cz = round(c / np.sqrt(ni[i] * ni[j]), 6)
+        scored.setdefault(i, []).append((-cz, j, c))
+        scored.setdefault(j, []).append((-cz, i, c))
+    got = {}
+    for r in rows:
+        got.setdefault(r["item"], []).append(r)
+    for item, cands in scored.items():
+        cands.sort()
+        exp = cands[:COOC_TOPK]
+        g = sorted(got[item], key=lambda r: r["rk"])
+        assert len(g) == min(COOC_TOPK, len(cands))
+        for rr, (negc, j, c) in zip(g, exp):
+            assert (rr["neighbor"], rr["n_cobaskets"]) == (j, c)
+            assert abs(rr["cosine"] + negc) < 1e-9
