@@ -1457,3 +1457,155 @@ QUERIES.update({
     "image_dither": (q_image_dither, _oracle_dither()),
     "item_cooccurrence": (q_item_cooccurrence, _oracle_cooc()),
 })
+
+
+# --- local_moran_quadrants: LISA cluster classification -----------------------------
+#
+# The local counterpart of spatial_autocorr's global Moran: per occupied
+# level-6 cell, deviation d_i = n*x_i − Sx (exact int — the ×n scaling
+# trick) and the queen-contiguity spatial lag of deviations over the
+# OCCUPIED set; cells classify into HH/LL/HL/LH Moran-scatterplot
+# quadrants (zero d or lag → 'NS').  Quadrant counts and Σd·lag (the
+# local-I numerator mass, DECIMAL(38,0) — d·lag ~1e20 at 100M rows) are
+# exact; one grid agg + one constant-fan-out scatter join, all sets
+# lattice-bounded.
+
+LISA_LVL = 6
+
+
+def q_local_moran_quadrants(spark, sf_dir):
+    nside = 1 << LISA_LVL
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, LISA_LVL)
+    cnt = (_t(spark, sf_dir, "events")
+           .selectExpr(f"{ix} AS ix", f"{iy} AS iy")
+           .groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("x"))
+           .localCheckpoint())
+    g = cnt.groupBy().agg(F.count(F.lit(1)).alias("n"),
+                          F.sum("x").alias("sx"))
+    d = (cnt.crossJoin(F.broadcast(g))
+         .selectExpr("ix", "iy", "n * x - sx AS d"))
+    sc = (d.selectExpr("ix", "iy", "d", "explode(sequence(-1, 1)) AS dx")
+          .selectExpr("ix", "iy", "d", "dx",
+                      "explode(sequence(-1, 1)) AS dy")
+          .where("NOT (dx = 0 AND dy = 0)")
+          .selectExpr("ix + dx AS nx", "iy + dy AS ny", "d")
+          .where(f"nx BETWEEN 0 AND {nside - 1} "
+                 f"AND ny BETWEEN 0 AND {nside - 1}")
+          .groupBy("nx", "ny").agg(F.sum("d").alias("lag")))
+    per = (d.join(sc, (d.ix == sc.nx) & (d.iy == sc.ny), "left")
+           .selectExpr("ix", "iy", "d", "COALESCE(lag, 0) AS lag"))
+    cls = per.selectExpr(
+        "ix", "iy", "d", "lag",
+        "CASE WHEN d > 0 AND lag > 0 THEN 'HH' "
+        "WHEN d < 0 AND lag < 0 THEN 'LL' "
+        "WHEN d > 0 AND lag < 0 THEN 'HL' "
+        "WHEN d < 0 AND lag > 0 THEN 'LH' ELSE 'NS' END AS quad")
+    return (cls.groupBy("quad")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.expr("SUM(CAST(d AS DECIMAL(38, 0)) * lag)")
+                 .alias("sum_dlag"),
+                 F.expr("SUM(ix * 64 + iy)").alias("checksum"))
+            .selectExpr("quad", "CAST(n_cells AS BIGINT) AS n_cells",
+                        "CAST(sum_dlag AS DECIMAL(38, 0)) AS sum_dlag",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_lisa() -> str:
+    nside = 1 << LISA_LVL
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, LISA_LVL)
+    return f"""
+WITH cnt AS MATERIALIZED (
+  SELECT {ix} AS ix, {iy} AS iy, COUNT(*) AS x
+  FROM events GROUP BY 1, 2),
+g AS (SELECT COUNT(*) AS n, SUM(x) AS sx FROM cnt),
+d AS MATERIALIZED (
+  SELECT ix, iy, g.n * x - g.sx AS d FROM cnt, g),
+sc AS (
+  SELECT ix + dx.v AS nx, iy + dy.v AS ny, SUM(d) AS lag
+  FROM d, (SELECT UNNEST([-1, 0, 1]) AS v) dx,
+       (SELECT UNNEST([-1, 0, 1]) AS v) dy
+  WHERE NOT (dx.v = 0 AND dy.v = 0)
+    AND ix + dx.v BETWEEN 0 AND {nside - 1}
+    AND iy + dy.v BETWEEN 0 AND {nside - 1}
+  GROUP BY 1, 2),
+per AS (
+  SELECT d.ix, d.iy, d.d, COALESCE(sc.lag, 0) AS lag
+  FROM d LEFT JOIN sc ON d.ix = sc.nx AND d.iy = sc.ny),
+cls AS (
+  SELECT ix, iy, d, lag,
+         CASE WHEN d > 0 AND lag > 0 THEN 'HH'
+              WHEN d < 0 AND lag < 0 THEN 'LL'
+              WHEN d > 0 AND lag < 0 THEN 'HL'
+              WHEN d < 0 AND lag > 0 THEN 'LH' ELSE 'NS' END AS quad
+  FROM per)
+SELECT quad, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CAST(d AS DECIMAL(38, 0)) * lag) AS DECIMAL(38, 0))
+         AS sum_dlag,
+       CAST(SUM(ix * 64 + iy) AS BIGINT) AS checksum
+FROM cls GROUP BY 1
+"""
+
+
+# --- welch_ttest: unequal-variance mean comparison across event types ---------------
+#
+# Completes the hypothesis-testing family (z-test / chi-square / ANOVA /
+# KS / Mann-Kendall / runs): Welch's t over purchase-value cents for
+# every pair of event types.  Per-type moments (n, Σv, Σv² — the square
+# in DECIMAL per the ANOVA overflow lesson) are exact; t and the
+# Welch–Satterthwaite df compose them in shared literal float
+# expressions over a 5×5 self-join of the tiny moment table.
+
+_WT_V1 = ("((CAST(s2a AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na) / "
+          "(na - 1) / na)")
+_WT_V2 = ("((CAST(s2b AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / "
+          "(nb - 1) / nb)")
+_WT_T = (f"ROUND((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) / "
+         f"SQRT({_WT_V1} + {_WT_V2}), 6) + 0.0")
+_WT_DF = (f"ROUND(({_WT_V1} + {_WT_V2}) * ({_WT_V1} + {_WT_V2}) / "
+          f"({_WT_V1} * {_WT_V1} / (na - 1) + "
+          f"{_WT_V2} * {_WT_V2} / (nb - 1)), 6)")
+
+
+def q_welch_ttest(spark, sf_dir):
+    m = (_t(spark, sf_dir, "events")
+         .selectExpr("event_type AS g",
+                     "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc")
+         .groupBy("g")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s"),
+              F.expr("SUM(CAST(vc AS DECIMAL(38, 0)) * vc)").alias("s2")))
+    a = m.selectExpr("g AS g1", "n AS na", "s AS sa", "s2 AS s2a")
+    b = m.selectExpr("g AS g2", "n AS nb", "s AS sb", "s2 AS s2b")
+    return (a.crossJoin(F.broadcast(b)).where("g1 < g2")
+            .selectExpr("g1", "g2",
+                        "CAST(na AS BIGINT) AS n1",
+                        "CAST(nb AS BIGINT) AS n2",
+                        "ROUND(CAST(sa AS DOUBLE) / na - "
+                        "CAST(sb AS DOUBLE) / nb, 6) + 0.0 "
+                        "AS mean_diff_cents",
+                        f"{_WT_T} AS t_stat", f"{_WT_DF} AS df"))
+
+
+def _oracle_welch() -> str:
+    return f"""
+WITH m AS (
+  SELECT event_type AS g, COUNT(*) AS n,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS s,
+         SUM(CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+             AS DECIMAL(38, 0)) * CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+           AS s2
+  FROM events GROUP BY 1)
+SELECT g1, g2, CAST(na AS BIGINT) AS n1, CAST(nb AS BIGINT) AS n2,
+       ROUND(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb, 6)
+         + 0.0 AS mean_diff_cents,
+       {_WT_T} AS t_stat, {_WT_DF} AS df
+FROM (SELECT g AS g1, n AS na, s AS sa, s2 AS s2a FROM m) a
+JOIN (SELECT g AS g2, n AS nb, s AS sb, s2 AS s2b FROM m) b ON g1 < g2
+"""
+
+
+QUERIES.update({
+    "local_moran_quadrants": (q_local_moran_quadrants, _oracle_lisa()),
+    "welch_ttest": (q_welch_ttest, _oracle_welch()),
+})

@@ -177,6 +177,8 @@ _TAIL = [
     "nation_distance_matrix",  # geodesic nearest-neighbor table (B/C6)
     "image_dither",           # Bayer ordered halftoning, real decode (B11)
     "item_cooccurrence",      # item-item CF recommender table (C3/C6)
+    "local_moran_quadrants",  # LISA cluster classification (B/C6 stats)
+    "welch_ttest",            # unequal-variance t across types (C6 stats)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

@@ -523,3 +523,59 @@ def test_item_cooccurrence_matches_pandas(spark):
         for rr, (negc, j, c) in zip(g, exp):
             assert (rr["neighbor"], rr["n_cobaskets"]) == (j, c)
             assert abs(rr["cosine"] + negc) < 1e-9
+
+
+def test_local_moran_matches_pandas(spark):
+    from spark_shp import cells
+    from spark_shp.queries_insights import (LISA_LVL,
+                                            q_local_moran_quadrants)
+    out = {r["quad"]: r for r in
+           q_local_moran_quadrants(spark, SF).collect()}
+    ev, lon, lat = _event_points(SF)
+    ix, iy = cells.quantize(lon, lat, LISA_LVL)
+    cnt = pd.DataFrame({"ix": ix, "iy": iy}).groupby(
+        ["ix", "iy"]).size().to_dict()
+    n, sx = len(cnt), sum(cnt.values())
+    d = {c: n * x - sx for c, x in cnt.items()}
+    nside = 1 << LISA_LVL
+    agg = {}
+    for (cx, cy), dv in d.items():
+        lag = sum(d.get((cx + a, cy + b), 0)
+                  for a in (-1, 0, 1) for b in (-1, 0, 1)
+                  if (a, b) != (0, 0)
+                  and 0 <= cx + a < nside and 0 <= cy + b < nside)
+        quad = ("HH" if dv > 0 and lag > 0 else
+                "LL" if dv < 0 and lag < 0 else
+                "HL" if dv > 0 and lag < 0 else
+                "LH" if dv < 0 and lag > 0 else "NS")
+        a_ = agg.setdefault(quad, [0, 0, 0])
+        a_[0] += 1
+        a_[1] += dv * lag
+        a_[2] += cx * 64 + cy
+    assert set(out) == set(agg)
+    for q, (nc, sdl, chk) in agg.items():
+        r = out[q]
+        assert (r["n_cells"], int(r["sum_dlag"]),
+                r["checksum"]) == (nc, sdl, chk)
+
+
+def test_welch_ttest_matches_scipy_formula(spark):
+    from spark_shp.queries_insights import q_welch_ttest
+    rows = {(r["g1"], r["g2"]): r for r in q_welch_ttest(spark, SF).collect()}
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    vc = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    groups = {g: vc[(ev["event_type"] == g).to_numpy()]
+              for g in ev["event_type"].unique()}
+    names = sorted(groups)
+    for x in range(len(names)):
+        for y in range(x + 1, len(names)):
+            g1, g2 = names[x], names[y]
+            a, b = groups[g1].astype(float), groups[g2].astype(float)
+            v1, v2 = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+            t = (a.mean() - b.mean()) / np.sqrt(v1 + v2)
+            df = (v1 + v2) ** 2 / (v1 ** 2 / (len(a) - 1)
+                                   + v2 ** 2 / (len(b) - 1))
+            r = rows[(g1, g2)]
+            assert (r["n1"], r["n2"]) == (len(a), len(b))
+            assert abs(r["t_stat"] - t) < 1e-4
+            assert abs(r["df"] - df) < 1e-2
