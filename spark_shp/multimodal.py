@@ -784,3 +784,58 @@ def dither_checksums(images: DataFrame) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+def harris_checksums(images: DataFrame) -> DataFrame:
+    """Harris corner response over real decoded bytes, EXACT in integers:
+    Sobel gradients gx/gy on the green channel, structure tensor
+    (A, B, C) = 3x3 box sums of (gx^2, gy^2, gx*gy), and the response
+    scaled to R20 = 20*(A*B - C^2) - (A + B)^2 — Harris k = 1/20, so the
+    corner test R20 > 0 and the response mass stay integer (A*B ~ 8e13;
+    the per-image mass is summed in python int, returned as the exact
+    low-64 checksum R20 mod 2^63 alongside the count).  Valid region is
+    the double interior (2-pixel margin)."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_valid", T.LongType()),
+        T.StructField("n_corners", T.LongType()),
+        T.StructField("mass_mod", T.LongType()),
+    ])
+    mod = 1 << 31
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                p = _decode_stack(pdf, idx, w, h, fmt)[..., 1] \
+                    .astype(np.int64)
+                gx = ((p[:, :-2, 2:] + 2 * p[:, 1:-1, 2:] + p[:, 2:, 2:])
+                      - (p[:, :-2, :-2] + 2 * p[:, 1:-1, :-2]
+                         + p[:, 2:, :-2]))
+                gy = ((p[:, 2:, :-2] + 2 * p[:, 2:, 1:-1] + p[:, 2:, 2:])
+                      - (p[:, :-2, :-2] + 2 * p[:, :-2, 1:-1]
+                         + p[:, :-2, 2:]))
+
+                def box3(a):
+                    return (a[:, :-2, :-2] + a[:, :-2, 1:-1] + a[:, :-2, 2:]
+                            + a[:, 1:-1, :-2] + a[:, 1:-1, 1:-1]
+                            + a[:, 1:-1, 2:]
+                            + a[:, 2:, :-2] + a[:, 2:, 1:-1] + a[:, 2:, 2:])
+                aa, bb, cc = box3(gx * gx), box3(gy * gy), box3(gx * gy)
+                # A*B ~ 8e13 fits int64; 20*A*B ~ 1.6e15 fits; the SUM
+                # may not -> python ints, reported mod 2^31
+                r20 = 20 * (aa * bb - cc * cc) - (aa + bb) ** 2
+                corners = r20 > 0
+                for k, i in enumerate(idx):
+                    mass = int(r20[k][corners[k]].sum()) % mod
+                    rows[i] = (ids[i], int(r20[k].size),
+                               int(corners[k].sum()), mass)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

@@ -1609,3 +1609,174 @@ QUERIES.update({
     "local_moran_quadrants": (q_local_moran_quadrants, _oracle_lisa()),
     "welch_ttest": (q_welch_ttest, _oracle_welch()),
 })
+
+
+# --- harris_corners: exact-integer corner detection ---------------------------------
+#
+# The Harris/Shi-Tomasi interest-point primitive with k = 1/20 so the
+# response R20 = 20(AB − C²) − (A+B)² is an exact integer: Sobel
+# gradients on the green channel, 3×3 box structure tensor, corner iff
+# R20 > 0.  The positive-response mass is reported mod 2^31 per image
+# (the raw sum exceeds int64), then i-weighted per format.  The oracle
+# rebuilds gradients and tensor sums by TWO chained scatter-aggregations
+# (the focal_density pattern in SQL) from the pixel formula.
+
+HARRIS_N = 24
+# Sobel taps as (dy, dx, wx, wy): wx = dx * (2 if dy == 0 else 1),
+# wy = dy * (2 if dx == 0 else 1) — the same kernel the numpy path slices
+_SOBEL_TAPS = tuple(
+    (dy, dx, dx * (2 if dy == 0 else 1), dy * (2 if dx == 0 else 1))
+    for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+
+
+def q_harris_corners(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, HARRIS_N, partitions=4)
+    hc = multimodal.harris_checksums(img)
+    withi = hc.selectExpr(
+        "n_valid", "n_corners", "mass_mod",
+        "CAST(substr(image_id, 4) AS BIGINT) AS i",
+        "CASE (CAST(substr(image_id, 4) AS BIGINT) % 3) WHEN 0 THEN 'raw' "
+        "WHEN 1 THEN 'png' ELSE 'qb' END AS fmt")
+    return (withi.groupBy("fmt")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("n_valid").alias("n_valid"),
+                 F.sum("n_corners").alias("n_corners"),
+                 F.expr("SUM(n_corners * (i + 17))").alias("corner_chk"),
+                 F.expr("SUM(mass_mod * (i + 17))").alias("mass_chk"))
+            .selectExpr("fmt", "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(n_valid AS BIGINT) AS n_valid",
+                        "CAST(n_corners AS BIGINT) AS n_corners",
+                        "CAST(corner_chk AS BIGINT) AS corner_chk",
+                        "CAST(mass_chk AS BIGINT) AS mass_chk"))
+
+
+def _oracle_harris() -> str:
+    from .hashing import mix_sql
+    m = fixtures.images_meta_sql("i")
+    px = mix_sql("i * 1000003 + yy.y * 4096 + xx.x * 4 + 1")
+    v = (f"CASE WHEN fmt = 'qb' THEN CAST(FLOOR((({px}) % 256) / 4.0) "
+         f"AS BIGINT) * 4 + 2 ELSE ({px}) % 256 END")
+    taps = ", ".join(f"({dy}, {dx}, {wx}, {wy})"
+                     for dy, dx, wx, wy in _SOBEL_TAPS)
+    return f"""
+WITH imgs AS MATERIALIZED (
+  SELECT i, {m['w']} AS w, {m['h']} AS h, {m['fmt']} AS fmt
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {HARRIS_N - 1})) AS i) t),
+pix AS MATERIALIZED (
+  SELECT i, fmt, w, h, yy.y AS y, xx.x AS x, {v} AS v
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 1)) AS y) yy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS x) xx),
+taps(dy, dx, wx, wy) AS (VALUES {taps}),
+grad AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT i, fmt, w, h, y - dy AS ty, x - dx AS tx,
+           SUM(v * wx) AS gx, SUM(v * wy) AS gy
+    FROM pix, taps GROUP BY 1, 2, 3, 4, 5, 6)
+  WHERE ty BETWEEN 1 AND h - 2 AND tx BETWEEN 1 AND w - 2),
+tens AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT i, fmt, w, h, ty - oy.o AS cy, tx - ox.o AS cx,
+           SUM(gx * gx) AS a, SUM(gy * gy) AS b, SUM(gx * gy) AS c
+    FROM grad, (SELECT UNNEST([-1, 0, 1]) AS o) oy,
+         (SELECT UNNEST([-1, 0, 1]) AS o) ox
+    GROUP BY 1, 2, 3, 4, 5, 6)
+  WHERE cy BETWEEN 2 AND h - 3 AND cx BETWEEN 2 AND w - 3),
+resp AS (
+  SELECT i, fmt, 20 * (a * b - c * c) - (a + b) * (a + b) AS r20
+  FROM tens),
+per AS (
+  SELECT i, fmt, COUNT(*) AS n_valid,
+         SUM(CASE WHEN r20 > 0 THEN 1 ELSE 0 END) AS n_corners,
+         CAST(COALESCE(SUM(CASE WHEN r20 > 0 THEN
+              CAST(r20 AS DECIMAL(38, 0)) END), 0) % 2147483648 AS BIGINT)
+           AS mass_mod
+  FROM resp GROUP BY 1, 2)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(n_valid) AS BIGINT) AS n_valid,
+       CAST(SUM(n_corners) AS BIGINT) AS n_corners,
+       CAST(SUM(n_corners * (i + 17)) AS BIGINT) AS corner_chk,
+       CAST(SUM(mass_mod * (i + 17)) AS BIGINT) AS mass_chk
+FROM per GROUP BY 1
+"""
+
+
+# --- geofence_dwell: enter/exit episodes inside the hot fence ------------------------
+#
+# The geofencing primitive (how long do users dwell inside a zone?): an
+# in-fence flag per event, per-user gaps-and-islands over event time to
+# form VISIT episodes (consecutive in-fence events), then per-user visit
+# counts and exact integer dwell micros (episode max ts − min ts).  One
+# user-keyed shuffle; episode logic is two windows over it.
+
+GF_LON = (-60.0, 60.0)   # ~16% of the uniform map: populated at every SF
+GF_LAT = (-40.0, 40.0)
+
+
+def q_geofence_dwell(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us",
+        f"CASE WHEN ({fixtures.EVENT_LON_SQL}) >= {GF_LON[0]!r} AND "
+        f"({fixtures.EVENT_LON_SQL}) < {GF_LON[1]!r} AND "
+        f"({fixtures.EVENT_LAT_SQL}) >= {GF_LAT[0]!r} AND "
+        f"({fixtures.EVENT_LAT_SQL}) < {GF_LAT[1]!r} THEN 1 ELSE 0 END "
+        "AS inf")
+    w = "PARTITION BY user_id ORDER BY us, inf"
+    isl = (e.selectExpr(
+        "user_id", "us", "inf",
+        f"ROW_NUMBER() OVER ({w}) - "
+        f"ROW_NUMBER() OVER (PARTITION BY user_id, inf ORDER BY us, inf) "
+        "AS island")
+        .where("inf = 1"))
+    ep = (isl.groupBy("user_id", "island")
+          .agg(F.count(F.lit(1)).alias("n_events"),
+               F.expr("MAX(us) - MIN(us)").alias("dwell_us")))
+    return (ep.groupBy().agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_visits"),
+        F.sum("n_events").alias("n_events_in"),
+        F.sum("dwell_us").alias("dwell_us_total"),
+        F.max("dwell_us").alias("dwell_us_max"))
+        .selectExpr("CAST(n_users AS BIGINT) AS n_users",
+                    "CAST(n_visits AS BIGINT) AS n_visits",
+                    "CAST(n_events_in AS BIGINT) AS n_events_in",
+                    "CAST(dwell_us_total AS BIGINT) AS dwell_us_total",
+                    "CAST(dwell_us_max AS BIGINT) AS dwell_us_max"))
+
+
+def _oracle_geofence() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN ({fixtures.EVENT_LON_SQL}) >= {GF_LON[0]!r} AND
+              ({fixtures.EVENT_LON_SQL}) < {GF_LON[1]!r} AND
+              ({fixtures.EVENT_LAT_SQL}) >= {GF_LAT[0]!r} AND
+              ({fixtures.EVENT_LAT_SQL}) < {GF_LAT[1]!r} THEN 1 ELSE 0 END
+           AS inf
+  FROM events),
+isl AS (
+  SELECT user_id, us, island FROM (
+    SELECT user_id, us, inf,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, inf) -
+           ROW_NUMBER() OVER (PARTITION BY user_id, inf ORDER BY us, inf)
+             AS island
+    FROM e)
+  WHERE inf = 1),
+ep AS (
+  SELECT user_id, island, COUNT(*) AS n_events,
+         MAX(us) - MIN(us) AS dwell_us
+  FROM isl GROUP BY 1, 2)
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_visits,
+       CAST(SUM(n_events) AS BIGINT) AS n_events_in,
+       CAST(SUM(dwell_us) AS BIGINT) AS dwell_us_total,
+       CAST(MAX(dwell_us) AS BIGINT) AS dwell_us_max
+FROM ep
+"""
+
+
+QUERIES.update({
+    "harris_corners": (q_harris_corners, _oracle_harris()),
+    "geofence_dwell": (q_geofence_dwell, _oracle_geofence()),
+})

@@ -179,6 +179,8 @@ _TAIL = [
     "item_cooccurrence",      # item-item CF recommender table (C3/C6)
     "local_moran_quadrants",  # LISA cluster classification (B/C6 stats)
     "welch_ttest",            # unequal-variance t across types (C6 stats)
+    "harris_corners",         # exact-integer Harris response (B11/CV)
+    "geofence_dwell",         # enter/exit dwell episodes (B5/C7)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

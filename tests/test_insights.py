@@ -579,3 +579,75 @@ def test_welch_ttest_matches_scipy_formula(spark):
             assert (r["n1"], r["n2"]) == (len(a), len(b))
             assert abs(r["t_stat"] - t) < 1e-4
             assert abs(r["df"] - df) < 1e-2
+
+
+def test_harris_corners_matches_numpy(spark):
+    from spark_shp.queries_insights import HARRIS_N, q_harris_corners
+    out = {r["fmt"]: r for r in q_harris_corners(spark, SF).collect()}
+    agg = {}
+    for i in range(HARRIS_N):
+        m = fixtures.images_meta(np.array([i]))
+        w, h = int(m["w"][0]), int(m["h"][0])
+        fmt = fixtures.FMTS[i % 3]
+        px = fixtures.image_pixels(i, w, h)
+        p = codecs.decode(codecs.encode(px, fmt), w, h, fmt)[..., 1] \
+            .astype(np.int64)
+        gx = ((p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
+              - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2]))
+        gy = ((p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
+              - (p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:]))
+
+        def box3(a):
+            return (a[:-2, :-2] + a[:-2, 1:-1] + a[:-2, 2:]
+                    + a[1:-1, :-2] + a[1:-1, 1:-1] + a[1:-1, 2:]
+                    + a[2:, :-2] + a[2:, 1:-1] + a[2:, 2:])
+        A, B, C = box3(gx * gx), box3(gy * gy), box3(gx * gy)
+        r20 = 20 * (A * B - C * C) - (A + B) ** 2
+        on = r20 > 0
+        mass = int(r20[on].sum()) % (1 << 31)
+        a = agg.setdefault(fmt, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += r20.size
+        a[2] += int(on.sum())
+        a[3] += int(on.sum()) * (i + 17)
+        a[4] += mass * (i + 17)
+    for fmt, (ni, nv, nc, cchk, mchk) in agg.items():
+        r = out[fmt]
+        assert (r["n_images"], r["n_valid"], r["n_corners"],
+                r["corner_chk"], r["mass_chk"]) == (ni, nv, nc, cchk, mchk)
+    # noise images should actually contain corners (non-degenerate gate)
+    assert sum(a[2] for a in agg.values()) > 0
+
+
+def test_geofence_dwell_matches_pandas(spark):
+    from spark_shp.queries_insights import (GF_LAT, GF_LON,
+                                            q_geofence_dwell)
+    r = q_geofence_dwell(spark, SF).collect()[0]
+    ev, lon, lat = _event_points(SF)
+    us = ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    inf = ((lon >= GF_LON[0]) & (lon < GF_LON[1])
+           & (lat >= GF_LAT[0]) & (lat < GF_LAT[1]))
+    df = pd.DataFrame({"u": ev["user_id"], "us": us, "inf": inf}) \
+        .sort_values(["u", "us", "inf"])
+    visits, users, nev, tot, mx = 0, set(), 0, 0, 0
+    for u, grp in df.groupby("u"):
+        flags = grp["inf"].to_numpy()
+        ts = grp["us"].to_numpy()
+        k = 0
+        while k < len(flags):
+            if flags[k]:
+                j = k
+                while j + 1 < len(flags) and flags[j + 1]:
+                    j += 1
+                visits += 1
+                users.add(u)
+                nev += j - k + 1
+                d = int(ts[j] - ts[k])
+                tot += d
+                mx = max(mx, d)
+                k = j + 1
+            else:
+                k += 1
+    assert (r["n_users"], r["n_visits"], r["n_events_in"]) == \
+        (len(users), visits, nev)
+    assert (r["dwell_us_total"], r["dwell_us_max"]) == (tot, mx)
