@@ -839,3 +839,41 @@ def harris_checksums(images: DataFrame) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+def header_audit(images: DataFrame) -> DataFrame:
+    """Container-metadata integrity audit WITHOUT full decode: parse each
+    format's header fields (png IHDR w/h at bytes 16..24; qb's ">II" w/h
+    at 0..8; raw is headerless — its length must equal w*h*3) and compare
+    against the catalog's w/h columns.  The cheap-scan counterpart of
+    distortion_checksums: catches catalog/bytes drift before any decode
+    cost is paid."""
+    import struct
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("hdr_ok", T.IntegerType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for _, row in pdf.iterrows():
+                blob = bytes(row["bytes"])
+                w, h, fmt = int(row["w"]), int(row["h"]), row["fmt"]
+                if fmt == "raw":
+                    ok = len(blob) == w * h * 3
+                elif fmt == "png":
+                    hw, hh = struct.unpack(">II", blob[16:24])
+                    ok = (hw, hh) == (w, h) and blob[12:16] == b"IHDR"
+                else:
+                    hw, hh = struct.unpack(">II", blob[:8])
+                    ok = (hw, hh) == (w, h)
+                out.append((row["image_id"], fmt, len(blob), int(ok)))
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

@@ -1780,3 +1780,141 @@ QUERIES.update({
     "harris_corners": (q_harris_corners, _oracle_harris()),
     "geofence_dwell": (q_geofence_dwell, _oracle_geofence()),
 })
+
+
+# --- image_metadata_audit: header/catalog integrity without decode ------------------
+#
+# Parse container headers only (png IHDR, qb's big-endian w/h; raw is
+# headerless so its byte LENGTH must equal w·h·3) and reconcile against
+# the catalog columns — the cheap pre-decode integrity scan of an image
+# lakehouse.  The oracle can replay raw byte totals exactly (w·h·3 from
+# the meta formulas) and pins hdr_ok = n_images for every format;
+# compressed byte totals are zlib-version-dependent, so they are NOT
+# gated (only counted rows are) — documented, not hidden.
+
+META_N = 24
+
+
+def q_image_metadata_audit(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, META_N, partitions=4)
+    a = multimodal.header_audit(img)
+    withi = a.selectExpr(
+        "fmt", "n_bytes", "hdr_ok",
+        "CAST(substr(image_id, 4) AS BIGINT) AS i")
+    return (withi.groupBy("fmt")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("hdr_ok").alias("n_hdr_ok"),
+                 F.expr("SUM(CASE WHEN fmt = 'raw' THEN n_bytes ELSE 0 "
+                        "END)").alias("raw_bytes"),
+                 F.expr("SUM(hdr_ok * (i + 19))").alias("checksum"))
+            .selectExpr("fmt", "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(n_hdr_ok AS BIGINT) AS n_hdr_ok",
+                        "CAST(raw_bytes AS BIGINT) AS raw_bytes",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_meta_audit() -> str:
+    m = fixtures.images_meta_sql("i")
+    return f"""
+WITH imgs AS (
+  SELECT i, {m['w']} AS w, {m['h']} AS h, {m['fmt']} AS fmt
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {META_N - 1})) AS i) t)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(COUNT(*) AS BIGINT) AS n_hdr_ok,
+       CAST(SUM(CASE WHEN fmt = 'raw' THEN w * h * 3 ELSE 0 END)
+            AS BIGINT) AS raw_bytes,
+       CAST(SUM(i + 19) AS BIGINT) AS checksum
+FROM imgs GROUP BY 1
+"""
+
+
+# --- antimeridian_pairs: distance correctness across the ±180° seam -----------------
+#
+# The wraparound trap every naive geospatial join falls into: points at
+# lon −179.9 and +179.9 are 0.2° apart, but |Δlon| says 359.8.  Over the
+# seam population (|lon| ≥ 179 plus a 1°-wide control strip either side
+# of lon 0), count close pairs (Chebyshev ≤ 1° with |Δlat| ≤ 1°) under
+# BOTH metrics: naive |Δlon| and modular LEAST(|Δ|, 360° − |Δ|).  The
+# modular count strictly exceeds the naive count at the seam and equals
+# it at the control — the invariant itself is gated.  Exact µdeg math.
+
+AM_BAND = 1.0
+
+
+def _am_sel() -> str:
+    return (f"ABS({fixtures.EVENT_LON_SQL}) >= 179.0 OR "
+            f"ABS({fixtures.EVENT_LON_SQL}) <= 1.0")
+
+
+def q_antimeridian_pairs(spark, sf_dir):
+    e = (_t(spark, sf_dir, "events")
+         .where(_am_sel())
+         .selectExpr("event_id",
+                     f"CASE WHEN ABS({fixtures.EVENT_LON_SQL}) >= 179.0 "
+                     "THEN 'seam' ELSE 'control' END AS zone",
+                     f"{_EV_UDEG[0]} AS ux", f"{_EV_UDEG[1]} AS uy")
+         .localCheckpoint())
+    band = 1000000
+    # lat-bucket ring key (bucket width = the 1-deg band) bounds the join:
+    # a zone-only self-join is quadratic in strip population at scale
+    a = (e.selectExpr("zone", "event_id AS a_id", "ux AS aux", "uy AS auy",
+                      f"explode(sequence(CAST(FLOOR(uy / {band}.0) AS "
+                      f"BIGINT) - 1, CAST(FLOOR(uy / {band}.0) AS BIGINT) "
+                      "+ 1)) AS jb"))
+    b = e.selectExpr("zone", "event_id", "ux", "uy",
+                     f"CAST(FLOOR(uy / {band}.0) AS BIGINT) AS jb")
+    pairs = (a.join(b, ["zone", "jb"]).where("a_id < event_id")
+             .selectExpr("zone",
+                         "ABS(aux - ux) AS dlon_naive",
+                         f"LEAST(ABS(aux - ux), 360000000 - ABS(aux - ux))"
+                         " AS dlon_mod",
+                         "ABS(auy - uy) AS dlat"))
+    return (pairs.where(f"dlat <= {band}")
+            .groupBy("zone")
+            .agg(F.expr(f"SUM(CASE WHEN dlon_naive <= {band} THEN 1 "
+                        "ELSE 0 END)").alias("n_naive"),
+                 F.expr(f"SUM(CASE WHEN dlon_mod <= {band} THEN 1 ELSE 0 "
+                        "END)").alias("n_modular"))
+            .selectExpr("zone", "CAST(n_naive AS BIGINT) AS n_naive",
+                        "CAST(n_modular AS BIGINT) AS n_modular",
+                        "CAST(n_modular - n_naive AS BIGINT) "
+                        "AS n_seam_missed"))
+
+
+def _oracle_antimeridian() -> str:
+    band = 1000000
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT event_id,
+         CASE WHEN ABS({fixtures.EVENT_LON_SQL}) >= 179.0
+         THEN 'seam' ELSE 'control' END AS zone,
+         {_EV_UDEG[0]} AS ux, {_EV_UDEG[1]} AS uy
+  FROM events
+  WHERE {_am_sel()}),
+pairs AS (
+  SELECT DISTINCT a.event_id AS a_id, b.event_id AS b_id, a.zone,
+         ABS(a.ux - b.ux) AS dlon_naive,
+         LEAST(ABS(a.ux - b.ux), 360000000 - ABS(a.ux - b.ux)) AS dlon_mod,
+         ABS(a.uy - b.uy) AS dlat
+  FROM (SELECT e.*, CAST(FLOOR(uy / {band}.0) AS BIGINT) + db.v AS jb
+        FROM e, (SELECT UNNEST([-1, 0, 1]) AS v) db) a
+  JOIN (SELECT e.*, CAST(FLOOR(uy / {band}.0) AS BIGINT) AS jb FROM e) b
+    ON a.zone = b.zone AND a.jb = b.jb AND a.event_id < b.event_id)
+SELECT zone,
+       CAST(SUM(CASE WHEN dlon_naive <= {band} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_naive,
+       CAST(SUM(CASE WHEN dlon_mod <= {band} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_modular,
+       CAST(SUM(CASE WHEN dlon_mod <= {band} THEN 1 ELSE 0 END) -
+            SUM(CASE WHEN dlon_naive <= {band} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_seam_missed
+FROM pairs WHERE dlat <= {band}
+GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "image_metadata_audit": (q_image_metadata_audit, _oracle_meta_audit()),
+    "antimeridian_pairs": (q_antimeridian_pairs, _oracle_antimeridian()),
+})

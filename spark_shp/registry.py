@@ -181,6 +181,8 @@ _TAIL = [
     "welch_ttest",            # unequal-variance t across types (C6 stats)
     "harris_corners",         # exact-integer Harris response (B11/CV)
     "geofence_dwell",         # enter/exit dwell episodes (B5/C7)
+    "image_metadata_audit",   # header/catalog integrity scan (B11/A)
+    "antimeridian_pairs",     # +-180 seam distance correctness (B)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

@@ -651,3 +651,43 @@ def test_geofence_dwell_matches_pandas(spark):
     assert (r["n_users"], r["n_visits"], r["n_events_in"]) == \
         (len(users), visits, nev)
     assert (r["dwell_us_total"], r["dwell_us_max"]) == (tot, mx)
+
+
+def test_image_metadata_audit_all_ok_and_raw_bytes(spark):
+    from spark_shp.queries_insights import META_N, q_image_metadata_audit
+    out = {r["fmt"]: r for r in
+           q_image_metadata_audit(spark, SF).collect()}
+    exp_raw = 0
+    for i in range(META_N):
+        m = fixtures.images_meta(np.array([i]))
+        if i % 3 == 0:
+            exp_raw += int(m["w"][0]) * int(m["h"][0]) * 3
+    assert set(out) == {"raw", "png", "qb"}
+    for fmt, r in out.items():
+        assert r["n_hdr_ok"] == r["n_images"], fmt
+    assert out["raw"]["raw_bytes"] == exp_raw
+    assert out["png"]["raw_bytes"] == 0
+
+
+def test_antimeridian_seam_invariant_and_bruteforce(spark):
+    from spark_shp.queries_insights import q_antimeridian_pairs
+    out = {r["zone"]: r for r in
+           q_antimeridian_pairs(spark, "/root/testdata/sf0.01").collect()}
+    # control strip: modular == naive; seam: modular >= naive (and the
+    # sf0.01 population actually has seam-crossing pairs)
+    assert out["control"]["n_seam_missed"] == 0
+    assert out["seam"]["n_seam_missed"] > 0
+    # brute force the seam zone at sf0.01
+    ev, lon, lat = _event_points("/root/testdata/sf0.01")
+    sel = np.abs(lon) >= 179.0
+    ux = np.floor(lon[sel] * 1e6).astype(np.int64)
+    uy = np.floor(lat[sel] * 1e6).astype(np.int64)
+    band = 1_000_000
+    dl = np.abs(ux[:, None] - ux[None, :])
+    dmod = np.minimum(dl, 360_000_000 - dl)
+    dlat = np.abs(uy[:, None] - uy[None, :])
+    iu = np.triu_indices(len(ux), k=1)
+    close = dlat[iu] <= band
+    assert out["seam"]["n_naive"] == int((close & (dl[iu] <= band)).sum())
+    assert out["seam"]["n_modular"] == int(
+        (close & (dmod[iu] <= band)).sum())
