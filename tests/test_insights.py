@@ -691,3 +691,33 @@ def test_antimeridian_seam_invariant_and_bruteforce(spark):
     assert out["seam"]["n_naive"] == int((close & (dl[iu] <= band)).sum())
     assert out["seam"]["n_modular"] == int(
         (close & (dmod[iu] <= band)).sum())
+
+
+def test_plan_shapes_of_insight_ops(spark):
+    """Pins for the shuffle-count claims in the docstrings: the ellipse,
+    the z-test, the bootstrap (all B=32 replicates in ONE corpus pass),
+    and the runs test each carry exactly the exchanges their design
+    claims; everything is JVM-only (no Python eval nodes) except the
+    image kernels (which are mapInPandas by design and not pinned here)."""
+    from spark_shp.queries_insights import (q_ab_test_ztest,
+                                            q_bootstrap_ci,
+                                            q_ewma_forecast, q_runs_test,
+                                            q_std_dev_ellipse)
+
+    def shape(df):
+        plan = df._jdf.queryExecution().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        physical = df._jdf.queryExecution().executedPlan().toString()
+        return physical.count("Exchange hashpartitioning")
+
+    # event_type-keyed agg only (the final global row needs no hash)
+    assert shape(q_std_dev_ellipse(spark, SF)) == 1
+    # user-keyed conversion agg; global pivot agg is a single partition
+    assert shape(q_ab_test_ztest(spark, SF)) == 1
+    # hour-keyed count agg + the per-type window
+    assert shape(q_ewma_forecast(spark, SF)) <= 2
+    assert shape(q_runs_test(spark, SF)) <= 2
+    # ONE corpus aggregation for all 32 replicates; the 32-row stack /
+    # rank tail adds no corpus-keyed exchange
+    assert shape(q_bootstrap_ci(spark, SF)) == 0
