@@ -18,6 +18,7 @@ C6 stats).  Reference parity: upstream shapefile-js is geometry ingest
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import cells, fixtures
@@ -1917,4 +1918,174 @@ GROUP BY 1
 QUERIES.update({
     "image_metadata_audit": (q_image_metadata_audit, _oracle_meta_audit()),
     "antimeridian_pairs": (q_antimeridian_pairs, _oracle_antimeridian()),
+})
+
+
+# --- video_scene_cuts: shot-boundary detection over real AVI decode -----------------
+#
+# Extends the gated video family past per-frame stats: each task
+# synthesizes an uncompressed BI_RGB AVI with PLANTED scene structure —
+# pixel (f,y,x,c) = (i*7 + (f // seg)*997 + f*3 + y*17 + x*29 + c*13)
+# % 256, so frames inside a scene differ by a small jitter (mean SAD
+# ~6/px incl. mod-wrap pixels) and frames across a boundary shift by
+# +232 mod 256 (mean SAD ~43/px) — decodes through the REAL RIFF/AVI walk, and
+# detects cuts where the frame-to-frame sum of absolute differences
+# crosses an integer threshold (sad * 10 > 150 * n_px, cross-multiplied:
+# no float).  A cut-position-weighted checksum pins WHERE the cuts are.
+
+N_SCENE_AVI = 12
+
+
+def _scene_params(i: int) -> tuple:
+    return (6 + i % 3, 7 + (i % 4) * 3, 6 + (i % 2) * 5, 2 + i % 2)
+
+
+def q_video_scene_cuts(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import types as T
+    from . import riff
+
+    schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_cuts", T.LongType()),
+        T.StructField("sad_total", T.LongType()),
+        T.StructField("cut_checksum", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].astype(int):
+                nf, w, h, seg = _scene_params(i)
+                f, y, x, c = np.ogrid[0:nf, 0:h, 0:w, 0:3]
+                px = ((i * 7 + (f // seg) * 997 + f * 3 + y * 17
+                       + x * 29 + c * 13) % 256).astype(np.uint8)
+                dec, _ = riff.avi_decode(riff.avi_encode(px, fps=10))
+                d = dec.astype(np.int64)
+                sad = np.abs(d[1:] - d[:-1]).sum(axis=(1, 2, 3))
+                npx = h * w * 3
+                cuts = sad * 10 > 150 * npx
+                fidx = np.arange(1, nf, dtype=np.int64)
+                rows.append((f"avi{i:03d}", nf, int(cuts.sum()),
+                             int(sad.sum()),
+                             int((fidx[cuts] ** 2).sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (spark.range(0, N_SCENE_AVI, numPartitions=4)
+            .mapInPandas(work, schema))
+
+
+def _oracle_scene_cuts() -> str:
+    px = ("((i * 7 + CAST(FLOOR(f / CAST(seg AS DOUBLE)) AS BIGINT) * 997 "
+          "+ f * 3 + y * 17 + x * 29 + c * 13) % 256)")
+    px_prev = ("((i * 7 + CAST(FLOOR((f - 1) / CAST(seg AS DOUBLE)) "
+               "AS BIGINT) * 997 + (f - 1) * 3 + y * 17 + x * 29 "
+               "+ c * 13) % 256)")
+    return f"""
+WITH ids AS (
+  SELECT i, 6 + i % 3 AS nf, 7 + (i % 4) * 3 AS w, 6 + (i % 2) * 5 AS h,
+         2 + i % 2 AS seg
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_SCENE_AVI - 1})) AS i) t),
+diffs AS (
+  SELECT i, nf, w, h,  f,
+         SUM(ABS({px} - {px_prev})) AS sad
+  FROM ids,
+       GENERATE_SERIES(1, 7) gf(f),
+       GENERATE_SERIES(0, 11) gy(y),
+       GENERATE_SERIES(0, 16) gx(x),
+       GENERATE_SERIES(0, 2) gc(c)
+  WHERE f < nf AND y < h AND x < w
+  GROUP BY 1, 2, 3, 4, 5),
+cuts AS (
+  SELECT i, nf, f, sad,
+         CASE WHEN sad * 10 > 150 * (h * w * 3) THEN 1 ELSE 0 END AS cut
+  FROM diffs)
+SELECT printf('avi%03d', i) AS media_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(SUM(cut) AS BIGINT) AS n_cuts,
+       CAST(SUM(sad) AS BIGINT) AS sad_total,
+       CAST(SUM(cut * f * f) AS BIGINT) AS cut_checksum
+FROM cuts GROUP BY i, nf
+"""
+
+
+# --- audio_silence_windows: RMS windowing / silence detection over real WAV ---------
+#
+# Extends the gated audio family past whole-stream stats: sample k of
+# stream i is (u % 8192 − 4096) · env, u = (i·48271 + k·16807) % 65536,
+# env = (i·31 + (k // 256)·97) % 5 — an amplitude envelope that plants
+# genuinely silent 256-sample windows (env = 0).  Decode through the
+# REAL RIFF walk, then per-window energy Σs² (exact int64) and the
+# integer silence test energy · 16 < n · 4096² (cross-multiplied).
+
+N_SIL_WAV = 24
+
+
+def q_audio_silence_windows(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import types as T
+    from . import riff
+
+    schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("n_windows", T.LongType()),
+        T.StructField("n_silent", T.LongType()),
+        T.StructField("energy_total", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].astype(int):
+                n = 1024 + (i * 256) % 1281
+                k = np.arange(n, dtype=np.int64)
+                u = (i * 48271 + k * 16807) % 65536
+                env = (i * 31 + (k // 256) * 97) % 5
+                s = ((u % 8192 - 4096) * env).astype(np.int16)
+                wav, rate = riff.wav_decode(riff.wav_encode(s, 16000))
+                got = np.round(wav[:, 0].astype(np.float64)
+                               * 32768.0).astype(np.int64)
+                assert rate == 16000 and len(got) == n
+                nw = n // 256
+                e = (got[:nw * 256].reshape(nw, 256) ** 2).sum(axis=1)
+                silent = e * 16 < 256 * 4096 * 4096
+                rows.append((f"wav{i:03d}", nw, int(silent.sum()),
+                             int(e.sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (spark.range(0, N_SIL_WAV, numPartitions=4)
+            .mapInPandas(work, schema))
+
+
+def _oracle_silence() -> str:
+    s = ("(((i * 48271 + k * 16807) % 65536) % 8192 - 4096) * "
+         "((i * 31 + CAST(FLOOR(k / 256.0) AS BIGINT) * 97) % 5)")
+    return f"""
+WITH ids AS (
+  SELECT i, 1024 + (i * 256) % 1281 AS n
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_SIL_WAV - 1})) AS i) t),
+samp AS (
+  SELECT i, n, CAST(FLOOR(k / 256.0) AS BIGINT) AS wnd, {s} AS s
+  FROM ids, GENERATE_SERIES(0, 2400) g(k)
+  WHERE k < CAST(FLOOR(n / 256.0) AS BIGINT) * 256),
+wind AS (
+  SELECT i, n, wnd, SUM(s * s) AS e FROM samp GROUP BY 1, 2, 3),
+per AS (
+  SELECT i, COUNT(*) AS n_windows,
+         SUM(CASE WHEN e * 16 < 4294967296 THEN 1 ELSE 0 END)
+           AS n_silent,
+         SUM(e) AS energy
+  FROM wind GROUP BY 1)
+SELECT printf('wav%03d', i) AS media_id,
+       CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(n_silent AS BIGINT) AS n_silent,
+       CAST(energy AS BIGINT) AS energy_total
+FROM per
+"""
+
+
+QUERIES.update({
+    "video_scene_cuts": (q_video_scene_cuts, _oracle_scene_cuts()),
+    "audio_silence_windows": (q_audio_silence_windows, _oracle_silence()),
 })

@@ -183,6 +183,8 @@ _TAIL = [
     "geofence_dwell",         # enter/exit dwell episodes (B5/C7)
     "image_metadata_audit",   # header/catalog integrity scan (B11/A)
     "antimeridian_pairs",     # +-180 seam distance correctness (B)
+    "video_scene_cuts",       # shot-boundary detection, real AVI (C12/AV)
+    "audio_silence_windows",  # RMS windowing / silence, real WAV (AV)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

@@ -721,3 +721,46 @@ def test_plan_shapes_of_insight_ops(spark):
     # ONE corpus aggregation for all 32 replicates; the 32-row stack /
     # rank tail adds no corpus-keyed exchange
     assert shape(q_bootstrap_ci(spark, SF)) == 0
+
+
+def test_video_scene_cuts_match_planted_boundaries(spark):
+    from spark_shp.queries_insights import (N_SCENE_AVI, _scene_params,
+                                            q_video_scene_cuts)
+    out = {r["media_id"]: r for r in
+           q_video_scene_cuts(spark, SF).collect()}
+    assert len(out) == N_SCENE_AVI
+    total_cuts = 0
+    for i in range(N_SCENE_AVI):
+        nf, w, h, seg = _scene_params(i)
+        bounds = [f for f in range(1, nf) if f // seg != (f - 1) // seg]
+        r = out[f"avi{i:03d}"]
+        assert r["n_cuts"] == len(bounds), i
+        assert r["cut_checksum"] == sum(f * f for f in bounds), i
+        total_cuts += len(bounds)
+    assert total_cuts > 0
+
+
+def test_audio_silence_windows_match_envelope(spark):
+    from spark_shp.queries_insights import (N_SIL_WAV,
+                                            q_audio_silence_windows)
+    out = {r["media_id"]: r for r in
+           q_audio_silence_windows(spark, SF).collect()}
+    silent_total = 0
+    for i in range(N_SIL_WAV):
+        n = 1024 + (i * 256) % 1281
+        k = np.arange(n, dtype=np.int64)
+        u = (i * 48271 + k * 16807) % 65536
+        env = (i * 31 + (k // 256) * 97) % 5
+        s = (u % 8192 - 4096) * env
+        nw = n // 256
+        e = (s[:nw * 256].reshape(nw, 256) ** 2).sum(axis=1)
+        silent = (e * 16 < 256 * 4096 * 4096)
+        r = out[f"wav{i:03d}"]
+        assert r["n_windows"] == nw
+        assert r["n_silent"] == int(silent.sum())
+        assert r["energy_total"] == int(e.sum())
+        # planted: exactly the env == 0 windows are silent
+        env_w = (i * 31 + np.arange(nw) * 97) % 5
+        assert (silent == (env_w == 0)).all()
+        silent_total += int(silent.sum())
+    assert silent_total > 0
