@@ -877,3 +877,41 @@ def header_audit(images: DataFrame) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+def opponent_moment_checksums(images: DataFrame) -> DataFrame:
+    """Opponent-color moments over real decoded bytes for the
+    Hasler–Süsstrunk colorfulness metric: rg = R − G and yb2 = R + G − 2B
+    (the 2× scaling keeps it integer), returned as exact int64 per-image
+    sums and sums of squares — the composition into M = σ + 0.3·µ happens
+    in shared SQL literals downstream."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("s_rg", T.LongType()),
+        T.StructField("s_rg2", T.LongType()),
+        T.StructField("s_yb", T.LongType()),
+        T.StructField("s_yb2", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            out = []
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                px = _decode_stack(pdf, idx, w, h, fmt).astype(np.int64)
+                rg = px[..., 0] - px[..., 1]
+                yb = px[..., 0] + px[..., 1] - 2 * px[..., 2]
+                n = len(idx)
+                out += [(ids[i], h * w,
+                         int(rg[k].sum()), int((rg[k] ** 2).sum()),
+                         int(yb[k].sum()), int((yb[k] ** 2).sum()))
+                        for k, i in enumerate(idx)]
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

@@ -2089,3 +2089,266 @@ QUERIES.update({
     "video_scene_cuts": (q_video_scene_cuts, _oracle_scene_cuts()),
     "audio_silence_windows": (q_audio_silence_windows, _oracle_silence()),
 })
+
+
+# --- image_colorfulness: Hasler–Süsstrunk colorfulness QA ---------------------------
+#
+# The aesthetic/quality filter metric M = sqrt(σ²_rg + σ²_yb) +
+# 0.3·sqrt(µ²_rg + µ²_yb) over opponent axes rg = R−G, yb = (R+G)/2 − B.
+# The kernel returns exact integer moments with yb DOUBLED to stay
+# integer (σ²_yb = σ²_yb2/4, µ_yb = µ_yb2/2 — folded into the shared
+# literal); per FORMAT the metric composes the POOLED moments, so no
+# float is ever summed across rows.
+
+COLOR_N = 24
+
+_CF_VRG = "((CAST(s_rg2 AS DOUBLE) - CAST(s_rg AS DOUBLE) * s_rg / n) / n)"
+_CF_VYB = ("((CAST(s_yb2 AS DOUBLE) - CAST(s_yb AS DOUBLE) * s_yb / n) "
+           "/ n / 4.0)")
+_CF_M = (f"ROUND(SQRT({_CF_VRG} + {_CF_VYB}) + 0.3 * "
+         "SQRT((CAST(s_rg AS DOUBLE) / n) * (CAST(s_rg AS DOUBLE) / n) + "
+         "(CAST(s_yb AS DOUBLE) / n / 2.0) * "
+         "(CAST(s_yb AS DOUBLE) / n / 2.0)), 6)")
+
+
+def q_image_colorfulness(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, COLOR_N, partitions=4)
+    mm = multimodal.opponent_moment_checksums(img)
+    withi = mm.selectExpr(
+        "n_px", "s_rg", "s_rg2", "s_yb", "s_yb2",
+        "CAST(substr(image_id, 4) AS BIGINT) AS i",
+        "CASE (CAST(substr(image_id, 4) AS BIGINT) % 3) WHEN 0 THEN 'raw' "
+        "WHEN 1 THEN 'png' ELSE 'qb' END AS fmt")
+    pooled = (withi.groupBy("fmt")
+              .agg(F.count(F.lit(1)).alias("n_images"),
+                   F.sum("n_px").alias("n"),
+                   F.sum("s_rg").alias("s_rg"),
+                   F.sum("s_rg2").alias("s_rg2"),
+                   F.sum("s_yb").alias("s_yb"),
+                   F.sum("s_yb2").alias("s_yb2"),
+                   F.expr("SUM(s_rg2 * (i + 23))").alias("checksum")))
+    return pooled.selectExpr(
+        "fmt", "CAST(n_images AS BIGINT) AS n_images",
+        "CAST(n AS BIGINT) AS n_pixels",
+        f"{_CF_M} AS colorfulness",
+        "CAST(checksum AS BIGINT) AS checksum")
+
+
+def _oracle_colorfulness() -> str:
+    from .hashing import mix_sql
+    m = fixtures.images_meta_sql("i")
+    pxr = mix_sql("i * 1000003 + yy.y * 4096 + xx.x * 4 + 0")
+    pxg = mix_sql("i * 1000003 + yy.y * 4096 + xx.x * 4 + 1")
+    pxb = mix_sql("i * 1000003 + yy.y * 4096 + xx.x * 4 + 2")
+
+    def dec(p):
+        return (f"CASE WHEN fmt = 'qb' THEN CAST(FLOOR((({p}) % 256) / 4.0)"
+                f" AS BIGINT) * 4 + 2 ELSE ({p}) % 256 END")
+    return f"""
+WITH imgs AS MATERIALIZED (
+  SELECT i, {m['w']} AS w, {m['h']} AS h, {m['fmt']} AS fmt
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {COLOR_N - 1})) AS i) t),
+pix AS (
+  SELECT i, fmt, ({dec(pxr)}) - ({dec(pxg)}) AS rg,
+         ({dec(pxr)}) + ({dec(pxg)}) - 2 * ({dec(pxb)}) AS yb
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 1)) AS y) yy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS x) xx),
+per AS (
+  SELECT i, fmt, COUNT(*) AS n_px, SUM(rg) AS s_rg, SUM(rg * rg) AS s_rg2,
+         SUM(yb) AS s_yb, SUM(yb * yb) AS s_yb2
+  FROM pix GROUP BY 1, 2),
+pooled AS (
+  SELECT fmt, COUNT(*) AS n_images, SUM(n_px) AS n, SUM(s_rg) AS s_rg,
+         SUM(s_rg2) AS s_rg2, SUM(s_yb) AS s_yb, SUM(s_yb2) AS s_yb2,
+         SUM(s_rg2 * (i + 23)) AS checksum
+  FROM per GROUP BY 1)
+SELECT fmt, CAST(n_images AS BIGINT) AS n_images,
+       CAST(n AS BIGINT) AS n_pixels,
+       {_CF_M} AS colorfulness,
+       CAST(checksum AS BIGINT) AS checksum
+FROM pooled
+"""
+
+
+# --- gravity_model_fit: distance-decay calibration of tile OD flows -----------------
+#
+# The transport-modeling classic: regress ln(flow) on ln(d²) over the
+# origin→destination tile matrix (consecutive events per user, level-4
+# tiles) — the slope is −β/2, the distance-decay exponent.  Tile-index
+# distances and flow counts are exact ints; both logs snap to 1e-6-int64
+# (the zipf machinery), so the OLS moments are exact.
+
+GRAV_LVL = 4
+
+
+def q_gravity_model_fit(spark, sf_dir):
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, GRAV_LVL)
+    e = (_t(spark, sf_dir, "events")
+         .selectExpr("user_id",
+                     "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us",
+                     "event_id", f"{ix} AS cx", f"{iy} AS cy"))
+    w = "PARTITION BY user_id ORDER BY us, event_id"
+    hops = e.selectExpr(
+        "cx", "cy",
+        f"LAG(cx) OVER ({w}) AS px", f"LAG(cy) OVER ({w}) AS py")
+    flows = (hops.where("px IS NOT NULL AND NOT (px = cx AND py = cy)")
+             .groupBy("px", "py", "cx", "cy")
+             .agg(F.count(F.lit(1)).alias("flow")))
+    pts = flows.selectExpr(
+        "CAST(FLOOR(ROUND(LN((cx - px) * (cx - px) + "
+        "(cy - py) * (cy - py)), 6) * 1000000.0 + 0.5) AS BIGINT) AS x",
+        "CAST(FLOOR(ROUND(LN(flow), 6) * 1000000.0 + 0.5) AS BIGINT) AS y")
+    m = pts.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.expr("SUM(x * x)").alias("sxx"),
+        F.expr("SUM(x * y)").alias("sxy"),
+        F.expr("SUM(y * y)").alias("syy"))
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_od_pairs",
+        f"ROUND({_ZSLOPE}, 6) + 0.0 AS decay_slope",
+        f"ROUND((CAST(sy AS DOUBLE) - {_ZSLOPE} * sx) / n / 1000000.0, 6)"
+        " + 0.0 AS intercept",
+        "ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * "
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) / "
+        "((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * "
+        "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) "
+        "AS r_squared")
+
+
+def _oracle_gravity() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, GRAV_LVL)
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, {ix} AS cx, {iy} AS cy
+  FROM events),
+hops AS (
+  SELECT cx, cy,
+         LAG(cx) OVER (PARTITION BY user_id ORDER BY us, event_id) AS px,
+         LAG(cy) OVER (PARTITION BY user_id ORDER BY us, event_id) AS py
+  FROM e),
+flows AS (
+  SELECT px, py, cx, cy, COUNT(*) AS flow
+  FROM hops WHERE px IS NOT NULL AND NOT (px = cx AND py = cy)
+  GROUP BY 1, 2, 3, 4),
+pts AS (
+  SELECT CAST(FLOOR(ROUND(LN((cx - px) * (cx - px) +
+              (cy - py) * (cy - py)), 6) * 1000000.0 + 0.5) AS BIGINT)
+           AS x,
+         CAST(FLOOR(ROUND(LN(flow), 6) * 1000000.0 + 0.5) AS BIGINT) AS y
+  FROM flows),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+         SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM pts)
+SELECT CAST(n AS BIGINT) AS n_od_pairs,
+       ROUND({_ZSLOPE}, 6) + 0.0 AS decay_slope,
+       ROUND((CAST(sy AS DOUBLE) - {_ZSLOPE} * sx) / n / 1000000.0, 6)
+         + 0.0 AS intercept,
+       ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) *
+              (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) /
+             ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+              (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         AS r_squared
+FROM m
+"""
+
+
+# --- spacetime_scan: Kulldorff-style cylinder scan ----------------------------------
+#
+# The epidemiology / anomaly-localization scan statistic: candidate
+# cylinders = (level-5 cell) × (3-day window); under independence the
+# expectation is µ = cell_total · window_total / N (exact rational), and
+# the Poisson log-likelihood ratio n·ln(n/µ) + (N−n)·ln((N−n)/(N−µ))
+# scores cylinders with n > µ.  All counts exact int64; LLR is one
+# round-6 literal; the top-5 ranking orders by the ROUNDED score with a
+# (cell, window) tiebreak.  Candidate sets are lattice × span bounded.
+
+SCAN_LVL = 5
+SCAN_WIN = 3
+SCAN_TOPK = 5
+
+_LLR = ("(CASE WHEN n * CAST(nn AS DOUBLE) > ct * CAST(wt AS DOUBLE) THEN "
+        "ROUND(n * LN(n * CAST(nn AS DOUBLE) / (ct * CAST(wt AS DOUBLE)))"
+        " + (nn - n) * LN((nn - n) / (nn - ct * CAST(wt AS DOUBLE) / nn)),"
+        " 6) ELSE CAST(NULL AS DOUBLE) END)")
+
+
+def q_spacetime_scan(spark, sf_dir):
+    cell = cells.cell_sql(f"({fixtures.EVENT_LON_SQL})",
+                          f"({fixtures.EVENT_LAT_SQL})", SCAN_LVL)
+    daily = (_t(spark, sf_dir, "events")
+             .selectExpr(f"{cell} AS cell",
+                         "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ))"
+                         " / 86400000000) AS BIGINT) AS d")
+             .groupBy("cell", "d").agg(F.count(F.lit(1)).alias("c"))
+             .localCheckpoint())
+    cyl = (daily.selectExpr(
+        "cell", "c", f"explode(sequence(d - {SCAN_WIN - 1}, d)) AS ds")
+        .groupBy("cell", "ds").agg(F.sum("c").alias("n")))
+    ct = daily.groupBy("cell").agg(F.sum("c").alias("ct"))
+    wt = (daily.selectExpr(
+        "c", f"explode(sequence(d - {SCAN_WIN - 1}, d)) AS ds")
+        .groupBy("ds").agg(F.sum("c").alias("wt")))
+    nn = daily.groupBy().agg(F.sum("c").alias("nn"))
+    scored = (cyl.join(F.broadcast(ct), "cell")
+              .join(F.broadcast(wt), "ds")
+              .crossJoin(F.broadcast(nn))
+              .selectExpr("cell", "ds", "n", "ct", "wt", "nn",
+                          f"{_LLR} AS llr")
+              .where("llr IS NOT NULL"))
+    top = scored.selectExpr(
+        "cell", "ds", "n", "nn", "ct", "wt", "llr",
+        "ROW_NUMBER() OVER (ORDER BY llr DESC, cell, ds) AS rk")
+    return (top.where(f"rk <= {SCAN_TOPK}")
+            .selectExpr("CAST(rk AS INT) AS rk",
+                        "CAST(cell AS BIGINT) AS cell",
+                        "CAST(ds AS BIGINT) AS window_start",
+                        "CAST(n AS BIGINT) AS n_events",
+                        "ROUND(ct * CAST(wt AS DOUBLE) / nn, 6) AS mu",
+                        "llr"))
+
+
+def _oracle_scan() -> str:
+    cell = cells.cell_sql(f"({fixtures.EVENT_LON_SQL})",
+                          f"({fixtures.EVENT_LAT_SQL})", SCAN_LVL)
+    return f"""
+WITH daily AS MATERIALIZED (
+  SELECT {cell} AS cell,
+         CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+cyl AS (
+  SELECT cell, d - o.v AS ds, SUM(c) AS n
+  FROM daily, (SELECT UNNEST(GENERATE_SERIES(0, {SCAN_WIN - 1})) AS v) o
+  GROUP BY 1, 2),
+ct AS (SELECT cell, SUM(c) AS ct FROM daily GROUP BY 1),
+wt AS (
+  SELECT d - o.v AS ds, SUM(c) AS wt
+  FROM daily, (SELECT UNNEST(GENERATE_SERIES(0, {SCAN_WIN - 1})) AS v) o
+  GROUP BY 1),
+nn AS (SELECT SUM(c) AS nn FROM daily),
+scored AS (
+  SELECT cyl.cell, cyl.ds, cyl.n, ct.ct, wt.wt, nn.nn, {_LLR} AS llr
+  FROM cyl JOIN ct ON cyl.cell = ct.cell JOIN wt ON cyl.ds = wt.ds
+  CROSS JOIN nn),
+top AS (
+  SELECT cell, ds, n, nn, ct, wt, llr,
+         ROW_NUMBER() OVER (ORDER BY llr DESC, cell, ds) AS rk
+  FROM scored WHERE llr IS NOT NULL)
+SELECT CAST(rk AS INT) AS rk, CAST(cell AS BIGINT) AS cell,
+       CAST(ds AS BIGINT) AS window_start, CAST(n AS BIGINT) AS n_events,
+       ROUND(ct * CAST(wt AS DOUBLE) / nn, 6) AS mu, llr
+FROM top WHERE rk <= {SCAN_TOPK}
+"""
+
+
+QUERIES.update({
+    "image_colorfulness": (q_image_colorfulness, _oracle_colorfulness()),
+    "gravity_model_fit": (q_gravity_model_fit, _oracle_gravity()),
+    "spacetime_scan": (q_spacetime_scan, _oracle_scan()),
+})

@@ -185,6 +185,9 @@ _TAIL = [
     "antimeridian_pairs",     # +-180 seam distance correctness (B)
     "video_scene_cuts",       # shot-boundary detection, real AVI (C12/AV)
     "audio_silence_windows",  # RMS windowing / silence, real WAV (AV)
+    "image_colorfulness",     # Hasler-Susstrunk color QA (B11)
+    "gravity_model_fit",      # OD distance-decay calibration (B5/C6)
+    "spacetime_scan",         # Kulldorff cylinder scan (B/C6 stats)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

@@ -764,3 +764,88 @@ def test_audio_silence_windows_match_envelope(spark):
         assert (silent == (env_w == 0)).all()
         silent_total += int(silent.sum())
     assert silent_total > 0
+
+
+def test_image_colorfulness_matches_numpy(spark):
+    from spark_shp.queries_insights import COLOR_N, q_image_colorfulness
+    out = {r["fmt"]: r for r in q_image_colorfulness(spark, SF).collect()}
+    pooled = {}
+    for i in range(COLOR_N):
+        m = fixtures.images_meta(np.array([i]))
+        w, h = int(m["w"][0]), int(m["h"][0])
+        fmt = fixtures.FMTS[i % 3]
+        px = fixtures.image_pixels(i, w, h)
+        dec = codecs.decode(codecs.encode(px, fmt), w, h, fmt) \
+            .astype(np.float64)
+        rg = dec[..., 0] - dec[..., 1]
+        yb = (dec[..., 0] + dec[..., 1]) / 2 - dec[..., 2]
+        p = pooled.setdefault(fmt, [])
+        p.append((rg.ravel(), yb.ravel()))
+    for fmt, parts in pooled.items():
+        rg = np.concatenate([a for a, _ in parts])
+        yb = np.concatenate([b for _, b in parts])
+        m_ = (np.sqrt(rg.var() + yb.var())
+              + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2))
+        assert abs(out[fmt]["colorfulness"] - m_) < 1e-4, fmt
+        # hash-noise pixels are strongly colorful — non-degenerate metric
+        assert out[fmt]["colorfulness"] > 10
+
+
+def test_gravity_fit_matches_numpy(spark):
+    from spark_shp import cells
+    from spark_shp.queries_insights import GRAV_LVL, q_gravity_model_fit
+    r = q_gravity_model_fit(spark, SF).collect()[0]
+    ev, lon, lat = _event_points(SF)
+    ix, iy = cells.quantize(lon, lat, GRAV_LVL)
+    us = ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    df = pd.DataFrame({"u": ev["user_id"], "us": us,
+                       "eid": ev["event_id"], "cx": ix, "cy": iy}) \
+        .sort_values(["u", "us", "eid"])
+    flows = {}
+    for _, grp in df.groupby("u"):
+        cxs, cys = grp["cx"].to_numpy(), grp["cy"].to_numpy()
+        for a in range(1, len(cxs)):
+            od = (cxs[a - 1], cys[a - 1], cxs[a], cys[a])
+            if (od[0], od[1]) != (od[2], od[3]):
+                flows[od] = flows.get(od, 0) + 1
+    x = np.log([float((o[2] - o[0]) ** 2 + (o[3] - o[1]) ** 2)
+                for o in flows])
+    y = np.log(np.array(list(flows.values()), dtype=np.float64))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert r["n_od_pairs"] == len(flows)
+    assert abs(r["decay_slope"] - slope) < 1e-4
+    assert abs(r["intercept"] - intercept) < 1e-4
+
+
+def test_spacetime_scan_matches_python(spark):
+    from spark_shp import cells
+    from spark_shp.queries_insights import (SCAN_LVL, SCAN_TOPK, SCAN_WIN,
+                                            q_spacetime_scan)
+    rows = q_spacetime_scan(spark, SF).collect()
+    assert len(rows) == SCAN_TOPK
+    ev, lon, lat = _event_points(SF)
+    cell = cells.cell_encode(lon, lat, SCAN_LVL)
+    d = (ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+         // 86_400_000_000)
+    daily = pd.DataFrame({"cell": cell, "d": d}).groupby(
+        ["cell", "d"]).size()
+    N = int(daily.sum())
+    ct = daily.groupby("cell").sum().to_dict()
+    cyl, wt = {}, {}
+    for (c, dd), n in daily.items():
+        for o in range(SCAN_WIN):
+            cyl[(c, dd - o)] = cyl.get((c, dd - o), 0) + int(n)
+            wt[dd - o] = wt.get(dd - o, 0) + int(n)
+    scored = []
+    for (c, ds), n in cyl.items():
+        mu = ct[c] * wt[ds] / N
+        if n > mu:
+            llr = round(n * np.log(n / mu)
+                        + (N - n) * np.log((N - n) / (N - mu)), 6)
+            scored.append((-llr, c, ds, n, mu))
+    scored.sort()
+    for rr, (negllr, c, ds, n, mu) in zip(rows, scored[:SCAN_TOPK]):
+        assert (rr["cell"], rr["window_start"], rr["n_events"]) == \
+            (c, ds, n)
+        assert abs(rr["llr"] + negllr) < 1e-5
+        assert abs(rr["mu"] - mu) < 1e-4
