@@ -2352,3 +2352,201 @@ QUERIES.update({
     "gravity_model_fit": (q_gravity_model_fit, _oracle_gravity()),
     "spacetime_scan": (q_spacetime_scan, _oracle_scan()),
 })
+
+
+# --- semivariogram: empirical variogram of the density lattice ----------------------
+#
+# The geostatistics/kriging precursor: γ(h) = Σ(z_i − z_j)² / (2·|N(h)|)
+# over OCCUPIED level-6 cell pairs at Chebyshev lag h = 1..3 (scatter
+# explode of the 8h ring offsets + one equi-join, each ordered pair
+# counted both ways — the /2 absorbs it).  Squared differences and pair
+# counts are exact int64; γ is ONE division per lag.
+
+VGRAM_LVL = 6
+VGRAM_MAXH = 3
+
+
+def _vgram_offsets() -> list:
+    out = []
+    for k in range(1, VGRAM_MAXH + 1):
+        for dx in range(-k, k + 1):
+            for dy in range(-k, k + 1):
+                if max(abs(dx), abs(dy)) == k:
+                    out.append((k, dx, dy))
+    return out
+
+
+def q_semivariogram(spark, sf_dir):
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, VGRAM_LVL)
+    cnt = (_t(spark, sf_dir, "events")
+           .selectExpr(f"{ix} AS ix", f"{iy} AS iy")
+           .groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("z"))
+           .localCheckpoint())
+    offs = ", ".join(f"struct({k} AS k, {dx} AS dx, {dy} AS dy)"
+                     for k, dx, dy in _vgram_offsets())
+    sc = (cnt.selectExpr("ix", "iy", "z", f"explode(array({offs})) AS o")
+          .selectExpr("ix + o.dx AS nx", "iy + o.dy AS ny", "o.k AS k",
+                      "z"))
+    b = cnt.selectExpr("ix AS nx", "iy AS ny", "z AS zn")
+    return (sc.join(b, ["nx", "ny"])
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.expr("SUM((z - zn) * (z - zn))").alias("ssq"))
+            .selectExpr("CAST(k AS INT) AS lag",
+                        "CAST(n_pairs AS BIGINT) AS n_pairs",
+                        "CAST(ssq AS BIGINT) AS ssq",
+                        "ROUND(CAST(ssq AS DOUBLE) / (2.0 * n_pairs), 6) "
+                        "AS gamma"))
+
+
+def _oracle_vgram() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, VGRAM_LVL)
+    offs = ", ".join(f"({k}, {dx}, {dy})"
+                     for k, dx, dy in _vgram_offsets())
+    return f"""
+WITH cnt AS MATERIALIZED (
+  SELECT {ix} AS ix, {iy} AS iy, COUNT(*) AS z
+  FROM events GROUP BY 1, 2),
+offs(k, dx, dy) AS (VALUES {offs}),
+pairs AS (
+  SELECT o.k, a.z, b.z AS zn
+  FROM cnt a CROSS JOIN offs o
+  JOIN cnt b ON b.ix = a.ix + o.dx AND b.iy = a.iy + o.dy)
+SELECT CAST(k AS INT) AS lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM((z - zn) * (z - zn)) AS BIGINT) AS ssq,
+       ROUND(CAST(SUM((z - zn) * (z - zn)) AS DOUBLE) / (2.0 * COUNT(*)),
+             6) AS gamma
+FROM pairs GROUP BY 1
+"""
+
+
+# --- forecast_backtest: rolling one-step EWMA evaluation ----------------------------
+#
+# The forecast-eval pass over the ewma_forecast model: at EVERY hour with
+# a full 16-lag history, err = |65536·c − num| is an exact int64 (num is
+# the dyadic weighted sum), so WAPE = Σerr / (65536·Σc) and the signed
+# bias are ONE division each — no per-row float ratio is ever summed.
+
+def q_forecast_backtest(spark, sf_dir):
+    hourly = (_t(spark, sf_dir, "events")
+              .selectExpr("event_type AS g",
+                          "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ))"
+                          " / 3600000000) AS BIGINT) AS h")
+              .groupBy("g", "h").agg(F.count(F.lit(1)).alias("c")))
+    seq = hourly.selectExpr(
+        "g", "h", "c", f"{_ewma_num()} AS num",
+        "ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn")
+    ev = (seq.where(f"rn > {EWMA_LAGS}")
+          .selectExpr("g", "c", f"{1 << EWMA_LAGS} * c - num AS e"))
+    m = ev.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.expr("SUM(ABS(e))").alias("sae"),
+        F.sum("e").alias("se"))
+    return m.selectExpr(
+        "g", "CAST(n AS BIGINT) AS n_forecasts",
+        f"ROUND(CAST(sae AS DOUBLE) / ({1 << EWMA_LAGS} * CAST(sc AS "
+        "DOUBLE)), 6) AS wape",
+        f"ROUND(CAST(se AS DOUBLE) / ({1 << EWMA_LAGS} * CAST(sc AS "
+        "DOUBLE)), 6) + 0.0 AS bias")
+
+
+def _oracle_backtest() -> str:
+    return f"""
+WITH hourly AS (
+  SELECT event_type AS g,
+         CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+seq AS (
+  SELECT g, h, c, {_ewma_num()} AS num,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+  FROM hourly),
+ev AS (
+  SELECT g, c, {1 << EWMA_LAGS} * c - num AS e
+  FROM seq WHERE rn > {EWMA_LAGS}),
+m AS (
+  SELECT g, COUNT(*) AS n, SUM(c) AS sc, SUM(ABS(e)) AS sae, SUM(e) AS se
+  FROM ev GROUP BY 1)
+SELECT g, CAST(n AS BIGINT) AS n_forecasts,
+       ROUND(CAST(sae AS DOUBLE) / ({1 << EWMA_LAGS} * CAST(sc AS DOUBLE)),
+             6) AS wape,
+       ROUND(CAST(se AS DOUBLE) / ({1 << EWMA_LAGS} * CAST(sc AS DOUBLE)),
+             6) + 0.0 AS bias
+FROM m
+"""
+
+
+# --- degree_assortativity: degree-degree correlation of the synthetic graph ---------
+#
+# Network-science classic (are hubs connected to hubs?): Pearson r over
+# the (deg_u, deg_v) multiset of directed edge endpoints (each undirected
+# edge counted both ways — the standard symmetrization).  Graph = the
+# kcore fixture (shared hash family, both engines build the identical
+# edge list); all moments exact int64, r is one literal composition.
+
+def q_degree_assortativity(spark, sf_dir):
+    from .queries_mining import _kc_edge_exprs
+    ax, bx = _kc_edge_exprs()
+    edges = (spark.range(0, 2400).selectExpr(f"{ax} AS x", f"{bx} AS y")
+             .where("x <> y")
+             .selectExpr("LEAST(x, y) AS a", "GREATEST(x, y) AS b")
+             .distinct().localCheckpoint())
+    sym = edges.selectExpr("a AS u", "b AS v").unionAll(
+        edges.selectExpr("b AS u", "a AS v"))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.selectExpr("u", "d AS du")
+    dv = deg.selectExpr("u AS v", "d AS dv")
+    j = sym.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    m = j.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("du").alias("sx"), F.sum("dv").alias("sy"),
+        F.expr("SUM(du * du)").alias("sxx"),
+        F.expr("SUM(du * dv)").alias("sxy"),
+        F.expr("SUM(dv * dv)").alias("syy"))
+    return m.selectExpr(
+        "CAST(n / 2 AS BIGINT) AS n_edges",
+        "ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
+        "SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * "
+        "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) + 0.0 "
+        "AS assortativity")
+
+
+def _oracle_assort() -> str:
+    from .queries_mining import _kc_edge_exprs
+    ax, bx = _kc_edge_exprs()
+    ax, bx = ax.replace("id", "g.id"), bx.replace("id", "g.id")
+    return f"""
+WITH raw AS (
+  SELECT {ax} AS x, {bx} AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, 2399)) AS id) g),
+edges AS (
+  SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+  FROM raw WHERE x <> y),
+sym AS (
+  SELECT a AS u, b AS v FROM edges
+  UNION ALL SELECT b AS u, a AS v FROM edges),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY 1),
+j AS (
+  SELECT du.d AS du, dv.d AS dv
+  FROM sym JOIN deg du ON du.u = sym.u JOIN deg dv ON dv.u = sym.v),
+m AS (
+  SELECT COUNT(*) AS n, SUM(du) AS sx, SUM(dv) AS sy, SUM(du * du) AS sxx,
+         SUM(du * dv) AS sxy, SUM(dv * dv) AS syy
+  FROM j)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                  (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         + 0.0 AS assortativity
+FROM m
+"""
+
+
+QUERIES.update({
+    "semivariogram": (q_semivariogram, _oracle_vgram()),
+    "forecast_backtest": (q_forecast_backtest, _oracle_backtest()),
+    "degree_assortativity": (q_degree_assortativity, _oracle_assort()),
+})

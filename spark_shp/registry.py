@@ -188,6 +188,9 @@ _TAIL = [
     "image_colorfulness",     # Hasler-Susstrunk color QA (B11)
     "gravity_model_fit",      # OD distance-decay calibration (B5/C6)
     "spacetime_scan",         # Kulldorff cylinder scan (B/C6 stats)
+    "semivariogram",          # empirical variogram, kriging precursor (B)
+    "forecast_backtest",      # rolling EWMA eval, exact WAPE (C6/C7)
+    "degree_assortativity",   # degree-degree correlation (graph family)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

@@ -849,3 +849,67 @@ def test_spacetime_scan_matches_python(spark):
             (c, ds, n)
         assert abs(rr["llr"] + negllr) < 1e-5
         assert abs(rr["mu"] - mu) < 1e-4
+
+
+def test_semivariogram_matches_pandas(spark):
+    from spark_shp import cells
+    from spark_shp.queries_insights import (VGRAM_LVL, VGRAM_MAXH,
+                                            q_semivariogram)
+    out = {r["lag"]: r for r in q_semivariogram(spark, SF).collect()}
+    ev, lon, lat = _event_points(SF)
+    ix, iy = cells.quantize(lon, lat, VGRAM_LVL)
+    z = pd.DataFrame({"ix": ix, "iy": iy}).groupby(
+        ["ix", "iy"]).size().to_dict()
+    for k in range(1, VGRAM_MAXH + 1):
+        ssq = npairs = 0
+        for (cx, cy), zv in z.items():
+            for dx in range(-k, k + 1):
+                for dy in range(-k, k + 1):
+                    if max(abs(dx), abs(dy)) != k:
+                        continue
+                    zn = z.get((cx + dx, cy + dy))
+                    if zn is not None:
+                        npairs += 1
+                        ssq += (zv - zn) ** 2
+        r = out[k]
+        assert (r["n_pairs"], r["ssq"]) == (npairs, ssq), k
+        assert abs(r["gamma"] - ssq / (2 * npairs)) < 1e-6
+
+
+def test_forecast_backtest_matches_pandas(spark):
+    from spark_shp.queries_insights import EWMA_LAGS, q_forecast_backtest
+    out = {r["g"]: r for r in q_forecast_backtest(spark, SF).collect()}
+    df = _hourly_series(SF)
+    for g, grp in df.groupby("g"):
+        c = grp.groupby("h").size().sort_index().to_numpy()
+        errs, acts = [], []
+        for t in range(EWMA_LAGS, len(c)):
+            num = sum(int(c[t - j]) * (1 << (EWMA_LAGS - j))
+                      for j in range(1, EWMA_LAGS + 1))
+            errs.append((1 << EWMA_LAGS) * int(c[t]) - num)
+            acts.append(int(c[t]))
+        r = out[g]
+        assert r["n_forecasts"] == len(errs)
+        denom = (1 << EWMA_LAGS) * sum(acts)
+        assert abs(r["wape"] - sum(abs(e) for e in errs) / denom) < 1e-6
+        assert abs(r["bias"] - sum(errs) / denom) < 1e-6
+
+
+def test_degree_assortativity_matches_networkx_formula(spark):
+    from spark_shp.hashing import mix
+    from spark_shp.queries_insights import q_degree_assortativity
+    r = q_degree_assortativity(spark, SF).collect()[0]
+    ids = np.arange(2400, dtype=np.int64)
+    x, y = mix(ids) % 600, mix(ids * 2 + 1) % 600
+    edges = {(min(a, b), max(a, b)) for a, b in zip(x, y) if a != b}
+    assert r["n_edges"] == len(edges)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    du = np.array([deg[a] for a, b in edges] + [deg[b] for a, b in edges],
+                  dtype=np.float64)
+    dv = np.array([deg[b] for a, b in edges] + [deg[a] for a, b in edges],
+                  dtype=np.float64)
+    rho = np.corrcoef(du, dv)[0, 1]
+    assert abs(r["assortativity"] - rho) < 1e-5
