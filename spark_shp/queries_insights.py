@@ -2550,3 +2550,231 @@ QUERIES.update({
     "forecast_backtest": (q_forecast_backtest, _oracle_backtest()),
     "degree_assortativity": (q_degree_assortativity, _oracle_assort()),
 })
+
+
+# --- catchment_accessibility: two-step floating catchment (2SFCA) -------------------
+#
+# The health-geography accessibility classic: facilities = nation fence
+# centers with deterministic capacity, demand = events; step 1 computes
+# each facility's supply ratio R_j = capacity / demand-in-catchment
+# (8-degree box), step 2 sums R_j over facilities whose catchment covers
+# each level-4 cell center.  R is snapped to a 1e-6 int (round-6) BEFORE
+# the per-cell sum, so the float never rides a distributed aggregation —
+# the accessibility histogram is exact.  Facilities broadcast (25 rows).
+
+CATCH_DEG = 8.0
+CATCH_LVL = 4
+
+
+def _facility_sql(key: str) -> tuple:
+    from .hashing import u01_sql
+    return (f"({u01_sql(f'{key} * 7 + 1')} * 360.0 - 180.0)",
+            f"({u01_sql(f'{key} * 7 + 2')} * 160.0 - 80.0)")
+
+
+def q_catchment_accessibility(spark, sf_dir):
+    fx, fy = _facility_sql("n_nationkey")
+    fac = (_t(spark, sf_dir, "nation")
+           .selectExpr("n_nationkey AS fk", f"{fx} AS fx", f"{fy} AS fy",
+                       "100 + n_nationkey * 7 AS capacity"))
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        f"{fixtures.EVENT_LON_SQL} AS lon", f"{fixtures.EVENT_LAT_SQL} AS lat")
+    dem = (ev.join(F.broadcast(fac),
+                   (F.expr(f"ABS(lon - fx) <= {CATCH_DEG!r}")
+                    & F.expr(f"ABS(lat - fy) <= {CATCH_DEG!r}")))
+           .groupBy("fk", "capacity")
+           .agg(F.count(F.lit(1)).alias("demand")))
+    r = dem.selectExpr(
+        "fk", "capacity", "demand",
+        "CAST(FLOOR(ROUND(CAST(capacity AS DOUBLE) / demand, 6) "
+        "* 1000000.0 + 0.5) AS BIGINT) AS r_scaled")
+    n = 1 << CATCH_LVL
+    cells_all = spark.range(0, n * n).selectExpr(
+        f"CAST(id / {n} AS BIGINT) AS cx", f"id % {n} AS cy",
+        f"(CAST(id / {n} AS BIGINT) + 0.5) * {360.0 / n!r} - 180.0 AS clon",
+        f"(id % {n} + 0.5) * {170.0 / n!r} - 85.0 AS clat")
+    acc = (cells_all.join(
+        F.broadcast(r.join(F.broadcast(fac.select("fk", "fx", "fy")),
+                           "fk")),
+        (F.expr(f"ABS(clon - fx) <= {CATCH_DEG!r}")
+         & F.expr(f"ABS(clat - fy) <= {CATCH_DEG!r}")))
+        .groupBy("cx", "cy")
+        .agg(F.sum("r_scaled").alias("a_scaled"),
+             F.count(F.lit(1)).alias("n_fac")))
+    return (acc.selectExpr("CAST(FLOOR(a_scaled / 5000000.0) AS BIGINT) "
+                           "AS bucket", "a_scaled", "n_fac", "cx", "cy")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("a_scaled").alias("sum_a"),
+                 F.sum("n_fac").alias("sum_fac"),
+                 F.expr(f"SUM(cx * {n} + cy)").alias("checksum"))
+            .selectExpr("CAST(bucket AS BIGINT) AS bucket",
+                        "CAST(n_cells AS BIGINT) AS n_cells",
+                        "CAST(sum_a AS BIGINT) AS sum_a_scaled",
+                        "CAST(sum_fac AS BIGINT) AS n_coverages",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_catchment() -> str:
+    fx, fy = _facility_sql("n_nationkey")
+    n = 1 << CATCH_LVL
+    return f"""
+WITH fac AS MATERIALIZED (
+  SELECT n_nationkey AS fk, {fx} AS fxx, {fy} AS fyy,
+         100 + n_nationkey * 7 AS capacity
+  FROM nation),
+ev AS (
+  SELECT {fixtures.EVENT_LON_SQL} AS lon, {fixtures.EVENT_LAT_SQL} AS lat
+  FROM events),
+dem AS (
+  SELECT fk, capacity, COUNT(*) AS demand
+  FROM ev JOIN fac ON ABS(lon - fxx) <= {CATCH_DEG!r}
+                  AND ABS(lat - fyy) <= {CATCH_DEG!r}
+  GROUP BY 1, 2),
+r AS (
+  SELECT fk, CAST(FLOOR(ROUND(CAST(capacity AS DOUBLE) / demand, 6)
+              * 1000000.0 + 0.5) AS BIGINT) AS r_scaled
+  FROM dem),
+cells_all AS (
+  SELECT CAST(FLOOR(id / {n}.0) AS BIGINT) AS cx, id % {n} AS cy,
+         (CAST(FLOOR(id / {n}.0) AS BIGINT) + 0.5) * {360.0 / n!r} - 180.0
+           AS clon,
+         (id % {n} + 0.5) * {170.0 / n!r} - 85.0 AS clat
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {n * n - 1})) AS id) t),
+acc AS (
+  SELECT cx, cy, SUM(r_scaled) AS a_scaled, COUNT(*) AS n_fac
+  FROM cells_all
+  JOIN (SELECT r.fk, r.r_scaled, fac.fxx, fac.fyy
+        FROM r JOIN fac ON r.fk = fac.fk) rf
+    ON ABS(clon - rf.fxx) <= {CATCH_DEG!r}
+   AND ABS(clat - rf.fyy) <= {CATCH_DEG!r}
+  GROUP BY 1, 2)
+SELECT CAST(FLOOR(a_scaled / 5000000.0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(a_scaled) AS BIGINT) AS sum_a_scaled,
+       CAST(SUM(n_fac) AS BIGINT) AS n_coverages,
+       CAST(SUM(cx * {n} + cy) AS BIGINT) AS checksum
+FROM acc GROUP BY 1
+"""
+
+
+# --- centroid_drift: weekly mean-center migration ------------------------------------
+#
+# The mean-center drift analysis (is activity migrating?): per
+# (event_type, epoch week) the exact-µdeg mean center (integer moments,
+# one division each) and the great-circle displacement from the previous
+# week's center (LAG + the shared haversine literal, round-6).
+
+def q_centroid_drift(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "event_type AS g",
+        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) "
+        "/ 604800000000) AS BIGINT) AS wk",
+        f"{_EV_UDEG[0]} AS ix", f"{_EV_UDEG[1]} AS iy")
+    c = (e.groupBy("g", "wk")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("ix").alias("sx"), F.sum("iy").alias("sy"))
+         .selectExpr("g", "wk", "n",
+                     "CAST(sx AS DOUBLE) / n / 1000000.0 AS cx",
+                     "CAST(sy AS DOUBLE) / n / 1000000.0 AS cy"))
+    lagd = c.selectExpr(
+        "g", "wk", "n", "cx", "cy",
+        "LAG(cx) OVER (PARTITION BY g ORDER BY wk) AS px",
+        "LAG(cy) OVER (PARTITION BY g ORDER BY wk) AS py")
+    km = _NDM_DIST.replace("by", "cy").replace("ay", "py") \
+                  .replace("bx", "cx").replace("ax", "px")
+    return lagd.selectExpr(
+        "g", "CAST(wk AS BIGINT) AS week",
+        "CAST(n AS BIGINT) AS n_events",
+        "ROUND(cx, 6) AS center_lon", "ROUND(cy, 6) AS center_lat",
+        f"CASE WHEN px IS NULL THEN CAST(NULL AS DOUBLE) ELSE {km} END "
+        "AS km_moved")
+
+
+def _oracle_drift() -> str:
+    km = _NDM_DIST.replace("by", "cy").replace("ay", "py") \
+                  .replace("bx", "cx").replace("ax", "px")
+    return f"""
+WITH e AS (
+  SELECT event_type AS g,
+         CAST(FLOOR(epoch_us(ts) / 604800000000) AS BIGINT) AS wk,
+         {_EV_UDEG[0]} AS ix, {_EV_UDEG[1]} AS iy
+  FROM events),
+c AS (
+  SELECT g, wk, COUNT(*) AS n,
+         CAST(SUM(ix) AS DOUBLE) / COUNT(*) / 1000000.0 AS cx,
+         CAST(SUM(iy) AS DOUBLE) / COUNT(*) / 1000000.0 AS cy
+  FROM e GROUP BY 1, 2),
+lagd AS (
+  SELECT g, wk, n, cx, cy,
+         LAG(cx) OVER (PARTITION BY g ORDER BY wk) AS px,
+         LAG(cy) OVER (PARTITION BY g ORDER BY wk) AS py
+  FROM c)
+SELECT g, CAST(wk AS BIGINT) AS week, CAST(n AS BIGINT) AS n_events,
+       ROUND(cx, 6) AS center_lon, ROUND(cy, 6) AS center_lat,
+       CASE WHEN px IS NULL THEN CAST(NULL AS DOUBLE) ELSE {km} END
+         AS km_moved
+FROM lagd
+"""
+
+
+# --- user_paths: top entry paths (first-3-event sequences) ---------------------------
+#
+# The product-analytics Sankey feed: each user's first three event types
+# (ordered by time with event_id tiebreak) concatenated into a path
+# string via THREE conditional maxes (no collect_list ordering trap),
+# counted and top-10 ranked with a path tiebreak.
+
+PATHS_TOPK = 10
+
+
+def q_user_paths(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type",
+        "ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS rn")
+    per = (e.where("rn <= 3")
+           .groupBy("user_id")
+           .agg(*[F.expr(f"MAX(CASE WHEN rn = {k} THEN event_type END)")
+                  .alias(f"s{k}") for k in (1, 2, 3)])
+           .selectExpr("CONCAT_WS('>', COALESCE(s1, '-'), "
+                       "COALESCE(s2, '-'), COALESCE(s3, '-')) AS path"))
+    top = (per.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+           .selectExpr("path", "n_users",
+                       "ROW_NUMBER() OVER (ORDER BY n_users DESC, path) "
+                       "AS rk"))
+    return (top.where(f"rk <= {PATHS_TOPK}")
+            .selectExpr("CAST(rk AS INT) AS rk", "path",
+                        "CAST(n_users AS BIGINT) AS n_users"))
+
+
+def _oracle_paths() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+per AS (
+  SELECT user_id,
+         CONCAT_WS('>',
+           COALESCE(MAX(CASE WHEN rn = 1 THEN event_type END), '-'),
+           COALESCE(MAX(CASE WHEN rn = 2 THEN event_type END), '-'),
+           COALESCE(MAX(CASE WHEN rn = 3 THEN event_type END), '-'))
+           AS path
+  FROM e WHERE rn <= 3 GROUP BY 1),
+top AS (
+  SELECT path, COUNT(*) AS n_users,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS rk
+  FROM per GROUP BY 1)
+SELECT CAST(rk AS INT) AS rk, path, CAST(n_users AS BIGINT) AS n_users
+FROM top WHERE rk <= {PATHS_TOPK}
+"""
+
+
+QUERIES.update({
+    "catchment_accessibility": (q_catchment_accessibility,
+                                _oracle_catchment()),
+    "centroid_drift": (q_centroid_drift, _oracle_drift()),
+    "user_paths": (q_user_paths, _oracle_paths()),
+})

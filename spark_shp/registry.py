@@ -191,6 +191,9 @@ _TAIL = [
     "semivariogram",          # empirical variogram, kriging precursor (B)
     "forecast_backtest",      # rolling EWMA eval, exact WAPE (C6/C7)
     "degree_assortativity",   # degree-degree correlation (graph family)
+    "catchment_accessibility",  # 2SFCA accessibility histogram (B/C6)
+    "centroid_drift",         # weekly mean-center migration (B/C7)
+    "user_paths",             # top first-3-event Sankey paths (C7)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

@@ -913,3 +913,93 @@ def test_degree_assortativity_matches_networkx_formula(spark):
                   dtype=np.float64)
     rho = np.corrcoef(du, dv)[0, 1]
     assert abs(r["assortativity"] - rho) < 1e-5
+
+
+def test_catchment_accessibility_matches_pandas(spark):
+    from spark_shp.queries_insights import (CATCH_DEG, CATCH_LVL,
+                                            q_catchment_accessibility)
+    out = {r["bucket"]: r
+           for r in q_catchment_accessibility(spark, SF).collect()}
+    ev, lon, lat = _event_points(SF)
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    k = nat["n_nationkey"].to_numpy(dtype=np.int64)
+    fx = u01(k * 7 + 1) * 360.0 - 180.0
+    fy = u01(k * 7 + 2) * 160.0 - 80.0
+    cap = 100 + k * 7
+    rs = {}
+    for j in range(len(k)):
+        dem = int(((np.abs(lon - fx[j]) <= CATCH_DEG)
+                   & (np.abs(lat - fy[j]) <= CATCH_DEG)).sum())
+        if dem:
+            rs[j] = int(np.floor(round(cap[j] / dem, 6) * 1e6 + 0.5))
+    n = 1 << CATCH_LVL
+    agg = {}
+    for cx in range(n):
+        for cy in range(n):
+            clon = (cx + 0.5) * 360.0 / n - 180.0
+            clat = (cy + 0.5) * 170.0 / n - 85.0
+            a = nf = 0
+            for j, r in rs.items():
+                if (abs(clon - fx[j]) <= CATCH_DEG
+                        and abs(clat - fy[j]) <= CATCH_DEG):
+                    a += r
+                    nf += 1
+            if nf:
+                b = a // 5_000_000
+                e = agg.setdefault(b, [0, 0, 0, 0])
+                e[0] += 1
+                e[1] += a
+                e[2] += nf
+                e[3] += cx * n + cy
+    assert set(out) == set(agg)
+    for b, (nc, sa, sf_, chk) in agg.items():
+        r = out[b]
+        assert (r["n_cells"], r["sum_a_scaled"], r["n_coverages"],
+                r["checksum"]) == (nc, sa, sf_, chk)
+
+
+def test_centroid_drift_matches_numpy(spark):
+    from spark_shp.queries_insights import q_centroid_drift
+    rows = q_centroid_drift(spark, SF).collect()
+    ev, lon, lat = _event_points(SF)
+    wk = (ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+          // 604_800_000_000)
+    df = pd.DataFrame({"g": ev["event_type"], "wk": wk,
+                       "ix": np.floor(lon * 1e6).astype(np.int64),
+                       "iy": np.floor(lat * 1e6).astype(np.int64)})
+    centers = {}
+    for (g, w), grp in df.groupby(["g", "wk"]):
+        centers[(g, int(w))] = (len(grp),
+                                grp["ix"].sum() / len(grp) / 1e6,
+                                grp["iy"].sum() / len(grp) / 1e6)
+    for r in rows:
+        n, cx, cy = centers[(r["g"], r["week"])]
+        assert r["n_events"] == n
+        assert abs(r["center_lon"] - cx) < 1e-5
+        assert abs(r["center_lat"] - cy) < 1e-5
+        prev = centers.get((r["g"], r["week"] - 1))
+        if prev is None:
+            assert r["km_moved"] is None
+        else:
+            _, px, py = prev
+            lam1, lam2 = np.radians(px), np.radians(cx)
+            ph1, ph2 = np.radians(py), np.radians(cy)
+            d = 2 * 6371.0088 * np.arcsin(np.sqrt(
+                np.sin((ph2 - ph1) / 2) ** 2
+                + np.cos(ph1) * np.cos(ph2)
+                * np.sin((lam2 - lam1) / 2) ** 2))
+            assert abs(r["km_moved"] - d) < 1e-3
+
+
+def test_user_paths_matches_pandas(spark):
+    from spark_shp.queries_insights import q_user_paths
+    rows = q_user_paths(spark, SF).collect()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    paths = {}
+    for _, grp in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        seq = grp["event_type"].tolist()[:3]
+        seq += ["-"] * (3 - len(seq))
+        p = ">".join(seq)
+        paths[p] = paths.get(p, 0) + 1
+    exp = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["path"], r["n_users"]) for r in rows] == exp
