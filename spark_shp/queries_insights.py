@@ -2778,3 +2778,127 @@ QUERIES.update({
     "centroid_drift": (q_centroid_drift, _oracle_drift()),
     "user_paths": (q_user_paths, _oracle_paths()),
 })
+
+
+# --- control_chart: SPC 3-sigma monitoring with exact integer tests ------------------
+#
+# The ops-monitoring classic (Shewhart chart, Western Electric rule 1)
+# made EXACT: a point violates iff (c − µ)² > 9σ², which cross-multiplies
+# to (n·c − Sx)² > 9·(n·Sxx − Sx²) — pure int64 at any aggregation order
+# (n·c ~2e7, squares ~4e14 at 100M rows), so the violation count and the
+# worst-hour argmax (packed deviation²·2²⁰ − h, the changepoint trick)
+# never touch a float; µ and σ emerge once as round-6 literals.
+
+def q_control_chart(spark, sf_dir):
+    hourly = (_t(spark, sf_dir, "events")
+              .selectExpr("event_type AS g",
+                          "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ))"
+                          " / 3600000000) AS BIGINT) AS h")
+              .groupBy("g", "h").agg(F.count(F.lit(1)).alias("c")))
+    m = hourly.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("sx"),
+        F.expr("SUM(c * c)").alias("sxx"))
+    j = hourly.join(F.broadcast(m), "g").selectExpr(
+        "g", "h", "c", "n", "sx", "sxx",
+        "(n * c - sx) * (n * c - sx) AS dev2",
+        "9 * (n * sxx - sx * sx) AS lim")
+    return (j.groupBy("g")
+            .agg(F.max("n").alias("n"), F.max("sx").alias("sx"),
+                 F.max("sxx").alias("sxx"),
+                 F.expr("SUM(CASE WHEN dev2 > lim THEN 1 ELSE 0 END)")
+                 .alias("n_violations"))
+            .selectExpr(
+                "g", "CAST(n AS BIGINT) AS n_hours",
+                "CAST(n_violations AS BIGINT) AS n_violations",
+                "ROUND(CAST(sx AS DOUBLE) / n, 6) AS mu",
+                "ROUND(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx "
+                "/ n) / n), 6) AS sigma"))
+
+
+def _oracle_control() -> str:
+    return """
+WITH hourly AS (
+  SELECT event_type AS g,
+         CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT g, COUNT(*) AS n, SUM(c) AS sx, SUM(c * c) AS sxx
+  FROM hourly GROUP BY 1),
+j AS (
+  SELECT hourly.g, h, c, n, sx, sxx,
+         (n * c - sx) * (n * c - sx) AS dev2,
+         9 * (n * sxx - sx * sx) AS lim
+  FROM hourly JOIN m ON hourly.g = m.g)
+SELECT g, CAST(MAX(n) AS BIGINT) AS n_hours,
+       CAST(SUM(CASE WHEN dev2 > lim THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       ROUND(CAST(MAX(sx) AS DOUBLE) / MAX(n), 6) AS mu,
+       ROUND(SQRT((CAST(MAX(sxx) AS DOUBLE) - CAST(MAX(sx) AS DOUBLE)
+             * MAX(sx) / MAX(n)) / MAX(n)), 6) AS sigma
+FROM j GROUP BY g
+"""
+
+
+# --- quadrat_test: CSR (complete spatial randomness) quadrat analysis ----------------
+#
+# The point-pattern screening test: over the FULL level-6 lattice (empty
+# cells included via closed form), χ² = Σ(x − µ)²/µ with µ = N/n_cells —
+# scaled to Σ(n_cells·x − N)² / (n_cells·N), whose numerator is exact
+# int64 (occupied terms + n_empty·N² for the empties).  Index of
+# dispersion = χ²/(n_cells − 1) rides the same integers.
+
+QUAD_LVL = 6
+
+
+def q_quadrat_test(spark, sf_dir):
+    ncells = (1 << QUAD_LVL) ** 2
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, QUAD_LVL)
+    cnt = (_t(spark, sf_dir, "events")
+           .selectExpr(f"{ix} AS ix", f"{iy} AS iy")
+           .groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("x")))
+    m = cnt.groupBy().agg(
+        F.count(F.lit(1)).alias("nocc"), F.sum("x").alias("nn"),
+        F.expr("SUM(CAST(x AS DECIMAL(38, 0)) * x)").alias("sxx"))
+    return m.selectExpr(
+        f"CAST({ncells} AS BIGINT) AS n_cells",
+        "CAST(nocc AS BIGINT) AS n_occupied",
+        "CAST(nn AS BIGINT) AS n_events",
+        # chi2 = (C*Sxx - N^2) / N: the closed form of the full-lattice
+        # quadrat sum with empty cells folded in (each contributes mu^2/mu)
+        f"ROUND((CAST({ncells} AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        f"- CAST(nn AS DOUBLE) * nn) / nn, 6) AS chi2",
+        f"ROUND(((CAST({ncells} AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        f"- CAST(nn AS DOUBLE) * nn) / nn) / ({ncells} - 1), 6) "
+        "AS dispersion_index")
+
+
+def _oracle_quadrat() -> str:
+    ncells = (1 << QUAD_LVL) ** 2
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, QUAD_LVL)
+    return f"""
+WITH cnt AS (
+  SELECT {ix} AS ix, {iy} AS iy, COUNT(*) AS x
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT COUNT(*) AS nocc, SUM(x) AS nn,
+         SUM(CAST(x AS DECIMAL(38, 0)) * x) AS sxx
+  FROM cnt)
+SELECT CAST({ncells} AS BIGINT) AS n_cells,
+       CAST(nocc AS BIGINT) AS n_occupied,
+       CAST(nn AS BIGINT) AS n_events,
+       ROUND((CAST({ncells} AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(nn AS DOUBLE) * nn) / nn, 6) AS chi2,
+       ROUND(((CAST({ncells} AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(nn AS DOUBLE) * nn) / nn) / ({ncells} - 1), 6)
+         AS dispersion_index
+FROM m
+"""
+
+
+QUERIES.update({
+    "control_chart": (q_control_chart, _oracle_control()),
+    "quadrat_test": (q_quadrat_test, _oracle_quadrat()),
+})

@@ -194,6 +194,8 @@ _TAIL = [
     "catchment_accessibility",  # 2SFCA accessibility histogram (B/C6)
     "centroid_drift",         # weekly mean-center migration (B/C7)
     "user_paths",             # top first-3-event Sankey paths (C7)
+    "control_chart",          # SPC 3-sigma rule, exact int test (C6)
+    "quadrat_test",           # CSR quadrat chi-square (B/C6 stats)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

@@ -1003,3 +1003,36 @@ def test_user_paths_matches_pandas(spark):
         paths[p] = paths.get(p, 0) + 1
     exp = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert [(r["path"], r["n_users"]) for r in rows] == exp
+
+
+def test_control_chart_matches_numpy(spark):
+    from spark_shp.queries_insights import q_control_chart
+    out = {r["g"]: r for r in q_control_chart(spark, SF).collect()}
+    df = _hourly_series(SF)
+    for g, grp in df.groupby("g"):
+        c = grp.groupby("h").size().to_numpy().astype(np.int64)
+        n = len(c)
+        mu, sig = c.mean(), c.std()
+        viol = int((np.abs(c - mu) > 3 * sig).sum())
+        r = out[g]
+        assert r["n_hours"] == n
+        assert r["n_violations"] == viol
+        assert abs(r["mu"] - mu) < 1e-5 and abs(r["sigma"] - sig) < 1e-5
+
+
+def test_quadrat_test_matches_numpy(spark):
+    from spark_shp import cells
+    from spark_shp.queries_insights import QUAD_LVL, q_quadrat_test
+    r = q_quadrat_test(spark, SF).collect()[0]
+    ev, lon, lat = _event_points(SF)
+    ix, iy = cells.quantize(lon, lat, QUAD_LVL)
+    nside = 1 << QUAD_LVL
+    grid = np.zeros((nside, nside), dtype=np.int64)
+    np.add.at(grid, (ix, iy), 1)
+    N = grid.sum()
+    mu = N / grid.size
+    chi2 = (((grid - mu) ** 2) / mu).sum()
+    assert r["n_cells"] == grid.size
+    assert r["n_occupied"] == int((grid > 0).sum())
+    assert abs(r["chi2"] - chi2) < 1e-2
+    assert abs(r["dispersion_index"] - chi2 / (grid.size - 1)) < 1e-5
