@@ -2902,3 +2902,164 @@ QUERIES.update({
     "control_chart": (q_control_chart, _oracle_control()),
     "quadrat_test": (q_quadrat_test, _oracle_quadrat()),
 })
+
+
+# --- sample_fidelity: does a deterministic sample preserve the distribution? ---------
+#
+# The sampling-QA pass of a curation pipeline: take the hash-deterministic
+# 10% sample (mix(event_id·41+7) % 10 = 0) and measure, per event type,
+# the 1-D Wasserstein distance between the sample's and the population's
+# hourly CDFs — kept EXACT by integer cross-multiplication (the
+# distribution_drift rule): W·N1·N2 = Σ_h |F1(h)·N2 − F2(h)·N1| is int64,
+# one division at the end.  Bins ride one hour-keyed aggregate.
+
+def q_sample_fidelity(spark, sf_dir):
+    from .hashing import mix_sql
+    sel = f"({mix_sql('event_id * 41 + 7')}) % 10 = 0"
+    hourly = (_t(spark, sf_dir, "events")
+              .selectExpr("event_type AS g",
+                          "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ))"
+                          " / 3600000000) AS BIGINT) AS h",
+                          f"CASE WHEN {sel} THEN 1 ELSE 0 END AS ins")
+              .groupBy("g", "h")
+              .agg(F.count(F.lit(1)).alias("c1"),
+                   F.sum("ins").alias("c2")))
+    w = "PARTITION BY g ORDER BY h"
+    cdf = hourly.selectExpr(
+        "g", "h", "c1", "c2",
+        f"SUM(c1) OVER ({w} ROWS UNBOUNDED PRECEDING) AS f1",
+        f"SUM(c2) OVER ({w} ROWS UNBOUNDED PRECEDING) AS f2",
+        "SUM(c1) OVER (PARTITION BY g) AS n1",
+        "SUM(c2) OVER (PARTITION BY g) AS n2")
+    m = cdf.groupBy("g").agg(
+        F.max("n1").alias("n1"), F.max("n2").alias("n2"),
+        F.expr("SUM(ABS(f1 * n2 - f2 * n1))").alias("wnum"),
+        F.expr("MAX(ABS(f1 * n2 - f2 * n1))").alias("ksnum"))
+    return m.selectExpr(
+        "g", "CAST(n1 AS BIGINT) AS n_population",
+        "CAST(n2 AS BIGINT) AS n_sample",
+        "ROUND(CAST(wnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) "
+        "AS wasserstein_hours",
+        "ROUND(CAST(ksnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) "
+        "AS ks_distance")
+
+
+def _oracle_fidelity() -> str:
+    from .hashing import mix_sql
+    sel = f"({mix_sql('event_id * 41 + 7')}) % 10 = 0"
+    return f"""
+WITH hourly AS (
+  SELECT event_type AS g,
+         CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         COUNT(*) AS c1,
+         SUM(CASE WHEN {sel} THEN 1 ELSE 0 END) AS c2
+  FROM events GROUP BY 1, 2),
+cdf AS (
+  SELECT g, h, c1, c2,
+         SUM(c1) OVER (PARTITION BY g ORDER BY h
+                       ROWS UNBOUNDED PRECEDING) AS f1,
+         SUM(c2) OVER (PARTITION BY g ORDER BY h
+                       ROWS UNBOUNDED PRECEDING) AS f2,
+         SUM(c1) OVER (PARTITION BY g) AS n1,
+         SUM(c2) OVER (PARTITION BY g) AS n2
+  FROM hourly),
+m AS (
+  SELECT g, MAX(n1) AS n1, MAX(n2) AS n2,
+         SUM(ABS(f1 * n2 - f2 * n1)) AS wnum,
+         MAX(ABS(f1 * n2 - f2 * n1)) AS ksnum
+  FROM cdf GROUP BY 1)
+SELECT g, CAST(n1 AS BIGINT) AS n_population,
+       CAST(n2 AS BIGINT) AS n_sample,
+       ROUND(CAST(wnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6)
+         AS wasserstein_hours,
+       ROUND(CAST(ksnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6)
+         AS ks_distance
+FROM m
+"""
+
+
+# --- attribution_linear: multi-touch credit with exact fractional shares -------------
+#
+# Marketing attribution beyond last-touch (the attribution_pairs family's
+# model step): for each converting user, the DISTINCT non-purchase
+# channels seen strictly before the FIRST purchase share one conversion
+# equally — credit 1/k scaled by 60 (the lcm of 1..4 possible set sizes)
+# so every share is an exact integer.  First/last touch ride packed
+# us·8+type min/max (no arg_min/min_by — the builtins differ across
+# engines).  One user-keyed shuffle.
+
+_AT_TYPES = ("click", "error", "signup", "view")
+
+
+def q_attribution_linear(spark, sf_dir):
+    tidx = ("CASE event_type " + " ".join(
+        f"WHEN '{t}' THEN {k}" for k, t in enumerate(_AT_TYPES)) + " END")
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us", f"{tidx} AS ti")
+    fp = (e.where("event_type = 'purchase'")
+          .groupBy("user_id").agg(F.min("us").alias("pus")))
+    pre = (e.join(fp, "user_id").where("us < pus AND ti IS NOT NULL"))
+    per = pre.groupBy("user_id").agg(
+        F.countDistinct("ti").alias("k"),
+        F.expr("MIN(us * 8 + ti)").alias("first_p"),
+        F.expr("MAX(us * 8 + ti)").alias("last_p"))
+    chan = (pre.select("user_id", "ti").distinct()
+            .join(per, "user_id")
+            .groupBy("ti")
+            .agg(F.expr("SUM(CAST(60 / k AS BIGINT))").alias("credit60"),
+                 F.count(F.lit(1)).alias("n_paths")))
+    touches = per.selectExpr("first_p % 8 AS fti", "last_p % 8 AS lti")
+    ft = touches.groupBy("fti").agg(F.count(F.lit(1)).alias("n_first"))
+    lt = touches.groupBy("lti").agg(F.count(F.lit(1)).alias("n_last"))
+    names = ("CASE ti " + " ".join(
+        f"WHEN {k} THEN '{t}'" for k, t in enumerate(_AT_TYPES)) + " END")
+    return (chan.join(ft, chan.ti == ft.fti, "left")
+            .join(lt, chan.ti == lt.lti, "left")
+            .selectExpr(f"{names} AS channel",
+                        "CAST(credit60 AS BIGINT) AS credit_x60",
+                        "CAST(n_paths AS BIGINT) AS n_paths",
+                        "CAST(COALESCE(n_first, 0) AS BIGINT) AS n_first",
+                        "CAST(COALESCE(n_last, 0) AS BIGINT) AS n_last"))
+
+
+def _oracle_attribution() -> str:
+    tidx = ("CASE event_type " + " ".join(
+        f"WHEN '{t}' THEN {k}" for k, t in enumerate(_AT_TYPES)) + " END")
+    names = ("CASE chan.ti " + " ".join(
+        f"WHEN {k} THEN '{t}'" for k, t in enumerate(_AT_TYPES)) + " END")
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT user_id, event_type, epoch_us(ts) AS us, {tidx} AS ti
+  FROM events),
+fp AS (
+  SELECT user_id, MIN(us) AS pus FROM e
+  WHERE event_type = 'purchase' GROUP BY 1),
+pre AS MATERIALIZED (
+  SELECT e.user_id, e.ti, e.us FROM e JOIN fp ON e.user_id = fp.user_id
+  WHERE e.us < fp.pus AND e.ti IS NOT NULL),
+per AS MATERIALIZED (
+  SELECT user_id, COUNT(DISTINCT ti) AS k, MIN(us * 8 + ti) AS first_p,
+         MAX(us * 8 + ti) AS last_p
+  FROM pre GROUP BY 1),
+chan AS (
+  SELECT d.ti, SUM(CAST(60 / per.k AS BIGINT)) AS credit60,
+         COUNT(*) AS n_paths
+  FROM (SELECT DISTINCT user_id, ti FROM pre) d
+  JOIN per ON d.user_id = per.user_id
+  GROUP BY 1),
+ft AS (SELECT first_p % 8 AS ti, COUNT(*) AS n_first FROM per GROUP BY 1),
+lt AS (SELECT last_p % 8 AS ti, COUNT(*) AS n_last FROM per GROUP BY 1)
+SELECT {names} AS channel,
+       CAST(credit60 AS BIGINT) AS credit_x60,
+       CAST(n_paths AS BIGINT) AS n_paths,
+       CAST(COALESCE(ft.n_first, 0) AS BIGINT) AS n_first,
+       CAST(COALESCE(lt.n_last, 0) AS BIGINT) AS n_last
+FROM chan LEFT JOIN ft ON chan.ti = ft.ti LEFT JOIN lt ON chan.ti = lt.ti
+"""
+
+
+QUERIES.update({
+    "sample_fidelity": (q_sample_fidelity, _oracle_fidelity()),
+    "attribution_linear": (q_attribution_linear, _oracle_attribution()),
+})

@@ -196,6 +196,8 @@ _TAIL = [
     "user_paths",             # top first-3-event Sankey paths (C7)
     "control_chart",          # SPC 3-sigma rule, exact int test (C6)
     "quadrat_test",           # CSR quadrat chi-square (B/C6 stats)
+    "sample_fidelity",        # sample-vs-population Wasserstein QA (C6)
+    "attribution_linear",     # multi-touch credit, exact shares (C7)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

@@ -1036,3 +1036,62 @@ def test_quadrat_test_matches_numpy(spark):
     assert r["n_occupied"] == int((grid > 0).sum())
     assert abs(r["chi2"] - chi2) < 1e-2
     assert abs(r["dispersion_index"] - chi2 / (grid.size - 1)) < 1e-5
+
+
+def test_sample_fidelity_matches_numpy(spark):
+    from spark_shp.queries_insights import q_sample_fidelity
+    out = {r["g"]: r for r in q_sample_fidelity(spark, SF).collect()}
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    hr = (ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+          // 3_600_000_000)
+    ins = mix(ev["event_id"].to_numpy(dtype=np.int64) * 41 + 7) % 10 == 0
+    df = pd.DataFrame({"g": ev["event_type"], "h": hr, "ins": ins})
+    for g, grp in df.groupby("g"):
+        pop = grp.groupby("h").size().sort_index()
+        smp = grp[grp["ins"]].groupby("h").size().reindex(
+            pop.index, fill_value=0)
+        f1, f2 = pop.cumsum().to_numpy(), smp.cumsum().to_numpy()
+        n1, n2 = int(f1[-1]), int(f2[-1])
+        w = np.abs(f1 * n2 - f2 * n1).sum() / (n1 * n2)
+        ks = np.abs(f1 * n2 - f2 * n1).max() / (n1 * n2)
+        r = out[g]
+        assert (r["n_population"], r["n_sample"]) == (n1, n2)
+        assert abs(r["wasserstein_hours"] - w) < 1e-5
+        assert abs(r["ks_distance"] - ks) < 1e-6
+        assert 0 < n2 < n1
+
+
+def test_attribution_linear_matches_pandas(spark):
+    from spark_shp.queries_insights import _AT_TYPES, q_attribution_linear
+    out = {r["channel"]: r
+           for r in q_attribution_linear(spark, SF).collect()}
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    us = ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    df = pd.DataFrame({"u": ev["user_id"], "t": ev["event_type"],
+                       "us": us})
+    credit, paths, first, last = {}, {}, {}, {}
+    for u, grp in df.groupby("u"):
+        p = grp[grp["t"] == "purchase"]
+        if not len(p):
+            continue
+        pus = p["us"].min()
+        pre = grp[(grp["us"] < pus) & (grp["t"] != "purchase")]
+        if not len(pre):
+            continue
+        chans = sorted(set(pre["t"]))
+        k = len(chans)
+        for c in chans:
+            credit[c] = credit.get(c, 0) + 60 // k
+            paths[c] = paths.get(c, 0) + 1
+        pre_s = pre.sort_values(["us", "t"])
+        first[pre_s.iloc[0]["t"]] = first.get(pre_s.iloc[0]["t"], 0) + 1
+        # last touch: max packed us*8+ti
+        ti = pre["t"].map({t: i for i, t in enumerate(_AT_TYPES)})
+        packed = pre["us"] * 8 + ti
+        lt = pre.loc[packed.idxmax(), "t"]
+        last[lt] = last.get(lt, 0) + 1
+    for c in credit:
+        r = out[c]
+        assert (r["credit_x60"], r["n_paths"]) == (credit[c], paths[c])
+        assert r["n_last"] == last.get(c, 0)
+        assert r["n_first"] == first.get(c, 0)
