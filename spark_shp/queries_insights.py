@@ -3063,3 +3063,215 @@ QUERIES.update({
     "sample_fidelity": (q_sample_fidelity, _oracle_fidelity()),
     "attribution_linear": (q_attribution_linear, _oracle_attribution()),
 })
+
+
+# --- boxcount_dimension: fractal box-counting of the event point set -----------------
+#
+# The box-counting (Minkowski) dimension of the activity footprint:
+# occupied-cell counts N(l) at levels 2..7 all derive from ONE finest-
+# level distinct set (coarser cells = bit-shifts of the level-7 indices,
+# the tile_pyramid trick), and the dimension is the OLS slope of
+# log2 N(l) on l — log2 via the round-6 LN snap, l exact.  A uniform
+# space-filling pattern → slope ≈ 2; a point cluster → ≈ 0.
+
+BOX_LVLS = (2, 3, 4, 5, 6, 7)
+
+
+def q_boxcount_dimension(spark, sf_dir):
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, BOX_LVLS[-1])
+    fine = (_t(spark, sf_dir, "events")
+            .selectExpr(f"{ix} AS ix", f"{iy} AS iy")
+            .distinct().localCheckpoint())
+    per = None
+    for lv in BOX_LVLS:
+        sh = BOX_LVLS[-1] - lv
+        c = (fine.selectExpr(
+            f"CAST(FLOOR(ix / {float(1 << sh)!r}) AS BIGINT) AS cx",
+            f"CAST(FLOOR(iy / {float(1 << sh)!r}) AS BIGINT) AS cy")
+            .distinct()
+            .groupBy().agg(F.count(F.lit(1)).alias(f"n{lv}"))
+            .selectExpr(f"CAST({lv} AS BIGINT) AS l", f"n{lv} AS n"))
+        per = c if per is None else per.unionAll(c)
+    pts = per.selectExpr(
+        "l", "n",
+        "l * 1000000 AS x",
+        "CAST(FLOOR(ROUND(LN(n) / LN(2), 6) * 1000000.0 + 0.5) AS BIGINT)"
+        " AS y")
+    m = pts.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.expr("SUM(x * x)").alias("sxx"),
+        F.expr("SUM(x * y)").alias("sxy"),
+        F.expr("SUM(y * y)").alias("syy"),
+        F.expr(f"SUM(CASE WHEN l = {BOX_LVLS[0]} THEN n ELSE 0 END)")
+        .alias("n_coarse"),
+        F.expr(f"SUM(CASE WHEN l = {BOX_LVLS[-1]} THEN n ELSE 0 END)")
+        .alias("n_fine"))
+    return m.selectExpr(
+        "CAST(n_coarse AS BIGINT) AS n_boxes_coarse",
+        "CAST(n_fine AS BIGINT) AS n_boxes_fine",
+        f"ROUND({_ZSLOPE}, 6) + 0.0 AS dimension",
+        "ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * "
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) / "
+        "((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * "
+        "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) "
+        "AS r_squared")
+
+
+def _oracle_boxcount() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, BOX_LVLS[-1])
+    unions = "\nUNION ALL\n".join(f"""
+  SELECT CAST({lv} AS BIGINT) AS l, COUNT(*) AS n FROM (
+    SELECT DISTINCT
+      CAST(FLOOR(ix / {float(1 << (BOX_LVLS[-1] - lv))!r}) AS BIGINT),
+      CAST(FLOOR(iy / {float(1 << (BOX_LVLS[-1] - lv))!r}) AS BIGINT)
+    FROM fine) t{lv}""" for lv in BOX_LVLS)
+    return f"""
+WITH fine AS MATERIALIZED (
+  SELECT DISTINCT {ix} AS ix, {iy} AS iy FROM events),
+per AS ({unions}),
+pts AS (
+  SELECT l, n, l * 1000000 AS x,
+         CAST(FLOOR(ROUND(LN(n) / LN(2), 6) * 1000000.0 + 0.5) AS BIGINT)
+           AS y
+  FROM per),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+         SUM(x * y) AS sxy, SUM(y * y) AS syy,
+         SUM(CASE WHEN l = {BOX_LVLS[0]} THEN pts.n ELSE 0 END)
+           AS n_coarse,
+         SUM(CASE WHEN l = {BOX_LVLS[-1]} THEN pts.n ELSE 0 END) AS n_fine
+  FROM pts)
+SELECT CAST(n_coarse AS BIGINT) AS n_boxes_coarse,
+       CAST(n_fine AS BIGINT) AS n_boxes_fine,
+       ROUND({_ZSLOPE}, 6) + 0.0 AS dimension,
+       ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) *
+              (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) /
+             ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+              (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         AS r_squared
+FROM m
+"""
+
+
+# --- interarrival_burstiness: Goh–Barabási burstiness of event timing ----------------
+#
+# Is activity Poisson-like or bursty?  Per-user inter-arrival gaps (µs,
+# exact; both windows share ONE user-keyed exchange), population moments
+# n/Σg/Σg² with the square in DECIMAL (g² ~7e24), and the burstiness
+# coefficient B = (σ − µ)/(σ + µ) ∈ [−1, 1] composed in one round-6
+# literal.  B ≈ 0 for exponential gaps, → 1 for heavy-tailed bursts.
+
+def q_interarrival_burstiness(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us",
+        "event_id")
+    g = (e.selectExpr(
+        "us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) "
+        "AS gap")
+        .where("gap IS NOT NULL"))
+    m = g.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("gap").alias("sg"),
+        F.expr("SUM(CAST(gap AS DECIMAL(38, 0)) * gap)").alias("sgg"))
+    sig = ("SQRT((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * sg / n) / n)")
+    mu = "(CAST(sg AS DOUBLE) / n)"
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_gaps",
+        f"ROUND({mu} / 1000000.0, 6) AS mean_gap_s",
+        f"ROUND({sig} / {mu}, 6) AS cv",
+        f"ROUND(({sig} - {mu}) / ({sig} + {mu}), 6) + 0.0 AS burstiness")
+
+
+def _oracle_burstiness() -> str:
+    sig = "SQRT((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * sg / n) / n)"
+    mu = "(CAST(sg AS DOUBLE) / n)"
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+g AS (
+  SELECT gap FROM (
+    SELECT us - LAG(us) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) AS gap
+    FROM e)
+  WHERE gap IS NOT NULL),
+m AS (
+  SELECT COUNT(*) AS n, SUM(gap) AS sg,
+         SUM(CAST(gap AS DECIMAL(38, 0)) * gap) AS sgg
+  FROM g)
+SELECT CAST(n AS BIGINT) AS n_gaps,
+       ROUND({mu} / 1000000.0, 6) AS mean_gap_s,
+       ROUND({sig} / {mu}, 6) AS cv,
+       ROUND(({sig} - {mu}) / ({sig} + {mu}), 6) + 0.0 AS burstiness
+FROM m
+"""
+
+
+# --- abc_analysis: Pareto revenue classing of the part catalog -----------------------
+#
+# The inventory-management classic: parts ranked by exact-cents revenue,
+# classed A/B/C at 80%/95% CUMULATIVE share — thresholds tested by
+# integer cross-multiplication (cum·100 ≤ 80·total), so class boundaries
+# never touch a float.  One part-keyed revenue shuffle; the rank window
+# runs over the part aggregate.
+
+def q_abc_analysis(spark, sf_dir):
+    rev = (_t(spark, sf_dir, "lineitem")
+           .selectExpr("l_partkey",
+                       "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                       " AS rc")
+           .groupBy("l_partkey").agg(F.sum("rc").alias("rev")))
+    w = "ORDER BY rev DESC, l_partkey"
+    cum = rev.selectExpr(
+        "l_partkey", "rev",
+        f"SUM(rev) OVER ({w} ROWS UNBOUNDED PRECEDING) AS cum",
+        "SUM(rev) OVER () AS total")
+    cls = cum.selectExpr(
+        "l_partkey", "rev",
+        "CASE WHEN cum * 100 <= 80 * total THEN 'A' "
+        "WHEN cum * 100 <= 95 * total THEN 'B' ELSE 'C' END AS abc",
+        "total")
+    return (cls.groupBy("abc")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum("rev").alias("revenue_cents"),
+                 F.max("total").alias("total"),
+                 F.sum("l_partkey").alias("checksum"))
+            .selectExpr("abc", "CAST(n_parts AS BIGINT) AS n_parts",
+                        "CAST(revenue_cents AS BIGINT) AS revenue_cents",
+                        "ROUND(CAST(revenue_cents AS DOUBLE) / total, 6) "
+                        "AS share",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_abc() -> str:
+    return """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+  FROM lineitem GROUP BY 1),
+cum AS (
+  SELECT l_partkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(rev) OVER () AS total
+  FROM rev),
+cls AS (
+  SELECT l_partkey, rev, total,
+         CASE WHEN cum * 100 <= 80 * total THEN 'A'
+              WHEN cum * 100 <= 95 * total THEN 'B' ELSE 'C' END AS abc
+  FROM cum)
+SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+       ROUND(CAST(SUM(rev) AS DOUBLE) / MAX(total), 6) AS share,
+       CAST(SUM(l_partkey) AS BIGINT) AS checksum
+FROM cls GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "boxcount_dimension": (q_boxcount_dimension, _oracle_boxcount()),
+    "interarrival_burstiness": (q_interarrival_burstiness,
+                                _oracle_burstiness()),
+    "abc_analysis": (q_abc_analysis, _oracle_abc()),
+})

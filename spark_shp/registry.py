@@ -198,6 +198,9 @@ _TAIL = [
     "quadrat_test",           # CSR quadrat chi-square (B/C6 stats)
     "sample_fidelity",        # sample-vs-population Wasserstein QA (C6)
     "attribution_linear",     # multi-touch credit, exact shares (C7)
+    "boxcount_dimension",     # fractal box-counting dimension (B)
+    "interarrival_burstiness",  # Goh-Barabasi burstiness (C6/C7)
+    "abc_analysis",           # Pareto revenue classing (C6/C7)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

