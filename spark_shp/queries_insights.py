@@ -3275,3 +3275,117 @@ QUERIES.update({
                                 _oracle_burstiness()),
     "abc_analysis": (q_abc_analysis, _oracle_abc()),
 })
+
+
+# --- langid_confusion: classifier evaluation of the language-ID heuristic ------------
+#
+# The ML-eval layer over langid_heuristic: confusion matrix of
+# (actual lang, predicted lang) with per-cell share and per-actual
+# recall — all counts exact, shares single divisions.  Re-states the
+# SAME prediction rule as the gated langid row, so a drift in either
+# breaks one of the two gates.
+
+def q_langid_confusion(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("double")
+    en = F.size(F.filter(toks, lambda x: x.isin(
+        "a", "the", "fast", "slow"))) / n
+    de = F.size(F.filter(toks, lambda x: x.isin("der", "die", "und"))) / n
+    pred = F.when(de > en, F.lit("de")).otherwise(F.lit("en"))
+    cells_ = (d.select("lang", pred.alias("pred"))
+              .groupBy("lang", "pred")
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    tot = cells_.selectExpr(
+        "lang", "pred", "n_docs",
+        "SUM(n_docs) OVER () AS total",
+        "SUM(n_docs) OVER (PARTITION BY lang) AS n_actual")
+    return tot.selectExpr(
+        "lang AS actual", "pred AS predicted",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "ROUND(CAST(n_docs AS DOUBLE) / total, 6) AS share",
+        "ROUND(CAST(n_docs AS DOUBLE) / n_actual, 6) AS recall_of_actual")
+
+
+ORACLE_LANGID_CONF = """
+WITH t AS (
+  SELECT lang,
+         CASE WHEN
+           CAST(len(list_filter(string_split(text, ' '),
+                x -> x IN ('der', 'die', 'und'))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) >
+           CAST(len(list_filter(string_split(text, ' '),
+                x -> x IN ('a', 'the', 'fast', 'slow'))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE)
+         THEN 'de' ELSE 'en' END AS pred
+  FROM documents),
+cells_ AS (
+  SELECT lang, pred, COUNT(*) AS n_docs FROM t GROUP BY 1, 2),
+tot AS (
+  SELECT lang, pred, n_docs, SUM(n_docs) OVER () AS total,
+         SUM(n_docs) OVER (PARTITION BY lang) AS n_actual
+  FROM cells_)
+SELECT lang AS actual, pred AS predicted,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / total, 6) AS share,
+       ROUND(CAST(n_docs AS DOUBLE) / n_actual, 6) AS recall_of_actual
+FROM tot
+"""
+
+
+# --- cover_level_invariance: the spatial join is resolution-independent --------------
+#
+# A self-consistency gate of the B4/B7 machinery: the SAME point-in-
+# polygon join (events × nation fences) runs at THREE cover levels —
+# coarser cover = bigger candidate sets, same exact refine — and the
+# matched-pair count and id checksum must be IDENTICAL per level.  The
+# oracle computes the level-free ground truth once (edge-table ray cast)
+# and replicates it per level, so any level-dependent bug (cover gap,
+# duplicate candidate surviving refine) breaks the gate.
+
+COVER_LEVELS = (4, 5, 6)
+
+
+def q_cover_level_invariance(spark, sf_dir):
+    from . import spatial
+    from .queries_spatial import _event_points, _nation_fences_df
+    pts = _event_points(spark, sf_dir)
+    polys = _nation_fences_df(spark, sf_dir)
+    out = None
+    for lv in COVER_LEVELS:
+        j = spatial.spatial_join(pts, polys, "lon", "lat", level=lv,
+                                 broadcast_cover=True)
+        o = (j.groupBy()
+             .agg(F.count(F.lit(1)).alias("n_pairs"),
+                  F.expr("SUM(event_id * 31 + poly_id)").alias("checksum"))
+             .selectExpr(f"CAST({lv} AS INT) AS cover_level",
+                         "CAST(n_pairs AS BIGINT) AS n_pairs",
+                         "CAST(checksum AS BIGINT) AS checksum"))
+        out = o if out is None else out.unionAll(o)
+    return out
+
+
+def _oracle_cover_invariance() -> str:
+    from . import geom
+    from .queries_spatial import EVENT_POINTS_SQL
+    per_level = "\nUNION ALL\n".join(f"""
+SELECT CAST({lv} AS INT) AS cover_level,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(event_id * 31 + n_nationkey) AS BIGINT) AS checksum
+FROM gt""" for lv in COVER_LEVELS)
+    return f"""
+WITH gt AS MATERIALIZED (
+  SELECT e.event_id, g.n_nationkey
+  FROM {EVENT_POINTS_SQL} e
+  CROSS JOIN {fixtures.nation_edges_sql()} g
+  GROUP BY e.event_id, g.n_nationkey, e.lon, e.lat
+  HAVING SUM({geom.pip_sql('e.lon', 'e.lat')}) % 2 = 1)
+{per_level}
+"""
+
+
+QUERIES.update({
+    "langid_confusion": (q_langid_confusion, ORACLE_LANGID_CONF),
+    "cover_level_invariance": (q_cover_level_invariance,
+                               _oracle_cover_invariance()),
+})

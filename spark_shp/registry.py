@@ -201,6 +201,8 @@ _TAIL = [
     "boxcount_dimension",     # fractal box-counting dimension (B)
     "interarrival_burstiness",  # Goh-Barabasi burstiness (C6/C7)
     "abc_analysis",           # Pareto revenue classing (C6/C7)
+    "langid_confusion",       # classifier-eval confusion matrix (text)
+    "cover_level_invariance",  # PIP join resolution-independence (B4/B7)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

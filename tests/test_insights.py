@@ -1156,3 +1156,32 @@ def test_abc_analysis_matches_pandas(spark):
         assert r["revenue_cents"] == int(rev["rc"][sel].sum())
         assert r["checksum"] == int(rev["p"][sel].sum())
     assert out["A"]["n_parts"] < out["C"]["n_parts"] or True
+
+
+def test_langid_confusion_matches_pandas(spark):
+    from spark_shp.queries_insights import q_langid_confusion
+    rows = q_langid_confusion(spark, SF).collect()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    cm = {}
+    for _, row in docs.iterrows():
+        toks = row["text"].split(" ")
+        en = sum(t in ("a", "the", "fast", "slow") for t in toks) / len(toks)
+        de = sum(t in ("der", "die", "und") for t in toks) / len(toks)
+        pred = "de" if de > en else "en"
+        cm[(row["lang"], pred)] = cm.get((row["lang"], pred), 0) + 1
+    total = sum(cm.values())
+    got = {(r["actual"], r["predicted"]): r for r in rows}
+    assert set(got) == set(cm)
+    for k, n in cm.items():
+        r = got[k]
+        assert r["n_docs"] == n
+        assert abs(r["share"] - n / total) < 1e-6
+
+
+def test_cover_level_invariance_counts_equal(spark):
+    from spark_shp.queries_insights import (COVER_LEVELS,
+                                            q_cover_level_invariance)
+    rows = q_cover_level_invariance(spark, SF).collect()
+    assert len(rows) == len(COVER_LEVELS)
+    assert len({(r["n_pairs"], r["checksum"]) for r in rows}) == 1
+    assert rows[0]["n_pairs"] > 0
