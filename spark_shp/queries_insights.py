@@ -3389,3 +3389,221 @@ QUERIES.update({
     "cover_level_invariance": (q_cover_level_invariance,
                                _oracle_cover_invariance()),
 })
+
+
+# --- l_diversity: sensitive-attribute diversity inside QI classes --------------------
+#
+# The k-anonymity companion: within each quasi-identifier class
+# (event_type x hour-of-day x level-4 cell), how many DISTINCT sensitive
+# values appear (sensitive = the user's hash decile — a deterministic
+# stand-in for a real sensitive column)?  Classes with l < 3 are
+# attribute-disclosure risks even when k is large.  Two aggregations,
+# all exact; class sets QI-domain-bounded.
+
+LDIV_L = 3
+
+
+def q_l_diversity(spark, sf_dir):
+    from .hashing import mix_sql
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, KANON_LVL)
+    sens = f"({mix_sql('user_id * 13 + 11')}) % 10"
+    cls = (_t(spark, sf_dir, "events")
+           .selectExpr("event_type",
+                       "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ))"
+                       " / 3600000000) AS BIGINT) % 24 AS hod",
+                       f"{ix} AS cx", f"{iy} AS cy", f"{sens} AS s")
+           .groupBy("event_type", "hod", "cx", "cy")
+           .agg(F.countDistinct("s").alias("l"),
+                F.count(F.lit(1)).alias("sz")))
+    return (cls.groupBy().agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("l").alias("min_l"),
+        F.expr(f"SUM(CASE WHEN l < {LDIV_L} THEN 1 ELSE 0 END)")
+        .alias("n_risky_classes"),
+        F.expr(f"SUM(CASE WHEN l < {LDIV_L} THEN sz ELSE 0 END)")
+        .alias("rows_in_risky"),
+        F.sum("sz").alias("n_rows"))
+        .selectExpr("CAST(n_classes AS BIGINT) AS n_classes",
+                    "CAST(min_l AS BIGINT) AS min_l",
+                    "CAST(n_risky_classes AS BIGINT) AS n_risky_classes",
+                    "CAST(rows_in_risky AS BIGINT) AS rows_in_risky",
+                    "ROUND(CAST(rows_in_risky AS DOUBLE) / n_rows, 6) "
+                    "AS risky_share"))
+
+
+def _oracle_ldiv() -> str:
+    from .hashing import mix_sql
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, KANON_LVL)
+    sens = f"({mix_sql('user_id * 13 + 11')}) % 10"
+    return f"""
+WITH cls AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) % 24 AS hod,
+         {ix} AS cx, {iy} AS cy,
+         COUNT(DISTINCT {sens}) AS l, COUNT(*) AS sz
+  FROM events GROUP BY 1, 2, 3, 4)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(l) AS BIGINT) AS min_l,
+       CAST(SUM(CASE WHEN l < {LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_risky_classes,
+       CAST(SUM(CASE WHEN l < {LDIV_L} THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_in_risky,
+       ROUND(CAST(SUM(CASE WHEN l < {LDIV_L} THEN sz ELSE 0 END)
+             AS DOUBLE) / SUM(sz), 6) AS risky_share
+FROM cls
+"""
+
+
+# --- clark_evans: nearest-neighbor spatial randomness index --------------------------
+#
+# The Clark–Evans R (observed mean NN distance / CSR expectation
+# 0.5/sqrt(density)) over purchase points, with NN candidates from the
+# Knox 3x3 cell ring at level 6: points whose nearest neighbor lies
+# beyond the ring are counted out (n_covered reported — the truncated-NN
+# convention, deterministic on both engines).  Per-point NN distances
+# snap to round-6 µdeg ints before the sum, so the mean is exact.
+
+CE_TYPE = "purchase"
+CE_CELL = 6
+
+
+def q_clark_evans(spark, sf_dir):
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, CE_CELL)
+    e = (_t(spark, sf_dir, "events")
+         .where(f"event_type = '{CE_TYPE}'")
+         .selectExpr("event_id", f"{_EV_UDEG[0]} AS ux",
+                     f"{_EV_UDEG[1]} AS uy", f"{ix} AS cx", f"{iy} AS cy")
+         .localCheckpoint())
+    a = e.selectExpr("event_id AS a_id", "ux AS aux", "uy AS auy",
+                     "explode(sequence(cx - 1, cx + 1)) AS jx", "cy AS acy")
+    a = a.selectExpr("a_id", "aux", "auy", "jx",
+                     "explode(sequence(acy - 1, acy + 1)) AS jy")
+    b = e.selectExpr("event_id", "ux", "uy", "cx AS jx", "cy AS jy")
+    nn = (a.join(b, ["jx", "jy"]).where("a_id <> event_id")
+          .selectExpr("a_id", "(aux - ux) * (aux - ux) + "
+                      "(auy - uy) * (auy - uy) AS d2")
+          .groupBy("a_id").agg(F.min("d2").alias("d2min")))
+    snapped = nn.selectExpr(
+        "CAST(FLOOR(ROUND(SQRT(d2min), 6) * 1000000.0 + 0.5) AS BIGINT) "
+        "AS nn_snapped")
+    cov = snapped.groupBy().agg(F.count(F.lit(1)).alias("n_cov"),
+                                F.sum("nn_snapped").alias("s_nn"))
+    tot = e.groupBy().agg(F.count(F.lit(1)).alias("n_pts"))
+    return (tot.crossJoin(cov)
+            .selectExpr(
+                "CAST(n_pts AS BIGINT) AS n_points",
+                "CAST(n_cov AS BIGINT) AS n_covered",
+                "ROUND(CAST(s_nn AS DOUBLE) / n_cov / 1000000000000.0, 6)"
+                " AS mean_nn_deg",
+                "ROUND((CAST(s_nn AS DOUBLE) / n_cov / 1000000000000.0) /"
+                " (0.5 / SQRT(n_pts / 61200.0)), 6) AS r_index"))
+
+
+def _oracle_clark_evans() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, CE_CELL)
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT event_id, {_EV_UDEG[0]} AS ux, {_EV_UDEG[1]} AS uy,
+         {ix} AS cx, {iy} AS cy
+  FROM events WHERE event_type = '{CE_TYPE}'),
+nn AS (
+  SELECT a.event_id AS a_id,
+         MIN((a.ux - b.ux) * (a.ux - b.ux) +
+             (a.uy - b.uy) * (a.uy - b.uy)) AS d2min
+  FROM (SELECT e.*, cx + dx.v AS jx, cy + dy.v AS jy
+        FROM e, (SELECT UNNEST([-1, 0, 1]) AS v) dx,
+             (SELECT UNNEST([-1, 0, 1]) AS v) dy) a
+  JOIN e b ON b.cx = a.jx AND b.cy = a.jy AND a.event_id <> b.event_id
+  GROUP BY 1),
+cov AS (
+  SELECT COUNT(*) AS n_cov,
+         SUM(CAST(FLOOR(ROUND(SQRT(d2min), 6) * 1000000.0 + 0.5)
+             AS BIGINT)) AS s_nn
+  FROM nn),
+tot AS (SELECT COUNT(*) AS n_pts FROM e)
+SELECT CAST(n_pts AS BIGINT) AS n_points,
+       CAST(n_cov AS BIGINT) AS n_covered,
+       ROUND(CAST(s_nn AS DOUBLE) / n_cov / 1000000000000.0, 6)
+         AS mean_nn_deg,
+       ROUND((CAST(s_nn AS DOUBLE) / n_cov / 1000000000000.0) /
+             (0.5 / SQRT(n_pts / 61200.0)), 6) AS r_index
+FROM tot, cov
+"""
+
+
+# --- term_burst: spiking-term detection over the corpus calendar ---------------------
+#
+# The trending-topics primitive: a term bursts on the day where its
+# daily share most exceeds its corpus share — ratio = (c_td·N)/(c_t·n_d)
+# from four exact counts, ranked on the ROUNDED ratio with (term, day)
+# tiebreaks.  Day = doc_id % 30 (documents carry no timestamp; the
+# deterministic day assignment is the fixture's calendar).
+
+BURST_TOPK = 5
+
+
+def q_term_burst(spark, sf_dir):
+    toks = (_t(spark, sf_dir, "documents")
+            .selectExpr("doc_id % 30 AS d",
+                        "explode(split(text, ' ')) AS term"))
+    td = toks.groupBy("term", "d").agg(F.count(F.lit(1)).alias("ctd"))
+    t = td.groupBy("term").agg(F.sum("ctd").alias("ct"))
+    dd = td.groupBy("d").agg(F.sum("ctd").alias("nd"))
+    nn = td.groupBy().agg(F.sum("ctd").alias("nn"))
+    scored = (td.join(F.broadcast(t), "term").join(F.broadcast(dd), "d")
+              .crossJoin(F.broadcast(nn))
+              .selectExpr("term", "d", "ctd",
+                          "ROUND(CAST(ctd AS DOUBLE) * nn / "
+                          "(CAST(ct AS DOUBLE) * nd), 6) AS ratio"))
+    per_term = scored.selectExpr(
+        "term", "d", "ctd", "ratio",
+        "ROW_NUMBER() OVER (PARTITION BY term ORDER BY ratio DESC, d) "
+        "AS rk_in")
+    top = per_term.where("rk_in = 1").selectExpr(
+        "term", "d", "ctd", "ratio",
+        "ROW_NUMBER() OVER (ORDER BY ratio DESC, term) AS rk")
+    return (top.where(f"rk <= {BURST_TOPK}")
+            .selectExpr("CAST(rk AS INT) AS rk", "term",
+                        "CAST(d AS BIGINT) AS peak_day",
+                        "CAST(ctd AS BIGINT) AS n_that_day", "ratio"))
+
+
+def _oracle_burst_terms() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id % 30 AS d, UNNEST(string_split(text, ' ')) AS term
+  FROM documents),
+td AS (SELECT term, d, COUNT(*) AS ctd FROM toks GROUP BY 1, 2),
+t AS (SELECT term, SUM(ctd) AS ct FROM td GROUP BY 1),
+dd AS (SELECT d, SUM(ctd) AS nd FROM td GROUP BY 1),
+nn AS (SELECT SUM(ctd) AS nn FROM td),
+scored AS (
+  SELECT td.term, td.d, td.ctd,
+         ROUND(CAST(td.ctd AS DOUBLE) * nn.nn /
+               (CAST(t.ct AS DOUBLE) * dd.nd), 6) AS ratio
+  FROM td JOIN t ON td.term = t.term JOIN dd ON td.d = dd.d
+  CROSS JOIN nn),
+per_term AS (
+  SELECT term, d, ctd, ratio,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY ratio DESC, d)
+           AS rk_in
+  FROM scored),
+top AS (
+  SELECT term, d, ctd, ratio,
+         ROW_NUMBER() OVER (ORDER BY ratio DESC, term) AS rk
+  FROM per_term WHERE rk_in = 1)
+SELECT CAST(rk AS INT) AS rk, term, CAST(d AS BIGINT) AS peak_day,
+       CAST(ctd AS BIGINT) AS n_that_day, ratio
+FROM top WHERE rk <= {BURST_TOPK}
+"""
+
+
+QUERIES.update({
+    "l_diversity": (q_l_diversity, _oracle_ldiv()),
+    "clark_evans": (q_clark_evans, _oracle_clark_evans()),
+    "term_burst": (q_term_burst, _oracle_burst_terms()),
+})

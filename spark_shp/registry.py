@@ -203,6 +203,9 @@ _TAIL = [
     "abc_analysis",           # Pareto revenue classing (C6/C7)
     "langid_confusion",       # classifier-eval confusion matrix (text)
     "cover_level_invariance",  # PIP join resolution-independence (B4/B7)
+    "l_diversity",            # sensitive-value diversity audit (privacy)
+    "clark_evans",            # NN spatial randomness index (B stats)
+    "term_burst",             # trending-term detection (text/C6)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

@@ -1185,3 +1185,75 @@ def test_cover_level_invariance_counts_equal(spark):
     assert len(rows) == len(COVER_LEVELS)
     assert len({(r["n_pairs"], r["checksum"]) for r in rows}) == 1
     assert rows[0]["n_pairs"] > 0
+
+
+def test_l_diversity_matches_pandas(spark):
+    from spark_shp import cells
+    from spark_shp.queries_insights import (KANON_LVL, LDIV_L,
+                                            q_l_diversity)
+    r = q_l_diversity(spark, SF).collect()[0]
+    ev, lon, lat = _event_points(SF)
+    ix, iy = cells.quantize(lon, lat, KANON_LVL)
+    hod = (ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+           // 3_600_000_000) % 24
+    s = mix(ev["user_id"].to_numpy(dtype=np.int64) * 13 + 11) % 10
+    df = pd.DataFrame({"t": ev["event_type"], "hod": hod, "cx": ix,
+                       "cy": iy, "s": s})
+    g = df.groupby(["t", "hod", "cx", "cy"])["s"]
+    ls, szs = g.nunique(), g.size()
+    assert r["n_classes"] == len(ls)
+    assert r["min_l"] == int(ls.min())
+    assert r["n_risky_classes"] == int((ls < LDIV_L).sum())
+    assert r["rows_in_risky"] == int(szs[ls < LDIV_L].sum())
+
+
+def test_clark_evans_matches_bruteforce(spark):
+    from spark_shp.queries_insights import CE_TYPE, q_clark_evans
+    r = q_clark_evans(spark, SF).collect()[0]
+    ev, lon, lat = _event_points(SF)
+    sel = (ev["event_type"] == CE_TYPE).to_numpy()
+    ux = np.floor(lon[sel] * 1e6).astype(np.int64)
+    uy = np.floor(lat[sel] * 1e6).astype(np.int64)
+    from spark_shp import cells
+    cx, cy = cells.quantize(lon[sel], lat[sel], 6)
+    n = len(ux)
+    assert r["n_points"] == n
+    snapped = []
+    for i in range(n):
+        ring = (np.abs(cx - cx[i]) <= 1) & (np.abs(cy - cy[i]) <= 1)
+        ring[i] = False
+        if not ring.any():
+            continue
+        d2 = ((ux[ring] - ux[i]) ** 2 + (uy[ring] - uy[i]) ** 2).min()
+        snapped.append(int(np.floor(round(np.sqrt(d2), 6) * 1e6 + 0.5)))
+    assert r["n_covered"] == len(snapped)
+    mean_nn = sum(snapped) / len(snapped) / 1e12
+    assert abs(r["mean_nn_deg"] - mean_nn) < 1e-6
+    exp = 0.5 / np.sqrt(n / 61200.0)
+    assert abs(r["r_index"] - mean_nn / exp) < 1e-4
+
+
+def test_term_burst_matches_pandas(spark):
+    from spark_shp.queries_insights import BURST_TOPK, q_term_burst
+    rows = q_term_burst(spark, SF).collect()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    td = {}
+    for _, row in docs.iterrows():
+        d = int(row["doc_id"]) % 30
+        for t in row["text"].split(" "):
+            td[(t, d)] = td.get((t, d), 0) + 1
+    ct, nd, nn = {}, {}, 0
+    for (t, d), c in td.items():
+        ct[t] = ct.get(t, 0) + c
+        nd[d] = nd.get(d, 0) + c
+        nn += c
+    best = {}
+    for (t, d), c in td.items():
+        ratio = round(c * nn / (ct[t] * nd[d]), 6)
+        cur = best.get(t)
+        if cur is None or (-ratio, d) < (-cur[0], cur[1]):
+            best[t] = (ratio, d, c)
+    exp = sorted(((v[0], t, v[1], v[2]) for t, v in best.items()),
+                 key=lambda x: (-x[0], x[1]))[:BURST_TOPK]
+    assert [(r["term"], r["peak_day"], r["n_that_day"]) for r in rows] \
+        == [(t, d, c) for _, t, d, c in exp]
