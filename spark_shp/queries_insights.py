@@ -3607,3 +3607,140 @@ QUERIES.update({
     "clark_evans": (q_clark_evans, _oracle_clark_evans()),
     "term_burst": (q_term_burst, _oracle_burst_terms()),
 })
+
+
+# --- home_location: modal-cell inference per user -------------------------------------
+#
+# The mobility-mining staple: a user's "home" is their modal level-6
+# cell, resolved WITHOUT floats by the packed argmax cnt·2^18 +
+# (2^18−1−cell) (cell ids at level 6 are < 2^18; ties break to the
+# smaller cell on both engines).  Output = the top-10 home cells by
+# resident count — one user-cell shuffle, one user argmax, one tiny
+# rollup.
+
+HOME_LVL = 6
+HOME_TOPK = 10
+
+
+def q_home_location(spark, sf_dir):
+    cell = cells.cell_sql(f"({fixtures.EVENT_LON_SQL})",
+                          f"({fixtures.EVENT_LAT_SQL})", HOME_LVL)
+    uc = (_t(spark, sf_dir, "events")
+          .selectExpr("user_id", f"{cell} AS cell")
+          .groupBy("user_id", "cell").agg(F.count(F.lit(1)).alias("cnt")))
+    home = (uc.selectExpr(
+        "user_id", "cnt * 262144 + (262143 - cell) AS packed")
+        .groupBy("user_id").agg(F.max("packed").alias("best"))
+        .selectExpr("user_id",
+                    "262143 - best % 262144 AS home_cell",
+                    "CAST(FLOOR(best / 262144.0) AS BIGINT) AS n_at_home"))
+    tot = home.groupBy().agg(F.count(F.lit(1)).alias("n_users"))
+    top = (home.groupBy("home_cell")
+           .agg(F.count(F.lit(1)).alias("n_residents"),
+                F.sum("n_at_home").alias("n_events_at_home"))
+           .crossJoin(F.broadcast(tot))
+           .selectExpr("home_cell", "n_residents", "n_events_at_home",
+                       "n_users",
+                       "ROW_NUMBER() OVER (ORDER BY n_residents DESC, "
+                       "home_cell) AS rk"))
+    return (top.where(f"rk <= {HOME_TOPK}")
+            .selectExpr("CAST(rk AS INT) AS rk",
+                        "CAST(home_cell AS BIGINT) AS home_cell",
+                        "CAST(n_residents AS BIGINT) AS n_residents",
+                        "CAST(n_events_at_home AS BIGINT) "
+                        "AS n_events_at_home",
+                        "ROUND(CAST(n_residents AS DOUBLE) / n_users, 6) "
+                        "AS resident_share"))
+
+
+def _oracle_home() -> str:
+    cell = cells.cell_sql(f"({fixtures.EVENT_LON_SQL})",
+                          f"({fixtures.EVENT_LAT_SQL})", HOME_LVL)
+    return f"""
+WITH uc AS (
+  SELECT user_id, {cell} AS cell, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+home AS (
+  SELECT user_id,
+         262143 - MAX(cnt * 262144 + (262143 - cell)) % 262144
+           AS home_cell,
+         CAST(FLOOR(MAX(cnt * 262144 + (262143 - cell)) / 262144.0)
+              AS BIGINT) AS n_at_home
+  FROM uc GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_users FROM home),
+top AS (
+  SELECT home_cell, COUNT(*) AS n_residents,
+         SUM(n_at_home) AS n_events_at_home, MAX(tot.n_users) AS n_users,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, home_cell) AS rk
+  FROM home CROSS JOIN tot GROUP BY home_cell)
+SELECT CAST(rk AS INT) AS rk, CAST(home_cell AS BIGINT) AS home_cell,
+       CAST(n_residents AS BIGINT) AS n_residents,
+       CAST(n_events_at_home AS BIGINT) AS n_events_at_home,
+       ROUND(CAST(n_residents AS DOUBLE) / n_users, 6) AS resident_share
+FROM top WHERE rk <= {HOME_TOPK}
+"""
+
+
+# --- region_covisitation: fence-pair co-visit matrix ----------------------------------
+#
+# The place-recommendation / mobility-flow composition: the REAL spatial
+# join (events PIP nation fences) feeds the basket pattern — distinct
+# (user, fence) visits, per-user fence pairs (bounded by 25² per user,
+# never fences² globally), top-10 pairs.  The oracle recomputes the
+# visits from the edge-table ray cast — so this row gates the spatial
+# join and the pair logic TOGETHER.
+
+COVIS_TOPK = 10
+
+
+def q_region_covisitation(spark, sf_dir):
+    from . import spatial
+    from .queries_spatial import _event_points, _nation_fences_df
+    pts = _event_points(spark, sf_dir)
+    polys = _nation_fences_df(spark, sf_dir)
+    j = spatial.spatial_join(pts, polys, "lon", "lat", level=6,
+                             broadcast_cover=True)
+    visits = j.select("user_id", "poly_id").distinct().localCheckpoint()
+    a = visits.selectExpr("user_id", "poly_id AS pa")
+    b = visits.selectExpr("user_id", "poly_id AS pb")
+    pairs = (a.join(b, "user_id").where("pa < pb")
+             .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("n_users")))
+    top = pairs.selectExpr(
+        "pa", "pb", "n_users",
+        "ROW_NUMBER() OVER (ORDER BY n_users DESC, pa, pb) AS rk")
+    return (top.where(f"rk <= {COVIS_TOPK}")
+            .selectExpr("CAST(rk AS INT) AS rk",
+                        "CAST(pa AS BIGINT) AS nation_a",
+                        "CAST(pb AS BIGINT) AS nation_b",
+                        "CAST(n_users AS BIGINT) AS n_users"))
+
+
+def _oracle_covisitation() -> str:
+    from . import geom
+    from .queries_spatial import EVENT_POINTS_SQL
+    return f"""
+WITH visits AS MATERIALIZED (
+  SELECT DISTINCT e.user_id, g.n_nationkey AS poly
+  FROM {EVENT_POINTS_SQL} e
+  CROSS JOIN {fixtures.nation_edges_sql()} g
+  GROUP BY e.event_id, e.user_id, g.n_nationkey, e.lon, e.lat
+  HAVING SUM({geom.pip_sql('e.lon', 'e.lat')}) % 2 = 1),
+pairs AS (
+  SELECT a.poly AS pa, b.poly AS pb, COUNT(*) AS n_users
+  FROM visits a JOIN visits b
+    ON a.user_id = b.user_id AND a.poly < b.poly
+  GROUP BY 1, 2),
+top AS (
+  SELECT pa, pb, n_users,
+         ROW_NUMBER() OVER (ORDER BY n_users DESC, pa, pb) AS rk
+  FROM pairs)
+SELECT CAST(rk AS INT) AS rk, CAST(pa AS BIGINT) AS nation_a,
+       CAST(pb AS BIGINT) AS nation_b, CAST(n_users AS BIGINT) AS n_users
+FROM top WHERE rk <= {COVIS_TOPK}
+"""
+
+
+QUERIES.update({
+    "home_location": (q_home_location, _oracle_home()),
+    "region_covisitation": (q_region_covisitation, _oracle_covisitation()),
+})

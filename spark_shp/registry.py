@@ -206,6 +206,8 @@ _TAIL = [
     "l_diversity",            # sensitive-value diversity audit (privacy)
     "clark_evans",            # NN spatial randomness index (B stats)
     "term_burst",             # trending-term detection (text/C6)
+    "home_location",          # modal-cell inference per user (B5/C7)
+    "region_covisitation",    # fence-pair co-visit matrix (B7+basket)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

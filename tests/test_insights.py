@@ -1257,3 +1257,57 @@ def test_term_burst_matches_pandas(spark):
                  key=lambda x: (-x[0], x[1]))[:BURST_TOPK]
     assert [(r["term"], r["peak_day"], r["n_that_day"]) for r in rows] \
         == [(t, d, c) for _, t, d, c in exp]
+
+
+def test_home_location_matches_pandas(spark):
+    from spark_shp import cells
+    from spark_shp.queries_insights import HOME_LVL, q_home_location
+    rows = q_home_location(spark, SF).collect()
+    ev, lon, lat = _event_points(SF)
+    cell = cells.cell_encode(lon, lat, HOME_LVL)
+    df = pd.DataFrame({"u": ev["user_id"], "c": cell})
+    homes = {}
+    for u, grp in df.groupby("u"):
+        cnt = grp.groupby("c").size()
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        homes[u] = best
+    agg = {}
+    for u, (c, n) in homes.items():
+        e = agg.setdefault(c, [0, 0])
+        e[0] += 1
+        e[1] += int(n)
+    exp = sorted(((v[0], -c, c, v[1]) for c, v in agg.items()),
+                 key=lambda x: (-x[0], x[2]))
+    for r, (nres, _, c, nev) in zip(rows, exp):
+        assert (r["home_cell"], r["n_residents"],
+                r["n_events_at_home"]) == (c, nres, nev)
+        assert abs(r["resident_share"] - nres / len(homes)) < 1e-6
+
+
+def test_region_covisitation_matches_bruteforce(spark):
+    from spark_shp import fixtures as FX, geom
+    from spark_shp.queries_insights import q_region_covisitation
+    rows = q_region_covisitation(spark, SF).collect()
+    ev, lon, lat = _event_points(SF)
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    k = np.sort(nat["n_nationkey"].to_numpy(dtype=np.int64))
+    cx, cy, hw = FX.nation_fences_np(k)
+    visits = set()
+    for j in range(len(k)):
+        inside = ((lon >= cx[j] - hw[j]) & (lon < cx[j] + hw[j])
+                  & (lat >= cy[j] - hw[j]) & (lat < cy[j] + hw[j]))
+        for u in set(ev["user_id"][inside]):
+            visits.add((u, int(k[j])))
+    pairs = {}
+    byu = {}
+    for u, p in visits:
+        byu.setdefault(u, []).append(p)
+    for u, ps in byu.items():
+        ps.sort()
+        for i in range(len(ps)):
+            for j2 in range(i + 1, len(ps)):
+                pairs[(ps[i], ps[j2])] = pairs.get((ps[i], ps[j2]), 0) + 1
+    exp = sorted(((v, a, b) for (a, b), v in pairs.items()),
+                 key=lambda x: (-x[0], x[1], x[2]))[:10]
+    assert [(r["nation_a"], r["nation_b"], r["n_users"])
+            for r in rows] == [(a, b, v) for v, a, b in exp]
