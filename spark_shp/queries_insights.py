@@ -3744,3 +3744,127 @@ QUERIES.update({
     "home_location": (q_home_location, _oracle_home()),
     "region_covisitation": (q_region_covisitation, _oracle_covisitation()),
 })
+
+
+# --- percolation_sweep: largest-cluster share vs density threshold -------------------
+#
+# The percolation curve of the activity surface: at thresholds tau x mean
+# occupied-cell count (tau = 1, 2, 4; integer cross-multiplied
+# cnt·m >= tau·s, no float boundary), 8-adjacent supra-threshold cells
+# merge via distributed connected components, and the largest-component
+# share tells whether the hot surface is one connected mass (tau low) or
+# isolated islands (tau high).  Spark runs graph.connected_components per
+# threshold (grid-bounded); the oracle is one recursive transitive-
+# closure CTE per threshold, unioned.
+
+PERC_LVL = 6
+PERC_TAUS = (1, 2, 4)
+
+
+def q_percolation_sweep(spark, sf_dir):
+    from .graph import connected_components
+    n = 1 << PERC_LVL
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, PERC_LVL)
+    cnt = (_t(spark, sf_dir, "events")
+           .selectExpr(f"{ix} AS ix", f"{iy} AS iy")
+           .groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("cnt"))
+           .localCheckpoint())
+    stats = cnt.groupBy().agg(F.sum("cnt").alias("s"),
+                              F.count(F.lit(1)).alias("m"))
+    out = None
+    for tau in PERC_TAUS:
+        hot = (cnt.crossJoin(F.broadcast(stats))
+               .where(f"cnt * m >= {tau} * s")
+               .selectExpr("ix", "iy", "cnt", f"ix * {n} + iy AS key")
+               .localCheckpoint())
+        nbr = (hot.selectExpr("key", "ix", "iy",
+                              "explode(sequence(-1, 1)) AS dx")
+               .selectExpr("key", "ix", "iy", "dx",
+                           "explode(sequence(-1, 1)) AS dy")
+               .where("NOT (dx = 0 AND dy = 0)")
+               .selectExpr("key", "ix + dx AS nx", "iy + dy AS ny")
+               .where(f"nx BETWEEN 0 AND {n - 1} AND "
+                      f"ny BETWEEN 0 AND {n - 1}")
+               .selectExpr("key", f"nx * {n} + ny AS nk"))
+        edges = (nbr.join(hot.selectExpr("key AS nk"), "nk")
+                 .where("key < nk")
+                 .selectExpr("key AS src", "nk AS dst"))
+        # tau=1 components sprawl (diameter >> the hop method's round
+        # budget — under-merged labels observed at sf0.01); pointer
+        # jumping converges in O(log diameter) rounds
+        comp = connected_components(edges, "src", "dst", method="jump")
+        lab = (hot.join(comp, hot["key"] == comp["node"], "left")
+               .selectExpr("key", "cnt",
+                           "COALESCE(component, key) AS cluster"))
+        sizes = lab.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("sz"))
+        o = (sizes.groupBy()
+             .agg(F.count(F.lit(1)).alias("n_components"),
+                  F.sum("sz").alias("n_hot"),
+                  F.max("sz").alias("largest"))
+             .selectExpr(f"CAST({tau} AS INT) AS tau",
+                         "CAST(COALESCE(n_hot, 0) AS BIGINT) AS n_hot",
+                         "CAST(COALESCE(n_components, 0) AS BIGINT) "
+                         "AS n_components",
+                         "CAST(COALESCE(largest, 0) AS BIGINT) AS largest",
+                         "CASE WHEN n_hot IS NULL OR n_hot = 0 THEN "
+                         "CAST(NULL AS DOUBLE) ELSE "
+                         "ROUND(CAST(largest AS DOUBLE) / n_hot, 6) END "
+                         "AS largest_share"))
+        out = o if out is None else out.unionAll(o)
+    return out
+
+
+def _oracle_percolation() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, PERC_LVL)
+    n = 1 << PERC_LVL
+    blocks = []
+    for tau in PERC_TAUS:
+        blocks.append(f"""
+hot{tau} AS MATERIALIZED (
+  SELECT ix, iy, cnt, ix * {n} + iy AS key FROM cnts
+  WHERE cnt * (SELECT COUNT(*) FROM cnts) >=
+        {tau} * (SELECT SUM(cnt) FROM cnts)),
+edges{tau} AS MATERIALIZED (
+  SELECT e.s, e.d FROM (
+    SELECT h.key AS s, (h.ix + dx.v) * {n} + (h.iy + dy.v) AS d
+    FROM hot{tau} h
+    CROSS JOIN (VALUES (-1), (0), (1)) AS dx(v)
+    CROSS JOIN (VALUES (-1), (0), (1)) AS dy(v)
+    WHERE NOT (dx.v = 0 AND dy.v = 0)
+      AND h.ix + dx.v BETWEEN 0 AND {n - 1}
+      AND h.iy + dy.v BETWEEN 0 AND {n - 1}) e
+  JOIN hot{tau} h2 ON h2.key = e.d),
+reach{tau}(k, m) AS (
+  SELECT key, key FROM hot{tau}
+  UNION
+  SELECT r.k, e.d FROM reach{tau} r JOIN edges{tau} e ON e.s = r.m),
+sizes{tau} AS (
+  SELECT MIN(m) AS cluster, 1 AS one FROM reach{tau} GROUP BY k),
+agg{tau} AS (
+  SELECT CAST({tau} AS INT) AS tau, COUNT(*) AS n_hot,
+         COUNT(DISTINCT cluster) AS n_components,
+         MAX(csz) AS largest
+  FROM (SELECT cluster, COUNT(*) OVER (PARTITION BY cluster) AS csz
+        FROM sizes{tau}) t)""")
+    sel = "\nUNION ALL\n".join(f"""
+SELECT tau, CAST(COALESCE(n_hot, 0) AS BIGINT) AS n_hot,
+       CAST(COALESCE(n_components, 0) AS BIGINT) AS n_components,
+       CAST(COALESCE(largest, 0) AS BIGINT) AS largest,
+       CASE WHEN n_hot IS NULL OR n_hot = 0 THEN CAST(NULL AS DOUBLE)
+       ELSE ROUND(CAST(largest AS DOUBLE) / n_hot, 6) END
+         AS largest_share
+FROM agg{tau}""" for tau in PERC_TAUS)
+    return f"""
+WITH RECURSIVE cnts AS MATERIALIZED (
+  SELECT {ix} AS ix, {iy} AS iy, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),{','.join(blocks)}
+{sel}
+"""
+
+
+QUERIES.update({
+    "percolation_sweep": (q_percolation_sweep, _oracle_percolation()),
+})

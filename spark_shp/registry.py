@@ -208,6 +208,7 @@ _TAIL = [
     "term_burst",             # trending-term detection (text/C6)
     "home_location",          # modal-cell inference per user (B5/C7)
     "region_covisitation",    # fence-pair co-visit matrix (B7+basket)
+    "percolation_sweep",      # largest-cluster share vs threshold (B/graph)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

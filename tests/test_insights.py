@@ -1311,3 +1311,37 @@ def test_region_covisitation_matches_bruteforce(spark):
                  key=lambda x: (-x[0], x[1], x[2]))[:10]
     assert [(r["nation_a"], r["nation_b"], r["n_users"])
             for r in rows] == [(a, b, v) for v, a, b in exp]
+
+
+def test_percolation_sweep_matches_floodfill(spark):
+    from spark_shp import cells
+    from spark_shp.queries_insights import (PERC_LVL, PERC_TAUS,
+                                            q_percolation_sweep)
+    out = {r["tau"]: r for r in q_percolation_sweep(spark, SF).collect()}
+    ev, lon, lat = _event_points(SF)
+    ix, iy = cells.quantize(lon, lat, PERC_LVL)
+    z = pd.DataFrame({"ix": ix, "iy": iy}).groupby(
+        ["ix", "iy"]).size().to_dict()
+    s, m = sum(z.values()), len(z)
+    for tau in PERC_TAUS:
+        hot = {c for c, v in z.items() if v * m >= tau * s}
+        seen, comps = set(), []
+        for c in hot:
+            if c in seen:
+                continue
+            stack, comp = [c], 0
+            seen.add(c)
+            while stack:
+                cx, cy = stack.pop()
+                comp += 1
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        nb = (cx + dx, cy + dy)
+                        if nb in hot and nb not in seen:
+                            seen.add(nb)
+                            stack.append(nb)
+            comps.append(comp)
+        r = out[tau]
+        assert r["n_hot"] == len(hot), tau
+        assert r["n_components"] == len(comps), tau
+        assert r["largest"] == (max(comps) if comps else 0), tau
