@@ -65,6 +65,16 @@ def connected_components(edges: DataFrame, src: str = "src",
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        # Silent non-convergence returns WRONG (under-merged) labels —
+        # observed live: a sprawling tau=1 percolation graph exceeded the
+        # hop method's 50-round budget and split real components. Fail
+        # loudly; callers pick method="jump" (O(log diameter)) or raise
+        # max_iter for long-chain graphs.
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(method={method!r}); use method='jump' or raise max_iter")
     sym.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
