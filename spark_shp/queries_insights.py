@@ -3868,3 +3868,140 @@ WITH RECURSIVE cnts AS MATERIALIZED (
 QUERIES.update({
     "percolation_sweep": (q_percolation_sweep, _oracle_percolation()),
 })
+
+
+# --- calibration_bins: reliability diagram of the purchase-share score ----------------
+#
+# The classifier-eval companion to langid_confusion / ab_test_ztest: use
+# each user's purchase share as a deterministic score, bin it to deciles
+# by the INTEGER bucket FLOOR(10·np/nt), and compare mean score vs
+# observed conversion (share > 20%) per bin.  Mean scores are round-6-
+# snapped ints before summation (the zipf rule), observed rates one
+# division — a reliability diagram whose every cell is exact.
+
+def q_calibration_bins(spark, sf_dir):
+    per = (_t(spark, sf_dir, "events")
+           .selectExpr("user_id",
+                       "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
+                       "END AS p")
+           .groupBy("user_id")
+           .agg(F.sum("p").alias("np_"), F.count(F.lit(1)).alias("nt")))
+    scored = per.selectExpr(
+        "CAST(FLOOR(10.0 * np_ / nt) AS BIGINT) AS bin",
+        "CAST(FLOOR(ROUND(CAST(np_ AS DOUBLE) / nt, 6) * 1000000.0 + 0.5)"
+        " AS BIGINT) AS score_snapped",
+        "CASE WHEN np_ * 5 > nt THEN 1 ELSE 0 END AS conv")
+    return (scored.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("score_snapped").alias("s_score"),
+                 F.sum("conv").alias("n_conv"))
+            .selectExpr("CAST(bin AS BIGINT) AS bin",
+                        "CAST(n_users AS BIGINT) AS n_users",
+                        "ROUND(CAST(s_score AS DOUBLE) / n_users "
+                        "/ 1000000.0, 6) AS mean_score",
+                        "ROUND(CAST(n_conv AS DOUBLE) / n_users, 6) "
+                        "AS observed_rate"))
+
+
+def _oracle_calibration() -> str:
+    return """
+WITH per AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np_,
+         COUNT(*) AS nt
+  FROM events GROUP BY 1),
+scored AS (
+  SELECT CAST(FLOOR(10.0 * np_ / nt) AS BIGINT) AS bin,
+         CAST(FLOOR(ROUND(CAST(np_ AS DOUBLE) / nt, 6) * 1000000.0 + 0.5)
+              AS BIGINT) AS score_snapped,
+         CASE WHEN np_ * 5 > nt THEN 1 ELSE 0 END AS conv
+  FROM per)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(score_snapped) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+         AS mean_score,
+       ROUND(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 6) AS observed_rate
+FROM scored GROUP BY 1
+"""
+
+
+# --- mad_outliers: robust (median/MAD) anomaly flags on the hourly series -------------
+#
+# The robust-statistics counterpart of control_chart (3σ breaks under
+# heavy tails; MAD doesn't): per event type, the hourly-count median and
+# the median absolute deviation come from EXPLICIT ranks over the tiny
+# hourly aggregate (even-length medians use the lower-middle element —
+# the same convention on both engines, no engine percentile builtin),
+# and a point is anomalous iff |c − med| > 3·mad, an integer test.
+
+def q_mad_outliers(spark, sf_dir):
+    hourly = (_t(spark, sf_dir, "events")
+              .selectExpr("event_type AS g",
+                          "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ))"
+                          " / 3600000000) AS BIGINT) AS h")
+              .groupBy("g", "h").agg(F.count(F.lit(1)).alias("c"))
+              .localCheckpoint())
+    med = (hourly.selectExpr(
+        "g", "c",
+        "ROW_NUMBER() OVER (PARTITION BY g ORDER BY c, h) AS rk",
+        "COUNT(*) OVER (PARTITION BY g) AS n")
+        .where("rk * 2 = n OR rk * 2 = n + 1")
+        .groupBy("g").agg(F.min("c").alias("med")))
+    dev = (hourly.join(F.broadcast(med), "g")
+           .selectExpr("g", "h", "c", "med", "ABS(c - med) AS ad"))
+    mad = (dev.selectExpr(
+        "g", "ad",
+        "ROW_NUMBER() OVER (PARTITION BY g ORDER BY ad, h) AS rk",
+        "COUNT(*) OVER (PARTITION BY g) AS n")
+        .where("rk * 2 = n OR rk * 2 = n + 1")
+        .groupBy("g").agg(F.min("ad").alias("mad")))
+    flagged = (dev.join(F.broadcast(mad), "g")
+               .selectExpr("g", "med", "mad",
+                           "CASE WHEN ad > 3 * mad THEN 1 ELSE 0 END "
+                           "AS out"))
+    return (flagged.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n_hours"),
+                 F.max("med").alias("med"), F.max("mad").alias("mad"),
+                 F.sum("out").alias("n_outliers"))
+            .selectExpr("g", "CAST(n_hours AS BIGINT) AS n_hours",
+                        "CAST(med AS BIGINT) AS median",
+                        "CAST(mad AS BIGINT) AS mad",
+                        "CAST(n_outliers AS BIGINT) AS n_outliers"))
+
+
+def _oracle_mad() -> str:
+    return """
+WITH hourly AS (
+  SELECT event_type AS g,
+         CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+med AS (
+  SELECT g, MIN(c) AS med FROM (
+    SELECT g, c, ROW_NUMBER() OVER (PARTITION BY g ORDER BY c, h) AS rk,
+           COUNT(*) OVER (PARTITION BY g) AS n
+    FROM hourly)
+  WHERE rk * 2 = n OR rk * 2 = n + 1 GROUP BY 1),
+dev AS (
+  SELECT hourly.g, h, c, med, ABS(c - med) AS ad
+  FROM hourly JOIN med ON hourly.g = med.g),
+mad AS (
+  SELECT g, MIN(ad) AS mad FROM (
+    SELECT g, ad, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY ad, h)
+             AS rk,
+           COUNT(*) OVER (PARTITION BY g) AS n
+    FROM dev)
+  WHERE rk * 2 = n OR rk * 2 = n + 1 GROUP BY 1)
+SELECT dev.g, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(MAX(dev.med) AS BIGINT) AS median,
+       CAST(MAX(mad.mad) AS BIGINT) AS mad,
+       CAST(SUM(CASE WHEN dev.ad > 3 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON dev.g = mad.g
+GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "calibration_bins": (q_calibration_bins, _oracle_calibration()),
+    "mad_outliers": (q_mad_outliers, _oracle_mad()),
+})

@@ -209,6 +209,8 @@ _TAIL = [
     "home_location",          # modal-cell inference per user (B5/C7)
     "region_covisitation",    # fence-pair co-visit matrix (B7+basket)
     "percolation_sweep",      # largest-cluster share vs threshold (B/graph)
+    "calibration_bins",       # reliability diagram, exact bins (C6/ML)
+    "mad_outliers",           # robust median/MAD anomaly flags (C6)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
     "knn_events_nations",

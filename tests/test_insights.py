@@ -1345,3 +1345,43 @@ def test_percolation_sweep_matches_floodfill(spark):
         assert r["n_hot"] == len(hot), tau
         assert r["n_components"] == len(comps), tau
         assert r["largest"] == (max(comps) if comps else 0), tau
+
+
+def test_calibration_bins_matches_pandas(spark):
+    from spark_shp.queries_insights import q_calibration_bins
+    out = {r["bin"]: r for r in q_calibration_bins(spark, SF).collect()}
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    per = ev.groupby("user_id").agg(
+        np_=("event_type", lambda s: int((s == "purchase").sum())),
+        nt=("event_type", "size"))
+    bins = {}
+    for _, row in per.iterrows():
+        b = int(np.floor(10.0 * row["np_"] / row["nt"]))
+        s = int(np.floor(round(row["np_"] / row["nt"], 6) * 1e6 + 0.5))
+        conv = 1 if row["np_"] * 5 > row["nt"] else 0
+        e = bins.setdefault(b, [0, 0, 0])
+        e[0] += 1
+        e[1] += s
+        e[2] += conv
+    assert set(out) == set(bins)
+    for b, (n, s, c) in bins.items():
+        r = out[b]
+        assert r["n_users"] == n
+        assert abs(r["mean_score"] - s / n / 1e6) < 1e-6
+        assert abs(r["observed_rate"] - c / n) < 1e-6
+
+
+def test_mad_outliers_matches_numpy(spark):
+    from spark_shp.queries_insights import q_mad_outliers
+    out = {r["g"]: r for r in q_mad_outliers(spark, SF).collect()}
+    df = _hourly_series(SF)
+    for g, grp in df.groupby("g"):
+        c = np.sort(grp.groupby("h").size().to_numpy())
+        n = len(c)
+        med = int(c[(n - 1) // 2])      # lower-middle convention
+        ad = np.sort(np.abs(grp.groupby("h").size().to_numpy() - med))
+        mad = int(ad[(n - 1) // 2])
+        nout = int((np.abs(grp.groupby("h").size().to_numpy() - med)
+                    > 3 * mad).sum())
+        r = out[g]
+        assert (r["median"], r["mad"], r["n_outliers"]) == (med, mad, nout)
