@@ -915,3 +915,35 @@ def opponent_moment_checksums(images: DataFrame) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+def fingerprint_checksums(images: DataFrame) -> DataFrame:
+    """Exact content fingerprint over real decoded bytes: the position-
+    weighted pixel sum Σ px·pos (pos = (y·w + x)·3 + c + 1) mod 2^61−1 —
+    two images share it iff their decoded content matches (collision odds
+    aside), so exact-duplicate dedup can key on it.  Unlike phash, the
+    fingerprint is replayable from the pixel formula in SQL."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("fp", T.LongType()),
+    ])
+    mod = (1 << 61) - 1
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                px = _decode_stack(pdf, idx, w, h, fmt).astype(np.int64)
+                pos = np.arange(h * w * 3, dtype=np.int64) + 1
+                flat = px.reshape(len(idx), -1)
+                for k, i in enumerate(idx):
+                    rows[i] = (ids[i], int((flat[k] * pos).sum()) % mod)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

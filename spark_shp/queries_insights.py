@@ -4005,3 +4005,146 @@ QUERIES.update({
     "calibration_bins": (q_calibration_bins, _oracle_calibration()),
     "mad_outliers": (q_mad_outliers, _oracle_mad()),
 })
+
+
+# --- image_curation_pipeline: the end-to-end image flagship --------------------------
+#
+# The image counterpart of shp_decode_index_join — four stages under ONE
+# oracle: (1) REAL decode of a 48-image corpus with PLANTED duplicates
+# (ids 40..47 carry the exact bytes and metadata of 0..7, re-keyed — the
+# re-upload case), (2) quality filters on decoded content (Harris
+# corners >= 1 AND colorfulness > 20 — both exact/round-6 from the same
+# literals as their standalone rows), (3) exact-duplicate dedup on the
+# content fingerprint (keep-min-id per fp), (4) level-3 tile rollup of
+# the survivors.  The oracle replays every stage from the pixel formula
+# with content id j = i mod 40.
+
+PIPE_N = 40
+PIPE_DUPS = 8
+PIPE_LVL = 3
+
+
+def q_image_curation_pipeline(spark, sf_dir):
+    from . import multimodal
+    base = fixtures.images_df(spark, PIPE_N, partitions=4)
+    dups = base.where(f"CAST(substr(image_id, 4) AS BIGINT) < {PIPE_DUPS}") \
+        .selectExpr(
+            "concat('img', lpad(CAST(CAST(substr(image_id, 4) AS BIGINT) "
+            f"+ {PIPE_N} AS STRING), 12, '0')) AS image_id",
+            "bytes", "w", "h", "fmt", "caption", "phash", "lon", "lat")
+    corpus = base.unionByName(dups).localCheckpoint()
+    fp = multimodal.fingerprint_checksums(corpus)
+    hc = multimodal.harris_checksums(corpus).select("image_id",
+                                                    "n_corners")
+    cm = multimodal.opponent_moment_checksums(corpus)
+    colorful = cm.selectExpr(
+        "image_id", "n_px AS n", "s_rg", "s_rg2", "s_yb", "s_yb2"
+    ).selectExpr("image_id", f"{_CF_M} AS m")
+    joined = (corpus.select("image_id", "lon", "lat")
+              .join(fp, "image_id").join(hc, "image_id")
+              .join(colorful, "image_id"))
+    quality = joined.where("n_corners >= 1 AND m > 20.0")
+    surv = (quality.selectExpr(
+        "fp", "CAST(substr(image_id, 4) AS BIGINT) AS i", "lon", "lat",
+        "n_corners")
+        .groupBy("fp")
+        .agg(F.min("i").alias("i"), F.count(F.lit(1)).alias("n_copies"),
+             F.first("lon").alias("lon"), F.first("lat").alias("lat"),
+             F.first("n_corners").alias("n_corners")))
+    cell = cells.cell_sql("lon", "lat", PIPE_LVL)
+    return (surv.selectExpr(f"{cell} AS cell", "i", "n_copies",
+                            "n_corners")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("n_copies").alias("n_with_dups"),
+                 F.sum("n_corners").alias("sum_corners"),
+                 F.sum("i").alias("checksum"))
+            .selectExpr("CAST(cell AS BIGINT) AS cell",
+                        "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(n_with_dups AS BIGINT) AS n_with_dups",
+                        "CAST(sum_corners AS BIGINT) AS sum_corners",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_pipeline() -> str:
+    from .hashing import mix_sql
+    m = fixtures.images_meta_sql("j")
+    px = mix_sql("j * 1000003 + yy.y * 4096 + xx.x * 4 + cc.c")
+    v = (f"CASE WHEN fmt = 'qb' THEN CAST(FLOOR((({px}) % 256) / 4.0) "
+         f"AS BIGINT) * 4 + 2 ELSE ({px}) % 256 END")
+    pxg = mix_sql("j * 1000003 + yy.y * 4096 + xx.x * 4 + 1")
+    vg = (f"CASE WHEN fmt = 'qb' THEN CAST(FLOOR((({pxg}) % 256) / 4.0) "
+          f"AS BIGINT) * 4 + 2 ELSE ({pxg}) % 256 END")
+    taps = ", ".join(f"({dy}, {dx}, {wx}, {wy})"
+                     for dy, dx, wx, wy in _SOBEL_TAPS)
+    cell = cells.cell_sql("lon", "lat", PIPE_LVL)
+    return f"""
+WITH content AS MATERIALIZED (
+  SELECT j, {m['w']} AS w, {m['h']} AS h, {m['fmt']} AS fmt,
+         {m['lon']} AS lon, {m['lat']} AS lat
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {PIPE_N - 1})) AS j) t),
+pix AS MATERIALIZED (
+  SELECT j, fmt, w, h, yy.y AS y, xx.x AS x, cc.c AS c, {v} AS v
+  FROM content,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 1)) AS y) yy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS x) xx,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c) cc),
+gpix AS MATERIALIZED (
+  SELECT j, fmt, w, h, yy.y AS y, xx.x AS x, {vg} AS v
+  FROM content,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 1)) AS y) yy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS x) xx),
+taps(dy, dx, wx, wy) AS (VALUES {taps}),
+grad AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT j, w, h, y - dy AS ty, x - dx AS tx,
+           SUM(v * wx) AS gx, SUM(v * wy) AS gy
+    FROM gpix, taps GROUP BY 1, 2, 3, 4, 5)
+  WHERE ty BETWEEN 1 AND h - 2 AND tx BETWEEN 1 AND w - 2),
+tens AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT j, w, h, ty - oy.o AS cy2, tx - ox.o AS cx2,
+           SUM(gx * gx) AS a, SUM(gy * gy) AS b, SUM(gx * gy) AS c
+    FROM grad, (SELECT UNNEST([-1, 0, 1]) AS o) oy,
+         (SELECT UNNEST([-1, 0, 1]) AS o) ox
+    GROUP BY 1, 2, 3, 4, 5)
+  WHERE cy2 BETWEEN 2 AND h - 3 AND cx2 BETWEEN 2 AND w - 3),
+corners AS (
+  SELECT j, SUM(CASE WHEN 20 * (a * b - c * c) - (a + b) * (a + b) > 0
+                THEN 1 ELSE 0 END) AS n_corners
+  FROM tens GROUP BY 1),
+opp AS (
+  SELECT j, COUNT(*) AS n, SUM(rg) AS s_rg, SUM(rg * rg) AS s_rg2,
+         SUM(yb) AS s_yb, SUM(yb * yb) AS s_yb2
+  FROM (
+    SELECT j, y, x,
+           SUM(CASE c WHEN 0 THEN v WHEN 1 THEN -v ELSE 0 END) AS rg,
+           SUM(CASE c WHEN 0 THEN v WHEN 1 THEN v ELSE -2 * v END) AS yb
+    FROM pix GROUP BY 1, 2, 3) t
+  GROUP BY 1),
+quality AS (
+  SELECT c.j FROM corners c
+  JOIN (SELECT j, n, s_rg, s_rg2, s_yb, s_yb2, {_CF_M} AS m FROM opp) q
+    ON c.j = q.j
+  WHERE c.n_corners >= 1 AND q.m > 20.0),
+surv AS (
+  -- quality passes per content; survivor = min id = j itself; copies =
+  -- 2 for planted-duplicate content (j < {PIPE_DUPS}) else 1
+  SELECT content.j, CASE WHEN content.j < {PIPE_DUPS} THEN 2 ELSE 1 END
+           AS n_copies,
+         lon, lat, corners.n_corners
+  FROM content JOIN quality ON content.j = quality.j
+  JOIN corners ON corners.j = content.j)
+SELECT CAST({cell} AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(n_copies) AS BIGINT) AS n_with_dups,
+       CAST(SUM(n_corners) AS BIGINT) AS sum_corners,
+       CAST(SUM(j) AS BIGINT) AS checksum
+FROM surv GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "image_curation_pipeline": (q_image_curation_pipeline,
+                                _oracle_pipeline()),
+})

@@ -1385,3 +1385,20 @@ def test_mad_outliers_matches_numpy(spark):
                     > 3 * mad).sum())
         r = out[g]
         assert (r["median"], r["mad"], r["n_outliers"]) == (med, mad, nout)
+
+
+def test_image_pipeline_dedup_and_filters(spark):
+    from spark_shp.queries_insights import (PIPE_DUPS, PIPE_N,
+                                            q_image_curation_pipeline)
+    rows = q_image_curation_pipeline(spark, SF).collect()
+    n_surv = sum(r["n_images"] for r in rows)
+    n_with_dups = sum(r["n_with_dups"] for r in rows)
+    # dedup must collapse every planted duplicate whose content passed
+    # the quality gate; survivors are original ids only (checksum bound)
+    assert n_with_dups - n_surv <= PIPE_DUPS
+    assert n_surv <= PIPE_N
+    assert n_surv > 0
+    assert sum(r["checksum"] for r in rows) <= sum(range(PIPE_N))
+    # at least one planted duplicate must actually flow through (else the
+    # dedup stage is untested)
+    assert n_with_dups > n_surv
