@@ -388,6 +388,39 @@ def sobel_checksums(images: DataFrame) -> DataFrame:
             .mapInPandas(work, schema))
 
 
+def rle_run_counts(images: DataFrame) -> DataFrame:
+    """Run-length compressibility over real decoded bytes (the
+    smoothness / entropy QA pass of an image-curation pipeline): per
+    image, the exact count of maximal constant runs in the row-major
+    GREEN channel (runs = 1 + adjacent-difference count on the flattened
+    raster).  Shape-grouped decode stacks + one vectorized adjacent
+    compare — zero per-pixel Python."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("runs", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                g = _decode_stack(pdf, idx, w, h, fmt)[..., 1] \
+                    .reshape(len(idx), h * w)               # (n, h*w)
+                runs = 1 + (g[:, 1:] != g[:, :-1]).sum(axis=1)
+                for k, i in enumerate(idx):
+                    rows[i] = (ids[i], int(runs[k]), h * w)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))
+
+
 def blob_checksums(images: DataFrame, thresh: int = 128) -> DataFrame:
     """4-adjacency connected-component labeling of the thresholded green
     channel (blob detection — the object-count QA pass): per image, the

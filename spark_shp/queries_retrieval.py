@@ -1,0 +1,521 @@
+"""Retrieval / ranking / graph-mining operators (round-3 continuation):
+
+IR          — BM25 document ranking (the retrieval scorer of a RAG /
+              search pipeline) over the documents corpus, top-k per query
+relational  — GROUPING SETS + GROUPING_ID (the C6 surface between ROLLUP
+              and CUBE that real reporting SQL actually writes)
+graph       — link prediction over the co-ordered-parts graph (common
+              neighbors + a quantized resource-allocation index)
+image QA    — global Otsu threshold from the exact pixel histogram and
+              RLE run-count compressibility over REAL decoded bytes
+audio       — zero-crossing-rate windows over REAL RIFF/WAV decode
+
+All oracle-gated exact (DuckDB twins, parked in registry._TAIL — each
+family keeps an in-window row: C6 via pricing/rollup/cube, text via
+tfidf/token_stats, graph via triangle/pagerank lineage, B11 via
+images_phash_verify).  Reference parity: upstream shapefile-js is
+geometry ingest (SURVEY.md §2.A [RECONSTRUCTED]); these extend the §6
+analytics/curation families.
+
+Determinism rules applied throughout (see FIXTURES.md): exact integer /
+DECIMAL(38,0) distributed aggregates; floats only in ONE literal
+expression shared verbatim with the oracle, under ROUND(...,6); bare
+float literals wrapped CAST(... AS DOUBLE) where both operands could
+otherwise parse DECIMAL; ranks always carry a total-order tiebreak.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import types as T
+
+from . import fixtures
+
+_ = (np, pd, T)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- bm25_search: BM25 top-k document retrieval -----------------------------------
+#
+# The ranking function of a search / RAG-retrieval pipeline (Robertson's
+# BM25, the Lucene "BM25Similarity" variant with the +1-inside-LN idf so
+# scores are always positive): for a FIXED literal query set, score every
+# document containing >= 1 query term and keep the top-K per query.
+#
+# Determinism: tf / df / dl / N / sum(dl) are all exact integer
+# aggregates; each query has <= 3 term SLOTS pivoted into fixed columns
+# (tf1..tf3, df1..df3), so the final score is ONE literal float
+# expression with a FIXED textual evaluation order shared verbatim with
+# the oracle — no float is ever summed across a variable number of rows
+# (the repo's spatial_autocorr rule).  Rank runs over the ROUND(...,6)
+# score with a doc_id tiebreak.
+#
+# Scale shape: one (doc,term) tf shuffle; df and the corpus (N, sum dl)
+# aggregates are tiny broadcasts; candidates are bounded by the postings
+# lists of the query terms (docs containing >= 1 term), never the corpus.
+# The per-query rank window partitions by qid — few partitions, so at
+# 100 TB swap in the two-phase histogram top-k (outlier_audit) or
+# per-partition partial top-k (cosine_topk); at gate scale the window
+# over postings is the honest plan.
+
+BM25_TOPK = 5
+BM25_QUERIES = [  # (qid, slot, term) — slots 1..3, fixed at authoring time
+    (1, 1, "dup"), (1, 2, "scan"),
+    (2, 1, "spark"), (2, 2, "join"), (2, 3, "fast"),
+    (3, 1, "window"), (3, 2, "agg"),
+    (4, 1, "hash"), (4, 2, "merge"), (4, 3, "batch"),
+]
+
+
+def _bm25_slot(s: int) -> str:
+    # idf = ln(1 + (N - df + 0.5)/(df + 0.5)); tf-norm with k1=1.2, b=0.75
+    # (k1+1 = 2.2, k1*(1-b) = 0.3, k1*b = 0.9 pre-folded in python — the
+    # repo's fold-float-constants rule).  Leading CAST makes every
+    # operand DOUBLE before the bare literals join in.
+    idf = (f"LN(CAST(1 AS DOUBLE) + (CAST(nd AS DOUBLE) - df{s} + 0.5) "
+           f"/ (CAST(df{s} AS DOUBLE) + 0.5))")
+    tfn = (f"(CAST(tf{s} AS DOUBLE) * 2.2) / (CAST(tf{s} AS DOUBLE) "
+           f"+ 0.3 + 0.9 * (CAST(dl AS DOUBLE) * nd / sdl))")
+    return (f"(CASE WHEN tf{s} > 0 THEN {idf} * {tfn} "
+            f"ELSE CAST(0 AS DOUBLE) END)")
+
+
+BM25_SCORE = (f"ROUND({_bm25_slot(1)} + {_bm25_slot(2)} + {_bm25_slot(3)}, 6)"
+              " AS score")
+
+
+def q_bm25_search(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(BM25_QUERIES, "qid INT, slot INT, term STRING")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = d.selectExpr("doc_id", "size(split(text, ' ')) AS dl")
+    corpus = d.selectExpr("COUNT(*) AS nd",
+                          "SUM(size(split(text, ' '))) AS sdl")
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfq = (qt.join(dfreq, "term", "left")
+           .groupBy("qid")
+           .agg(*[F.coalesce(
+               F.sum(F.when(F.col("slot") == s, F.col("df"))),
+               F.lit(0)).alias(f"df{s}") for s in (1, 2, 3)]))
+    hits = (tf.join(F.broadcast(qt), "term")
+            .groupBy("qid", "doc_id")
+            .agg(*[F.coalesce(
+                F.sum(F.when(F.col("slot") == s, F.col("tf"))),
+                F.lit(0)).alias(f"tf{s}") for s in (1, 2, 3)]))
+    scored = (hits.join(dl, "doc_id")
+              .join(F.broadcast(dfq), "qid")
+              .crossJoin(F.broadcast(corpus))
+              .selectExpr("qid", "doc_id", BM25_SCORE))
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= BM25_TOPK)
+            .selectExpr("CAST(qid AS INT) AS qid",
+                        "CAST(rank AS INT) AS rank",
+                        "CAST(doc_id AS BIGINT) AS doc_id", "score"))
+
+
+def _oracle_bm25() -> str:
+    vals = ", ".join(f"({q}, {s}, '{t}')" for q, s, t in BM25_QUERIES)
+    return f"""
+WITH qt AS (SELECT * FROM (VALUES {vals}) AS v(qid, slot, term)),
+toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+tf AS (
+  SELECT doc_id, ts[u.i] AS term, COUNT(*) AS tf
+  FROM toks, UNNEST(range(1, len(ts) + 1)) AS u(i)
+  GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+corpus AS (SELECT COUNT(*) AS nd, SUM(len(string_split(text, ' '))) AS sdl
+           FROM documents),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+dfq AS (
+  SELECT qt.qid,
+         COALESCE(SUM(CASE WHEN qt.slot = 1 THEN d.df END), 0) AS df1,
+         COALESCE(SUM(CASE WHEN qt.slot = 2 THEN d.df END), 0) AS df2,
+         COALESCE(SUM(CASE WHEN qt.slot = 3 THEN d.df END), 0) AS df3
+  FROM qt LEFT JOIN dfreq d ON d.term = qt.term GROUP BY qt.qid),
+hits AS (
+  SELECT qt.qid, tf.doc_id,
+         COALESCE(SUM(CASE WHEN qt.slot = 1 THEN tf.tf END), 0) AS tf1,
+         COALESCE(SUM(CASE WHEN qt.slot = 2 THEN tf.tf END), 0) AS tf2,
+         COALESCE(SUM(CASE WHEN qt.slot = 3 THEN tf.tf END), 0) AS tf3
+  FROM tf JOIN qt ON qt.term = tf.term GROUP BY 1, 2),
+scored AS (
+  SELECT h.qid, h.doc_id, {BM25_SCORE}
+  FROM hits h JOIN dl ON dl.doc_id = h.doc_id
+  JOIN dfq ON dfq.qid = h.qid CROSS JOIN corpus),
+r AS (
+  SELECT qid, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT CAST(qid AS INT) AS qid, CAST(rank AS INT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, score
+FROM r WHERE rank <= {BM25_TOPK}
+"""
+
+
+# --- grouping_sets_sales: GROUPING SETS + GROUPING_ID -----------------------------
+#
+# The C6 aggregation surface between ROLLUP and CUBE that reporting SQL
+# actually writes: an explicit GROUPING SETS list — here (flag, status),
+# (flag), () — with GROUPING_ID disambiguating which level produced each
+# row (NULL data values vs NULL-because-aggregated).  Money sums follow
+# the repo's DECIMAL-exact rule.  One shuffle (Spark expands the sets in
+# a single Expand + hash aggregate, same as rollup/cube).
+
+def q_grouping_sets_sales(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+                 AS gid,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                    AS DECIMAL(38,6)) AS DOUBLE) AS qty
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())""")
+
+
+ORACLE_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+            AS DECIMAL(38,6)) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+# --- link_prediction: common-neighbor scoring on the co-order graph --------------
+#
+# Graph link prediction (the recommender / entity-resolution primitive):
+# over the co-ordered-parts graph — parts are adjacent when a HIGH-
+# QUANTITY line (l_quantity >= 45, which bounds per-order fan-out and
+# keeps the graph sparse at any SF) of the same order carries both —
+# score non-adjacent pairs at distance 2 by common-neighbor count and a
+# resource-allocation index Σ 1/deg(z).  RA is a float sum over a
+# variable set, so it is QUANTIZED: Σ floor(2^20 / deg(z)) is an exact
+# int64, bit-identical at any aggregation order (the engine-independence
+# rule); the float rendering divides once at the end.  Top-K under the
+# total order (cn DESC, raq DESC, a, b).
+#
+# Scale shape: pair generation is per-order (bounded by order width²,
+# never parts²); the wedge join fans out Σ deg(z)² — bounded by the
+# quantity filter, and the skew-salting in spatial.salt_hot_cells applies
+# verbatim to a hot hub z at larger scales.  No driver state.
+
+LP_TOPK = 20
+LP_MIN_QTY = 45
+LP_RAQ = 1 << 20
+
+
+def q_link_prediction(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    f = (li.where(F.col("l_quantity") >= LP_MIN_QTY)
+         .selectExpr("l_orderkey AS ok", "l_partkey AS pk").distinct())
+    e = (f.alias("x").join(f.alias("y"), "ok")
+         .where("x.pk < y.pk")
+         .selectExpr("x.pk AS a", "y.pk AS b").distinct())
+    nb = (e.selectExpr("a AS z", "b AS n")
+          .unionAll(e.selectExpr("b AS z", "a AS n")))
+    deg = nb.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
+    wedges = (nb.alias("p").join(nb.alias("q"), "z")
+              .where("p.n < q.n")
+              .join(deg, "z")
+              .selectExpr("p.n AS a", "q.n AS b",
+                          f"CAST(FLOOR({LP_RAQ} / d) AS BIGINT) AS w"))
+    cand = (wedges.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("cn"), F.sum("w").alias("raq"))
+            .join(e, ["a", "b"], "left_anti"))
+    return (cand.orderBy(F.desc("cn"), F.desc("raq"), "a", "b")
+            .limit(LP_TOPK)
+            .selectExpr("CAST(a AS BIGINT) AS a", "CAST(b AS BIGINT) AS b",
+                        "CAST(cn AS BIGINT) AS cn",
+                        "CAST(raq AS BIGINT) AS raq"))
+
+
+ORACLE_LINK_PRED = f"""
+WITH f AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+  FROM lineitem WHERE l_quantity >= {LP_MIN_QTY}),
+e AS (
+  SELECT DISTINCT x.pk AS a, y.pk AS b
+  FROM f x JOIN f y ON x.ok = y.ok AND x.pk < y.pk),
+nb AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT z, COUNT(*) AS d FROM nb GROUP BY z),
+wedges AS (
+  SELECT p.n AS a, q.n AS b,
+         CAST(FLOOR({LP_RAQ} / deg.d) AS BIGINT) AS w
+  FROM nb p JOIN nb q ON p.z = q.z AND p.n < q.n
+  JOIN deg ON deg.z = p.z),
+cand AS (
+  SELECT w.a, w.b, COUNT(*) AS cn, SUM(w.w) AS raq
+  FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.b)
+  GROUP BY 1, 2)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(cn AS BIGINT) AS cn, CAST(raq AS BIGINT) AS raq
+FROM cand ORDER BY cn DESC, raq DESC, a, b LIMIT {LP_TOPK}
+"""
+
+
+# --- image_otsu_threshold: global Otsu from the exact pixel histogram ------------
+#
+# The classic global binarization threshold (Otsu 1979) per format, over
+# REAL decoded raw/png bytes: maximize the between-class variance
+# σ_B²(t) = (S·w_b − n·S_b)² / (n² · w_b · (n − w_b)) over occupied
+# values t.  The histogram reuses multimodal.histogram_checksums with
+# 256 buckets (shape-grouped decode stacks, one bincount per group);
+# cumulative moments run over the ≤256-row-per-format aggregate.  The
+# numerator difference S_b·n − S·w_b is EXACT int64 (≤ ~6e12 at this
+# pixel count; squaring would overflow, and DECIMAL(38,0)² trips
+# DuckDB's precision cap — the documented π-literal pitfall — so the
+# square happens in DOUBLE on the exactly-representable diff); the
+# variance is one shared literal float composition under ROUND(...,6);
+# argmax carries a lowest-value tiebreak.  Occupied-values semantics:
+# σ_B² only changes at occupied values, and the argmax is restricted to
+# them (documented; at this pixel count every value is occupied anyway).
+
+OTSU_N = 24
+
+_OTSU_DIFF = ("(CAST(sb AS BIGINT) * CAST(n AS BIGINT) - "
+              "CAST(s AS BIGINT) * CAST(wb AS BIGINT))")
+_OTSU_VAR = (f"ROUND(CAST({_OTSU_DIFF} AS DOUBLE) * {_OTSU_DIFF} "
+             "/ wb / (n - wb) / n / n, 6)")
+
+
+def q_image_otsu_threshold(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, OTSU_N, partitions=4).where(
+        F.col("fmt") != "qb")
+    h = (multimodal.histogram_checksums(img, buckets=256)
+         .where("n_px > 0")
+         .selectExpr("bucket AS v", "n_px",
+                     "CASE WHEN CAST(substr(image_id, 4) AS BIGINT) % 3 = 0 "
+                     "THEN 'raw' ELSE 'png' END AS fmt"))
+    hist = h.groupBy("fmt", "v").agg(F.sum("n_px").alias("nv"))
+    wnd = W.partitionBy("fmt").orderBy("v") \
+           .rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = (hist
+           .withColumn("wb", F.sum("nv").over(wnd))
+           .withColumn("sb", F.sum(F.expr("CAST(v AS BIGINT) * nv"))
+                       .over(wnd)))
+    tot = hist.groupBy("fmt").agg(
+        F.sum("nv").alias("n"),
+        F.sum(F.expr("CAST(v AS BIGINT) * nv")).alias("s"))
+    scored = (cum.join(tot, "fmt").where("wb < n")
+              .selectExpr("fmt", "v", "wb", "n", f"{_OTSU_VAR} AS var_b"))
+    rw = W.partitionBy("fmt").orderBy(F.desc("var_b"), F.asc("v"))
+    return (scored.withColumn("rk", F.row_number().over(rw))
+            .where("rk = 1")
+            .selectExpr("fmt", "CAST(v AS INT) AS threshold",
+                        "var_b",
+                        "CAST(wb AS BIGINT) AS n_below",
+                        "CAST(n AS BIGINT) AS n_pixels"))
+
+
+def _oracle_otsu() -> str:
+    from .hashing import mix_sql
+    m = fixtures.images_meta_sql("i")
+    px = mix_sql("i * 1000003 + yy.y * 4096 + xx.x * 4 + cc.c")
+    return f"""
+WITH imgs AS (
+  SELECT i, {m['w']} AS w, {m['h']} AS h,
+         CASE WHEN i % 3 = 0 THEN 'raw' ELSE 'png' END AS fmt
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {OTSU_N - 1})) AS i) t
+  WHERE i % 3 <> 2),
+hist AS (
+  SELECT fmt, CAST(({px}) % 256 AS INT) AS v, COUNT(*) AS nv
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 1)) AS y) yy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS x) xx,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c) cc
+  GROUP BY 1, 2),
+cum AS (
+  SELECT fmt, v,
+         SUM(nv) OVER (PARTITION BY fmt ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS wb,
+         SUM(CAST(v AS BIGINT) * nv) OVER (PARTITION BY fmt ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS sb
+  FROM hist),
+tot AS (
+  SELECT fmt, SUM(nv) AS n, SUM(CAST(v AS BIGINT) * nv) AS s
+  FROM hist GROUP BY fmt),
+scored AS (
+  SELECT c.fmt, c.v, c.wb, t.n, {_OTSU_VAR} AS var_b
+  FROM cum c JOIN tot t ON t.fmt = c.fmt WHERE c.wb < t.n),
+r AS (
+  SELECT fmt, v, var_b, wb, n,
+         ROW_NUMBER() OVER (PARTITION BY fmt
+                            ORDER BY var_b DESC, v ASC) AS rk
+  FROM scored)
+SELECT fmt, CAST(v AS INT) AS threshold, var_b,
+       CAST(wb AS BIGINT) AS n_below, CAST(n AS BIGINT) AS n_pixels
+FROM r WHERE rk = 1
+"""
+
+
+# --- image_rle_runs: run-length compressibility over real decoded bytes ----------
+#
+# The compressibility / smoothness QA pass of an image-curation pipeline:
+# per image, the exact count of maximal constant RUNS in the row-major
+# GREEN channel (runs = 1 + #{p : px(p) != px(p+1)}), aggregated per
+# format with an image-index-weighted checksum that catches a permuted
+# channel order or a transposed stack.  The kernel is one vectorized
+# adjacent-difference over the shape-grouped decode stacks; the oracle
+# re-derives every run boundary from the pixel formula on the linear
+# index (y = p // w, x = p % w).  Compression ratio = n_px / runs is the
+# single float division.
+
+RLE_N = 24
+
+
+def q_image_rle_runs(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, RLE_N, partitions=4).where(
+        F.col("fmt") != "qb")
+    r = multimodal.rle_run_counts(img)
+    withi = r.selectExpr(
+        "runs", "n_px",
+        "CAST(substr(image_id, 4) AS BIGINT) AS i",
+        "CASE WHEN CAST(substr(image_id, 4) AS BIGINT) % 3 = 0 "
+        "THEN 'raw' ELSE 'png' END AS fmt")
+    return (withi.groupBy("fmt")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("runs").alias("total_runs"),
+                 F.sum("n_px").alias("total_px"),
+                 F.expr("SUM(runs * (i + 11))").alias("checksum"))
+            .selectExpr(
+                "fmt", "CAST(n_images AS BIGINT) AS n_images",
+                "CAST(total_runs AS BIGINT) AS total_runs",
+                "CAST(total_px AS BIGINT) AS total_px",
+                "ROUND(CAST(total_px AS DOUBLE) / total_runs, 6) AS ratio",
+                "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_rle() -> str:
+    from .hashing import mix_sql
+    m = fixtures.images_meta_sql("i")
+    # green channel (c = 1) at linear index p and p+1 of the h*w raster
+    pxp = mix_sql("i * 1000003 + CAST(FLOOR(pp.p / w) AS BIGINT) * 4096 "
+                  "+ (pp.p % w) * 4 + 1")
+    pxn = mix_sql("i * 1000003 + CAST(FLOOR((pp.p + 1) / w) AS BIGINT) "
+                  "* 4096 + ((pp.p + 1) % w) * 4 + 1")
+    return f"""
+WITH imgs AS (
+  SELECT i, {m['w']} AS w, {m['h']} AS h,
+         CASE WHEN i % 3 = 0 THEN 'raw' ELSE 'png' END AS fmt
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {RLE_N - 1})) AS i) t
+  WHERE i % 3 <> 2),
+bounds AS (
+  SELECT i, fmt, w * h AS n_px,
+         1 + SUM(CASE WHEN ({pxp}) % 256 <> ({pxn}) % 256
+                 THEN 1 ELSE 0 END) AS runs
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w * h - 2)) AS p) pp
+  GROUP BY 1, 2, 3)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(runs) AS BIGINT) AS total_runs,
+       CAST(SUM(n_px) AS BIGINT) AS total_px,
+       ROUND(CAST(SUM(n_px) AS DOUBLE) / SUM(runs), 6) AS ratio,
+       CAST(SUM(runs * (i + 11)) AS BIGINT) AS checksum
+FROM bounds GROUP BY fmt
+"""
+
+
+# --- audio_zcr_windows: zero-crossing-rate windows over real WAV decode ----------
+#
+# The speech/music discrimination feature (and the silence detector's
+# spectral sibling): per 256-sample window of each stream, the exact
+# count of sign changes between ADJACENT samples inside the window
+# (sign = s < 0, so the all-zero planted windows count 0 crossings).
+# Streams reuse the audio_silence_windows fixture formula — samples are
+# synthesized per executor task, encoded + decoded through the REAL
+# RIFF/WAV walk, and reduced to exact int64s; the oracle replays the
+# comparisons on the sample formula by lattice sums.  A window-index-
+# weighted checksum pins WHERE the crossings are.
+
+N_ZCR_WAV = 24
+
+
+def q_audio_zcr_windows(spark, sf_dir):
+    from . import riff
+
+    schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("n_windows", T.LongType()),
+        T.StructField("zc_total", T.LongType()),
+        T.StructField("zc_checksum", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].astype(int):
+                n = 1024 + (i * 256) % 1281
+                k = np.arange(n, dtype=np.int64)
+                u = (i * 48271 + k * 16807) % 65536
+                env = (i * 31 + (k // 256) * 97) % 5
+                s = ((u % 8192 - 4096) * env).astype(np.int16)
+                wav, rate = riff.wav_decode(riff.wav_encode(s, 16000))
+                got = np.round(wav[:, 0].astype(np.float64)
+                               * 32768.0).astype(np.int64)
+                assert rate == 16000 and len(got) == n
+                nw = n // 256
+                wm = got[:nw * 256].reshape(nw, 256)
+                neg = wm < 0
+                zc = (neg[:, 1:] != neg[:, :-1]).sum(axis=1)
+                wi = np.arange(nw, dtype=np.int64)
+                rows.append((f"wav{i:03d}", nw, int(zc.sum()),
+                             int((zc * (wi + 3)).sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (spark.range(0, N_ZCR_WAV, numPartitions=4)
+            .mapInPandas(work, schema))
+
+
+def _oracle_zcr() -> str:
+    def samp(k: str) -> str:
+        return (f"((((i * 48271 + ({k}) * 16807) % 65536) % 8192 - 4096) * "
+                f"((i * 31 + CAST(FLOOR(({k}) / 256.0) AS BIGINT) * 97) "
+                f"% 5))")
+    return f"""
+WITH ids AS (
+  SELECT i, 1024 + (i * 256) % 1281 AS n
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_ZCR_WAV - 1})) AS i) t),
+cross_pts AS (
+  SELECT i, CAST(FLOOR(k / 256.0) AS BIGINT) AS wnd,
+         CASE WHEN ({samp('k')} < 0) <> ({samp('k + 1')} < 0)
+              THEN 1 ELSE 0 END AS zc
+  FROM ids, GENERATE_SERIES(0, 2400) g(k)
+  WHERE k < CAST(FLOOR(n / 256.0) AS BIGINT) * 256 - 1
+    AND k % 256 < 255),
+wind AS (SELECT i, wnd, SUM(zc) AS zc FROM cross_pts GROUP BY 1, 2),
+per AS (
+  SELECT i, COUNT(*) AS n_windows, SUM(zc) AS zc_total,
+         SUM(zc * (wnd + 3)) AS zc_checksum
+  FROM wind GROUP BY 1)
+SELECT printf('wav%03d', i) AS media_id,
+       CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(zc_total AS BIGINT) AS zc_total,
+       CAST(zc_checksum AS BIGINT) AS zc_checksum
+FROM per
+"""
+
+
+QUERIES: dict = {
+    "bm25_search": (q_bm25_search, _oracle_bm25()),
+    "grouping_sets_sales": (q_grouping_sets_sales, ORACLE_GROUPING_SETS),
+    "link_prediction": (q_link_prediction, ORACLE_LINK_PRED),
+    "image_otsu_threshold": (q_image_otsu_threshold, _oracle_otsu()),
+    "image_rle_runs": (q_image_rle_runs, _oracle_rle()),
+    "audio_zcr_windows": (q_audio_zcr_windows, _oracle_zcr()),
+}

@@ -16,8 +16,8 @@ tools/diffcheck.py and pytest still verify them exactly, locally.
 from __future__ import annotations
 
 from . import (queries_analytics, queries_curation, queries_insights,
-               queries_mining, queries_rel, queries_shp, queries_spatial,
-               queries_text)
+               queries_mining, queries_rel, queries_retrieval, queries_shp,
+               queries_spatial, queries_text)
 
 # Same-operator variants parked beyond the driver's 50-query window.
 # Each name's operator family keeps >=1 in-window row:
@@ -214,6 +214,12 @@ _TAIL = [
     "image_curation_pipeline",  # decode->QA->dedup->tiles e2e (B11 flagship)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)
+    "bm25_search",            # BM25 top-k retrieval ranking (text/IR)
+    "grouping_sets_sales",    # GROUPING SETS + GROUPING_ID (C6 family)
+    "link_prediction",        # common-neighbor/RA link scoring (graph)
+    "image_otsu_threshold",   # global Otsu binarization threshold (B11)
+    "image_rle_runs",         # RLE compressibility QA, real decode (B11)
+    "audio_zcr_windows",      # zero-crossing-rate windows, real WAV (AV)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",
@@ -231,7 +237,7 @@ _TAIL = [
 _MERGED: dict = {}
 for mod in (queries_shp, queries_spatial, queries_text, queries_rel,
             queries_curation, queries_analytics, queries_mining,
-            queries_insights):
+            queries_insights, queries_retrieval):
     overlap = set(_MERGED) & set(mod.QUERIES)
     if overlap:
         raise RuntimeError(f"duplicate query names: {overlap}")
