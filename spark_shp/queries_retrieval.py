@@ -511,8 +511,134 @@ FROM per
 """
 
 
+# --- bpe_learn_merges: the iterative BPE merge-learning loop ----------------------
+#
+# The actual tokenizer-TRAINING iteration (bpe_pair_counts covered one
+# histogram pass; this is the loop): for BPE_ROUNDS rounds, count
+# adjacent token pairs over the whole corpus, pick the most frequent
+# pair (count DESC, then lexical — a total order), and MERGE it
+# corpus-wide with the left-to-right greedy non-overlap semantics a real
+# tokenizer applies (derived relationally: consecutive match positions
+# form islands, odd island-ranks win — the phrase_pmi greedy law, here
+# driving a REWRITE instead of a count).  Each round is one doc-keyed
+# window pass + bounded broadcast joins; the working set shrinks
+# monotonically; localCheckpoint keeps the plan O(1) deep and NOTHING
+# data-proportional ever reaches the driver (the round's top pair stays
+# a 1-row broadcast DataFrame).  The oracle unrolls the same three
+# rounds as MATERIALIZED CTE chains (plain CTEs re-execute per
+# reference — the strahler/cost_distance lesson).  Real trainers fold
+# the corpus to a word histogram first (bpe_pair_counts) and iterate on
+# that; this op keeps the corpus-rewrite form because the REWRITE is the
+# part Spark has to get right at scale.
+#
+# Output: one row per round — the learned merge (lhs, rhs), its raw
+# adjacent-pair count at selection time, and the corpus token count
+# after applying it.  All exact integers.
+
+BPE_ROUNDS = 3
+
+
+def _bpe_round(rows: DataFrame) -> tuple:
+    """One BPE round over (doc_id, pos, t) rows: returns (top1, new_rows)
+    where top1 is a 1-row DF (p, q, cnt) and new_rows the rewritten
+    corpus."""
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    pairs = rows.withColumn("nxt", F.lead("t").over(wd))
+    top = (pairs.where("nxt IS NOT NULL")
+           .groupBy("t", "nxt").agg(F.count(F.lit(1)).alias("cnt"))
+           .orderBy(F.desc("cnt"), "t", "nxt").limit(1)
+           .selectExpr("t AS p", "nxt AS q", "cnt")
+           .localCheckpoint())
+    m = (pairs.crossJoin(F.broadcast(top))
+         .where("t = p AND nxt = q").select("doc_id", "pos"))
+    m = m.withColumn("rn", F.row_number().over(wd)) \
+         .withColumn("grp", F.expr("pos - rn"))
+    wg = W.partitionBy("doc_id", "grp").orderBy("pos")
+    kept = (m.withColumn("ri", F.row_number().over(wg))
+            .where("ri % 2 = 1").select("doc_id", "pos"))
+    k = kept.selectExpr("doc_id AS kd", "pos AS kp")
+    d = kept.selectExpr("doc_id AS dd", "pos + 1 AS dp")
+    new = (rows.crossJoin(F.broadcast(top))
+           .join(k, (F.col("doc_id") == F.col("kd"))
+                 & (F.col("pos") == F.col("kp")), "left")
+           .join(d, (F.col("doc_id") == F.col("dd"))
+                 & (F.col("pos") == F.col("dp")), "left_anti")
+           .selectExpr("doc_id", "pos",
+                       "CASE WHEN kp IS NOT NULL THEN concat(p, '_', q) "
+                       "ELSE t END AS t")
+           .localCheckpoint())
+    return top, new
+
+
+def q_bpe_learn_merges(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    rows = (d.select("doc_id", F.posexplode(F.split("text", " "))
+                     .alias("pos", "t"))
+            .localCheckpoint())
+    out = None
+    for r in range(1, BPE_ROUNDS + 1):
+        top, rows = _bpe_round(rows)
+        stat = rows.groupBy().agg(F.count(F.lit(1)).alias("ta"))
+        rec = (top.crossJoin(stat)
+               .selectExpr(f"CAST({r} AS INT) AS round", "p AS lhs",
+                           "q AS rhs", "CAST(cnt AS BIGINT) AS pair_count",
+                           "CAST(ta AS BIGINT) AS tokens_after"))
+        out = rec if out is None else out.unionByName(rec)
+    return out
+
+
+def _oracle_bpe() -> str:
+    rounds = []
+    for r in range(1, BPE_ROUNDS + 1):
+        prev = f"r{r - 1}"
+        rounds.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT doc_id, pos, t,
+         LEAD(t) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM {prev}),
+t{r} AS MATERIALIZED (
+  SELECT t AS p, nxt AS q, COUNT(*) AS cnt
+  FROM p{r} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2 ORDER BY cnt DESC, p, q LIMIT 1),
+m{r} AS MATERIALIZED (
+  SELECT pr.doc_id, pr.pos,
+         ROW_NUMBER() OVER (PARTITION BY pr.doc_id ORDER BY pr.pos) AS rn
+  FROM p{r} pr, t{r}
+  WHERE pr.t = t{r}.p AND pr.nxt = t{r}.q),
+k{r} AS MATERIALIZED (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, pos - rn
+                              ORDER BY pos) AS ri
+    FROM m{r}) s WHERE ri % 2 = 1),
+r{r} AS MATERIALIZED (
+  SELECT rr.doc_id, rr.pos,
+         CASE WHEN k.pos IS NOT NULL THEN t{r}.p || '_' || t{r}.q
+              ELSE rr.t END AS t
+  FROM {prev} rr
+  LEFT JOIN k{r} k ON k.doc_id = rr.doc_id AND k.pos = rr.pos
+  CROSS JOIN t{r}
+  WHERE NOT EXISTS (SELECT 1 FROM k{r} dd
+                    WHERE dd.doc_id = rr.doc_id
+                      AND dd.pos = rr.pos - 1))""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS round, p AS lhs, q AS rhs, "
+        f"CAST(cnt AS BIGINT) AS pair_count, "
+        f"CAST((SELECT COUNT(*) FROM r{r}) AS BIGINT) AS tokens_after "
+        f"FROM t{r}" for r in range(1, BPE_ROUNDS + 1))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+r0 AS MATERIALIZED (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, ts[u.i] AS t
+  FROM toks, UNNEST(range(1, len(ts) + 1)) AS u(i)),
+{','.join(rounds)}
+{selects}
+"""
+
+
 QUERIES: dict = {
     "bm25_search": (q_bm25_search, _oracle_bm25()),
+    "bpe_learn_merges": (q_bpe_learn_merges, _oracle_bpe()),
     "grouping_sets_sales": (q_grouping_sets_sales, ORACLE_GROUPING_SETS),
     "link_prediction": (q_link_prediction, ORACLE_LINK_PRED),
     "image_otsu_threshold": (q_image_otsu_threshold, _oracle_otsu()),

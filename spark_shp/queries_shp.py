@@ -1635,8 +1635,93 @@ FROM s6
 ORACLE_SHP_CASSINI = _oracle_cassini_sql()
 
 
+N_AEQD = 40
+_AEQD_WKT = (
+    'PROJCS["AEQD_Test_Sphere",GEOGCS["GCS_Sphere",'
+    'DATUM["D_Sphere",SPHEROID["Sphere",6371000.0,0.0]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Azimuthal_Equidistant"],'
+    'PARAMETER["False_Easting",20000.0],'
+    'PARAMETER["False_Northing",-10000.0],'
+    'PARAMETER["Central_Meridian",30.0],'
+    'PARAMETER["Latitude_Of_Origin",40.0],UNIT["Meter",1.0]]')
+_AEQD_PARAMS = (6371000.0, 30.0, 40.0, 20000.0, -10000.0)
+
+
+def q_shp_aeqd_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 Azimuthal Equidistant (spherical, oblique aspect — the ESRI
+    World_Azimuthal_Equidistant / ESRI:54032 family; aviation range-ring
+    and polar-research maps): Point shapefile in AEQD meters -> engine
+    inverse (parser.make_inv_aeqd, Snyder eq. 25-15/25-16/25-18; an
+    ellipsoidal SPHEROID raises rather than silently mis-decoding). The
+    oracle unrolls the identical float64 op sequence in DuckDB from the
+    same aeqd_constants(); 9-decimal rounding policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_AEQD, dtype=np.int64)
+    xm = -4.0e6 + u01(i * 89 + 7) * 8.0e6     # within ~5,700 km of center
+    ym = -4.0e6 + u01(i * 89 + 8) * 8.0e6
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_AEQD_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_aeqd_sql() -> str:
+    """Spherical AEQD inverse as DuckDB SQL, op-for-op the numpy kernel
+    (same aeqd_constants float64 values, incl. the ±1 clip before ASIN)."""
+    from .shp.parser import aeqd_constants
+    a, lon0, lat0, fe, fn = _AEQD_PARAMS
+    c = {k: f"CAST({v!r} AS DOUBLE)"
+         for k, v in aeqd_constants(a, lon0, lat0, fe, fn).items()}
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         -4000000.0 + {u01_sql('i * 89 + 7')} * 8000000.0 AS xi,
+         -4000000.0 + {u01_sql('i * 89 + 8')} * 8000000.0 AS yi
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_AEQD - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no, xi - {c['fe']} AS x, yi - {c['fn']} AS y FROM src),
+s2 AS (
+  SELECT rec_no, x, y, SQRT(x * x + y * y) AS rho FROM s1),
+s3 AS (
+  SELECT rec_no, x, y, rho, SIN(rho / {c['r']}) AS sc,
+         COS(rho / {c['r']}) AS co
+  FROM s2)
+SELECT rec_no,
+       ROUND(DEGREES({c['lam0']} + ATAN2(x * sc,
+             rho * {c['cos0']} * co - y * {c['sin0']} * sc)), 9) AS lon,
+       ROUND(DEGREES(ASIN(LEAST(GREATEST(
+             co * {c['sin0']} + y * sc * {c['cos0']} / rho,
+             -1.0), 1.0))), 9) AS lat
+FROM s3
+"""
+
+
+ORACLE_SHP_AEQD = _oracle_aeqd_sql()
+
+
 def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 — ALL thirteen supported .prj projection families under ONE gated
+    """A12 — ALL fourteen supported .prj projection families under ONE gated
     row (the shp_zm_semantics consolidation pattern applied to CRS): each
     family decodes its own Point shapefile + WKT through the engine's
     inverse kernel, tagged with a family id, unioned. Driver-gates the
@@ -1653,7 +1738,7 @@ def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_shp_merc3395_reproject, q_shp_sinusoidal_reproject,
             q_shp_mollweide_reproject, q_shp_oblique_stereo_reproject,
             q_shp_hom_reproject, q_shp_krovak_reproject,
-            q_shp_cassini_reproject]
+            q_shp_cassini_reproject, q_shp_aeqd_reproject]
     out = None
     for fam_id, fn in enumerate(fams):
         d = fn(spark, sf_dir).select(
@@ -1669,7 +1754,7 @@ ORACLE_REPROJECT_FAMILIES = "\nUNION ALL\n".join(
         ORACLE_SHP_ALBERS, ORACLE_SHP_STEREO, ORACLE_SHP_LAEA,
         ORACLE_SHP_MERC3395, ORACLE_SHP_SINUSOIDAL, ORACLE_SHP_MOLLWEIDE,
         ORACLE_SHP_OBLIQUE_STEREO, ORACLE_SHP_HOM, ORACLE_SHP_KROVAK,
-        ORACLE_SHP_CASSINI]))
+        ORACLE_SHP_CASSINI, ORACLE_SHP_AEQD]))
 
 
 def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2049,6 +2134,7 @@ QUERIES: dict = {
     "shp_krovak_reproject": (q_shp_krovak_reproject, ORACLE_SHP_KROVAK),
     "shp_cassini_reproject": (q_shp_cassini_reproject,
                               ORACLE_SHP_CASSINI),
+    "shp_aeqd_reproject": (q_shp_aeqd_reproject, ORACLE_SHP_AEQD),
     "shp_oblique_stereo_reproject": (q_shp_oblique_stereo_reproject,
                                      ORACLE_SHP_OBLIQUE_STEREO),
     "shp_hom_reproject": (q_shp_hom_reproject, ORACLE_SHP_HOM),

@@ -47,6 +47,7 @@ _TAIL = [
     "shp_hom_reproject",      # A12 (same family — Hotine Oblique Mercator)
     "shp_krovak_reproject",   # A12 (same family — Krovak S-JTSK)
     "shp_cassini_reproject",  # A12 (same family — Cassini-Soldner)
+    "shp_aeqd_reproject",     # A12 (same family — Azimuthal Equidistant)
     "images_phash_near_dup",  # dedup family via minhash_lsh_pairs/simhash
     "shp_zip_bundle",         # A16-A18/A20 zip demux e2e (pytest in-window
                               # coverage via shp fixtures; exact diffcheck)
@@ -220,6 +221,7 @@ _TAIL = [
     "image_otsu_threshold",   # global Otsu binarization threshold (B11)
     "image_rle_runs",         # RLE compressibility QA, real decode (B11)
     "audio_zcr_windows",      # zero-crossing-rate windows, real WAV (AV)
+    "bpe_learn_merges",       # iterative BPE merge-learning loop (text)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

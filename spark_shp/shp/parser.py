@@ -904,6 +904,56 @@ def make_inv_mollweide(a: float, lon0_deg: float,
     return inv
 
 
+def aeqd_constants(a: float, lon0_deg: float, lat0_deg: float,
+                   fe: float = 0.0, fn: float = 0.0) -> dict:
+    """Point-independent constants for the SPHERICAL Azimuthal
+    Equidistant projection (Snyder 1987 eq. 25-15..25-18 — the ESRI
+    World_Azimuthal_Equidistant / ESRI:54032 family and proj's
+    ``+proj=aeqd +R=``; aviation range-ring and polar-research maps).
+    Shared float64 source for the numpy inverse kernel AND the DuckDB
+    oracle generator — same policy as :func:`lcc_constants`."""
+    phi0 = math.radians(lat0_deg)
+    return {
+        "r": a, "lam0": math.radians(lon0_deg),
+        "sin0": math.sin(phi0), "cos0": math.cos(phi0),
+        "fe": fe, "fn": fn,
+    }
+
+
+def make_inv_aeqd(a: float, inv_f: float, lon0_deg: float, lat0_deg: float,
+                  fe: float = 0.0, fn: float = 0.0):
+    """Spherical Azimuthal Equidistant inverse (Snyder eq. 25-15/25-16/
+    25-18, all aspects): c = ρ/R, φ = arcsin(cos c sin φ0 +
+    y sin c cos φ0 / ρ), λ = λ0 + atan2(x sin c, ρ cos φ0 cos c −
+    y sin φ0 sin c).  Sphere-only — the ellipsoidal oblique form is
+    geodesic-based (what PROJ does) and out of scope; an ellipsoidal
+    SPHEROID raises loudly rather than silently mis-decoding (the
+    Mercator-dispatch lesson).  Returns a vectorized (n,2) meters →
+    (n,2) lon/lat° fn."""
+    if inv_f != 0.0:
+        raise ValueError(
+            "Azimuthal_Equidistant: only the spherical form is supported "
+            f"(SPHEROID inverse flattening {inv_f!r} != 0); the "
+            "ellipsoidal oblique variant is geodesic-based")
+    c = aeqd_constants(a, lon0_deg, lat0_deg, fe, fn)
+    r, lam0, sin0, cos0 = c["r"], c["lam0"], c["sin0"], c["cos0"]
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        x = pts[:, 0] - fe
+        y = pts[:, 1] - fn
+        rho = np.sqrt(x * x + y * y)
+        cc = rho / r
+        sc, co = np.sin(cc), np.cos(cc)
+        safe = np.where(rho == 0.0, 1.0, rho)
+        phi = np.arcsin(np.clip(
+            co * sin0 + np.where(rho == 0.0, 0.0,
+                                 y * sc * cos0 / safe), -1.0, 1.0))
+        lam = lam0 + np.arctan2(x * sc, rho * cos0 * co - y * sin0 * sc)
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
+
 def hom_constants(a: float, inv_f: float, lonc_deg: float, lat0_deg: float,
                   azi_deg: float, gamma_deg: float, k0: float,
                   fe: float, fn: float, variant: str = "A") -> dict:
@@ -1317,6 +1367,16 @@ def projection_from_wkt(wkt) -> "callable | None":
             return _with_unit(make_inv_mollweide(
                 a,
                 p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
+        if re.search(r'PROJECTION\["?Azimuthal[_ ]?Equidistant', wkt, re.I):
+            p = _wkt_params(wkt)
+            a, inv_f = _wkt_spheroid(wkt)   # sphere-only: raises on e2>0
+            return _with_unit(make_inv_aeqd(
+                a, inv_f,
+                p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+                p.get("latitude_of_origin", p.get("latitude_of_center",
+                                                  0.0)),
                 p.get("false_easting", 0.0) * unit,
                 p.get("false_northing", 0.0) * unit), unit)
         if re.search(r'PROJECTION\["?Mercator', wkt, re.I) or "3857" in wkt:

@@ -1246,3 +1246,57 @@ def test_cassini_wkt_dispatch():
     assert abs(out[0, 0] - 10.0) < 1e-12
     # latitude pays the eq. 3-26 rectifying-series truncation (~2.5e-9 deg)
     assert abs(out[0, 1] - 50.0) < 1e-8
+
+
+def test_aeqd_roundtrip_against_independent_forward():
+    """Snyder eq. 25-1..25-4 spherical Azimuthal Equidistant FORWARD
+    (written independently of the inverse: k' = c / sin c about the
+    angular distance c from the great-circle cosine rule) roundtrips
+    through the engine inverse to <1e-9 degrees across a ~5,700 km disc
+    around the oblique center."""
+    import math
+    import numpy as np
+    from spark_shp.shp.parser import make_inv_aeqd
+    from spark_shp.queries_shp import _AEQD_PARAMS
+
+    r, lon0, lat0, fe, fn = _AEQD_PARAMS
+    sin0, cos0 = math.sin(math.radians(lat0)), math.cos(math.radians(lat0))
+
+    def fwd(lon_deg, lat_deg):
+        phi = math.radians(lat_deg)
+        dlam = math.radians(lon_deg - lon0)
+        cosc = sin0 * math.sin(phi) + cos0 * math.cos(phi) * math.cos(dlam)
+        c = math.acos(min(1.0, max(-1.0, cosc)))
+        k = 1.0 if c == 0.0 else c / math.sin(c)
+        x = r * k * math.cos(phi) * math.sin(dlam)
+        y = r * k * (cos0 * math.sin(phi)
+                     - sin0 * math.cos(phi) * math.cos(dlam))
+        return x + fe, y + fn
+
+    inv = make_inv_aeqd(r, 0.0, lon0, lat0, fe, fn)
+    rng = np.random.default_rng(20260819)
+    lons = lon0 + rng.uniform(-48.0, 48.0, 200)
+    lats = np.clip(lat0 + rng.uniform(-45.0, 45.0, 200), -85.0, 85.0)
+    pts = np.array([fwd(lo, la) for lo, la in zip(lons, lats)])
+    out = inv(pts)
+    assert np.max(np.abs(out[:, 0] - lons)) < 1e-9
+    assert np.max(np.abs(out[:, 1] - lats)) < 1e-9
+
+
+def test_aeqd_wkt_dispatch_and_ellipsoid_raises():
+    import numpy as np
+    import pytest
+    from spark_shp.shp.parser import projection_from_wkt
+    from spark_shp.queries_shp import _AEQD_WKT
+    trans = projection_from_wkt(_AEQD_WKT)
+    assert trans is not None
+    # FE/FN map back to the projection origin exactly (closed form)
+    out = trans(np.array([[20000.0, -10000.0]]))
+    assert abs(out[0, 0] - 30.0) < 1e-12
+    assert abs(out[0, 1] - 40.0) < 1e-12
+    # an ellipsoidal SPHEROID must raise, not silently sphere-decode
+    wkt_ell = _AEQD_WKT.replace(
+        'SPHEROID["Sphere",6371000.0,0.0]',
+        'SPHEROID["WGS_1984",6378137.0,298.257223563]')
+    with pytest.raises(ValueError, match="spherical"):
+        projection_from_wkt(wkt_ell)

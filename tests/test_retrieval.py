@@ -227,3 +227,42 @@ def test_zcr_planted_silence_windows_have_zero_crossings(spark):
             if (i * 31 + wnd * 97) % 5 == 0:
                 any_zero_env = True
     assert any_zero_env  # the fixture really plants silent windows
+
+
+def _python_bpe(docs: pd.DataFrame, rounds: int):
+    """Genuinely sequential BPE trainer: raw adjacent-pair Counter for
+    selection, left-to-right greedy scan for the rewrite."""
+    corpus = {int(r.doc_id): r.text.split(" ") for r in docs.itertuples()}
+    out = []
+    for rnd in range(1, rounds + 1):
+        counts = {}
+        for ts in corpus.values():
+            for a, b in zip(ts[:-1], ts[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        (p, q), cnt = min(counts.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        for d, ts in corpus.items():
+            new = []
+            i = 0
+            while i < len(ts):
+                if i + 1 < len(ts) and ts[i] == p and ts[i + 1] == q:
+                    new.append(p + "_" + q)
+                    i += 2
+                else:
+                    new.append(ts[i])
+                    i += 1
+            corpus[d] = new
+        out.append((rnd, p, q, cnt, sum(len(t) for t in corpus.values())))
+    return out
+
+
+def test_bpe_matches_sequential_trainer(spark):
+    from spark_shp.queries_retrieval import BPE_ROUNDS, q_bpe_learn_merges
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    want = _python_bpe(docs, BPE_ROUNDS)
+    got = sorted(
+        (r["round"], r["lhs"], r["rhs"], r["pair_count"],
+         r["tokens_after"]) for r in q_bpe_learn_merges(spark, SF).collect())
+    assert got == want
+    # structure: merges must actually shrink the corpus each round
+    assert all(a[4] > b[4] for a, b in zip(got, got[1:]))
