@@ -90,10 +90,23 @@ BM25_SCORE = (f"ROUND({_bm25_slot(1)} + {_bm25_slot(2)} + {_bm25_slot(3)}, 6)"
 
 
 def q_bm25_search(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    qt = spark.createDataFrame(BM25_QUERIES, "qid INT, slot INT, term STRING")
+    return bm25_topk(spark, _t(spark, sf_dir, "documents"), BM25_QUERIES)
+
+
+def bm25_topk(spark, d: DataFrame, queries: list) -> DataFrame:
+    qt = spark.createDataFrame(queries, "qid INT, slot INT, term STRING")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # Only the QUERY terms' postings matter — tf, df and the candidate set
+    # are all derivable after a broadcast semi-filter on the exploded
+    # tokens, so the (doc, term) shuffle carries the query terms' postings
+    # (~|terms|/|vocab| of the corpus), not every term's.  Measured at
+    # 100M tokens: 32.5 s → 16.7 s (BENCH/RETRIEVAL.json) — the remaining
+    # cost is the split/explode corpus scan itself (3 passes: postings,
+    # dl, N/Σdl), which is the irreducible part; the shuffle went from
+    # corpus-sized to postings-sized, the property that matters at 100 TB.
+    qterms = qt.select("term").distinct()
+    tf = (toks.join(F.broadcast(qterms), "term", "left_semi")
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
     dl = d.selectExpr("doc_id", "size(split(text, ' ')) AS dl")
     corpus = d.selectExpr("COUNT(*) AS nd",
                           "SUM(size(split(text, ' '))) AS sdl")
@@ -446,7 +459,8 @@ FROM bounds GROUP BY fmt
 N_ZCR_WAV = 24
 
 
-def q_audio_zcr_windows(spark, sf_dir):
+def q_audio_zcr_windows(spark, sf_dir, n_streams: int = N_ZCR_WAV,
+                        partitions: int = 4):
     from . import riff
 
     schema = T.StructType([
@@ -478,7 +492,7 @@ def q_audio_zcr_windows(spark, sf_dir):
                              int((zc * (wi + 3)).sum())))
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
-    return (spark.range(0, N_ZCR_WAV, numPartitions=4)
+    return (spark.range(0, n_streams, numPartitions=partitions)
             .mapInPandas(work, schema))
 
 
@@ -636,9 +650,193 @@ r0 AS MATERIALIZED (
 """
 
 
+# --- image_entropy: per-image Shannon entropy from the exact histogram -----------
+#
+# The information-theoretic compressibility bound (RLE's sibling — RLE
+# measures run structure, H measures the source-coding floor): per image
+# H = −Σ p_v ln p_v over the 256-value histogram of REAL decoded bytes.
+# p ln p is irrational, so each bucket's term is QUANTIZED to 1e-8 nats
+# (FLOOR(x·1e8 + 0.5), the half-up rule) BEFORE the variable-cardinality
+# sum — the RA-index trick — making entropy_q an exact int64 at any
+# aggregation order; a 1-ulp JVM-vs-libm LN difference moves the
+# pre-floor value by ≤ ~1e-8, so a floor flip needs a ~1e-8-wide
+# coincidence per bucket (~6k buckets here — negligible, and the gate
+# would catch it loudly).  Mean bits/value renders in one literal.
+
+ENT_N = 24
+ENT_Q = 100_000_000  # 1e-8-nat quantization of each p·ln p term
+
+_ENT_TERM = (f"CAST(FLOOR((CAST(n_px AS DOUBLE) / n) "
+             f"* LN(CAST(n_px AS DOUBLE) / n) * {float(ENT_Q)!r} + 0.5) "
+             "AS BIGINT)")
+
+
+def q_image_entropy(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, ENT_N, partitions=4).where(
+        F.col("fmt") != "qb")
+    h = (multimodal.histogram_checksums(img, buckets=256)
+         .where("n_px > 0"))
+    tot = h.groupBy("image_id").agg(F.sum("n_px").alias("n"))
+    per = (h.join(tot, "image_id")
+           .selectExpr("image_id", f"{_ENT_TERM} AS t")
+           .groupBy("image_id").agg((-F.sum("t")).alias("entropy_q")))
+    withi = per.selectExpr(
+        "entropy_q",
+        "CAST(substr(image_id, 4) AS BIGINT) AS i",
+        "CASE WHEN CAST(substr(image_id, 4) AS BIGINT) % 3 = 0 "
+        "THEN 'raw' ELSE 'png' END AS fmt")
+    return (withi.groupBy("fmt")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("entropy_q").alias("sum_q"),
+                 F.min("entropy_q").alias("min_q"),
+                 F.max("entropy_q").alias("max_q"),
+                 F.expr("SUM(entropy_q * (i + 13))").alias("checksum"))
+            .selectExpr(
+                "fmt", "CAST(n_images AS BIGINT) AS n_images",
+                "CAST(sum_q AS BIGINT) AS sum_q",
+                "CAST(min_q AS BIGINT) AS min_q",
+                "CAST(max_q AS BIGINT) AS max_q",
+                f"ROUND(CAST(sum_q AS DOUBLE) / n_images / {float(ENT_Q)!r}"
+                " / LN(CAST(2 AS DOUBLE)), 6) AS mean_bits",
+                "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_entropy() -> str:
+    from .hashing import mix_sql
+    m = fixtures.images_meta_sql("i")
+    px = mix_sql("i * 1000003 + yy.y * 4096 + xx.x * 4 + cc.c")
+    return f"""
+WITH imgs AS (
+  SELECT i, {m['w']} AS w, {m['h']} AS h,
+         CASE WHEN i % 3 = 0 THEN 'raw' ELSE 'png' END AS fmt
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {ENT_N - 1})) AS i) t
+  WHERE i % 3 <> 2),
+hist AS (
+  SELECT i, fmt, ({px}) % 256 AS v, COUNT(*) AS n_px
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 1)) AS y) yy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS x) xx,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c) cc
+  GROUP BY 1, 2, 3),
+tot AS (SELECT i, SUM(n_px) AS n FROM hist GROUP BY i),
+per AS (
+  SELECT h.i, h.fmt, -SUM({_ENT_TERM}) AS entropy_q
+  FROM hist h JOIN tot ON tot.i = h.i GROUP BY 1, 2)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(entropy_q) AS BIGINT) AS sum_q,
+       CAST(MIN(entropy_q) AS BIGINT) AS min_q,
+       CAST(MAX(entropy_q) AS BIGINT) AS max_q,
+       ROUND(CAST(SUM(entropy_q) AS DOUBLE) / COUNT(*) / {float(ENT_Q)!r}
+             / LN(CAST(2 AS DOUBLE)), 6) AS mean_bits,
+       CAST(SUM(entropy_q * (i + 13)) AS BIGINT) AS checksum
+FROM per GROUP BY fmt
+"""
+
+
+# --- range_frame_smoothing: RANGE-frame moving window (C7 frame coverage) ---------
+#
+# The C7 window-frame type the suite didn't yet exercise: a VALUE-based
+# RANGE frame (RANGE BETWEEN 2 PRECEDING AND CURRENT ROW over the hour
+# NUMBER), which — unlike a ROWS frame — spans value gaps: an hour with
+# no events still weighs on its successors' 3-hour window.  Hourly
+# event counts are exact ints, so the moving sums hash exactly; the
+# per-type hour series is bounded by the time span, never the corpus.
+
+def q_range_frame_smoothing(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hourly = (e.selectExpr(
+        "event_type",
+        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) "
+        "/ 3600000000.0) AS BIGINT) AS h")
+        .groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("n")))
+    return hourly.selectExpr(
+        "event_type", "h", "n",
+        "CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY h "
+        "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum3h",
+        "CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY h "
+        "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n3h")
+
+
+ORACLE_RANGE_FRAME = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, h, CAST(n AS BIGINT) AS n,
+       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY h
+            RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum3h,
+       CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY h
+            RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n3h
+FROM hourly
+"""
+
+
+# --- geodesic_area: spherical-excess polygon area over the fence layer -----------
+#
+# Geodesic (on-the-sphere) polygon area — the planar shoelace
+# (polygon_metrics) is wrong by cos(lat) away from the equator; this is
+# the turf.js / PostGIS-geography formula: per directed edge,
+# term = Δλ_rad · (2 + sin φ1 + sin φ2), area = |Σ term| · R²/2.  The
+# sin terms are irrational, so each EDGE term quantizes to an exact
+# int64 (×1e9 half-up) before the variable-cardinality per-polygon sum;
+# holes (CCW) cancel against outers (CW) by sign, parts add.  The
+# quantum is 1e-9 sr (~0.02 km²) — chosen so a 1-ulp JVM-vs-libm SIN
+# difference moves the pre-floor value by ~2e-8, far from a floor flip
+# (at 1e15 the flip window would be ~2%/edge — measured reasoning, not
+# luck).  The fence layer is bounded (the ≤4096-row layer allowance);
+# at scale the edge table shards by poly_id.
+
+GEO_R_KM = 6371.0088  # IUGG mean Earth radius
+
+_GEO_TERM = ("CAST(FLOOR(RADIANS(x2 - x1) * (CAST(2 AS DOUBLE) "
+             "+ SIN(RADIANS(y1)) + SIN(RADIANS(y2))) "
+             "* 1000000000.0 + 0.5) AS BIGINT)")
+_GEO_AREA = (f"ROUND(ABS(CAST(area_q AS DOUBLE)) / 1000000000.0 "
+             f"* {GEO_R_KM!r} * {GEO_R_KM!r} / 2.0, 6)")
+
+
+def q_geodesic_area(spark, sf_dir):
+    import pandas as _pd
+    e = fixtures.fence_edges(64)
+    edges = spark.createDataFrame(_pd.DataFrame(
+        e, columns=["poly_id", "x1", "y1", "x2", "y2"]))
+    per = (edges.selectExpr("CAST(poly_id AS INT) AS poly_id",
+                            f"{_GEO_TERM} AS t")
+           .groupBy("poly_id")
+           .agg(F.count(F.lit(1)).alias("n_edges"),
+                F.sum("t").alias("area_q")))
+    return per.selectExpr(
+        "poly_id", "CAST(n_edges AS BIGINT) AS n_edges",
+        "CAST(area_q AS BIGINT) AS area_q",
+        f"{_GEO_AREA} AS area_km2")
+
+
+def _oracle_geodesic() -> str:
+    from .queries_spatial import _fence_edges_values_sql
+    return f"""
+WITH fe AS (
+  SELECT CAST(poly_id AS INT) AS poly_id, CAST(x1 AS DOUBLE) AS x1,
+         CAST(y1 AS DOUBLE) AS y1, CAST(x2 AS DOUBLE) AS x2,
+         CAST(y2 AS DOUBLE) AS y2
+  FROM {_fence_edges_values_sql(64)} v),
+per AS (
+  SELECT poly_id, COUNT(*) AS n_edges, SUM({_GEO_TERM}) AS area_q
+  FROM fe GROUP BY poly_id)
+SELECT poly_id, CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(area_q AS BIGINT) AS area_q,
+       {_GEO_AREA} AS area_km2
+FROM per
+"""
+
+
 QUERIES: dict = {
     "bm25_search": (q_bm25_search, _oracle_bm25()),
     "bpe_learn_merges": (q_bpe_learn_merges, _oracle_bpe()),
+    "image_entropy": (q_image_entropy, _oracle_entropy()),
+    "range_frame_smoothing": (q_range_frame_smoothing, ORACLE_RANGE_FRAME),
+    "geodesic_area": (q_geodesic_area, _oracle_geodesic()),
     "grouping_sets_sales": (q_grouping_sets_sales, ORACLE_GROUPING_SETS),
     "link_prediction": (q_link_prediction, ORACLE_LINK_PRED),
     "image_otsu_threshold": (q_image_otsu_threshold, _oracle_otsu()),

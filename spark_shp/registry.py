@@ -222,6 +222,9 @@ _TAIL = [
     "image_rle_runs",         # RLE compressibility QA, real decode (B11)
     "audio_zcr_windows",      # zero-crossing-rate windows, real WAV (AV)
     "bpe_learn_merges",       # iterative BPE merge-learning loop (text)
+    "image_entropy",          # Shannon entropy bound, real decode (B11)
+    "range_frame_smoothing",  # RANGE-frame moving window (C7 family)
+    "geodesic_area",          # spherical-excess polygon area (B4/geo)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -266,3 +266,90 @@ def test_bpe_matches_sequential_trainer(spark):
     assert got == want
     # structure: merges must actually shrink the corpus each round
     assert all(a[4] > b[4] for a, b in zip(got, got[1:]))
+
+
+def test_image_entropy_matches_python_quantized(spark):
+    from spark_shp.queries_retrieval import ENT_N, ENT_Q, q_image_entropy
+    rows = {r["fmt"]: r for r in q_image_entropy(spark, SF).collect()}
+    agg = {"raw": [0, 0, None, None, 0], "png": [0, 0, None, None, 0]}
+    for i in range(ENT_N):
+        if i % 3 == 2:
+            continue
+        dec, fmt = _decoded_green(i)
+        nv = np.bincount(dec.ravel(), minlength=256)
+        n = int(nv.sum())
+        q = 0
+        for c in nv[nv > 0]:
+            p = float(c) / n
+            q -= math.floor(p * math.log(p) * ENT_Q + 0.5)
+        a = agg[fmt]
+        a[0] += 1
+        a[1] += q
+        a[2] = q if a[2] is None else min(a[2], q)
+        a[3] = q if a[3] is None else max(a[3], q)
+        a[4] += q * (i + 13)
+    for fmt, (ni, sq, mn, mx, ck) in agg.items():
+        r = rows[fmt]
+        assert (r["n_images"], r["sum_q"], r["min_q"], r["max_q"],
+                r["checksum"]) == (ni, sq, mn, mx, ck)
+        assert abs(r["mean_bits"]
+                   - round(sq / ni / ENT_Q / math.log(2.0), 6)) < 2e-6
+        # near-uniform synthetic pixels: entropy close to the 8-bit cap
+        assert 7.5 < r["mean_bits"] <= 8.0
+
+
+def test_range_frame_spans_value_gaps(spark):
+    from spark_shp.queries_retrieval import q_range_frame_smoothing
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    h = (ev["ts"].astype("datetime64[us]").astype("int64")
+         // 3_600_000_000).to_numpy()
+    got = q_range_frame_smoothing(spark, SF).collect()
+    series = {}
+    for t, hh in zip(ev["event_type"], h):
+        series.setdefault(t, {})
+        series[t][hh] = series[t].get(hh, 0) + 1
+    assert len(got) == sum(len(s) for s in series.values())
+    gap_seen = False
+    for r in got:
+        s = series[r["event_type"]]
+        win = {k: v for k, v in s.items() if r["h"] - 2 <= k <= r["h"]}
+        assert r["n"] == s[r["h"]]
+        assert r["sum3h"] == sum(win.values())
+        assert r["n3h"] == len(win)
+        if r["n3h"] < 3 and r["h"] - 2 >= min(s):
+            gap_seen = True  # RANGE (not ROWS) semantics actually bit
+    assert gap_seen
+
+
+def test_geodesic_area_matches_closed_form_rectangles(spark):
+    from spark_shp.queries_retrieval import (GEO_R_KM, q_geodesic_area)
+    rows = {r["poly_id"]: r for r in q_geodesic_area(spark, SF).collect()}
+    assert len(rows) == 64
+
+    def rect_area(cx, cy, hx, hy):
+        dlam = math.radians(2 * hx)
+        return (GEO_R_KM ** 2 * dlam
+                * (math.sin(math.radians(cy + hy))
+                   - math.sin(math.radians(cy - hy))))
+
+    for j in range(64):
+        cx, cy, hx, hy = fixtures.fence_params(j)
+        want = rect_area(cx, cy, hx, hy)
+        if j % 4 == 0:
+            want -= rect_area(cx, cy, hx / 2, hy / 2)
+        if j % 8 == 0:
+            want += rect_area(cx + 4 * hx, cy, hx, hy)
+        got = rows[j]["area_km2"]
+        # 1e-9 sr quantization = ~0.02 km2 per edge
+        assert abs(got - want) < 0.05 * rows[j]["n_edges"]
+
+    # python edge-quantized replication must agree EXACTLY (same floors)
+    e = fixtures.fence_edges(64)
+    acc = {}
+    for pid, x1, y1, x2, y2 in e:
+        t = math.floor(math.radians(x2 - x1)
+                       * (2.0 + math.sin(math.radians(y1))
+                          + math.sin(math.radians(y2))) * 1e9 + 0.5)
+        acc[int(pid)] = acc.get(int(pid), 0) + t
+    for j, q in acc.items():
+        assert rows[j]["area_q"] == q
