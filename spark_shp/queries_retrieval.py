@@ -234,9 +234,16 @@ def q_link_prediction(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     f = (li.where(F.col("l_quantity") >= LP_MIN_QTY)
          .selectExpr("l_orderkey AS ok", "l_partkey AS pk").distinct())
+    # e is referenced by nb (twice), deg, the wedge join (twice more
+    # through nb) and the anti join — without materialization Spark
+    # replays the corpus scan + pair join per reference (measured: 14
+    # lineitem scans, 25 exchanges, ReusedExchange never kicked in).
+    # The edge set is filter-bounded, so one localCheckpoint collapses
+    # the plan to a single corpus scan (plan-pinned in pytest).
     e = (f.alias("x").join(f.alias("y"), "ok")
          .where("x.pk < y.pk")
-         .selectExpr("x.pk AS a", "y.pk AS b").distinct())
+         .selectExpr("x.pk AS a", "y.pk AS b").distinct()
+         .localCheckpoint())
     nb = (e.selectExpr("a AS z", "b AS n")
           .unionAll(e.selectExpr("b AS z", "a AS n")))
     deg = nb.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
@@ -831,12 +838,129 @@ FROM per
 """
 
 
+# --- audio_spectral_peak: quantized DFT-bin energy over real WAV decode ----------
+#
+# The frequency-domain sibling of ZCR (tone/voicing detection — what a
+# real pipeline computes with an FFT): per 256-sample window, the DFT
+# energy |Σ s_k e^{-iωk}|² at five candidate bins, with the argmax bin
+# recovered and checked against the stream's PLANTED tone.  Streams are
+# pure integer-rounded sinusoids at bin b_i = 4 + (i%5)·2, synthesized
+# per executor task and pushed through the REAL RIFF/WAV encode+decode
+# walk (int16 PCM roundtrips bit-exactly, asserted in-kernel).
+#
+# Determinism: the DFT correlations quantize EACH s_k·cos(ωk') term to
+# exact int64 (×1e3 half-up — a multi-ulp numpy-vs-libm trig difference
+# moves a term by ~2.4e-9, so ~245k floor windows stay ~1e-9 from any
+# flip); window energy composes the exact ints in ONE shared literal
+# (cr·cr + ci·ci in DOUBLE — deterministic even past 2^53 because both
+# engines run the identical op sequence), then re-quantizes by a 2^24
+# floor so per-stream totals sum exactly.
+
+N_SPEC_WAV = 24
+SPEC_N = 2048                    # 8 windows of 256
+SPEC_BINS = (4, 6, 8, 10, 12)
+SPEC_C = 2.0 * 3.141592653589793 / 256.0  # 2π/256, folded
+SPEC_AMP = 12000.0
+SPEC_QT = 1000.0                 # per-term quantization
+SPEC_QE = 16777216.0             # 2^24 energy re-quantization
+
+
+def _spec_bin(i: int) -> int:
+    return 4 + (i % 5) * 2
+
+
+def q_audio_spectral_peak(spark, sf_dir):
+    from . import riff
+
+    schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("planted_bin", T.IntegerType()),
+        T.StructField("peak_bin", T.IntegerType()),
+        T.StructField("is_match", T.IntegerType()),
+        T.StructField("eq_planted", T.LongType()),
+        T.StructField("eq_total", T.LongType()),
+    ])
+    kp = np.arange(256, dtype=np.float64)
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].astype(int):
+                b = _spec_bin(i)
+                k = np.arange(SPEC_N, dtype=np.float64)
+                s = np.floor(SPEC_AMP * np.sin(SPEC_C * b * k)
+                             + 0.5).astype(np.int16)
+                wav, rate = riff.wav_decode(riff.wav_encode(s, 16000))
+                got = np.round(wav[:, 0].astype(np.float64)
+                               * 32768.0).astype(np.int64)
+                assert rate == 16000 and np.array_equal(got, s)
+                w = got.reshape(8, 256).astype(np.float64)
+                teq = {}
+                for cb in SPEC_BINS:
+                    cr = np.floor(w * np.cos(SPEC_C * cb * kp)[None, :]
+                                  * SPEC_QT + 0.5).sum(axis=1)
+                    ci = np.floor(w * np.sin(SPEC_C * cb * kp)[None, :]
+                                  * SPEC_QT + 0.5).sum(axis=1)
+                    e = cr * cr + ci * ci
+                    teq[cb] = int(np.floor(e / SPEC_QE)
+                                  .astype(np.int64).sum())
+                peak = max(SPEC_BINS, key=lambda c: (teq[c], -c))
+                rows.append((f"wav{i:03d}", b, peak, int(peak == b),
+                             teq[b], sum(teq.values())))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (spark.range(0, N_SPEC_WAV, numPartitions=4)
+            .mapInPandas(work, schema))
+
+
+def _oracle_spectral() -> str:
+    s = (f"FLOOR({SPEC_AMP!r} * SIN({SPEC_C!r} * b * k) + 0.5)")
+    return f"""
+WITH ids AS (
+  SELECT i, 4 + (i % 5) * 2 AS b
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_SPEC_WAV - 1})) AS i) t),
+samp AS (
+  SELECT i, b, CAST(FLOOR(k / 256.0) AS BIGINT) AS wnd, k % 256 AS kp,
+         {s} AS s
+  FROM ids, GENERATE_SERIES(0, {SPEC_N - 1}) g(k)),
+corr AS (
+  SELECT i, b, cb.cb, wnd,
+         SUM(FLOOR(s * COS({SPEC_C!r} * cb.cb * kp) * {SPEC_QT!r} + 0.5))
+           AS cr,
+         SUM(FLOOR(s * SIN({SPEC_C!r} * cb.cb * kp) * {SPEC_QT!r} + 0.5))
+           AS ci
+  FROM samp, (VALUES (4), (6), (8), (10), (12)) AS cb(cb)
+  GROUP BY 1, 2, 3, 4),
+wind AS (
+  SELECT i, b, cb,
+         CAST(FLOOR((CAST(cr AS DOUBLE) * cr + CAST(ci AS DOUBLE) * ci)
+                    / {SPEC_QE!r}) AS BIGINT) AS eq
+  FROM corr),
+tot AS (SELECT i, b, cb, SUM(eq) AS teq FROM wind GROUP BY 1, 2, 3),
+pk AS (
+  SELECT i, b, cb, teq,
+         ROW_NUMBER() OVER (PARTITION BY i ORDER BY teq DESC, cb ASC)
+           AS rk
+  FROM tot)
+SELECT printf('wav%03d', p.i) AS media_id,
+       CAST(p.b AS INT) AS planted_bin,
+       CAST(p.cb AS INT) AS peak_bin,
+       CAST(CASE WHEN p.cb = p.b THEN 1 ELSE 0 END AS INT) AS is_match,
+       CAST(tp.teq AS BIGINT) AS eq_planted,
+       CAST((SELECT SUM(teq) FROM tot t2 WHERE t2.i = p.i) AS BIGINT)
+         AS eq_total
+FROM pk p JOIN tot tp ON tp.i = p.i AND tp.cb = p.b
+WHERE p.rk = 1
+"""
+
+
 QUERIES: dict = {
     "bm25_search": (q_bm25_search, _oracle_bm25()),
     "bpe_learn_merges": (q_bpe_learn_merges, _oracle_bpe()),
     "image_entropy": (q_image_entropy, _oracle_entropy()),
     "range_frame_smoothing": (q_range_frame_smoothing, ORACLE_RANGE_FRAME),
     "geodesic_area": (q_geodesic_area, _oracle_geodesic()),
+    "audio_spectral_peak": (q_audio_spectral_peak, _oracle_spectral()),
     "grouping_sets_sales": (q_grouping_sets_sales, ORACLE_GROUPING_SETS),
     "link_prediction": (q_link_prediction, ORACLE_LINK_PRED),
     "image_otsu_threshold": (q_image_otsu_threshold, _oracle_otsu()),

@@ -225,6 +225,7 @@ _TAIL = [
     "image_entropy",          # Shannon entropy bound, real decode (B11)
     "range_frame_smoothing",  # RANGE-frame moving window (C7 family)
     "geodesic_area",          # spherical-excess polygon area (B4/geo)
+    "audio_spectral_peak",    # quantized DFT-bin tone detection (AV)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

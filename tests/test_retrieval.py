@@ -353,3 +353,65 @@ def test_geodesic_area_matches_closed_form_rectangles(spark):
         acc[int(pid)] = acc.get(int(pid), 0) + t
     for j, q in acc.items():
         assert rows[j]["area_q"] == q
+
+
+def test_spectral_peak_recovers_planted_tones(spark):
+    from spark_shp.queries_retrieval import (
+        N_SPEC_WAV, SPEC_AMP, SPEC_BINS, SPEC_C, SPEC_N, SPEC_QE, SPEC_QT,
+        _spec_bin, q_audio_spectral_peak)
+    rows = {r["media_id"]: r for r in
+            q_audio_spectral_peak(spark, SF).collect()}
+    assert len(rows) == N_SPEC_WAV
+    assert all(r["is_match"] == 1 for r in rows.values())
+    # sequential python DFT replication (per-sample loop, no numpy)
+    for i in (0, 3, 7):
+        b = _spec_bin(i)
+        s = [math.floor(SPEC_AMP * math.sin(SPEC_C * b * k) + 0.5)
+             for k in range(SPEC_N)]
+        teq = {}
+        for cb in SPEC_BINS:
+            tot = 0
+            for w in range(8):
+                cr = ci = 0
+                for kp in range(256):
+                    v = s[w * 256 + kp]
+                    cr += math.floor(v * math.cos(SPEC_C * cb * kp)
+                                     * SPEC_QT + 0.5)
+                    ci += math.floor(v * math.sin(SPEC_C * cb * kp)
+                                     * SPEC_QT + 0.5)
+                tot += math.floor((float(cr) * cr + float(ci) * ci)
+                                  / SPEC_QE)
+            teq[cb] = tot
+        r = rows[f"wav{i:03d}"]
+        assert r["eq_planted"] == teq[b]
+        assert r["eq_total"] == sum(teq.values())
+        assert max(SPEC_BINS, key=lambda c: (teq[c], -c)) == r["peak_bin"]
+
+
+def test_plan_shapes_of_retrieval_ops(spark):
+    """Pins for the scale claims: BM25's postings semi-filter keeps every
+    join broadcast (no corpus-keyed join exchanges beyond the tf groupBy
+    + dl join + rank window), link prediction never builds a cartesian
+    product, GROUPING SETS expands in one hash-aggregate pass, and the
+    RANGE-frame query is one exchange for the agg + one for the window.
+    All four are pure JVM (no Python eval nodes)."""
+    from spark_shp.queries_retrieval import (
+        q_bm25_search, q_grouping_sets_sales, q_link_prediction,
+        q_range_frame_smoothing)
+
+    def shape(df):
+        plan = df._jdf.queryExecution().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        physical = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in physical
+        return physical.count("Exchange hashpartitioning")
+
+    # 8 hash exchanges total, but only TWO are corpus-scale (the
+    # postings-filtered tf groupBy and the dl join); dfreq/dfq/corpus
+    # run on term- or query-bounded aggregates and the rank window
+    # partitions by qid over postings-bounded candidates
+    assert shape(q_bm25_search(spark, SF)) <= 8
+    assert shape(q_link_prediction(spark, SF)) <= 6
+    assert shape(q_grouping_sets_sales(spark, SF)) <= 1
+    assert shape(q_range_frame_smoothing(spark, SF)) <= 2
