@@ -954,6 +954,185 @@ WHERE p.rk = 1
 """
 
 
+# --- fellegi_sunter: probabilistic record-linkage scoring -------------------------
+#
+# Completes the entity-resolution pipeline (soundex_blocking generates
+# candidates, dedup_editdist verifies strings — this SCORES): the
+# Fellegi–Sunter match weight Σ_f log2(m_f/u_f) over per-field
+# agreement patterns.  u_f (P(agree | random pair)) is estimated
+# EXACTLY from the corpus as Σ_v n_v(n_v−1) / N(N−1) — two int64
+# aggregates per field, never a float sum; m_f are declared constants
+# (the EM-free variant real pipelines start from).  Three FIXED fields
+# (lang, source, length bucket) mean the pair score composes exactly
+# six agreement-conditional terms in ONE literal float expression —
+# the BM25 slot rule again.  Pairs come from first-token blocking
+# (vocabulary-bounded block count; never corpus²).
+
+FS_TOPK = 20
+FS_M = (0.95, 0.9, 0.8)  # declared m-probabilities: lang, source, lenb
+
+
+def _fs_weight(field: str, m: float) -> str:
+    # agree → log2(m/u); disagree → log2((1−m)/(1−u)); u = un/ud exactly
+    u = f"(CAST(un_{field} AS DOUBLE) / ud)"
+    return (f"(CASE WHEN {field}_a = {field}_b "
+            f"THEN LN(CAST({m!r} AS DOUBLE) / {u}) "
+            f"ELSE LN(CAST({1.0 - m!r} AS DOUBLE) / "
+            f"(CAST(1 AS DOUBLE) - {u})) END / LN(CAST(2 AS DOUBLE)))")
+
+
+FS_SCORE = ("ROUND(" + " + ".join(
+    _fs_weight(f, m) for f, m in zip(("lang", "source", "lenb"), FS_M))
+    + ", 6) AS score")
+
+
+def _fs_fields(tbl: str) -> str:
+    return (f"SELECT doc_id, lang, source, "
+            f"CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS lenb, "
+            f"split_part(text, ' ', 1) AS blk FROM {tbl}")
+
+
+def q_fellegi_sunter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("fs_documents")
+    recs = spark.sql(_fs_fields("fs_documents"))
+    # u numerators: Σ n_v(n_v−1) per field, denominator N(N−1)
+    parts = []
+    for f_ in ("lang", "source", "lenb"):
+        parts.append(
+            recs.groupBy(f_).agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.expr("SUM(c * (c - 1))").alias(f"un_{f_}")))
+    nrow = recs.agg(F.expr("COUNT(*) * (COUNT(*) - 1)").alias("ud"))
+    u = parts[0].crossJoin(parts[1]).crossJoin(parts[2]).crossJoin(nrow)
+    a = recs.selectExpr("doc_id AS ida", "lang AS lang_a",
+                        "source AS source_a", "lenb AS lenb_a", "blk")
+    b = recs.selectExpr("doc_id AS idb", "lang AS lang_b",
+                        "source AS source_b", "lenb AS lenb_b", "blk")
+    pairs = a.join(b, "blk").where("ida < idb")
+    scored = (pairs.crossJoin(F.broadcast(u))
+              .selectExpr("ida", "idb", FS_SCORE,
+                          "CAST(CASE WHEN lang_a = lang_b THEN 1 ELSE 0 "
+                          "END * 4 + CASE WHEN source_a = source_b THEN "
+                          "1 ELSE 0 END * 2 + CASE WHEN lenb_a = lenb_b "
+                          "THEN 1 ELSE 0 END AS INT) AS pattern"))
+    return (scored.orderBy(F.desc("score"), "ida", "idb").limit(FS_TOPK)
+            .selectExpr("CAST(ida AS BIGINT) AS ida",
+                        "CAST(idb AS BIGINT) AS idb", "pattern", "score"))
+
+
+def _oracle_fs() -> str:
+    return f"""
+WITH recs AS ({_fs_fields('documents')}),
+u AS (
+  SELECT
+    (SELECT SUM(c * (c - 1)) FROM (SELECT COUNT(*) AS c FROM recs
+     GROUP BY lang) t) AS un_lang,
+    (SELECT SUM(c * (c - 1)) FROM (SELECT COUNT(*) AS c FROM recs
+     GROUP BY source) t) AS un_source,
+    (SELECT SUM(c * (c - 1)) FROM (SELECT COUNT(*) AS c FROM recs
+     GROUP BY lenb) t) AS un_lenb,
+    (SELECT COUNT(*) * (COUNT(*) - 1) FROM recs) AS ud),
+pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb,
+         a.lang AS lang_a, b.lang AS lang_b,
+         a.source AS source_a, b.source AS source_b,
+         a.lenb AS lenb_a, b.lenb AS lenb_b
+  FROM recs a JOIN recs b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT ida, idb, {FS_SCORE},
+         CAST(CASE WHEN lang_a = lang_b THEN 1 ELSE 0 END * 4
+            + CASE WHEN source_a = source_b THEN 1 ELSE 0 END * 2
+            + CASE WHEN lenb_a = lenb_b THEN 1 ELSE 0 END AS INT)
+           AS pattern
+  FROM pairs CROSS JOIN u)
+SELECT CAST(ida AS BIGINT) AS ida, CAST(idb AS BIGINT) AS idb,
+       pattern, score
+FROM scored ORDER BY score DESC, ida, idb LIMIT {FS_TOPK}
+"""
+
+
+# --- lm_heldout_perplexity: the LM-quality EVAL loop -------------------------------
+#
+# lm_bigram_score rates documents under the full corpus's own LM; this
+# is the held-out EVALUATION real pipelines run: hash-split 80/20,
+# train add-one-smoothed bigram counts on the 80%, score the 20%'s
+# bigrams, report corpus perplexity.  p(w2|w1) = (c12+1)/(c1+V) is an
+# exact integer ratio; each held-out bigram's ln p quantizes to 1e-8
+# nats (the entropy-op rule) so the NLL total is an exact int64 at any
+# aggregation order; PPL = exp(NLL/n) renders in one literal.
+# Unseen-context and unseen-word bigrams flow through add-one naturally
+# (c12 = 0, c1 = 0).  One token-keyed shuffle for train counts, one
+# bigram-keyed left join for scoring.
+
+LM_Q = 100_000_000  # 1e-8-nat quantization
+
+
+def q_lm_heldout_perplexity(spark, sf_dir):
+    from .hashing import mix_sql
+    d = _t(spark, sf_dir, "documents")
+    split = d.selectExpr(
+        "doc_id", "split(text, ' ') AS ts",
+        f"CAST(({mix_sql('doc_id * 13 + 11')}) % 5 = 0 AS INT) AS heldout")
+    big = split.selectExpr(
+        "doc_id", "heldout",
+        "explode(zip_with(slice(ts, 1, size(ts) - 1), "
+        "slice(ts, 2, size(ts) - 1), (x, y) -> struct(x AS w1, y AS w2)))"
+        " AS bg").selectExpr("doc_id", "heldout", "bg.w1", "bg.w2")
+    tr = big.where("heldout = 0")
+    c12 = tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = tr.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = tr.select(F.expr("COUNT(DISTINCT w2)").alias("v"))
+    te = (big.where("heldout = 1")
+          .join(c12, ["w1", "w2"], "left")
+          .join(c1, ["w1"], "left")
+          .crossJoin(F.broadcast(vocab))
+          .selectExpr(
+              "CAST(FLOOR(LN((COALESCE(c12, 0) + CAST(1 AS DOUBLE)) "
+              f"/ (COALESCE(c1, 0) + v)) * {float(LM_Q)!r} + 0.5) "
+              "AS BIGINT) AS lq"))
+    return (te.groupBy()
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 (-F.sum("lq")).alias("nll_q"))
+            .crossJoin(F.broadcast(vocab))
+            .selectExpr(
+                "CAST(n_bigrams AS BIGINT) AS n_bigrams",
+                "CAST(nll_q AS BIGINT) AS nll_q",
+                "CAST(v AS BIGINT) AS vocab",
+                f"ROUND(EXP(CAST(nll_q AS DOUBLE) / n_bigrams "
+                f"/ {float(LM_Q)!r}), 6) AS perplexity"))
+
+
+def _oracle_lm_heldout() -> str:
+    from .hashing import mix_sql
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts,
+         CAST(({mix_sql('doc_id * 13 + 11')}) % 5 = 0 AS INT) AS heldout
+  FROM documents),
+big AS (
+  SELECT doc_id, heldout, ts[u.i] AS w1, ts[u.i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(ts))) AS u(i)),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big WHERE heldout = 0
+        GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM big WHERE heldout = 0 GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM big WHERE heldout = 0),
+te AS (
+  SELECT CAST(FLOOR(LN((COALESCE(c12.c12, 0) + CAST(1 AS DOUBLE))
+              / (COALESCE(c1.c1, 0) + vocab.v)) * {float(LM_Q)!r} + 0.5)
+         AS BIGINT) AS lq
+  FROM big LEFT JOIN c12 ON c12.w1 = big.w1 AND c12.w2 = big.w2
+  LEFT JOIN c1 ON c1.w1 = big.w1
+  CROSS JOIN vocab
+  WHERE big.heldout = 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(-SUM(lq) AS BIGINT) AS nll_q,
+       CAST((SELECT v FROM vocab) AS BIGINT) AS vocab,
+       ROUND(EXP(CAST(-SUM(lq) AS DOUBLE) / COUNT(*) / {float(LM_Q)!r}),
+             6) AS perplexity
+FROM te
+"""
+
+
 QUERIES: dict = {
     "bm25_search": (q_bm25_search, _oracle_bm25()),
     "bpe_learn_merges": (q_bpe_learn_merges, _oracle_bpe()),
@@ -961,6 +1140,8 @@ QUERIES: dict = {
     "range_frame_smoothing": (q_range_frame_smoothing, ORACLE_RANGE_FRAME),
     "geodesic_area": (q_geodesic_area, _oracle_geodesic()),
     "audio_spectral_peak": (q_audio_spectral_peak, _oracle_spectral()),
+    "fellegi_sunter": (q_fellegi_sunter, _oracle_fs()),
+    "lm_heldout_perplexity": (q_lm_heldout_perplexity, _oracle_lm_heldout()),
     "grouping_sets_sales": (q_grouping_sets_sales, ORACLE_GROUPING_SETS),
     "link_prediction": (q_link_prediction, ORACLE_LINK_PRED),
     "image_otsu_threshold": (q_image_otsu_threshold, _oracle_otsu()),

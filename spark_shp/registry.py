@@ -226,6 +226,8 @@ _TAIL = [
     "range_frame_smoothing",  # RANGE-frame moving window (C7 family)
     "geodesic_area",          # spherical-excess polygon area (B4/geo)
     "audio_spectral_peak",    # quantized DFT-bin tone detection (AV)
+    "fellegi_sunter",         # record-linkage match-weight scoring (ER)
+    "lm_heldout_perplexity",  # held-out LM perplexity eval (text/ML)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

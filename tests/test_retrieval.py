@@ -415,3 +415,81 @@ def test_plan_shapes_of_retrieval_ops(spark):
     assert shape(q_link_prediction(spark, SF)) <= 6
     assert shape(q_grouping_sets_sales(spark, SF)) <= 1
     assert shape(q_range_frame_smoothing(spark, SF)) <= 2
+
+
+def test_fellegi_sunter_matches_python_weights(spark):
+    from spark_shp.queries_retrieval import (FS_M, FS_TOPK,
+                                             q_fellegi_sunter)
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    d["lenb"] = (d["n_chars"] // 100).astype(int)
+    d["blk"] = d["text"].str.split(" ").str[0]
+    n = len(d)
+    ud = n * (n - 1)
+    fields = ("lang", "source", "lenb")
+    un = {f_: int((d.groupby(f_).size() * (d.groupby(f_).size() - 1))
+                  .sum()) for f_ in fields}
+    cand = []
+    for _, grp in d.groupby("blk"):
+        recs = list(grp[["doc_id", "lang", "source", "lenb"]]
+                    .itertuples(index=False))
+        recs.sort(key=lambda r: r.doc_id)
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                a, b = recs[i], recs[j]
+                s = 0.0
+                pat = 0
+                for bit, (f_, m) in enumerate(zip(fields, FS_M)):
+                    u = un[f_] / ud
+                    agree = getattr(a, f_) == getattr(b, f_)
+                    s += math.log((m / u) if agree
+                                  else ((1 - m) / (1 - u)), 2)
+                    pat += (4 >> bit) if agree else 0
+                cand.append((round(s, 6), a.doc_id, b.doc_id, pat))
+    cand.sort(key=lambda x: (-x[0], x[1], x[2]))
+    want = [(a, b, p, s) for s, a, b, p in cand[:FS_TOPK]]
+    got = [(r["ida"], r["idb"], r["pattern"], r["score"])
+           for r in q_fellegi_sunter(spark, SF).collect()]
+    assert [(a, b, p) for a, b, p, _ in want] == \
+        [(a, b, p) for a, b, p, _ in got]
+    for (_, _, _, ws), (_, _, _, gs) in zip(want, got):
+        assert abs(ws - gs) < 2e-6
+    # full-agreement pattern must outscore partial agreement
+    by_pat = {}
+    for _, _, p, s in got:
+        by_pat.setdefault(p, []).append(s)
+    if 7 in by_pat and len(by_pat) > 1:
+        others = [s for p, ss in by_pat.items() if p != 7 for s in ss]
+        assert min(by_pat[7]) > max(others)
+
+
+def test_lm_heldout_perplexity_matches_python(spark):
+    from spark_shp.hashing import mix
+    from spark_shp.queries_retrieval import (LM_Q,
+                                             q_lm_heldout_perplexity)
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    held = (mix(d["doc_id"].to_numpy() * 13 + 11) % 5 == 0)
+    c12, c1, v2 = {}, {}, set()
+    n_big = 0
+    for ts, h in zip(d["text"].str.split(" "), held):
+        for w1, w2 in zip(ts[:-1], ts[1:]):
+            if h:
+                continue
+            c12[(w1, w2)] = c12.get((w1, w2), 0) + 1
+            c1[w1] = c1.get(w1, 0) + 1
+            v2.add(w2)
+    v = len(v2)
+    nll = 0
+    for ts, h in zip(d["text"].str.split(" "), held):
+        if not h:
+            continue
+        for w1, w2 in zip(ts[:-1], ts[1:]):
+            p = (c12.get((w1, w2), 0) + 1.0) / (c1.get(w1, 0) + v)
+            nll -= math.floor(math.log(p) * LM_Q + 0.5)
+            n_big += 1
+    row = q_lm_heldout_perplexity(spark, SF).collect()[0]
+    assert (row["n_bigrams"], row["nll_q"], row["vocab"]) == \
+        (n_big, nll, v)
+    assert abs(row["perplexity"]
+               - round(math.exp(nll / n_big / LM_Q), 6)) < 2e-6
+    # sanity: perplexity must beat uniform (v) and exceed 1
+    assert 1.0 < row["perplexity"] < v
