@@ -259,6 +259,48 @@ def _read_file_list(spark: SparkSession, root: str,
                   reads)
 
 
+def read_incremental(spark: SparkSession, root: str, from_snapshot: int,
+                     to_snapshot: int | None = None,
+                     strict: bool = True) -> DataFrame:
+    """Incremental append scan (Iceberg's ``incremental read``): the rows
+    ADDED strictly after ``from_snapshot``, up to and including
+    ``to_snapshot`` (default: current) — the CDC primitive a downstream
+    consumer polls instead of re-reading the table.  Pure manifest
+    file-set diff: carried files cost zero I/O, only the added files are
+    scanned.
+
+    ``strict=True`` replicates Iceberg's contract: a non-append snapshot
+    (overwrite / merge / compact) inside the range makes a file diff
+    row-inaccurate (files may have been removed or rewritten), so it
+    raises instead of silently returning wrong rows."""
+    to = to_snapshot if to_snapshot is not None else _current_version(root)
+    retained = _retained_versions(root)
+    for v, tag in ((from_snapshot, "from_snapshot"), (to, "to_snapshot")):
+        if v not in retained:
+            raise FileNotFoundError(
+                f"{tag} {v} is not a retained snapshot of {root} "
+                f"(retained: {retained})")
+    if to < from_snapshot:
+        raise ValueError(
+            f"to_snapshot {to} precedes from_snapshot {from_snapshot}")
+    if strict:
+        for v in retained:
+            if from_snapshot < v <= to:
+                op = table_stats(root, v).get("operation", "overwrite")
+                if op != "append":
+                    raise ValueError(
+                        f"snapshot {v} is '{op}', not 'append' — a file "
+                        "diff is not row-accurate across it; read the "
+                        "full snapshot instead (or pass strict=False for "
+                        "added-files semantics)")
+    old = {f["path"] for f in table_stats(root, from_snapshot)["files"]}
+    added = [f["path"] for f in table_stats(root, to)["files"]
+             if f["path"] not in old]
+    if not added:
+        return read_table(spark, root, to).limit(0)
+    return _read_file_list(spark, root, added)
+
+
 def compact(spark: SparkSession, root: str, target_file_mb: int = 256,
             partition_by: str | None = None,
             cluster_by: str | None = None) -> dict:

@@ -1133,6 +1133,89 @@ FROM te
 """
 
 
+# --- rank_correlation: Spearman ρ + Kendall τ between two hourly series ----------
+#
+# The nonparametric correlation pair (mann_kendall is Kendall-vs-TIME;
+# this correlates TWO series): view vs click hourly counts over the
+# hours where EITHER type fired (the common support — hours with neither
+# carry no signal for either series; documented restriction, and at any
+# realistic density every hour is occupied anyway).  Ranks are made a
+# PERMUTATION by an hour tiebreak — documented tie semantics that keep
+# Σd² an exact integer and let Spearman use the exact 1 − 6Σd²/(n³−n)
+# form; Kendall's S is an exact pair-sign sum via a self-join over the
+# span-bounded hourly aggregate (never the fact table — the mann_kendall
+# rule).  Both coefficients render in one literal each.
+
+RC_A, RC_B = "view", "click"
+
+
+def q_rank_correlation(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hourly = (e.where(F.col("event_type").isin(RC_A, RC_B))
+              .selectExpr(
+                  "event_type",
+                  "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) "
+                  "/ 3600000000.0) AS BIGINT) AS h")
+              .groupBy("h").agg(
+                  F.sum(F.expr(
+                      f"CASE WHEN event_type = '{RC_A}' THEN 1 ELSE 0 END"
+                  )).alias("xa"),
+                  F.sum(F.expr(
+                      f"CASE WHEN event_type = '{RC_B}' THEN 1 ELSE 0 END"
+                  )).alias("xb")))
+    wa = W.orderBy("xa", "h")
+    wb = W.orderBy("xb", "h")
+    ranked = (hourly.withColumn("ra", F.row_number().over(wa))
+              .withColumn("rb", F.row_number().over(wb)))
+    d2 = ranked.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("SUM(CAST(ra - rb AS BIGINT) * (ra - rb))").alias("sd2"))
+    pairs = (ranked.selectExpr("h AS h1", "xa AS a1", "xb AS b1")
+             .join(ranked.selectExpr("h AS h2", "xa AS a2", "xb AS b2"),
+                   F.expr("h1 < h2"))
+             .groupBy().agg(F.expr(
+                 "SUM(CAST(SIGN(a2 - a1) * SIGN(b2 - b1) AS BIGINT))")
+                 .alias("s")))
+    return (d2.crossJoin(pairs).selectExpr(
+        "CAST(n AS BIGINT) AS n_hours",
+        "CAST(sd2 AS BIGINT) AS sum_d2",
+        "CAST(s AS BIGINT) AS s_kendall",
+        "ROUND(CAST(1 AS DOUBLE) - 6.0 * sd2 "
+        "/ (CAST(n AS DOUBLE) * n * n - n), 6) AS spearman_rho",
+        "ROUND(CAST(s AS DOUBLE) * 2.0 / (CAST(n AS DOUBLE) * (n - 1)), 6)"
+        " AS kendall_tau"))
+
+
+ORACLE_RANK_CORR = f"""
+WITH hourly AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h,
+         SUM(CASE WHEN event_type = '{RC_A}' THEN 1 ELSE 0 END) AS xa,
+         SUM(CASE WHEN event_type = '{RC_B}' THEN 1 ELSE 0 END) AS xb
+  FROM events WHERE event_type IN ('{RC_A}', '{RC_B}')
+  GROUP BY 1),
+ranked AS (
+  SELECT h, xa, xb,
+         ROW_NUMBER() OVER (ORDER BY xa, h) AS ra,
+         ROW_NUMBER() OVER (ORDER BY xb, h) AS rb
+  FROM hourly),
+d2 AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(ra - rb AS BIGINT) * (ra - rb)) AS sd2
+  FROM ranked),
+pairs AS (
+  SELECT SUM(CAST(SIGN(p2.xa - p1.xa) * SIGN(p2.xb - p1.xb) AS BIGINT))
+           AS s
+  FROM ranked p1 JOIN ranked p2 ON p1.h < p2.h)
+SELECT CAST(n AS BIGINT) AS n_hours, CAST(sd2 AS BIGINT) AS sum_d2,
+       CAST(s AS BIGINT) AS s_kendall,
+       ROUND(CAST(1 AS DOUBLE) - 6.0 * sd2
+             / (CAST(n AS DOUBLE) * n * n - n), 6) AS spearman_rho,
+       ROUND(CAST(s AS DOUBLE) * 2.0 / (CAST(n AS DOUBLE) * (n - 1)), 6)
+         AS kendall_tau
+FROM d2 CROSS JOIN pairs
+"""
+
+
 QUERIES: dict = {
     "bm25_search": (q_bm25_search, _oracle_bm25()),
     "bpe_learn_merges": (q_bpe_learn_merges, _oracle_bpe()),
@@ -1142,6 +1225,7 @@ QUERIES: dict = {
     "audio_spectral_peak": (q_audio_spectral_peak, _oracle_spectral()),
     "fellegi_sunter": (q_fellegi_sunter, _oracle_fs()),
     "lm_heldout_perplexity": (q_lm_heldout_perplexity, _oracle_lm_heldout()),
+    "rank_correlation": (q_rank_correlation, ORACLE_RANK_CORR),
     "grouping_sets_sales": (q_grouping_sets_sales, ORACLE_GROUPING_SETS),
     "link_prediction": (q_link_prediction, ORACLE_LINK_PRED),
     "image_otsu_threshold": (q_image_otsu_threshold, _oracle_otsu()),

@@ -228,6 +228,7 @@ _TAIL = [
     "audio_spectral_peak",    # quantized DFT-bin tone detection (AV)
     "fellegi_sunter",         # record-linkage match-weight scoring (ER)
     "lm_heldout_perplexity",  # held-out LM perplexity eval (text/ML)
+    "rank_correlation",       # Spearman rho + Kendall tau (C6 stats)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -281,3 +281,43 @@ def test_iceberg_merge_copy_on_write(spark, tmp_path):
     # empty updates are a no-op commit
     rep0 = ice.merge_table(spark, root, upd.limit(0), "k")
     assert rep0.get("noop") is True
+
+
+def test_iceberg_incremental_read(spark, tmp_path):
+    """read_incremental returns exactly the rows appended between two
+    snapshots (the CDC primitive), reads ONLY the added files, returns an
+    empty frame for a no-op range, and refuses a range crossing a
+    non-append snapshot where a file diff is not row-accurate."""
+    import pytest
+    from spark_shp import iceberg_layout as ice
+    from spark_shp.queries_spatial import _images_meta_df
+    root = str(tmp_path / "tbl")
+    df = _images_meta_df(spark, 90)
+    ice.write_table(df.where("image_id <= 'img000000000029'"), root)
+    ice.write_table(
+        df.where("image_id BETWEEN 'img000000000030' "
+                 "AND 'img000000000059'"), root, mode="append")
+    ice.write_table(df.where("image_id >= 'img000000000060'"), root,
+                    mode="append")
+    inc = ice.read_incremental(spark, root, from_snapshot=1)
+    ids = sorted(r["image_id"] for r in inc.select("image_id").collect())
+    assert len(ids) == 60 and ids[0] == "img000000000030"
+    # only snapshot 2's delta
+    inc12 = ice.read_incremental(spark, root, 1, 2)
+    assert inc12.count() == 30
+    # file-level: the added-file scan touches 2 of 3 commit dirs at most
+    files = [f.filePath for f in inc.select(
+        __import__("pyspark").sql.functions
+        .input_file_name().alias("filePath")).distinct().collect()]
+    assert all("snap-1" not in f for f in files)
+    # no-op range -> empty frame with the table schema
+    assert ice.read_incremental(spark, root, 3, 3).count() == 0
+    # an overwrite inside the range breaks append semantics -> raise
+    ice.write_table(df.limit(5), root)             # snapshot 4: overwrite
+    with pytest.raises(ValueError, match="not 'append'"):
+        ice.read_incremental(spark, root, 2)
+    # ...unless the caller opts into added-files semantics
+    assert ice.read_incremental(spark, root, 2, strict=False).count() == 5
+    # unknown snapshot -> loud failure
+    with pytest.raises(FileNotFoundError):
+        ice.read_incremental(spark, root, 99)

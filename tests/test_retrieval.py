@@ -493,3 +493,37 @@ def test_lm_heldout_perplexity_matches_python(spark):
                - round(math.exp(nll / n_big / LM_Q), 6)) < 2e-6
     # sanity: perplexity must beat uniform (v) and exceed 1
     assert 1.0 < row["perplexity"] < v
+
+
+def test_rank_correlation_matches_python(spark):
+    from spark_shp.queries_retrieval import RC_A, RC_B, q_rank_correlation
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev["event_type"].isin([RC_A, RC_B])].copy()
+    ev["h"] = (ev["ts"].astype("datetime64[us]").astype("int64")
+               // 3_600_000_000)
+    g = ev.groupby("h")["event_type"]
+    xa = g.apply(lambda s: int((s == RC_A).sum()))
+    xb = g.apply(lambda s: int((s == RC_B).sum()))
+    hs = sorted(xa.index)
+    a = [int(xa[h]) for h in hs]
+    b = [int(xb[h]) for h in hs]
+    n = len(hs)
+    ra = {hs[i]: r + 1 for r, i in enumerate(
+        sorted(range(n), key=lambda i: (a[i], hs[i])))}
+    rb = {hs[i]: r + 1 for r, i in enumerate(
+        sorted(range(n), key=lambda i: (b[i], hs[i])))}
+    sd2 = sum((ra[h] - rb[h]) ** 2 for h in hs)
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            da = (a[j] > a[i]) - (a[j] < a[i])
+            db = (b[j] > b[i]) - (b[j] < b[i])
+            s += da * db
+    row = q_rank_correlation(spark, SF).collect()[0]
+    assert (row["n_hours"], row["sum_d2"], row["s_kendall"]) == (n, sd2, s)
+    assert abs(row["spearman_rho"]
+               - round(1 - 6 * sd2 / (n**3 - n), 6)) < 2e-6
+    assert abs(row["kendall_tau"]
+               - round(2 * s / (n * (n - 1)), 6)) < 2e-6
+    assert -1.0 <= row["kendall_tau"] <= 1.0
+    assert -1.0 <= row["spearman_rho"] <= 1.0
