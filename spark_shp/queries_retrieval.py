@@ -1232,3 +1232,190 @@ QUERIES: dict = {
     "image_rle_runs": (q_image_rle_runs, _oracle_rle()),
     "audio_zcr_windows": (q_audio_zcr_windows, _oracle_zcr()),
 }
+
+
+# --- trimmed_mean: exact 10%-trimmed robust mean, two-phase rank sums -------------
+#
+# Robust location estimation (MAD and Tukey fences exist; this is the
+# trimmed-mean member of the family) — and a deliberate application of
+# the outlier_audit scale lesson: a per-group rank window serializes
+# each group into one task, so BOTH rank boundaries come from the
+# two-phase histogram (bucket counts + bucket SUMS, cumulative over the
+# tiny aggregate, exact in-bucket partial sums at the boundary value).
+# S(r) = Σ of the r smallest cents is exact int64; the trimmed sum is
+# S(n−k) − S(k) with k = ⌊n/10⌋, identical to the rank-window
+# definition because ties share a cent value (any tiebreak yields the
+# same trimmed multiset — documented).  The oracle IS the naive
+# rank-window spec.
+
+TM_BUCKET = 16384.0
+
+
+def _smallest_r_sums(o: DataFrame, targets: DataFrame) -> DataFrame:
+    """S(r) per (grp, which): exact sum of the r smallest cents."""
+    h = (o.selectExpr("grp", f"CAST(FLOOR(cents / {TM_BUCKET!r}) AS BIGINT)"
+                      " AS bucket", "cents")
+         .groupBy("grp", "bucket")
+         .agg(F.count(F.lit(1)).alias("c"), F.sum("cents").alias("s")))
+    cum = h.selectExpr(
+        "grp", "bucket", "c", "s",
+        "SUM(c) OVER (PARTITION BY grp ORDER BY bucket "
+        "ROWS UNBOUNDED PRECEDING) AS cmc",
+        "SUM(s) OVER (PARTITION BY grp ORDER BY bucket "
+        "ROWS UNBOUNDED PRECEDING) AS cms")
+    pick = (targets.join(cum, "grp")
+            .where("cmc - c < r AND cmc >= r")
+            .selectExpr("grp", "which", "bucket",
+                        "r - (cmc - c) AS off", "cms - s AS prevs"))
+    inb = (o.selectExpr("grp", "cents",
+                        f"CAST(FLOOR(cents / {TM_BUCKET!r}) AS BIGINT) "
+                        "AS bucket")
+           .join(F.broadcast(pick), ["grp", "bucket"])
+           .groupBy("grp", "which", "off", "prevs", "cents")
+           .agg(F.count(F.lit(1)).alias("c")))
+    val = inb.selectExpr(
+        "grp", "which", "off", "prevs", "cents", "c",
+        "SUM(c) OVER (PARTITION BY grp, which ORDER BY cents "
+        "ROWS UNBOUNDED PRECEDING) AS cm",
+        "SUM(cents * c) OVER (PARTITION BY grp, which ORDER BY cents "
+        "ROWS UNBOUNDED PRECEDING) AS sm").where(
+        "cm - c < off AND cm >= off")
+    return val.selectExpr(
+        "grp", "which", "prevs + sm - cents * (cm - off) AS srum")
+
+
+def q_trimmed_mean(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS grp",
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+    base = o.groupBy("grp").agg(F.count(F.lit(1)).alias("n"),
+                                F.sum("cents").alias("total"))
+    targets = base.selectExpr(
+        "grp",
+        "explode(array(named_struct('which', 'lo', 'r', "
+        "CAST(FLOOR(n / 10.0) AS BIGINT)), named_struct('which', 'hi', "
+        "'r', n - CAST(FLOOR(n / 10.0) AS BIGINT)))) AS t") \
+        .selectExpr("grp", "t.which AS which", "t.r AS r")
+    s = _smallest_r_sums(o, targets)
+    piv = s.groupBy("grp").agg(
+        F.expr("MIN(CASE WHEN which = 'lo' THEN srum END)").alias("slo"),
+        F.expr("MIN(CASE WHEN which = 'hi' THEN srum END)").alias("shi"))
+    return (base.join(piv, "grp")
+            .selectExpr(
+                "grp", "CAST(n AS BIGINT) AS n",
+                "CAST(FLOOR(n / 10.0) AS BIGINT) AS k",
+                "CAST(shi - slo AS BIGINT) AS trimmed_sum_cents",
+                "ROUND(CAST(shi - slo AS DOUBLE) "
+                "/ (n - 2 * CAST(FLOOR(n / 10.0) AS BIGINT)) / 100.0, 6)"
+                " AS trimmed_mean"))
+
+
+ORACLE_TRIMMED = """
+WITH o AS (
+  SELECT o_orderpriority AS grp, o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+r AS (
+  SELECT grp, cents,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents, o_orderkey)
+           AS rk,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM o)
+SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(FLOOR(MAX(n) / 10.0) AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN rk > FLOOR(n / 10.0)
+                      AND rk <= n - FLOOR(n / 10.0)
+                     THEN cents ELSE 0 END) AS BIGINT)
+         AS trimmed_sum_cents,
+       ROUND(CAST(SUM(CASE WHEN rk > FLOOR(n / 10.0)
+                            AND rk <= n - FLOOR(n / 10.0)
+                           THEN cents ELSE 0 END) AS DOUBLE)
+             / (MAX(n) - 2 * CAST(FLOOR(MAX(n) / 10.0) AS BIGINT))
+             / 100.0, 6) AS trimmed_mean
+FROM r GROUP BY grp
+"""
+
+
+# --- mutual_information: MI between event type and hour-of-day --------------------
+#
+# The feature-selection staple (chi-square tests independence; MI
+# quantifies it in nats): I(X;Y) = Σ p_xy ln(p_xy n / (n_x n_y / n))
+# over the bounded 5×24 contingency table, plus both marginal entropies
+# and the normalized MI.  Every p·ln term quantizes to 1e-8 nats before
+# the (cell-bounded) sum — the image_entropy rule; the LN argument is
+# an exact integer ratio (nxy·n ≤ 2^52 at gate scale; DECIMAL at larger
+# n, noted).  One corpus groupBy with map-side combine; everything
+# after runs on ≤120 rows.
+
+MI_Q = 100_000_000
+
+
+def q_mutual_information(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    xy = (e.selectExpr(
+        "event_type AS x",
+        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) / 3600000000.0)"
+        " AS BIGINT) % 24 AS y")
+        .groupBy("x", "y").agg(F.count(F.lit(1)).alias("nxy")))
+    nx = xy.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    ny = xy.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    n = xy.groupBy().agg(F.sum("nxy").alias("n"))
+    mi = (xy.join(nx, "x").join(ny, "y").crossJoin(F.broadcast(n))
+          .selectExpr(
+              "n",
+              "CAST(FLOOR((CAST(nxy AS DOUBLE) / n) * LN(CAST(nxy AS "
+              f"DOUBLE) * n / nx / ny) * {float(MI_Q)!r} + 0.5) AS BIGINT)"
+              " AS t")
+          .groupBy("n").agg(F.sum("t").alias("mi_q")))
+    hx = (nx.crossJoin(F.broadcast(n))
+          .selectExpr(
+              "CAST(FLOOR((CAST(nx AS DOUBLE) / n) * LN(CAST(nx AS "
+              f"DOUBLE) / n) * {float(MI_Q)!r} + 0.5) AS BIGINT) AS t")
+          .groupBy().agg((-F.sum("t")).alias("hx_q")))
+    hy = (ny.crossJoin(F.broadcast(n))
+          .selectExpr(
+              "CAST(FLOOR((CAST(ny AS DOUBLE) / n) * LN(CAST(ny AS "
+              f"DOUBLE) / n) * {float(MI_Q)!r} + 0.5) AS BIGINT) AS t")
+          .groupBy().agg((-F.sum("t")).alias("hy_q")))
+    return (mi.crossJoin(hx).crossJoin(hy).selectExpr(
+        "CAST(n AS BIGINT) AS n_events",
+        "CAST(mi_q AS BIGINT) AS mi_q",
+        "CAST(hx_q AS BIGINT) AS hx_q",
+        "CAST(hy_q AS BIGINT) AS hy_q",
+        f"ROUND(CAST(mi_q AS DOUBLE) / {float(MI_Q)!r}, 6) AS mi_nats",
+        "ROUND(CAST(mi_q AS DOUBLE) / SQRT(CAST(hx_q AS DOUBLE) * hy_q),"
+        " 6) AS nmi"))
+
+
+ORACLE_MI = f"""
+WITH xy AS (
+  SELECT event_type AS x,
+         CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) % 24 AS y,
+         COUNT(*) AS nxy
+  FROM events GROUP BY 1, 2),
+nx AS (SELECT x, SUM(nxy) AS nx FROM xy GROUP BY x),
+ny AS (SELECT y, SUM(nxy) AS ny FROM xy GROUP BY y),
+nn AS (SELECT SUM(nxy) AS n FROM xy),
+mi AS (
+  SELECT MAX(n) AS n,
+         SUM(CAST(FLOOR((CAST(nxy AS DOUBLE) / n) * LN(CAST(nxy AS DOUBLE) * n / nx / ny) * {float(MI_Q)!r} + 0.5) AS BIGINT)) AS mi_q
+  FROM xy JOIN nx ON nx.x = xy.x JOIN ny ON ny.y = xy.y CROSS JOIN nn),
+hx AS (
+  SELECT -SUM(CAST(FLOOR((CAST(nx AS DOUBLE) / n) * LN(CAST(nx AS DOUBLE) / n) * {float(MI_Q)!r} + 0.5) AS BIGINT)) AS hx_q
+  FROM nx CROSS JOIN nn),
+hy AS (
+  SELECT -SUM(CAST(FLOOR((CAST(ny AS DOUBLE) / n) * LN(CAST(ny AS DOUBLE) / n) * {float(MI_Q)!r} + 0.5) AS BIGINT)) AS hy_q
+  FROM ny CROSS JOIN nn)
+SELECT CAST(n AS BIGINT) AS n_events, CAST(mi_q AS BIGINT) AS mi_q,
+       CAST(hx_q AS BIGINT) AS hx_q, CAST(hy_q AS BIGINT) AS hy_q,
+       ROUND(CAST(mi_q AS DOUBLE) / {float(MI_Q)!r}, 6) AS mi_nats,
+       ROUND(CAST(mi_q AS DOUBLE) / SQRT(CAST(hx_q AS DOUBLE) * hy_q), 6)
+         AS nmi
+FROM mi CROSS JOIN hx CROSS JOIN hy
+"""
+
+
+QUERIES.update({
+    "trimmed_mean": (q_trimmed_mean, ORACLE_TRIMMED),
+    "mutual_information": (q_mutual_information, ORACLE_MI),
+})

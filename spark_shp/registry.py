@@ -229,6 +229,8 @@ _TAIL = [
     "fellegi_sunter",         # record-linkage match-weight scoring (ER)
     "lm_heldout_perplexity",  # held-out LM perplexity eval (text/ML)
     "rank_correlation",       # Spearman rho + Kendall tau (C6 stats)
+    "trimmed_mean",           # exact two-phase trimmed mean (C6 robust)
+    "mutual_information",     # MI / entropy feature audit (C6/ML)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

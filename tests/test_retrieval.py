@@ -527,3 +527,47 @@ def test_rank_correlation_matches_python(spark):
                - round(2 * s / (n * (n - 1)), 6)) < 2e-6
     assert -1.0 <= row["kendall_tau"] <= 1.0
     assert -1.0 <= row["spearman_rho"] <= 1.0
+
+
+def test_trimmed_mean_matches_python_sort(spark):
+    from spark_shp.queries_retrieval import q_trimmed_mean
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["cents"] = np.floor(o["o_totalprice"] * 100 + 0.5).astype(np.int64)
+    rows = {r["grp"]: r for r in q_trimmed_mean(spark, SF).collect()}
+    for grp, g in o.groupby("o_orderpriority"):
+        v = sorted(g["cents"])
+        n = len(v)
+        k = n // 10
+        tsum = int(sum(v[k:n - k]))
+        r = rows[grp]
+        assert (r["n"], r["k"], r["trimmed_sum_cents"]) == (n, k, tsum)
+        assert abs(r["trimmed_mean"]
+                   - round(tsum / (n - 2 * k) / 100.0, 6)) < 2e-6
+        # bounds law: the trimmed mean lies inside the retained range
+        assert v[k] / 100.0 - 1e-6 <= r["trimmed_mean"] \
+            <= v[n - k - 1] / 100.0 + 1e-6
+
+
+def test_mutual_information_matches_python(spark):
+    from spark_shp.queries_retrieval import MI_Q, q_mutual_information
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    x = ev["event_type"].to_numpy()
+    y = ((ev["ts"].astype("datetime64[us]").astype("int64")
+          // 3_600_000_000) % 24).to_numpy()
+    n = len(ev)
+    from collections import Counter
+    cxy = Counter(zip(x, y))
+    cx = Counter(x)
+    cy = Counter(y)
+    mi_q = sum(math.floor((c / n) * math.log(c * n / cx[a] / cy[b])
+                          * MI_Q + 0.5) for (a, b), c in cxy.items())
+    hx_q = -sum(math.floor((c / n) * math.log(c / n) * MI_Q + 0.5)
+                for c in cx.values())
+    hy_q = -sum(math.floor((c / n) * math.log(c / n) * MI_Q + 0.5)
+                for c in cy.values())
+    row = q_mutual_information(spark, SF).collect()[0]
+    assert (row["n_events"], row["mi_q"], row["hx_q"], row["hy_q"]) == \
+        (n, mi_q, hx_q, hy_q)
+    # information laws: 0 <= MI <= min(Hx, Hy); NMI in [0, 1]
+    assert 0 <= row["mi_q"] <= min(row["hx_q"], row["hy_q"])
+    assert 0.0 <= row["nmi"] <= 1.0
