@@ -1415,7 +1415,111 @@ FROM mi CROSS JOIN hx CROSS JOIN hy
 """
 
 
+# --- text_curation_pipeline: the full text-curation chain under ONE oracle --------
+#
+# The text twin of image_curation_pipeline (the e2e composition rows the
+# round treats as north stars): inject known duplicates → language
+# filter → quality filter → exact dedup keep-first → deterministic
+# 80/10/10 split → per-split corpus stats.  Every stage is an existing
+# gated operator's semantics; the composition is the thing being proven
+# (filters commute with the injection, dedup keeps originals, the split
+# is partitioning-independent).  Duplicates are INJECTED by re-keying
+# the lowest doc_ids (+1e6) because the base corpus has no exact dups at
+# the gate SFs — the geofence equal-but-empty lesson: every stage's
+# effect is asserted non-degenerate in pytest at every SF.  Quality
+# scores quantize to 1e-6 units before summing (no transcendental ops →
+# the shared literal is bit-identical, the floor is exact).
+
+PIPE_T_DUPS = 40
+PIPE_T_OFF = 1_000_000
+PIPE_T_QUAL = 640_000  # 0.64 in 1e-6 units; corpus q10≈0.616, q50≈0.66
+
+_TQ_SCORE = ("(LEAST(CAST(n_chars AS DOUBLE), 500.0) / 500.0 * 0.3 "
+             "+ (CAST(uq AS DOUBLE) / n) * 0.4 "
+             "+ (CAST(1 AS DOUBLE) - CAST(st AS DOUBLE) / n) * 0.3)")
+_TQ_Q = f"CAST(FLOOR({_TQ_SCORE} * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def q_text_curation_pipeline(spark, sf_dir):
+    from .hashing import mix_sql
+    d = _t(spark, sf_dir, "documents")
+    dups = d.where(f"doc_id < {PIPE_T_DUPS}").selectExpr(
+        f"doc_id + {PIPE_T_OFF} AS doc_id", "text", "lang", "source",
+        "n_chars")
+    corpus = d.unionByName(dups.select(*d.columns))
+    feat = corpus.selectExpr(
+        "doc_id", "lang", "n_chars", "text",
+        "CAST(size(split(text, ' ')) AS DOUBLE) AS n",
+        "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE) AS uq",
+        "CAST(size(filter(split(text, ' '), x -> x IN ('a', 'the'))) "
+        "AS DOUBLE) AS st")
+    filt = (feat.selectExpr("doc_id", "lang", "n_chars", "text",
+                            f"{_TQ_Q} AS qq")
+            .where(f"lang = 'en' AND qq > {PIPE_T_QUAL}"))
+    surv = (filt.groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies"),
+                 F.min("n_chars").alias("n_chars"),
+                 F.min("qq").alias("qq")))
+    split = (f"CASE WHEN {mix_sql('keep_id')} % 100 < 80 THEN 'train' "
+             f"WHEN {mix_sql('keep_id')} % 100 < 90 THEN 'val' "
+             "ELSE 'test' END")
+    return (surv.selectExpr(f"{split} AS split", "keep_id", "n_copies",
+                            "n_chars", "qq")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_copies").alias("n_members"),
+                 F.sum("keep_id").alias("id_checksum"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.sum("qq").alias("sum_qq"))
+            .selectExpr(
+                "split", "CAST(n_docs AS BIGINT) AS n_docs",
+                "CAST(n_members AS BIGINT) AS n_members",
+                "CAST(id_checksum AS BIGINT) AS id_checksum",
+                "CAST(sum_chars AS BIGINT) AS sum_chars",
+                "ROUND(CAST(sum_qq AS DOUBLE) / n_docs / 1000000.0, 6) "
+                "AS mean_quality"))
+
+
+def _oracle_text_pipeline() -> str:
+    from .hashing import mix_sql
+    split = (f"CASE WHEN {mix_sql('keep_id')} % 100 < 80 THEN 'train' "
+             f"WHEN {mix_sql('keep_id')} % 100 < 90 THEN 'val' "
+             "ELSE 'test' END")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + {PIPE_T_OFF}, text, lang, n_chars FROM documents
+  WHERE doc_id < {PIPE_T_DUPS}),
+feat AS (
+  SELECT doc_id, lang, n_chars, text,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           AS uq,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ('a', 'the'))) AS DOUBLE) AS st
+  FROM corpus),
+filt AS (
+  SELECT doc_id, lang, n_chars, text, {_TQ_Q} AS qq
+  FROM feat WHERE lang = 'en' AND {_TQ_Q} > {PIPE_T_QUAL}),
+surv AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+         MIN(n_chars) AS n_chars, MIN(qq) AS qq
+  FROM filt GROUP BY 1)
+SELECT {split} AS split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_copies) AS BIGINT) AS n_members,
+       CAST(SUM(keep_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       ROUND(CAST(SUM(qq) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+         AS mean_quality
+FROM surv GROUP BY 1
+"""
+
+
 QUERIES.update({
     "trimmed_mean": (q_trimmed_mean, ORACLE_TRIMMED),
     "mutual_information": (q_mutual_information, ORACLE_MI),
+    "text_curation_pipeline": (q_text_curation_pipeline,
+                               _oracle_text_pipeline()),
 })

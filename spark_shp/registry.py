@@ -231,6 +231,7 @@ _TAIL = [
     "rank_correlation",       # Spearman rho + Kendall tau (C6 stats)
     "trimmed_mean",           # exact two-phase trimmed mean (C6 robust)
     "mutual_information",     # MI / entropy feature audit (C6/ML)
+    "text_curation_pipeline",  # lang->quality->dedup->split e2e (text)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -571,3 +571,64 @@ def test_mutual_information_matches_python(spark):
     # information laws: 0 <= MI <= min(Hx, Hy); NMI in [0, 1]
     assert 0 <= row["mi_q"] <= min(row["hx_q"], row["hy_q"])
     assert 0.0 <= row["nmi"] <= 1.0
+
+
+def test_text_pipeline_stages_all_nondegenerate(spark):
+    """The geofence equal-but-empty lesson: every pipeline stage must
+    actually DO something at every SF — language filter drops rows,
+    quality filter drops rows, dedup collapses the injected copies (and
+    keeps the ORIGINAL id), every split is non-empty — plus a sequential
+    python replication of the full chain."""
+    import hashlib
+    from spark_shp.hashing import mix
+    from spark_shp.queries_retrieval import (
+        PIPE_T_DUPS, PIPE_T_OFF, PIPE_T_QUAL, q_text_curation_pipeline)
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    dups = d[d.doc_id < PIPE_T_DUPS].copy()
+    dups["doc_id"] += PIPE_T_OFF
+    corpus = pd.concat([d, dups], ignore_index=True)
+    n0 = len(corpus)
+    en = corpus[corpus.lang == "en"]
+    assert 0 < len(en) < n0                      # language filter bites
+    rows_kept = {}
+    for r in en.itertuples():
+        ts = r.text.split(" ")
+        n = float(len(ts))
+        uq = float(len(set(ts)))
+        st = float(sum(1 for t in ts if t in ("a", "the")))
+        sc = (min(float(r.n_chars), 500.0) / 500.0 * 0.3
+              + uq / n * 0.4 + (1.0 - st / n) * 0.3)
+        qq = math.floor(sc * 1e6 + 0.5)
+        if qq > PIPE_T_QUAL:
+            rows_kept[r.doc_id] = (r.text, r.n_chars, qq)
+    assert 0 < len(rows_kept) < len(en)          # quality filter bites
+    byh = {}
+    for did, (text, nch, qq) in rows_kept.items():
+        h = hashlib.md5(text.encode()).hexdigest()
+        cur = byh.get(h)
+        if cur is None or did < cur[0]:
+            byh[h] = (min(did, cur[0]) if cur else did,
+                      (cur[1] + 1) if cur else 1, nch, qq)
+        else:
+            byh[h] = (cur[0], cur[1] + 1, nch, qq)
+    n_dup_members = sum(c for _, c, _, _ in byh.values()) - len(byh)
+    assert n_dup_members > 0                     # dedup collapses copies
+    assert all(k < PIPE_T_OFF for k, _, _, _ in byh.values())  # originals
+    agg = {}
+    for keep_id, n_copies, nch, qq in byh.values():
+        m = int(mix(np.int64(keep_id))) % 100
+        split = "train" if m < 80 else ("val" if m < 90 else "test")
+        a = agg.setdefault(split, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += n_copies
+        a[2] += keep_id
+        a[3] += nch
+        a[4] += qq
+    got = {r["split"]: r for r in
+           q_text_curation_pipeline(spark, SF).collect()}
+    assert set(got) == set(agg) and len(got) == 3   # all splits non-empty
+    for s, (nd, nm, ck, sc_, sq) in agg.items():
+        r = got[s]
+        assert (r["n_docs"], r["n_members"], r["id_checksum"],
+                r["sum_chars"]) == (nd, nm, ck, sc_)
+        assert abs(r["mean_quality"] - round(sq / nd / 1e6, 6)) < 2e-6
