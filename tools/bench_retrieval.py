@@ -31,7 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from spark_shp.hashing import mix_sql, u01_sql  # noqa: E402
 from spark_shp.session import get_spark  # noqa: E402
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+WAVE2_ONLY = "--wave2" in sys.argv
+N = int(_args[0]) if _args else 100_000_000
 OUT = "/tmp/bench_retrieval_sf"
 TRIALS = 2
 
@@ -88,6 +90,74 @@ def timed(name, fn, rows, results, unit="rows"):
           f"({rows / best / 1e6:.2f}M {unit}/s)")
 
 
+def synthesize_wave2(spark):
+    """Enriched corpora for the second-wave ops: documents with the gate
+    schema (lang/source/n_chars), plus gate-shaped orders and events."""
+    if os.path.isdir(os.path.join(OUT, "orders.parquet")):
+        return
+    words = " || ' ' || ".join(
+        f"concat('w', ({mix_sql(f'id * 10 + {k}')}) % 1000)"
+        for k in range(10))
+    (spark.range(0, N // 10, 1, 256)
+     .selectExpr("id AS doc_id", f"{words} AS text",
+                 f"CASE ({mix_sql('id * 3 + 2')}) % 5 WHEN 0 THEN 'en' "
+                 "WHEN 1 THEN 'de' WHEN 2 THEN 'fr' WHEN 3 THEN 'es' "
+                 "ELSE 'pt' END AS lang",
+                 f"concat('src', ({mix_sql('id * 7 + 4')}) % 20) AS source")
+     .selectExpr("doc_id", "text", "lang", "source",
+                 "CAST(length(text) AS BIGINT) AS n_chars")
+     .write.parquet(f"{OUT}/documents_rich.parquet"))
+    (spark.range(0, N, 1, 256)
+     .selectExpr(
+         "id AS o_orderkey",
+         f"CASE ({mix_sql('id * 19 + 7')}) % 5 WHEN 0 THEN '1-URGENT' "
+         "WHEN 1 THEN '2-HIGH' WHEN 2 THEN '3-MEDIUM' WHEN 3 THEN "
+         "'4-NOT SPECIFIED' ELSE '5-LOW' END AS o_orderpriority",
+         f"{u01_sql('id * 13 + 5')} * 400000.0 + 900.0 AS o_totalprice")
+     .write.parquet(f"{OUT}/orders.parquet"))
+    (spark.range(0, N, 1, 256)
+     .selectExpr(
+         "id AS event_id",
+         f"timestamp_micros(1700000000000000 + CAST(({u01_sql('id * 3 + 1')})"
+         " * 7776000000000.0 AS BIGINT)) AS ts",
+         f"CASE ({mix_sql('id * 2 + 1')}) % 5 WHEN 0 THEN 'view' "
+         "WHEN 1 THEN 'click' WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup' "
+         "ELSE 'error' END AS event_type")
+     .write.parquet(f"{OUT}/events.parquet"))
+
+
+def wave2(spark, results):
+    """Second-wave ops: the EXACT gated code paths over the enriched
+    tables (documents_rich is read as 'documents' via a subdir view)."""
+    from spark_shp.queries_retrieval import (
+        q_fellegi_sunter, q_lm_heldout_perplexity, q_mutual_information,
+        q_trimmed_mean)
+    synthesize_wave2(spark)
+    rich = f"{OUT}_rich"
+    os.makedirs(rich, exist_ok=True)
+    link = os.path.join(rich, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{OUT}/documents_rich.parquet", link)
+    # FS blocks on the first token; with a 1000-word vocab the blocks are
+    # corpus/1000 wide, so the pair set is quadratic in corpus size —
+    # bench at N/1000 docs (~100-doc blocks, ~5M pairs), the density a
+    # real blocking key is TUNED to hit (the gate corpus's 31-word vocab
+    # has the same block-width-sets-the-cost property)
+    small = f"{OUT}_rich_small"
+    if not os.path.isdir(os.path.join(small, "documents.parquet")):
+        os.makedirs(small, exist_ok=True)
+        (spark.read.parquet(link).where(f"doc_id < {N // 1000}")
+         .write.mode("overwrite").parquet(f"{small}/documents.parquet"))
+    timed("trimmed_mean", lambda: q_trimmed_mean(spark, OUT), N, results)
+    timed("mutual_information",
+          lambda: q_mutual_information(spark, OUT), N, results)
+    timed("lm_heldout_perplexity",
+          lambda: q_lm_heldout_perplexity(spark, rich), N, results,
+          unit="tokens")
+    timed("fellegi_sunter", lambda: q_fellegi_sunter(spark, small),
+          N // 1000, results)
+
+
 def main():
     from spark_shp import fixtures, multimodal
     from spark_shp.queries_retrieval import (
@@ -100,6 +170,16 @@ def main():
     synthesize(spark)
     gen_s = round(time.time() - t0, 1)
     results = {"_spark": spark}
+
+    if WAVE2_ONLY:
+        wave2(spark, results)
+        del results["_spark"]
+        doc = json.load(open("BENCH/RETRIEVAL.json"))
+        doc.setdefault("results_wave2", {}).update(results)
+        with open("BENCH/RETRIEVAL.json", "w") as f:
+            json.dump(doc, f, indent=2)
+        print(json.dumps({k: v.get("sec") for k, v in results.items()}))
+        return
 
     docs = lambda: spark.read.parquet(f"{OUT}/documents.parquet")  # noqa
     timed("bm25_search", lambda: bm25_topk(spark, docs(), BENCH_QUERIES),
