@@ -1517,9 +1517,90 @@ FROM surv GROUP BY 1
 """
 
 
+# --- cdc_chunking: content-defined chunk dedup -------------------------------------
+#
+# The FastCDC/rsync storage-dedup technique, distinct from BOTH
+# fixed-window passages (dedup_passages) and whole-doc hashing
+# (dedup_exact): a chunk boundary falls AFTER any token in a fixed
+# content predicate (the gear-hash `h % 2^k == 0` rule with the hash
+# replaced by a declared literal token set — boundaries depend only on
+# LOCAL content, the property that matters).  Because boundaries are
+# content-local, an insertion near a doc's head re-chunks only the
+# chunk it lands in — every later chunk still dedups (fixed windows
+# lose ALL downstream chunks to the offset shift; pytest proves both
+# halves of that contrast).  One doc-keyed window pass + one
+# chunk-text-keyed distinct; never all-pairs.
+
+CDC_CUTS = ("the", "a", "value", "data", "row", "join")
+
+
+def q_cdc_chunking(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    cuts = ", ".join(f"'{t}'" for t in CDC_CUTS)
+    ex = (d.select("doc_id", "source",
+                   F.posexplode(F.split("text", " ")).alias("pos", "t"))
+          .selectExpr("doc_id", "source", "pos", "t",
+                      f"CASE WHEN t IN ({cuts}) THEN 1 ELSE 0 END AS cut"))
+    withc = ex.selectExpr(
+        "doc_id", "source", "pos", "t",
+        "SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS UNBOUNDED PRECEDING) - cut AS chunk_id")
+    chunks = (withc.groupBy("doc_id", "source", "chunk_id")
+              .agg(F.count(F.lit(1)).alias("n_toks"),
+                   F.concat_ws(" ", F.expr(
+                       "transform(array_sort(collect_list("
+                       "struct(pos, t))), s -> s.t)")).alias("chunk")))
+    return (chunks.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.countDistinct("chunk").alias("n_distinct"),
+                 F.sum("n_toks").alias("sum_toks"),
+                 F.sum(F.length("chunk")).alias("sum_chars"))
+            .selectExpr(
+                "source", "CAST(n_chunks AS BIGINT) AS n_chunks",
+                "CAST(n_distinct AS BIGINT) AS n_distinct",
+                "CAST(sum_toks AS BIGINT) AS sum_toks",
+                "CAST(sum_chars AS BIGINT) AS sum_chars",
+                "ROUND(CAST(n_distinct AS DOUBLE) / n_chunks, 6) "
+                "AS unique_ratio",
+                "ROUND(CAST(sum_toks AS DOUBLE) / n_chunks, 6) "
+                "AS mean_chunk_toks"))
+
+
+def _oracle_cdc() -> str:
+    cuts = ", ".join(f"'{t}'" for t in CDC_CUTS)
+    return f"""
+WITH ex AS (
+  SELECT doc_id, source, CAST(u.i AS BIGINT) AS pos, ts[u.i] AS t
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS ts
+        FROM documents) d,
+  UNNEST(range(1, len(ts) + 1)) AS u(i)),
+withc AS (
+  SELECT doc_id, source, pos, t,
+         SUM(CASE WHEN t IN ({cuts}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING)
+         - CASE WHEN t IN ({cuts}) THEN 1 ELSE 0 END AS chunk_id
+  FROM ex),
+chunks AS (
+  SELECT doc_id, source, chunk_id, COUNT(*) AS n_toks,
+         string_agg(t, ' ' ORDER BY pos) AS chunk
+  FROM withc GROUP BY 1, 2, 3)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_distinct,
+       CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+       CAST(SUM(LENGTH(chunk)) AS BIGINT) AS sum_chars,
+       ROUND(CAST(COUNT(DISTINCT chunk) AS DOUBLE) / COUNT(*), 6)
+         AS unique_ratio,
+       ROUND(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*), 6)
+         AS mean_chunk_toks
+FROM chunks GROUP BY source
+"""
+
+
 QUERIES.update({
     "trimmed_mean": (q_trimmed_mean, ORACLE_TRIMMED),
     "mutual_information": (q_mutual_information, ORACLE_MI),
     "text_curation_pipeline": (q_text_curation_pipeline,
                                _oracle_text_pipeline()),
+    "cdc_chunking": (q_cdc_chunking, _oracle_cdc()),
 })

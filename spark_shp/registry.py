@@ -232,6 +232,7 @@ _TAIL = [
     "trimmed_mean",           # exact two-phase trimmed mean (C6 robust)
     "mutual_information",     # MI / entropy feature audit (C6/ML)
     "text_curation_pipeline",  # lang->quality->dedup->split e2e (text)
+    "cdc_chunking",           # content-defined chunk dedup (storage/text)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

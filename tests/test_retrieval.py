@@ -632,3 +632,47 @@ def test_text_pipeline_stages_all_nondegenerate(spark):
         assert (r["n_docs"], r["n_members"], r["id_checksum"],
                 r["sum_chars"]) == (nd, nm, ck, sc_)
         assert abs(r["mean_quality"] - round(sq / nd / 1e6, 6)) < 2e-6
+
+
+def _cdc_chunks(tokens):
+    from spark_shp.queries_retrieval import CDC_CUTS
+    out, cur = [], []
+    for t in tokens:
+        cur.append(t)
+        if t in CDC_CUTS:
+            out.append(cur)
+            cur = []
+    if cur:
+        out.append(cur)
+    return [" ".join(c) for c in out]
+
+
+def test_cdc_chunking_matches_python_and_survives_insertion(spark):
+    from spark_shp.queries_retrieval import q_cdc_chunking
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    agg = {}
+    for r in d.itertuples():
+        for ch in _cdc_chunks(r.text.split(" ")):
+            a = agg.setdefault(r.source, [0, set(), 0, 0])
+            a[0] += 1
+            a[1].add(ch)
+            a[2] += len(ch.split(" "))
+            a[3] += len(ch)
+    got = {r["source"]: r for r in q_cdc_chunking(spark, SF).collect()}
+    assert set(got) == set(agg)
+    for s, (nc, dset, st, sc) in agg.items():
+        r = got[s]
+        assert (r["n_chunks"], r["n_distinct"], r["sum_toks"],
+                r["sum_chars"]) == (nc, len(dset), st, sc)
+    # the CDC property: prepend one token to a doc — all chunks except
+    # the first still dedup against the original's chunk set, while
+    # FIXED 8-token windows lose every downstream window to the shift
+    toks = d.iloc[0]["text"].split(" ")
+    orig = set(_cdc_chunks(toks))
+    shifted = _cdc_chunks(["join"] + toks)
+    surviving = sum(1 for c in shifted if c in orig)
+    assert surviving >= len(shifted) - 2          # CDC self-heals
+    fixed_orig = {" ".join(toks[i:i + 8]) for i in range(0, len(toks), 8)}
+    sh = ["join"] + toks
+    fixed_shift = [" ".join(sh[i:i + 8]) for i in range(0, len(sh), 8)]
+    assert sum(1 for c in fixed_shift if c in fixed_orig) == 0
