@@ -1720,8 +1720,90 @@ FROM s3
 ORACLE_SHP_AEQD = _oracle_aeqd_sql()
 
 
+N_CEA = 40
+_CEA_WKT = (
+    'PROJCS["WGS_1984_EASE_Grid_2_0_Global",GEOGCS["GCS_WGS_1984",'
+    'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Lambert_Cylindrical_Equal_Area"],'
+    'PARAMETER["False_Easting",0.0],'
+    'PARAMETER["False_Northing",0.0],'
+    'PARAMETER["Central_Meridian",0.0],'
+    'PARAMETER["Standard_Parallel_1",30.0],UNIT["Meter",1.0]]')
+_CEA_PARAMS = (6378137.0, 298.257223563, 0.0, 30.0, 0.0, 0.0)
+
+
+def q_shp_cea_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 Lambert Cylindrical Equal Area (EPSG method 9835 — the NSIDC
+    EASE-Grid 2.0 family, EPSG:6933, sea-ice/soil-moisture remote-sensing
+    grids; Behrmann/Gall-Peters world maps): Point shapefile in CEA
+    meters -> engine inverse (parser.make_inv_cea: closed form + the
+    authalic 3-18 series shared with LAEA).  The oracle unrolls the
+    identical float64 op sequence from the same cea_constants();
+    9-decimal rounding policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_CEA, dtype=np.int64)
+    xm = -1.5e7 + u01(i * 97 + 9) * 3.0e7    # EASE-2.0 global x range
+    ym = -7.2e6 + u01(i * 97 + 10) * 1.44e7  # inside the ±86° y band
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_CEA_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_cea_sql() -> str:
+    """CEA inverse as DuckDB SQL, op-for-op the numpy kernel (same
+    cea_constants float64 values, incl. the ±1 clip before ASIN)."""
+    from .shp.parser import cea_constants
+    a, inv_f, lon0, sp1, fe, fn = _CEA_PARAMS
+    cv = cea_constants(a, inv_f, lon0, sp1, fe, fn)
+    c = {k: f"CAST({v!r} AS DOUBLE)" for k, v in cv.items()}
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         -15000000.0 + {u01_sql('i * 97 + 9')} * 30000000.0 AS xi,
+         -7200000.0 + {u01_sql('i * 97 + 10')} * 14400000.0 AS yi
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_CEA - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no, xi - {c['fe']} AS x, yi - {c['fn']} AS y FROM src),
+s2 AS (
+  SELECT rec_no, {c['lam0']} + x / ({c['a']} * {c['k0']}) AS lam,
+         ASIN(LEAST(GREATEST(2.0 * y * {c['k0']} / {c['a']} / {c['qp']},
+                             -1.0), 1.0)) AS beta
+  FROM s1)
+SELECT rec_no, ROUND(DEGREES(lam), 9) AS lon,
+       ROUND(DEGREES(beta + {c['b2']} * SIN(2.0 * beta)
+             + {c['b4']} * SIN(4.0 * beta)
+             + {c['b6']} * SIN(6.0 * beta)), 9) AS lat
+FROM s2
+"""
+
+
+ORACLE_SHP_CEA = _oracle_cea_sql()
+
+
 def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 — ALL fourteen supported .prj projection families under ONE gated
+    """A12 — ALL fifteen supported .prj projection families under ONE gated
     row (the shp_zm_semantics consolidation pattern applied to CRS): each
     family decodes its own Point shapefile + WKT through the engine's
     inverse kernel, tagged with a family id, unioned. Driver-gates the
@@ -1738,7 +1820,8 @@ def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_shp_merc3395_reproject, q_shp_sinusoidal_reproject,
             q_shp_mollweide_reproject, q_shp_oblique_stereo_reproject,
             q_shp_hom_reproject, q_shp_krovak_reproject,
-            q_shp_cassini_reproject, q_shp_aeqd_reproject]
+            q_shp_cassini_reproject, q_shp_aeqd_reproject,
+            q_shp_cea_reproject]
     out = None
     for fam_id, fn in enumerate(fams):
         d = fn(spark, sf_dir).select(
@@ -1754,7 +1837,7 @@ ORACLE_REPROJECT_FAMILIES = "\nUNION ALL\n".join(
         ORACLE_SHP_ALBERS, ORACLE_SHP_STEREO, ORACLE_SHP_LAEA,
         ORACLE_SHP_MERC3395, ORACLE_SHP_SINUSOIDAL, ORACLE_SHP_MOLLWEIDE,
         ORACLE_SHP_OBLIQUE_STEREO, ORACLE_SHP_HOM, ORACLE_SHP_KROVAK,
-        ORACLE_SHP_CASSINI, ORACLE_SHP_AEQD]))
+        ORACLE_SHP_CASSINI, ORACLE_SHP_AEQD, ORACLE_SHP_CEA]))
 
 
 def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2135,6 +2218,7 @@ QUERIES: dict = {
     "shp_cassini_reproject": (q_shp_cassini_reproject,
                               ORACLE_SHP_CASSINI),
     "shp_aeqd_reproject": (q_shp_aeqd_reproject, ORACLE_SHP_AEQD),
+    "shp_cea_reproject": (q_shp_cea_reproject, ORACLE_SHP_CEA),
     "shp_oblique_stereo_reproject": (q_shp_oblique_stereo_reproject,
                                      ORACLE_SHP_OBLIQUE_STEREO),
     "shp_hom_reproject": (q_shp_hom_reproject, ORACLE_SHP_HOM),

@@ -904,6 +904,58 @@ def make_inv_mollweide(a: float, lon0_deg: float,
     return inv
 
 
+def cea_constants(a: float, inv_f: float, lon0_deg: float,
+                  sp1_deg: float, fe: float = 0.0, fn: float = 0.0) -> dict:
+    """Point-independent Lambert Cylindrical Equal Area constants (EPSG
+    method 9835, Snyder 1987 eq. 10-13/10-14 normal aspect + authalic
+    series 3-18) — the NSIDC EASE-Grid 2.0 family (EPSG:6933 global,
+    ±86° remote-sensing grids) and the Behrmann/Gall-Peters world maps.
+    k0 = m(φ1) (Snyder eq. 14-15 at the standard parallel).  Same
+    shared-constants policy as :func:`lcc_constants`."""
+    e2 = _e2_of(inv_f)
+    e = math.sqrt(e2)
+    if e2 > 0.0:
+        qp = (1.0 - e2) * (1.0 / (1.0 - e2)
+                           - (1.0 / (2.0 * e))
+                           * math.log((1.0 - e) / (1.0 + e)))
+        k0, _, _ = _conic_m_t_q(e2, math.radians(sp1_deg))
+    else:
+        qp = 2.0
+        k0 = math.cos(math.radians(sp1_deg))
+    e4 = e2 * e2
+    e6 = e4 * e2
+    return {
+        "a": a, "qp": qp, "k0": k0, "lam0": math.radians(lon0_deg),
+        "fe": fe, "fn": fn,
+        "b2": e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0,
+        "b4": 23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0,
+        "b6": 761.0 * e6 / 45360.0,
+    }
+
+
+def make_inv_cea(a: float, inv_f: float, lon0_deg: float, sp1_deg: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Lambert Cylindrical Equal Area inverse (EPSG 9835 normal aspect):
+    λ = λ0 + x/(a k0); q = 2 y k0 / a; β = arcsin(q/q_p); φ by the
+    authalic series (Snyder eq. 3-18; exact identity on the sphere where
+    the series coefficients vanish).  Returns a vectorized (n,2) meters →
+    (n,2) lon/lat° fn."""
+    c = cea_constants(a, inv_f, lon0_deg, sp1_deg, fe, fn)
+    qp, k0, lam0 = c["qp"], c["k0"], c["lam0"]
+    b2, b4, b6 = c["b2"], c["b4"], c["b6"]
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        x = pts[:, 0] - fe
+        y = pts[:, 1] - fn
+        lam = lam0 + x / (a * k0)
+        beta = np.arcsin(np.clip(2.0 * y * k0 / a / qp, -1.0, 1.0))
+        phi = (beta + b2 * np.sin(2.0 * beta) + b4 * np.sin(4.0 * beta)
+               + b6 * np.sin(6.0 * beta))
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
+
 def aeqd_constants(a: float, lon0_deg: float, lat0_deg: float,
                    fe: float = 0.0, fn: float = 0.0) -> dict:
     """Point-independent constants for the SPHERICAL Azimuthal
@@ -1367,6 +1419,17 @@ def projection_from_wkt(wkt) -> "callable | None":
             return _with_unit(make_inv_mollweide(
                 a,
                 p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
+        if re.search(r'PROJECTION\["?(Lambert[_ ]?)?Cylindrical[_ ]?'
+                     r'Equal[_ ]?Area', wkt, re.I):
+            p = _wkt_params(wkt)
+            a, inv_f = _wkt_spheroid(wkt)
+            return _with_unit(make_inv_cea(
+                a, inv_f,
+                p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+                p.get("standard_parallel_1",
+                      p.get("latitude_of_origin", 0.0)),
                 p.get("false_easting", 0.0) * unit,
                 p.get("false_northing", 0.0) * unit), unit)
         if re.search(r'PROJECTION\["?Azimuthal[_ ]?Equidistant', wkt, re.I):

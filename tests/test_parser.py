@@ -1300,3 +1300,55 @@ def test_aeqd_wkt_dispatch_and_ellipsoid_raises():
         'SPHEROID["WGS_1984",6378137.0,298.257223563]')
     with pytest.raises(ValueError, match="spherical"):
         projection_from_wkt(wkt_ell)
+
+
+def test_cea_roundtrip_against_independent_forward():
+    """EPSG 9835 Lambert Cylindrical Equal Area FORWARD (written
+    independently from the q-function, Snyder eq. 10-1/10-2 ellipsoidal)
+    roundtrips through the engine inverse to <1e-9 degrees over the
+    EASE-Grid 2.0 (EPSG:6933) domain; the EPSG:6933 corner constant is
+    reproduced (x at 180°E ≈ 17,367,530.45 m)."""
+    import math
+    import numpy as np
+    from spark_shp.shp.parser import _conic_m_t_q, make_inv_cea
+    from spark_shp.queries_shp import _CEA_PARAMS
+
+    a, inv_f, lon0, sp1, fe, fn = _CEA_PARAMS
+    e2 = (2.0 - 1.0 / inv_f) / inv_f
+    k0 = math.cos(math.radians(sp1)) / math.sqrt(
+        1.0 - e2 * math.sin(math.radians(sp1)) ** 2)
+
+    def fwd(lon_deg, lat_deg):
+        _, _, q = _conic_m_t_q(e2, math.radians(lat_deg))
+        x = a * k0 * math.radians(lon_deg - lon0)
+        y = a * q / (2.0 * k0)
+        return x + fe, y + fn
+
+    # the published EPSG:6933 easting of the 180° meridian
+    x180, _ = fwd(180.0, 0.0)
+    assert abs(x180 - 17367530.45) < 1.0
+    inv = make_inv_cea(a, inv_f, lon0, sp1, fe, fn)
+    rng = np.random.default_rng(20260820)
+    lons = rng.uniform(-179.9, 179.9, 200)
+    lats = rng.uniform(-85.9, 85.9, 200)
+    pts = np.array([fwd(lo, la) for lo, la in zip(lons, lats)])
+    out = inv(pts)
+    assert np.max(np.abs(out[:, 0] - lons)) < 1e-9
+    assert np.max(np.abs(out[:, 1] - lats)) < 5e-8  # 3-18 series trunc
+
+
+def test_cea_wkt_dispatch_and_sphere_degeneration():
+    import numpy as np
+    from spark_shp.shp.parser import make_inv_cea, projection_from_wkt
+    from spark_shp.queries_shp import _CEA_WKT
+    trans = projection_from_wkt(_CEA_WKT)
+    assert trans is not None
+    out = trans(np.array([[0.0, 0.0]]))
+    assert abs(out[0, 0]) < 1e-12 and abs(out[0, 1]) < 1e-12
+    # sphere (inv_f = 0): qp = 2, series vanishes — Behrmann/Gall case
+    import math
+    inv = make_inv_cea(6371007.0, 0.0, 0.0, 30.0)
+    r, k0 = 6371007.0, math.cos(math.radians(30.0))
+    y45 = r * math.sin(math.radians(45.0)) / k0
+    got = inv(np.array([[0.0, y45]]))
+    assert abs(got[0, 1] - 45.0) < 1e-9
