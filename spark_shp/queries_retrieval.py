@@ -1597,10 +1597,72 @@ FROM chunks GROUP BY source
 """
 
 
+# --- sketch_mergeability: the DataSketches builtins + the merge law ---------------
+#
+# Completes C11's surveyed builtin surface (hll_sketch_agg /
+# theta_sketch_agg; kll_* is absent from this build — checked, noted):
+# per-group sketches, each estimate gated against the exact distinct
+# count at 3-sigma-ish bounds (the approx_sketches rule), PLUS the
+# property that makes sketches THE 1000-executor aggregation primitive:
+# MERGEABILITY — the union of per-group sketches must satisfy the SAME
+# error bound as one direct pass.  Found while building: estimate
+# equality between the two aggregation paths is NOT guaranteed (a
+# uniform-data probe showed de == me, but on the real table HLL's
+# direct estimate differs from the union-of-groups estimate — the
+# library's contract is bounded error for merged sketches, not
+# register-path equality), so the gated law is the bounded one.  The
+# oracle recomputes the exact counts and expects every boolean TRUE.
+
+def q_sketch_mergeability(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("sm_lineitem")
+    return spark.sql("""
+        WITH per AS (
+          SELECT l_returnflag AS g,
+                 hll_sketch_agg(l_partkey) AS sk,
+                 theta_sketch_agg(l_partkey) AS tk,
+                 COUNT(DISTINCT l_partkey) AS exact_parts
+          FROM sm_lineitem GROUP BY l_returnflag),
+        direct AS (
+          SELECT hll_sketch_estimate(hll_sketch_agg(l_partkey)) AS de,
+                 theta_sketch_estimate(theta_sketch_agg(l_partkey)) AS dt,
+                 COUNT(DISTINCT l_partkey) AS exact_total
+          FROM sm_lineitem),
+        merged AS (
+          SELECT hll_sketch_estimate(hll_union_agg(sk)) AS me,
+                 theta_sketch_estimate(theta_union_agg(tk)) AS mt
+          FROM per)
+        SELECT g, CAST(exact_parts AS BIGINT) AS exact_parts,
+               ABS(hll_sketch_estimate(sk) - exact_parts)
+                 <= exact_parts * 0.15 AS hll_ok,
+               ABS(theta_sketch_estimate(tk) - exact_parts)
+                 <= exact_parts * 0.10 AS theta_ok
+        FROM per
+        UNION ALL
+        SELECT 'ALL', CAST(exact_total AS BIGINT),
+               ABS(de - exact_total) <= exact_total * 0.15
+                 AND ABS(me - exact_total) <= exact_total * 0.15,
+               ABS(dt - exact_total) <= exact_total * 0.10
+                 AND ABS(mt - exact_total) <= exact_total * 0.10
+        FROM direct CROSS JOIN merged""")
+
+
+ORACLE_SKETCH_MERGE = """
+SELECT l_returnflag AS g,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS hll_ok, TRUE AS theta_ok
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'ALL', CAST(COUNT(DISTINCT l_partkey) AS BIGINT), TRUE, TRUE
+FROM lineitem
+"""
+
+
 QUERIES.update({
     "trimmed_mean": (q_trimmed_mean, ORACLE_TRIMMED),
     "mutual_information": (q_mutual_information, ORACLE_MI),
     "text_curation_pipeline": (q_text_curation_pipeline,
                                _oracle_text_pipeline()),
     "cdc_chunking": (q_cdc_chunking, _oracle_cdc()),
+    "sketch_mergeability": (q_sketch_mergeability, ORACLE_SKETCH_MERGE),
 })

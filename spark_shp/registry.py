@@ -234,6 +234,7 @@ _TAIL = [
     "mutual_information",     # MI / entropy feature audit (C6/ML)
     "text_curation_pipeline",  # lang->quality->dedup->split e2e (text)
     "cdc_chunking",           # content-defined chunk dedup (storage/text)
+    "sketch_mergeability",    # DataSketches builtins + merge law (C11)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

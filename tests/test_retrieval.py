@@ -676,3 +676,16 @@ def test_cdc_chunking_matches_python_and_survives_insertion(spark):
     sh = ["join"] + toks
     fixed_shift = [" ".join(sh[i:i + 8]) for i in range(0, len(sh), 8)]
     assert sum(1 for c in fixed_shift if c in fixed_orig) == 0
+
+
+def test_sketch_mergeability_bounds_and_merge_row(spark):
+    from spark_shp.queries_retrieval import q_sketch_mergeability
+    rows = {r["g"]: r for r in q_sketch_mergeability(spark, SF).collect()}
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    for flag, g in li.groupby("l_returnflag"):
+        r = rows[flag]
+        assert r["exact_parts"] == g["l_partkey"].nunique()
+        assert r["hll_ok"] and r["theta_ok"]
+    allr = rows["ALL"]
+    assert allr["exact_parts"] == li["l_partkey"].nunique()
+    assert allr["hll_ok"] and allr["theta_ok"]
