@@ -1658,6 +1658,133 @@ FROM lineitem
 """
 
 
+# --- audio_curation_pipeline: the audio e2e chain under ONE oracle -----------------
+#
+# Completes the e2e triptych (image_curation_pipeline, text_curation_
+# pipeline, and now audio): synthesize → REAL RIFF/WAV encode+decode →
+# feature extraction (silence windows, zero-crossing rate, peak
+# amplitude, energy — each an already-gated operator's exact-integer
+# semantics) → quality filters (mostly-non-silent AND zc-rate ≥ 20/win,
+# thresholds chosen from the measured feature distribution so BOTH
+# branches are non-empty — the equal-but-empty rule) → exact dedup by
+# the full feature fingerprint (streams 24..31 are PLANTED duplicates
+# of 0..7 via the j = i % 24 generator index; keep-first keeps the
+# original id) → per-channel-group corpus stats.  The oracle recomputes
+# every feature from the sample formula by lattice sums and replays the
+# identical filter/dedup/group chain.
+
+N_APL = 32
+APL_GEN = 24  # generator period: streams 24..31 duplicate 0..7
+
+
+def q_audio_curation_pipeline(spark, sf_dir):
+    from . import riff
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_windows", T.LongType()),
+        T.StructField("n_silent", T.LongType()),
+        T.StructField("zc_total", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].astype(int):
+                j = i % APL_GEN
+                n = 1024 + (j * 256) % 1281
+                k = np.arange(n, dtype=np.int64)
+                u = (j * 48271 + k * 16807) % 65536
+                env = (j * 31 + (k // 256) * 97) % 5
+                s = ((u % 8192 - 4096) * env).astype(np.int16)
+                wav, rate = riff.wav_decode(riff.wav_encode(s, 16000))
+                got = np.round(wav[:, 0].astype(np.float64)
+                               * 32768.0).astype(np.int64)
+                assert rate == 16000 and len(got) == n
+                nw = n // 256
+                w = got[:nw * 256].reshape(nw, 256)
+                e = (w * w).sum(axis=1)
+                silent = int((e * 16 < 256 * 4096 * 4096).sum())
+                neg = w < 0
+                zc = int((neg[:, 1:] != neg[:, :-1]).sum())
+                peak = int(max(got.max(), -got.min()))
+                rows.append((int(i), nw, silent, zc, peak, int(e.sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    feats = (spark.range(0, N_APL, numPartitions=4)
+             .mapInPandas(work, schema))
+    kept = feats.where("n_silent * 4 <= n_windows "
+                       "AND zc_total >= n_windows * 20")
+    surv = (kept.groupBy("n_windows", "n_silent", "zc_total", "peak",
+                         "energy")
+            .agg(F.min("media_id").alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+    return (surv.selectExpr("keep_id % 4 AS grp", "keep_id", "n_copies",
+                            "zc_total", "energy")
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_streams"),
+                 F.sum("n_copies").alias("n_members"),
+                 F.sum("keep_id").alias("id_checksum"),
+                 F.sum("zc_total").alias("sum_zc"),
+                 F.sum("energy").alias("sum_energy"))
+            .selectExpr("CAST(grp AS BIGINT) AS grp",
+                        "CAST(n_streams AS BIGINT) AS n_streams",
+                        "CAST(n_members AS BIGINT) AS n_members",
+                        "CAST(id_checksum AS BIGINT) AS id_checksum",
+                        "CAST(sum_zc AS BIGINT) AS sum_zc",
+                        "CAST(sum_energy AS BIGINT) AS sum_energy"))
+
+
+def _oracle_audio_pipeline() -> str:
+    s = ("((((j * 48271 + k * 16807) % 65536) % 8192 - 4096) * "
+         "((j * 31 + CAST(FLOOR(k / 256.0) AS BIGINT) * 97) % 5))")
+    s_next = ("((((j * 48271 + (k + 1) * 16807) % 65536) % 8192 - 4096) * "
+              "((j * 31 + CAST(FLOOR((k + 1) / 256.0) AS BIGINT) * 97) "
+              "% 5))")
+    return f"""
+WITH ids AS (
+  SELECT i, i % {APL_GEN} AS j,
+         1024 + ((i % {APL_GEN}) * 256) % 1281 AS n
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_APL - 1})) AS i) t),
+samp AS (
+  SELECT i, n, CAST(FLOOR(k / 256.0) AS BIGINT) AS wnd, k,
+         {s} AS s,
+         CASE WHEN k % 256 < 255
+                AND k < CAST(FLOOR(n / 256.0) AS BIGINT) * 256 - 1
+                AND ({s} < 0) <> ({s_next} < 0)
+              THEN 1 ELSE 0 END AS zc
+  FROM ids, GENERATE_SERIES(0, 2400) g(k)
+  WHERE k < CAST(FLOOR(n / 256.0) AS BIGINT) * 256),
+wind AS (
+  SELECT i, n, wnd, SUM(s * s) AS e, SUM(zc) AS zc FROM samp
+  GROUP BY 1, 2, 3),
+feats AS (
+  SELECT i AS media_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN e * 16 < 4294967296 THEN 1 ELSE 0 END) AS n_silent,
+         SUM(zc) AS zc_total,
+         (SELECT GREATEST(MAX(s), -MIN(s)) FROM samp s2
+          WHERE s2.i = wind.i) AS peak,
+         SUM(e) AS energy
+  FROM wind GROUP BY i),
+kept AS (
+  SELECT * FROM feats
+  WHERE n_silent * 4 <= n_windows AND zc_total >= n_windows * 20),
+surv AS (
+  SELECT n_windows, n_silent, zc_total, peak, energy,
+         MIN(media_id) AS keep_id, COUNT(*) AS n_copies
+  FROM kept GROUP BY 1, 2, 3, 4, 5)
+SELECT CAST(keep_id % 4 AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_streams,
+       CAST(SUM(n_copies) AS BIGINT) AS n_members,
+       CAST(SUM(keep_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(zc_total) AS BIGINT) AS sum_zc,
+       CAST(SUM(energy) AS BIGINT) AS sum_energy
+FROM surv GROUP BY 1
+"""
+
+
 QUERIES.update({
     "trimmed_mean": (q_trimmed_mean, ORACLE_TRIMMED),
     "mutual_information": (q_mutual_information, ORACLE_MI),
@@ -1665,4 +1792,6 @@ QUERIES.update({
                                _oracle_text_pipeline()),
     "cdc_chunking": (q_cdc_chunking, _oracle_cdc()),
     "sketch_mergeability": (q_sketch_mergeability, ORACLE_SKETCH_MERGE),
+    "audio_curation_pipeline": (q_audio_curation_pipeline,
+                                _oracle_audio_pipeline()),
 })

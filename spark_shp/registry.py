@@ -235,6 +235,7 @@ _TAIL = [
     "text_curation_pipeline",  # lang->quality->dedup->split e2e (text)
     "cdc_chunking",           # content-defined chunk dedup (storage/text)
     "sketch_mergeability",    # DataSketches builtins + merge law (C11)
+    "audio_curation_pipeline",  # decode->features->filter->dedup e2e (AV)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -689,3 +689,50 @@ def test_sketch_mergeability_bounds_and_merge_row(spark):
     allr = rows["ALL"]
     assert allr["exact_parts"] == li["l_partkey"].nunique()
     assert allr["hll_ok"] and allr["theta_ok"]
+
+
+def test_audio_pipeline_structure_and_python_replication(spark):
+    from spark_shp.queries_retrieval import (APL_GEN, N_APL,
+                                             q_audio_curation_pipeline)
+    feats = []
+    for i in range(N_APL):
+        j = i % APL_GEN
+        n = 1024 + (j * 256) % 1281
+        k = np.arange(n, dtype=np.int64)
+        u = (j * 48271 + k * 16807) % 65536
+        env = (j * 31 + (k // 256) * 97) % 5
+        s = ((u % 8192 - 4096) * env).astype(np.int64)
+        nw = n // 256
+        w = s[: nw * 256].reshape(nw, 256)
+        e = (w * w).sum(axis=1)
+        neg = w < 0
+        feats.append((i, nw, int((e * 16 < 256 * 4096 * 4096).sum()),
+                      int((neg[:, 1:] != neg[:, :-1]).sum()),
+                      int(max(s.max(), -s.min())), int(e.sum())))
+    kept = [f for f in feats
+            if f[2] * 4 <= f[1] and f[3] >= f[1] * 20]
+    assert 0 < len(kept) < N_APL                 # quality filters bite
+    byfp = {}
+    for i, nw, sil, zc, pk, en in kept:
+        fp = (nw, sil, zc, pk, en)
+        kid, nc = byfp.get(fp, (i, 0))
+        byfp[fp] = (min(kid, i), nc + 1)
+    assert any(nc > 1 for _, nc in byfp.values())  # planted dups collapse
+    assert all(kid < APL_GEN for kid, _ in byfp.values())  # originals win
+    agg = {}
+    fpmap = {(nw, sil, zc, pk, en): (kid, nc)
+             for (nw, sil, zc, pk, en), (kid, nc) in byfp.items()}
+    for (nw, sil, zc, pk, en), (kid, nc) in fpmap.items():
+        a = agg.setdefault(kid % 4, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += nc
+        a[2] += kid
+        a[3] += zc
+        a[4] += en
+    got = {r["grp"]: r for r in
+           q_audio_curation_pipeline(spark, SF).collect()}
+    assert set(got) == set(agg)
+    for g, (ns, nm, ck, zc, en) in agg.items():
+        r = got[g]
+        assert (r["n_streams"], r["n_members"], r["id_checksum"],
+                r["sum_zc"], r["sum_energy"]) == (ns, nm, ck, zc, en)
