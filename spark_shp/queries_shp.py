@@ -1802,8 +1802,118 @@ FROM s2
 ORACLE_SHP_CEA = _oracle_cea_sql()
 
 
+N_POLY = 40
+_POLY_WKT = (
+    'PROJCS["Polyconic_Test_Grid",GEOGCS["GCS_GRS_1980",'
+    'DATUM["D_GRS_1980",SPHEROID["GRS_1980",6378137.0,298.257222101]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Polyconic"],'
+    'PARAMETER["False_Easting",5000000.0],'
+    'PARAMETER["False_Northing",10000000.0],'
+    'PARAMETER["Central_Meridian",-54.0],'
+    'PARAMETER["Latitude_Of_Origin",20.0],UNIT["Meter",1.0]]')
+_POLY_PARAMS = (6378137.0, 298.257222101, -54.0, 20.0,
+                5000000.0, 10000000.0)
+
+
+def q_shp_polyconic_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 American Polyconic (EPSG method 9818 — Brazil's historic
+    national grids, classic USGS quadrangles): Point shapefile in
+    Polyconic meters -> engine inverse (parser.make_inv_polyconic:
+    Snyder 18-18..18-22 with POLY_ITERS fixed Newton steps — the Krovak
+    fixed-unroll rule; the fixture band φ∈[~6°,34°] converges by step 4
+    and stays clear of the 2/sin2φ equator singularity). The oracle
+    unrolls the identical float64 op sequence from the same
+    polyconic_constants(); 9-decimal rounding policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_POLY, dtype=np.int64)
+    xm = 5.0e6 - 5.0e5 + u01(i * 101 + 11) * 1.0e6
+    ym = 1.0e7 - 1.55e6 + u01(i * 101 + 12) * 3.1e6
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_POLY_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_polyconic_sql() -> str:
+    """Polyconic inverse as DuckDB SQL, op-for-op the numpy kernel (same
+    polyconic_constants float64 values, POLY_ITERS unrolled Newton
+    rounds)."""
+    from .shp.parser import POLY_ITERS, polyconic_constants
+    a, inv_f, lon0, lat0, fe, fn = _POLY_PARAMS
+    cv = polyconic_constants(a, inv_f, lon0, lat0, fe, fn)
+    c = {k: f"CAST({v!r} AS DOUBLE)" for k, v in cv.items()}
+    ma = (f"({c['c0']} * phi - {c['c2']} * SIN(2.0 * phi) "
+          f"+ {c['c4']} * SIN(4.0 * phi) - {c['c6']} * SIN(6.0 * phi))")
+    mp = (f"({c['c0']} - 2.0 * {c['c2']} * COS(2.0 * phi) "
+          f"+ 4.0 * {c['c4']} * COS(4.0 * phi) "
+          f"- 6.0 * {c['c6']} * COS(6.0 * phi))")
+    rounds = []
+    for k in range(1, POLY_ITERS + 1):
+        rounds.append(f"""
+h{k} AS (
+  SELECT rec_no, x, A, B, phi,
+         SIN(2.0 * phi) AS s2,
+         SQRT(1.0 - {c['e2']} * SIN(phi) * SIN(phi)) * TAN(phi) AS C,
+         {ma} AS Ma, {mp} AS Mp
+  FROM it{k - 1}),
+it{k} AS (
+  SELECT rec_no, x, A, B,
+         phi - (A * (C * Ma + 1.0) - Ma - 0.5 * (Ma * Ma + B) * C)
+             / ({c['e2']} * s2 * (Ma * Ma + B - 2.0 * A * Ma) / (4.0 * C)
+                + (A - Ma) * (C * Mp - 2.0 / s2) - Mp) AS phi
+  FROM h{k})""")
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         4500000.0 + {u01_sql('i * 101 + 11')} * 1000000.0 AS xi,
+         8450000.0 + {u01_sql('i * 101 + 12')} * 3100000.0 AS yi
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_POLY - 1})) AS i) t),
+it0 AS (
+  SELECT rec_no, xi - {c['fe']} AS x,
+         ({c['m0a']} + (yi - {c['fn']}) / {c['a']}) AS A,
+         ((xi - {c['fe']}) / {c['a']}) * ((xi - {c['fe']}) / {c['a']})
+           + ({c['m0a']} + (yi - {c['fn']}) / {c['a']})
+           * ({c['m0a']} + (yi - {c['fn']}) / {c['a']}) AS B,
+         ({c['m0a']} + (yi - {c['fn']}) / {c['a']}) AS phi
+  FROM src),{','.join(rounds)},
+fin AS (
+  SELECT rec_no, x, phi,
+         SQRT(1.0 - {c['e2']} * SIN(phi) * SIN(phi)) * TAN(phi) AS sC
+  FROM it{POLY_ITERS})
+SELECT rec_no,
+       ROUND(DEGREES({c['lam0']} + ASIN(LEAST(GREATEST(
+             x * sC / {c['a']}, -1.0), 1.0)) / SIN(phi)), 9) AS lon,
+       ROUND(DEGREES(phi), 9) AS lat
+FROM fin
+"""
+
+
+ORACLE_SHP_POLYCONIC = _oracle_polyconic_sql()
+
+
 def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 — ALL fifteen supported .prj projection families under ONE gated
+    """A12 — ALL sixteen supported .prj projection families under ONE gated
     row (the shp_zm_semantics consolidation pattern applied to CRS): each
     family decodes its own Point shapefile + WKT through the engine's
     inverse kernel, tagged with a family id, unioned. Driver-gates the
@@ -1821,7 +1931,7 @@ def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_shp_mollweide_reproject, q_shp_oblique_stereo_reproject,
             q_shp_hom_reproject, q_shp_krovak_reproject,
             q_shp_cassini_reproject, q_shp_aeqd_reproject,
-            q_shp_cea_reproject]
+            q_shp_cea_reproject, q_shp_polyconic_reproject]
     out = None
     for fam_id, fn in enumerate(fams):
         d = fn(spark, sf_dir).select(
@@ -1837,7 +1947,8 @@ ORACLE_REPROJECT_FAMILIES = "\nUNION ALL\n".join(
         ORACLE_SHP_ALBERS, ORACLE_SHP_STEREO, ORACLE_SHP_LAEA,
         ORACLE_SHP_MERC3395, ORACLE_SHP_SINUSOIDAL, ORACLE_SHP_MOLLWEIDE,
         ORACLE_SHP_OBLIQUE_STEREO, ORACLE_SHP_HOM, ORACLE_SHP_KROVAK,
-        ORACLE_SHP_CASSINI, ORACLE_SHP_AEQD, ORACLE_SHP_CEA]))
+        ORACLE_SHP_CASSINI, ORACLE_SHP_AEQD, ORACLE_SHP_CEA,
+        ORACLE_SHP_POLYCONIC]))
 
 
 def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2219,6 +2330,8 @@ QUERIES: dict = {
                               ORACLE_SHP_CASSINI),
     "shp_aeqd_reproject": (q_shp_aeqd_reproject, ORACLE_SHP_AEQD),
     "shp_cea_reproject": (q_shp_cea_reproject, ORACLE_SHP_CEA),
+    "shp_polyconic_reproject": (q_shp_polyconic_reproject,
+                                ORACLE_SHP_POLYCONIC),
     "shp_oblique_stereo_reproject": (q_shp_oblique_stereo_reproject,
                                      ORACLE_SHP_OBLIQUE_STEREO),
     "shp_hom_reproject": (q_shp_hom_reproject, ORACLE_SHP_HOM),

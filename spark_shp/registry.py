@@ -49,6 +49,7 @@ _TAIL = [
     "shp_cassini_reproject",  # A12 (same family — Cassini-Soldner)
     "shp_aeqd_reproject",     # A12 (same family — Azimuthal Equidistant)
     "shp_cea_reproject",      # A12 (same family — Cyl. Equal Area/EASE)
+    "shp_polyconic_reproject",  # A12 (same family — American Polyconic)
     "images_phash_near_dup",  # dedup family via minhash_lsh_pairs/simhash
     "shp_zip_bundle",         # A16-A18/A20 zip demux e2e (pytest in-window
                               # coverage via shp fixtures; exact diffcheck)

@@ -956,6 +956,73 @@ def make_inv_cea(a: float, inv_f: float, lon0_deg: float, sp1_deg: float,
     return inv
 
 
+def polyconic_constants(a: float, inv_f: float, lon0_deg: float,
+                        lat0_deg: float, fe: float = 0.0,
+                        fn: float = 0.0) -> dict:
+    """Point-independent American Polyconic constants (EPSG method 9818,
+    Snyder 1987 eq. 18-18..18-22 — Brazil's historic national grids, old
+    USGS quads): the meridian-arc series M(φ)/a = c0·φ − c2·sin2φ +
+    c4·sin4φ − c6·sin6φ and its derivative feed the fixed-unroll Newton
+    inverse.  Same shared-constants policy as :func:`lcc_constants`."""
+    e2 = _e2_of(inv_f)
+    e4 = e2 * e2
+    e6 = e4 * e2
+    c0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+    c2 = 3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0
+    c4 = 15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0
+    c6 = 35.0 * e6 / 3072.0
+    phi0 = math.radians(lat0_deg)
+    m0a = (c0 * phi0 - c2 * math.sin(2.0 * phi0)
+           + c4 * math.sin(4.0 * phi0) - c6 * math.sin(6.0 * phi0))
+    return {"a": a, "e2": e2, "c0": c0, "c2": c2, "c4": c4, "c6": c6,
+            "m0a": m0a, "lam0": math.radians(lon0_deg),
+            "fe": fe, "fn": fn}
+
+
+POLY_ITERS = 6
+
+
+def make_inv_polyconic(a: float, inv_f: float, lon0_deg: float,
+                       lat0_deg: float, fe: float = 0.0, fn: float = 0.0):
+    """American Polyconic inverse (Snyder eq. 18-18..18-22): A = (M0+y)/a,
+    B = x²/a² + A², then POLY_ITERS FIXED Newton steps on φ (EPSG
+    prescribes iterate-to-convergence; the fixture band converges by
+    step 4, and the fixed count keeps the float64 op sequence identical
+    to the SQL oracle — the Krovak rule), finally λ = λ0 +
+    arcsin(x·C/a)/sinφ.  The equator row (φ→0, 2/sin2φ singular) is
+    outside the supported band and the fixture; returns a vectorized
+    (n,2) meters → (n,2) lon/lat° fn."""
+    c = polyconic_constants(a, inv_f, lon0_deg, lat0_deg, fe, fn)
+    e2, c0, c2, c4, c6 = c["e2"], c["c0"], c["c2"], c["c4"], c["c6"]
+    m0a, lam0 = c["m0a"], c["lam0"]
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        x = pts[:, 0] - fe
+        y = pts[:, 1] - fn
+        A = (m0a + y / a)
+        B = (x / a) * (x / a) + A * A
+        phi = A.copy()
+        for _ in range(POLY_ITERS):
+            s = np.sin(phi)
+            s2 = np.sin(2.0 * phi)
+            C = np.sqrt(1.0 - e2 * s * s) * np.tan(phi)
+            Ma = (c0 * phi - c2 * np.sin(2.0 * phi)
+                  + c4 * np.sin(4.0 * phi) - c6 * np.sin(6.0 * phi))
+            Mp = (c0 - 2.0 * c2 * np.cos(2.0 * phi)
+                  + 4.0 * c4 * np.cos(4.0 * phi)
+                  - 6.0 * c6 * np.cos(6.0 * phi))
+            num = A * (C * Ma + 1.0) - Ma - 0.5 * (Ma * Ma + B) * C
+            den = (e2 * s2 * (Ma * Ma + B - 2.0 * A * Ma) / (4.0 * C)
+                   + (A - Ma) * (C * Mp - 2.0 / s2) - Mp)
+            phi = phi - num / den
+        sC = np.sqrt(1.0 - e2 * np.sin(phi) ** 2) * np.tan(phi)
+        lam = lam0 + np.arcsin(np.clip(x * sC / a, -1.0, 1.0)) \
+            / np.sin(phi)
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
+
 def aeqd_constants(a: float, lon0_deg: float, lat0_deg: float,
                    fe: float = 0.0, fn: float = 0.0) -> dict:
     """Point-independent constants for the SPHERICAL Azimuthal
@@ -1430,6 +1497,16 @@ def projection_from_wkt(wkt) -> "callable | None":
                 p.get("central_meridian", p.get("longitude_of_center", 0.0)),
                 p.get("standard_parallel_1",
                       p.get("latitude_of_origin", 0.0)),
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
+        if re.search(r'PROJECTION\["?(American[_ ]?)?Polyconic', wkt, re.I):
+            p = _wkt_params(wkt)
+            a, inv_f = _wkt_spheroid(wkt)
+            return _with_unit(make_inv_polyconic(
+                a, inv_f,
+                p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+                p.get("latitude_of_origin", p.get("latitude_of_center",
+                                                  0.0)),
                 p.get("false_easting", 0.0) * unit,
                 p.get("false_northing", 0.0) * unit), unit)
         if re.search(r'PROJECTION\["?Azimuthal[_ ]?Equidistant', wkt, re.I):

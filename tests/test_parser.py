@@ -1352,3 +1352,56 @@ def test_cea_wkt_dispatch_and_sphere_degeneration():
     y45 = r * math.sin(math.radians(45.0)) / k0
     got = inv(np.array([[0.0, y45]]))
     assert abs(got[0, 1] - 45.0) < 1e-9
+
+
+def test_polyconic_roundtrip_against_independent_forward():
+    """Snyder eq. 18-12..18-15 American Polyconic FORWARD (written
+    independently of the inverse) roundtrips through the engine inverse
+    to <1e-9 degrees across the fixture band (φ∈[5°,35°], λ within ±5°
+    of the central meridian) — also proving the fixed 6-step Newton
+    reaches convergence inside the band."""
+    import math
+    import numpy as np
+    from spark_shp.shp.parser import make_inv_polyconic, polyconic_constants
+    from spark_shp.queries_shp import _POLY_PARAMS
+
+    a, inv_f, lon0, lat0, fe, fn = _POLY_PARAMS
+    c = polyconic_constants(a, inv_f, lon0, lat0, fe, fn)
+    e2 = c["e2"]
+
+    def marc(phi):
+        return a * (c["c0"] * phi - c["c2"] * math.sin(2 * phi)
+                    + c["c4"] * math.sin(4 * phi)
+                    - c["c6"] * math.sin(6 * phi))
+
+    def fwd(lon_deg, lat_deg):
+        phi = math.radians(lat_deg)
+        dlam = math.radians(lon_deg - lon0)
+        n = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        ee = dlam * math.sin(phi)
+        cot = 1.0 / math.tan(phi)
+        x = n * cot * math.sin(ee)
+        y = (marc(phi) - a * c["m0a"]
+             + n * cot * (1 - math.cos(ee)))
+        return x + fe, y + fn
+
+    inv = make_inv_polyconic(a, inv_f, lon0, lat0, fe, fn)
+    rng = np.random.default_rng(20260821)
+    lons = lon0 + rng.uniform(-5.0, 5.0, 200)
+    lats = rng.uniform(5.0, 35.0, 200)
+    pts = np.array([fwd(lo, la) for lo, la in zip(lons, lats)])
+    out = inv(pts)
+    assert np.max(np.abs(out[:, 0] - lons)) < 1e-9
+    assert np.max(np.abs(out[:, 1] - lats)) < 1e-9
+
+
+def test_polyconic_wkt_dispatch():
+    import numpy as np
+    from spark_shp.shp.parser import projection_from_wkt
+    from spark_shp.queries_shp import _POLY_WKT
+    trans = projection_from_wkt(_POLY_WKT)
+    assert trans is not None
+    out = trans(np.array([[5000000.0, 10000000.0 + 1000000.0]]))
+    # x = FE -> on the central meridian; y = FN + 1000 km -> north of lat0
+    assert abs(out[0, 0] - (-54.0)) < 1e-9
+    assert 28.0 < out[0, 1] < 30.0
