@@ -980,3 +980,156 @@ def fingerprint_checksums(images: DataFrame) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+def boxsum_checksums(images: DataFrame, r: int = 4,
+                     stride: int = 8) -> DataFrame:
+    """Summed-area-table box filtering over real decoded bytes (the
+    integral-image primitive behind box blur, Haar features, and SSD
+    patch search): per image, the exact (2r+1)x(2r+1) box sum at every
+    interior anchor on an r-inset stride lattice, for all 3 channels.
+    The engine builds ONE O(npx) integral image per decode stack and
+    answers each anchor with a 4-tap lookup — the property that makes
+    box statistics corpus-size-independent per pixel; the oracle proves
+    the same numbers by brute-force (2r+1)^2-tap window sums, so two
+    genuinely different algorithms must agree exactly."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_anchors", T.LongType()),
+        T.StructField("mass", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                px = _decode_stack(pdf, idx, w, h, fmt).astype(np.int64)
+                # zero-padded SAT: S[:, y+1, x+1] = sum px[:, :y+1, :x+1]
+                sat = np.zeros((len(idx), h + 1, w + 1, 3), dtype=np.int64)
+                np.cumsum(np.cumsum(px, axis=1), axis=2, out=sat[:, 1:, 1:])
+                ay = np.arange(r, h - r, stride)
+                ax = np.arange(r, w - r, stride)
+                yy, xx = np.meshgrid(ay, ax, indexing="ij")
+                yi = (yy + r + 1).ravel()
+                xi = (xx + r + 1).ravel()
+                y0 = (yy - r).ravel()
+                x0 = (xx - r).ravel()
+                box = (sat[:, yi, xi] - sat[:, y0, xi]
+                       - sat[:, yi, x0] + sat[:, y0, x0])  # (n, A, 3)
+                pos = ((yy.ravel() * w + xx.ravel()) * 3)[None, :, None] \
+                    + np.arange(3)[None, None, :] + 1
+                n_anchors = len(ay) * len(ax) * 3
+                mass = box.sum(axis=(1, 2))
+                chk = (box * pos).sum(axis=(1, 2))
+                for k, i in enumerate(idx):
+                    rows[i] = (ids[i], n_anchors, int(mass[k]), int(chk[k]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))
+
+
+def median_checksums(images: DataFrame) -> DataFrame:
+    """3x3 median filter over real decoded bytes (the denoise / salt-and-
+    pepper QA pass): per image, over the GREEN channel interior, the
+    exact count of changed pixels, total absolute change, and a
+    position-weighted checksum of the filtered values.  The engine sorts
+    the 9-neighbor stack with ONE whole-stack np.sort; the oracle
+    recomputes each median as DuckDB QUANTILE_DISC(v, 0.5) over a
+    9-row window unnest — the 5th smallest of 9, exactly the sorted
+    middle element."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_interior", T.LongType()),
+        T.StructField("n_changed", T.LongType()),
+        T.StructField("sum_absdiff", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                g = _decode_stack(pdf, idx, w, h, fmt)[:, :, :, 1] \
+                    .astype(np.int64)                     # (n, h, w)
+                nb = np.stack([g[:, 1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+                               for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+                              axis=-1)                    # (n,h-2,w-2,9)
+                med = np.sort(nb, axis=-1)[..., 4]
+                ctr = g[:, 1:h - 1, 1:w - 1]
+                diff = np.abs(med - ctr)
+                ypos, xpos = np.meshgrid(np.arange(1, h - 1),
+                                         np.arange(1, w - 1), indexing="ij")
+                pos = (ypos * w + xpos + 1)[None, :, :]
+                n_int = (h - 2) * (w - 2)
+                for k, i in enumerate(idx):
+                    rows[i] = (ids[i], n_int,
+                               int((diff[k] > 0).sum()),
+                               int(diff[k].sum()),
+                               int((med[k] * pos[0]).sum()))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))
+
+
+def hash_family_checksums(images: DataFrame) -> DataFrame:
+    """aHash / dHash perceptual-hash family over real decoded bytes (the
+    cheap cousins of phash in an image-dedup cascade): downsample the
+    GREEN channel to an 8x8 block-sum grid (every fixture size is a
+    multiple of 8, so block sums are exact integers — no resampling
+    float ever enters), then
+      aHash bit(y,x) = S[y,x]*64 > total   (strict mean compare, cross-
+                                            multiplied to stay integer)
+      dHash bit(y,x) = S[y,x] > S[y,(x+1)%8]  (row-adjacent gradient,
+                                               wraparound column)
+    Returns per image the two popcounts, the a^d Hamming distance, and
+    bit-position-weighted checksums (sum over set bits of k+1, k=y*8+x)
+    that pin WHICH bits are set, not just how many."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("a_pop", T.LongType()),
+        T.StructField("d_pop", T.LongType()),
+        T.StructField("hamming", T.LongType()),
+        T.StructField("a_chk", T.LongType()),
+        T.StructField("d_chk", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                bh, bw = h // 8, w // 8
+                g = _decode_stack(pdf, idx, w, h, fmt)[:, :, :, 1] \
+                    .astype(np.int64)
+                s = g.reshape(len(idx), 8, bh, 8, bw).sum(axis=(2, 4))
+                tot = s.sum(axis=(1, 2), keepdims=True)   # (n,1,1)
+                a = s * 64 > tot                          # (n,8,8)
+                d = s > np.roll(s, -1, axis=2)
+                kpos = (np.arange(8)[:, None] * 8
+                        + np.arange(8)[None, :] + 1)[None, :, :]
+                for k, i in enumerate(idx):
+                    rows[i] = (ids[i], int(a[k].sum()), int(d[k].sum()),
+                               int((a[k] != d[k]).sum()),
+                               int((a[k] * kpos[0]).sum()),
+                               int((d[k] * kpos[0]).sum()))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

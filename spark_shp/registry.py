@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from . import (queries_analytics, queries_curation, queries_insights,
                queries_mining, queries_rel, queries_retrieval, queries_shp,
-               queries_spatial, queries_text)
+               queries_spatial, queries_text, queries_vision)
 
 # Same-operator variants parked beyond the driver's 50-query window.
 # Each name's operator family keeps >=1 in-window row:
@@ -237,6 +237,9 @@ _TAIL = [
     "cdc_chunking",           # content-defined chunk dedup (storage/text)
     "sketch_mergeability",    # DataSketches builtins + merge law (C11)
     "audio_curation_pipeline",  # decode->features->filter->dedup e2e (AV)
+    "image_boxfilter",        # integral-image SAT box sums (B11/CV)
+    "image_median_denoise",   # 3x3 median filter, real decode (B11/CV)
+    "image_hash_family",      # aHash/dHash perceptual cascade (B11/dedup)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",
@@ -254,7 +257,7 @@ _TAIL = [
 _MERGED: dict = {}
 for mod in (queries_shp, queries_spatial, queries_text, queries_rel,
             queries_curation, queries_analytics, queries_mining,
-            queries_insights, queries_retrieval):
+            queries_insights, queries_retrieval, queries_vision):
     overlap = set(_MERGED) & set(mod.QUERIES)
     if overlap:
         raise RuntimeError(f"duplicate query names: {overlap}")
