@@ -1,0 +1,383 @@
+"""ML-loop query batch (round-3 continuation session 5) — the model-side
+operators a training-data pipeline runs AFTER curation (all oracle-gated
+exact; registered past the driver's 50-query window in registry._TAIL
+because each family keeps an in-window row):
+
+  * kmeans_rounds        — two unrolled Lloyd iterations over the event
+                           point cloud in exact quantized-integer geometry
+                           (the gated twin of ann.py's distributed k-means;
+                           ANN/clustering family).
+  * label_spreading      — semi-supervised majority-label propagation on
+                           the embedding near-duplicate graph, 2 synchronous
+                           clamped rounds (graph + dedup families).
+  * isotonic_calibration — PAVA monotone regression of purchase rate vs
+                           hour, via the minimax identity
+                           iso_i = max_{j<=i} min_{k>=i} mean(y[j..k])
+                           (calibration family; completes calibration_bins).
+  * diff_in_diff         — 2x2 treatment/period difference-in-differences
+                           estimator from exact pivoted group sums
+                           (experimentation family; completes ab_test_ztest).
+
+Determinism rules (FIXTURES.md): every distributed aggregate is integer
+(quantized coordinates, window means under an explicit 1e-6 floor quantum,
+cent-quantized outcomes); floats appear only in ONE literal expression
+shared verbatim with the oracle under ROUND(...,6); every rank carries a
+total-order tiebreak. Reference parity: upstream shapefile-js is geometry
+ingest (SURVEY.md §2 [RECONSTRUCTED]); these extend §6's training-data
+analytics families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from . import fixtures
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- kmeans_rounds: unrolled Lloyd iterations in exact integer geometry -----
+#
+# Coordinates quantize to non-negative 1e-5-degree ints (qx < 3.6e7), so
+# every squared distance is an exact int64 (< 2.6e15) and every centroid
+# update is exact integer floor division (Spark DIV == DuckDB // on
+# non-negatives; sums stay < 2^52 even at 10^8 rows). Inertia re-quantizes
+# per-point distances by 2^20 before the corpus-wide sum so the total stays
+# int64 at any SF. The ENGINE folds the (k,2) centroid matrix into a
+# codegen CASE argmin each round (the pq_codes shape: map-only pass + one
+# k-row groupBy + an O(k) driver collect — nothing data-proportional on the
+# driver; ann.py runs the same loop unbounded); the ORACLE recomputes each
+# round as a ROW_NUMBER argmin over a point x centroid join — two genuinely
+# different plans that must agree bit-for-bit.
+
+KM_K = 4
+KM_SEEDS = ((0, 9_000_000, 4_000_000), (1, 27_000_000, 13_000_000),
+            (2, 9_000_000, 13_000_000), (3, 27_000_000, 4_000_000))
+KM_ROUNDS = 2           # centroid updates; final assignment re-derived
+KM_INERTIA_Q = 1 << 20  # per-point distance re-quantization
+
+_QX = (f"CAST(FLOOR(({fixtures.EVENT_LON_SQL} + 180.0) * 100000.0) "
+       "AS BIGINT)")
+_QY = (f"CAST(FLOOR(({fixtures.EVENT_LAT_SQL} + 85.0) * 100000.0) "
+       "AS BIGINT)")
+
+
+def _km_argmin_exprs(cents: list[tuple[int, int, int]]) -> tuple[str, str]:
+    """(cid_expr, d_expr) CASE trees for the current centroid list —
+    ties break to the smallest cid via the <=-chain (the pq_codes shape;
+    codegen CSE evaluates each distance once)."""
+    ds = {cid: (f"((qx - {cx}) * (qx - {cx}) + (qy - {cy}) * (qy - {cy}))")
+          for cid, cx, cy in cents}
+    cids = sorted(ds)
+    branches = []
+    for c in cids[:-1]:
+        cond = " AND ".join(f"{ds[c]} <= {ds[o]}" for o in cids if o != c)
+        branches.append(f"WHEN {cond} THEN {c}")
+    cid_expr = (f"CAST(CASE {' '.join(branches)} ELSE {cids[-1]} END AS INT)")
+    d_expr = ("CASE cid " +
+              " ".join(f"WHEN {c} THEN {ds[c]}" for c in cids) + " END")
+    return cid_expr, d_expr
+
+
+def q_kmeans_rounds(spark, sf_dir, rounds: int = KM_ROUNDS):
+    """Two Lloyd rounds of k-means over the event point cloud (the
+    clustering loop behind IVF index training and geo embedding
+    prototypes). See module docstring for the exact-integer contract."""
+    pts = (_t(spark, sf_dir, "events")
+           .selectExpr("event_id", f"{_QX} AS qx", f"{_QY} AS qy"))
+    cents = [tuple(map(int, s)) for s in KM_SEEDS]
+    for _ in range(rounds):
+        cid_expr, _ = _km_argmin_exprs(cents)
+        upd = (pts.selectExpr("qx", "qy", f"{cid_expr} AS cid")
+               .groupBy("cid")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("qx").alias("sx"), F.sum("qy").alias("sy"))
+               .selectExpr("cid", "sx DIV n AS cx", "sy DIV n AS cy"))
+        cents = sorted((int(r.cid), int(r.cx), int(r.cy))
+                       for r in upd.collect())
+    cid_expr, _ = _km_argmin_exprs(cents)
+    a = pts.selectExpr("qx", "qy", f"{cid_expr} AS cid")
+    _, d_expr = _km_argmin_exprs(cents)
+    a = a.selectExpr("cid", "qx", "qy",
+                     f"({d_expr}) DIV {KM_INERTIA_Q} AS dq")
+    cent_rows = {c: (cx, cy) for c, cx, cy in cents}
+    out = (a.groupBy("cid")
+           .agg(F.count(F.lit(1)).alias("n_points"),
+                F.sum("dq").alias("inertia_q")))
+    cx_expr = ("CASE cid " + " ".join(
+        f"WHEN {c} THEN CAST({xy[0]} AS BIGINT)"
+        for c, xy in cent_rows.items()) + " END")
+    cy_expr = ("CASE cid " + " ".join(
+        f"WHEN {c} THEN CAST({xy[1]} AS BIGINT)"
+        for c, xy in cent_rows.items()) + " END")
+    return out.selectExpr("cid", "CAST(n_points AS BIGINT) AS n_points",
+                          f"{cx_expr} AS cx", f"{cy_expr} AS cy",
+                          "CAST(inertia_q AS BIGINT) AS inertia_q")
+
+
+def _oracle_kmeans() -> str:
+    seeds = ", ".join(f"({c}, {x}, {y})" for c, x, y in KM_SEEDS)
+    rnd = """
+a{n} AS (
+  SELECT event_id, qx, qy, cid,
+         (qx - cx) * (qx - cx) + (qy - cy) * (qy - cy) AS d,
+         ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY
+           (qx - cx) * (qx - cx) + (qy - cy) * (qy - cy) ASC, cid ASC) AS rk
+  FROM pts, c{p}),
+c{n} AS MATERIALIZED (
+  SELECT cid, CAST(SUM(qx) AS BIGINT) // COUNT(*) AS cx,
+         CAST(SUM(qy) AS BIGINT) // COUNT(*) AS cy
+  FROM a{n} WHERE rk = 1 GROUP BY cid)"""
+    chain = ",".join(rnd.format(n=i + 1, p=i) for i in range(KM_ROUNDS))
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT event_id, {_QX} AS qx, {_QY} AS qy FROM events),
+c0 AS (SELECT cid, CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy
+       FROM (VALUES {seeds}) AS t(cid, cx, cy)),
+{chain},
+fin AS (
+  SELECT qx, qy, cid, d,
+         ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY d ASC, cid ASC)
+           AS rk
+  FROM (SELECT p.event_id, p.qx, p.qy, c.cid, c.cx, c.cy,
+               (p.qx - c.cx) * (p.qx - c.cx)
+               + (p.qy - c.cy) * (p.qy - c.cy) AS d
+        FROM pts p, c{KM_ROUNDS} c))
+SELECT CAST(f.cid AS INT) AS cid,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(c.cx) AS BIGINT) AS cx, CAST(MIN(c.cy) AS BIGINT) AS cy,
+       CAST(CAST(SUM(d // {KM_INERTIA_Q}) AS BIGINT) AS BIGINT) AS inertia_q
+FROM fin f JOIN c{KM_ROUNDS} c ON c.cid = f.cid
+WHERE f.rk = 1 GROUP BY f.cid
+"""
+
+
+# --- label_spreading: semi-supervised propagation on the near-dup graph -----
+#
+# The data-labeling amplifier: 25% of vectors keep their ground-truth label
+# (vec_id % 4 = 0 — the "human-annotated" seed set), and two synchronous
+# rounds spread the per-neighborhood MAJORITY label (count DESC, label ASC
+# tiebreak) along embedding-cosine near-duplicate edges; already-labeled
+# nodes are clamped. Each round is ONE shuffle keyed by destination vertex
+# (votes groupBy) — at 10^12 vectors the edge list comes from the LSH
+# bucket join (never a cross join) and AQE splits hot vertices; nothing
+# touches the driver. The oracle unrolls the identical recurrence over the
+# ORACLE_EMB_NEAR edge set as MATERIALIZED CTEs.
+
+LS_SEED_MOD = 4
+LS_ROUNDS = 2
+
+
+def q_label_spreading(spark, sf_dir):
+    from .queries_text import q_dedup_embedding_near
+    pairs = q_dedup_embedding_near(spark, sf_dir).select("vec_a", "vec_b")
+    edges = pairs.selectExpr("vec_a AS s", "vec_b AS d").unionAll(
+        pairs.selectExpr("vec_b AS s", "vec_a AS d"))
+    cur = (_t(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") % LS_SEED_MOD == 0)
+           .selectExpr("vec_id", "label AS lab", "CAST(0 AS INT) AS rnd"))
+    for r in range(1, LS_ROUNDS + 1):
+        votes = (edges.join(cur.withColumnRenamed("vec_id", "s")
+                            .select("s", "lab"), "s")
+                 .groupBy("d", "lab").agg(F.count(F.lit(1)).alias("n")))
+        best = (votes.withColumn(
+            "rk", F.row_number().over(
+                W.partitionBy("d").orderBy(F.col("n").desc(),
+                                           F.col("lab").asc())))
+            .where("rk = 1"))
+        newly = (best.join(cur, best["d"] == cur["vec_id"], "left_anti")
+                 .selectExpr("d AS vec_id", "lab", f"CAST({r} AS INT) AS rnd"))
+        cur = cur.unionAll(newly)
+    return cur.selectExpr("vec_id", "CAST(lab AS INT) AS label",
+                          "rnd AS assigned_round")
+
+
+def _oracle_label_spreading() -> str:
+    from .queries_text import ORACLE_EMB_NEAR
+    rnd = """
+v{n} AS (
+  SELECT e.d, c.lab, COUNT(*) AS n
+  FROM edges e JOIN cur{p} c ON c.vec_id = e.s GROUP BY 1, 2),
+b{n} AS (
+  SELECT d, lab FROM (
+    SELECT d, lab, ROW_NUMBER() OVER (PARTITION BY d
+             ORDER BY n DESC, lab ASC) AS rk FROM v{n})
+  WHERE rk = 1),
+cur{n} AS MATERIALIZED (
+  SELECT * FROM cur{p}
+  UNION ALL
+  SELECT b.d, b.lab, {n} FROM b{n} b
+  WHERE b.d NOT IN (SELECT vec_id FROM cur{p}))"""
+    chain = ",".join(rnd.format(n=i + 1, p=i) for i in range(LS_ROUNDS))
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT vec_a, vec_b FROM ({ORACLE_EMB_NEAR}) p),
+edges AS (
+  SELECT vec_a AS s, vec_b AS d FROM pairs
+  UNION ALL SELECT vec_b, vec_a FROM pairs),
+cur0 AS (
+  SELECT vec_id, label AS lab, 0 AS rnd FROM embeddings
+  WHERE vec_id % {LS_SEED_MOD} = 0),
+{chain}
+SELECT vec_id, CAST(lab AS INT) AS label, CAST(rnd AS INT) AS assigned_round
+FROM cur{LS_ROUNDS}
+"""
+
+
+# --- isotonic_calibration: PAVA via the minimax identity --------------------
+#
+# Monotone (isotonic) regression of purchase rate on hour-of-day — the
+# calibration step that turns a model score into a probability. PAVA is
+# inherently sequential, but its solution has the closed minimax form
+# iso_i = max_{j<=i} min_{k>=i} mean(y[j..k]), which is pure relational
+# algebra over the 24 bin aggregates: the HEAVY pass (per-bin counts over
+# the corpus) is one distributed groupBy; the minimax runs over a
+# 24-row frame (<= 24^3 combinations). Window means quantize to an exact
+# 1e-6 floor BEFORE min/max (integer floor division on both engines), so
+# the extrema never compare engine-ordered floats; min/max are 1-Lipschitz,
+# so the quantized fit sits within 1e-6 of exact PAVA (pytest pins this
+# against a Fraction-exact PAVA twin) and the minimax form keeps
+# monotonicity under any per-window perturbation.
+
+ISO_Q = 1_000_000
+
+
+def q_isotonic_calibration(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    bins = (e.groupBy(F.hour("ts").cast("int").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"),
+                 F.sum(F.when(F.col("event_type") == "purchase", 1)
+                       .otherwise(0)).cast("long").alias("s")))
+    w = W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = bins.select("b", "c", "s",
+                      F.sum("c").over(w).alias("cc"),
+                      F.sum("s").over(w).alias("cs"))
+    lo = pre.selectExpr("b AS j", "cc - c AS cc0", "cs - s AS cs0")
+    hi = pre.selectExpr("b AS k", "cc AS cck", "cs AS csk")
+    grid = (lo.join(hi, F.col("j") <= F.col("k"))
+            .selectExpr("j", "k",
+                        f"(CAST({ISO_Q} AS BIGINT) * (csk - cs0)) "
+                        "DIV (cck - cc0) AS mean_q"))
+    idx = pre.select(F.col("b").alias("i"))
+    inner = (idx.join(grid, (F.col("j") <= F.col("i"))
+                      & (F.col("k") >= F.col("i")))
+             .groupBy("i", "j").agg(F.min("mean_q").alias("minv")))
+    iso = inner.groupBy("i").agg(F.max("minv").alias("iso_q"))
+    return (bins.join(iso, bins["b"] == iso["i"])
+            .selectExpr("b AS hour", "CAST(c AS BIGINT) AS n",
+                        "CAST(s AS BIGINT) AS n_pos",
+                        f"(CAST({ISO_Q} AS BIGINT) * s) DIV c AS rate_q",
+                        "CAST(iso_q AS BIGINT) AS iso_q",
+                        f"ROUND(CAST(iso_q AS DOUBLE) / {float(ISO_Q)!r}, 6)"
+                        " AS iso"))
+
+
+def _oracle_isotonic() -> str:
+    return f"""
+WITH bins AS MATERIALIZED (
+  SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS b, COUNT(*) AS c,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM events GROUP BY 1),
+pre AS (
+  SELECT b, c, s,
+         CAST(SUM(c) OVER (ORDER BY b) AS BIGINT) AS cc,
+         CAST(SUM(s) OVER (ORDER BY b) AS BIGINT) AS cs
+  FROM bins),
+grid AS (
+  SELECT lo.j, hi.k,
+         CAST((CAST({ISO_Q} AS BIGINT) * (hi.csk - lo.cs0))
+              // (hi.cck - lo.cc0) AS BIGINT) AS mean_q
+  FROM (SELECT b AS j, cc - c AS cc0, cs - s AS cs0 FROM pre) lo
+  JOIN (SELECT b AS k, cc AS cck, cs AS csk FROM pre) hi ON lo.j <= hi.k),
+inner_min AS (
+  SELECT i.b AS i, g.j, MIN(g.mean_q) AS minv
+  FROM pre i JOIN grid g ON g.j <= i.b AND g.k >= i.b
+  GROUP BY 1, 2),
+iso AS (SELECT i, CAST(MAX(minv) AS BIGINT) AS iso_q
+        FROM inner_min GROUP BY i)
+SELECT b AS hour, CAST(c AS BIGINT) AS n, s AS n_pos,
+       CAST((CAST({ISO_Q} AS BIGINT) * s) // c AS BIGINT) AS rate_q,
+       iso_q,
+       ROUND(CAST(iso_q AS DOUBLE) / {float(ISO_Q)!r}, 6) AS iso
+FROM bins JOIN iso ON iso.i = bins.b
+"""
+
+
+# --- diff_in_diff: 2x2 difference-in-differences estimator ------------------
+#
+# The experimentation readout over a natural split: treatment = odd
+# user_id, post-period = Jan 16+ (the event range's midpoint), outcome =
+# cent-quantized purchase value (FLOOR(value*100) — one per-row literal
+# float op, then exact integer sums only). The four cell means pivot to
+# FIXED columns first (one conditional agg — the ab_test_ztest rule), so
+# the DiD estimate is ONE literal float expression evaluated on exact
+# integers, identical in both engines; no float ever sums over a variable
+# row set. At 100 TB this is a single map-side-combinable aggregation.
+
+DID_CUT = "2024-01-16 00:00:00"
+
+_DID_CELLS = {  # (treat, post) -> column stem
+    (0, 0): "c00", (0, 1): "c01", (1, 0): "c10", (1, 1): "c11"}
+
+
+def q_diff_in_diff(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").where("event_type = 'purchase'")
+    y = "CAST(FLOOR(value * 100.0) AS BIGINT)"
+    t = "CAST(user_id % 2 AS INT)"
+    p = f"CAST(CASE WHEN ts >= TIMESTAMP '{DID_CUT}' THEN 1 ELSE 0 END AS INT)"
+    base = e.selectExpr(f"{t} AS treat", f"{p} AS post", f"{y} AS yq")
+    aggs = []
+    for (tr, po), stem in _DID_CELLS.items():
+        cond = f"treat = {tr} AND post = {po}"
+        aggs += [F.expr(f"SUM(CASE WHEN {cond} THEN 1 ELSE 0 END)")
+                 .cast("long").alias(f"n_{stem}"),
+                 F.expr(f"SUM(CASE WHEN {cond} THEN yq ELSE 0 END)")
+                 .cast("long").alias(f"s_{stem}")]
+    g = base.agg(*aggs)
+    means = {s: f"(CAST(s_{s} AS DOUBLE) / n_{s})" for s in
+             _DID_CELLS.values()}
+    did = (f"(({means['c11']} - {means['c10']}) "
+           f"- ({means['c01']} - {means['c00']}))")
+    cols = [f"n_{s}" for s in ("c00", "c01", "c10", "c11")]
+    cols += [f"ROUND({means[s]} / 100.0, 6) AS mean_{s}"
+             for s in ("c00", "c01", "c10", "c11")]
+    cols.append(f"ROUND({did} / 100.0, 6) AS did")
+    return g.selectExpr(*cols)
+
+
+def _oracle_did() -> str:
+    sums = []
+    for (tr, po), stem in _DID_CELLS.items():
+        cond = (f"CAST(user_id % 2 AS INT) = {tr} AND "
+                f"(CASE WHEN ts >= TIMESTAMP '{DID_CUT}' THEN 1 ELSE 0 END)"
+                f" = {po}")
+        sums += [f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+                 f" AS n_{stem}",
+                 f"CAST(SUM(CASE WHEN {cond} THEN "
+                 f"CAST(FLOOR(value * 100.0) AS BIGINT) ELSE 0 END)"
+                 f" AS BIGINT) AS s_{stem}"]
+    means = {s: f"(CAST(s_{s} AS DOUBLE) / n_{s})" for s in
+             _DID_CELLS.values()}
+    did = (f"(({means['c11']} - {means['c10']}) "
+           f"- ({means['c01']} - {means['c00']}))")
+    cols = [f"n_{s}" for s in ("c00", "c01", "c10", "c11")]
+    cols += [f"ROUND({means[s]} / 100.0, 6) AS mean_{s}"
+             for s in ("c00", "c01", "c10", "c11")]
+    cols.append(f"ROUND({did} / 100.0, 6) AS did")
+    return f"""
+WITH g AS (
+  SELECT {', '.join(sums)}
+  FROM events WHERE event_type = 'purchase')
+SELECT {', '.join(cols)} FROM g
+"""
+
+
+QUERIES: dict = {
+    "kmeans_rounds": (q_kmeans_rounds, _oracle_kmeans()),
+    "label_spreading": (q_label_spreading, _oracle_label_spreading()),
+    "isotonic_calibration": (q_isotonic_calibration, _oracle_isotonic()),
+    "diff_in_diff": (q_diff_in_diff, _oracle_did()),
+}

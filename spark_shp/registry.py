@@ -16,8 +16,8 @@ tools/diffcheck.py and pytest still verify them exactly, locally.
 from __future__ import annotations
 
 from . import (queries_analytics, queries_curation, queries_insights,
-               queries_mining, queries_rel, queries_retrieval, queries_shp,
-               queries_spatial, queries_text, queries_vision)
+               queries_mining, queries_ml, queries_rel, queries_retrieval,
+               queries_shp, queries_spatial, queries_text, queries_vision)
 
 # Same-operator variants parked beyond the driver's 50-query window.
 # Each name's operator family keeps >=1 in-window row:
@@ -240,6 +240,10 @@ _TAIL = [
     "image_boxfilter",        # integral-image SAT box sums (B11/CV)
     "image_median_denoise",   # 3x3 median filter, real decode (B11/CV)
     "image_hash_family",      # aHash/dHash perceptual cascade (B11/dedup)
+    "kmeans_rounds",          # unrolled Lloyd k-means, exact ints (ANN/ML)
+    "label_spreading",        # semi-supervised majority propagation (graph)
+    "isotonic_calibration",   # PAVA via minimax identity (calibration/ML)
+    "diff_in_diff",           # 2x2 DiD estimator (experimentation)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",
@@ -257,7 +261,8 @@ _TAIL = [
 _MERGED: dict = {}
 for mod in (queries_shp, queries_spatial, queries_text, queries_rel,
             queries_curation, queries_analytics, queries_mining,
-            queries_insights, queries_retrieval, queries_vision):
+            queries_insights, queries_retrieval, queries_vision,
+            queries_ml):
     overlap = set(_MERGED) & set(mod.QUERIES)
     if overlap:
         raise RuntimeError(f"duplicate query names: {overlap}")

@@ -1,0 +1,150 @@
+"""Independent twins for queries_ml: k-means inertia law + pandas argmin
+replay, label-spreading growth/clamp invariants against a networkx-free
+python propagation, isotonic vs a Fraction-exact PAVA, and a pandas DiD.
+The cross-engine oracle gate proves Spark and DuckDB agree; these prove
+the AGREED answer is the right algorithm (the repo's theil_sen lesson)."""
+
+from fractions import Fraction
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_kmeans_inertia_decreases_and_matches_numpy(spark):
+    from spark_shp import fixtures
+    from spark_shp.queries_ml import (KM_INERTIA_Q, KM_SEEDS,
+                                      q_kmeans_rounds)
+    r1 = {r["cid"]: r for r in q_kmeans_rounds(spark, SF, rounds=1).collect()}
+    r2 = {r["cid"]: r for r in q_kmeans_rounds(spark, SF, rounds=2).collect()}
+    assert len(r2) == 4 and all(r["n_points"] > 0 for r in r2.values())
+    # Lloyd's monotone-improvement law on the quantized inertia (each
+    # re-quantized term moves < 1, so allow a 1-per-point slack)
+    tot1 = sum(r["inertia_q"] for r in r1.values())
+    tot2 = sum(r["inertia_q"] for r in r2.values())
+    npts = sum(r["n_points"] for r in r2.values())
+    assert tot2 <= tot1 + npts
+
+    # full numpy replay of the 2-round recurrence
+    pdf = (_events(spark).selectExpr(
+        f"CAST(FLOOR(({fixtures.EVENT_LON_SQL} + 180.0) * 100000.0) "
+        "AS BIGINT) AS qx",
+        f"CAST(FLOOR(({fixtures.EVENT_LAT_SQL} + 85.0) * 100000.0) "
+        "AS BIGINT) AS qy").toPandas())
+    q = pdf[["qx", "qy"]].to_numpy(dtype=np.int64)
+    c = np.array([[x, y] for _, x, y in KM_SEEDS], dtype=np.int64)
+    for _ in range(2):
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)          # ties -> lowest cid (argmin behavior)
+        c = np.stack([q[a == k].sum(axis=0) // max(1, (a == k).sum())
+                      for k in range(4)])
+    d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)
+    for k in range(4):
+        row = r2[k]
+        assert row["n_points"] == int((a == k).sum())
+        assert (row["cx"], row["cy"]) == (int(c[k, 0]), int(c[k, 1]))
+        assert row["inertia_q"] == int(
+            (d[np.arange(len(a)), a][a == k] // KM_INERTIA_Q).sum())
+
+
+def test_label_spreading_clamps_and_grows(spark):
+    from spark_shp.queries_ml import LS_SEED_MOD, q_label_spreading
+    from spark_shp.queries_text import q_dedup_embedding_near
+    out = q_label_spreading(spark, SF).toPandas()
+    emb = (spark.read.parquet(f"{SF}/embeddings.parquet")
+           .select("vec_id", "label").toPandas()
+           .set_index("vec_id")["label"].to_dict())
+    seeds = out[out["assigned_round"] == 0]
+    assert len(seeds) == sum(1 for v in emb if v % LS_SEED_MOD == 0)
+    # seeds are clamped to ground truth
+    assert all(emb[v] == l for v, l in
+               zip(seeds["vec_id"], seeds["label"]))
+    # planted structure: propagation actually labeled new nodes
+    spread = out[out["assigned_round"] > 0]
+    assert len(spread) > 0
+    assert out["vec_id"].is_unique
+
+    # python replay of the synchronous recurrence
+    pairs = q_dedup_embedding_near(spark, SF).toPandas()
+    adj: dict = {}
+    for a, b in zip(pairs["vec_a"], pairs["vec_b"]):
+        adj.setdefault(int(a), []).append(int(b))
+        adj.setdefault(int(b), []).append(int(a))
+    cur = {v: (l, 0) for v, l in emb.items() if v % LS_SEED_MOD == 0}
+    for r in (1, 2):
+        votes: dict = {}
+        for s, (lab, _) in cur.items():
+            for d in adj.get(s, ()):
+                votes.setdefault(d, {}).setdefault(lab, 0)
+                votes[d][lab] += 1
+        newly = {}
+        for d, vc in votes.items():
+            if d in cur:
+                continue
+            best = min(vc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            newly[d] = (best, r)
+        cur.update(newly)
+    got = {int(v): (int(l), int(r)) for v, l, r in
+           zip(out["vec_id"], out["label"], out["assigned_round"])}
+    assert got == cur
+
+
+def _pava_exact(s, c):
+    """Fraction-exact pool-adjacent-violators on (sum, count) bins,
+    expanded back to one fitted mean per input bin."""
+    blocks = [(Fraction(int(si), int(ci)), int(ci), 1)
+              for si, ci in zip(s, c)]
+    st: list = []
+    for m, wgt, nb in blocks:
+        st.append((m, wgt, nb))
+        while len(st) > 1 and st[-2][0] >= st[-1][0]:
+            m2, w2, n2 = st.pop()
+            m1, w1, n1 = st.pop()
+            st.append(((m1 * w1 + m2 * w2) / (w1 + w2), w1 + w2, n1 + n2))
+    fit = []
+    for m, _, nb in st:
+        fit.extend([m] * nb)
+    return fit
+
+
+def test_isotonic_monotone_and_near_exact_pava(spark):
+    from spark_shp.queries_ml import ISO_Q, q_isotonic_calibration
+    out = (q_isotonic_calibration(spark, SF).toPandas()
+           .sort_values("hour").reset_index(drop=True))
+    assert len(out) == 24
+    iso = out["iso_q"].to_numpy()
+    assert (np.diff(iso) >= 0).all()          # monotone nondecreasing
+    assert iso.min() < iso.max() or len(set(out["rate_q"])) == 1
+    exact = _pava_exact(out["n_pos"].tolist(), out["n"].tolist())
+    # minimax over 1e-6-floor-quantized means sits within one quantum of
+    # Fraction-exact PAVA (min/max are 1-Lipschitz in each window mean)
+    for q, m in zip(iso, exact):
+        assert abs(q / ISO_Q - float(m)) <= 1.0 / ISO_Q + 1e-12
+
+
+def test_diff_in_diff_matches_pandas(spark):
+    from spark_shp.queries_ml import DID_CUT, q_diff_in_diff
+    out = q_diff_in_diff(spark, SF).collect()[0].asDict()
+    e = (_events(spark).where("event_type = 'purchase'")
+         .selectExpr("user_id", "ts",
+                     "CAST(FLOOR(value * 100.0) AS BIGINT) AS yq")
+         .toPandas())
+    e["treat"] = (e["user_id"] % 2).astype(int)
+    e["post"] = (e["ts"] >= pd.Timestamp(DID_CUT)).astype(int)
+    g = e.groupby(["treat", "post"])["yq"].agg(["count", "sum"])
+    m = {(t, p): g.loc[(t, p), "sum"] / g.loc[(t, p), "count"] / 100.0
+         for t in (0, 1) for p in (0, 1)}
+    for (t, p), stem in [((0, 0), "c00"), ((0, 1), "c01"),
+                         ((1, 0), "c10"), ((1, 1), "c11")]:
+        assert out[f"n_{stem}"] == g.loc[(t, p), "count"]
+        assert abs(out[f"mean_{stem}"] - m[(t, p)]) < 1e-6
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    assert abs(out["did"] - did) < 1e-6
+    # the gate's blind spot: all four cells must be populated
+    assert all(out[f"n_{s}"] > 0 for s in ("c00", "c01", "c10", "c11"))
