@@ -12,6 +12,8 @@ this container; swap the decode fns for librosa/pyav on a real cluster.
 
 from __future__ import annotations
 
+import math as _math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, types as T
@@ -1130,6 +1132,132 @@ def hash_family_checksums(images: DataFrame) -> DataFrame:
                                int((a[k] * kpos[0]).sum()),
                                int((d[k] * kpos[0]).sum()))
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))
+
+
+SSIM_C1 = 6.5025     # (0.01 * 255)^2
+SSIM_C2 = 58.5225    # (0.03 * 255)^2
+SSIM_Q = 1_000_000.0
+
+
+def ssim_requant_checksums(images: DataFrame) -> DataFrame:
+    """Per-8x8-block SSIM between the decoded GREEN channel and its
+    qb-requantization floor(v/4)*4+2 — the perceptual codec-QA metric
+    (codec_distortion's PSNR sibling). Block moments (X, Y, Sxx, Syy,
+    Sxy over n=64 pixels) are EXACT int64 sums; the SSIM value is one
+    float64 expression evaluated in the identical temporaries/op order
+    as the oracle's staged SQL (mux -> vx/cxy -> num/den -> ratio), then
+    floor-quantized to 1e-6 BEFORE any cross-block aggregation. qb-format
+    images are already quantized, so y == x and every block hits
+    ssim_q == 1e6 exactly — a planted fixture invariant the oracle gate
+    re-proves."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_blocks", T.LongType()),
+        T.StructField("ssim_q_sum", T.LongType()),
+        T.StructField("ssim_q_min", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                x = _decode_stack(pdf, idx, w, h, fmt)[:, :, :, 1] \
+                    .astype(np.int64)
+                y = (x // 4) * 4 + 2
+                def bsum(a):
+                    return (a.reshape(len(idx), h // 8, 8, w // 8, 8)
+                            .sum(axis=(2, 4)))
+                bx, by = bsum(x), bsum(y)
+                sxx, syy, sxy = bsum(x * x), bsum(y * y), bsum(x * y)
+                mux = bx / 64.0
+                muy = by / 64.0
+                vx = sxx / 64.0 - mux * mux
+                vy = syy / 64.0 - muy * muy
+                cxy = sxy / 64.0 - mux * muy
+                num = (2.0 * mux * muy + SSIM_C1) * (2.0 * cxy + SSIM_C2)
+                den = (mux * mux + muy * muy + SSIM_C1) * (vx + vy + SSIM_C2)
+                q = np.floor((num / den) * SSIM_Q).astype(np.int64)
+                nb = (h // 8) * (w // 8)
+                for k, i in enumerate(idx):
+                    rows[i] = (ids[i], nb, int(q[k].sum()),
+                               int(q[k].min()))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))
+
+
+HOUGH_THRESH = 208                       # edge mask: v >= THRESH
+HOUGH_SCALE = 65536                      # cos/sin fixed-point scale
+HOUGH_RHO_Q = 8 * HOUGH_SCALE            # 8-pixel rho buckets
+HOUGH_OFF = 160 * HOUGH_SCALE            # keeps x*C + y*S positive
+HOUGH_TOPK = 3
+
+# 12 theta bins over [0, pi): fixed-point tables computed ONCE here and
+# shared as integer literals by both the numpy kernel and the SQL oracle.
+HOUGH_TAB = tuple(
+    (t, int(round(_math.cos(_math.pi * t / 12.0) * HOUGH_SCALE)),
+     int(round(_math.sin(_math.pi * t / 12.0) * HOUGH_SCALE)))
+    for t in range(12))
+
+
+def hough_votes(images: DataFrame, thresh: int = HOUGH_THRESH,
+                topk: int = HOUGH_TOPK) -> DataFrame:
+    """Quantized Hough line transform over real decoded bytes (the lens
+    the scanned-document/table-detection QA pass uses): GREEN-channel
+    pixels >= thresh vote into (theta, rho) accumulator cells with
+    fixed-point integer cos/sin (rho re-quantized to 8-px buckets after a
+    positivity offset, so floor division agrees across engines), and the
+    top-k cells per image are reported under the total order
+    (votes DESC, theta ASC, bucket ASC). Everything after decode is
+    integer; the oracle replays the identical votes by brute-force
+    edge x theta expansion."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_edges", T.LongType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("theta_idx", T.IntegerType()),
+        T.StructField("rho_bucket", T.LongType()),
+        T.StructField("votes", T.LongType()),
+    ])
+    tab = np.array(HOUGH_TAB, dtype=np.int64)
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            out: list = []
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                g = _decode_stack(pdf, idx, w, h, fmt)[:, :, :, 1] \
+                    .astype(np.int64)
+                for k, i in enumerate(idx):
+                    yy, xx = np.nonzero(g[k] >= thresh)
+                    n_edges = len(xx)
+                    # (E, T) fixed-point rho, positive by construction
+                    rq = (xx[:, None] * tab[None, :, 1]
+                          + yy[:, None] * tab[None, :, 2] + HOUGH_OFF)
+                    bucket = rq // HOUGH_RHO_Q
+                    key = tab[None, :, 0] * (1 << 20) + bucket
+                    uk, cnt = np.unique(key.ravel(), return_counts=True)
+                    order = np.lexsort((uk % (1 << 20), uk >> 20, -cnt))
+                    for r in range(min(topk, len(uk))):
+                        j = order[r]
+                        out.append((ids[i], n_edges, r + 1,
+                                    int(uk[j] >> 20),
+                                    int(uk[j] % (1 << 20)),
+                                    int(cnt[j])))
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))

@@ -239,8 +239,143 @@ FROM per GROUP BY 1
 """
 
 
+# --- image_ssim_blocks: perceptual codec QA -------------------------------------
+#
+# Engine: real decode -> exact int64 block moments -> the SSIM float
+# formula in ONE staged op order (multimodal.ssim_requant_checksums).
+# Oracle: the identical staged temporaries as chained CTEs over the
+# brute-force pixel lattice. qb images are already quantized, so their
+# blocks hit ssim_q == 1e6 exactly -- a planted invariant the gate
+# re-proves per round.
+
+
+def q_image_ssim(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, VISION_N, partitions=4)
+    d = _with_i(multimodal.ssim_requant_checksums(img))
+    return (d.groupBy("fmt2")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("n_blocks").alias("n_blocks"),
+                 F.sum("ssim_q_sum").alias("ssim_q_sum"),
+                 F.min("ssim_q_min").alias("ssim_q_min"),
+                 F.expr("SUM(ssim_q_sum * (i + 13))").alias("chk"))
+            .selectExpr(
+                "fmt2 AS fmt", "CAST(n_images AS BIGINT) AS n_images",
+                "CAST(n_blocks AS BIGINT) AS n_blocks",
+                "CAST(ssim_q_sum AS BIGINT) AS ssim_q_sum",
+                "CAST(ssim_q_min AS BIGINT) AS ssim_q_min",
+                "CAST(chk AS BIGINT) AS chk",
+                "ROUND((CAST(ssim_q_sum AS DOUBLE) / 1000000.0)"
+                " / CAST(n_blocks AS DOUBLE), 6) AS mean_ssim"))
+
+
+def _oracle_ssim() -> str:
+    from .multimodal import SSIM_C1, SSIM_C2
+    v = _pix_sql("i * 1000003 + yy.y * 4096 + xx.x * 4 + 1")
+    return f"""
+WITH imgs AS MATERIALIZED ({_imgs_cte(VISION_N)}),
+pix AS (
+  SELECT i, fmt,
+         CAST(FLOOR(yy.y / 8) AS BIGINT) AS by,
+         CAST(FLOOR(xx.x / 8) AS BIGINT) AS bx,
+         {v} AS x
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 1)) AS y) yy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS x) xx),
+pxy AS (SELECT i, fmt, by, bx, x, (x // 4) * 4 + 2 AS y FROM pix),
+mom AS (
+  SELECT i, fmt, by, bx,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pxy GROUP BY 1, 2, 3, 4),
+mus AS (
+  SELECT i, fmt, sxx, syy, sxy,
+         CAST(sx AS DOUBLE) / 64.0 AS mux,
+         CAST(sy AS DOUBLE) / 64.0 AS muy
+  FROM mom),
+vrs AS (
+  SELECT i, fmt, mux, muy,
+         CAST(sxx AS DOUBLE) / 64.0 - mux * mux AS vx,
+         CAST(syy AS DOUBLE) / 64.0 - muy * muy AS vy,
+         CAST(sxy AS DOUBLE) / 64.0 - mux * muy AS cxy
+  FROM mus),
+q AS (
+  SELECT i, fmt,
+         CAST(FLOOR(((2.0 * mux * muy + {SSIM_C1!r})
+                     * (2.0 * cxy + {SSIM_C2!r}))
+                    / ((mux * mux + muy * muy + {SSIM_C1!r})
+                       * (vx + vy + {SSIM_C2!r})) * 1000000.0)
+              AS BIGINT) AS sq
+  FROM vrs),
+per AS (
+  SELECT i, fmt, COUNT(*) AS nb, CAST(SUM(sq) AS BIGINT) AS ssum,
+         CAST(MIN(sq) AS BIGINT) AS smin
+  FROM q GROUP BY 1, 2)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(nb) AS BIGINT) AS n_blocks,
+       CAST(SUM(ssum) AS BIGINT) AS ssim_q_sum,
+       CAST(MIN(smin) AS BIGINT) AS ssim_q_min,
+       CAST(SUM(ssum * (i + 13)) AS BIGINT) AS chk,
+       ROUND((CAST(CAST(SUM(ssum) AS BIGINT) AS DOUBLE) / 1000000.0)
+             / CAST(CAST(SUM(nb) AS BIGINT) AS DOUBLE), 6) AS mean_ssim
+FROM per GROUP BY 1
+"""
+
+
+# --- image_hough_lines: quantized Hough accumulator -----------------------------
+
+
+def q_image_hough(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, VISION_N, partitions=4)
+    return (multimodal.hough_votes(img)
+            .selectExpr("image_id", "CAST(n_edges AS BIGINT) AS n_edges",
+                        "rank", "theta_idx",
+                        "CAST(rho_bucket AS BIGINT) AS rho_bucket",
+                        "CAST(votes AS BIGINT) AS votes"))
+
+
+def _oracle_hough() -> str:
+    from .multimodal import (HOUGH_OFF, HOUGH_RHO_Q, HOUGH_TAB,
+                             HOUGH_THRESH, HOUGH_TOPK)
+    v = _pix_sql("i * 1000003 + yy.y * 4096 + xx.x * 4 + 1")
+    tab = ", ".join(f"({t}, {c}, {s})" for t, c, s in HOUGH_TAB)
+    return f"""
+WITH imgs AS MATERIALIZED ({_imgs_cte(VISION_N)}),
+edges AS MATERIALIZED (
+  SELECT i, yy.y AS y, xx.x AS x
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 1)) AS y) yy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS x) xx
+  WHERE {v} >= {HOUGH_THRESH}),
+ecnt AS (SELECT i, COUNT(*) AS n_edges FROM edges GROUP BY 1),
+thetas AS (SELECT * FROM (VALUES {tab}) AS t(t, c, s)),
+votes AS (
+  SELECT e.i, th.t,
+         CAST((e.x * th.c + e.y * th.s + {HOUGH_OFF}) // {HOUGH_RHO_Q}
+              AS BIGINT) AS rho_bucket,
+         COUNT(*) AS n
+  FROM edges e, thetas th GROUP BY 1, 2, 3),
+top AS (
+  SELECT i, t, rho_bucket, n,
+         ROW_NUMBER() OVER (PARTITION BY i
+           ORDER BY n DESC, t ASC, rho_bucket ASC) AS rk
+  FROM votes)
+SELECT printf('img%012d', tp.i) AS image_id,
+       CAST(ec.n_edges AS BIGINT) AS n_edges,
+       CAST(tp.rk AS INT) AS rank, CAST(tp.t AS INT) AS theta_idx,
+       tp.rho_bucket, CAST(tp.n AS BIGINT) AS votes
+FROM top tp JOIN ecnt ec ON ec.i = tp.i
+WHERE tp.rk <= {HOUGH_TOPK}
+"""
+
+
 QUERIES: dict = {
     "image_boxfilter": (q_image_boxfilter, _oracle_boxfilter()),
     "image_median_denoise": (q_image_median, _oracle_median()),
     "image_hash_family": (q_image_hash_family, _oracle_hash_family()),
+    "image_ssim": (q_image_ssim, _oracle_ssim()),
+    "image_hough_lines": (q_image_hough, _oracle_hough()),
 }

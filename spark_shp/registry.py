@@ -240,6 +240,8 @@ _TAIL = [
     "image_boxfilter",        # integral-image SAT box sums (B11/CV)
     "image_median_denoise",   # 3x3 median filter, real decode (B11/CV)
     "image_hash_family",      # aHash/dHash perceptual cascade (B11/dedup)
+    "image_ssim",             # block SSIM vs requantization (B11/CV QA)
+    "image_hough_lines",      # quantized Hough accumulator (B11/CV)
     "kmeans_rounds",          # unrolled Lloyd k-means, exact ints (ANN/ML)
     "label_spreading",        # semi-supervised majority propagation (graph)
     "isotonic_calibration",   # PAVA via minimax identity (calibration/ML)
