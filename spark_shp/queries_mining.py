@@ -5103,3 +5103,93 @@ FROM ep GROUP BY 1
 QUERIES.update({
     "burst_episodes": (q_burst_episodes, ORACLE_BURST),
 })
+
+
+# --- hillshade_raster: Horn hillshade on the density grid --------------------------
+#
+# Completes the terrain trio (slope_aspect_raster computed the gradients;
+# this renders them): the standard GIS hillshade
+#   hs = 255 * max(0, cosZ*cos(slope) + sinZ*sin(slope)*cos(az - aspect))
+# with sun zenith 45 deg / azimuth 315 deg, slope = atan(sqrt(gx^2+gy^2)/8),
+# aspect = atan2(gy, -gx), over the SAME exact-integer Horn gradients.
+# The trig chain is ONE literal float expression of two int64 inputs,
+# identical text in both engines; the 8-bit shade byte comes from a FLOOR
+# whose JVM-vs-libm exposure is ~1e-13 relative per cell (multi-ulp trig
+# difference through a bounded chain) against a unit-wide bucket — a
+# ~1e-13 coincidence per cell, the image_entropy ulp rule. Output is the
+# shade histogram plus an exact position checksum that pins WHICH cells
+# got each shade. One scatter + one groupBy — the focal_density shuffle
+# shape, linear at any SF.
+
+HS_COSZ = 0.7071067811865476   # cos 45deg, folded
+HS_AZ = 5.497787143782138      # 315deg in radians, folded
+
+
+def q_hillshade_raster(spark, sf_dir):
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, SLOPE_LEVEL)
+    occ = (_t(spark, sf_dir, "events")
+           .selectExpr(f"{ix} AS cx", f"{iy} AS cy")
+           .groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("c")))
+    sc = (occ.selectExpr("cx", "cy", "c",
+                         "explode(sequence(-1, 1)) AS dx")
+          .selectExpr("cx", "cy", "c", "dx",
+                      "explode(sequence(-1, 1)) AS dy")
+          .selectExpr("cx + dx AS tx", "cy + dy AS ty",
+                      "c * (-dx) * (2 - ABS(dy)) AS gxc",
+                      "c * (-dy) * (2 - ABS(dx)) AS gyc",
+                      "CAST(dx = 0 AND dy = 0 AS INT) AS is_center"))
+    g = (sc.groupBy("tx", "ty")
+         .agg(F.expr("SUM(gxc)").alias("gx"),
+              F.expr("SUM(gyc)").alias("gy"),
+              F.expr("SUM(is_center)").alias("occupied"))
+         .where("occupied = 1"))
+    hs = (f"(255.0 * GREATEST(0.0, {HS_COSZ!r} * COS(ATAN("
+          "SQRT(CAST(gx * gx + gy * gy AS DOUBLE)) / 8.0)) "
+          f"+ {HS_COSZ!r} * SIN(ATAN("
+          "SQRT(CAST(gx * gx + gy * gy AS DOUBLE)) / 8.0)) "
+          f"* COS({HS_AZ!r} - ATAN2(CAST(gy AS DOUBLE), "
+          "CAST(-gx AS DOUBLE)))))")
+    return (g.selectExpr("tx", "ty",
+                         f"CAST(FLOOR({hs}) AS INT) AS shade")
+            .groupBy("shade")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.expr("SUM(tx * 1024 + ty)").alias("pos_sum"))
+            .selectExpr("shade", "CAST(n_cells AS BIGINT) AS n_cells",
+                        "CAST(pos_sum AS BIGINT) AS pos_sum"))
+
+
+def _oracle_hillshade() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, SLOPE_LEVEL)
+    hs = (f"(255.0 * GREATEST(0.0, {HS_COSZ!r} * COS(ATAN("
+          "SQRT(CAST(gx * gx + gy * gy AS DOUBLE)) / 8.0)) "
+          f"+ {HS_COSZ!r} * SIN(ATAN("
+          "SQRT(CAST(gx * gx + gy * gy AS DOUBLE)) / 8.0)) "
+          f"* COS({HS_AZ!r} - ATAN2(CAST(gy AS DOUBLE), "
+          "CAST(-gx AS DOUBLE)))))")
+    return f"""
+WITH occ AS (
+  SELECT {ix} AS cx, {iy} AS cy, COUNT(*) AS c FROM events GROUP BY 1, 2),
+sc AS (
+  SELECT cx + dx.d AS tx, cy + dy.d AS ty,
+         c * (-dx.d) * (2 - ABS(dy.d)) AS gxc,
+         c * (-dy.d) * (2 - ABS(dx.d)) AS gyc,
+         CAST(dx.d = 0 AND dy.d = 0 AS INT) AS is_center
+  FROM occ, (SELECT UNNEST([-1, 0, 1]) AS d) dx,
+       (SELECT UNNEST([-1, 0, 1]) AS d) dy),
+g AS (
+  SELECT tx, ty, CAST(SUM(gxc) AS BIGINT) AS gx,
+         CAST(SUM(gyc) AS BIGINT) AS gy
+  FROM sc GROUP BY 1, 2
+  HAVING SUM(is_center) = 1),
+cls AS (SELECT tx, ty, CAST(FLOOR({hs}) AS INT) AS shade FROM g)
+SELECT shade, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(tx * 1024 + ty) AS BIGINT) AS pos_sum
+FROM cls GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "hillshade_raster": (q_hillshade_raster, _oracle_hillshade()),
+})

@@ -1795,3 +1795,189 @@ QUERIES.update({
     "audio_curation_pipeline": (q_audio_curation_pipeline,
                                 _oracle_audio_pipeline()),
 })
+
+
+# --- bpe_apply: tokenizer ENCODE with a fixed merge ranking -----------------------
+#
+# The inference twin of bpe_learn_merges: a trained tokenizer ships a
+# merge TABLE, and encoding applies each merge in rank order corpus-wide
+# with the same left-to-right greedy non-overlap semantics (match islands,
+# odd island-ranks win). Rank 3 merges a token PRODUCED by rank 1
+# ('the' + 'order_fast') — the cascade a real BPE vocabulary exercises.
+# Per rank this is one doc-keyed window pass; merge literals fold into the
+# plan (no broadcast needed at all), localCheckpoint keeps lineage O(1);
+# at 100 TB each rank is one shuffle on doc_id and the working set only
+# shrinks. The oracle unrolls the ranks as MATERIALIZED CTE chains.
+
+BPE_APPLY_MERGES = (("order", "fast"), ("data", "slow"),
+                    ("the", "order_fast"), ("merge", "part"))
+
+
+def q_bpe_apply(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    rows = (d.select("doc_id", F.posexplode(F.split("text", " "))
+                     .alias("pos", "t"))
+            .localCheckpoint())
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    out = None
+    for r, (p, q) in enumerate(BPE_APPLY_MERGES, 1):
+        pairs = rows.withColumn("nxt", F.lead("t").over(wd))
+        m = (pairs.where((F.col("t") == p) & (F.col("nxt") == q))
+             .select("doc_id", "pos"))
+        m = m.withColumn("rn", F.row_number().over(wd)) \
+             .withColumn("grp", F.expr("pos - rn"))
+        wg = W.partitionBy("doc_id", "grp").orderBy("pos")
+        kept = (m.withColumn("ri", F.row_number().over(wg))
+                .where("ri % 2 = 1").select("doc_id", "pos"))
+        k = kept.selectExpr("doc_id AS kd", "pos AS kp")
+        dl = kept.selectExpr("doc_id AS dd", "pos + 1 AS dp")
+        rows = (rows
+                .join(k, (F.col("doc_id") == F.col("kd"))
+                      & (F.col("pos") == F.col("kp")), "left")
+                .join(dl, (F.col("doc_id") == F.col("dd"))
+                      & (F.col("pos") == F.col("dp")), "left_anti")
+                .selectExpr("doc_id", "pos",
+                            f"CASE WHEN kp IS NOT NULL THEN '{p}_{q}' "
+                            "ELSE t END AS t")
+                .localCheckpoint())
+        na = kept.groupBy().agg(F.count(F.lit(1)).alias("napp"))
+        ta = rows.groupBy().agg(F.count(F.lit(1)).alias("ta"))
+        rec = (na.crossJoin(ta)
+               .selectExpr(f"CAST({r} AS INT) AS rank", f"'{p}' AS lhs",
+                           f"'{q}' AS rhs",
+                           "CAST(napp AS BIGINT) AS n_applied",
+                           "CAST(ta AS BIGINT) AS tokens_after"))
+        out = rec if out is None else out.unionByName(rec)
+    return out
+
+
+def _oracle_bpe_apply() -> str:
+    rounds = []
+    for r, (p, q) in enumerate(BPE_APPLY_MERGES, 1):
+        prev = f"r{r - 1}"
+        rounds.append(f"""
+m{r} AS MATERIALIZED (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM (SELECT doc_id, pos, t,
+               LEAD(t) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM {prev}) pr
+  WHERE pr.t = '{p}' AND pr.nxt = '{q}'),
+k{r} AS MATERIALIZED (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, pos - rn
+                              ORDER BY pos) AS ri
+    FROM m{r}) s WHERE ri % 2 = 1),
+r{r} AS MATERIALIZED (
+  SELECT rr.doc_id, rr.pos,
+         CASE WHEN k.pos IS NOT NULL THEN '{p}_{q}' ELSE rr.t END AS t
+  FROM {prev} rr
+  LEFT JOIN k{r} k ON k.doc_id = rr.doc_id AND k.pos = rr.pos
+  WHERE NOT EXISTS (SELECT 1 FROM k{r} dd
+                    WHERE dd.doc_id = rr.doc_id
+                      AND dd.pos = rr.pos - 1))""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS rank, '{p}' AS lhs, '{q}' AS rhs, "
+        f"CAST((SELECT COUNT(*) FROM k{r}) AS BIGINT) AS n_applied, "
+        f"CAST((SELECT COUNT(*) FROM r{r}) AS BIGINT) AS tokens_after"
+        for r, (p, q) in enumerate(BPE_APPLY_MERGES, 1))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+r0 AS MATERIALIZED (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, ts[u.i] AS t
+  FROM toks, UNNEST(range(1, len(ts) + 1)) AS u(i)),
+{','.join(rounds)}
+{selects}
+"""
+
+
+# --- readability_scores: Flesch-family corpus audit -------------------------------
+#
+# The classic quality lens a curation pipeline reports next to the Gopher
+# signals: reading-ease and grade-level from exact integer counts — words
+# (split size), vowel-group "syllables" (regexp_count on the identical
+# '[aeiou]+' pattern in both engines), and ceil(words/15) pseudo-sentences
+# (the corpus has no punctuation; the chunk length is a declared constant).
+# Each doc's score is ONE literal float expression over three ints,
+# floor-quantized to 1e-6 BEFORE the per-language aggregation (the repo's
+# autocorr rule), so corpus sums stay exact int64 at any order.
+
+READ_SENT_LEN = 15
+
+_READ_EXPRS = (
+    "CAST(1 + (nw - 1) DIV {d} AS BIGINT)",      # Spark integer division
+    "CAST(1 + (nw - 1) // {d} AS BIGINT)",       # DuckDB integer division
+)
+_FLESCH = ("(206.835 - 1.015 * (CAST(nw AS DOUBLE) / ns) "
+           "- 84.6 * (CAST(nsyl AS DOUBLE) / nw))")
+_GRADE = ("(0.39 * (CAST(nw AS DOUBLE) / ns) "
+          "+ 11.8 * (CAST(nsyl AS DOUBLE) / nw) - 15.59)")
+
+
+def q_readability_scores(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    per = d.selectExpr(
+        "lang",
+        "size(split(text, ' ')) AS nw",
+        "regexp_count(text, '[aeiou]+') AS nsyl",
+    ).selectExpr(
+        "lang", "nw", "nsyl",
+        _READ_EXPRS[0].format(d=READ_SENT_LEN) + " AS ns",
+    ).selectExpr(
+        "lang", "nw", "nsyl", "ns",
+        f"CAST(FLOOR({_FLESCH} * 1000000.0) AS BIGINT) AS fq",
+        f"CAST(FLOOR({_GRADE} * 1000000.0) AS BIGINT) AS gq",
+    )
+    return (per.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("nw").alias("sum_words"),
+                 F.sum("nsyl").alias("sum_syll"),
+                 F.sum("fq").alias("sum_fq"),
+                 F.min("fq").alias("min_fq"),
+                 F.max("fq").alias("max_fq"),
+                 F.sum("gq").alias("sum_gq"))
+            .selectExpr(
+                "lang", "CAST(n_docs AS BIGINT) AS n_docs",
+                "CAST(sum_words AS BIGINT) AS sum_words",
+                "CAST(sum_syll AS BIGINT) AS sum_syll",
+                "CAST(min_fq AS BIGINT) AS min_fq",
+                "CAST(max_fq AS BIGINT) AS max_fq",
+                "ROUND(CAST(sum_fq AS DOUBLE) / n_docs / 1000000.0, 6)"
+                " AS mean_flesch",
+                "ROUND(CAST(sum_gq AS DOUBLE) / n_docs / 1000000.0, 6)"
+                " AS mean_grade"))
+
+
+def _oracle_readability() -> str:
+    return f"""
+WITH per0 AS (
+  SELECT lang, len(string_split(text, ' ')) AS nw,
+         len(regexp_extract_all(text, '[aeiou]+')) AS nsyl
+  FROM documents),
+per1 AS (
+  SELECT lang, nw, nsyl,
+         {_READ_EXPRS[1].format(d=READ_SENT_LEN)} AS ns
+  FROM per0),
+per AS (
+  SELECT lang, nw, nsyl, ns,
+         CAST(FLOOR({_FLESCH} * 1000000.0) AS BIGINT) AS fq,
+         CAST(FLOOR({_GRADE} * 1000000.0) AS BIGINT) AS gq
+  FROM per1)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nw) AS BIGINT) AS sum_words,
+       CAST(SUM(nsyl) AS BIGINT) AS sum_syll,
+       CAST(MIN(fq) AS BIGINT) AS min_fq,
+       CAST(MAX(fq) AS BIGINT) AS max_fq,
+       ROUND(CAST(CAST(SUM(fq) AS BIGINT) AS DOUBLE) / COUNT(*)
+             / 1000000.0, 6) AS mean_flesch,
+       ROUND(CAST(CAST(SUM(gq) AS BIGINT) AS DOUBLE) / COUNT(*)
+             / 1000000.0, 6) AS mean_grade
+FROM per GROUP BY lang
+"""
+
+
+QUERIES.update({
+    "bpe_apply": (q_bpe_apply, _oracle_bpe_apply()),
+    "readability_scores": (q_readability_scores, _oracle_readability()),
+})

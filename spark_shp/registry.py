@@ -246,6 +246,9 @@ _TAIL = [
     "label_spreading",        # semi-supervised majority propagation (graph)
     "isotonic_calibration",   # PAVA via minimax identity (calibration/ML)
     "diff_in_diff",           # 2x2 DiD estimator (experimentation)
+    "bpe_apply",              # tokenizer ENCODE, fixed merge ranks (text)
+    "readability_scores",     # Flesch reading-ease corpus audit (text)
+    "hillshade_raster",       # Horn hillshade rendering (B3 terrain)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

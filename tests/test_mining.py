@@ -2396,3 +2396,44 @@ def test_burst_episodes_bruteforce(spark):
                           r.peak_cnt, r.peak_volume)
            for r in q_burst_episodes(spark, SF).collect()}
     assert got == exp
+
+
+def test_hillshade_matches_numpy(spark):
+    """Replay Horn gradients + the hillshade trig chain in numpy over a
+    dense grid and compare the full shade histogram + position checksums."""
+    import numpy as np
+    from spark_shp import cells, fixtures
+    from spark_shp.queries_mining import (HS_AZ, HS_COSZ, SLOPE_LEVEL,
+                                          q_hillshade_raster)
+    out = {r["shade"]: r for r in q_hillshade_raster(spark, SF).collect()}
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, SLOPE_LEVEL)
+    pdf = (spark.read.parquet(f"{SF}/events.parquet")
+           .selectExpr(f"{ix} AS cx", f"{iy} AS cy")
+           .groupBy("cx", "cy").count().toPandas())
+    n = 1 << SLOPE_LEVEL
+    grid = np.zeros((n + 2, n + 2), dtype=np.int64)   # 1-cell halo
+    for cx, cy, c in zip(pdf["cx"], pdf["cy"], pdf["count"]):
+        grid[int(cy) + 1, int(cx) + 1] = c
+    agg: dict = {}
+    for cy in range(n):
+        for cx in range(n):
+            if grid[cy + 1, cx + 1] == 0:
+                continue
+            z = grid[cy:cy + 3, cx:cx + 3]
+            gx = int((z[0, 2] + 2 * z[1, 2] + z[2, 2])
+                     - (z[0, 0] + 2 * z[1, 0] + z[2, 0]))
+            gy = int((z[2, 0] + 2 * z[2, 1] + z[2, 2])
+                     - (z[0, 0] + 2 * z[0, 1] + z[0, 2]))
+            s = np.arctan(np.sqrt(float(gx * gx + gy * gy)) / 8.0)
+            a = np.arctan2(float(gy), float(-gx))
+            hs = 255.0 * max(0.0, HS_COSZ * np.cos(s)
+                             + HS_COSZ * np.sin(s) * np.cos(HS_AZ - a))
+            sh = int(np.floor(hs))
+            st = agg.setdefault(sh, [0, 0])
+            st[0] += 1
+            st[1] += cx * 1024 + cy
+    assert set(agg) == set(out)
+    for sh, (nc, ps) in agg.items():
+        assert (out[sh]["n_cells"], out[sh]["pos_sum"]) == (nc, ps)
+    assert len(agg) > 3          # non-degenerate shade spread

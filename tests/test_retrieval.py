@@ -736,3 +736,65 @@ def test_audio_pipeline_structure_and_python_replication(spark):
         r = got[g]
         assert (r["n_streams"], r["n_members"], r["id_checksum"],
                 r["sum_zc"], r["sum_energy"]) == (ns, nm, ck, zc, en)
+
+
+def test_bpe_apply_matches_sequential_encoder(spark):
+    """Replay the fixed-merge ENCODE with a plain sequential python
+    tokenizer (list rewrite, left-to-right greedy) — the relational
+    island derivation must agree on every rank's application count and
+    the corpus size after it."""
+    from spark_shp.queries_retrieval import BPE_APPLY_MERGES, q_bpe_apply
+    out = {r["rank"]: r for r in q_bpe_apply(spark, SF).collect()}
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("text").toPandas()["text"].tolist())
+    corpora = [t.split(" ") for t in docs]
+    for rank, (p, q) in enumerate(BPE_APPLY_MERGES, 1):
+        napp = 0
+        new_corpora = []
+        for toks in corpora:
+            res = []
+            i = 0
+            while i < len(toks):
+                if (i + 1 < len(toks) and toks[i] == p
+                        and toks[i + 1] == q):
+                    res.append(f"{p}_{q}")
+                    napp += 1
+                    i += 2
+                else:
+                    res.append(toks[i])
+                    i += 1
+            new_corpora.append(res)
+        corpora = new_corpora
+        row = out[rank]
+        assert (row["lhs"], row["rhs"]) == (p, q)
+        assert row["n_applied"] == napp
+        assert row["tokens_after"] == sum(len(t) for t in corpora)
+    # planted structure: the table's base merges actually fire
+    assert out[1]["n_applied"] > 0 and out[2]["n_applied"] > 0
+    assert out[4]["n_applied"] > 0
+
+
+def test_readability_matches_python(spark):
+    import re
+    from spark_shp.queries_retrieval import (READ_SENT_LEN,
+                                             q_readability_scores)
+    out = {r["lang"]: r for r in q_readability_scores(spark, SF).collect()}
+    pdf = (spark.read.parquet(f"{SF}/documents.parquet")
+           .select("lang", "text").toPandas())
+    agg: dict = {}
+    for lang, text in zip(pdf["lang"], pdf["text"]):
+        nw = len(text.split(" "))
+        nsyl = len(re.findall(r"[aeiou]+", text))
+        ns = 1 + (nw - 1) // READ_SENT_LEN
+        f = 206.835 - 1.015 * (nw / ns) - 84.6 * (nsyl / nw)
+        a = agg.setdefault(lang, [0, 0, 0, 0.0])
+        a[0] += 1
+        a[1] += nw
+        a[2] += nsyl
+        a[3] += f
+    for lang, (n, sw, ss, sf_) in agg.items():
+        row = out[lang]
+        assert (row["n_docs"], row["sum_words"], row["sum_syll"]) \
+            == (n, sw, ss)
+        assert abs(row["mean_flesch"] - sf_ / n) < 2e-6
+        assert row["min_fq"] < row["max_fq"]   # non-degenerate spread
