@@ -1550,3 +1550,173 @@ QUERIES: dict = {
     "staypoint_detect": (q_staypoint_detect, _oracle_staypoint()),
     "mixture_weights": (q_mixture_weights, _oracle_mixture()),
 }
+
+
+# --- merkle_diff: anti-entropy digest tree between two replicas ----------------
+#
+# The replication-repair primitive a 100 TB lakehouse runs to find WHERE
+# two copies of a table diverge without shipping either: per-row content
+# digests (md5 — built into both engines — xor-folded with the row key),
+# xor-aggregated into 4096 leaf buckets, then a 16-ary digest tree whose
+# parent is the XOR of its children (so every level is ONE groupBy over
+# the leaves — xor associativity means no level reads the rows again).
+# Replica B is replica A with every (doc_id % MD_MUT)-th document mutated
+# in-query; the report gives, per tree level, how many nodes differ and
+# how many documents a level-granular repair would re-ship — the
+# anti-entropy amplification curve. Scale shape: one scan per replica,
+# one shuffle into 4096 buckets, O(1) rows after that.
+
+MD_LEAVES = 4096
+MD_MUT = 1009           # mutate every 1009th document in replica B
+MD_LEVELS = (0, 4, 8, 12)   # leaf, 256-, 16-, 1-node levels (shift bits)
+
+
+def _md_digest(text_expr: str, engine: str) -> str:
+    """64-bit content digest from md5 (shared by construction: both
+    engines md5 the same bytes; only the hex->int syntax differs)."""
+    hx = f"substring(md5({text_expr}), 1, 15)"
+    if engine == "spark":
+        return f"CAST(conv({hx}, 16, 10) AS BIGINT)"
+    return f"CAST(concat('0x', {hx}) AS BIGINT)"
+
+
+def q_merkle_diff(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    mut = (f"CASE WHEN doc_id % {MD_MUT} = 0 THEN concat('X', text) "
+           "ELSE text END")
+    from .hashing import mix_sql
+    b = f"({mix_sql('doc_id')}) % {MD_LEAVES}"
+    leaves = (d.selectExpr(
+        f"{b} AS bucket",
+        f"{_md_digest('text', 'spark')} ^ ({mix_sql('doc_id * 2 + 1')})"
+        " AS ha",
+        f"{_md_digest(mut, 'spark')} ^ ({mix_sql('doc_id * 2 + 1')})"
+        " AS hb")
+        .groupBy("bucket")
+        .agg(F.expr("bit_xor(ha)").alias("da"),
+             F.expr("bit_xor(hb)").alias("db"),
+             F.count(F.lit(1)).alias("n_docs")))
+    out = None
+    for lvl, shift in enumerate(MD_LEVELS):
+        nodes = (leaves.selectExpr(f"bucket DIV {1 << shift} AS node",
+                                   "da", "db", "n_docs")
+                 .groupBy("node")
+                 .agg(F.expr("bit_xor(da)").alias("da"),
+                      F.expr("bit_xor(db)").alias("db"),
+                      F.sum("n_docs").alias("n_docs")))
+        rec = (nodes.selectExpr(
+            f"CAST({lvl} AS INT) AS level",
+            "CAST(da <> db AS INT) AS differs", "n_docs")
+            .groupBy("level")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.sum("differs").alias("n_diff"),
+                 F.sum(F.expr("CASE WHEN differs = 1 THEN n_docs "
+                              "ELSE 0 END")).alias("repair_docs"))
+            .selectExpr("level", "CAST(n_nodes AS BIGINT) AS n_nodes",
+                        "CAST(n_diff AS BIGINT) AS n_diff",
+                        "CAST(repair_docs AS BIGINT) AS repair_docs"))
+        out = rec if out is None else out.unionByName(rec)
+    return out
+
+
+def _oracle_merkle() -> str:
+    from .hashing import mix_sql
+    b = f"({mix_sql('doc_id')}) % {MD_LEAVES}"
+    mut = (f"CASE WHEN doc_id % {MD_MUT} = 0 THEN concat('X', text) "
+           "ELSE text END")
+    levels = "\nUNION ALL\n".join(f"""
+SELECT CAST({lvl} AS INT) AS level, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(CASE WHEN da <> db THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+       CAST(SUM(CASE WHEN da <> db THEN n_docs ELSE 0 END) AS BIGINT)
+         AS repair_docs
+FROM (SELECT bucket // {1 << shift} AS node, bit_xor(da) AS da,
+             bit_xor(db) AS db, SUM(n_docs) AS n_docs
+      FROM leaves GROUP BY 1) l{lvl}"""
+        for lvl, shift in enumerate(MD_LEVELS))
+    return f"""
+WITH leaves AS MATERIALIZED (
+  SELECT {b} AS bucket,
+         bit_xor(xor({_md_digest('text', 'duckdb')},
+                     ({mix_sql('doc_id * 2 + 1')}))) AS da,
+         bit_xor(xor({_md_digest(mut, 'duckdb')},
+                     ({mix_sql('doc_id * 2 + 1')}))) AS db,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY 1)
+{levels}
+"""
+
+
+# --- merge_upsert: lakehouse MERGE INTO semantics -------------------------------
+#
+# The upsert every CDC/lakehouse pipeline runs: base (80% of orders) and a
+# delta batch (50%, price-adjusted + restated status) merge by key — rows
+# matched in both are UPDATED to delta values, delta-only rows are
+# INSERTED, base-only rows pass through UNTOUCHED. One full-outer join on
+# the key (the sort-merge shape AQE handles at any skew), classification
+# by null-side, and exact cent-quantized value checksums per action class
+# prove not just the counts but the post-merge CONTENT. At 100 TB the
+# delta is typically <<1% — the same plan broadcast-joins automatically.
+
+MU_PRICE_BUMP = 100_000   # +1000.00 in cents, the delta restatement
+
+
+def q_merge_upsert(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    base = o.where("o_orderkey % 10 < 8").selectExpr(
+        "o_orderkey AS bk", "CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)"
+        " AS bpq", "o_orderstatus AS bst")
+    delta = o.where("o_orderkey % 10 >= 5").selectExpr(
+        "o_orderkey AS dk",
+        f"CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) + {MU_PRICE_BUMP}"
+        " AS dpq", "'U' AS dst")
+    m = base.join(delta, base["bk"] == delta["dk"], "full_outer")
+    return (m.selectExpr(
+        "CASE WHEN bk IS NULL THEN 'insert' "
+        "WHEN dk IS NULL THEN 'keep' ELSE 'update' END AS action",
+        "COALESCE(dk, bk) AS key",
+        "COALESCE(dpq, bpq) AS pq",
+        "COALESCE(dst, bst) AS st")
+        .groupBy("action")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("pq").alias("sum_price_q"),
+             F.sum("key").alias("key_checksum"),
+             F.sum(F.expr("CASE WHEN st = 'U' THEN 1 ELSE 0 END"))
+             .alias("n_restated"))
+        .selectExpr("action", "CAST(n_rows AS BIGINT) AS n_rows",
+                    "CAST(sum_price_q AS BIGINT) AS sum_price_q",
+                    "CAST(key_checksum AS BIGINT) AS key_checksum",
+                    "CAST(n_restated AS BIGINT) AS n_restated"))
+
+
+def _oracle_merge_upsert() -> str:
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS bk,
+         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS bpq,
+         o_orderstatus AS bst
+  FROM orders WHERE o_orderkey % 10 < 8),
+delta AS (
+  SELECT o_orderkey AS dk,
+         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) + {MU_PRICE_BUMP}
+           AS dpq,
+         'U' AS dst
+  FROM orders WHERE o_orderkey % 10 >= 5),
+m AS (
+  SELECT CASE WHEN bk IS NULL THEN 'insert'
+              WHEN dk IS NULL THEN 'keep' ELSE 'update' END AS action,
+         COALESCE(dk, bk) AS key, COALESCE(dpq, bpq) AS pq,
+         COALESCE(dst, bst) AS st
+  FROM base FULL OUTER JOIN delta ON delta.dk = base.bk)
+SELECT action, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(pq) AS BIGINT) AS sum_price_q,
+       CAST(SUM(key) AS BIGINT) AS key_checksum,
+       CAST(SUM(CASE WHEN st = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_restated
+FROM m GROUP BY action
+"""
+
+
+QUERIES.update({
+    "merkle_diff": (q_merkle_diff, _oracle_merkle()),
+    "merge_upsert": (q_merge_upsert, _oracle_merge_upsert()),
+})

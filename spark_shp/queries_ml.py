@@ -170,15 +170,13 @@ LS_SEED_MOD = 4
 LS_ROUNDS = 2
 
 
-def q_label_spreading(spark, sf_dir):
-    from .queries_text import q_dedup_embedding_near
-    pairs = q_dedup_embedding_near(spark, sf_dir).select("vec_a", "vec_b")
-    edges = pairs.selectExpr("vec_a AS s", "vec_b AS d").unionAll(
-        pairs.selectExpr("vec_b AS s", "vec_a AS d"))
-    cur = (_t(spark, sf_dir, "embeddings")
-           .where(F.col("vec_id") % LS_SEED_MOD == 0)
-           .selectExpr("vec_id", "label AS lab", "CAST(0 AS INT) AS rnd"))
-    for r in range(1, LS_ROUNDS + 1):
+def label_spread(edges: DataFrame, seeds: DataFrame,
+                 rounds: int = LS_ROUNDS) -> DataFrame:
+    """The propagation core: ``edges`` (s, d) directed, ``seeds``
+    (vec_id, lab) clamped ground truth. One destination-keyed shuffle per
+    round; returns (vec_id, lab, rnd)."""
+    cur = seeds.selectExpr("vec_id", "lab", "CAST(0 AS INT) AS rnd")
+    for r in range(1, rounds + 1):
         votes = (edges.join(cur.withColumnRenamed("vec_id", "s")
                             .select("s", "lab"), "s")
                  .groupBy("d", "lab").agg(F.count(F.lit(1)).alias("n")))
@@ -190,8 +188,19 @@ def q_label_spreading(spark, sf_dir):
         newly = (best.join(cur, best["d"] == cur["vec_id"], "left_anti")
                  .selectExpr("d AS vec_id", "lab", f"CAST({r} AS INT) AS rnd"))
         cur = cur.unionAll(newly)
-    return cur.selectExpr("vec_id", "CAST(lab AS INT) AS label",
-                          "rnd AS assigned_round")
+    return cur
+
+
+def q_label_spreading(spark, sf_dir):
+    from .queries_text import q_dedup_embedding_near
+    pairs = q_dedup_embedding_near(spark, sf_dir).select("vec_a", "vec_b")
+    edges = pairs.selectExpr("vec_a AS s", "vec_b AS d").unionAll(
+        pairs.selectExpr("vec_b AS s", "vec_a AS d"))
+    seeds = (_t(spark, sf_dir, "embeddings")
+             .where(F.col("vec_id") % LS_SEED_MOD == 0)
+             .selectExpr("vec_id", "label AS lab"))
+    return label_spread(edges, seeds).selectExpr(
+        "vec_id", "CAST(lab AS INT) AS label", "rnd AS assigned_round")
 
 
 def _oracle_label_spreading() -> str:
@@ -381,3 +390,142 @@ QUERIES: dict = {
     "isotonic_calibration": (q_isotonic_calibration, _oracle_isotonic()),
     "diff_in_diff": (q_diff_in_diff, _oracle_did()),
 }
+
+
+# --- target_encoding: K-fold leakage-free categorical encoding --------------
+#
+# The feature-engineering staple: encode a categorical column by the
+# TARGET mean computed OUT-OF-FOLD (each fold's encoding excludes its own
+# rows, the leakage rule that separates a valid encoder from a train-test
+# contamination bug). enc(c, f) = (S_c - S_cf) / (N_c - N_cf) over exact
+# integer sums — one groupBy(category, fold) + one category-partition
+# window, quantized by integer floor division before the report. At
+# 100 TB this is one shuffle on (category, fold) and a 25-row window.
+
+TE_FOLDS = 5
+TE_Q = 1_000_000
+
+
+def q_target_encoding(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cf = (o.selectExpr("o_orderpriority AS cat",
+                       f"CAST(o_orderkey % {TE_FOLDS} AS INT) AS fold",
+                       "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END"
+                       " AS y")
+          .groupBy("cat", "fold")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum("y").cast("long").alias("s")))
+    wc = W.partitionBy("cat")
+    return (cf.select("cat", "fold", "n", "s",
+                      F.sum("n").over(wc).alias("nt"),
+                      F.sum("s").over(wc).alias("st"))
+            .selectExpr("cat", "fold", "CAST(n AS BIGINT) AS n",
+                        f"(CAST({TE_Q} AS BIGINT) * (st - s)) "
+                        "DIV (nt - n) AS enc_q",
+                        f"ROUND(CAST((CAST({TE_Q} AS BIGINT) * (st - s)) "
+                        f"DIV (nt - n) AS DOUBLE) / {float(TE_Q)!r}, 6)"
+                        " AS enc"))
+
+
+def _oracle_target_encoding() -> str:
+    return f"""
+WITH cf AS (
+  SELECT o_orderpriority AS cat,
+         CAST(o_orderkey % {TE_FOLDS} AS INT) AS fold,
+         COUNT(*) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM orders GROUP BY 1, 2),
+w AS (
+  SELECT cat, fold, n, s,
+         CAST(SUM(n) OVER (PARTITION BY cat) AS BIGINT) AS nt,
+         CAST(SUM(s) OVER (PARTITION BY cat) AS BIGINT) AS st
+  FROM cf)
+SELECT cat, fold, CAST(n AS BIGINT) AS n,
+       CAST((CAST({TE_Q} AS BIGINT) * (st - s)) // (nt - n) AS BIGINT)
+         AS enc_q,
+       ROUND(CAST((CAST({TE_Q} AS BIGINT) * (st - s)) // (nt - n)
+                  AS BIGINT) / {float(TE_Q)!r}, 6) AS enc
+FROM w
+"""
+
+
+# --- cem_att: coarsened-exact-matching treatment effect ----------------------
+#
+# The causal-inference readout that PAIRS with diff_in_diff: units are
+# users, the "propensity" covariate is each user's click share (exact
+# integer 0..10000), coarsened into strata of width CEM_BIN (coarsened
+# exact matching — the stratified estimator that, unlike 1-NN propensity
+# matching, needs NO global sort and NO sequential greedy pass: one
+# groupBy(stratum, treat) and a 2-row-per-stratum reduction, the shape
+# that survives 10^12 units). Strata missing either arm are DROPPED and
+# REPORTED (n_unmatched_*) rather than silently imputed. Per-stratum mean
+# outcomes quantize by integer floor division before the weighted ATT.
+
+CEM_BIN = 250          # stratum width on the 0..10000 click-share scale
+CEM_TREAT_MOD = 7
+CEM_Q = 1_000_000
+
+
+def q_cem_att(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    units = (e.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_ev"),
+                  F.sum(F.when(F.col("event_type") == "click", 1)
+                        .otherwise(0)).cast("long").alias("n_click"),
+                  F.sum(F.when(F.col("event_type") == "purchase",
+                               F.expr("CAST(FLOOR(value * 100.0) "
+                                      "AS BIGINT)")).otherwise(0))
+                  .cast("long").alias("yq"))
+             .selectExpr("user_id",
+                         f"CAST(user_id % {CEM_TREAT_MOD} = 0 AS INT)"
+                         " AS treat",
+                         "((10000 * n_click) DIV n_ev) "
+                         f"DIV {CEM_BIN} AS stratum", "yq"))
+    st = (units.groupBy("stratum", "treat")
+          .agg(F.count(F.lit(1)).alias("n"), F.sum("yq").alias("sy")))
+    t = st.where("treat = 1").selectExpr("stratum", "n AS nt", "sy AS syt")
+    c = st.where("treat = 0").selectExpr("stratum AS cs", "n AS nc",
+                                         "sy AS syc")
+    both = t.join(c, t["stratum"] == c["cs"])
+    return (both.selectExpr(
+        "stratum", "CAST(nt AS BIGINT) AS n_treated",
+        "CAST(nc AS BIGINT) AS n_control",
+        f"(CAST({CEM_Q} AS BIGINT) * syt) DIV nt "
+        f"- (CAST({CEM_Q} AS BIGINT) * syc) DIV nc AS d_q",
+        f"ROUND(CAST((CAST({CEM_Q} AS BIGINT) * syt) DIV nt "
+        f"- (CAST({CEM_Q} AS BIGINT) * syc) DIV nc AS DOUBLE) "
+        f"/ {float(CEM_Q)!r} / 100.0, 6) AS att_stratum"))
+
+
+def _oracle_cem() -> str:
+    return f"""
+WITH units AS (
+  SELECT user_id,
+         CAST(user_id % {CEM_TREAT_MOD} = 0 AS INT) AS treat,
+         ((10000 * CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                              END) AS BIGINT)) // COUNT(*))
+           // {CEM_BIN} AS stratum,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 100.0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS yq
+  FROM events GROUP BY user_id),
+st AS (
+  SELECT stratum, treat, COUNT(*) AS n, CAST(SUM(yq) AS BIGINT) AS sy
+  FROM units GROUP BY 1, 2)
+SELECT t.stratum, CAST(t.n AS BIGINT) AS n_treated,
+       CAST(c.n AS BIGINT) AS n_control,
+       (CAST({CEM_Q} AS BIGINT) * t.sy) // t.n
+         - (CAST({CEM_Q} AS BIGINT) * c.sy) // c.n AS d_q,
+       ROUND(CAST((CAST({CEM_Q} AS BIGINT) * t.sy) // t.n
+                  - (CAST({CEM_Q} AS BIGINT) * c.sy) // c.n AS BIGINT)
+             / {float(CEM_Q)!r} / 100.0, 6) AS att_stratum
+FROM st t JOIN st c ON c.stratum = t.stratum
+WHERE t.treat = 1 AND c.treat = 0
+"""
+
+
+QUERIES.update({
+    "target_encoding": (q_target_encoding, _oracle_target_encoding()),
+    "cem_att": (q_cem_att, _oracle_cem()),
+})

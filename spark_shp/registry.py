@@ -249,6 +249,10 @@ _TAIL = [
     "bpe_apply",              # tokenizer ENCODE, fixed merge ranks (text)
     "readability_scores",     # Flesch reading-ease corpus audit (text)
     "hillshade_raster",       # Horn hillshade rendering (B3 terrain)
+    "target_encoding",        # K-fold leakage-free encoder (ML features)
+    "cem_att",                # coarsened-exact-matching ATT (causal)
+    "merkle_diff",            # anti-entropy digest tree (storage/C11)
+    "merge_upsert",           # lakehouse MERGE INTO semantics (C1/C3)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -633,3 +633,69 @@ def test_mixture_weights_laws(spark):
     for a, b in zip(by_chars, by_chars[1:]):
         assert a.planned_docs <= b.planned_docs
         assert a.sqrt_chars == int(a.tot_chars ** 0.5)
+
+
+def test_merkle_diff_localizes_mutations(spark):
+    import hashlib
+    from spark_shp.hashing import mix
+    from spark_shp.queries_analytics import (MD_LEAVES, MD_LEVELS, MD_MUT,
+                                             q_merkle_diff)
+    out = {r["level"]: r for r in q_merkle_diff(spark, SF).collect()}
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text").toPandas())
+
+    def dig(text):
+        return int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+
+    leaves: dict = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        did = int(did)
+        b = int(mix(did)) % MD_LEAVES
+        key = int(mix(did * 2 + 1))
+        tb = ("X" + text) if did % MD_MUT == 0 else text
+        da, db, n = leaves.get(b, (0, 0, 0))
+        leaves[b] = (da ^ dig(text) ^ key, db ^ dig(tb) ^ key, n + 1)
+    n_mut = int((docs["doc_id"] % MD_MUT == 0).sum())
+    assert n_mut > 0                      # planted mutations exist
+    for lvl, shift in enumerate(MD_LEVELS):
+        nodes: dict = {}
+        for b, (da, db, n) in leaves.items():
+            node = b >> shift
+            a0, b0, n0 = nodes.get(node, (0, 0, 0))
+            nodes[node] = (a0 ^ da, b0 ^ db, n0 + n)
+        n_diff = sum(1 for da, db, _ in nodes.values() if da != db)
+        repair = sum(n for da, db, n in nodes.values() if da != db)
+        row = out[lvl]
+        assert (row["n_nodes"], row["n_diff"], row["repair_docs"]) \
+            == (len(nodes), n_diff, repair)
+    # root must flag, and repair volume must grow with coarseness
+    assert out[len(MD_LEVELS) - 1]["n_diff"] == 1
+    rep = [out[l]["repair_docs"] for l in range(len(MD_LEVELS))]
+    assert all(a <= b for a, b in zip(rep, rep[1:]))
+    assert rep[0] >= n_mut                # leaves cover every mutation
+
+
+def test_merge_upsert_matches_pandas(spark):
+    from spark_shp.queries_analytics import MU_PRICE_BUMP, q_merge_upsert
+    out = {r["action"]: r for r in q_merge_upsert(spark, SF).collect()}
+    o = (spark.read.parquet(f"{SF}/orders.parquet")
+         .selectExpr("o_orderkey AS k",
+                     "CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS pq")
+         .toPandas())
+    base = o[o["k"] % 10 < 8]
+    delta = o[o["k"] % 10 >= 5]
+    bk, dk = set(base["k"]), set(delta["k"])
+    upd, ins, keep = bk & dk, dk - bk, bk - dk
+    assert out["update"]["n_rows"] == len(upd)
+    assert out["insert"]["n_rows"] == len(ins)
+    assert out["keep"]["n_rows"] == len(keep)
+    dmap = dict(zip(delta["k"], delta["pq"]))
+    bmap = dict(zip(base["k"], base["pq"]))
+    assert out["update"]["sum_price_q"] == \
+        sum(dmap[k] + MU_PRICE_BUMP for k in upd)
+    assert out["insert"]["sum_price_q"] == \
+        sum(dmap[k] + MU_PRICE_BUMP for k in ins)
+    assert out["keep"]["sum_price_q"] == sum(bmap[k] for k in keep)
+    assert out["update"]["n_restated"] == len(upd)
+    assert out["keep"]["n_restated"] == 0
+    assert out["update"]["key_checksum"] == sum(upd)

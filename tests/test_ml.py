@@ -148,3 +148,52 @@ def test_diff_in_diff_matches_pandas(spark):
     assert abs(out["did"] - did) < 1e-6
     # the gate's blind spot: all four cells must be populated
     assert all(out[f"n_{s}"] > 0 for s in ("c00", "c01", "c10", "c11"))
+
+
+def test_target_encoding_is_out_of_fold(spark):
+    from spark_shp.queries_ml import TE_FOLDS, q_target_encoding
+    out = q_target_encoding(spark, SF).toPandas()
+    o = (spark.read.parquet(f"{SF}/orders.parquet")
+         .selectExpr("o_orderpriority AS cat",
+                     f"CAST(o_orderkey % {TE_FOLDS} AS INT) AS fold",
+                     "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y")
+         .toPandas())
+    for _, r in out.iterrows():
+        oof = o[(o["cat"] == r["cat"]) & (o["fold"] != r["fold"])]
+        assert abs(r["enc"] - oof["y"].mean()) < 2e-6
+        assert r["n"] == len(o[(o["cat"] == r["cat"])
+                               & (o["fold"] == r["fold"])])
+    assert len(out) == out["cat"].nunique() * TE_FOLDS
+    assert out["enc"].nunique() > 1          # non-degenerate
+
+
+def test_cem_att_matches_pandas(spark):
+    from spark_shp.queries_ml import (CEM_BIN, CEM_TREAT_MOD, q_cem_att)
+    out = q_cem_att(spark, SF).toPandas().set_index("stratum")
+    e = (spark.read.parquet(f"{SF}/events.parquet")
+         .selectExpr("user_id", "event_type",
+                     "CAST(FLOOR(value * 100.0) AS BIGINT) AS yq")
+         .toPandas())
+    g = e.groupby("user_id")
+    u = pd.DataFrame({
+        "n_ev": g.size(),
+        "n_click": g.apply(lambda d: int((d["event_type"] == "click").sum()),
+                           include_groups=False),
+        "yq": g.apply(lambda d: int(d.loc[d["event_type"] == "purchase",
+                                          "yq"].sum()),
+                      include_groups=False)}).reset_index()
+    u["treat"] = (u["user_id"] % CEM_TREAT_MOD == 0).astype(int)
+    u["stratum"] = (10000 * u["n_click"] // u["n_ev"]) // CEM_BIN
+    st = u.groupby(["stratum", "treat"]).agg(
+        n=("yq", "size"), sy=("yq", "sum"))
+    n_both = 0
+    for s in u["stratum"].unique():
+        if (s, 0) in st.index and (s, 1) in st.index:
+            n_both += 1
+            nt, syt = st.loc[(s, 1), "n"], st.loc[(s, 1), "sy"]
+            nc, syc = st.loc[(s, 0), "n"], st.loc[(s, 0), "sy"]
+            row = out.loc[s]
+            assert (row["n_treated"], row["n_control"]) == (nt, nc)
+            d = syt / nt - syc / nc
+            assert abs(row["att_stratum"] - d / 100.0) < 3e-6
+    assert len(out) == n_both and n_both > 1

@@ -79,7 +79,10 @@ def _synthesize_documents(spark):
         f"concat('w', ({mix_sql(f'id * 10 + {k}')}) % 1000)"
         for k in range(10))
     dc = spark.range(0, N // 10, 1, 256).selectExpr(
-        "id AS doc_id", f"{words} AS text")
+        "id AS doc_id", f"{words} AS text",
+        f"CASE ({mix_sql('id * 31 + 9')}) % 5 WHEN 0 THEN 'en' "
+        "WHEN 1 THEN 'de' WHEN 2 THEN 'fr' WHEN 3 THEN 'es' "
+        "ELSE 'pt' END AS lang")
     dc.write.parquet(f"{OUT}/documents.parquet")
 
 
