@@ -529,3 +529,250 @@ QUERIES.update({
     "target_encoding": (q_target_encoding, _oracle_target_encoding()),
     "cem_att": (q_cem_att, _oracle_cem()),
 })
+
+
+# --- roc_auc: exact rank-based AUC with tie handling, per segment -------------
+#
+# The model-evaluation primitive every offline scoring job ends with. AUC
+# is computed EXACTLY as (concordant + ties/2) / (P*N) over score groups:
+# one groupBy(segment, score) then one segment-partition window for the
+# cumulative negatives strictly below each score — the O(distinct-scores)
+# shape that never materializes the P*N pair space (pair-counting via the
+# rank identity, not a self-join). Numerator stays integer as
+# 2*concordant + ties; the quantized ratio floors by integer division.
+# At 100 TB this is one shuffle on (segment, score) and a tiny window.
+
+AUC_Q = 1_000_000
+
+
+def q_roc_auc(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    g = (o.selectExpr("o_orderpriority AS seg",
+                      "CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS s",
+                      "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y")
+         .groupBy("seg", "s")
+         .agg(F.sum("y").cast("long").alias("np"),
+              F.sum(F.expr("1 - y")).cast("long").alias("nn")))
+    w = (g.selectExpr(
+        "seg", "np", "nn",
+        "COALESCE(SUM(nn) OVER (PARTITION BY seg ORDER BY s "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb"))
+    return (w.groupBy("seg")
+            .agg(F.sum("np").alias("p"), F.sum("nn").alias("n"),
+                 F.sum(F.expr("np * (2 * cnb + nn)")).alias("num2"))
+            .selectExpr(
+                "seg", "CAST(p AS BIGINT) AS p", "CAST(n AS BIGINT) AS n",
+                "CAST(num2 AS BIGINT) AS num2",
+                f"(CAST({AUC_Q} AS BIGINT) * num2) DIV (2 * p * n) AS auc_q",
+                f"ROUND(CAST((CAST({AUC_Q} AS BIGINT) * num2) "
+                f"DIV (2 * p * n) AS DOUBLE) / {float(AUC_Q)!r}, 6)"
+                " AS auc"))
+
+
+def _oracle_roc_auc() -> str:
+    return f"""
+WITH g AS (
+  SELECT o_orderpriority AS seg,
+         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS s,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+              AS BIGINT) AS nn
+  FROM orders GROUP BY 1, 2),
+w AS (
+  SELECT seg, np, nn,
+         COALESCE(SUM(nn) OVER (PARTITION BY seg ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+  FROM g)
+SELECT seg, CAST(SUM(np) AS BIGINT) AS p, CAST(SUM(nn) AS BIGINT) AS n,
+       CAST(SUM(np * (2 * cnb + nn)) AS BIGINT) AS num2,
+       CAST((CAST({AUC_Q} AS BIGINT) * SUM(np * (2 * cnb + nn)))
+            // (2 * SUM(np) * SUM(nn)) AS BIGINT) AS auc_q,
+       ROUND(CAST((CAST({AUC_Q} AS BIGINT) * SUM(np * (2 * cnb + nn)))
+                  // (2 * SUM(np) * SUM(nn)) AS BIGINT)
+             / {float(AUC_Q)!r}, 6) AS auc
+FROM w GROUP BY seg
+"""
+
+
+# --- lift_gains: cumulative gains / lift by score decile ----------------------
+#
+# The campaign-targeting readout: rank by score descending (total-order
+# tiebreak on the key — NTILE is deterministic ONLY under a total order,
+# the FIXTURES.md rank rule), 10 equal deciles, cumulative capture and
+# lift as exact integer ratios. One global sort (the same shape as any
+# top-k report), 10-row window after it.
+
+LG_Q = 1_000_000
+
+
+def q_lift_gains(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = (o.selectExpr(
+        "NTILE(10) OVER (ORDER BY CAST(FLOOR(o_totalprice * 100.0) "
+        "AS BIGINT) DESC, o_orderkey) AS decile",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y")
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("y").cast("long").alias("pos")))
+    return (d.selectExpr(
+        "decile", "n", "pos",
+        "SUM(n) OVER (ORDER BY decile) AS cn",
+        "SUM(pos) OVER (ORDER BY decile) AS cpos",
+        "SUM(n) OVER () AS tn", "SUM(pos) OVER () AS tpos")
+        .selectExpr(
+            "CAST(decile AS INT) AS decile", "CAST(n AS BIGINT) AS n",
+            "CAST(pos AS BIGINT) AS pos",
+            f"(CAST({LG_Q} AS BIGINT) * cpos) DIV tpos AS capture_q",
+            f"(CAST({LG_Q} AS BIGINT) * cpos * tn) DIV (cn * tpos)"
+            " AS lift_q",
+            f"ROUND(CAST((CAST({LG_Q} AS BIGINT) * cpos * tn) "
+            f"DIV (cn * tpos) AS DOUBLE) / {float(LG_Q)!r}, 6) AS lift"))
+
+
+def _oracle_lift_gains() -> str:
+    return f"""
+WITH d AS (
+  SELECT NTILE(10) OVER (ORDER BY CAST(FLOOR(o_totalprice * 100.0)
+           AS BIGINT) DESC, o_orderkey) AS decile,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders),
+a AS (
+  SELECT decile, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM d GROUP BY 1),
+c AS (
+  SELECT decile, n, pos,
+         SUM(n) OVER (ORDER BY decile) AS cn,
+         SUM(pos) OVER (ORDER BY decile) AS cpos,
+         SUM(n) OVER () AS tn, SUM(pos) OVER () AS tpos
+  FROM a)
+SELECT CAST(decile AS INT) AS decile, CAST(n AS BIGINT) AS n,
+       CAST(pos AS BIGINT) AS pos,
+       CAST((CAST({LG_Q} AS BIGINT) * cpos) // tpos AS BIGINT) AS capture_q,
+       CAST((CAST({LG_Q} AS BIGINT) * cpos * tn) // (cn * tpos) AS BIGINT)
+         AS lift_q,
+       ROUND(CAST((CAST({LG_Q} AS BIGINT) * cpos * tn) // (cn * tpos)
+                  AS BIGINT) / {float(LG_Q)!r}, 6) AS lift
+FROM c
+"""
+
+
+QUERIES.update({
+    "roc_auc": (q_roc_auc, _oracle_roc_auc()),
+    "lift_gains": (q_lift_gains, _oracle_lift_gains()),
+})
+
+
+# --- naive_bayes_lang: multinomial NB train/classify/confusion ----------------
+#
+# The classical text classifier as ONE relational program: train Laplace-
+# smoothed multinomial NB on the %5!=0 document split, classify the %5==0
+# split, report the exact confusion matrix. Every log term is quantized to
+# integer micro-nats by the repo's shared-LN rule (ROUND(LN(x),6)*1e6 —
+# one float expression shared verbatim with the oracle) so the per-doc
+# score is an EXACT integer sum and the argmax is engine-independent
+# (ties break lexicographically on class). Scale shape: the model —
+# (test-vocab x 5 classes) log-likelihood table + 5 priors — is tiny and
+# BROADCAST; scoring is one token->model hash join and a (doc, class)
+# groupBy; no data-proportional driver state. At 100 TB the corpus is
+# scanned twice (train counts, test scoring) and shuffled once per phase.
+
+NB_Q = 1_000_000
+_NB_QLN = "CAST(FLOOR(ROUND(LN({x}), 6) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def q_naive_bayes(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.selectExpr("doc_id", "lang",
+                        "explode(split(text, ' ')) AS w").where("w <> ''")
+    train_t = toks.where("doc_id % 5 != 0")
+    test_t = (toks.where("doc_id % 5 = 0")
+              .groupBy("doc_id", "lang", "w")
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+    wcnt = (train_t.groupBy(F.col("lang").alias("c"), "w")
+            .agg(F.count(F.lit(1)).cast("long").alias("wn")))
+    tc = wcnt.groupBy("c").agg(F.sum("wn").alias("tn"))
+    vdf = wcnt.select("w").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v"))
+
+    docs = d.where("doc_id % 5 != 0").groupBy(
+        F.col("lang").alias("c")).agg(F.count(F.lit(1)).alias("nc"))
+    priors = (docs.crossJoin(docs.agg(F.sum("nc").alias("nd")))
+              .selectExpr("c", _NB_QLN.format(
+                  x="CAST(nc AS DOUBLE) / nd") + " AS prior_q"))
+
+    lq = (test_t.select("w").distinct()
+          .crossJoin(F.broadcast(tc.crossJoin(vdf)))
+          .join(wcnt, ["c", "w"], "left")
+          .selectExpr("w", "c", _NB_QLN.format(
+              x="CAST(COALESCE(wn, 0) + 1 AS DOUBLE) / (tn + v)")
+              + " AS lq"))
+
+    scores = (test_t.join(F.broadcast(lq), "w")
+              .groupBy("doc_id", "lang", "c")
+              .agg(F.sum(F.expr("cnt * lq")).alias("s"))
+              .join(F.broadcast(priors), "c")
+              .selectExpr("doc_id", "lang", "c", "s + prior_q AS score"))
+    pred = (scores.selectExpr(
+        "doc_id", "lang", "c", "score",
+        "ROW_NUMBER() OVER (PARTITION BY doc_id "
+        "ORDER BY score DESC, c) AS rk").where("rk = 1"))
+    return (pred.groupBy(F.col("lang").alias("true_lang"),
+                         F.col("c").alias("pred_lang"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("doc_checksum"))
+            .selectExpr("true_lang", "pred_lang",
+                        "CAST(n_docs AS BIGINT) AS n_docs",
+                        "CAST(doc_checksum AS BIGINT) AS doc_checksum"))
+
+
+def _oracle_naive_bayes() -> str:
+    qp = _NB_QLN.format(x="CAST(nc AS DOUBLE) / nd")
+    ql = _NB_QLN.format(
+        x="CAST(COALESCE(wn, 0) + 1 AS DOUBLE) / (tn + v)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, w
+  FROM (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS w
+        FROM documents) t
+  WHERE w <> ''),
+test_t AS (
+  SELECT doc_id, lang, w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+wcnt AS (
+  SELECT lang AS c, w, CAST(COUNT(*) AS BIGINT) AS wn
+  FROM toks WHERE doc_id % 5 != 0 GROUP BY 1, 2),
+tc AS (SELECT c, SUM(wn) AS tn FROM wcnt GROUP BY 1),
+vdf AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM wcnt),
+docs AS (
+  SELECT lang AS c, COUNT(*) AS nc FROM documents
+  WHERE doc_id % 5 != 0 GROUP BY 1),
+priors AS (
+  SELECT c, {qp} AS prior_q
+  FROM docs, (SELECT SUM(nc) AS nd FROM docs) tot),
+lq AS (
+  SELECT tw.w, tc.c, {ql} AS lq
+  FROM (SELECT DISTINCT w FROM test_t) tw
+  CROSS JOIN tc CROSS JOIN vdf
+  LEFT JOIN wcnt ON wcnt.c = tc.c AND wcnt.w = tw.w),
+scores AS (
+  SELECT t.doc_id, t.lang, lq.c, SUM(t.cnt * lq.lq) + ANY_VALUE(p.prior_q)
+           AS score
+  FROM test_t t JOIN lq ON lq.w = t.w JOIN priors p ON p.c = lq.c
+  GROUP BY 1, 2, 3),
+pred AS (
+  SELECT doc_id, lang, c,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, c) AS rk
+  FROM scores)
+SELECT lang AS true_lang, c AS pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
+FROM pred WHERE rk = 1 GROUP BY 1, 2
+"""
+
+
+QUERIES.update({
+    "naive_bayes_lang": (q_naive_bayes, _oracle_naive_bayes()),
+})

@@ -253,6 +253,9 @@ _TAIL = [
     "cem_att",                # coarsened-exact-matching ATT (causal)
     "merkle_diff",            # anti-entropy digest tree (storage/C11)
     "merge_upsert",           # lakehouse MERGE INTO semantics (C1/C3)
+    "roc_auc",                # exact rank-based AUC per segment (ML eval)
+    "lift_gains",             # cumulative gains/lift deciles (ML eval)
+    "naive_bayes_lang",       # multinomial NB train/classify (ML/text)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

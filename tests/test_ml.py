@@ -197,3 +197,100 @@ def test_cem_att_matches_pandas(spark):
             d = syt / nt - syc / nc
             assert abs(row["att_stratum"] - d / 100.0) < 3e-6
     assert len(out) == n_both and n_both > 1
+
+
+def test_roc_auc_matches_sklearn_free_pair_count(spark):
+    from spark_shp.queries_ml import q_roc_auc
+    out = {r["seg"]: r for r in q_roc_auc(spark, SF).collect()}
+    o = (spark.read.parquet(f"{SF}/orders.parquet")
+         .selectExpr("o_orderpriority AS seg",
+                     "CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS s",
+                     "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y")
+         .toPandas())
+    for seg, g in o.groupby("seg"):
+        pos = g[g.y == 1]["s"].to_numpy()
+        neg = g[g.y == 0]["s"].to_numpy()
+        # brute-force pair count (concordant + half-ties)
+        conc = sum(int((p > neg).sum()) for p in pos)
+        ties = sum(int((p == neg).sum()) for p in pos)
+        r = out[seg]
+        assert r["p"] == len(pos) and r["n"] == len(neg)
+        assert r["num2"] == 2 * conc + ties
+        auc = (conc + 0.5 * ties) / (len(pos) * len(neg))
+        assert abs(r["auc"] - auc) < 2e-6
+        assert 0.0 <= r["auc"] <= 1.0
+
+
+def test_lift_gains_laws(spark):
+    from spark_shp.queries_ml import q_lift_gains
+    out = q_lift_gains(spark, SF).toPandas().sort_values("decile")
+    assert list(out["decile"]) == list(range(1, 11))
+    # NTILE balance: decile sizes differ by at most 1
+    assert out["n"].max() - out["n"].min() <= 1
+    # capture is monotone nondecreasing and ends at exactly 1
+    cap = out["capture_q"].to_list()
+    assert all(a <= b for a, b in zip(cap, cap[1:]))
+    assert cap[-1] == 1_000_000
+    # final cumulative lift is exactly 1 (whole population)
+    assert out["lift_q"].iloc[-1] == 1_000_000
+    # exact replay of decile positives from the raw table
+    o = (spark.read.parquet(f"{SF}/orders.parquet")
+         .selectExpr("CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS s",
+                     "o_orderkey AS k",
+                     "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y")
+         .toPandas().sort_values(["s", "k"], ascending=[False, True])
+         .reset_index(drop=True))
+    n = len(o)
+    base, rem = divmod(n, 10)
+    sizes = [base + (1 if i < rem else 0) for i in range(10)]
+    pos_by_decile, at = [], 0
+    for sz in sizes:
+        pos_by_decile.append(int(o["y"].iloc[at:at + sz].sum()))
+        at += sz
+    assert list(out["pos"]) == pos_by_decile
+
+
+def test_naive_bayes_matches_pure_python(spark):
+    import math
+    from collections import Counter
+    from spark_shp.queries_ml import q_naive_bayes
+    out = {(r["true_lang"], r["pred_lang"]): (r["n_docs"], r["doc_checksum"])
+           for r in q_naive_bayes(spark, SF).collect()}
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "lang", "text").collect())
+
+    def qln(x):
+        return math.floor(round(math.log(x), 6) * 1_000_000.0 + 0.5)
+
+    wc, tc, nc, nd, vocab = {}, Counter(), Counter(), 0, set()
+    for r in docs:
+        if r["doc_id"] % 5 != 0:
+            nc[r["lang"]] += 1
+            nd += 1
+            for w in r["text"].split(" "):
+                if w:
+                    wc[(r["lang"], w)] = wc.get((r["lang"], w), 0) + 1
+                    tc[r["lang"]] += 1
+                    vocab.add(w)
+    v = len(vocab)
+    classes = sorted(nc)
+    exp = Counter()
+    chk = Counter()
+    for r in docs:
+        if r["doc_id"] % 5 != 0:
+            continue
+        cnt = Counter(w for w in r["text"].split(" ") if w)
+        if not cnt:
+            continue
+        scores = {}
+        for c in classes:
+            s = qln(nc[c] / nd)
+            for w, k in cnt.items():
+                s += k * qln((wc.get((c, w), 0) + 1) / (tc[c] + v))
+            scores[c] = s
+        pred = min(classes, key=lambda c: (-scores[c], c))
+        exp[(r["lang"], pred)] += 1
+        chk[(r["lang"], pred)] += r["doc_id"]
+    assert out == {k: (exp[k], chk[k]) for k in exp}
+    # non-degenerate: more than one predicted class must appear
+    assert len({p for _, p in exp}) > 1
