@@ -1720,3 +1720,194 @@ QUERIES.update({
     "merkle_diff": (q_merkle_diff, _oracle_merkle()),
     "merge_upsert": (q_merge_upsert, _oracle_merge_upsert()),
 })
+
+
+# --- compaction_plan: sorted-cumsum bin packing of small files -----------------
+#
+# The table-maintenance planner every lakehouse runs nightly: pack each
+# partition's small files into ~TARGET-byte outputs. Greedy sequential
+# packing is normally a sequential scan; expressed as cumulative-bytes-
+# before DIV TARGET it becomes ONE partition-keyed window — every file's
+# output bucket is decided independently from the prefix sum, the shape
+# that plans 10^9 files without a driver loop. "Files" are synthesized
+# from documents (one file per 50-doc ingest batch per source), so the
+# plan runs on real size skew.
+
+CP_BATCH = 50            # docs per simulated ingest file
+CP_TARGET = 4096         # output file target bytes
+CP_OVERHEAD = 64         # per-file format overhead
+
+
+def q_compaction_plan(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    files = (d.selectExpr("source", f"doc_id DIV {CP_BATCH} AS file_id",
+                          "n_chars")
+             .groupBy("source", "file_id")
+             .agg((F.sum("n_chars") + CP_OVERHEAD).alias("bytes")))
+    packed = files.selectExpr(
+        "source", "file_id", "bytes",
+        "COALESCE(SUM(bytes) OVER (PARTITION BY source ORDER BY file_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        f"DIV {CP_TARGET} AS out_file")
+    return (packed.groupBy("source", "out_file")
+            .agg(F.count(F.lit(1)).alias("n_input_files"),
+                 F.sum("bytes").alias("bytes"),
+                 F.min("file_id").alias("first_file"),
+                 F.max("file_id").alias("last_file"))
+            .selectExpr("source", "CAST(out_file AS BIGINT) AS out_file",
+                        "CAST(n_input_files AS BIGINT) AS n_input_files",
+                        "CAST(bytes AS BIGINT) AS bytes",
+                        "CAST(first_file AS BIGINT) AS first_file",
+                        "CAST(last_file AS BIGINT) AS last_file"))
+
+
+def _oracle_compaction() -> str:
+    return f"""
+WITH files AS (
+  SELECT source, doc_id // {CP_BATCH} AS file_id,
+         SUM(n_chars) + {CP_OVERHEAD} AS bytes
+  FROM documents GROUP BY 1, 2),
+packed AS (
+  SELECT source, file_id, bytes,
+         COALESCE(SUM(bytes) OVER (PARTITION BY source ORDER BY file_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {CP_TARGET} AS out_file
+  FROM files)
+SELECT source, CAST(out_file AS BIGINT) AS out_file,
+       CAST(COUNT(*) AS BIGINT) AS n_input_files,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       CAST(MIN(file_id) AS BIGINT) AS first_file,
+       CAST(MAX(file_id) AS BIGINT) AS last_file
+FROM packed GROUP BY 1, 2
+"""
+
+
+# --- zone_map_pruning: min/max file skipping, ingest vs clustered layout -------
+#
+# The data-skipping readout that justifies clustering: per-file min/max
+# zone maps on o_orderdate under TWO layouts — ingestion order (file =
+# key DIV size, dates uncorrelated -> almost nothing prunes) and
+# date-clustered (file = date-rank DIV size -> per-year predicates prune
+# to ~1/7 of files). Reports, per query year, files scanned under each
+# layout and the exact matching rows — the I/O amplification a 100 TB
+# scan pays for NOT clustering. Zone maps are one groupBy per layout;
+# the per-year readout joins 7 predicate rows against file stats.
+
+ZM_FILE = 512            # rows per simulated file
+
+
+def q_zone_map_pruning(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", "CAST(o_orderdate AS DATE) AS d",
+        "YEAR(o_orderdate) AS yr")
+    f_ing = (o.selectExpr(f"o_orderkey DIV {ZM_FILE} AS fid", "d", "yr")
+             .groupBy("fid").agg(F.min("d").alias("lo"),
+                                 F.max("d").alias("hi")))
+    f_srt = (o.selectExpr(
+        f"(ROW_NUMBER() OVER (ORDER BY d, o_orderkey) - 1) DIV {ZM_FILE}"
+        " AS fid", "d")
+        .groupBy("fid").agg(F.min("d").alias("lo"), F.max("d").alias("hi")))
+    yrs = o.groupBy("yr").agg(F.count(F.lit(1)).alias("n_rows"))
+    scan_i = (yrs.join(f_ing, F.expr(
+        "YEAR(lo) <= yr AND YEAR(hi) >= yr"))
+        .groupBy("yr", "n_rows").agg(F.count(F.lit(1)).alias("scan_ingest")))
+    scan_s = (yrs.join(f_srt, F.expr(
+        "YEAR(lo) <= yr AND YEAR(hi) >= yr"))
+        .groupBy("yr").agg(F.count(F.lit(1)).alias("scan_sorted")))
+    nf = f_ing.agg(F.count(F.lit(1)).alias("n_files"))
+    return (scan_i.join(scan_s, "yr").crossJoin(F.broadcast(nf))
+            .selectExpr("CAST(yr AS INT) AS yr",
+                        "CAST(n_rows AS BIGINT) AS n_rows",
+                        "CAST(n_files AS BIGINT) AS n_files",
+                        "CAST(scan_ingest AS BIGINT) AS scan_ingest",
+                        "CAST(scan_sorted AS BIGINT) AS scan_sorted"))
+
+
+def _oracle_zone_map() -> str:
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+         YEAR(o_orderdate) AS yr
+  FROM orders),
+f_ing AS (
+  SELECT o_orderkey // {ZM_FILE} AS fid, MIN(d) AS lo, MAX(d) AS hi
+  FROM o GROUP BY 1),
+f_srt AS (
+  SELECT fid, MIN(d) AS lo, MAX(d) AS hi
+  FROM (SELECT (ROW_NUMBER() OVER (ORDER BY d, o_orderkey) - 1)
+                 // {ZM_FILE} AS fid, d FROM o) t
+  GROUP BY 1),
+yrs AS (SELECT yr, COUNT(*) AS n_rows FROM o GROUP BY 1),
+si AS (
+  SELECT yr, COUNT(*) AS scan_ingest FROM yrs, f_ing
+  WHERE YEAR(lo) <= yr AND YEAR(hi) >= yr GROUP BY 1),
+ss AS (
+  SELECT yr, COUNT(*) AS scan_sorted FROM yrs, f_srt
+  WHERE YEAR(lo) <= yr AND YEAR(hi) >= yr GROUP BY 1)
+SELECT CAST(yrs.yr AS INT) AS yr, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM f_ing) AS BIGINT) AS n_files,
+       CAST(scan_ingest AS BIGINT) AS scan_ingest,
+       CAST(scan_sorted AS BIGINT) AS scan_sorted
+FROM yrs JOIN si ON si.yr = yrs.yr JOIN ss ON ss.yr = yrs.yr
+"""
+
+
+# --- ivm_delta_agg: incremental view maintenance vs full recompute -------------
+#
+# The streaming-materialized-view law: applying a signed delta batch
+# (inserts +1, deletes -1) to a maintained aggregate must equal the
+# full recompute on the final state. The ENGINE runs the incremental
+# program — base aggregate, delta aggregate, one full-outer merge,
+# zero-count rows retired; the ORACLE recomputes from scratch. Two
+# genuinely different plans, one answer. At 100 TB the delta path
+# touches only the batch + the k-row aggregate — the whole point of IVM.
+
+IVM_INS_MOD = 20         # keys % 20 == 0 arrive as the insert batch
+IVM_DEL_MOD = 7          # existing keys % 7 == 0 are deleted
+
+
+def q_ivm_delta_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS k", "o_orderpriority AS pri",
+        "CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS pq")
+    base = o.where(f"k % {IVM_INS_MOD} != 0")
+    base_agg = base.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("bn"), F.sum("pq").alias("bs"))
+    ins = o.where(f"k % {IVM_INS_MOD} = 0").selectExpr(
+        "pri", "CAST(1 AS BIGINT) AS m", "pq")
+    dele = base.where(f"k % {IVM_DEL_MOD} = 0").selectExpr(
+        "pri", "CAST(-1 AS BIGINT) AS m", "pq")
+    delta = (ins.unionByName(dele)
+             .groupBy(F.col("pri").alias("dpri"))
+             .agg(F.sum("m").alias("dn"), F.sum(F.expr("m * pq"))
+                  .alias("ds")))
+    merged = base_agg.join(delta, base_agg["pri"] == delta["dpri"],
+                           "full_outer")
+    return (merged.selectExpr(
+        "COALESCE(pri, dpri) AS pri",
+        "COALESCE(bn, 0) + COALESCE(dn, 0) AS n_rows",
+        "COALESCE(bs, 0) + COALESCE(ds, 0) AS sum_price_q")
+        .where("n_rows > 0")
+        .selectExpr("pri", "CAST(n_rows AS BIGINT) AS n_rows",
+                    "CAST(sum_price_q AS BIGINT) AS sum_price_q"))
+
+
+def _oracle_ivm() -> str:
+    return f"""
+WITH final_state AS (
+  SELECT o_orderpriority AS pri,
+         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS pq
+  FROM orders
+  WHERE o_orderkey % {IVM_INS_MOD} = 0
+     OR o_orderkey % {IVM_DEL_MOD} != 0)
+SELECT pri, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(pq) AS BIGINT) AS sum_price_q
+FROM final_state GROUP BY pri
+"""
+
+
+QUERIES.update({
+    "compaction_plan": (q_compaction_plan, _oracle_compaction()),
+    "zone_map_pruning": (q_zone_map_pruning, _oracle_zone_map()),
+    "ivm_delta_agg": (q_ivm_delta_agg, _oracle_ivm()),
+})

@@ -256,6 +256,9 @@ _TAIL = [
     "roc_auc",                # exact rank-based AUC per segment (ML eval)
     "lift_gains",             # cumulative gains/lift deciles (ML eval)
     "naive_bayes_lang",       # multinomial NB train/classify (ML/text)
+    "compaction_plan",        # small-file bin packing (storage/C1)
+    "zone_map_pruning",       # min/max skipping, layout contrast (C1)
+    "ivm_delta_agg",          # incremental view maintenance law (C6/C12)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -699,3 +699,68 @@ def test_merge_upsert_matches_pandas(spark):
     assert out["update"]["n_restated"] == len(upd)
     assert out["keep"]["n_restated"] == 0
     assert out["update"]["key_checksum"] == sum(upd)
+
+
+def test_compaction_plan_matches_pandas_replay(spark):
+    from spark_shp.queries_analytics import (CP_BATCH, CP_OVERHEAD,
+                                             CP_TARGET, q_compaction_plan)
+    out = q_compaction_plan(spark, SF).toPandas()
+    d = (spark.read.parquet(f"{SF}/documents.parquet")
+         .selectExpr("source", f"doc_id DIV {CP_BATCH} AS file_id",
+                     "n_chars").toPandas())
+    files = (d.groupby(["source", "file_id"])["n_chars"].sum()
+             .reset_index())
+    files["bytes"] = files["n_chars"] + CP_OVERHEAD
+    for src, g in files.groupby("source"):
+        g = g.sort_values("file_id").reset_index(drop=True)
+        cum = g["bytes"].cumsum().shift(fill_value=0)
+        g["out_file"] = cum // CP_TARGET
+        exp = (g.groupby("out_file")
+               .agg(n=("file_id", "size"), b=("bytes", "sum"),
+                    lo=("file_id", "min"), hi=("file_id", "max")))
+        got = out[out["source"] == src].set_index("out_file")
+        assert len(got) == len(exp)
+        for of, r in exp.iterrows():
+            gr = got.loc[of]
+            assert (gr["n_input_files"], gr["bytes"], gr["first_file"],
+                    gr["last_file"]) == (r["n"], r["b"], r["lo"], r["hi"])
+        # output ranges are contiguous, non-interleaved
+        hs = got.sort_index()
+        assert all(a < b for a, b in zip(hs["last_file"],
+                                         hs["first_file"].iloc[1:]))
+
+
+def test_zone_map_pruning_laws(spark):
+    from spark_shp.queries_analytics import ZM_FILE, q_zone_map_pruning
+    out = q_zone_map_pruning(spark, SF).toPandas()
+    assert len(out) >= 5                       # several query years
+    assert out["n_files"].nunique() == 1
+    nf = out["n_files"].iloc[0]
+    for _, r in out.iterrows():
+        # clustering strictly beats ingestion order on every year
+        assert r["scan_sorted"] < r["scan_ingest"]
+        assert r["scan_ingest"] <= nf
+        # a year's rows need at least ceil(rows/ZM_FILE) files
+        assert r["scan_sorted"] >= -(-r["n_rows"] // ZM_FILE)
+    # the headline claim: clustered layout prunes most of the table
+    assert out["scan_sorted"].sum() < 0.5 * out["scan_ingest"].sum()
+
+
+def test_ivm_matches_recompute_and_delta_is_real(spark):
+    from spark_shp.queries_analytics import (IVM_DEL_MOD, IVM_INS_MOD,
+                                             q_ivm_delta_agg)
+    out = {r["pri"]: r for r in q_ivm_delta_agg(spark, SF).collect()}
+    o = (spark.read.parquet(f"{SF}/orders.parquet")
+         .selectExpr("o_orderkey AS k", "o_orderpriority AS pri",
+                     "CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS pq")
+         .toPandas())
+    fin = o[(o.k % IVM_INS_MOD == 0) | (o.k % IVM_DEL_MOD != 0)]
+    exp = fin.groupby("pri").agg(n=("k", "size"), s=("pq", "sum"))
+    assert set(out) == set(exp.index)
+    for pri, r in exp.iterrows():
+        assert out[pri]["n_rows"] == r["n"]
+        assert out[pri]["sum_price_q"] == r["s"]
+    # both batch kinds were non-empty (the law is vacuous otherwise)
+    base = o[o.k % IVM_INS_MOD != 0]
+    assert (base.k % IVM_DEL_MOD == 0).sum() > 0
+    assert (o.k % IVM_INS_MOD == 0).sum() > 0
