@@ -4148,3 +4148,175 @@ QUERIES.update({
     "image_curation_pipeline": (q_image_curation_pipeline,
                                 _oracle_pipeline()),
 })
+
+
+# --- buffer_dissolve_cells: morphological buffer + region dissolve -------------
+#
+# The GIS buffer->dissolve pipeline on the cell lattice: each nation
+# fence's level-6 cover is DILATED by one Chebyshev ring (the engine's
+# cell_ring Arrow kernel — the same operator the kNN ring expansion
+# uses), then DISSOLVED per region (distinct-cell union, the ST_Union
+# equivalent that needs no geometry library at 100 TB: a groupBy on
+# cell_id). Reports per region the union size vs the Σ of per-nation
+# buffered covers — the overlap a dissolve removes. The oracle exploits
+# that a rectangle's ring-1 dilation is the clamped expanded rectangle,
+# so gate equality proves the Arrow ring kernel against closed-form
+# box arithmetic.
+
+BD_LVL = 6
+
+
+def q_buffer_dissolve(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import types as T
+    from . import spatial
+    from .queries_spatial import _nation_fences_df
+
+    polys = _nation_fences_df(spark, sf_dir)
+    cov = spatial.polygon_cover(polys, BD_LVL)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def ring1(cell: pd.Series) -> pd.Series:
+        r = cells.cell_ring(cell.to_numpy(), 1)
+        return pd.Series([row[row >= 0].tolist() for row in r])
+
+    dil = (cov.select("poly_id", F.explode(ring1(F.col("cell_id")))
+                      .alias("cell"))
+           .distinct())
+    n = _t(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey", "n_regionkey AS region")
+    d = dil.join(F.broadcast(n), dil["poly_id"] == n["n_nationkey"])
+    per_nation = d.groupBy("region", "poly_id").agg(
+        F.count(F.lit(1)).alias("nc"))
+    union = (d.select("region", "cell").distinct()
+             .groupBy("region")
+             .agg(F.count(F.lit(1)).alias("cells_union"),
+                  F.sum("cell").alias("cell_checksum")))
+    tot = per_nation.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("nc").alias("cells_sum"))
+    return (tot.join(union, "region")
+            .selectExpr("CAST(region AS BIGINT) AS region",
+                        "CAST(n_nations AS BIGINT) AS n_nations",
+                        "CAST(cells_sum AS BIGINT) AS cells_sum",
+                        "CAST(cells_union AS BIGINT) AS cells_union",
+                        "CAST(cell_checksum AS BIGINT) AS cell_checksum"))
+
+
+def _oracle_buffer_dissolve() -> str:
+    _bn = 1 << BD_LVL
+    f = float(_bn)
+    return f"""
+WITH fences AS (
+  SELECT n_nationkey, n_regionkey AS region,
+         {fixtures.NATION_CLON_SQL} AS cx, {fixtures.NATION_CLAT_SQL} AS cy,
+         {fixtures.NATION_HALF_SQL} AS hw
+  FROM nation),
+bounds AS (
+  SELECT n_nationkey, region,
+         GREATEST(0, LEAST({_bn - 1}, CAST(FLOOR((cx - hw + 180.0) / 360.0 * {f!r}) AS BIGINT)) - 1) AS ix0,
+         LEAST({_bn - 1}, LEAST({_bn - 1}, CAST(FLOOR((cx + hw + 180.0) / 360.0 * {f!r}) AS BIGINT)) + 1) AS ix1,
+         GREATEST(0, LEAST({_bn - 1}, CAST(FLOOR((cy - hw + 85.0) / 170.0 * {f!r}) AS BIGINT)) - 1) AS iy0,
+         LEAST({_bn - 1}, LEAST({_bn - 1}, CAST(FLOOR((cy + hw + 85.0) / 170.0 * {f!r}) AS BIGINT)) + 1) AS iy1
+  FROM fences),
+dil AS (
+  SELECT n_nationkey, region,
+         {cells.morton_sql('gx.x', 'gy.y')} * {1 << cells.LEVEL_BITS} + {BD_LVL} AS cell
+  FROM bounds,
+       LATERAL (SELECT UNNEST(GENERATE_SERIES(ix0, ix1)) AS x) gx,
+       LATERAL (SELECT UNNEST(GENERATE_SERIES(iy0, iy1)) AS y) gy),
+per_nation AS (
+  SELECT region, n_nationkey, COUNT(*) AS nc
+  FROM dil GROUP BY 1, 2),
+uni AS (
+  SELECT region, COUNT(*) AS cells_union, SUM(cell) AS cell_checksum
+  FROM (SELECT DISTINCT region, cell FROM dil) u GROUP BY 1)
+SELECT CAST(t.region AS BIGINT) AS region,
+       CAST(t.n_nations AS BIGINT) AS n_nations,
+       CAST(t.cells_sum AS BIGINT) AS cells_sum,
+       CAST(u.cells_union AS BIGINT) AS cells_union,
+       CAST(u.cell_checksum AS BIGINT) AS cell_checksum
+FROM (SELECT region, COUNT(*) AS n_nations, SUM(nc) AS cells_sum
+      FROM per_nation GROUP BY 1) t
+JOIN uni u ON u.region = t.region
+"""
+
+
+# --- contour_segments: marching squares over a synthetic DEM -------------------
+#
+# The raster iso-line extractor (completes the hillshade/slope/flow
+# terrain family): for each 2x2 block of an integer paraboloid DEM,
+# the 4-bit inside/outside case indexes the marching-squares segment
+# count (0/15 -> 0; 5/10 -> the 2-segment saddles; else 1). The DEM is
+# closed-form — z = (2x-G+1)^2 + (2y-G+1)^2, always ≡ 2 (mod 8) — and
+# every iso level is ≡ 0 (mod 8), so the strict > corner test can never
+# tie and the case is engine-independent exact. Map-only over G^2 cells
+# (pure codegen, no join, no Python) + a 4-row groupBy; at a 10^6-pixel
+# raster per image this is the mapInPandas shape the codec kernels use.
+
+CT_G = 128
+CT_LEVELS = (2048, 8192, 18432, 28800)
+
+
+def _ct_case_sql(lvl: str) -> str:
+    z = "((2 * {x} - {g})*(2 * {x} - {g}) + (2 * {y} - {g})*(2 * {y} - {g}))"
+    g = CT_G - 1
+    c00 = z.format(x="x", y="y", g=g)
+    c10 = z.format(x="(x + 1)", y="y", g=g)
+    c01 = z.format(x="x", y="(y + 1)", g=g)
+    c11 = z.format(x="(x + 1)", y="(y + 1)", g=g)
+    return (f"(CASE WHEN {c00} > {lvl} THEN 1 ELSE 0 END"
+            f" + CASE WHEN {c10} > {lvl} THEN 2 ELSE 0 END"
+            f" + CASE WHEN {c01} > {lvl} THEN 4 ELSE 0 END"
+            f" + CASE WHEN {c11} > {lvl} THEN 8 ELSE 0 END)")
+
+
+def q_contour_segments(spark, sf_dir):
+    g1 = CT_G - 1
+    anchors = spark.range(0, g1 * g1, 1, 8).selectExpr(
+        f"id % {g1} AS x", f"id DIV {g1} AS y")
+    lv = anchors.selectExpr(
+        "x", "y",
+        "explode(array(" + ",".join(str(v) for v in CT_LEVELS)
+        + ")) AS lvl")
+    c = lv.selectExpr("lvl", "x", "y", _ct_case_sql("lvl") + " AS cs")
+    return (c.groupBy("lvl")
+            .agg(F.sum(F.expr("CASE WHEN cs IN (0, 15) THEN 0 ELSE 1 END"))
+                 .alias("n_cut"),
+                 F.sum(F.expr("CASE WHEN cs IN (0, 15) THEN 0 "
+                              "WHEN cs IN (5, 10) THEN 2 ELSE 1 END"))
+                 .alias("n_segments"),
+                 F.sum(F.expr(f"cs * (y * {g1} + x + 1)"))
+                 .alias("checksum"))
+            .selectExpr("CAST(lvl AS BIGINT) AS lvl",
+                        "CAST(n_cut AS BIGINT) AS n_cut",
+                        "CAST(n_segments AS BIGINT) AS n_segments",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_contour() -> str:
+    g1 = CT_G - 1
+    return f"""
+WITH anchors AS (
+  SELECT i % {g1} AS x, i // {g1} AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {g1 * g1 - 1})) AS i) t),
+lv AS (
+  SELECT x, y, lvl FROM anchors,
+  (VALUES {", ".join(f"({v})" for v in CT_LEVELS)}) AS lvs(lvl)),
+c AS (
+  SELECT lvl, x, y, {_ct_case_sql("lvl")} AS cs FROM lv)
+SELECT CAST(lvl AS BIGINT) AS lvl,
+       CAST(SUM(CASE WHEN cs IN (0, 15) THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_cut,
+       CAST(SUM(CASE WHEN cs IN (0, 15) THEN 0
+                WHEN cs IN (5, 10) THEN 2 ELSE 1 END) AS BIGINT)
+         AS n_segments,
+       CAST(SUM(cs * (y * {g1} + x + 1)) AS BIGINT) AS checksum
+FROM c GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "buffer_dissolve_cells": (q_buffer_dissolve, _oracle_buffer_dissolve()),
+    "contour_segments": (q_contour_segments, _oracle_contour()),
+})

@@ -259,6 +259,8 @@ _TAIL = [
     "compaction_plan",        # small-file bin packing (storage/C1)
     "zone_map_pruning",       # min/max skipping, layout contrast (C1)
     "ivm_delta_agg",          # incremental view maintenance law (C6/C12)
+    "buffer_dissolve_cells",  # ring-dilate + dissolve union (B3/B4 GIS)
+    "contour_segments",       # marching-squares iso-lines (B3 terrain)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",
