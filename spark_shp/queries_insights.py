@@ -4320,3 +4320,196 @@ QUERIES.update({
     "buffer_dissolve_cells": (q_buffer_dissolve, _oracle_buffer_dissolve()),
     "contour_segments": (q_contour_segments, _oracle_contour()),
 })
+
+
+# --- viewshed_los: scan-line line-of-sight over a procedural DEM ---------------
+#
+# The viewshed operator (completes the terrain family: hillshade ->
+# slope -> contours -> visibility): an observer with a MAST-high antenna
+# sits at the west end of every row of a wavy integer DEM; a cell is
+# visible iff its elevation angle STRICTLY exceeds the running maximum
+# of every nearer cell on the ray (the classic scan-line viewshed).
+# Spark shape: one window per ray (PARTITION BY ray ORDER BY distance,
+# ROWS UNBOUNDED PRECEDING .. 1 PRECEDING) -- at 100 TB this is the
+# linear per-ray sweep, partition-parallel across rays, zero Python.
+# Angles are one literal int->double division, so the strict-> compare
+# is bit-deterministic on both engines (IEEE div of exact ints).
+
+VS_G = 256   # cells per ray (targets x = 1 .. VS_G - 1)
+VS_R = 64    # rays
+VS_MAST = 50
+
+
+def _vs_z_sql(x: str, y: str) -> str:
+    from .hashing import mix_sql
+    return f"({mix_sql(f'({y}) * 4096 + ({x})')} % 1024)"
+
+
+_VS_ANG = "(CAST(z - z0 AS DOUBLE) / CAST(x AS DOUBLE))"
+_VS_WIN = ("MAX(ang) OVER (PARTITION BY y ORDER BY x "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)")
+_VS_OUT = (
+    "CAST(band AS BIGINT) AS band",
+    "CAST(COUNT(*) AS BIGINT) AS n_cells",
+    "CAST(SUM(vis) AS BIGINT) AS n_visible",
+    "CAST(SUM(vis * (x + y * 4096)) AS BIGINT) AS vis_checksum",
+    "CAST(SUM(vis * z) AS BIGINT) AS vis_elev_sum",
+)
+
+
+def q_viewshed_los(spark, sf_dir):
+    base = spark.range(0, VS_R * (VS_G - 1), 1, 8).selectExpr(
+        f"id % {VS_G - 1} + 1 AS x", f"id DIV {VS_G - 1} AS y")
+    z = base.selectExpr(
+        "x", "y", f"{_vs_z_sql('x', 'y')} AS z",
+        f"{_vs_z_sql('0', 'y')} + {VS_MAST} AS z0")
+    a = z.selectExpr("x", "y", "z", f"{_VS_ANG} AS ang")
+    v = a.selectExpr("x", "y", "z", "ang", f"{_VS_WIN} AS runmax")
+    vis = v.selectExpr(
+        "x", "y", "z", f"y DIV 8 AS band",
+        "CASE WHEN runmax IS NULL OR ang > runmax THEN 1 ELSE 0 END AS vis")
+    agg = vis.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("vis").alias("n_visible"),
+        F.sum(F.expr("vis * (x + y * 4096)")).alias("vis_checksum"),
+        F.sum(F.expr("vis * z")).alias("vis_elev_sum"))
+    return agg.selectExpr(
+        "CAST(band AS BIGINT) AS band",
+        "CAST(n_cells AS BIGINT) AS n_cells",
+        "CAST(n_visible AS BIGINT) AS n_visible",
+        "CAST(vis_checksum AS BIGINT) AS vis_checksum",
+        "CAST(vis_elev_sum AS BIGINT) AS vis_elev_sum")
+
+
+def _oracle_viewshed() -> str:
+    return f"""
+WITH base AS (
+  SELECT i % {VS_G - 1} + 1 AS x, i // {VS_G - 1} AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {VS_R * (VS_G - 1) - 1})) AS i) t),
+z AS (
+  SELECT x, y, {_vs_z_sql('x', 'y')} AS z,
+         {_vs_z_sql('0', 'y')} + {VS_MAST} AS z0
+  FROM base),
+a AS (SELECT x, y, z, {_VS_ANG} AS ang FROM z),
+v AS (SELECT x, y, z, ang, {_VS_WIN} AS runmax FROM a),
+vis AS (
+  SELECT x, y, z, y // 8 AS band,
+         CASE WHEN runmax IS NULL OR ang > runmax THEN 1 ELSE 0 END AS vis
+  FROM v)
+SELECT {', '.join(_VS_OUT)}
+FROM vis GROUP BY band
+"""
+
+
+# --- snap_nearest_edge: map-matching points to the nearest polyline edge -------
+#
+# The map-matching primitive (snap GPS points to road segments): every
+# event point snaps to its nearest nation-fence edge by clamped
+# point-to-segment distance.  ONE dialect-shared SQL string runs on
+# both engines: the small edge layer (|nations| x 4 rows) broadcasts
+# under AQE, so the plan is a broadcast nested-loop + one exact-int
+# argmin aggregation -- linear in points, never all-pairs on the big
+# side.  Determinism: distance^2 is one literal float expression of
+# exact inputs, floor-quantized to 1e-6 deg^2 BEFORE the argmin, and
+# the argmin key packs (d2q, nationkey) into one BIGINT so MIN() is an
+# exact integer total order (no float tie ambiguity can reach output).
+
+def _snap_sql() -> str:
+    from .queries_spatial import EVENT_POINTS_SQL
+    return f"""
+WITH st0 AS (
+  SELECT e.event_id, g.n_nationkey,
+         e.lon - g.x1 AS wx, e.lat - g.y1 AS wy,
+         g.x2 - g.x1 AS dx, g.y2 - g.y1 AS dy
+  FROM {EVENT_POINTS_SQL} e
+  CROSS JOIN {fixtures.nation_edges_sql()} g),
+st1 AS (
+  SELECT event_id, n_nationkey, wx, wy, dx, dy,
+         LEAST(1.0, GREATEST(0.0, (wx * dx + wy * dy)
+                                  / (dx * dx + dy * dy))) AS tc
+  FROM st0),
+st2 AS (
+  SELECT event_id, n_nationkey,
+         CAST(FLOOR(((wx - tc * dx) * (wx - tc * dx)
+                     + (wy - tc * dy) * (wy - tc * dy)) * 1000000.0)
+              AS BIGINT) AS d2q
+  FROM st1),
+m AS (
+  SELECT event_id, MIN(d2q * 32 + n_nationkey) AS k
+  FROM st2 GROUP BY event_id),
+dec AS (
+  SELECT event_id, k % 32 AS nation,
+         CAST((k - (k % 32)) / 32.0 AS BIGINT) AS d2q
+  FROM m)
+SELECT CAST(nation AS BIGINT) AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(d2q) AS BIGINT) AS sum_d2q,
+       CAST(MIN(d2q) AS BIGINT) AS min_d2q,
+       CAST(MAX(d2q) AS BIGINT) AS max_d2q
+FROM dec GROUP BY nation
+"""
+
+
+def q_snap_nearest_edge(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_snap_sql())
+
+
+# --- kneser_ney_bigram: interpolated Kneser-Ney bigram LM from counts ----------
+#
+# The LM-training step between raw token counts and held-out perplexity
+# (lm_heldout_perplexity): interpolated Kneser-Ney with absolute
+# discount d = 0.75 --
+#   P_kn(w|v) = max(c(vw) - d, 0)/c(v.) + d * N1+(v.)/c(v.) * N1+(.w)/T
+# where N1+ are continuation type counts and T = |distinct bigrams|.
+# Everything derives from three exact-int count tables (one shuffle
+# each) + a broadcast 1-row total; the probability composes the ints in
+# ONE literal float expression shared with the oracle.  Top-20 by
+# (count, v, w) via orderBy+limit = TakeOrdered, no global sort.
+
+_PKN = ("(GREATEST(CAST(c_vw AS DOUBLE) - 0.75, 0.0) / CAST(c_v AS DOUBLE)"
+        " + 0.75 * CAST(n1p_v AS DOUBLE) / CAST(c_v AS DOUBLE)"
+        " * (CAST(n1p_w AS DOUBLE) / CAST(bt AS DOUBLE)))")
+
+
+def q_kneser_ney_bigram(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("v"), b.alias("w")))
+    bg = d.select(F.explode(bigrams).alias("b")).select("b.v", "b.w")
+    cvw = bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    cv = cvw.groupBy("v").agg(F.sum("c_vw").alias("c_v"),
+                              F.count(F.lit(1)).alias("n1p_v"))
+    nw = cvw.groupBy("w").agg(F.count(F.lit(1)).alias("n1p_w"))
+    tot = cvw.groupBy().agg(F.count(F.lit(1)).alias("bt"))
+    j = (cvw.join(cv, "v").join(nw, "w").crossJoin(F.broadcast(tot)))
+    top = j.orderBy(F.desc("c_vw"), "v", "w").limit(20)
+    return top.selectExpr("v", "w", "CAST(c_vw AS BIGINT) AS c_vw",
+                          f"ROUND({_PKN}, 6) AS p_kn")
+
+
+ORACLE_KNESER_NEY = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+bg AS (
+  SELECT ts[u.i] AS v, ts[u.i + 1] AS w
+  FROM toks, UNNEST(range(1, len(ts))) AS u(i)),
+cvw AS (SELECT v, w, COUNT(*) AS c_vw FROM bg GROUP BY 1, 2),
+cv AS (SELECT v, SUM(c_vw) AS c_v, COUNT(*) AS n1p_v FROM cvw GROUP BY 1),
+nw AS (SELECT w, COUNT(*) AS n1p_w FROM cvw GROUP BY 1),
+t AS (SELECT COUNT(*) AS bt FROM cvw)
+SELECT cvw.v, cvw.w, CAST(c_vw AS BIGINT) AS c_vw,
+       ROUND({_PKN}, 6) AS p_kn
+FROM cvw JOIN cv USING (v) JOIN nw USING (w) CROSS JOIN t
+ORDER BY c_vw DESC, cvw.v, cvw.w LIMIT 20
+"""
+
+
+QUERIES.update({
+    "viewshed_los": (q_viewshed_los, _oracle_viewshed()),
+    "snap_nearest_edge": (q_snap_nearest_edge, _snap_sql()),
+    "kneser_ney_bigram": (q_kneser_ney_bigram, ORACLE_KNESER_NEY),
+})

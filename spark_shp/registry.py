@@ -261,6 +261,9 @@ _TAIL = [
     "ivm_delta_agg",          # incremental view maintenance law (C6/C12)
     "buffer_dissolve_cells",  # ring-dilate + dissolve union (B3/B4 GIS)
     "contour_segments",       # marching-squares iso-lines (B3 terrain)
+    "viewshed_los",           # scan-line visibility (B3 terrain family)
+    "snap_nearest_edge",      # map-matching snap to nearest edge (B6/B7)
+    "kneser_ney_bigram",      # interpolated KN bigram LM (text/LM family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -1402,3 +1402,101 @@ def test_image_pipeline_dedup_and_filters(spark):
     # at least one planted duplicate must actually flow through (else the
     # dedup stage is untested)
     assert n_with_dups > n_surv
+
+
+def test_viewshed_los_matches_sequential_walk(spark):
+    """Per-ray sequential line-of-sight walk over the procedural DEM must
+    reproduce the gated band aggregates (strict-> visibility rule)."""
+    from spark_shp.queries_insights import (VS_G, VS_MAST, VS_R,
+                                            q_viewshed_los)
+    exp = {}
+    for y in range(VS_R):
+        z0 = int(mix(y * 4096) % 1024) + VS_MAST
+        runmax = None
+        for x in range(1, VS_G):
+            z = int(mix(y * 4096 + x) % 1024)
+            ang = (z - z0) / x
+            vis = runmax is None or ang > runmax
+            runmax = ang if runmax is None else max(runmax, ang)
+            b = y // 8
+            st = exp.setdefault(b, [0, 0, 0, 0])
+            st[0] += 1
+            if vis:
+                st[1] += 1
+                st[2] += x + y * 4096
+                st[3] += z
+    got = {r["band"]: [r["n_cells"], r["n_visible"], r["vis_checksum"],
+                       r["vis_elev_sum"]]
+           for r in q_viewshed_los(spark, SF).collect()}
+    assert got == exp
+    # the DEM must actually occlude something (else the window is untested)
+    assert any(st[1] < st[0] for st in exp.values())
+
+
+def test_snap_nearest_edge_matches_bruteforce(spark):
+    """numpy all-pairs clamped point-to-segment distance must agree with
+    the gated argmin snap (including the packed-int tiebreak)."""
+    from spark_shp.fixtures import nation_fences_np
+    from spark_shp.queries_insights import q_snap_nearest_edge
+
+    ev, lon, lat = _event_points(SF)
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    keys = nat["n_nationkey"].to_numpy(dtype=np.int64)
+    cx, cy, hw = nation_fences_np(keys)
+    corners = [(-1, -1), (-1, 1), (1, 1), (1, -1), (-1, -1)]
+    e_key, x1, y1, x2, y2 = [], [], [], [], []
+    for i, k in enumerate(keys):
+        for e in range(4):
+            (sx1, sy1), (sx2, sy2) = corners[e], corners[e + 1]
+            e_key.append(k)
+            x1.append(cx[i] + sx1 * hw[i]); y1.append(cy[i] + sy1 * hw[i])
+            x2.append(cx[i] + sx2 * hw[i]); y2.append(cy[i] + sy2 * hw[i])
+    e_key = np.array(e_key); x1 = np.array(x1); y1 = np.array(y1)
+    dx = np.array(x2) - x1; dy = np.array(y2) - y1
+    agg = {}
+    for p in range(len(lon)):
+        wx = lon[p] - x1; wy = lat[p] - y1
+        tc = np.minimum(1.0, np.maximum(0.0, (wx * dx + wy * dy)
+                                        / (dx * dx + dy * dy)))
+        d2 = (wx - tc * dx) ** 2 + (wy - tc * dy) ** 2
+        d2q = np.floor(d2 * 1e6).astype(np.int64)
+        k = int((d2q * 32 + e_key).min())
+        nation, dq = k % 32, k // 32
+        st = agg.setdefault(nation, [0, 0, None, None])
+        st[0] += 1; st[1] += dq
+        st[2] = dq if st[2] is None else min(st[2], dq)
+        st[3] = dq if st[3] is None else max(st[3], dq)
+    got = {r["nation"]: [r["n_events"], r["sum_d2q"], r["min_d2q"],
+                         r["max_d2q"]]
+           for r in q_snap_nearest_edge(spark, SF).collect()}
+    assert got == agg
+
+
+def test_kneser_ney_matches_sequential(spark):
+    """Sequential python interpolated-KN trainer must reproduce the gated
+    top-20 bigram probabilities."""
+    from collections import Counter
+
+    from spark_shp.queries_insights import q_kneser_ney_bigram
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    cvw = Counter()
+    for t in docs["text"]:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            cvw[(a, b)] += 1
+    cv = Counter(); n1p_v = Counter(); n1p_w = Counter()
+    for (v, w), c in cvw.items():
+        cv[v] += c; n1p_v[v] += 1; n1p_w[w] += 1
+    bt = len(cvw)
+    top = sorted(cvw.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    exp = {}
+    for (v, w), c in top:
+        p = (max(c - 0.75, 0.0) / cv[v]
+             + 0.75 * n1p_v[v] / cv[v] * (n1p_w[w] / bt))
+        exp[(v, w)] = (c, round(p, 6))
+    got = {(r["v"], r["w"]): (r["c_vw"], r["p_kn"])
+           for r in q_kneser_ney_bigram(spark, SF).collect()}
+    assert got == exp
+    # probabilities must be proper and discounting must bite
+    assert all(0.0 < p <= 1.0 for _, p in exp.values())
