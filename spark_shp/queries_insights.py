@@ -4513,3 +4513,183 @@ QUERIES.update({
     "snap_nearest_edge": (q_snap_nearest_edge, _snap_sql()),
     "kneser_ney_bigram": (q_kneser_ney_bigram, ORACLE_KNESER_NEY),
 })
+
+
+# --- url_domain_stats: URL parsing + domain-level curation audit ---------------
+#
+# The RefinedWeb/C4 URL-filtering step: every document gets a
+# deterministic synthetic URL (subdomain/domain/TLD drawn from fixed
+# alphabets via the shared integer mix), the host and REGISTERED domain
+# are extracted back out with regexp_extract (bracket-class patterns
+# only -- the pii_scrub backslash rule), and the corpus rolls up per
+# registered domain with a blocklist verdict.  ONE dialect-shared SQL
+# string runs on both engines; at 100 TB the regex is per-row JVM
+# codegen and the rollup is one map-side-combined groupBy on a
+# low-cardinality key.
+
+_URL_SUBS = ("www", "blog", "m", "news")
+_URL_DOMS = ("acme", "globex", "initech", "umbrella",
+             "hooli", "stark", "wayne", "spamco")
+_URL_TLDS = ("com", "org", "biz")
+URL_BLOCKLIST = ("spamco.com", "spamco.org", "spamco.biz", "hooli.biz")
+
+
+def _url_case(col: str, salt: int, vals) -> str:
+    from .hashing import mix_sql
+    arms = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(vals))
+    return f"(CASE {mix_sql(f'doc_id * 7 + {salt}')} % {len(vals)} {arms} END)"
+
+
+def _url_sql() -> str:
+    block = ", ".join(f"'{d}'" for d in URL_BLOCKLIST)
+    return f"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+         'https://' || {_url_case('doc_id', 1, _URL_SUBS)} || '.'
+          || {_url_case('doc_id', 2, _URL_DOMS)} || '.'
+          || {_url_case('doc_id', 3, _URL_TLDS)}
+          || '/p/' || CAST(doc_id AS BIGINT) || '/' AS url
+  FROM documents),
+h AS (
+  SELECT doc_id, n_chars,
+         regexp_extract(url, 'https://([^/]+)/', 1) AS host
+  FROM u),
+r AS (
+  SELECT doc_id, n_chars, host,
+         regexp_extract(host, '[a-z0-9]+[.]([a-z0-9]+[.][a-z]+)$', 1)
+           AS rdom
+  FROM h)
+SELECT rdom AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(CASE WHEN rdom IN ({block}) THEN 1 ELSE 0 END AS BIGINT)
+         AS blocked
+FROM r GROUP BY rdom
+"""
+
+
+def q_url_domain_stats(spark, sf_dir):
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_url_sql())
+
+
+# --- decision_stump: best 1-feature split by weighted Gini impurity ------------
+#
+# The CART/GBDT split-finding primitive (one boosting round's inner
+# loop): orders bucket by price (FLOOR(total/1000)), the label is
+# o_orderstatus = 'F', and the best threshold minimizes the weighted
+# Gini impurity of the induced left/right partition.  Shape at 100 TB:
+# ONE map-side-combined groupBy to per-bucket (n, pos) counts (bounded
+# by the bucket alphabet, ~550 rows), then windows/argmin on the tiny
+# aggregate -- the corpus is touched exactly once.  Determinism: the
+# impurity is one literal float expression of exact ints (IEEE-identical
+# on both engines), quantized to int64 BEFORE the argmin, and the argmin
+# key packs (q_impurity, bucket) so MIN() is an exact-integer total
+# order -- no float tie ambiguity can reach the output.
+
+_STUMP_G = ("(CAST({p} AS DOUBLE) / CAST({n} AS DOUBLE))"
+            " * (CAST(({n}) - ({p}) AS DOUBLE) / CAST({n} AS DOUBLE))")
+
+
+def _stump_wg() -> str:
+    gl = _STUMP_G.format(p="posl", n="nl")
+    gr = _STUMP_G.format(p="pos - posl", n="n - nl")
+    return (f"(CAST(nl AS DOUBLE) / CAST(n AS DOUBLE)) * ({gl})"
+            f" + (CAST(n - nl AS DOUBLE) / CAST(n AS DOUBLE)) * ({gr})")
+
+
+def _stump_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bkt,
+         COUNT(*) AS nb,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS posb
+  FROM orders GROUP BY 1),
+c AS (
+  SELECT bkt, nb, posb,
+         SUM(nb) OVER (ORDER BY bkt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS nl,
+         SUM(posb) OVER (ORDER BY bkt
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS posl,
+         SUM(nb) OVER () AS n, SUM(posb) OVER () AS pos
+  FROM b),
+s AS (
+  SELECT bkt, nl, posl, n, pos,
+         CAST(FLOOR(({_stump_wg()}) * 1000000000000) AS BIGINT) AS qwg
+  FROM c WHERE nl < n),
+m AS (SELECT MIN(qwg * 4096 + bkt) AS k FROM s)
+SELECT CAST(s.bkt AS BIGINT) AS split_bucket,
+       CAST(s.nl AS BIGINT) AS n_left,
+       CAST(s.posl AS BIGINT) AS pos_left,
+       CAST(s.n - s.nl AS BIGINT) AS n_right,
+       CAST(s.pos - s.posl AS BIGINT) AS pos_right,
+       CAST(s.qwg AS BIGINT) AS q_impurity
+FROM s JOIN m ON s.qwg * 4096 + s.bkt = m.k
+"""
+
+
+def q_decision_stump(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_stump_sql())
+
+
+# --- graph_modularity: community quality of the co-ordered-parts graph --------
+#
+# Newman modularity per community over the co-purchase graph (nodes =
+# parts, simple undirected edges = distinct same-order part pairs,
+# communities = p_brand): q_c = m_c/m - (D_c/2m)^2.  The edge set comes
+# from ONE orderkey-keyed self-join (fan-out bounded by lineitems per
+# order), degrees/within-edges are exact-int aggregates, and each q_c
+# composes the ints in ONE literal float expression (the
+# spatial_autocorr rule) -- bit-identical at any aggregation order.
+
+def _modularity_sql() -> str:
+    q_lit = ("ROUND(CAST(mc AS DOUBLE) / CAST(m AS DOUBLE)"
+             " - (CAST(dc AS DOUBLE) / CAST(2 * m AS DOUBLE))"
+             " * (CAST(dc AS DOUBLE) / CAST(2 * m AS DOUBLE)), 6)")
+    return f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT pk, COUNT(*) AS d FROM (
+    SELECT pa AS pk FROM e UNION ALL SELECT pb AS pk FROM e) t
+  GROUP BY pk),
+nb AS (
+  SELECT deg.pk, deg.d, part.p_brand AS brand
+  FROM deg JOIN part ON deg.pk = part.p_partkey),
+mtot AS (SELECT COUNT(*) AS m FROM e),
+within AS (
+  SELECT x.p_brand AS brand, COUNT(*) AS mc
+  FROM e JOIN part x ON e.pa = x.p_partkey
+         JOIN part y ON e.pb = y.p_partkey
+  WHERE x.p_brand = y.p_brand GROUP BY 1),
+dsum AS (SELECT brand, SUM(d) AS dc, COUNT(*) AS n_parts FROM nb GROUP BY 1)
+SELECT dsum.brand,
+       CAST(dsum.n_parts AS BIGINT) AS n_parts,
+       CAST(dsum.dc AS BIGINT) AS degree_sum,
+       CAST(COALESCE(within.mc, 0) AS BIGINT) AS m_within,
+       CAST(mtot.m AS BIGINT) AS m_total,
+       CASE WHEN mtot.m > 0 THEN {q_lit.replace('mc', 'COALESCE(within.mc, 0)')}
+            ELSE NULL END AS q_c
+FROM dsum LEFT JOIN within ON dsum.brand = within.brand
+CROSS JOIN mtot
+"""
+
+
+def q_graph_modularity(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_modularity_sql())
+
+
+QUERIES.update({
+    "url_domain_stats": (q_url_domain_stats, _url_sql()),
+    "decision_stump": (q_decision_stump, _stump_sql()),
+    "graph_modularity": (q_graph_modularity, _modularity_sql()),
+})

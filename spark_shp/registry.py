@@ -264,6 +264,10 @@ _TAIL = [
     "viewshed_los",           # scan-line visibility (B3 terrain family)
     "snap_nearest_edge",      # map-matching snap to nearest edge (B6/B7)
     "kneser_ney_bigram",      # interpolated KN bigram LM (text/LM family)
+    "url_domain_stats",       # URL parse + domain blocklist curation (text)
+    "decision_stump",         # CART split gain by weighted Gini (ML)
+    "graph_modularity",       # Newman community quality (graph)
+    "audio_resample_stats",   # 3:2 linear-interp resample (multimodal)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

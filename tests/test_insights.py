@@ -1500,3 +1500,133 @@ def test_kneser_ney_matches_sequential(spark):
     assert got == exp
     # probabilities must be proper and discounting must bite
     assert all(0.0 < p <= 1.0 for _, p in exp.values())
+
+
+def test_url_domain_stats_matches_pandas(spark):
+    """Pure-python URL synthesis + suffix extraction must reproduce the
+    gated per-domain rollup (including the blocklist verdict)."""
+    from spark_shp.queries_insights import (URL_BLOCKLIST, _URL_DOMS,
+                                            _URL_SUBS, _URL_TLDS,
+                                            q_url_domain_stats)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    ids = docs["doc_id"].to_numpy(dtype=np.int64)
+    sub = [_URL_SUBS[int(mix(i * 7 + 1) % 4)] for i in ids]
+    dom = [_URL_DOMS[int(mix(i * 7 + 2) % 8)] for i in ids]
+    tld = [_URL_TLDS[int(mix(i * 7 + 3) % 3)] for i in ids]
+    df = pd.DataFrame({
+        "host": [f"{s}.{d}.{t}" for s, d, t in zip(sub, dom, tld)],
+        "rdom": [f"{d}.{t}" for d, t in zip(dom, tld)],
+        "n_chars": docs["n_chars"].to_numpy(), "doc_id": ids})
+    exp = {}
+    for rdom, g in df.groupby("rdom"):
+        exp[rdom] = (len(g), g["host"].nunique(), int(g["n_chars"].sum()),
+                     int(g["doc_id"].sum()),
+                     1 if rdom in URL_BLOCKLIST else 0)
+    got = {r["domain"]: (r["n_docs"], r["n_hosts"], r["sum_chars"],
+                         r["id_checksum"], r["blocked"])
+           for r in q_url_domain_stats(spark, SF).collect()}
+    assert got == exp
+    assert any(b for *_, b in exp.values())    # blocklist must bite
+
+
+def test_decision_stump_matches_numpy_argmin(spark):
+    """Brute-force float Gini over every candidate split must pick the
+    same bucket the packed-int argmin picks."""
+    from spark_shp.queries_insights import q_decision_stump
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    bkt = np.floor(orders["o_totalprice"].to_numpy() / 1000).astype(np.int64)
+    pos = (orders["o_orderstatus"] == "F").to_numpy().astype(np.int64)
+    df = pd.DataFrame({"b": bkt, "p": pos}).groupby("b").agg(
+        nb=("p", "size"), pb=("p", "sum")).sort_index()
+    nl = df["nb"].cumsum().to_numpy()
+    pl = df["pb"].cumsum().to_numpy()
+    n, p = nl[-1], pl[-1]
+    best, best_key = None, None
+    for i, b in enumerate(df.index):
+        if nl[i] >= n:
+            continue
+        gl = (pl[i] / nl[i]) * ((nl[i] - pl[i]) / nl[i])
+        gr = (((p - pl[i]) / (n - nl[i]))
+              * ((n - nl[i] - (p - pl[i])) / (n - nl[i])))
+        wg = nl[i] / n * gl + (n - nl[i]) / n * gr
+        key = (int(np.floor(wg * 1e12)), int(b))
+        if best_key is None or key < best_key:
+            best_key, best = key, (int(b), int(nl[i]), int(pl[i]),
+                                   int(n - nl[i]), int(p - pl[i]))
+    r = q_decision_stump(spark, SF).collect()
+    assert len(r) == 1
+    got = (r[0]["split_bucket"], r[0]["n_left"], r[0]["pos_left"],
+           r[0]["n_right"], r[0]["pos_right"])
+    assert got == best
+    assert 0 < best[2] <= best[1]               # split must be non-trivial
+
+
+def test_graph_modularity_matches_definitional_sum(spark):
+    """The definitional double-sum Q_c = (1/2m)·Σ_{i,j∈c}(A_ij − d_i·d_j/2m)
+    (a different formula than the shipped m_c/m − (D_c/2m)² identity) must
+    agree with the gated per-brand modularity."""
+    from spark_shp.queries_insights import q_graph_modularity
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    brand = dict(zip(part["p_partkey"], part["p_brand"]))
+    edges = set()
+    for _, g in li.groupby("l_orderkey"):
+        ks = sorted(set(g["l_partkey"]))
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                edges.add((ks[i], ks[j]))
+    m = len(edges)
+    deg = {}
+    adj = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    by_brand = {}
+    for pk in deg:
+        by_brand.setdefault(brand[pk], []).append(pk)
+    got = {r["brand"]: r for r in q_graph_modularity(spark, SF).collect()}
+    for bname, nodes in by_brand.items():
+        s = 0.0
+        for i in nodes:
+            for j in nodes:
+                # i == j stays in the null-model term (A_ii = 0, but the
+                # d_i²/2m product is part of Newman's definition — it is
+                # what makes the m_c/m − (D_c/2m)² identity exact)
+                a_ij = 1.0 if i != j and j in adj.get(i, ()) else 0.0
+                s += a_ij - deg[i] * deg[j] / (2.0 * m)
+        q_def = s / (2.0 * m)
+        r = got[bname]
+        assert abs(r["q_c"] - q_def) < 2e-6
+        assert r["degree_sum"] == sum(deg[i] for i in nodes)
+    assert m > 0 and got and len(got) == len(by_brand)
+
+
+def test_audio_resample_matches_sequential_lerp(spark):
+    """Float linear interpolation at t = 3j/2 (×2 to compare against the
+    doubled-int representation) must reproduce every gated stream stat."""
+    from spark_shp.queries_shp import N_RS, q_audio_resample_stats
+    exp = {}
+    for i in range(N_RS):
+        n = 100 + (i * 53) % 211
+        s = [((i * 48271 + k * 16807) % 65536) - 32768 for k in range(n)]
+        j, r2s = 0, []
+        while True:
+            t = 3 * j / 2.0
+            k = int(np.floor(t))
+            if t == k:
+                if k > n - 1:
+                    break
+                v2 = 2 * s[k]
+            else:
+                if k + 1 > n - 1:
+                    break
+                v2 = round(2 * (s[k] + (t - k) * (s[k + 1] - s[k])))
+            r2s.append(v2)
+            j += 1
+        exp[f"rs{i:03d}"] = (len(r2s), sum(abs(v) for v in r2s),
+                             sum(v * (jj + 1) for jj, v in enumerate(r2s)))
+    got = {r["media_id"]: (r["n_out"], r["sum_abs_r2"], r["pos_checksum"])
+           for r in q_audio_resample_stats(spark, SF).collect()}
+    assert got == exp
