@@ -4693,3 +4693,179 @@ QUERIES.update({
     "decision_stump": (q_decision_stump, _stump_sql()),
     "graph_modularity": (q_graph_modularity, _modularity_sql()),
 })
+
+
+# --- stream_static_enrich: batch twin of the stream-static broadcast join -----
+#
+# streaming.static_enrich_counts joins each micro-batch of events to the
+# STATIC broadcast nation dimension (no join state — the C12 surface
+# between stateless maps and stream-stream joins) and rolls up hourly
+# counts per nation.  This batch twin is the driver-gated oracle row;
+# stream ≡ batch is pytest-asserted on the real readStream.  Exact cent
+# sums (half-up int64) keep the value hash bit-stable; at 100 TB the
+# dim broadcast means zero shuffle on the fact side beyond the window
+# rollup's own exchange.
+
+def q_stream_static_enrich(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    n = _t(spark, sf_dir, "nation")
+    j = e.join(F.broadcast(n), e["user_id"] % 25 == n["n_nationkey"])
+    hour = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " DIV 3600")
+    return (j.groupBy((hour * 3600).alias("window_start_s"), "n_name")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+                 .alias("sum_cents"))
+            .select("window_start_s", "n_name", "n", "sum_cents"))
+
+
+ORACLE_STREAM_STATIC = """
+SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) * 3600 AS window_start_s,
+       n.n_name, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+# --- ols_two_features: closed-form 2-feature linear regression ----------------
+#
+# Multiple regression per group (extended price ~ quantity + discount
+# per l_returnflag) by the normal equations — the regression family's
+# multi-feature depth beyond trend_regression's single slope.  Inputs
+# quantize to exact integers (qty, discount in hundredths, price in
+# cents); per-row products stay inside int64 (|x·y| ≤ 5e8) and the
+# ACCUMULATORS are DECIMAL(38,0) (the money-sum rule — exact at any
+# aggregation order and any corpus size); the 2×2 Cramer solve composes
+# the moments in ONE literal float expression shared verbatim with the
+# oracle, so betas/R² are bit-deterministic.  ONE dialect-shared SQL
+# string; the corpus is touched exactly once (map-side combine into ≤4
+# groups).
+
+def _ols2_sql() -> str:
+    d = "CAST({} AS DOUBLE)".format
+    n, s1, s2, sy = d("n"), d("s1"), d("s2"), d("sy")
+    a11 = f"({n} * {d('s11')} - {s1} * {s1})"
+    a12 = f"({n} * {d('s12')} - {s1} * {s2})"
+    a22 = f"({n} * {d('s22')} - {s2} * {s2})"
+    b1 = f"({n} * {d('s1y')} - {s1} * {sy})"
+    b2 = f"({n} * {d('s2y')} - {s2} * {sy})"
+    ayy = f"({n} * {d('syy')} - {sy} * {sy})"
+    det = f"({a11} * {a22} - {a12} * {a12})"
+    beta1 = f"(({a22} * {b1} - {a12} * {b2}) / {det})"
+    beta2 = f"(({a11} * {b2} - {a12} * {b1}) / {det})"
+    icept = f"(({sy} - {beta1} * {s1} - {beta2} * {s2}) / {n})"
+    r2 = f"(({beta1} * {b1} + {beta2} * {b2}) / {ayy})"
+    return f"""
+WITH q AS (
+  SELECT l_returnflag AS grp,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x1,
+         CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem),
+m AS (
+  SELECT grp, COUNT(*) AS n,
+         SUM(CAST(x1 AS DECIMAL(38,0))) AS s1,
+         SUM(CAST(x2 AS DECIMAL(38,0))) AS s2,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x1 * x1 AS DECIMAL(38,0))) AS s11,
+         SUM(CAST(x1 * x2 AS DECIMAL(38,0))) AS s12,
+         SUM(CAST(x2 * x2 AS DECIMAL(38,0))) AS s22,
+         SUM(CAST(x1 * y AS DECIMAL(38,0))) AS s1y,
+         SUM(CAST(x2 * y AS DECIMAL(38,0))) AS s2y,
+         SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+  FROM q GROUP BY grp)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       CASE WHEN {det} <> CAST(0 AS DOUBLE)
+            THEN ROUND({beta1}, 6) ELSE NULL END AS beta_qty,
+       CASE WHEN {det} <> CAST(0 AS DOUBLE)
+            THEN ROUND({beta2}, 6) ELSE NULL END AS beta_disc,
+       CASE WHEN {det} <> CAST(0 AS DOUBLE)
+            THEN ROUND({icept}, 6) ELSE NULL END AS intercept,
+       CASE WHEN {det} <> CAST(0 AS DOUBLE) AND {ayy} <> CAST(0 AS DOUBLE)
+            THEN ROUND({r2}, 6) ELSE NULL END AS r_squared
+FROM m
+"""
+
+
+def q_ols_two_features(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_ols2_sql())
+
+
+# --- dedup_incremental: daily-ingest shard dedup against an existing index ----
+#
+# The incremental form of the dedup pipeline (what a 100 TB corpus runs
+# DAILY): a new shard (doc_id % 50 = 0 inside the %10 LSH subset) checks
+# its MinHash band signatures against the EXISTING corpus index (the
+# rest of the subset) — one (band, band_sig)-keyed LEFT equi-join, never
+# a rescan of old-vs-old pairs.  Every new doc gets a verdict row:
+# is_dup, the canonical match (MIN old doc_id — the survivor it would
+# merge into), and how many of its bands hit the index.
+
+def _inc_bands_spark(spark, sf_dir):
+    from .queries_text import q_minhash_signatures
+    sig = (q_minhash_signatures(spark, sf_dir)
+           .where(F.col("doc_id") % 10 == 0))
+    return (sig.withColumn("band", (F.col("p") / 2).cast("int"))
+            .groupBy("doc_id", "band")
+            .agg(F.concat_ws("_", F.sort_array(F.collect_list(
+                F.concat_ws(":", F.col("p").cast("string"),
+                            F.col("minhash").cast("string")))))
+                 .alias("band_sig")))
+
+
+def q_dedup_incremental(spark, sf_dir):
+    bands = _inc_bands_spark(spark, sf_dir)
+    new = bands.where(F.col("doc_id") % 50 == 0)
+    old = (bands.where(F.col("doc_id") % 50 != 0)
+           .select(F.col("doc_id").alias("old_id"),
+                   F.col("band").alias("o_band"),
+                   F.col("band_sig").alias("o_sig")))
+    hits = new.join(old, (F.col("band") == F.col("o_band"))
+                    & (F.col("band_sig") == F.col("o_sig")), "left")
+    return (hits.groupBy("doc_id")
+            .agg(F.max(F.when(F.col("old_id").isNotNull(), 1)
+                       .otherwise(0)).alias("is_dup"),
+                 F.min("old_id").alias("matched_old"),
+                 F.count_distinct(
+                     F.when(F.col("old_id").isNotNull(), F.col("band")))
+                 .alias("n_band_hits"))
+            .selectExpr("doc_id", "CAST(is_dup AS BIGINT) AS is_dup",
+                        "CAST(matched_old AS BIGINT) AS matched_old",
+                        "CAST(n_band_hits AS BIGINT) AS n_band_hits"))
+
+
+def _oracle_dedup_incremental() -> str:
+    from .queries_text import ORACLE_MINHASH
+    return f"""
+WITH sig AS (
+  SELECT * FROM ({ORACLE_MINHASH}) s WHERE doc_id % 10 = 0),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(p / 2.0) AS INT) AS band,
+         string_agg(CAST(p AS VARCHAR) || ':' || CAST(minhash AS VARCHAR),
+                    '_' ORDER BY CAST(p AS VARCHAR) || ':' ||
+                    CAST(minhash AS VARCHAR)) AS band_sig
+  FROM sig GROUP BY doc_id, 2),
+hits AS (
+  SELECT n.doc_id, n.band, o.doc_id AS old_id
+  FROM (SELECT * FROM bands WHERE doc_id % 50 = 0) n
+  LEFT JOIN (SELECT * FROM bands WHERE doc_id % 50 <> 0) o
+    ON n.band = o.band AND n.band_sig = o.band_sig)
+SELECT doc_id,
+       CAST(MAX(CASE WHEN old_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS is_dup,
+       CAST(MIN(old_id) AS BIGINT) AS matched_old,
+       CAST(COUNT(DISTINCT CASE WHEN old_id IS NOT NULL THEN band END)
+            AS BIGINT) AS n_band_hits
+FROM hits GROUP BY doc_id
+"""
+
+
+QUERIES.update({
+    "stream_static_enrich": (q_stream_static_enrich, ORACLE_STREAM_STATIC),
+    "ols_two_features": (q_ols_two_features, _ols2_sql()),
+    "dedup_incremental": (q_dedup_incremental, _oracle_dedup_incremental()),
+})

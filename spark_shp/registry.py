@@ -268,6 +268,9 @@ _TAIL = [
     "decision_stump",         # CART split gain by weighted Gini (ML)
     "graph_modularity",       # Newman community quality (graph)
     "audio_resample_stats",   # 3:2 linear-interp resample (multimodal)
+    "stream_static_enrich",   # stream-static broadcast join twin (C12)
+    "ols_two_features",       # 2-feature normal-equation OLS (ML/stats)
+    "dedup_incremental",      # daily-shard dedup vs existing index (text)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -189,3 +189,22 @@ def stream_to_table(stream: DataFrame, root: str, checkpoint_dir: str):
     return (stream.writeStream.foreachBatch(commit)
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("append"))
+
+
+def static_enrich_counts(stream: DataFrame, nation: DataFrame,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Stream-static enrichment join — the C12 join surface between
+    stateless maps and stream-stream joins: every micro-batch inner-joins
+    the static broadcast dimension with NO join state (the static side is
+    re-broadcast per batch, so dimension updates between batches are
+    picked up), then rolls up watermarked hourly counts per nation.
+    Exact-integer cent sums make stream ≡ batch bit-comparable."""
+    j = stream.join(F.broadcast(nation),
+                    stream["user_id"] % 25 == nation["n_nationkey"])
+    return (j.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("win"), "n_name")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+                 .alias("sum_cents"))
+            .select(F.col("win.start").alias("window_start"),
+                    "n_name", "n", "sum_cents"))

@@ -1630,3 +1630,71 @@ def test_audio_resample_matches_sequential_lerp(spark):
     got = {r["media_id"]: (r["n_out"], r["sum_abs_r2"], r["pos_checksum"])
            for r in q_audio_resample_stats(spark, SF).collect()}
     assert got == exp
+
+
+def test_ols_two_features_matches_numpy_lstsq(spark):
+    """numpy least-squares on the same quantized design matrix must
+    reproduce the gated betas/intercept/R² (round-6)."""
+    from spark_shp.queries_insights import q_ols_two_features
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    got = {r["grp"]: r for r in q_ols_two_features(spark, SF).collect()}
+    for grp, g in li.groupby("l_returnflag"):
+        x1 = np.floor(g["l_quantity"].to_numpy() + 0.5)
+        x2 = np.floor(g["l_discount"].to_numpy() * 100 + 0.5)
+        y = np.floor(g["l_extendedprice"].to_numpy() * 100 + 0.5)
+        A = np.column_stack([np.ones_like(x1), x1, x2])
+        coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+        pred = A @ coef
+        ss_res = float(((y - pred) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        r = got[grp]
+        assert abs(r["beta_qty"] - coef[1]) < 1e-4
+        assert abs(r["beta_disc"] - coef[2]) < 1e-2   # |beta2| ~ 1e4
+        assert abs(r["intercept"] - coef[0]) < 1e-2
+        assert abs(r["r_squared"] - (1.0 - ss_res / ss_tot)) < 1e-6
+        assert r["n"] == len(g)
+    assert len(got) == li["l_returnflag"].nunique()
+
+
+def test_dedup_incremental_matches_sequential(spark):
+    """Pure-python sequential MinHash/LSH index probe must reproduce every
+    new-shard verdict row."""
+    from spark_shp.queries_insights import q_dedup_incremental
+    from spark_shp.queries_text import N_PERMS
+
+    def word_hash(w):
+        c1 = ord(w[0]) if len(w) >= 1 else 0
+        c2 = ord(w[1]) if len(w) >= 2 else 0
+        return int(mix(len(w) * 1000003 + c1 * 251 + c2 * 31))
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs = docs[docs["doc_id"] % 10 == 0]
+    bands = {}
+    for _, row in docs.iterrows():
+        whs = {word_hash(w) for w in row["text"].split(" ")}
+        sig = [min(int(mix(wh + p * 7919)) for wh in whs)
+               for p in range(N_PERMS)]
+        bs = {}
+        for band in range(N_PERMS // 2):
+            parts = sorted(f"{p}:{sig[p]}" for p in (2 * band, 2 * band + 1))
+            bs[band] = "_".join(parts)
+        bands[int(row["doc_id"])] = bs
+    exp = {}
+    for did, bs in bands.items():
+        if did % 50 != 0:
+            continue
+        hits, matched = set(), None
+        for old, obs in bands.items():
+            if old % 50 == 0:
+                continue
+            for band, s in bs.items():
+                if obs[band] == s:
+                    hits.add(band)
+                    matched = old if matched is None else min(matched, old)
+        exp[did] = (1 if hits else 0, matched, len(hits))
+    got = {r["doc_id"]: (r["is_dup"], r["matched_old"], r["n_band_hits"])
+           for r in q_dedup_incremental(spark, SF).collect()}
+    assert got == exp
+    # the planted corpus must exercise both verdicts
+    assert any(v[0] for v in exp.values())
+    assert any(not v[0] for v in exp.values())

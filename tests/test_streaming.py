@@ -306,3 +306,20 @@ def test_append_parent_resolution_survives_stale_hint(spark, tmp_path):
         f.write("1")
     il.write_table(df, root, mode="append")        # snap 3 must carry snap 2
     assert il.table_stats(root, 3)["total_rows"] == 30
+
+
+def test_stream_static_enrich_equals_batch(spark, replay_dir):
+    """The stream-static broadcast join (no join state) run to exhaustion
+    must match the gated batch twin bit-for-bit on exact cent sums."""
+    from datetime import timezone
+
+    from spark_shp.queries_insights import q_stream_static_enrich
+
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    got = streaming.run_to_completion(streaming.static_enrich_counts(
+        streaming.events_stream(spark, replay_dir), nation, watermark=WM))
+    want = {(r.window_start_s, r.n_name): (r.n, r.sum_cents)
+            for r in q_stream_static_enrich(spark, SF).collect()}
+    gmap = {(int(r.window_start.replace(tzinfo=timezone.utc).timestamp()),
+             r.n_name): (r.n, r.sum_cents) for r in got}
+    assert gmap == want
