@@ -4869,3 +4869,88 @@ QUERIES.update({
     "ols_two_features": (q_ols_two_features, _ols2_sql()),
     "dedup_incremental": (q_dedup_incremental, _oracle_dedup_incremental()),
 })
+
+
+# --- t_closeness: distributional privacy audit (completes the trio) ---------
+#
+# k_anonymity counts class sizes and l_diversity counts distinct sensitive
+# values; t-closeness (Li et al., ICDE 2007) is the third audit in the
+# anonymization stack: per QI equivalence class, the DISTANCE between the
+# class's sensitive-attribute distribution and the global one.  For a
+# categorical sensitive attribute the paper's EMD with unit ground
+# distance reduces to total variation:  t(c) = 1/2 * SUM_s |p_c(s)-p(s)|.
+# QI = (hour-of-day, level-3 cell) — event_type moves from the QI tuple
+# (where k_anonymity has it) to the SENSITIVE slot.
+#
+# Determinism: the 5-symbol event_type alphabet pivots into FIXED slot
+# columns (the BM25 slot rule), so absent symbols contribute their exact
+# g_s*n_c term instead of silently vanishing from a sparse (class,symbol)
+# join; tvd_num = SUM_s |n_cs*N - g_s*n_c| is exact int64 (products
+# <= N^2 ~ 1e12 at sf0.1; beyond ~3e9 rows the cross products move to
+# DECIMAL(38,0) — the money-sum rule) and t itself is ONE literal float
+# division shared verbatim with the oracle.  Class rows are bounded by
+# the QI lattice (24 hours x 64 cells), never corpus size; the global
+# distribution is a 1-row broadcast cross join.
+
+TCLOSE_LVL = 3
+_TC_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_t_closeness(spark, sf_dir):
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, TCLOSE_LVL)
+    base = (_t(spark, sf_dir, "events")
+            .selectExpr("event_type",
+                        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ))"
+                        " / 3600000000) AS BIGINT) % 24 AS hod",
+                        f"{ix} AS cx", f"{iy} AS cy"))
+    cls = base.groupBy("hod", "cx", "cy").agg(
+        F.expr("COUNT(*)").alias("n_c"),
+        *[F.expr(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)")
+          .alias(f"n_{t}") for t in _TC_TYPES])
+    glob = base.groupBy().agg(
+        F.expr("COUNT(*)").alias("nn"),
+        *[F.expr(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)")
+          .alias(f"g_{t}") for t in _TC_TYPES])
+    num = " + ".join(f"ABS(n_{t} * nn - g_{t} * n_c)" for t in _TC_TYPES)
+    return (cls.crossJoin(F.broadcast(glob))
+            .selectExpr("CAST(hod AS BIGINT) AS hod",
+                        "CAST(cx AS BIGINT) AS cx",
+                        "CAST(cy AS BIGINT) AS cy",
+                        "CAST(n_c AS BIGINT) AS n_c",
+                        f"CAST({num} AS BIGINT) AS tvd_num",
+                        f"CAST({num} AS DOUBLE) / "
+                        "CAST(2 * n_c * nn AS DOUBLE) AS tvd"))
+
+
+def _oracle_tclose() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, TCLOSE_LVL)
+    slot_c = ", ".join(
+        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+        for t in _TC_TYPES)
+    slot_g = ", ".join(
+        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS g_{t}"
+        for t in _TC_TYPES)
+    num = " + ".join(f"ABS(n_{t} * nn - g_{t} * n_c)" for t in _TC_TYPES)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT event_type,
+         CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) % 24 AS hod,
+         {ix} AS cx, {iy} AS cy
+  FROM events),
+cls AS (
+  SELECT hod, cx, cy, COUNT(*) AS n_c, {slot_c}
+  FROM base GROUP BY 1, 2, 3),
+gl AS (SELECT COUNT(*) AS nn, {slot_g} FROM base)
+SELECT CAST(hod AS BIGINT) AS hod, CAST(cx AS BIGINT) AS cx,
+       CAST(cy AS BIGINT) AS cy, CAST(n_c AS BIGINT) AS n_c,
+       CAST({num} AS BIGINT) AS tvd_num,
+       CAST({num} AS DOUBLE) / CAST(2 * n_c * nn AS DOUBLE) AS tvd
+FROM cls, gl
+"""
+
+
+QUERIES.update({
+    "t_closeness": (q_t_closeness, _oracle_tclose()),
+})

@@ -1981,3 +1981,185 @@ QUERIES.update({
     "bpe_apply": (q_bpe_apply, _oracle_bpe_apply()),
     "readability_scores": (q_readability_scores, _oracle_readability()),
 })
+
+
+# --- stem_collapse: suffix-stripping normalization + vocabulary collapse ----
+#
+# The tokenizer-adjacent curation primitive BPE doesn't cover: rule-based
+# suffix stripping (the Porter step-1 family) that collapses inflected
+# forms onto one stem before dedup/counting.  The fixture corpus is a
+# fixed word-soup vocabulary with no inflections, so the op PLANTS them
+# deterministically — token at position p of doc d takes the suffix
+# selected by (d + p) % 4 (none / 'ing' / 'ed' / 's') — then stems with
+# four guarded rules (min-stem-length + the 'ss' exception) and reports
+# per-stem collapse stats.  Everything is string surgery on a bounded
+# vocabulary: substr/length/|| only (no regex — the pii_scrub
+# cross-dialect backslash lesson), output rows bounded by vocab x 4,
+# and the corpus-scale work is one explode + one stem-keyed groupBy.
+# pytest proves stem(inflect(w)) == w for every guard-eligible vocab
+# word against a sequential python stemmer (planted-structure rule: the
+# gate alone can't distinguish "correct" from "never fired").
+
+def _stem_case(w: str) -> str:
+    """The shared stemmer CASE — identical text on both engines."""
+    return (f"CASE "
+            f"WHEN length({w}) >= 6 AND substr({w}, length({w}) - 2, 3) "
+            f"= 'ing' THEN substr({w}, 1, length({w}) - 3) "
+            f"WHEN length({w}) >= 5 AND substr({w}, length({w}) - 2, 3) "
+            f"= 'ies' THEN substr({w}, 1, length({w}) - 3) || 'y' "
+            f"WHEN length({w}) >= 5 AND substr({w}, length({w}) - 1, 2) "
+            f"= 'ed' THEN substr({w}, 1, length({w}) - 2) "
+            f"WHEN length({w}) >= 4 AND substr({w}, length({w}) - 1, 2) "
+            f"<> 'ss' AND substr({w}, length({w}), 1) = 's' "
+            f"THEN substr({w}, 1, length({w}) - 1) "
+            f"ELSE {w} END")
+
+
+_INFLECT_CASE = ("CASE (doc_id + pos) % 4 "
+                 "WHEN 1 THEN tok || 'ing' "
+                 "WHEN 2 THEN tok || 'ed' "
+                 "WHEN 3 THEN tok || 's' "
+                 "ELSE tok END")
+
+
+def q_stem_collapse(spark, sf_dir):
+    toks = (_t(spark, sf_dir, "documents")
+            .selectExpr("doc_id",
+                        "posexplode(split(text, ' ')) AS (pos, tok)")
+            .selectExpr("doc_id", "pos", f"{_INFLECT_CASE} AS w"))
+    stemmed = toks.selectExpr("w", f"{_stem_case('w')} AS stem")
+    return (stemmed.groupBy("stem")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.countDistinct("w").alias("n_forms"),
+                 F.expr("SUM(CASE WHEN w = stem THEN 1 ELSE 0 END)")
+                 .alias("n_bare"))
+            .selectExpr("stem", "CAST(n_tokens AS BIGINT) AS n_tokens",
+                        "CAST(n_forms AS BIGINT) AS n_forms",
+                        "CAST(n_bare AS BIGINT) AS n_bare",
+                        "n_forms > 1 AS collapsed"))
+
+
+def _oracle_stem() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+pos AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, ts[u.i + 1] AS tok
+  FROM toks, UNNEST(range(0, len(ts))) AS u(i)),
+infl AS (
+  SELECT {_INFLECT_CASE} AS w FROM pos),
+st AS (
+  SELECT w, {_stem_case('w')} AS stem FROM infl)
+SELECT stem, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_forms,
+       CAST(SUM(CASE WHEN w = stem THEN 1 ELSE 0 END) AS BIGINT) AS n_bare,
+       COUNT(DISTINCT w) > 1 AS collapsed
+FROM st GROUP BY stem
+"""
+
+
+QUERIES.update({
+    "stem_collapse": (q_stem_collapse, _oracle_stem()),
+})
+
+
+# --- audio_autocorr_pitch: autocorrelation period detection -----------------
+#
+# The time-domain pitch detector (the classic sibling of
+# audio_spectral_peak's DFT bin argmax): each stream plants a square wave
+# of known period P(i) plus small deterministic noise, samples roundtrip
+# through the REAL RIFF/WAV encode+decode walk (int16 is exact), and the
+# detected period is argmax_tau R(tau) over lags 16..64 where
+# R(tau) = SUM_k s[k]*s[k+tau] — every product and sum an exact int64
+# (|s| <= 1539, n = 2048 ⇒ R <= 4.9e9).  Ties break to the smallest lag.
+# The oracle replays the identical sample formula over a
+# (stream x lag x sample) lattice and the same argmax; pytest asserts
+# best_lag == planted P for EVERY stream (planted-structure rule) against
+# a sequential python scan.  Scale shape: streams are independent rows
+# through mapInPandas — the corpus axis parallelizes embarrassingly; the
+# 49-lag correlation is a vectorized per-row kernel, never a join.
+
+N_PITCH_WAV = 20
+PITCH_N = 2048
+PITCH_TAU_MIN, PITCH_TAU_MAX = 16, 64
+
+
+def pitch_period(i: int) -> int:
+    return 20 + (i * 7) % 40
+
+
+def q_audio_autocorr_pitch(spark, sf_dir, n_streams: int = N_PITCH_WAV,
+                           partitions: int = 4):
+    from . import riff
+
+    schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("best_lag", T.LongType()),
+        T.StructField("r_best", T.LongType()),
+        T.StructField("r_zero", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+    ])
+
+    def work(batches):
+        n = PITCH_N
+        k = np.arange(n, dtype=np.int64)
+        taus = np.arange(PITCH_TAU_MIN, PITCH_TAU_MAX + 1, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].astype(int):
+                p = pitch_period(int(i))
+                amp = 512 + (i * 137) % 1024
+                base = np.where((k % p) * 2 < p, amp, -amp)
+                noise = (i * 48271 + k * 16807) % 7 - 3
+                s = (base + noise).astype(np.int16)
+                wav, rate = riff.wav_decode(riff.wav_encode(s, 16000))
+                got = np.round(wav[:, 0].astype(np.float64)
+                               * 32768.0).astype(np.int64)
+                assert rate == 16000 and len(got) == n
+                rs = np.array([np.dot(got[:n - t], got[t:])
+                               for t in taus], dtype=np.int64)
+                b = int(np.argmax(rs))  # np.argmax takes the FIRST max
+                rows.append((f"wav{i:03d}", int(taus[b]), int(rs[b]),
+                             int(np.dot(got, got)), n))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (spark.range(0, n_streams, numPartitions=partitions)
+            .mapInPandas(work, schema))
+
+
+def _oracle_pitch() -> str:
+    def samp(k: str) -> str:
+        p = "(20 + (i * 7) % 40)"
+        amp = "(512 + (i * 137) % 1024)"
+        return (f"(CASE WHEN (({k}) % {p}) * 2 < {p} THEN {amp} "
+                f"ELSE -{amp} END + (i * 48271 + ({k}) * 16807) % 7 - 3)")
+    return f"""
+WITH ids AS (
+  SELECT i FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_PITCH_WAV - 1})) AS i)),
+corr AS (
+  SELECT i, t.tau, SUM({samp('g.k')} * {samp('g.k + t.tau')}) AS r
+  FROM ids,
+       GENERATE_SERIES({PITCH_TAU_MIN}, {PITCH_TAU_MAX}) t(tau),
+       GENERATE_SERIES(0, {PITCH_N - 1}) g(k)
+  WHERE g.k < {PITCH_N} - t.tau
+  GROUP BY 1, 2),
+zero AS (
+  SELECT i, SUM({samp('g.k')} * {samp('g.k')}) AS r0
+  FROM ids, GENERATE_SERIES(0, {PITCH_N - 1}) g(k) GROUP BY 1),
+best AS (
+  SELECT i, tau, r,
+         ROW_NUMBER() OVER (PARTITION BY i ORDER BY r DESC, tau ASC) AS rk
+  FROM corr)
+SELECT printf('wav%03d', b.i) AS media_id,
+       CAST(b.tau AS BIGINT) AS best_lag,
+       CAST(b.r AS BIGINT) AS r_best,
+       CAST(z.r0 AS BIGINT) AS r_zero,
+       CAST({PITCH_N} AS BIGINT) AS n_samples
+FROM best b JOIN zero z ON z.i = b.i
+WHERE b.rk = 1
+"""
+
+
+QUERIES.update({
+    "audio_autocorr_pitch": (q_audio_autocorr_pitch, _oracle_pitch()),
+})

@@ -271,6 +271,9 @@ _TAIL = [
     "stream_static_enrich",   # stream-static broadcast join twin (C12)
     "ols_two_features",       # 2-feature normal-equation OLS (ML/stats)
     "dedup_incremental",      # daily-shard dedup vs existing index (text)
+    "t_closeness",            # distributional privacy audit (privacy trio)
+    "stem_collapse",          # suffix-stripping normalization (text)
+    "audio_autocorr_pitch",   # autocorrelation pitch detection (multimodal)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -1698,3 +1698,46 @@ def test_dedup_incremental_matches_sequential(spark):
     # the planted corpus must exercise both verdicts
     assert any(v[0] for v in exp.values())
     assert any(not v[0] for v in exp.values())
+
+
+# --- t_closeness ------------------------------------------------------------
+
+
+def test_t_closeness_matches_pandas(spark):
+    """Independent pandas replication of the TVD audit + the structural
+    laws: 0 <= t <= 1, and classes exist on both sides of the global
+    distribution (the audit actually discriminates)."""
+    from spark_shp.queries_insights import (TCLOSE_LVL, _TC_TYPES,
+                                            q_t_closeness)
+    got = q_t_closeness(spark, SF).toPandas()
+    # replicate the base projection via DuckDB (pandas groupbys from there)
+    import duckdb
+    from spark_shp import cells, fixtures
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, TCLOSE_LVL)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    base = con.execute(
+        f"SELECT event_type, CAST(FLOOR(epoch_us(ts) / 3600000000) AS "
+        f"BIGINT) % 24 AS hod, {ix} AS cx, {iy} AS cy FROM events"
+    ).fetch_df()
+    nn = len(base)
+    g = base.event_type.value_counts().to_dict()
+    grp = base.groupby(["hod", "cx", "cy"])
+    exp = {}
+    for key, sub in grp:
+        n_c = len(sub)
+        cnt = sub.event_type.value_counts().to_dict()
+        num = sum(abs(cnt.get(t, 0) * nn - g.get(t, 0) * n_c)
+                  for t in _TC_TYPES)
+        exp[key] = (n_c, num, num / (2.0 * n_c * nn))
+    assert len(got) == len(exp)
+    fired = 0
+    for r in got.itertuples():
+        n_c, num, tvd = exp[(r.hod, r.cx, r.cy)]
+        assert r.n_c == n_c and r.tvd_num == num
+        assert abs(r.tvd - tvd) < 1e-12
+        assert 0.0 <= r.tvd <= 1.0
+        fired += r.tvd_num > 0
+    assert fired > 0  # the audit discriminates (equal-but-zero blind spot)

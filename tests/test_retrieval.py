@@ -798,3 +798,93 @@ def test_readability_matches_python(spark):
             == (n, sw, ss)
         assert abs(row["mean_flesch"] - sf_ / n) < 2e-6
         assert row["min_fq"] < row["max_fq"]   # non-degenerate spread
+
+
+# --- stem_collapse ----------------------------------------------------------
+
+
+def _py_stem(w: str) -> str:
+    """Sequential python stemmer — the independent twin of the SQL CASE."""
+    if len(w) >= 6 and w.endswith("ing"):
+        return w[:-3]
+    if len(w) >= 5 and w.endswith("ies"):
+        return w[:-3] + "y"
+    if len(w) >= 5 and w.endswith("ed"):
+        return w[:-2]
+    if len(w) >= 4 and not w.endswith("ss") and w.endswith("s"):
+        return w[:-1]
+    return w
+
+
+def test_stem_collapse_matches_python(spark):
+    from spark_shp.queries_retrieval import q_stem_collapse
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    counts, forms, bare = {}, {}, {}
+    for r in docs.itertuples():
+        for pos, tok in enumerate(r.text.split(" ")):
+            m = (int(r.doc_id) + pos) % 4
+            w = tok + ("", "ing", "ed", "s")[m]
+            st = _py_stem(w)
+            counts[st] = counts.get(st, 0) + 1
+            forms.setdefault(st, set()).add(w)
+            bare[st] = bare.get(st, 0) + (1 if w == st else 0)
+    got = {r.stem: r for r in
+           q_stem_collapse(spark, SF).collect()}
+    assert set(got) == set(counts)
+    for st, row in got.items():
+        assert row.n_tokens == counts[st], st
+        assert row.n_forms == len(forms[st]), st
+        assert row.n_bare == bare[st], st
+        assert row.collapsed == (len(forms[st]) > 1), st
+
+
+def test_stem_inverts_planted_inflections():
+    """Planted-structure rule: stem(inflect(w)) == w for every vocab word
+    whose inflected form passes the length guards — the collapse actually
+    FIRES, the gate isn't vacuously equal on un-stemmed tokens."""
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    vocab = sorted({t for txt in docs["text"] for t in txt.split(" ")})
+    assert len(vocab) >= 10
+    fired = 0
+    for w in vocab:
+        for suf in ("ing", "ed", "s"):
+            infl = w + suf
+            st = _py_stem(infl)
+            if st != infl:          # a guard admitted the strip
+                assert st == w, (w, suf, st)
+                fired += 1
+    assert fired >= 2 * len(vocab)  # most of the 3 suffixes strip cleanly
+
+
+# --- audio_autocorr_pitch ---------------------------------------------------
+
+
+def test_autocorr_pitch_recovers_planted_periods(spark):
+    from spark_shp import riff
+    from spark_shp.queries_retrieval import (
+        N_PITCH_WAV, PITCH_N, PITCH_TAU_MAX, PITCH_TAU_MIN, pitch_period,
+        q_audio_autocorr_pitch)
+    got = {r.media_id: r for r in
+           q_audio_autocorr_pitch(spark, SF).collect()}
+    assert len(got) == N_PITCH_WAV
+    for i in range(N_PITCH_WAV):
+        p = pitch_period(i)
+        row = got[f"wav{i:03d}"]
+        # every planted period is recovered exactly
+        assert row.best_lag == p, (i, p, row.best_lag)
+        assert row.n_samples == PITCH_N
+        # sequential python replication through the SAME riff walk
+        k = np.arange(PITCH_N, dtype=np.int64)
+        amp = 512 + (i * 137) % 1024
+        s = (np.where((k % p) * 2 < p, amp, -amp)
+             + (i * 48271 + k * 16807) % 7 - 3).astype(np.int16)
+        wav, rate = riff.wav_decode(riff.wav_encode(s, 16000))
+        sig = np.round(wav[:, 0].astype(np.float64) * 32768.0).astype(
+            np.int64)
+        best_r, best_t = None, None
+        for t in range(PITCH_TAU_MIN, PITCH_TAU_MAX + 1):
+            r = int(np.dot(sig[:PITCH_N - t], sig[t:]))
+            if best_r is None or r > best_r:
+                best_r, best_t = r, t
+        assert row.best_lag == best_t and row.r_best == best_r
+        assert row.r_zero == int(np.dot(sig, sig))
