@@ -776,3 +776,123 @@ FROM pred WHERE rk = 1 GROUP BY 1, 2
 QUERIES.update({
     "naive_bayes_lang": (q_naive_bayes, _oracle_naive_bayes()),
 })
+
+
+# --- knn_classifier: majority-vote k-NN over the embedding table ------------
+#
+# Completes the classifier family (decision_stump, naive_bayes_lang): the
+# non-parametric baseline every embedding pipeline starts from.  Queries
+# are the held-out vectors vec_id % 10 = 7 AND vec_id < 500 (≤50 at ANY
+# corpus size — the cosine_topk boundedness rule); the labeled corpus is
+# everything else.  Similarity is the quantized integer dot product
+# (round(x*1000) int64 — order-independent, bit-identical across
+# engines); the k=5 neighbor set resolves through the partial-top-k
+# mapInPandas pattern (each Arrow batch emits its local top-5, the
+# global window sees ≤ 5·n_batches rows per query, never the corpus);
+# the prediction is the majority label with (count DESC, label ASC)
+# tiebreak.  The oracle recomputes neighbors by the flat posexplode
+# dot-product join — a genuinely different plan.
+
+KNNC_K = 5
+KNNC_MOD, KNNC_RES, KNNC_CAP = 10, 7, 500
+
+
+def q_knn_classifier(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    e = _t(spark, sf_dir, "embeddings")
+    is_q = (f"(vec_id % {KNNC_MOD} = {KNNC_RES} AND vec_id < {KNNC_CAP})")
+    qrows = (e.where(is_q).select("vec_id", "embedding", "label").collect())
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qmat = np.rint(np.array([r.embedding for r in qrows],
+                            dtype=np.float64) * 1000.0).astype(np.int64)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+    schema = T.StructType([
+        T.StructField("qid", T.LongType()),
+        T.StructField("nid", T.LongType()),
+        T.StructField("nlab", T.IntegerType()),
+        T.StructField("dot_q", T.LongType()),
+    ])
+
+    def dots(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            nid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nlab = pdf["label"].to_numpy(dtype=np.int32)
+            emb = np.rint(np.stack(pdf["embedding"].to_numpy())
+                          .astype(np.float64) * 1000.0).astype(np.int64)
+            d = emb @ mat.T
+            out = {"qid": [], "nid": [], "nlab": [], "dot_q": []}
+            for j in range(len(ids)):
+                k = min(KNNC_K, len(nid))
+                if k == 0:
+                    continue
+                order = np.lexsort((nid, -d[:, j]))[:k]
+                out["qid"].extend([ids[j]] * k)
+                out["nid"].extend(nid[order].tolist())
+                out["nlab"].extend(nlab[order].tolist())
+                out["dot_q"].extend(d[order, j].tolist())
+            yield pd.DataFrame(out)
+
+    labeled = e.where(f"NOT {is_q}").select("vec_id", "embedding", "label")
+    cand = labeled.mapInPandas(dots, schema)
+    wn = W.partitionBy("qid").orderBy(F.col("dot_q").desc(),
+                                      F.col("nid").asc())
+    top = (cand.withColumn("rk", F.row_number().over(wn))
+           .where(f"rk <= {KNNC_K}"))
+    votes = top.groupBy("qid", "nlab").agg(F.count(F.lit(1)).alias("n"))
+    wv = W.partitionBy("qid").orderBy(F.col("n").desc(),
+                                      F.col("nlab").asc())
+    pred = (votes.withColumn("vk", F.row_number().over(wv))
+            .where("vk = 1")
+            .selectExpr("qid", "nlab AS pred_label",
+                        "CAST(n AS BIGINT) AS n_votes"))
+    truth = e.where(is_q).selectExpr("vec_id AS qid",
+                                     "label AS true_label")
+    return (pred.join(F.broadcast(truth), "qid")
+            .selectExpr("qid", "CAST(true_label AS INT) AS true_label",
+                        "CAST(pred_label AS INT) AS pred_label", "n_votes",
+                        "pred_label = true_label AS correct"))
+
+
+def _oracle_knnc() -> str:
+    return f"""
+WITH flat AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000.0) AS BIGINT)
+           AS q
+  FROM embeddings),
+dots AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid, MIN(b.label) AS nlab,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS dot_q
+  FROM flat a JOIN flat b ON a.i = b.i
+  WHERE a.vec_id % {KNNC_MOD} = {KNNC_RES} AND a.vec_id < {KNNC_CAP}
+    AND NOT (b.vec_id % {KNNC_MOD} = {KNNC_RES} AND b.vec_id < {KNNC_CAP})
+  GROUP BY 1, 2),
+top AS (
+  SELECT qid, nid, nlab,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY dot_q DESC, nid ASC) AS rk
+  FROM dots),
+votes AS (
+  SELECT qid, nlab, COUNT(*) AS n FROM top WHERE rk <= {KNNC_K}
+  GROUP BY 1, 2),
+pred AS (
+  SELECT qid, nlab AS pred_label, n,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY n DESC, nlab ASC) AS vk
+  FROM votes)
+SELECT p.qid, CAST(e.label AS INT) AS true_label,
+       CAST(p.pred_label AS INT) AS pred_label,
+       CAST(p.n AS BIGINT) AS n_votes,
+       p.pred_label = e.label AS correct
+FROM pred p JOIN embeddings e ON e.vec_id = p.qid
+WHERE p.vk = 1
+"""
+
+
+QUERIES.update({
+    "knn_classifier": (q_knn_classifier, _oracle_knnc()),
+})

@@ -4,17 +4,16 @@ image CV    — integral-image box filtering (SAT 4-tap vs brute-force
               window oracle), 3x3 median denoise (np.sort stack vs
               QUANTILE_DISC oracle), aHash/dHash perceptual-hash family
               over REAL decoded bytes (block-sum grid, integer mean
-              compare)
-geometry    — convex-hull diameter per group (hull + O(h^2) pairs in the
-              engine vs the all-pairs brute force the hull theorem makes
-              equivalent), fixed-round Douglas-Peucker trajectory
-              simplification (3 unrolled split rounds, pure relational)
-stats       — Mann-Whitney U with midranks + tie correction, hourly
-              autocorrelation at lags 1..3 from exact integer moments
-privacy     — t-closeness EMD audit (completes the k-anonymity /
-              l-diversity trio)
+              compare), block-SSIM codec QA, quantized Hough lines
+geometry    — fixed-round Douglas-Peucker trajectory simplification
+              (3 unrolled split rounds, pure relational, exact
+              DECIMAL(38,0) cr^2 distance test)
+stats       — Mann-Whitney U with doubled midranks + tie correction,
+              hourly-series ACF at lags 1..3 from exact integer moments
 graph       — fixed-point integer HITS hubs/authorities (bipartite
               customer->supplier, floor-scaled normalization)
+(the t-closeness privacy audit lives in queries_insights next to
+k_anonymity/l_diversity)
 
 All oracle-gated exact (DuckDB twins, parked in registry._TAIL — each
 family keeps an in-window row: B11 via images_phash_verify, B4-B6 via
@@ -379,3 +378,435 @@ QUERIES: dict = {
     "image_ssim": (q_image_ssim, _oracle_ssim()),
     "image_hough_lines": (q_image_hough, _oracle_hough()),
 }
+
+
+# --- douglas_peucker: fixed-round split simplification ----------------------
+#
+# The classic polyline simplifier (the docstring's promised geometry op):
+# keep the endpoints, then for DP_ROUNDS rounds split every active
+# segment at its farthest interior point if that point's perpendicular
+# offset exceeds EPS.  The distance test is EXACT: the point-line offset
+# compares cr^2 > EPS^2 * len2 where cr is the integer doubled triangle
+# area ((bx-ax)(py-ay) - (px-ax)(by-ay)) on the 1e-3-degree lattice —
+# cr <= 1.2e11 fits int64, cr^2 needs DECIMAL(19,0)^2 -> DECIMAL(38,0)
+# (squaring a DECIMAL(38,0) trips DuckDB's precision cap — the Otsu
+# lesson — so the cast happens at width 19).  Trajectories are the first
+# DP_NP=16 events per user (bounded DP depth by construction); each
+# round is two user-keyed windows + two bounded joins + one argmax —
+# nothing data-proportional on the driver, and the 3-round unroll is the
+# same fixed-point trick as kmeans_rounds/CRS-Newton.  The oracle
+# replays the identical rounds as MATERIALIZED CTEs; pytest runs a
+# recursive textbook DP on the same quantized points.
+
+DP_NP, DP_ROUNDS, DP_EPS = 16, 3, 50
+DP_EPS2 = DP_EPS * DP_EPS
+
+_DP_QX = (f"CAST(FLOOR(({fixtures.EVENT_LON_SQL} + 180.0) * 1000.0) "
+          "AS BIGINT)")
+_DP_QY = (f"CAST(FLOOR(({fixtures.EVENT_LAT_SQL} + 85.0) * 1000.0) "
+          "AS BIGINT)")
+
+
+def _dp_points(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "user_id AS u", "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us",
+        f"{_DP_QX} AS qx", f"{_DP_QY} AS qy")
+    rn = (e.withColumn(
+        "rn", F.expr("ROW_NUMBER() OVER (PARTITION BY u "
+                     "ORDER BY us, event_id)"))
+        .where(f"rn <= {DP_NP}"))
+    return (rn.withColumn("n", F.expr("COUNT(*) OVER (PARTITION BY u)"))
+            .selectExpr("u", "rn - 1 AS idx", "qx", "qy", "n",
+                        "rn = 1 OR rn = n AS kept"))
+
+
+def _dp_round(pts):
+    from pyspark.sql import Window as W
+    w_pre = (W.partitionBy("u").orderBy("idx")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    w_post = (W.partitionBy("u").orderBy("idx")
+              .rowsBetween(W.currentRow, W.unboundedFollowing))
+    seg = (pts
+           .withColumn("lo", F.max(F.when(F.col("kept"),
+                                          F.col("idx"))).over(w_pre))
+           .withColumn("hi", F.min(F.when(F.col("kept"),
+                                          F.col("idx"))).over(w_post)))
+    a = pts.selectExpr("u AS au", "idx AS aidx", "qx AS ax", "qy AS ay")
+    b = pts.selectExpr("u AS bu", "idx AS bidx", "qx AS bx", "qy AS by2")
+    scored = (seg.where("NOT kept AND lo IS NOT NULL AND hi IS NOT NULL")
+              .join(a, (F.col("u") == F.col("au"))
+                    & (F.col("lo") == F.col("aidx")))
+              .join(b, (F.col("u") == F.col("bu"))
+                    & (F.col("hi") == F.col("bidx")))
+              .selectExpr(
+                  "u", "idx", "lo",
+                  "CAST((bx - ax) * (qy - ay) - (qx - ax) * (by2 - ay) "
+                  "AS DECIMAL(19,0)) AS cr",
+                  "(bx - ax) * (bx - ax) + (by2 - ay) * (by2 - ay) "
+                  "AS len2")
+              .selectExpr("u", "idx", "lo", "cr * cr AS cr2", "len2"))
+    from pyspark.sql import Window as W2
+    win = W2.partitionBy("u", "lo").orderBy(F.col("cr2").desc(),
+                                            F.col("idx").asc())
+    split = (scored.withColumn("rk", F.row_number().over(win))
+             .where(f"rk = 1 AND cr2 > CAST({DP_EPS2} * len2 "
+                    "AS DECIMAL(38,0))")
+             .selectExpr("u AS su", "idx AS sidx"))
+    return (pts.join(split, (pts["u"] == split["su"])
+                     & (pts["idx"] == split["sidx"]), "left")
+            .selectExpr("u", "idx", "qx", "qy", "n",
+                        "kept OR sidx IS NOT NULL AS kept"))
+
+
+def q_douglas_peucker(spark, sf_dir):
+    pts = _dp_points(spark, sf_dir)
+    for _ in range(DP_ROUNDS):
+        pts = _dp_round(pts)
+    kept = (pts.where("kept")
+            .withColumn("seq", F.expr(
+                "ROW_NUMBER() OVER (PARTITION BY u ORDER BY idx)")))
+    return (kept.groupBy("u")
+            .agg(F.max("n").alias("n_points"),
+                 F.count(F.lit(1)).alias("n_kept"),
+                 F.expr("SUM(seq * (qx * 31 + qy * 97))").alias("ck"))
+            .selectExpr("u AS user_id",
+                        "CAST(n_points AS BIGINT) AS n_points",
+                        "CAST(n_kept AS BIGINT) AS n_kept",
+                        "CAST(ck AS BIGINT) AS kept_checksum"))
+
+
+def _oracle_dp() -> str:
+    rounds = []
+    for r in range(1, DP_ROUNDS + 1):
+        p = f"k{r - 1}"
+        rounds.append(f"""
+seg{r} AS (
+  SELECT u, idx, qx, qy, n, kept,
+         MAX(CASE WHEN kept THEN idx END) OVER
+           (PARTITION BY u ORDER BY idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lo,
+         MIN(CASE WHEN kept THEN idx END) OVER
+           (PARTITION BY u ORDER BY idx
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS hi
+  FROM {p}),
+sc{r} AS (
+  SELECT s.u, s.idx, s.lo,
+         CAST((b.qx - a.qx) * (s.qy - a.qy)
+              - (s.qx - a.qx) * (b.qy - a.qy) AS DECIMAL(19,0)) AS cr,
+         (b.qx - a.qx) * (b.qx - a.qx)
+         + (b.qy - a.qy) * (b.qy - a.qy) AS len2
+  FROM seg{r} s
+  JOIN {p} a ON a.u = s.u AND a.idx = s.lo
+  JOIN {p} b ON b.u = s.u AND b.idx = s.hi
+  WHERE NOT s.kept AND s.lo IS NOT NULL AND s.hi IS NOT NULL),
+sp{r} AS (
+  SELECT u, idx FROM (
+    SELECT u, idx, cr * cr AS cr2, len2,
+           ROW_NUMBER() OVER (PARTITION BY u, lo
+                              ORDER BY cr * cr DESC, idx ASC) AS rk
+    FROM sc{r})
+  WHERE rk = 1 AND cr2 > CAST({DP_EPS2} * len2 AS DECIMAL(38,0))),
+k{r} AS MATERIALIZED (
+  SELECT k.u, k.idx, k.qx, k.qy, k.n,
+         k.kept OR sp.idx IS NOT NULL AS kept
+  FROM {p} k LEFT JOIN sp{r} sp ON sp.u = k.u AND sp.idx = k.idx)""")
+    chain = ",".join(rounds)
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT user_id AS u, event_id, epoch_us(ts) AS us,
+         {_DP_QX} AS qx, {_DP_QY} AS qy
+  FROM events),
+capped AS (
+  SELECT u, qx, qy, rn FROM (
+    SELECT u, qx, qy,
+           ROW_NUMBER() OVER (PARTITION BY u ORDER BY us, event_id) AS rn
+    FROM ev)
+  WHERE rn <= {DP_NP}),
+k0 AS MATERIALIZED (
+  SELECT u, rn - 1 AS idx, qx, qy,
+         COUNT(*) OVER (PARTITION BY u) AS n,
+         rn = 1 OR rn = COUNT(*) OVER (PARTITION BY u) AS kept
+  FROM capped),
+{chain},
+kk AS (
+  SELECT u, qx, qy, n,
+         ROW_NUMBER() OVER (PARTITION BY u ORDER BY idx) AS seq
+  FROM k{DP_ROUNDS} WHERE kept)
+SELECT u AS user_id, CAST(MAX(n) AS BIGINT) AS n_points,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(seq * (qx * 31 + qy * 97)) AS BIGINT) AS kept_checksum
+FROM kk GROUP BY u
+"""
+
+
+QUERIES.update({
+    "douglas_peucker": (q_douglas_peucker, _oracle_dp()),
+})
+
+
+# --- mann_whitney_u: rank-sum test with midranks + tie correction -----------
+#
+# The nonparametric two-sample test the welch_ttest family lacked (no
+# normality assumption — the right test for skewed revenue): users
+# hash-split into the ab_test variants, samples are purchase values
+# quantized to whole DOLLARS (cents leave zero ties at small SFs — the
+# tie-correction machinery would gate vacuously; dollars tie at every
+# SF, the planted-structure rule).
+# Midranks stay EXACT by doubling: a tie group of size t spanning ranks
+# [a, a+t-1] gives every member doubled midrank 2*cum + t + 1 (an
+# integer), so the doubled rank sum dr0 and doubled U statistic
+# du0 = dr0 - n0*(n0+1) are exact integer aggregates (DECIMAL(38,0)
+# accumulation — the money-sum rule; t^3 tie terms stay int64 to ~2e6
+# rows per tie group).  All ranking happens on the distinct-cent-value
+# AGGREGATE (the outlier_audit two-phase histogram shape — the ordered
+# window sees |distinct cents| rows, never the corpus).  z composes the
+# exact integers in ONE shared literal under ROUND(...,6).
+
+_MW_G = None  # set below; uses the ab_test hash split
+
+
+def _mw_sql_parts():
+    from .hashing import mix_sql
+    g = f"(({mix_sql('user_id * 7 + 5')}) % 2)"
+    cents = "CAST(FLOOR(value) AS BIGINT)"
+    z = ("ROUND(CAST(du0 - n0 * n1 AS DOUBLE) / "
+         "(2.0 * SQRT(CAST(n0 AS DOUBLE) * n1 / 12.0 * "
+         "(CAST(nn + 1 AS DOUBLE) - CAST(tie_t AS DOUBLE) / "
+         "(CAST(nn AS DOUBLE) * (nn - 1))))), 6) + 0.0")
+    return g, cents, z
+
+
+def q_mann_whitney(spark, sf_dir):
+    g, cents, z = _mw_sql_parts()
+    smp = (_t(spark, sf_dir, "events").where("event_type = 'purchase'")
+           .selectExpr(f"{g} AS g", f"{cents} AS v"))
+    per_v = smp.groupBy("v").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.expr("SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END)").alias("t0"))
+    ranked = per_v.selectExpr(
+        "v", "t", "t0",
+        "SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) - t AS cum")
+    agg = ranked.groupBy().agg(
+        F.expr("SUM(CASE WHEN TRUE THEN t ELSE 0 END)").alias("nn"),
+        F.expr("SUM(t0)").alias("n0"),
+        F.expr("CAST(SUM(CAST(t0 AS DECIMAL(38,0)) * (2 * cum + t + 1)) "
+               "AS BIGINT)").alias("dr0"),
+        F.expr("SUM(t * t * t - t)").alias("tie_t"))
+    return (agg.selectExpr("CAST(n0 AS BIGINT) AS n0",
+                           "CAST(nn - n0 AS BIGINT) AS n1",
+                           "CAST(nn AS BIGINT) AS nn",
+                           "CAST(dr0 AS BIGINT) AS dr0",
+                           "CAST(dr0 - n0 * (n0 + 1) AS BIGINT) AS du0",
+                           "CAST(tie_t AS BIGINT) AS tie_t")
+            .selectExpr("n0", "n1", "dr0", "du0", "tie_t", f"{z} AS z"))
+
+
+def _oracle_mw() -> str:
+    g, cents, z = _mw_sql_parts()
+    return f"""
+WITH smp AS (
+  SELECT {g} AS g, {cents} AS v FROM events
+  WHERE event_type = 'purchase'),
+per_v AS (
+  SELECT v, COUNT(*) AS t,
+         SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS t0
+  FROM smp GROUP BY v),
+ranked AS (
+  SELECT v, t, t0,
+         SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+                      CURRENT ROW) - t AS cum
+  FROM per_v),
+agg AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS nn, CAST(SUM(t0) AS BIGINT) AS n0,
+         CAST(SUM(CAST(t0 AS DECIMAL(38,0)) * (2 * cum + t + 1))
+              AS BIGINT) AS dr0,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_t
+  FROM ranked),
+fin AS (
+  SELECT n0, nn - n0 AS n1, nn, dr0,
+         dr0 - n0 * (n0 + 1) AS du0, tie_t
+  FROM agg)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       CAST(dr0 AS BIGINT) AS dr0, CAST(du0 AS BIGINT) AS du0,
+       CAST(tie_t AS BIGINT) AS tie_t, {z} AS z
+FROM fin
+"""
+
+
+# --- hits_scores: fixed-point integer HITS on the customer-supplier graph ---
+#
+# Hubs-and-authorities (the docstring's promised graph op — the
+# pagerank_fixedpoint trick applied to Kleinberg's bipartite recurrence):
+# edges are DISTINCT (customer, supplier) pairs through orders->lineitem;
+# two synchronous rounds of a(s) = SUM h(c), h(c) = SUM a(s), each
+# followed by floor-normalization to a 2^20 integer budget
+# (score * 2^20 DIV total — exact on non-negatives, Spark DIV == DuckDB
+# //), so every distributed aggregate is an exact int64 at any
+# aggregation order.  Each half-round is ONE shuffle keyed by the
+# receiving vertex; totals are 1-row broadcast cross joins; the top-15
+# readout ranks on the exact integer with suppkey tiebreak.
+
+HITS_Q = 1 << 20
+HITS_TOPK = 15
+
+
+def q_hits_scores(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").selectExpr("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").selectExpr("l_orderkey", "l_suppkey")
+    edges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .selectExpr("o_custkey AS c", "l_suppkey AS s").distinct())
+    a1 = edges.groupBy("s").agg(F.count(F.lit(1)).alias("a"))
+    a1t = a1.groupBy().agg(F.sum("a").alias("tot"))
+    a1q = (a1.crossJoin(F.broadcast(a1t))
+           .selectExpr("s", f"a * {HITS_Q} DIV tot AS aq"))
+    h1 = (edges.join(a1q, "s").groupBy("c")
+          .agg(F.sum("aq").alias("h")))
+    h1t = h1.groupBy().agg(F.sum("h").alias("tot"))
+    h1q = (h1.crossJoin(F.broadcast(h1t))
+           .selectExpr("c", f"h * {HITS_Q} DIV tot AS hq"))
+    a2 = (edges.join(h1q, "c").groupBy("s")
+          .agg(F.sum("hq").alias("a"), F.count(F.lit(1)).alias("deg")))
+    a2t = a2.groupBy().agg(F.sum("a").alias("tot"))
+    a2q = (a2.crossJoin(F.broadcast(a2t))
+           .selectExpr("s", "deg", f"a * {HITS_Q} DIV tot AS aq"))
+    return (a2q.withColumn(
+        "rk", F.expr("ROW_NUMBER() OVER (ORDER BY aq DESC, s ASC)"))
+        .where(f"rk <= {HITS_TOPK}")
+        .selectExpr("CAST(rk AS INT) AS rk", "s AS s_suppkey",
+                    "CAST(deg AS BIGINT) AS in_degree",
+                    "CAST(aq AS BIGINT) AS auth_q"))
+
+
+def _oracle_hits() -> str:
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+a1 AS (SELECT s, COUNT(*) AS a FROM edges GROUP BY s),
+a1q AS MATERIALIZED (
+  SELECT s, a * {HITS_Q} // (SELECT SUM(a) FROM a1) AS aq FROM a1),
+h1 AS (
+  SELECT e.c, SUM(q.aq) AS h FROM edges e JOIN a1q q ON q.s = e.s
+  GROUP BY e.c),
+h1q AS MATERIALIZED (
+  SELECT c, h * {HITS_Q} // (SELECT SUM(h) FROM h1) AS hq FROM h1),
+a2 AS (
+  SELECT e.s, SUM(q.hq) AS a, COUNT(*) AS deg
+  FROM edges e JOIN h1q q ON q.c = e.c GROUP BY e.s),
+a2q AS (
+  SELECT s, deg, a * {HITS_Q} // (SELECT SUM(a) FROM a2) AS aq FROM a2),
+top AS (
+  SELECT s, deg, aq, ROW_NUMBER() OVER (ORDER BY aq DESC, s ASC) AS rk
+  FROM a2q)
+SELECT CAST(rk AS INT) AS rk, s AS s_suppkey,
+       CAST(deg AS BIGINT) AS in_degree, CAST(aq AS BIGINT) AS auth_q
+FROM top WHERE rk <= {HITS_TOPK}
+"""
+
+
+QUERIES.update({
+    "mann_whitney_u": (q_mann_whitney, _oracle_mw()),
+    "hits_scores": (q_hits_scores, _oracle_hits()),
+})
+
+
+# --- series_autocorr: ACF of the hourly purchase series at lags 1..3 --------
+#
+# Autocorrelation of ONE series (event_lag_correlation is the CROSS-
+# correlation of two event types; the ACF is what an anomaly detector or
+# seasonal-model selector actually reads).  The hourly count series is
+# DENSE — a sequence-exploded spine from min to max hour, empty hours
+# count 0 — because ACF over a gappy series silently measures the wrong
+# lag.  Textbook estimator  r_k = SUM(c_t - m)(c_{t+k} - m) / SUM(c - m)^2
+# with the full-series mean, composed EXACTLY: multiplying through by n^2
+# gives  r_k = (n^2*Scc_k - n*S1*(SA_k + SB_k) + (n-k)*S1^2)
+#            / (n*(n*Sq - S1^2))
+# where every S is an exact integer aggregate (DECIMAL(38,0)
+# accumulation — the money-sum rule) and r_k is ONE shared literal under
+# ROUND(...,6).  The corpus-scale work is one hour-keyed groupBy; the
+# spine and the three lag self-joins live on the span-bounded aggregate.
+
+ACF_LAGS = (1, 2, 3)
+
+
+def q_series_autocorr(spark, sf_dir):
+    e = (_t(spark, sf_dir, "events").where("event_type = 'purchase'")
+         .selectExpr("CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) "
+                     "/ 3600000000) AS BIGINT) AS h"))
+    counts = e.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    span = counts.groupBy().agg(F.min("h").alias("h0"),
+                                F.max("h").alias("h1"))
+    spine = (span.selectExpr("explode(sequence(h0, h1)) AS h")
+             .join(counts, "h", "left")
+             .selectExpr("h", "COALESCE(c, CAST(0 AS BIGINT)) AS c"))
+    spine = spine.localCheckpoint()  # reused by 3 lag joins + the moments
+    mom = spine.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(CAST(c AS DECIMAL(38,0))) AS BIGINT)").alias("s1"),
+        F.expr("CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT)")
+        .alias("sq"))
+    outs = []
+    for k in ACF_LAGS:
+        b = spine.selectExpr("h AS hb", "c AS cb")
+        lag = (spine.join(b, F.col("h") + k == F.col("hb"))
+               .groupBy().agg(
+                   F.expr("CAST(SUM(CAST(c AS DECIMAL(38,0)) * cb) "
+                          "AS BIGINT)").alias("scc"),
+                   F.expr("CAST(SUM(CAST(c AS DECIMAL(38,0))) AS BIGINT)")
+                   .alias("sa"),
+                   F.expr("CAST(SUM(CAST(cb AS DECIMAL(38,0))) AS BIGINT)")
+                   .alias("sb"))
+               .selectExpr(f"CAST({k} AS INT) AS lag", "scc", "sa", "sb"))
+        outs.append(lag)
+    allk = outs[0]
+    for o in outs[1:]:
+        allk = allk.unionAll(o)
+    r = ("ROUND((CAST(n AS DOUBLE) * n * scc - CAST(n AS DOUBLE) * s1 * "
+         "(sa + sb) + (CAST(n AS DOUBLE) - lag) * s1 * s1) / "
+         "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * sq - "
+         "CAST(s1 AS DOUBLE) * s1)), 6) + 0.0")
+    return (allk.crossJoin(F.broadcast(mom))
+            .selectExpr("lag", "CAST(n AS BIGINT) AS n", "scc", f"{r} AS r"))
+
+
+def _oracle_acf() -> str:
+    r = ("ROUND((CAST(n AS DOUBLE) * n * scc - CAST(n AS DOUBLE) * s1 * "
+         "(sa + sb) + (CAST(n AS DOUBLE) - lag) * s1 * s1) / "
+         "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * sq - "
+         "CAST(s1 AS DOUBLE) * s1)), 6) + 0.0")
+    lag_sel = " UNION ALL ".join(
+        f"SELECT {k} AS lag" for k in ACF_LAGS)
+    return f"""
+WITH e AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h
+  FROM events WHERE event_type = 'purchase'),
+counts AS (SELECT h, COUNT(*) AS c FROM e GROUP BY h),
+span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM counts),
+spine AS MATERIALIZED (
+  SELECT g.h, COALESCE(c.c, 0) AS c
+  FROM (SELECT UNNEST(GENERATE_SERIES((SELECT h0 FROM span),
+                                      (SELECT h1 FROM span))) AS h) g
+  LEFT JOIN counts c ON c.h = g.h),
+mom AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(c AS DECIMAL(38,0))) AS BIGINT) AS s1,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT) AS sq
+  FROM spine),
+lags AS ({lag_sel}),
+lagagg AS (
+  SELECT l.lag,
+         CAST(SUM(CAST(a.c AS DECIMAL(38,0)) * b.c) AS BIGINT) AS scc,
+         CAST(SUM(CAST(a.c AS DECIMAL(38,0))) AS BIGINT) AS sa,
+         CAST(SUM(CAST(b.c AS DECIMAL(38,0))) AS BIGINT) AS sb
+  FROM lags l JOIN spine a ON TRUE JOIN spine b ON b.h = a.h + l.lag
+  GROUP BY l.lag)
+SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n, scc, {r} AS r
+FROM lagagg, mom
+"""
+
+
+QUERIES.update({
+    "series_autocorr": (q_series_autocorr, _oracle_acf()),
+})

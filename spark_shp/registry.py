@@ -274,6 +274,11 @@ _TAIL = [
     "t_closeness",            # distributional privacy audit (privacy trio)
     "stem_collapse",          # suffix-stripping normalization (text)
     "audio_autocorr_pitch",   # autocorrelation pitch detection (multimodal)
+    "knn_classifier",         # majority-vote k-NN classifier (ML/ANN)
+    "douglas_peucker",        # fixed-round DP simplification (B5/geometry)
+    "mann_whitney_u",         # rank-sum test, midranks + ties (stats)
+    "hits_scores",            # fixed-point integer HITS (graph)
+    "series_autocorr",        # hourly-series ACF at lags 1..3 (stats)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -194,3 +194,177 @@ def test_hough_gated_query_nondegenerate(spark):
         assert list(g["rank"]) == [1, 2, 3]
         v = g["votes"].to_numpy()
         assert (v[:-1] >= v[1:]).all()
+
+
+# --- douglas_peucker --------------------------------------------------------
+
+
+def test_douglas_peucker_matches_recursive(spark):
+    """Independent twin: a textbook RECURSIVE Douglas-Peucker, depth-limited
+    to DP_ROUNDS levels (one synchronous split round == one recursion
+    level), on the same quantized lattice with the same exact integer
+    cr^2 > eps^2*len2 test."""
+    import duckdb
+    from spark_shp.queries_vision import (DP_EPS2, DP_NP, DP_ROUNDS,
+                                          _DP_QX, _DP_QY,
+                                          q_douglas_peucker)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    pts = con.execute(
+        f"SELECT user_id AS u, {_DP_QX} AS qx, {_DP_QY} AS qy "
+        f"FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+        f"ORDER BY epoch_us(ts), event_id) AS rn FROM events) "
+        f"WHERE rn <= {DP_NP} ORDER BY u, rn").fetch_df()
+
+    def simplify(xs, ys):
+        n = len(xs)
+        kept = {0, n - 1}
+
+        def rec(lo, hi, depth):
+            if depth == 0 or hi - lo < 2:
+                return
+            best, best_cr2, best_l2 = None, -1, 1
+            ax, ay, bx, by = xs[lo], ys[lo], xs[hi], ys[hi]
+            l2 = (bx - ax) ** 2 + (by - ay) ** 2
+            for i in range(lo + 1, hi):
+                cr = (bx - ax) * (ys[i] - ay) - (xs[i] - ax) * (by - ay)
+                if cr * cr > best_cr2:
+                    best, best_cr2, best_l2 = i, cr * cr, l2
+            if best is not None and best_cr2 > DP_EPS2 * best_l2:
+                kept.add(best)
+                rec(lo, best, depth - 1)
+                rec(best, hi, depth - 1)
+
+        rec(0, n - 1, DP_ROUNDS)
+        return sorted(kept)
+
+    exp = {}
+    for u, grp in pts.groupby("u"):
+        xs = grp.qx.to_list()
+        ys = grp.qy.to_list()
+        ks = simplify(xs, ys)
+        ck = sum((s + 1) * (xs[i] * 31 + ys[i] * 97)
+                 for s, i in enumerate(ks))
+        exp[int(u)] = (len(xs), len(ks), ck)
+
+    got = {r.user_id: r for r in q_douglas_peucker(spark, SF).collect()}
+    assert set(got) == set(exp)
+    fired = 0
+    for u, row in got.items():
+        n, nk, ck = exp[u]
+        assert (row.n_points, row.n_kept, row.kept_checksum) == (n, nk, ck), u
+        fired += nk > 2
+    assert fired > 0  # splits actually happen (planted-structure rule)
+
+
+# --- mann_whitney_u ---------------------------------------------------------
+
+
+def test_mann_whitney_matches_python(spark):
+    """Sequential midrank computation over the sorted sample + the U-sum
+    law du0 + du1 = 2*n0*n1."""
+    import math
+
+    import pandas as pd
+    from spark_shp.hashing import mix
+    from spark_shp.queries_vision import q_mann_whitney
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    p = ev[ev.event_type == "purchase"]
+    g = (mix(p.user_id.to_numpy() * 7 + 5) % 2).astype(int)
+    v = np.floor(p.value.to_numpy()).astype(np.int64)
+    order = np.argsort(v, kind="stable")
+    sv, sg = v[order], g[order]
+    n = len(sv)
+    dm = np.zeros(n, dtype=np.int64)  # doubled midranks
+    i = 0
+    while i < n:
+        j = i
+        while j < n and sv[j] == sv[i]:
+            j += 1
+        dm[i:j] = (i + 1) + j  # 2*midrank = first_rank + last_rank
+        i = j
+    n0 = int((sg == 0).sum())
+    n1 = n - n0
+    dr0 = int(dm[sg == 0].sum())
+    du0 = dr0 - n0 * (n0 + 1)
+    _, counts = np.unique(sv, return_counts=True)
+    tie_t = int((counts.astype(np.int64) ** 3 - counts).sum())
+    var = n0 * n1 / 12.0 * ((n + 1) - tie_t / (n * (n - 1.0)))
+    z = round((du0 - n0 * n1) / (2.0 * math.sqrt(var)), 6) + 0.0
+
+    row = q_mann_whitney(spark, SF).collect()[0]
+    assert (row.n0, row.n1, row.dr0, row.du0, row.tie_t) == \
+        (n0, n1, dr0, du0, tie_t)
+    assert abs(row.z - z) < 1e-9
+    # U-sum law: the doubled U of the two groups sum to 2*n0*n1
+    dr1 = int(dm[sg == 1].sum())
+    du1 = dr1 - n1 * (n1 + 1)
+    assert du0 + du1 == 2 * n0 * n1
+    assert tie_t > 0  # dollar quantization produces ties at every SF
+
+
+# --- hits_scores ------------------------------------------------------------
+
+
+def test_hits_matches_python(spark):
+    """Dict-based sequential replication of the two normalized rounds."""
+    import pandas as pd
+    from spark_shp.queries_vision import HITS_Q, HITS_TOPK, q_hits_scores
+    o = pd.read_parquet(f"{SF}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey",
+                                                    "l_suppkey"]]
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    edges = sorted({(int(r.o_custkey), int(r.l_suppkey))
+                    for r in m.itertuples()})
+    a1 = {}
+    for c, s in edges:
+        a1[s] = a1.get(s, 0) + 1
+    t = sum(a1.values())
+    a1q = {s: v * HITS_Q // t for s, v in a1.items()}
+    h1 = {}
+    for c, s in edges:
+        h1[c] = h1.get(c, 0) + a1q[s]
+    t = sum(h1.values())
+    h1q = {c: v * HITS_Q // t for c, v in h1.items()}
+    a2, deg = {}, {}
+    for c, s in edges:
+        a2[s] = a2.get(s, 0) + h1q[c]
+        deg[s] = deg.get(s, 0) + 1
+    t = sum(a2.values())
+    a2q = {s: v * HITS_Q // t for s, v in a2.items()}
+    top = sorted(a2q.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOPK]
+
+    got = q_hits_scores(spark, SF).collect()
+    assert len(got) == len(top)
+    for row, (s, aq) in zip(sorted(got, key=lambda r: r.rk), top):
+        assert (row.s_suppkey, row.auth_q, row.in_degree) == \
+            (s, aq, deg[s]), row.rk
+    # authorities discriminate (not all equal)
+    assert len({r.auth_q for r in got}) > 1
+
+
+# --- series_autocorr --------------------------------------------------------
+
+
+def test_series_autocorr_matches_numpy(spark):
+    """Textbook numpy ACF over the dense hourly purchase series."""
+    import pandas as pd
+    from spark_shp.queries_vision import ACF_LAGS, q_series_autocorr
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    p = ev[ev.event_type == "purchase"]
+    h = (p.ts.astype("int64") // 10**6 // 3600).to_numpy()
+    h0, h1 = h.min(), h.max()
+    c = np.bincount(h - h0, minlength=h1 - h0 + 1).astype(np.float64)
+    m = c.mean()
+    den = ((c - m) ** 2).sum()
+    got = {r.lag: r for r in q_series_autocorr(spark, SF).collect()}
+    assert set(got) == set(ACF_LAGS)
+    for k in ACF_LAGS:
+        num = ((c[:-k] - m) * (c[k:] - m)).sum()
+        r_exp = round(num / den, 6) + 0.0
+        assert got[k].n == len(c)
+        assert abs(got[k].r - r_exp) < 1e-6, k
+        assert -1.0 <= got[k].r <= 1.0
+    # the series discriminates across lags (not a constant fixture)
+    assert len({got[k].r for k in ACF_LAGS}) > 1
