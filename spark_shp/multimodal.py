@@ -1261,3 +1261,99 @@ def hough_votes(images: DataFrame, thresh: int = HOUGH_THRESH,
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+def bilinear_checksums(images: DataFrame) -> DataFrame:
+    """2x bilinear upsample (top-left aligned, replicate-edge) reduced to
+    exact int64 checksums: every output sample is a half-integer average,
+    so working in x4-SCALED integers (4p / 2(p+q) / p+q+r+s by output
+    parity) keeps the whole kernel exact — no float interpolation enters.
+    Shape-grouped stacks, one vectorized gather + einsum per (w,h,fmt)
+    group; the checksum weights live on OUTPUT coordinates so a swapped
+    parity branch, missing edge clamp, or transposed axis all shift it."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("mass4", T.LongType()),
+        T.StructField("cs_up", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                px = _decode_stack(pdf, idx, w, h, fmt).astype(np.int64)
+                oy = np.arange(2 * h)
+                ox = np.arange(2 * w)
+                i0 = oy // 2
+                j0 = ox // 2
+                i1 = np.minimum(i0 + 1, h - 1)
+                j1 = np.minimum(j0 + 1, w - 1)
+                di = (oy % 2)[:, None, None]      # (2h,1,1)
+                dj = (ox % 2)[None, :, None]      # (1,2w,1)
+                p00 = px[:, i0][:, :, j0]
+                p01 = px[:, i0][:, :, j1]
+                p10 = px[:, i1][:, :, j0]
+                p11 = px[:, i1][:, :, j1]
+                a = (2 - di) * (2 - dj)
+                b = (2 - di) * dj
+                c = di * (2 - dj)
+                d = di * dj
+                out4 = a * p00 + b * p01 + c * p10 + d * p11
+                wts = _aug_weights(2 * h, 2 * w)
+                cs = np.einsum("nhwc,hwc->n", out4, wts)
+                mass = out4.sum(axis=(1, 2, 3))
+                for k, i in enumerate(idx):
+                    rows[i] = (ids[i], int(mass[k]), int(cs[k]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))
+
+
+def moment_stats(images: DataFrame) -> DataFrame:
+    """Raw image moments m00/m10/m01/m20/m02/m11 of the green channel —
+    the blob centroid/orientation primitive behind image registration.
+    All exact int64 (x^2*v <= 80^2*255*npx); one einsum per moment per
+    shape group."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("m00", T.LongType()),
+        T.StructField("m10", T.LongType()),
+        T.StructField("m01", T.LongType()),
+        T.StructField("m20", T.LongType()),
+        T.StructField("m02", T.LongType()),
+        T.StructField("m11", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                g = _decode_stack(pdf, idx, w, h, fmt).astype(
+                    np.int64)[:, :, :, 1]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                x = np.arange(w, dtype=np.int64)[None, :]
+                m00 = g.sum(axis=(1, 2))
+                m10 = (g * x).sum(axis=(1, 2))
+                m01 = (g * y).sum(axis=(1, 2))
+                m20 = (g * x * x).sum(axis=(1, 2))
+                m02 = (g * y * y).sum(axis=(1, 2))
+                m11 = (g * x * y).sum(axis=(1, 2))
+                for k, i in enumerate(idx):
+                    rows[i] = (ids[i], int(m00[k]), int(m10[k]),
+                               int(m01[k]), int(m20[k]), int(m02[k]),
+                               int(m11[k]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

@@ -810,3 +810,127 @@ FROM lagagg, mom
 QUERIES.update({
     "series_autocorr": (q_series_autocorr, _oracle_acf()),
 })
+
+
+# --- image_bilinear_upsample: exact x4-scaled 2x interpolation ---------------
+#
+# The resize family's other half (image_augment_checksums pinned the
+# nearest-neighbor DOWNsample; training pipelines upsample small images
+# with bilinear): 2x top-left-aligned replicate-edge interpolation where
+# every output sample is a half-integer average, so x4 scaling keeps the
+# entire kernel in exact int64 — no float interpolation error term
+# exists for the gate to tolerate.  The oracle recomputes every output
+# sample from the pixel formula with the parity-weight rule
+# (4p / 2(p+q) / p+q+r+s); a swapped parity branch, missing edge clamp,
+# or axis transpose shifts the output-lattice-weighted checksum.
+
+def q_image_bilinear(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, VISION_N, partitions=4)
+    d = _with_i(multimodal.bilinear_checksums(img))
+    return (d.groupBy("fmt2")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("mass4").alias("mass4"),
+                 F.expr("SUM(cs_up * (i + 13))").alias("checksum"))
+            .selectExpr("fmt2 AS fmt",
+                        "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(mass4 AS BIGINT) AS mass4",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_bilinear() -> str:
+    def p(iy: str, jx: str) -> str:
+        return _pix_sql(f"i * 1000003 + ({iy}) * 4096 + ({jx}) * 4 + cc.c")
+    v4 = (f"(2 - oy.y % 2) * (2 - ox.x % 2) * {p('oy.y // 2', 'ox.x // 2')}"
+          f" + (2 - oy.y % 2) * (ox.x % 2) * "
+          f"{p('oy.y // 2', 'LEAST(ox.x // 2 + 1, w - 1)')}"
+          f" + (oy.y % 2) * (2 - ox.x % 2) * "
+          f"{p('LEAST(oy.y // 2 + 1, h - 1)', 'ox.x // 2')}"
+          f" + (oy.y % 2) * (ox.x % 2) * "
+          f"{p('LEAST(oy.y // 2 + 1, h - 1)', 'LEAST(ox.x // 2 + 1, w - 1)')}")
+    return f"""
+WITH imgs AS MATERIALIZED ({_imgs_cte(VISION_N)}),
+samples AS (
+  SELECT i, fmt, {v4} AS v4,
+         1 + (ox.x * 31 + oy.y * 17 + cc.c * 7) % 101 AS wt
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2 * h - 1)) AS y) oy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2 * w - 1)) AS x) ox,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c) cc),
+per AS (
+  SELECT i, fmt, SUM(v4) AS mass4, SUM(v4 * wt) AS cs
+  FROM samples GROUP BY 1, 2)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(mass4) AS BIGINT) AS mass4,
+       CAST(SUM(cs * (i + 13)) AS BIGINT) AS checksum
+FROM per GROUP BY fmt
+"""
+
+
+# --- image_moments: raw moments + orientation -------------------------------
+#
+# The registration/blob primitive: raw green-channel moments
+# m00..m11 (all exact int64), centroid as two single float divisions,
+# and the principal-axis orientation theta = atan2(2*mu11, mu20-mu02)/2
+# where the CENTRAL moments are composed exactly at m00^2 scale
+# (mu20*m00^2 = m20*m00 - m10^2 — integer) so theta is ONE literal float
+# expression over exact integers, shared verbatim with the oracle.
+
+# Central moments composed at DECIMAL(19,0)^2 width: m20*m00 can reach
+# ~1.6e19 on an all-bright 80x80 image — past int64, where DuckDB raises
+# and Spark wraps.  The DECIMAL(38,0) products are exact; the DOUBLE
+# conversions and the ATAN2 composition are one shared literal.
+def _mom_c(a: str, b: str, c: str, d: str) -> str:
+    return (f"CAST(CAST({a} AS DECIMAL(19,0)) * CAST({b} AS DECIMAL(19,0))"
+            f" - CAST({c} AS DECIMAL(19,0)) * CAST({d} AS DECIMAL(19,0))"
+            f" AS DOUBLE)")
+
+
+_MOM_THETA = (f"ROUND(0.5 * ATAN2(CAST(2 AS DOUBLE) * "
+              f"{_mom_c('m11', 'm00', 'm10', 'm01')}, "
+              f"{_mom_c('m20', 'm00', 'm10', 'm10')} - "
+              f"{_mom_c('m02', 'm00', 'm01', 'm01')}), 6) + 0.0")
+
+
+def q_image_moments(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, VISION_N, partitions=4)
+    d = _with_i(multimodal.moment_stats(img))
+    theta = _MOM_THETA
+    return d.selectExpr(
+        "image_id", "m00", "m10", "m01", "m20", "m02", "m11",
+        "ROUND(CAST(m10 AS DOUBLE) / m00, 6) AS cx",
+        "ROUND(CAST(m01 AS DOUBLE) / m00, 6) AS cy",
+        f"{theta} AS theta")
+
+
+def _oracle_moments() -> str:
+    v = _pix_sql("i * 1000003 + yy.y * 4096 + xx.x * 4 + 1")
+    theta = _MOM_THETA
+    return f"""
+WITH imgs AS MATERIALIZED ({_imgs_cte(VISION_N)}),
+px AS (
+  SELECT i, yy.y AS y, xx.x AS x, {v} AS v
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 1)) AS y) yy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS x) xx),
+m AS (
+  SELECT i, SUM(v) AS m00, SUM(v * x) AS m10, SUM(v * y) AS m01,
+         SUM(v * x * x) AS m20, SUM(v * y * y) AS m02,
+         SUM(v * x * y) AS m11
+  FROM px GROUP BY i)
+SELECT printf('img%012d', i) AS image_id,
+       CAST(m00 AS BIGINT) AS m00, CAST(m10 AS BIGINT) AS m10,
+       CAST(m01 AS BIGINT) AS m01, CAST(m20 AS BIGINT) AS m20,
+       CAST(m02 AS BIGINT) AS m02, CAST(m11 AS BIGINT) AS m11,
+       ROUND(CAST(m10 AS DOUBLE) / m00, 6) AS cx,
+       ROUND(CAST(m01 AS DOUBLE) / m00, 6) AS cy,
+       {theta} AS theta
+FROM m
+"""
+
+
+QUERIES.update({
+    "image_bilinear_upsample": (q_image_bilinear, _oracle_bilinear()),
+    "image_moments": (q_image_moments, _oracle_moments()),
+})

@@ -279,6 +279,8 @@ _TAIL = [
     "mann_whitney_u",         # rank-sum test, midranks + ties (stats)
     "hits_scores",            # fixed-point integer HITS (graph)
     "series_autocorr",        # hourly-series ACF at lags 1..3 (stats)
+    "image_bilinear_upsample",  # exact x4-int 2x bilinear (B11/image)
+    "image_moments",          # raw moments + orientation (B11/image)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

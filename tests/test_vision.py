@@ -368,3 +368,80 @@ def test_series_autocorr_matches_numpy(spark):
         assert -1.0 <= got[k].r <= 1.0
     # the series discriminates across lags (not a constant fixture)
     assert len({got[k].r for k in ACF_LAGS}) > 1
+
+
+# --- image_bilinear_upsample -----------------------------------------------
+
+
+def test_bilinear_matches_float_interpolation(spark):
+    """The x4 integer kernel must equal textbook FLOAT bilinear sampling at
+    source positions (Y/2, X/2) with replicate edges, times 4 — computed
+    here with a genuinely different formulation (float lerp)."""
+    from spark_shp.queries_vision import VISION_N, q_image_bilinear
+    per_fmt = {}
+    for i in range(VISION_N):
+        px, w, h, fmt = _decoded(i)
+        sy = np.arange(2 * h) / 2.0
+        sx = np.arange(2 * w) / 2.0
+        y0 = np.floor(sy).astype(int)
+        x0 = np.floor(sx).astype(int)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        fy = (sy - y0)[:, None, None]
+        fx = (sx - x0)[None, :, None]
+        a = px[y0][:, x0].astype(np.float64)
+        b = px[y0][:, x1].astype(np.float64)
+        c = px[y1][:, x0].astype(np.float64)
+        d = px[y1][:, x1].astype(np.float64)
+        out = (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
+               + c * fy * (1 - fx) + d * fy * fx)
+        out4 = np.rint(out * 4.0).astype(np.int64)
+        yy, xx, cc = np.meshgrid(np.arange(2 * h), np.arange(2 * w),
+                                 np.arange(3), indexing="ij")
+        wts = 1 + (xx * 31 + yy * 17 + cc * 7) % 101
+        k = per_fmt.setdefault(fmt, [0, 0, 0])
+        k[0] += 1
+        k[1] += int(out4.sum())
+        k[2] += int((out4 * wts).sum()) * (i + 13)
+    got = {r.fmt: r for r in q_image_bilinear(spark, SF).collect()}
+    assert set(got) == set(per_fmt)
+    for fmt, (n, mass, cs) in per_fmt.items():
+        assert (got[fmt].n_images, got[fmt].mass4, got[fmt].checksum) == \
+            (n, mass, cs), fmt
+
+
+# --- image_moments ----------------------------------------------------------
+
+
+def test_image_moments_matches_python(spark):
+    """Per-pixel python loops for the raw moments; theta re-derived about
+    the float centroid (a different factorization of the same axis)."""
+    import math
+    from spark_shp.queries_vision import VISION_N, q_image_moments
+    got = {r.image_id: r for r in q_image_moments(spark, SF).collect()}
+    assert len(got) == VISION_N
+    for i in range(VISION_N):
+        px, w, h, fmt = _decoded(i)
+        g = px[:, :, 1]
+        m = {k: 0 for k in ("m00", "m10", "m01", "m20", "m02", "m11")}
+        for y in range(h):
+            for x in range(w):
+                v = int(g[y, x])
+                m["m00"] += v
+                m["m10"] += v * x
+                m["m01"] += v * y
+                m["m20"] += v * x * x
+                m["m02"] += v * y * y
+                m["m11"] += v * x * y
+        row = got[f"img{i:012d}"]
+        for k, v in m.items():
+            assert getattr(row, k) == v, (i, k)
+        cx = m["m10"] / m["m00"]
+        cy = m["m01"] / m["m00"]
+        mu20 = m["m20"] - cx * m["m10"]
+        mu02 = m["m02"] - cy * m["m01"]
+        mu11 = m["m11"] - cx * m["m01"]
+        theta = 0.5 * math.atan2(2 * mu11, mu20 - mu02)
+        assert abs(row.theta - theta) < 1e-5, i
+        assert abs(row.cx - round(cx, 6)) < 1e-9
+        assert abs(row.cy - round(cy, 6)) < 1e-9
