@@ -121,6 +121,29 @@ def write_table(df: DataFrame, root: str, partition_by: str | None = None,
                                     max(bounds[name][1], hi)]
                 else:
                     bounds[name] = [lo, hi]
+        # Hive partition columns are not physical in the file, so parquet
+        # stats never cover them — record their path values as [v, v]
+        # bounds (Iceberg's manifest partition tuple). This is what makes
+        # PARTITION-SPEC EVOLUTION prunable: files written under an older
+        # spec carry that spec's column bounds, files under the new spec
+        # carry the new one's, and scan_table keeps any file with no
+        # bounds for the probed column (necessary-condition fallback).
+        types = {f.name: f.dataType.simpleString()
+                 for f in df.schema.fields}
+        for seg in entry["path"].split("/")[:-1]:
+            if "=" not in seg:
+                continue
+            pcol, _, pval = seg.partition("=")
+            if pcol in bounds or pcol not in types:
+                continue
+            t = types[pcol]
+            if t in ("bigint", "int", "smallint", "tinyint"):
+                v = int(pval)
+            elif t in ("double", "float"):
+                v = float(pval)
+            else:
+                v = pval
+            bounds[pcol] = [v, v]
         if bounds:
             entry["bounds"] = {k: [_json_safe(v) for v in b]
                                for k, b in bounds.items()}

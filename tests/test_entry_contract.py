@@ -321,3 +321,56 @@ def test_iceberg_incremental_read(spark, tmp_path):
     # unknown snapshot -> loud failure
     with pytest.raises(FileNotFoundError):
         ice.read_incremental(spark, root, 99)
+
+
+def test_iceberg_partition_spec_evolution(spark, tmp_path):
+    """Iceberg partition-spec evolution: snapshot 1 is partitioned by
+    region, snapshot 2 (append) by day — old files keep the old layout,
+    new files the new one, a snapshot read unions both specs with every
+    partition column intact, and scan_table prunes each file by ITS OWN
+    spec's manifest bounds: probing the old column skips only old-spec
+    files (new-spec files carry no bounds for it — the safe
+    necessary-condition fallback keeps them); probing the new column
+    skips only new-spec files."""
+    from spark_shp import iceberg_layout as il
+    root = str(tmp_path / "tbl")
+    d1 = spark.range(0, 400).selectExpr(
+        "id", "CAST(id % 4 AS BIGINT) AS region",
+        "CAST(id % 10 AS BIGINT) AS day")
+    il.write_table(d1, root, partition_by="region")
+    d2 = spark.range(400, 800).selectExpr(
+        "id", "CAST(id % 4 AS BIGINT) AS region",
+        "CAST(id % 10 AS BIGINT) AS day")
+    snap2 = il.write_table(d2, root, partition_by="day", mode="append")
+
+    # the spec history is recorded per metadata version
+    import json
+    import os
+    m1 = json.load(open(os.path.join(root, "metadata/v1.metadata.json")))
+    m2 = json.load(open(os.path.join(root, "metadata/v2.metadata.json")))
+    assert m1["partition-spec"] == ["region"]
+    assert m2["partition-spec"] == ["day"]
+
+    # full read: both specs union, partition columns intact on every row
+    got = il.read_table(spark, root).orderBy("id").collect()
+    assert len(got) == 800
+    assert all(r.region == r.id % 4 and r.day == r.id % 10 for r in got)
+
+    # old-spec pruning: region=2 needs 1 of 4 snap-1 files, ALL snap-2
+    # files (no region bounds there — never unsafely skipped)
+    n1 = sum(1 for f in snap2["files"] if "/snap-1/" in f["path"])
+    n2 = sum(1 for f in snap2["files"] if "/snap-2/" in f["path"])
+    df, rep = il.scan_table(spark, root, "region", 2, 2)
+    rows = df.collect()
+    assert sorted({r.region for r in rows}) == [2]
+    assert len(rows) == 200
+    assert rep["files_read"] >= n2  # every new-spec file kept
+    assert rep["files_skipped"] >= n1 // 2  # old-spec files pruned
+
+    # new-spec pruning: day=3 skips snap-2 day-partitions, keeps snap-1
+    df2, rep2 = il.scan_table(spark, root, "day", 3, 3)
+    rows2 = df2.collect()
+    assert sorted({r.day for r in rows2}) == [3]
+    assert len(rows2) == 80
+    assert rep2["files_read"] >= n1
+    assert rep2["files_skipped"] >= n2 // 2
