@@ -896,3 +896,149 @@ WHERE p.vk = 1
 QUERIES.update({
     "knn_classifier": (q_knn_classifier, _oracle_knnc()),
 })
+
+
+# --- logistic_gd: fixed-step logistic regression by quantized gradients -----
+#
+# The training loop itself, distributed the way the k-means/BPE loops are:
+# each gradient-descent round is ONE map-side-combinable aggregation whose
+# per-row contribution is an INTEGER — r = FLOOR((sigmoid(z) - y) * 2^20) —
+# so the three gradient sums are exact int64 at any partitioning or
+# aggregation order, and the weight update is three FLOOR'd IEEE ops on
+# those exact ints (bit-identical cross-engine; only EXP carries a 1-ulp
+# engine risk, and the flip window is ~1e-16/9.5e-7 ≈ 1e-10 per row —
+# explicit ulp arithmetic, the repo rule). Weights live as 2^20-scaled
+# int64 (the fixed-point pagerank trick applied to an optimizer), so the
+# driver state per round is THREE integers; nothing data-proportional
+# leaves the executors. Gradient products |r * f2| <= 2^20 * 25, so int64
+# sums hold to ~3.5e11 rows — past that the accumulators move to
+# DECIMAL(38,0) like the ANOVA/trend moments. Label is a planted monotone
+# signal (5*d10 + qn + hash-noise > 55, ~balanced) so the gate also proves
+# the loop LEARNS: final integer-compare accuracy ~0.95 vs ~0.50 majority,
+# asserted in pytest alongside a full numpy replay of the quantized
+# recurrence. The oracle unrolls the rounds as MATERIALIZED CTE chains
+# (the kmeans_rounds shape). Betas are exported as exact dyadic doubles
+# (w / 2^20 — power-of-two division, no ROUND needed).
+
+LG_Q = 1 << 20
+LG_ROUNDS = 3
+LG_LR = "CAST(2 AS DOUBLE)"   # pre-folded float literal (repo rule)
+
+_LG_D10 = "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)"
+_LG_QN = "CAST(FLOOR(l_quantity + 0.5) AS BIGINT)"
+
+
+def _lg_y() -> str:
+    from .hashing import mix_sql
+    noise = f"({mix_sql('l_orderkey * 10 + l_linenumber')} % 11)"
+    return (f"CASE WHEN {_LG_D10} * 5 + {_LG_QN} + {noise} > 55 "
+            "THEN 1 ELSE 0 END")
+
+
+def _lg_r_expr(w0: int, w1: int, w2: int) -> str:
+    """Quantized per-row gradient residual under integer weights (w0,w1,w2).
+
+    z's numerator is pure int64 (|f1|<=5, |f2|<=25, |w|<2^23 after 3
+    rounds); the single division by 50*2^20 is the only float op before
+    the sigmoid."""
+    zn = f"({w0} * 50 + {w1} * 5 * f1 + {w2} * f2)"
+    z = f"(CAST({zn} AS DOUBLE) / CAST({50 * LG_Q} AS DOUBLE))"
+    p = f"(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + EXP(-{z})))"
+    return f"CAST(FLOOR(({p} - y) * {LG_Q}) AS BIGINT)"
+
+
+def _lg_update(w: tuple[int, int, int], g: tuple[int, int, int],
+               n: int) -> tuple[int, int, int]:
+    """The float op order here is VERBATIM the oracle's SQL: python
+    int/float arithmetic on <2^53 ints is IEEE-754 double arithmetic."""
+    import math
+    w0 = math.floor(w[0] - 2.0 * (g[0] / (1.0 * n)))
+    w1 = math.floor(w[1] - 2.0 * (g[1] / (10.0 * n)))
+    w2 = math.floor(w[2] - 2.0 * (g[2] / (50.0 * n)))
+    return (w0, w1, w2)
+
+
+def q_logistic_gd(spark, sf_dir):
+    li = (_t(spark, sf_dir, "lineitem")
+          .selectExpr(f"{_LG_D10} - 5 AS f1", f"{_LG_QN} - 25 AS f2",
+                      f"{_lg_y()} AS y")
+          .persist())
+    n = li.count()
+    w = (0, 0, 0)
+    for _ in range(LG_ROUNDS):
+        r = li.selectExpr("f1", "f2", f"{_lg_r_expr(*w)} AS r")
+        row = r.agg(F.sum("r").alias("g0"),
+                    F.expr("SUM(r * f1)").alias("g1"),
+                    F.expr("SUM(r * f2)").alias("g2")).collect()[0]
+        w = _lg_update(w, (int(row.g0), int(row.g1), int(row.g2)), n)
+    zn = f"({w[0]} * 50 + {w[1]} * 5 * f1 + {w[2]} * f2)"
+    out = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.expr(f"SUM(CASE WHEN (CASE WHEN {zn} > 0 THEN 1 ELSE 0 END) = y "
+               "THEN 1 ELSE 0 END)").alias("n_correct"))
+    li.unpersist()
+    return out.selectExpr(
+        "CAST(n AS BIGINT) AS n", "CAST(n_pos AS BIGINT) AS n_pos",
+        "CAST(n_correct AS BIGINT) AS n_correct",
+        f"CAST({w[0]} AS BIGINT) AS w0_q", f"CAST({w[1]} AS BIGINT) AS w1_q",
+        f"CAST({w[2]} AS BIGINT) AS w2_q",
+        f"CAST({w[0]} AS DOUBLE) / CAST({LG_Q} AS DOUBLE) AS beta0",
+        f"CAST({w[1]} AS DOUBLE) / CAST({LG_Q} AS DOUBLE) AS beta1",
+        f"CAST({w[2]} AS DOUBLE) / CAST({LG_Q} AS DOUBLE) AS beta2")
+
+
+def _oracle_logistic() -> str:
+    def r_expr(wa: str, wb: str, wc: str) -> str:
+        zn = f"({wa} * 50 + {wb} * 5 * f1 + {wc} * f2)"
+        z = f"(CAST({zn} AS DOUBLE) / CAST({50 * LG_Q} AS DOUBLE))"
+        p = f"(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + EXP(-{z})))"
+        return f"CAST(FLOOR(({p} - y) * {LG_Q}) AS BIGINT)"
+
+    rounds = []
+    for t in range(1, LG_ROUNDS + 1):
+        rounds.append(f"""
+g{t} AS MATERIALIZED (
+  SELECT CAST(SUM(r) AS BIGINT) AS g0, CAST(SUM(r * f1) AS BIGINT) AS g1,
+         CAST(SUM(r * f2) AS BIGINT) AS g2
+  FROM (SELECT f1, f2, {r_expr('a', 'b', 'c')} AS r FROM li, w{t - 1})),
+w{t} AS MATERIALIZED (
+  SELECT CAST(FLOOR(a - {LG_LR} * (CAST(g0 AS DOUBLE)
+           / (CAST(1 AS DOUBLE) * n))) AS BIGINT) AS a,
+         CAST(FLOOR(b - {LG_LR} * (CAST(g1 AS DOUBLE)
+           / (CAST(10 AS DOUBLE) * n))) AS BIGINT) AS b,
+         CAST(FLOOR(c - {LG_LR} * (CAST(g2 AS DOUBLE)
+           / (CAST(50 AS DOUBLE) * n))) AS BIGINT) AS c
+  FROM w{t - 1}, g{t}, nn)""")
+    chain = ",".join(rounds)
+    last = f"w{LG_ROUNDS}"
+    return f"""
+WITH li AS MATERIALIZED (
+  SELECT {_LG_D10} - 5 AS f1, {_LG_QN} - 25 AS f2, {_lg_y()} AS y
+  FROM lineitem),
+nn AS (SELECT COUNT(*) AS n FROM li),
+w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,
+              CAST(0 AS BIGINT) AS c),
+{chain},
+fin AS (
+  SELECT y, (a * 50 + b * 5 * f1 + c * f2) AS zn FROM li, {last})
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN (CASE WHEN zn > 0 THEN 1 ELSE 0 END) = y
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       (SELECT CAST(a AS BIGINT) FROM {last}) AS w0_q,
+       (SELECT CAST(b AS BIGINT) FROM {last}) AS w1_q,
+       (SELECT CAST(c AS BIGINT) FROM {last}) AS w2_q,
+       (SELECT CAST(a AS DOUBLE) / CAST({LG_Q} AS DOUBLE) FROM {last})
+         AS beta0,
+       (SELECT CAST(b AS DOUBLE) / CAST({LG_Q} AS DOUBLE) FROM {last})
+         AS beta1,
+       (SELECT CAST(c AS DOUBLE) / CAST({LG_Q} AS DOUBLE) FROM {last})
+         AS beta2
+FROM fin
+"""
+
+
+QUERIES.update({
+    "logistic_gd": (q_logistic_gd, _oracle_logistic()),
+})

@@ -281,6 +281,7 @@ _TAIL = [
     "series_autocorr",        # hourly-series ACF at lags 1..3 (stats)
     "image_bilinear_upsample",  # exact x4-int 2x bilinear (B11/image)
     "image_moments",          # raw moments + orientation (B11/image)
+    "logistic_gd",            # fixed-step quantized-gradient logistic (ML)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",
