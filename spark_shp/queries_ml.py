@@ -920,18 +920,18 @@ QUERIES.update({
 # (the kmeans_rounds shape). Betas are exported as exact dyadic doubles
 # (w / 2^20 — power-of-two division, no ROUND needed).
 
-LG_Q = 1 << 20
-LG_ROUNDS = 3
-LG_LR = "CAST(2 AS DOUBLE)"   # pre-folded float literal (repo rule)
+LOGIT_Q = 1 << 20
+LOGIT_ROUNDS = 3
+LOGIT_LR = "CAST(2 AS DOUBLE)"   # pre-folded float literal (repo rule)
 
-_LG_D10 = "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)"
-_LG_QN = "CAST(FLOOR(l_quantity + 0.5) AS BIGINT)"
+_LOGIT_D10 = "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)"
+_LOGIT_QN = "CAST(FLOOR(l_quantity + 0.5) AS BIGINT)"
 
 
-def _lg_y() -> str:
+def _logit_y() -> str:
     from .hashing import mix_sql
     noise = f"({mix_sql('l_orderkey * 10 + l_linenumber')} % 11)"
-    return (f"CASE WHEN {_LG_D10} * 5 + {_LG_QN} + {noise} > 55 "
+    return (f"CASE WHEN {_LOGIT_D10} * 5 + {_LOGIT_QN} + {noise} > 55 "
             "THEN 1 ELSE 0 END")
 
 
@@ -942,9 +942,9 @@ def _lg_r_expr(w0: int, w1: int, w2: int) -> str:
     rounds); the single division by 50*2^20 is the only float op before
     the sigmoid."""
     zn = f"({w0} * 50 + {w1} * 5 * f1 + {w2} * f2)"
-    z = f"(CAST({zn} AS DOUBLE) / CAST({50 * LG_Q} AS DOUBLE))"
+    z = f"(CAST({zn} AS DOUBLE) / CAST({50 * LOGIT_Q} AS DOUBLE))"
     p = f"(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + EXP(-{z})))"
-    return f"CAST(FLOOR(({p} - y) * {LG_Q}) AS BIGINT)"
+    return f"CAST(FLOOR(({p} - y) * {LOGIT_Q}) AS BIGINT)"
 
 
 def _lg_update(w: tuple[int, int, int], g: tuple[int, int, int],
@@ -960,12 +960,12 @@ def _lg_update(w: tuple[int, int, int], g: tuple[int, int, int],
 
 def q_logistic_gd(spark, sf_dir):
     li = (_t(spark, sf_dir, "lineitem")
-          .selectExpr(f"{_LG_D10} - 5 AS f1", f"{_LG_QN} - 25 AS f2",
-                      f"{_lg_y()} AS y")
+          .selectExpr(f"{_LOGIT_D10} - 5 AS f1", f"{_LOGIT_QN} - 25 AS f2",
+                      f"{_logit_y()} AS y")
           .persist())
     n = li.count()
     w = (0, 0, 0)
-    for _ in range(LG_ROUNDS):
+    for _ in range(LOGIT_ROUNDS):
         r = li.selectExpr("f1", "f2", f"{_lg_r_expr(*w)} AS r")
         row = r.agg(F.sum("r").alias("g0"),
                     F.expr("SUM(r * f1)").alias("g1"),
@@ -983,38 +983,38 @@ def q_logistic_gd(spark, sf_dir):
         "CAST(n_correct AS BIGINT) AS n_correct",
         f"CAST({w[0]} AS BIGINT) AS w0_q", f"CAST({w[1]} AS BIGINT) AS w1_q",
         f"CAST({w[2]} AS BIGINT) AS w2_q",
-        f"CAST({w[0]} AS DOUBLE) / CAST({LG_Q} AS DOUBLE) AS beta0",
-        f"CAST({w[1]} AS DOUBLE) / CAST({LG_Q} AS DOUBLE) AS beta1",
-        f"CAST({w[2]} AS DOUBLE) / CAST({LG_Q} AS DOUBLE) AS beta2")
+        f"CAST({w[0]} AS DOUBLE) / CAST({LOGIT_Q} AS DOUBLE) AS beta0",
+        f"CAST({w[1]} AS DOUBLE) / CAST({LOGIT_Q} AS DOUBLE) AS beta1",
+        f"CAST({w[2]} AS DOUBLE) / CAST({LOGIT_Q} AS DOUBLE) AS beta2")
 
 
 def _oracle_logistic() -> str:
     def r_expr(wa: str, wb: str, wc: str) -> str:
         zn = f"({wa} * 50 + {wb} * 5 * f1 + {wc} * f2)"
-        z = f"(CAST({zn} AS DOUBLE) / CAST({50 * LG_Q} AS DOUBLE))"
+        z = f"(CAST({zn} AS DOUBLE) / CAST({50 * LOGIT_Q} AS DOUBLE))"
         p = f"(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + EXP(-{z})))"
-        return f"CAST(FLOOR(({p} - y) * {LG_Q}) AS BIGINT)"
+        return f"CAST(FLOOR(({p} - y) * {LOGIT_Q}) AS BIGINT)"
 
     rounds = []
-    for t in range(1, LG_ROUNDS + 1):
+    for t in range(1, LOGIT_ROUNDS + 1):
         rounds.append(f"""
 g{t} AS MATERIALIZED (
   SELECT CAST(SUM(r) AS BIGINT) AS g0, CAST(SUM(r * f1) AS BIGINT) AS g1,
          CAST(SUM(r * f2) AS BIGINT) AS g2
   FROM (SELECT f1, f2, {r_expr('a', 'b', 'c')} AS r FROM li, w{t - 1})),
 w{t} AS MATERIALIZED (
-  SELECT CAST(FLOOR(a - {LG_LR} * (CAST(g0 AS DOUBLE)
+  SELECT CAST(FLOOR(a - {LOGIT_LR} * (CAST(g0 AS DOUBLE)
            / (CAST(1 AS DOUBLE) * n))) AS BIGINT) AS a,
-         CAST(FLOOR(b - {LG_LR} * (CAST(g1 AS DOUBLE)
+         CAST(FLOOR(b - {LOGIT_LR} * (CAST(g1 AS DOUBLE)
            / (CAST(10 AS DOUBLE) * n))) AS BIGINT) AS b,
-         CAST(FLOOR(c - {LG_LR} * (CAST(g2 AS DOUBLE)
+         CAST(FLOOR(c - {LOGIT_LR} * (CAST(g2 AS DOUBLE)
            / (CAST(50 AS DOUBLE) * n))) AS BIGINT) AS c
   FROM w{t - 1}, g{t}, nn)""")
     chain = ",".join(rounds)
-    last = f"w{LG_ROUNDS}"
+    last = f"w{LOGIT_ROUNDS}"
     return f"""
 WITH li AS MATERIALIZED (
-  SELECT {_LG_D10} - 5 AS f1, {_LG_QN} - 25 AS f2, {_lg_y()} AS y
+  SELECT {_LOGIT_D10} - 5 AS f1, {_LOGIT_QN} - 25 AS f2, {_logit_y()} AS y
   FROM lineitem),
 nn AS (SELECT COUNT(*) AS n FROM li),
 w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,
@@ -1029,11 +1029,11 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
        (SELECT CAST(a AS BIGINT) FROM {last}) AS w0_q,
        (SELECT CAST(b AS BIGINT) FROM {last}) AS w1_q,
        (SELECT CAST(c AS BIGINT) FROM {last}) AS w2_q,
-       (SELECT CAST(a AS DOUBLE) / CAST({LG_Q} AS DOUBLE) FROM {last})
+       (SELECT CAST(a AS DOUBLE) / CAST({LOGIT_Q} AS DOUBLE) FROM {last})
          AS beta0,
-       (SELECT CAST(b AS DOUBLE) / CAST({LG_Q} AS DOUBLE) FROM {last})
+       (SELECT CAST(b AS DOUBLE) / CAST({LOGIT_Q} AS DOUBLE) FROM {last})
          AS beta1,
-       (SELECT CAST(c AS DOUBLE) / CAST({LG_Q} AS DOUBLE) FROM {last})
+       (SELECT CAST(c AS DOUBLE) / CAST({LOGIT_Q} AS DOUBLE) FROM {last})
          AS beta2
 FROM fin
 """

@@ -299,23 +299,23 @@ def test_naive_bayes_matches_pure_python(spark):
 def test_logistic_gd_matches_numpy_and_learns(spark):
     import math
 
-    from spark_shp.queries_ml import (LG_Q, LG_ROUNDS, _LG_D10, _LG_QN,
-                                      _lg_y, q_logistic_gd)
+    from spark_shp.queries_ml import (LOGIT_Q, LOGIT_ROUNDS, _LOGIT_D10, _LOGIT_QN,
+                                      _logit_y, q_logistic_gd)
     row = q_logistic_gd(spark, SF).collect()[0]
 
     pdf = (spark.read.parquet(f"{SF}/lineitem.parquet")
-           .selectExpr(f"{_LG_D10} - 5 AS f1", f"{_LG_QN} - 25 AS f2",
-                       f"{_lg_y()} AS y").toPandas())
+           .selectExpr(f"{_LOGIT_D10} - 5 AS f1", f"{_LOGIT_QN} - 25 AS f2",
+                       f"{_logit_y()} AS y").toPandas())
     f1 = pdf["f1"].to_numpy(np.int64)
     f2 = pdf["f2"].to_numpy(np.int64)
     y = pdf["y"].to_numpy(np.int64)
     n = len(y)
     w0 = w1 = w2 = 0
-    for _ in range(LG_ROUNDS):
+    for _ in range(LOGIT_ROUNDS):
         z = (w0 * 50 + w1 * 5 * f1 + w2 * f2).astype(np.float64) \
-            / float(50 * LG_Q)
+            / float(50 * LOGIT_Q)
         p = 1.0 / (1.0 + np.exp(-z))
-        r = np.floor((p - y) * LG_Q).astype(np.int64)
+        r = np.floor((p - y) * LOGIT_Q).astype(np.int64)
         g0, g1, g2 = int(r.sum()), int((r * f1).sum()), int((r * f2).sum())
         w0 = math.floor(w0 - 2.0 * (g0 / (1.0 * n)))
         w1 = math.floor(w1 - 2.0 * (g1 / (10.0 * n)))
