@@ -4954,3 +4954,130 @@ FROM cls, gl
 QUERIES.update({
     "t_closeness": (q_t_closeness, _oracle_tclose()),
 })
+
+
+# --- halfplane_clip_area: vector-overlay clip via clamped Green's theorem ---------
+#
+# The missing overlay family: area of polygon ∩ half-plane (the building
+# block of polygon∩box and polygon∩polygon boolean area — a box clip is
+# four successive half-plane clips).  The scale insight is that the clip
+# AREA never needs the clipped geometry: by Green's theorem with the
+# integration coordinate clamped to the half-plane, the area is an
+# EDGE-LOCAL sum — each directed edge contributes a closed-form term that
+# depends only on its own endpoints and the line.  The whole operator is
+# therefore one map-side-combinable SUM over the edge table: no vertex
+# lists, no ragged buffers, no Python — pure codegen, and it runs
+# unchanged over a 10^12-edge decoded layer with a single shuffle on
+# poly_id.  (Vertex-level Sutherland–Hodgman — the textbook algorithm —
+# materializes per-ring vertex lists and can't map-side combine; pytest
+# uses it as the independent cross-check.)
+#
+# Exactness: fence vertices quantize to the centi-degree lattice
+# (ix = FLOOR(x·100)); the clip line is the diagonal x + y = c with c an
+# integer, so in rotated coordinates u = ix − iy, v = ix + iy the clip is
+# v ≤ c and every edge–line crossing lands ON the integer lattice
+# (axis-aligned source edges give |Δu| = |Δv| in uv space, so the
+# interpolated crossing u is u1 ± (c − v1) exactly).  Every per-edge
+# contribution and both area sums are therefore exact int64 at any
+# aggregation order; the single float division is the final clip
+# fraction.  Ring orientation (reference convention: outer CW, holes
+# CCW — geom.py assemble_rings) makes holes subtract and extra parts add
+# automatically, with one global sign flip at the end.
+#
+# c itself is data-derived (the mid-diagonal of each polygon's v-range),
+# computed by one narrow pre-aggregate over the same edge table.
+
+HP_Q = 100  # centi-degree lattice
+
+
+def _hp_edges_df(spark: SparkSession):
+    e = fixtures.fence_edges(64)
+    rows = [(int(r[0]), float(r[1]), float(r[2]), float(r[3]), float(r[4]))
+            for r in e]
+    return spark.createDataFrame(
+        rows, "poly_id bigint, x1 double, y1 double, x2 double, y2 double")
+
+
+# CAST AS DOUBLE first: DuckDB parses the VALUES literals as DECIMAL and
+# a DECIMAL(17,14)-by-100.0 multiply overflows its DECIMAL(18) cap.
+def _hp_q(col: str) -> str:
+    return (f"CAST(FLOOR(CAST({col} AS DOUBLE) * {float(HP_Q)!r}) "
+            "AS BIGINT)")
+
+
+_HP_UV = (
+    f"{_hp_q('x1')} - {_hp_q('y1')} AS u1",
+    f"{_hp_q('x1')} + {_hp_q('y1')} AS v1",
+    f"{_hp_q('x2')} - {_hp_q('y2')} AS u2",
+    f"{_hp_q('x2')} + {_hp_q('y2')} AS v2",
+)
+
+# Crossing u: exact for this input class (|Δu| = |Δv|), computed via an
+# exact double quotient (|numerator| < 2^53) so Spark and DuckDB CAST
+# identically; NULLIF keeps the non-crossing rows NULL instead of
+# erroring, and the CASE never reads uc on those rows.
+_HP_UC = ("(u1 + CAST(CAST((c - v1) * (u2 - u1) AS DOUBLE) "
+          "/ CAST(NULLIF(v2 - v1, 0) AS DOUBLE) AS BIGINT))")
+
+# Doubled-doubled signed contribution to ∮ u dv with v clamped to ≤ c:
+# S = Σ contrib = 4 · (signed xy area of the clipped region).
+_HP_CONTRIB = f"""CASE
+  WHEN v1 <= c AND v2 <= c THEN (u1 + u2) * (v2 - v1)
+  WHEN v1 > c AND v2 > c THEN CAST(0 AS BIGINT)
+  WHEN v1 <= c THEN (u1 + {_HP_UC}) * (c - v1)
+  ELSE ({_HP_UC} + u2) * (v2 - c)
+END"""
+
+_HP_TOTAL = "(u1 + u2) * (v2 - v1)"
+
+_HP_OUT = (
+    "CAST(poly_id AS BIGINT) AS poly_id",
+    "CAST(c AS BIGINT) AS c_diag",
+    "CAST(n_edges AS BIGINT) AS n_edges",
+    # outer−holes positive under the reference CW-outer convention
+    "CAST(CAST(0 - s_total AS DOUBLE) / 2.0 AS BIGINT) AS area2_total",
+    "CAST(CAST(0 - s_clip AS DOUBLE) / 2.0 AS BIGINT) AS area2_clip",
+    "ROUND(CAST(0 - s_clip AS DOUBLE) / CAST(0 - s_total AS DOUBLE), 6)"
+    " AS clip_frac",
+)
+
+
+def q_halfplane_clip_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _hp_edges_df(spark).selectExpr("poly_id", *_HP_UV)
+    c = e.groupBy("poly_id").agg(F.expr(
+        "CAST(FLOOR((MIN(LEAST(v1, v2)) + MAX(GREATEST(v1, v2))) / 2.0) "
+        "AS BIGINT)").alias("c"))
+    j = e.join(F.broadcast(c), "poly_id")
+    agg = (j.groupBy("poly_id", "c")
+           .agg(F.count(F.lit(1)).alias("n_edges"),
+                F.expr(f"SUM({_HP_TOTAL})").alias("s_total"),
+                F.expr(f"SUM({_HP_CONTRIB})").alias("s_clip")))
+    return agg.selectExpr(*_HP_OUT)
+
+
+def _oracle_halfplane() -> str:
+    from .queries_spatial import _fence_edges_values_sql
+    uv = ",\n         ".join(_HP_UV)
+    return f"""
+WITH e AS (
+  SELECT poly_id, {uv}
+  FROM {_fence_edges_values_sql(64)} fe),
+cc AS (
+  SELECT poly_id,
+         CAST(FLOOR((MIN(LEAST(v1, v2)) + MAX(GREATEST(v1, v2))) / 2.0)
+              AS BIGINT) AS c
+  FROM e GROUP BY 1),
+agg AS (
+  SELECT e.poly_id, c, COUNT(*) AS n_edges,
+         SUM({_HP_TOTAL}) AS s_total,
+         SUM({_HP_CONTRIB}) AS s_clip
+  FROM e JOIN cc ON e.poly_id = cc.poly_id
+  GROUP BY 1, 2)
+SELECT {", ".join(_HP_OUT)}
+FROM agg
+"""
+
+
+QUERIES.update({
+    "halfplane_clip_area": (q_halfplane_clip_area, _oracle_halfplane()),
+})

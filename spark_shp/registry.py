@@ -282,6 +282,7 @@ _TAIL = [
     "image_bilinear_upsample",  # exact x4-int 2x bilinear (B11/image)
     "image_moments",          # raw moments + orientation (B11/image)
     "logistic_gd",            # fixed-step quantized-gradient logistic (ML)
+    "halfplane_clip_area",    # edge-local clamped-Green overlay clip (B4-B10)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -1741,3 +1741,61 @@ def test_t_closeness_matches_pandas(spark):
         assert 0.0 <= r.tvd <= 1.0
         fired += r.tvd_num > 0
     assert fired > 0  # the audit discriminates (equal-but-zero blind spot)
+
+
+def _sh_clip_halfplane(ring, c):
+    """Vertex-level Sutherland–Hodgman clip of a closed ring against
+    x + y <= c — the textbook algorithm the edge-local operator avoids;
+    used here as the independent cross-check. Returns the clipped ring
+    (open vertex list)."""
+    pts = [tuple(p) for p in ring[:-1]] if tuple(ring[0]) == tuple(ring[-1]) \
+        else [tuple(p) for p in ring]
+    out = []
+    n = len(pts)
+    for i in range(n):
+        ax, ay = pts[i]
+        bx, by = pts[(i + 1) % n]
+        ain, bin_ = ax + ay <= c, bx + by <= c
+        if ain:
+            out.append((ax, ay))
+        if ain != bin_:
+            t = (c - ax - ay) / ((bx + by) - (ax + ay))
+            out.append((ax + t * (bx - ax), ay + t * (by - ay)))
+    return out
+
+
+def _shoelace2_signed(pts):
+    """Doubled signed shoelace area, CCW positive (standard convention)."""
+    s = 0.0
+    n = len(pts)
+    for i in range(n):
+        ax, ay = pts[i]
+        bx, by = pts[(i + 1) % n]
+        s += ax * by - bx * ay
+    return s
+
+
+def test_halfplane_clip_matches_sutherland_hodgman(spark):
+    from spark_shp.queries_insights import HP_Q, q_halfplane_clip_area
+
+    out = {r["poly_id"]: r for r in q_halfplane_clip_area(spark, SF).collect()}
+    assert len(out) == 64
+    for j in range(64):
+        rings = [np.floor(r * HP_Q) for r in fixtures.fence_rings(j)]
+        c = out[j]["c_diag"]
+        # independent totals: signed shoelace over all rings (CW outers
+        # negative under the standard convention -> negate the sum)
+        total2 = -sum(_shoelace2_signed([tuple(p) for p in r[:-1]])
+                      for r in rings)
+        clip2 = -sum(_shoelace2_signed(_sh_clip_halfplane(r, c))
+                     for r in rings)
+        assert out[j]["area2_total"] == int(round(total2))
+        assert out[j]["area2_clip"] == int(round(clip2)), j
+        # laws: the clip is a strict subregion cut through the interior
+        assert 0 <= out[j]["area2_clip"] <= out[j]["area2_total"]
+        assert abs(out[j]["clip_frac"]
+                   - out[j]["area2_clip"] / out[j]["area2_total"]) < 1e-6
+    # the mid-diagonal genuinely cuts most fences (not a degenerate gate)
+    cut = sum(1 for j in range(64)
+              if 0 < out[j]["area2_clip"] < out[j]["area2_total"])
+    assert cut >= 48
