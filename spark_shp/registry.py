@@ -283,6 +283,7 @@ _TAIL = [
     "image_moments",          # raw moments + orientation (B11/image)
     "logistic_gd",            # fixed-step quantized-gradient logistic (ML)
     "halfplane_clip_area",    # edge-local clamped-Green overlay clip (B4-B10)
+    "als_user_factors",       # ALS half-step: distributed ridge solve (ML)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -332,3 +332,29 @@ def test_logistic_gd_matches_numpy_and_learns(spark):
     assert row["n_correct"] > majority + n // 5
     # positive signal direction on both features
     assert w1 > 0 and w2 > 0
+
+
+def test_als_user_factors_matches_numpy_ridge(spark):
+    from spark_shp.queries_ml import ALS_LAMBDA, q_als_user_factors
+
+    out = q_als_user_factors(spark, SF).toPandas()
+    assert (out["det"] > 0).all()
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").selectExpr(
+        "l_orderkey AS ok", "l_partkey AS p",
+        "CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS r")
+    o = spark.read.parquet(f"{SF}/orders.parquet").selectExpr(
+        "o_orderkey AS ok", "o_custkey AS u")
+    pdf = li.join(o, "ok").selectExpr(
+        "u", "r", "p % 7 + 1 AS v1", "(p * 3) % 5 + 1 AS v2").toPandas()
+
+    for u in sorted(pdf["u"].unique())[:5]:
+        g = pdf[pdf["u"] == u]
+        V = g[["v1", "v2"]].to_numpy(np.float64)
+        r = g["r"].to_numpy(np.float64)
+        M = V.T @ V + ALS_LAMBDA * np.eye(2)
+        w = np.linalg.solve(M, V.T @ r)
+        row = out[out["custkey"] == u].iloc[0]
+        assert abs(row["w1"] - w[0]) < 1e-5
+        assert abs(row["w2"] - w[1]) < 1e-5
+        assert abs(row["pred_probe"] - (3 * w[0] + 2 * w[1])) < 1e-4
