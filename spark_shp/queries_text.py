@@ -1020,3 +1020,114 @@ QUERIES: dict = {
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "attribution_pairs": (q_attribution_pairs, ORACLE_ATTRIBUTION),
 }
+
+
+# --- dedup_containment: drop docs that are substrings of another doc ---------------
+#
+# The curation step between exact dedup (identical text) and fuzzy LSH:
+# a document wholly CONTAINED in a longer one (quote pages, mirrored
+# excerpts, boilerplate-wrapped copies) carries no new tokens and is
+# dropped.  Never all-pairs: a token-aligned contained doc shares every
+# one of its 3-token rolling windows with its container, so its MINIMUM
+# window hash (= its winnowing fingerprint, the doc_fingerprint operator)
+# must appear in the container's window-hash set — one equi-join on the
+# hash key finds every candidate pair, and a substring verify on the two
+# texts confirms.  Plan: roll-hash pass (window over doc), fingerprint
+# agg, hash-keyed candidate join, two joins back to the text column,
+# codegen INSTR verify — every stage shuffles on a key, nothing is
+# corpus × corpus.
+#
+# The synthetic corpus has no real containments, so the gated input is
+# documents UNION token-aligned snippets cut from every 11th doc (tokens
+# 3..10, ids offset by 1,000,000) — built from the same deterministic
+# expression in both engines (the wav_decode_stats injection idiom).
+# Verification wraps both texts in spaces so only token-boundary-aligned
+# containment counts, and strict length-< keeps equal-text pairs in
+# dedup_exact's jurisdiction.
+
+CONTAIN_SNIP_MOD = 11
+CONTAIN_SNIP_OFF = 1_000_000
+
+
+def _contain_corpus(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    snip = (d.where(f"doc_id % {CONTAIN_SNIP_MOD} = 0 "
+                    "AND size(split(text, ' ')) >= 10")
+            .selectExpr(f"doc_id + {CONTAIN_SNIP_OFF} AS doc_id",
+                        "array_join(slice(split(text, ' '), 3, 8), ' ') "
+                        "AS text"))
+    return d.unionByName(snip)
+
+
+def q_dedup_containment(spark, sf_dir):
+    corpus = _contain_corpus(spark, sf_dir)
+    toks = (corpus
+            .select("doc_id", F.posexplode(F.split("text", " "))
+                    .alias("pos", "w"))
+            .selectExpr("doc_id", "pos", f"{word_hash_sql('w')} AS wh"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    roll = (toks.select(
+        "doc_id",
+        (F.col("wh") + 31 * F.lead("wh", 1).over(w)
+         + 961 * F.lead("wh", 2).over(w)).alias("rh"))
+        .where(F.col("rh").isNotNull()))
+    fp = roll.groupBy("doc_id").agg(F.min("rh").alias("fp"))
+    wins = roll.distinct().selectExpr("doc_id AS b_id", "rh")
+    cand = (fp.join(wins, fp["fp"] == wins["rh"])
+            .where(F.col("doc_id") != F.col("b_id"))
+            .select(F.col("doc_id").alias("a_id"), "b_id").distinct())
+    ta = corpus.selectExpr("doc_id AS a_id", "text AS a_text")
+    tb = corpus.selectExpr("doc_id AS b_id", "text AS b_text")
+    ver = (cand.join(ta, "a_id").join(tb, "b_id")
+           .where("LENGTH(a_text) < LENGTH(b_text) AND "
+                  "INSTR(CONCAT(' ', b_text, ' '), "
+                  "CONCAT(' ', a_text, ' ')) > 0"))
+    return (ver.groupBy("a_id")
+            .agg(F.count(F.lit(1)).alias("n_containers"),
+                 F.min("b_id").alias("first_container"))
+            .selectExpr("CAST(a_id AS BIGINT) AS contained_id",
+                        "CAST(n_containers AS BIGINT) AS n_containers",
+                        "CAST(first_container AS BIGINT) AS first_container"))
+
+
+ORACLE_CONTAINMENT = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CONTAIN_SNIP_OFF} AS doc_id,
+         array_to_string((string_split(text, ' '))[3:10], ' ') AS text
+  FROM documents
+  WHERE doc_id % {CONTAIN_SNIP_MOD} = 0 AND len(string_split(text, ' ')) >= 10),
+toks AS (
+  SELECT doc_id, i AS pos, {word_hash_sql('w')} AS wh
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM corpus) t),
+roll AS (
+  SELECT doc_id,
+         wh + 31 * LEAD(wh, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+            + 961 * LEAD(wh, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS rh
+  FROM toks),
+rolled AS (SELECT doc_id, rh FROM roll WHERE rh IS NOT NULL),
+fp AS (SELECT doc_id, MIN(rh) AS fp FROM rolled GROUP BY 1),
+wins AS (SELECT DISTINCT doc_id AS b_id, rh FROM rolled),
+cand AS (
+  SELECT DISTINCT fp.doc_id AS a_id, wins.b_id
+  FROM fp JOIN wins ON fp.fp = wins.rh AND fp.doc_id <> wins.b_id),
+ver AS (
+  SELECT a_id, b_id
+  FROM cand
+  JOIN corpus ca ON ca.doc_id = a_id
+  JOIN corpus cb ON cb.doc_id = b_id
+  WHERE LENGTH(ca.text) < LENGTH(cb.text)
+    AND POSITION(' ' || ca.text || ' ' IN ' ' || cb.text || ' ') > 0)
+SELECT CAST(a_id AS BIGINT) AS contained_id,
+       CAST(COUNT(*) AS BIGINT) AS n_containers,
+       CAST(MIN(b_id) AS BIGINT) AS first_container
+FROM ver GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "dedup_containment": (q_dedup_containment, ORACLE_CONTAINMENT),
+})

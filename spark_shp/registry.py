@@ -284,6 +284,7 @@ _TAIL = [
     "logistic_gd",            # fixed-step quantized-gradient logistic (ML)
     "halfplane_clip_area",    # edge-local clamped-Green overlay clip (B4-B10)
     "als_user_factors",       # ALS half-step: distributed ridge solve (ML)
+    "dedup_containment",      # substring-containment dedup (dedup family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

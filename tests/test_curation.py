@@ -389,3 +389,38 @@ def test_new_operator_plan_shapes(spark):
         physical = df._jdf.queryExecution().executedPlan().toString()
         n = physical.count("Exchange hashpartitioning")
         assert n <= budget, f"{fn.__name__}: {n} shuffles > {budget}"
+
+
+def test_dedup_containment_matches_bruteforce(spark):
+    from spark_shp.queries_text import (CONTAIN_SNIP_MOD, CONTAIN_SNIP_OFF,
+                                        q_dedup_containment)
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["contained_id"]: (r["n_containers"], r["first_container"])
+           for r in q_dedup_containment(spark, sf).collect()}
+
+    # rebuild the corpus (docs + injected token-aligned snippets) in pandas
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text").toPandas()
+    corpus = {int(r.doc_id): r.text for r in d.itertuples()}
+    for r in d.itertuples():
+        toks = r.text.split(" ")
+        if int(r.doc_id) % CONTAIN_SNIP_MOD == 0 and len(toks) >= 10:
+            corpus[int(r.doc_id) + CONTAIN_SNIP_OFF] = " ".join(toks[2:10])
+
+    # brute force: token-boundary containment over all pairs (docs with
+    # >= 3 tokens — shorter docs have no 3-token window and are out of
+    # the operator's declared contract)
+    want = {}
+    for a, ta in corpus.items():
+        if len(ta.split(" ")) < 3:
+            continue
+        cs = [b for b, tb in corpus.items()
+              if b != a and len(ta) < len(tb)
+              and f" {ta} " in f" {tb} "]
+        if cs:
+            want[a] = (len(cs), min(cs))
+    assert got == want
+    # every injected snippet with a >=3-token body is recovered
+    inj = [k for k in corpus if k >= CONTAIN_SNIP_OFF]
+    assert inj and all(k in got for k in inj)
