@@ -147,7 +147,14 @@ def write_table(df: DataFrame, root: str, partition_by: str | None = None,
         if bounds:
             entry["bounds"] = {k: [_json_safe(v) for v in b]
                                for k, b in bounds.items()}
+        # Iceberg data sequence number: equality-delete files apply only to
+        # data files with a STRICTLY LOWER sequence, so rows re-inserted
+        # after a delete survive it (merge-on-read semantics). Carried
+        # entries keep their original seq; legacy entries without one read
+        # as 0 (oldest — every delete applies).
+        entry["seq"] = version
         files.append(entry)
+    delete_files: list = []
     if mode == "append" and version > 1:
         # Iceberg semantics: a snapshot names the table's FULL file set, so
         # an append snapshot = parent's files + the files this commit added.
@@ -159,13 +166,20 @@ def write_table(df: DataFrame, root: str, partition_by: str | None = None,
         parent = max((v for v in _retained_versions(root) if v < version),
                      default=0)
         if parent:
-            files = table_stats(root, parent)["files"] + files
+            pstats = table_stats(root, parent)
+            files = pstats["files"] + files
+            # merge-on-read delete files ride along until compaction folds
+            # them; they keep their own seq, so the rows appended by THIS
+            # commit (higher seq) are not affected by them.
+            delete_files = list(pstats.get("delete_files") or [])
     elif carry_files is not None:
         # merge commit: untouched parent files carried by name, zero I/O
         files = list(carry_files) + files
     snapshot = {"snapshot_id": version, "ts_ms": int(time.time() * 1000),
                 "operation": mode, "files": files,
                 "total_rows": sum(f["rows"] for f in files)}
+    if delete_files:
+        snapshot["delete_files"] = delete_files
     if properties:
         # commit-level properties (e.g. the streaming micro-batch id) live
         # INSIDE the manifest so they are atomic with the snapshot itself
@@ -223,14 +237,15 @@ def scan_table(spark: SparkSession, root: str, col: str,
         if b is not None and (b[0] > hi or b[1] < lo):
             skipped += 1
             continue
-        keep.append(os.path.join(root, f["path"]))
+        keep.append(f)
     report = {"files_total": len(snap["files"]), "files_read": len(keep),
               "files_skipped": skipped}
     if not keep:
         df = read_table(spark, root, snapshot_id).limit(0)
     else:
-        df = _read_file_list(spark, root,
-                             [os.path.relpath(p, root) for p in keep])
+        # merge-on-read delete files still apply to the skipped-down set
+        df = _read_with_deletes(spark, root, keep,
+                                snap.get("delete_files") or [])
     return df.where(F.col(col).between(lo, hi)), report
 
 
@@ -258,7 +273,39 @@ def read_table(spark: SparkSession, root: str,
     if version == 0:
         raise FileNotFoundError(f"no committed snapshot under {root}")
     snap = table_stats(root, version)
-    return _read_file_list(spark, root, [f["path"] for f in snap["files"]])
+    return _read_with_deletes(spark, root, snap["files"],
+                              snap.get("delete_files") or [])
+
+
+def _read_with_deletes(spark: SparkSession, root: str, file_entries: list,
+                       dels: list) -> DataFrame:
+    """Scan manifest data-file entries, applying merge-on-read equality
+    deletes: a delete file applies to data files with a STRICTLY LOWER
+    data sequence number (so re-inserted rows survive older deletes).
+    Data files group by seq — bounded by the snapshot count, not the file
+    count — and each group anti-joins the union of the delete keys that
+    outrank it. The delete side is CDC-sized, so it broadcasts; the data
+    side never shuffles."""
+    if not dels:
+        return _read_file_list(spark, root,
+                               [f["path"] for f in file_entries])
+    from pyspark.sql import functions as F
+    groups: dict[int, list[str]] = {}
+    for f in file_entries:
+        groups.setdefault(int(f.get("seq", 0)), []).append(f["path"])
+    parts = []
+    for seq, paths in sorted(groups.items()):
+        df = _read_file_list(spark, root, paths)
+        by_key: dict[str, list[str]] = {}
+        for d in dels:
+            if int(d["seq"]) > seq:
+                by_key.setdefault(d["key"], []).append(d["path"])
+        for k, dpaths in sorted(by_key.items()):
+            keys = _read_file_list(spark, root, dpaths).select(k).distinct()
+            df = df.join(F.broadcast(keys), k, "left_anti")
+        parts.append(df)
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                  parts)
 
 
 def _read_file_list(spark: SparkSession, root: str,
@@ -338,12 +385,18 @@ def compact(spark: SparkSession, root: str, target_file_mb: int = 256,
     total_bytes = sum(f["bytes"] for f in snap["files"])
     n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     df = read_table(spark, root)
+    # With merge-on-read delete files, the manifest's data-file row total
+    # overcounts live rows; compaction FOLDS the deletes (read_table
+    # applies them, the rewrite drops them), so assert against the live
+    # count instead.
+    expected = (df.count() if snap.get("delete_files")
+                else snap["total_rows"])
     if cluster_by is None:
         df = df.coalesce(n_out)      # narrow — no shuffle to merge files
     new = write_table(df, root, partition_by=partition_by,
                       cluster_by=cluster_by, mode="overwrite")
-    assert new["total_rows"] == snap["total_rows"], \
-        f'compaction changed row count: {snap["total_rows"]} -> ' \
+    assert new["total_rows"] == expected, \
+        f'compaction changed row count: {expected} -> ' \
         f'{new["total_rows"]}'
     return {"snapshot_id": new["snapshot_id"],
             "files_before": len(snap["files"]),
@@ -378,6 +431,11 @@ def merge_table(spark: SparkSession, root: str, updates: DataFrame,
     from pyspark.sql import functions as F
 
     snap = table_stats(root)
+    if snap.get("delete_files"):
+        raise ValueError(
+            "table has merge-on-read delete files; run compact() to fold "
+            "them before a copy-on-write merge (carried-by-name files "
+            "would otherwise resurrect deleted rows)")
     n_updates = updates.count()
     if n_updates == 0:
         return {"snapshot_id": snap["snapshot_id"], "noop": True,
@@ -427,6 +485,73 @@ def merge_table(spark: SparkSession, root: str, updates: DataFrame,
             "total_rows": new["total_rows"]}
 
 
+def delete_where(spark: SparkSession, root: str, keys_df: DataFrame,
+                 key: str) -> dict:
+    """Iceberg merge-on-read EQUALITY DELETE: commit a delete file of
+    ``key`` values as a new snapshot WITHOUT touching any data file — the
+    O(delete-batch) write path for CDC deletes into a 100 TB table
+    (copy-on-write :func:`merge_table` is the O(touched-files) path;
+    choose per workload exactly as Iceberg's write.delete.mode does).
+
+    Readers apply the delete file as a broadcast anti-join, but only to
+    data files with a strictly LOWER data sequence number, so keys
+    re-inserted by a later append survive older deletes (Iceberg sequence
+    semantics). Delete files accumulate across appends and further
+    deletes until :func:`compact` folds them into a clean overwrite
+    snapshot. Crash-safe under the same tmp-dir + atomic-rename + never-
+    reuse-a-committed-version protocol as :func:`write_table`."""
+    meta_dir = os.path.join(root, "metadata")
+    parent_versions = _retained_versions(root)
+    if not parent_versions:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    version = max([_current_version(root)] + parent_versions) + 1
+    parent = max(v for v in parent_versions if v < version)
+    pstats = table_stats(root, parent)
+
+    snap_dir = os.path.join(root, "data", f"snap-{version}")
+    tmp_dir = os.path.join(root, "data", f".snap-{version}.inprogress")
+    for stale in (tmp_dir, snap_dir):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+    keys_df.select(key).distinct().coalesce(1) \
+        .write.mode("error").parquet(tmp_dir)
+    os.rename(tmp_dir, snap_dir)         # atomic publish
+
+    import pyarrow.parquet as pq
+    del_entries = []
+    for p in sorted(glob.glob(os.path.join(snap_dir, "*.parquet"))):
+        del_entries.append({"path": os.path.relpath(p, root),
+                            "rows": pq.read_metadata(p).num_rows,
+                            "bytes": os.path.getsize(p),
+                            "key": key, "seq": version})
+    snapshot = {"snapshot_id": version, "ts_ms": int(time.time() * 1000),
+                "operation": "delete",
+                "files": pstats["files"],            # carried by name
+                "delete_files": (pstats.get("delete_files") or [])
+                + del_entries,
+                # data-file row total (live rows need the anti-join; same
+                # convention as Iceberg's total-records summary)
+                "total_rows": pstats["total_rows"]}
+    with open(os.path.join(meta_dir, f"snap-{version}.manifest.json"),
+              "w") as f:
+        json.dump(snapshot, f, indent=1)
+    with open(os.path.join(meta_dir, f"v{parent}.metadata.json")) as f:
+        pmeta = json.load(f)
+    retained = _retained_versions(root)
+    metadata = dict(pmeta)
+    metadata["current-snapshot-id"] = version
+    metadata["snapshots"] = [f"snap-{v}.manifest.json"
+                             for v in sorted(retained)]
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"),
+              "w") as f:
+        json.dump(metadata, f, indent=1)
+    tmp = os.path.join(meta_dir, ".version-hint.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(meta_dir, "version-hint.text"))
+    return snapshot
+
+
 def table_stats(root: str, snapshot_id: int | None = None) -> dict:
     version = snapshot_id or _current_version(root)
     path = os.path.join(root, "metadata", f"snap-{version}.manifest.json")
@@ -449,10 +574,14 @@ def expire_snapshots(root: str, keep_last: int = 1) -> dict:
     expired = [v for v in retained_all if v not in keep]
     if not expired:
         return {"expired": [], "deleted_files": 0}
-    live = {f["path"] for v in keep for f in table_stats(root, v)["files"]}
+    def _all_files(v: int) -> list:
+        s = table_stats(root, v)
+        return s["files"] + (s.get("delete_files") or [])
+
+    live = {f["path"] for v in keep for f in _all_files(v)}
     deleted = 0
     for v in expired:
-        for f in table_stats(root, v)["files"]:
+        for f in _all_files(v):
             p = os.path.join(root, f["path"])
             if f["path"] not in live and os.path.exists(p):
                 os.remove(p)

@@ -374,3 +374,70 @@ def test_iceberg_partition_spec_evolution(spark, tmp_path):
     assert len(rows2) == 80
     assert rep2["files_read"] >= n1
     assert rep2["files_skipped"] >= n2 // 2
+
+
+def test_iceberg_merge_on_read_deletes(spark, tmp_path):
+    """Equality-delete files with Iceberg data-sequence semantics: deletes
+    apply only to data files with a strictly lower seq, so re-inserted
+    keys survive older deletes; delete files accumulate across appends,
+    time travel replays each snapshot's own delete set, compact() folds
+    everything into a clean overwrite, and copy-on-write merge refuses to
+    run over un-folded deletes."""
+    from spark_shp import iceberg_layout as ice
+    root = str(tmp_path / "tbl")
+
+    def df_of(*keys):
+        return spark.createDataFrame(
+            [(int(k), f"cap-{k}") for k in keys], "image_id long, cap string")
+
+    ice.write_table(df_of(1, 2, 3), root)                       # snap 1
+    d = ice.delete_where(spark, root, df_of(2), "image_id")     # snap 2
+    assert d["operation"] == "delete" and d["snapshot_id"] == 2
+    assert sorted(r["image_id"] for r in
+                  ice.read_table(spark, root).collect()) == [1, 3]
+    # time travel to snap 1 still sees the deleted key
+    assert sorted(r["image_id"] for r in
+                  ice.read_table(spark, root, 1).collect()) == [1, 2, 3]
+
+    # re-insert key 2 plus a new key: appended files outrank the delete
+    ice.write_table(df_of(2, 4), root, mode="append")           # snap 3
+    assert sorted(r["image_id"] for r in
+                  ice.read_table(spark, root).collect()) == [1, 2, 3, 4]
+
+    # a second delete hits old AND new files (higher seq than both)
+    ice.delete_where(spark, root, df_of(1, 4), "image_id")      # snap 4
+    assert sorted(r["image_id"] for r in
+                  ice.read_table(spark, root).collect()) == [2, 3]
+
+    # scan_table applies deletes through the file-skipping path too
+    got, rep = ice.scan_table(spark, root, "image_id", 0, 10)
+    assert sorted(r["image_id"] for r in got.collect()) == [2, 3]
+
+    # copy-on-write merge refuses un-folded deletes
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="merge-on-read delete files"):
+        ice.merge_table(spark, root, df_of(3), "image_id")
+
+    # compact folds the deletes: clean overwrite snapshot, same live rows
+    rep = ice.compact(spark, root)
+    snap = ice.table_stats(root)
+    assert "delete_files" not in snap
+    assert snap["total_rows"] == 2
+    assert sorted(r["image_id"] for r in
+                  ice.read_table(spark, root).collect()) == [2, 3]
+    # pre-compact snapshots still time-travel with their delete sets
+    assert sorted(r["image_id"] for r in
+                  ice.read_table(spark, root, 3).collect()) == [1, 2, 3, 4]
+    # and the merge works after folding
+    ice.merge_table(spark, root, df_of(3), "image_id")
+    assert sorted(r["image_id"] for r in
+                  ice.read_table(spark, root).collect()) == [2, 3]
+
+    # expiry GCs delete parquet files once no retained snapshot needs them
+    import glob as _glob
+    n_before = len(_glob.glob(f"{root}/data/snap-*/*.parquet"))
+    ice.expire_snapshots(root, keep_last=1)
+    n_after = len(_glob.glob(f"{root}/data/snap-*/*.parquet"))
+    assert n_after < n_before
+    assert sorted(r["image_id"] for r in
+                  ice.read_table(spark, root).collect()) == [2, 3]
