@@ -280,3 +280,25 @@ def nation_fences_np(nationkeys: np.ndarray):
     cy = u01(k * 7 + 2) * 160.0 - 80.0
     hw = 2.0 + (k % 5).astype(np.float64)
     return cx, cy, hw
+
+
+def fence_wkt(j: int) -> str:
+    """Fence j as a WKT POLYGON/MULTIPOLYGON string (rings grouped by the
+    reference assembly, coordinates rendered as exact 6-decimal strings
+    from micro-degree integers). Interop fixture for wkt_polygon_ingest."""
+    from .geom import assemble_rings
+
+    def fmt(v: float) -> str:
+        u = int(np.floor(v * 1e6 + 0.5))
+        sign = "-" if u < 0 else ""
+        a = abs(u)
+        return f"{sign}{a // 1000000}.{a % 1000000:06d}"
+
+    def ring_txt(r) -> str:
+        return "(" + ", ".join(f"{fmt(x)} {fmt(y)}" for x, y in r) + ")"
+
+    polys = assemble_rings(fence_rings(j))
+    parts = ["(" + ", ".join(ring_txt(r) for r in p) + ")" for p in polys]
+    if len(parts) == 1:
+        return "POLYGON" + parts[0]
+    return "MULTIPOLYGON(" + ", ".join(parts) + ")"

@@ -23,7 +23,8 @@ requires on top of it.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import (DataFrame, SparkSession, Window as W,
+                         functions as F)
 
 from . import cells, fixtures
 
@@ -5192,4 +5193,109 @@ FROM cls GROUP BY 1
 
 QUERIES.update({
     "hillshade_raster": (q_hillshade_raster, _oracle_hillshade()),
+})
+
+
+# --- wkt_polygon_ingest: WKT POLYGON/MULTIPOLYGON decode, fully declarative --------
+#
+# Completes the WKT interop row (wkt_point_ingest parses points): polygon
+# and multipolygon text decoded WITHOUT any geometry library OR Python
+# kernel — regexp ring extraction, split tokenization, and a lag-window
+# shoelace, all codegen SQL, so a 10^9-row WKT column decodes JVM-side at
+# scan speed.  Every innermost paren group is a ring; the reference
+# winding convention (outer CW, holes CCW — geom.py assemble_rings)
+# makes the SIGNED shoelace sum compose area as outer − holes + parts
+# with one global negation, no polygon-grouping parse needed for the
+# area/bbox/count readout.  Coordinates are 6-decimal strings rendered
+# from micro-degree integers (fixtures.fence_wkt), and the parse
+# re-quantizes via FLOOR(x·1e6 + 0.5) — the exact roundtrip rule of
+# wkt_point_ingest — so every aggregate is exact int64.
+
+_WKT_RING_PAT = "[(]([^()]+)[)]"
+
+
+def _wkt_poly_src_rows():
+    return [(j, fixtures.fence_wkt(j)) for j in range(64)]
+
+
+def q_wkt_polygon_ingest(spark, sf_dir):
+    src = spark.createDataFrame(_wkt_poly_src_rows(),
+                                "poly_id bigint, wkt string")
+    rings = src.selectExpr(
+        "poly_id",
+        f"posexplode(regexp_extract_all(wkt, '{_WKT_RING_PAT}', 1)) "
+        "AS (ring_idx, ring)")
+    pts = rings.selectExpr(
+        "poly_id", "ring_idx", "posexplode(split(ring, ', ')) AS (pos, pt)")
+    xy = pts.selectExpr(
+        "poly_id", "ring_idx", "pos",
+        "CAST(FLOOR(CAST(split_part(pt, ' ', 1) AS DOUBLE) * 1000000.0 "
+        "+ 0.5) AS BIGINT) AS ix",
+        "CAST(FLOOR(CAST(split_part(pt, ' ', 2) AS DOUBLE) * 1000000.0 "
+        "+ 0.5) AS BIGINT) AS iy")
+    w = W.partitionBy("poly_id", "ring_idx").orderBy("pos")
+    edges = xy.select(
+        "poly_id", "ring_idx", "ix", "iy",
+        F.lead("ix", 1).over(w).alias("jx"),
+        F.lead("iy", 1).over(w).alias("jy")).where("jx IS NOT NULL")
+    return (edges.groupBy("poly_id")
+            .agg(F.expr("COUNT(DISTINCT ring_idx)").alias("n_rings"),
+                 F.count(F.lit(1)).alias("n_edges"),
+                 F.expr("SUM(ix * jy - jx * iy)").alias("s"),
+                 F.min("ix").alias("min_x"), F.max("ix").alias("max_x"),
+                 F.min("iy").alias("min_y"), F.max("iy").alias("max_y"))
+            .selectExpr("CAST(poly_id AS BIGINT) AS poly_id",
+                        "CAST(n_rings AS BIGINT) AS n_rings",
+                        "CAST(n_edges AS BIGINT) AS n_edges",
+                        "CAST(0 - s AS BIGINT) AS area2_udeg",
+                        "CAST(min_x AS BIGINT) AS min_x",
+                        "CAST(max_x AS BIGINT) AS max_x",
+                        "CAST(min_y AS BIGINT) AS min_y",
+                        "CAST(max_y AS BIGINT) AS max_y"))
+
+
+def _oracle_wkt_polygon() -> str:
+    vals = ",".join(f"({j}, '{fixtures.fence_wkt(j)}')" for j in range(64))
+    return f"""
+WITH src AS (SELECT * FROM (VALUES {vals}) AS t(poly_id, wkt)),
+rings AS (
+  SELECT poly_id, i - 1 AS ring_idx, r AS ring
+  FROM (SELECT poly_id,
+               UNNEST(regexp_extract_all(wkt, '{_WKT_RING_PAT}', 1)) AS r,
+               generate_subscripts(
+                 regexp_extract_all(wkt, '{_WKT_RING_PAT}', 1), 1) AS i
+        FROM src) t),
+pts AS (
+  SELECT poly_id, ring_idx, i - 1 AS pos, p AS pt
+  FROM (SELECT poly_id, ring_idx,
+               UNNEST(string_split(ring, ', ')) AS p,
+               generate_subscripts(string_split(ring, ', '), 1) AS i
+        FROM rings) t),
+xy AS (
+  SELECT poly_id, ring_idx, pos,
+         CAST(FLOOR(CAST(split_part(pt, ' ', 1) AS DOUBLE) * 1000000.0
+              + 0.5) AS BIGINT) AS ix,
+         CAST(FLOOR(CAST(split_part(pt, ' ', 2) AS DOUBLE) * 1000000.0
+              + 0.5) AS BIGINT) AS iy
+  FROM pts),
+edges AS (
+  SELECT poly_id, ring_idx, ix, iy,
+         LEAD(ix, 1) OVER (PARTITION BY poly_id, ring_idx ORDER BY pos)
+           AS jx,
+         LEAD(iy, 1) OVER (PARTITION BY poly_id, ring_idx ORDER BY pos)
+           AS jy
+  FROM xy)
+SELECT CAST(poly_id AS BIGINT) AS poly_id,
+       CAST(COUNT(DISTINCT ring_idx) AS BIGINT) AS n_rings,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(0 - SUM(ix * jy - jx * iy) AS BIGINT) AS area2_udeg,
+       CAST(MIN(ix) AS BIGINT) AS min_x, CAST(MAX(ix) AS BIGINT) AS max_x,
+       CAST(MIN(iy) AS BIGINT) AS min_y, CAST(MAX(iy) AS BIGINT) AS max_y
+FROM edges WHERE jx IS NOT NULL
+GROUP BY poly_id
+"""
+
+
+QUERIES.update({
+    "wkt_polygon_ingest": (q_wkt_polygon_ingest, _oracle_wkt_polygon()),
 })

@@ -285,6 +285,7 @@ _TAIL = [
     "halfplane_clip_area",    # edge-local clamped-Green overlay clip (B4-B10)
     "als_user_factors",       # ALS half-step: distributed ridge solve (ML)
     "dedup_containment",      # substring-containment dedup (dedup family)
+    "wkt_polygon_ingest",     # WKT polygon decode, declarative (A-interop)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

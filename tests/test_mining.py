@@ -2437,3 +2437,34 @@ def test_hillshade_matches_numpy(spark):
     for sh, (nc, ps) in agg.items():
         assert (out[sh]["n_cells"], out[sh]["pos_sum"]) == (nc, ps)
     assert len(agg) > 3          # non-degenerate shade spread
+
+
+def test_wkt_polygon_ingest_matches_numpy_shoelace(spark):
+    """The declarative WKT decode re-derived independently: rings from the
+    fixture geometry (never the WKT text), µdeg-quantized in numpy, signed
+    shoelace summed per fence."""
+    from spark_shp import fixtures
+    from spark_shp.queries_mining import q_wkt_polygon_ingest
+
+    out = {r["poly_id"]: r for r in
+           q_wkt_polygon_ingest(spark, "/root/testdata/sf0.001").collect()}
+    assert len(out) == 64
+    for j in range(64):
+        rings = fixtures.fence_rings(j)
+        q = [np.floor(r * 1e6 + 0.5).astype(np.int64) for r in rings]
+        s = 0
+        n_edges = 0
+        for r in q:
+            x, y = r[:, 0], r[:, 1]
+            s += int(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+            n_edges += len(r) - 1
+        row = out[j]
+        assert row["n_rings"] == len(rings)
+        assert row["n_edges"] == n_edges
+        assert row["area2_udeg"] == -s
+        assert row["area2_udeg"] > 0          # outer − holes stays positive
+        allq = np.vstack(q)
+        assert (row["min_x"], row["max_x"]) == (allq[:, 0].min(),
+                                                allq[:, 0].max())
+        assert (row["min_y"], row["max_y"]) == (allq[:, 1].min(),
+                                                allq[:, 1].max())
