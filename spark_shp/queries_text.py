@@ -1131,3 +1131,100 @@ FROM ver GROUP BY 1
 QUERIES.update({
     "dedup_containment": (q_dedup_containment, ORACLE_CONTAINMENT),
 })
+
+
+# --- text_encoding_audit: mojibake / control-char / zero-width QA ------------------
+#
+# The encoding-hygiene filter every web-scale curation pipeline runs
+# before tokenization (CCNet/RefinedWeb-class cleanup): per-language
+# counts of documents carrying C0 control characters, zero-width
+# characters (ZWSP/ZWNJ/BOM), UTF-8-as-Latin-1 mojibake markers
+# ("Ã" followed by a Latin-1 supplement continuation), and the
+# replacement character � — plus the byte volume a scrub would
+# reclaim.  Pure string predicates over one scan + one tiny-key agg;
+# the characters enter both engines as identical Python-rendered string
+# LITERALS (Spark SQL chr() is ASCII-only, so codepoint construction
+# in-plan is a portability trap — the literal rule sidesteps it).
+#
+# The synthetic corpus is clean, so every 13th doc gets a deterministic
+# corruption suffix (class = doc_id % 4) appended IN-PLAN by the same
+# expression in both engines (the dedup_containment injection idiom);
+# the audit must recover exactly the injected classes.
+
+ENC_MOD = 13
+_ENC_BAD = ["", "​", "Ã©", "�"]  # bell/ZWSP/mojibake e-acute/repl
+
+
+def _enc_corrupt_sql(text: str, doc_id: str) -> str:
+    cases = " ".join(
+        f"WHEN {doc_id} % 4 = {i} THEN '{c}'"
+        for i, c in enumerate(_ENC_BAD))
+    return (f"CASE WHEN {doc_id} % {ENC_MOD} = 0 THEN "
+            f"CONCAT({text}, ' x', CASE {cases} END) ELSE {text} END")
+
+
+_ENC_FLAGS = (
+    ("has_control", "(CONTAINS(text, '') OR CONTAINS(text, '')"
+                    " OR CONTAINS(text, ''))"),
+    ("has_zero_width", "(CONTAINS(text, '​') OR CONTAINS(text, '‌')"
+                       " OR CONTAINS(text, '﻿'))"),
+    ("has_mojibake", "(CONTAINS(text, 'Ã©') OR CONTAINS(text, 'Ã¨')"
+                     " OR CONTAINS(text, 'Â '))"),
+    ("has_replacement", "CONTAINS(text, '�')"),
+)
+
+
+def q_text_encoding_audit(spark, sf_dir):
+    d = (_t(spark, sf_dir, "documents")
+         .selectExpr("doc_id", "lang",
+                     f"{_enc_corrupt_sql('text', 'doc_id')} AS text"))
+    flags = d.selectExpr(
+        "lang",
+        *[f"CAST({expr} AS INT) AS {name}" for name, expr in _ENC_FLAGS],
+        # bytes a scrub would reclaim (chars are 1- or 3-byte in these
+        # classes; count octets, the storage-level number)
+        "OCTET_LENGTH(text) - OCTET_LENGTH("
+        " REPLACE(REPLACE(REPLACE(REPLACE(text, '', ''),"
+        " '​', ''), 'Ã©', ''), '�', ''))"
+        " AS reclaim_bytes")
+    return (flags.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 *[F.sum(name).alias(f"n_{name[4:]}")
+                   for name, _ in _ENC_FLAGS],
+                 F.sum("reclaim_bytes").alias("reclaim_bytes"))
+            .selectExpr("lang", "CAST(n_docs AS BIGINT) AS n_docs",
+                        "CAST(n_control AS BIGINT) AS n_control",
+                        "CAST(n_zero_width AS BIGINT) AS n_zero_width",
+                        "CAST(n_mojibake AS BIGINT) AS n_mojibake",
+                        "CAST(n_replacement AS BIGINT) AS n_replacement",
+                        "CAST(reclaim_bytes AS BIGINT) AS reclaim_bytes"))
+
+
+def _oracle_enc() -> str:
+    flag_cols = ",\n         ".join(
+        f"CAST({expr} AS INT) AS {name}" for name, expr in _ENC_FLAGS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, {_enc_corrupt_sql('text', 'doc_id')} AS text
+  FROM documents),
+flags AS (
+  SELECT lang,
+         {flag_cols},
+         STRLEN(text) - STRLEN(
+           REPLACE(REPLACE(REPLACE(REPLACE(text, '', ''),
+           '​', ''), 'Ã©', ''), '�', ''))
+           AS reclaim_bytes
+  FROM d)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(has_control) AS BIGINT) AS n_control,
+       CAST(SUM(has_zero_width) AS BIGINT) AS n_zero_width,
+       CAST(SUM(has_mojibake) AS BIGINT) AS n_mojibake,
+       CAST(SUM(has_replacement) AS BIGINT) AS n_replacement,
+       CAST(SUM(reclaim_bytes) AS BIGINT) AS reclaim_bytes
+FROM flags GROUP BY lang
+"""
+
+
+QUERIES.update({
+    "text_encoding_audit": (q_text_encoding_audit, _oracle_enc()),
+})

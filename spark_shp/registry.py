@@ -286,6 +286,7 @@ _TAIL = [
     "als_user_factors",       # ALS half-step: distributed ridge solve (ML)
     "dedup_containment",      # substring-containment dedup (dedup family)
     "wkt_polygon_ingest",     # WKT polygon decode, declarative (A-interop)
+    "text_encoding_audit",    # mojibake/control/zero-width QA (curation)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -424,3 +424,31 @@ def test_dedup_containment_matches_bruteforce(spark):
     # every injected snippet with a >=3-token body is recovered
     inj = [k for k in corpus if k >= CONTAIN_SNIP_OFF]
     assert inj and all(k in got for k in inj)
+
+
+def test_text_encoding_audit_recovers_injected_classes(spark):
+    """The audit must flag exactly the injected corruption classes: docs
+    with doc_id % 13 == 0 get class doc_id % 4; everything else is clean
+    (python-side replay of the same injection)."""
+    import pandas as pd
+    from spark_shp.queries_text import ENC_MOD, q_text_encoding_audit
+
+    sf = "/root/testdata/sf0.001"
+    out = q_text_encoding_audit(spark, sf).toPandas().set_index("lang")
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "lang").toPandas()
+    d["cls"] = d["doc_id"] % 4
+    d["bad"] = d["doc_id"] % ENC_MOD == 0
+    want = d.groupby("lang").apply(
+        lambda g: pd.Series({
+            "n_control": int((g.bad & (g.cls == 0)).sum()),
+            "n_zero_width": int((g.bad & (g.cls == 1)).sum()),
+            "n_mojibake": int((g.bad & (g.cls == 2)).sum()),
+            "n_replacement": int((g.bad & (g.cls == 3)).sum()),
+        }), include_groups=False)
+    for lang, row in want.iterrows():
+        got = out.loc[lang]
+        for c in row.index:
+            assert got[c] == row[c], (lang, c)
+        # each corrupted doc loses >= 1 byte under the scrub
+        assert got["reclaim_bytes"] >= row.sum()
