@@ -208,3 +208,24 @@ def static_enrich_counts(stream: DataFrame, nation: DataFrame,
                  .alias("sum_cents"))
             .select(F.col("win.start").alias("window_start"),
                     "n_name", "n", "sum_cents"))
+
+
+def geofence_alerts(stream: DataFrame, polys: DataFrame, level: int = 6,
+                    watermark: str = "10 minutes") -> DataFrame:
+    """The north-star join as a CONTINUOUS monitor: each streamed event is
+    tile-assigned and PIP-joined against the (static) fence layer — the
+    broadcast cell-cover equi-join + inline codegen ray-cast of
+    spatial.spatial_join rides the micro-batch unchanged because every
+    stage is stateless — then watermarked tumbling counts per
+    (window, fence) emit the alert feed. Streaming state is keyed by
+    (window, poly_id): bounded by fences x active windows, independent of
+    event rate — the 100 TB/day geofence-alerting shape."""
+    from . import spatial
+
+    j = spatial.spatial_join(stream, polys, "lon", "lat", level=level,
+                             broadcast_cover=True)
+    return (j.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("win"), "poly_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("win.start").cast("timestamp_ntz")
+                    .alias("window_start"), "poly_id", "n_events"))

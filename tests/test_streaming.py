@@ -323,3 +323,34 @@ def test_stream_static_enrich_equals_batch(spark, replay_dir):
     gmap = {(int(r.window_start.replace(tzinfo=timezone.utc).timestamp()),
              r.n_name): (r.n, r.sum_cents) for r in got}
     assert gmap == want
+
+
+def test_geofence_alerts_stream_equals_batch(spark, replay_dir):
+    """Stream-static spatial join (tile cover broadcast + inline PIP on the
+    micro-batch) + watermarked per-fence windows == the same join and
+    rollup as one batch query."""
+    from spark_shp import fixtures, spatial
+
+    polys = fixtures.fences_df(spark, 16).drop("layer", "name")
+
+    def spatialize(df):
+        return df.selectExpr("*", f"{fixtures.EVENT_LON_SQL} AS lon",
+                             f"{fixtures.EVENT_LAT_SQL} AS lat")
+
+    got = sorted(
+        (r.window_start, r.poly_id, r.n_events)
+        for r in streaming.run_to_completion(
+            streaming.geofence_alerts(
+                spatialize(streaming.events_stream(spark, replay_dir)),
+                polys, watermark=WM)))
+    ev = spatialize(spark.read.parquet(replay_dir)
+                    .withColumn("ts", F.col("ts").cast("timestamp_ltz")))
+    j = spatial.spatial_join(ev, polys, "lon", "lat", level=6,
+                             broadcast_cover=True)
+    batch = (j.groupBy(F.window("ts", "1 hour").alias("win"), "poly_id")
+             .agg(F.count(F.lit(1)).alias("n_events"))
+             .select(F.col("win.start").cast("timestamp_ntz")
+                     .alias("window_start"), "poly_id", "n_events"))
+    want = sorted((r.window_start, r.poly_id, r.n_events)
+                  for r in batch.collect())
+    assert got == want and len(got) > 0
