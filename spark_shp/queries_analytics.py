@@ -1911,3 +1911,102 @@ QUERIES.update({
     "zone_map_pruning": (q_zone_map_pruning, _oracle_zone_map()),
     "ivm_delta_agg": (q_ivm_delta_agg, _oracle_ivm()),
 })
+
+
+# --- exact_order_statistics: distributed exact k-th element ------------------------
+#
+# Exact order statistics WITHOUT a global sort and WITHOUT per-group
+# sorted buffers (Spark's built-in `percentile` materializes one — the
+# memory wall at 10^12 rows): iterative histogram narrowing.  Each round
+# is ONE map-side-combinable 256-bucket count over the candidate range;
+# the driver (holding just those 256 counts) finds the bucket containing
+# the k-th value, subtracts the mass below it, and recurses into it.  The
+# candidate range shrinks 256x per round, so a 64-bit domain needs at
+# most 8 rounds and the cents-domain here needs 3 + a final exact pass
+# over <=256 distinct values.  Driver state is O(256) per round — the
+# kmeans_rounds / logistic_gd driver-loop shape — and every count is an
+# exact integer, so the result is bit-exact at any partitioning.
+#
+# The oracle recomputes both order statistics the definitional way
+# (ROW_NUMBER over the sorted column), which on DuckDB's single node is
+# affordable — precisely the contrast the operator exists to remove.
+
+OS_BUCKETS = 256
+
+
+def _os_kth(df, col: str, k: int, lo: int, hi: int) -> int:
+    """Exact k-th smallest (1-based) of integer column ``col`` within
+    [lo, hi] via histogram narrowing; ≤ 8 rounds, O(256) driver state."""
+    while hi - lo + 1 > OS_BUCKETS:
+        width = hi - lo + 1
+        b = (F.col(col) - F.lit(lo)) * OS_BUCKETS / F.lit(width)
+        hist = dict(df.where(f"{col} BETWEEN {lo} AND {hi}")
+                    .groupBy(b.cast("long").alias("b")).count()
+                    .collect())
+        acc = 0
+        for i in range(OS_BUCKETS):
+            c = hist.get(i, 0)
+            if acc + c >= k:
+                k -= acc
+                # bucket i holds exactly v - lo in
+                # [ceil(i*w/B), ceil((i+1)*w/B) - 1]: ceil on BOTH ends —
+                # floor would leak bucket i-1 values into the narrowed
+                # range after k was already reduced by their count
+                lo2 = lo + (i * width + OS_BUCKETS - 1) // OS_BUCKETS
+                hi2 = lo + ((i + 1) * width + OS_BUCKETS - 1) \
+                    // OS_BUCKETS - 1
+                lo, hi = lo2, hi2
+                break
+            acc += c
+        else:                      # k beyond range mass — contract breach
+            raise ValueError("k exceeds rows in range")
+    vals = (df.where(f"{col} BETWEEN {lo} AND {hi}")
+            .groupBy(col).count().orderBy(col).collect())
+    acc = 0
+    for r in vals:
+        acc += r["count"]
+        if acc >= k:
+            return int(r[col])
+    raise ValueError("k exceeds rows in range")
+
+
+def q_exact_order_statistics(spark, sf_dir):
+    df = (_t(spark, sf_dir, "orders")
+          .selectExpr("CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+                      " AS cents"))
+    df = df.persist()
+    row = df.agg(F.count(F.lit(1)).alias("n"), F.min("cents").alias("lo"),
+                 F.max("cents").alias("hi")).collect()[0]
+    n, lo, hi = int(row["n"]), int(row["lo"]), int(row["hi"])
+    k50 = (n + 1) // 2
+    k90 = (9 * n + 9) // 10      # ceil(0.9 * n) for integer n
+    v50 = _os_kth(df, "cents", k50, lo, hi)
+    v90 = _os_kth(df, "cents", k90, lo, hi)
+    df.unpersist()
+    return spark.range(1).selectExpr(
+        f"CAST({n} AS BIGINT) AS n",
+        f"CAST({k50} AS BIGINT) AS k50", f"CAST({v50} AS BIGINT) AS v50",
+        f"CAST({k90} AS BIGINT) AS k90", f"CAST({v90} AS BIGINT) AS v90")
+
+
+ORACLE_ORDER_STATS = """
+WITH t AS (
+  SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+c AS (SELECT COUNT(*) AS n FROM t),
+r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM t)
+SELECT CAST(c.n AS BIGINT) AS n,
+       CAST((c.n + 1) // 2 AS BIGINT) AS k50,
+       CAST((SELECT cents FROM r, c WHERE rn = (c.n + 1) // 2) AS BIGINT)
+         AS v50,
+       CAST((9 * c.n + 9) // 10 AS BIGINT) AS k90,
+       CAST((SELECT cents FROM r, c WHERE rn = (9 * c.n + 9) // 10)
+            AS BIGINT) AS v90
+FROM c
+"""
+
+
+QUERIES.update({
+    "exact_order_statistics": (q_exact_order_statistics,
+                               ORACLE_ORDER_STATS),
+})

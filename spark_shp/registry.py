@@ -287,6 +287,7 @@ _TAIL = [
     "dedup_containment",      # substring-containment dedup (dedup family)
     "wkt_polygon_ingest",     # WKT polygon decode, declarative (A-interop)
     "text_encoding_audit",    # mojibake/control/zero-width QA (curation)
+    "exact_order_statistics",  # histogram-narrowing exact k-th (C6 family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

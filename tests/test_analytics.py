@@ -764,3 +764,27 @@ def test_ivm_matches_recompute_and_delta_is_real(spark):
     base = o[o.k % IVM_INS_MOD != 0]
     assert (base.k % IVM_DEL_MOD == 0).sum() > 0
     assert (o.k % IVM_INS_MOD == 0).sum() > 0
+
+
+def test_exact_order_statistics_matches_numpy_and_narrowing_laws(spark):
+    from spark_shp.queries_analytics import (_os_kth,
+                                             q_exact_order_statistics)
+
+    sf = "/root/testdata/sf0.001"
+    row = q_exact_order_statistics(spark, sf).collect()[0]
+    cents = np.sort(
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .selectExpr("CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+                    " AS c").toPandas()["c"].to_numpy(np.int64))
+    n = len(cents)
+    assert row["n"] == n
+    assert row["v50"] == cents[(n + 1) // 2 - 1]
+    assert row["v90"] == cents[(9 * n + 9) // 10 - 1]
+
+    # adversarial k sweep: boundary ranks through the narrowing kernel
+    df = (spark.read.parquet(f"{sf}/orders.parquet")
+          .selectExpr("CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+                      " AS cents"))
+    lo, hi = int(cents[0]), int(cents[-1])
+    for k in (1, 2, n // 3, n - 1, n):
+        assert _os_kth(df, "cents", k, lo, hi) == cents[k - 1], k
