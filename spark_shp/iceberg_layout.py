@@ -552,6 +552,42 @@ def delete_where(spark: SparkSession, root: str, keys_df: DataFrame,
     return snapshot
 
 
+def rollback_to(root: str, snapshot_id: int) -> dict:
+    """Iceberg ``rollback``: make ``snapshot_id``'s state current again by
+    committing a NEW snapshot that names the old snapshot's exact file set
+    (data + delete files, with their original sequence numbers) — zero
+    data I/O, pure metadata. History is preserved: the rolled-back-over
+    snapshots stay time-travelable until :func:`expire_snapshots`, and
+    the rollback itself appears in the log as operation ``rollback``."""
+    old = table_stats(root, snapshot_id)          # raises if expired
+    meta_dir = os.path.join(root, "metadata")
+    version = max([_current_version(root)] + _retained_versions(root)) + 1
+    snapshot = {"snapshot_id": version, "ts_ms": int(time.time() * 1000),
+                "operation": "rollback", "rolled_back_to": snapshot_id,
+                "files": old["files"],
+                "total_rows": old["total_rows"]}
+    if old.get("delete_files"):
+        snapshot["delete_files"] = old["delete_files"]
+    with open(os.path.join(meta_dir, f"snap-{version}.manifest.json"),
+              "w") as f:
+        json.dump(snapshot, f, indent=1)
+    with open(os.path.join(meta_dir,
+                           f"v{snapshot_id}.metadata.json")) as f:
+        pmeta = json.load(f)
+    metadata = dict(pmeta)
+    metadata["current-snapshot-id"] = version
+    metadata["snapshots"] = [f"snap-{v}.manifest.json"
+                             for v in _retained_versions(root)]
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"),
+              "w") as f:
+        json.dump(metadata, f, indent=1)
+    tmp = os.path.join(meta_dir, ".version-hint.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(meta_dir, "version-hint.text"))
+    return snapshot
+
+
 def table_stats(root: str, snapshot_id: int | None = None) -> dict:
     version = snapshot_id or _current_version(root)
     path = os.path.join(root, "metadata", f"snap-{version}.manifest.json")

@@ -441,3 +441,35 @@ def test_iceberg_merge_on_read_deletes(spark, tmp_path):
     assert n_after < n_before
     assert sorted(r["image_id"] for r in
                   ice.read_table(spark, root).collect()) == [2, 3]
+
+
+def test_iceberg_rollback(spark, tmp_path):
+    """rollback_to commits the old snapshot's exact file set (including
+    delete files with their sequence numbers) as a NEW snapshot — zero
+    data I/O; history including the rolled-back-over snapshot stays
+    time-travelable."""
+    from spark_shp import iceberg_layout as ice
+    root = str(tmp_path / "tbl")
+
+    def df_of(*keys):
+        return spark.createDataFrame(
+            [(int(k), f"c{k}") for k in keys], "image_id long, cap string")
+
+    ice.write_table(df_of(1, 2, 3), root)                     # snap 1
+    ice.delete_where(spark, root, df_of(2), "image_id")       # snap 2
+    ice.write_table(df_of(9), root, mode="append")            # snap 3
+    assert sorted(r["image_id"] for r in
+                  ice.read_table(spark, root).collect()) == [1, 3, 9]
+
+    rb = ice.rollback_to(root, 2)                             # snap 4
+    assert rb["operation"] == "rollback" and rb["snapshot_id"] == 4
+    # current state == snapshot 2's state (delete applied, no key 9)
+    assert sorted(r["image_id"] for r in
+                  ice.read_table(spark, root).collect()) == [1, 3]
+    # the rolled-back-over snapshot is still time-travelable
+    assert sorted(r["image_id"] for r in
+                  ice.read_table(spark, root, 3).collect()) == [1, 3, 9]
+    # appends continue cleanly from the rollback point
+    ice.write_table(df_of(5), root, mode="append")            # snap 5
+    assert sorted(r["image_id"] for r in
+                  ice.read_table(spark, root).collect()) == [1, 3, 5]
