@@ -934,3 +934,149 @@ QUERIES.update({
     "image_bilinear_upsample": (q_image_bilinear, _oracle_bilinear()),
     "image_moments": (q_image_moments, _oracle_moments()),
 })
+
+
+# --- detection_iou_match: greedy box assignment (detection QA) ---------------------
+#
+# The object-detection evaluation primitive: match each image's predicted
+# boxes to its ground-truth boxes greedily by IoU (threshold 0.5), then
+# report corpus precision-style tallies.  The assignment is an ITERATIVE
+# algorithm — pick the best pair, exclude its row/column, repeat — but
+# with K=3 boxes a side it unrolls EXACTLY into three staged projections:
+# the 9 pair keys are computed ONCE as real columns (so the staged CASEs
+# reference column names, not repeated expression trees), round 1 is one
+# GREATEST, round 2 a 9-branch CASE of 4-key GREATESTs, and round 3 is
+# index arithmetic (the unused row/col is 3 − used − used).  Everything
+# is exact integer math: intersections/unions of integer boxes, IoU
+# quantized by one identical FLOOR division, threshold as the exact test
+# 2·inter ≥ union folded into the key (a sub-threshold pair keys to 0 and
+# can never be picked).  Per-image work is O(K²) columns — at 10^12
+# images this is a map-only pass plus one tiny-key rollup.
+#
+# Boxes are deterministic functions of image_id (truth) and truth ± hash
+# jitter (predictions), so the oracle replays them exactly.
+
+IOU_Q = 1_000_000
+DET_N = 4000  # images gated (doc-scale slice; the op itself is map-only)
+
+
+def _det_box(kind: str, i: int) -> dict:
+    """Integer box k in a 64x64 space as SQL exprs of image_id."""
+    s = 0 if kind == "t" else 100
+    m = lambda salt: f"({mix_sql(f'image_id * 16 + {salt}')})"  # noqa: E731
+    x1 = f"({m(s + i * 4 + 0)} % 48)"
+    y1 = f"({m(s + i * 4 + 1)} % 48)"
+    if kind == "t":
+        x2 = f"({x1} + 4 + {m(s + i * 4 + 2)} % 12)"
+        y2 = f"({y1} + 4 + {m(s + i * 4 + 3)} % 12)"
+        return {"x1": x1, "y1": y1, "x2": x2, "y2": y2}
+    # prediction: truth box i jittered by -2..+2 per edge (often IoU>=0.5,
+    # sometimes not — both match outcomes exercised)
+    t = _det_box("t", i)
+    return {k: f"({t[k]} + {m(s + i * 4 + ord(k[0]) + len(k))} % 5 - 2)"
+            for k in t}
+
+
+def _det_pair_cols() -> list[str]:
+    """k0..k8 column exprs: key = meets_0.5 * (iou_q * 16 + (8 - idx))."""
+    cols = []
+    for p in range(3):
+        tp = _det_box("p", p)
+        for t in range(3):
+            tt = _det_box("t", t)
+            idx = p * 3 + t
+            iw = (f"GREATEST(0, LEAST({tp['x2']}, {tt['x2']}) "
+                  f"- GREATEST({tp['x1']}, {tt['x1']}))")
+            ih = (f"GREATEST(0, LEAST({tp['y2']}, {tt['y2']}) "
+                  f"- GREATEST({tp['y1']}, {tt['y1']}))")
+            inter = f"({iw} * {ih})"
+            area_p = f"(({tp['x2']} - {tp['x1']}) * ({tp['y2']} - {tp['y1']}))"
+            area_t = f"(({tt['x2']} - {tt['x1']}) * ({tt['y2']} - {tt['y1']}))"
+            union = f"({area_p} + {area_t} - {inter})"
+            iou_q = (f"CAST(FLOOR(CAST({inter} AS DOUBLE) * {IOU_Q}.0 "
+                     f"/ {union}) AS BIGINT)")
+            meets = f"CAST(2 * {inter} >= {union} AS INT)"
+            cols.append(f"{meets} * ({iou_q} * 16 + {8 - idx}) AS k{idx}")
+    return cols
+
+
+def _det_rounds_sql() -> list[str]:
+    """Staged greedy rounds over the k0..k8 columns."""
+    ks = [f"k{i}" for i in range(9)]
+    r1 = f"GREATEST({', '.join(ks)}) AS r1"
+    # decode helpers (idx = 8 - key % 16; p = idx div 3; t = idx % 3)
+    dec = ("CAST(8 - (r1 % 16) AS BIGINT) AS i1",)
+    # round 2: exclude row p1 and column t1 -> 4 surviving keys per branch
+    b2 = []
+    for p in range(3):
+        for t in range(3):
+            idx = p * 3 + t
+            rest = [f"k{pp * 3 + tt}" for pp in range(3) if pp != p
+                    for tt in range(3) if tt != t]
+            b2.append(f"WHEN i1 = {idx} THEN GREATEST({', '.join(rest)})")
+    r2 = ("CASE WHEN r1 = 0 THEN CAST(0 AS BIGINT) "
+          + " ".join(b2) + " END AS r2")
+    return [r1, *dec, r2]
+
+
+_DET_R3 = (
+    # the single remaining pair after two rounds: p3 = 3 - p1 - p2,
+    # t3 = 3 - t1 - t2 — index arithmetic, no search
+    "CASE WHEN r2 = 0 THEN CAST(0 AS BIGINT) ELSE "
+    "CASE (3 - CAST(FLOOR(i1 / 3.0) AS BIGINT) "
+    "- CAST(FLOOR((8 - (r2 % 16)) / 3.0) AS BIGINT)) * 3 "
+    "+ (3 - i1 % 3 - (8 - (r2 % 16)) % 3) "
+    + " ".join(f"WHEN {i} THEN k{i}" for i in range(9))
+    + " END END AS r3")
+
+_DET_OUT = (
+    "CAST(COUNT(*) AS BIGINT) AS n_images",
+    "CAST(SUM(CAST(r1 > 0 AS INT) + CAST(r2 > 0 AS INT) "
+    "+ CAST(r3 > 0 AS INT)) AS BIGINT) AS n_matched",
+    f"CAST(SUM(CAST(FLOOR(r1 / 16.0) AS BIGINT) "
+    f"+ CAST(FLOOR(r2 / 16.0) AS BIGINT) "
+    f"+ CAST(FLOOR(r3 / 16.0) AS BIGINT)) AS BIGINT) AS sum_iou_q",
+    f"ROUND(CAST(SUM(CAST(r1 > 0 AS INT) + CAST(r2 > 0 AS INT) "
+    f"+ CAST(r3 > 0 AS INT)) AS DOUBLE) / (3.0 * COUNT(*)), 6) "
+    "AS precision_at_3",
+)
+
+
+def q_detection_iou_match(spark, sf_dir):
+    ks = ["k0", "k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8"]
+    r1, i1, r2 = _det_rounds_sql()
+    ids = spark.range(DET_N).selectExpr("id AS image_id",
+                                        "id % 3 AS cohort")
+    pairs = ids.selectExpr("image_id", "cohort", *_det_pair_cols())
+    s1 = pairs.selectExpr("cohort", *ks, r1)          # aliases feed the
+    s2 = s1.selectExpr("cohort", *ks, "r1", i1)       # NEXT stage, never
+    s3 = s2.selectExpr("cohort", *ks, "r1", "i1", r2)  # their own SELECT
+    fin = s3.selectExpr("cohort", "r1", "r2", _DET_R3)
+    return (fin.groupBy("cohort")
+            .agg(*[F.expr(e.rsplit(" AS ", 1)[0])
+                   .alias(e.rsplit(" AS ", 1)[1]) for e in _DET_OUT])
+            .selectExpr("CAST(cohort AS BIGINT) AS cohort", "n_images",
+                        "n_matched", "sum_iou_q", "precision_at_3"))
+
+
+def _oracle_det() -> str:
+    r1, i1, r2 = _det_rounds_sql()
+    ks = ", ".join(f"k{i}" for i in range(9))
+    return f"""
+WITH ids AS (
+  SELECT i AS image_id, i % 3 AS cohort
+  FROM generate_series(0, {DET_N - 1}) AS g(i)),
+pairs AS (
+  SELECT image_id, cohort, {", ".join(_det_pair_cols())} FROM ids),
+s1 AS (SELECT cohort, {ks}, {r1} FROM pairs),
+s2 AS (SELECT cohort, {ks}, r1, {i1} FROM s1),
+s3 AS (SELECT cohort, {ks}, r1, i1, {r2} FROM s2),
+fin AS (SELECT cohort, r1, r2, {_DET_R3} FROM s3)
+SELECT CAST(cohort AS BIGINT) AS cohort, {", ".join(_DET_OUT)}
+FROM fin GROUP BY cohort
+"""
+
+
+QUERIES.update({
+    "detection_iou_match": (q_detection_iou_match, _oracle_det()),
+})

@@ -288,6 +288,7 @@ _TAIL = [
     "wkt_polygon_ingest",     # WKT polygon decode, declarative (A-interop)
     "text_encoding_audit",    # mojibake/control/zero-width QA (curation)
     "exact_order_statistics",  # histogram-narrowing exact k-th (C6 family)
+    "detection_iou_match",    # greedy IoU box assignment (vision QA)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -445,3 +445,71 @@ def test_image_moments_matches_python(spark):
         assert abs(row.theta - theta) < 1e-5, i
         assert abs(row.cx - round(cx, 6)) < 1e-9
         assert abs(row.cy - round(cy, 6)) < 1e-9
+
+
+def test_detection_iou_match_matches_sequential_greedy(spark):
+    """The staged 3-round unroll vs an actual ITERATIVE greedy matcher:
+    pick the best (pred, truth) pair by quantized IoU (sub-threshold pairs
+    keyed 0), exclude its row and column, repeat until the pool is dry —
+    the textbook algorithm the SQL unrolls by construction."""
+    from spark_shp.hashing import mix
+    from spark_shp.queries_vision import (DET_N, IOU_Q,
+                                          q_detection_iou_match)
+
+    def m(i, salt):
+        return int(mix(i * 16 + salt))
+
+    def tbox(i, k):
+        x1 = m(i, k * 4 + 0) % 48
+        y1 = m(i, k * 4 + 1) % 48
+        x2 = x1 + 4 + m(i, k * 4 + 2) % 12
+        y2 = y1 + 4 + m(i, k * 4 + 3) % 12
+        return (x1, y1, x2, y2)
+
+    def pbox(i, k):
+        t = tbox(i, k)
+        return tuple(v + m(i, 100 + k * 4 + ord(nm[0]) + len(nm)) % 5 - 2
+                     for nm, v in zip(("x1", "y1", "x2", "y2"), t))
+
+    agg = {}  # cohort -> [n_images, n_matched, sum_iou_q]
+    for i in range(DET_N):
+        preds = [pbox(i, k) for k in range(3)]
+        truths = [tbox(i, k) for k in range(3)]
+        keys = {}
+        for p in range(3):
+            for t in range(3):
+                px1, py1, px2, py2 = preds[p]
+                tx1, ty1, tx2, ty2 = truths[t]
+                iw = max(0, min(px2, tx2) - max(px1, tx1))
+                ih = max(0, min(py2, ty2) - max(py1, ty1))
+                inter = iw * ih
+                union = ((px2 - px1) * (py2 - py1)
+                         + (tx2 - tx1) * (ty2 - ty1) - inter)
+                iou_q = int(np.floor(inter * float(IOU_Q) / union))
+                idx = p * 3 + t
+                keys[(p, t)] = ((iou_q * 16 + (8 - idx))
+                                if 2 * inter >= union else 0)
+        a = agg.setdefault(i % 3, [0, 0, 0])
+        a[0] += 1
+        used_p, used_t = set(), set()
+        for _ in range(3):
+            cand = [(v, pt) for pt, v in keys.items()
+                    if pt[0] not in used_p and pt[1] not in used_t]
+            v, (p, t) = max(cand)
+            if v == 0:
+                break
+            used_p.add(p)
+            used_t.add(t)
+            a[1] += 1
+            a[2] += v // 16
+    rows = {r.cohort: r for r in q_detection_iou_match(spark, SF).collect()}
+    assert set(rows) == set(agg)
+    tot_m = tot_i = 0
+    for c, (ni, nm, si) in agg.items():
+        r = rows[c]
+        assert (r.n_images, r.n_matched, r.sum_iou_q) == (ni, nm, si), c
+        assert abs(r.precision_at_3 - nm / (3.0 * ni)) < 5e-7, c
+        tot_m += nm
+        tot_i += ni
+    # planted-structure: jitter produces BOTH outcomes corpus-wide
+    assert 0 < tot_m < 3 * tot_i
