@@ -5081,3 +5081,178 @@ FROM agg
 QUERIES.update({
     "halfplane_clip_area": (q_halfplane_clip_area, _oracle_halfplane()),
 })
+
+
+# --- map_match_roads: snap GPS points to the nearest road segment ----------------
+#
+# The map-matching primitive (GPS trace → road network): each point snaps
+# to the nearest road SEGMENT within radius R, by exact point-to-segment
+# distance with endpoint clamping — not point-to-point and not bbox — the
+# geometry kernel every routing/telemetry pipeline runs first.  Candidate
+# (point, road) pairs come from a cell grid whose width equals R: roads
+# scatter to their bbox-midpoint cell ±1 (a ≤2000-unit segment's bbox
+# provably fits there), points explode a 3×3 ring, and the two rings
+# overlap whenever the true distance ≤ R (per-axis: the nearest point P'
+# lies in the road's cell set and the event cell is within 1 of P''s) —
+# so the equi-join is a PROVEN superset of the matched set, never an
+# all-pairs join.  At 10^12 points this is one broadcast of ≤1800 road
+# cells + one map-side-combinable per-point argmin; the only shuffle
+# carries ≤1 row per matched point.
+#
+# Exactness: the world is an integer lattice (40000×20000), so apx/apy/
+# dot/len2 and num = |AP|²·len2 − 2·dotc·dot + dotc² (≤8e14) are exact
+# int64; matched is the integer test num ≤ R²·len2; the quantized
+# distance d2q = FLOOR(num·4/len2) cannot flip across engines because
+# num·4 ≤ 3.2e15 < 2^52 is float-exact and the quotient's fractional
+# part is ≥ 1/len2 ≥ 1.25e-7 away from 1, vs a rounding error ≤ 2.2e-8
+# (the pytest uses integer // to verify the claim).  Argmin with a
+# deterministic road tiebreak packs into ONE int64: d2q·256 + rid.
+
+MM_ROADS = 200
+MM_R = 1000                 # snap radius == cell width (ring proof)
+MM_WORLD_X, MM_WORLD_Y = 40000, 20000
+MM_Q = 4                    # d2 quantizer: num*4 < 2^52, float-exact
+
+
+def _mm_road_exprs() -> tuple[str, str, str, str]:
+    """x1, y1, dx, dy as shared SQL exprs of rid (endpoints in-world,
+    |dx| ∈ [200, 2000] so len2 ≥ 40000 > 0)."""
+    from .hashing import mix_sql
+    m = lambda s: f"({mix_sql(f'rid * 9 + {s}')})"  # noqa: E731
+    x1 = f"(2000 + {m(1)} % 36000)"
+    y1 = f"(2000 + {m(2)} % 16000)"
+    dx = f"((({m(3)} % 2) * 2 - 1) * (200 + {m(4)} % 1801))"
+    dy = f"({m(5)} % 4001 - 2000)"
+    return x1, y1, dx, dy
+
+
+def _mm_event_exprs() -> tuple[str, str]:
+    from .hashing import mix_sql
+    ex = f"(({mix_sql('event_id * 11 + 3')}) % {MM_WORLD_X})"
+    ey = f"(({mix_sql('event_id * 11 + 4')}) % {MM_WORLD_Y})"
+    return ex, ey
+
+
+_MM_DOT = "(apx * dx + apy * dy)"
+_MM_NUM = ("((apx * apx + apy * apy) * len2 "
+           "- 2 * dotc * dot + dotc * dotc)")
+_MM_PACK = (f"(CAST(FLOOR(num * {MM_Q}.0 / len2) AS BIGINT) * 256 + rid)")
+_MM_OUT = (
+    "CAST(road_id AS BIGINT) AS road_id",
+    "CAST(n_events AS BIGINT) AS n_events",
+    "CAST(sum_d2q AS BIGINT) AS sum_d2q",
+    f"ROUND(CAST(sum_d2q AS DOUBLE) / ({MM_Q}.0 * n_events), 6) "
+    "AS mean_d2",
+)
+
+
+def q_map_match_roads(spark, sf_dir):
+    x1, y1, dx, dy = _mm_road_exprs()
+    roads = (spark.range(MM_ROADS).selectExpr("id AS rid")
+             .selectExpr("rid", f"{x1} AS x1", f"{y1} AS y1",
+                         f"{dx} AS dx", f"{dy} AS dy")
+             .selectExpr("rid", "x1", "y1", "dx", "dy",
+                         "dx * dx + dy * dy AS len2",
+                         "CAST(FLOOR((2 * x1 + dx) / 2000.0) AS BIGINT)"
+                         " AS cmx",
+                         "CAST(FLOOR((2 * y1 + dy) / 2000.0) AS BIGINT)"
+                         " AS cmy"))
+    rc = roads.selectExpr("rid", "x1", "y1", "dx", "dy", "len2", "cmy",
+                          "explode(sequence(cmx - 1, cmx + 1)) AS jx")
+    rc = rc.selectExpr("rid", "x1", "y1", "dx", "dy", "len2", "jx",
+                       "explode(sequence(cmy - 1, cmy + 1)) AS jy")
+
+    ex, ey = _mm_event_exprs()
+    e = (_t(spark, sf_dir, "events")
+         .selectExpr("event_id", f"{ex} AS ex", f"{ey} AS ey"))
+    er = e.selectExpr(
+        "event_id", "ex", "ey",
+        f"CAST(FLOOR(ey / {MM_R}.0) AS BIGINT) AS cey",
+        f"explode(sequence(CAST(FLOOR(ex / {MM_R}.0) AS BIGINT) - 1, "
+        f"CAST(FLOOR(ex / {MM_R}.0) AS BIGINT) + 1)) AS jx")
+    er = er.selectExpr("event_id", "ex", "ey", "jx",
+                       "explode(sequence(cey - 1, cey + 1)) AS jy")
+
+    cand = (er.join(F.broadcast(rc), ["jx", "jy"])
+            .selectExpr("event_id", "rid", "len2",
+                        "ex - x1 AS apx", "ey - y1 AS apy", "dx", "dy"))
+    scored = (cand.selectExpr("event_id", "rid", "len2", "apx", "apy",
+                              f"{_MM_DOT} AS dot")
+              .selectExpr("event_id", "rid", "len2", "apx", "apy", "dot",
+                          "LEAST(GREATEST(dot, 0), len2) AS dotc")
+              .selectExpr("event_id", "rid", "len2",
+                          f"{_MM_NUM} AS num"))
+    best = (scored.where(f"num <= {MM_R * MM_R} * len2")
+            .groupBy("event_id")
+            .agg(F.expr(f"MIN({_MM_PACK})").alias("best")))
+    per_road = (best.selectExpr("best % 256 AS road_id",
+                                "CAST(FLOOR(best / 256.0) AS BIGINT)"
+                                " AS d2q")
+                .groupBy("road_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum("d2q").alias("sum_d2q"))
+                # ≤1 row per road; both consumers below read this tiny
+                # materialization so the candidate join executes ONCE
+                .localCheckpoint())
+    n_tot = e.groupBy().agg(F.count(F.lit(1)).alias("nt"))
+    n_mat = per_road.groupBy().agg(F.sum("n_events").alias("nm"))
+    unmatched = (n_tot.crossJoin(n_mat)
+                 .selectExpr("CAST(-1 AS BIGINT) AS road_id",
+                             "nt - nm AS n_events",
+                             "CAST(0 AS BIGINT) AS sum_d2q"))
+    both = per_road.unionByName(unmatched)
+    return both.selectExpr(*_MM_OUT)
+
+
+def _oracle_map_match() -> str:
+    x1, y1, dx, dy = _mm_road_exprs()
+    ex, ey = _mm_event_exprs()
+    return f"""
+WITH roads AS (
+  SELECT i AS rid, {x1} AS x1, {y1} AS y1, {dx} AS dx, {dy} AS dy
+  FROM generate_series(0, {MM_ROADS - 1}) AS g(i)),
+r2 AS (
+  SELECT rid, x1, y1, dx, dy, dx * dx + dy * dy AS len2,
+         CAST(FLOOR((2 * x1 + dx) / 2000.0) AS BIGINT) AS cmx,
+         CAST(FLOOR((2 * y1 + dy) / 2000.0) AS BIGINT) AS cmy
+  FROM roads),
+rc AS (
+  SELECT r2.*, cmx + ox.d AS jx, cmy + oy.d AS jy
+  FROM r2, (SELECT UNNEST([-1, 0, 1]) AS d) ox,
+           (SELECT UNNEST([-1, 0, 1]) AS d) oy),
+e AS (
+  SELECT event_id, {ex} AS ex, {ey} AS ey FROM events),
+er AS (
+  SELECT e.*,
+         CAST(FLOOR(ex / {MM_R}.0) AS BIGINT) + ox.d AS jx,
+         CAST(FLOOR(ey / {MM_R}.0) AS BIGINT) + oy.d AS jy
+  FROM e, (SELECT UNNEST([-1, 0, 1]) AS d) ox,
+          (SELECT UNNEST([-1, 0, 1]) AS d) oy),
+cand AS (
+  SELECT er.event_id, rc.rid, rc.len2,
+         er.ex - rc.x1 AS apx, er.ey - rc.y1 AS apy, rc.dx, rc.dy
+  FROM er JOIN rc ON er.jx = rc.jx AND er.jy = rc.jy),
+s1 AS (SELECT event_id, rid, len2, apx, apy, {_MM_DOT} AS dot FROM cand),
+s2 AS (SELECT event_id, rid, len2, apx, apy, dot,
+              LEAST(GREATEST(dot, 0), len2) AS dotc FROM s1),
+s3 AS (SELECT event_id, rid, len2, {_MM_NUM} AS num FROM s2),
+best AS (
+  SELECT event_id, MIN({_MM_PACK}) AS best
+  FROM s3 WHERE num <= {MM_R * MM_R} * len2 GROUP BY event_id),
+per_road AS (
+  SELECT best % 256 AS road_id, COUNT(*) AS n_events,
+         SUM(CAST(FLOOR(best / 256.0) AS BIGINT)) AS sum_d2q
+  FROM best GROUP BY 1),
+unm AS (
+  SELECT CAST(-1 AS BIGINT) AS road_id,
+         (SELECT COUNT(*) FROM e) - (SELECT COUNT(*) FROM best)
+           AS n_events,
+         CAST(0 AS BIGINT) AS sum_d2q),
+unioned AS (SELECT * FROM per_road UNION ALL SELECT * FROM unm)
+SELECT {", ".join(_MM_OUT)} FROM unioned
+"""
+
+
+QUERIES.update({
+    "map_match_roads": (q_map_match_roads, _oracle_map_match()),
+})

@@ -289,6 +289,7 @@ _TAIL = [
     "text_encoding_audit",    # mojibake/control/zero-width QA (curation)
     "exact_order_statistics",  # histogram-narrowing exact k-th (C6 family)
     "detection_iou_match",    # greedy IoU box assignment (vision QA)
+    "map_match_roads",        # nearest-road-segment snap (B8/B9 family)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

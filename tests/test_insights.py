@@ -1799,3 +1799,57 @@ def test_halfplane_clip_matches_sutherland_hodgman(spark):
     cut = sum(1 for j in range(64)
               if 0 < out[j]["area2_clip"] < out[j]["area2_total"])
     assert cut >= 48
+
+
+def test_map_match_matches_all_pairs_brute_force(spark):
+    """Global nearest-segment over ALL (event, road) pairs — no cell
+    candidates — proving the ring join lossless, with integer //
+    quantization verifying the float-FLOOR no-flip claim."""
+    from spark_shp.queries_insights import (MM_Q, MM_R, MM_ROADS,
+                                            MM_WORLD_X, MM_WORLD_Y,
+                                            q_map_match_roads)
+
+    def m(k):
+        return int(mix(k))
+
+    roads = []
+    for rid in range(MM_ROADS):
+        x1 = 2000 + m(rid * 9 + 1) % 36000
+        y1 = 2000 + m(rid * 9 + 2) % 16000
+        dx = ((m(rid * 9 + 3) % 2) * 2 - 1) * (200 + m(rid * 9 + 4) % 1801)
+        dy = m(rid * 9 + 5) % 4001 - 2000
+        assert 0 <= x1 + dx < MM_WORLD_X and 0 <= y1 + dy < MM_WORLD_Y
+        roads.append((rid, x1, y1, dx, dy, dx * dx + dy * dy))
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    eids = ev["event_id"].to_numpy(dtype=np.int64)
+    per_road, unmatched = {}, 0
+    for eid in eids.tolist():
+        ex = m(eid * 11 + 3) % MM_WORLD_X
+        ey = m(eid * 11 + 4) % MM_WORLD_Y
+        best = None
+        for rid, x1, y1, dx, dy, len2 in roads:
+            apx, apy = ex - x1, ey - y1
+            dot = apx * dx + apy * dy
+            dotc = min(max(dot, 0), len2)
+            num = ((apx * apx + apy * apy) * len2
+                   - 2 * dotc * dot + dotc * dotc)
+            if num <= MM_R * MM_R * len2:
+                pack = (num * MM_Q) // len2 * 256 + rid
+                best = pack if best is None else min(best, pack)
+        if best is None:
+            unmatched += 1
+        else:
+            a = per_road.setdefault(best % 256, [0, 0])
+            a[0] += 1
+            a[1] += best // 256
+    rows = {r.road_id: r for r in q_map_match_roads(spark, SF).collect()}
+    assert rows[-1].n_events == unmatched
+    assert {k for k in rows if k >= 0} == set(per_road)
+    for rid, (n, s) in per_road.items():
+        r = rows[rid]
+        assert (r.n_events, r.sum_d2q) == (n, s), rid
+        assert abs(r.mean_d2 - round(s / (MM_Q * n), 6)) < 1e-9, rid
+    # planted structure: both outcomes + a spread of roads hit
+    assert 0 < unmatched < len(eids)
+    assert len(per_road) > 20
