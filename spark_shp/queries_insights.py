@@ -5256,3 +5256,116 @@ SELECT {", ".join(_MM_OUT)} FROM unioned
 QUERIES.update({
     "map_match_roads": (q_map_match_roads, _oracle_map_match()),
 })
+
+
+# --- idw_interpolation: inverse-distance-weighted surface estimation -------------
+#
+# The classic GIS interpolation tool (ArcGIS "IDW"): estimate a field
+# value at P probe points as the 1/(1+d²)-weighted mean of sample values
+# within radius R, on the same integer GPS lattice as map_match_roads.
+# Scale shape: probes explode a 3×3 ring of radius-width cells and
+# BROADCAST (≤576 rows); events join on their single cell key — so an
+# event pairs with at most one ring cell per probe, the join is a proven
+# superset of the ≤R disc, and the ONLY exchange is the tiny per-probe
+# partial-aggregate rollup.  Zero corpus shuffles at any input size.
+#
+# Exactness: d² is exact int64 on the lattice; the weight uses EXACT
+# integer division wq = (WQ − WQ % (1+d²)) DIV (1+d²) — written as the
+# subtract-remainder form because a float FLOOR(WQ/(1+d²)) CAN flip here
+# (quotient up to 2^30 has ulp 2.4e-7 > the 1/(1+d²) ≥ 2.2e-7 fraction
+# gap); the subtract form divides exactly, so the float division is of
+# two ints with an integer quotient and is correctly rounded.  Weighted
+# sums accumulate in DECIMAL(38,0) (the money-sum rule — int64 overflows
+# past ~1e5 samples/probe); the estimate is one shared literal.
+
+IDW_PROBES = 64
+IDW_R = 1500                  # radius == cell width (ring proof)
+IDW_WQ = 1 << 30
+
+
+def _idw_probe_exprs() -> tuple[str, str]:
+    from .hashing import mix_sql
+    px = f"(({mix_sql('pid * 13 + 1')}) % {MM_WORLD_X})"
+    py = f"(({mix_sql('pid * 13 + 2')}) % {MM_WORLD_Y})"
+    return px, py
+
+
+_IDW_D2 = "((ex - px) * (ex - px) + (ey - py) * (ey - py))"
+_IDW_WQ_EXPR = (f"CAST(({IDW_WQ} - {IDW_WQ} % (1 + d2)) / (1 + d2) "
+                "AS BIGINT)")
+_IDW_OUT = (
+    "CAST(pid AS BIGINT) AS probe_id",
+    "px", "py",
+    "CAST(COALESCE(n_samples, 0) AS BIGINT) AS n_samples",
+    "ROUND(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 100.0, 6) "
+    "AS idw_value",
+)
+
+
+def q_idw_interpolation(spark, sf_dir):
+    px, py = _idw_probe_exprs()
+    probes = (spark.range(IDW_PROBES).selectExpr("id AS pid")
+              .selectExpr("pid", f"{px} AS px", f"{py} AS py"))
+    pr = probes.selectExpr(
+        "pid", "px", "py",
+        f"CAST(FLOOR(py / {IDW_R}.0) AS BIGINT) AS cpy",
+        f"explode(sequence(CAST(FLOOR(px / {IDW_R}.0) AS BIGINT) - 1, "
+        f"CAST(FLOOR(px / {IDW_R}.0) AS BIGINT) + 1)) AS jx")
+    pr = pr.selectExpr("pid", "px", "py", "jx",
+                       "explode(sequence(cpy - 1, cpy + 1)) AS jy")
+
+    ex, ey = _mm_event_exprs()
+    e = (_t(spark, sf_dir, "events")
+         .selectExpr(f"{ex} AS ex", f"{ey} AS ey",
+                     "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc")
+         .selectExpr("ex", "ey", "vc",
+                     f"CAST(FLOOR(ex / {IDW_R}.0) AS BIGINT) AS jx",
+                     f"CAST(FLOOR(ey / {IDW_R}.0) AS BIGINT) AS jy"))
+    agg = (e.join(F.broadcast(pr), ["jx", "jy"])
+           .selectExpr("pid", "vc", f"{_IDW_D2} AS d2")
+           .where(f"d2 <= {IDW_R * IDW_R}")
+           .selectExpr("pid", "vc", f"{_IDW_WQ_EXPR} AS wq")
+           .groupBy("pid")
+           .agg(F.count(F.lit(1)).alias("n_samples"),
+                F.expr("SUM(CAST(wq AS DECIMAL(38, 0)) * vc)").alias("swv"),
+                F.expr("SUM(CAST(wq AS DECIMAL(38, 0)))").alias("sw")))
+    return (probes.join(agg, "pid", "left")
+            .selectExpr(*_IDW_OUT))
+
+
+def _oracle_idw() -> str:
+    px, py = _idw_probe_exprs()
+    ex, ey = _mm_event_exprs()
+    return f"""
+WITH probes AS (
+  SELECT i AS pid, {px} AS px, {py} AS py
+  FROM generate_series(0, {IDW_PROBES - 1}) AS g(i)),
+pr AS (
+  SELECT probes.*,
+         CAST(FLOOR(px / {IDW_R}.0) AS BIGINT) + ox.d AS jx,
+         CAST(FLOOR(py / {IDW_R}.0) AS BIGINT) + oy.d AS jy
+  FROM probes, (SELECT UNNEST([-1, 0, 1]) AS d) ox,
+               (SELECT UNNEST([-1, 0, 1]) AS d) oy),
+e AS (
+  SELECT {ex} AS ex, {ey} AS ey,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
+         CAST(FLOOR(({ex}) / {IDW_R}.0) AS BIGINT) AS jx,
+         CAST(FLOOR(({ey}) / {IDW_R}.0) AS BIGINT) AS jy
+  FROM events),
+cand AS (
+  SELECT pid, vc, {_IDW_D2} AS d2
+  FROM e JOIN pr ON e.jx = pr.jx AND e.jy = pr.jy
+  WHERE {_IDW_D2} <= {IDW_R * IDW_R}),
+agg AS (
+  SELECT pid, COUNT(*) AS n_samples,
+         SUM(CAST({_IDW_WQ_EXPR} AS DECIMAL(38, 0)) * vc) AS swv,
+         SUM(CAST({_IDW_WQ_EXPR} AS DECIMAL(38, 0))) AS sw
+  FROM cand GROUP BY pid)
+SELECT {", ".join(_IDW_OUT)}
+FROM probes LEFT JOIN agg USING (pid)
+"""
+
+
+QUERIES.update({
+    "idw_interpolation": (q_idw_interpolation, _oracle_idw()),
+})

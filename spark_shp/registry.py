@@ -290,6 +290,7 @@ _TAIL = [
     "exact_order_statistics",  # histogram-narrowing exact k-th (C6 family)
     "detection_iou_match",    # greedy IoU box assignment (vision QA)
     "map_match_roads",        # nearest-road-segment snap (B8/B9 family)
+    "idw_interpolation",      # inverse-distance-weighted surface (B-stats)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

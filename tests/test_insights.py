@@ -1853,3 +1853,41 @@ def test_map_match_matches_all_pairs_brute_force(spark):
     # planted structure: both outcomes + a spread of roads hit
     assert 0 < unmatched < len(eids)
     assert len(per_road) > 20
+
+
+def test_idw_matches_all_pairs_brute_force(spark):
+    """IDW re-derived over ALL (probe, event) pairs with python integer
+    arithmetic — proves the ring join lossless and the exact-division
+    weight identical to the subtract-remainder SQL form."""
+    from spark_shp.queries_insights import (IDW_PROBES, IDW_R, IDW_WQ,
+                                            MM_WORLD_X, MM_WORLD_Y,
+                                            q_idw_interpolation)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    eids = ev["event_id"].to_numpy(dtype=np.int64)
+    vals = ev["value"].to_numpy()
+    exs = [int(mix(int(e) * 11 + 3)) % MM_WORLD_X for e in eids]
+    eys = [int(mix(int(e) * 11 + 4)) % MM_WORLD_Y for e in eids]
+    vcs = [int(np.floor(v * 100 + 0.5)) for v in vals]
+    got = {r.probe_id: r for r in q_idw_interpolation(spark, SF).collect()}
+    assert len(got) == IDW_PROBES
+    n_nonempty = 0
+    for pid in range(IDW_PROBES):
+        px = int(mix(pid * 13 + 1)) % MM_WORLD_X
+        py = int(mix(pid * 13 + 2)) % MM_WORLD_Y
+        n = swv = sw = 0
+        for ex, ey, vc in zip(exs, eys, vcs):
+            d2 = (ex - px) ** 2 + (ey - py) ** 2
+            if d2 <= IDW_R * IDW_R:
+                wq = IDW_WQ // (1 + d2)
+                n += 1
+                swv += wq * vc
+                sw += wq
+        r = got[pid]
+        assert (r.px, r.py, r.n_samples) == (px, py, n), pid
+        if n == 0:
+            assert r.idw_value is None, pid
+        else:
+            n_nonempty += 1
+            assert abs(r.idw_value - round(swv / sw / 100.0, 6)) < 1e-9, pid
+    # structure: some probes see samples, estimates are value-scaled
+    assert n_nonempty > IDW_PROBES // 2
