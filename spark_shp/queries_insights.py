@@ -5088,7 +5088,17 @@ QUERIES.update({
 # The map-matching primitive (GPS trace → road network): each point snaps
 # to the nearest road SEGMENT within radius R, by exact point-to-segment
 # distance with endpoint clamping — not point-to-point and not bbox — the
-# geometry kernel every routing/telemetry pipeline runs first.  Candidate
+# geometry kernel every routing/telemetry pipeline runs first.
+#
+# Sibling ops (deliberate, complementary scale shapes): map_match_segments
+# (queries_mining) and snap_nearest_edge unroll the WHOLE network into one
+# LEAST() of codegen terms — optimal for a network small enough to embed
+# (≤ a few dozen segments), but a literal unroll cannot scale past that.
+# THIS op is the join form: candidates come from a cell grid, so the same
+# plan serves a 10M-segment network (the road-cell side moves from a
+# broadcast literal to a broadcast/shuffle join input) — and it adds
+# radius semantics (unmatched points are first-class, reported as
+# road_id = -1) that the global-argmin forms cannot express.  Candidate
 # (point, road) pairs come from a cell grid whose width equals R: roads
 # scatter to their bbox-midpoint cell ±1 (a ≤2000-unit segment's bbox
 # provably fits there), points explode a 3×3 ring, and the two rings
@@ -5263,6 +5273,12 @@ QUERIES.update({
 # The classic GIS interpolation tool (ArcGIS "IDW"): estimate a field
 # value at P probe points as the 1/(1+d²)-weighted mean of sample values
 # within radius R, on the same integer GPS lattice as map_match_roads.
+# Sibling op (deliberate contrast): idw_interpolate (queries_mining) is
+# the RASTER form — gap-fill of empty grid cells from their 8 neighbors,
+# where the only distances are d² ∈ {1,2}.  THIS op is the scattered-data
+# form: arbitrary (off-grid) probe locations, true inverse-distance
+# weights over a continuous d² spectrum, and a radius search — the shape
+# ArcGIS/QGIS "IDW to point" runs, which the raster fill cannot express.
 # Scale shape: probes explode a 3×3 ring of radius-width cells and
 # BROADCAST (≤576 rows); events join on their single cell key — so an
 # event pairs with at most one ring cell per probe, the join is a proven
