@@ -1080,3 +1080,127 @@ FROM fin GROUP BY cohort
 QUERIES.update({
     "detection_iou_match": (q_detection_iou_match, _oracle_det()),
 })
+
+
+# --- nms_boxes: non-maximum suppression (detection inference) ---------------------
+#
+# The inference-side sibling of detection_iou_match (eval-side greedy
+# assignment): each image carries K=4 score-ORDERED candidate boxes; NMS
+# walks them best-first and suppresses any box whose IoU with an already-
+# KEPT box exceeds 0.5.  The loop state is only "which earlier boxes
+# survived", so at K=4 it unrolls into pure boolean logic over the 6
+# pairwise strict-overlap bits s_ij = (2·inter > union):
+#   keep1 = ¬s01
+#   keep2 = ¬s02 ∧ ¬(keep1 ∧ s12)
+#   keep3 = ¬s03 ∧ ¬(keep1 ∧ s13) ∧ ¬(keep2 ∧ s23)
+# — one map-only projection, no iteration, no shuffle beyond the tiny
+# cohort rollup.  Boxes are integer (exact inter/union); score order is
+# by construction (standard NMS input is pre-sorted by confidence).
+
+NMS_N = 4000
+
+
+def _nms_box(i: int) -> dict:
+    """Box i (0..3): a 12..20-sized detection jittered ±8 around a shared
+    per-image object center — the realistic NMS input (multiple
+    detections of one object), so suppression genuinely bites."""
+    m = lambda s: f"({mix_sql(f'image_id * 32 + {s}')})"  # noqa: E731
+    # bimodal jitter — tight (±2, suppressed at IoU 0.5) or far (×3,
+    # survives) — so the kept-count spectrum spans 1..4 (333/1794/1588/
+    # 285 at N=4000, tuned empirically)
+    jx = f"(({m(200 + i * 4)} % 5 - 2) * (1 + 2 * ({m(210 + i * 4)} % 2)))"
+    jy = f"(({m(201 + i * 4)} % 5 - 2) * (1 + 2 * ({m(211 + i * 4)} % 2)))"
+    x1 = f"({m(100)} % 36 + {jx})"
+    y1 = f"({m(101)} % 36 + {jy})"
+    x2 = f"({x1} + 14 + {m(202 + i * 4)} % 3)"
+    y2 = f"({y1} + 14 + {m(203 + i * 4)} % 3)"
+    return {"x1": x1, "y1": y1, "x2": x2, "y2": y2}
+
+
+def _nms_area_cols() -> list[str]:
+    """Stage 1: per-box integer areas (aliases feed the NEXT stage)."""
+    cols = []
+    for i in range(4):
+        b = _nms_box(i)
+        cols.append(f"(({b['x2']} - {b['x1']}) * ({b['y2']} - {b['y1']}))"
+                    f" AS area{i}")
+    return cols
+
+
+def _nms_sup_cols() -> list[str]:
+    """Stage 2: s01..s23 strict-overlap bits over the area columns."""
+    cols = []
+    boxes = [_nms_box(i) for i in range(4)]
+    for i in range(4):
+        for j in range(i + 1, 4):
+            a, b = boxes[i], boxes[j]
+            iw = (f"GREATEST(0, LEAST({a['x2']}, {b['x2']}) "
+                  f"- GREATEST({a['x1']}, {b['x1']}))")
+            ih = (f"GREATEST(0, LEAST({a['y2']}, {b['y2']}) "
+                  f"- GREATEST({a['y1']}, {b['y1']}))")
+            inter = f"({iw} * {ih})"
+            union = f"(area{i} + area{j} - {inter})"
+            cols.append(f"CAST(2 * {inter} > {union} AS INT) AS s{i}{j}")
+    return cols
+
+
+# keeps unroll best-first, each stage referencing only PRIOR columns
+_NMS_K1 = "1 - s01 AS k1"
+_NMS_K2 = "CAST(s02 = 0 AND NOT (k1 = 1 AND s12 = 1) AS INT) AS k2"
+_NMS_K3 = ("CAST(s03 = 0 AND NOT (k1 = 1 AND s13 = 1) "
+           "AND NOT (k2 = 1 AND s23 = 1) AS INT) AS k3")
+
+_NMS_OUT = (
+    "CAST(COUNT(*) AS BIGINT) AS n_images",
+    "CAST(SUM(1 + k1 + k2 + k3) AS BIGINT) AS n_kept",
+    "CAST(SUM(area0 + k1 * area1 + k2 * area2 + k3 * area3) "
+    "AS BIGINT) AS kept_area",
+    "CAST(SUM(1 + k1 * 2 + k2 * 4 + k3 * 8) AS BIGINT) AS mask_sum",
+    "CAST(SUM(CAST(1 + k1 + k2 + k3 = 4 AS INT)) AS BIGINT) AS n_all4",
+    "CAST(SUM(CAST(1 + k1 + k2 + k3 = 1 AS INT)) AS BIGINT) AS n_only1",
+)
+
+_NMS_CARRY = ["cohort", "area0", "area1", "area2", "area3",
+              "s02", "s03", "s12", "s13", "s23"]
+
+
+def q_nms_boxes(spark, sf_dir):
+    ids = spark.range(NMS_N).selectExpr("id AS image_id",
+                                        "id % 4 AS cohort")
+    areas = ids.selectExpr("image_id", "cohort", *_nms_area_cols())
+    sup = areas.selectExpr("image_id", "cohort", "area0", "area1",
+                           "area2", "area3", *_nms_sup_cols())
+    g1 = sup.selectExpr(*_NMS_CARRY, _NMS_K1)
+    g2 = g1.selectExpr(*_NMS_CARRY, "k1", _NMS_K2)
+    g3 = g2.selectExpr(*_NMS_CARRY, "k1", "k2", _NMS_K3)
+    return (g3.groupBy("cohort")
+            .agg(*[F.expr(e.rsplit(" AS ", 1)[0])
+                   .alias(e.rsplit(" AS ", 1)[1]) for e in _NMS_OUT])
+            .selectExpr("CAST(cohort AS BIGINT) AS cohort", "n_images",
+                        "n_kept", "kept_area", "mask_sum", "n_all4",
+                        "n_only1"))
+
+
+def _oracle_nms() -> str:
+    carry = ", ".join(_NMS_CARRY)
+    return f"""
+WITH ids AS (
+  SELECT i AS image_id, i % 4 AS cohort
+  FROM generate_series(0, {NMS_N - 1}) AS g(i)),
+areas AS (
+  SELECT image_id, cohort, {", ".join(_nms_area_cols())} FROM ids),
+sup AS (
+  SELECT image_id, cohort, area0, area1, area2, area3,
+         {", ".join(_nms_sup_cols())}
+  FROM areas),
+g1 AS (SELECT {carry}, {_NMS_K1} FROM sup),
+g2 AS (SELECT {carry}, k1, {_NMS_K2} FROM g1),
+g3 AS (SELECT {carry}, k1, k2, {_NMS_K3} FROM g2)
+SELECT CAST(cohort AS BIGINT) AS cohort, {", ".join(_NMS_OUT)}
+FROM g3 GROUP BY cohort
+"""
+
+
+QUERIES.update({
+    "nms_boxes": (q_nms_boxes, _oracle_nms()),
+})

@@ -291,6 +291,7 @@ _TAIL = [
     "detection_iou_match",    # greedy IoU box assignment (vision QA)
     "map_match_roads",        # nearest-road-segment snap (B8/B9 family)
     "idw_interpolation",      # inverse-distance-weighted surface (B-stats)
+    "nms_boxes",              # non-max suppression unroll (vision QA)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

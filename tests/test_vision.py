@@ -513,3 +513,55 @@ def test_detection_iou_match_matches_sequential_greedy(spark):
         tot_i += ni
     # planted-structure: jitter produces BOTH outcomes corpus-wide
     assert 0 < tot_m < 3 * tot_i
+
+
+def test_nms_matches_sequential_suppression(spark):
+    """The boolean unroll vs an actual best-first NMS loop: walk boxes in
+    score order, keep a box iff its IoU with every already-KEPT box is
+    <= 0.5, exactly as an inference post-processor does it."""
+    from spark_shp.hashing import mix
+    from spark_shp.queries_vision import NMS_N, q_nms_boxes
+
+    def box(i, k):
+        m = lambda s: int(mix(i * 32 + s))  # noqa: E731
+        jx = (m(200 + k * 4) % 5 - 2) * (1 + 2 * (m(210 + k * 4) % 2))
+        jy = (m(201 + k * 4) % 5 - 2) * (1 + 2 * (m(211 + k * 4) % 2))
+        x1 = m(100) % 36 + jx
+        y1 = m(101) % 36 + jy
+        return (x1, y1, x1 + 14 + m(202 + k * 4) % 3,
+                y1 + 14 + m(203 + k * 4) % 3)
+
+    def iou_suppresses(a, b):
+        iw = max(0, min(a[2], b[2]) - max(a[0], b[0]))
+        ih = max(0, min(a[3], b[3]) - max(a[1], b[1]))
+        inter = iw * ih
+        union = ((a[2] - a[0]) * (a[3] - a[1])
+                 + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+        return 2 * inter > union
+
+    agg = {}
+    for i in range(NMS_N):
+        boxes = [box(i, k) for k in range(4)]
+        kept = []
+        for k, b in enumerate(boxes):          # already score-ordered
+            if all(not iou_suppresses(boxes[j], b) for j in kept):
+                kept.append(k)
+        a = agg.setdefault(i % 4, [0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(kept)
+        a[2] += sum((boxes[k][2] - boxes[k][0])
+                    * (boxes[k][3] - boxes[k][1]) for k in kept)
+        a[3] += sum(1 << k for k in kept)
+        a[4] += len(kept) == 4
+        a[5] += len(kept) == 1
+    rows = {r.cohort: r for r in q_nms_boxes(spark, SF).collect()}
+    assert set(rows) == set(agg)
+    tots = [0, 0]
+    for c, (ni, nk, ka, ms, a4, o1) in agg.items():
+        r = rows[c]
+        assert (r.n_images, r.n_kept, r.kept_area, r.mask_sum,
+                r.n_all4, r.n_only1) == (ni, nk, ka, ms, a4, o1), c
+        tots[0] += a4
+        tots[1] += o1
+    # planted structure: suppression BITES and is not total
+    assert tots[0] > 0 and tots[1] > 0
