@@ -5385,3 +5385,138 @@ FROM probes LEFT JOIN agg USING (pid)
 QUERIES.update({
     "idw_interpolation": (q_idw_interpolation, _oracle_idw()),
 })
+
+
+# --- video_motion_vectors: block-matching motion estimation over real AVI ----------
+#
+# The video-compression / optical-flow primitive the scene-cut row does
+# not cover: estimate per-block motion between consecutive frames by
+# exhaustive ±2 SAD search (the H.26x/MPEG motion-search inner loop).
+# Each task synthesizes an uncompressed BI_RGB AVI whose content PLANTS
+# a global translation (vx, vy) ∈ [-2, 2]²: pixel (f,y,x,c) =
+# ((i·11 + (x+100−vx·f)·29 + (y+100−vy·f)·17 + c·13) % 256 + noise) % 256
+# with per-frame noise (i + f·31 + y·7 + x·3 + c) % 3 — so the true
+# offset (−vx, −vy) has SAD ≈ noise level while any other offset pays the
+# ~85/px content gradient; all offsets stay in-frame for the 6 interior
+# 8×8 blocks.  Decodes through the REAL RIFF/AVI walk; argmin over the
+# 25 offsets packs SAD·32 + offset-index (deterministic tiebreak);
+# n_correct pins recovery of the planted vector, a position-weighted
+# checksum pins WHICH offset every block chose.
+
+N_MV_AVI = 12
+MV_W, MV_H = 32, 16
+MV_BLOCKS = [(2 + (b % 3) * 8, 2 + (b // 3) * 4) for b in range(6)]
+
+
+def _mv_params(i: int) -> tuple:
+    return (5 + i % 3, i % 5 - 2, (i * 3 + 1) % 5 - 2)  # nf, vx, vy
+
+
+def q_video_motion_vectors(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import types as T
+    from . import riff
+
+    schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("n_blocks", T.LongType()),
+        T.StructField("n_correct", T.LongType()),
+        T.StructField("sad_total", T.LongType()),
+        T.StructField("vec_checksum", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].astype(int):
+                nf, vx, vy = _mv_params(i)
+                f, y, x, c = np.ogrid[0:nf, 0:MV_H, 0:MV_W, 0:3]
+                content = ((i * 11 + (x + 100 - vx * f) * 29
+                            + (y + 100 - vy * f) * 17 + c * 13) % 256)
+                noise = (i + f * 31 + y * 7 + x * 3 + c) % 3
+                px = ((content + noise) % 256).astype(np.uint8)
+                dec, _ = riff.avi_decode(riff.avi_encode(px, fps=10))
+                d = dec.astype(np.int64)
+                nb = nc = st = vc = 0
+                for fi in range(1, nf):
+                    for b, (bx, by) in enumerate(MV_BLOCKS):
+                        cur = d[fi, by:by + 8, bx:bx + 8, :]
+                        best = None
+                        for dy in (-2, -1, 0, 1, 2):
+                            for dx in (-2, -1, 0, 1, 2):
+                                prev = d[fi - 1, by + dy:by + dy + 8,
+                                         bx + dx:bx + dx + 8, :]
+                                sad = int(np.abs(cur - prev).sum())
+                                pack = (sad * 32
+                                        + (dy + 2) * 5 + (dx + 2))
+                                best = pack if best is None \
+                                    else min(best, pack)
+                        off = best % 32
+                        bdx, bdy = off % 5 - 2, off // 5 - 2
+                        nb += 1
+                        nc += (bdx, bdy) == (-vx, -vy)
+                        st += best // 32
+                        vc += best * ((fi - 1) * 6 + b + 1)
+                rows.append((f"avi{i:03d}", nb, nc, st, vc))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (spark.range(0, N_MV_AVI, numPartitions=4)
+            .mapInPandas(work, schema))
+
+
+def _oracle_motion_vectors() -> str:
+    def pix(f_expr: str, x_expr: str, y_expr: str) -> str:
+        base = (f"(i * 11 + (({x_expr}) + 100 - vx * ({f_expr})) * 29 "
+                f"+ (({y_expr}) + 100 - vy * ({f_expr})) * 17 + c * 13)"
+                f" % 256")
+        noise = (f"(i + ({f_expr}) * 31 + ({y_expr}) * 7 "
+                 f"+ ({x_expr}) * 3 + c) % 3")
+        return f"(({base} + {noise}) % 256)"
+
+    cur = pix("f", "bx + qx", "by + qy")
+    prev = pix("f - 1", "bx + qx + dx", "by + qy + dy")
+    return f"""
+WITH ids AS (
+  SELECT i, 5 + i % 3 AS nf, i % 5 - 2 AS vx, (i * 3 + 1) % 5 - 2 AS vy
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_MV_AVI - 1})) AS i) t),
+blocks AS (
+  SELECT b, 2 + (b % 3) * 8 AS bx, 2 + CAST(FLOOR(b / 3.0) AS BIGINT) * 4
+           AS by
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, 5)) AS b) t),
+sads AS MATERIALIZED (
+  SELECT i, nf, vx, vy, f, b, dx, dy,
+         SUM(ABS({cur} - {prev})) AS sad
+  FROM ids, blocks,
+       GENERATE_SERIES(1, 7) gf(f),
+       GENERATE_SERIES(-2, 2) gdx(dx),
+       GENERATE_SERIES(-2, 2) gdy(dy),
+       GENERATE_SERIES(0, 7) gqx(qx),
+       GENERATE_SERIES(0, 7) gqy(qy),
+       GENERATE_SERIES(0, 2) gc(c)
+  WHERE f < nf
+  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+best AS (
+  SELECT i, nf, vx, vy, f, b,
+         MIN(sad * 32 + (dy + 2) * 5 + (dx + 2)) AS best
+  FROM sads GROUP BY 1, 2, 3, 4, 5, 6),
+dec AS (
+  SELECT i, f, b, best,
+         (best % 32) % 5 - 2 AS bdx,
+         CAST(FLOOR((best % 32) / 5.0) AS BIGINT) - 2 AS bdy,
+         vx, vy
+  FROM best)
+SELECT printf('avi%03d', i) AS media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN bdx = -vx AND bdy = -vy THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(SUM(CAST(FLOOR(best / 32.0) AS BIGINT)) AS BIGINT)
+         AS sad_total,
+       CAST(SUM(best * ((f - 1) * 6 + b + 1)) AS BIGINT) AS vec_checksum
+FROM dec GROUP BY i
+"""
+
+
+QUERIES.update({
+    "video_motion_vectors": (q_video_motion_vectors,
+                             _oracle_motion_vectors()),
+})

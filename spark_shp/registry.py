@@ -292,6 +292,7 @@ _TAIL = [
     "map_match_roads",        # nearest-road-segment snap (B8/B9 family)
     "idw_interpolation",      # inverse-distance-weighted surface (B-stats)
     "nms_boxes",              # non-max suppression unroll (vision QA)
+    "video_motion_vectors",   # block-matching motion search (B11/video)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

@@ -1891,3 +1891,50 @@ def test_idw_matches_all_pairs_brute_force(spark):
             assert abs(r.idw_value - round(swv / sw / 100.0, 6)) < 1e-9, pid
     # structure: some probes see samples, estimates are value-scaled
     assert n_nonempty > IDW_PROBES // 2
+
+
+def test_motion_vectors_match_pixel_loop_and_recover_planted(spark):
+    """Plain per-pixel python block matcher straight from the pixel
+    formula (never touching the codec) — and the planted-motion law:
+    every block's argmin recovers exactly (-vx, -vy)."""
+    from spark_shp.queries_insights import (MV_BLOCKS, N_MV_AVI,
+                                            q_video_motion_vectors)
+
+    def pix(i, vx, vy, f, y, x, c):
+        base = (i * 11 + (x + 100 - vx * f) * 29
+                + (y + 100 - vy * f) * 17 + c * 13) % 256
+        return (base + (i + f * 31 + y * 7 + x * 3 + c) % 3) % 256
+
+    got = {r.media_id: r for r in
+           q_video_motion_vectors(spark, SF).collect()}
+    assert len(got) == N_MV_AVI
+    for i in range(N_MV_AVI):
+        nf, vx, vy = 5 + i % 3, i % 5 - 2, (i * 3 + 1) % 5 - 2
+        nb = nc = st = vc = 0
+        for f in range(1, nf):
+            for b, (bx, by) in enumerate(MV_BLOCKS):
+                best = None
+                for dy in range(-2, 3):
+                    for dx in range(-2, 3):
+                        sad = 0
+                        for qy in range(8):
+                            for qx in range(8):
+                                for c in range(3):
+                                    sad += abs(
+                                        pix(i, vx, vy, f,
+                                            by + qy, bx + qx, c)
+                                        - pix(i, vx, vy, f - 1,
+                                              by + qy + dy,
+                                              bx + qx + dx, c))
+                        pack = sad * 32 + (dy + 2) * 5 + (dx + 2)
+                        best = pack if best is None else min(best, pack)
+                off = best % 32
+                nb += 1
+                nc += (off % 5 - 2, off // 5 - 2) == (-vx, -vy)
+                st += best // 32
+                vc += best * ((f - 1) * 6 + b + 1)
+        r = got[f"avi{i:03d}"]
+        assert (r.n_blocks, r.n_correct, r.sad_total,
+                r.vec_checksum) == (nb, nc, st, vc), i
+        # the planted translation is recovered at EVERY block
+        assert r.n_correct == r.n_blocks, i
