@@ -1204,3 +1204,91 @@ FROM g3 GROUP BY cohort
 QUERIES.update({
     "nms_boxes": (q_nms_boxes, _oracle_nms()),
 })
+
+
+# --- tile_render_png: render density tiles through the REAL PNG codec -------------
+#
+# The web-map tile-server primitive, and the first gated row where the
+# engine CREATES images from data (every other image row decodes
+# formula-synthesized inputs): events rasterize to 32×32 map tiles of
+# 16×16 pixels (level-9 sub-cell counts, clipped at 255), each tile is
+# PNG-encoded and re-decoded through the real zlib codec, and the gated
+# stats are computed from the DECODED pixels — so the row simultaneously
+# gates the grid math, the render mapping, and the png roundtrip
+# identity on data-driven content.  Scale shape: ONE corpus shuffle (the
+# sub-cell count groupBy, map-side combinable); the render applyInPandas
+# touches only the lattice-bounded count table (≤512² rows at any corpus
+# size).  The oracle replays counts + clip + checksum in SQL — it never
+# runs a codec, so hash equality proves decode(encode(x)) == x on every
+# rendered tile.
+
+TR_FINE = 9     # 512×512 sub-cells → 32×32 tiles of 16×16 px
+TR_TILE = 16
+
+
+def q_tile_render_png(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import types as T
+    from . import codecs
+
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, TR_FINE)
+    counts = (spark.read.parquet(f"{sf_dir}/events.parquet")
+              .selectExpr(f"{ix} AS fx", f"{iy} AS fy")
+              .selectExpr("CAST(FLOOR(fx / 16.0) AS BIGINT) AS tx",
+                          "CAST(FLOOR(fy / 16.0) AS BIGINT) AS ty",
+                          "fx % 16 AS px", "fy % 16 AS py")
+              .groupBy("tx", "ty", "py", "px")
+              .agg(F.count(F.lit(1)).alias("c")))
+
+    schema = T.StructType([
+        T.StructField("tx", T.LongType()),
+        T.StructField("ty", T.LongType()),
+        T.StructField("n_ink", T.LongType()),
+        T.StructField("ink_sum", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ])
+
+    def render(key, pdf):
+        img = np.zeros((TR_TILE, TR_TILE, 3), np.uint8)
+        v = np.minimum(pdf["c"].to_numpy(np.int64), 255)
+        img[pdf["py"].to_numpy(int), pdf["px"].to_numpy(int), :] = \
+            v[:, None]
+        dec = codecs.decode(codecs.encode(img, "png"),
+                            TR_TILE, TR_TILE, "png").astype(np.int64)
+        assert (dec == img).all()  # loud if the roundtrip ever drifts
+        g = dec[:, :, 0]
+        w = (np.arange(TR_TILE, dtype=np.int64)[:, None] * TR_TILE
+             + np.arange(TR_TILE, dtype=np.int64)[None, :] + 1)
+        return pd.DataFrame(
+            [[int(key[0]), int(key[1]), int((g > 0).sum()),
+              int(g.sum()), int((g * w).sum())]],
+            columns=[f.name for f in schema])
+
+    return counts.groupBy("tx", "ty").applyInPandas(render, schema)
+
+
+def _oracle_tile_render() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, TR_FINE)
+    return f"""
+WITH e AS (
+  SELECT {ix} AS fx, {iy} AS fy FROM events),
+cnt AS (
+  SELECT CAST(FLOOR(fx / 16.0) AS BIGINT) AS tx,
+         CAST(FLOOR(fy / 16.0) AS BIGINT) AS ty,
+         fx % 16 AS px, fy % 16 AS py, COUNT(*) AS c
+  FROM e GROUP BY 1, 2, 3, 4),
+pix AS (
+  SELECT tx, ty, py, px, LEAST(c, 255) AS v FROM cnt)
+SELECT tx, ty,
+       CAST(COUNT(*) AS BIGINT) AS n_ink,
+       CAST(SUM(v) AS BIGINT) AS ink_sum,
+       CAST(SUM(v * (py * 16 + px + 1)) AS BIGINT) AS checksum
+FROM pix GROUP BY tx, ty
+"""
+
+
+QUERIES.update({
+    "tile_render_png": (q_tile_render_png, _oracle_tile_render()),
+})

@@ -293,6 +293,7 @@ _TAIL = [
     "idw_interpolation",      # inverse-distance-weighted surface (B-stats)
     "nms_boxes",              # non-max suppression unroll (vision QA)
     "video_motion_vectors",   # block-matching motion search (B11/video)
+    "tile_render_png",        # density tiles through real PNG (B5xB11)
     "knn_events_nations",
     "sliding_window",
     "revenue_by_nation",

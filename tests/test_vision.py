@@ -565,3 +565,50 @@ def test_nms_matches_sequential_suppression(spark):
         tots[1] += o1
     # planted structure: suppression BITES and is not total
     assert tots[0] > 0 and tots[1] > 0
+
+
+def test_tile_render_matches_global_raster(spark):
+    """Rebuild the WHOLE 512x512 density raster in numpy from the event
+    parquet (python u01 twin), slice it into 16x16 tiles, and compare
+    every gated stat — plus re-verify one tile through an independent
+    png encode/decode roundtrip."""
+    import pandas as pd_
+    from spark_shp.hashing import u01
+    from spark_shp.queries_vision import TR_FINE, TR_TILE, q_tile_render_png
+
+    n = 1 << TR_FINE
+    ev = pd_.read_parquet(f"{SF}/events.parquet")
+    eid = ev["event_id"].to_numpy(np.int64)
+    lon = u01(eid) * 360.0 - 180.0
+    lat = u01(eid * 2 + 1) * 170.0 - 85.0
+    fx = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(int)
+    fy = np.clip(np.floor((lat + 85.0) / 170.0 * n), 0, n - 1).astype(int)
+    raster = np.zeros((n, n), np.int64)
+    np.add.at(raster, (fy, fx), 1)
+    raster = np.minimum(raster, 255)
+
+    rows = {(r.tx, r.ty): r for r in q_tile_render_png(spark, SF).collect()}
+    w = (np.arange(TR_TILE)[:, None] * TR_TILE
+         + np.arange(TR_TILE)[None, :] + 1)
+    n_tiles = 0
+    for ty in range(n // TR_TILE):
+        for tx in range(n // TR_TILE):
+            g = raster[ty * TR_TILE:(ty + 1) * TR_TILE,
+                       tx * TR_TILE:(tx + 1) * TR_TILE]
+            if not g.any():
+                assert (tx, ty) not in rows
+                continue
+            n_tiles += 1
+            r = rows[(tx, ty)]
+            assert (r.n_ink, r.ink_sum, r.checksum) == \
+                ((g > 0).sum(), g.sum(), (g * w).sum()), (tx, ty)
+    assert len(rows) == n_tiles > 100
+    # one tile through the real codec independently
+    ty, tx = max((raster[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]
+                  .sum(), ty, tx)
+                 for ty in range(32) for tx in range(32))[1:]
+    img = np.repeat(raster[ty * 16:ty * 16 + 16,
+                           tx * 16:tx * 16 + 16, None], 3,
+                    axis=2).astype(np.uint8)
+    dec = codecs.decode(codecs.encode(img, "png"), 16, 16, "png")
+    assert (dec == img).all()
