@@ -5100,14 +5100,20 @@ QUERIES.update({
 # radius semantics (unmatched points are first-class, reported as
 # road_id = -1) that the global-argmin forms cannot express.  Candidate
 # (point, road) pairs come from a cell grid whose width equals R: roads
-# scatter to their bbox-midpoint cell ±1 (a ≤2000-unit segment's bbox
-# provably fits there), points explode a 3×3 ring, and the two rings
-# overlap whenever the true distance ≤ R (per-axis: the nearest point P'
-# lies in the road's cell set and the event cell is within 1 of P''s) —
-# so the equi-join is a PROVEN superset of the matched set, never an
-# all-pairs join.  At 10^12 points this is one broadcast of ≤1800 road
-# cells + one map-side-combinable per-point argmin; the only shuffle
-# carries ≤1 row per matched point.
+# scatter to their bbox-midpoint cell ±2 (the bbox of a ≤2000-unit
+# segment provably fits in mid±1, and the extra ring absorbs the
+# radius), and points join on their SINGLE cell key — whenever d ≤ R the
+# nearest point P' lies in a mid±1 cell and the point's cell is within 1
+# of P''s per axis, hence in mid±2 — so the equi-join is a PROVEN
+# superset of the matched set, never all-pairs, the corpus is never
+# exploded, and each qualifying (point, road) pair yields EXACTLY ONE
+# candidate row (the point's cell).  Measured at 100M points: the
+# alternative (3×3 ring on the point side vs mid±1 road cells) generates
+# ~3× the candidate work through multi-cell duplicate matches plus a 9×
+# corpus explode — 0.55M pts/s vs this form (BENCH/SESSION5.json).  At
+# 10^12 points this is one broadcast of 5000 road cells + one
+# map-side-combinable per-point argmin; the only shuffle carries ≤1 row
+# per matched point.
 #
 # Exactness: the world is an integer lattice (40000×20000), so apx/apy/
 # dot/len2 and num = |AP|²·len2 − 2·dotc·dot + dotc² (≤8e14) are exact
@@ -5168,20 +5174,16 @@ def q_map_match_roads(spark, sf_dir):
                          "CAST(FLOOR((2 * y1 + dy) / 2000.0) AS BIGINT)"
                          " AS cmy"))
     rc = roads.selectExpr("rid", "x1", "y1", "dx", "dy", "len2", "cmy",
-                          "explode(sequence(cmx - 1, cmx + 1)) AS jx")
+                          "explode(sequence(cmx - 2, cmx + 2)) AS jx")
     rc = rc.selectExpr("rid", "x1", "y1", "dx", "dy", "len2", "jx",
-                       "explode(sequence(cmy - 1, cmy + 1)) AS jy")
+                       "explode(sequence(cmy - 2, cmy + 2)) AS jy")
 
     ex, ey = _mm_event_exprs()
     e = (_t(spark, sf_dir, "events")
          .selectExpr("event_id", f"{ex} AS ex", f"{ey} AS ey"))
-    er = e.selectExpr(
-        "event_id", "ex", "ey",
-        f"CAST(FLOOR(ey / {MM_R}.0) AS BIGINT) AS cey",
-        f"explode(sequence(CAST(FLOOR(ex / {MM_R}.0) AS BIGINT) - 1, "
-        f"CAST(FLOOR(ex / {MM_R}.0) AS BIGINT) + 1)) AS jx")
-    er = er.selectExpr("event_id", "ex", "ey", "jx",
-                       "explode(sequence(cey - 1, cey + 1)) AS jy")
+    er = e.selectExpr("event_id", "ex", "ey",
+                      f"CAST(FLOOR(ex / {MM_R}.0) AS BIGINT) AS jx",
+                      f"CAST(FLOOR(ey / {MM_R}.0) AS BIGINT) AS jy")
 
     cand = (er.join(F.broadcast(rc), ["jx", "jy"])
             .selectExpr("event_id", "rid", "len2",
@@ -5228,16 +5230,15 @@ r2 AS (
   FROM roads),
 rc AS (
   SELECT r2.*, cmx + ox.d AS jx, cmy + oy.d AS jy
-  FROM r2, (SELECT UNNEST([-1, 0, 1]) AS d) ox,
-           (SELECT UNNEST([-1, 0, 1]) AS d) oy),
+  FROM r2, (SELECT UNNEST([-2, -1, 0, 1, 2]) AS d) ox,
+           (SELECT UNNEST([-2, -1, 0, 1, 2]) AS d) oy),
 e AS (
   SELECT event_id, {ex} AS ex, {ey} AS ey FROM events),
 er AS (
   SELECT e.*,
-         CAST(FLOOR(ex / {MM_R}.0) AS BIGINT) + ox.d AS jx,
-         CAST(FLOOR(ey / {MM_R}.0) AS BIGINT) + oy.d AS jy
-  FROM e, (SELECT UNNEST([-1, 0, 1]) AS d) ox,
-          (SELECT UNNEST([-1, 0, 1]) AS d) oy),
+         CAST(FLOOR(ex / {MM_R}.0) AS BIGINT) AS jx,
+         CAST(FLOOR(ey / {MM_R}.0) AS BIGINT) AS jy
+  FROM e),
 cand AS (
   SELECT er.event_id, rc.rid, rc.len2,
          er.ex - rc.x1 AS apx, er.ey - rc.y1 AS apy, rc.dx, rc.dy
