@@ -1912,6 +1912,175 @@ FROM fin
 ORACLE_SHP_POLYCONIC = _oracle_polyconic_sql()
 
 
+N_GNOM = 40
+_GNOM_WKT = (
+    'PROJCS["Gnomonic_Test_Sphere",GEOGCS["GCS_Sphere",'
+    'DATUM["D_Sphere",SPHEROID["Sphere",6371000.0,0.0]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Gnomonic"],'
+    'PARAMETER["False_Easting",-15000.0],'
+    'PARAMETER["False_Northing",25000.0],'
+    'PARAMETER["Central_Meridian",-60.0],'
+    'PARAMETER["Latitude_Of_Origin",25.0],UNIT["Meter",1.0]]')
+_GNOM_PARAMS = (6371000.0, -60.0, 25.0, -15000.0, 25000.0)
+
+
+def q_shp_gnomonic_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 Gnomonic (spherical, oblique aspect — the great-circle
+    navigation projection; every straight line on the map is a geodesic):
+    Point shapefile in gnomonic meters -> engine inverse
+    (parser.make_inv_gnomonic, Snyder generic-azimuthal eq. 20-14/20-15
+    with c = arctan(rho/R)).  The oracle unrolls the identical float64 op
+    sequence in DuckDB from the same aeqd_constants(); round-9 policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_GNOM, dtype=np.int64)
+    xm = -4.0e6 + u01(i * 97 + 3) * 8.0e6     # c <= atan(5.66/6.37) ~ 42deg
+    ym = -4.0e6 + u01(i * 97 + 4) * 8.0e6
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_GNOM_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_gnom_sql() -> str:
+    """Spherical Gnomonic inverse as DuckDB SQL, op-for-op the numpy
+    kernel (same aeqd_constants float64 values)."""
+    from .shp.parser import aeqd_constants
+    a, lon0, lat0, fe, fn = _GNOM_PARAMS
+    c = {k: f"CAST({v!r} AS DOUBLE)"
+         for k, v in aeqd_constants(a, lon0, lat0, fe, fn).items()}
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         -4000000.0 + {u01_sql('i * 97 + 3')} * 8000000.0 AS xi,
+         -4000000.0 + {u01_sql('i * 97 + 4')} * 8000000.0 AS yi
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_GNOM - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no, xi - {c['fe']} AS x, yi - {c['fn']} AS y FROM src),
+s2 AS (
+  SELECT rec_no, x, y, SQRT(x * x + y * y) AS rho FROM s1),
+s3 AS (
+  SELECT rec_no, x, y, rho, SIN(ATAN(rho / {c['r']})) AS sc,
+         COS(ATAN(rho / {c['r']})) AS co
+  FROM s2)
+SELECT rec_no,
+       ROUND(DEGREES({c['lam0']} + ATAN2(x * sc,
+             rho * {c['cos0']} * co - y * {c['sin0']} * sc)), 9) AS lon,
+       ROUND(DEGREES(ASIN(LEAST(GREATEST(
+             co * {c['sin0']} + y * sc * {c['cos0']} / rho,
+             -1.0), 1.0))), 9) AS lat
+FROM s3
+"""
+
+
+ORACLE_SHP_GNOM = _oracle_gnom_sql()
+
+
+N_ORTHO = 40
+_ORTHO_WKT = (
+    'PROJCS["Ortho_Test_Sphere",GEOGCS["GCS_Sphere",'
+    'DATUM["D_Sphere",SPHEROID["Sphere",6371000.0,0.0]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Orthographic"],'
+    'PARAMETER["False_Easting",5000.0],'
+    'PARAMETER["False_Northing",-30000.0],'
+    'PARAMETER["Central_Meridian",135.0],'
+    'PARAMETER["Latitude_Of_Origin",-20.0],UNIT["Meter",1.0]]')
+_ORTHO_PARAMS = (6371000.0, 135.0, -20.0, 5000.0, -30000.0)
+
+
+def q_shp_ortho_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 Orthographic (spherical, oblique aspect — the satellite-view /
+    globe-thumbnail projection, ESRI World_From_Space family): Point
+    shapefile in orthographic meters -> engine inverse
+    (parser.make_inv_ortho, Snyder eq. 20-14/20-15 with c = arcsin(rho/R);
+    fixture points stay inside the valid hemisphere disc, rho <= 0.98 R).
+    The oracle unrolls the identical float64 op sequence; round-9."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_ORTHO, dtype=np.int64)
+    xm = -4.4e6 + u01(i * 101 + 5) * 8.8e6    # rho <= 6.22e6 < R
+    ym = -4.4e6 + u01(i * 101 + 6) * 8.8e6
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_ORTHO_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_ortho_sql() -> str:
+    """Spherical Orthographic inverse as DuckDB SQL, op-for-op the numpy
+    kernel (same aeqd_constants float64 values, incl. the rho/R clip)."""
+    from .shp.parser import aeqd_constants
+    a, lon0, lat0, fe, fn = _ORTHO_PARAMS
+    c = {k: f"CAST({v!r} AS DOUBLE)"
+         for k, v in aeqd_constants(a, lon0, lat0, fe, fn).items()}
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         -4400000.0 + {u01_sql('i * 101 + 5')} * 8800000.0 AS xi,
+         -4400000.0 + {u01_sql('i * 101 + 6')} * 8800000.0 AS yi
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_ORTHO - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no, xi - {c['fe']} AS x, yi - {c['fn']} AS y FROM src),
+s2 AS (
+  SELECT rec_no, x, y, SQRT(x * x + y * y) AS rho FROM s1),
+s3 AS (
+  SELECT rec_no, x, y, rho,
+         SIN(ASIN(LEAST(GREATEST(rho / {c['r']}, -1.0), 1.0))) AS sc,
+         COS(ASIN(LEAST(GREATEST(rho / {c['r']}, -1.0), 1.0))) AS co
+  FROM s2)
+SELECT rec_no,
+       ROUND(DEGREES({c['lam0']} + ATAN2(x * sc,
+             rho * {c['cos0']} * co - y * {c['sin0']} * sc)), 9) AS lon,
+       ROUND(DEGREES(ASIN(LEAST(GREATEST(
+             co * {c['sin0']} + y * sc * {c['cos0']} / rho,
+             -1.0), 1.0))), 9) AS lat
+FROM s3
+"""
+
+
+ORACLE_SHP_ORTHO = _oracle_ortho_sql()
+
+
 def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 — ALL sixteen supported .prj projection families under ONE gated
     row (the shp_zm_semantics consolidation pattern applied to CRS): each
@@ -1931,7 +2100,8 @@ def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_shp_mollweide_reproject, q_shp_oblique_stereo_reproject,
             q_shp_hom_reproject, q_shp_krovak_reproject,
             q_shp_cassini_reproject, q_shp_aeqd_reproject,
-            q_shp_cea_reproject, q_shp_polyconic_reproject]
+            q_shp_cea_reproject, q_shp_polyconic_reproject,
+            q_shp_gnomonic_reproject, q_shp_ortho_reproject]
     out = None
     for fam_id, fn in enumerate(fams):
         d = fn(spark, sf_dir).select(
@@ -1948,7 +2118,7 @@ ORACLE_REPROJECT_FAMILIES = "\nUNION ALL\n".join(
         ORACLE_SHP_MERC3395, ORACLE_SHP_SINUSOIDAL, ORACLE_SHP_MOLLWEIDE,
         ORACLE_SHP_OBLIQUE_STEREO, ORACLE_SHP_HOM, ORACLE_SHP_KROVAK,
         ORACLE_SHP_CASSINI, ORACLE_SHP_AEQD, ORACLE_SHP_CEA,
-        ORACLE_SHP_POLYCONIC]))
+        ORACLE_SHP_POLYCONIC, ORACLE_SHP_GNOM, ORACLE_SHP_ORTHO]))
 
 
 def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2406,6 +2576,8 @@ QUERIES: dict = {
     "shp_cassini_reproject": (q_shp_cassini_reproject,
                               ORACLE_SHP_CASSINI),
     "shp_aeqd_reproject": (q_shp_aeqd_reproject, ORACLE_SHP_AEQD),
+    "shp_gnomonic_reproject": (q_shp_gnomonic_reproject, ORACLE_SHP_GNOM),
+    "shp_ortho_reproject": (q_shp_ortho_reproject, ORACLE_SHP_ORTHO),
     "shp_cea_reproject": (q_shp_cea_reproject, ORACLE_SHP_CEA),
     "shp_polyconic_reproject": (q_shp_polyconic_reproject,
                                 ORACLE_SHP_POLYCONIC),

@@ -48,6 +48,8 @@ _TAIL = [
     "shp_krovak_reproject",   # A12 (same family — Krovak S-JTSK)
     "shp_cassini_reproject",  # A12 (same family — Cassini-Soldner)
     "shp_aeqd_reproject",     # A12 (same family — Azimuthal Equidistant)
+    "shp_gnomonic_reproject",  # A12 (same family — Gnomonic)
+    "shp_ortho_reproject",    # A12 (same family — Orthographic)
     "shp_cea_reproject",      # A12 (same family — Cyl. Equal Area/EASE)
     "shp_polyconic_reproject",  # A12 (same family — American Polyconic)
     "images_phash_near_dup",  # dedup family via minhash_lsh_pairs/simhash

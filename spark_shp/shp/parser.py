@@ -1073,6 +1073,69 @@ def make_inv_aeqd(a: float, inv_f: float, lon0_deg: float, lat0_deg: float,
     return inv
 
 
+def make_inv_gnomonic(a: float, inv_f: float, lon0_deg: float,
+                      lat0_deg: float, fe: float = 0.0, fn: float = 0.0):
+    """Spherical Gnomonic inverse (Snyder 1987 eq. 22-16 with the generic
+    azimuthal inverse 20-14/20-15: c = arctan(ρ/R)) — the great-circle
+    navigation projection (every straight line is a geodesic; ESRI
+    World_Gnomonic / proj ``+proj=gnom``).  Sphere-only by definition;
+    an ellipsoidal SPHEROID raises loudly (the Mercator-dispatch
+    lesson).  Shares :func:`aeqd_constants` (same constant set)."""
+    if inv_f != 0.0:
+        raise ValueError(
+            "Gnomonic: only the spherical form is supported (SPHEROID "
+            f"inverse flattening {inv_f!r} != 0)")
+    c = aeqd_constants(a, lon0_deg, lat0_deg, fe, fn)
+    r, lam0, sin0, cos0 = c["r"], c["lam0"], c["sin0"], c["cos0"]
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        x = pts[:, 0] - fe
+        y = pts[:, 1] - fn
+        rho = np.sqrt(x * x + y * y)
+        cc = np.arctan(rho / r)
+        sc, co = np.sin(cc), np.cos(cc)
+        safe = np.where(rho == 0.0, 1.0, rho)
+        phi = np.arcsin(np.clip(
+            co * sin0 + np.where(rho == 0.0, 0.0,
+                                 y * sc * cos0 / safe), -1.0, 1.0))
+        lam = lam0 + np.arctan2(x * sc, rho * cos0 * co - y * sin0 * sc)
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
+
+def make_inv_ortho(a: float, inv_f: float, lon0_deg: float,
+                   lat0_deg: float, fe: float = 0.0, fn: float = 0.0):
+    """Spherical Orthographic inverse (Snyder 1987 eq. 20-14/20-15 with
+    c = arcsin(ρ/R)) — the satellite-view / globe-thumbnail projection
+    (ESRI World_From_Space family).  Valid for ρ ≤ R (one hemisphere);
+    the ρ/R ratio is clipped into asin's domain so boundary roundoff
+    cannot NaN.  Sphere-only: the EPSG 9840 ellipsoidal variant raises
+    loudly rather than silently sphere-decoding."""
+    if inv_f != 0.0:
+        raise ValueError(
+            "Orthographic: only the spherical form is supported (SPHEROID "
+            f"inverse flattening {inv_f!r} != 0); EPSG 9840 ellipsoidal "
+            "Orthographic is out of scope")
+    c = aeqd_constants(a, lon0_deg, lat0_deg, fe, fn)
+    r, lam0, sin0, cos0 = c["r"], c["lam0"], c["sin0"], c["cos0"]
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        x = pts[:, 0] - fe
+        y = pts[:, 1] - fn
+        rho = np.sqrt(x * x + y * y)
+        cc = np.arcsin(np.clip(rho / r, -1.0, 1.0))
+        sc, co = np.sin(cc), np.cos(cc)
+        safe = np.where(rho == 0.0, 1.0, rho)
+        phi = np.arcsin(np.clip(
+            co * sin0 + np.where(rho == 0.0, 0.0,
+                                 y * sc * cos0 / safe), -1.0, 1.0))
+        lam = lam0 + np.arctan2(x * sc, rho * cos0 * co - y * sin0 * sc)
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
+
 def hom_constants(a: float, inv_f: float, lonc_deg: float, lat0_deg: float,
                   azi_deg: float, gamma_deg: float, k0: float,
                   fe: float, fn: float, variant: str = "A") -> dict:
@@ -1503,6 +1566,26 @@ def projection_from_wkt(wkt) -> "callable | None":
             p = _wkt_params(wkt)
             a, inv_f = _wkt_spheroid(wkt)
             return _with_unit(make_inv_polyconic(
+                a, inv_f,
+                p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+                p.get("latitude_of_origin", p.get("latitude_of_center",
+                                                  0.0)),
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
+        if re.search(r'PROJECTION\["?Gnomonic', wkt, re.I):
+            p = _wkt_params(wkt)
+            a, inv_f = _wkt_spheroid(wkt)   # sphere-only: raises on e2>0
+            return _with_unit(make_inv_gnomonic(
+                a, inv_f,
+                p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+                p.get("latitude_of_origin", p.get("latitude_of_center",
+                                                  0.0)),
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
+        if re.search(r'PROJECTION\["?Orthographic', wkt, re.I):
+            p = _wkt_params(wkt)
+            a, inv_f = _wkt_spheroid(wkt)   # sphere-only: raises on e2>0
+            return _with_unit(make_inv_ortho(
                 a, inv_f,
                 p.get("central_meridian", p.get("longitude_of_center", 0.0)),
                 p.get("latitude_of_origin", p.get("latitude_of_center",

@@ -1405,3 +1405,111 @@ def test_polyconic_wkt_dispatch():
     # x = FE -> on the central meridian; y = FN + 1000 km -> north of lat0
     assert abs(out[0, 0] - (-54.0)) < 1e-9
     assert 28.0 < out[0, 1] < 30.0
+
+
+def test_gnomonic_roundtrip_against_independent_forward():
+    """Snyder eq. 22-4/22-5 spherical Gnomonic FORWARD (written
+    independently of the inverse: k' = 1/cos c about the angular distance
+    c from the great-circle cosine rule) roundtrips through the engine
+    inverse to <1e-9 degrees inside c < 60 deg of the oblique center."""
+    import math
+    import numpy as np
+    from spark_shp.shp.parser import make_inv_gnomonic
+    from spark_shp.queries_shp import _GNOM_PARAMS
+
+    r, lon0, lat0, fe, fn = _GNOM_PARAMS
+    sin0, cos0 = math.sin(math.radians(lat0)), math.cos(math.radians(lat0))
+
+    def fwd(lon_deg, lat_deg):
+        phi = math.radians(lat_deg)
+        dlam = math.radians(lon_deg - lon0)
+        cosc = sin0 * math.sin(phi) + cos0 * math.cos(phi) * math.cos(dlam)
+        kp = 1.0 / cosc                       # Snyder 22-3
+        x = r * kp * math.cos(phi) * math.sin(dlam)
+        y = r * kp * (cos0 * math.sin(phi)
+                      - sin0 * math.cos(phi) * math.cos(dlam))
+        return x + fe, y + fn
+
+    inv = make_inv_gnomonic(r, 0.0, lon0, lat0, fe, fn)
+    rng = np.random.default_rng(20260820)
+    # keep angular distance well under 90 deg (projection blows up at the
+    # horizon): +-35 deg offsets about the (25N, 60W) center
+    lons = lon0 + rng.uniform(-35.0, 35.0, 200)
+    lats = np.clip(lat0 + rng.uniform(-35.0, 35.0, 200), -80.0, 80.0)
+    pts = np.array([fwd(lo, la) for lo, la in zip(lons, lats)])
+    out = inv(pts)
+    assert np.max(np.abs(out[:, 0] - lons)) < 1e-9
+    assert np.max(np.abs(out[:, 1] - lats)) < 1e-9
+    # projection center roundtrips exactly (rho == 0 branch)
+    out0 = inv(np.array([[fe, fn]]))
+    assert abs(out0[0, 0] - lon0) < 1e-12
+    assert abs(out0[0, 1] - lat0) < 1e-12
+
+
+def test_gnomonic_wkt_dispatch_and_ellipsoid_raises():
+    import numpy as np
+    import pytest
+    from spark_shp.shp.parser import projection_from_wkt
+    from spark_shp.queries_shp import _GNOM_WKT
+    trans = projection_from_wkt(_GNOM_WKT)
+    assert trans is not None
+    out = trans(np.array([[-15000.0, 25000.0]]))
+    assert abs(out[0, 0] - (-60.0)) < 1e-12
+    assert abs(out[0, 1] - 25.0) < 1e-12
+    wkt_ell = _GNOM_WKT.replace(
+        'SPHEROID["Sphere",6371000.0,0.0]',
+        'SPHEROID["WGS_1984",6378137.0,298.257223563]')
+    with pytest.raises(ValueError, match="spherical"):
+        projection_from_wkt(wkt_ell)
+
+
+def test_orthographic_roundtrip_against_independent_forward():
+    """Snyder eq. 20-3/20-4 spherical Orthographic FORWARD (written
+    independently of the inverse: the plain parallel projection
+    x = R cos(phi) sin(dlam)) roundtrips through the engine inverse to
+    <1e-9 degrees across the visible hemisphere around the oblique
+    center, excluding the horizon rim where the inverse is ill-posed."""
+    import math
+    import numpy as np
+    from spark_shp.shp.parser import make_inv_ortho
+    from spark_shp.queries_shp import _ORTHO_PARAMS
+
+    r, lon0, lat0, fe, fn = _ORTHO_PARAMS
+    sin0, cos0 = math.sin(math.radians(lat0)), math.cos(math.radians(lat0))
+
+    def fwd(lon_deg, lat_deg):
+        phi = math.radians(lat_deg)
+        dlam = math.radians(lon_deg - lon0)
+        x = r * math.cos(phi) * math.sin(dlam)
+        y = r * (cos0 * math.sin(phi)
+                 - sin0 * math.cos(phi) * math.cos(dlam))
+        return x + fe, y + fn
+
+    inv = make_inv_ortho(r, 0.0, lon0, lat0, fe, fn)
+    rng = np.random.default_rng(20260822)
+    lons = lon0 + rng.uniform(-55.0, 55.0, 200)
+    lats = np.clip(lat0 + rng.uniform(-55.0, 55.0, 200), -80.0, 80.0)
+    pts = np.array([fwd(lo, la) for lo, la in zip(lons, lats)])
+    out = inv(pts)
+    assert np.max(np.abs(out[:, 0] - lons)) < 1e-9
+    assert np.max(np.abs(out[:, 1] - lats)) < 1e-9
+    out0 = inv(np.array([[fe, fn]]))
+    assert abs(out0[0, 0] - lon0) < 1e-12
+    assert abs(out0[0, 1] - lat0) < 1e-12
+
+
+def test_orthographic_wkt_dispatch_and_ellipsoid_raises():
+    import numpy as np
+    import pytest
+    from spark_shp.shp.parser import projection_from_wkt
+    from spark_shp.queries_shp import _ORTHO_WKT
+    trans = projection_from_wkt(_ORTHO_WKT)
+    assert trans is not None
+    out = trans(np.array([[5000.0, -30000.0]]))
+    assert abs(out[0, 0] - 135.0) < 1e-12
+    assert abs(out[0, 1] - (-20.0)) < 1e-12
+    wkt_ell = _ORTHO_WKT.replace(
+        'SPHEROID["Sphere",6371000.0,0.0]',
+        'SPHEROID["WGS_1984",6378137.0,298.257223563]')
+    with pytest.raises(ValueError, match="spherical"):
+        projection_from_wkt(wkt_ell)
