@@ -1,0 +1,292 @@
+"""Seventh query batch — spatio-temporal pattern mining, weighted graphs,
+and differential privacy (all oracle-gated exact; registered past the
+driver's 50-query window in registry._TAIL because each family keeps an
+in-window row):
+
+  * convoy_pairs     — co-movement mining (flock/convoy detection): user
+                       pairs co-located in the same coarse cell for >= 2
+                       CONSECUTIVE 6-hour windows (B5/B7 spatio-temporal
+                       family; region_covisitation counts co-visits, this
+                       adds the temporal-consecutiveness dimension that
+                       distinguishes a convoy from a coincidence).
+  * sssp_roads       — weighted single-source shortest path (<= 8 hops)
+                       via Bellman-Ford relaxation rounds over a
+                       deterministic road graph sized from the data
+                       (graph family; bfs_distance_cells is the
+                       UNWEIGHTED analog — this is the min-plus semiring).
+  * dp_noisy_counts  — differentially-private release of per-(type, day)
+                       event counts under the DISCRETE Laplace (two-sided
+                       geometric) mechanism with alpha = 1/2 (eps = ln 2):
+                       noise = G1 - G2 with G geometric, derived from the
+                       repo hash's uniform bits by pure integer threshold
+                       comparisons — bit-exact on any engine, no ln()
+                       cross-engine ulp risk (the tfidf/user_entropy
+                       lesson, solved structurally this time).
+
+Shared constraint (repo rule): exact cross-engine value hashes require
+integer values everywhere, or at most one final float division. All three
+operators here are 100% integer-valued.
+
+Reference parity note: upstream shapefile-js has no analytics layer; these
+extend the engine surface the brief's training-data-pipeline mandate asks
+for (SURVEY.md §2 LLM-pipeline + spatial-analytics families).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import cells, fixtures
+from .hashing import mix_sql
+
+U32 = 4294967296  # 2**32
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- convoy_pairs: co-movement (flock) mining ---------------------------------
+#
+# Window = 6-hour bucket of event time (exact integer: epoch-us floor-div,
+# the ohlc_hourly precedent — engine calendar conventions never enter).
+# Cell = repo Morton cell at level 1 (4 cells) so co-location is common
+# enough to produce runs at sf0.01 while the sampled-user filter
+# (user_id % 10 = 0) keeps the pair fan-out quadratic only in the SAMPLED
+# per-(cell,window) cohort. Scale shape: presence is DISTINCT (user, win,
+# cell) — bounded by users x windows x 4, NOT by events — and the pair
+# join is keyed by (cell, win), the standard co-location equi-join; at
+# 100 TB the sample-rate knob bounds cohort size and the join never goes
+# all-pairs across cells or windows.
+
+CONVOY_WIN_US = 6 * 3600 * 1000000  # 6-hour windows, in microseconds
+CONVOY_LVL = 1                      # 2x2 grid
+CONVOY_SAMPLE_MOD = 10              # user_id % 10 == 0 cohort
+CONVOY_MIN_RUN = 2                  # >= 2 consecutive co-located windows
+
+
+def q_convoy_pairs(spark, sf_dir):
+    """Convoy detection: sampled user pairs co-located (same level-1 cell)
+    in >= CONVOY_MIN_RUN consecutive 6-hour windows. Output is one row per
+    qualifying pair with the run statistics — all int64, exact."""
+    ev = _t(spark, sf_dir, "events")
+    cell = cells.cell_sql(fixtures.EVENT_LON_SQL, fixtures.EVENT_LAT_SQL,
+                          CONVOY_LVL)
+    presence = (ev.where(F.col("user_id") % CONVOY_SAMPLE_MOD == 0)
+                .selectExpr(
+                    "user_id",
+                    f"CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) / {float(CONVOY_WIN_US)!r})"
+                    " AS BIGINT) AS win",
+                    f"{cell} AS cell")
+                .distinct())
+    a = presence.selectExpr("user_id AS ua", "win", "cell")
+    b = presence.selectExpr("user_id AS ub", "win", "cell")
+    pair_wins = (a.join(b, ["cell", "win"])
+                 .where(F.col("ua") < F.col("ub"))
+                 .select("ua", "ub", "win")
+                 .distinct())
+    runs = pair_wins.selectExpr(
+        "ua", "ub", "win",
+        "win - ROW_NUMBER() OVER (PARTITION BY ua, ub ORDER BY win) AS grp")
+    island = (runs.groupBy("ua", "ub", "grp")
+              .agg(F.count(F.lit(1)).alias("run_len"),
+                   F.min("win").alias("run_start")))
+    return (island.groupBy("ua", "ub")
+            .agg(F.max("run_len").alias("max_run"),
+                 F.sum("run_len").alias("n_windows"),
+                 F.min("run_start").alias("first_win"))
+            .where(F.col("max_run") >= CONVOY_MIN_RUN)
+            .selectExpr("ua AS user_a", "ub AS user_b",
+                        "CAST(max_run AS BIGINT) AS max_run",
+                        "CAST(n_windows AS BIGINT) AS n_windows",
+                        "CAST(first_win AS BIGINT) AS first_win"))
+
+
+def _oracle_convoy() -> str:
+    cell = cells.cell_sql(fixtures.EVENT_LON_SQL, fixtures.EVENT_LAT_SQL,
+                          CONVOY_LVL)
+    return f"""
+WITH presence AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch_us(ts) / {float(CONVOY_WIN_US)!r}) AS BIGINT)
+           AS win,
+         {cell} AS cell
+  FROM events WHERE user_id % {CONVOY_SAMPLE_MOD} = 0),
+pair_wins AS (
+  SELECT DISTINCT a.user_id AS ua, b.user_id AS ub, a.win
+  FROM presence a JOIN presence b
+    ON a.cell = b.cell AND a.win = b.win AND a.user_id < b.user_id),
+runs AS (
+  SELECT ua, ub, win,
+         win - ROW_NUMBER() OVER (PARTITION BY ua, ub ORDER BY win) AS grp
+  FROM pair_wins),
+island AS (
+  SELECT ua, ub, grp, COUNT(*) AS run_len, MIN(win) AS run_start
+  FROM runs GROUP BY ua, ub, grp)
+SELECT ua AS user_a, ub AS user_b,
+       CAST(MAX(run_len) AS BIGINT) AS max_run,
+       CAST(SUM(run_len) AS BIGINT) AS n_windows,
+       CAST(MIN(run_start) AS BIGINT) AS first_win
+FROM island GROUP BY ua, ub
+HAVING MAX(run_len) >= {CONVOY_MIN_RUN}
+"""
+
+
+# --- sssp_roads: weighted shortest paths, Bellman-Ford rounds ------------------
+#
+# Graph: V = COUNT(DISTINCT user_id) nodes (scales with the corpus), a
+# connectivity backbone i -> i+1 plus 3V hash-random directed edges with
+# integer weights 1..99 — both derivable from the shared hash on either
+# engine. SSSP_ROUNDS Bellman-Ford relaxations from node 0 compute the
+# exact min-cost path using <= SSSP_ROUNDS edges; unreached nodes are
+# absent on both engines. Scale shape: each round is ONE equi-join
+# (dist x edges on src) + ONE groupBy-min keyed by node — the min-plus
+# semiring product; rounds stay in the driver loop exactly like
+# pagerank_fixedpoint, and at a 100 TB edge table each round remains a
+# pair of shuffles with map-side combine (no path enumeration, state is
+# one row per node).
+
+SSSP_ROUNDS = 8
+SSSP_EDGE_FACTOR = 3  # random edges = factor * V
+
+
+def _backbone_w_sql(i: str) -> str:
+    return f"(1 + ({mix_sql(f'({i}) * 7 + 3')}) % 9)"
+
+
+def _rand_src_sql(j: str, v: str) -> str:
+    return f"(({mix_sql(f'({j}) * 3 + 11')}) % {v})"
+
+
+def _rand_dst_sql(j: str, v: str) -> str:
+    return f"(({mix_sql(f'({j}) * 3 + 12')}) % {v})"
+
+
+def _rand_w_sql(j: str) -> str:
+    return f"(1 + ({mix_sql(f'({j}) * 3 + 13')}) % 99)"
+
+
+def q_sssp_roads(spark, sf_dir):
+    """Exact single-source shortest paths using <= SSSP_ROUNDS edges."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.agg(F.countDistinct("user_id")).collect()[0][0]  # bounded scalar
+    backbone = spark.range(v - 1).selectExpr(
+        "id AS src", "id + 1 AS dst", f"{_backbone_w_sql('id')} AS w")
+    rand = (spark.range(SSSP_EDGE_FACTOR * v)
+            .selectExpr(f"{_rand_src_sql('id', v)} AS src",
+                        f"{_rand_dst_sql('id', v)} AS dst",
+                        f"{_rand_w_sql('id')} AS w")
+            .where("src <> dst"))
+    edges = backbone.unionAll(rand)
+    dist = spark.range(1).selectExpr("CAST(0 AS BIGINT) AS node",
+                                     "CAST(0 AS BIGINT) AS d")
+    for _ in range(SSSP_ROUNDS):
+        relaxed = (dist.join(edges, dist.node == edges.src)
+                   .selectExpr("dst AS node", "d + w AS d"))
+        dist = (dist.unionAll(relaxed)
+                .groupBy("node").agg(F.min("d").alias("d")))
+    return dist.selectExpr("node", "CAST(d AS BIGINT) AS dist")
+
+
+def _oracle_sssp() -> str:
+    v = "(SELECT COUNT(DISTINCT user_id) FROM events)"
+    stages = [f"""
+edges AS (
+  SELECT CAST(i AS BIGINT) AS src, CAST(i + 1 AS BIGINT) AS dst,
+         CAST({_backbone_w_sql('i')} AS BIGINT) AS w
+  FROM (SELECT UNNEST(range({v} - 1)) AS i)
+  UNION ALL
+  SELECT * FROM (
+    SELECT CAST({_rand_src_sql('j', v)} AS BIGINT) AS src,
+           CAST({_rand_dst_sql('j', v)} AS BIGINT) AS dst,
+           CAST({_rand_w_sql('j')} AS BIGINT) AS w
+    FROM (SELECT UNNEST(range({SSSP_EDGE_FACTOR} * {v})) AS j))
+  WHERE src <> dst),
+d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d)"""]
+    for r in range(1, SSSP_ROUNDS + 1):
+        stages.append(f"""
+d{r} AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM d{r - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.d + e.w AS d
+    FROM d{r - 1} p JOIN edges e ON e.src = p.node)
+  GROUP BY node)""")
+    return ("WITH " + ",".join(stages) +
+            f"\nSELECT node, CAST(d AS BIGINT) AS dist FROM d{SSSP_ROUNDS}")
+
+
+# --- dp_noisy_counts: discrete-Laplace differential privacy --------------------
+#
+# The geometric (discrete Laplace) mechanism releases COUNT + (G1 - G2),
+# G1, G2 iid Geometric(alpha = 1/2) — epsilon = ln(2)-DP for
+# sensitivity-1 counts (Ghosh/Roughgarden/Sundararajan's universally
+# optimal mechanism). Determinism: G is read off the repo hash's uniform
+# 32 bits by pure integer threshold comparisons (P(G = m) = 2^-(m+1)),
+# so the noise — and therefore the released value — is bit-identical on
+# Spark, DuckDB, and numpy, with zero transcendental calls. Scale shape:
+# one groupBy of the events table with map-side combine; the noise is a
+# scalar expression on the (tiny) aggregate.
+
+DP_GEOM_MAX = 31  # tail mass beyond 31 folds into the last bucket
+
+
+def _geom_sql(u32: str) -> str:
+    """Geometric(1/2) sample from a uniform uint32: G = m iff
+    u32 in [2^32 - 2^(32-m), 2^32 - 2^(32-m-1)), i.e. P(G=m) = 2^-(m+1)."""
+    branches = []
+    for m in range(DP_GEOM_MAX):
+        thr = U32 - (1 << (32 - m - 1))
+        branches.append(f"WHEN ({u32}) < {thr} THEN {m}")
+    return ("(CASE " + " ".join(branches) +
+            f" ELSE {DP_GEOM_MAX} END)")
+
+
+def _dp_noise_sql(key: str) -> str:
+    g1 = _geom_sql(mix_sql(f"({key}) * 2 + 1"))
+    g2 = _geom_sql(mix_sql(f"({key}) * 2 + 2"))
+    return f"({g1} - {g2})"
+
+
+_DP_TYPE_CODE = ("(CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 "
+                 "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 "
+                 "WHEN 'view' THEN 4 ELSE 5 END)")
+DP_DAY_US = 86400 * 1000000
+
+
+def q_dp_noisy_counts(spark, sf_dir):
+    """eps = ln(2) differentially-private per-(event_type, day) counts."""
+    ev = _t(spark, sf_dir, "events")
+    agg = (ev.selectExpr(
+        "event_type",
+        f"CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) / {float(DP_DAY_US)!r}) AS BIGINT)"
+        " AS day",
+        f"{_DP_TYPE_CODE} AS tcode")
+        .groupBy("event_type", "day", "tcode")
+        .agg(F.count(F.lit(1)).alias("n_true")))
+    key = "(day * 8 + tcode)"
+    return agg.selectExpr(
+        "event_type", "day",
+        f"CAST(n_true + {_dp_noise_sql(key)} AS BIGINT) AS n_noisy")
+
+
+def _oracle_dp() -> str:
+    key = "(day * 8 + tcode)"
+    return f"""
+WITH agg AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch_us(ts) / {float(DP_DAY_US)!r}) AS BIGINT) AS day,
+         {_DP_TYPE_CODE} AS tcode,
+         COUNT(*) AS n_true
+  FROM events GROUP BY 1, 2, 3)
+SELECT event_type, day,
+       CAST(n_true + {_dp_noise_sql(key)} AS BIGINT) AS n_noisy
+FROM agg
+"""
+
+
+QUERIES: dict = {
+    "convoy_pairs": (q_convoy_pairs, _oracle_convoy()),
+    "sssp_roads": (q_sssp_roads, _oracle_sssp()),
+    "dp_noisy_counts": (q_dp_noisy_counts, _oracle_dp()),
+}

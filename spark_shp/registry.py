@@ -16,8 +16,9 @@ tools/diffcheck.py and pytest still verify them exactly, locally.
 from __future__ import annotations
 
 from . import (queries_analytics, queries_curation, queries_insights,
-               queries_mining, queries_ml, queries_rel, queries_retrieval,
-               queries_shp, queries_spatial, queries_text, queries_vision)
+               queries_mining, queries_ml, queries_patterns, queries_rel,
+               queries_retrieval, queries_shp, queries_spatial, queries_text,
+               queries_vision)
 
 # Same-operator variants parked beyond the driver's 50-query window.
 # Each name's operator family keeps >=1 in-window row:
@@ -308,13 +309,16 @@ _TAIL = [
     "json_extract_events",
     "distinct_counts",
     "percentiles_exact",
+    "convoy_pairs",       # B5/B7 spatio-temporal co-movement mining
+    "sssp_roads",         # weighted SSSP (graph family; BFS in-window kin)
+    "dp_noisy_counts",    # discrete-Laplace DP release (privacy family)
 ]
 
 _MERGED: dict = {}
 for mod in (queries_shp, queries_spatial, queries_text, queries_rel,
             queries_curation, queries_analytics, queries_mining,
             queries_insights, queries_retrieval, queries_vision,
-            queries_ml):
+            queries_ml, queries_patterns):
     overlap = set(_MERGED) & set(mod.QUERIES)
     if overlap:
         raise RuntimeError(f"duplicate query names: {overlap}")
