@@ -285,8 +285,157 @@ FROM agg
 """
 
 
+# --- trajectory_alignment: DTW + discrete Fréchet -----------------------------
+#
+# The sequence-alignment family (dedup_editdist is the string analog; this
+# is the trajectory analog used for GPS-track similarity / near-duplicate
+# route mining). Each sampled user's first ALIGN_LEN points (ts order,
+# event_id tiebreak) quantize to the level-12 integer lattice; pairwise
+# point cost is Manhattan |dx|+|dy| (exact int64). Both alignment
+# distances come from the SAME cost matrix with two semirings:
+#   DTW      D_ij = c_ij + min(D_{i-1,j}, D_{i,j-1}, D_{i-1,j-1})  (sum/min)
+#   Fréchet  F_ij = max(c_ij, min(F_{i-1,j}, F_{i,j-1}, F_{i-1,j-1}))
+# The DP is unrolled by anti-diagonal into staged integer projections —
+# whole-stage codegen on Spark, chained CTEs on DuckDB, both generated
+# from ONE shared emitter so the op sequence is literally identical.
+# Scale shape: candidate pairs are BLOCKED on the level-1 cell of each
+# user's first point (the standard trajectory-blocking trick) — never
+# all-pairs across blocks; per-pair work is a constant 2*L^2 integer ops,
+# so the whole operator is one equi-join + a map stage at any corpus size.
+
+ALIGN_LEN = 6          # points per trajectory
+ALIGN_LVL = 12         # quantization lattice (4096 x 4096)
+ALIGN_SAMPLE_MOD = 10  # user cohort knob
+ALIGN_BLOCK_LVL = 1    # pair-blocking cell level
+
+
+def _align_dp_stages() -> list:
+    """Shared DP emitter: list of stages, each a list of (alias, expr).
+    Stage k may reference aliases from stages < k only."""
+    L = ALIGN_LEN
+    cost = [(f"c_{i}_{j}",
+             f"(ABS(ax_{i} - bx_{j}) + ABS(ay_{i} - by_{j}))")
+            for i in range(L) for j in range(L)]
+    stages = [cost]
+    for diag in range(2 * L - 1):
+        st = []
+        for i in range(L):
+            j = diag - i
+            if not 0 <= j < L:
+                continue
+            c = f"c_{i}_{j}"
+            if i == 0 and j == 0:
+                st.append((f"d_{i}_{j}", f"({c})"))
+                st.append((f"f_{i}_{j}", f"({c})"))
+            elif i == 0:
+                st.append((f"d_{i}_{j}", f"(d_{i}_{j - 1} + {c})"))
+                st.append((f"f_{i}_{j}",
+                           f"(GREATEST(f_{i}_{j - 1}, {c}))"))
+            elif j == 0:
+                st.append((f"d_{i}_{j}", f"(d_{i - 1}_{j} + {c})"))
+                st.append((f"f_{i}_{j}",
+                           f"(GREATEST(f_{i - 1}_{j}, {c}))"))
+            else:
+                mn_d = (f"LEAST(d_{i - 1}_{j}, d_{i}_{j - 1}, "
+                        f"d_{i - 1}_{j - 1})")
+                mn_f = (f"LEAST(f_{i - 1}_{j}, f_{i}_{j - 1}, "
+                        f"f_{i - 1}_{j - 1})")
+                st.append((f"d_{i}_{j}", f"({c} + {mn_d})"))
+                st.append((f"f_{i}_{j}", f"(GREATEST({c}, {mn_f}))"))
+        stages.append(st)
+    return stages
+
+
+def _traj_pivot_exprs() -> list:
+    """(alias, agg-expr) for the per-user fixed-length point pivot."""
+    out = []
+    for k in range(ALIGN_LEN):
+        out.append((f"x_{k}", f"MAX(CASE WHEN rn = {k + 1} THEN ix END)"))
+        out.append((f"y_{k}", f"MAX(CASE WHEN rn = {k + 1} THEN iy END)"))
+    return out
+
+
+def q_trajectory_alignment(spark, sf_dir):
+    """DTW + discrete-Fréchet distance between cell-blocked sampled-user
+    trajectory prefixes — both exact int64 from one staged integer DP."""
+    ev = _t(spark, sf_dir, "events")
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, ALIGN_LVL)
+    pts = (ev.where(F.col("user_id") % ALIGN_SAMPLE_MOD == 0)
+           .selectExpr("user_id", "ts", "event_id",
+                       f"{ix} AS ix", f"{iy} AS iy")
+           .selectExpr("user_id", "ix", "iy",
+                       "ROW_NUMBER() OVER (PARTITION BY user_id "
+                       "ORDER BY ts, event_id) AS rn")
+           .where(F.col("rn") <= ALIGN_LEN))
+    traj = (pts.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_pts"),
+                 *[F.expr(e).alias(a) for a, e in _traj_pivot_exprs()])
+            .where(F.col("n_pts") == ALIGN_LEN))
+    block = (f"CAST(FLOOR(x_0 / {float(1 << (ALIGN_LVL - ALIGN_BLOCK_LVL))!r})"
+             f" AS BIGINT) * 2 + "
+             f"CAST(FLOOR(y_0 / {float(1 << (ALIGN_LVL - ALIGN_BLOCK_LVL))!r})"
+             " AS BIGINT)")
+    traj = traj.selectExpr("*", f"{block} AS blk")
+    a = traj.selectExpr("user_id AS ua", "blk",
+                        *[f"x_{k} AS ax_{k}" for k in range(ALIGN_LEN)],
+                        *[f"y_{k} AS ay_{k}" for k in range(ALIGN_LEN)])
+    b = traj.selectExpr("user_id AS ub", "blk",
+                        *[f"x_{k} AS bx_{k}" for k in range(ALIGN_LEN)],
+                        *[f"y_{k} AS by_{k}" for k in range(ALIGN_LEN)])
+    pairs = a.join(b, "blk").where(F.col("ua") < F.col("ub"))
+    for st in _align_dp_stages():
+        pairs = pairs.selectExpr("*", *[f"{e} AS {al}" for al, e in st])
+    last = ALIGN_LEN - 1
+    return pairs.selectExpr(
+        "ua AS user_a", "ub AS user_b",
+        f"CAST(d_{last}_{last} AS BIGINT) AS dtw",
+        f"CAST(f_{last}_{last} AS BIGINT) AS frechet")
+
+
+def _oracle_alignment() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, ALIGN_LVL)
+    piv = ",\n         ".join(f"{e} AS {a}" for a, e in _traj_pivot_exprs())
+    blk = (f"CAST(FLOOR(x_0 / {float(1 << (ALIGN_LVL - ALIGN_BLOCK_LVL))!r})"
+           f" AS BIGINT) * 2 + "
+           f"CAST(FLOOR(y_0 / {float(1 << (ALIGN_LVL - ALIGN_BLOCK_LVL))!r})"
+           " AS BIGINT)")
+    ctes = [f"""
+pts AS (
+  SELECT user_id, ix, iy,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM (SELECT user_id, ts, event_id, {ix} AS ix, {iy} AS iy
+        FROM events WHERE user_id % {ALIGN_SAMPLE_MOD} = 0)
+  QUALIFY rn <= {ALIGN_LEN}),
+traj AS (
+  SELECT user_id, {piv}
+  FROM pts GROUP BY user_id HAVING COUNT(*) = {ALIGN_LEN}),
+blocked AS (SELECT *, {blk} AS blk FROM traj),
+t0 AS (
+  SELECT a.user_id AS ua, b.user_id AS ub,
+         {", ".join(f"a.x_{k} AS ax_{k}, a.y_{k} AS ay_{k}, "
+                    f"b.x_{k} AS bx_{k}, b.y_{k} AS by_{k}"
+                    for k in range(ALIGN_LEN))}
+  FROM blocked a JOIN blocked b
+    ON a.blk = b.blk AND a.user_id < b.user_id)"""]
+    prev = "t0"
+    for n, st in enumerate(_align_dp_stages(), start=1):
+        cols = ", ".join(f"{e} AS {al}" for al, e in st)
+        ctes.append(f"t{n} AS (SELECT *, {cols} FROM {prev})")
+        prev = f"t{n}"
+    last = ALIGN_LEN - 1
+    return ("WITH " + ",".join(ctes) + f"""
+SELECT ua AS user_a, ub AS user_b,
+       CAST(d_{last}_{last} AS BIGINT) AS dtw,
+       CAST(f_{last}_{last} AS BIGINT) AS frechet
+FROM {prev}""")
+
+
 QUERIES: dict = {
     "convoy_pairs": (q_convoy_pairs, _oracle_convoy()),
     "sssp_roads": (q_sssp_roads, _oracle_sssp()),
     "dp_noisy_counts": (q_dp_noisy_counts, _oracle_dp()),
+    "trajectory_alignment": (q_trajectory_alignment, _oracle_alignment()),
 }

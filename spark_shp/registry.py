@@ -312,6 +312,7 @@ _TAIL = [
     "convoy_pairs",       # B5/B7 spatio-temporal co-movement mining
     "sssp_roads",         # weighted SSSP (graph family; BFS in-window kin)
     "dp_noisy_counts",    # discrete-Laplace DP release (privacy family)
+    "trajectory_alignment",  # DTW + Frechet sequence alignment (staged DP)
 ]
 
 _MERGED: dict = {}

@@ -129,3 +129,71 @@ def test_dp_noise_is_exact_discrete_laplace_and_unbiased_shape():
     g = np.array([geom(int(mix(i))) for i in range(20000)])
     assert abs((g == 0).mean() - 0.5) < 0.02
     assert abs(g.mean() - 1.0) < 0.05
+
+
+def test_alignment_matches_classic_dp():
+    """Classic textbook DTW / discrete-Fréchet DP (numpy, row-by-row — no
+    anti-diagonal staging, no SQL) over the same blocked pairs."""
+    from spark_shp.queries_patterns import (
+        ALIGN_BLOCK_LVL, ALIGN_LEN, ALIGN_LVL, ALIGN_SAMPLE_MOD,
+        q_trajectory_alignment)
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, event_id, epoch_us(ts) AS us "
+        f"FROM '{sf}/events.parquet' "
+        f"WHERE user_id % {ALIGN_SAMPLE_MOD} = 0").fetchnumpy()
+    eid = rows["event_id"].astype(np.int64)
+    lon = u01(eid) * 360.0 - 180.0
+    lat = u01(eid * 2 + 1) * 170.0 - 85.0
+    n = 1 << ALIGN_LVL
+    ix = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1)
+    iy = np.clip(np.floor((lat + 85.0) / 170.0 * n), 0, n - 1)
+    traj = {}
+    order = np.lexsort((eid, rows["us"].astype(np.int64),
+                        rows["user_id"].astype(np.int64)))
+    for k in order:
+        u = int(rows["user_id"][k])
+        traj.setdefault(u, [])
+        if len(traj[u]) < ALIGN_LEN:
+            traj[u].append((int(ix[k]), int(iy[k])))
+    traj = {u: p for u, p in traj.items() if len(p) == ALIGN_LEN}
+
+    def dp(pa, pb):
+        L = ALIGN_LEN
+        c = np.array([[abs(pa[i][0] - pb[j][0]) + abs(pa[i][1] - pb[j][1])
+                       for j in range(L)] for i in range(L)], dtype=np.int64)
+        D = np.zeros((L, L), dtype=np.int64)
+        Fm = np.zeros((L, L), dtype=np.int64)
+        for i in range(L):
+            for j in range(L):
+                if i == 0 and j == 0:
+                    D[0, 0] = c[0, 0]; Fm[0, 0] = c[0, 0]
+                elif i == 0:
+                    D[i, j] = D[i, j - 1] + c[i, j]
+                    Fm[i, j] = max(Fm[i, j - 1], c[i, j])
+                elif j == 0:
+                    D[i, j] = D[i - 1, j] + c[i, j]
+                    Fm[i, j] = max(Fm[i - 1, j], c[i, j])
+                else:
+                    D[i, j] = c[i, j] + min(D[i - 1, j], D[i, j - 1],
+                                            D[i - 1, j - 1])
+                    Fm[i, j] = max(c[i, j], min(Fm[i - 1, j], Fm[i, j - 1],
+                                                Fm[i - 1, j - 1]))
+        return int(D[-1, -1]), int(Fm[-1, -1])
+
+    shift = 1 << (ALIGN_LVL - ALIGN_BLOCK_LVL)
+    blk = {u: (p[0][0] // shift) * 2 + p[0][1] // shift
+           for u, p in traj.items()}
+    expected = {}
+    us = sorted(traj)
+    for i, a in enumerate(us):
+        for b in us[i + 1:]:
+            if blk[a] == blk[b]:
+                expected[(a, b)] = dp(traj[a], traj[b])
+    from spark_shp.session import get_spark
+    spark = get_spark(app="t_align", cpus=8)
+    got = {(r.user_a, r.user_b): (r.dtw, r.frechet)
+           for r in q_trajectory_alignment(spark, sf).collect()}
+    assert got == expected
+    assert len(got) > 0
