@@ -1357,3 +1357,154 @@ def moment_stats(images: DataFrame) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+def pyramid_checksums(images: DataFrame, levels: int = 3) -> DataFrame:
+    """Mipmap pyramid over real decoded bytes (the multi-resolution
+    pre-compute of a tile server / training-resolution ladder): per image
+    and level L in 1..levels, the 2^L x 2^L block-SUM downsample, reduced
+    to exact int64s (cell count, max cell mass, position-weighted
+    checksum — sums, not means, so every statistic is integer at any
+    aggregation order).  One reshape-sum per (shape, level) on the whole
+    decode stack — zero per-pixel Python.  Fixture dims are multiples of
+    16, so three halvings always divide evenly."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("level", T.IntegerType()),
+        T.StructField("n_cells", T.LongType()),
+        T.StructField("max_cell", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            out = []
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                px = _decode_stack(pdf, idx, w, h, fmt).astype(np.int64)
+                for lv in range(1, levels + 1):
+                    f = 1 << lv
+                    hl, wl = h // f, w // f
+                    s = px.reshape(len(idx), hl, f, wl, f, 3) \
+                          .sum(axis=(2, 4))            # (n, hl, wl, 3)
+                    yy = np.arange(hl, dtype=np.int64)[:, None, None]
+                    xx = np.arange(wl, dtype=np.int64)[None, :, None]
+                    cc = np.arange(3, dtype=np.int64)[None, None, :]
+                    wgt = (yy * wl + xx) * 3 + cc + 1
+                    chk = (s * wgt).sum(axis=(1, 2, 3))
+                    mx = s.max(axis=(1, 2, 3))
+                    for k, i in enumerate(idx):
+                        out.append((ids[i], lv, hl * wl * 3,
+                                    int(mx[k]), int(chk[k])))
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))
+
+
+def wht_checksums(images: DataFrame) -> DataFrame:
+    """8x8 Walsh-Hadamard block transform on the green channel (the SATD
+    core of every modern video encoder's mode decision — H.264/HEVC/AV1
+    use exactly this +-1 butterfly as the cheap DCT stand-in): per image,
+    the exact int64 DC sum, total |coefficient| mass (SATD), and a
+    block+frequency-position-weighted |coef| checksum that catches a
+    transposed butterfly, swapped block order, or natural/sequency mixup.
+    Natural-order Hadamard: H[u,y] = (-1)^popcount(u AND y), so the
+    oracle can replay the transform with bit_count() in pure SQL.  One
+    einsum per decode stack — zero per-pixel Python."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_blocks", T.LongType()),
+        T.StructField("dc_sum", T.LongType()),
+        T.StructField("satd", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ])
+    u = np.arange(8, dtype=np.int64)
+    pop = np.zeros((8, 8), dtype=np.int64)
+    for a in range(8):
+        for b in range(8):
+            pop[a, b] = bin(a & b).count("1")
+    S = 1 - 2 * (pop % 2)                                # (8, 8) +-1
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                hb, wb = h // 8, w // 8
+                g = _decode_stack(pdf, idx, w, h, fmt).astype(
+                    np.int64)[:, :, :, 1]                # (n, h, w)
+                r = g.reshape(len(idx), hb, 8, wb, 8)
+                coef = np.einsum("uy,nbyax,vx->nbuav", S, r, S)
+                a = np.abs(coef)                         # (n,hb,8,wb,8)
+                dc = coef[:, :, 0, :, 0].sum(axis=(1, 2))
+                satd = a.sum(axis=(1, 2, 3, 4))
+                by = np.arange(hb, dtype=np.int64)
+                bx = np.arange(wb, dtype=np.int64)
+                wgt = ((by[:, None, None, None] * wb
+                        + bx[None, None, :, None]) * 64
+                       + u[None, :, None, None] * 8
+                       + u[None, None, None, :] + 1)     # (hb,8,wb,8)
+                chk = (a * wgt[None]).sum(axis=(1, 2, 3, 4))
+                for k, i in enumerate(idx):
+                    rows[i] = (ids[i], hb * wb, int(dc[k]),
+                               int(satd[k]), int(chk[k]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))
+
+
+def whitebalance_checksums(images: DataFrame) -> DataFrame:
+    """Gray-world white balance with integer gains (the ISP color-cast
+    correction pass): per-channel gain = (total_mass * 1024) // (3 *
+    channel_mass) applied as (v * gain) // 1024 with a 255 clamp — every
+    step integer floor division, so the balanced raster is bit-exactly
+    reproducible in SQL.  Per image: the three gains, the clamp count,
+    and a position-weighted checksum of the balanced pixels.  Shape-
+    grouped stacks, one vectorized pass."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("r_gain", T.LongType()),
+        T.StructField("g_gain", T.LongType()),
+        T.StructField("b_gain", T.LongType()),
+        T.StructField("n_clipped", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                px = _decode_stack(pdf, idx, w, h, fmt).astype(np.int64)
+                cs = np.maximum(px.sum(axis=(1, 2)), 1)  # (n, 3)
+                tot = cs.sum(axis=1, keepdims=True)      # (n, 1)
+                gain = (tot * 1024) // (3 * cs)          # (n, 3)
+                scaled = (px * gain[:, None, None, :]) // 1024
+                bal = np.minimum(scaled, 255)
+                clip = (scaled > 255).sum(axis=(1, 2, 3))
+                yy = np.arange(h, dtype=np.int64)[:, None, None]
+                xx = np.arange(w, dtype=np.int64)[None, :, None]
+                cc = np.arange(3, dtype=np.int64)[None, None, :]
+                wgt = (yy * w + xx) * 3 + cc + 1
+                chk = (bal * wgt).sum(axis=(1, 2, 3))
+                for k, i in enumerate(idx):
+                    rows[i] = (ids[i], int(gain[k, 0]), int(gain[k, 1]),
+                               int(gain[k, 2]), int(clip[k]), int(chk[k]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

@@ -1292,3 +1292,197 @@ FROM pix GROUP BY tx, ty
 QUERIES.update({
     "tile_render_png": (q_tile_render_png, _oracle_tile_render()),
 })
+
+
+# --- image_pyramid_stats: mipmap block-sum pyramid -------------------------
+#
+# Engine: one reshape-sum per (shape, level) decode stack
+# (multimodal.pyramid_checksums).  Oracle: GROUP BY (y // 2^L, x // 2^L)
+# over the pixel-formula replay.  Sums, not means, keep every statistic
+# exact int64; the position-weighted checksum catches a transposed
+# reshape or swapped level.  New family: multi-resolution pyramid (the
+# tile-server / training-ladder precompute) — distinct from resize (NN)
+# and bilinear (fixed-point interpolation).
+
+
+def q_image_pyramid(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, VISION_N, partitions=4)
+    d = _with_i(multimodal.pyramid_checksums(img))
+    return (d.groupBy("fmt2", "level")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("n_cells").alias("n_cells"),
+                 F.max("max_cell").alias("max_cell"),
+                 F.expr("SUM(checksum * (i + 13))").alias("checksum"))
+            .selectExpr("fmt2 AS fmt", "CAST(level AS INT) AS level",
+                        "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(n_cells AS BIGINT) AS n_cells",
+                        "CAST(max_cell AS BIGINT) AS max_cell",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_pyramid() -> str:
+    v = _pix_sql("i * 1000003 + ay.y * 4096 + ax.x * 4 + cc.c")
+    return f"""
+WITH imgs AS MATERIALIZED ({_imgs_cte(VISION_N)}),
+px AS MATERIALIZED (
+  SELECT i, fmt, w, ay.y AS y, ax.x AS x, cc.c AS c, {v} AS v
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 1)) AS y) ay,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS x) ax,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c) cc),
+cells AS (
+  SELECT i, fmt, lv.l AS level, w // (1 << lv.l) AS wl,
+         y // (1 << lv.l) AS cy, x // (1 << lv.l) AS cx, c,
+         SUM(v) AS s
+  FROM px, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, 3)) AS l) lv
+  GROUP BY 1, 2, 3, 4, 5, 6, 7),
+per AS (
+  SELECT i, fmt, level, COUNT(*) AS n_cells, MAX(s) AS max_cell,
+         SUM(s * ((cy * wl + cx) * 3 + c + 1)) AS checksum
+  FROM cells GROUP BY 1, 2, 3)
+SELECT fmt, CAST(level AS INT) AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(n_cells) AS BIGINT) AS n_cells,
+       CAST(MAX(max_cell) AS BIGINT) AS max_cell,
+       CAST(SUM(checksum * (i + 13)) AS BIGINT) AS checksum
+FROM per GROUP BY 1, 2
+"""
+
+
+# --- image_wht_satd: 8x8 Walsh-Hadamard block transform --------------------
+#
+# The SATD core of H.264/HEVC/AV1 mode decision, exact by construction
+# (+-1 butterflies).  Natural-order H[u,y] = (-1)^popcount(u AND y) lets
+# the oracle replay the 2-D transform with bit_count() in pure SQL — a
+# genuinely different evaluation (4096 scalar terms per block) from the
+# engine's einsum, so agreement pins the butterfly, the block tiling,
+# and the |.| reduction.
+
+
+def q_image_wht(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, VISION_N, partitions=4)
+    d = _with_i(multimodal.wht_checksums(img))
+    return (d.groupBy("fmt2")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("n_blocks").alias("n_blocks"),
+                 F.sum("dc_sum").alias("dc_sum"),
+                 F.sum("satd").alias("satd"),
+                 F.expr("SUM(checksum * (i + 13))").alias("checksum"))
+            .selectExpr("fmt2 AS fmt", "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(n_blocks AS BIGINT) AS n_blocks",
+                        "CAST(dc_sum AS BIGINT) AS dc_sum",
+                        "CAST(satd AS BIGINT) AS satd",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_wht() -> str:
+    v = _pix_sql("i * 1000003 + ay.y * 4096 + ax.x * 4 + 1")
+    return f"""
+WITH imgs AS MATERIALIZED ({_imgs_cte(VISION_N)}),
+px AS MATERIALIZED (
+  SELECT i, fmt, w, ay.y AS y, ax.x AS x, {v} AS v
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 1)) AS y) ay,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS x) ax),
+coef AS (
+  SELECT i, fmt, y // 8 AS by, x // 8 AS bx, w // 8 AS wb,
+         uu.u AS u, vv.vq AS vq,
+         SUM(v * (CASE WHEN (bit_count(uu.u & (y % 8))
+                           + bit_count(vv.vq & (x % 8))) % 2 = 0
+                  THEN 1 ELSE -1 END)) AS cf
+  FROM px,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS u) uu,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS vq) vv
+  GROUP BY 1, 2, 3, 4, 5, 6, 7),
+per AS (
+  SELECT i, fmt, COUNT(DISTINCT by * 1000 + bx) AS n_blocks,
+         SUM(CASE WHEN u = 0 AND vq = 0 THEN cf ELSE 0 END) AS dc_sum,
+         SUM(ABS(cf)) AS satd,
+         SUM(ABS(cf) * ((by * wb + bx) * 64 + u * 8 + vq + 1)) AS checksum
+  FROM coef GROUP BY 1, 2)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(n_blocks) AS BIGINT) AS n_blocks,
+       CAST(SUM(dc_sum) AS BIGINT) AS dc_sum,
+       CAST(SUM(satd) AS BIGINT) AS satd,
+       CAST(SUM(checksum * (i + 13)) AS BIGINT) AS checksum
+FROM per GROUP BY 1
+"""
+
+
+# --- image_white_balance: gray-world gains, all-integer --------------------
+#
+# ISP color-cast correction: gain_c = (total * 1024) // (3 * mass_c),
+# balanced v' = min((v * gain_c) // 1024, 255).  Both divisions are
+# integer floor on non-negative operands, so numpy // and SQL // agree
+# bit-for-bit and the balanced raster itself is gated (via the weighted
+# checksum), not just its moments.
+
+
+def q_image_whitebalance(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, VISION_N, partitions=4)
+    d = _with_i(multimodal.whitebalance_checksums(img))
+    return (d.groupBy("fmt2")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("r_gain").alias("r_gain"),
+                 F.sum("g_gain").alias("g_gain"),
+                 F.sum("b_gain").alias("b_gain"),
+                 F.sum("n_clipped").alias("n_clipped"),
+                 F.expr("SUM(checksum * (i + 13))").alias("checksum"))
+            .selectExpr("fmt2 AS fmt", "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(r_gain AS BIGINT) AS r_gain",
+                        "CAST(g_gain AS BIGINT) AS g_gain",
+                        "CAST(b_gain AS BIGINT) AS b_gain",
+                        "CAST(n_clipped AS BIGINT) AS n_clipped",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_whitebalance() -> str:
+    v = _pix_sql("i * 1000003 + ay.y * 4096 + ax.x * 4 + cc.c")
+    return f"""
+WITH imgs AS MATERIALIZED ({_imgs_cte(VISION_N)}),
+px AS MATERIALIZED (
+  SELECT i, fmt, w, ay.y AS y, ax.x AS x, cc.c AS c, {v} AS v
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 1)) AS y) ay,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS x) ax,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c) cc),
+sums AS (
+  SELECT i, fmt, c, GREATEST(SUM(v), 1) AS cs FROM px GROUP BY 1, 2, 3),
+gains AS (
+  SELECT i, fmt, c,
+         (SUM(cs) OVER (PARTITION BY i) * 1024) // (3 * cs) AS gain
+  FROM sums),
+bal AS (
+  SELECT p.i, p.fmt, p.w, p.y, p.x, p.c,
+         (p.v * g.gain) // 1024 AS scaled,
+         LEAST((p.v * g.gain) // 1024, 255) AS b
+  FROM px p JOIN gains g ON p.i = g.i AND p.c = g.c),
+per AS (
+  SELECT i, fmt,
+         SUM(CASE WHEN scaled > 255 THEN 1 ELSE 0 END) AS n_clipped,
+         SUM(b * ((y * w + x) * 3 + c + 1)) AS checksum
+  FROM bal GROUP BY 1, 2),
+gn AS (
+  SELECT i, fmt,
+         SUM(CASE WHEN c = 0 THEN gain ELSE 0 END) AS r_gain,
+         SUM(CASE WHEN c = 1 THEN gain ELSE 0 END) AS g_gain,
+         SUM(CASE WHEN c = 2 THEN gain ELSE 0 END) AS b_gain
+  FROM gains GROUP BY 1, 2)
+SELECT p.fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(g.r_gain) AS BIGINT) AS r_gain,
+       CAST(SUM(g.g_gain) AS BIGINT) AS g_gain,
+       CAST(SUM(g.b_gain) AS BIGINT) AS b_gain,
+       CAST(SUM(p.n_clipped) AS BIGINT) AS n_clipped,
+       CAST(SUM(p.checksum * (p.i + 13)) AS BIGINT) AS checksum
+FROM per p JOIN gn g ON p.i = g.i GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "image_pyramid_stats": (q_image_pyramid, _oracle_pyramid()),
+    "image_wht_satd": (q_image_wht, _oracle_wht()),
+    "image_white_balance": (q_image_whitebalance, _oracle_whitebalance()),
+})

@@ -313,6 +313,9 @@ _TAIL = [
     "sssp_roads",         # weighted SSSP (graph family; BFS in-window kin)
     "dp_noisy_counts",    # discrete-Laplace DP release (privacy family)
     "trajectory_alignment",  # DTW + Frechet sequence alignment (staged DP)
+    "image_pyramid_stats",  # mipmap block-sum pyramid (B11/image)
+    "image_wht_satd",     # 8x8 Walsh-Hadamard SATD blocks (B11/codec)
+    "image_white_balance",  # gray-world integer-gain ISP pass (B11/image)
 ]
 
 _MERGED: dict = {}

@@ -612,3 +612,101 @@ def test_tile_render_matches_global_raster(spark):
                     axis=2).astype(np.uint8)
     dec = codecs.decode(codecs.encode(img, "png"), 16, 16, "png")
     assert (dec == img).all()
+
+
+def test_pyramid_matches_bruteforce(spark):
+    from spark_shp.queries_vision import VISION_N, q_image_pyramid
+    out = {(r["fmt"], r["level"]): r
+           for r in q_image_pyramid(spark, SF).collect()}
+    agg = {}
+    for i in range(VISION_N):
+        dec, w, h, fmt = _decoded(i)
+        for lv in (1, 2, 3):
+            f = 1 << lv
+            hl, wl = h // f, w // f
+            mx = chk = 0
+            for cy in range(hl):
+                for cx in range(wl):
+                    for c in range(3):
+                        s = int(dec[cy * f:(cy + 1) * f,
+                                    cx * f:(cx + 1) * f, c].sum())
+                        mx = max(mx, s)
+                        chk += s * ((cy * wl + cx) * 3 + c + 1)
+            a = agg.setdefault((fmt, lv), [0, 0, 0, 0])
+            a[0] += 1
+            a[1] += hl * wl * 3
+            a[2] = max(a[2], mx)
+            a[3] += chk * (i + 13)
+    for key, (ni, nc, mx, chk) in agg.items():
+        row = out[key]
+        assert (row["n_images"], row["n_cells"], row["max_cell"],
+                row["checksum"]) == (ni, nc, mx, chk)
+
+
+def test_wht_matches_direct_butterfly(spark):
+    from spark_shp.queries_vision import VISION_N, q_image_wht
+    out = {r["fmt"]: r for r in q_image_wht(spark, SF).collect()}
+    agg = {}
+    for i in range(VISION_N):
+        dec, w, h, fmt = _decoded(i)
+        g = dec[:, :, 1]
+        hb, wb = h // 8, w // 8
+        dc = satd = chk = 0
+        for by in range(hb):
+            for bx in range(wb):
+                blk = g[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                for u in range(8):
+                    for v in range(8):
+                        cf = 0
+                        for y in range(8):
+                            for x in range(8):
+                                sgn = -1 if (bin(u & y).count("1")
+                                             + bin(v & x).count("1")) % 2 \
+                                    else 1
+                                cf += sgn * int(blk[y, x])
+                        if u == 0 and v == 0:
+                            dc += cf
+                        satd += abs(cf)
+                        chk += abs(cf) * ((by * wb + bx) * 64
+                                          + u * 8 + v + 1)
+        a = agg.setdefault(fmt, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += hb * wb
+        a[2] += dc
+        a[3] += satd
+        a[4] += chk * (i + 13)
+    for fmt, (ni, nb, dc, satd, chk) in agg.items():
+        row = out[fmt]
+        assert (row["n_images"], row["n_blocks"], row["dc_sum"],
+                row["satd"], row["checksum"]) == (ni, nb, dc, satd, chk)
+
+
+def test_whitebalance_matches_sequential(spark):
+    from spark_shp.queries_vision import VISION_N, q_image_whitebalance
+    out = {r["fmt"]: r for r in q_image_whitebalance(spark, SF).collect()}
+    agg = {}
+    for i in range(VISION_N):
+        dec, w, h, fmt = _decoded(i)
+        cs = [max(int(dec[:, :, c].sum()), 1) for c in range(3)]
+        tot = sum(cs)
+        gain = [(tot * 1024) // (3 * c) for c in cs]
+        clip = chk = 0
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    s = (int(dec[y, x, c]) * gain[c]) // 1024
+                    if s > 255:
+                        clip += 1
+                        s = 255
+                    chk += s * ((y * w + x) * 3 + c + 1)
+        a = agg.setdefault(fmt, [0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        for c in range(3):
+            a[1 + c] += gain[c]
+        a[4] += clip
+        a[5] += chk * (i + 13)
+    for fmt, (ni, rg, gg, bg, clip, chk) in agg.items():
+        row = out[fmt]
+        assert (row["n_images"], row["r_gain"], row["g_gain"],
+                row["b_gain"], row["n_clipped"],
+                row["checksum"]) == (ni, rg, gg, bg, clip, chk)
