@@ -1508,3 +1508,70 @@ def whitebalance_checksums(images: DataFrame) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+def demosaic_checksums(images: DataFrame) -> DataFrame:
+    """Bayer RGGB mosaic + bilinear demosaic, all-integer (the ISP
+    sensor-reconstruction pass): the decoded RGB raster is sampled onto
+    an RGGB CFA (cfa(y,x) = R at even/even, B at odd/odd, G elsewhere),
+    then each interior pixel reconstructs all three channels at 4x scale
+    with the textbook bilinear kernel — rec4(c) = 4 * sum(mosaic over
+    3x3 sites of color c) // count(sites of color c), where the count
+    (1, 2 or 4) always divides the scaled sum, so reconstruction is
+    exact int64.  Gated: the reconstruction checksum AND the total
+    |rec4 - 4*truth| demosaic error vs the decoded ground truth.
+    Vectorized: 9 shifted adds per channel over the whole decode stack."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("sad", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                px = _decode_stack(pdf, idx, w, h, fmt).astype(np.int64)
+                yy = np.arange(h, dtype=np.int64)[:, None]
+                xx = np.arange(w, dtype=np.int64)[None, :]
+                cfa = np.where((yy % 2 == 0) & (xx % 2 == 0), 0,
+                               np.where((yy % 2 == 1) & (xx % 2 == 1),
+                                        2, 1))            # (h, w)
+                mos = np.take_along_axis(
+                    px, cfa[None, :, :, None], axis=3)[..., 0]  # (n,h,w)
+                n = len(idx)
+                hi, wi = h - 2, w - 2                      # interior dims
+                rec = np.zeros((n, hi, wi, 3), dtype=np.int64)
+                for c in range(3):
+                    ssum = np.zeros((n, hi, wi), dtype=np.int64)
+                    cnt = np.zeros((hi, wi), dtype=np.int64)
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            hit = (cfa[1 + dy:h - 1 + dy,
+                                       1 + dx:w - 1 + dx] == c)
+                            ssum += np.where(
+                                hit[None],
+                                mos[:, 1 + dy:h - 1 + dy,
+                                    1 + dx:w - 1 + dx], 0)
+                            cnt += hit
+                    rec[..., c] = (4 * ssum) // cnt
+                truth = px[:, 1:h - 1, 1:w - 1, :]
+                sad = np.abs(rec - 4 * truth).sum(axis=(1, 2, 3))
+                iy = np.arange(1, h - 1, dtype=np.int64)[:, None, None]
+                ix = np.arange(1, w - 1, dtype=np.int64)[None, :, None]
+                cc = np.arange(3, dtype=np.int64)[None, None, :]
+                wgt = (iy * w + ix) * 3 + cc + 1
+                chk = (rec * wgt).sum(axis=(1, 2, 3))
+                for k, i in enumerate(idx):
+                    rows[i] = (ids[i], hi * wi * 3, int(sad[k]),
+                               int(chk[k]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

@@ -1486,3 +1486,79 @@ QUERIES.update({
     "image_wht_satd": (q_image_wht, _oracle_wht()),
     "image_white_balance": (q_image_whitebalance, _oracle_whitebalance()),
 })
+
+
+# --- image_bayer_demosaic: RGGB mosaic + bilinear reconstruction -----------
+#
+# The ISP sensor pipeline: sample the decoded raster onto an RGGB CFA,
+# reconstruct with the bilinear kernel at 4x integer scale (the site
+# count 1/2/4 always divides the scaled neighbor sum, so reconstruction
+# is exact), and gate BOTH the reconstructed raster (position-weighted
+# checksum) and its |rec - truth| demosaic error.  The oracle replays
+# mosaic sampling and the 3x3 site-weighted average relationally: per
+# (pixel, channel) a 9-term lateral over (dy, dx) with
+# 4 * SUM(hit * mosaic) // SUM(hit).
+
+
+def q_image_demosaic(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, VISION_N, partitions=4)
+    d = _with_i(multimodal.demosaic_checksums(img))
+    return (d.groupBy("fmt2")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("n_px").alias("n_px"),
+                 F.sum("sad").alias("sad"),
+                 F.expr("SUM(checksum * (i + 13))").alias("checksum"))
+            .selectExpr("fmt2 AS fmt", "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(n_px AS BIGINT) AS n_px",
+                        "CAST(sad AS BIGINT) AS sad",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_demosaic() -> str:
+    # mosaic value at (y, x): the pixel formula evaluated at the CFA
+    # channel of that site; truth at (y, x, c): the formula at channel c.
+    cfa = "(CASE WHEN yv % 2 = 0 AND xv % 2 = 0 THEN 0 " \
+          "WHEN yv % 2 = 1 AND xv % 2 = 1 THEN 2 ELSE 1 END)"
+    mos_v = _pix_sql("i * 1000003 + yv * 4096 + xv * 4 + " + cfa)
+    truth_v = _pix_sql("i * 1000003 + ay.y * 4096 + ax.x * 4 + cc.c")
+    return f"""
+WITH imgs AS MATERIALIZED ({_imgs_cte(VISION_N)}),
+mos AS MATERIALIZED (
+  SELECT i, fmt, ay.yv AS y, ax.xv AS x,
+         {cfa.replace('yv', 'ay.yv').replace('xv', 'ax.xv')} AS mc,
+         {mos_v.replace('yv', 'ay.yv').replace('xv', 'ax.xv')} AS mv
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 1)) AS yv) ay,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS xv) ax),
+rec AS (
+  SELECT g.i, g.fmt, g.w, ay.y, ax.x, cc.c,
+         (4 * SUM(CASE WHEN m.mc = cc.c THEN m.mv ELSE 0 END))
+           // SUM(CASE WHEN m.mc = cc.c THEN 1 ELSE 0 END) AS rec4
+  FROM imgs g,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(1, g.h - 2)) AS y) ay,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(1, g.w - 2)) AS x) ax,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c) cc,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS dy) dy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS dx) dx
+  JOIN mos m ON m.i = g.i AND m.y = ay.y + dy.dy AND m.x = ax.x + dx.dx
+  GROUP BY 1, 2, 3, 4, 5, 6),
+per AS (
+  SELECT r.i, r.fmt, COUNT(*) AS n_px,
+         SUM(ABS(r.rec4 - 4 * ({truth_v}))) AS sad,
+         SUM(r.rec4 * ((r.y * r.w + r.x) * 3 + r.c + 1)) AS checksum
+  FROM rec r,
+  LATERAL (SELECT r.y AS y) ay, LATERAL (SELECT r.x AS x) ax,
+  LATERAL (SELECT r.c AS c) cc
+  GROUP BY 1, 2)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(n_px) AS BIGINT) AS n_px,
+       CAST(SUM(sad) AS BIGINT) AS sad,
+       CAST(SUM(checksum * (i + 13)) AS BIGINT) AS checksum
+FROM per GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "image_bayer_demosaic": (q_image_demosaic, _oracle_demosaic()),
+})

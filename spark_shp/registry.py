@@ -316,6 +316,7 @@ _TAIL = [
     "image_pyramid_stats",  # mipmap block-sum pyramid (B11/image)
     "image_wht_satd",     # 8x8 Walsh-Hadamard SATD blocks (B11/codec)
     "image_white_balance",  # gray-world integer-gain ISP pass (B11/image)
+    "image_bayer_demosaic",  # RGGB CFA + bilinear reconstruction (B11/ISP)
 ]
 
 _MERGED: dict = {}

@@ -710,3 +710,43 @@ def test_whitebalance_matches_sequential(spark):
         assert (row["n_images"], row["r_gain"], row["g_gain"],
                 row["b_gain"], row["n_clipped"],
                 row["checksum"]) == (ni, rg, gg, bg, clip, chk)
+
+
+def test_demosaic_matches_sequential(spark):
+    from spark_shp.queries_vision import VISION_N, q_image_demosaic
+    out = {r["fmt"]: r for r in q_image_demosaic(spark, SF).collect()}
+    agg = {}
+    for i in range(VISION_N):
+        dec, w, h, fmt = _decoded(i)
+
+        def cfa(y, x):
+            if y % 2 == 0 and x % 2 == 0:
+                return 0
+            if y % 2 == 1 and x % 2 == 1:
+                return 2
+            return 1
+
+        mos = [[int(dec[y, x, cfa(y, x)]) for x in range(w)]
+               for y in range(h)]
+        sad = chk = 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                for c in range(3):
+                    s = cnt = 0
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            if cfa(y + dy, x + dx) == c:
+                                s += mos[y + dy][x + dx]
+                                cnt += 1
+                    rec4 = (4 * s) // cnt
+                    sad += abs(rec4 - 4 * int(dec[y, x, c]))
+                    chk += rec4 * ((y * w + x) * 3 + c + 1)
+        a = agg.setdefault(fmt, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += (h - 2) * (w - 2) * 3
+        a[2] += sad
+        a[3] += chk * (i + 13)
+    for fmt, (ni, npx, sad, chk) in agg.items():
+        row = out[fmt]
+        assert (row["n_images"], row["n_px"], row["sad"],
+                row["checksum"]) == (ni, npx, sad, chk)
