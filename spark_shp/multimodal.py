@@ -1575,3 +1575,47 @@ def demosaic_checksums(images: DataFrame) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+BRIEF_K = 24
+
+
+def brief_checksums(images: DataFrame, k: int = BRIEF_K) -> DataFrame:
+    """BRIEF-style binary descriptor over the real decode: k fixed
+    intensity-comparison pairs (the sampling pattern is a deterministic
+    function of the pair index and the image dims — the same pattern for
+    every image of a shape, as BRIEF prescribes), luma = 2R + 5G + B
+    (integer), bit j set iff luma(p1_j) > luma(p2_j).  Emits the packed
+    descriptor and its popcount per image.  Vectorized: per (w,h,fmt)
+    stack ONE fancy-index gather of shape (n, k) per endpoint."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("desc", T.LongType()),
+        T.StructField("pop", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            j = np.arange(k, dtype=np.int64)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                px = _decode_stack(pdf, idx, w, h, fmt).astype(np.int64)
+                luma = 2 * px[..., 0] + 5 * px[..., 1] + px[..., 2]
+                x1, y1 = (j * 7919) % w, (j * 104729) % h
+                x2, y2 = (j * 1299709 + 17) % w, (j * 15485863 + 29) % h
+                g1 = luma[:, y1, x1]                       # (n, k)
+                g2 = luma[:, y2, x2]
+                bits = (g1 > g2).astype(np.int64)
+                desc = bits @ (np.int64(1) << j)
+                pop = bits.sum(axis=1)
+                for t, i in enumerate(idx):
+                    rows[i] = (ids[i], int(desc[t]), int(pop[t]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

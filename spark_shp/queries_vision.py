@@ -1562,3 +1562,73 @@ FROM per GROUP BY 1
 QUERIES.update({
     "image_bayer_demosaic": (q_image_demosaic, _oracle_demosaic()),
 })
+
+
+# --- image_brief_descriptor: binary intensity-comparison descriptors -------
+#
+# The BRIEF keypoint-descriptor family (the binary-feature stage of a
+# matching/registration pipeline, and the third member of the perceptual
+# cascade next to aHash/dHash/pHash): K fixed luma-comparison pairs per
+# image — the sampling pattern is a deterministic function of the pair
+# index and the image dims, shared by every image of a shape, exactly as
+# BRIEF prescribes — packed into a K-bit descriptor.  Gated: per-format
+# popcount totals plus position-weighted descriptor/popcount checksums
+# (a flipped bit order, swapped endpoint, or wrong luma weighting all
+# shift the checksum).  The oracle replays all 6·K pixel-formula
+# evaluations per image relationally.
+
+
+def q_image_brief(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, VISION_N, partitions=4)
+    d = _with_i(multimodal.brief_checksums(img))
+    return (d.groupBy("fmt2")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("pop").alias("pop_total"),
+                 F.expr("SUM(pop * (i + 7))").alias("pop_checksum"),
+                 F.expr("SUM(desc * (i + 11))").alias("desc_checksum"))
+            .selectExpr("fmt2 AS fmt", "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(pop_total AS BIGINT) AS pop_total",
+                        "CAST(pop_checksum AS BIGINT) AS pop_checksum",
+                        "CAST(desc_checksum AS BIGINT) AS desc_checksum"))
+
+
+def _oracle_brief() -> str:
+    from .multimodal import BRIEF_K
+
+    def luma(y: str, x: str) -> str:
+        terms = []
+        for c, wgt in ((0, 2), (1, 5), (2, 1)):
+            p = _pix_sql(f"i * 1000003 + ({y}) * 4096 + ({x}) * 4 + {c}")
+            terms.append(f"{wgt} * ({p})")
+        return " + ".join(terms)
+
+    return f"""
+WITH imgs AS MATERIALIZED ({_imgs_cte(VISION_N)}),
+pairs AS MATERIALIZED (
+  SELECT i, fmt, jj.j,
+         (jj.j * 7919) % w AS x1, (jj.j * 104729) % h AS y1,
+         (jj.j * 1299709 + 17) % w AS x2,
+         (jj.j * 15485863 + 29) % h AS y2
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, {BRIEF_K - 1})) AS j) jj),
+bits AS (
+  SELECT i, fmt, j,
+         CASE WHEN ({luma('y1', 'x1')}) > ({luma('y2', 'x2')})
+              THEN 1 ELSE 0 END AS b
+  FROM pairs),
+per AS (
+  SELECT i, fmt, SUM(b) AS pop,
+         SUM(b * (CAST(1 AS BIGINT) << j)) AS d
+  FROM bits GROUP BY 1, 2)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(pop) AS BIGINT) AS pop_total,
+       CAST(SUM(pop * (i + 7)) AS BIGINT) AS pop_checksum,
+       CAST(SUM(d * (i + 11)) AS BIGINT) AS desc_checksum
+FROM per GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "image_brief_descriptor": (q_image_brief, _oracle_brief()),
+})

@@ -15,10 +15,10 @@ tools/diffcheck.py and pytest still verify them exactly, locally.
 
 from __future__ import annotations
 
-from . import (queries_analytics, queries_curation, queries_insights,
-               queries_mining, queries_ml, queries_patterns, queries_rel,
-               queries_retrieval, queries_shp, queries_spatial, queries_text,
-               queries_vision)
+from . import (queries_analytics, queries_curation, queries_eval,
+               queries_insights, queries_mining, queries_ml,
+               queries_patterns, queries_rel, queries_retrieval, queries_shp,
+               queries_spatial, queries_text, queries_vision)
 
 # Same-operator variants parked beyond the driver's 50-query window.
 # Each name's operator family keeps >=1 in-window row:
@@ -317,13 +317,17 @@ _TAIL = [
     "image_wht_satd",     # 8x8 Walsh-Hadamard SATD blocks (B11/codec)
     "image_white_balance",  # gray-world integer-gain ISP pass (B11/image)
     "image_bayer_demosaic",  # RGGB CFA + bilinear reconstruction (B11/ISP)
+    "pit_join_scd2",      # point-in-time SCD-2 dimension join (C5 family)
+    "average_precision",  # exact AP / PR-curve eval (ML eval family)
+    "audio_clipping_detect",  # saturation audit, real WAV (AV family)
+    "image_brief_descriptor",  # BRIEF binary descriptors (B11/CV)
 ]
 
 _MERGED: dict = {}
 for mod in (queries_shp, queries_spatial, queries_text, queries_rel,
             queries_curation, queries_analytics, queries_mining,
             queries_insights, queries_retrieval, queries_vision,
-            queries_ml, queries_patterns):
+            queries_ml, queries_patterns, queries_eval):
     overlap = set(_MERGED) & set(mod.QUERIES)
     if overlap:
         raise RuntimeError(f"duplicate query names: {overlap}")

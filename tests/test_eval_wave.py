@@ -1,0 +1,95 @@
+"""Cross-checks for queries_eval: each gated operator re-derived by an
+independent sequential algorithm (per-customer interval scan for the
+point-in-time join, textbook AP over the sorted ranking, a pure-python
+sample replay for the clipping audit)."""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pit_join_matches_interval_scan(spark):
+    from spark_shp.queries_eval import q_pit_join_scd2
+    got = {r["event_id"]: (r["priority"], r["valid_from"], r["n_orders"])
+           for r in q_pit_join_scd2(spark, SF).collect()}
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    # sequential SCD-2 build per customer
+    intervals = {}
+    for ck, g in o.sort_values(["o_orderdate", "o_orderkey"]) \
+                  .groupby("o_custkey"):
+        ivs = []
+        for _, r in g.iterrows():
+            if ivs and ivs[-1][0] == r["o_orderpriority"]:
+                ivs[-1][2] += 1
+            else:
+                ivs.append([r["o_orderpriority"], r["o_orderdate"], 1])
+        intervals[ck] = ivs
+    expected = {}
+    for _, r in e.iterrows():
+        ivs = intervals.get(r["user_id"], [])
+        pick = None
+        for idx, (prio, vf, n) in enumerate(ivs):
+            vt = ivs[idx + 1][1] if idx + 1 < len(ivs) else None
+            if r["ts"] >= vf and (vt is None or r["ts"] < vt):
+                pick = (prio, vf, n)
+        if pick is not None:
+            expected[r["event_id"]] = pick
+    assert got == expected
+    assert len(expected) > 0
+
+
+def test_average_precision_matches_textbook(spark):
+    from spark_shp.queries_eval import AP_Q, q_average_precision
+    out = {r["seg"]: r for r in q_average_precision(spark, SF).collect()}
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["s"] = np.floor(o["o_totalprice"] * 100.0).astype(np.int64)
+    o["y"] = (o["o_orderstatus"] == "F").astype(int)
+    for seg, g in o.groupby("o_orderpriority"):
+        g = g.sort_values(["s", "o_orderkey"],
+                          ascending=[False, True])
+        cp = k = p = sum_q = 0
+        for y in g["y"]:
+            k += 1
+            cp += y
+            if y:
+                p += 1
+                sum_q += (AP_Q * cp) // k
+        row = out[seg]
+        assert (row["n"], row["p"], row["ap_sum_q"]) == (len(g), p, sum_q)
+        assert row["ap"] == round(sum_q / (p * AP_Q), 6)
+        # AP of a non-trivial ranking is strictly inside (0, 1)
+        assert 0.0 < row["ap"] < 1.0
+
+
+def test_clipping_matches_python_replay(spark):
+    from spark_shp.queries_eval import N_CLIP_WAV, q_audio_clipping
+    out = {r["media_id"]: r for r in q_audio_clipping(spark, SF).collect()}
+    assert len(out) == N_CLIP_WAV
+    any_run = False
+    for i in range(N_CLIP_WAV):
+        n = 1024 + (i * 256) % 1281
+        hi = lo = sabs = chk = run = max_run = 0
+        for k in range(n):
+            u = (i * 48271 + (k // 8) * 16807) % 65536
+            v = max(-32768, min(32767, ((u % 9000) - 4500) * 8 + (k % 8)))
+            sabs += abs(v)
+            clipped = v in (32767, -32768)
+            if v == 32767:
+                hi += 1
+            if v == -32768:
+                lo += 1
+            if clipped:
+                chk += k + 1
+                run += 1
+                max_run = max(max_run, run)
+            else:
+                run = 0
+        row = out[f"wav{i:03d}"]
+        assert (row["n_samples"], row["n_clip_hi"], row["n_clip_lo"],
+                row["max_clip_run"], row["sum_abs"],
+                row["clip_checksum"]) == (n, hi, lo, max_run, sabs, chk)
+        any_run |= max_run >= 2
+    assert any_run  # planted structure: real multi-sample clip runs exist

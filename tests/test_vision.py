@@ -750,3 +750,33 @@ def test_demosaic_matches_sequential(spark):
         row = out[fmt]
         assert (row["n_images"], row["n_px"], row["sad"],
                 row["checksum"]) == (ni, npx, sad, chk)
+
+
+def test_brief_matches_sequential(spark):
+    from spark_shp.multimodal import BRIEF_K
+    from spark_shp.queries_vision import VISION_N, q_image_brief
+    out = {r["fmt"]: r for r in q_image_brief(spark, SF).collect()}
+    agg = {}
+    for i in range(VISION_N):
+        dec, w, h, fmt = _decoded(i)
+        desc = pop = 0
+        for j in range(BRIEF_K):
+            x1, y1 = (j * 7919) % w, (j * 104729) % h
+            x2, y2 = (j * 1299709 + 17) % w, (j * 15485863 + 29) % h
+
+            def luma(y, x):
+                return (2 * int(dec[y, x, 0]) + 5 * int(dec[y, x, 1])
+                        + int(dec[y, x, 2]))
+
+            if luma(y1, x1) > luma(y2, x2):
+                desc += 1 << j
+                pop += 1
+        a = agg.setdefault(fmt, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += pop
+        a[2] += pop * (i + 7)
+        a[3] += desc * (i + 11)
+    for fmt, (ni, pt, pc, dc) in agg.items():
+        row = out[fmt]
+        assert (row["n_images"], row["pop_total"], row["pop_checksum"],
+                row["desc_checksum"]) == (ni, pt, pc, dc)
