@@ -305,3 +305,120 @@ QUERIES: dict = {
     "average_precision": (q_average_precision, ORACLE_AP),
     "audio_clipping_detect": (q_audio_clipping, _oracle_clipping()),
 }
+
+
+# --- rouge_lcs_pairs: ROUGE-L candidate/reference eval via staged LCS DP ------
+#
+# The summarization/translation eval metric (Lin 2004): longest common
+# SUBSEQUENCE between token sequences, then ROUGE-L F1 = 2*LCS/(m+n).
+# Docs pair up (2j = candidate, 2j+1 = reference); each side contributes
+# a variable-length token prefix (m = 5 + doc_id % 4 — variable lengths
+# exercise the padding semantics a fixed 8x8 grid would hide).  The DP
+# d[r][c] = a_r==b_c ? d[r-1][c-1]+1 : max(d[r-1][c], d[r][c-1]) unrolls
+# into anti-diagonal staged projections (the trajectory_alignment DTW
+# machinery applied to strings): pure codegen CASE/GREATEST over 64
+# cells, no Python in the hot path, ONE pair-keyed equi-join.  Padding
+# tokens are position-and-side-unique literals, so they never match.
+# The F1 is the one-literal float division from exact ints.
+
+LCS_L = 8
+
+
+def _lcs_pivot(side: str, one_based_brackets: bool = True) -> list:
+    """(alias, expr) for the per-doc token-prefix pivot: tok k if k < m
+    else a side+position-unique pad literal.  Token access is 1-based in
+    both dialects but spelled differently: DuckDB list brackets are
+    1-based, Spark brackets are 0-based so the Spark side uses the
+    1-based element_at()."""
+    acc = (lambda k: f"tk[{k + 1}]") if one_based_brackets \
+        else (lambda k: f"element_at(tk, {k + 1})")
+    return [(f"{side}_{k}",
+             f"CASE WHEN {k} < mlen THEN {acc(k)} "
+             f"ELSE '#{side.upper()}{k}' END")
+            for k in range(LCS_L)]
+
+
+def _lcs_dp_stages() -> list:
+    """Anti-diagonal LCS DP stages; stage k references stages < k only."""
+    L = LCS_L
+    match = [(f"e_{r}_{c}",
+              f"(CASE WHEN a_{r} = b_{c} THEN 1 ELSE 0 END)")
+             for r in range(L) for c in range(L)]
+    stages = [match]
+    for diag in range(2 * L - 1):
+        st = []
+        for r in range(L):
+            c = diag - r
+            if not 0 <= c < L:
+                continue
+            e = f"e_{r}_{c}"
+            if r == 0 and c == 0:
+                st.append((f"l_{r}_{c}", f"({e})"))
+            elif r == 0:
+                st.append((f"l_{r}_{c}",
+                           f"(GREATEST(l_{r}_{c - 1}, {e}))"))
+            elif c == 0:
+                st.append((f"l_{r}_{c}",
+                           f"(GREATEST(l_{r - 1}_{c}, {e}))"))
+            else:
+                st.append((
+                    f"l_{r}_{c}",
+                    f"(CASE WHEN {e} = 1 THEN l_{r - 1}_{c - 1} + 1 "
+                    f"ELSE GREATEST(l_{r - 1}_{c}, l_{r}_{c - 1}) "
+                    f"END)"))
+        stages.append(st)
+    return stages
+
+
+def q_rouge_lcs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "split(text, ' ') AS tk",
+        "5 + doc_id % 4 AS mlen")
+    apiv = [f"{e} AS {al}"
+            for al, e in _lcs_pivot("a", one_based_brackets=False)]
+    bpiv = [f"{e} AS {al}"
+            for al, e in _lcs_pivot("b", one_based_brackets=False)]
+    a = d.where("doc_id % 2 = 0").selectExpr(
+        "doc_id DIV 2 AS pair_id", "mlen AS m", *apiv)
+    b = d.where("doc_id % 2 = 1").selectExpr(
+        "doc_id DIV 2 AS pair_id", "mlen AS n", *bpiv)
+    pairs = a.join(b, "pair_id")
+    for st in _lcs_dp_stages():
+        pairs = pairs.selectExpr("*", *[f"{e} AS {al}" for al, e in st])
+    last = LCS_L - 1
+    return pairs.selectExpr(
+        "pair_id", "CAST(m AS BIGINT) AS m", "CAST(n AS BIGINT) AS n",
+        f"CAST(l_{last}_{last} AS BIGINT) AS lcs",
+        f"ROUND(CAST(2 * l_{last}_{last} AS DOUBLE) "
+        f"/ CAST(m + n AS DOUBLE), 6) AS rouge_f1")
+
+
+def _oracle_rouge() -> str:
+    apiv = ", ".join(f"{e} AS {al}" for al, e in _lcs_pivot("a"))
+    bpiv = ", ".join(f"{e} AS {al}" for al, e in _lcs_pivot("b"))
+    ctes = [f"""
+base AS (
+  SELECT doc_id, string_split(text, ' ') AS tk, 5 + doc_id % 4 AS mlen
+  FROM documents),
+pa AS (SELECT doc_id // 2 AS pair_id, mlen AS m, {apiv}
+       FROM base WHERE doc_id % 2 = 0),
+pb AS (SELECT doc_id // 2 AS pair_id, mlen AS n, {bpiv}
+       FROM base WHERE doc_id % 2 = 1),
+t0 AS (SELECT * FROM pa JOIN pb USING (pair_id))"""]
+    prev = "t0"
+    for k, st in enumerate(_lcs_dp_stages(), start=1):
+        cols = ", ".join(f"{e} AS {al}" for al, e in st)
+        ctes.append(f"t{k} AS (SELECT *, {cols} FROM {prev})")
+        prev = f"t{k}"
+    last = LCS_L - 1
+    return ("WITH " + ",".join(ctes) + f"""
+SELECT pair_id, CAST(m AS BIGINT) AS m, CAST(n AS BIGINT) AS n,
+       CAST(l_{last}_{last} AS BIGINT) AS lcs,
+       ROUND(CAST(2 * l_{last}_{last} AS DOUBLE)
+             / CAST(m + n AS DOUBLE), 6) AS rouge_f1
+FROM {prev}""")
+
+
+QUERIES.update({
+    "rouge_lcs_pairs": (q_rouge_lcs, _oracle_rouge()),
+})

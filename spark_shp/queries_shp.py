@@ -1635,6 +1635,104 @@ FROM s6
 ORACLE_SHP_CASSINI = _oracle_cassini_sql()
 
 
+N_BONNE = 40
+_BONNE_WKT = (
+    'PROJCS["Bonne_Test_Grid",GEOGCS["GCS_International_1924",'
+    'DATUM["D_International_1924",'
+    'SPHEROID["International_1924",6378388.0,297.0]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Bonne"],'
+    'PARAMETER["False_Easting",600000.0],'
+    'PARAMETER["False_Northing",200000.0],'
+    'PARAMETER["Central_Meridian",2.5],'
+    'PARAMETER["Standard_Parallel_1",45.0],UNIT["Meter",1.0]]')
+_BONNE_PARAMS = (6378388.0, 297.0, 2.5, 45.0, 600000.0, 200000.0)
+
+
+def q_shp_bonne_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 Bonne pseudoconic (EPSG method 9827 — the classic atlas /
+    historic national projection family: France's Depôt de la Guerre,
+    Portugal, pre-LV03 Switzerland): Point shapefile in Bonne meters ->
+    engine inverse (parser.make_inv_bonne, Snyder eq. 19-12..19-14 with
+    the TM rectifying-latitude series).  The oracle unrolls the identical
+    float64 op sequence in DuckDB from the same bonne_constants();
+    9-decimal rounding policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_BONNE, dtype=np.int64)
+    xm = 100000.0 + u01(i * 89 + 3) * 1000000.0   # +-500 km about the CM
+    ym = -300000.0 + u01(i * 89 + 4) * 1000000.0  # +-500 km about phi1
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_BONNE_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_bonne_sql() -> str:
+    """Bonne inverse as DuckDB SQL, op-for-op the numpy kernel (same
+    bonne_constants float64 values)."""
+    from .shp.parser import bonne_constants
+    a, inv_f, lon0, lat1, fe, fn = _BONNE_PARAMS
+    cc = bonne_constants(a, inv_f, lon0, lat1, fe, fn)
+    c = {k: f"CAST({v!r} AS DOUBLE)" for k, v in cc.items()}
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         100000.0 + {u01_sql('i * 89 + 3')} * 1000000.0 AS x,
+         -300000.0 + {u01_sql('i * 89 + 4')} * 1000000.0 AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_BONNE - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no, x - {c['fe']} AS xx, {c['am1s']} - (y - {c['fn']}) AS ay
+  FROM src),
+s2 AS (
+  SELECT rec_no, xx, ay,
+         {c['sgn']} * SQRT(xx * xx + ay * ay) AS rho
+  FROM s1),
+s3 AS (
+  SELECT rec_no, xx, ay, rho,
+         ({c['am1s']} + {c['m0']} - rho) / ({c['a']} * {c['m_coef']}) AS mu
+  FROM s2),
+s4 AS (
+  SELECT rec_no, xx, ay, rho,
+         mu + {c['mu2']} * SIN(2.0 * mu) + {c['mu4']} * SIN(4.0 * mu)
+            + {c['mu6']} * SIN(6.0 * mu) + {c['mu8']} * SIN(8.0 * mu)
+           AS phi
+  FROM s3),
+s5 AS (
+  SELECT rec_no, xx, ay, rho, phi,
+         COS(phi) / SQRT(1.0 - {c['e2']} * SIN(phi) * SIN(phi)) AS m
+  FROM s4)
+SELECT rec_no,
+       ROUND(DEGREES({c['lam0']}
+             + rho * ATAN2({c['sgn']} * xx, {c['sgn']} * ay)
+               / ({c['a']} * m)), 9) AS lon,
+       ROUND(DEGREES(phi), 9) AS lat
+FROM s5
+"""
+
+
+ORACLE_SHP_BONNE = _oracle_bonne_sql()
+
+
 N_AEQD = 40
 _AEQD_WKT = (
     'PROJCS["AEQD_Test_Sphere",GEOGCS["GCS_Sphere",'
@@ -2082,7 +2180,7 @@ ORACLE_SHP_ORTHO = _oracle_ortho_sql()
 
 
 def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 — ALL sixteen supported .prj projection families under ONE gated
+    """A12 — ALL nineteen supported .prj projection families under ONE gated
     row (the shp_zm_semantics consolidation pattern applied to CRS): each
     family decodes its own Point shapefile + WKT through the engine's
     inverse kernel, tagged with a family id, unioned. Driver-gates the
@@ -2101,7 +2199,8 @@ def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_shp_hom_reproject, q_shp_krovak_reproject,
             q_shp_cassini_reproject, q_shp_aeqd_reproject,
             q_shp_cea_reproject, q_shp_polyconic_reproject,
-            q_shp_gnomonic_reproject, q_shp_ortho_reproject]
+            q_shp_gnomonic_reproject, q_shp_ortho_reproject,
+            q_shp_bonne_reproject]
     out = None
     for fam_id, fn in enumerate(fams):
         d = fn(spark, sf_dir).select(
@@ -2118,7 +2217,8 @@ ORACLE_REPROJECT_FAMILIES = "\nUNION ALL\n".join(
         ORACLE_SHP_MERC3395, ORACLE_SHP_SINUSOIDAL, ORACLE_SHP_MOLLWEIDE,
         ORACLE_SHP_OBLIQUE_STEREO, ORACLE_SHP_HOM, ORACLE_SHP_KROVAK,
         ORACLE_SHP_CASSINI, ORACLE_SHP_AEQD, ORACLE_SHP_CEA,
-        ORACLE_SHP_POLYCONIC, ORACLE_SHP_GNOM, ORACLE_SHP_ORTHO]))
+        ORACLE_SHP_POLYCONIC, ORACLE_SHP_GNOM, ORACLE_SHP_ORTHO,
+        ORACLE_SHP_BONNE]))
 
 
 def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2575,6 +2675,7 @@ QUERIES: dict = {
     "shp_krovak_reproject": (q_shp_krovak_reproject, ORACLE_SHP_KROVAK),
     "shp_cassini_reproject": (q_shp_cassini_reproject,
                               ORACLE_SHP_CASSINI),
+    "shp_bonne_reproject": (q_shp_bonne_reproject, ORACLE_SHP_BONNE),
     "shp_aeqd_reproject": (q_shp_aeqd_reproject, ORACLE_SHP_AEQD),
     "shp_gnomonic_reproject": (q_shp_gnomonic_reproject, ORACLE_SHP_GNOM),
     "shp_ortho_reproject": (q_shp_ortho_reproject, ORACLE_SHP_ORTHO),

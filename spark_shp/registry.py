@@ -53,6 +53,7 @@ _TAIL = [
     "shp_ortho_reproject",    # A12 (same family — Orthographic)
     "shp_cea_reproject",      # A12 (same family — Cyl. Equal Area/EASE)
     "shp_polyconic_reproject",  # A12 (same family — American Polyconic)
+    "shp_bonne_reproject",    # A12 (same family — Bonne pseudoconic)
     "images_phash_near_dup",  # dedup family via minhash_lsh_pairs/simhash
     "shp_zip_bundle",         # A16-A18/A20 zip demux e2e (pytest in-window
                               # coverage via shp fixtures; exact diffcheck)
@@ -321,6 +322,7 @@ _TAIL = [
     "average_precision",  # exact AP / PR-curve eval (ML eval family)
     "audio_clipping_detect",  # saturation audit, real WAV (AV family)
     "image_brief_descriptor",  # BRIEF binary descriptors (B11/CV)
+    "rouge_lcs_pairs",    # ROUGE-L staged-LCS eval (ML eval/text family)
 ]
 
 _MERGED: dict = {}

@@ -1290,6 +1290,57 @@ def make_inv_cassini(a: float, inv_f: float, lon0_deg: float,
     return inv
 
 
+def bonne_constants(a: float, inv_f: float, lon0_deg: float,
+                    lat1_deg: float, fe: float = 0.0,
+                    fn: float = 0.0) -> dict:
+    """Point-independent constants for the Bonne pseudoconic (EPSG method
+    9827 — the classic atlas / historic national projection: France's
+    Depôt de la Guerre, Portugal, pre-LV03 Switzerland): the TM
+    rectifying-latitude machinery (tmerc_constants with k0 = 1, lat0 =
+    the standard parallel) plus a·m1/sin(φ1), the cone radius at the
+    standard parallel. Shared between the numpy kernel and the DuckDB
+    oracle generator (same float64 literals)."""
+    c = tmerc_constants(a, inv_f, lon0_deg, lat1_deg, 1.0, fe, fn)
+    phi1 = math.radians(lat1_deg)
+    s1 = math.sin(phi1)
+    if s1 == 0.0:
+        raise ValueError("Bonne: standard parallel 0 is the (different) "
+                         "Sinusoidal projection; use its own WKT name")
+    m1 = math.cos(phi1) / math.sqrt(1.0 - c["e2"] * s1 * s1)
+    c["am1s"] = a * m1 / s1          # Snyder 19-12's a·m1/sin φ1 term
+    c["sgn"] = 1.0 if s1 > 0.0 else -1.0
+    return c
+
+
+def make_inv_bonne(a: float, inv_f: float, lon0_deg: float, lat1_deg: float,
+                   fe: float = 0.0, fn: float = 0.0):
+    """Bonne inverse (Snyder 1987 eq. 19-12..19-14, ellipsoidal form;
+    sphere degenerates via inv_f = 0): ρ from the offset radius about the
+    cone apex, meridian distance M = a·m1/sinφ1 + M1 − ρ, footpoint
+    latitude via the eq. 3-26 rectifying series, then λ from the arc
+    angle scaled by 1/(a·m).  Both hemispheres (the ± of eq. 19-12
+    carried as a sign constant).  Returns a vectorized (n,2) meters →
+    (n,2) lon/lat degrees fn."""
+    c = bonne_constants(a, inv_f, lon0_deg, lat1_deg, fe, fn)
+    e2, m_coef, m0, lam0 = c["e2"], c["m_coef"], c["m0"], c["lam0"]
+    mu2, mu4, mu6, mu8 = c["mu2"], c["mu4"], c["mu6"], c["mu8"]
+    am1s, sgn = c["am1s"], c["sgn"]
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        x = pts[:, 0] - fe
+        y = pts[:, 1] - fn
+        rho = sgn * np.sqrt(x * x + (am1s - y) * (am1s - y))
+        mm = am1s + m0 - rho
+        mu = mm / (a * m_coef)
+        phi = (mu + mu2 * np.sin(2.0 * mu) + mu4 * np.sin(4.0 * mu)
+               + mu6 * np.sin(6.0 * mu) + mu8 * np.sin(8.0 * mu))
+        sinp = np.sin(phi)
+        m = np.cos(phi) / np.sqrt(1.0 - e2 * sinp * sinp)
+        lam = lam0 + rho * np.arctan2(sgn * x, sgn * (am1s - y)) / (a * m)
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
 
 def krovak_constants(a: float, inv_f: float, lonc_deg: float,
                      latc_deg: float, azimuth_deg: float,
@@ -1495,6 +1546,16 @@ def projection_from_wkt(wkt) -> "callable | None":
                 p.get("central_meridian", p.get("longitude_of_center", 0.0)),
                 p.get("latitude_of_origin", p.get("latitude_of_center",
                                                   0.0)),
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
+        if re.search(r'PROJECTION\["?Bonne', wkt, re.I):
+            p = _wkt_params(wkt)
+            a, inv_f = _wkt_spheroid(wkt)
+            return _with_unit(make_inv_bonne(
+                a, inv_f,
+                p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+                p.get("standard_parallel_1",
+                      p.get("latitude_of_origin", 45.0)),
                 p.get("false_easting", 0.0) * unit,
                 p.get("false_northing", 0.0) * unit), unit)
         if re.search(r'PROJECTION\["?Krovak', wkt, re.I):

@@ -93,3 +93,34 @@ def test_clipping_matches_python_replay(spark):
                 row["clip_checksum"]) == (n, hi, lo, max_run, sabs, chk)
         any_run |= max_run >= 2
     assert any_run  # planted structure: real multi-sample clip runs exist
+
+
+def test_rouge_lcs_matches_textbook_dp(spark):
+    from spark_shp.queries_eval import q_rouge_lcs
+    out = {r["pair_id"]: r for r in q_rouge_lcs(spark, SF).collect()}
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = {int(r["doc_id"]): r["text"].split(" ")
+            for _, r in d.iterrows()}
+
+    def lcs(a, b):
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                dp[i][j] = (dp[i - 1][j - 1] + 1 if a[i - 1] == b[j - 1]
+                            else max(dp[i - 1][j], dp[i][j - 1]))
+        return dp[len(a)][len(b)]
+
+    n_checked = 0
+    nontrivial = 0
+    for did, tk in toks.items():
+        if did % 2 != 0 or (did + 1) not in toks:
+            continue
+        m = 5 + did % 4
+        n = 5 + (did + 1) % 4
+        ref = lcs(tk[:m], toks[did + 1][:n])
+        row = out[did // 2]
+        assert (row["m"], row["n"], row["lcs"]) == (m, n, ref)
+        assert row["rouge_f1"] == round(2 * ref / (m + n), 6)
+        n_checked += 1
+        nontrivial += 0 < ref < min(m, n)
+    assert n_checked > 0 and nontrivial > 0  # planted-structure rule

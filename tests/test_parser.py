@@ -1513,3 +1513,85 @@ def test_orthographic_wkt_dispatch_and_ellipsoid_raises():
         'SPHEROID["WGS_1984",6378137.0,298.257223563]')
     with pytest.raises(ValueError, match="spherical"):
         projection_from_wkt(wkt_ell)
+
+
+def test_bonne_roundtrip_against_independent_forward():
+    """Snyder eq. 19-3..19-5 Bonne FORWARD (written independently of the
+    inverse: rho = a m1/sin(phi1) + M1 - M, E = rho sin T,
+    N = a m1/sin(phi1) - rho cos T with T = a m (lam - lam0)/rho)
+    roundtrips through the engine inverse to <5e-9 degrees (~0.5 mm:
+    the eq. 3-26 rectifying-series truncation vs the full forward arc —
+    the Albers 3-18 class) across a +-5 degree window about the
+    standard parallel."""
+    import math
+    import numpy as np
+    from spark_shp.shp.parser import bonne_constants, make_inv_bonne
+    from spark_shp.queries_shp import _BONNE_PARAMS
+
+    a, inv_f, lon0, lat1, fe, fn = _BONNE_PARAMS
+    c = bonne_constants(a, inv_f, lon0, lat1, fe, fn)
+    e2, m_coef, m1_arc = c["e2"], c["m_coef"], c["m0"]
+    am1s = c["am1s"]
+
+    def meridian_arc(phi):
+        return a * (m_coef * phi
+                    - (3 * e2 / 8 + 3 * e2 ** 2 / 32
+                       + 45 * e2 ** 3 / 1024) * math.sin(2 * phi)
+                    + (15 * e2 ** 2 / 256
+                       + 45 * e2 ** 3 / 1024) * math.sin(4 * phi)
+                    - (35 * e2 ** 3 / 3072) * math.sin(6 * phi))
+
+    def fwd(lon_deg, lat_deg):
+        phi = math.radians(lat_deg)
+        lam = math.radians(lon_deg - lon0)
+        m = math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        rho = am1s + m1_arc - meridian_arc(phi)
+        t = a * m * lam / rho
+        return rho * math.sin(t) + fe, am1s - rho * math.cos(t) + fn
+
+    rng = np.random.default_rng(23)
+    lons = rng.uniform(lon0 - 6.0, lon0 + 6.0, 200)
+    lats = rng.uniform(lat1 - 5.0, lat1 + 5.0, 200)
+    grid = np.array([fwd(lo, la) for lo, la in zip(lons, lats)])
+    inv = make_inv_bonne(a, inv_f, lon0, lat1, fe, fn)
+    back = inv(grid)
+    assert np.max(np.abs(back[:, 0] - lons)) < 5e-9
+    assert np.max(np.abs(back[:, 1] - lats)) < 5e-9
+
+
+def test_bonne_southern_aspect_roundtrip():
+    """Southern standard parallel (the +- of Snyder 19-12 as a sign
+    constant): sphere-degenerate case too (inv_f = 0)."""
+    import math
+    import numpy as np
+    from spark_shp.shp.parser import bonne_constants, make_inv_bonne
+
+    a, inv_f, lon0, lat1 = 6371000.0, 0.0, -60.0, -30.0
+    c = bonne_constants(a, inv_f, lon0, lat1, 0.0, 0.0)
+    am1s, m1_arc = c["am1s"], c["m0"]
+
+    def fwd(lon_deg, lat_deg):
+        phi = math.radians(lat_deg)
+        lam = math.radians(lon_deg - lon0)
+        m = math.cos(phi)
+        rho = am1s + m1_arc - a * phi
+        t = a * m * lam / rho
+        return rho * math.sin(t), am1s - rho * math.cos(t)
+
+    rng = np.random.default_rng(29)
+    lons = rng.uniform(lon0 - 8.0, lon0 + 8.0, 100)
+    lats = rng.uniform(lat1 - 6.0, lat1 + 6.0, 100)
+    grid = np.array([fwd(lo, la) for lo, la in zip(lons, lats)])
+    back = make_inv_bonne(a, inv_f, lon0, lat1)(grid)
+    assert np.max(np.abs(back[:, 0] - lons)) < 1e-9
+    assert np.max(np.abs(back[:, 1] - lats)) < 1e-9
+
+
+def test_bonne_wkt_dispatch():
+    from spark_shp.queries_shp import _BONNE_WKT
+    from spark_shp.shp.parser import projection_from_wkt
+    import numpy as np
+    inv = projection_from_wkt(_BONNE_WKT)
+    assert inv is not None
+    out = inv(np.array([[600000.0, 200000.0]]))  # FE/FN -> origin
+    assert abs(out[0, 0] - 2.5) < 5e-9 and abs(out[0, 1] - 45.0) < 5e-9
