@@ -422,3 +422,223 @@ FROM {prev}""")
 QUERIES.update({
     "rouge_lcs_pairs": (q_rouge_lcs, _oracle_rouge()),
 })
+
+
+# --- rrf_fusion: reciprocal-rank fusion of two retrieval rankings -------------
+#
+# The hybrid-search combiner (Cormack et al. 2009; what vector+BM25
+# search stacks actually ship): RRF(d) = sum over rankings of
+# 1/(K + rank_d).  Two corpus rankings (by doc length in chars, and by
+# token count — stand-ins for the dense and sparse scorers) fuse under
+# the classic K = 60; each reciprocal is quantized floor(Q/(K + rank))
+# BEFORE the sum — exact int64, engine-independent.  Ranks carry a
+# total-order tiebreak (doc_id).  Top 10 by (score desc, doc_id).  Both
+# rank windows run over the per-doc aggregate, not raw tokens; at corpus
+# scale the single-task global sort would move to the two-phase
+# histogram rank (the outlier_audit lesson), documented not built.
+
+RRF_K = 60
+RRF_Q = 1_000_000
+
+
+def q_rrf_fusion(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "n_chars",
+        "size(split(text, ' ')) AS n_tokens")
+    w1 = W.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    w2 = W.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    r = (d.withColumn("r1", F.row_number().over(w1))
+         .withColumn("r2", F.row_number().over(w2)))
+    return (r.selectExpr(
+        "doc_id", "r1", "r2",
+        f"({RRF_Q} DIV ({RRF_K} + r1)) + ({RRF_Q} DIV ({RRF_K} + r2))"
+        " AS rrf_q")
+        .orderBy(F.desc("rrf_q"), F.asc("doc_id"))
+        .limit(10)
+        .selectExpr("doc_id", "CAST(r1 AS BIGINT) AS r1",
+                    "CAST(r2 AS BIGINT) AS r2",
+                    "CAST(rrf_q AS BIGINT) AS rrf_q"))
+
+
+ORACLE_RRF = f"""
+WITH d AS (
+  SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r1,
+         ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS r2
+  FROM d)
+SELECT doc_id, CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2,
+       CAST(({RRF_Q} // ({RRF_K} + r1)) + ({RRF_Q} // ({RRF_K} + r2))
+            AS BIGINT) AS rrf_q
+FROM r
+ORDER BY rrf_q DESC, doc_id
+LIMIT 10
+"""
+
+
+# --- business_day_lag: calendar-aware business-day spans ----------------------
+#
+# The fintech/SLA staple: business days (Mon-Fri) between two dates —
+# computed with PURE epoch-day integer arithmetic, never an engine
+# date_part (engine week-start conventions differ; the seasonality_
+# profile lesson): with w = epoch_day + 3 (so w % 7 == 0 is a Monday),
+# f(w) = 5*(w//7) + LEAST(w % 7, 5) counts business days since the
+# anchor, and bd[d1, d2) = f(w2) - f(w1) — a closed form, no calendar
+# table, correct across any span.  Gated: per event_type, the span in
+# business days between each user's first event and each event (window
+# min + closed form), aggregated.
+
+BD_F = ("(5 * ((({d}) + 3) DIV 7) + LEAST((({d}) + 3) % 7, 5))")
+
+
+def q_business_day_lag(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    ed = ("CAST(FLOOR(CAST(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) "
+          "AS DOUBLE) / 86400000000.0) AS BIGINT)")
+    d = e.selectExpr("event_id", "user_id", "event_type",
+                     f"{ed} AS ed")
+    w = W.partitionBy("user_id")
+    d = d.withColumn("ed0", F.min("ed").over(w))
+    f2 = BD_F.format(d="ed")
+    f1 = BD_F.format(d="ed0")
+    return (d.selectExpr("event_type", f"({f2}) - ({f1}) AS bd")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("bd").alias("sum_bd"),
+                 F.max("bd").alias("max_bd"))
+            .selectExpr("event_type", "CAST(n AS BIGINT) AS n",
+                        "CAST(sum_bd AS BIGINT) AS sum_bd",
+                        "CAST(max_bd AS BIGINT) AS max_bd"))
+
+
+def _oracle_bd() -> str:
+    ed = "CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT)"
+    f2 = BD_F.format(d="ed").replace(" DIV ", " // ")
+    f1 = BD_F.format(d="ed0").replace(" DIV ", " // ")
+    return f"""
+WITH d AS (
+  SELECT event_id, user_id, event_type, {ed} AS ed FROM events),
+m AS (
+  SELECT event_type, ed, MIN(ed) OVER (PARTITION BY user_id) AS ed0
+  FROM d)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(({f2}) - ({f1})) AS BIGINT) AS sum_bd,
+       CAST(MAX(({f2}) - ({f1})) AS BIGINT) AS max_bd
+FROM m GROUP BY event_type
+"""
+
+
+# --- geodesic_waypoints: great-circle slerp densification ---------------------
+#
+# The navigation/flight-path primitive (the SPHERICAL sibling of the
+# planar integer trajectory_densify): between consecutive events of a
+# user cohort, emit intermediate points at f = 1/4, 1/2, 3/4 along the
+# great circle via spherical linear interpolation — A = sin((1-f)δ)/sinδ,
+# B = sin(fδ)/sinδ on the unit-vector chord (the standard aviation
+# formulary form).  The float pipeline is STAGED identically in both
+# engines (the CRS-oracle discipline) and lands in ROUND(...,6) outputs;
+# coincident endpoints (sinδ = 0) are excluded by an integer-exact
+# µdeg-coordinate predicate, never a float threshold.
+
+WAYPOINT_MOD = 20     # user cohort knob
+
+
+def q_geodesic_waypoints(spark, sf_dir):
+    from . import fixtures
+    e = _t(spark, sf_dir, "events")
+    lon, lat = fixtures.EVENT_LON_SQL, fixtures.EVENT_LAT_SQL
+    pts = (e.where(F.col("user_id") % WAYPOINT_MOD == 0)
+           .selectExpr("user_id", "ts", "event_id",
+                       f"{lon} AS lon", f"{lat} AS lat",
+                       f"CAST(FLOOR({lon} * 1000000.0) AS BIGINT) AS ilon",
+                       f"CAST(FLOOR({lat} * 1000000.0) AS BIGINT) AS ilat"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (pts.selectExpr("user_id", "ts", "event_id", "lon", "lat",
+                          "ilon", "ilat")
+           .withColumn("lon2", F.lead("lon").over(w))
+           .withColumn("lat2", F.lead("lat").over(w))
+           .withColumn("ilon2", F.lead("ilon").over(w))
+           .withColumn("ilat2", F.lead("ilat").over(w))
+           .withColumn("seg_idx", F.row_number().over(w))
+           .where("lon2 IS NOT NULL AND (ilon != ilon2 OR ilat != ilat2)"))
+    mids = seg.selectExpr("user_id", "seg_idx", "lon", "lat", "lon2",
+                          "lat2") \
+        .join(F.broadcast(
+            seg.sparkSession.range(1, 4).selectExpr("id AS j")))
+    st = mids.selectExpr(
+        "user_id", "seg_idx", "j",
+        "RADIANS(lon) AS l1", "RADIANS(lat) AS p1",
+        "RADIANS(lon2) AS l2", "RADIANS(lat2) AS p2",
+        "CAST(j AS DOUBLE) / 4.0 AS f")
+    st = st.selectExpr(
+        "*",
+        "2.0 * ASIN(SQRT(POW(SIN((p2 - p1) / 2.0), 2.0) + COS(p1) * COS(p2)"
+        " * POW(SIN((l2 - l1) / 2.0), 2.0))) AS delta")
+    st = st.selectExpr(
+        "*",
+        "SIN((1.0 - f) * delta) / SIN(delta) AS a",
+        "SIN(f * delta) / SIN(delta) AS b")
+    st = st.selectExpr(
+        "user_id", "seg_idx", "j",
+        "a * COS(p1) * COS(l1) + b * COS(p2) * COS(l2) AS x",
+        "a * COS(p1) * SIN(l1) + b * COS(p2) * SIN(l2) AS y",
+        "a * SIN(p1) + b * SIN(p2) AS z")
+    return st.selectExpr(
+        "user_id", "seg_idx", "CAST(j AS INT) AS j",
+        "ROUND(DEGREES(ATAN2(y, x)), 6) AS mid_lon",
+        "ROUND(DEGREES(ATAN2(z, SQRT(x * x + y * y))), 6) AS mid_lat")
+
+
+def _oracle_waypoints() -> str:
+    from . import fixtures
+    lon, lat = fixtures.EVENT_LON_SQL, fixtures.EVENT_LAT_SQL
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id, {lon} AS lon, {lat} AS lat,
+         CAST(FLOOR({lon} * 1000000.0) AS BIGINT) AS ilon,
+         CAST(FLOOR({lat} * 1000000.0) AS BIGINT) AS ilat
+  FROM events WHERE user_id % {WAYPOINT_MOD} = 0),
+seg AS (
+  SELECT user_id, lon, lat, ilon, ilat,
+         LEAD(lon) OVER w AS lon2, LEAD(lat) OVER w AS lat2,
+         LEAD(ilon) OVER w AS ilon2, LEAD(ilat) OVER w AS ilat2,
+         ROW_NUMBER() OVER w AS seg_idx
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+mids AS (
+  SELECT user_id, seg_idx, lon, lat, lon2, lat2, jj.j
+  FROM seg, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, 3)) AS j) jj
+  WHERE lon2 IS NOT NULL AND (ilon != ilon2 OR ilat != ilat2)),
+s1 AS (
+  SELECT user_id, seg_idx, j,
+         RADIANS(lon) AS l1, RADIANS(lat) AS p1,
+         RADIANS(lon2) AS l2, RADIANS(lat2) AS p2,
+         CAST(j AS DOUBLE) / 4.0 AS f
+  FROM mids),
+s2 AS (
+  SELECT *, 2.0 * ASIN(SQRT(POW(SIN((p2 - p1) / 2.0), 2.0)
+           + COS(p1) * COS(p2) * POW(SIN((l2 - l1) / 2.0), 2.0))) AS delta
+  FROM s1),
+s3 AS (
+  SELECT *, SIN((1.0 - f) * delta) / SIN(delta) AS a,
+         SIN(f * delta) / SIN(delta) AS b
+  FROM s2),
+s4 AS (
+  SELECT user_id, seg_idx, j,
+         a * COS(p1) * COS(l1) + b * COS(p2) * COS(l2) AS x,
+         a * COS(p1) * SIN(l1) + b * COS(p2) * SIN(l2) AS y,
+         a * SIN(p1) + b * SIN(p2) AS z
+  FROM s3)
+SELECT user_id, seg_idx, CAST(j AS INT) AS j,
+       ROUND(DEGREES(ATAN2(y, x)), 6) AS mid_lon,
+       ROUND(DEGREES(ATAN2(z, SQRT(x * x + y * y))), 6) AS mid_lat
+FROM s4
+"""
+
+
+QUERIES.update({
+    "rrf_fusion": (q_rrf_fusion, ORACLE_RRF),
+    "business_day_lag": (q_business_day_lag, _oracle_bd()),
+    "geodesic_waypoints": (q_geodesic_waypoints, _oracle_waypoints()),
+})

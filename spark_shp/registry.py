@@ -323,6 +323,9 @@ _TAIL = [
     "audio_clipping_detect",  # saturation audit, real WAV (AV family)
     "image_brief_descriptor",  # BRIEF binary descriptors (B11/CV)
     "rouge_lcs_pairs",    # ROUGE-L staged-LCS eval (ML eval/text family)
+    "rrf_fusion",         # reciprocal-rank fusion top-k (IR family)
+    "business_day_lag",   # business-day calendar spans (C6/C7 family)
+    "geodesic_waypoints",  # great-circle slerp densification (B/geo)
 ]
 
 _MERGED: dict = {}

@@ -124,3 +124,104 @@ def test_rouge_lcs_matches_textbook_dp(spark):
         n_checked += 1
         nontrivial += 0 < ref < min(m, n)
     assert n_checked > 0 and nontrivial > 0  # planted-structure rule
+
+
+def test_rrf_fusion_matches_python(spark):
+    from spark_shp.queries_eval import RRF_K, RRF_Q, q_rrf_fusion
+    got = [(r["doc_id"], r["r1"], r["r2"], r["rrf_q"])
+           for r in q_rrf_fusion(spark, SF).collect()]
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    d["n_tokens"] = d["text"].str.split(" ").str.len()
+    r1 = {did: k + 1 for k, did in enumerate(
+        d.sort_values(["n_chars", "doc_id"],
+                      ascending=[False, True])["doc_id"])}
+    r2 = {did: k + 1 for k, did in enumerate(
+        d.sort_values(["n_tokens", "doc_id"],
+                      ascending=[False, True])["doc_id"])}
+    fused = sorted(
+        ((RRF_Q // (RRF_K + r1[i])) + (RRF_Q // (RRF_K + r2[i])), i)
+        for i in d["doc_id"])
+    exp = [(i, r1[i], r2[i], s)
+           for s, i in sorted(fused, key=lambda t: (-t[0], t[1]))[:10]]
+    assert got == exp
+    # fusion is not either ranking alone: the top-10 differs from both
+    top_by_r1 = sorted(r1, key=r1.get)[:10]
+    assert [i for i, *_ in got] != top_by_r1
+
+
+def test_business_day_lag_matches_datetime(spark):
+    import datetime
+    from spark_shp.queries_eval import q_business_day_lag
+    out = {r["event_type"]: r for r in
+           q_business_day_lag(spark, SF).collect()}
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e["d"] = e["ts"].dt.date
+    first = e.groupby("user_id")["d"].transform("min")
+    agg = {}
+    weekend_span_seen = False
+    for et, d1, d2 in zip(e["event_type"], first, e["d"]):
+        bd = 0
+        cur = d1
+        while cur < d2:
+            if cur.weekday() < 5:
+                bd += 1
+            cur += datetime.timedelta(days=1)
+        cal = (d2 - d1).days
+        weekend_span_seen |= cal > bd > 0
+        a = agg.setdefault(et, [0, 0, 0])
+        a[0] += 1
+        a[1] += bd
+        a[2] = max(a[2], bd)
+    for et, (n, sbd, mbd) in agg.items():
+        row = out[et]
+        assert (row["n"], row["sum_bd"], row["max_bd"]) == (n, sbd, mbd)
+    assert weekend_span_seen  # spans actually cross weekends
+
+
+def test_geodesic_waypoints_matches_numpy_slerp(spark):
+    from spark_shp.queries_eval import WAYPOINT_MOD, q_geodesic_waypoints
+    from spark_shp.hashing import u01
+    rows = q_geodesic_waypoints(spark, SF).collect()
+    assert len(rows) > 0
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e = e[e["user_id"] % WAYPOINT_MOD == 0].copy()
+    ids = e["event_id"].to_numpy()
+    e["lon"] = u01(ids) * 360.0 - 180.0
+    e["lat"] = u01(ids * 2 + 1) * 170.0 - 85.0
+    segs = {}
+    for uid, g in e.sort_values(["ts", "event_id"]).groupby("user_id"):
+        pts = list(zip(g["lon"], g["lat"]))
+        for k in range(len(pts) - 1):
+            segs[(uid, k + 1)] = (pts[k], pts[k + 1])
+
+    def slerp(p1, p2, f):
+        l1, t1 = np.radians(p1)
+        l2, t2 = np.radians(p2)
+        d = 2 * np.arcsin(np.sqrt(
+            np.sin((t2 - t1) / 2) ** 2
+            + np.cos(t1) * np.cos(t2) * np.sin((l2 - l1) / 2) ** 2))
+        A = np.sin((1 - f) * d) / np.sin(d)
+        B = np.sin(f * d) / np.sin(d)
+        x = A * np.cos(t1) * np.cos(l1) + B * np.cos(t2) * np.cos(l2)
+        y = A * np.cos(t1) * np.sin(l1) + B * np.cos(t2) * np.sin(l2)
+        z = A * np.sin(t1) + B * np.sin(t2)
+        return (np.degrees(np.arctan2(y, x)),
+                np.degrees(np.arctan2(z, np.hypot(x, y))))
+
+    def ang(p, q):
+        l1, t1 = np.radians(p)
+        l2, t2 = np.radians(q)
+        return 2 * np.arcsin(np.sqrt(
+            np.sin((t2 - t1) / 2) ** 2
+            + np.cos(t1) * np.cos(t2) * np.sin((l2 - l1) / 2) ** 2))
+
+    for r in rows:
+        p1, p2 = segs[(r["user_id"], r["seg_idx"])]
+        lo, la = slerp(p1, p2, r["j"] / 4.0)
+        assert abs(lo - r["mid_lon"]) < 2e-6
+        assert abs(la - r["mid_lat"]) < 2e-6
+        if r["j"] == 2:  # great-circle midpoint law: equidistant
+            # tolerance: the emitted midpoint is ROUND(...,6)-quantized,
+            # which perturbs each angular leg by up to ~1e-8 rad
+            m = (r["mid_lon"], r["mid_lat"])
+            assert abs(ang(p1, m) - ang(m, p2)) < 5e-8
