@@ -642,3 +642,179 @@ QUERIES.update({
     "business_day_lag": (q_business_day_lag, _oracle_bd()),
     "geodesic_waypoints": (q_geodesic_waypoints, _oracle_waypoints()),
 })
+
+
+# --- unigram_lm_round: one EM round of unigram-LM tokenizer training ----------
+#
+# The OTHER tokenizer-training algorithm (Kudo 2018 — SentencePiece's
+# default; BPE's sibling, whose merge loop bpe_learn_merges already
+# covers): seed a piece inventory with corpus-weighted substring counts,
+# score pieces by ln(count/total) quantized to integer micro-nats
+# (FLOOR(x*1e6 + 0.5) — explicit half-up, identical in both dialects),
+# E-step = Viterbi-best segmentation of every word under those scores,
+# M-step = corpus-weighted piece usage counts from the best paths.
+#
+# Scale shape: the ONLY corpus-scale pass is the word histogram (one
+# shuffle) — exactly how real trainers fold the corpus before EM.  The
+# Viterbi DP runs over the DISTINCT-WORD table (31 rows here; bounded by
+# vocabulary, not corpus) as staged codegen projections: 8 forward
+# stages (word positions) + 8 backtrack stages, ties resolved
+# prefer-longer-piece at each cell so the argmax is engine-deterministic.
+# The oracle replays the identical stages as chained CTEs.
+
+UNI_WLEN = 8      # max word length in the corpus vocabulary
+UNI_PLEN = 3      # max piece length
+UNI_SENT = -(10 ** 15)   # unreachable-candidate sentinel
+
+
+def _uni_forward_stages() -> list:
+    """Viterbi forward stages over q_i_l score columns (i = 0-based piece
+    start, l = piece length; NULL when out of range): b_pos = best score
+    of the first pos chars, c_pos = length of the winning last piece
+    (ties prefer the LONGER piece — fewer pieces, fixed CASE order)."""
+    stages = [[("b_0", "(0)")]]
+    for pos in range(1, UNI_WLEN + 1):
+        cand = {}
+        for l in range(1, UNI_PLEN + 1):
+            if pos - l < 0:
+                continue
+            cand[l] = (f"(b_{pos - l} + COALESCE(q_{pos - l}_{l}, "
+                       f"{UNI_SENT}))")
+        st = [(f"k{pos}_{l}", e) for l, e in cand.items()]
+        ls = sorted(cand, reverse=True)   # longer piece wins ties
+        cases, best = [], []
+        for idx, l in enumerate(ls):
+            others = [f"k{pos}_{l} >= k{pos}_{m}" for m in ls[idx + 1:]]
+            cond = " AND ".join(others) if others else "TRUE"
+            cases.append(f"WHEN {cond} THEN {l}")
+            best.append(f"WHEN {cond} THEN k{pos}_{l}")
+        stages.append(st)
+        stages.append([
+            (f"c_{pos}", "(CASE " + " ".join(cases) + " END)"),
+            (f"b_{pos}", "(CASE " + " ".join(best) + " END)"),
+        ])
+    return stages
+
+
+def _uni_backtrack_stages() -> list:
+    """Backtrack stages: walk c_pos from pos = len down, emitting up to
+    UNI_WLEN pieces (NULL once the walk reaches position 0)."""
+    pick_c = ("(CASE p_{prev} " + " ".join(
+        f"WHEN {pos} THEN c_{pos}" for pos in range(1, UNI_WLEN + 1))
+        + " ELSE NULL END)")
+    stages = [[("p_0", "(len)")]]
+    for s in range(1, UNI_WLEN + 1):
+        stages.append([(f"l_{s}", pick_c.format(prev=s - 1))])
+        stages.append([
+            (f"piece_{s}",
+             f"(CASE WHEN l_{s} IS NULL THEN NULL "
+             f"ELSE SUBSTR(w, p_{s - 1} - l_{s} + 1, l_{s}) END)"),
+            (f"p_{s}",
+             f"(CASE WHEN l_{s} IS NULL THEN 0 ELSE p_{s - 1} - l_{s} "
+             f"END)"),
+        ])
+    return stages
+
+
+def _uni_pivot_exprs() -> list:
+    """(alias, agg expr) for the per-word q_i_l score pivot."""
+    out = []
+    for i in range(UNI_WLEN):
+        for l in range(1, UNI_PLEN + 1):
+            if i + l > UNI_WLEN:
+                continue
+            out.append((f"q_{i}_{l}",
+                        f"MAX(CASE WHEN i = {i} AND l = {l} THEN q END)"))
+    return out
+
+
+UNI_Q_EXPR = ("CAST(FLOOR(LN(CAST(seed AS DOUBLE) / CAST(t AS DOUBLE)) "
+              "* 1000000.0 + 0.5) AS BIGINT)")
+
+
+def q_unigram_lm_round(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.selectExpr("explode(split(text, ' ')) AS w")
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+
+    grid_i = spark.range(0, UNI_WLEN).selectExpr("id AS i")
+    grid_l = spark.range(1, UNI_PLEN + 1).selectExpr("id AS l")
+    occ = (wc.selectExpr("w", "LENGTH(w) AS len", "cnt")
+           .join(F.broadcast(grid_i)).join(F.broadcast(grid_l))
+           .where("i + l <= len")
+           .selectExpr("w", "len", "i", "l", "cnt",
+                       "SUBSTR(w, i + 1, l) AS p"))
+    pieces = occ.groupBy("p").agg(F.sum("cnt").alias("seed"))
+    tot = pieces.agg(F.sum("seed").alias("t"))
+    ps = (pieces.join(F.broadcast(tot))
+          .selectExpr("p", "seed", f"{UNI_Q_EXPR} AS q"))
+
+    piv = (occ.join(F.broadcast(ps.select("p", "q")), "p")
+           .groupBy("w", "len")
+           .agg(*[F.expr(e).alias(al) for al, e in _uni_pivot_exprs()]))
+    dp = piv
+    for st in _uni_forward_stages() + _uni_backtrack_stages():
+        dp = dp.selectExpr("*", *[f"{e} AS {al}" for al, e in st])
+    seg = (dp.selectExpr(
+        "w",
+        "explode(array(" + ", ".join(
+            f"piece_{s}" for s in range(1, UNI_WLEN + 1)) + ")) AS p")
+        .where("p IS NOT NULL"))
+    m = (seg.join(F.broadcast(wc), "w")
+         .groupBy("p")
+         .agg(F.sum("cnt").alias("new_count"),
+              F.countDistinct("w").alias("n_words")))
+    return (m.join(ps.select("p", "seed"), "p")
+            .selectExpr("p AS piece", "CAST(seed AS BIGINT) AS seed_count",
+                        "CAST(new_count AS BIGINT) AS new_count",
+                        "CAST(n_words AS BIGINT) AS n_words"))
+
+
+def _oracle_unigram() -> str:
+    piv = ",\n         ".join(f"{e} AS {al}"
+                              for al, e in _uni_pivot_exprs())
+    ctes = [f"""
+wc AS MATERIALIZED (
+  SELECT w, COUNT(*) AS cnt
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w),
+occ AS MATERIALIZED (
+  SELECT w, LEN(w) AS len, gi.i, gl.l, cnt, SUBSTR(w, gi.i + 1, gl.l) AS p
+  FROM wc,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, {UNI_WLEN - 1})) AS i) gi,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(1, {UNI_PLEN})) AS l) gl
+  WHERE gi.i + gl.l <= LEN(w)),
+pieces AS MATERIALIZED (SELECT p, SUM(cnt) AS seed FROM occ GROUP BY p),
+tot AS (SELECT SUM(seed) AS t FROM pieces),
+ps AS MATERIALIZED (
+  SELECT p, seed, {UNI_Q_EXPR} AS q FROM pieces, tot),
+piv AS MATERIALIZED (
+  SELECT o.w, o.len,
+         {piv}
+  FROM (SELECT occ.*, ps.q FROM occ JOIN ps USING (p)) o
+  GROUP BY o.w, o.len)"""]
+    prev = "piv"
+    for k, st in enumerate(_uni_forward_stages()
+                           + _uni_backtrack_stages(), start=1):
+        cols = ", ".join(f"{e} AS {al}" for al, e in st)
+        ctes.append(f"t{k} AS (SELECT *, {cols} FROM {prev})")
+        prev = f"t{k}"
+    plist = ", ".join(f"piece_{s}" for s in range(1, UNI_WLEN + 1))
+    ctes.append(f"""
+seg AS (
+  SELECT w, UNNEST([{plist}]) AS p FROM {prev}),
+m AS (
+  SELECT s.p, SUM(c.cnt) AS new_count, COUNT(DISTINCT s.w) AS n_words
+  FROM seg s JOIN wc c USING (w)
+  WHERE s.p IS NOT NULL
+  GROUP BY s.p)""")
+    return ("WITH " + ",".join(ctes) + """
+SELECT m.p AS piece, CAST(ps.seed AS BIGINT) AS seed_count,
+       CAST(m.new_count AS BIGINT) AS new_count,
+       CAST(m.n_words AS BIGINT) AS n_words
+FROM m JOIN ps ON m.p = ps.p""")
+
+
+QUERIES.update({
+    "unigram_lm_round": (q_unigram_lm_round, _oracle_unigram()),
+})

@@ -326,6 +326,7 @@ _TAIL = [
     "rrf_fusion",         # reciprocal-rank fusion top-k (IR family)
     "business_day_lag",   # business-day calendar spans (C6/C7 family)
     "geodesic_waypoints",  # great-circle slerp densification (B/geo)
+    "unigram_lm_round",   # SentencePiece-style unigram EM round (text/LM)
 ]
 
 _MERGED: dict = {}

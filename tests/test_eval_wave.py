@@ -225,3 +225,60 @@ def test_geodesic_waypoints_matches_numpy_slerp(spark):
             # which perturbs each angular leg by up to ~1e-8 rad
             m = (r["mid_lon"], r["mid_lat"])
             assert abs(ang(p1, m) - ang(m, p2)) < 5e-8
+
+
+def test_unigram_lm_round_matches_sequential_viterbi(spark):
+    import math
+    from collections import Counter
+    from spark_shp.queries_eval import (UNI_PLEN, q_unigram_lm_round)
+    out = {r["piece"]: r for r in q_unigram_lm_round(spark, SF).collect()}
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    wc = Counter()
+    for t in docs["text"]:
+        wc.update(t.split(" "))
+    seed = Counter()
+    for w, c in wc.items():
+        for i in range(len(w)):
+            for l in range(1, UNI_PLEN + 1):
+                if i + l <= len(w):
+                    seed[w[i:i + l]] += c
+    tot = sum(seed.values())
+    q = {p: math.floor(math.log(s / tot) * 1e6 + 0.5)
+         for p, s in seed.items()}
+
+    def viterbi(w):
+        best = [0] + [None] * len(w)
+        choice = [None] * (len(w) + 1)
+        for pos in range(1, len(w) + 1):
+            for l in range(min(UNI_PLEN, pos), 0, -1):  # longer wins ties
+                cand = best[pos - l] + q[w[pos - l:pos]]
+                if best[pos] is None or cand > best[pos]:
+                    best[pos] = cand
+                    choice[pos] = l
+        pieces, pos = [], len(w)
+        while pos > 0:
+            l = choice[pos]
+            pieces.append(w[pos - l:pos])
+            pos -= l
+        return pieces[::-1]
+
+    new_count = Counter()
+    n_words = Counter()
+    multi_piece_words = 0
+    for w, c in wc.items():
+        pieces = viterbi(w)
+        multi_piece_words += len(pieces) > 1
+        for p in set(pieces):
+            n_words[p] += 1
+        for p in pieces:
+            new_count[p] += c
+    assert multi_piece_words > 0          # EM actually segments something
+    assert set(out) == set(new_count)
+    for p in new_count:
+        row = out[p]
+        assert (row["seed_count"], row["new_count"],
+                row["n_words"]) == (seed[p], new_count[p], n_words[p])
+    # mass conservation: every word's count lands on >=1 piece per char
+    # span; used pieces are a strict subset of the seeded inventory
+    assert len(out) < len(seed)
