@@ -818,3 +818,150 @@ FROM m JOIN ps ON m.p = ps.p""")
 QUERIES.update({
     "unigram_lm_round": (q_unigram_lm_round, _oracle_unigram()),
 })
+
+
+# --- randomized_response: Warner's local-DP mechanism ------------------------
+#
+# The LOCAL differential-privacy sibling of dp_noisy_counts' central
+# discrete Laplace (completing the privacy family's fourth mechanism
+# class next to k_anonymity / l_diversity / t_closeness): each event
+# locally reports its sensitive bit y ("is a purchase") truthfully with
+# probability 1/2, else a uniform coin — eps = ln 3.  Randomness is
+# DERANDOMIZED from the repo hash (u = mix(event_id) % 4: u < 2 report
+# truth, else coin u % 2) by pure integer comparisons, so the release is
+# bit-exact on any engine — the dp_noisy_counts lesson, no transcendental
+# ops anywhere.  The unbiased count estimate 2*ones - n/2 is carried
+# DOUBLED (est2 = 4*ones - n) to stay integer.  Per-day release; truth
+# kept alongside for the gate (a real release would drop it).
+
+def q_randomized_response(spark, sf_dir):
+    from .hashing import mix_sql
+    e = _t(spark, sf_dir, "events")
+    u = mix_sql("event_id")
+    d = e.selectExpr(
+        "CAST(FLOOR(CAST(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS DOUBLE)"
+        " / 86400000000.0) AS BIGINT) AS day",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y",
+        f"({u}) % 4 AS u")
+    rep = d.selectExpr(
+        "day", "y",
+        "CASE WHEN u < 2 THEN y ELSE u % 2 END AS r")
+    return (rep.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("r").alias("ones"),
+                 F.sum("y").alias("truth"))
+            .selectExpr("day", "CAST(n AS BIGINT) AS n",
+                        "CAST(ones AS BIGINT) AS ones",
+                        "CAST(4 * ones - n AS BIGINT) AS est2",
+                        "CAST(truth AS BIGINT) AS truth"))
+
+
+def _oracle_rr() -> str:
+    from .hashing import mix_sql
+    u = mix_sql("event_id")
+    return f"""
+WITH d AS (
+  SELECT CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+              AS BIGINT) AS day,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         ({u}) % 4 AS u
+  FROM events),
+rep AS (
+  SELECT day, y, CASE WHEN u < 2 THEN y ELSE u % 2 END AS r FROM d)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(r) AS BIGINT) AS ones,
+       CAST(4 * SUM(r) - COUNT(*) AS BIGINT) AS est2,
+       CAST(SUM(y) AS BIGINT) AS truth
+FROM rep GROUP BY day
+"""
+
+
+# --- url_canonicalize: canonical-URL dedup keying -----------------------------
+#
+# The pretraining-crawl curation step BEFORE content dedup: collapse URL
+# variants (case-mixed scheme/host, default :443 port, tracking params,
+# index.html suffixes) to one canonical key.  Four raw variants per
+# logical page are synthesized from doc_id formulas; canonicalization
+# lowercases scheme+host, strips the default port, rewrites
+# /index.html -> /, drops utm_* and keeps (id, ref) in a fixed order.
+# Dialect discipline: regexp_extract ONLY (single-match semantics agree
+# across engines) — regexp_replace is avoided because Spark replaces ALL
+# occurrences while DuckDB replaces the FIRST without the 'g' flag (a
+# real cross-engine trap, documented here); bracket-class regexes per
+# the pii_scrub backslash rule.  One SQL text runs on BOTH engines (the
+# url_domain_stats trick).  Gated: per-canonical-URL group sizes +
+# doc-id checksum — the planted 2+2 variant structure must collapse.
+
+_URLC_SUBS = ("www", "blog", "docs", "shop")
+_URLC_DOMS = ("sparkdata", "lakehouse", "geotile", "mapjoin")
+_URLC_TLDS = ("com", "io", "org")
+
+
+def _urlc_case(key: str, salt: int, vals: tuple) -> str:
+    from .hashing import mix_sql
+    h = mix_sql(f"({key}) * 7 + {salt}")
+    arms = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(vals))
+    return f"(CASE ({h}) % {len(vals)} {arms} END)"
+
+
+def _urlc_sql(div: str = "//") -> str:
+    lid = f"(doc_id {div} 4)"
+    v = "(doc_id % 4)"
+    sub = _urlc_case(lid, 1, _URLC_SUBS)
+    dom = _urlc_case(lid, 2, _URLC_DOMS)
+    tld = _urlc_case(lid, 3, _URLC_TLDS)
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN {v} = 1 THEN 'HTTPS' ELSE 'https' END) || '://'
+         || (CASE WHEN {v} % 2 = 0 THEN {sub}
+                  ELSE UPPER({sub}) END) || '.'
+         || {dom} || '.' || {tld}
+         || (CASE WHEN {v} = 1 THEN ':443' ELSE '' END)
+         || '/p/' || CAST({lid} AS BIGINT)
+         || (CASE WHEN {v} = 2 THEN '/index.html' ELSE '/' END)
+         || (CASE WHEN {v} = 0 THEN '?ref=home&id=' || CAST({lid} AS BIGINT)
+                  WHEN {v} = 1 THEN '?id=' || CAST({lid} AS BIGINT)
+                                   || '&ref=home'
+                  WHEN {v} = 3 THEN '?utm_source=feed&id='
+                                   || CAST({lid} AS BIGINT)
+                                   || '&utm_campaign=x'
+                  ELSE '?id=' || CAST({lid} AS BIGINT) END) AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, url,
+         LOWER(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+         LOWER(regexp_extract(url, '^[a-zA-Z]+://([^/?:]+)', 1)) AS host,
+         regexp_extract(url, '^[a-zA-Z]+://[^/?]+(/[^?]*)', 1) AS path,
+         regexp_extract(url, '[?&]id=([0-9]+)', 1) AS pid,
+         regexp_extract(url, '[?&]ref=([a-z]+)', 1) AS pref
+  FROM raw),
+canon AS (
+  SELECT doc_id,
+         scheme || '://' || host
+         || (CASE WHEN regexp_extract(path, '(/index[.]html)$', 1)
+                       = '/index.html'
+                  THEN regexp_extract(path, '^(.*)/index[.]html$', 1)
+                       || '/'
+                  ELSE path END)
+         || '?id=' || pid
+         || (CASE WHEN pref = '' THEN '' ELSE '&ref=' || pref END)
+           AS curl
+  FROM parts)
+SELECT curl AS canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+FROM canon GROUP BY curl
+"""
+
+
+def q_url_canonicalize(spark, sf_dir):
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_urlc_sql(div="DIV"))
+
+
+QUERIES.update({
+    "randomized_response": (q_randomized_response, _oracle_rr()),
+    "url_canonicalize": (q_url_canonicalize, _urlc_sql()),
+})

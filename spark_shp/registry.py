@@ -327,6 +327,8 @@ _TAIL = [
     "business_day_lag",   # business-day calendar spans (C6/C7 family)
     "geodesic_waypoints",  # great-circle slerp densification (B/geo)
     "unigram_lm_round",   # SentencePiece-style unigram EM round (text/LM)
+    "randomized_response",  # Warner local-DP release (privacy family)
+    "url_canonicalize",   # canonical-URL dedup keying (curation family)
 ]
 
 _MERGED: dict = {}

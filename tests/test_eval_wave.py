@@ -282,3 +282,86 @@ def test_unigram_lm_round_matches_sequential_viterbi(spark):
     # mass conservation: every word's count lands on >=1 piece per char
     # span; used pieces are a strict subset of the seeded inventory
     assert len(out) < len(seed)
+
+
+def test_randomized_response_matches_python_and_is_unbiased(spark):
+    from spark_shp.hashing import mix
+    from spark_shp.queries_eval import q_randomized_response
+    out = {r["day"]: r for r in q_randomized_response(spark, SF).collect()}
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    days = (e["ts"].astype("datetime64[us]").astype("int64")
+            // 86400_000_000).astype(int)
+    agg = {}
+    for eid, et, day in zip(e["event_id"], e["event_type"], days):
+        y = 1 if et == "purchase" else 0
+        u = int(mix(np.int64(eid))) % 4
+        r = y if u < 2 else u % 2
+        a = agg.setdefault(int(day), [0, 0, 0])
+        a[0] += 1
+        a[1] += r
+        a[2] += y
+    tot_est2 = tot_truth = 0
+    for day, (n, ones, truth) in agg.items():
+        row = out[day]
+        assert (row["n"], row["ones"], row["est2"],
+                row["truth"]) == (n, ones, 4 * ones - n, truth)
+        tot_est2 += 4 * ones - n
+        tot_truth += truth
+    # unbiasedness: the corpus-level estimate lands near the truth
+    assert tot_truth > 0
+    assert abs(tot_est2 / 2 - tot_truth) / tot_truth < 0.25
+    # privacy: some reports actually flipped (the mechanism fired)
+    assert any(a[1] != a[2] for a in agg.values())
+
+
+def test_url_canonicalize_collapses_planted_variants(spark):
+    import re
+    from spark_shp.queries_eval import q_url_canonicalize
+    rows = q_url_canonicalize(spark, SF).collect()
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    n_docs = len(d)
+    # python replay of the raw-URL builder + an INDEPENDENT canonicalizer
+    # (urllib-style parse, not the regex pipeline)
+    from spark_shp.hashing import mix
+    subs = ("www", "blog", "docs", "shop")
+    doms = ("sparkdata", "lakehouse", "geotile", "mapjoin")
+    tlds = ("com", "io", "org")
+
+    def pick(lid, salt, vals):
+        return vals[int(mix(np.int64(lid * 7 + salt))) % len(vals)]
+
+    groups = {}
+    for doc_id in d["doc_id"]:
+        doc_id = int(doc_id)
+        lid, v = doc_id // 4, doc_id % 4
+        sub, dom, tld = (pick(lid, 1, subs), pick(lid, 2, doms),
+                         pick(lid, 3, tlds))
+        scheme = "HTTPS" if v == 1 else "https"
+        host = (sub if v % 2 == 0 else sub.upper()) + f".{dom}.{tld}"
+        port = ":443" if v == 1 else ""
+        path = f"/p/{lid}" + ("/index.html" if v == 2 else "/")
+        q = {0: f"?ref=home&id={lid}", 1: f"?id={lid}&ref=home",
+             2: f"?id={lid}", 3: f"?utm_source=feed&id={lid}&utm_campaign=x"
+             }[v]
+        url = f"{scheme}://{host}{port}{path}{q}"
+        # independent canonicalizer
+        m = re.match(r"^([a-zA-Z]+)://([^/?:]+)(:[0-9]+)?([^?]*)\?(.*)$",
+                     url)
+        sch, hst, _, pth, qs = m.groups()
+        if pth.endswith("/index.html"):
+            pth = pth[: -len("index.html")]
+        params = dict(kv.split("=") for kv in qs.split("&"))
+        canon = (sch.lower() + "://" + hst.lower() + pth
+                 + "?id=" + params["id"]
+                 + ("&ref=" + params["ref"] if "ref" in params else ""))
+        g = groups.setdefault(canon, [0, 0, None])
+        g[0] += 1
+        g[1] += doc_id
+        g[2] = doc_id if g[2] is None else min(g[2], doc_id)
+    got = {r["canonical_url"]: (r["n_docs"], r["id_checksum"],
+                                r["keep_doc"]) for r in rows}
+    assert got == {k: tuple(v) for k, v in groups.items()}
+    # planted structure: variants COLLAPSE (fewer keys than docs) and at
+    # least one group has >1 member
+    assert len(got) < n_docs
+    assert max(n for n, _, _ in got.values()) >= 2
