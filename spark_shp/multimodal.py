@@ -1619,3 +1619,51 @@ def brief_checksums(images: DataFrame, k: int = BRIEF_K) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+def shear_checksums(images: DataFrame, shift_div: int = 4) -> DataFrame:
+    """Horizontal integer shear warp with nearest-neighbor sampling (the
+    affine-transform member of the augmentation family beyond
+    flip/rot90/crop/resize): out(y, x) = in(y, x - y//shift_div) where
+    in-range, else 0 — exact integers end to end.  Emits mass + the
+    position-weighted checksum of the WARPED raster (a wrong shear sign,
+    transposed axes, or an unclamped border all shift it).  Vectorized:
+    one np.take gather per decode stack with a bounds mask."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("mass", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                px = _decode_stack(pdf, idx, w, h, fmt).astype(np.int64)
+                yy = np.arange(h, dtype=np.int64)[:, None]
+                xx = np.arange(w, dtype=np.int64)[None, :]
+                sx = xx - yy // shift_div                  # (h, w)
+                ok = (sx >= 0) & (sx < w)
+                gx = np.clip(sx, 0, w - 1)
+                warped = np.take_along_axis(
+                    px, np.broadcast_to(
+                        gx[None, :, :, None],
+                        (len(idx), h, w, 3)).copy(), axis=2)
+                warped *= ok[None, :, :, None]
+                wgt = (((yy * w + xx) * 3)[:, :, None]
+                       + np.arange(3, dtype=np.int64)[None, None, :] + 1)
+                mass = warped.sum(axis=(1, 2, 3))
+                chk = (warped * wgt[None]).sum(axis=(1, 2, 3))
+                for t, i in enumerate(idx):
+                    rows[i] = (ids[i], h * w * 3, int(mass[t]),
+                               int(chk[t]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

@@ -965,3 +965,115 @@ QUERIES.update({
     "randomized_response": (q_randomized_response, _oracle_rr()),
     "url_canonicalize": (q_url_canonicalize, _urlc_sql()),
 })
+
+
+# --- elias_gamma_postings: inverted-index compression estimate ----------------
+#
+# The storage-efficiency audit of a search index (the postings sibling
+# of image_rle_runs/cdc_chunking): per term, delta-encode the sorted
+# posting list and cost each gap under Elias gamma — bits(g) =
+# 2*floor(log2 g) + 1, with floor(log2 g) = LENGTH(bin(g)) - 1 (both
+# engines render minimal binary strings; verified, not assumed).  All
+# exact integers; the compression ratio vs fixed 32-bit postings is the
+# one-literal float division.  Scale shape: one distinct shuffle + one
+# term-keyed window — posting lists are per-term sequential in real
+# index builds too.
+
+def q_elias_gamma_postings(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    post = (d.selectExpr("doc_id", "explode(split(text, ' ')) AS term")
+            .distinct())
+    w = W.partitionBy("term").orderBy("doc_id")
+    g = (post.withColumn("prev", F.lag("doc_id").over(w))
+         .selectExpr("term",
+                     "doc_id - COALESCE(prev, -1) AS gap"))
+    bits = "2 * (LENGTH(bin(gap)) - 1) + 1"
+    return (g.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.expr(bits)).alias("gamma_bits"))
+            .selectExpr(
+                "term", "CAST(n_docs AS BIGINT) AS n_docs",
+                "CAST(gamma_bits AS BIGINT) AS gamma_bits",
+                "CAST(32 * n_docs AS BIGINT) AS fixed_bits",
+                "ROUND(CAST(gamma_bits AS DOUBLE) / "
+                "CAST(32 * n_docs AS DOUBLE), 6) AS ratio"))
+
+
+ORACLE_GAMMA = """
+WITH post AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents)),
+g AS (
+  SELECT term,
+         doc_id - COALESCE(LAG(doc_id) OVER (PARTITION BY term
+                                             ORDER BY doc_id), -1) AS gap
+  FROM post)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(2 * (LENGTH(bin(gap)) - 1) + 1) AS BIGINT) AS gamma_bits,
+       CAST(32 * COUNT(*) AS BIGINT) AS fixed_bits,
+       ROUND(CAST(SUM(2 * (LENGTH(bin(gap)) - 1) + 1) AS DOUBLE)
+             / CAST(32 * COUNT(*) AS DOUBLE), 6) AS ratio
+FROM g GROUP BY term
+"""
+
+
+# --- feistel_pseudonymize: format-preserving id pseudonymization --------------
+#
+# The GDPR-engineering staple the privacy family still lacked: a
+# DETERMINISTIC, INVERTIBLE, format-preserving pseudonym for 32-bit ids
+# via a 2-round Feistel network over 16-bit halves, round function =
+# the repo hash — a bijection on [0, 2^32) by construction (Feistel
+# networks are invertible for ANY round function), so joins still work
+# on the pseudonym and re-identification needs the key.  Dialect trap
+# documented: Spark's ^ is bitwise XOR but DuckDB's ^ is POWER — the
+# XOR is emitted per dialect (Spark `a ^ b`, DuckDB `xor(a, b)`).
+# Gated: per-bucket counts, pseudonym sums, and per-bucket
+# injectivity (n_distinct = n).
+
+FEISTEL_SALTS = (101, 202)
+
+
+def _feistel_sql(key: str, xor_fmt: str) -> str:
+    from .hashing import mix_sql
+    l, r = f"(({key}) DIV 65536 % 65536)", f"(({key}) % 65536)"
+    for salt in FEISTEL_SALTS:
+        f = f"(({mix_sql(f'({r}) * 65537 + {salt}')}) % 65536)"
+        l, r = r, xor_fmt.format(a=l, b=f)
+    return f"(({l}) * 65536 + ({r}))"
+
+
+def q_feistel_pseudonymize(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    pid = _feistel_sql("c_custkey % 4294967296", "({a}) ^ ({b})")
+    d = c.selectExpr("c_custkey", f"{pid} AS pid")
+    return (d.groupBy((F.col("pid") % 16).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("pid").alias("n_distinct"),
+                 F.sum("pid").alias("sum_pid"),
+                 F.min("pid").alias("min_pid"))
+            .selectExpr("CAST(bucket AS BIGINT) AS bucket",
+                        "CAST(n AS BIGINT) AS n",
+                        "CAST(n_distinct AS BIGINT) AS n_distinct",
+                        "CAST(sum_pid AS BIGINT) AS sum_pid",
+                        "CAST(min_pid AS BIGINT) AS min_pid"))
+
+
+def _oracle_feistel() -> str:
+    pid = _feistel_sql("c_custkey % 4294967296", "xor({a}, {b})")
+    pid = pid.replace(" DIV ", " // ")
+    return f"""
+WITH d AS (SELECT c_custkey, {pid} AS pid FROM customer)
+SELECT CAST(pid % 16 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_distinct,
+       CAST(SUM(pid) AS BIGINT) AS sum_pid,
+       CAST(MIN(pid) AS BIGINT) AS min_pid
+FROM d GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "elias_gamma_postings": (q_elias_gamma_postings, ORACLE_GAMMA),
+    "feistel_pseudonymize": (q_feistel_pseudonymize, _oracle_feistel()),
+})

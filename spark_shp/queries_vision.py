@@ -1632,3 +1632,59 @@ FROM per GROUP BY 1
 QUERIES.update({
     "image_brief_descriptor": (q_image_brief, _oracle_brief()),
 })
+
+
+# --- image_shear_warp: affine NN warp checksum -----------------------------
+#
+# The affine-transform member of the augmentation family (flip/rot90/
+# crop/resize live in image_augment_checksums; this adds a non-axis-
+# aligned map): out(y,x) = in(y, x - y//4) with zero fill outside —
+# exact integer coordinates so the warp gates bit-for-bit.  The oracle
+# evaluates the pixel formula at the sheared source coordinate under
+# the same bounds CASE.
+
+
+def q_image_shear(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, VISION_N, partitions=4)
+    d = _with_i(multimodal.shear_checksums(img))
+    return (d.groupBy("fmt2")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("n_px").alias("n_px"),
+                 F.sum("mass").alias("mass"),
+                 F.expr("SUM(checksum * (i + 13))").alias("checksum"))
+            .selectExpr("fmt2 AS fmt", "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(n_px AS BIGINT) AS n_px",
+                        "CAST(mass AS BIGINT) AS mass",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_shear() -> str:
+    src = _pix_sql("i * 1000003 + ay.y * 4096 + (ax.x - (ay.y // 4)) * 4 "
+                   "+ cc.c")
+    return f"""
+WITH imgs AS MATERIALIZED ({_imgs_cte(VISION_N)}),
+px AS (
+  SELECT i, fmt, w, ay.y, ax.x, cc.c,
+         CASE WHEN ax.x - (ay.y // 4) >= 0 AND ax.x - (ay.y // 4) < w
+              THEN {src} ELSE 0 END AS v
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 1)) AS y) ay,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS x) ax,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c) cc),
+per AS (
+  SELECT i, fmt, COUNT(*) AS n_px, SUM(v) AS mass,
+         SUM(v * ((y * w + x) * 3 + c + 1)) AS checksum
+  FROM px
+  GROUP BY 1, 2)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(n_px) AS BIGINT) AS n_px,
+       CAST(SUM(mass) AS BIGINT) AS mass,
+       CAST(SUM(checksum * (i + 13)) AS BIGINT) AS checksum
+FROM per GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "image_shear_warp": (q_image_shear, _oracle_shear()),
+})

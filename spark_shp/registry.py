@@ -329,6 +329,9 @@ _TAIL = [
     "unigram_lm_round",   # SentencePiece-style unigram EM round (text/LM)
     "randomized_response",  # Warner local-DP release (privacy family)
     "url_canonicalize",   # canonical-URL dedup keying (curation family)
+    "elias_gamma_postings",  # postings compression estimate (IR/storage)
+    "feistel_pseudonymize",  # format-preserving id pseudonym (privacy)
+    "image_shear_warp",   # affine NN warp checksum (B11/augment)
 ]
 
 _MERGED: dict = {}

@@ -365,3 +365,72 @@ def test_url_canonicalize_collapses_planted_variants(spark):
     # least one group has >1 member
     assert len(got) < n_docs
     assert max(n for n, _, _ in got.values()) >= 2
+
+
+def test_elias_gamma_matches_python_bitmath(spark):
+    from spark_shp.queries_eval import q_elias_gamma_postings
+    out = {r["term"]: r for r in
+           q_elias_gamma_postings(spark, SF).collect()}
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    posts = {}
+    for did, text in zip(d["doc_id"], d["text"]):
+        for t in set(text.split(" ")):
+            posts.setdefault(t, set()).add(int(did))
+    compressed_somewhere = False
+    for term, docs in posts.items():
+        docs = sorted(docs)
+        prev, bits = -1, 0
+        for did in docs:
+            gap = did - prev
+            bits += 2 * (gap.bit_length() - 1) + 1
+            prev = did
+        row = out[term]
+        assert (row["n_docs"], row["gamma_bits"],
+                row["fixed_bits"]) == (len(docs), bits, 32 * len(docs))
+        assert row["ratio"] == round(bits / (32 * len(docs)), 6)
+        compressed_somewhere |= bits < 32 * len(docs)
+    assert set(out) == set(posts)
+    assert compressed_somewhere  # dense lists actually compress
+
+
+def test_feistel_pseudonym_bijective_and_invertible(spark):
+    from spark_shp.hashing import mix
+    from spark_shp.queries_eval import FEISTEL_SALTS, q_feistel_pseudonymize
+    out = {r["bucket"]: r for r in
+           q_feistel_pseudonymize(spark, SF).collect()}
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+
+    def fwd(k):
+        l, r = (k >> 16) & 0xFFFF, k & 0xFFFF
+        for salt in FEISTEL_SALTS:
+            f = int(mix(np.int64(r * 65537 + salt))) % 65536
+            l, r = r, l ^ f
+        return l * 65536 + r
+
+    def inv(p):
+        l, r = p >> 16, p & 0xFFFF
+        for salt in reversed(FEISTEL_SALTS):
+            f = int(mix(np.int64(l * 65537 + salt))) % 65536
+            l, r = r ^ f, l
+        return l * 65536 + r
+
+    agg = {}
+    pids = set()
+    for k in c["c_custkey"]:
+        k = int(k) % (1 << 32)
+        p = fwd(k)
+        assert inv(p) == k          # invertible with the key
+        assert 0 <= p < 1 << 32     # format-preserving
+        pids.add(p)
+        a = agg.setdefault(p % 16, [0, 0, 1 << 33])
+        a[0] += 1
+        a[1] += p
+        a[2] = min(a[2], p)
+    assert len(pids) == len(c)      # bijective on the input set
+    for b, (n, sp, mp) in agg.items():
+        row = out[b]
+        assert (row["n"], row["n_distinct"], row["sum_pid"],
+                row["min_pid"]) == (n, n, sp, mp)
+    # pseudonyms are not the identity (the mechanism fired)
+    assert any(fwd(int(k) % (1 << 32)) != int(k) % (1 << 32)
+               for k in c["c_custkey"])

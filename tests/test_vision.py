@@ -780,3 +780,28 @@ def test_brief_matches_sequential(spark):
         row = out[fmt]
         assert (row["n_images"], row["pop_total"], row["pop_checksum"],
                 row["desc_checksum"]) == (ni, pt, pc, dc)
+
+
+def test_shear_warp_matches_sequential(spark):
+    from spark_shp.queries_vision import VISION_N, q_image_shear
+    out = {r["fmt"]: r for r in q_image_shear(spark, SF).collect()}
+    agg = {}
+    for i in range(VISION_N):
+        dec, w, h, fmt = _decoded(i)
+        mass = chk = 0
+        for y in range(h):
+            for x in range(w):
+                sx = x - y // 4
+                for c in range(3):
+                    v = int(dec[y, sx, c]) if 0 <= sx < w else 0
+                    mass += v
+                    chk += v * ((y * w + x) * 3 + c + 1)
+        a = agg.setdefault(fmt, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += h * w * 3
+        a[2] += mass
+        a[3] += chk * (i + 13)
+    for fmt, (ni, npx, mass, chk) in agg.items():
+        row = out[fmt]
+        assert (row["n_images"], row["n_px"], row["mass"],
+                row["checksum"]) == (ni, npx, mass, chk)
