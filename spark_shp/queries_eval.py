@@ -1077,3 +1077,176 @@ QUERIES.update({
     "elias_gamma_postings": (q_elias_gamma_postings, ORACLE_GAMMA),
     "feistel_pseudonymize": (q_feistel_pseudonymize, _oracle_feistel()),
 })
+
+
+# --- matrix_profile_hourly: motif/discord discovery on the hourly series ------
+#
+# The SCAMP/STOMP time-series-mining primitive (matrix profile): for
+# every length-4 window of the dense hourly purchase-count series, the
+# minimum squared distance to any NON-OVERLAPPING window (exclusion
+# zone |i-j| >= 4) and the position achieving it — small profile values
+# are motifs, large ones discords.  All exact ints (counts, squared
+# diffs).  Scale shape: the corpus is folded to the hourly series ONCE
+# (map-side-combined groupBy); the all-pairs join runs on the
+# SERIES-bounded window table (span hours, corpus-independent), and the
+# argmin is recovered by a dist = mind join-back, never a float-packed
+# key (the squared magnitudes would overflow a packed argmin).
+
+MP_W = 4
+
+
+def q_matrix_profile(spark, sf_dir):
+    e = (_t(spark, sf_dir, "events").where("event_type = 'purchase'")
+         .selectExpr("CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) "
+                     "/ 3600000000) AS BIGINT) AS h"))
+    counts = e.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    span = counts.groupBy().agg(F.min("h").alias("h0"),
+                                F.max("h").alias("h1"))
+    spine = (span.selectExpr("explode(sequence(h0, h1)) AS h")
+             .join(counts, "h", "left")
+             .join(F.broadcast(span))
+             .selectExpr("h - h0 AS i",
+                         "COALESCE(c, CAST(0 AS BIGINT)) AS c"))
+    w = W.orderBy("i")
+    win = spine.select(
+        "i", F.col("c").alias("v0"),
+        F.lead("c", 1).over(w).alias("v1"),
+        F.lead("c", 2).over(w).alias("v2"),
+        F.lead("c", 3).over(w).alias("v3")).where("v3 IS NOT NULL")
+    win = win.localCheckpoint()
+    b = win.selectExpr("i AS j", "v0 AS w0", "v1 AS w1", "v2 AS w2",
+                       "v3 AS w3")
+    dist = " + ".join(f"(v{k} - w{k}) * (v{k} - w{k})" for k in range(MP_W))
+    pairs = (win.join(F.broadcast(b),
+                      F.expr(f"abs(i - j) >= {MP_W}"))
+             .selectExpr("i", "j", f"{dist} AS d"))
+    prof = pairs.groupBy("i").agg(F.min("d").alias("mind"))
+    arg = (pairs.join(prof, "i").where("d = mind")
+           .groupBy("i", "mind").agg(F.min("j").alias("match_j")))
+    return arg.selectExpr("CAST(i AS BIGINT) AS i",
+                          "CAST(mind AS BIGINT) AS mind",
+                          "CAST(match_j AS BIGINT) AS match_j")
+
+
+def _oracle_matrix_profile() -> str:
+    dist = " + ".join(f"(a.v{k} - b.v{k}) * (a.v{k} - b.v{k})"
+                      for k in range(MP_W))
+    return f"""
+WITH e AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h
+  FROM events WHERE event_type = 'purchase'),
+counts AS (SELECT h, COUNT(*) AS c FROM e GROUP BY h),
+span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM counts),
+spine AS (
+  SELECT g.h - span.h0 AS i, COALESCE(c.c, 0) AS c
+  FROM span, LATERAL (SELECT UNNEST(GENERATE_SERIES(span.h0, span.h1))
+                      AS h) g
+  LEFT JOIN counts c ON c.h = g.h),
+win AS MATERIALIZED (
+  SELECT i, c AS v0,
+         LEAD(c, 1) OVER (ORDER BY i) AS v1,
+         LEAD(c, 2) OVER (ORDER BY i) AS v2,
+         LEAD(c, 3) OVER (ORDER BY i) AS v3
+  FROM spine QUALIFY v3 IS NOT NULL),
+pairs AS MATERIALIZED (
+  SELECT a.i, b.i AS j, {dist} AS d
+  FROM win a JOIN win b ON ABS(a.i - b.i) >= {MP_W}),
+prof AS (SELECT i, MIN(d) AS mind FROM pairs GROUP BY i)
+SELECT CAST(p.i AS BIGINT) AS i, CAST(p.mind AS BIGINT) AS mind,
+       CAST(MIN(pr.j) AS BIGINT) AS match_j
+FROM prof p JOIN pairs pr ON pr.i = p.i AND pr.d = p.mind
+GROUP BY p.i, p.mind
+"""
+
+
+# --- rhumb_lines: loxodrome bearing + distance per trajectory segment ---------
+#
+# The navigation pair to the great-circle family (haversine
+# trajectory_stats, slerp geodesic_waypoints): a rhumb line crosses
+# every meridian at the SAME bearing — what a compass-steered vessel
+# actually sails.  Bearing = atan2(Δlon_wrapped, Δψ) on the Mercator
+# latitude ψ = ln tan(π/4 + φ/2); distance via q = Δφ/Δψ (exact-equal
+# latitudes — an INTEGER µdeg predicate, never a float threshold —
+# degenerate to q = cos φ).  Same staged-trig discipline as the
+# CRS oracles; ROUND(...,6) terminal outputs.
+
+def q_rhumb_lines(spark, sf_dir):
+    from . import fixtures
+    e = _t(spark, sf_dir, "events")
+    lon, lat = fixtures.EVENT_LON_SQL, fixtures.EVENT_LAT_SQL
+    pts = (e.where(F.col("user_id") % WAYPOINT_MOD == 0)
+           .selectExpr("user_id", "ts", "event_id",
+                       f"{lon} AS lon", f"{lat} AS lat",
+                       f"CAST(FLOOR({lat} * 1000000.0) AS BIGINT) AS ilat"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (pts.withColumn("lon2", F.lead("lon").over(w))
+           .withColumn("lat2", F.lead("lat").over(w))
+           .withColumn("ilat2", F.lead("ilat").over(w))
+           .withColumn("seg_idx", F.row_number().over(w))
+           .where("lon2 IS NOT NULL"))
+    st = seg.selectExpr(
+        "user_id", "seg_idx", "ilat", "ilat2",
+        "RADIANS(lat) AS p1", "RADIANS(lat2) AS p2",
+        "CASE WHEN lon2 - lon > 180.0 THEN lon2 - lon - 360.0 "
+        "WHEN lon2 - lon < -180.0 THEN lon2 - lon + 360.0 "
+        "ELSE lon2 - lon END AS dlw")
+    st = st.selectExpr(
+        "user_id", "seg_idx", "ilat", "ilat2", "p1", "p2",
+        "RADIANS(dlw) AS dl",
+        "LN(TAN(CAST(PI() AS DOUBLE) / 4.0 + p2 / 2.0)) "
+        "- LN(TAN(CAST(PI() AS DOUBLE) / 4.0 + p1 / 2.0)) AS dpsi")
+    st = st.selectExpr(
+        "user_id", "seg_idx", "p1", "p2", "dl", "dpsi",
+        "CASE WHEN ilat = ilat2 THEN COS(p1) ELSE (p2 - p1) / dpsi END"
+        " AS q")
+    return st.selectExpr(
+        "user_id", "seg_idx",
+        "ROUND(DEGREES(ATAN2(dl, dpsi)), 6) AS bearing",
+        "ROUND(SQRT((p2 - p1) * (p2 - p1) + q * q * dl * dl) "
+        "* 6371.0088, 6) AS dist_km")
+
+
+def _oracle_rhumb() -> str:
+    from . import fixtures
+    lon, lat = fixtures.EVENT_LON_SQL, fixtures.EVENT_LAT_SQL
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id, {lon} AS lon, {lat} AS lat,
+         CAST(FLOOR({lat} * 1000000.0) AS BIGINT) AS ilat
+  FROM events WHERE user_id % {WAYPOINT_MOD} = 0),
+seg AS (
+  SELECT user_id, lon, lat, ilat,
+         LEAD(lon) OVER w AS lon2, LEAD(lat) OVER w AS lat2,
+         LEAD(ilat) OVER w AS ilat2,
+         ROW_NUMBER() OVER w AS seg_idx
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  QUALIFY lon2 IS NOT NULL),
+s1 AS (
+  SELECT user_id, seg_idx, ilat, ilat2,
+         RADIANS(lat) AS p1, RADIANS(lat2) AS p2,
+         CASE WHEN lon2 - lon > 180.0 THEN lon2 - lon - 360.0
+              WHEN lon2 - lon < -180.0 THEN lon2 - lon + 360.0
+              ELSE lon2 - lon END AS dlw
+  FROM seg),
+s2 AS (
+  SELECT user_id, seg_idx, ilat, ilat2, p1, p2, RADIANS(dlw) AS dl,
+         LN(TAN(CAST(PI() AS DOUBLE) / 4.0 + p2 / 2.0))
+         - LN(TAN(CAST(PI() AS DOUBLE) / 4.0 + p1 / 2.0)) AS dpsi
+  FROM s1),
+s3 AS (
+  SELECT user_id, seg_idx, p1, p2, dl, dpsi,
+         CASE WHEN ilat = ilat2 THEN COS(p1)
+              ELSE (p2 - p1) / dpsi END AS q
+  FROM s2)
+SELECT user_id, seg_idx,
+       ROUND(DEGREES(ATAN2(dl, dpsi)), 6) AS bearing,
+       ROUND(SQRT((p2 - p1) * (p2 - p1) + q * q * dl * dl)
+             * 6371.0088, 6) AS dist_km
+FROM s3
+"""
+
+
+QUERIES.update({
+    "matrix_profile_hourly": (q_matrix_profile, _oracle_matrix_profile()),
+    "rhumb_lines": (q_rhumb_lines, _oracle_rhumb()),
+})

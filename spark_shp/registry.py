@@ -332,6 +332,8 @@ _TAIL = [
     "elias_gamma_postings",  # postings compression estimate (IR/storage)
     "feistel_pseudonymize",  # format-preserving id pseudonym (privacy)
     "image_shear_warp",   # affine NN warp checksum (B11/augment)
+    "matrix_profile_hourly",  # motif/discord matrix profile (C6/C7)
+    "rhumb_lines",        # loxodrome bearing + distance (B/geo)
 ]
 
 _MERGED: dict = {}

@@ -434,3 +434,74 @@ def test_feistel_pseudonym_bijective_and_invertible(spark):
     # pseudonyms are not the identity (the mechanism fired)
     assert any(fwd(int(k) % (1 << 32)) != int(k) % (1 << 32)
                for k in c["c_custkey"])
+
+
+def test_matrix_profile_matches_bruteforce(spark):
+    from spark_shp.queries_eval import MP_W, q_matrix_profile
+    out = {r["i"]: (r["mind"], r["match_j"])
+           for r in q_matrix_profile(spark, SF).collect()}
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e = e[e["event_type"] == "purchase"]
+    h = (e["ts"].astype("datetime64[us]").astype("int64")
+         // 3600_000_000).astype(int)
+    counts = h.value_counts().to_dict()
+    h0, h1 = min(counts), max(counts)
+    c = [counts.get(k, 0) for k in range(h0, h1 + 1)]
+    n = len(c) - MP_W + 1
+    assert n >= 2 * MP_W  # profile is non-degenerate
+    exp = {}
+    for i in range(n):
+        best = None
+        for j in range(n):
+            if abs(i - j) < MP_W:
+                continue
+            d = sum((c[i + k] - c[j + k]) ** 2 for k in range(MP_W))
+            if best is None or d < best[0] or (d == best[0]
+                                               and j < best[1]):
+                best = (d, j)
+        exp[i] = best
+    assert out == exp
+    # structure: motifs exist (some window repeats ~exactly) and the
+    # profile is not constant
+    minds = [m for m, _ in exp.values()]
+    assert min(minds) < max(minds)
+
+
+def test_rhumb_lines_matches_numpy_and_laws(spark):
+    from spark_shp.hashing import u01
+    from spark_shp.queries_eval import WAYPOINT_MOD, q_rhumb_lines
+    rows = q_rhumb_lines(spark, SF).collect()
+    assert len(rows) > 0
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e = e[e["user_id"] % WAYPOINT_MOD == 0].copy()
+    ids = e["event_id"].to_numpy()
+    e["lon"] = u01(ids) * 360.0 - 180.0
+    e["lat"] = u01(ids * 2 + 1) * 170.0 - 85.0
+    segs = {}
+    for uid, g in e.sort_values(["ts", "event_id"]).groupby("user_id"):
+        pts = list(zip(g["lon"], g["lat"]))
+        for k in range(len(pts) - 1):
+            segs[(uid, k + 1)] = (pts[k], pts[k + 1])
+
+    def gc_km(p, q):
+        l1, t1 = np.radians(p)
+        l2, t2 = np.radians(q)
+        return 2 * 6371.0088 * np.arcsin(np.sqrt(
+            np.sin((t2 - t1) / 2) ** 2
+            + np.cos(t1) * np.cos(t2) * np.sin((l2 - l1) / 2) ** 2))
+
+    for r in rows:
+        (lo1, la1), (lo2, la2) = segs[(r["user_id"], r["seg_idx"])]
+        dl = lo2 - lo1
+        dl = dl - 360 if dl > 180 else dl + 360 if dl < -180 else dl
+        p1, p2 = np.radians(la1), np.radians(la2)
+        dpsi = (np.log(np.tan(np.pi / 4 + p2 / 2))
+                - np.log(np.tan(np.pi / 4 + p1 / 2)))
+        q = (np.cos(p1) if np.floor(la1 * 1e6) == np.floor(la2 * 1e6)
+             else (p2 - p1) / dpsi)
+        brg = np.degrees(np.arctan2(np.radians(dl), dpsi))
+        dist = np.hypot(p2 - p1, q * np.radians(dl)) * 6371.0088
+        assert abs(brg - r["bearing"]) < 2e-6
+        assert abs(dist - r["dist_km"]) < 2e-5
+        # law: a rhumb line is never shorter than the great circle
+        assert r["dist_km"] >= gc_km((lo1, la1), (lo2, la2)) - 1e-6
