@@ -1732,6 +1732,178 @@ FROM s5
 
 ORACLE_SHP_BONNE = _oracle_bonne_sql()
 
+N_ECK4 = 40
+_ECK4_WKT = (
+    'PROJCS["World_Eckert_IV",GEOGCS["GCS_WGS_1984",'
+    'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Eckert_IV"],'
+    'PARAMETER["False_Easting",0.0],'
+    'PARAMETER["False_Northing",0.0],'
+    'PARAMETER["Central_Meridian",10.0],UNIT["Meter",1.0]]')
+
+
+def q_shp_eckert4_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 Eckert IV (ESRI World_Eckert_IV / EPSG:54012 — the equal-area
+    world-map pseudocylindrical): Point shapefile in Eckert IV meters ->
+    engine inverse (parser.make_inv_eckert4, Snyder eq. 32-19..32-21
+    closed form).  The oracle unrolls the identical float64 op sequence
+    from the same eckert4_constants(); 9-decimal rounding policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_ECK4, dtype=np.int64)
+    xm = (u01(i * 101 + 3) - 0.5) * 2.0 * 10000000.0
+    ym = (u01(i * 101 + 4) - 0.5) * 2.0 * 7500000.0
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_ECK4_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_eckert4_sql() -> str:
+    from .shp.parser import eckert4_constants
+    cv = eckert4_constants(6378137.0, 10.0, 0.0, 0.0)
+    c = {k: f"CAST({v!r} AS DOUBLE)" for k, v in cv.items()}
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         ({u01_sql('i * 101 + 3')} - 0.5) * 2.0 * 10000000.0 AS x,
+         ({u01_sql('i * 101 + 4')} - 0.5) * 2.0 * 7500000.0 AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_ECK4 - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no, x - {c['fe']} AS xx,
+         ASIN(GREATEST(-1.0, LEAST(1.0, (y - {c['fn']}) / {c['cy']})))
+           AS theta
+  FROM src),
+s2 AS (
+  SELECT rec_no, xx, theta, SIN(theta) AS st, COS(theta) AS ct FROM s1),
+s3 AS (
+  SELECT rec_no, xx, ct,
+         ASIN(GREATEST(-1.0, LEAST(1.0,
+              (theta + st * ct + 2.0 * st) / {c['den']}))) AS phi
+  FROM s2)
+SELECT rec_no,
+       ROUND(DEGREES({c['lam0']} + xx / ({c['cx']} * (1.0 + ct))), 9)
+         AS lon,
+       ROUND(DEGREES(phi), 9) AS lat
+FROM s3
+"""
+
+
+ORACLE_SHP_ECK4 = _oracle_eckert4_sql()
+
+
+N_ROBIN = 40
+_ROBIN_WKT = (
+    'PROJCS["World_Robinson",GEOGCS["GCS_WGS_1984",'
+    'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Robinson"],'
+    'PARAMETER["False_Easting",0.0],'
+    'PARAMETER["False_Northing",0.0],'
+    'PARAMETER["Central_Meridian",-5.0],UNIT["Meter",1.0]]')
+
+
+def q_shp_robinson_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 Robinson (ESRI World_Robinson / EPSG:54030 — the NatGeo
+    world-map projection, DEFINED by Robinson's 5-degree table rather
+    than a formula): Point shapefile in Robinson meters -> engine
+    inverse (parser.make_inv_robinson: table-segment location on the
+    monotone PDFE column + exact piecewise-linear algebra).  The oracle
+    replays the segment CASE and interpolation from the same table
+    literals; 9-decimal rounding policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_ROBIN, dtype=np.int64)
+    xm = (u01(i * 103 + 3) - 0.5) * 2.0 * 14000000.0
+    ym = (u01(i * 103 + 4) - 0.5) * 2.0 * 8300000.0
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_ROBIN_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_robinson_sql() -> str:
+    from .shp.parser import (ROBINSON_PDFE, ROBINSON_PLEN, ROBINSON_XS,
+                             ROBINSON_YS)
+    a, lon0 = 6378137.0, -5.0
+    import math
+    lam0d = f"CAST({math.degrees(math.radians(lon0))!r} AS DOUBLE)"
+    ys = f"CAST({ROBINSON_YS * a!r} AS DOUBLE)"
+    xs = f"CAST({ROBINSON_XS * a!r} AS DOUBLE)"
+    seg = " ".join(
+        f"WHEN yy < CAST({ROBINSON_PDFE[k + 1]!r} AS DOUBLE) THEN {k}"
+        for k in range(18))
+    karms_t = " ".join(
+        f"WHEN {k} THEN (yy - CAST({ROBINSON_PDFE[k]!r} AS DOUBLE)) / "
+        f"CAST({ROBINSON_PDFE[k + 1] - ROBINSON_PDFE[k]!r} AS DOUBLE)"
+        for k in range(18))
+    karms_p = " ".join(
+        f"WHEN {k} THEN CAST({ROBINSON_PLEN[k]!r} AS DOUBLE) + t * "
+        f"CAST({ROBINSON_PLEN[k + 1] - ROBINSON_PLEN[k]!r} AS DOUBLE)"
+        for k in range(18))
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         ({u01_sql('i * 103 + 3')} - 0.5) * 2.0 * 14000000.0 AS x,
+         ({u01_sql('i * 103 + 4')} - 0.5) * 2.0 * 8300000.0 AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_ROBIN - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no, x AS xx, y, ABS(y) / {ys} AS yy FROM src),
+s2 AS (
+  SELECT rec_no, xx, y, yy, (CASE {seg} ELSE 17 END) AS k FROM s1),
+s3 AS (
+  SELECT rec_no, xx, y, yy, k, (CASE k {karms_t} END) AS t FROM s2),
+s4 AS (
+  SELECT rec_no, xx, y, k, t, (CASE k {karms_p} END) AS pl FROM s3)
+SELECT rec_no,
+       ROUND({lam0d} + DEGREES(xx / ({xs} * pl)), 9) AS lon,
+       ROUND(SIGN(y) * 5.0 * (k + t), 9) AS lat
+FROM s4
+"""
+
+
+ORACLE_SHP_ROBIN = _oracle_robinson_sql()
+
+
 
 N_AEQD = 40
 _AEQD_WKT = (
@@ -2180,7 +2352,7 @@ ORACLE_SHP_ORTHO = _oracle_ortho_sql()
 
 
 def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 — ALL nineteen supported .prj projection families under ONE gated
+    """A12 — ALL twenty-one supported .prj projection families under ONE gated
     row (the shp_zm_semantics consolidation pattern applied to CRS): each
     family decodes its own Point shapefile + WKT through the engine's
     inverse kernel, tagged with a family id, unioned. Driver-gates the
@@ -2200,7 +2372,8 @@ def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_shp_cassini_reproject, q_shp_aeqd_reproject,
             q_shp_cea_reproject, q_shp_polyconic_reproject,
             q_shp_gnomonic_reproject, q_shp_ortho_reproject,
-            q_shp_bonne_reproject]
+            q_shp_bonne_reproject, q_shp_eckert4_reproject,
+            q_shp_robinson_reproject]
     out = None
     for fam_id, fn in enumerate(fams):
         d = fn(spark, sf_dir).select(
@@ -2218,7 +2391,8 @@ ORACLE_REPROJECT_FAMILIES = "\nUNION ALL\n".join(
         ORACLE_SHP_OBLIQUE_STEREO, ORACLE_SHP_HOM, ORACLE_SHP_KROVAK,
         ORACLE_SHP_CASSINI, ORACLE_SHP_AEQD, ORACLE_SHP_CEA,
         ORACLE_SHP_POLYCONIC, ORACLE_SHP_GNOM, ORACLE_SHP_ORTHO,
-        ORACLE_SHP_BONNE]))
+        ORACLE_SHP_BONNE, ORACLE_SHP_ECK4,
+        ORACLE_SHP_ROBIN]))
 
 
 def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2676,6 +2850,9 @@ QUERIES: dict = {
     "shp_cassini_reproject": (q_shp_cassini_reproject,
                               ORACLE_SHP_CASSINI),
     "shp_bonne_reproject": (q_shp_bonne_reproject, ORACLE_SHP_BONNE),
+    "shp_eckert4_reproject": (q_shp_eckert4_reproject, ORACLE_SHP_ECK4),
+    "shp_robinson_reproject": (q_shp_robinson_reproject,
+                               ORACLE_SHP_ROBIN),
     "shp_aeqd_reproject": (q_shp_aeqd_reproject, ORACLE_SHP_AEQD),
     "shp_gnomonic_reproject": (q_shp_gnomonic_reproject, ORACLE_SHP_GNOM),
     "shp_ortho_reproject": (q_shp_ortho_reproject, ORACLE_SHP_ORTHO),

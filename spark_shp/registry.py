@@ -54,6 +54,8 @@ _TAIL = [
     "shp_cea_reproject",      # A12 (same family — Cyl. Equal Area/EASE)
     "shp_polyconic_reproject",  # A12 (same family — American Polyconic)
     "shp_bonne_reproject",    # A12 (same family — Bonne pseudoconic)
+    "shp_eckert4_reproject",  # A12 (same family — Eckert IV)
+    "shp_robinson_reproject",  # A12 (same family — Robinson table)
     "images_phash_near_dup",  # dedup family via minhash_lsh_pairs/simhash
     "shp_zip_bundle",         # A16-A18/A20 zip demux e2e (pytest in-window
                               # coverage via shp fixtures; exact diffcheck)

@@ -872,6 +872,84 @@ def make_inv_oblique_stereo(a: float, inv_f: float, lon0_deg: float,
     return inv
 
 
+def eckert4_constants(a: float, lon0_deg: float,
+                      fe: float = 0.0, fn: float = 0.0) -> dict:
+    """Shared float64 constants for the Eckert IV inverse (Snyder 1987
+    eq. 32-19..32-21) — the equal-area world-map pseudocylindrical
+    (ESRI World_Eckert_IV / EPSG:54012 family).  Spherical-only; on an
+    ellipsoidal datum the semimajor axis is the sphere radius (the
+    Mollweide convention)."""
+    pi = math.pi
+    return {
+        "cx": 2.0 / math.sqrt(pi * (4.0 + pi)) * a,   # x = cx·λ·(1+cosθ)
+        "cy": 2.0 * math.sqrt(pi / (4.0 + pi)) * a,   # y = cy·sinθ
+        "den": 2.0 + pi / 2.0,
+        "lam0": math.radians(lon0_deg), "fe": fe, "fn": fn,
+    }
+
+
+def make_inv_eckert4(a: float, lon0_deg: float,
+                     fe: float = 0.0, fn: float = 0.0):
+    """Closed-form Eckert IV inverse: θ = arcsin(y/cy),
+    φ = arcsin((θ + sinθcosθ + 2sinθ)/(2+π/2)), λ = λ0 + x/(cx(1+cosθ)).
+    Returns a vectorized (n,2) meters → (n,2) lon/lat° fn."""
+    c = eckert4_constants(a, lon0_deg, fe, fn)
+    cx, cy, den, lam0 = c["cx"], c["cy"], c["den"], c["lam0"]
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        x = pts[:, 0] - fe
+        y = pts[:, 1] - fn
+        theta = np.arcsin(np.clip(y / cy, -1.0, 1.0))
+        st, ct = np.sin(theta), np.cos(theta)
+        phi = np.arcsin(np.clip(
+            (theta + st * ct + 2.0 * st) / den, -1.0, 1.0))
+        lam = lam0 + x / (cx * (1.0 + ct))
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
+
+# Robinson's defining table (Robinson 1974; ACIC "A New Map Projection"):
+# PLEN (parallel length factor) and PDFE (pole-distance fraction) at 5°
+# latitude steps 0..90. The projection IS this table — interpolated here
+# LINEARLY (documented choice; NatGeo used Aitken interpolation) so the
+# inverse is exact piecewise algebra both engines replay identically.
+ROBINSON_PLEN = (1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600,
+                 0.9427, 0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597,
+                 0.7186, 0.6732, 0.6213, 0.5722, 0.5322)
+ROBINSON_PDFE = (0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720,
+                 0.4340, 0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903,
+                 0.8435, 0.8936, 0.9394, 0.9761, 1.0000)
+ROBINSON_XS = 0.8487
+ROBINSON_YS = 1.3523
+
+
+def make_inv_robinson(a: float, lon0_deg: float,
+                      fe: float = 0.0, fn: float = 0.0):
+    """Robinson inverse (the NatGeo world-map projection, ESRI
+    World_Robinson / EPSG:54030): Y = |y|/(1.3523·R) locates its table
+    segment (PDFE is strictly monotone), t interpolates linearly inside
+    it, φ = ±5°(k+t), and λ = λ0 + x/(0.8487·R·plen(t)).  Spherical by
+    definition (table-driven).  Returns a vectorized (n,2) meters →
+    (n,2) lon/lat° fn."""
+    lam0 = math.radians(lon0_deg)
+    pdfe = np.asarray(ROBINSON_PDFE)
+    plen = np.asarray(ROBINSON_PLEN)
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        x = pts[:, 0] - fe
+        y = pts[:, 1] - fn
+        yy = np.abs(y) / (ROBINSON_YS * a)
+        k = np.clip(np.searchsorted(pdfe, yy, side="right") - 1, 0, 17)
+        t = (yy - pdfe[k]) / (pdfe[k + 1] - pdfe[k])
+        phi = np.sign(y) * 5.0 * (k + t)
+        pl = plen[k] + t * (plen[k + 1] - plen[k])
+        lam = np.degrees(lam0) + np.degrees(x / (ROBINSON_XS * a * pl))
+        return np.column_stack([lam, phi])
+
+    return inv
+
+
 def mollweide_constants(a: float, lon0_deg: float,
                         fe: float = 0.0, fn: float = 0.0) -> dict:
     """Shared float64 constants for the Mollweide inverse — consumed by the
@@ -1601,6 +1679,22 @@ def projection_from_wkt(wkt) -> "callable | None":
             a, inv_f = _wkt_spheroid(wkt)
             return _with_unit(make_inv_sinusoidal(
                 a, inv_f,
+                p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
+        if re.search(r'PROJECTION\["?Eckert[_ ]?IV', wkt, re.I):
+            p = _wkt_params(wkt)
+            a, _inv_f = _wkt_spheroid(wkt)  # spherical-only: R = semimajor
+            return _with_unit(make_inv_eckert4(
+                a,
+                p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
+        if re.search(r'PROJECTION\["?Robinson', wkt, re.I):
+            p = _wkt_params(wkt)
+            a, _inv_f = _wkt_spheroid(wkt)  # table-driven, spherical
+            return _with_unit(make_inv_robinson(
+                a,
                 p.get("central_meridian", p.get("longitude_of_center", 0.0)),
                 p.get("false_easting", 0.0) * unit,
                 p.get("false_northing", 0.0) * unit), unit)

@@ -1595,3 +1595,89 @@ def test_bonne_wkt_dispatch():
     assert inv is not None
     out = inv(np.array([[600000.0, 200000.0]]))  # FE/FN -> origin
     assert abs(out[0, 0] - 2.5) < 5e-9 and abs(out[0, 1] - 45.0) < 5e-9
+
+
+def test_eckert4_roundtrip_against_newton_forward():
+    """Eckert IV FORWARD via Newton iteration on Snyder eq. 32-17
+    (theta + sin theta cos theta + 2 sin theta = (2 + pi/2) sin phi),
+    written independently of the closed-form inverse; roundtrip <1e-9
+    degrees over the world map."""
+    import math
+    import numpy as np
+    from spark_shp.shp.parser import eckert4_constants, make_inv_eckert4
+
+    a, lon0 = 6378137.0, 10.0
+    c = eckert4_constants(a, lon0)
+
+    def fwd(lon_deg, lat_deg):
+        phi = math.radians(lat_deg)
+        lam = math.radians(lon_deg - lon0)
+        rhs = (2.0 + math.pi / 2.0) * math.sin(phi)
+        th = phi / 2.0
+        for _ in range(30):
+            f = th + math.sin(th) * math.cos(th) + 2.0 * math.sin(th) - rhs
+            fp = 1.0 + math.cos(2.0 * th) + 2.0 * math.cos(th)
+            th -= f / fp
+        return c["cx"] * lam * (1.0 + math.cos(th)), c["cy"] * math.sin(th)
+
+    rng = np.random.default_rng(31)
+    lons = rng.uniform(lon0 - 170.0, lon0 + 170.0, 200)
+    lats = rng.uniform(-85.0, 85.0, 200)
+    grid = np.array([fwd(lo, la) for lo, la in zip(lons, lats)])
+    back = make_inv_eckert4(a, lon0)(grid)
+    assert np.max(np.abs(back[:, 0] - lons)) < 1e-9
+    assert np.max(np.abs(back[:, 1] - lats)) < 1e-9
+
+
+def test_robinson_roundtrip_and_anchors():
+    """Robinson FORWARD from the defining table (independent linear
+    interpolation in the latitude direction) roundtrips <1e-9 degrees;
+    published anchors: x = 0.8487*R*lam at the equator, |y| = 1.3523*R
+    at the poles, parallel length 0.5322 factor at 90."""
+    import math
+    import numpy as np
+    from spark_shp.shp.parser import (ROBINSON_PDFE, ROBINSON_PLEN,
+                                      ROBINSON_XS, ROBINSON_YS,
+                                      make_inv_robinson)
+
+    a, lon0 = 6378137.0, -5.0
+
+    def fwd(lon_deg, lat_deg):
+        alat = abs(lat_deg)
+        k = min(int(alat // 5), 17)
+        t = (alat - 5.0 * k) / 5.0
+        pl = ROBINSON_PLEN[k] + t * (ROBINSON_PLEN[k + 1]
+                                     - ROBINSON_PLEN[k])
+        pd_ = ROBINSON_PDFE[k] + t * (ROBINSON_PDFE[k + 1]
+                                      - ROBINSON_PDFE[k])
+        x = ROBINSON_XS * a * pl * math.radians(lon_deg - lon0)
+        y = math.copysign(ROBINSON_YS * a * pd_, lat_deg)
+        return x, y
+
+    rng = np.random.default_rng(37)
+    lons = rng.uniform(lon0 - 170.0, lon0 + 170.0, 200)
+    lats = rng.uniform(-89.0, 89.0, 200)
+    grid = np.array([fwd(lo, la) for lo, la in zip(lons, lats)])
+    inv = make_inv_robinson(a, lon0)
+    back = inv(grid)
+    assert np.max(np.abs(back[:, 0] - lons)) < 1e-9
+    assert np.max(np.abs(back[:, 1] - lats)) < 1e-9
+    # anchors
+    x_eq, y_eq = fwd(lon0 + 100.0, 0.0)
+    assert abs(x_eq - ROBINSON_XS * a * math.radians(100.0)) < 1e-6
+    assert y_eq == 0.0
+    _, y_pole = fwd(lon0, 90.0)
+    assert abs(y_pole - ROBINSON_YS * a) < 1e-6
+    out = inv(np.array([fwd(lon0 + 60.0, 90.0)]))
+    assert abs(out[0, 1] - 90.0) < 1e-9
+
+
+def test_eckert4_robinson_wkt_dispatch():
+    import numpy as np
+    from spark_shp.queries_shp import _ECK4_WKT, _ROBIN_WKT
+    from spark_shp.shp.parser import projection_from_wkt
+    for wkt, lon0 in ((_ECK4_WKT, 10.0), (_ROBIN_WKT, -5.0)):
+        inv = projection_from_wkt(wkt)
+        assert inv is not None
+        out = inv(np.array([[0.0, 0.0]]))
+        assert abs(out[0, 0] - lon0) < 1e-9 and abs(out[0, 1]) < 1e-9
