@@ -1250,3 +1250,288 @@ QUERIES.update({
     "matrix_profile_hourly": (q_matrix_profile, _oracle_matrix_profile()),
     "rhumb_lines": (q_rhumb_lines, _oracle_rhumb()),
 })
+
+
+# --- temporal_reachability: time-respecting diffusion over contacts -----------
+#
+# The temporal-network primitive (epidemic / influence / information
+# spread): users co-present in the same (level-4 cell, 6-hour window)
+# form a CONTACT (a,b,t); a seed set is infected at its first
+# appearance, and infection spreads along contacts whose time is >= the
+# carrier's infection time — the time-respecting-path constraint that
+# distinguishes temporal reachability from plain graph reachability
+# (convoy_pairs mines the co-movement; this propagates over it).  Three
+# rounds unrolled; per user the gate carries the FIRST ROUND infected
+# and the BEST (minimal) infection window after all rounds — both exact
+# integer mins.  Scale shape: one distinct pass to (user, cell, wnd),
+# one (cell, wnd)-keyed self-join for contacts (checkpointed once),
+# then three contact-keyed joins over the shrinking frontier.
+
+TR_MOD = 11          # cohort knob
+TR_SEED_MOD = 97     # seed density
+TR_LEVEL = 4
+TR_WND_US = 6 * 3600 * 1_000_000
+TR_ROUNDS = 3
+
+
+def _tr_presence_exprs():
+    from . import cells, fixtures
+    cell = cells.cell_sql(fixtures.EVENT_LON_SQL, fixtures.EVENT_LAT_SQL,
+                          TR_LEVEL)
+    return cell
+
+
+def q_temporal_reachability(spark, sf_dir):
+    cell = _tr_presence_exprs()
+    e = _t(spark, sf_dir, "events")
+    pres = (e.where(F.col("user_id") % TR_MOD == 0)
+            .selectExpr(
+                "user_id",
+                f"{cell} AS cell",
+                "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) "
+                f"/ {float(TR_WND_US)!r}) AS BIGINT) AS wnd")
+            .distinct())
+    pres = pres.localCheckpoint()
+    b = pres.selectExpr("user_id AS u2", "cell", "wnd")
+    contacts = (pres.join(b, ["cell", "wnd"])
+                .where("user_id != u2")
+                .selectExpr("user_id AS src", "u2 AS dst", "wnd AS t")
+                .distinct()
+                .localCheckpoint())
+    inf = (pres.where(F.col("user_id") % TR_SEED_MOD == 0)
+           .groupBy("user_id")
+           .agg(F.min("wnd").alias("t0"))
+           .selectExpr("user_id", "t0", "0 AS r"))
+    for rnd in range(1, TR_ROUNDS + 1):
+        cand = (contacts.join(
+            inf.selectExpr("user_id AS src", "t0 AS st"), "src")
+            .where("t >= st")
+            .groupBy("dst").agg(F.min("t").alias("ct"))
+            .selectExpr("dst AS user_id", "ct AS t0",
+                        f"{rnd} AS r"))
+        inf = (inf.unionByName(cand)
+               .groupBy("user_id")
+               .agg(F.min("r").alias("first_round"),
+                    F.min("t0").alias("best_t"))
+               .selectExpr("user_id", "best_t AS t0",
+                           "first_round AS r")
+               .localCheckpoint())
+    return inf.selectExpr("user_id",
+                          "CAST(r AS BIGINT) AS first_round",
+                          "CAST(t0 AS BIGINT) AS best_wnd")
+
+
+def _oracle_reachability() -> str:
+    from . import cells, fixtures
+    cell = cells.cell_sql(fixtures.EVENT_LON_SQL, fixtures.EVENT_LAT_SQL,
+                          TR_LEVEL)
+    ctes = [f"""
+pres AS MATERIALIZED (
+  SELECT DISTINCT user_id, {cell} AS cell,
+         CAST(FLOOR(epoch_us(ts) / {float(TR_WND_US)!r}) AS BIGINT) AS wnd
+  FROM events WHERE user_id % {TR_MOD} = 0),
+contacts AS MATERIALIZED (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst, a.wnd AS t
+  FROM pres a JOIN pres b ON a.cell = b.cell AND a.wnd = b.wnd
+  WHERE a.user_id != b.user_id),
+inf0 AS MATERIALIZED (
+  SELECT user_id, MIN(wnd) AS t0, 0 AS r
+  FROM pres WHERE user_id % {TR_SEED_MOD} = 0 GROUP BY user_id)"""]
+    prev = "inf0"
+    for rnd in range(1, TR_ROUNDS + 1):
+        ctes.append(f"""
+cand{rnd} AS MATERIALIZED (
+  SELECT c.dst AS user_id, MIN(c.t) AS t0, {rnd} AS r
+  FROM contacts c JOIN {prev} i ON c.src = i.user_id AND c.t >= i.t0
+  GROUP BY c.dst),
+inf{rnd} AS MATERIALIZED (
+  SELECT user_id, MIN(t0) AS t0, MIN(r) AS r
+  FROM (SELECT * FROM {prev} UNION ALL SELECT * FROM cand{rnd})
+  GROUP BY user_id)""")
+        prev = f"inf{rnd}"
+    return ("WITH " + ",".join(ctes) + f"""
+SELECT user_id, CAST(r AS BIGINT) AS first_round,
+       CAST(t0 AS BIGINT) AS best_wnd
+FROM {prev}""")
+
+
+QUERIES.update({
+    "temporal_reachability": (q_temporal_reachability,
+                              _oracle_reachability()),
+})
+
+
+# --- auction_clearing: single-price double-auction clearing -------------------
+#
+# The market-microstructure primitive (opening/closing auctions, ad
+# exchanges): bids and asks aggregate into demand and supply curves,
+# and the clearing price maximizes matched volume V(p) =
+# min(demand(p), supply(p)) — derived RELATIONALLY: per price level,
+# demand = cumulative bid quantity from the highest price down, supply
+# = cumulative ask quantity from the lowest up, argmax by an exact
+# integer packed key (volume, -price) — no iteration, no float.  Scale
+# shape: one map-side-combined groupBy to price levels; the cumsum
+# windows run over the LEVEL table (bounded by distinct prices), not
+# the order stream.
+
+def q_auction_clearing(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    sides = o.selectExpr(
+        "CAST(FLOOR(o_totalprice / 100.0) AS BIGINT) AS price",
+        "o_orderkey % 5 + 1 AS qty",
+        "CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS is_bid")
+    lv = (sides.groupBy("price")
+          .agg(F.sum(F.expr("qty * is_bid")).alias("bid_qty"),
+               F.sum(F.expr("qty * (1 - is_bid)")).alias("ask_qty")))
+    cur = lv.selectExpr(
+        "price", "bid_qty", "ask_qty",
+        "SUM(bid_qty) OVER (ORDER BY price DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS demand",
+        "SUM(ask_qty) OVER (ORDER BY price ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS supply")
+    v = cur.selectExpr("price", "demand", "supply",
+                       "LEAST(demand, supply) AS vol")
+    best = v.groupBy().agg(
+        F.max(F.expr("vol * 1000000 - price")).alias("k"))
+    return (v.join(F.broadcast(best),
+                   F.expr("vol * 1000000 - price = k"))
+            .selectExpr("CAST(price AS BIGINT) AS clearing_price",
+                        "CAST(vol AS BIGINT) AS volume",
+                        "CAST(demand AS BIGINT) AS demand_at_p",
+                        "CAST(supply AS BIGINT) AS supply_at_p"))
+
+
+ORACLE_AUCTION = """
+WITH sides AS (
+  SELECT CAST(FLOOR(o_totalprice / 100.0) AS BIGINT) AS price,
+         o_orderkey % 5 + 1 AS qty,
+         CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS is_bid
+  FROM orders),
+lv AS (
+  SELECT price, SUM(qty * is_bid) AS bid_qty,
+         SUM(qty * (1 - is_bid)) AS ask_qty
+  FROM sides GROUP BY price),
+cur AS (
+  SELECT price,
+         SUM(bid_qty) OVER (ORDER BY price DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS demand,
+         SUM(ask_qty) OVER (ORDER BY price ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS supply
+  FROM lv),
+v AS (SELECT price, demand, supply, LEAST(demand, supply) AS vol
+      FROM cur),
+best AS (SELECT MAX(vol * 1000000 - price) AS k FROM v)
+SELECT CAST(price AS BIGINT) AS clearing_price,
+       CAST(vol AS BIGINT) AS volume,
+       CAST(demand AS BIGINT) AS demand_at_p,
+       CAST(supply AS BIGINT) AS supply_at_p
+FROM v JOIN best ON v.vol * 1000000 - v.price = best.k
+"""
+
+
+# --- cross_k_function: bivariate spatial association ----------------------------
+#
+# Ripley's CROSS-K (the bivariate extension of ripley_k_bands): does
+# event type A (purchase) cluster AROUND type B (view), at Chebyshev
+# radii 0.5/1/2 degrees?  One cell-ring equi-join at level 6 (cell
+# width >= the largest band, so the 3x3 ring provably contains every
+# qualifying cross pair — the knox_spacetime construction applied
+# cross-type); per-band counts by conditional sums over ONE pair pass;
+# K(d) = Area * n_pairs(d) / (nA * nB) is the one-literal float.
+
+XK_BANDS = (0.5, 1.0, 2.0)
+XK_CELL = 6
+XK_A, XK_B = "purchase", "view"
+XK_AREA = 360.0 * 170.0
+
+
+def q_cross_k(spark, sf_dir):
+    from . import cells, fixtures
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, XK_CELL)
+    e = (_t(spark, sf_dir, "events")
+         .selectExpr("event_id", "event_type",
+                     f"{fixtures.EVENT_LON_SQL} AS lon",
+                     f"{fixtures.EVENT_LAT_SQL} AS lat",
+                     f"{ix} AS cx", f"{iy} AS cy")
+         .where(f"event_type IN ('{XK_A}', '{XK_B}')")
+         .localCheckpoint())
+    a = (e.where(f"event_type = '{XK_A}'")
+         .selectExpr("event_id AS a_id", "lon AS a_lon", "lat AS a_lat",
+                     "explode(sequence(cx - 1, cx + 1)) AS jx", "cy AS acy"))
+    a = a.selectExpr("a_id", "a_lon", "a_lat", "jx",
+                     "explode(sequence(acy - 1, acy + 1)) AS jy")
+    b = (e.where(f"event_type = '{XK_B}'")
+         .selectExpr("event_id AS b_id", "lon", "lat", "cx AS jx",
+                     "cy AS jy"))
+    dmax = max(XK_BANDS)
+    pairs = (a.join(b, ["jx", "jy"])
+             .where(f"ABS(a_lon - lon) <= {dmax!r} AND "
+                    f"ABS(a_lat - lat) <= {dmax!r}")
+             .selectExpr("a_id", "b_id",
+                         "GREATEST(ABS(a_lon - lon), ABS(a_lat - lat)) "
+                         "AS cheb")
+             .distinct())
+    counts = pairs.groupBy().agg(
+        *[F.sum(F.expr(f"CASE WHEN cheb <= {d!r} THEN 1 ELSE 0 END"))
+          .alias(f"n_{i}") for i, d in enumerate(XK_BANDS)])
+    na = e.where(f"event_type = '{XK_A}'").groupBy().agg(
+        F.count(F.lit(1)).alias("na"))
+    nb = e.where(f"event_type = '{XK_B}'").groupBy().agg(
+        F.count(F.lit(1)).alias("nb"))
+    base = counts.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb))
+    rows = []
+    for i, d in enumerate(XK_BANDS):
+        rows.append(base.selectExpr(
+            f"CAST({d!r} AS DOUBLE) AS band",
+            f"CAST(n_{i} AS BIGINT) AS n_pairs",
+            "CAST(na AS BIGINT) AS n_a", "CAST(nb AS BIGINT) AS n_b",
+            f"ROUND(CAST({XK_AREA!r} AS DOUBLE) * n_{i} "
+            "/ (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS k_d"))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _oracle_cross_k() -> str:
+    from . import cells, fixtures
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, XK_CELL)
+    dmax = max(XK_BANDS)
+    band_rows = " UNION ALL ".join(
+        f"""SELECT CAST({d!r} AS DOUBLE) AS band,
+       CAST(n_{i} AS BIGINT) AS n_pairs,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(CAST({XK_AREA!r} AS DOUBLE) * n_{i}
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS k_d
+FROM base""" for i, d in enumerate(XK_BANDS))
+    csums = ", ".join(
+        f"SUM(CASE WHEN cheb <= {d!r} THEN 1 ELSE 0 END) AS n_{i}"
+        for i, d in enumerate(XK_BANDS))
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT event_id, event_type, {fixtures.EVENT_LON_SQL} AS lon,
+         {fixtures.EVENT_LAT_SQL} AS lat, {ix} AS cx, {iy} AS cy
+  FROM events WHERE event_type IN ('{XK_A}', '{XK_B}')),
+pairs AS (
+  SELECT DISTINCT a.event_id AS a_id, b.event_id AS b_id,
+         GREATEST(ABS(a.lon - b.lon), ABS(a.lat - b.lat)) AS cheb
+  FROM e a JOIN e b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND a.event_type = '{XK_A}' AND b.event_type = '{XK_B}'
+  WHERE ABS(a.lon - b.lon) <= {dmax!r}
+    AND ABS(a.lat - b.lat) <= {dmax!r}),
+counts AS (SELECT {csums} FROM pairs),
+na_t AS (SELECT COUNT(*) AS na FROM e WHERE event_type = '{XK_A}'),
+nb_t AS (SELECT COUNT(*) AS nb FROM e WHERE event_type = '{XK_B}'),
+base AS (SELECT * FROM counts, na_t, nb_t)
+{band_rows}
+"""
+
+
+QUERIES.update({
+    "auction_clearing": (q_auction_clearing, ORACLE_AUCTION),
+    "cross_k_function": (q_cross_k, _oracle_cross_k()),
+})

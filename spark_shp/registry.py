@@ -336,6 +336,9 @@ _TAIL = [
     "image_shear_warp",   # affine NN warp checksum (B11/augment)
     "matrix_profile_hourly",  # motif/discord matrix profile (C6/C7)
     "rhumb_lines",        # loxodrome bearing + distance (B/geo)
+    "temporal_reachability",  # time-respecting diffusion (temporal graph)
+    "auction_clearing",   # double-auction clearing price (C6/market)
+    "cross_k_function",   # bivariate Ripley cross-K (B stats family)
 ]
 
 _MERGED: dict = {}

@@ -505,3 +505,101 @@ def test_rhumb_lines_matches_numpy_and_laws(spark):
         assert abs(dist - r["dist_km"]) < 2e-5
         # law: a rhumb line is never shorter than the great circle
         assert r["dist_km"] >= gc_km((lo1, la1), (lo2, la2)) - 1e-6
+
+
+def test_temporal_reachability_matches_simulation(spark):
+    from spark_shp.cells import cell_encode
+    from spark_shp.hashing import u01
+    from spark_shp.queries_eval import (TR_LEVEL, TR_MOD, TR_ROUNDS,
+                                        TR_SEED_MOD, TR_WND_US,
+                                        q_temporal_reachability)
+    got = {r["user_id"]: (r["first_round"], r["best_wnd"])
+           for r in q_temporal_reachability(spark, SF).collect()}
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e = e[e["user_id"] % TR_MOD == 0].copy()
+    ids = e["event_id"].to_numpy()
+    lon = u01(ids) * 360.0 - 180.0
+    lat = u01(ids * 2 + 1) * 170.0 - 85.0
+    cells = cell_encode(lon, lat, TR_LEVEL)
+    wnd = (e["ts"].astype("datetime64[us]").astype("int64")
+           // TR_WND_US).astype(int)
+    pres = set(zip(e["user_id"].astype(int), cells.astype(int), wnd))
+    by_cw = {}
+    for u, c, w in pres:
+        by_cw.setdefault((c, w), set()).add(u)
+    contacts = set()
+    for (c, w), us in by_cw.items():
+        for a in us:
+            for b in us:
+                if a != b:
+                    contacts.add((a, b, w))
+    inf = {}
+    for u, c, w in pres:
+        if u % TR_SEED_MOD == 0:
+            if u not in inf or w < inf[u][1]:
+                inf[u] = (0, w)
+    for rnd in range(1, TR_ROUNDS + 1):
+        cand = {}
+        for a, b, t in contacts:
+            if a in inf and t >= inf[a][1]:
+                if b not in cand or t < cand[b]:
+                    cand[b] = t
+        for b, t in cand.items():
+            if b not in inf:
+                inf[b] = (rnd, t)
+            else:
+                inf[b] = (inf[b][0], min(inf[b][1], t))
+    assert got == inf
+    rounds = [r for r, _ in inf.values()]
+    assert max(rounds) >= 1     # diffusion actually spread
+    assert len(inf) > sum(1 for r in rounds if r == 0)
+
+
+def test_auction_clearing_matches_bruteforce(spark):
+    from spark_shp.queries_eval import q_auction_clearing
+    row = q_auction_clearing(spark, SF).collect()
+    assert len(row) == 1
+    row = row[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    price = np.floor(o["o_totalprice"] / 100.0).astype(int)
+    qty = (o["o_orderkey"] % 5 + 1).astype(int)
+    is_bid = (o["o_orderkey"] % 2 == 1)
+    levels = sorted(set(price))
+    best = None
+    for p in levels:
+        d = int(qty[is_bid & (price >= p)].sum())
+        s = int(qty[~is_bid & (price <= p)].sum())
+        v = min(d, s)
+        if best is None or v > best[1] or (v == best[1] and p < best[0]):
+            best = (p, v, d, s)
+    assert (row["clearing_price"], row["volume"], row["demand_at_p"],
+            row["supply_at_p"]) == best
+    # market structure: positive volume, curves actually cross
+    assert best[1] > 0
+    assert best[2] != best[3] or best[1] == best[2]
+
+
+def test_cross_k_matches_bruteforce_pairs(spark):
+    from spark_shp.hashing import u01
+    from spark_shp.queries_eval import XK_A, XK_AREA, XK_B, XK_BANDS, \
+        q_cross_k
+    out = {r["band"]: r for r in q_cross_k(spark, SF).collect()}
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e = e[e["event_type"].isin([XK_A, XK_B])].copy()
+    ids = e["event_id"].to_numpy()
+    e["lon"] = u01(ids) * 360.0 - 180.0
+    e["lat"] = u01(ids * 2 + 1) * 170.0 - 85.0
+    a = e[e["event_type"] == XK_A]
+    b = e[e["event_type"] == XK_B]
+    la, fa = a["lon"].to_numpy(), a["lat"].to_numpy()
+    lb, fb = b["lon"].to_numpy(), b["lat"].to_numpy()
+    cheb = np.maximum(np.abs(la[:, None] - lb[None, :]),
+                      np.abs(fa[:, None] - fb[None, :]))
+    for d in XK_BANDS:
+        n = int((cheb <= d).sum())      # brute force proves ring lossless
+        row = out[d]
+        assert (row["n_pairs"], row["n_a"], row["n_b"]) == (
+            n, len(a), len(b))
+        assert row["k_d"] == round(XK_AREA * n / (len(a) * len(b)), 6)
+    assert out[max(XK_BANDS)]["n_pairs"] > out[min(XK_BANDS)]["n_pairs"]
