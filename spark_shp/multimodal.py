@@ -1667,3 +1667,60 @@ def shear_checksums(images: DataFrame, shift_div: int = 4) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+def haar_band_energies(images: DataFrame) -> DataFrame:
+    """One-level 2-D Haar DWT over the real decode (the wavelet member
+    of the transform family next to the WHT/SATD and mipmap ops): per
+    2x2 block, LL = a+b+c+d, LH = a-b+c-d, HL = a+b-c-d, HH = a-b-c+d
+    (integer, x2 scale per axis) — per-band energies (sum of squared
+    coefficients) and an LL position-weighted checksum, all exact
+    int64.  Vectorized: four strided slices per decode stack."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_blocks", T.LongType()),
+        T.StructField("e_ll", T.LongType()),
+        T.StructField("e_lh", T.LongType()),
+        T.StructField("e_hl", T.LongType()),
+        T.StructField("e_hh", T.LongType()),
+        T.StructField("ll_checksum", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                px = _decode_stack(pdf, idx, w, h, fmt).astype(np.int64)
+                a = px[:, 0::2, 0::2, :]
+                b = px[:, 0::2, 1::2, :]
+                c = px[:, 1::2, 0::2, :]
+                d = px[:, 1::2, 1::2, :]
+                ll = a + b + c + d
+                lh = a - b + c - d
+                hl = a + b - c - d
+                hh = a - b - c + d
+                hb, wb = h // 2, w // 2
+                by = np.arange(hb, dtype=np.int64)[:, None, None]
+                bx = np.arange(wb, dtype=np.int64)[None, :, None]
+                cc = np.arange(3, dtype=np.int64)[None, None, :]
+                wgt = (by * wb + bx) * 3 + cc + 1
+                rows_idx = {
+                    "e_ll": (ll * ll), "e_lh": (lh * lh),
+                    "e_hl": (hl * hl), "e_hh": (hh * hh)}
+                sums = {k: v.sum(axis=(1, 2, 3)) for k, v in
+                        rows_idx.items()}
+                chk = (ll * wgt[None]).sum(axis=(1, 2, 3))
+                for t, i in enumerate(idx):
+                    rows[i] = (ids[i], hb * wb * 3,
+                               int(sums["e_ll"][t]), int(sums["e_lh"][t]),
+                               int(sums["e_hl"][t]), int(sums["e_hh"][t]),
+                               int(chk[t]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

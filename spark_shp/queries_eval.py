@@ -1535,3 +1535,217 @@ QUERIES.update({
     "auction_clearing": (q_auction_clearing, ORACLE_AUCTION),
     "cross_k_function": (q_cross_k, _oracle_cross_k()),
 })
+
+
+# --- impossible_travel: auth-security velocity anomaly ------------------------
+#
+# The account-compromise detector every auth/fraud stack runs: for
+# consecutive events of a user, the implied travel speed (haversine
+# distance over elapsed time); segments faster than a physical bound
+# (900 km/h — airliner speed) are flagged.  The haversine is the SAME
+# staged literal both engines run (the trajectory_stats discipline);
+# zero-elapsed segments are excluded by an integer µs predicate, and
+# the flag compare runs on identically-computed floats.  Output: the
+# flagged segments with ROUND(...,6) diagnostics.
+
+IT_SPEED_KMH = 900.0
+
+
+def q_impossible_travel(spark, sf_dir):
+    from . import fixtures
+    e = _t(spark, sf_dir, "events")
+    lon, lat = fixtures.EVENT_LON_SQL, fixtures.EVENT_LAT_SQL
+    pts = (e.where(F.col("user_id") % WAYPOINT_MOD == 0)
+           .selectExpr("user_id", "ts", "event_id",
+                       f"{lon} AS lon", f"{lat} AS lat",
+                       "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS us"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (pts.withColumn("lon2", F.lead("lon").over(w))
+           .withColumn("lat2", F.lead("lat").over(w))
+           .withColumn("us2", F.lead("us").over(w))
+           .withColumn("seg_idx", F.row_number().over(w))
+           .where("lon2 IS NOT NULL AND us2 - us > 0"))
+    st = seg.selectExpr(
+        "user_id", "seg_idx", "us2 - us AS dt_us",
+        "2.0 * 6371.0088 * ASIN(SQRT("
+        "POW(SIN((RADIANS(lat2) - RADIANS(lat)) / 2.0), 2.0)"
+        " + COS(RADIANS(lat)) * COS(RADIANS(lat2))"
+        " * POW(SIN((RADIANS(lon2) - RADIANS(lon)) / 2.0), 2.0)))"
+        " AS dist_km")
+    st = st.selectExpr(
+        "user_id", "seg_idx", "dt_us", "dist_km",
+        "dist_km / (CAST(dt_us AS DOUBLE) / 3600000000.0) AS speed_kmh")
+    return (st.where(f"speed_kmh > {IT_SPEED_KMH!r}")
+            .selectExpr("user_id", "seg_idx",
+                        "CAST(dt_us AS BIGINT) AS dt_us",
+                        "ROUND(dist_km, 6) AS dist_km",
+                        "ROUND(speed_kmh, 6) AS speed_kmh"))
+
+
+def _oracle_impossible() -> str:
+    from . import fixtures
+    lon, lat = fixtures.EVENT_LON_SQL, fixtures.EVENT_LAT_SQL
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id, {lon} AS lon, {lat} AS lat,
+         epoch_us(ts) AS us
+  FROM events WHERE user_id % {WAYPOINT_MOD} = 0),
+seg AS (
+  SELECT user_id, lon, lat, us,
+         LEAD(lon) OVER w AS lon2, LEAD(lat) OVER w AS lat2,
+         LEAD(us) OVER w AS us2,
+         ROW_NUMBER() OVER w AS seg_idx
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  QUALIFY lon2 IS NOT NULL AND us2 - us > 0),
+st AS (
+  SELECT user_id, seg_idx, us2 - us AS dt_us,
+         2.0 * 6371.0088 * ASIN(SQRT(
+           POW(SIN((RADIANS(lat2) - RADIANS(lat)) / 2.0), 2.0)
+           + COS(RADIANS(lat)) * COS(RADIANS(lat2))
+           * POW(SIN((RADIANS(lon2) - RADIANS(lon)) / 2.0), 2.0)))
+           AS dist_km
+  FROM seg),
+sp AS (
+  SELECT user_id, seg_idx, dt_us, dist_km,
+         dist_km / (CAST(dt_us AS DOUBLE) / 3600000000.0) AS speed_kmh
+  FROM st)
+SELECT user_id, seg_idx, CAST(dt_us AS BIGINT) AS dt_us,
+       ROUND(dist_km, 6) AS dist_km,
+       ROUND(speed_kmh, 6) AS speed_kmh
+FROM sp WHERE speed_kmh > {IT_SPEED_KMH!r}
+"""
+
+
+# --- lucas_kanade_flow: gradient-based optical flow ---------------------------
+#
+# The OTHER optical-flow algorithm (video_motion_vectors is the
+# exhaustive block-matching search; Lucas-Kanade solves the linearized
+# brightness-constancy system): per 8x8 window, integer structure-
+# tensor moments (sxx, sxy, syy from central-difference gray gradients
+# on the previous frame; sxt, syt against the temporal difference) and
+# the closed-form 2x2 solve u = (sxy*syt - syy*sxt)/det,
+# v = (sxy*sxt - sxx*syt)/det — moments exact int64, det an integer,
+# each flow component ONE literal float division (skipped when the
+# integer det is 0).  Over the REAL RIFF/AVI decode; the oracle
+# recomputes every gradient from the frame formula.
+
+def q_lucas_kanade(spark, sf_dir, n_avis: int | None = None,
+                   partitions: int = 4):
+    from . import riff
+    from .queries_insights import (MV_BLOCKS, MV_H, MV_W, N_MV_AVI,
+                                   _mv_params)
+    n_avis = N_MV_AVI if n_avis is None else n_avis
+
+    schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("f", T.IntegerType()),
+        T.StructField("blk", T.IntegerType()),
+        T.StructField("det", T.LongType()),
+        T.StructField("sxt", T.LongType()),
+        T.StructField("syt", T.LongType()),
+        T.StructField("u", T.DoubleType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].astype(int):
+                nf, vx, vy = _mv_params(i)
+                f, y, x, c = np.ogrid[0:nf, 0:MV_H, 0:MV_W, 0:3]
+                content = ((i * 11 + (x + 100 - vx * f) * 29
+                            + (y + 100 - vy * f) * 17 + c * 13) % 256)
+                noise = (i + f * 31 + y * 7 + x * 3 + c) % 3
+                px = ((content + noise) % 256).astype(np.uint8)
+                dec, _ = riff.avi_decode(riff.avi_encode(px, fps=10))
+                g = dec.astype(np.int64).sum(axis=3)   # gray = R+G+B
+                for fi in range(1, nf):
+                    gp, gc = g[fi - 1], g[fi]
+                    for bidx, (bx, by) in enumerate(MV_BLOCKS):
+                        ys, xs = slice(by, by + 8), slice(bx, bx + 8)
+                        ix = (gp[ys, bx + 1:bx + 9]
+                              - gp[ys, bx - 1:bx + 7])
+                        iy = (gp[by + 1:by + 9, xs]
+                              - gp[by - 1:by + 7, xs])
+                        it = gc[ys, xs] - gp[ys, xs]
+                        sxx = int((ix * ix).sum())
+                        sxy = int((ix * iy).sum())
+                        syy = int((iy * iy).sum())
+                        sxt = int((ix * it).sum())
+                        syt = int((iy * it).sum())
+                        det = sxx * syy - sxy * sxy
+                        if det == 0:
+                            continue
+                        u = round((sxy * syt - syy * sxt) / det, 6)
+                        v = round((sxy * sxt - sxx * syt) / det, 6)
+                        rows.append((f"avi{i:03d}", fi, bidx, det,
+                                     sxt, syt, u, v))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (spark.range(0, n_avis, numPartitions=partitions)
+            .mapInPandas(work, schema))
+
+
+def _oracle_lk() -> str:
+    from .queries_insights import N_MV_AVI
+
+    def pix(f_expr: str, x_expr: str, y_expr: str) -> str:
+        base = (f"(i * 11 + (({x_expr}) + 100 - vx * ({f_expr})) * 29 "
+                f"+ (({y_expr}) + 100 - vy * ({f_expr})) * 17 + cc.c * 13)"
+                f" % 256")
+        noise = (f"(i + ({f_expr}) * 31 + ({y_expr}) * 7 "
+                 f"+ ({x_expr}) * 3 + cc.c) % 3")
+        return f"((({base}) + ({noise})) % 256)"
+
+    def gray(f_expr: str, x_expr: str, y_expr: str) -> str:
+        return (f"(SELECT SUM({pix(f_expr, x_expr, y_expr)}) FROM "
+                f"(SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c) cc)")
+
+    return f"""
+WITH ids AS (
+  SELECT i, 5 + i % 3 AS nf, i % 5 - 2 AS vx, (i * 3 + 1) % 5 - 2 AS vy
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_MV_AVI - 1})) AS i) t),
+blocks AS (
+  SELECT b, 2 + (b % 3) * 8 AS bx, 2 + (b // 3) * 4 AS by
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, 5)) AS b) t),
+grad AS MATERIALIZED (
+  SELECT ids.i, ff.f, blocks.b,
+         {gray('ff.f - 1', 'blocks.bx + qx.qx + 1',
+               'blocks.by + qy.qy')}
+         - {gray('ff.f - 1', 'blocks.bx + qx.qx - 1',
+                 'blocks.by + qy.qy')} AS gx,
+         {gray('ff.f - 1', 'blocks.bx + qx.qx',
+               'blocks.by + qy.qy + 1')}
+         - {gray('ff.f - 1', 'blocks.bx + qx.qx',
+                 'blocks.by + qy.qy - 1')} AS gy,
+         {gray('ff.f', 'blocks.bx + qx.qx', 'blocks.by + qy.qy')}
+         - {gray('ff.f - 1', 'blocks.bx + qx.qx',
+                 'blocks.by + qy.qy')} AS gt
+  FROM ids,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(1, nf - 1)) AS f) ff,
+  blocks,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS qx) qx,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS qy) qy),
+mom AS (
+  SELECT i, f, b,
+         SUM(gx * gx) AS sxx, SUM(gx * gy) AS sxy, SUM(gy * gy) AS syy,
+         SUM(gx * gt) AS sxt, SUM(gy * gt) AS syt
+  FROM grad GROUP BY 1, 2, 3),
+sv AS (
+  SELECT i, f, b, sxx * syy - sxy * sxy AS det, sxt, syt, sxx, sxy, syy
+  FROM mom)
+SELECT printf('avi%03d', i) AS media_id, CAST(f AS INT) AS f,
+       CAST(b AS INT) AS blk, CAST(det AS BIGINT) AS det,
+       CAST(sxt AS BIGINT) AS sxt, CAST(syt AS BIGINT) AS syt,
+       ROUND(CAST(sxy * syt - syy * sxt AS DOUBLE) / CAST(det AS DOUBLE),
+             6) AS u,
+       ROUND(CAST(sxy * sxt - sxx * syt AS DOUBLE) / CAST(det AS DOUBLE),
+             6) AS v
+FROM sv WHERE det != 0
+"""
+
+
+QUERIES.update({
+    "impossible_travel": (q_impossible_travel, _oracle_impossible()),
+    "lucas_kanade_flow": (q_lucas_kanade, _oracle_lk()),
+})

@@ -1688,3 +1688,71 @@ FROM per GROUP BY 1
 QUERIES.update({
     "image_shear_warp": (q_image_shear, _oracle_shear()),
 })
+
+
+# --- image_haar_dwt: one-level 2-D Haar wavelet band energies --------------
+#
+# The DWT member of the transform family (WHT/SATD covers the global
+# Hadamard transform, image_pyramid_stats the LL-only mipmap chain;
+# Haar adds the LH/HL/HH detail bands every wavelet codec and denoiser
+# builds on).  Per 2x2 block the four integer Haar coefficients; gated:
+# per-band energies + an LL position-weighted checksum.  The oracle
+# recomputes all four coefficients per block from the pixel formula.
+
+
+def q_image_haar(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, VISION_N, partitions=4)
+    d = _with_i(multimodal.haar_band_energies(img))
+    aggs = [F.sum(c).alias(c) for c in
+            ("n_blocks", "e_ll", "e_lh", "e_hl", "e_hh")]
+    return (d.groupBy("fmt2")
+            .agg(F.count(F.lit(1)).alias("n_images"), *aggs,
+                 F.expr("SUM(ll_checksum * (i + 13))").alias("checksum"))
+            .selectExpr("fmt2 AS fmt", "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(n_blocks AS BIGINT) AS n_blocks",
+                        "CAST(e_ll AS BIGINT) AS e_ll",
+                        "CAST(e_lh AS BIGINT) AS e_lh",
+                        "CAST(e_hl AS BIGINT) AS e_hl",
+                        "CAST(e_hh AS BIGINT) AS e_hh",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_haar() -> str:
+    def pix(dy: int, dx: int) -> str:
+        return _pix_sql(f"i * 1000003 + (by.y * 2 + {dy}) * 4096 "
+                        f"+ (bx.x * 2 + {dx}) * 4 + cc.c")
+
+    a, b, c, d = pix(0, 0), pix(0, 1), pix(1, 0), pix(1, 1)
+    return f"""
+WITH imgs AS MATERIALIZED ({_imgs_cte(VISION_N)}),
+coef AS (
+  SELECT i, fmt, w, by.y, bx.x, cc.c,
+         ({a}) + ({b}) + ({c}) + ({d}) AS ll,
+         ({a}) - ({b}) + ({c}) - ({d}) AS lh,
+         ({a}) + ({b}) - ({c}) - ({d}) AS hl,
+         ({a}) - ({b}) - ({c}) + ({d}) AS hh
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h // 2 - 1)) AS y) by,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w // 2 - 1)) AS x) bx,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS c) cc),
+per AS (
+  SELECT i, fmt, COUNT(*) AS n_blocks,
+         SUM(ll * ll) AS e_ll, SUM(lh * lh) AS e_lh,
+         SUM(hl * hl) AS e_hl, SUM(hh * hh) AS e_hh,
+         SUM(ll * ((y * (w // 2) + x) * 3 + c + 1)) AS ll_checksum
+  FROM coef GROUP BY 1, 2)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(n_blocks) AS BIGINT) AS n_blocks,
+       CAST(SUM(e_ll) AS BIGINT) AS e_ll,
+       CAST(SUM(e_lh) AS BIGINT) AS e_lh,
+       CAST(SUM(e_hl) AS BIGINT) AS e_hl,
+       CAST(SUM(e_hh) AS BIGINT) AS e_hh,
+       CAST(SUM(ll_checksum * (i + 13)) AS BIGINT) AS checksum
+FROM per GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "image_haar_dwt": (q_image_haar, _oracle_haar()),
+})

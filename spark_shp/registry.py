@@ -339,6 +339,9 @@ _TAIL = [
     "temporal_reachability",  # time-respecting diffusion (temporal graph)
     "auction_clearing",   # double-auction clearing price (C6/market)
     "cross_k_function",   # bivariate Ripley cross-K (B stats family)
+    "image_haar_dwt",     # one-level Haar wavelet bands (B11/transform)
+    "impossible_travel",  # velocity anomaly detector (security/B)
+    "lucas_kanade_flow",  # gradient optical flow, real AVI (B11/video)
 ]
 
 _MERGED: dict = {}

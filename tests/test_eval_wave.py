@@ -603,3 +603,97 @@ def test_cross_k_matches_bruteforce_pairs(spark):
             n, len(a), len(b))
         assert row["k_d"] == round(XK_AREA * n / (len(a) * len(b)), 6)
     assert out[max(XK_BANDS)]["n_pairs"] > out[min(XK_BANDS)]["n_pairs"]
+
+
+def test_impossible_travel_matches_numpy(spark):
+    from spark_shp.hashing import u01
+    from spark_shp.queries_eval import (IT_SPEED_KMH, WAYPOINT_MOD,
+                                        q_impossible_travel)
+    rows = {(r["user_id"], r["seg_idx"]): r
+            for r in q_impossible_travel(spark, SF).collect()}
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e = e[e["user_id"] % WAYPOINT_MOD == 0].copy()
+    ids = e["event_id"].to_numpy()
+    e["lon"] = u01(ids) * 360.0 - 180.0
+    e["lat"] = u01(ids * 2 + 1) * 170.0 - 85.0
+    e["us"] = e["ts"].astype("datetime64[us]").astype("int64")
+    expected = {}
+    n_segments = 0
+    for uid, g in e.sort_values(["ts", "event_id"]).groupby("user_id"):
+        pts = list(zip(g["lon"], g["lat"], g["us"]))
+        for k in range(len(pts) - 1):
+            (lo1, la1, t1), (lo2, la2, t2) = pts[k], pts[k + 1]
+            if t2 - t1 <= 0:
+                continue
+            n_segments += 1
+            p1, p2 = np.radians(la1), np.radians(la2)
+            d = 2 * 6371.0088 * np.arcsin(np.sqrt(
+                np.sin((p2 - p1) / 2) ** 2
+                + np.cos(p1) * np.cos(p2)
+                * np.sin(np.radians(lo2 - lo1) / 2) ** 2))
+            sp = d / ((t2 - t1) / 3.6e9)
+            if sp > IT_SPEED_KMH:
+                expected[(uid, k + 1)] = (t2 - t1, round(d, 6),
+                                          round(sp, 6))
+    assert set(rows) == set(expected)
+    for k, (dt, d, sp) in expected.items():
+        r = rows[k]
+        assert r["dt_us"] == dt
+        assert abs(r["dist_km"] - d) < 1e-5
+        assert abs(r["speed_kmh"] - sp) < 1e-4
+    # detector structure: it flags SOME but not ALL segments
+    assert 0 < len(expected) < n_segments
+
+
+def test_lucas_kanade_matches_python_and_recovers_flow(spark):
+    from spark_shp import riff
+    from spark_shp.queries_eval import q_lucas_kanade
+    from spark_shp.queries_insights import (MV_BLOCKS, MV_H, MV_W,
+                                            N_MV_AVI, _mv_params)
+    got = {(r["media_id"], r["f"], r["blk"]): r
+           for r in q_lucas_kanade(spark, SF).collect()}
+    checked = 0
+    for i in range(N_MV_AVI):
+        nf, vx, vy = _mv_params(i)
+        f, y, x, c = np.ogrid[0:nf, 0:MV_H, 0:MV_W, 0:3]
+        content = ((i * 11 + (x + 100 - vx * f) * 29
+                    + (y + 100 - vy * f) * 17 + c * 13) % 256)
+        noise = (i + f * 31 + y * 7 + x * 3 + c) % 3
+        px = ((content + noise) % 256).astype(np.uint8)
+        dec, _ = riff.avi_decode(riff.avi_encode(px, fps=10))
+        g = dec.astype(np.int64).sum(axis=3)
+        us, vs = [], []
+        for fi in range(1, nf):
+            gp, gc = g[fi - 1], g[fi]
+            for bidx, (bx, by) in enumerate(MV_BLOCKS):
+                sxx = sxy = syy = sxt = syt = 0
+                for qy in range(8):
+                    for qx in range(8):
+                        yy, xx = by + qy, bx + qx
+                        ix = int(gp[yy, xx + 1]) - int(gp[yy, xx - 1])
+                        iy = int(gp[yy + 1, xx]) - int(gp[yy - 1, xx])
+                        it = int(gc[yy, xx]) - int(gp[yy, xx])
+                        sxx += ix * ix
+                        sxy += ix * iy
+                        syy += iy * iy
+                        sxt += ix * it
+                        syt += iy * it
+                det = sxx * syy - sxy * sxy
+                key = (f"avi{i:03d}", fi, bidx)
+                if det == 0:
+                    assert key not in got
+                    continue
+                u = round((sxy * syt - syy * sxt) / det, 6)
+                v = round((sxy * sxt - sxx * syt) / det, 6)
+                r = got[key]
+                assert (r["det"], r["sxt"], r["syt"]) == (det, sxt, syt)
+                assert r["u"] == u and r["v"] == v
+                us.append(u)
+                vs.append(v)
+                checked += 1
+        # flow-recovery property on small true motion: LK's linearization
+        # is only valid for ~1px shifts, so check |v|<=1 videos only
+        if abs(vx) <= 1 and abs(vy) <= 1 and us:
+            assert abs(np.mean(us) - vx) < 0.6
+            assert abs(np.mean(vs) - vy) < 0.6
+    assert checked > 0

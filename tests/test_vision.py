@@ -805,3 +805,43 @@ def test_shear_warp_matches_sequential(spark):
         row = out[fmt]
         assert (row["n_images"], row["n_px"], row["mass"],
                 row["checksum"]) == (ni, npx, mass, chk)
+
+
+def test_haar_dwt_matches_sequential(spark):
+    from spark_shp.queries_vision import VISION_N, q_image_haar
+    out = {r["fmt"]: r for r in q_image_haar(spark, SF).collect()}
+    agg = {}
+    for i in range(VISION_N):
+        dec, w, h, fmt = _decoded(i)
+        ell = elh = ehl = ehh = chk = 0
+        for by in range(h // 2):
+            for bx in range(w // 2):
+                for c in range(3):
+                    a = int(dec[2 * by, 2 * bx, c])
+                    b = int(dec[2 * by, 2 * bx + 1, c])
+                    cc = int(dec[2 * by + 1, 2 * bx, c])
+                    d = int(dec[2 * by + 1, 2 * bx + 1, c])
+                    ll, lh = a + b + cc + d, a - b + cc - d
+                    hl, hh = a + b - cc - d, a - b - cc + d
+                    ell += ll * ll
+                    elh += lh * lh
+                    ehl += hl * hl
+                    ehh += hh * hh
+                    chk += ll * ((by * (w // 2) + bx) * 3 + c + 1)
+        a_ = agg.setdefault(fmt, [0, 0, 0, 0, 0, 0, 0])
+        a_[0] += 1
+        a_[1] += (h // 2) * (w // 2) * 3
+        a_[2] += ell
+        a_[3] += elh
+        a_[4] += ehl
+        a_[5] += ehh
+        a_[6] += chk * (i + 13)
+    for fmt, (ni, nb, ell, elh, ehl, ehh, chk) in agg.items():
+        row = out[fmt]
+        assert (row["n_images"], row["n_blocks"], row["e_ll"],
+                row["e_lh"], row["e_hl"], row["e_hh"],
+                row["checksum"]) == (ni, nb, ell, elh, ehl, ehh, chk)
+    # Parseval-flavor structure: detail energy is nonzero but LL holds
+    # most of the mass on natural-ish content
+    r = out["raw"]
+    assert 0 < r["e_hh"] < r["e_ll"]
