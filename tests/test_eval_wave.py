@@ -697,3 +697,34 @@ def test_lucas_kanade_matches_python_and_recovers_flow(spark):
             assert abs(np.mean(us) - vx) < 0.6
             assert abs(np.mean(vs) - vy) < 0.6
     assert checked > 0
+
+
+def test_plan_shapes_of_eval_ops(spark):
+    """Pins for the shuffle-count claims in the docstrings: the PIT join
+    is the asof union-merge (ONE user-keyed exchange — no theta join, no
+    BroadcastNestedLoop); ROUGE-L is one pair-keyed join with the whole
+    DP in codegen projections; the auction curves run over the level
+    aggregate (level agg + two single-partition windows); business-day
+    lag is one user window + one type agg; Elias gamma is distinct +
+    one term window + agg.  All JVM-only (no Python eval nodes)."""
+    from spark_shp.queries_eval import (q_auction_clearing,
+                                        q_business_day_lag,
+                                        q_elias_gamma_postings,
+                                        q_pit_join_scd2, q_rouge_lcs)
+
+    def plan(df):
+        full = df._jdf.queryExecution().toString()
+        assert "BatchEvalPython" not in full
+        assert "ArrowEvalPython" not in full
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan(q_pit_join_scd2(spark, SF))
+    assert "BroadcastNestedLoop" not in p
+    assert p.count("Exchange hashpartitioning") <= 2  # dim build + merge
+    p = plan(q_rouge_lcs(spark, SF))
+    assert p.count("Exchange hashpartitioning") <= 1  # the pair join
+    plan(q_auction_clearing(spark, SF))
+    p = plan(q_business_day_lag(spark, SF))
+    assert p.count("Exchange hashpartitioning") <= 2  # user window + agg
+    p = plan(q_elias_gamma_postings(spark, SF))
+    assert p.count("Exchange hashpartitioning") <= 2  # distinct+window/agg
