@@ -1749,3 +1749,232 @@ QUERIES.update({
     "impossible_travel": (q_impossible_travel, _oracle_impossible()),
     "lucas_kanade_flow": (q_lucas_kanade, _oracle_lk()),
 })
+
+
+# --- hmm_map_match: Newson-Krumm HMM map matching -----------------------------
+#
+# THE canonical trajectory algorithm (Newson & Krumm 2009 — what every
+# fleet/navigation stack runs): per-point nearest-segment snapping
+# (map_match_roads) picks each point independently and zig-zags at
+# intersections; the HMM picks the JOINTLY most probable road sequence
+# — emission cost = snap distance, transition cost = how far the road
+# hypothesis jumps between consecutive points.  Composition of three
+# proven pieces: the radius-width cell-ring candidate join (provable
+# superset), fixed-slot candidate pivoting (the trajectory_alignment
+# trick), and a staged integer Viterbi with backtrack (the
+# unigram_lm_round machinery).  All integers: emissions are the exact
+# quantized point-to-segment distances, transitions doubled-Manhattan
+# midpoint jumps; argmins tie-break on the lowest slot via fixed CASE
+# order, so the path is engine-deterministic.  Users enter the gate
+# only when all T points have >= 1 candidate (the Newson-Krumm
+# break-the-chain rule).
+
+HMM_T = 4            # points per user chain
+HMM_K = 3            # candidate slots per point
+HMM_MOD = 5          # user cohort
+HMM_R = 2500         # snap radius == cell width (ring proof)
+HMM_TRW = 25         # transition weight vs emission units
+                     # (tuned so road-continuity actually
+                     # overrides nearest-snap on real
+                     # chains; the pytest asserts it does)
+HMM_SENT = 10 ** 12
+
+
+def _hmm_cand_pivot() -> list:
+    out = []
+    for t in range(HMM_T):
+        for k in range(HMM_K):
+            for col in ("rid", "e", "m2x", "m2y"):
+                out.append((
+                    f"{col}_{t}_{k}",
+                    f"MAX(CASE WHEN t = {t} AND slot = {k} "
+                    f"THEN {col} END)"))
+    return out
+
+
+def _hmm_viterbi_stages() -> list:
+    sent = HMM_SENT
+    stages = []
+    st0 = []
+    for k in range(HMM_K):
+        st0.append((f"v_0_{k}", f"(COALESCE(e_0_{k}, {sent}))"))
+    stages.append(st0)
+    for t in range(1, HMM_T):
+        cand_stage = []
+        for k in range(HMM_K):
+            for j in range(HMM_K):
+                tr = (f"(ABS(COALESCE(m2x_{t - 1}_{j}, 0) "
+                      f"- COALESCE(m2x_{t}_{k}, 0)) "
+                      f"+ ABS(COALESCE(m2y_{t - 1}_{j}, 0) "
+                      f"- COALESCE(m2y_{t}_{k}, 0)))")
+                cand_stage.append((
+                    f"c_{t}_{k}_{j}",
+                    f"(CASE WHEN e_{t}_{k} IS NULL OR v_{t - 1}_{j} >= "
+                    f"{sent} THEN {sent} ELSE v_{t - 1}_{j} + e_{t}_{k} "
+                    f"+ {HMM_TRW} * {tr} END)"))
+        stages.append(cand_stage)
+        pick = []
+        for k in range(HMM_K):
+            cs = [f"c_{t}_{k}_{j}" for j in range(HMM_K)]
+            arms_v, arms_b = [], []
+            for j in range(HMM_K):
+                cond = " AND ".join(
+                    [f"{cs[j]} <= {cs[m]}" for m in range(HMM_K)
+                     if m != j]) or "TRUE"
+                arms_v.append(f"WHEN {cond} THEN {cs[j]}")
+                arms_b.append(f"WHEN {cond} THEN {j}")
+            pick.append((f"v_{t}_{k}",
+                         "(CASE " + " ".join(arms_v) + " END)"))
+            pick.append((f"bp_{t}_{k}",
+                         "(CASE " + " ".join(arms_b) + " END)"))
+        stages.append(pick)
+    # terminal argmin over v_{T-1}_k, then backtrack
+    last = HMM_T - 1
+    vs = [f"v_{last}_{k}" for k in range(HMM_K)]
+    arms = []
+    for k in range(HMM_K):
+        cond = " AND ".join([f"{vs[k]} <= {vs[m]}"
+                             for m in range(HMM_K) if m != k]) or "TRUE"
+        arms.append(f"WHEN {cond} THEN {k}")
+    stages.append([("s_%d" % last, "(CASE " + " ".join(arms) + " END)"),
+                   ("cost", "(LEAST(" + ", ".join(vs) + "))")])
+    for t in range(last, 0, -1):
+        arms = " ".join(f"WHEN {k} THEN bp_{t}_{k}"
+                        for k in range(HMM_K))
+        stages.append([(f"s_{t - 1}", f"(CASE s_{t} {arms} END)")])
+    out = []
+    for t in range(HMM_T):
+        arms = " ".join(f"WHEN {k} THEN rid_{t}_{k}"
+                        for k in range(HMM_K))
+        out.append((f"match_{t}", f"(CASE s_{t} {arms} END)"))
+    stages.append(out)
+    return stages
+
+
+def q_hmm_map_match(spark, sf_dir):
+    from .hashing import mix_sql
+    from .queries_insights import _mm_event_exprs, _mm_road_exprs, MM_ROADS
+
+    x1, y1, dx, dy = _mm_road_exprs()
+    roads = (spark.range(MM_ROADS).selectExpr("id AS rid")
+             .selectExpr("rid", f"{x1} AS x1", f"{y1} AS y1",
+                         f"{dx} AS dx", f"{dy} AS dy")
+             .selectExpr("rid", "x1", "y1", "dx", "dy",
+                         "dx * dx + dy * dy AS len2",
+                         "2 * x1 + dx AS m2x", "2 * y1 + dy AS m2y",
+                         f"CAST(FLOOR((2 * x1 + dx) / {2 * HMM_R}.0) "
+                         "AS BIGINT) AS cmx",
+                         f"CAST(FLOOR((2 * y1 + dy) / {2 * HMM_R}.0) "
+                         "AS BIGINT) AS cmy"))
+    rc = roads.selectExpr("rid", "x1", "y1", "dx", "dy", "len2", "m2x",
+                          "m2y", "cmy",
+                          "explode(sequence(cmx - 2, cmx + 2)) AS jx")
+    rc = rc.selectExpr("rid", "x1", "y1", "dx", "dy", "len2", "m2x",
+                       "m2y", "jx",
+                       "explode(sequence(cmy - 2, cmy + 2)) AS jy")
+
+    ex, ey = _mm_event_exprs()
+    e = (_t(spark, sf_dir, "events")
+         .where(F.col("user_id") % HMM_MOD == 0)
+         .selectExpr("user_id", "ts", "event_id",
+                     f"{ex} AS px", f"{ey} AS py"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = (e.withColumn("rn", F.row_number().over(w))
+           .where(f"rn <= {HMM_T}")
+           .selectExpr("user_id", "rn - 1 AS t", "px", "py",
+                       f"CAST(FLOOR(px / {HMM_R}.0) AS BIGINT) AS jx",
+                       f"CAST(FLOOR(py / {HMM_R}.0) AS BIGINT) AS jy"))
+    cand = (pts.join(F.broadcast(rc), ["jx", "jy"])
+            .selectExpr("user_id", "t", "rid", "len2", "m2x", "m2y",
+                        "px - x1 AS apx", "py - y1 AS apy", "dx", "dy"))
+    scored = (cand.selectExpr("user_id", "t", "rid", "len2", "m2x",
+                              "m2y", "apx", "apy",
+                              "(apx * dx + apy * dy) AS dot")
+              .selectExpr("user_id", "t", "rid", "len2", "m2x", "m2y",
+                          "apx", "apy", "dot",
+                          "LEAST(GREATEST(dot, 0), len2) AS dotc")
+              .selectExpr("user_id", "t", "rid", "m2x", "m2y",
+                          "CAST(FLOOR(((apx * apx + apy * apy) * len2 "
+                          "- 2 * dotc * dot + dotc * dotc) * 4.0 / len2)"
+                          " AS BIGINT) AS e", "len2"))
+    inr = scored.where(f"e <= 4 * {HMM_R * HMM_R}")
+    ws = W.partitionBy("user_id", "t").orderBy("e", "rid")
+    top = (inr.withColumn("slot", F.row_number().over(ws) - 1)
+           .where(f"slot < {HMM_K}"))
+    piv = (top.groupBy("user_id")
+           .agg(F.countDistinct("t").alias("n_t"),
+                *[F.expr(e_).alias(al) for al, e_ in _hmm_cand_pivot()])
+           .where(f"n_t = {HMM_T}"))
+    dp = piv
+    for st in _hmm_viterbi_stages():
+        dp = dp.selectExpr("*", *[f"{ex_} AS {al}" for al, ex_ in st])
+    return dp.selectExpr(
+        "user_id",
+        *[f"CAST(match_{t} AS BIGINT) AS match_{t}"
+          for t in range(HMM_T)],
+        "CAST(cost AS BIGINT) AS cost")
+
+
+def _oracle_hmm() -> str:
+    from .queries_insights import _mm_event_exprs, _mm_road_exprs, MM_ROADS
+    x1, y1, dx, dy = _mm_road_exprs()
+    ex, ey = _mm_event_exprs()
+    ex = ex.replace("event_id", "e.event_id")
+    ey = ey.replace("event_id", "e.event_id")
+    piv = ",\n         ".join(f"{e_} AS {al}"
+                              for al, e_ in _hmm_cand_pivot())
+    ctes = [f"""
+roads AS MATERIALIZED (
+  SELECT rid, x1, y1, dx, dy, dx * dx + dy * dy AS len2,
+         2 * x1 + dx AS m2x, 2 * y1 + dy AS m2y
+  FROM (SELECT i AS rid, {x1} AS x1, {y1} AS y1, {dx} AS dx, {dy} AS dy
+        FROM generate_series(0, {MM_ROADS - 1}) AS g(i))),
+pts AS MATERIALIZED (
+  SELECT user_id, rn - 1 AS t, px, py
+  FROM (SELECT e.user_id, {ex} AS px, {ey} AS py,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM events e WHERE e.user_id % {HMM_MOD} = 0)
+  WHERE rn <= {HMM_T}),
+scored AS MATERIALIZED (
+  SELECT user_id, t, rid, m2x, m2y,
+         CAST(FLOOR(((apx * apx + apy * apy) * len2
+              - 2 * dotc * dot + dotc * dotc) * 4.0 / len2) AS BIGINT)
+           AS e
+  FROM (SELECT p.user_id, p.t, r.rid, r.len2, r.m2x, r.m2y,
+               p.px - r.x1 AS apx, p.py - r.y1 AS apy,
+               (p.px - r.x1) * r.dx + (p.py - r.y1) * r.dy AS dot,
+               LEAST(GREATEST((p.px - r.x1) * r.dx
+                              + (p.py - r.y1) * r.dy, 0), r.len2)
+                 AS dotc
+        FROM pts p JOIN roads r
+          ON ABS(2 * p.px - r.m2x) <= 2 * ({HMM_R} + {HMM_R})
+             + ABS(r.dx)
+         AND ABS(2 * p.py - r.m2y) <= 2 * ({HMM_R} + {HMM_R})
+             + ABS(r.dy)) q),
+inr AS (SELECT * FROM scored WHERE e <= 4 * {HMM_R * HMM_R}),
+top AS MATERIALIZED (
+  SELECT user_id, t, rid, m2x, m2y, e,
+         ROW_NUMBER() OVER (PARTITION BY user_id, t
+                            ORDER BY e, rid) - 1 AS slot
+  FROM inr QUALIFY slot < {HMM_K}),
+piv AS MATERIALIZED (
+  SELECT user_id, COUNT(DISTINCT t) AS n_t,
+         {piv}
+  FROM top GROUP BY user_id
+  HAVING COUNT(DISTINCT t) = {HMM_T})"""]
+    prev = "piv"
+    for n, st in enumerate(_hmm_viterbi_stages(), start=1):
+        cols = ", ".join(f"{e_} AS {al}" for al, e_ in st)
+        ctes.append(f"t{n} AS (SELECT *, {cols} FROM {prev})")
+        prev = f"t{n}"
+    matches = ", ".join(
+        f"CAST(match_{t} AS BIGINT) AS match_{t}" for t in range(HMM_T))
+    return ("WITH " + ",".join(ctes) + f"""
+SELECT user_id, {matches}, CAST(cost AS BIGINT) AS cost
+FROM {prev}""")
+
+
+QUERIES.update({
+    "hmm_map_match": (q_hmm_map_match, _oracle_hmm()),
+})

@@ -342,6 +342,7 @@ _TAIL = [
     "image_haar_dwt",     # one-level Haar wavelet bands (B11/transform)
     "impossible_travel",  # velocity anomaly detector (security/B)
     "lucas_kanade_flow",  # gradient optical flow, real AVI (B11/video)
+    "hmm_map_match",      # Newson-Krumm HMM map matching (B8/B9 flagship)
 ]
 
 _MERGED: dict = {}

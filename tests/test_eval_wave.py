@@ -728,3 +728,90 @@ def test_plan_shapes_of_eval_ops(spark):
     assert p.count("Exchange hashpartitioning") <= 2  # user window + agg
     p = plan(q_elias_gamma_postings(spark, SF))
     assert p.count("Exchange hashpartitioning") <= 2  # distinct+window/agg
+
+
+def test_hmm_map_match_matches_sequential_viterbi(spark):
+    from spark_shp.hashing import mix
+    from spark_shp.queries_eval import (HMM_K, HMM_MOD, HMM_R, HMM_SENT,
+                                        HMM_T, HMM_TRW, q_hmm_map_match)
+    from spark_shp.queries_insights import MM_ROADS
+    got = {r["user_id"]: ([r[f"match_{t}"] for t in range(HMM_T)],
+                          r["cost"])
+           for r in q_hmm_map_match(spark, "/root/testdata/sf0.01")
+           .collect()}
+    assert len(got) > 1     # non-degenerate gate set
+
+    rid = np.arange(MM_ROADS)
+    m = lambda s: mix(rid * 9 + s)  # noqa: E731
+    x1 = 2000 + m(1) % 36000
+    y1 = 2000 + m(2) % 16000
+    dx = ((m(3) % 2) * 2 - 1) * (200 + m(4) % 1801)
+    dy = m(5) % 4001 - 2000
+    len2 = dx * dx + dy * dy
+    m2x, m2y = 2 * x1 + dx, 2 * y1 + dy
+
+    e = pd.read_parquet("/root/testdata/sf0.01/events.parquet")
+    e = e[e["user_id"] % HMM_MOD == 0]
+    g = e.sort_values(["ts", "event_id"]).groupby("user_id").head(HMM_T)
+
+    def cands(px, py):
+        apx, apy = px - x1, py - y1
+        dot = apx * dx + apy * dy
+        dotc = np.clip(dot, 0, len2)
+        num = (apx * apx + apy * apy) * len2 - 2 * dotc * dot \
+            + dotc * dotc
+        eq = np.floor(num * 4.0 / len2).astype(np.int64)
+        order = sorted(range(MM_ROADS), key=lambda r: (eq[r], r))
+        out = [(r, int(eq[r]), int(m2x[r]), int(m2y[r]))
+               for r in order if eq[r] <= 4 * HMM_R * HMM_R][:HMM_K]
+        return out
+
+    hmm_differs_from_greedy = False
+    n_checked = 0
+    for uid, gg in g.groupby("user_id"):
+        if len(gg) < HMM_T:
+            continue
+        ids = gg["event_id"].to_numpy()
+        px = mix(ids * 11 + 3) % 40000
+        py = mix(ids * 11 + 4) % 20000
+        cc = [cands(int(a), int(b)) for a, b in zip(px, py)]
+        if any(len(c) == 0 for c in cc):
+            assert uid not in got
+            continue
+        # sequential Viterbi (independent loop implementation)
+        v = [c[1] for c in cc[0]] + [HMM_SENT] * (HMM_K - len(cc[0]))
+        bp = []
+        for t in range(1, HMM_T):
+            nv, nb = [], []
+            for k in range(HMM_K):
+                if k >= len(cc[t]):
+                    nv.append(HMM_SENT)
+                    nb.append(0)
+                    continue
+                best = None
+                for j in range(HMM_K):
+                    if j >= len(cc[t - 1]) or v[j] >= HMM_SENT:
+                        continue
+                    tr = (abs(cc[t - 1][j][2] - cc[t][k][2])
+                          + abs(cc[t - 1][j][3] - cc[t][k][3]))
+                    c_ = v[j] + cc[t][k][1] + HMM_TRW * tr
+                    if best is None or c_ < best[0]:
+                        best = (c_, j)
+                nv.append(best[0])
+                nb.append(best[1])
+            v, _ = nv, bp.append(nb)
+        k = min(range(HMM_K), key=lambda q: v[q])
+        cost = v[k]
+        path = [k]
+        for t in range(HMM_T - 1, 0, -1):
+            path.append(bp[t - 1][path[-1]])
+        path = path[::-1]
+        matches = [cc[t][path[t]][0] for t in range(HMM_T)]
+        assert got[uid] == (matches, cost)
+        n_checked += 1
+        greedy = [c[0][0] for c in cc]
+        hmm_differs_from_greedy |= greedy != matches
+    assert n_checked == len(got) and n_checked > 1
+    # the POINT of the HMM: joint decoding beats independent snapping
+    # for at least one chain
+    assert hmm_differs_from_greedy
