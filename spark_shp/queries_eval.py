@@ -1978,3 +1978,266 @@ FROM {prev}""")
 QUERIES.update({
     "hmm_map_match": (q_hmm_map_match, _oracle_hmm()),
 })
+
+
+# --- kalman_filter_series: fixed-unroll scalar Kalman smoothing ---------------
+#
+# The state-estimation family's missing member (ewma_forecast is the
+# fixed-gain special case; the Kalman gain ADAPTS from the variance
+# recursion): a random-walk-plus-noise model (Q=4, R=16) filtered over
+# the last 16 hours of each event type's dense hourly series.  The
+# recursion p' = p + Q; K = p'/(p' + R); x += K(z - x); p = (1 - K)p'
+# unrolls into 16 staged projections of IDENTICAL literal float ops
+# (the CRS fixed-unroll rule applied to a stochastic filter); the gate
+# reads ROUND(...,6) terminal state.  Corpus folds to the per-type
+# hourly series once; everything after is alphabet-bounded.
+
+KF_N = 16
+KF_Q, KF_R = 4.0, 16.0
+
+
+def _kf_stages() -> list:
+    stages = [[("x_0", "(CAST(z_0 AS DOUBLE))"),
+               ("p_0", f"(CAST({KF_R!r} AS DOUBLE))")]]
+    for k in range(1, KF_N):
+        stages.append([
+            (f"pp_{k}", f"(p_{k - 1} + CAST({KF_Q!r} AS DOUBLE))")])
+        stages.append([
+            (f"g_{k}", f"(pp_{k} / (pp_{k} + CAST({KF_R!r} AS DOUBLE)))")])
+        stages.append([
+            (f"x_{k}", f"(x_{k - 1} + g_{k} * (CAST(z_{k} AS DOUBLE) "
+                       f"- x_{k - 1}))"),
+            (f"p_{k}", f"((CAST(1.0 AS DOUBLE) - g_{k}) * pp_{k})")])
+    return stages
+
+
+def q_kalman_series(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) / 3600000000)"
+        " AS BIGINT) AS h")
+    counts = e.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("event_type").orderBy(F.desc("h"))
+    last = (counts.withColumn("rk", F.row_number().over(w))
+            .where(f"rk <= {KF_N}")
+            .selectExpr("event_type", f"{KF_N} - rk AS k", "c"))
+    piv = (last.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_h"),
+                *[F.expr(f"MAX(CASE WHEN k = {k} THEN c END)")
+                  .alias(f"z_{k}") for k in range(KF_N)])
+           .where(f"n_h = {KF_N}"))
+    dp = piv
+    for st in _kf_stages():
+        dp = dp.selectExpr("*", *[f"{e_} AS {al}" for al, e_ in st])
+    lastk = KF_N - 1
+    return dp.selectExpr(
+        "event_type", f"CAST(z_{lastk} AS BIGINT) AS z_last",
+        f"ROUND(x_{lastk}, 6) AS x_hat",
+        f"ROUND(p_{lastk}, 6) AS p_var")
+
+
+def _oracle_kalman() -> str:
+    pivs = ",\n         ".join(
+        f"MAX(CASE WHEN k = {k} THEN c END) AS z_{k}"
+        for k in range(KF_N))
+    ctes = [f"""
+counts AS MATERIALIZED (
+  SELECT event_type,
+         CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+lastn AS (
+  SELECT event_type, {KF_N} - rk AS k, c
+  FROM (SELECT event_type, c,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY h DESC) AS rk
+        FROM counts)
+  WHERE rk <= {KF_N}),
+piv AS MATERIALIZED (
+  SELECT event_type, COUNT(*) AS n_h,
+         {pivs}
+  FROM lastn GROUP BY event_type HAVING COUNT(*) = {KF_N})"""]
+    prev = "piv"
+    for n, st in enumerate(_kf_stages(), start=1):
+        cols = ", ".join(f"{e_} AS {al}" for al, e_ in st)
+        ctes.append(f"t{n} AS (SELECT *, {cols} FROM {prev})")
+        prev = f"t{n}"
+    lastk = KF_N - 1
+    return ("WITH " + ",".join(ctes) + f"""
+SELECT event_type, CAST(z_{lastk} AS BIGINT) AS z_last,
+       ROUND(x_{lastk}, 6) AS x_hat,
+       ROUND(p_{lastk}, 6) AS p_var
+FROM {prev}""")
+
+
+QUERIES.update({
+    "kalman_filter_series": (q_kalman_series, _oracle_kalman()),
+})
+
+
+# --- skyline_3d: three-dimensional Pareto skyline -----------------------------
+#
+# The 3-D extension of pareto_frontier's 2-D running-max skyline (which
+# cannot generalize past two dims): parts with (min price, max size,
+# min synthetic lead time), dominance = <=,>=,<= with one strict.  The
+# scale architecture is BUCKET-PRUNED two-phase: (1) per price-decile
+# LOCAL skylines — sound because dominance chains are transitive and
+# terminate at a local-skyline member, so every dominated point has a
+# dominator that SURVIVES phase 1; (2) the global refine self-joins
+# only the phase-1 survivors.  The oracle is the direct NOT EXISTS
+# dominance query over ALL pairs — gate equality proves the pruning
+# lossless.  All integer dims (price in cents).
+
+SKY_MOD = 20          # part cohort knob
+
+
+def _sky_dom(a: str, b: str) -> str:
+    """SQL: does row-alias a dominate row-alias b?"""
+    return (f"({a}.price <= {b}.price AND {a}.size >= {b}.size "
+            f"AND {a}.lead <= {b}.lead "
+            f"AND ({a}.price < {b}.price OR {a}.size > {b}.size "
+            f"OR {a}.lead < {b}.lead))")
+
+
+def q_skyline_3d(spark, sf_dir):
+    from .hashing import mix_sql
+    p = (_t(spark, sf_dir, "part")
+         .where(F.col("p_partkey") % SKY_MOD == 0)
+         .selectExpr("p_partkey",
+                     "CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT)"
+                     " AS price",
+                     "CAST(p_size AS BIGINT) AS size",
+                     f"({mix_sql('p_partkey * 13 + 5')}) % 1000 AS lead",
+                     "CAST(FLOOR(p_retailprice / 200.0) AS BIGINT)"
+                     " AS bkt"))
+    a = p.selectExpr("p_partkey AS ak", "price", "size", "lead", "bkt")
+    # phase 1: local skylines within each price bucket
+    dom_ab = _sky_dom("a", "b")
+    local = (p.alias("b")
+             .join(a.alias("a"),
+                   F.expr("a.bkt = b.bkt AND a.ak != b.p_partkey AND "
+                          + dom_ab), "left_anti"))
+    cand = local.select("p_partkey", "price", "size", "lead") \
+        .localCheckpoint()
+    # phase 2: refine candidates against candidates only
+    ca = cand.selectExpr("p_partkey AS ak", "price", "size", "lead")
+    sky = (cand.alias("b")
+           .join(ca.alias("a"),
+                 F.expr("a.ak != b.p_partkey AND " + _sky_dom("a", "b")),
+                 "left_anti"))
+    return sky.selectExpr("p_partkey", "CAST(price AS BIGINT) AS price",
+                          "CAST(size AS BIGINT) AS size",
+                          "CAST(lead AS BIGINT) AS lead")
+
+
+def _oracle_skyline() -> str:
+    from .hashing import mix_sql
+    return f"""
+WITH p AS MATERIALIZED (
+  SELECT p_partkey,
+         CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price,
+         CAST(p_size AS BIGINT) AS size,
+         ({mix_sql('p_partkey * 13 + 5')}) % 1000 AS lead
+  FROM part WHERE p_partkey % {SKY_MOD} = 0)
+SELECT b.p_partkey, b.price, b.size, b.lead
+FROM p b
+WHERE NOT EXISTS (
+  SELECT 1 FROM p a
+  WHERE a.p_partkey != b.p_partkey
+    AND a.price <= b.price AND a.size >= b.size AND a.lead <= b.lead
+    AND (a.price < b.price OR a.size > b.size OR a.lead < b.lead))
+"""
+
+
+# --- conformal_interval: split-conformal calibration audit --------------------
+#
+# The distribution-free ML-uncertainty staple (split conformal, alpha =
+# 0.1): calibrate the nonconformity quantile q_hat on even order keys
+# (score = |price - per-priority calibration mean|, all integer cents;
+# q_hat = the EXACT ceil((n+1)(1-alpha))-th smallest score via a rank
+# window over the calibration split), then audit empirical coverage of
+# pred +- q_hat on the odd-key test split.  The finite-sample conformal
+# guarantee (coverage >= 1 - alpha in expectation) is asserted loosely
+# in pytest; the gate carries the exact integer counts.
+
+CONF_ALPHA = 0.1
+
+
+def q_conformal_interval(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS seg", "o_orderkey AS k",
+        "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents")
+    cal = o.where("k % 2 = 0")
+    tst = o.where("k % 2 = 1")
+    mu = (cal.groupBy("seg")
+          .agg(F.count(F.lit(1)).alias("n_cal"),
+               F.expr("CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT)")
+               .alias("s"))
+          .selectExpr("seg", "n_cal", "s DIV n_cal AS pred"))
+    w = W.partitionBy("seg").orderBy("nc", "k")
+    sc = (cal.join(F.broadcast(mu), "seg")
+          .selectExpr("seg", "k", "n_cal", "pred",
+                      "ABS(cents - pred) AS nc"))
+    rk = sc.withColumn("rk", F.row_number().over(w))
+    q = (rk.where(f"rk = CAST(CEIL((n_cal + 1) * "
+                  f"CAST({1.0 - CONF_ALPHA!r} AS DOUBLE)) AS BIGINT)")
+         .selectExpr("seg", "nc AS q_hat"))
+    cov = (tst.join(F.broadcast(mu.select("seg", "n_cal", "pred")), "seg")
+           .join(F.broadcast(q), "seg")
+           .groupBy("seg", "n_cal", "pred", "q_hat")
+           .agg(F.count(F.lit(1)).alias("n_test"),
+                F.sum(F.expr(
+                    "CASE WHEN ABS(cents - pred) <= q_hat THEN 1 "
+                    "ELSE 0 END")).alias("n_cov")))
+    return cov.selectExpr(
+        "seg", "CAST(n_cal AS BIGINT) AS n_cal",
+        "CAST(pred AS BIGINT) AS pred", "CAST(q_hat AS BIGINT) AS q_hat",
+        "CAST(n_test AS BIGINT) AS n_test",
+        "CAST(n_cov AS BIGINT) AS n_cov",
+        "ROUND(CAST(n_cov AS DOUBLE) / CAST(n_test AS DOUBLE), 6)"
+        " AS coverage")
+
+
+def _oracle_conformal() -> str:
+    return f"""
+WITH o AS (
+  SELECT o_orderpriority AS seg, o_orderkey AS k,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+mu AS (
+  SELECT seg, COUNT(*) AS n_cal,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT)
+           // COUNT(*) AS pred
+  FROM o WHERE k % 2 = 0 GROUP BY seg),
+sc AS (
+  SELECT o.seg, o.k, mu.n_cal, mu.pred, ABS(o.cents - mu.pred) AS nc
+  FROM o JOIN mu USING (seg) WHERE o.k % 2 = 0),
+rk AS (
+  SELECT seg, n_cal, pred, nc,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY nc, k) AS rk
+  FROM sc),
+q AS (
+  SELECT seg, nc AS q_hat FROM rk
+  WHERE rk = CAST(CEIL((n_cal + 1)
+                       * CAST({1.0 - CONF_ALPHA!r} AS DOUBLE)) AS BIGINT))
+SELECT t.seg, CAST(mu.n_cal AS BIGINT) AS n_cal,
+       CAST(mu.pred AS BIGINT) AS pred,
+       CAST(q.q_hat AS BIGINT) AS q_hat,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN ABS(t.cents - mu.pred) <= q.q_hat THEN 1
+                ELSE 0 END) AS BIGINT) AS n_cov,
+       ROUND(CAST(SUM(CASE WHEN ABS(t.cents - mu.pred) <= q.q_hat THEN 1
+                      ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+             6) AS coverage
+FROM o t JOIN mu ON t.seg = mu.seg
+JOIN q ON t.seg = q.seg
+WHERE t.k % 2 = 1
+GROUP BY t.seg, mu.n_cal, mu.pred, q.q_hat
+"""
+
+
+QUERIES.update({
+    "skyline_3d": (q_skyline_3d, _oracle_skyline()),
+    "conformal_interval": (q_conformal_interval, _oracle_conformal()),
+})

@@ -343,6 +343,9 @@ _TAIL = [
     "impossible_travel",  # velocity anomaly detector (security/B)
     "lucas_kanade_flow",  # gradient optical flow, real AVI (B11/video)
     "hmm_map_match",      # Newson-Krumm HMM map matching (B8/B9 flagship)
+    "kalman_filter_series",  # fixed-unroll Kalman smoothing (C6/C7 state)
+    "skyline_3d",         # bucket-pruned 3-D Pareto skyline (C7/C8)
+    "conformal_interval",  # split-conformal coverage audit (ML/C6)
 ]
 
 _MERGED: dict = {}

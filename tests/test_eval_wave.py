@@ -815,3 +815,100 @@ def test_hmm_map_match_matches_sequential_viterbi(spark):
     # the POINT of the HMM: joint decoding beats independent snapping
     # for at least one chain
     assert hmm_differs_from_greedy
+
+
+def test_kalman_matches_python_and_converges(spark):
+    from spark_shp.queries_eval import KF_N, KF_Q, KF_R, q_kalman_series
+    out = {r["event_type"]: r for r in
+           q_kalman_series(spark, SF).collect()}
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    h = (e["ts"].astype("datetime64[us]").astype("int64")
+         // 3600_000_000).astype(int)
+    assert len(out) > 0
+    for et, g in pd.DataFrame({"et": e["event_type"], "h": h}) \
+                   .groupby("et"):
+        cs = g.groupby("h").size().sort_index()
+        if len(cs) < KF_N:
+            assert et not in out
+            continue
+        z = cs.iloc[-KF_N:].to_list()
+        x, p = float(z[0]), KF_R
+        for k in range(1, KF_N):
+            pp = p + KF_Q
+            gk = pp / (pp + KF_R)
+            x = x + gk * (z[k] - x)
+            p = (1 - gk) * pp
+        row = out[et]
+        assert row["z_last"] == z[-1]
+        assert abs(row["x_hat"] - x) < 1e-5
+        assert abs(row["p_var"] - p) < 1e-5
+        # variance recursion converges to the steady-state Riccati value
+        # p* = (Q + sqrt(Q*Q + 4*Q*R)) / 2 ... filtered: p* satisfies
+        # p = (1-K)(p+Q); just assert it dropped well below the prior
+        assert row["p_var"] < KF_R / 2
+        # the filter smooths: x_hat lies inside the observation range
+        assert min(z) <= row["x_hat"] <= max(z)
+
+
+def test_skyline_3d_matches_bruteforce(spark):
+    from spark_shp.hashing import mix
+    from spark_shp.queries_eval import SKY_MOD, q_skyline_3d
+    got = {r["p_partkey"]: (r["price"], r["size"], r["lead"])
+           for r in q_skyline_3d(spark, SF).collect()}
+    p = pd.read_parquet(f"{SF}/part.parquet")
+    p = p[p["p_partkey"] % SKY_MOD == 0]
+    keys = p["p_partkey"].to_numpy()
+    price = np.floor(p["p_retailprice"].to_numpy() * 100.0 + 0.5) \
+        .astype(np.int64)
+    size = p["p_size"].to_numpy().astype(np.int64)
+    lead = (mix(keys * 13 + 5) % 1000).astype(np.int64)
+    n = len(keys)
+    exp = {}
+    for i in range(n):
+        dominated = False
+        for j in range(n):
+            if i == j:
+                continue
+            if (price[j] <= price[i] and size[j] >= size[i]
+                    and lead[j] <= lead[i]
+                    and (price[j] < price[i] or size[j] > size[i]
+                         or lead[j] < lead[i])):
+                dominated = True
+                break
+        if not dominated:
+            exp[int(keys[i])] = (int(price[i]), int(size[i]),
+                                 int(lead[i]))
+    assert got == exp
+    # skyline is non-trivial: more than 1 point, fewer than all
+    assert 1 < len(exp) < n
+
+
+def test_conformal_interval_matches_python_and_covers(spark):
+    import math
+    from spark_shp.queries_eval import CONF_ALPHA, q_conformal_interval
+    out = {r["seg"]: r for r in
+           q_conformal_interval(spark, SF).collect()}
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["cents"] = np.floor(o["o_totalprice"] * 100.0 + 0.5).astype(
+        np.int64)
+    for seg, g in o.groupby("o_orderpriority"):
+        cal = g[g["o_orderkey"] % 2 == 0]
+        tst = g[g["o_orderkey"] % 2 == 1]
+        pred = int(cal["cents"].sum()) // len(cal)
+        ncs = sorted(zip((cal["cents"] - pred).abs(),
+                         cal["o_orderkey"]))
+        r = math.ceil((len(cal) + 1) * (1.0 - CONF_ALPHA))
+        q_hat = int(ncs[r - 1][0])
+        n_cov = int(((tst["cents"] - pred).abs() <= q_hat).sum())
+        row = out[seg]
+        assert (row["n_cal"], row["pred"], row["q_hat"], row["n_test"],
+                row["n_cov"]) == (len(cal), pred, q_hat, len(tst),
+                                  n_cov)
+        # per-segment coverage can deviate (the guarantee is MARGINAL);
+        # keep a loose per-segment floor and a tight aggregate below
+        assert row["coverage"] >= 1.0 - 2 * CONF_ALPHA
+        assert row["coverage"] < 1.0  # interval is not vacuous
+    tot_cov = sum(r["n_cov"] for r in out.values())
+    tot_n = sum(r["n_test"] for r in out.values())
+    # the marginal conformal guarantee, aggregated over segments
+    assert tot_cov / tot_n > 1.0 - CONF_ALPHA - 0.03
