@@ -2241,3 +2241,200 @@ QUERIES.update({
     "skyline_3d": (q_skyline_3d, _oracle_skyline()),
     "conformal_interval": (q_conformal_interval, _oracle_conformal()),
 })
+
+
+# --- bradley_terry: preference-ranking strength estimation --------------------
+#
+# The pairwise-preference model behind Elo, chess ratings, and LLM
+# arena leaderboards (Bradley-Terry 1952, Zermelo's MM iteration):
+# "matches" between event types are consecutive events of a user with
+# a hash-decided winner; two minorization-maximization rounds
+# s_i <- W_i / sum_j n_ij / (s_i + s_j) run over the ALPHABET-bounded
+# (5x5) win matrix — the corpus is touched once to build it.  Round-1
+# strengths are quantized ROUND(...,6) BEFORE feeding round 2 (the
+# engine-independence rule for iterated floats); the gate carries the
+# integer win matrix margins and both rounds' strengths.
+
+BT_ROUNDS = 2
+
+
+def q_bradley_terry(spark, sf_dir):
+    from .hashing import mix_sql
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    m = (e.withColumn("nxt", F.lead("event_type").over(w))
+         .withColumn("nid", F.lead("event_id").over(w))
+         .where("nxt IS NOT NULL AND nxt != event_type")
+         .selectExpr("event_type AS p", "nxt AS q",
+                     f"({mix_sql('event_id * 7 + nid * 3')}) % 2 AS w1"))
+    # canonical pair orientation + win counts
+    pairs = (m.selectExpr(
+        "CASE WHEN p < q THEN p ELSE q END AS a",
+        "CASE WHEN p < q THEN q ELSE p END AS b",
+        "CASE WHEN (p < q) = (w1 = 0) THEN 1 ELSE 0 END AS a_win")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("a_win").alias("wa")))
+    pairs = pairs.localCheckpoint()
+    # long form: per (i, j): n_ij, wins_i_over_j
+    long = (pairs.selectExpr("a AS i", "b AS j", "n", "wa AS wi")
+            .unionByName(pairs.selectExpr("b AS i", "a AS j", "n",
+                                          "n - wa AS wi")))
+    # MM round 1 from s = 1: s_i = W_i / sum_j (n_ij / 2)
+    r1 = (long.groupBy("i")
+          .agg(F.sum("wi").alias("w_tot"), F.sum("n").alias("n_tot"))
+          .selectExpr("i", "w_tot", "n_tot",
+                      "ROUND(CAST(w_tot AS DOUBLE) "
+                      "/ (CAST(n_tot AS DOUBLE) / 2.0), 6) AS s1"))
+    # MM round 2: s_i = W_i / sum_j n_ij / (s1_i + s1_j)
+    d2 = (long.join(F.broadcast(r1.selectExpr("i", "s1")), "i")
+          .join(F.broadcast(r1.selectExpr("i AS j", "s1 AS s1j")), "j")
+          .groupBy("i")
+          .agg(F.sum(F.expr("CAST(n AS DOUBLE) / (s1 + s1j)"))
+               .alias("den")))
+    return (r1.join(d2, "i")
+            .selectExpr("i AS item", "CAST(w_tot AS BIGINT) AS wins",
+                        "CAST(n_tot AS BIGINT) AS n_matches", "s1",
+                        "ROUND(CAST(w_tot AS DOUBLE) / den, 6) AS s2"))
+
+
+def _oracle_bradley_terry() -> str:
+    from .hashing import mix_sql
+    return f"""
+WITH m AS (
+  SELECT event_type AS p, nxt AS q,
+         ({mix_sql('event_id * 7 + nid * 3')}) % 2 AS w1
+  FROM (SELECT event_type, event_id,
+               LEAD(event_type) OVER w AS nxt,
+               LEAD(event_id) OVER w AS nid
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+  WHERE nxt IS NOT NULL AND nxt != event_type),
+pairs AS MATERIALIZED (
+  SELECT CASE WHEN p < q THEN p ELSE q END AS a,
+         CASE WHEN p < q THEN q ELSE p END AS b,
+         COUNT(*) AS n,
+         SUM(CASE WHEN (p < q) = (w1 = 0) THEN 1 ELSE 0 END) AS wa
+  FROM m GROUP BY 1, 2),
+long AS MATERIALIZED (
+  SELECT a AS i, b AS j, n, wa AS wi FROM pairs
+  UNION ALL
+  SELECT b AS i, a AS j, n, n - wa AS wi FROM pairs),
+r1 AS MATERIALIZED (
+  SELECT i, SUM(wi) AS w_tot, SUM(n) AS n_tot,
+         ROUND(CAST(SUM(wi) AS DOUBLE)
+               / (CAST(SUM(n) AS DOUBLE) / 2.0), 6) AS s1
+  FROM long GROUP BY i),
+d2 AS (
+  SELECT l.i, SUM(CAST(l.n AS DOUBLE) / (a.s1 + b.s1)) AS den
+  FROM long l JOIN r1 a ON l.i = a.i JOIN r1 b ON l.j = b.i
+  GROUP BY l.i)
+SELECT r1.i AS item, CAST(r1.w_tot AS BIGINT) AS wins,
+       CAST(r1.n_tot AS BIGINT) AS n_matches, r1.s1,
+       ROUND(CAST(r1.w_tot AS DOUBLE) / d2.den, 6) AS s2
+FROM r1 JOIN d2 ON r1.i = d2.i
+"""
+
+
+# --- qa_token_f1: extractive-QA span evaluation -------------------------------
+#
+# The SQuAD evaluation pair (exact match + token F1) — the
+# order-INSENSITIVE sibling of rouge_lcs_pairs' LCS: candidate and
+# reference spans (the same variable-length token prefixes), token F1
+# from the MULTISET intersection sum(min(count_c, count_r)) — exact
+# integers via a token-keyed join of per-span token histograms; EM is
+# string equality of the joined spans.  One pair-keyed shuffle.
+
+def q_qa_token_f1(spark, sf_dir):
+    # every 25th pair's reference reads the CANDIDATE's doc — planted
+    # exact-match answers, so the EM column provably gates something
+    base = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 2 = 1 AND (doc_id DIV 2) % 25 = 0 "
+        "THEN doc_id - 1 ELSE doc_id END AS src_id")
+    txt = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id AS src_id", "text")
+    d = (base.join(txt, "src_id")
+         .selectExpr("doc_id", "split(text, ' ') AS tk",
+                     "5 + src_id % 4 AS mlen"))
+    spans = d.selectExpr(
+        "doc_id DIV 2 AS pair_id", "doc_id % 2 AS side",
+        "slice(tk, 1, mlen) AS span", "mlen")
+    toks = (spans.selectExpr("pair_id", "side",
+                             "explode(span) AS tok")
+            .groupBy("pair_id", "side", "tok")
+            .agg(F.count(F.lit(1)).alias("c")))
+    inter = (toks.where("side = 0").selectExpr("pair_id", "tok",
+                                               "c AS c0")
+             .join(toks.where("side = 1")
+                   .selectExpr("pair_id", "tok", "c AS c1"),
+                   ["pair_id", "tok"])
+             .groupBy("pair_id")
+             .agg(F.sum(F.expr("LEAST(c0, c1)")).alias("overlap")))
+    meta = (spans.groupBy("pair_id")
+            .agg(F.max(F.expr("CASE WHEN side = 0 THEN mlen END"))
+                 .alias("m"),
+                 F.max(F.expr("CASE WHEN side = 1 THEN mlen END"))
+                 .alias("n"),
+                 F.max(F.expr(
+                     "CASE WHEN side = 0 THEN array_join(span, ' ') END"))
+                 .alias("sa"),
+                 F.max(F.expr(
+                     "CASE WHEN side = 1 THEN array_join(span, ' ') END"))
+                 .alias("sb")))
+    return (meta.join(inter, "pair_id", "left")
+            .selectExpr(
+                "pair_id", "CAST(m AS BIGINT) AS m",
+                "CAST(n AS BIGINT) AS n",
+                "CAST(COALESCE(overlap, 0) AS BIGINT) AS overlap",
+                "CASE WHEN sa = sb THEN 1 ELSE 0 END AS exact_match",
+                "ROUND(CAST(2 * COALESCE(overlap, 0) AS DOUBLE) "
+                "/ CAST(m + n AS DOUBLE), 6) AS token_f1"))
+
+
+ORACLE_QA_F1 = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1 AND (doc_id // 2) % 25 = 0
+              THEN doc_id - 1 ELSE doc_id END AS src_id
+  FROM documents),
+d AS (
+  SELECT base.doc_id, string_split(t.text, ' ') AS tk,
+         5 + base.src_id % 4 AS mlen
+  FROM base JOIN documents t ON t.doc_id = base.src_id),
+spans AS MATERIALIZED (
+  SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side,
+         tk[1:mlen] AS span, mlen
+  FROM d),
+toks AS (
+  SELECT pair_id, side, UNNEST(span) AS tok FROM spans),
+hist AS (
+  SELECT pair_id, side, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2, 3),
+inter AS (
+  SELECT a.pair_id, SUM(LEAST(a.c, b.c)) AS overlap
+  FROM hist a JOIN hist b
+    ON a.pair_id = b.pair_id AND a.tok = b.tok
+   AND a.side = 0 AND b.side = 1
+  GROUP BY a.pair_id),
+meta AS (
+  SELECT pair_id,
+         MAX(CASE WHEN side = 0 THEN mlen END) AS m,
+         MAX(CASE WHEN side = 1 THEN mlen END) AS n,
+         MAX(CASE WHEN side = 0 THEN array_to_string(span, ' ') END)
+           AS sa,
+         MAX(CASE WHEN side = 1 THEN array_to_string(span, ' ') END)
+           AS sb
+  FROM spans GROUP BY pair_id)
+SELECT meta.pair_id, CAST(m AS BIGINT) AS m, CAST(n AS BIGINT) AS n,
+       CAST(COALESCE(overlap, 0) AS BIGINT) AS overlap,
+       CASE WHEN sa = sb THEN 1 ELSE 0 END AS exact_match,
+       ROUND(CAST(2 * COALESCE(overlap, 0) AS DOUBLE)
+             / CAST(m + n AS DOUBLE), 6) AS token_f1
+FROM meta LEFT JOIN inter ON meta.pair_id = inter.pair_id
+"""
+
+
+QUERIES.update({
+    "bradley_terry": (q_bradley_terry, _oracle_bradley_terry()),
+    "qa_token_f1": (q_qa_token_f1, ORACLE_QA_F1),
+})

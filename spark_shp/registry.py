@@ -346,6 +346,8 @@ _TAIL = [
     "kalman_filter_series",  # fixed-unroll Kalman smoothing (C6/C7 state)
     "skyline_3d",         # bucket-pruned 3-D Pareto skyline (C7/C8)
     "conformal_interval",  # split-conformal coverage audit (ML/C6)
+    "bradley_terry",      # pairwise-preference MM ranking (ML/eval)
+    "qa_token_f1",        # extractive-QA EM + token F1 (ML eval/text)
 ]
 
 _MERGED: dict = {}

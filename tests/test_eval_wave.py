@@ -912,3 +912,71 @@ def test_conformal_interval_matches_python_and_covers(spark):
     tot_n = sum(r["n_test"] for r in out.values())
     # the marginal conformal guarantee, aggregated over segments
     assert tot_cov / tot_n > 1.0 - CONF_ALPHA - 0.03
+
+
+def test_bradley_terry_matches_python_mm(spark):
+    from spark_shp.hashing import mix
+    from spark_shp.queries_eval import q_bradley_terry
+    out = {r["item"]: r for r in q_bradley_terry(spark, SF).collect()}
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    wins, nmatch = {}, {}
+    for _, g in e.sort_values(["ts", "event_id"]).groupby("user_id"):
+        rows = list(zip(g["event_type"], g["event_id"]))
+        for k in range(len(rows) - 1):
+            (p, pid), (q, qid) = rows[k], rows[k + 1]
+            if p == q:
+                continue
+            w1 = int(mix(np.int64(pid * 7 + qid * 3))) % 2
+            a, b = (p, q) if p < q else (q, p)
+            winner = a if ((p < q) == (w1 == 0)) else b
+            for i, j in ((a, b), (b, a)):
+                nmatch[(i, j)] = nmatch.get((i, j), 0) + 1
+            wins[winner] = wins.get(winner, 0) + 1
+    items = sorted({i for i, _ in nmatch})
+    s1 = {}
+    for i in items:
+        w = wins.get(i, 0)
+        n = sum(nmatch.get((i, j), 0) for j in items)
+        s1[i] = round(w / (n / 2.0), 6)
+    for i in items:
+        den = sum(nmatch.get((i, j), 0) / (s1[i] + s1[j])
+                  for j in items if (i, j) in nmatch)
+        s2 = round(wins.get(i, 0) / den, 6)
+        row = out[i]
+        n = sum(nmatch.get((i, j), 0) for j in items)
+        assert (row["wins"], row["n_matches"]) == (wins.get(i, 0), n)
+        assert row["s1"] == s1[i]
+        assert abs(row["s2"] - s2) < 2e-6
+    # ranking structure: strengths are not all equal and order by s2
+    # follows win-rate order at round 2 start
+    s2s = [out[i]["s2"] for i in items]
+    assert max(s2s) > min(s2s)
+
+
+def test_qa_token_f1_matches_python(spark):
+    from collections import Counter
+    from spark_shp.queries_eval import q_qa_token_f1
+    out = {r["pair_id"]: r for r in q_qa_token_f1(spark, SF).collect()}
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = {int(r["doc_id"]): r["text"].split(" ")
+            for _, r in d.iterrows()}
+    n_em = 0
+    for did in toks:
+        if did % 2 != 0 or (did + 1) not in toks:
+            continue
+        pid = did // 2
+        src1 = did if pid % 25 == 0 else did + 1
+        m = 5 + did % 4
+        n = 5 + src1 % 4
+        sa = toks[did][:m]
+        sb = toks[src1][:n]
+        ca, cb = Counter(sa), Counter(sb)
+        ov = sum(min(ca[t], cb[t]) for t in ca)
+        em = 1 if sa == sb else 0
+        n_em += em
+        row = out[pid]
+        assert (row["m"], row["n"], row["overlap"],
+                row["exact_match"]) == (m, n, ov, em)
+        assert row["token_f1"] == round(2 * ov / (m + n), 6)
+    assert n_em > 0       # planted exact answers exist
+    assert n_em < len(out)  # and not everything matches
