@@ -2438,3 +2438,262 @@ QUERIES.update({
     "bradley_terry": (q_bradley_terry, _oracle_bradley_terry()),
     "qa_token_f1": (q_qa_token_f1, ORACLE_QA_F1),
 })
+
+
+# --- ndcg_at_k: graded ranking quality per query group ------------------------
+#
+# The search/recsys ranking metric next to roc_auc (binary, order-free)
+# and average_precision (binary, rank-weighted): NDCG@5 with GRADED
+# relevance.  Float determinism: the 1/log2(rank+1) discounts exist only
+# at ranks 1..5, so they are folded in PYTHON to five integer constants
+# D[r] = floor(Q / log2(r+1)) and the per-item gain is the pure integer
+# product rel * D[rank] — DCG/IDCG are exact int64 at any aggregation
+# order and NDCG is one ROUND division.  Ranks carry the o_orderkey
+# total-order tiebreak (the FIXTURES.md rank rule).  Plan: two
+# qid-partitioned rank windows over the same scan + one 40-row join —
+# at 100 TB this is one shuffle on qid and per-query linear work.
+
+import math as _math
+
+NDCG_Q = 1_000_000
+NDCG_K = 5
+# floor(Q / log2(rank+1)) for rank 1..5 — python-folded, shared verbatim
+NDCG_D = [int(NDCG_Q / _math.log2(r + 1)) for r in range(1, NDCG_K + 1)]
+_NDCG_DISC = ("CASE rnk " + " ".join(
+    f"WHEN {r + 1} THEN {d}" for r, d in enumerate(NDCG_D)) + " END")
+
+_NDCG_BASE = """
+  SELECT o_custkey % 40 AS qid, o_orderkey AS k,
+         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS s,
+         (CASE o_orderstatus WHEN 'F' THEN 2 WHEN 'O' THEN 1 ELSE 0 END)
+         + (CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END) AS rel
+  FROM orders
+"""
+
+
+def q_ndcg_at_k(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(f"""
+WITH base AS ({_NDCG_BASE}),
+ranked AS (
+  SELECT qid, rel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, k) AS rnk
+  FROM base),
+ideal AS (
+  SELECT qid, rel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, k) AS rnk
+  FROM base),
+dcg AS (
+  SELECT qid, CAST(SUM(rel * {_NDCG_DISC}) AS BIGINT) AS dcg_q,
+         CAST(COUNT(*) AS BIGINT) AS n_top
+  FROM ranked WHERE rnk <= {NDCG_K} GROUP BY qid),
+idcg AS (
+  SELECT qid, CAST(SUM(rel * {_NDCG_DISC}) AS BIGINT) AS idcg_q
+  FROM ideal WHERE rnk <= {NDCG_K} GROUP BY qid)
+SELECT dcg.qid, n_top, dcg_q, idcg_q,
+       CASE WHEN idcg_q > 0
+            THEN ROUND(CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE), 6)
+       END AS ndcg
+FROM dcg JOIN idcg ON dcg.qid = idcg.qid
+""")
+
+
+ORACLE_NDCG = f"""
+WITH base AS ({_NDCG_BASE}),
+ranked AS (
+  SELECT qid, rel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, k) AS rnk
+  FROM base),
+ideal AS (
+  SELECT qid, rel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, k) AS rnk
+  FROM base),
+dcg AS (
+  SELECT qid, CAST(SUM(rel * {_NDCG_DISC}) AS BIGINT) AS dcg_q,
+         CAST(COUNT(*) AS BIGINT) AS n_top
+  FROM ranked WHERE rnk <= {NDCG_K} GROUP BY qid),
+idcg AS (
+  SELECT qid, CAST(SUM(rel * {_NDCG_DISC}) AS BIGINT) AS idcg_q
+  FROM ideal WHERE rnk <= {NDCG_K} GROUP BY qid)
+SELECT dcg.qid, n_top, dcg_q, idcg_q,
+       CASE WHEN idcg_q > 0
+            THEN ROUND(CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE), 6)
+       END AS ndcg
+FROM dcg JOIN idcg ON dcg.qid = idcg.qid
+"""
+
+
+# --- cuped_adjustment: variance-reduced experiment readout --------------------
+#
+# CUPED (Deng et al. 2013), the standard online-experimentation variance
+# reducer: theta = cov(X, Y) / var(X) over users, where the covariate X
+# is pre-exposure activity.  Here X = a user's value cents on even
+# event_ids, Y on odd (deterministic halves of the same activity stream,
+# correlated by construction).  The spatial_autocorr determinism rule:
+# per-cohort moments are exact (int64 for n/sx/sy, DECIMAL(38,0) for the
+# squares — per-user cents sums square past int64 at bench scale), and
+# theta / rho^2 / variance-reduction are ONE literal float expression
+# each, identical in both engines.  Plan: one user-keyed aggregate then
+# a 4-row cohort aggregate — map-side combinable end to end.
+
+def q_cuped_adjustment(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    per_user = (e.selectExpr(
+        "user_id",
+        "CASE WHEN event_id % 2 = 0 THEN "
+        "CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END AS xc",
+        "CASE WHEN event_id % 2 = 1 THEN "
+        "CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END AS yc")
+        .groupBy("user_id")
+        .agg(F.sum("xc").alias("x"), F.sum("yc").alias("y")))
+    m = (per_user.selectExpr("user_id % 4 AS cohort", "x", "y")
+         .groupBy("cohort")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.expr("SUM(CAST(x AS DECIMAL(38, 0)) * x)").alias("sxx"),
+              F.expr("SUM(CAST(x AS DECIMAL(38, 0)) * y)").alias("sxy"),
+              F.expr("SUM(CAST(y AS DECIMAL(38, 0)) * y)").alias("syy")))
+    return m.selectExpr(
+        "CAST(cohort AS BIGINT) AS cohort", "CAST(n AS BIGINT) AS n_users",
+        "CAST(sx AS BIGINT) AS sx", "CAST(sy AS BIGINT) AS sy",
+        "ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
+        "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS theta",
+        "ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * "
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) / "
+        "((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * "
+        "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS rho2")
+
+
+ORACLE_CUPED = """
+WITH per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_id % 2 = 0
+                  THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS x,
+         SUM(CASE WHEN event_id % 2 = 1
+                  THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS y
+  FROM events GROUP BY user_id),
+m AS (
+  SELECT user_id % 4 AS cohort, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS DECIMAL(38, 0)) * x) AS sxx,
+         SUM(CAST(x AS DECIMAL(38, 0)) * y) AS sxy,
+         SUM(CAST(y AS DECIMAL(38, 0)) * y) AS syy
+  FROM per_user GROUP BY 1)
+SELECT CAST(cohort AS BIGINT) AS cohort, CAST(n AS BIGINT) AS n_users,
+       CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+         AS theta,
+       ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) *
+              (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) /
+             ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+              (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         AS rho2
+FROM m
+"""
+
+
+QUERIES.update({
+    "ndcg_at_k": (q_ndcg_at_k, ORACLE_NDCG),
+    "cuped_adjustment": (q_cuped_adjustment, ORACLE_CUPED),
+})
+
+
+# --- ipf_raking: iterative-proportional-fitting survey weights ----------------
+#
+# Raking / post-stratification (Deming-Stephan IPF), the survey-weighting
+# primitive: calibrate a 1-in-3 sample's (status x priority) cell weights
+# so its margins match the POPULATION margins, three scaling passes
+# (rows, cols, rows) unrolled exactly.  Weights are integers scaled by
+# Q=2^16 and every pass is w' = (w * target * Q) DIV current — pure int64
+# with the product bound w*target*Q < 2^63 documented (holds to ~5e8
+# population rows; DECIMAL(38,0) takes over past that).  Plan: the only
+# corpus-scale work is two map-side-combinable groupBys (sample cells +
+# population margins); the 15-row IPF unroll is driver-free broadcast
+# algebra.  Oracle: identical chained MATERIALIZED CTEs.
+
+IPF_Q = 65536
+
+_IPF_SQL = f"""
+WITH cells AS MATERIALIZED (
+  SELECT o_orderstatus AS s, o_orderpriority AS p,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1, 2),
+rowt AS MATERIALIZED (
+  SELECT o_orderstatus AS s, CAST(COUNT(*) AS BIGINT) AS t
+  FROM orders GROUP BY 1),
+colt AS MATERIALIZED (
+  SELECT o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS u
+  FROM orders GROUP BY 1),
+w0 AS MATERIALIZED (
+  SELECT s, p, n, CAST({IPF_Q} AS BIGINT) AS w FROM cells),
+r1 AS MATERIALIZED (
+  SELECT w0.s, w0.p, w0.n,
+         (w0.w * rowt.t * {IPF_Q}) {{div}} cur.c AS w
+  FROM w0
+  JOIN (SELECT s, CAST(SUM(n * w) AS BIGINT) AS c FROM w0 GROUP BY s) cur
+    ON cur.s = w0.s
+  JOIN rowt ON rowt.s = w0.s),
+r2 AS MATERIALIZED (
+  SELECT r1.s, r1.p, r1.n,
+         (r1.w * colt.u * {IPF_Q}) {{div}} cur.c AS w
+  FROM r1
+  JOIN (SELECT p, CAST(SUM(n * w) AS BIGINT) AS c FROM r1 GROUP BY p) cur
+    ON cur.p = r1.p
+  JOIN colt ON colt.p = r1.p),
+r3 AS MATERIALIZED (
+  SELECT r2.s, r2.p, r2.n,
+         (r2.w * rowt.t * {IPF_Q}) {{div}} cur.c AS w
+  FROM r2
+  JOIN (SELECT s, CAST(SUM(n * w) AS BIGINT) AS c FROM r2 GROUP BY s) cur
+    ON cur.s = r2.s
+  JOIN rowt ON rowt.s = r2.s)
+SELECT s AS status, p AS priority, n AS n_sample,
+       CAST(w AS BIGINT) AS wq,
+       (n * w) {{div}} {IPF_Q} AS fitted,
+       ROUND(CAST(w AS DOUBLE) / {IPF_Q}.0, 6) AS weight
+FROM r3
+"""
+
+
+def q_ipf_raking(spark, sf_dir):
+    # DataFrame rounds, not plain CTEs: Spark has no MATERIALIZED
+    # modifier and each IPF round references its predecessor twice, so a
+    # CTE chain would re-expand the corpus scan 2^rounds times (the
+    # strahler_order oracle lesson).  localCheckpoint pins the three
+    # tiny aggregates; every round is 15-row broadcast algebra.
+    o = _t(spark, sf_dir, "orders")
+    cells = (o.where("o_orderkey % 3 = 0")
+             .groupBy(F.col("o_orderstatus").alias("s"),
+                      F.col("o_orderpriority").alias("p"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n"))
+             .localCheckpoint())
+    rowt = (o.groupBy(F.col("o_orderstatus").alias("s"))
+            .agg(F.count(F.lit(1)).cast("long").alias("t"))
+            .localCheckpoint())
+    colt = (o.groupBy(F.col("o_orderpriority").alias("p"))
+            .agg(F.count(F.lit(1)).cast("long").alias("u"))
+            .localCheckpoint())
+    w = cells.withColumn("w", F.lit(IPF_Q).cast("long"))
+    for key, tgt, tcol in (("s", rowt, "t"), ("p", colt, "u"),
+                           ("s", rowt, "t")):
+        cur = w.groupBy(key).agg(
+            F.expr("CAST(SUM(n * w) AS BIGINT)").alias("c"))
+        w = (w.join(F.broadcast(cur), key).join(F.broadcast(tgt), key)
+             .selectExpr("s", "p", "n",
+                         f"(w * {tcol} * {IPF_Q}) DIV c AS w"))
+    return w.selectExpr(
+        "s AS status", "p AS priority", "n AS n_sample",
+        "CAST(w AS BIGINT) AS wq",
+        f"(n * w) DIV {IPF_Q} AS fitted",
+        f"ROUND(CAST(w AS DOUBLE) / {float(IPF_Q)!r}, 6) AS weight")
+
+
+ORACLE_IPF = _IPF_SQL.format(div="//")
+
+
+QUERIES.update({
+    "ipf_raking": (q_ipf_raking, ORACLE_IPF),
+})

@@ -980,3 +980,94 @@ def test_qa_token_f1_matches_python(spark):
         assert row["token_f1"] == round(2 * ov / (m + n), 6)
     assert n_em > 0       # planted exact answers exist
     assert n_em < len(out)  # and not everything matches
+
+
+def test_ndcg_matches_textbook_python(spark):
+    # independent algorithm: per-query sort in python, float DCG with the
+    # true 1/log2 discounts; the gated integer form must agree within the
+    # discount-quantization bound
+    import math
+    from spark_shp.queries_eval import NDCG_D, NDCG_K, NDCG_Q, q_ndcg_at_k
+    out = {r["qid"]: r for r in q_ndcg_at_k(spark, SF).collect()}
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["qid"] = o["o_custkey"] % 40
+    o["s"] = np.floor(o["o_totalprice"] * 100.0).astype(np.int64)
+    rel_status = o["o_orderstatus"].map({"F": 2, "O": 1}).fillna(0)
+    o["rel"] = (rel_status
+                + (o["o_orderpriority"] < "3").astype(int)).astype(int)
+    for qid, g in o.groupby("qid"):
+        top = g.sort_values(["s", "o_orderkey"],
+                            ascending=[False, True]).head(NDCG_K)
+        ideal = g.sort_values(["rel", "o_orderkey"],
+                              ascending=[False, True]).head(NDCG_K)
+        dcg_q = sum(int(r) * NDCG_D[i]
+                    for i, r in enumerate(top["rel"]))
+        idcg_q = sum(int(r) * NDCG_D[i]
+                     for i, r in enumerate(ideal["rel"]))
+        row = out[qid]
+        assert row["dcg_q"] == dcg_q and row["idcg_q"] == idcg_q
+        # float NDCG with TRUE discounts agrees within quantization
+        dcg_f = sum(int(r) / math.log2(i + 2)
+                    for i, r in enumerate(top["rel"]))
+        idcg_f = sum(int(r) / math.log2(i + 2)
+                     for i, r in enumerate(ideal["rel"]))
+        if idcg_f > 0:
+            assert abs(row["ndcg"] - dcg_f / idcg_f) < NDCG_K / NDCG_Q
+            assert 0.0 <= row["ndcg"] <= 1.0
+    # planted sanity: some query must be imperfect, none above 1
+    assert any(r["ndcg"] < 1.0 for r in out.values())
+
+
+def test_cuped_matches_numpy_and_reduces_variance(spark):
+    from spark_shp.queries_eval import q_cuped_adjustment
+    out = {r["cohort"]: r for r in q_cuped_adjustment(spark, SF).collect()}
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    cents = np.floor(e["value"] * 100.0 + 0.5).astype(np.int64)
+    e = e.assign(x=np.where(e["event_id"] % 2 == 0, cents, 0),
+                 y=np.where(e["event_id"] % 2 == 1, cents, 0))
+    per_user = e.groupby("user_id")[["x", "y"]].sum()
+    per_user["cohort"] = per_user.index % 4
+    for cohort, g in per_user.groupby("cohort"):
+        x = g["x"].to_numpy(dtype=np.float64)
+        y = g["y"].to_numpy(dtype=np.float64)
+        theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+        rho2 = (np.corrcoef(x, y)[0, 1]) ** 2
+        row = out[cohort]
+        assert row["n_users"] == len(g)
+        assert abs(row["theta"] - theta) < 1e-4
+        assert abs(row["rho2"] - rho2) < 1e-4
+        # the whole point of CUPED: the covariate must actually help
+        assert row["rho2"] > 0.05
+
+
+def test_ipf_matches_sequential_raking(spark):
+    from spark_shp.queries_eval import IPF_Q, q_ipf_raking
+    out = {(r["status"], r["priority"]): r
+           for r in q_ipf_raking(spark, SF).collect()}
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    samp = o[o["o_orderkey"] % 3 == 0]
+    cells = {(s, p): int(n) for (s, p), n in
+             samp.groupby(["o_orderstatus", "o_orderpriority"])
+                 .size().items()}
+    rowt = o.groupby("o_orderstatus").size().to_dict()
+    colt = o.groupby("o_orderpriority").size().to_dict()
+    w = {k: IPF_Q for k in cells}
+    for axis, tgt in ((0, rowt), (1, colt), (0, rowt)):
+        cur = {}
+        for k, n in cells.items():
+            cur[k[axis]] = cur.get(k[axis], 0) + n * w[k]
+        w = {k: (w[k] * tgt[k[axis]] * IPF_Q) // cur[k[axis]]
+             for k in cells}
+    assert set(out) == set(cells)
+    for k, n in cells.items():
+        assert out[k]["wq"] == w[k]
+        assert out[k]["fitted"] == (n * w[k]) // IPF_Q
+    # calibration sanity: final row margins hit the population targets
+    # to within the integer-division quantization (one unit per cell)
+    for s, t in rowt.items():
+        fit = sum((n * w[k]) / IPF_Q for k, n in cells.items()
+                  if k[0] == s)
+        assert abs(fit - t) < 1.0
