@@ -8,6 +8,8 @@ pytest.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -1904,6 +1906,178 @@ FROM s4
 ORACLE_SHP_ROBIN = _oracle_robinson_sql()
 
 
+N_MILLER = 40
+_MILLER_WKT = (
+    'PROJCS["World_Miller_Cylindrical",GEOGCS["GCS_WGS_1984",'
+    'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Miller_Cylindrical"],'
+    'PARAMETER["False_Easting",0.0],'
+    'PARAMETER["False_Northing",0.0],'
+    'PARAMETER["Central_Meridian",12.0],UNIT["Meter",1.0]]')
+
+
+def q_shp_miller_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 Miller Cylindrical (ESRI World_Miller_Cylindrical /
+    EPSG:54003 — the classic compromise world-map cylindrical): Point
+    shapefile in Miller meters -> engine inverse (parser.make_inv_miller,
+    Snyder eq. 33-3 closed form).  The oracle evaluates the identical
+    float64 sequence from the same miller_constants(); 9-decimal
+    rounding policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_MILLER, dtype=np.int64)
+    xm = (u01(i * 107 + 3) - 0.5) * 2.0 * 17000000.0
+    ym = (u01(i * 107 + 4) - 0.5) * 2.0 * 14000000.0
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_MILLER_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_miller_sql() -> str:
+    from .shp.parser import miller_constants
+    cv = miller_constants(6378137.0, 12.0, 0.0, 0.0)
+    c = {k: f"CAST({v!r} AS DOUBLE)" for k, v in cv.items()}
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         ({u01_sql('i * 107 + 3')} - 0.5) * 2.0 * 17000000.0 AS x,
+         ({u01_sql('i * 107 + 4')} - 0.5) * 2.0 * 14000000.0 AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_MILLER - 1})) AS i) t)
+SELECT rec_no,
+       ROUND(DEGREES({c['lam0']} + x / {c['a']}), 9) AS lon,
+       ROUND(DEGREES(2.5 * ATAN(EXP(0.8 * y / {c['a']})) - {c['c58']}),
+             9) AS lat
+FROM src
+"""
+
+
+ORACLE_SHP_MILLER = _oracle_miller_sql()
+
+
+N_VDG = 40
+_VDG_WKT = (
+    'PROJCS["World_Van_der_Grinten_I",GEOGCS["GCS_WGS_1984",'
+    'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Van_der_Grinten_I"],'
+    'PARAMETER["False_Easting",0.0],'
+    'PARAMETER["False_Northing",0.0],'
+    'PARAMETER["Central_Meridian",-7.0],UNIT["Meter",1.0]]')
+# sample inside the diamond |X|+|Y| <= 0.92 (inscribed in the unit map
+# circle) by pure AFFINE u01 math — no trig in the point generation, so
+# the oracle regenerates bit-identical coordinates
+_VDG_HALF = 0.65 * math.pi * 6378137.0
+
+
+def q_shp_vdg_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 Van der Grinten I (ESRI World_Van_der_Grinten_I / EPSG:54029
+    — the circular world map NatGeo used before Robinson): Point
+    shapefile in VdG meters -> engine inverse (parser.make_inv_vdg,
+    Snyder eq. 29-12..29-17 closed-form cubic).  The oracle unrolls the
+    identical float64 op sequence in DuckDB from the same
+    vdg_constants(); 9-decimal rounding policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_VDG, dtype=np.int64)
+    xm = (u01(i * 109 + 3) - 0.5) * 2.0 * _VDG_HALF
+    ym = (u01(i * 109 + 4) - 0.5) * 2.0 * _VDG_HALF
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_VDG_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_vdg_sql() -> str:
+    from .shp.parser import vdg_constants
+    cv = vdg_constants(6378137.0, -7.0, 0.0, 0.0)
+    c = {k: f"CAST({v!r} AS DOUBLE)" for k, v in cv.items()}
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         ({u01_sql('i * 109 + 3')} - 0.5) * 2.0
+           * CAST({_VDG_HALF!r} AS DOUBLE) AS x,
+         ({u01_sql('i * 109 + 4')} - 0.5) * 2.0
+           * CAST({_VDG_HALF!r} AS DOUBLE) AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_VDG - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no, x / {c['pr']} AS X, y / {c['pr']} AS Y FROM src),
+s2 AS (
+  SELECT rec_no, X, Y, X * X AS x2, Y * Y AS y2,
+         X * X + Y * Y AS s
+  FROM s1),
+s3 AS (
+  SELECT *, -ABS(Y) * (1.0 + s) AS c1 FROM s2),
+s4 AS (
+  SELECT *, c1 - 2.0 * y2 + x2 AS c2,
+         -2.0 * c1 + 1.0 + 2.0 * y2 + s * s AS c3
+  FROM s3),
+s5 AS (
+  SELECT *,
+         y2 / c3 + (2.0 * c2 * c2 * c2 / (c3 * c3 * c3)
+                    - 9.0 * c1 * c2 / (c3 * c3)) / 27.0 AS d,
+         (c1 - c2 * c2 / (3.0 * c3)) / c3 AS a1
+  FROM s4),
+s6 AS (
+  SELECT *, 2.0 * SQRT(-a1 / 3.0) AS m1 FROM s5),
+s7 AS (
+  SELECT *,
+         ACOS(GREATEST(-1.0, LEAST(1.0, 3.0 * d /
+              (CASE WHEN a1 * m1 = 0.0 THEN 1.0 ELSE a1 * m1 END))))
+           / 3.0 AS th1
+  FROM s6)
+SELECT rec_no,
+       ROUND(DEGREES({c['lam0']} + CASE WHEN X = 0.0 THEN 0.0 ELSE
+             {c['pi']} * (s - 1.0 + SQRT(1.0 + 2.0 * (x2 - y2) + s * s))
+             / (2.0 * X) END), 9) AS lon,
+       ROUND(DEGREES(CASE WHEN Y = 0.0 THEN 0.0 ELSE
+             SIGN(Y) * {c['pi']} * (-m1 * COS(th1 + {c['pi']} / 3.0)
+                                    - c2 / (3.0 * c3)) END), 9) AS lat
+FROM s7
+"""
+
+
+ORACLE_SHP_VDG = _oracle_vdg_sql()
+
 
 N_AEQD = 40
 _AEQD_WKT = (
@@ -2352,7 +2526,7 @@ ORACLE_SHP_ORTHO = _oracle_ortho_sql()
 
 
 def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 — ALL twenty-one supported .prj projection families under ONE gated
+    """A12 — ALL twenty-three supported .prj projection families under ONE gated
     row (the shp_zm_semantics consolidation pattern applied to CRS): each
     family decodes its own Point shapefile + WKT through the engine's
     inverse kernel, tagged with a family id, unioned. Driver-gates the
@@ -2373,7 +2547,8 @@ def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_shp_cea_reproject, q_shp_polyconic_reproject,
             q_shp_gnomonic_reproject, q_shp_ortho_reproject,
             q_shp_bonne_reproject, q_shp_eckert4_reproject,
-            q_shp_robinson_reproject]
+            q_shp_robinson_reproject, q_shp_miller_reproject,
+            q_shp_vdg_reproject]
     out = None
     for fam_id, fn in enumerate(fams):
         d = fn(spark, sf_dir).select(
@@ -2392,7 +2567,7 @@ ORACLE_REPROJECT_FAMILIES = "\nUNION ALL\n".join(
         ORACLE_SHP_CASSINI, ORACLE_SHP_AEQD, ORACLE_SHP_CEA,
         ORACLE_SHP_POLYCONIC, ORACLE_SHP_GNOM, ORACLE_SHP_ORTHO,
         ORACLE_SHP_BONNE, ORACLE_SHP_ECK4,
-        ORACLE_SHP_ROBIN]))
+        ORACLE_SHP_ROBIN, ORACLE_SHP_MILLER, ORACLE_SHP_VDG]))
 
 
 def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2853,6 +3028,8 @@ QUERIES: dict = {
     "shp_eckert4_reproject": (q_shp_eckert4_reproject, ORACLE_SHP_ECK4),
     "shp_robinson_reproject": (q_shp_robinson_reproject,
                                ORACLE_SHP_ROBIN),
+    "shp_miller_reproject": (q_shp_miller_reproject, ORACLE_SHP_MILLER),
+    "shp_vdg_reproject": (q_shp_vdg_reproject, ORACLE_SHP_VDG),
     "shp_aeqd_reproject": (q_shp_aeqd_reproject, ORACLE_SHP_AEQD),
     "shp_gnomonic_reproject": (q_shp_gnomonic_reproject, ORACLE_SHP_GNOM),
     "shp_ortho_reproject": (q_shp_ortho_reproject, ORACLE_SHP_ORTHO),

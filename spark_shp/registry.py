@@ -56,6 +56,8 @@ _TAIL = [
     "shp_bonne_reproject",    # A12 (same family — Bonne pseudoconic)
     "shp_eckert4_reproject",  # A12 (same family — Eckert IV)
     "shp_robinson_reproject",  # A12 (same family — Robinson table)
+    "shp_miller_reproject",   # A12 (same family — Miller Cylindrical)
+    "shp_vdg_reproject",      # A12 (same family — Van der Grinten I)
     "images_phash_near_dup",  # dedup family via minhash_lsh_pairs/simhash
     "shp_zip_bundle",         # A16-A18/A20 zip demux e2e (pytest in-window
                               # coverage via shp fixtures; exact diffcheck)

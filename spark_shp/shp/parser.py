@@ -982,6 +982,87 @@ def make_inv_mollweide(a: float, lon0_deg: float,
     return inv
 
 
+def miller_constants(a: float, lon0_deg: float,
+                     fe: float = 0.0, fn: float = 0.0) -> dict:
+    """Shared float64 constants for the Miller Cylindrical inverse
+    (Snyder 1987 eq. 33-3) — ESRI World_Miller_Cylindrical /
+    EPSG:54003, the compromise world-map cylindrical.  Spherical-only
+    (R = semimajor, the Mollweide convention)."""
+    return {"a": a, "lam0": math.radians(lon0_deg), "fe": fe, "fn": fn,
+            "c58": 0.625 * math.pi}   # 5π/8
+
+
+def make_inv_miller(a: float, lon0_deg: float,
+                    fe: float = 0.0, fn: float = 0.0):
+    """Closed-form Miller Cylindrical inverse (Snyder 1987 eq. 33-3):
+    φ = 2.5·arctan(e^(0.8·y/R)) − 5π/8, λ = λ0 + x/R.  Returns a
+    vectorized (n,2) meters → (n,2) lon/lat° fn."""
+    c = miller_constants(a, lon0_deg, fe, fn)
+    lam0, c58 = c["lam0"], c["c58"]
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        x = pts[:, 0] - fe
+        y = pts[:, 1] - fn
+        phi = 2.5 * np.arctan(np.exp(0.8 * y / a)) - c58
+        lam = lam0 + x / a
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
+
+def vdg_constants(a: float, lon0_deg: float,
+                  fe: float = 0.0, fn: float = 0.0) -> dict:
+    """Shared float64 constants for the Van der Grinten I inverse
+    (Snyder 1987 eq. 29-12..29-17) — ESRI World_Van_der_Grinten_I /
+    EPSG:54029, the circular NatGeo-era world map.  Spherical-only."""
+    return {"pr": math.pi * a, "lam0": math.radians(lon0_deg),
+            "fe": fe, "fn": fn, "pi": math.pi}
+
+
+def make_inv_vdg(a: float, lon0_deg: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Van der Grinten I inverse (Snyder 1987 eq. 29-12..29-17, the
+    closed-form cubic solution): with X = x/(πR), Y = y/(πR),
+    the latitude comes from the trigonometric roots of the cubic in
+    sin-like variable (c1..c3, d, a1, m1, θ1) and
+    λ = λ0 + π·[S − 1 + √(1 + 2(X²−Y²) + S²)] / (2X), S = X²+Y².
+    Every operation is staged in the same order as the DuckDB oracle so
+    both engines replay one float64 sequence.  Returns a vectorized
+    (n,2) meters → (n,2) lon/lat° fn."""
+    c = vdg_constants(a, lon0_deg, fe, fn)
+    pr, lam0, pi = c["pr"], c["lam0"], c["pi"]
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        X = (pts[:, 0] - fe) / pr
+        Y = (pts[:, 1] - fn) / pr
+        x2 = X * X
+        y2 = Y * Y
+        s = x2 + y2
+        c1 = -np.abs(Y) * (1.0 + s)
+        c2 = c1 - 2.0 * y2 + x2
+        c3 = -2.0 * c1 + 1.0 + 2.0 * y2 + s * s
+        d = y2 / c3 + (2.0 * c2 * c2 * c2 / (c3 * c3 * c3)
+                       - 9.0 * c1 * c2 / (c3 * c3)) / 27.0
+        a1 = (c1 - c2 * c2 / (3.0 * c3)) / c3
+        m1 = 2.0 * np.sqrt(-a1 / 3.0)
+        # a1 == 0 only at the exact origin; guard the division, the
+        # origin maps to (λ0, 0) via the Y==0 branch anyway
+        den = np.where(a1 * m1 == 0.0, 1.0, a1 * m1)
+        th1 = np.arccos(np.clip(3.0 * d / den, -1.0, 1.0)) / 3.0
+        phi = np.where(
+            Y == 0.0, 0.0,
+            np.sign(Y) * pi * (-m1 * np.cos(th1 + pi / 3.0)
+                               - c2 / (3.0 * c3)))
+        xden = np.where(X == 0.0, 1.0, 2.0 * X)
+        lam = lam0 + np.where(
+            X == 0.0, 0.0,
+            pi * (s - 1.0 + np.sqrt(1.0 + 2.0 * (x2 - y2) + s * s))
+            / xden)
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
+
 def cea_constants(a: float, inv_f: float, lon0_deg: float,
                   sp1_deg: float, fe: float = 0.0, fn: float = 0.0) -> dict:
     """Point-independent Lambert Cylindrical Equal Area constants (EPSG
@@ -1702,6 +1783,22 @@ def projection_from_wkt(wkt) -> "callable | None":
             p = _wkt_params(wkt)
             a, _inv_f = _wkt_spheroid(wkt)  # spherical-only: R = semimajor
             return _with_unit(make_inv_mollweide(
+                a,
+                p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
+        if re.search(r'PROJECTION\["?Miller', wkt, re.I):
+            p = _wkt_params(wkt)
+            a, _inv_f = _wkt_spheroid(wkt)  # spherical-only: R = semimajor
+            return _with_unit(make_inv_miller(
+                a,
+                p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
+        if re.search(r'PROJECTION\["?Van[_ ]?der[_ ]?Grinten', wkt, re.I):
+            p = _wkt_params(wkt)
+            a, _inv_f = _wkt_spheroid(wkt)  # spherical-only: R = semimajor
+            return _with_unit(make_inv_vdg(
                 a,
                 p.get("central_meridian", p.get("longitude_of_center", 0.0)),
                 p.get("false_easting", 0.0) * unit,

@@ -1681,3 +1681,93 @@ def test_eckert4_robinson_wkt_dispatch():
         assert inv is not None
         out = inv(np.array([[0.0, 0.0]]))
         assert abs(out[0, 0] - lon0) < 1e-9 and abs(out[0, 1]) < 1e-9
+
+
+def test_miller_roundtrip_and_anchor():
+    """Miller FORWARD (Snyder eq. 33-1/33-2: x = R*lam,
+    y = R*ln(tan(pi/4 + 0.4*phi))/0.8), written independently of the
+    closed-form inverse; roundtrip <1e-9 degrees.  Anchor: at phi=45,
+    y/R = ln(tan(63 deg))/0.8 (Snyder's worked example family)."""
+    import math
+    import numpy as np
+    from spark_shp.shp.parser import make_inv_miller
+
+    a, lon0 = 6378137.0, 12.0
+
+    def fwd(lon_deg, lat_deg):
+        phi = math.radians(lat_deg)
+        lam = math.radians(lon_deg - lon0)
+        return a * lam, a * math.log(math.tan(
+            math.pi / 4.0 + 0.4 * phi)) / 0.8
+
+    rng = np.random.default_rng(41)
+    lons = rng.uniform(lon0 - 170.0, lon0 + 170.0, 200)
+    lats = rng.uniform(-89.0, 89.0, 200)
+    grid = np.array([fwd(lo, la) for lo, la in zip(lons, lats)])
+    back = make_inv_miller(a, lon0)(grid)
+    assert np.max(np.abs(back[:, 0] - lons)) < 1e-9
+    assert np.max(np.abs(back[:, 1] - lats)) < 1e-9
+    _, y45 = fwd(lon0, 45.0)
+    assert abs(y45 / a - math.log(math.tan(math.radians(63.0))) / 0.8) < 1e-12
+
+
+def test_vdg_roundtrip_against_snyder_forward():
+    """Van der Grinten FORWARD via Snyder eq. 29-1..29-11 (the A/G/P/Q
+    geometric construction), written independently of the closed-form
+    cubic inverse; roundtrip <1e-8 degrees over the map disc.  Anchors:
+    phi=0 -> x = R*lam, y = 0; lam=lam0 -> the circle's vertical axis."""
+    import math
+    import numpy as np
+    from spark_shp.shp.parser import make_inv_vdg
+
+    a, lon0 = 6378137.0, -7.0
+
+    def fwd(lon_deg, lat_deg):
+        phi = math.radians(lat_deg)
+        lam = math.radians(lon_deg - lon0)
+        if abs(phi) < 1e-14:
+            return a * lam, 0.0
+        theta = math.asin(abs(2.0 * phi / math.pi))
+        if abs(lam) < 1e-14 or abs(abs(phi) - math.pi / 2.0) < 1e-14:
+            x = 0.0
+            y = math.copysign(
+                math.pi * a * math.tan(theta / 2.0), phi)
+            return x, y
+        A = 0.5 * abs(math.pi / lam - lam / math.pi)
+        G = math.cos(theta) / (math.sin(theta) + math.cos(theta) - 1.0)
+        P = G * (2.0 / math.sin(theta) - 1.0)
+        Q = A * A + G
+        p2 = P * P
+        x = math.copysign(
+            math.pi * a * (A * (G - p2) + math.sqrt(
+                A * A * (G - p2) ** 2 - (p2 + A * A) * (G * G - p2)))
+            / (p2 + A * A), lam)
+        y = math.copysign(
+            math.pi * a * (P * Q - A * math.sqrt(
+                (A * A + 1.0) * (p2 + A * A) - Q * Q)) / (p2 + A * A),
+            phi)
+        return x, y
+
+    rng = np.random.default_rng(43)
+    lons = rng.uniform(lon0 - 170.0, lon0 + 170.0, 300)
+    lats = rng.uniform(-85.0, 85.0, 300)
+    keep = np.abs(lats) > 0.5   # fwd's phi->0 limit is a special case
+    lons, lats = lons[keep], lats[keep]
+    grid = np.array([fwd(lo, la) for lo, la in zip(lons, lats)])
+    back = make_inv_vdg(a, lon0)(grid)
+    assert np.max(np.abs(back[:, 0] - lons)) < 1e-8
+    assert np.max(np.abs(back[:, 1] - lats)) < 1e-8
+    # equator anchor: pure cylindrical along y=0
+    eq = make_inv_vdg(a, lon0)(np.array([[a * math.radians(30.0), 0.0]]))
+    assert abs(eq[0, 0] - (lon0 + 30.0)) < 1e-9 and abs(eq[0, 1]) < 1e-12
+
+
+def test_miller_vdg_wkt_dispatch():
+    import numpy as np
+    from spark_shp.queries_shp import _MILLER_WKT, _VDG_WKT
+    from spark_shp.shp.parser import projection_from_wkt
+    for wkt, lon0 in ((_MILLER_WKT, 12.0), (_VDG_WKT, -7.0)):
+        inv = projection_from_wkt(wkt)
+        assert inv is not None
+        out = inv(np.array([[0.0, 0.0]]))
+        assert abs(out[0, 0] - lon0) < 1e-9 and abs(out[0, 1]) < 1e-9
