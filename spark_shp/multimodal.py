@@ -1724,3 +1724,60 @@ def haar_band_energies(images: DataFrame) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+SEAM_ROWS = 12
+
+
+def seam_carve_costs(images: DataFrame) -> DataFrame:
+    """Vertical seam-carving DP (Avidan-Shamir content-aware resizing)
+    over the REAL decode: on channel 0 of the top SEAM_ROWS rows, energy
+    E[r,j] = |p[r, min(j+1,w-1)] - p[r, max(j-1,0)]| (clamped central
+    x-gradient) and the carve table M[r,j] = E[r,j] + min(M[r-1,j-1],
+    M[r-1,j], M[r-1,j+1]) with missing edge neighbors excluded via a
+    big sentinel — exactly the op order the staged-CTE oracle replays.
+    Gated per image: the min seam cost with its smallest end column
+    (packed argmin, w < 256 so m*256+j is injective) and a
+    position-weighted checksum of the final DP row, all exact int64.
+    Vectorized: the DP runs across (images x columns) per decode stack,
+    SEAM_ROWS passes."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("w2", T.LongType()),
+        T.StructField("seam_cost", T.LongType()),
+        T.StructField("end_col", T.LongType()),
+        T.StructField("dp_checksum", T.LongType()),
+    ])
+    big = np.int64(1_000_000_000)
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                px = _decode_stack(pdf, idx, w, h, fmt) \
+                    .astype(np.int64)[:, :SEAM_ROWS, :, 0]   # (n, R, w)
+                n = px.shape[0]
+                left = px[:, :, np.maximum(np.arange(w) - 1, 0)]
+                right = px[:, :, np.minimum(np.arange(w) + 1, w - 1)]
+                e = np.abs(right - left)
+                m = e[:, 0, :].copy()
+                pad = np.full((n, 1), big, dtype=np.int64)
+                for r in range(1, SEAM_ROWS):
+                    upl = np.concatenate([pad, m[:, :-1]], axis=1)
+                    upr = np.concatenate([m[:, 1:], pad], axis=1)
+                    m = e[:, r, :] + np.minimum(np.minimum(upl, m), upr)
+                j = np.arange(w, dtype=np.int64)
+                packed = (m * 256 + j).min(axis=1)
+                chk = (m * (j + 1)).sum(axis=1)
+                for t, i in enumerate(idx):
+                    rows[i] = (ids[i], w, int(packed[t] // 256),
+                               int(packed[t] % 256), int(chk[t]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

@@ -1756,3 +1756,68 @@ FROM per GROUP BY 1
 QUERIES.update({
     "image_haar_dwt": (q_image_haar, _oracle_haar()),
 })
+
+
+# --- image_seam_carve: content-aware-resize seam DP over real decode --------
+#
+# The Avidan-Shamir seam-carving table — the image-domain member of the
+# staged-DP family (trajectory_alignment's DTW, rouge_lcs_pairs' LCS):
+# M[r,j] = E[r,j] + min(M[r-1,j-1..j+1]) over the top SEAM_ROWS rows of
+# channel 0, E = clamped central x-gradient.  Engine: one vectorized
+# (images x columns) DP per decode stack (multimodal.seam_carve_costs).
+# Oracle: SEAM_ROWS chained MATERIALIZED CTEs, each one LAG/LEAD window
+# pass over the (image, column) table with energies replayed from the
+# pixel formula.  All-integer outputs; argmin packed m*256+j (w < 256)
+# so the smallest-column tiebreak is engine-independent.
+
+
+def q_image_seam_carve(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, VISION_N, partitions=4)
+    d = _with_i(multimodal.seam_carve_costs(img))
+    return d.selectExpr(
+        "i", "fmt2 AS fmt", "CAST(w2 AS INT) AS w",
+        "CAST(seam_cost AS BIGINT) AS seam_cost",
+        "CAST(end_col AS BIGINT) AS end_col",
+        "CAST(dp_checksum AS BIGINT) AS dp_checksum")
+
+
+def _oracle_seam_carve() -> str:
+    from .multimodal import SEAM_ROWS
+
+    def pix(r: int, jexpr: str) -> str:
+        return _pix_sql(f"i * 1000003 + {r} * 4096 + ({jexpr}) * 4 + 0")
+
+    def energy(r: int) -> str:
+        return (f"ABS(({pix(r, 'LEAST(j + 1, w - 1)')}) - "
+                f"({pix(r, 'GREATEST(j - 1, 0)')}))")
+
+    stages = [f"""
+m0 AS MATERIALIZED (
+  SELECT i, fmt, w, j, {energy(0)} AS m FROM cols)"""]
+    for r in range(1, SEAM_ROWS):
+        stages.append(f"""
+m{r} AS MATERIALIZED (
+  SELECT i, fmt, w, j,
+         {energy(r)}
+         + LEAST(COALESCE(LAG(m) OVER win, 1000000000), m,
+                 COALESCE(LEAD(m) OVER win, 1000000000)) AS m
+  FROM m{r - 1} WINDOW win AS (PARTITION BY i ORDER BY j))""")
+    last = f"m{SEAM_ROWS - 1}"
+    return f"""
+WITH imgs AS MATERIALIZED ({_imgs_cte(VISION_N)}),
+cols AS MATERIALIZED (
+  SELECT i, fmt, w, cj.j FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS j) cj),
+{','.join(stages)}
+SELECT i, fmt, CAST(w AS INT) AS w,
+       CAST(MIN(m * 256 + j) // 256 AS BIGINT) AS seam_cost,
+       CAST(MIN(m * 256 + j) % 256 AS BIGINT) AS end_col,
+       CAST(SUM(m * (j + 1)) AS BIGINT) AS dp_checksum
+FROM {last} GROUP BY 1, 2, 3
+"""
+
+
+QUERIES.update({
+    "image_seam_carve": (q_image_seam_carve, _oracle_seam_carve()),
+})

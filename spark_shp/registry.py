@@ -350,6 +350,7 @@ _TAIL = [
     "conformal_interval",  # split-conformal coverage audit (ML/C6)
     "bradley_terry",      # pairwise-preference MM ranking (ML/eval)
     "qa_token_f1",        # extractive-QA EM + token F1 (ML eval/text)
+    "image_seam_carve",   # seam-carving DP over real decode (B11/CV)
     "ndcg_at_k",          # graded NDCG@5 ranking quality (ML eval/IR)
     "cuped_adjustment",   # CUPED variance-reduction readout (experiment)
     "ipf_raking",         # IPF / raking survey calibration (C6/stats)

@@ -845,3 +845,42 @@ def test_haar_dwt_matches_sequential(spark):
     # most of the mass on natural-ish content
     r = out["raw"]
     assert 0 < r["e_hh"] < r["e_ll"]
+
+
+def test_seam_carve_matches_sequential_dp(spark):
+    """Independent algorithm: per-pixel python loops (explicit row-major
+    DP with an if-chain min over in-bounds neighbors) over the
+    encode->decode ground truth; the vectorized packed-argmin kernel
+    must agree exactly, including the smallest-column tiebreak."""
+    from spark_shp.multimodal import SEAM_ROWS
+    from spark_shp.queries_vision import VISION_N, q_image_seam_carve
+    out = {r["i"]: r for r in q_image_seam_carve(spark, SF).collect()}
+    assert len(out) == VISION_N
+
+    for i in range(VISION_N):
+        dec, w, h, fmt = _decoded(i)
+        p = dec[:, :, 0]
+        e = [[abs(int(p[r][min(j + 1, w - 1)])
+                  - int(p[r][max(j - 1, 0)]))
+              for j in range(w)] for r in range(SEAM_ROWS)]
+        m = list(e[0])
+        for r in range(1, SEAM_ROWS):
+            nm = []
+            for j in range(w):
+                best = m[j]
+                if j > 0 and m[j - 1] < best:
+                    best = m[j - 1]
+                if j < w - 1 and m[j + 1] < best:
+                    best = m[j + 1]
+                nm.append(e[r][j] + best)
+            m = nm
+        cost = min(m)
+        end = min(j for j in range(w) if m[j] == cost)
+        chk = sum(m[j] * (j + 1) for j in range(w))
+        row = out[i]
+        assert (row["seam_cost"], row["end_col"], row["dp_checksum"]) \
+            == (cost, end, chk)
+        assert row["w"] == w and row["fmt"] == fmt
+    # structure: a seam cost is at most the cheapest single column of
+    # energies times rows, and strictly positive on this content
+    assert all(r["seam_cost"] > 0 for r in out.values())
