@@ -1129,3 +1129,149 @@ FROM s
 QUERIES.update({
     "als_user_factors": (q_als_user_factors, _oracle_als()),
 })
+
+
+# --- ransac_line: robust consensus line fitting -------------------------------
+#
+# RANSAC (Fischler-Bolles), the robust-fitting complement to
+# theil_sen_slope / ols_two_features: 8 candidate lines from
+# deterministically sampled point pairs, inliers counted with an
+# all-integer cross-multiplied distance test (|dy*(x-x1) - dx*(y-y1)|
+# <= thr*dx, dx sign-normalized positive — no division, no sqrt), best
+# candidate by packed argmin ((2^40 - n)*16 + k: max inliers, then
+# smallest k), then an exact-moment OLS refit on the winner's inliers.
+# The fixture plants y = 3x + 7 +- 4 with 20% far outliers, so consensus
+# beats least squares by construction.  SCALE: candidate points are the
+# min-event_id row of 16 python-constant hash buckets (one map-side
+# combinable pass — no global rank window), counting+refit moments ride
+# ONE broadcast-join pass; nothing data-proportional touches the driver.
+
+RANSAC_THR = 10
+RANSAC_BIG = 1 << 40
+
+
+def _ransac_buckets() -> list:
+    from .hashing import mix
+    out: list = []
+    t = 0
+    while len(out) < 16:
+        b = int(mix(1000 + t)) % 97
+        t += 1
+        if len(out) % 2 == 1 and b == out[-1]:
+            continue   # pair-mate must name a different bucket
+        out.append(b)
+    return out
+
+
+RANSAC_BKS = _ransac_buckets()
+
+
+def _ransac_y_sql() -> str:
+    from .hashing import mix_sql
+    noise = f"(({mix_sql('event_id * 3 + 1')}) % 9)"
+    burst = f"(({mix_sql('event_id * 3 + 2')}) % 3000)"
+    return (f"3 * (event_id % 1024) + 7 + {noise} - 4 + "
+            f"CASE WHEN event_id % 5 = 0 THEN 2000 + {burst} ELSE 0 END")
+
+
+_RANSAC_FIT = (
+    "ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
+    "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)",
+    "ROUND((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - "
+    "CAST(sx AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * sxx - "
+    "CAST(sx AS DOUBLE) * sx)) * sx) / n, 6)",
+)
+
+
+def q_ransac_line(spark, sf_dir):
+    from pyspark.sql import functions as F
+    e = _t(spark, sf_dir, "events")
+    pts = e.selectExpr("event_id", "event_id % 1024 AS x",
+                       f"{_ransac_y_sql()} AS y")
+    inlist = ", ".join(str(b) for b in sorted(set(RANSAC_BKS)))
+    selm = (pts.selectExpr("event_id % 97 AS b", "event_id")
+            .where(f"event_id % 97 IN ({inlist})")
+            .groupBy("b").agg(F.min("event_id").alias("eid")))
+    sel = (selm.join(pts, selm.eid == pts.event_id)
+           .selectExpr("b", "x", "y").localCheckpoint())
+    pairs = [(k, RANSAC_BKS[2 * k], RANSAC_BKS[2 * k + 1])
+             for k in range(8)]
+    cand0 = spark.createDataFrame(pairs, "k int, b1 int, b2 int")
+    s1 = sel.selectExpr("b AS b1", "x AS x1", "y AS y1")
+    s2 = sel.selectExpr("b AS b2", "x AS x2", "y AS y2")
+    cand = (cand0.join(s1, "b1").join(s2, "b2")
+            .selectExpr(
+                "k", "x1", "y1",
+                "CASE WHEN x2 >= x1 THEN x2 - x1 ELSE x1 - x2 END AS dx",
+                "CASE WHEN x2 >= x1 THEN y2 - y1 ELSE y1 - y2 END AS dy")
+            .where("dx != 0").localCheckpoint())
+    c = (pts.crossJoin(F.broadcast(cand))
+         .where(f"ABS(dy * (x - x1) - dx * (y - y1)) "
+                f"<= {RANSAC_THR} * dx")
+         .groupBy("k", "dx", "dy")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.expr("SUM(x * x)").alias("sxx"),
+              F.expr("SUM(x * y)").alias("sxy")))
+    bestv = c.groupBy().agg(
+        F.min(F.expr(f"({RANSAC_BIG} - n) * 16 + k")).alias("bp"))
+    is_best = f"({RANSAC_BIG} - n) * 16 + k = bp"
+    return (c.crossJoin(F.broadcast(bestv))
+            .selectExpr(
+                "CAST(k AS INT) AS k", "CAST(dy AS BIGINT) AS dy",
+                "CAST(dx AS BIGINT) AS dx", "CAST(n AS BIGINT) AS n_inliers",
+                f"CAST(CASE WHEN {is_best} THEN 1 ELSE 0 END AS INT)"
+                " AS is_best",
+                f"CASE WHEN {is_best} THEN {_RANSAC_FIT[0]} END AS slope",
+                f"CASE WHEN {is_best} THEN {_RANSAC_FIT[1]} END"
+                " AS intercept"))
+
+
+def _oracle_ransac() -> str:
+    inlist = ", ".join(str(b) for b in sorted(set(RANSAC_BKS)))
+    vals = ", ".join(f"({k}, {b1}, {b2})"
+                     for k, b1, b2 in [(k, RANSAC_BKS[2 * k],
+                                        RANSAC_BKS[2 * k + 1])
+                                       for k in range(8)])
+    is_best = f"({RANSAC_BIG} - n) * 16 + k = bp"
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT event_id, event_id % 1024 AS x, {_ransac_y_sql()} AS y
+  FROM events),
+selm AS MATERIALIZED (
+  SELECT event_id % 97 AS b, MIN(event_id) AS eid
+  FROM pts WHERE event_id % 97 IN ({inlist}) GROUP BY 1),
+sel AS MATERIALIZED (
+  SELECT selm.b, pts.x, pts.y
+  FROM selm JOIN pts ON pts.event_id = selm.eid),
+cand AS MATERIALIZED (
+  SELECT k, s1.x AS x1, s1.y AS y1,
+         CASE WHEN s2.x >= s1.x THEN s2.x - s1.x
+              ELSE s1.x - s2.x END AS dx,
+         CASE WHEN s2.x >= s1.x THEN s2.y - s1.y
+              ELSE s1.y - s2.y END AS dy
+  FROM (VALUES {vals}) v(k, b1, b2)
+  JOIN sel s1 ON s1.b = v.b1 JOIN sel s2 ON s2.b = v.b2
+  WHERE CASE WHEN s2.x >= s1.x THEN s2.x - s1.x
+             ELSE s1.x - s2.x END != 0),
+counts AS MATERIALIZED (
+  SELECT c.k, c.dx, c.dy, COUNT(*) AS n,
+         SUM(p.x) AS sx, SUM(p.y) AS sy,
+         SUM(p.x * p.x) AS sxx, SUM(p.x * p.y) AS sxy
+  FROM pts p JOIN cand c
+    ON ABS(c.dy * (p.x - c.x1) - c.dx * (p.y - c.y1))
+       <= {RANSAC_THR} * c.dx
+  GROUP BY 1, 2, 3),
+best AS (SELECT MIN(({RANSAC_BIG} - n) * 16 + k) AS bp FROM counts)
+SELECT CAST(k AS INT) AS k, CAST(dy AS BIGINT) AS dy,
+       CAST(dx AS BIGINT) AS dx, CAST(n AS BIGINT) AS n_inliers,
+       CAST(CASE WHEN {is_best} THEN 1 ELSE 0 END AS INT) AS is_best,
+       CASE WHEN {is_best} THEN {_RANSAC_FIT[0]} END AS slope,
+       CASE WHEN {is_best} THEN {_RANSAC_FIT[1]} END AS intercept
+FROM counts, best
+"""
+
+
+QUERIES.update({
+    "ransac_line": (q_ransac_line, _oracle_ransac()),
+})

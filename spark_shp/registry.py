@@ -354,6 +354,7 @@ _TAIL = [
     "ndcg_at_k",          # graded NDCG@5 ranking quality (ML eval/IR)
     "cuped_adjustment",   # CUPED variance-reduction readout (experiment)
     "ipf_raking",         # IPF / raking survey calibration (C6/stats)
+    "ransac_line",        # RANSAC consensus line fit + OLS refit (ML)
 ]
 
 _MERGED: dict = {}

@@ -358,3 +358,65 @@ def test_als_user_factors_matches_numpy_ridge(spark):
         assert abs(row["w1"] - w[0]) < 1e-5
         assert abs(row["w2"] - w[1]) < 1e-5
         assert abs(row["pred_probe"] - (3 * w[0] + 2 * w[1])) < 1e-4
+
+
+def test_ransac_matches_numpy_and_recovers_planted_line(spark):
+    """Numpy replay of the full RANSAC program (selection, counting,
+    packed argmin, refit) from the parquet event_ids, plus structure:
+    the winning consensus must capture most of the inlier mass and its
+    refit slope must sit near the planted y = 3x + 7, where a plain
+    least-squares fit on ALL points is dragged away by the outliers."""
+    from spark_shp.hashing import mix
+    from spark_shp.queries_ml import (RANSAC_BIG, RANSAC_BKS, RANSAC_THR,
+                                      q_ransac_line)
+    rows = q_ransac_line(spark, SF).collect()
+    out = {r["k"]: r for r in rows}
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    eid = e["event_id"].to_numpy(dtype=np.int64)
+    x = eid % 1024
+    y = (3 * x + 7 + (mix(eid * 3 + 1).astype(np.int64) % 9) - 4
+         + np.where(eid % 5 == 0,
+                    2000 + (mix(eid * 3 + 2).astype(np.int64) % 3000), 0))
+    # bucket-min selection
+    sel = {}
+    for b in set(RANSAC_BKS):
+        m = (eid % 97) == b
+        if m.any():
+            j = np.argmin(np.where(m, eid, np.iinfo(np.int64).max))
+            sel[b] = (int(x[j]), int(y[j]))
+    expect = {}
+    for k in range(8):
+        (x1, y1), (x2, y2) = sel[RANSAC_BKS[2 * k]], sel[RANSAC_BKS[2 * k + 1]]
+        dx, dy = x2 - x1, y2 - y1
+        if dx < 0:
+            dx, dy = -dx, -dy
+        if dx == 0:
+            continue
+        inl = np.abs(dy * (x - x1) - dx * (y - y1)) <= RANSAC_THR * dx
+        n = int(inl.sum())
+        xs, ys = x[inl].astype(float), y[inl].astype(float)
+        sx, sy = xs.sum(), ys.sum()
+        sxx, sxy = (xs * xs).sum(), (xs * ys).sum()
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        expect[k] = (dy, dx, n, slope, (sy - slope * sx) / n)
+    assert set(out) == set(expect)
+    bp = min((RANSAC_BIG - v[2]) * 16 + k for k, v in expect.items())
+    for k, (dy, dx, n, slope, icpt) in expect.items():
+        r = out[k]
+        assert (r["dy"], r["dx"], r["n_inliers"]) == (dy, dx, n)
+        best = (RANSAC_BIG - n) * 16 + k == bp
+        assert r["is_best"] == int(best)
+        if best:
+            assert abs(r["slope"] - slope) < 1e-5
+            assert abs(r["intercept"] - icpt) < 1e-5
+            # planted structure: consensus captures most inliers...
+            assert n > 0.5 * len(eid)
+            assert abs(slope - 3.0) < 0.05
+    # ...while ordinary least squares on ALL points is outlier-dragged:
+    # the every-5th outliers are uniform in x, so they lift the OLS
+    # INTERCEPT by ~0.2 * E[burst] =~ +700 while RANSAC's refit stays
+    # at the planted +7
+    xf, yf = x.astype(float), y.astype(float)
+    ols_icpt = np.polyfit(xf, yf, 1)[1]
+    assert ols_icpt > 300.0
