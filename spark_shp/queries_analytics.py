@@ -2010,3 +2010,97 @@ QUERIES.update({
     "exact_order_statistics": (q_exact_order_statistics,
                                ORACLE_ORDER_STATS),
 })
+
+
+# --- polyline_encode: Google Encoded Polyline interop -------------------------
+#
+# The third member of the string-interop family (geohash_encode,
+# quadkey_encode): per-user trajectories rendered in the Google Maps
+# Encoded Polyline format (1e-5-degree ints, per-coordinate deltas,
+# zigzag sign fold, 5-bit chunks with a continuation flag, +63 ASCII).
+# The varint loop is unrolled to a FIXED 6 chunks (|coord|*1e5*2 <
+# 2^26 < 32^6) as pure DIV/% arithmetic — no dialect-divergent shift
+# operators (the feistel ^-is-POWER lesson) — and the per-user string
+# assembles order-deterministically (Spark: array_sort over (seq, s)
+# structs; DuckDB: STRING_AGG ORDER BY).  Plan: ONE user-keyed shuffle
+# (rank + lag windows share it); everything else is map-side string
+# algebra.  Verified against the published Google worked example in
+# pytest (via the sequential python twin).
+
+POLY_USER_MOD = 5
+POLY_PTS = 4
+
+
+def _poly_enc_sql(z: str, div: str) -> str:
+    """Encoded-polyline chunk string for non-negative zigzag value z —
+    fixed 6-chunk unroll, dialect-parameterized integer division."""
+    terms = []
+    for i in range(6):
+        lo = 32 ** i
+        hi = 32 ** (i + 1)
+        gate = f"({z}) >= {lo}" if i else "TRUE"
+        terms.append(
+            f"CASE WHEN {gate} THEN CHR(CAST((({z}) {div} {lo}) % 32 + "
+            f"CASE WHEN ({z}) >= {hi} THEN 32 ELSE 0 END + 63 AS INT)) "
+            f"ELSE '' END")
+    return "CONCAT(" + ", ".join(terms) + ")"
+
+
+def _poly_core_sql(div: str) -> str:
+    zz = ("CASE WHEN {d} < 0 THEN -({d} * 2) - 1 ELSE {d} * 2 END")
+    return f"""
+pts AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(({fixtures.EVENT_LAT_SQL}) * CAST(100000 AS DOUBLE)
+                    + 0.5) AS BIGINT) AS vlat,
+         CAST(FLOOR(({fixtures.EVENT_LON_SQL}) * CAST(100000 AS DOUBLE)
+                    + 0.5) AS BIGINT) AS vlon
+  FROM events WHERE user_id % {POLY_USER_MOD} = 3),
+ranked AS (
+  SELECT user_id, vlat, vlon,
+         ROW_NUMBER() OVER w AS seq,
+         COALESCE(LAG(vlat) OVER w, 0) AS plat,
+         COALESCE(LAG(vlon) OVER w, 0) AS plon
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+deltas AS (
+  SELECT user_id, seq, vlat - plat AS dlat, vlon - plon AS dlon
+  FROM ranked WHERE seq <= {POLY_PTS}),
+zigzag AS (
+  SELECT user_id, seq,
+         {zz.format(d='dlat')} AS zlat,
+         {zz.format(d='dlon')} AS zlon
+  FROM deltas),
+pieces AS (
+  SELECT user_id, seq,
+         CONCAT({_poly_enc_sql('zlat', div)},
+                {_poly_enc_sql('zlon', div)}) AS piece
+  FROM zigzag)"""
+
+
+def q_polyline_encode(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .createOrReplaceTempView("events")
+    return spark.sql(f"""
+WITH {_poly_core_sql("DIV")}
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       array_join(transform(array_sort(collect_list(
+           struct(seq, piece))), x -> x.piece), '') AS polyline,
+       CAST(SUM(length(piece)) AS BIGINT) AS n_chars
+FROM pieces GROUP BY user_id
+""")
+
+
+ORACLE_POLYLINE = f"""
+WITH {_poly_core_sql("//")}
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       STRING_AGG(piece, '' ORDER BY seq) AS polyline,
+       CAST(SUM(LENGTH(piece)) AS BIGINT) AS n_chars
+FROM pieces GROUP BY user_id
+"""
+
+
+QUERIES.update({
+    "polyline_encode": (q_polyline_encode, ORACLE_POLYLINE),
+})

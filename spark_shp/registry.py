@@ -355,6 +355,7 @@ _TAIL = [
     "cuped_adjustment",   # CUPED variance-reduction readout (experiment)
     "ipf_raking",         # IPF / raking survey calibration (C6/stats)
     "ransac_line",        # RANSAC consensus line fit + OLS refit (ML)
+    "polyline_encode",    # Google Encoded Polyline interop (B1/geo)
 ]
 
 _MERGED: dict = {}

@@ -5,6 +5,7 @@ engines failure mode in the shared SQL can't hide behind the differential.
 
 import duckdb
 import numpy as np
+import pandas as pd
 import pytest
 
 from spark_shp import cells, fixtures
@@ -788,3 +789,56 @@ def test_exact_order_statistics_matches_numpy_and_narrowing_laws(spark):
     lo, hi = int(cents[0]), int(cents[-1])
     for k in (1, 2, n // 3, n - 1, n):
         assert _os_kth(df, "cents", k, lo, hi) == cents[k - 1], k
+
+
+def _google_polyline(coords):
+    """Sequential textbook encoder (true varint while-loop, independent
+    of the SQL 6-chunk unroll): Google Encoded Polyline Algorithm."""
+    out = []
+    plat = plon = 0
+    for vlat, vlon in coords:
+        for v, prev in ((vlat, plat), (vlon, plon)):
+            d = v - prev
+            z = ~(d << 1) if d < 0 else d << 1
+            while z >= 0x20:
+                out.append(chr((0x20 | (z & 0x1F)) + 63))
+                z >>= 5
+            out.append(chr(z + 63))
+        plat, plon = vlat, vlon
+    return "".join(out)
+
+
+def test_polyline_published_vector():
+    # the worked example from Google's Encoded Polyline Algorithm doc
+    pts = [(int(round(la * 1e5)), int(round(lo * 1e5)))
+           for la, lo in [(38.5, -120.2), (40.7, -120.95),
+                          (43.252, -126.453)]]
+    assert _google_polyline(pts) == "_p~iF~ps|U_ulLnnqC_mqNvxq`@"
+    assert _google_polyline([(0, 0)]) == "??"
+
+
+def test_polyline_encode_matches_sequential_encoder(spark):
+    from spark_shp import fixtures, hashing
+    from spark_shp.queries_analytics import (POLY_PTS, POLY_USER_MOD,
+                                             q_polyline_encode)
+    out = {r["user_id"]: r for r in q_polyline_encode(spark, SF).collect()}
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e = e[e["user_id"] % POLY_USER_MOD == 3].copy()
+    eid = e["event_id"].to_numpy(dtype=np.int64)
+    # numpy twin of EVENT_LON_SQL / EVENT_LAT_SQL
+    lon = hashing.u01(eid) * 360.0 - 180.0
+    lat = hashing.u01(eid * 2 + 1) * 170.0 - 85.0
+    e["vlat"] = np.floor(lat * 1e5 + 0.5).astype(np.int64)
+    e["vlon"] = np.floor(lon * 1e5 + 0.5).astype(np.int64)
+    n_checked = 0
+    for uid, g in e.sort_values(["ts", "event_id"]).groupby("user_id"):
+        head = g.head(POLY_PTS)
+        coords = list(zip(head["vlat"], head["vlon"]))
+        enc = _google_polyline(coords)
+        row = out[uid]
+        assert row["polyline"] == enc
+        assert row["n_pts"] == len(coords)
+        assert row["n_chars"] == len(enc)
+        n_checked += 1
+    assert n_checked == len(out) and n_checked > 0
