@@ -2697,3 +2697,110 @@ ORACLE_IPF = _IPF_SQL.format(div="//")
 QUERIES.update({
     "ipf_raking": (q_ipf_raking, ORACLE_IPF),
 })
+
+
+# --- stable_matching: Gale-Shapley deferred acceptance ------------------------
+#
+# The market-design primitive (matching markets, ad allocation, school
+# choice): proposer-optimal deferred acceptance on a 4x4 instance whose
+# preference matrices are DERIVED FROM THE CORPUS — customer segments
+# (p = o_custkey % 4) rank supplier segments (a = l_suppkey % 4) by
+# total shipped quantity, supplier segments rank customer segments by
+# revenue cents (both with index tiebreaks, the FIXTURES.md rank rule).
+# The only corpus-scale work is ONE lineitem x orders join + 16-row
+# aggregate; the GS loop then unrolls a FIXED 12 simultaneous-proposal
+# rounds (n=4 needs at most 13 total proposals; pytest proves the
+# fixpoint lands inside the bound — the kcore_decompose pattern), each
+# round pure 16-row algebra: free proposers propose to their best
+# not-yet-rejecting acceptor, acceptors hold the best proposer by their
+# own ranking, everyone else is rejected monotonically.  Oracle: the
+# identical rounds as chained MATERIALIZED CTEs.
+
+GS_ROUNDS = 12
+
+_GS_BASE = """
+  SELECT o_custkey % 4 AS p, l_suppkey % 4 AS a,
+         CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+           AS qty,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+"""
+
+_GS_RANKED = """
+  SELECT p, a, qty, rev,
+         ROW_NUMBER() OVER (PARTITION BY p ORDER BY qty DESC, a)
+           AS rank_pa,
+         ROW_NUMBER() OVER (PARTITION BY a ORDER BY rev DESC, p)
+           AS rank_ap,
+         0 AS rej
+  FROM base
+"""
+
+# one GS round over state t(p, a, qty, rev, rank_pa, rank_ap, rej):
+# propose -> hold -> monotone rejection update
+_GS_ROUND = """
+{tgt} AS MATERIALIZED (
+  SELECT p, MIN(CASE WHEN rej = 0 THEN rank_pa END) AS best
+  FROM {t} GROUP BY p),
+{hold} AS MATERIALIZED (
+  SELECT t.a, MIN(t.rank_ap) AS keep
+  FROM {t} t JOIN {tgt} g ON t.p = g.p AND t.rank_pa = g.best
+  WHERE t.rej = 0 GROUP BY t.a),
+{nxt} AS MATERIALIZED (
+  SELECT t.p, t.a, t.qty, t.rev, t.rank_pa, t.rank_ap,
+         CASE WHEN t.rej = 1 OR (t.rank_pa = g.best AND t.rej = 0
+                                 AND t.rank_ap > h.keep)
+              THEN 1 ELSE 0 END AS rej
+  FROM {t} t
+  JOIN {tgt} g ON t.p = g.p
+  LEFT JOIN {hold} h ON t.a = h.a)"""
+
+_GS_FINAL = """
+SELECT t.p, t.a, t.qty, t.rev,
+       CAST(t.rank_pa AS BIGINT) AS rank_pa,
+       CAST(t.rank_ap AS BIGINT) AS rank_ap
+FROM {t} t
+JOIN (SELECT p, MIN(CASE WHEN rej = 0 THEN rank_pa END) AS best
+      FROM {t} GROUP BY p) g ON t.p = g.p AND t.rank_pa = g.best
+JOIN (SELECT t2.a, MIN(t2.rank_ap) AS keep
+      FROM {t} t2
+      JOIN (SELECT p, MIN(CASE WHEN rej = 0 THEN rank_pa END) AS best
+            FROM {t} GROUP BY p) g2
+        ON t2.p = g2.p AND t2.rank_pa = g2.best
+      WHERE t2.rej = 0 GROUP BY t2.a) h
+  ON t.a = h.a AND t.rank_ap = h.keep
+WHERE t.rej = 0
+"""
+
+
+def q_stable_matching(spark, sf_dir):
+    from pyspark.sql import functions as F
+    for name in ("lineitem", "orders"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    t = spark.sql(f"WITH base AS ({_GS_BASE}) SELECT * FROM "
+                  f"({_GS_RANKED}) r").localCheckpoint()
+    t.createOrReplaceTempView("gs_t0")
+    for r in range(GS_ROUNDS):
+        nxt = spark.sql(
+            "WITH " + _GS_ROUND.replace(" AS MATERIALIZED", "").format(
+                t=f"gs_t{r}", tgt="tg", hold="hd", nxt="nx")
+            + " SELECT * FROM nx").localCheckpoint()
+        nxt.createOrReplaceTempView(f"gs_t{r + 1}")
+    return spark.sql(_GS_FINAL.format(t=f"gs_t{GS_ROUNDS}"))
+
+
+def _oracle_stable_matching() -> str:
+    parts = [f"base AS MATERIALIZED ({_GS_BASE})",
+             f"t0 AS MATERIALIZED ({_GS_RANKED})"]
+    for r in range(GS_ROUNDS):
+        parts.append(_GS_ROUND.format(
+            t=f"t{r}", tgt=f"g{r}", hold=f"h{r}", nxt=f"t{r + 1}"))
+    return ("WITH " + ",".join(parts) + "\n"
+            + _GS_FINAL.format(t=f"t{GS_ROUNDS}"))
+
+
+QUERIES.update({
+    "stable_matching": (q_stable_matching, _oracle_stable_matching()),
+})

@@ -356,6 +356,7 @@ _TAIL = [
     "ipf_raking",         # IPF / raking survey calibration (C6/stats)
     "ransac_line",        # RANSAC consensus line fit + OLS refit (ML)
     "polyline_encode",    # Google Encoded Polyline interop (B1/geo)
+    "stable_matching",    # Gale-Shapley deferred acceptance (market)
 ]
 
 _MERGED: dict = {}

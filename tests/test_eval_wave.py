@@ -1071,3 +1071,60 @@ def test_ipf_matches_sequential_raking(spark):
         fit = sum((n * w[k]) / IPF_Q for k, n in cells.items()
                   if k[0] == s)
         assert abs(fit - t) < 1.0
+
+
+def test_stable_matching_matches_sequential_gs_and_is_stable(spark):
+    """Textbook one-proposal-at-a-time Gale-Shapley (a genuinely
+    different control flow from the simultaneous-round unroll), plus
+    the definition itself: the returned matching admits NO blocking
+    pair, and the fixpoint is reached inside the unrolled bound."""
+    from spark_shp.queries_eval import GS_ROUNDS, q_stable_matching
+    got = {r["p"]: r["a"] for r in q_stable_matching(spark, SF).collect()}
+    assert len(got) == 4
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    m["p"] = m["o_custkey"] % 4
+    m["a"] = m["l_suppkey"] % 4
+    m["qty"] = np.floor(m["l_quantity"] + 0.5).astype(np.int64)
+    m["rev"] = np.floor(m["l_extendedprice"] * 100.0 + 0.5).astype(np.int64)
+    g = m.groupby(["p", "a"])[["qty", "rev"]].sum().reset_index()
+    # preference lists (rank 1 = best), index tiebreaks
+    pref_p = {p: list(gg.sort_values(["qty", "a"],
+                                     ascending=[False, True])["a"])
+              for p, gg in g.groupby("p")}
+    rank_ap = {(r["a"], r["p"]): i + 1
+               for a, gg in g.groupby("a")
+               for i, (_, r) in enumerate(
+                   gg.sort_values(["rev", "p"],
+                                  ascending=[False, True]).iterrows())}
+    # sequential GS: free proposers propose down their list one at a time
+    nxt = {p: 0 for p in pref_p}
+    engaged = {}           # a -> p
+    free = list(pref_p)
+    n_proposals = 0
+    while free:
+        p = free.pop(0)
+        a = pref_p[p][nxt[p]]
+        nxt[p] += 1
+        n_proposals += 1
+        if a not in engaged:
+            engaged[a] = p
+        elif rank_ap[(a, p)] < rank_ap[(a, engaged[a])]:
+            free.append(engaged[a])
+            engaged[a] = p
+        else:
+            free.append(p)
+    expect = {p: a for a, p in engaged.items()}
+    assert got == expect
+    # the simultaneous-round unroll must have room to converge
+    assert n_proposals <= 4 + GS_ROUNDS * 4
+    # stability: no (p, a) both strictly preferring each other
+    match_rank_p = {p: pref_p[p].index(a) for p, a in expect.items()}
+    inv = {a: p for p, a in expect.items()}
+    for p, prefs in pref_p.items():
+        for j, a in enumerate(prefs):
+            if j < match_rank_p[p]:     # p strictly prefers a
+                assert rank_ap[(a, inv[a])] < rank_ap[(a, p)], \
+                    f"blocking pair ({p}, {a})"
