@@ -2472,17 +2472,35 @@ _NDCG_BASE = """
 
 
 def q_ndcg_at_k(spark, sf_dir):
+    # salted partial top-k: a PARTITION BY qid window alone serializes
+    # each query group into one task (the average_precision /
+    # outlier_audit serialization trap).  Every global top-5 element is
+    # inside its salt's top-5, so a (qid, k % 64) partial rank ≤ 5
+    # prunes the corpus to ≤ 64*5 rows per qid BEFORE the per-qid
+    # window — identical result, 64x the shuffle parallelism.
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(f"""
 WITH base AS ({_NDCG_BASE}),
+part_r AS (
+  SELECT qid, rel, s, k FROM (
+    SELECT qid, rel, s, k,
+           ROW_NUMBER() OVER (PARTITION BY qid, k % 64
+                              ORDER BY s DESC, k) AS prn
+    FROM base) t WHERE prn <= {NDCG_K}),
+part_i AS (
+  SELECT qid, rel, k FROM (
+    SELECT qid, rel, k,
+           ROW_NUMBER() OVER (PARTITION BY qid, k % 64
+                              ORDER BY rel DESC, k) AS prn
+    FROM base) t WHERE prn <= {NDCG_K}),
 ranked AS (
   SELECT qid, rel,
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, k) AS rnk
-  FROM base),
+  FROM part_r),
 ideal AS (
   SELECT qid, rel,
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, k) AS rnk
-  FROM base),
+  FROM part_i),
 dcg AS (
   SELECT qid, CAST(SUM(rel * {_NDCG_DISC}) AS BIGINT) AS dcg_q,
          CAST(COUNT(*) AS BIGINT) AS n_top
@@ -2553,15 +2571,18 @@ def q_cuped_adjustment(spark, sf_dir):
               F.expr("SUM(CAST(x AS DECIMAL(38, 0)) * x)").alias("sxx"),
               F.expr("SUM(CAST(x AS DECIMAL(38, 0)) * y)").alias("sxy"),
               F.expr("SUM(CAST(y AS DECIMAL(38, 0)) * y)").alias("syy")))
+    # degenerate-covariate guard (the ab_test_ztest NULL-on-degenerate
+    # rule): a cohort with zero pre-period variance has no CUPED theta
+    vx = "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    vy = "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+    cov = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
     return m.selectExpr(
         "CAST(cohort AS BIGINT) AS cohort", "CAST(n AS BIGINT) AS n_users",
         "CAST(sx AS BIGINT) AS sx", "CAST(sy AS BIGINT) AS sy",
-        "ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
-        "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS theta",
-        "ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * "
-        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) / "
-        "((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * "
-        "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS rho2")
+        f"CASE WHEN {vx} = 0.0 THEN NULL ELSE "
+        f"ROUND({cov} / {vx}, 6) END AS theta",
+        f"CASE WHEN {vx} * {vy} = 0.0 THEN NULL ELSE "
+        f"ROUND(({cov} * {cov}) / ({vx} * {vy}), 6) END AS rho2")
 
 
 ORACLE_CUPED = """
@@ -2583,14 +2604,19 @@ m AS (
   FROM per_user GROUP BY 1)
 SELECT CAST(cohort AS BIGINT) AS cohort, CAST(n AS BIGINT) AS n_users,
        CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) = 0.0
+            THEN NULL ELSE
        ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
              (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
-         AS theta,
+       END AS theta,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                 (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) = 0.0
+            THEN NULL ELSE
        ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) *
               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) /
              ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
               (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
-         AS rho2
+       END AS rho2
 FROM m
 """
 
@@ -2803,4 +2829,85 @@ def _oracle_stable_matching() -> str:
 
 QUERIES.update({
     "stable_matching": (q_stable_matching, _oracle_stable_matching()),
+})
+
+
+# --- brier_decomposition: Murphy reliability/resolution/uncertainty -----------
+#
+# The probabilistic-forecast eval (weather/CTR/risk models) next to
+# calibration_bins (which gates the reliability DIAGRAM; this gates the
+# Murphy DECOMPOSITION of the Brier score): 10 fixed decile bins,
+# REL = (1/N)*sum_k n_k*(pbar_k - obar_k)^2,
+# RES = (1/N)*sum_k n_k*(obar_k - obar)^2, UNC = obar*(1-obar), plus
+# the directly-computed BS = mean((p-y)^2) from an EXACT int64 sum of
+# (p_pct - 100y)^2.  Float determinism is the bm25 SLOT-PIVOT rule: ONE
+# corpus aggregation produces 30 conditional integer sums (bins are
+# pure integer-range predicates — no division), and every float term
+# composes those slots in one literal expression with a FIXED textual
+# order.  The forecast is deliberately miscalibrated (true rate =
+# 0.8p + 10%), so REL provably gates something.
+
+_BRIER_NBIN = 10
+
+
+def _brier_base_sql() -> str:
+    from .hashing import mix_sql
+    return (f"SELECT ({mix_sql('o_orderkey * 7 + 1')}) % 100 AS p_pct, "
+            f"CASE WHEN ({mix_sql('o_orderkey * 7 + 2')}) % 100 < "
+            f"((({mix_sql('o_orderkey * 7 + 1')}) % 100) * 8) DIV 10 + 10 "
+            f"THEN 1 ELSE 0 END AS y FROM orders")
+
+
+def _brier_sql(div: str) -> str:
+    base = _brier_base_sql().replace(" DIV ", f" {div} ")
+    slots = []
+    for k in range(_BRIER_NBIN):
+        lo, hi = 10 * k, 10 * k + 10
+        inb = f"p_pct >= {lo} AND p_pct < {hi}"
+        slots += [
+            f"CAST(SUM(CASE WHEN {inb} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n{k}",
+            f"CAST(SUM(CASE WHEN {inb} THEN p_pct ELSE 0 END) AS BIGINT)"
+            f" AS sp{k}",
+            f"CAST(SUM(CASE WHEN {inb} THEN y ELSE 0 END) AS BIGINT)"
+            f" AS so{k}",
+        ]
+    agg = (f"SELECT {', '.join(slots)}, "
+           "CAST(SUM((p_pct - 100 * y) * (p_pct - 100 * y)) AS BIGINT)"
+           " AS sq, CAST(COUNT(*) AS BIGINT) AS n,"
+           " CAST(SUM(y) AS BIGINT) AS so FROM base")
+    obar = "(CAST(so AS DOUBLE) / n)"
+    rel_terms = " + ".join(
+        f"(CASE WHEN n{k} > 0 THEN "
+        f"(CAST(sp{k} AS DOUBLE) / CAST(100 AS DOUBLE) - so{k}) "
+        f"* (CAST(sp{k} AS DOUBLE) / CAST(100 AS DOUBLE) - so{k}) / n{k} "
+        f"ELSE CAST(0 AS DOUBLE) END)" for k in range(_BRIER_NBIN))
+    res_terms = " + ".join(
+        f"(CASE WHEN n{k} > 0 THEN "
+        f"(CAST(so{k} AS DOUBLE) / n{k} - {obar}) "
+        f"* (CAST(so{k} AS DOUBLE) / n{k} - {obar}) * n{k} "
+        f"ELSE CAST(0 AS DOUBLE) END)" for k in range(_BRIER_NBIN))
+    return f"""
+WITH base AS ({base}),
+s AS ({agg})
+SELECT n, so,
+       ROUND(({rel_terms}) / n, 6) AS reliability,
+       ROUND(({res_terms}) / n, 6) AS resolution,
+       ROUND({obar} * (1.0 - {obar}), 6) AS uncertainty,
+       ROUND(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE)
+             * CAST(10000 AS DOUBLE)), 6) AS brier
+FROM s
+"""
+
+
+def q_brier_decomposition(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_brier_sql("DIV"))
+
+
+ORACLE_BRIER = _brier_sql("//")
+
+
+QUERIES.update({
+    "brier_decomposition": (q_brier_decomposition, ORACLE_BRIER),
 })

@@ -5299,3 +5299,89 @@ GROUP BY poly_id
 QUERIES.update({
     "wkt_polygon_ingest": (q_wkt_polygon_ingest, _oracle_wkt_polygon()),
 })
+
+
+# --- tsp_greedy_tour: nearest-neighbor tour over hub cells --------------------
+#
+# The routing-construction primitive (delivery sequencing, crawl
+# scheduling) the graph family lacked: a nearest-neighbor TSP tour over
+# the 8 densest level-4 event cells.  Cities come from ONE map-side
+# combinable corpus aggregate (count per (ix, iy) grid cell, top-8 by
+# count with a packed-key tiebreak); the greedy walk then unrolls 7
+# FIXED steps of 8-row algebra — state is (current coords, visited
+# BITMASK, running total), the next city is an injective packed argmin
+# (d2 * 8 + rank: d2 <= 2*15^2 = 450, so the pack never collides), and
+# the mask update is a CASE power-of-two add (no dialect-divergent
+# shifts).  All-integer squared grid distances.  Oracle: identical
+# steps as chained MATERIALIZED CTEs.
+
+TSP_LEVEL = 4
+TSP_K = 8
+
+def _tsp_cities_sql() -> str:
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, TSP_LEVEL)
+    return f"""
+  SELECT ix, iy, n, CAST(rn - 1 AS BIGINT) AS j
+  FROM (SELECT ix, iy, n, ROW_NUMBER() OVER (
+          ORDER BY n DESC, iy * 16 + ix) AS rn
+        FROM (SELECT {ix} AS ix, {iy} AS iy, COUNT(*) AS n
+              FROM events GROUP BY 1, 2) g) r
+  WHERE rn <= {TSP_K}
+"""
+
+
+# one greedy step: among unvisited cities, take the packed-argmin leg
+_TSP_PICK = """
+{pick} AS MATERIALIZED (
+  SELECT st.mask, st.total,
+         MIN(((c.ix - st.cx) * (c.ix - st.cx)
+              + (c.iy - st.cy) * (c.iy - st.cy)) * 8 + c.j) AS pk
+  FROM {prev} st JOIN cities c
+    ON (st.mask DIV (CASE c.j {pow2arms} END)) % 2 = 0
+  GROUP BY st.mask, st.total),
+{nxt} AS MATERIALIZED (
+  SELECT {step} AS step, c.j, c.ix AS cx, c.iy AS cy,
+         p.mask + (CASE c.j {pow2arms} END) AS mask,
+         p.pk DIV 8 AS leg_d2, p.total + p.pk DIV 8 AS total
+  FROM {pick} p JOIN cities c ON c.j = p.pk % 8)"""
+
+
+def _tsp_chain(matz: str) -> str:
+    pow2arms = " ".join(f"WHEN {j} THEN {1 << j}" for j in range(TSP_K))
+    parts = [f"""
+s0 AS{matz} (
+  SELECT 0 AS step, j, ix AS cx, iy AS cy, CAST(1 AS BIGINT) AS mask,
+         CAST(0 AS BIGINT) AS leg_d2, CAST(0 AS BIGINT) AS total
+  FROM cities WHERE j = 0)"""]
+    for r in range(1, TSP_K):
+        parts.append(_TSP_PICK.format(
+            pick=f"p{r}", prev=f"s{r - 1}", nxt=f"s{r}", step=r,
+            pow2arms=pow2arms).replace(
+            " AS MATERIALIZED", f" AS{matz}"))
+    union = "\nUNION ALL\n".join(
+        f"SELECT step, j, cx, cy, leg_d2, total FROM s{r}"
+        for r in range(TSP_K))
+    return "WITH cities AS{matz} ({cities}),{chain}\n{sel}".format(
+        matz=matz, cities=_tsp_cities_sql(), chain=",".join(parts),
+        sel=f"""
+SELECT CAST(t.step AS INT) AS step, CAST(t.j AS INT) AS city_rank,
+       CAST(c.iy * 16 + c.ix AS BIGINT) AS cell_key,
+       CAST(c.n AS BIGINT) AS n_events,
+       CAST(t.leg_d2 AS BIGINT) AS leg_d2,
+       CAST(t.total AS BIGINT) AS total_d2
+FROM ({union}) t JOIN cities c ON c.j = t.j""")
+
+
+def q_tsp_greedy_tour(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .createOrReplaceTempView("events")
+    return spark.sql(_tsp_chain(""))
+
+
+ORACLE_TSP = _tsp_chain(" MATERIALIZED")
+
+
+QUERIES.update({
+    "tsp_greedy_tour": (q_tsp_greedy_tour, ORACLE_TSP),
+})

@@ -1205,6 +1205,9 @@ def q_ransac_line(spark, sf_dir):
                 "CASE WHEN x2 >= x1 THEN x2 - x1 ELSE x1 - x2 END AS dx",
                 "CASE WHEN x2 >= x1 THEN y2 - y1 ELSE y1 - y2 END AS dy")
             .where("dx != 0").localCheckpoint())
+    # localCheckpoint: the 8-row aggregate is referenced twice (argmin +
+    # output) and a lazy plan would re-execute the corpus counting join
+    # per reference (the link_prediction scan-replay lesson)
     c = (pts.crossJoin(F.broadcast(cand))
          .where(f"ABS(dy * (x - x1) - dx * (y - y1)) "
                 f"<= {RANSAC_THR} * dx")
@@ -1212,7 +1215,8 @@ def q_ransac_line(spark, sf_dir):
          .agg(F.count(F.lit(1)).alias("n"),
               F.sum("x").alias("sx"), F.sum("y").alias("sy"),
               F.expr("SUM(x * x)").alias("sxx"),
-              F.expr("SUM(x * y)").alias("sxy")))
+              F.expr("SUM(x * y)").alias("sxy"))
+         .localCheckpoint())
     bestv = c.groupBy().agg(
         F.min(F.expr(f"({RANSAC_BIG} - n) * 16 + k")).alias("bp"))
     is_best = f"({RANSAC_BIG} - n) * 16 + k = bp"

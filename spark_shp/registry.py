@@ -357,6 +357,8 @@ _TAIL = [
     "ransac_line",        # RANSAC consensus line fit + OLS refit (ML)
     "polyline_encode",    # Google Encoded Polyline interop (B1/geo)
     "stable_matching",    # Gale-Shapley deferred acceptance (market)
+    "tsp_greedy_tour",    # nearest-neighbor tour over hub cells (route)
+    "brier_decomposition",  # Murphy forecast-eval decomposition (ML)
 ]
 
 _MERGED: dict = {}

@@ -1128,3 +1128,44 @@ def test_stable_matching_matches_sequential_gs_and_is_stable(spark):
             if j < match_rank_p[p]:     # p strictly prefers a
                 assert rank_ap[(a, inv[a])] < rank_ap[(a, p)], \
                     f"blocking pair ({p}, {a})"
+
+
+def test_brier_decomposition_matches_numpy(spark):
+    """Numpy replication from the parquet keys, plus the Murphy
+    identity BS = REL - RES + UNC up to the within-bin variance term
+    (bounded by the bin width), and a planted-miscalibration check:
+    REL must be materially positive."""
+    from spark_shp.hashing import mix
+    from spark_shp.queries_eval import q_brier_decomposition
+    row = q_brier_decomposition(spark, SF).collect()[0]
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    key = o["o_orderkey"].to_numpy(dtype=np.int64)
+    p = (mix(key * 7 + 1).astype(np.int64) % 100)
+    y = ((mix(key * 7 + 2).astype(np.int64) % 100)
+         < (p * 8) // 10 + 10).astype(np.int64)
+    n = len(p)
+    obar = y.mean()
+    rel = res = 0.0
+    for k in range(10):
+        m = (p >= 10 * k) & (p < 10 * k + 10)
+        nk = int(m.sum())
+        if not nk:
+            continue
+        pbar = p[m].mean() / 100.0
+        ok = y[m].mean()
+        rel += nk * (pbar - ok) ** 2
+        res += nk * (ok - obar) ** 2
+    rel, res = rel / n, res / n
+    unc = obar * (1 - obar)
+    bs = float(((p / 100.0 - y) ** 2).mean())
+    assert row["n"] == n and row["so"] == int(y.sum())
+    assert abs(row["reliability"] - rel) < 1e-5
+    assert abs(row["resolution"] - res) < 1e-5
+    assert abs(row["uncertainty"] - unc) < 1e-5
+    assert abs(row["brier"] - bs) < 1e-5
+    # Murphy identity up to within-bin variance (bin width 0.1 =>
+    # per-row forecast variance <= (0.05)^2-ish around the bin mean)
+    assert abs(bs - (rel - res + unc)) < 0.01
+    # planted miscalibration gates REL
+    assert row["reliability"] > 0.002

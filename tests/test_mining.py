@@ -2468,3 +2468,61 @@ def test_wkt_polygon_ingest_matches_numpy_shoelace(spark):
                                                 allq[:, 0].max())
         assert (row["min_y"], row["max_y"]) == (allq[:, 1].min(),
                                                 allq[:, 1].max())
+
+
+def test_tsp_greedy_matches_python_and_bounds_optimal(spark):
+    """Sequential python greedy over independently derived cities, plus
+    the brute-force OPTIMAL tour (8! / fixed-start = 5040 permutations):
+    greedy total >= optimal, both positive, exact equality of the
+    gated walk."""
+    import itertools
+    from spark_shp import hashing
+    from spark_shp.queries_mining import TSP_K, TSP_LEVEL, q_tsp_greedy_tour
+    rows = sorted((r["step"], r["city_rank"], r["cell_key"],
+                   r["leg_d2"], r["total_d2"])
+                  for r in q_tsp_greedy_tour(spark, SF).collect())
+    assert len(rows) == TSP_K
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    eid = e["event_id"].to_numpy(dtype=np.int64)
+    lon = hashing.u01(eid) * 360.0 - 180.0
+    lat = hashing.u01(eid * 2 + 1) * 170.0 - 85.0
+    n = 1 << TSP_LEVEL
+    ix = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1) \
+        .astype(np.int64)
+    iy = np.clip(np.floor((lat + 85.0) / 170.0 * n), 0, n - 1) \
+        .astype(np.int64)
+    cnt = {}
+    for a, b in zip(ix, iy):
+        cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    top = sorted(cnt.items(),
+                 key=lambda kv: (-kv[1], kv[0][1] * 16 + kv[0][0]))[:TSP_K]
+    cities = [(j, x, y) for j, ((x, y), _) in enumerate(top)]
+    # greedy walk
+    visited = {0}
+    cur = cities[0]
+    expect = [(0, 0, cities[0][2] * 16 + cities[0][1], 0, 0)]
+    total = 0
+    for step in range(1, TSP_K):
+        best = None
+        for j, x, y in cities:
+            if j in visited:
+                continue
+            d2 = (x - cur[1]) ** 2 + (y - cur[2]) ** 2
+            if best is None or d2 * 8 + j < best[0]:
+                best = (d2 * 8 + j, j, x, y, d2)
+        visited.add(best[1])
+        cur = (best[1], best[2], best[3])
+        total += best[4]
+        expect.append((step, best[1], best[3] * 16 + best[2],
+                       best[4], total))
+    assert rows == sorted(expect)
+    # optimality bound: greedy path >= brute-force best open path
+    coords = {j: (x, y) for j, x, y in cities}
+    opt = min(
+        sum((coords[p[i]][0] - coords[p[i + 1]][0]) ** 2
+            + (coords[p[i]][1] - coords[p[i + 1]][1]) ** 2
+            for i in range(len(p) - 1))
+        for p in itertools.permutations(range(1, TSP_K))
+        for p in [(0,) + p])
+    assert 0 < opt <= total
