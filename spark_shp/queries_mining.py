@@ -5347,7 +5347,7 @@ _TSP_PICK = """
   FROM {pick} p JOIN cities c ON c.j = p.pk % 8)"""
 
 
-def _tsp_chain(matz: str) -> str:
+def _tsp_chain(matz: str, div: str = "DIV") -> str:
     pow2arms = " ".join(f"WHEN {j} THEN {1 << j}" for j in range(TSP_K))
     parts = [f"""
 s0 AS{matz} (
@@ -5358,7 +5358,7 @@ s0 AS{matz} (
         parts.append(_TSP_PICK.format(
             pick=f"p{r}", prev=f"s{r - 1}", nxt=f"s{r}", step=r,
             pow2arms=pow2arms).replace(
-            " AS MATERIALIZED", f" AS{matz}"))
+            " AS MATERIALIZED", f" AS{matz}").replace(" DIV ", f" {div} "))
     union = "\nUNION ALL\n".join(
         f"SELECT step, j, cx, cy, leg_d2, total FROM s{r}"
         for r in range(TSP_K))
@@ -5379,7 +5379,7 @@ def q_tsp_greedy_tour(spark, sf_dir):
     return spark.sql(_tsp_chain(""))
 
 
-ORACLE_TSP = _tsp_chain(" MATERIALIZED")
+ORACLE_TSP = _tsp_chain(" MATERIALIZED", "//")
 
 
 QUERIES.update({
