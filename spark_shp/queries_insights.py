@@ -5521,3 +5521,93 @@ QUERIES.update({
     "video_motion_vectors": (q_video_motion_vectors,
                              _oracle_motion_vectors()),
 })
+
+
+# --- areal_interpolation: dasymetric reallocation fence -> grid ---------------
+#
+# The GIS areal-interpolation / dasymetric-mapping primitive (recast
+# census zones onto a raster): each nation fence's event count is
+# reallocated to level-4 grid cells proportional to the EXACT overlap
+# area.  Everything is integer milli-degrees — level 4 divides both
+# axes exactly (360000/16 = 22500, 170000/16 = 10625), fences clamp to
+# the grid domain (events cannot exist outside it), overlap = product
+# of clamped 1-D intersections via GREATEST/LEAST, and the weight is
+# (overlap * 2^20) DIV fence_area (product <= 1.5e14, int64-safe).
+# Corpus work: ONE broadcast fence join + per-fence count; the
+# fence x cell candidate table is python-enumerated literals (<= 4
+# cells per fence by construction: fence span <= 12 deg < one cell).
+
+AREAL_Q = 1 << 20
+_AREAL_CW, _AREAL_CH = 22500, 10625      # level-4 cell size, mdeg
+
+
+def _areal_fences():
+    import numpy as np
+    ks = np.arange(25, dtype=np.int64)
+    cx, cy, hw = fixtures.nation_fences_np(ks)
+    rows = []
+    for k in range(25):
+        x1 = max(int(np.floor((cx[k] - hw[k]) * 1000)), -180000)
+        x2 = min(int(np.floor((cx[k] + hw[k]) * 1000)), 180000)
+        y1 = max(int(np.floor((cy[k] - hw[k]) * 1000)), -85000)
+        y2 = min(int(np.floor((cy[k] + hw[k]) * 1000)), 85000)
+        for ix in range((x1 + 180000) // _AREAL_CW,
+                        (x2 - 1 + 180000) // _AREAL_CW + 1):
+            for iy in range((y1 + 85000) // _AREAL_CH,
+                            (y2 - 1 + 85000) // _AREAL_CH + 1):
+                rows.append((k, x1, x2, y1, y2, ix, iy))
+    return rows
+
+
+def _areal_sql(div: str) -> str:
+    vals = ", ".join(f"({k}, {x1}, {x2}, {y1}, {y2}, {ix}, {iy})"
+                     for k, x1, x2, y1, y2, ix, iy in _areal_fences())
+    lon_md = (f"CAST(FLOOR(({fixtures.EVENT_LON_SQL}) * "
+              f"CAST(1000 AS DOUBLE)) AS BIGINT)")
+    lat_md = (f"CAST(FLOOR(({fixtures.EVENT_LAT_SQL}) * "
+              f"CAST(1000 AS DOUBLE)) AS BIGINT)")
+    return f"""
+WITH cand AS (
+  SELECT * FROM (VALUES {vals}) v(nk, x1, x2, y1, y2, ix, iy)),
+fences AS (
+  SELECT nk, MIN(x1) AS x1, MIN(x2) AS x2, MIN(y1) AS y1, MIN(y2) AS y2
+  FROM cand GROUP BY nk),
+counts AS (
+  SELECT f.nk, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT {lon_md} AS ex, {lat_md} AS ey FROM events) e
+  JOIN fences f
+    ON e.ex >= f.x1 AND e.ex < f.x2 AND e.ey >= f.y1 AND e.ey < f.y2
+  GROUP BY f.nk),
+ovl AS (
+  SELECT nk, ix, iy,
+         GREATEST(CAST(0 AS BIGINT),
+                  LEAST(x2, (ix + 1) * {_AREAL_CW} - 180000)
+                  - GREATEST(x1, ix * {_AREAL_CW} - 180000))
+         * GREATEST(CAST(0 AS BIGINT),
+                    LEAST(y2, (iy + 1) * {_AREAL_CH} - 85000)
+                    - GREATEST(y1, iy * {_AREAL_CH} - 85000)) AS ov,
+         (x2 - x1) * (y2 - y1) AS farea
+  FROM cand)
+SELECT o.nk AS n_nationkey, CAST(o.ix AS INT) AS ix,
+       CAST(o.iy AS INT) AS iy, CAST(o.ov AS BIGINT) AS overlap_md2,
+       CAST((o.ov * {AREAL_Q}) {div} o.farea AS BIGINT) AS weight_q,
+       CAST(COALESCE(c.cnt, 0) AS BIGINT) AS fence_events,
+       CAST((COALESCE(c.cnt, 0) * ((o.ov * {AREAL_Q}) {div} o.farea))
+            {div} {AREAL_Q} AS BIGINT) AS allocated
+FROM ovl o LEFT JOIN counts c ON c.nk = o.nk
+WHERE o.ov > 0
+"""
+
+
+def q_areal_interpolation(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .createOrReplaceTempView("events")
+    return spark.sql(_areal_sql("DIV"))
+
+
+ORACLE_AREAL = _areal_sql("//")
+
+
+QUERIES.update({
+    "areal_interpolation": (q_areal_interpolation, ORACLE_AREAL),
+})

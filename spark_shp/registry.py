@@ -359,6 +359,7 @@ _TAIL = [
     "stable_matching",    # Gale-Shapley deferred acceptance (market)
     "tsp_greedy_tour",    # nearest-neighbor tour over hub cells (route)
     "brier_decomposition",  # Murphy forecast-eval decomposition (ML)
+    "areal_interpolation",  # dasymetric fence->grid reallocation (GIS)
 ]
 
 _MERGED: dict = {}

@@ -1938,3 +1938,55 @@ def test_motion_vectors_match_pixel_loop_and_recover_planted(spark):
                 r.vec_checksum) == (nb, nc, st, vc), i
         # the planted translation is recovered at EVERY block
         assert r.n_correct == r.n_blocks, i
+
+
+def test_areal_interpolation_matches_numpy_and_conserves(spark):
+    """Numpy replication of clamp/overlap/weight/allocation, plus the
+    dasymetric conservation law: per fence, allocated counts sum to the
+    fence count up to the documented DIV truncation (< n_cells counts
+    plus the weight-quantization deficit)."""
+    from spark_shp import hashing
+    from spark_shp.queries_insights import (AREAL_Q, _AREAL_CH, _AREAL_CW,
+                                            _areal_fences,
+                                            q_areal_interpolation)
+    out = {(r["n_nationkey"], r["ix"], r["iy"]): r
+           for r in q_areal_interpolation(spark, SF).collect()}
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    eid = e["event_id"].to_numpy(dtype=np.int64)
+    ex = np.floor((hashing.u01(eid) * 360.0 - 180.0) * 1000).astype(np.int64)
+    ey = np.floor((hashing.u01(eid * 2 + 1) * 170.0 - 85.0) * 1000) \
+        .astype(np.int64)
+    cand = _areal_fences()
+    fences = {}
+    for k, x1, x2, y1, y2, ix, iy in cand:
+        fences[k] = (x1, x2, y1, y2)
+    cnt = {k: int(((ex >= x1) & (ex < x2) & (ey >= y1) & (ey < y2)).sum())
+           for k, (x1, x2, y1, y2) in fences.items()}
+    expect = {}
+    for k, x1, x2, y1, y2, ix, iy in cand:
+        ov = (max(0, min(x2, (ix + 1) * _AREAL_CW - 180000)
+                  - max(x1, ix * _AREAL_CW - 180000))
+              * max(0, min(y2, (iy + 1) * _AREAL_CH - 85000)
+                    - max(y1, iy * _AREAL_CH - 85000)))
+        if ov <= 0:
+            continue
+        farea = (x2 - x1) * (y2 - y1)
+        wq = (ov * AREAL_Q) // farea
+        expect[(k, ix, iy)] = (ov, wq, cnt[k], (cnt[k] * wq) // AREAL_Q)
+    assert set(out) == set(expect)
+    for key, (ov, wq, c, alloc) in expect.items():
+        r = out[key]
+        assert (r["overlap_md2"], r["weight_q"], r["fence_events"],
+                r["allocated"]) == (ov, wq, c, alloc)
+    # conservation per fence
+    for k, (x1, x2, y1, y2) in fences.items():
+        cells_k = [v for key, v in expect.items() if key[0] == k]
+        total = sum(v[3] for v in cells_k)
+        ncell = len(cells_k)
+        bound = ncell + cnt[k] * ncell / AREAL_Q + 1
+        assert cnt[k] - bound <= total <= cnt[k]
+    # some fence actually straddles a cell boundary (the op is not a
+    # one-cell no-op)
+    assert any(len([1 for key in expect if key[0] == k]) > 1
+               for k in fences)
