@@ -2911,3 +2911,126 @@ ORACLE_BRIER = _brier_sql("//")
 QUERIES.update({
     "brier_decomposition": (q_brier_decomposition, ORACLE_BRIER),
 })
+
+
+# --- cross_track_distance: XTD/ATD off a great-circle leg ---------------------
+#
+# The remaining aviation-formulary primitive after rhumb_lines
+# (loxodrome), geodesic_waypoints (slerp) and impossible_travel
+# (haversine speed): for each intermediate fix P of a user's
+# trajectory, the signed CROSS-TRACK distance off the A->B great
+# circle (xtd = asin(sin d13 * sin(th13 - th12))) and the ALONG-TRACK
+# distance (atd = acos(cos d13 / cos xtd)) — route-adherence /
+# corridor-violation analytics.  Staged-trig discipline: every float
+# op appears in ONE literal sequence shared verbatim with the oracle,
+# ROUND(...,6); degenerate fixes (P = A, or a closed A = B leg) are
+# excluded by INTEGER microdegree predicates, never float thresholds;
+# acos/asin arguments clamp identically.  Plan: one user-keyed shuffle
+# (three windows share it), pure codegen trig after.
+
+def q_cross_track_distance(spark, sf_dir):
+    from . import fixtures
+    e = _t(spark, sf_dir, "events")
+    lon, lat = fixtures.EVENT_LON_SQL, fixtures.EVENT_LAT_SQL
+    pts = (e.where(F.col("user_id") % WAYPOINT_MOD == 0)
+           .selectExpr("user_id", "ts", "event_id",
+                       f"{lon} AS lon", f"{lat} AS lat",
+                       f"CAST(FLOOR({lon} * 1000000.0) AS BIGINT) AS ilon",
+                       f"CAST(FLOOR({lat} * 1000000.0) AS BIGINT) AS ilat"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    s = (pts.withColumn("rn", F.row_number().over(w))
+         .withColumn("alon", F.first("lon").over(wf))
+         .withColumn("alat", F.first("lat").over(wf))
+         .withColumn("ailon", F.first("ilon").over(wf))
+         .withColumn("ailat", F.first("ilat").over(wf))
+         .withColumn("blon", F.last("lon").over(wf))
+         .withColumn("blat", F.last("lat").over(wf))
+         .withColumn("bilon", F.last("ilon").over(wf))
+         .withColumn("bilat", F.last("ilat").over(wf))
+         .where("rn > 1 AND (ilon != ailon OR ilat != ailat) "
+                "AND (bilon != ailon OR bilat != ailat)"))
+    s1 = s.selectExpr(
+        "user_id", "rn", "RADIANS(alat) AS f1", "RADIANS(lat) AS f3",
+        "RADIANS(blat) AS f2", "RADIANS(lon - alon) AS dl13",
+        "RADIANS(blon - alon) AS dl12")
+    s2 = s1.selectExpr(
+        "user_id", "rn", "f1", "f3",
+        "2.0 * ASIN(SQRT(SIN((f3 - f1) / 2.0) * SIN((f3 - f1) / 2.0) "
+        "+ COS(f1) * COS(f3) * SIN(dl13 / 2.0) * SIN(dl13 / 2.0))) "
+        "AS d13",
+        "ATAN2(SIN(dl13) * COS(f3), "
+        "COS(f1) * SIN(f3) - SIN(f1) * COS(f3) * COS(dl13)) AS th13",
+        "ATAN2(SIN(dl12) * COS(f2), "
+        "COS(f1) * SIN(f2) - SIN(f1) * COS(f2) * COS(dl12)) AS th12")
+    s3 = s2.selectExpr(
+        "user_id", "rn", "d13",
+        "ASIN(GREATEST(CAST(-1 AS DOUBLE), LEAST(CAST(1 AS DOUBLE), "
+        "SIN(d13) * SIN(th13 - th12)))) AS xtd")
+    return s3.selectExpr(
+        "user_id", "CAST(rn AS BIGINT) AS pt_idx",
+        "ROUND(xtd * 6371.0088, 6) AS xtd_km",
+        "ROUND(ACOS(GREATEST(CAST(-1 AS DOUBLE), LEAST(CAST(1 AS DOUBLE),"
+        " COS(d13) / COS(xtd)))) * 6371.0088, 6) AS atd_km")
+
+
+def _oracle_cross_track() -> str:
+    from . import fixtures
+    lon, lat = fixtures.EVENT_LON_SQL, fixtures.EVENT_LAT_SQL
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id, {lon} AS lon, {lat} AS lat,
+         CAST(FLOOR({lon} * 1000000.0) AS BIGINT) AS ilon,
+         CAST(FLOOR({lat} * 1000000.0) AS BIGINT) AS ilat
+  FROM events WHERE user_id % {WAYPOINT_MOD} = 0),
+s AS (
+  SELECT * FROM (
+    SELECT user_id, lon, lat, ilon, ilat,
+           ROW_NUMBER() OVER w AS rn,
+           FIRST_VALUE(lon) OVER wf AS alon,
+           FIRST_VALUE(lat) OVER wf AS alat,
+           FIRST_VALUE(ilon) OVER wf AS ailon,
+           FIRST_VALUE(ilat) OVER wf AS ailat,
+           LAST_VALUE(lon) OVER wf AS blon,
+           LAST_VALUE(lat) OVER wf AS blat,
+           LAST_VALUE(ilon) OVER wf AS bilon,
+           LAST_VALUE(ilat) OVER wf AS bilat
+    FROM pts
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND UNBOUNDED FOLLOWING)) t
+  WHERE rn > 1 AND (ilon != ailon OR ilat != ailat)
+    AND (bilon != ailon OR bilat != ailat)),
+s1 AS (
+  SELECT user_id, rn, RADIANS(alat) AS f1, RADIANS(lat) AS f3,
+         RADIANS(blat) AS f2, RADIANS(lon - alon) AS dl13,
+         RADIANS(blon - alon) AS dl12
+  FROM s),
+s2 AS (
+  SELECT user_id, rn, f1, f3,
+         2.0 * ASIN(SQRT(SIN((f3 - f1) / 2.0) * SIN((f3 - f1) / 2.0)
+         + COS(f1) * COS(f3) * SIN(dl13 / 2.0) * SIN(dl13 / 2.0)))
+           AS d13,
+         ATAN2(SIN(dl13) * COS(f3),
+         COS(f1) * SIN(f3) - SIN(f1) * COS(f3) * COS(dl13)) AS th13,
+         ATAN2(SIN(dl12) * COS(f2),
+         COS(f1) * SIN(f2) - SIN(f1) * COS(f2) * COS(dl12)) AS th12
+  FROM s1),
+s3 AS (
+  SELECT user_id, rn, d13,
+         ASIN(GREATEST(CAST(-1 AS DOUBLE), LEAST(CAST(1 AS DOUBLE),
+         SIN(d13) * SIN(th13 - th12)))) AS xtd
+  FROM s2)
+SELECT user_id, CAST(rn AS BIGINT) AS pt_idx,
+       ROUND(xtd * 6371.0088, 6) AS xtd_km,
+       ROUND(ACOS(GREATEST(CAST(-1 AS DOUBLE), LEAST(CAST(1 AS DOUBLE),
+             COS(d13) / COS(xtd)))) * 6371.0088, 6) AS atd_km
+FROM s3
+"""
+
+
+QUERIES.update({
+    "cross_track_distance": (q_cross_track_distance,
+                             _oracle_cross_track()),
+})

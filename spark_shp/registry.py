@@ -360,6 +360,7 @@ _TAIL = [
     "tsp_greedy_tour",    # nearest-neighbor tour over hub cells (route)
     "brier_decomposition",  # Murphy forecast-eval decomposition (ML)
     "areal_interpolation",  # dasymetric fence->grid reallocation (GIS)
+    "cross_track_distance",  # great-circle XTD/ATD route adherence (geo)
 ]
 
 _MERGED: dict = {}

@@ -1169,3 +1169,59 @@ def test_brier_decomposition_matches_numpy(spark):
     assert abs(bs - (rel - res + unc)) < 0.01
     # planted miscalibration gates REL
     assert row["reliability"] > 0.002
+
+
+def test_cross_track_matches_numpy_and_laws(spark):
+    """Numpy replication plus the spherical laws: |xtd| <= d13 (the
+    cross-track leg of the right spherical triangle is never longer
+    than the hypotenuse), atd >= 0, and for P = B the cross-track is
+    exactly the zero of the triangle (B lies ON the great circle)."""
+    from spark_shp import hashing
+    from spark_shp.queries_eval import WAYPOINT_MOD, q_cross_track_distance
+    out = {(r["user_id"], r["pt_idx"]): (r["xtd_km"], r["atd_km"])
+           for r in q_cross_track_distance(spark, SF).collect()}
+    assert out
+
+    R = 6371.0088
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e = e[e["user_id"] % WAYPOINT_MOD == 0].copy()
+    eid = e["event_id"].to_numpy(dtype=np.int64)
+    e["lon"] = hashing.u01(eid) * 360.0 - 180.0
+    e["lat"] = hashing.u01(eid * 2 + 1) * 170.0 - 85.0
+    n_checked = 0
+    for uid, g in e.sort_values(["ts", "event_id"]).groupby("user_id"):
+        lons = g["lon"].to_numpy()
+        lats = g["lat"].to_numpy()
+        il = np.floor(lons * 1e6).astype(np.int64)
+        it = np.floor(lats * 1e6).astype(np.int64)
+        if len(g) < 2 or (il[0] == il[-1] and it[0] == it[-1]):
+            continue
+        f1, l1 = np.radians(lats[0]), lons[0]
+        f2 = np.radians(lats[-1])
+        dl12 = np.radians(lons[-1] - l1)
+        th12 = np.arctan2(np.sin(dl12) * np.cos(f2),
+                          np.cos(f1) * np.sin(f2)
+                          - np.sin(f1) * np.cos(f2) * np.cos(dl12))
+        for i in range(1, len(g)):
+            if il[i] == il[0] and it[i] == it[0]:
+                continue
+            f3 = np.radians(lats[i])
+            dl13 = np.radians(lons[i] - l1)
+            d13 = 2 * np.arcsin(np.sqrt(
+                np.sin((f3 - f1) / 2) ** 2
+                + np.cos(f1) * np.cos(f3) * np.sin(dl13 / 2) ** 2))
+            th13 = np.arctan2(np.sin(dl13) * np.cos(f3),
+                              np.cos(f1) * np.sin(f3)
+                              - np.sin(f1) * np.cos(f3) * np.cos(dl13))
+            xtd = np.arcsin(np.clip(np.sin(d13) * np.sin(th13 - th12),
+                                    -1, 1))
+            atd = np.arccos(np.clip(np.cos(d13) / np.cos(xtd), -1, 1))
+            got = out[(uid, i + 1)]
+            assert abs(got[0] - xtd * R) < 1e-4
+            assert abs(got[1] - atd * R) < 1e-4
+            assert abs(got[0]) <= d13 * R + 1e-6
+            assert got[1] >= 0.0
+            if i == len(g) - 1:
+                assert abs(got[0]) < 1e-4   # B is on its own circle
+            n_checked += 1
+    assert n_checked == len(out) and n_checked > 50
