@@ -1781,3 +1781,38 @@ def seam_carve_costs(images: DataFrame) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+def dhash_codes(images: DataFrame) -> DataFrame:
+    """63-bit dHash retrieval code per image over the REAL decode: the
+    row-adjacent gradient bits of the 8x8 green block-sum grid
+    (hash_family_checksums' dHash), packed bit k = y*8+x for k < 63 —
+    bit 63 is dropped so the packed code stays int64-arithmetic-safe
+    (1<<63 would overflow the BIGINT sum in both engines)."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("code", T.LongType()),
+    ])
+    wts = (np.int64(1) << np.arange(63, dtype=np.int64))
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                bh, bw = h // 8, w // 8
+                g = _decode_stack(pdf, idx, w, h, fmt)[:, :, :, 1] \
+                    .astype(np.int64)
+                s = g.reshape(len(idx), 8, bh, 8, bw).sum(axis=(2, 4))
+                d = (s > np.roll(s, -1, axis=2)).reshape(len(idx), 64)
+                codes = (d[:, :63] * wts).sum(axis=1)
+                for k, i in enumerate(idx):
+                    rows[i] = (ids[i], int(codes[k]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

@@ -1821,3 +1821,131 @@ FROM {last} GROUP BY 1, 2, 3
 QUERIES.update({
     "image_seam_carve": (q_image_seam_carve, _oracle_seam_carve()),
 })
+
+
+# --- crossmodal_recall: image<->caption retrieval eval ------------------------
+#
+# The cross-modal retrieval benchmark shape (CLIP-style recall@k) over
+# the input-hint image+caption pairs: each image's 63-bit dHash code
+# (real decode, multimodal.dhash_codes) retrieves against "caption
+# codes" — the paired code corrupted by a deterministic <=2-bit mask —
+# ranked by Hamming distance with a total-order tiebreak, candidates
+# BUCKETED by the level-2 cell of the image footprint (the
+# scale-defining move: retrieval is bucket-local, never all-pairs).
+# Gated per fmt: n, recall@1, recall@5, and the sum of min Hamming
+# distances.  Bit plumbing is dialect-split (Spark ^, DuckDB xor();
+# bit_count in both); codes use bits 0..62 so every packed value stays
+# int64-arithmetic-safe.
+
+CM_N = 96
+
+
+def _pow2case(expr: str) -> str:
+    return ("CASE " + expr + " "
+            + " ".join(f"WHEN {k} THEN {1 << k}" for k in range(63))
+            + " ELSE 0 END")
+
+
+def _cm_mask(j: str) -> str:
+    # <=2 flipped bits normally; every 5th caption gets a ~31-bit
+    # scramble (a near-random caption) so recall@1 is NOT trivially
+    # perfect — the planted-structure rule: a gate column must be able
+    # to fail
+    m1 = f"(({mix_sql(f'({j}) * 5 + 9')}) % 63)"
+    m2 = f"(({mix_sql(f'({j}) * 5 + 10')}) % 63)"
+    wide = (f"(({mix_sql(f'({j}) * 5 + 11')}) * 2147483648 "
+            f"+ ({mix_sql(f'({j}) * 5 + 12')}) % 2147483648)")
+    return (f"(({_pow2case(m1)} | {_pow2case(m2)}) "
+            f"| (CASE WHEN ({j}) % 5 = 0 THEN {wide} ELSE 0 END))")
+
+
+_CM_OUT = """
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS recall1,
+       CAST(SUM(CASE WHEN rnk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS recall5,
+       CAST(SUM(min_ham) AS BIGINT) AS sum_min_hamming
+FROM ranked GROUP BY fmt
+"""
+
+
+def q_crossmodal_recall(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, CM_N, partitions=4)
+    d = (multimodal.dhash_codes(img)
+         .join(img.select("image_id", "lon", "lat"), "image_id")
+         .selectExpr("CAST(substr(image_id, 4) AS BIGINT) AS i", "code",
+                     f"{cells.cell_sql('lon', 'lat', 2)} AS bucket")
+         .localCheckpoint())
+    cap = (d.selectExpr("i AS j", "code AS jcode", "bucket")
+           .selectExpr("j", "bucket",
+                       f"jcode ^ {_cm_mask('j')} AS ccode"))
+    pairs = (d.join(cap, "bucket")
+             .selectExpr("i", "j",
+                         "bit_count(code ^ ccode) * 1024 + j AS packed"))
+    pt = pairs.where("j = i").selectExpr("i AS i2", "packed AS pt")
+    ranked = (pairs.join(pt, pairs.i == pt.i2)
+              .groupBy("i")
+              .agg(F.expr("1 + SUM(CASE WHEN packed < pt THEN 1 ELSE 0 "
+                          "END)").alias("rnk"),
+                   F.expr("MIN(packed) DIV 1024").alias("min_ham"))
+              .selectExpr("rnk", "min_ham",
+                          "CASE (i % 3) WHEN 0 THEN 'raw' WHEN 1 THEN "
+                          "'png' ELSE 'qb' END AS fmt"))
+    ranked.createOrReplaceTempView("ranked")
+    return spark.sql(_CM_OUT)
+
+
+def _oracle_crossmodal() -> str:
+    m = fixtures.images_meta_sql("i")
+    pix = _pix_sql("i * 1000003 + (y * (h DIV 8) + py) * 4096 "
+                   "+ (x * (w DIV 8) + px) * 4 + 1") \
+        .replace(" DIV ", " // ")
+    return f"""
+WITH imgs AS MATERIALIZED (
+  SELECT i, {m['w']} AS w, {m['h']} AS h, {m['fmt']} AS fmt,
+         {m['lon']} AS lon, {m['lat']} AS lat
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {CM_N - 1})) AS i) t),
+sgrid AS MATERIALIZED (
+  SELECT i, by.y, bx.x, SUM({pix}) AS s
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS y) by,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS x) bx,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h // 8 - 1)) AS py) pp,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w // 8 - 1)) AS px) qq
+  GROUP BY 1, 2, 3),
+codes AS MATERIALIZED (
+  SELECT a.i,
+         CAST(SUM(CASE WHEN a.s > b.s AND a.y * 8 + a.x < 63
+                  THEN {_pow2case('a.y * 8 + a.x')} ELSE 0 END)
+              AS BIGINT) AS code
+  FROM sgrid a JOIN sgrid b
+    ON b.i = a.i AND b.y = a.y AND b.x = (a.x + 1) % 8
+  GROUP BY a.i),
+d AS MATERIALIZED (
+  SELECT codes.i, codes.code,
+         {cells.cell_sql('imgs.lon', 'imgs.lat', 2)} AS bucket
+  FROM codes JOIN imgs ON imgs.i = codes.i),
+cap AS (
+  SELECT i AS j, bucket, xor(code, {_cm_mask('i')}) AS ccode FROM d),
+pairs AS MATERIALIZED (
+  SELECT d.i, cap.j,
+         bit_count(xor(d.code, cap.ccode)) * 1024 + cap.j AS packed
+  FROM d JOIN cap ON cap.bucket = d.bucket),
+pt AS (SELECT i, packed AS pt FROM pairs WHERE j = i),
+ranked AS (
+  SELECT pairs.i,
+         1 + SUM(CASE WHEN packed < pt.pt THEN 1 ELSE 0 END) AS rnk,
+         MIN(packed) // 1024 AS min_ham,
+         CASE (pairs.i % 3) WHEN 0 THEN 'raw' WHEN 1 THEN 'png'
+              ELSE 'qb' END AS fmt
+  FROM pairs JOIN pt ON pt.i = pairs.i
+  GROUP BY pairs.i)
+{_CM_OUT}
+"""
+
+
+QUERIES.update({
+    "crossmodal_recall": (q_crossmodal_recall, _oracle_crossmodal()),
+})

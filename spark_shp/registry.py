@@ -361,6 +361,7 @@ _TAIL = [
     "brier_decomposition",  # Murphy forecast-eval decomposition (ML)
     "areal_interpolation",  # dasymetric fence->grid reallocation (GIS)
     "cross_track_distance",  # great-circle XTD/ATD route adherence (geo)
+    "crossmodal_recall",  # image<->caption retrieval recall@k (B11/IR)
 ]
 
 _MERGED: dict = {}

@@ -884,3 +884,60 @@ def test_seam_carve_matches_sequential_dp(spark):
     # structure: a seam cost is at most the cheapest single column of
     # energies times rows, and strictly positive on this content
     assert all(r["seam_cost"] > 0 for r in out.values())
+
+
+def test_crossmodal_recall_matches_python(spark):
+    """Full python replication: real decode -> 8x8 green block sums ->
+    63-bit dHash -> deterministic caption corruption -> bucket-local
+    Hamming ranking; plus structure: recall@1 is neither zero nor
+    trivially perfect (the every-5th wide scramble), recall@5 >= @1."""
+    from spark_shp.hashing import mix
+    from spark_shp.queries_vision import CM_N, q_crossmodal_recall
+    out = {r["fmt"]: r for r in q_crossmodal_recall(spark, SF).collect()}
+
+    def cell2(lon, lat):
+        n = 1 << 2
+        ix = min(max(int(np.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+        iy = min(max(int(np.floor((lat + 85.0) / 170.0 * n)), 0), n - 1)
+        # morton interleave at level 2 (2 bits each)
+        m = ((ix & 1) | ((ix & 2) << 1)
+             | (((iy & 1) | ((iy & 2) << 1)) << 1))
+        return m * 32 + 2
+
+    codes, buckets = {}, {}
+    for i in range(CM_N):
+        dec, w, h, fmt = _decoded(i)
+        g = dec[:, :, 1]
+        s = g.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+        d = (s > np.roll(s, -1, axis=1)).reshape(64)
+        codes[i] = int(sum(int(d[k]) << k for k in range(63)))
+        m = fixtures.images_meta(np.array([i]))
+        buckets[i] = cell2(float(m["lon"][0]), float(m["lat"][0]))
+    caps = {}
+    for j in range(CM_N):
+        m1 = int(mix(j * 5 + 9)) % 63
+        m2 = int(mix(j * 5 + 10)) % 63
+        mask = (1 << m1) | (1 << m2)
+        if j % 5 == 0:
+            mask |= (int(mix(j * 5 + 11)) * 2147483648
+                     + int(mix(j * 5 + 12)) % 2147483648)
+        caps[j] = codes[j] ^ mask
+    agg = {}
+    for i in range(CM_N):
+        packs = sorted(
+            (bin(codes[i] ^ caps[j]).count("1") * 1024 + j)
+            for j in range(CM_N) if buckets[j] == buckets[i])
+        ptrue = bin(codes[i] ^ caps[i]).count("1") * 1024 + i
+        rnk = 1 + sum(1 for p in packs if p < ptrue)
+        fmt = ("raw", "png", "qb")[i % 3]
+        a = agg.setdefault(fmt, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += rnk == 1
+        a[2] += rnk <= 5
+        a[3] += packs[0] // 1024
+    for fmt, (n, r1, r5, sh) in agg.items():
+        row = out[fmt]
+        assert (row["n_images"], row["recall1"], row["recall5"],
+                row["sum_min_hamming"]) == (n, r1, r5, sh)
+        assert 0 < row["recall1"] < row["n_images"]
+        assert row["recall1"] <= row["recall5"]
