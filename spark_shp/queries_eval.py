@@ -3034,3 +3034,130 @@ QUERIES.update({
     "cross_track_distance": (q_cross_track_distance,
                              _oracle_cross_track()),
 })
+
+
+# --- sax_words: symbolic aggregate approximation of hourly series --------------
+#
+# SAX (Lin/Keogh) — the time-series symbolization every motif/anomaly
+# miner downstream of matrix_profile_hourly consumes: per event type,
+# the hourly cents series z-normalizes and 4-hour PAA segments map to a
+# 4-letter alphabet at the N(0,1) quartile breakpoints.  Determinism:
+# segment sums and series moments are exact (int64 + DECIMAL square),
+# z is ONE literal float expression — z = (n*pv - sp)/sqrt(n*spp -
+# sp^2) — shared verbatim, and the breakpoint comparisons test
+# identical doubles against identical literals, so the LETTER is
+# engine-exact, not just the rounded z.  Only complete 4-hour windows
+# gate (integer predicate).
+
+SAX_BP = 0.6744897501960817        # Phi^-1(0.75): N(0,1) quartiles
+SAX_SEG = 4
+
+_SAX_SQL = """
+WITH hourly AS (
+  SELECT event_type AS g,
+         CAST(FLOOR({epoch_us} / 3600000000.0) AS BIGINT) AS h,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events),
+series AS (
+  SELECT g, h, SUM(vc) AS y FROM hourly GROUP BY 1, 2),
+base AS (
+  SELECT g, MIN(h) AS h0,
+         (MAX(h) - MIN(h) + 1) {div} {seg} AS nseg
+  FROM series GROUP BY 1),
+-- PAA over the DENSE hourly spine: a missing hour is zero activity, so
+-- segment sums over present hours equal the dense sums, and the series
+-- moments (sums of pv and pv^2) are exact with n = nseg full segments;
+-- only segments with activity emit rows (zero-activity segments would
+-- all share the letter of z(0))
+segs AS (
+  SELECT series.g, (h - h0) {div} {seg} AS seg,
+         CAST(SUM(y) AS BIGINT) AS pv, MIN(nseg) AS nseg
+  FROM series JOIN base ON series.g = base.g
+  GROUP BY 1, 2),
+m AS (
+  SELECT g, CAST(MIN(nseg) AS BIGINT) AS n,
+         CAST(SUM(pv) AS BIGINT) AS sp,
+         SUM(CAST(pv AS DECIMAL(38, 0)) * pv) AS spp
+  FROM segs WHERE seg < nseg GROUP BY 1),
+z AS (
+  SELECT segs.g, seg, pv,
+         (CAST(n AS DOUBLE) * pv - CAST(sp AS DOUBLE))
+         / SQRT(CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp) AS zv
+  FROM segs JOIN m ON segs.g = m.g
+  WHERE seg < segs.nseg
+    AND CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp > 0.0)
+SELECT g AS event_type, CAST(seg AS BIGINT) AS seg,
+       CAST(pv AS BIGINT) AS paa_cents, ROUND(zv, 6) AS z,
+       CASE WHEN zv < -{bp!r} THEN 'a' WHEN zv < 0.0 THEN 'b'
+            WHEN zv < {bp!r} THEN 'c' ELSE 'd' END AS letter
+FROM z
+"""
+
+
+def q_sax_words(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_SAX_SQL.format(
+        epoch_us="unix_micros(CAST(ts AS TIMESTAMP_LTZ))",
+        div="DIV", seg=SAX_SEG, bp=SAX_BP))
+
+
+ORACLE_SAX = _SAX_SQL.format(epoch_us="epoch_us(ts)", div="//",
+                             seg=SAX_SEG, bp=SAX_BP)
+
+
+# --- dp_exponential_choice: the exponential mechanism -------------------------
+#
+# Completes the differential-privacy mechanism family (central
+# discrete-Laplace dp_noisy_counts, local randomized_response): pick
+# the "best" event type under eps-DP via the exponential mechanism in
+# its Gumbel-max form — score = eps*u/2 + Gumbel(0,1), the Gumbel
+# derandomized from the repo hash as -ln(-ln(u01)) (u01 in (0,1), so
+# both logs are finite).  Utility u = the type's average value in
+# whole dollars (exact integer division), eps sized so the noise
+# genuinely competes with the utility gap.  Every float lives in one
+# literal staged expression; the winner is an injective packed argmax
+# over the 5-row alphabet.
+
+DPX_EPS = 0.02
+DPX_Q = 1_000_000
+
+
+def _dpx_sql(div: str) -> str:
+    from .hashing import u01_sql
+    ti = ("CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 "
+          "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END")
+    g = f"-LN(-LN({u01_sql('ti * 977 + 13')}))"
+    score = (f"CAST(FLOOR((CAST({DPX_EPS!r} AS DOUBLE) * u / 2.0 "
+             f"+ ({g})) * {DPX_Q}.0 + 0.5) AS BIGINT)")
+    return f"""
+WITH agg AS (
+  SELECT {ti} AS ti, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sv
+  FROM events GROUP BY 1, 2),
+util AS (
+  SELECT ti, event_type, n, sv {div} (100 * n) AS u FROM agg),
+scored AS (
+  SELECT ti, event_type, n, u, {score} AS score_q FROM util),
+best AS (SELECT MAX(score_q * 8 + (7 - ti)) AS bp FROM scored)
+SELECT event_type, CAST(ti AS BIGINT) AS ti, n, CAST(u AS BIGINT) AS u,
+       score_q,
+       CAST(CASE WHEN score_q * 8 + (7 - ti) = bp THEN 1 ELSE 0 END
+            AS INT) AS chosen
+FROM scored, best
+"""
+
+
+def q_dp_exponential_choice(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_dpx_sql("DIV"))
+
+
+ORACLE_DPX = _dpx_sql("//")
+
+
+QUERIES.update({
+    "sax_words": (q_sax_words, ORACLE_SAX),
+    "dp_exponential_choice": (q_dp_exponential_choice, ORACLE_DPX),
+})

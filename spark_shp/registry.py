@@ -362,6 +362,8 @@ _TAIL = [
     "areal_interpolation",  # dasymetric fence->grid reallocation (GIS)
     "cross_track_distance",  # great-circle XTD/ATD route adherence (geo)
     "crossmodal_recall",  # image<->caption retrieval recall@k (B11/IR)
+    "sax_words",          # SAX time-series symbolization (C6/mining)
+    "dp_exponential_choice",  # exponential-mechanism DP pick (privacy)
 ]
 
 _MERGED: dict = {}

