@@ -1279,3 +1279,118 @@ FROM counts, best
 QUERIES.update({
     "ransac_line": (q_ransac_line, _oracle_ransac()),
 })
+
+
+# --- recsys_hitrate: leave-last-out recommender evaluation --------------------
+#
+# The evaluation loop item_cooccurrence was missing: leave-LAST-item-out
+# hit@1 / hit@5 of an item-item co-occurrence recommender.  Per customer
+# the holdout is the item of their latest lineitem under the
+# (o_orderdate, o_orderkey, l_linenumber) total order; co-occurrence
+# counts build ONLY from train items (no test leakage — the
+# target_encoding discipline applied to a recommender); neighbor lists
+# prune to top-8 per item and recommendations to top-5 per customer,
+# every rank carrying an integer tiebreak.  Scale: the basket self-join
+# is bounded by basket size squared, neighbor pruning is an item-keyed
+# window, candidate scoring a train x top-8 join, per-customer ranking
+# a customer-keyed window — nothing is all-pairs and nothing touches
+# the driver.
+
+RECSYS_NBR = 8
+RECSYS_K = 5
+
+_RECSYS_SQL = f"""
+WITH li AS (
+  SELECT o_custkey AS c, l_partkey AS p, o_orderdate AS d,
+         o_orderkey AS ok, l_linenumber AS ln
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+hold AS (
+  SELECT c, p AS hp FROM (
+    SELECT c, p, ROW_NUMBER() OVER (PARTITION BY c
+             ORDER BY d DESC, ok DESC, ln DESC) AS rn
+    FROM li) t WHERE rn = 1),
+train AS (
+  SELECT DISTINCT li.c, li.p
+  FROM li JOIN hold ON li.c = hold.c WHERE li.p != hold.hp),
+cooc AS (
+  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n
+  FROM train a JOIN train b ON a.c = b.c AND a.p != b.p
+  GROUP BY 1, 2),
+nbr AS (
+  SELECT pa, pb, n FROM (
+    SELECT pa, pb, n,
+           ROW_NUMBER() OVER (PARTITION BY pa ORDER BY n DESC, pb) AS rn
+    FROM cooc) t WHERE rn <= {RECSYS_NBR}),
+recs0 AS (
+  SELECT t.c, nbr.pb AS cand, CAST(SUM(nbr.n) AS BIGINT) AS score
+  FROM train t JOIN nbr ON nbr.pa = t.p
+  GROUP BY 1, 2),
+recs AS (
+  SELECT recs0.c, cand, score FROM recs0
+  LEFT JOIN train tx ON tx.c = recs0.c AND tx.p = recs0.cand
+  WHERE tx.p IS NULL),
+top5 AS (
+  SELECT c, cand, rn FROM (
+    SELECT c, cand,
+           ROW_NUMBER() OVER (PARTITION BY c
+             ORDER BY score DESC, cand) AS rn
+    FROM recs) t WHERE rn <= {RECSYS_K}),
+eval_c AS (
+  SELECT hold.c,
+         MAX(CASE WHEN top5.rn = 1 AND top5.cand = hold.hp
+             THEN 1 ELSE 0 END) AS hit1,
+         MAX(CASE WHEN top5.cand = hold.hp THEN 1 ELSE 0 END) AS hit5
+  FROM hold
+  JOIN (SELECT DISTINCT c FROM train) tc ON tc.c = hold.c
+  LEFT JOIN top5 ON top5.c = hold.c
+  GROUP BY hold.c)
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(hit1) AS BIGINT) AS hits_at_1,
+       CAST(SUM(hit5) AS BIGINT) AS hits_at_5
+FROM eval_c JOIN customer ON c_custkey = eval_c.c
+GROUP BY 1
+"""
+
+
+def q_recsys_hitrate(spark, sf_dir):
+    # Spark side: materialize the twice-plus-referenced stages (plain
+    # CTEs re-expand per reference, re-running the lineitem x orders
+    # join ~8x — the strahler/ipf lesson); hold and train are the only
+    # multi-referenced corpus-scale tables
+    for t in ("lineitem", "orders", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    li = spark.sql(
+        "SELECT o_custkey AS c, l_partkey AS p, o_orderdate AS d, "
+        "o_orderkey AS ok, l_linenumber AS ln "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+    li.createOrReplaceTempView("rs_li")
+    hold = spark.sql(
+        "SELECT c, p AS hp FROM ("
+        "  SELECT c, p, ROW_NUMBER() OVER (PARTITION BY c "
+        "    ORDER BY d DESC, ok DESC, ln DESC) AS rn FROM rs_li) t "
+        "WHERE rn = 1").localCheckpoint()
+    hold.createOrReplaceTempView("rs_hold")
+    train = spark.sql(
+        "SELECT DISTINCT rs_li.c, rs_li.p FROM rs_li "
+        "JOIN rs_hold ON rs_li.c = rs_hold.c "
+        "WHERE rs_li.p != rs_hold.hp").localCheckpoint()
+    train.createOrReplaceTempView("rs_train")
+    tail = _RECSYS_SQL.split("cooc AS (")[1]
+    return spark.sql("WITH cooc AS (" + tail
+                     .replace(" train ", " rs_train ")
+                     .replace("FROM hold", "FROM rs_hold")
+                     .replace("hold.", "rs_hold.")
+                     .replace("FROM train)", "FROM rs_train)"))
+
+
+QUERIES.update({
+    "recsys_hitrate": (q_recsys_hitrate,
+                       _RECSYS_SQL.replace(
+                           "WITH li AS (", "WITH li AS MATERIALIZED (")
+                       .replace("hold AS (", "hold AS MATERIALIZED (")
+                       .replace("train AS (", "train AS MATERIALIZED (")
+                       .replace("cooc AS (", "cooc AS MATERIALIZED (")
+                       .replace("nbr AS (", "nbr AS MATERIALIZED (")
+                       .replace("recs0 AS (", "recs0 AS MATERIALIZED (")),
+})

@@ -364,6 +364,7 @@ _TAIL = [
     "crossmodal_recall",  # image<->caption retrieval recall@k (B11/IR)
     "sax_words",          # SAX time-series symbolization (C6/mining)
     "dp_exponential_choice",  # exponential-mechanism DP pick (privacy)
+    "recsys_hitrate",     # leave-last-out recommender hit@k eval (ML)
 ]
 
 _MERGED: dict = {}

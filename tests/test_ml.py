@@ -420,3 +420,60 @@ def test_ransac_matches_numpy_and_recovers_planted_line(spark):
     xf, yf = x.astype(float), y.astype(float)
     ols_icpt = np.polyfit(xf, yf, 1)[1]
     assert ols_icpt > 300.0
+
+
+def test_recsys_hitrate_matches_sequential_recommender(spark):
+    """Dict-based python replay of the whole leave-last-out pipeline
+    (holdout pick, train-only co-occurrence, top-8 neighbor prune,
+    top-5 recommendation, hit accounting), plus structure: some but
+    not all evaluated customers hit, and hit@5 >= hit@1."""
+    from spark_shp.queries_ml import RECSYS_K, RECSYS_NBR, q_recsys_hitrate
+    out = {r["segment"]: r for r in q_recsys_hitrate(spark, SF).collect()}
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    cu = pd.read_parquet(f"{SF}/customer.parquet")
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    hold, train = {}, {}
+    for c, g in m.groupby("o_custkey"):
+        g = g.sort_values(["o_orderdate", "o_orderkey", "l_linenumber"],
+                          ascending=False)
+        hp = int(g.iloc[0]["l_partkey"])
+        hold[c] = hp
+        tr = set(int(p) for p in g["l_partkey"]) - {hp}
+        if tr:
+            train[c] = tr
+    cooc = {}
+    for c, tr in train.items():
+        for a in tr:
+            for b in tr:
+                if a != b:
+                    cooc[(a, b)] = cooc.get((a, b), 0) + 1
+    nbrs = {}
+    for (a, b), n in cooc.items():
+        nbrs.setdefault(a, []).append((-n, b))
+    nbrs = {a: [(b, -mn) for mn, b in sorted(v)[:RECSYS_NBR]]
+            for a, v in nbrs.items()}
+    seg = dict(zip(cu["c_custkey"], cu["c_mktsegment"]))
+    agg = {}
+    for c, tr in train.items():
+        score = {}
+        for pitem in tr:
+            for b, n in nbrs.get(pitem, []):
+                score[b] = score.get(b, 0) + n
+        cands = sorted(((s, cand) for cand, s in score.items()
+                        if cand not in tr),
+                       key=lambda t: (-t[0], t[1]))[:RECSYS_K]
+        ranked = [cand for _, cand in cands]
+        a = agg.setdefault(seg[c], [0, 0, 0])
+        a[0] += 1
+        a[1] += bool(ranked) and ranked[0] == hold[c]
+        a[2] += hold[c] in ranked
+    for sname, (n, h1, h5) in agg.items():
+        r = out[sname]
+        assert (r["n_customers"], r["hits_at_1"], r["hits_at_5"]) \
+            == (n, h1, h5)
+    tot5 = sum(r["hits_at_5"] for r in out.values())
+    totn = sum(r["n_customers"] for r in out.values())
+    tot1 = sum(r["hits_at_1"] for r in out.values())
+    assert 0 < tot5 < totn and tot1 <= tot5
