@@ -1286,7 +1286,11 @@ QUERIES.update({
 # The evaluation loop item_cooccurrence was missing: leave-LAST-item-out
 # hit@1 / hit@5 of an item-item co-occurrence recommender.  Per customer
 # the holdout is the item of their latest lineitem under the
-# (o_orderdate, o_orderkey, l_linenumber) total order; co-occurrence
+# (o_orderdate, o_orderkey, l_linenumber, l_partkey) order — the
+# synthetic lineitem has duplicate (orderkey, linenumber) pairs
+# with different parts (118k at sf0.1), so the partkey tiebreak is
+# what makes the pick total (found as a run-to-run flake in BOTH
+# engines); co-occurrence
 # counts build ONLY from train items (no test leakage — the
 # target_encoding discipline applied to a recommender); neighbor lists
 # prune to top-8 per item and recommendations to top-5 per customer,
@@ -1307,7 +1311,7 @@ WITH li AS (
 hold AS (
   SELECT c, p AS hp FROM (
     SELECT c, p, ROW_NUMBER() OVER (PARTITION BY c
-             ORDER BY d DESC, ok DESC, ln DESC) AS rn
+             ORDER BY d DESC, ok DESC, ln DESC, p DESC) AS rn
     FROM li) t WHERE rn = 1),
 train AS (
   SELECT DISTINCT li.c, li.p
@@ -1368,7 +1372,8 @@ def q_recsys_hitrate(spark, sf_dir):
     hold = spark.sql(
         "SELECT c, p AS hp FROM ("
         "  SELECT c, p, ROW_NUMBER() OVER (PARTITION BY c "
-        "    ORDER BY d DESC, ok DESC, ln DESC) AS rn FROM rs_li) t "
+        "    ORDER BY d DESC, ok DESC, ln DESC, p DESC) AS rn "
+        "  FROM rs_li) t "
         "WHERE rn = 1").localCheckpoint()
     hold.createOrReplaceTempView("rs_hold")
     train = spark.sql(

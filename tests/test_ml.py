@@ -436,8 +436,8 @@ def test_recsys_hitrate_matches_sequential_recommender(spark):
     m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
     hold, train = {}, {}
     for c, g in m.groupby("o_custkey"):
-        g = g.sort_values(["o_orderdate", "o_orderkey", "l_linenumber"],
-                          ascending=False)
+        g = g.sort_values(["o_orderdate", "o_orderkey", "l_linenumber",
+                           "l_partkey"], ascending=False)
         hp = int(g.iloc[0]["l_partkey"])
         hold[c] = hp
         tr = set(int(p) for p in g["l_partkey"]) - {hp}
