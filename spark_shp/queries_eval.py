@@ -3161,3 +3161,99 @@ QUERIES.update({
     "sax_words": (q_sax_words, ORACLE_SAX),
     "dp_exponential_choice": (q_dp_exponential_choice, ORACLE_DPX),
 })
+
+
+# --- audio_agc_gain: peak-normalization gain over real WAV decode -------------
+#
+# The first gated audio TRANSFORM (the analysis family: clipping, ZCR,
+# silence, pitch, spectral peak): automatic gain control computes the
+# per-stream peak from the REAL RIFF/WAV decode, an integer gain
+# gain_q = (TARGET * 1024) DIV peak, and the normalized-sample stats
+# (post-gain peak, |x| mass, position-weighted checksum) — every value
+# exact int64 because the gain stays a DIV-composed integer and the
+# synthesis level multiplier (2 + i % 5) keeps raw samples inside
+# int16, so encode->decode is the identity the oracle replays.
+
+N_AGC_WAV = 48
+AGC_TARGET = 30000
+
+
+def q_audio_agc(spark, sf_dir, n_streams: int = N_AGC_WAV,
+                partitions: int = 4):
+    from . import riff
+
+    schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("gain_q", T.LongType()),
+        T.StructField("peak_norm", T.LongType()),
+        T.StructField("sum_abs_norm", T.LongType()),
+        T.StructField("norm_checksum", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].astype(int):
+                n = 1024 + (i * 256) % 1281
+                k = np.arange(n, dtype=np.int64)
+                u = (i * 48271 + (k // 8) * 16807) % 65536
+                s = (((u % 7000) - 3500) * (2 + i % 5)).astype(np.int16)
+                wav, rate = riff.wav_decode(riff.wav_encode(s, 16000))
+                got = np.round(wav[:, 0].astype(np.float64)
+                               * 32768.0).astype(np.int64)
+                assert rate == 16000 and len(got) == n
+                peak = int(np.abs(got).max())
+                gain_q = (AGC_TARGET * 1024) // peak
+                norm = (got * gain_q) // 1024
+                rows.append((f"wav{i:03d}", n, peak, gain_q,
+                             int(np.abs(norm).max()),
+                             int(np.abs(norm).sum()),
+                             int(((k + 1) * norm).sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (spark.range(0, n_streams, numPartitions=partitions)
+            .mapInPandas(work, schema))
+
+
+def _oracle_agc() -> str:
+    samp = ("((((i * 48271 + (k // 8) * 16807) % 65536) % 7000 - 3500)"
+            " * (2 + i % 5))")
+    return f"""
+WITH ids AS (
+  SELECT i, 1024 + (i * 256) % 1281 AS n
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_AGC_WAV - 1})) AS i) t),
+s AS MATERIALIZED (
+  SELECT i, n, kk.k, {samp} AS v
+  FROM ids,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, n - 1)) AS k) kk),
+pk AS MATERIALIZED (
+  SELECT i, n, CAST(MAX(ABS(v)) AS BIGINT) AS peak FROM s
+  GROUP BY 1, 2),
+g AS (
+  SELECT i, n, peak,
+         ({AGC_TARGET} * 1024) // peak AS gain_q
+  FROM pk),
+nrm AS (
+  SELECT s.i, g.n, g.peak, g.gain_q,
+         CASE WHEN s.v * g.gain_q >= 0
+              THEN (s.v * g.gain_q) // 1024
+              ELSE -((-(s.v * g.gain_q)) // 1024)
+              - CASE WHEN (-(s.v * g.gain_q)) % 1024 > 0
+                     THEN 1 ELSE 0 END
+         END AS nv, s.k
+  FROM s JOIN g ON g.i = s.i)
+SELECT CONCAT('wav', LPAD(CAST(i AS VARCHAR), 3, '0')) AS media_id,
+       CAST(n AS BIGINT) AS n_samples, peak,
+       CAST(gain_q AS BIGINT) AS gain_q,
+       CAST(MAX(ABS(nv)) AS BIGINT) AS peak_norm,
+       CAST(SUM(ABS(nv)) AS BIGINT) AS sum_abs_norm,
+       CAST(SUM((k + 1) * nv) AS BIGINT) AS norm_checksum
+FROM nrm GROUP BY 1, 2, 3, 4
+"""
+
+
+QUERIES.update({
+    "audio_agc_gain": (q_audio_agc, _oracle_agc()),
+})

@@ -365,6 +365,7 @@ _TAIL = [
     "sax_words",          # SAX time-series symbolization (C6/mining)
     "dp_exponential_choice",  # exponential-mechanism DP pick (privacy)
     "recsys_hitrate",     # leave-last-out recommender hit@k eval (ML)
+    "audio_agc_gain",     # AGC peak-normalization transform (AV)
 ]
 
 _MERGED: dict = {}

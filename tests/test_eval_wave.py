@@ -1309,3 +1309,38 @@ def test_dp_exponential_choice_matches_python(spark):
     shifts = [abs(sq / DPX_Q - DPX_EPS * u / 2.0)
               for _, (_, _, u, sq) in expect.items()]
     assert max(shifts) > 0.05
+
+
+def test_audio_agc_matches_python_and_normalizes(spark):
+    """Pure-python sample replay through an independent gain loop, plus
+    the AGC contract: post-gain peak lands in (TARGET - gain granularity,
+    TARGET] and never exceeds TARGET; streams have genuinely different
+    input peaks (the level multiplier) but near-equal output peaks."""
+    from spark_shp.queries_eval import AGC_TARGET, N_AGC_WAV, q_audio_agc
+    out = {r["media_id"]: r for r in q_audio_agc(spark, SF).collect()}
+    assert len(out) == N_AGC_WAV
+
+    peaks_in, peaks_out = [], []
+    for i in range(N_AGC_WAV):
+        n = 1024 + (i * 256) % 1281
+        vals = []
+        for k in range(n):
+            u = (i * 48271 + (k // 8) * 16807) % 65536
+            vals.append((u % 7000 - 3500) * (2 + i % 5))
+        peak = max(abs(v) for v in vals)
+        gain_q = (AGC_TARGET * 1024) // peak
+        norm = [(v * gain_q) // 1024 for v in vals]   # python floor div
+        row = out[f"wav{i:03d}"]
+        assert (row["n_samples"], row["peak"], row["gain_q"]) \
+            == (n, peak, gain_q)
+        assert row["peak_norm"] == max(abs(v) for v in norm)
+        assert row["sum_abs_norm"] == sum(abs(v) for v in norm)
+        assert row["norm_checksum"] == sum((k + 1) * v
+                                           for k, v in enumerate(norm, 0))
+        # AGC law: normalized peak close under TARGET
+        assert row["peak_norm"] <= AGC_TARGET
+        assert row["peak_norm"] > AGC_TARGET - 1024
+        peaks_in.append(peak)
+        peaks_out.append(row["peak_norm"])
+    assert max(peaks_in) > 2.5 * min(peaks_in)       # inputs vary
+    assert max(peaks_out) < 1.05 * min(peaks_out)    # outputs leveled
