@@ -5611,3 +5611,92 @@ ORACLE_AREAL = _areal_sql("//")
 QUERIES.update({
     "areal_interpolation": (q_areal_interpolation, ORACLE_AREAL),
 })
+
+
+# --- video_keyframe_select: per-chunk keyframe extraction ---------------------
+#
+# The video-summarization / thumbnail primitive downstream of
+# video_scene_cuts (same planted-scene AVI fixture, REAL RIFF decode):
+# frames group into fixed 3-frame chunks and each chunk's KEYFRAME is
+# the one with the maximum frame-to-frame SAD (the most content-bearing
+# frame — scene-boundary frames win their chunks by construction),
+# picked by an injective packed argmax (sad * 16 + (15 - f), nf <= 8
+# and sad <= npx*255 < 2^22, so the pack never collides and ties break
+# to the EARLIEST frame).  All-integer outputs.
+
+KEYF_CHUNK = 3
+
+
+def q_video_keyframes(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import types as T
+    from . import riff
+
+    schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("chunk", T.LongType()),
+        T.StructField("n_in_chunk", T.LongType()),
+        T.StructField("key_frame", T.LongType()),
+        T.StructField("key_sad", T.LongType()),
+        T.StructField("chunk_sad", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].astype(int):
+                nf, w, h, seg = _scene_params(i)
+                f, y, x, c = np.ogrid[0:nf, 0:h, 0:w, 0:3]
+                px = ((i * 7 + (f // seg) * 997 + f * 3 + y * 17
+                       + x * 29 + c * 13) % 256).astype(np.uint8)
+                dec, _ = riff.avi_decode(riff.avi_encode(px, fps=10))
+                d = dec.astype(np.int64)
+                sad = np.abs(d[1:] - d[:-1]).sum(axis=(1, 2, 3))
+                fidx = np.arange(1, nf, dtype=np.int64)
+                for ch in range(int((nf - 1 + KEYF_CHUNK - 1)
+                                    // KEYF_CHUNK)):
+                    m = (fidx - 1) // KEYF_CHUNK == ch
+                    packed = (sad[m] * 16 + (15 - fidx[m])).max()
+                    rows.append((f"avi{i:03d}", ch, int(m.sum()),
+                                 int(15 - packed % 16),
+                                 int(packed // 16),
+                                 int(sad[m].sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (spark.range(0, N_SCENE_AVI, numPartitions=4)
+            .mapInPandas(work, schema))
+
+
+def _oracle_keyframes() -> str:
+    px = ("((i * 7 + CAST(FLOOR(f / CAST(seg AS DOUBLE)) AS BIGINT) * 997 "
+          "+ f * 3 + y * 17 + x * 29 + c * 13) % 256)")
+    px_prev = ("((i * 7 + CAST(FLOOR((f - 1) / CAST(seg AS DOUBLE)) "
+               "AS BIGINT) * 997 + (f - 1) * 3 + y * 17 + x * 29 "
+               "+ c * 13) % 256)")
+    return f"""
+WITH ids AS (
+  SELECT i, 6 + i % 3 AS nf, 7 + (i % 4) * 3 AS w, 6 + (i % 2) * 5 AS h,
+         2 + i % 2 AS seg
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_SCENE_AVI - 1})) AS i) t),
+diffs AS MATERIALIZED (
+  SELECT i, f, (f - 1) // {KEYF_CHUNK} AS chunk,
+         SUM(ABS({px} - {px_prev})) AS sad
+  FROM ids,
+       GENERATE_SERIES(1, 7) gf(f),
+       GENERATE_SERIES(0, 11) gy(y),
+       GENERATE_SERIES(0, 16) gx(x),
+       GENERATE_SERIES(0, 2) gc(c)
+  WHERE f < nf AND y < h AND x < w
+  GROUP BY 1, 2, 3)
+SELECT printf('avi%03d', i) AS media_id, CAST(chunk AS BIGINT) AS chunk,
+       CAST(COUNT(*) AS BIGINT) AS n_in_chunk,
+       CAST(15 - MAX(sad * 16 + (15 - f)) % 16 AS BIGINT) AS key_frame,
+       CAST(MAX(sad * 16 + (15 - f)) // 16 AS BIGINT) AS key_sad,
+       CAST(SUM(sad) AS BIGINT) AS chunk_sad
+FROM diffs GROUP BY 1, 2
+"""
+
+
+QUERIES.update({
+    "video_keyframes": (q_video_keyframes, _oracle_keyframes()),
+})

@@ -366,6 +366,7 @@ _TAIL = [
     "dp_exponential_choice",  # exponential-mechanism DP pick (privacy)
     "recsys_hitrate",     # leave-last-out recommender hit@k eval (ML)
     "audio_agc_gain",     # AGC peak-normalization transform (AV)
+    "video_keyframes",    # per-chunk keyframe extraction, real AVI (AV)
 ]
 
 _MERGED: dict = {}

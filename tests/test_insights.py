@@ -1990,3 +1990,45 @@ def test_areal_interpolation_matches_numpy_and_conserves(spark):
     # one-cell no-op)
     assert any(len([1 for key in expect if key[0] == k]) > 1
                for k in fences)
+
+
+def test_video_keyframes_matches_python_and_prefers_cuts(spark):
+    """Frame-by-frame python replay through the real codec, plus the
+    design law: whenever a chunk contains a scene boundary, the
+    boundary frame (SAD spike) IS the chunk's keyframe."""
+    from spark_shp import riff
+    from spark_shp.queries_insights import (KEYF_CHUNK, N_SCENE_AVI,
+                                            _scene_params,
+                                            q_video_keyframes)
+    out = {(r["media_id"], r["chunk"]): r
+           for r in q_video_keyframes(spark, SF).collect()}
+
+    n_boundary_chunks = 0
+    for i in range(N_SCENE_AVI):
+        nf, w, h, seg = _scene_params(i)
+        frames = np.zeros((nf, h, w, 3), dtype=np.uint8)
+        for f in range(nf):
+            for y in range(h):
+                for x in range(w):
+                    for c in range(3):
+                        frames[f, y, x, c] = (i * 7 + (f // seg) * 997
+                                              + f * 3 + y * 17 + x * 29
+                                              + c * 13) % 256
+        dec, _ = riff.avi_decode(riff.avi_encode(frames, fps=10))
+        d = dec.astype(np.int64)
+        sads = {f: int(np.abs(d[f] - d[f - 1]).sum())
+                for f in range(1, nf)}
+        chunks = {}
+        for f, s in sads.items():
+            chunks.setdefault((f - 1) // KEYF_CHUNK, []).append((f, s))
+        for ch, fs in chunks.items():
+            best = max(fs, key=lambda t: (t[1], -t[0]))
+            row = out[(f"avi{i:03d}", ch)]
+            assert (row["n_in_chunk"], row["key_frame"], row["key_sad"],
+                    row["chunk_sad"]) == (len(fs), best[0], best[1],
+                                          sum(s for _, s in fs))
+            bounds = [f for f, _ in fs if f % seg == 0]
+            if bounds:
+                assert row["key_frame"] in bounds
+                n_boundary_chunks += 1
+    assert n_boundary_chunks > 5
