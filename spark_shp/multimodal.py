@@ -1816,3 +1816,62 @@ def dhash_codes(images: DataFrame) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+MEDCUT_ROUNDS = 3
+
+
+def median_cut_boxes(images: DataFrame) -> DataFrame:
+    """Median-cut palette quantization (Heckbert) over the REAL decode:
+    3 split rounds — each round every box splits on its WIDEST channel
+    (max range, lowest-channel tiebreak via packed argmax) at the exact
+    integer median (the ((n+1)//2)-th smallest VALUE), pixels with
+    v < median go to child 2*box, the rest to 2*box+1.  Emits one row
+    per (image, final box): pixel count + exact per-channel sums — the
+    palette entry is sum DIV n, but gating the raw sums pins more.
+    Box ids are sparse when a split lands on the minimum (empty left
+    child) — the oracle reproduces exactly that sparsity."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("box", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("s0", T.LongType()),
+        T.StructField("s1", T.LongType()),
+        T.StructField("s2", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            out = []
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                px = _decode_stack(pdf, idx, w, h, fmt) \
+                    .astype(np.int64).reshape(len(idx), -1, 3)
+                for t, i in enumerate(idx):
+                    v = px[t]                       # (npx, 3)
+                    box = np.zeros(len(v), dtype=np.int64)
+                    for _ in range(MEDCUT_ROUNDS):
+                        nxt = box * 2
+                        for b in np.unique(box):
+                            m = box == b
+                            sub = v[m]
+                            rng = sub.max(axis=0) - sub.min(axis=0)
+                            wc = int((rng * 4 + (3 - np.arange(3)))
+                                     .argmax())
+                            vals = np.sort(sub[:, wc])
+                            med = int(vals[(len(vals) + 1) // 2 - 1])
+                            nxt[m] += (sub[:, wc] >= med).astype(np.int64)
+                        box = nxt
+                    for b in np.unique(box):
+                        m = box == b
+                        s = v[m].sum(axis=0)
+                        out.append((ids[i], int(b), int(m.sum()),
+                                    int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

@@ -1949,3 +1949,76 @@ ranked AS (
 QUERIES.update({
     "crossmodal_recall": (q_crossmodal_recall, _oracle_crossmodal()),
 })
+
+
+# --- image_median_cut: Heckbert palette quantization --------------------------
+#
+# The classic color-quantization pass (GIF/PNG8 palette builders):
+# 3 median-cut rounds over the real decode — each box splits on its
+# widest channel (packed argmax, lowest-channel tiebreak) at the exact
+# integer median value; v >= median goes right.  The median is the
+# ((n+1)//2)-th smallest VALUE, picked relationally at ROW_NUMBER
+# (ORDER BY value, pixel) = (n+1)//2 — well-defined under ties because
+# the value at a rank is rank-determined.  Empty left children (median
+# = min) make box ids sparse, and the oracle reproduces exactly that.
+# Gated per (image, final box): pixel count + exact channel sums.
+
+
+def q_image_median_cut(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, VISION_N, partitions=4)
+    d = _with_i(multimodal.median_cut_boxes(img))
+    return d.selectExpr(
+        "i", "fmt2 AS fmt", "CAST(box AS BIGINT) AS box",
+        "CAST(n_px AS BIGINT) AS n_px", "CAST(s0 AS BIGINT) AS s0",
+        "CAST(s1 AS BIGINT) AS s1", "CAST(s2 AS BIGINT) AS s2")
+
+
+def _oracle_median_cut() -> str:
+    from .multimodal import MEDCUT_ROUNDS
+
+    def pix(c: int) -> str:
+        return _pix_sql(f"i * 1000003 + (p // w) * 4096 "
+                        f"+ (p % w) * 4 + {c}")
+
+    parts = [f"""
+b0 AS MATERIALIZED (
+  SELECT i, fmt, pp.p AS k, {pix(0)} AS v0, {pix(1)} AS v1,
+         {pix(2)} AS v2, CAST(0 AS BIGINT) AS box
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w * h - 1)) AS p) pp)"""]
+    for r in range(MEDCUT_ROUNDS):
+        parts.append(f"""
+st{r} AS MATERIALIZED (
+  SELECT i, box,
+         3 - GREATEST((MAX(v0) - MIN(v0)) * 4 + 3,
+                      (MAX(v1) - MIN(v1)) * 4 + 2,
+                      (MAX(v2) - MIN(v2)) * 4 + 1) % 4 AS wc,
+         COUNT(*) AS n
+  FROM b{r} GROUP BY 1, 2),
+rk{r} AS MATERIALIZED (
+  SELECT b.i, b.fmt, b.box, b.k, b.v0, b.v1, b.v2, st.n,
+         CASE st.wc WHEN 0 THEN b.v0 WHEN 1 THEN b.v1 ELSE b.v2 END
+           AS vw
+  FROM b{r} b JOIN st{r} st ON st.i = b.i AND st.box = b.box),
+md{r} AS MATERIALIZED (
+  SELECT i, box, vw AS med FROM (
+    SELECT i, box, vw, n,
+           ROW_NUMBER() OVER (PARTITION BY i, box ORDER BY vw, k) AS rn
+    FROM rk{r}) t WHERE rn = (n + 1) // 2),
+b{r + 1} AS MATERIALIZED (
+  SELECT rk.i, rk.fmt, rk.k, rk.v0, rk.v1, rk.v2,
+         rk.box * 2 + CASE WHEN rk.vw >= md.med THEN 1 ELSE 0 END AS box
+  FROM rk{r} rk JOIN md{r} md ON md.i = rk.i AND md.box = rk.box)""")
+    return f"""
+WITH imgs AS MATERIALIZED ({_imgs_cte(VISION_N)}),{','.join(parts)}
+SELECT i, fmt, CAST(box AS BIGINT) AS box,
+       CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(v0) AS BIGINT) AS s0,
+       CAST(SUM(v1) AS BIGINT) AS s1, CAST(SUM(v2) AS BIGINT) AS s2
+FROM b{MEDCUT_ROUNDS} GROUP BY 1, 2, 3
+"""
+
+
+QUERIES.update({
+    "image_median_cut": (q_image_median_cut, _oracle_median_cut()),
+})

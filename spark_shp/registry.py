@@ -367,6 +367,7 @@ _TAIL = [
     "recsys_hitrate",     # leave-last-out recommender hit@k eval (ML)
     "audio_agc_gain",     # AGC peak-normalization transform (AV)
     "video_keyframes",    # per-chunk keyframe extraction, real AVI (AV)
+    "image_median_cut",   # Heckbert palette quantization (B11/CV)
 ]
 
 _MERGED: dict = {}

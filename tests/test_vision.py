@@ -941,3 +941,47 @@ def test_crossmodal_recall_matches_python(spark):
                 row["sum_min_hamming"]) == (n, r1, r5, sh)
         assert 0 < row["recall1"] < row["n_images"]
         assert row["recall1"] <= row["recall5"]
+
+
+def test_median_cut_matches_sequential_and_partitions(spark):
+    """Sequential python median-cut (explicit per-box loops over the
+    encode->decode ground truth), plus the quantization laws: boxes
+    partition the pixels exactly (counts sum to w*h, channel sums to
+    the image totals) and multiple palette entries emerge."""
+    from spark_shp.multimodal import MEDCUT_ROUNDS
+    from spark_shp.queries_vision import VISION_N, q_image_median_cut
+    out = {}
+    for r in q_image_median_cut(spark, SF).collect():
+        out[(r["i"], r["box"])] = (r["n_px"], r["s0"], r["s1"], r["s2"])
+
+    for i in range(VISION_N):
+        dec, w, h, fmt = _decoded(i)
+        v = dec.reshape(-1, 3)
+        boxes = {0: list(range(len(v)))}
+        for _ in range(MEDCUT_ROUNDS):
+            nxt = {}
+            for b, members in boxes.items():
+                sub = v[members]
+                rng = [int(sub[:, c].max() - sub[:, c].min())
+                       for c in range(3)]
+                wc = max(range(3), key=lambda c: rng[c] * 4 + (3 - c))
+                vals = sorted(int(x) for x in sub[:, wc])
+                med = vals[(len(vals) + 1) // 2 - 1]
+                for k in members:
+                    child = b * 2 + (1 if int(v[k, wc]) >= med else 0)
+                    nxt.setdefault(child, []).append(k)
+            boxes = nxt
+        keys_i = {key for key in out if key[0] == i}
+        assert keys_i == {(i, b) for b in boxes}
+        tot_n = 0
+        tots = np.zeros(3, dtype=np.int64)
+        for b, members in boxes.items():
+            sub = v[members]
+            got = out[(i, b)]
+            assert got == (len(members), int(sub[:, 0].sum()),
+                           int(sub[:, 1].sum()), int(sub[:, 2].sum()))
+            tot_n += len(members)
+            tots += sub.sum(axis=0)
+        assert tot_n == w * h
+        assert (tots == v.sum(axis=0)).all()
+        assert len(boxes) >= 4     # the palette genuinely splits
