@@ -5700,3 +5700,104 @@ FROM diffs GROUP BY 1, 2
 QUERIES.update({
     "video_keyframes": (q_video_keyframes, _oracle_keyframes()),
 })
+
+
+# --- group_sequential_test: O'Brien-Fleming interim monitoring ----------------
+#
+# The sequential-experimentation primitive next to the fixed-horizon
+# ab_test_ztest: five interim looks at 20%..100% of the experiment's
+# time span, each look re-computing the two-proportion z over the users
+# ACTIVE by that look, compared to the O'Brien-Fleming spending
+# boundary c*sqrt(K/k) (python-folded literals) — the design that lets
+# experimenters peek early without inflating alpha.  Per-user look
+# state is a 10-slot pivot (np/nt per time bucket, one map-side
+# combinable pass); every look's z composes exact integer sums in one
+# literal (the ab_test discipline, NULL on degenerate pools); look
+# boundaries are integer-microsecond arithmetic on the span.
+
+GST_K = 5
+GST_C = 2.0401   # two-sided alpha=0.05, K=5 O'Brien-Fleming constant
+GST_BOUNDS = [round(GST_C * (GST_K / k) ** 0.5, 6)
+              for k in range(1, GST_K + 1)]
+
+
+def _gst_sql(epoch_us: str, div: str) -> str:
+    from .hashing import mix_sql
+    v = f"({mix_sql('user_id * 7 + 5')}) % 2"
+    slots = []
+    for b in range(GST_K):
+        slots += [
+            f"SUM(CASE WHEN b = {b} THEN p ELSE 0 END) AS np{b}",
+            f"SUM(CASE WHEN b = {b} THEN 1 ELSE 0 END) AS nt{b}",
+        ]
+    gcols = []
+    for k in range(1, GST_K + 1):
+        npk = " + ".join(f"np{b}" for b in range(k))
+        ntk = " + ".join(f"nt{b}" for b in range(k))
+        act = f"({ntk}) > 0"
+        cnv = f"({npk}) * 5 > ({ntk})"
+        for vv, tag in ((0, "a"), (1, "b")):
+            gcols += [
+                f"SUM(CASE WHEN {act} AND v = {vv} THEN 1 ELSE 0 END)"
+                f" AS n{tag}{k}",
+                f"SUM(CASE WHEN {act} AND v = {vv} AND {cnv} "
+                f"THEN 1 ELSE 0 END) AS c{tag}{k}",
+            ]
+    pick = {c: "CASE k " + " ".join(
+        f"WHEN {k} THEN {c}{k}" for k in range(1, GST_K + 1)) + " END"
+        for c in ("na", "nb", "ca", "cb")}
+    bnd = ("CASE k " + " ".join(
+        f"WHEN {i + 1} THEN CAST({b!r} AS DOUBLE)"
+        for i, b in enumerate(GST_BOUNDS)) + " END")
+    z = ("(CASE WHEN ca + cb = 0 OR ca + cb = na + nb "
+         "THEN CAST(NULL AS DOUBLE) ELSE "
+         "ROUND((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) / "
+         "SQRT((CAST(ca + cb AS DOUBLE) / (na + nb)) * "
+         "(CAST(1 AS DOUBLE) - CAST(ca + cb AS DOUBLE) / (na + nb)) * "
+         "(CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)), 6) + 0.0 "
+         "END)")
+    looks = ", ".join(f"({k})" for k in range(1, GST_K + 1))
+    return f"""
+WITH ev AS (
+  SELECT user_id, {epoch_us} AS us,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+  FROM events),
+span AS (SELECT MIN(us) AS tmin, MAX(us) AS tmax FROM ev),
+bkt AS (
+  SELECT user_id, p,
+         LEAST({GST_K - 1},
+               ((us - tmin) * {GST_K}) {div} (tmax - tmin + 1)) AS b
+  FROM ev, span),
+pu AS (
+  SELECT user_id, {', '.join(slots)}
+  FROM bkt GROUP BY user_id),
+pv AS (
+  SELECT pu.*, {v} AS v FROM pu),
+g AS (SELECT {', '.join(gcols)} FROM pv),
+looks AS (SELECT * FROM (VALUES {looks}) lk(k)),
+picked AS (
+  SELECT k, {pick['na']} AS na, {pick['nb']} AS nb,
+         {pick['ca']} AS ca, {pick['cb']} AS cb
+  FROM g, looks)
+SELECT CAST(k AS INT) AS look,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(ca AS BIGINT) AS conv_a, CAST(cb AS BIGINT) AS conv_b,
+       {z} AS z_score, {bnd} AS obf_bound,
+       CAST(CASE WHEN {z} IS NOT NULL AND ABS({z}) > {bnd}
+            THEN 1 ELSE 0 END AS INT) AS crossed
+FROM picked
+"""
+
+
+def q_group_sequential(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_gst_sql(
+        "unix_micros(CAST(ts AS TIMESTAMP_LTZ))", "DIV"))
+
+
+ORACLE_GST = _gst_sql("epoch_us(ts)", "//")
+
+
+QUERIES.update({
+    "group_sequential_test": (q_group_sequential, ORACLE_GST),
+})

@@ -368,6 +368,7 @@ _TAIL = [
     "audio_agc_gain",     # AGC peak-normalization transform (AV)
     "video_keyframes",    # per-chunk keyframe extraction, real AVI (AV)
     "image_median_cut",   # Heckbert palette quantization (B11/CV)
+    "group_sequential_test",  # O'Brien-Fleming interim looks (experiment)
 ]
 
 _MERGED: dict = {}

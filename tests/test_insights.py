@@ -2032,3 +2032,50 @@ def test_video_keyframes_matches_python_and_prefers_cuts(spark):
                 assert row["key_frame"] in bounds
                 n_boundary_chunks += 1
     assert n_boundary_chunks > 5
+
+
+def test_group_sequential_matches_python_and_monitoring_laws(spark):
+    """Python replay of the five interim looks, plus the group-
+    sequential design laws: active-user counts are nondecreasing in the
+    look index, the OBF boundary is strictly decreasing, and the final
+    look's numbers equal the fixed-horizon ab_test_ztest readout."""
+    from spark_shp.hashing import mix
+    from spark_shp.queries_insights import (GST_BOUNDS, GST_K,
+                                            q_ab_test_ztest,
+                                            q_group_sequential)
+    rows = {r["look"]: r for r in q_group_sequential(spark, SF).collect()}
+    assert len(rows) == GST_K
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    us = e["ts"].astype("int64").to_numpy()
+    tmin, tmax = int(us.min()), int(us.max())
+    b = np.minimum(GST_K - 1, ((us - tmin) * GST_K) // (tmax - tmin + 1))
+    p = (e["event_type"] == "purchase").astype(int).to_numpy()
+    uid = e["user_id"].to_numpy(dtype=np.int64)
+    for k in range(1, GST_K + 1):
+        m = b < k
+        df = pd.DataFrame({"u": uid[m], "p": p[m]})
+        g = df.groupby("u")["p"].agg(["sum", "count"])
+        conv = (g["sum"] * 5 > g["count"]).astype(int)
+        v = mix(g.index.to_numpy() * 7 + 5).astype(np.int64) % 2
+        na, nb = int((v == 0).sum()), int((v == 1).sum())
+        ca = int(conv[v == 0].sum())
+        cb = int(conv[v == 1].sum())
+        r = rows[k]
+        assert (r["n_a"], r["n_b"], r["conv_a"], r["conv_b"]) \
+            == (na, nb, ca, cb)
+        pool = (ca + cb) / (na + nb)
+        z = ((ca / na - cb / nb)
+             / np.sqrt(pool * (1 - pool) * (1 / na + 1 / nb)))
+        assert abs(r["z_score"] - z) < 1e-5
+        assert abs(r["obf_bound"] - GST_BOUNDS[k - 1]) < 1e-9
+        assert r["crossed"] == int(abs(r["z_score"]) > r["obf_bound"])
+    # monotone enrollment + decreasing boundary
+    ns = [rows[k]["n_a"] + rows[k]["n_b"] for k in range(1, GST_K + 1)]
+    assert all(a <= c for a, c in zip(ns, ns[1:]))
+    assert all(x > y for x, y in zip(GST_BOUNDS, GST_BOUNDS[1:]))
+    # final look == fixed-horizon test
+    ab = q_ab_test_ztest(spark, SF).collect()[0]
+    last = rows[GST_K]
+    assert (last["n_a"], last["n_b"], last["conv_a"], last["conv_b"]) \
+        == (ab["n_a"], ab["n_b"], ab["conv_a"], ab["conv_b"])
