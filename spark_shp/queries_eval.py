@@ -3257,3 +3257,73 @@ FROM nrm GROUP BY 1, 2, 3, 4
 QUERIES.update({
     "audio_agc_gain": (q_audio_agc, _oracle_agc()),
 })
+
+
+# --- chaikin_smooth: corner-cutting path smoothing ----------------------------
+#
+# Chaikin's algorithm (the cartographic / graphics line smoother, the
+# subdivision-curve ancestor): each round replaces every segment
+# (P, N) with the quarter points Q = (3P+N)/4 and R = (P+3N)/4.  Two
+# rounds unrolled EXACTLY in integers: coordinates scale x4 per round
+# (microdegrees x16 after two rounds), so Q and R are pure int64 sums
+# — no division ever happens and the gate is bit-exact.  Paths are the
+# first 5 fixes of sampled users; each round is ONE lead window + a
+# 2-way ordered explode (posexplode keeps the point order integer).
+
+CHAIKIN_PTS = 5
+CHAIKIN_ROUNDS = 2
+
+_CHAIKIN_SQL = """
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(({lon}) * 1000000.0) AS BIGINT) AS x,
+         CAST(FLOOR(({lat}) * 1000000.0) AS BIGINT) AS y
+  FROM events WHERE user_id % {mod} = 1),
+path0 AS (
+  SELECT user_id, rn - 1 AS idx, x * 1 AS px, y * 1 AS py FROM (
+    SELECT user_id, x, y,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS rn
+    FROM pts) t WHERE rn <= {pts}),
+{rounds}
+SELECT user_id, CAST(idx AS BIGINT) AS idx,
+       CAST(px AS BIGINT) AS x16, CAST(py AS BIGINT) AS y16
+FROM path{nr}
+"""
+
+_CHAIKIN_ROUND = """
+seg{r} AS (
+  SELECT user_id, idx, px, py,
+         LEAD(px) OVER w AS nx, LEAD(py) OVER w AS ny,
+         ROW_NUMBER() OVER w - 1 AS sidx
+  FROM path{p}
+  WINDOW w AS (PARTITION BY user_id ORDER BY idx)),
+path{r} AS (
+  SELECT user_id, sidx * 2 AS idx,
+         3 * px + nx AS px, 3 * py + ny AS py
+  FROM seg{r} WHERE nx IS NOT NULL
+  UNION ALL
+  SELECT user_id, sidx * 2 + 1 AS idx,
+         px + 3 * nx AS px, py + 3 * ny AS py
+  FROM seg{r} WHERE nx IS NOT NULL)"""
+
+
+def _chaikin_sql() -> str:
+    from . import fixtures
+    rounds = ",".join(
+        _CHAIKIN_ROUND.format(r=r, p=r - 1)
+        for r in range(1, CHAIKIN_ROUNDS + 1))
+    return _CHAIKIN_SQL.format(
+        lon=fixtures.EVENT_LON_SQL, lat=fixtures.EVENT_LAT_SQL,
+        mod=WAYPOINT_MOD, pts=CHAIKIN_PTS, rounds=rounds,
+        nr=CHAIKIN_ROUNDS)
+
+
+def q_chaikin_smooth(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_chaikin_sql())
+
+
+QUERIES.update({
+    "chaikin_smooth": (q_chaikin_smooth, _chaikin_sql()),
+})

@@ -369,6 +369,7 @@ _TAIL = [
     "video_keyframes",    # per-chunk keyframe extraction, real AVI (AV)
     "image_median_cut",   # Heckbert palette quantization (B11/CV)
     "group_sequential_test",  # O'Brien-Fleming interim looks (experiment)
+    "chaikin_smooth",     # corner-cutting path smoothing (B5/geometry)
 ]
 
 _MERGED: dict = {}
