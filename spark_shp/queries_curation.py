@@ -1134,3 +1134,73 @@ QUERIES: dict = {
     "spatial_autocorr": (q_spatial_autocorr, _oracle_spatial_autocorr()),
     "array_functions_suite": (q_array_functions_suite, ORACLE_ARRAY_SUITE),
 }
+
+
+# --- split_leakage_audit: near-dup pairs straddling the ML split --------------
+#
+# The data-leakage check every train/eval pipeline needs between
+# contamination_check (benchmark overlap) and dedup (intra-corpus):
+# LSH near-dup pairs (minhash_lsh_pairs' exact machinery) classified by
+# the train/val/test assignment of BOTH endpoints (corpus_split's hash
+# split) — a pair that straddles the split leaks eval signal into
+# training.  Output per (split_a, split_b) class: pair count, total
+# matching bands, and the leak flag; plus exact integer counts that
+# make leak_fraction one quantized division downstream.  Composes two
+# gated operators under ONE oracle — the gate proves the composition,
+# not just the parts.
+
+# The audit's split key re-mixes the id (mix(997*id + 13) % 100): the
+# corpus-split hash itself lands on a COARSE LATTICE for small-key
+# arithmetic progressions — mix(doc_id) % 100 of every multiple of 10
+# below 5000 sits in [25, 77], i.e. 100% 'train' on the whole LSH
+# subset at gate SFs — a real low-entropy-small-key property of the
+# two-round LCG, recorded here so nobody assumes the split is
+# independent of id-residue features at small scale.
+AUDIT_SPLIT_SQL = (
+    f"CASE WHEN {mix_sql('997 * doc_id + 13')} % 100 < 80 THEN 'train' "
+    f"WHEN {mix_sql('997 * doc_id + 13')} % 100 < 90 THEN 'val' "
+    "ELSE 'test' END")
+
+
+def q_split_leakage_audit(spark, sf_dir):
+    from .queries_text import q_minhash_lsh_pairs
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    sa = AUDIT_SPLIT_SQL.replace("doc_id", "doc_a")
+    sb = AUDIT_SPLIT_SQL.replace("doc_id", "doc_b")
+    return (pairs.selectExpr(
+        "n_bands",
+        f"LEAST({sa}, {sb}) AS split_lo",
+        f"GREATEST({sa}, {sb}) AS split_hi")
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum("n_bands").alias("sum_bands"))
+        .selectExpr(
+            "split_lo", "split_hi",
+            "CAST(n_pairs AS BIGINT) AS n_pairs",
+            "CAST(sum_bands AS BIGINT) AS sum_bands",
+            "CAST(CASE WHEN split_lo != split_hi THEN 1 ELSE 0 END "
+            "AS INT) AS is_leak"))
+
+
+def _oracle_split_leakage() -> str:
+    from .queries_text import ORACLE_LSH_PAIRS
+    sa = AUDIT_SPLIT_SQL.replace("doc_id", "doc_a")
+    sb = AUDIT_SPLIT_SQL.replace("doc_id", "doc_b")
+    return f"""
+WITH pairs AS MATERIALIZED ({ORACLE_LSH_PAIRS}),
+tagged AS (
+  SELECT n_bands, LEAST({sa}, {sb}) AS split_lo,
+         GREATEST({sa}, {sb}) AS split_hi
+  FROM pairs)
+SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(n_bands) AS BIGINT) AS sum_bands,
+       CAST(CASE WHEN split_lo != split_hi THEN 1 ELSE 0 END AS INT)
+         AS is_leak
+FROM tagged GROUP BY 1, 2
+"""
+
+
+QUERIES.update({
+    "split_leakage_audit": (q_split_leakage_audit,
+                            _oracle_split_leakage()),
+})

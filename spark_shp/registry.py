@@ -370,6 +370,7 @@ _TAIL = [
     "image_median_cut",   # Heckbert palette quantization (B11/CV)
     "group_sequential_test",  # O'Brien-Fleming interim looks (experiment)
     "chaikin_smooth",     # corner-cutting path smoothing (B5/geometry)
+    "split_leakage_audit",  # near-dup pairs straddling the split (ML)
 ]
 
 _MERGED: dict = {}

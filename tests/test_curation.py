@@ -452,3 +452,38 @@ def test_text_encoding_audit_recovers_injected_classes(spark):
             assert got[c] == row[c], (lang, c)
         # each corrupted doc loses >= 1 byte under the scrub
         assert got["reclaim_bytes"] >= row.sum()
+
+
+def test_split_leakage_matches_python_and_finds_leaks(spark):
+    """Python replication over the Spark-produced LSH pairs (the pair
+    machinery itself is gate-verified; this pins the split tagging and
+    class accounting), plus structure: leak classes exist, counts
+    conserve, and same-split classes are flagged clean."""
+    from spark_shp.hashing import mix
+    from spark_shp.queries_curation import q_split_leakage_audit
+    from spark_shp.queries_text import q_minhash_lsh_pairs
+    sf = "/root/testdata/sf0.001"
+    out = {(r["split_lo"], r["split_hi"]): r
+           for r in q_split_leakage_audit(spark, sf).collect()}
+    pairs = [(r["doc_a"], r["doc_b"], r["n_bands"])
+             for r in q_minhash_lsh_pairs(spark, sf).collect()]
+    assert pairs
+
+    def split(d):
+        v = int(mix(997 * d + 13)) % 100
+        return "train" if v < 80 else ("val" if v < 90 else "test")
+
+    expect = {}
+    for a, b, nb in pairs:
+        key = tuple(sorted((split(a), split(b))))
+        e = expect.setdefault(key, [0, 0])
+        e[0] += 1
+        e[1] += nb
+    assert set(out) == set(expect)
+    for key, (n, sb) in expect.items():
+        r = out[key]
+        assert (r["n_pairs"], r["sum_bands"]) == (n, sb)
+        assert r["is_leak"] == int(key[0] != key[1])
+    assert sum(v[0] for v in expect.values()) == len(pairs)
+    assert any(k[0] != k[1] for k in expect)      # leaks exist
+    assert any(k[0] == k[1] for k in expect)      # clean classes exist
