@@ -1875,3 +1875,40 @@ def median_cut_boxes(images: DataFrame) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+def channel_moments(images: DataFrame) -> DataFrame:
+    """Exact integer channel moments per image over the REAL decode —
+    the inputs to color-PCA: pixel count, per-channel sums, and the six
+    upper-triangle cross-product sums (all int64: v*v' <= 65025 per
+    pixel, x6400 px)."""
+    schema = T.StructType(
+        [T.StructField("image_id", T.StringType()),
+         T.StructField("n", T.LongType())]
+        + [T.StructField(f"s{c}", T.LongType()) for c in range(3)]
+        + [T.StructField(f"s{a}{b}", T.LongType())
+           for a in range(3) for b in range(a, 3)])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                v = _decode_stack(pdf, idx, w, h, fmt) \
+                    .astype(np.int64).reshape(len(idx), -1, 3)
+                s = v.sum(axis=1)
+                cross = np.einsum("npa,npb->nab", v, v)
+                for t, i in enumerate(idx):
+                    rows[i] = ((ids[i], w * h)
+                               + tuple(int(x) for x in s[t])
+                               + tuple(int(cross[t, a, b])
+                                       for a in range(3)
+                                       for b in range(a, 3)))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

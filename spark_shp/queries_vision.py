@@ -2022,3 +2022,101 @@ FROM b{MEDCUT_ROUNDS} GROUP BY 1, 2, 3
 QUERIES.update({
     "image_median_cut": (q_image_median_cut, _oracle_median_cut()),
 })
+
+
+# --- image_color_pca: dominant channel principal component --------------------
+#
+# Color PCA / decorrelation stretch (the 3-channel Karhunen-Loeve
+# transform every false-color and whitening pass starts from): the 3x3
+# channel covariance NUMERATOR matrix C_ij = n*s_ij - s_i*s_j is exact
+# int64 from real-decode moments (multimodal.channel_moments), and the
+# dominant eigenpair comes from a FIXED 8-step power iteration over
+# literal float stages shared verbatim between engines (the Kalman /
+# CRS fixed-unroll rule; inf-norm normalization, GREATEST guard for a
+# zero vector).  Gated: the exact C entries, the eigenvector (x0,x1,x2
+# under the start-sign convention), and the Rayleigh-quotient
+# eigenvalue, ROUND(...,6).
+
+PCA_STEPS = 16
+
+
+def _pca_stage_sql() -> str:
+    cols = "i, fmt, n, " + ", ".join(
+        f"c{a}{b}" for a in range(3) for b in range(a, 3))
+    c = {(a, b): f"CAST(c{min(a, b)}{max(a, b)} AS DOUBLE)"
+         for a in range(3) for b in range(3)}
+    stages = [f"it0 AS (SELECT {cols}, CAST(1 AS DOUBLE) AS x0, "
+              "CAST(1 AS DOUBLE) AS x1, CAST(1 AS DOUBLE) AS x2 "
+              "FROM cmat)"]
+    for r in range(1, PCA_STEPS + 1):
+        ys = [f"{c[(i, 0)]} * x0 + {c[(i, 1)]} * x1 + {c[(i, 2)]} * x2"
+              for i in range(3)]
+        stages.append(
+            f"y{r} AS (SELECT {cols}, " + ", ".join(
+                f"({e}) AS y{i}" for i, e in enumerate(ys))
+            + f", GREATEST(ABS({ys[0]}), ABS({ys[1]}), ABS({ys[2]}),"
+              " CAST(1 AS DOUBLE)) AS m"
+            + f" FROM it{r - 1})")
+        stages.append(
+            f"it{r} AS (SELECT {cols}, y0 / m AS x0, y1 / m AS x1, "
+            f"y2 / m AS x2 FROM y{r})")
+    num = (f"({c[(0, 0)]} * x0 * x0 + {c[(1, 1)]} * x1 * x1 "
+           f"+ {c[(2, 2)]} * x2 * x2 + 2.0 * {c[(0, 1)]} * x0 * x1 "
+           f"+ 2.0 * {c[(0, 2)]} * x0 * x2 "
+           f"+ 2.0 * {c[(1, 2)]} * x1 * x2)")
+    # eigenvalue reported at PER-PIXEL covariance scale (divide the
+    # numerator-matrix Rayleigh quotient by n^2): ~1e3 magnitude, where
+    # ROUND(...,6) sits far above accumulated ulp noise — at the raw
+    # numerator scale (~5e10) six decimals are BELOW one double ulp and
+    # the gate flipped on the last printed digit
+    return (",".join(stages) + f"""
+SELECT i, fmt, c00, c01, c02, c11, c12, c22,
+       ROUND(x0, 6) AS v0, ROUND(x1, 6) AS v1, ROUND(x2, 6) AS v2,
+       ROUND({num} / (x0 * x0 + x1 * x1 + x2 * x2)
+             / (CAST(n AS DOUBLE) * n), 6) AS eig_px
+FROM it{PCA_STEPS}
+""").replace("SELECT i, fmt, c00", "\nSELECT i, fmt, c00")
+
+
+_PCA_CMAT = """
+  SELECT i, fmt, CAST(n AS BIGINT) AS n, {pairs}
+  FROM moments
+""".format(pairs=", ".join(
+    f"CAST(CAST(n AS BIGINT) * s{a}{b} - CAST(s{a} AS BIGINT) * s{b}"
+    f" AS BIGINT) AS c{a}{b}" for a in range(3) for b in range(a, 3)))
+
+
+def q_image_color_pca(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, VISION_N, partitions=4)
+    d = _with_i(multimodal.channel_moments(img))
+    d.selectExpr("i", "fmt2 AS fmt", "n", "s0", "s1", "s2",
+                 "s00", "s01", "s02", "s11", "s12", "s22") \
+        .createOrReplaceTempView("moments")
+    return spark.sql(f"WITH cmat AS ({_PCA_CMAT}),{_pca_stage_sql()}")
+
+
+def _oracle_color_pca() -> str:
+    def pix(c: int) -> str:
+        return _pix_sql(f"i * 1000003 + (p // w) * 4096 "
+                        f"+ (p % w) * 4 + {c}")
+
+    sums = (["COUNT(*) AS n"]
+            + [f"SUM(v{c}) AS s{c}" for c in range(3)]
+            + [f"SUM(v{a} * v{b}) AS s{a}{b}"
+               for a in range(3) for b in range(a, 3)])
+    return f"""
+WITH imgs AS MATERIALIZED ({_imgs_cte(VISION_N)}),
+px AS MATERIALIZED (
+  SELECT i, fmt, {pix(0)} AS v0, {pix(1)} AS v1, {pix(2)} AS v2
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w * h - 1)) AS p) pp),
+moments AS MATERIALIZED (
+  SELECT i, fmt, {', '.join(sums)} FROM px GROUP BY 1, 2),
+cmat AS ({_PCA_CMAT}),{_pca_stage_sql()}
+"""
+
+
+QUERIES.update({
+    "image_color_pca": (q_image_color_pca, _oracle_color_pca()),
+})

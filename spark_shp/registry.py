@@ -372,6 +372,7 @@ _TAIL = [
     "chaikin_smooth",     # corner-cutting path smoothing (B5/geometry)
     "split_leakage_audit",  # near-dup pairs straddling the split (ML)
     "rayleigh_uniformity",  # circular time-of-day periodicity test (C6)
+    "image_color_pca",    # channel-covariance power iteration (B11/ML)
 ]
 
 _MERGED: dict = {}

@@ -985,3 +985,42 @@ def test_median_cut_matches_sequential_and_partitions(spark):
         assert tot_n == w * h
         assert (tots == v.sum(axis=0)).all()
         assert len(boxes) >= 4     # the palette genuinely splits
+
+
+def test_color_pca_matches_numpy_eig(spark):
+    """numpy.linalg.eigh cross-check: the power-iteration eigenpair must
+    match the true dominant eigenpair of the integer covariance matrix
+    (|cos| of the angle ~ 1 and matching eigenvalue), and the exact C
+    entries must equal the moment arithmetic from the decoded pixels."""
+    from spark_shp.queries_vision import VISION_N, q_image_color_pca
+    out = {r["i"]: r for r in q_image_color_pca(spark, SF).collect()}
+    assert len(out) == VISION_N
+
+    for i in range(VISION_N):
+        dec, w, h, fmt = _decoded(i)
+        v = dec.reshape(-1, 3).astype(np.int64)
+        n = len(v)
+        s = v.sum(axis=0)
+        cross = v.T @ v
+        C = n * cross - np.outer(s, s)
+        r = out[i]
+        assert (r["c00"], r["c01"], r["c02"], r["c11"], r["c12"],
+                r["c22"]) == (int(C[0, 0]), int(C[0, 1]), int(C[0, 2]),
+                              int(C[1, 1]), int(C[1, 2]), int(C[2, 2]))
+        wv, ve = np.linalg.eigh(C.astype(np.float64))
+        lam1, lam2 = wv[-1], wv[-2]
+        x = np.array([r["v0"], r["v1"], r["v2"]])
+        x = x / np.linalg.norm(x)
+        # truncated power iteration converges to the dominant SUBSPACE;
+        # with a near-degenerate top pair (one fixture image has
+        # lam2/lam1 ~ 0.98) the vector may legitimately sit anywhere in
+        # span(top-2) — the honest invariants are the subspace
+        # projection and the Rayleigh-quotient bracket [lam2, lam1]
+        proj2 = np.linalg.norm(ve[:, -2:].T @ x)
+        assert proj2 > 0.9999
+        cos1 = abs(x @ ve[:, -1])
+        if lam2 / lam1 < 0.9:
+            assert cos1 > 0.999
+        lo, hi = lam2 / (n * n), lam1 / (n * n)
+        assert lo - 1e-3 * abs(lo) <= r["eig_px"] <= hi + 1e-3 * abs(hi)
+        assert r["eig_px"] > 0.8 * hi   # still dominated by lam1
