@@ -5854,3 +5854,63 @@ ORACLE_RAYLEIGH = _ray_sql("epoch_us(ts)")
 QUERIES.update({
     "rayleigh_uniformity": (q_rayleigh_uniformity, ORACLE_RAYLEIGH),
 })
+
+
+# --- rolling_regression: windowed trend slope ---------------------------------
+#
+# The moving-window sibling of trend_regression (drift monitors, chart
+# overlays): per event type, the OLS slope of hourly cents over the
+# trailing 24 OBSERVED hours — frame sums (Sx, Sy, Sxx, Sxy) are exact
+# int64 window aggregates over ROWS 23 PRECEDING, the slope is one
+# literal float, and only full frames emit (ROW_NUMBER >= 24).  The
+# x-variance of 24 DISTINCT hour indices is always positive, so no
+# degenerate-denominator branch is needed (unlike the gapped-window
+# variants).
+
+ROLL_W = 24
+
+_ROLL_SQL = """
+WITH hourly AS (
+  SELECT event_type AS g,
+         CAST(FLOOR({epoch_us} / 3600000000.0) AS BIGINT) AS h,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events),
+series AS (SELECT g, h, SUM(vc) AS y FROM hourly GROUP BY 1, 2),
+base AS (SELECT g, MIN(h) AS h0 FROM series GROUP BY 1),
+xy AS (
+  SELECT series.g, h - h0 AS x, CAST(y AS BIGINT) AS y
+  FROM series JOIN base ON series.g = base.g),
+frames AS (
+  SELECT g, x,
+         ROW_NUMBER()        OVER w AS rn,
+         SUM(x)              OVER f AS sx,
+         SUM(y)              OVER f AS sy,
+         SUM(x * x)          OVER f AS sxx,
+         SUM(x * y)          OVER f AS sxy
+  FROM xy
+  WINDOW w AS (PARTITION BY g ORDER BY x),
+         f AS (PARTITION BY g ORDER BY x
+               ROWS BETWEEN {prev} PRECEDING AND CURRENT ROW))
+SELECT g AS event_type, CAST(x AS BIGINT) AS hour_x,
+       CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+       ROUND((CAST({w} AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             (CAST({w} AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+         AS slope_cents_per_hour
+FROM frames WHERE rn >= {w}
+"""
+
+
+def q_rolling_regression(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ROLL_SQL.format(
+        epoch_us="unix_micros(CAST(ts AS TIMESTAMP_LTZ))",
+        prev=ROLL_W - 1, w=ROLL_W))
+
+
+ORACLE_ROLL = _ROLL_SQL.format(epoch_us="epoch_us(ts)",
+                               prev=ROLL_W - 1, w=ROLL_W)
+
+
+QUERIES.update({
+    "rolling_regression": (q_rolling_regression, ORACLE_ROLL),
+})

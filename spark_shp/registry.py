@@ -373,6 +373,7 @@ _TAIL = [
     "split_leakage_audit",  # near-dup pairs straddling the split (ML)
     "rayleigh_uniformity",  # circular time-of-day periodicity test (C6)
     "image_color_pca",    # channel-covariance power iteration (B11/ML)
+    "rolling_regression",  # trailing-24h windowed OLS slope (C6/C7)
 ]
 
 _MERGED: dict = {}

@@ -2110,3 +2110,33 @@ def test_rayleigh_matches_numpy_and_statistics_laws(spark):
         assert abs(r["rayleigh_z"] - r["n"] * r["rbar"] ** 2) \
             < 1e-2 * max(1.0, r["rayleigh_z"])
         assert -180.0 <= r["mean_angle_deg"] <= 180.0
+
+
+def test_rolling_regression_matches_numpy_polyfit(spark):
+    """Per-frame numpy polyfit over the trailing 24 observed hours —
+    a genuinely different solver (least-squares QR) than the moment
+    formula; slopes must agree to the rounding tolerance, frames must
+    be exactly the observed-hour windows, and slopes must vary."""
+    from spark_shp.queries_insights import ROLL_W, q_rolling_regression
+    out = {(r["event_type"], r["hour_x"]): r
+           for r in q_rolling_regression(spark, SF).collect()}
+    assert out
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e["h"] = e["ts"].astype("int64") // 3_600_000_000
+    e["vc"] = np.floor(e["value"] * 100 + 0.5).astype(np.int64)
+    slopes = []
+    for g, gg in e.groupby("event_type"):
+        ser = gg.groupby("h")["vc"].sum().sort_index()
+        xs = (ser.index - ser.index.min()).to_numpy(dtype=np.int64)
+        ys = ser.to_numpy(dtype=np.int64)
+        for j in range(ROLL_W - 1, len(xs)):
+            xw = xs[j - ROLL_W + 1:j + 1].astype(float)
+            yw = ys[j - ROLL_W + 1:j + 1].astype(float)
+            slope = np.polyfit(xw, yw, 1)[0]
+            r = out[(g, int(xs[j]))]
+            assert abs(r["slope_cents_per_hour"] - slope) \
+                < 1e-4 * max(1.0, abs(slope))
+            slopes.append(slope)
+    assert len(slopes) == len(out)
+    assert np.std(slopes) > 0
