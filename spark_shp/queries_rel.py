@@ -753,3 +753,87 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """),
 }
+
+
+# --- nearest_event_join: bidirectional nearest-in-time join -------------------
+#
+# The NEAREST (either-direction) sibling of the backward-only
+# asof_join_event_order — sensor alignment, "closest interaction to
+# each order": for each sampled order, the same user's event minimizing
+# |Δt|, ties to the PREV side and then to the extremal event id
+# (matching the union-merge's frame semantics exactly).  Spark plan:
+# the SAME one-shuffle union-merge — prev via last(ignorenulls) over
+# the ascending frame, next via first(ignorenulls) over the following
+# frame, one CASE pick; linear per user.  Oracle: the all-pairs
+# per-user argmin — a genuinely different algorithm, so gate equality
+# proves the merge semantics (frame boundaries, same-instant ties).
+
+NEAREST_MOD = 13
+
+
+def q_nearest_event_join(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").where(
+        F.col("user_id") % NEAREST_MOD == 2)
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_custkey") % NEAREST_MOD == 2)
+    ev = e.select(F.col("user_id").alias("u"),
+                  F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ))")
+                  .alias("us"),
+                  F.lit(0).alias("kind"), "event_id",
+                  F.lit(None).cast("long").alias("o_orderkey"))
+    od = o.select(F.col("o_custkey").alias("u"),
+                  F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP_LTZ))")
+                  .alias("us"),
+                  F.lit(1).alias("kind"),
+                  F.lit(None).cast("long").alias("event_id"),
+                  "o_orderkey")
+    uni = ev.unionByName(od)
+    order = [F.col("us").asc(), F.col("kind").asc(),
+             F.coalesce("event_id", "o_orderkey").asc()]
+    wp = (W.partitionBy("u").orderBy(*order)
+          .rowsBetween(W.unboundedPreceding, 0))
+    wn = (W.partitionBy("u").orderBy(*order)
+          .rowsBetween(0, W.unboundedFollowing))
+    evs = F.when(F.col("kind") == 0, F.struct("us", "event_id"))
+    d = (uni.withColumn("prev", F.last(evs, ignorenulls=True).over(wp))
+         .withColumn("nxt", F.first(evs, ignorenulls=True).over(wn))
+         .where("kind = 1 AND (prev IS NOT NULL OR nxt IS NOT NULL)"))
+    return d.selectExpr(
+        "o_orderkey", "u AS user_id",
+        "CASE WHEN nxt IS NULL OR (prev IS NOT NULL AND "
+        "us - prev.us <= nxt.us - us) THEN prev.event_id "
+        "ELSE nxt.event_id END AS event_id",
+        "CAST(CASE WHEN nxt IS NULL OR (prev IS NOT NULL AND "
+        "us - prev.us <= nxt.us - us) THEN 0 ELSE 1 END AS INT) AS dir",
+        "CAST(CASE WHEN nxt IS NULL OR (prev IS NOT NULL AND "
+        "us - prev.us <= nxt.us - us) THEN us - prev.us "
+        "ELSE nxt.us - us END AS BIGINT) AS delta_us")
+
+
+ORACLE_NEAREST = f"""
+WITH ev AS (
+  SELECT user_id AS u, event_id, epoch_us(ts) AS us
+  FROM events WHERE user_id % {NEAREST_MOD} = 2),
+od AS (
+  SELECT o_custkey AS u, o_orderkey, epoch_us(o_orderdate) AS us
+  FROM orders WHERE o_custkey % {NEAREST_MOD} = 2),
+pairs AS (
+  SELECT od.o_orderkey, od.u, ev.event_id,
+         CASE WHEN ev.us <= od.us THEN od.us - ev.us
+              ELSE ev.us - od.us END AS absdt,
+         CASE WHEN ev.us <= od.us THEN 0 ELSE 1 END AS dir
+  FROM od JOIN ev ON ev.u = od.u),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+             ORDER BY absdt, dir,
+             CASE WHEN dir = 0 THEN -event_id ELSE event_id END) AS rn
+  FROM pairs)
+SELECT o_orderkey, u AS user_id, event_id, CAST(dir AS INT) AS dir,
+       CAST(absdt AS BIGINT) AS delta_us
+FROM rk WHERE rn = 1
+"""
+
+
+QUERIES.update({
+    "nearest_event_join": (q_nearest_event_join, ORACLE_NEAREST),
+})

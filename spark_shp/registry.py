@@ -374,6 +374,7 @@ _TAIL = [
     "rayleigh_uniformity",  # circular time-of-day periodicity test (C6)
     "image_color_pca",    # channel-covariance power iteration (B11/ML)
     "rolling_regression",  # trailing-24h windowed OLS slope (C6/C7)
+    "nearest_event_join",  # bidirectional nearest-in-time join (C5)
 ]
 
 _MERGED: dict = {}

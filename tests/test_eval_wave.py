@@ -1402,3 +1402,42 @@ def test_chaikin_matches_python_and_smooths(spark):
     # loop above is the main check — the smoothing law holds on all of
     # whatever qualifies
     assert n_paths >= 1 and n_smoother == n_paths
+
+
+def test_nearest_event_join_matches_sequential_scan(spark):
+    """Per-order sequential python scan of the user's full event list
+    (linear search with the documented tie rules), plus structure:
+    both directions occur and zero-delta matches are possible but not
+    universal."""
+    from spark_shp.queries_eval import _t  # noqa: F401  (module import)
+    from spark_shp.queries_rel import NEAREST_MOD, q_nearest_event_join
+    out = {r["o_orderkey"]: (r["user_id"], r["event_id"], r["dir"],
+                             r["delta_us"])
+           for r in q_nearest_event_join(spark, SF).collect()}
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    e = e[e["user_id"] % NEAREST_MOD == 2]
+    o = o[o["o_custkey"] % NEAREST_MOD == 2]
+    ev_by_u = {}
+    for _, r in e.iterrows():
+        ev_by_u.setdefault(int(r["user_id"]), []).append(
+            (int(pd.Timestamp(r["ts"]).value // 1000), int(r["event_id"])))
+    expect = {}
+    for _, r in o.iterrows():
+        u = int(r["o_custkey"])
+        if u not in ev_by_u:
+            continue
+        ous = int(pd.Timestamp(r["o_orderdate"]).value // 1000)
+        best = None
+        for us, eid in ev_by_u[u]:
+            absdt = abs(ous - us)
+            d = 0 if us <= ous else 1
+            key = (absdt, d, -eid if d == 0 else eid)
+            if best is None or key < best[0]:
+                best = (key, eid, d, absdt)
+        expect[int(r["o_orderkey"])] = (u, best[1], best[2], best[3])
+    assert out == expect
+    dirs = {v[2] for v in out.values()}
+    assert dirs == {0, 1}
+    assert min(v[3] for v in out.values()) >= 0
