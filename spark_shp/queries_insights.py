@@ -5914,3 +5914,53 @@ ORACLE_ROLL = _ROLL_SQL.format(epoch_us="epoch_us(ts)",
 QUERIES.update({
     "rolling_regression": (q_rolling_regression, ORACLE_ROLL),
 })
+
+
+# --- type_profile_similarity: cosine between behavioral profiles --------------
+#
+# The profile-similarity matrix (segment comparison, anomaly triage —
+# "which event types co-move across the day?"): each type's hour-of-day
+# activity histogram (24 integer counts) compared pairwise by cosine.
+# Exact moments: the dot products and squared norms are int64 sums over
+# the 24-bin join (counts are integers by construction), cosine is ONE
+# literal float division, ROUND(...,6).  The 24-bin histogram pass is
+# the only corpus-scale work; the 5x5 pair join runs on 120 rows.
+
+def _tps_sql(epoch_us: str) -> str:
+    return f"""
+WITH hist AS (
+  SELECT event_type AS t,
+         CAST(FLOOR((({epoch_us}) % 86400000000) / 3600000000.0)
+              AS BIGINT) AS hod,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+norms AS (
+  SELECT t, CAST(SUM(c * c) AS BIGINT) AS n2 FROM hist GROUP BY 1),
+pairs AS (
+  -- dot over SHARED bins only is exact (a missing bin is a zero
+  -- count), but the norms must cover each type's FULL histogram
+  SELECT a.t AS type_a, b.t AS type_b,
+         CAST(SUM(a.c * b.c) AS BIGINT) AS dot,
+         CAST(COUNT(*) AS BIGINT) AS n_bins
+  FROM hist a JOIN hist b ON a.hod = b.hod AND a.t < b.t
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_bins, dot,
+       ROUND(CAST(dot AS DOUBLE)
+             / SQRT(CAST(na.n2 AS DOUBLE) * nb.n2), 6) AS cosine
+FROM pairs
+JOIN norms na ON na.t = pairs.type_a
+JOIN norms nb ON nb.t = pairs.type_b
+"""
+
+
+def q_type_profile_similarity(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_tps_sql("unix_micros(CAST(ts AS TIMESTAMP_LTZ))"))
+
+
+ORACLE_TPS = _tps_sql("epoch_us(ts)")
+
+
+QUERIES.update({
+    "type_profile_similarity": (q_type_profile_similarity, ORACLE_TPS),
+})

@@ -375,6 +375,7 @@ _TAIL = [
     "image_color_pca",    # channel-covariance power iteration (B11/ML)
     "rolling_regression",  # trailing-24h windowed OLS slope (C6/C7)
     "nearest_event_join",  # bidirectional nearest-in-time join (C5)
+    "type_profile_similarity",  # hourly-profile cosine matrix (C6)
 ]
 
 _MERGED: dict = {}

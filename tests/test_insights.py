@@ -2140,3 +2140,29 @@ def test_rolling_regression_matches_numpy_polyfit(spark):
             slopes.append(slope)
     assert len(slopes) == len(out)
     assert np.std(slopes) > 0
+
+
+def test_type_profile_similarity_matches_numpy(spark):
+    """numpy cosine over the dense 24-bin histograms (missing bins as
+    zeros — the shared-bin dot is exact because absent counts are 0,
+    but norms must be full-histogram, which this replication proves),
+    plus the cosine laws: values in (0, 1], all 10 pairs present."""
+    from spark_shp.queries_insights import q_type_profile_similarity
+    out = {(r["type_a"], r["type_b"]): r
+           for r in q_type_profile_similarity(spark, SF).collect()}
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e["hod"] = (e["ts"].astype("int64") % 86_400_000_000) \
+        // 3_600_000_000
+    types = sorted(e["event_type"].unique())
+    hist = {t: np.zeros(24, dtype=np.int64) for t in types}
+    for (t, h), n in e.groupby(["event_type", "hod"]).size().items():
+        hist[t][int(h)] = n
+    assert len(out) == len(types) * (len(types) - 1) // 2
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            va, vb = hist[a], hist[b]
+            cos = float(va @ vb) / np.sqrt(float(va @ va) * (vb @ vb))
+            r = out[(a, b)]
+            assert r["dot"] == int(va @ vb)
+            assert abs(r["cosine"] - cos) < 1e-6
+            assert 0.0 < r["cosine"] <= 1.0
