@@ -3327,3 +3327,57 @@ def q_chaikin_smooth(spark, sf_dir):
 QUERIES.update({
     "chaikin_smooth": (q_chaikin_smooth, _chaikin_sql()),
 })
+
+
+# --- ucb_allocation: UCB1 bandit arm selection --------------------------------
+#
+# The batch-bandit allocator (the exploration side of the
+# experimentation family — ab_test/group_sequential test, CUPED
+# adjusts, UCB explores): arms are event types, pulls are events,
+# rewards are value cents; UCB1 = mean + sqrt(2 ln N / n) with the
+# mean an exact integer division (cents DIV pulls, dollars scale) and
+# the exploration bonus under ROUND-6 LN (the repo's tfidf rule); the
+# next batch goes to the packed-argmax arm.  One map-side aggregation.
+
+UCB_Q = 1_000_000
+
+
+def _ucb_sql(div: str) -> str:
+    ti = ("CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 "
+          "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END")
+    mean_d = f"(sv {div} (100 * n))"
+    bonus = ("SQRT(2.0 * ROUND(LN(CAST(tot AS DOUBLE)), 6) "
+             "/ CAST(n AS DOUBLE))")
+    score = (f"CAST(FLOOR((CAST({mean_d} AS DOUBLE) + {bonus}) "
+             f"* {UCB_Q} + 0.5) AS BIGINT)")
+    return f"""
+WITH agg AS (
+  SELECT {ti} AS ti, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sv
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM agg),
+scored AS (
+  SELECT ti, event_type, n, {mean_d} AS mean_dollars,
+         {score} AS ucb_q
+  FROM agg, tot),
+best AS (SELECT MAX(ucb_q * 8 + (7 - ti)) AS bp FROM scored)
+SELECT event_type, CAST(ti AS BIGINT) AS ti, n,
+       CAST(mean_dollars AS BIGINT) AS mean_dollars, ucb_q,
+       CAST(CASE WHEN ucb_q * 8 + (7 - ti) = bp THEN 1 ELSE 0 END
+            AS INT) AS chosen
+FROM scored, best
+"""
+
+
+def q_ucb_allocation(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ucb_sql("DIV"))
+
+
+ORACLE_UCB = _ucb_sql("//")
+
+
+QUERIES.update({
+    "ucb_allocation": (q_ucb_allocation, ORACLE_UCB),
+})

@@ -376,6 +376,7 @@ _TAIL = [
     "rolling_regression",  # trailing-24h windowed OLS slope (C6/C7)
     "nearest_event_join",  # bidirectional nearest-in-time join (C5)
     "type_profile_similarity",  # hourly-profile cosine matrix (C6)
+    "ucb_allocation",     # UCB1 bandit arm selection (experiment/ML)
 ]
 
 _MERGED: dict = {}

@@ -1444,3 +1444,41 @@ def test_nearest_event_join_matches_sequential_scan(spark):
     dirs = {v[2] for v in out.values()}
     assert dirs and dirs <= {0, 1}
     assert min(v[3] for v in out.values()) >= 0
+
+
+def test_ucb_allocation_matches_python_and_bandit_laws(spark):
+    """Python mechanism replay plus the UCB laws: exactly one chosen
+    arm, every arm's UCB exceeds its raw mean (the exploration bonus is
+    positive), and rarely-pulled arms get proportionally larger
+    bonuses."""
+    import math
+    from spark_shp.queries_eval import UCB_Q, q_ucb_allocation
+    rows = q_ucb_allocation(spark, SF).collect()
+    out = {r["event_type"]: r for r in rows}
+    assert sum(r["chosen"] for r in rows) == 1
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e["vc"] = np.floor(e["value"] * 100 + 0.5).astype(np.int64)
+    ti_map = {"click": 0, "error": 1, "purchase": 2, "signup": 3,
+              "view": 4}
+    tot = len(e)
+    expect = {}
+    for g, gg in e.groupby("event_type"):
+        n = len(gg)
+        sv = int(gg["vc"].sum())
+        mean_d = sv // (100 * n)
+        bonus = math.sqrt(2.0 * round(math.log(tot), 6) / n)
+        sq = math.floor((mean_d + bonus) * UCB_Q + 0.5)
+        expect[g] = (ti_map[g], n, mean_d, sq)
+    best = max(sq * 8 + (7 - ti) for ti, n, m, sq in expect.values())
+    for g, (ti, n, mean_d, sq) in expect.items():
+        r = out[g]
+        assert (r["ti"], r["n"], r["mean_dollars"], r["ucb_q"]) \
+            == (ti, n, mean_d, sq)
+        assert r["chosen"] == int(sq * 8 + (7 - ti) == best)
+        assert r["ucb_q"] > mean_d * UCB_Q    # positive bonus
+    bon = {g: v[3] / UCB_Q - v[2] for g, v in expect.items()}
+    ns = {g: v[1] for g, v in expect.items()}
+    lo, hi = min(ns, key=ns.get), max(ns, key=ns.get)
+    if ns[lo] < ns[hi]:
+        assert bon[lo] > bon[hi]              # rarer arm explores more
