@@ -5964,3 +5964,62 @@ ORACLE_TPS = _tps_sql("epoch_us(ts)")
 QUERIES.update({
     "type_profile_similarity": (q_type_profile_similarity, ORACLE_TPS),
 })
+
+
+# --- l_moments: robust distribution shape via L-moments -----------------------
+#
+# Hosking's L-moments (the hydrology/actuarial standard for robust
+# distribution shape — linear in the data, so far less outlier-driven
+# than conventional skewness/kurtosis): per event type, the
+# probability-weighted moment numerators S_r = sum (i-1)(i-2)..(i-r) x_(i)
+# over the type-sorted cents are EXACT (int64 for S0, DECIMAL(38,0)
+# for the rank-weighted sums — (i^3 x) overflows int64 at bench
+# scale), and l1/l2, L-CV, L-skewness, L-kurtosis compose them in
+# literal float expressions.  The per-type rank window serializes each
+# type into one task (the DOCUMENTED average_precision trade-off:
+# exact global ranks per group need the group's total order).
+
+def _lmom_sql() -> str:
+    den = {r: " * ".join(f"(CAST(n AS DOUBLE) - {j})"
+                         for j in range(r + 1))
+           for r in range(4)}
+    b = {r: f"(CAST(s{r} AS DOUBLE) / ({den[r]}))" for r in range(4)}
+    l1 = b[0]
+    l2 = f"(2.0 * {b[1]} - {b[0]})"
+    l3 = f"(6.0 * {b[2]} - 6.0 * {b[1]} + {b[0]})"
+    l4 = f"(20.0 * {b[3]} - 30.0 * {b[2]} + 12.0 * {b[1]} - {b[0]})"
+    return f"""
+WITH vals AS (
+  SELECT event_type AS g, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events),
+ranked AS (
+  SELECT g, x,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, event_id) AS i
+  FROM vals),
+m AS (
+  SELECT g, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS s0,
+         SUM(CAST(i - 1 AS DECIMAL(38, 0)) * x) AS s1,
+         SUM(CAST((i - 1) * (i - 2) AS DECIMAL(38, 0)) * x) AS s2,
+         SUM(CAST(i - 1 AS DECIMAL(38, 0)) * (i - 2) * (i - 3) * x)
+           AS s3
+  FROM ranked GROUP BY 1)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n, s0,
+       ROUND({l1}, 6) AS l1_cents,
+       ROUND({l2}, 6) AS l2_cents,
+       ROUND({l2} / {l1}, 6) AS l_cv,
+       ROUND({l3} / {l2}, 6) AS l_skew,
+       ROUND({l4} / {l2}, 6) AS l_kurt
+FROM m
+"""
+
+
+def q_l_moments(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_lmom_sql())
+
+
+QUERIES.update({
+    "l_moments": (q_l_moments, _lmom_sql()),
+})

@@ -377,6 +377,7 @@ _TAIL = [
     "nearest_event_join",  # bidirectional nearest-in-time join (C5)
     "type_profile_similarity",  # hourly-profile cosine matrix (C6)
     "ucb_allocation",     # UCB1 bandit arm selection (experiment/ML)
+    "l_moments",          # Hosking L-moment shape statistics (C6)
 ]
 
 _MERGED: dict = {}

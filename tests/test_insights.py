@@ -2166,3 +2166,37 @@ def test_type_profile_similarity_matches_numpy(spark):
             assert r["dot"] == int(va @ vb)
             assert abs(r["cosine"] - cos) < 1e-6
             assert 0.0 < r["cosine"] <= 1.0
+
+
+def test_l_moments_matches_direct_formula_and_bounds(spark):
+    """Direct numpy computation of Hosking's probability-weighted
+    moments over the sorted sample, plus the L-moment bounds: l2 > 0,
+    |L-skew| < 1, and L-kurtosis in [(5*t3^2 - 1)/4, 1)."""
+    from spark_shp.queries_insights import q_l_moments
+    out = {r["event_type"]: r for r in q_l_moments(spark, SF).collect()}
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e["x"] = np.floor(e["value"] * 100 + 0.5).astype(np.int64)
+    for g, gg in e.groupby("event_type"):
+        xs = gg.sort_values(["x", "event_id"])["x"] \
+            .to_numpy(dtype=np.float64)
+        n = len(xs)
+        i = np.arange(1, n + 1, dtype=np.float64)
+        b0 = xs.sum() / n
+        b1 = ((i - 1) * xs).sum() / (n * (n - 1))
+        b2 = ((i - 1) * (i - 2) * xs).sum() / (n * (n - 1) * (n - 2))
+        b3 = (((i - 1) * (i - 2) * (i - 3) * xs).sum()
+              / (n * (n - 1) * (n - 2) * (n - 3)))
+        l1, l2 = b0, 2 * b1 - b0
+        l3 = 6 * b2 - 6 * b1 + b0
+        l4 = 20 * b3 - 30 * b2 + 12 * b1 - b0
+        r = out[g]
+        assert r["n"] == n and r["s0"] == int(gg["x"].sum())
+        assert abs(r["l1_cents"] - l1) < 1e-3 * max(1.0, abs(l1))
+        assert abs(r["l2_cents"] - l2) < 1e-3 * max(1.0, abs(l2))
+        assert abs(r["l_skew"] - l3 / l2) < 1e-4
+        assert abs(r["l_kurt"] - l4 / l2) < 1e-4
+        assert r["l2_cents"] > 0
+        assert abs(r["l_skew"]) < 1.0
+        t3 = r["l_skew"]
+        assert (5 * t3 * t3 - 1) / 4 - 1e-9 <= r["l_kurt"] < 1.0
