@@ -6023,3 +6023,70 @@ def q_l_moments(spark, sf_dir):
 QUERIES.update({
     "l_moments": (q_l_moments, _lmom_sql()),
 })
+
+
+# --- gumbel_fit: extreme-value analysis of daily peaks ------------------------
+#
+# The classic block-maxima workflow (flood frequency, peak-load
+# capacity planning): per event type, daily maxima of the hourly cents
+# totals form the extreme-value sample, the Gumbel distribution fits by
+# L-MOMENTS (sigma = l2/ln2, mu = l1 - gamma_E*sigma — the method that
+# pairs with l_moments and needs no iteration), and the T-year return
+# levels x_T = mu - sigma*ln(-ln(1-1/T)) read off directly.  The
+# corpus folds to (type, day, hour) sums once; the rank window runs
+# over the tiny per-type daily-max sample; all constants are
+# python-folded literals and every float composes exact integer sums.
+
+import math as _gmath
+
+GUMBEL_LN2 = _gmath.log(2.0)
+GUMBEL_EULER = 0.5772156649015329
+GUMBEL_Y10 = -_gmath.log(-_gmath.log(1.0 - 1.0 / 10.0))
+GUMBEL_Y100 = -_gmath.log(-_gmath.log(1.0 - 1.0 / 100.0))
+
+
+def _gumbel_sql(epoch_us: str) -> str:
+    l1 = "(CAST(s0 AS DOUBLE) / n)"
+    l2 = ("(2.0 * CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)) "
+          f"- {l1})")
+    sig = f"({l2} / CAST({GUMBEL_LN2!r} AS DOUBLE))"
+    mu = f"({l1} - CAST({GUMBEL_EULER!r} AS DOUBLE) * {sig})"
+    return f"""
+WITH hourly AS (
+  SELECT event_type AS g,
+         CAST(FLOOR({epoch_us} / 86400000000.0) AS BIGINT) AS d,
+         CAST(FLOOR({epoch_us} / 3600000000.0) AS BIGINT) AS h,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events),
+hsum AS (SELECT g, d, h, SUM(vc) AS y FROM hourly GROUP BY 1, 2, 3),
+dmax AS (SELECT g, d, CAST(MAX(y) AS BIGINT) AS x FROM hsum
+         GROUP BY 1, 2),
+ranked AS (
+  SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, d) AS i
+  FROM dmax),
+m AS (
+  SELECT g, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s0,
+         CAST(SUM((i - 1) * x) AS BIGINT) AS s1
+  FROM ranked GROUP BY 1)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n_days, s0, s1,
+       ROUND({mu}, 6) AS mu_cents,
+       ROUND({sig}, 6) AS sigma_cents,
+       ROUND({mu} + {sig} * CAST({GUMBEL_Y10!r} AS DOUBLE), 6)
+         AS return_10,
+       ROUND({mu} + {sig} * CAST({GUMBEL_Y100!r} AS DOUBLE), 6)
+         AS return_100
+FROM m
+"""
+
+
+def q_gumbel_fit(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_gumbel_sql("unix_micros(CAST(ts AS TIMESTAMP_LTZ))"))
+
+
+ORACLE_GUMBEL = _gumbel_sql("epoch_us(ts)")
+
+
+QUERIES.update({
+    "gumbel_fit": (q_gumbel_fit, ORACLE_GUMBEL),
+})

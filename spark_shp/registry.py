@@ -378,6 +378,7 @@ _TAIL = [
     "type_profile_similarity",  # hourly-profile cosine matrix (C6)
     "ucb_allocation",     # UCB1 bandit arm selection (experiment/ML)
     "l_moments",          # Hosking L-moment shape statistics (C6)
+    "gumbel_fit",         # block-maxima Gumbel fit + return levels (C6)
 ]
 
 _MERGED: dict = {}

@@ -2200,3 +2200,35 @@ def test_l_moments_matches_direct_formula_and_bounds(spark):
         assert abs(r["l_skew"]) < 1.0
         t3 = r["l_skew"]
         assert (5 * t3 * t3 - 1) / 4 - 1e-9 <= r["l_kurt"] < 1.0
+
+
+def test_gumbel_fit_matches_numpy_and_return_level_laws(spark):
+    """numpy replication of the block-maxima L-moment fit, plus the
+    extreme-value laws: sigma > 0, return levels increase with the
+    return period, and the 10-year level exceeds the sample median of
+    the daily maxima (it is the ~90th percentile of the fitted law)."""
+    import math
+    from spark_shp.queries_insights import q_gumbel_fit
+    out = {r["event_type"]: r for r in q_gumbel_fit(spark, SF).collect()}
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    us = e["ts"].astype("int64")
+    e["d"] = us // 86_400_000_000
+    e["h"] = us // 3_600_000_000
+    e["vc"] = np.floor(e["value"] * 100 + 0.5).astype(np.int64)
+    for g, gg in e.groupby("event_type"):
+        hs = gg.groupby(["d", "h"])["vc"].sum()
+        dm = hs.groupby(level=0).max().sort_values().to_numpy(float)
+        n = len(dm)
+        l1 = dm.mean()
+        i = np.arange(1, n + 1, dtype=float)
+        l2 = 2 * ((i - 1) * dm).sum() / (n * (n - 1)) - l1
+        sig = l2 / math.log(2.0)
+        mu = l1 - 0.5772156649015329 * sig
+        r = out[g]
+        assert r["n_days"] == n
+        assert abs(r["mu_cents"] - mu) < 1e-3 * max(1.0, abs(mu))
+        assert abs(r["sigma_cents"] - sig) < 1e-3 * max(1.0, abs(sig))
+        assert r["sigma_cents"] > 0
+        assert r["return_10"] < r["return_100"]
+        assert r["return_10"] > np.median(dm)
