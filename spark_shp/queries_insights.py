@@ -6090,3 +6090,66 @@ ORACLE_GUMBEL = _gumbel_sql("epoch_us(ts)")
 QUERIES.update({
     "gumbel_fit": (q_gumbel_fit, ORACLE_GUMBEL),
 })
+
+
+# --- pot_exceedances: peaks-over-threshold GPD tail fit -----------------------
+#
+# The other half of extreme-value practice (gumbel_fit = block maxima;
+# this = POT): per event type, hourly totals exceeding the EXACT
+# 90th-percentile threshold (rank (9n) DIV 10 over the per-type hourly
+# table — the percentile never comes from an engine builtin) form the
+# excess sample, and the Generalized Pareto fits by method-of-moments
+# (xi = (1 - m^2/s^2)/2, beta = m*(1 + m^2/s^2)/2) — every moment an
+# exact int64/DECIMAL sum, each parameter one literal float.
+
+def _pot_sql(epoch_us: str) -> str:
+    m1 = "(CAST(se AS DOUBLE) / ne)"
+    s2 = ("((CAST(ne AS DOUBLE) * see - CAST(se AS DOUBLE) * se) "
+          "/ (CAST(ne AS DOUBLE) * ne))")
+    r2 = f"({m1} * {m1} / {s2})"
+    return f"""
+WITH hourly AS (
+  SELECT event_type AS g,
+         CAST(FLOOR({epoch_us} / 3600000000.0) AS BIGINT) AS h,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events),
+hsum AS (SELECT g, h, CAST(SUM(vc) AS BIGINT) AS y
+         FROM hourly GROUP BY 1, 2),
+ranked AS (
+  SELECT g, h, y, ROW_NUMBER() OVER (PARTITION BY g ORDER BY y, h)
+           AS i, COUNT(*) OVER (PARTITION BY g) AS n
+  FROM hsum),
+thr AS (
+  SELECT g, y AS u, n FROM ranked WHERE i = (9 * n) {{div}} 10),
+exc AS (
+  SELECT ranked.g, ranked.y - thr.u AS e, thr.u, thr.n
+  FROM ranked JOIN thr ON ranked.g = thr.g
+  WHERE ranked.y > thr.u),
+m AS (
+  SELECT g, MIN(u) AS u, MIN(n) AS n_hours,
+         COUNT(*) AS ne, CAST(SUM(e) AS BIGINT) AS se,
+         SUM(CAST(e AS DECIMAL(38, 0)) * e) AS see
+  FROM exc GROUP BY 1)
+SELECT g AS event_type, CAST(n_hours AS BIGINT) AS n_hours,
+       CAST(u AS BIGINT) AS threshold_cents,
+       CAST(ne AS BIGINT) AS n_exceed, se,
+       ROUND({m1}, 6) AS mean_excess,
+       ROUND((1.0 - {r2}) / 2.0, 6) AS gpd_xi,
+       ROUND({m1} * (1.0 + {r2}) / 2.0, 6) AS gpd_beta
+FROM m
+"""
+
+
+def q_pot_exceedances(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _pot_sql("unix_micros(CAST(ts AS TIMESTAMP_LTZ))")
+        .format(div="DIV"))
+
+
+ORACLE_POT = _pot_sql("epoch_us(ts)").format(div="//")
+
+
+QUERIES.update({
+    "pot_exceedances": (q_pot_exceedances, ORACLE_POT),
+})

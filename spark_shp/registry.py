@@ -379,6 +379,7 @@ _TAIL = [
     "ucb_allocation",     # UCB1 bandit arm selection (experiment/ML)
     "l_moments",          # Hosking L-moment shape statistics (C6)
     "gumbel_fit",         # block-maxima Gumbel fit + return levels (C6)
+    "pot_exceedances",    # peaks-over-threshold GPD tail fit (C6)
 ]
 
 _MERGED: dict = {}

@@ -2232,3 +2232,36 @@ def test_gumbel_fit_matches_numpy_and_return_level_laws(spark):
         assert r["sigma_cents"] > 0
         assert r["return_10"] < r["return_100"]
         assert r["return_10"] > np.median(dm)
+
+
+def test_pot_exceedances_matches_numpy_and_tail_laws(spark):
+    """numpy replication of the rank threshold, excesses, and
+    moment-fit GPD parameters; plus the POT laws: ~10% of hours
+    exceed, mean excess is positive, and beta > 0."""
+    from spark_shp.queries_insights import q_pot_exceedances
+    out = {r["event_type"]: r
+           for r in q_pot_exceedances(spark, SF).collect()}
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e["h"] = e["ts"].astype("int64") // 3_600_000_000
+    e["vc"] = np.floor(e["value"] * 100 + 0.5).astype(np.int64)
+    for g, gg in e.groupby("event_type"):
+        ys = gg.groupby("h")["vc"].sum().reset_index() \
+            .sort_values(["vc", "h"])
+        y = ys["vc"].to_numpy(dtype=np.int64)
+        n = len(y)
+        u = int(y[(9 * n) // 10 - 1])
+        exc = y[y > u].astype(np.float64) - u
+        ne = len(exc)
+        m = exc.mean()
+        s2 = exc.var()
+        r = out[g]
+        assert (r["n_hours"], r["threshold_cents"], r["n_exceed"]) \
+            == (n, u, ne)
+        assert abs(r["mean_excess"] - m) < 1e-3 * max(1.0, m)
+        r2 = m * m / s2
+        assert abs(r["gpd_xi"] - (1 - r2) / 2) < 1e-4
+        assert abs(r["gpd_beta"] - m * (1 + r2) / 2) \
+            < 1e-3 * max(1.0, abs(m))
+        assert 0.05 * n < ne <= 0.15 * n
+        assert r["mean_excess"] > 0 and r["gpd_beta"] > 0
