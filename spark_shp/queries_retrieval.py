@@ -2163,3 +2163,128 @@ WHERE b.rk = 1
 QUERIES.update({
     "audio_autocorr_pitch": (q_audio_autocorr_pitch, _oracle_pitch()),
 })
+
+
+# --- mmr_rerank: maximal-marginal-relevance diversification -------------------
+#
+# The search-results diversifier (Carbonell-Goldstein MMR) completing
+# the retrieval stack after bm25_search (score) and rrf_fusion
+# (combine): per query term, greedy re-ranking picks argmax of
+# 7*tf - 3*max_sim_to_selected (lambda = 0.7 in integer tenths — the
+# whole objective stays int64), K = 4 unrolled picks.  Relevance = the
+# term's count in the doc; redundancy = shared-distinct-word overlap
+# between candidate docs.  Scale: candidates prune to top-8 per term
+# BEFORE the pairwise-similarity join (8x8 per query, never corpus
+# pairs); the greedy unroll runs on <= 48-row tables.  Oracle:
+# identical chained MATERIALIZED CTE steps.
+
+MMR_TERMS = ("scan", "join", "window", "merge", "sort", "value")
+MMR_CANDS = 8
+MMR_K = 4
+MMR_REL_W = 7
+MMR_DIV_W = 3
+
+_MMR_BASE = """
+words AS{mz} (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+    FROM documents) t),
+tf AS{mz} (
+  SELECT w AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM words WHERE w IN ({terms}) GROUP BY 1, 2),
+cands AS{mz} (
+  SELECT term, doc_id, tf FROM (
+    SELECT term, doc_id, tf,
+           ROW_NUMBER() OVER (PARTITION BY term
+             ORDER BY tf DESC, doc_id) AS rn
+    FROM tf) t WHERE rn <= {ncand}),
+cvocab AS{mz} (
+  SELECT DISTINCT cands.term, cands.doc_id, words.w
+  FROM cands JOIN words ON words.doc_id = cands.doc_id),
+sims AS{mz} (
+  SELECT a.term, a.doc_id AS da, b.doc_id AS db,
+         CAST(COUNT(*) AS BIGINT) AS sim
+  FROM cvocab a JOIN cvocab b
+    ON a.term = b.term AND a.w = b.w AND a.doc_id != b.doc_id
+  GROUP BY 1, 2, 3)"""
+
+_MMR_STEP = """
+sc{k} AS{mz} (
+  SELECT c.term, c.doc_id, c.tf,
+         COALESCE(MAX(ss.sim), 0) AS maxsim
+  FROM cands c
+  LEFT JOIN sel{p} q ON q.term = c.term AND q.doc_id = c.doc_id
+  LEFT JOIN (SELECT s.term, s.da, s.sim FROM sims s
+             JOIN sel{p} z ON z.term = s.term AND z.doc_id = s.db) ss
+    ON ss.term = c.term AND ss.da = c.doc_id
+  WHERE q.doc_id IS NULL
+  GROUP BY 1, 2, 3),
+pick{k} AS{mz} (
+  SELECT term, doc_id, tf, maxsim,
+         {relw} * tf - {divw} * maxsim AS score, {k} AS pick_idx
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+          ORDER BY {relw} * tf - {divw} * maxsim DESC, doc_id) AS rn
+        FROM sc{k}) t WHERE rn = 1),
+sel{k} AS{mz} (
+  SELECT term, doc_id FROM sel{p}
+  UNION ALL SELECT term, doc_id FROM pick{k})"""
+
+
+def _mmr_sql(mz: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in MMR_TERMS)
+    parts = [_MMR_BASE.format(mz=mz, terms=terms, ncand=MMR_CANDS),
+             f"sel0 AS{mz} (SELECT term, doc_id FROM cands WHERE FALSE)"]
+    for k in range(1, MMR_K + 1):
+        parts.append(_MMR_STEP.format(
+            mz=mz, k=k, p=k - 1, relw=MMR_REL_W, divw=MMR_DIV_W))
+    union = "\nUNION ALL\n".join(
+        f"SELECT term, CAST(pick_idx AS INT) AS pick_idx, doc_id, tf, "
+        f"CAST(maxsim AS BIGINT) AS maxsim, CAST(score AS BIGINT) "
+        f"AS score FROM pick{k}" for k in range(1, MMR_K + 1))
+    return "WITH " + ",".join(parts) + "\n" + union
+
+
+def q_mmr_rerank(spark, sf_dir):
+    # Spark lacks UNNEST/string_split: rebuild the base tables with
+    # DataFrame ops, localCheckpoint the three multi-referenced small
+    # tables, then run the unrolled greedy steps as one SQL
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    words.createOrReplaceTempView("mmr_words")
+    terms = ", ".join(f"'{t}'" for t in MMR_TERMS)
+    cands = spark.sql(f"""
+        SELECT term, doc_id, tf FROM (
+          SELECT w AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+                 ROW_NUMBER() OVER (PARTITION BY w
+                   ORDER BY COUNT(*) DESC, doc_id) AS rn
+          FROM mmr_words WHERE w IN ({terms}) GROUP BY 1, 2) t
+        WHERE rn <= {MMR_CANDS}""").localCheckpoint()
+    cands.createOrReplaceTempView("cands")
+    sims = spark.sql("""
+        WITH cvocab AS (
+          SELECT DISTINCT cands.term, cands.doc_id, mmr_words.w
+          FROM cands JOIN mmr_words
+            ON mmr_words.doc_id = cands.doc_id)
+        SELECT a.term, a.doc_id AS da, b.doc_id AS db,
+               CAST(COUNT(*) AS BIGINT) AS sim
+        FROM cvocab a JOIN cvocab b
+          ON a.term = b.term AND a.w = b.w AND a.doc_id != b.doc_id
+        GROUP BY 1, 2, 3""").localCheckpoint()
+    sims.createOrReplaceTempView("sims")
+    parts = ["sel0 AS (SELECT term, doc_id FROM cands WHERE FALSE)"]
+    for k in range(1, MMR_K + 1):
+        parts.append(_MMR_STEP.format(
+            mz="", k=k, p=k - 1, relw=MMR_REL_W, divw=MMR_DIV_W))
+    union = "\nUNION ALL\n".join(
+        f"SELECT term, CAST(pick_idx AS INT) AS pick_idx, doc_id, tf, "
+        f"CAST(maxsim AS BIGINT) AS maxsim, CAST(score AS BIGINT) "
+        f"AS score FROM pick{k}" for k in range(1, MMR_K + 1))
+    return spark.sql("WITH " + ",".join(parts) + "\n" + union)
+
+
+ORACLE_MMR = _mmr_sql(" MATERIALIZED")
+
+
+QUERIES.update({
+    "mmr_rerank": (q_mmr_rerank, ORACLE_MMR),
+})

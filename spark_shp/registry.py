@@ -380,6 +380,7 @@ _TAIL = [
     "l_moments",          # Hosking L-moment shape statistics (C6)
     "gumbel_fit",         # block-maxima Gumbel fit + return levels (C6)
     "pot_exceedances",    # peaks-over-threshold GPD tail fit (C6)
+    "mmr_rerank",         # maximal-marginal-relevance rerank (IR)
 ]
 
 _MERGED: dict = {}

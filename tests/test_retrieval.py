@@ -888,3 +888,48 @@ def test_autocorr_pitch_recovers_planted_periods(spark):
                 best_r, best_t = r, t
         assert row.best_lag == best_t and row.r_best == best_r
         assert row.r_zero == int(np.dot(sig, sig))
+
+
+def test_mmr_rerank_matches_sequential_greedy_and_diversifies(spark):
+    """Sequential python MMR (explicit greedy loop over dict state),
+    plus the diversification law: the MMR pick order must differ from
+    the pure-relevance order for at least one query term (redundancy
+    actually traded off), and every pick's maxsim is over the already-
+    selected set only."""
+    from collections import Counter
+    from spark_shp.queries_retrieval import (MMR_CANDS, MMR_DIV_W, MMR_K,
+                                             MMR_REL_W, MMR_TERMS,
+                                             q_mmr_rerank)
+    out = {}
+    for r in q_mmr_rerank(spark, SF).collect():
+        out[(r["term"], r["pick_idx"])] = (r["doc_id"], r["tf"],
+                                           r["maxsim"], r["score"])
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = {int(r["doc_id"]): r["text"].split(" ")
+            for _, r in docs.iterrows()}
+    diversified = 0
+    for term in MMR_TERMS:
+        tf = {d: Counter(t)[term] for d, t in toks.items()
+              if term in t}
+        cands = sorted(tf, key=lambda d: (-tf[d], d))[:MMR_CANDS]
+        vocab = {d: set(toks[d]) for d in cands}
+        sel = []
+        for k in range(1, MMR_K + 1):
+            best = None
+            for d in cands:
+                if d in sel:
+                    continue
+                ms = max((len(vocab[d] & vocab[e]) for e in sel),
+                         default=0)
+                sc = MMR_REL_W * tf[d] - MMR_DIV_W * ms
+                key = (-sc, d)
+                if best is None or key < best[0]:
+                    best = (key, d, ms, sc)
+            sel.append(best[1])
+            assert out[(term, k)] == (best[1], tf[best[1]], best[2],
+                                      best[3])
+        rel_order = cands[:MMR_K]
+        if sel != rel_order:
+            diversified += 1
+    assert diversified >= 1
