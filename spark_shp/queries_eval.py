@@ -3052,14 +3052,16 @@ QUERIES.update({
 SAX_BP = 0.6744897501960817        # Phi^-1(0.75): N(0,1) quartiles
 SAX_SEG = 4
 
-_SAX_SQL = """
-WITH hourly AS (
+_SAX_SERIES = """
   SELECT event_type AS g,
          CAST(FLOOR({epoch_us} / 3600000000.0) AS BIGINT) AS h,
-         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
-  FROM events),
-series AS (
-  SELECT g, h, SUM(vc) AS y FROM hourly GROUP BY 1, 2),
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM events GROUP BY 1, 2
+"""
+
+_SAX_SQL = """
+WITH series AS ({series}),
 base AS (
   SELECT g, MIN(h) AS h0,
          (MAX(h) - MIN(h) + 1) {div} {seg} AS nseg
@@ -3095,14 +3097,22 @@ FROM z
 
 
 def q_sax_words(spark, sf_dir):
+    # the hourly series is a TINY aggregate (hours x types) referenced
+    # by three downstream stages — localCheckpoint it so the plain-CTE
+    # chain does not re-scan the corpus per reference (2 scans / 7
+    # exchanges in the one-SQL form; 1 scan / 4 after)
     _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    series = spark.sql(_SAX_SERIES.format(
+        epoch_us="unix_micros(CAST(ts AS TIMESTAMP_LTZ))"))
+    series.localCheckpoint().createOrReplaceTempView("sax_series")
     return spark.sql(_SAX_SQL.format(
-        epoch_us="unix_micros(CAST(ts AS TIMESTAMP_LTZ))",
+        series="SELECT * FROM sax_series",
         div="DIV", seg=SAX_SEG, bp=SAX_BP))
 
 
-ORACLE_SAX = _SAX_SQL.format(epoch_us="epoch_us(ts)", div="//",
-                             seg=SAX_SEG, bp=SAX_BP)
+ORACLE_SAX = _SAX_SQL.format(
+    series=_SAX_SERIES.format(epoch_us="epoch_us(ts)"),
+    div="//", seg=SAX_SEG, bp=SAX_BP)
 
 
 # --- dp_exponential_choice: the exponential mechanism -------------------------
@@ -3320,8 +3330,41 @@ def _chaikin_sql() -> str:
 
 
 def q_chaikin_smooth(spark, sf_dir):
+    # per-round materialization: each round's UNION references its
+    # window stage TWICE, so the one-SQL chain re-expands 2^rounds
+    # times (4 corpus scans at 2 rounds — caught by the plan pin); the
+    # sampled path table is tiny, so localCheckpoint per round keeps
+    # ONE corpus scan + one rank exchange
+    from . import fixtures
     _t(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_chaikin_sql())
+    path = spark.sql(f"""
+SELECT user_id, rn - 1 AS idx, x * 1 AS px, y * 1 AS py FROM (
+  SELECT user_id,
+         CAST(FLOOR(({fixtures.EVENT_LON_SQL}) * 1000000.0) AS BIGINT)
+           AS x,
+         CAST(FLOOR(({fixtures.EVENT_LAT_SQL}) * 1000000.0) AS BIGINT)
+           AS y,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id % {WAYPOINT_MOD} = 1) t
+WHERE rn <= {CHAIKIN_PTS}""").localCheckpoint()
+    for _ in range(CHAIKIN_ROUNDS):
+        path.createOrReplaceTempView("ch_path")
+        path = spark.sql("""
+WITH seg AS (
+  SELECT user_id, px, py, LEAD(px) OVER w AS nx, LEAD(py) OVER w AS ny,
+         ROW_NUMBER() OVER w - 1 AS sidx
+  FROM ch_path
+  WINDOW w AS (PARTITION BY user_id ORDER BY idx))
+SELECT user_id, sidx * 2 AS idx, 3 * px + nx AS px, 3 * py + ny AS py
+FROM seg WHERE nx IS NOT NULL
+UNION ALL
+SELECT user_id, sidx * 2 + 1 AS idx, px + 3 * nx AS px,
+       py + 3 * ny AS py
+FROM seg WHERE nx IS NOT NULL""").localCheckpoint()
+    return path.selectExpr("user_id", "CAST(idx AS BIGINT) AS idx",
+                           "CAST(px AS BIGINT) AS x16",
+                           "CAST(py AS BIGINT) AS y16")
 
 
 QUERIES.update({

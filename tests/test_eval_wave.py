@@ -1482,3 +1482,47 @@ def test_ucb_allocation_matches_python_and_bandit_laws(spark):
     lo, hi = min(ns, key=ns.get), max(ns, key=ns.get)
     if ns[lo] < ns[hi]:
         assert bon[lo] > bon[hi]              # rarer arm explores more
+
+
+def test_plan_shapes_of_session7_ops(spark):
+    """Shuffle-count pins for the session-7 SQL operators' scale
+    claims: cuped is two map-side-combinable aggregations (user +
+    cohort); rayleigh ONE aggregation; the SAX chain stays within the
+    hourly agg + segment agg + moment join; NDCG's salted partial
+    top-k bounds it to the (qid, salt) + qid windows + join; rolling
+    regression is the hourly agg + one type-keyed window; the nearest-
+    event join is ONE union-merge exchange (+ the tiny side feeds);
+    UCB and the DP exponential pick are one aggregation plus scalar
+    algebra.  All JVM-only (no Python eval nodes)."""
+    from spark_shp.queries_eval import (q_chaikin_smooth,
+                                        q_cuped_adjustment, q_ndcg_at_k,
+                                        q_sax_words,
+                                        q_dp_exponential_choice)
+    from spark_shp import queries_insights as qi
+    from spark_shp.queries_rel import q_nearest_event_join
+
+    def plan(df):
+        full = df._jdf.queryExecution().toString()
+        assert "BatchEvalPython" not in full
+        assert "ArrowEvalPython" not in full
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan(q_cuped_adjustment(spark, SF))
+    assert p.count("Exchange hashpartitioning") <= 2   # user agg + cohort
+    p = plan(qi.q_rayleigh_uniformity(spark, SF))
+    assert p.count("Exchange hashpartitioning") <= 1   # one type agg
+    p = plan(qi.q_rolling_regression(spark, SF))
+    assert p.count("Exchange hashpartitioning") <= 4   # hourly/base/window
+    p = plan(q_ndcg_at_k(spark, SF))
+    assert p.count("Exchange hashpartitioning") <= 6   # 2x(salt+qid)+join
+    p = plan(q_nearest_event_join(spark, SF))
+    assert "BroadcastNestedLoop" not in p
+    assert p.count("Exchange hashpartitioning") <= 2   # union merge
+    p = plan(q_sax_words(spark, SF))
+    assert p.count("Exchange hashpartitioning") <= 5
+    p = plan(q_dp_exponential_choice(spark, SF))
+    assert p.count("Exchange hashpartitioning") <= 2  # agg + total fold
+    p = plan(q_chaikin_smooth(spark, SF))
+    # rounds are checkpointed, so only the tiny per-round window
+    # exchanges remain in the final plan
+    assert p.count("Exchange hashpartitioning") <= 1
