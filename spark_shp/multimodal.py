@@ -1912,3 +1912,35 @@ def channel_moments(images: DataFrame) -> DataFrame:
 
     return (images.select("image_id", "bytes", "w", "h", "fmt")
             .mapInPandas(work, schema))
+
+
+def channel0_hist(images: DataFrame) -> DataFrame:
+    """Exact 256-bin value histogram of channel 0 per image over the
+    REAL decode (one bincount per decode stack); emits only non-empty
+    bins — the input side of CDF-based histogram matching."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            out = []
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                px = _decode_stack(pdf, idx, w, h, fmt)[:, :, :, 0] \
+                    .astype(np.int64)
+                for t, i in enumerate(idx):
+                    cnt = np.bincount(px[t].ravel(), minlength=256)
+                    for v in np.flatnonzero(cnt):
+                        out.append((ids[i], int(v), int(cnt[v])))
+            if out:
+                yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))

@@ -2120,3 +2120,61 @@ cmat AS ({_PCA_CMAT}),{_pca_stage_sql()}
 QUERIES.update({
     "image_color_pca": (q_image_color_pca, _oracle_color_pca()),
 })
+
+
+# --- image_histogram_match: CDF-based histogram matching ----------------------
+#
+# The histogram-TRANSFER pass (hist_equalize's two-image sibling —
+# color grading, scanner normalization): images pair (2k, 2k+1) and
+# channel 0 of image A maps onto B's tonal distribution via the
+# textbook CDF rule m(v) = min{ w : cdfB(w) >= cdfA(v) }, with the
+# CDF comparison CROSS-MULTIPLIED (cumB*nA >= cumA*nB) so different
+# pixel counts never meet a float.  Gated per pair: the support size,
+# a position-weighted mapping checksum, and the transformed-image sum
+# — all exact int64.  The 256x256-per-pair theta join is
+# pair-bounded, never corpus-bounded.
+
+_HMATCH_TAIL = """
+cdf AS (
+  SELECT i, i {div} 2 AS pair, i % 2 AS side, v, cnt,
+         SUM(cnt) OVER (PARTITION BY i ORDER BY v) AS cum,
+         SUM(cnt) OVER (PARTITION BY i) AS npx
+  FROM hist),
+mapping AS (
+  SELECT a.pair, a.v, a.cnt, MIN(b.v) AS mv
+  FROM cdf a JOIN cdf b
+    ON b.pair = a.pair AND b.side = 1 AND a.side = 0
+   AND b.cum * a.npx >= a.cum * b.npx
+  GROUP BY 1, 2, 3)
+SELECT CAST(pair AS BIGINT) AS pair,
+       CAST(COUNT(*) AS BIGINT) AS n_vals,
+       CAST(SUM((v + 1) * mv) AS BIGINT) AS map_checksum,
+       CAST(SUM(cnt * mv) AS BIGINT) AS transformed_sum
+FROM mapping GROUP BY 1
+"""
+
+
+def q_image_histogram_match(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, VISION_N, partitions=4)
+    h = _with_i(multimodal.channel0_hist(img))
+    h.selectExpr("i", "v", "cnt").createOrReplaceTempView("hist")
+    return spark.sql("WITH " + _HMATCH_TAIL.format(div="DIV"))
+
+
+def _oracle_hmatch() -> str:
+    pix = _pix_sql("i * 1000003 + (p // w) * 4096 + (p % w) * 4 + 0")
+    return f"""
+WITH imgs AS MATERIALIZED ({_imgs_cte(VISION_N)}),
+hist AS MATERIALIZED (
+  SELECT i, {pix} AS v, COUNT(*) AS cnt
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w * h - 1)) AS p) pp
+  GROUP BY 1, 2),
+{_HMATCH_TAIL.format(div='//')}
+"""
+
+
+QUERIES.update({
+    "image_histogram_match": (q_image_histogram_match, _oracle_hmatch()),
+})

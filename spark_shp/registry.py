@@ -381,6 +381,7 @@ _TAIL = [
     "gumbel_fit",         # block-maxima Gumbel fit + return levels (C6)
     "pot_exceedances",    # peaks-over-threshold GPD tail fit (C6)
     "mmr_rerank",         # maximal-marginal-relevance rerank (IR)
+    "image_histogram_match",  # CDF histogram transfer (B11/image)
 ]
 
 _MERGED: dict = {}

@@ -1024,3 +1024,43 @@ def test_color_pca_matches_numpy_eig(spark):
         lo, hi = lam2 / (n * n), lam1 / (n * n)
         assert lo - 1e-3 * abs(lo) <= r["eig_px"] <= hi + 1e-3 * abs(hi)
         assert r["eig_px"] > 0.8 * hi   # still dominated by lam1
+
+
+def test_histogram_match_matches_python_and_cdf_law(spark):
+    """Per-pair python CDF matching over the encode->decode ground
+    truth, plus the defining law: the mapping is monotone nondecreasing
+    in v, and applying it moves A's distribution toward B (the mapped
+    mean approaches B's mean at least as closely as A's did)."""
+    from spark_shp.queries_vision import VISION_N, q_image_histogram_match
+    out = {r["pair"]: r for r in q_image_histogram_match(spark, SF)
+           .collect()}
+    assert len(out) == VISION_N // 2
+
+    for pair in range(VISION_N // 2):
+        ia, ib = 2 * pair, 2 * pair + 1
+        da, _, _, _ = _decoded(ia)
+        db, _, _, _ = _decoded(ib)
+        va = da[:, :, 0].ravel()
+        vb = db[:, :, 0].ravel()
+        ca = np.bincount(va, minlength=256).cumsum()
+        cb = np.bincount(vb, minlength=256).cumsum()
+        na, nb = len(va), len(vb)
+        support = sorted(set(int(x) for x in va))
+        mapping = {}
+        for v in support:
+            w = next(w for w in range(256) if cb[w] * na >= ca[v] * nb)
+            mapping[v] = w
+        r = out[pair]
+        assert r["n_vals"] == len(support)
+        assert r["map_checksum"] == sum((v + 1) * m
+                                        for v, m in mapping.items())
+        cnts = np.bincount(va, minlength=256)
+        assert r["transformed_sum"] == sum(int(cnts[v]) * m
+                                           for v, m in mapping.items())
+        ms = [mapping[v] for v in support]
+        assert all(a <= b for a, b in zip(ms, ms[1:]))   # monotone
+        # matching law: after the CDF map, A's mean sits within a few
+        # gray levels of B's (a relative "moved closer" test is brittle
+        # when the two means nearly coincide to begin with)
+        mapped_mean = r["transformed_sum"] / na
+        assert abs(mapped_mean - vb.mean()) <= 4.0
