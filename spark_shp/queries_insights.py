@@ -5749,7 +5749,7 @@ def _gst_sql(epoch_us: str, div: str) -> str:
     bnd = ("CASE k " + " ".join(
         f"WHEN {i + 1} THEN CAST({b!r} AS DOUBLE)"
         for i, b in enumerate(GST_BOUNDS)) + " END")
-    z = ("(CASE WHEN ca + cb = 0 OR ca + cb = na + nb "
+    z = ("(CASE WHEN na = 0 OR nb = 0 OR ca + cb = 0 OR ca + cb = na + nb "
          "THEN CAST(NULL AS DOUBLE) ELSE "
          "ROUND((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) / "
          "SQRT((CAST(ca + cb AS DOUBLE) / (na + nb)) * "

@@ -1303,6 +1303,50 @@ QUERIES.update({
 RECSYS_NBR = 8
 RECSYS_K = 5
 
+# Tail from cooc onward as a {train}/{hold} placeholder template (the
+# _GS_ROUND pattern): the Spark side re-binds the two materialized views
+# by NAME, so reformatting the SQL can never silently miss a rewrite the
+# way the old whitespace-sensitive str.replace chain could.
+_RECSYS_TAIL = f"""cooc AS (
+  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n
+  FROM {{train}} a JOIN {{train}} b ON a.c = b.c AND a.p != b.p
+  GROUP BY 1, 2),
+nbr AS (
+  SELECT pa, pb, n FROM (
+    SELECT pa, pb, n,
+           ROW_NUMBER() OVER (PARTITION BY pa ORDER BY n DESC, pb) AS rn
+    FROM cooc) t WHERE rn <= {RECSYS_NBR}),
+recs0 AS (
+  SELECT t.c, nbr.pb AS cand, CAST(SUM(nbr.n) AS BIGINT) AS score
+  FROM {{train}} t JOIN nbr ON nbr.pa = t.p
+  GROUP BY 1, 2),
+recs AS (
+  SELECT recs0.c, cand, score FROM recs0
+  LEFT JOIN {{train}} tx ON tx.c = recs0.c AND tx.p = recs0.cand
+  WHERE tx.p IS NULL),
+top5 AS (
+  SELECT c, cand, rn FROM (
+    SELECT c, cand,
+           ROW_NUMBER() OVER (PARTITION BY c
+             ORDER BY score DESC, cand) AS rn
+    FROM recs) t WHERE rn <= {RECSYS_K}),
+eval_c AS (
+  SELECT {{hold}}.c,
+         MAX(CASE WHEN top5.rn = 1 AND top5.cand = {{hold}}.hp
+             THEN 1 ELSE 0 END) AS hit1,
+         MAX(CASE WHEN top5.cand = {{hold}}.hp THEN 1 ELSE 0 END) AS hit5
+  FROM {{hold}}
+  JOIN (SELECT DISTINCT c FROM {{train}}) tc ON tc.c = {{hold}}.c
+  LEFT JOIN top5 ON top5.c = {{hold}}.c
+  GROUP BY {{hold}}.c)
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(hit1) AS BIGINT) AS hits_at_1,
+       CAST(SUM(hit5) AS BIGINT) AS hits_at_5
+FROM eval_c JOIN customer ON c_custkey = eval_c.c
+GROUP BY 1
+"""
+
 _RECSYS_SQL = f"""
 WITH li AS (
   SELECT o_custkey AS c, l_partkey AS p, o_orderdate AS d,
@@ -1316,45 +1360,7 @@ hold AS (
 train AS (
   SELECT DISTINCT li.c, li.p
   FROM li JOIN hold ON li.c = hold.c WHERE li.p != hold.hp),
-cooc AS (
-  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n
-  FROM train a JOIN train b ON a.c = b.c AND a.p != b.p
-  GROUP BY 1, 2),
-nbr AS (
-  SELECT pa, pb, n FROM (
-    SELECT pa, pb, n,
-           ROW_NUMBER() OVER (PARTITION BY pa ORDER BY n DESC, pb) AS rn
-    FROM cooc) t WHERE rn <= {RECSYS_NBR}),
-recs0 AS (
-  SELECT t.c, nbr.pb AS cand, CAST(SUM(nbr.n) AS BIGINT) AS score
-  FROM train t JOIN nbr ON nbr.pa = t.p
-  GROUP BY 1, 2),
-recs AS (
-  SELECT recs0.c, cand, score FROM recs0
-  LEFT JOIN train tx ON tx.c = recs0.c AND tx.p = recs0.cand
-  WHERE tx.p IS NULL),
-top5 AS (
-  SELECT c, cand, rn FROM (
-    SELECT c, cand,
-           ROW_NUMBER() OVER (PARTITION BY c
-             ORDER BY score DESC, cand) AS rn
-    FROM recs) t WHERE rn <= {RECSYS_K}),
-eval_c AS (
-  SELECT hold.c,
-         MAX(CASE WHEN top5.rn = 1 AND top5.cand = hold.hp
-             THEN 1 ELSE 0 END) AS hit1,
-         MAX(CASE WHEN top5.cand = hold.hp THEN 1 ELSE 0 END) AS hit5
-  FROM hold
-  JOIN (SELECT DISTINCT c FROM train) tc ON tc.c = hold.c
-  LEFT JOIN top5 ON top5.c = hold.c
-  GROUP BY hold.c)
-SELECT c_mktsegment AS segment,
-       CAST(COUNT(*) AS BIGINT) AS n_customers,
-       CAST(SUM(hit1) AS BIGINT) AS hits_at_1,
-       CAST(SUM(hit5) AS BIGINT) AS hits_at_5
-FROM eval_c JOIN customer ON c_custkey = eval_c.c
-GROUP BY 1
-"""
+""" + _RECSYS_TAIL.format(train="train", hold="hold")
 
 
 def q_recsys_hitrate(spark, sf_dir):
@@ -1381,12 +1387,8 @@ def q_recsys_hitrate(spark, sf_dir):
         "JOIN rs_hold ON rs_li.c = rs_hold.c "
         "WHERE rs_li.p != rs_hold.hp").localCheckpoint()
     train.createOrReplaceTempView("rs_train")
-    tail = _RECSYS_SQL.split("cooc AS (")[1]
-    return spark.sql("WITH cooc AS (" + tail
-                     .replace(" train ", " rs_train ")
-                     .replace("FROM hold", "FROM rs_hold")
-                     .replace("hold.", "rs_hold.")
-                     .replace("FROM train)", "FROM rs_train)"))
+    return spark.sql(
+        "WITH " + _RECSYS_TAIL.format(train="rs_train", hold="rs_hold"))
 
 
 QUERIES.update({

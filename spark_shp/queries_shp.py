@@ -1984,9 +1984,9 @@ _VDG_WKT = (
     'PARAMETER["False_Easting",0.0],'
     'PARAMETER["False_Northing",0.0],'
     'PARAMETER["Central_Meridian",-7.0],UNIT["Meter",1.0]]')
-# sample inside the diamond |X|+|Y| <= 0.92 (inscribed in the unit map
-# circle) by pure AFFINE u01 math — no trig in the point generation, so
-# the oracle regenerates bit-identical coordinates
+# sample inside the unit map circle (|X|,|Y| <= 0.65, so radius
+# <= 0.92) by pure AFFINE u01 math — no trig in the point generation,
+# so the oracle regenerates bit-identical coordinates
 _VDG_HALF = 0.65 * math.pi * 6378137.0
 
 

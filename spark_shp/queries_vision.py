@@ -2030,7 +2030,7 @@ QUERIES.update({
 # transform every false-color and whitening pass starts from): the 3x3
 # channel covariance NUMERATOR matrix C_ij = n*s_ij - s_i*s_j is exact
 # int64 from real-decode moments (multimodal.channel_moments), and the
-# dominant eigenpair comes from a FIXED 8-step power iteration over
+# dominant eigenpair comes from a FIXED PCA_STEPS-step power iteration over
 # literal float stages shared verbatim between engines (the Kalman /
 # CRS fixed-unroll rule; inf-norm normalization, GREATEST guard for a
 # zero vector).  Gated: the exact C entries, the eigenvector (x0,x1,x2

@@ -59,8 +59,10 @@ _TAIL = [
     "shp_miller_reproject",   # A12 (same family — Miller Cylindrical)
     "shp_vdg_reproject",      # A12 (same family — Van der Grinten I)
     "images_phash_near_dup",  # dedup family via minhash_lsh_pairs/simhash
-    "shp_zip_bundle",         # A16-A18/A20 zip demux e2e (pytest in-window
-                              # coverage via shp fixtures; exact diffcheck)
+    "images_tile_density",    # B5 tile-assign via tile_assign_events
+                              # (displaced r4 so shp_zip_bundle's A16-A18/
+                              # A20 ingest e2e gets a driver row — VERDICT
+                              # r3 item 1)
     "wav_decode_stats",       # multimodal audio RIFF decode (exact oracle)
     "avi_frame_stats",        # multimodal video RIFF decode (exact oracle)
     "dedup_clusters",         # near-dup CC clustering (exact oracle)
@@ -413,11 +415,11 @@ if len(ALL_QUERIES) > DRIVER_WINDOW:
 EXPECTED_WINDOW = (
     "shp_decode_points", "dbf_decode_types", "shp_polygon_rings",
     "shp_polyline_parts", "shp_zm_semantics", "shp_reproject_families",
-    "shp_decode_index_join", "images_phash_verify",
+    "shp_decode_index_join", "shp_zip_bundle", "images_phash_verify",
     "clip_coverage_stats", "tile_assign_events", "cell_hierarchy",
     "cell_ring_sum", "polygon_cover_nations", "spatial_join_pairs",
     "spatial_join_agg", "spatial_join_chunked", "knn_events_nations_cells",
-    "range_join_counts", "images_tile_density", "images_hot_cell",
+    "range_join_counts", "images_hot_cell",
     "images_fence_join", "distance_join_events",
     "dedup_exact", "token_stats", "quality_score",
     "langid_heuristic", "minhash_signatures", "minhash_lsh_pairs",

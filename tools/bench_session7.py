@@ -47,7 +47,6 @@ def synthesize(spark):
     if os.path.isdir(OUT):
         shutil.rmtree(OUT)
     os.makedirs(OUT)
-    open(marker, "w").close()
     (spark.range(0, N, 1, 256)
      .selectExpr(
          "id AS event_id",
@@ -75,6 +74,8 @@ def synthesize(spark):
          f"1.0 + FLOOR({u01_sql('id * 19 + 1')} * 50.0) AS l_quantity",
          f"{u01_sql('id * 23 + 2')} * 90000.0 AS l_extendedprice")
      .write.parquet(f"{OUT}/lineitem.parquet"))
+    # marker LAST: a crash mid-write must force resynthesis next run
+    open(marker, "w").close()
 
 
 def timed(name, fn, rows, results, unit="rows"):
