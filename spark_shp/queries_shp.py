@@ -2079,6 +2079,169 @@ FROM s7
 ORACLE_SHP_VDG = _oracle_vdg_sql()
 
 
+N_TOW = 40
+# OSGB36 / British National Grid (EPSG:27700) in the GDAL-style WKT1 that
+# carries the published OSGB36→WGS84 position-vector TOWGS84 — the datum
+# path proj4 applies only when TOWGS84 is explicit in the WKT
+# (lib/index.js:≈125-140 [RECONSTRUCTED]).
+_TOW_WKT = (
+    'PROJCS["OSGB 1936 / British National Grid",GEOGCS["OSGB 1936",'
+    'DATUM["OSGB_1936",SPHEROID["Airy 1830",6377563.396,299.3249646],'
+    'TOWGS84[446.448,-125.157,542.06,0.15,0.247,0.842,-20.489]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Transverse_Mercator"],'
+    'PARAMETER["latitude_of_origin",49],PARAMETER["central_meridian",-2],'
+    'PARAMETER["scale_factor",0.9996012717],'
+    'PARAMETER["false_easting",400000],'
+    'PARAMETER["false_northing",-100000],UNIT["metre",1]]')
+_TOW_TM_PARAMS = (6377563.396, 299.3249646, -2.0, 49.0, 0.9996012717,
+                  400000.0, -100000.0)
+_TOW_P7 = (446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489)
+
+
+def q_shp_towgs84_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 + datum stage: a Point shapefile in British National Grid
+    meters whose .prj carries the OSGB36 TOWGS84 decodes through the
+    engine's Snyder TM inverse AND the 7-param position-vector Helmert
+    shift (parser.make_datum_shift: geodetic→geocentric on Airy 1830 at
+    h=0, EPSG method 9606 rotation/scale, Bowring closed-form
+    geocentric→geodetic on WGS84 — ~110 m west of the projection-only
+    answer, the systematic offset VERDICT r3 'What's missing' #1 named).
+    The oracle unrolls the identical float64 op sequence in DuckDB from
+    the same tmerc_constants() + datum_constants(); 9-decimal rounding
+    policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_TOW, dtype=np.int64)
+    xm = 100000.0 + u01(i * 83 + 7) * 550000.0   # GB easting range
+    ym = u01(i * 83 + 8) * 1200000.0             # Scilly → Shetland
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_TOW_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_towgs84_sql() -> str:
+    """TM inverse + TOWGS84 Helmert as DuckDB SQL, op-for-op the numpy
+    composition projection_from_wkt builds (shift∘inv — including the
+    engine's degrees→radians roundtrip between the two stages), from the
+    same tmerc_constants() and datum_constants() float64 values."""
+    import math
+    from .shp.parser import datum_constants, tmerc_constants
+    c = {k: f"CAST({v!r} AS DOUBLE)"
+         for k, v in tmerc_constants(*_TOW_TM_PARAMS).items()}
+    d = {k: f"CAST({v!r} AS DOUBLE)"
+         for k, v in datum_constants(
+             _TOW_TM_PARAMS[0], _TOW_TM_PARAMS[1], _TOW_P7).items()}
+    # np.radians multiplies by the double nearest pi/180 — a single
+    # constant multiply, NOT x*pi/180 (two roundings)
+    d2r = f"CAST({(math.pi / 180.0)!r} AS DOUBLE)"
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         100000.0 + {u01_sql('i * 83 + 7')} * 550000.0 AS x,
+         {u01_sql('i * 83 + 8')} * 1200000.0 AS y
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_TOW - 1})) AS i) t),
+s1 AS (
+  SELECT rec_no, x - {c['fe']} AS xx,
+         ({c['m0']} + (y - {c['fn']}) / {c['k0']})
+           / ({c['a']} * {c['m_coef']}) AS mu
+  FROM src),
+s2 AS (
+  SELECT rec_no, xx,
+         mu + {c['mu2']} * SIN(2.0 * mu) + {c['mu4']} * SIN(4.0 * mu)
+            + {c['mu6']} * SIN(6.0 * mu) + {c['mu8']} * SIN(8.0 * mu) AS phi1
+  FROM s1),
+s3 AS (
+  SELECT rec_no, xx, phi1, SIN(phi1) AS sin1, COS(phi1) AS cos1,
+         TAN(phi1) AS tan1
+  FROM s2),
+s4 AS (
+  SELECT rec_no, xx, phi1, sin1, cos1, tan1,
+         {c['ep2']} * cos1 * cos1 AS c1, tan1 * tan1 AS t1,
+         1.0 - {c['e2']} * sin1 * sin1 AS w
+  FROM s3),
+s5 AS (
+  SELECT rec_no, xx, phi1, cos1, tan1, c1, t1,
+         {c['a']} / SQRT(w) AS n1,
+         {c['a']} * (1.0 - {c['e2']}) / (w * SQRT(w)) AS r1
+  FROM s4),
+s6 AS (
+  SELECT rec_no, phi1, cos1, tan1, c1, t1, n1, r1,
+         xx / (n1 * {c['k0']}) AS dd,
+         (xx / (n1 * {c['k0']})) * (xx / (n1 * {c['k0']})) AS dd2
+  FROM s5),
+tm AS (
+  SELECT rec_no,
+         DEGREES({c['lam0']} + (dd
+               - (1.0 + 2.0 * t1 + c1) * dd2 * dd / 6.0
+               + (5.0 - 2.0 * c1 + 28.0 * t1 - 3.0 * c1 * c1
+                  + 8.0 * {c['ep2']} + 24.0 * t1 * t1)
+                 * dd2 * dd2 * dd / 120.0) / cos1) AS lon_s,
+         DEGREES(phi1 - (n1 * tan1 / r1) * (
+               dd2 / 2.0
+               - (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1 * c1
+                  - 9.0 * {c['ep2']}) * dd2 * dd2 / 24.0
+               + (61.0 + 90.0 * t1 + 298.0 * c1 + 45.0 * t1 * t1
+                  - 252.0 * {c['ep2']} - 3.0 * c1 * c1)
+                 * dd2 * dd2 * dd2 / 720.0)) AS lat_s
+  FROM s6),
+g1 AS (
+  SELECT rec_no, lon_s * {d2r} AS lam, lat_s * {d2r} AS phi FROM tm),
+g2 AS (
+  SELECT rec_no, lam, SIN(phi) AS sp, COS(phi) AS cp FROM g1),
+g3 AS (
+  SELECT rec_no, lam, sp, cp,
+         {d['a_src']} / SQRT(1.0 - {d['e2_src']} * sp * sp) AS n
+  FROM g2),
+g4 AS (
+  SELECT rec_no,
+         n * cp * COS(lam) AS gx, n * cp * SIN(lam) AS gy,
+         n * (1.0 - {d['e2_src']}) * sp AS gz
+  FROM g3),
+g5 AS (
+  SELECT rec_no,
+         {d['dx']} + {d['m']} * (gx - {d['rz']} * gy + {d['ry']} * gz) AS x2,
+         {d['dy']} + {d['m']} * ({d['rz']} * gx + gy - {d['rx']} * gz) AS y2,
+         {d['dz']} + {d['m']} * (-{d['ry']} * gx + {d['rx']} * gy + gz) AS z2
+  FROM g4),
+g6 AS (
+  SELECT rec_no, x2, y2, z2, SQRT(x2 * x2 + y2 * y2) AS p FROM g5),
+g7 AS (
+  SELECT rec_no, x2, y2, z2, p,
+         SIN(ATAN2(z2 * {d['aw']}, p * {d['bw']})) AS su,
+         COS(ATAN2(z2 * {d['aw']}, p * {d['bw']})) AS cu
+  FROM g6)
+SELECT rec_no,
+       ROUND(DEGREES(ATAN2(y2, x2)), 9) AS lon,
+       ROUND(DEGREES(ATAN2(z2 + {d['ep2w_bw']} * su * su * su,
+                           p - {d['e2w_aw']} * cu * cu * cu)), 9) AS lat
+FROM g7
+"""
+
+
+ORACLE_SHP_TOWGS84 = _oracle_towgs84_sql()
+
+
 N_AEQD = 40
 _AEQD_WKT = (
     'PROJCS["AEQD_Test_Sphere",GEOGCS["GCS_Sphere",'
@@ -2526,15 +2689,16 @@ ORACLE_SHP_ORTHO = _oracle_ortho_sql()
 
 
 def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 — ALL twenty-three supported .prj projection families under ONE gated
+    """A12 — ALL twenty-four supported .prj projection families under ONE gated
     row (the shp_zm_semantics consolidation pattern applied to CRS): each
     family decodes its own Point shapefile + WKT through the engine's
     inverse kernel, tagged with a family id, unioned. Driver-gates the
     conic families (LCC 2SP, Albers), Polar Stereographic, LAEA
     (EPSG:3035 EU grid), ellipsoidal Mercator (EPSG:3395), and Sinusoidal
     (MODIS sphere), Mollweide (EPSG:54009 equal-area world), and
-    Oblique/Double Stereographic (EPSG:28992 Dutch RD), and Krovak (S-JTSK) without widening
-    the 50-query window.
+    Oblique/Double Stereographic (EPSG:28992 Dutch RD), and Krovak (S-JTSK),
+    plus (r4) the OSGB36 British National Grid with its explicit TOWGS84
+    7-param datum stage, without widening the 50-query window.
     Upstream anchor: proj4-based reprojection in lib/index.js:≈125-140
     [RECONSTRUCTED]."""
     fams = [q_shp_webmerc_reproject, q_shp_utm_reproject,
@@ -2548,7 +2712,7 @@ def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_shp_gnomonic_reproject, q_shp_ortho_reproject,
             q_shp_bonne_reproject, q_shp_eckert4_reproject,
             q_shp_robinson_reproject, q_shp_miller_reproject,
-            q_shp_vdg_reproject]
+            q_shp_vdg_reproject, q_shp_towgs84_reproject]
     out = None
     for fam_id, fn in enumerate(fams):
         d = fn(spark, sf_dir).select(
@@ -2567,7 +2731,8 @@ ORACLE_REPROJECT_FAMILIES = "\nUNION ALL\n".join(
         ORACLE_SHP_CASSINI, ORACLE_SHP_AEQD, ORACLE_SHP_CEA,
         ORACLE_SHP_POLYCONIC, ORACLE_SHP_GNOM, ORACLE_SHP_ORTHO,
         ORACLE_SHP_BONNE, ORACLE_SHP_ECK4,
-        ORACLE_SHP_ROBIN, ORACLE_SHP_MILLER, ORACLE_SHP_VDG]))
+        ORACLE_SHP_ROBIN, ORACLE_SHP_MILLER, ORACLE_SHP_VDG,
+        ORACLE_SHP_TOWGS84]))
 
 
 def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3030,6 +3195,7 @@ QUERIES: dict = {
                                ORACLE_SHP_ROBIN),
     "shp_miller_reproject": (q_shp_miller_reproject, ORACLE_SHP_MILLER),
     "shp_vdg_reproject": (q_shp_vdg_reproject, ORACLE_SHP_VDG),
+    "shp_towgs84_reproject": (q_shp_towgs84_reproject, ORACLE_SHP_TOWGS84),
     "shp_aeqd_reproject": (q_shp_aeqd_reproject, ORACLE_SHP_AEQD),
     "shp_gnomonic_reproject": (q_shp_gnomonic_reproject, ORACLE_SHP_GNOM),
     "shp_ortho_reproject": (q_shp_ortho_reproject, ORACLE_SHP_ORTHO),

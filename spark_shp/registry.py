@@ -46,6 +46,7 @@ _TAIL = [
     "shp_mollweide_reproject",  # A12 (same family)
     "shp_oblique_stereo_reproject",  # A12 (same family)
     "shp_hom_reproject",      # A12 (same family — Hotine Oblique Mercator)
+    "shp_towgs84_reproject",  # A12 + TOWGS84 datum stage (in families row)
     "shp_krovak_reproject",   # A12 (same family — Krovak S-JTSK)
     "shp_cassini_reproject",  # A12 (same family — Cassini-Soldner)
     "shp_aeqd_reproject",     # A12 (same family — Azimuthal Equidistant)

@@ -1574,7 +1574,126 @@ def make_inv_krovak(a: float, inv_f: float, lonc_deg: float,
 
 
 
+# --- TOWGS84 datum shifts (Helmert position-vector, EPSG method 9606) --------
+
+_WGS84_A = 6378137.0
+_WGS84_INV_F = 298.257223563
+
+
+def _wkt_towgs84(wkt: str) -> "tuple | None":
+    """Explicit ``TOWGS84[dx,dy,dz(,rx,ry,rz,ds)]`` parameters from WKT1,
+    or None. Matches the reference's proj4 behavior (``lib/index.js:≈125-140``
+    [RECONSTRUCTED]): proj4's WKT path applies a datum transform only when
+    the WKT carries an explicit TOWGS84 — ESRI-style WKTs without one get
+    no shift (so e.g. the bare D_S_JTSK Krovak fixture stays projection-
+    only, exactly as proj4 leaves it). An all-zero TOWGS84 (already WGS84)
+    also means no shift."""
+    m = re.search(r'TOWGS84\[([^\]]*)\]', wkt, re.I)
+    if not m:
+        return None
+    try:
+        vals = [float(v) for v in m.group(1).split(",")]
+    except ValueError:
+        return None
+    if len(vals) == 3:
+        vals += [0.0, 0.0, 0.0, 0.0]
+    if len(vals) != 7 or all(v == 0.0 for v in vals):
+        return None
+    return tuple(vals)
+
+
+def datum_constants(a: float, inv_f: float, p7) -> dict:
+    """Point-independent constants for the source-datum → WGS84 Helmert
+    step: source ellipsoid (a, e²), position-vector terms (rotations
+    arc-sec → radians, scale ppm → factor), and the WGS84 target-ellipsoid
+    terms the Bowring closed-form geocentric→geodetic step needs. Shared
+    by the numpy kernel AND the DuckDB oracle generator (the
+    tmerc_constants policy — both consume these exact float64 values)."""
+    dx, dy, dz, rx_s, ry_s, rz_s, ds_ppm = p7
+    e2w = _e2_of(_WGS84_INV_F)
+    bw = _WGS84_A * (1.0 - 1.0 / _WGS84_INV_F)
+    sec2rad = math.pi / 648000.0          # arc-seconds → radians
+    return {
+        "a_src": a, "e2_src": _e2_of(inv_f),
+        "dx": dx, "dy": dy, "dz": dz,
+        "rx": rx_s * sec2rad, "ry": ry_s * sec2rad, "rz": rz_s * sec2rad,
+        "m": 1.0 + ds_ppm * 1e-6,
+        "aw": _WGS84_A, "bw": bw,
+        "ep2w_bw": e2w / (1.0 - e2w) * bw,    # e'² · b  (Bowring numerator)
+        "e2w_aw": e2w * _WGS84_A,             # e² · a   (Bowring denominator)
+    }
+
+
+def make_datum_shift(a: float, inv_f: float, p7):
+    """source-datum lon/lat° → WGS84 lon/lat° (EPSG method 9606, the
+    position-vector sign convention proj4's datum_transform uses):
+    geodetic→geocentric at h=0 on the source ellipsoid, 7-param Helmert,
+    then geocentric→geodetic on WGS84 via the Bowring (1976) closed form
+    — sub-µm vs the iterative solution for earth-surface points, and
+    fully unrollable into oracle SQL (no data-dependent iteration).
+    Returns a vectorized (n,2) degrees → (n,2) degrees fn."""
+    c = datum_constants(a, inv_f, p7)
+    a_s, e2s = c["a_src"], c["e2_src"]
+    dx, dy, dz, rx, ry, rz, m = (c["dx"], c["dy"], c["dz"],
+                                 c["rx"], c["ry"], c["rz"], c["m"])
+    aw, bw, ep2w_bw, e2w_aw = c["aw"], c["bw"], c["ep2w_bw"], c["e2w_aw"]
+
+    def shift(lonlat: np.ndarray) -> np.ndarray:
+        lam = np.radians(lonlat[:, 0])
+        phi = np.radians(lonlat[:, 1])
+        sp, cp = np.sin(phi), np.cos(phi)
+        n = a_s / np.sqrt(1.0 - e2s * sp * sp)
+        x = n * cp * np.cos(lam)
+        y = n * cp * np.sin(lam)
+        z = n * (1.0 - e2s) * sp
+        x2 = dx + m * (x - rz * y + ry * z)
+        y2 = dy + m * (rz * x + y - rx * z)
+        z2 = dz + m * (-ry * x + rx * y + z)
+        p = np.sqrt(x2 * x2 + y2 * y2)
+        u = np.arctan2(z2 * aw, p * bw)
+        su, cu = np.sin(u), np.cos(u)
+        lat = np.arctan2(z2 + ep2w_bw * su * su * su,
+                         p - e2w_aw * cu * cu * cu)
+        lon = np.arctan2(y2, x2)
+        return np.column_stack([np.degrees(lon), np.degrees(lat)])
+
+    return shift
+
+
 def projection_from_wkt(wkt) -> "callable | None":
+    """WKT string → inverse-transform fn to WGS84 lon/lat, or None
+    (identity). Dispatches the projection inverse via
+    :func:`_projection_only_from_wkt` below, then — when the WKT carries
+    an explicit non-zero ``TOWGS84`` — composes the 3/7-param Helmert
+    datum shift after it (projection inverse yields lon/lat on the SOURCE
+    datum; the shift moves them to WGS84). A GEOGCS-only WKT with a
+    TOWGS84 gets the pure datum shift (coordinates are already degrees on
+    the source datum). Upstream anchor: proj4's WKT datum path,
+    ``lib/index.js:≈125-140`` [RECONSTRUCTED]."""
+    inv = _projection_only_from_wkt(wkt)
+    if not wkt or not isinstance(wkt, str):
+        return inv
+    try:
+        p7 = _wkt_towgs84(wkt)
+        if p7 is None:
+            return inv
+        a, inv_f = _wkt_spheroid(wkt)
+        shift = make_datum_shift(a, inv_f, p7)
+    except Exception:
+        return inv
+    if inv is None:
+        # geographic CRS on a shifted datum — apply only the Helmert step
+        if re.search(r'GEOGCS\[', wkt, re.I):
+            return shift
+        return None
+
+    def f(pts):
+        return shift(inv(pts))
+
+    return f
+
+
+def _projection_only_from_wkt(wkt) -> "callable | None":
     """WKT string → inverse-transform fn to WGS84 lon/lat, or None (identity).
 
     Recognizes Pseudo-Mercator (EPSG:3857 — sphere, dispatched on the

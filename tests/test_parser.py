@@ -1771,3 +1771,104 @@ def test_miller_vdg_wkt_dispatch():
         assert inv is not None
         out = inv(np.array([[0.0, 0.0]]))
         assert abs(out[0, 0] - lon0) < 1e-9 and abs(out[0, 1]) < 1e-9
+
+
+def test_datum_shift_epsg_worked_example():
+    """EPSG Guidance Note 7-2, Position Vector 7-param (method 9606)
+    worked example — WGS72→WGS84 (tz=4.5 m, rz=0.554", ds=0.219 ppm):
+    input 55°N 4°E h=0 on WGS72 must move +0.090" in lat, +0.554" in
+    lon (published to 3 decimals of an arc-second)."""
+    import numpy as np
+    from spark_shp.shp.parser import make_datum_shift
+
+    shift = make_datum_shift(6378135.0, 298.26,
+                             (0.0, 0.0, 4.5, 0.0, 0.0, 0.554, 0.219))
+    out = shift(np.array([[4.0, 55.0]]))
+    assert abs((out[0, 1] - 55.0) * 3600.0 - 0.090) < 2e-3
+    assert abs((out[0, 0] - 4.0) * 3600.0 - 0.554) < 2e-3
+
+
+def test_datum_shift_osgb_greenwich_anchor():
+    """The Airy Transit Circle has OSGB36 longitude 0 by construction;
+    its WGS84 longitude is the famous ~5.3" W (≈102 m). The single
+    national 7-param Helmert is only good to ~5-10 m against the
+    grid-based OSTN truth, so assert the shift lands in the published
+    band (5.8" here — west, ~100-120 m) rather than a tight value."""
+    import numpy as np
+    from spark_shp.queries_shp import _TOW_P7
+    from spark_shp.shp.parser import make_datum_shift
+
+    shift = make_datum_shift(6377563.396, 299.3249646, _TOW_P7)
+    out = shift(np.array([[0.0, 51.4775]]))
+    lon_sec = out[0, 0] * 3600.0
+    assert -7.0 < lon_sec < -4.5          # west of Greenwich, ~100-140 m
+    assert 0.0 < (out[0, 1] - 51.4775) * 3600.0 < 3.0   # small north shift
+
+
+def test_bowring_matches_iterative_geocentric_to_geodetic():
+    """The closed-form Bowring step inside make_datum_shift must agree
+    with an INDEPENDENTLY written fixed-point iteration (the proj4-style
+    loop) to <1e-9° over a latitude sweep."""
+    import math
+    import numpy as np
+    from spark_shp.queries_shp import _TOW_P7
+    from spark_shp.shp.parser import datum_constants, make_datum_shift
+
+    c = dict(datum_constants(6377563.396, 299.3249646, _TOW_P7))
+    aw, e2w = c["aw"], c["e2w_aw"] / c["aw"]
+    shift = make_datum_shift(6377563.396, 299.3249646, _TOW_P7)
+    lats = np.linspace(-80.0, 80.0, 33)
+    lons = np.linspace(-170.0, 170.0, 33)
+    out = shift(np.column_stack([lons, lats]))
+    # rebuild the geocentric coordinates the kernel produced, then solve
+    # lat iteratively on WGS84 and compare
+    a_s, e2s = c["a_src"], c["e2_src"]
+    lam, phi = np.radians(lons), np.radians(lats)
+    sp, cp = np.sin(phi), np.cos(phi)
+    n = a_s / np.sqrt(1.0 - e2s * sp * sp)
+    x, y, z = n * cp * np.cos(lam), n * cp * np.sin(lam), n * (1 - e2s) * sp
+    m = c["m"]
+    x2 = c["dx"] + m * (x - c["rz"] * y + c["ry"] * z)
+    y2 = c["dy"] + m * (c["rz"] * x + y - c["rx"] * z)
+    z2 = c["dz"] + m * (-c["ry"] * x + c["rx"] * y + z)
+    p = np.sqrt(x2 * x2 + y2 * y2)
+    lat_it = np.arctan2(z2, p * (1.0 - e2w))
+    for _ in range(12):
+        s = np.sin(lat_it)
+        nw = aw / np.sqrt(1.0 - e2w * s * s)
+        lat_it = np.arctan2(z2 + e2w * nw * s, p)
+    assert np.max(np.abs(np.degrees(lat_it) - out[:, 1])) < 1e-9
+
+
+def test_towgs84_wkt_composition_and_gates():
+    """projection_from_wkt must (a) compose the Helmert stage after the
+    TM inverse when TOWGS84 is explicit (≈110 m offset vs projection-only
+    — the r3 VERDICT divergence), (b) skip the stage for an all-zero
+    TOWGS84, (c) apply a PURE shift for a GEOGCS-only WKT with TOWGS84,
+    and (d) leave TOWGS84-less WKTs (the ESRI fixtures) byte-stable."""
+    import numpy as np
+    from spark_shp.queries_shp import _KRO_WKT, _TOW_WKT
+    from spark_shp.shp.parser import (_projection_only_from_wkt,
+                                      projection_from_wkt)
+
+    pts = np.array([[400000.0, 500000.0]])     # central England
+    with_datum = projection_from_wkt(_TOW_WKT)(pts)
+    proj_only = _projection_only_from_wkt(_TOW_WKT)(pts)
+    dlon_m = abs(with_datum[0, 0] - proj_only[0, 0]) * 111320.0 * 0.62
+    assert 60.0 < dlon_m < 160.0               # the ~110 m datum offset
+
+    zero = _TOW_WKT.replace(
+        "TOWGS84[446.448,-125.157,542.06,0.15,0.247,0.842,-20.489]",
+        "TOWGS84[0,0,0,0,0,0,0]")
+    assert np.array_equal(projection_from_wkt(zero)(pts), proj_only)
+
+    geog = ('GEOGCS["OSGB 1936",DATUM["OSGB_1936",'
+            'SPHEROID["Airy 1830",6377563.396,299.3249646],'
+            'TOWGS84[446.448,-125.157,542.06,0.15,0.247,0.842,-20.489]],'
+            'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]')
+    out = projection_from_wkt(geog)(np.array([[0.0, 51.4775]]))
+    assert abs(out[0, 0] * 3600.0 + 5.8) < 1.5   # pure shift ≈ 5.8" W
+
+    kro = projection_from_wkt(_KRO_WKT)(np.array([[-568990.9967,
+                                                   -1050538.6431]]))
+    assert abs(kro[0, 0] - 16.84977194) < 1e-6   # no TOWGS84 → unchanged
