@@ -5975,11 +5975,33 @@ QUERIES.update({
 # over the type-sorted cents are EXACT (int64 for S0, DECIMAL(38,0)
 # for the rank-weighted sums — (i^3 x) overflows int64 at bench
 # scale), and l1/l2, L-CV, L-skewness, L-kurtosis compose them in
-# literal float expressions.  The per-type rank window serializes each
-# type into one task (the DOCUMENTED average_precision trade-off:
-# exact global ranks per group need the group's total order).
+# literal float expressions.  The Spark side de-serializes the per-type
+# rank window with the outlier_audit two-phase pattern (VERDICT r3 item
+# 4): bucket cents into LMOM_BUCKET-wide ranges, rank only WITHIN each
+# (type, bucket) — parallelism types × buckets instead of one task per
+# type — and recover the exact global rank as the bucket's cumulative
+# base offset (a window over the TINY per-bucket aggregate) plus the
+# local rank.  Buckets are monotonic in x and ties share a bucket, so
+# base + local == the oracle's global ROW_NUMBER exactly.
 
-def _lmom_sql() -> str:
+LMOM_BUCKET = 4096
+
+
+def _lmom_m_sql(ranked: str) -> str:
+    """The PWM-numerator aggregate over a (g, x, i) relation — shared
+    verbatim between the oracle's global-window ranks and the Spark
+    side's two-phase ranks so the DECIMAL(38,0) sum types stay equal."""
+    return f"""
+  SELECT g, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS s0,
+         SUM(CAST(i - 1 AS DECIMAL(38, 0)) * x) AS s1,
+         SUM(CAST((i - 1) * (i - 2) AS DECIMAL(38, 0)) * x) AS s2,
+         SUM(CAST(i - 1 AS DECIMAL(38, 0)) * (i - 2) * (i - 3) * x)
+           AS s3
+  FROM {ranked} GROUP BY 1"""
+
+
+def _lmom_select(src: str) -> str:
     den = {r: " * ".join(f"(CAST(n AS DOUBLE) - {j})"
                          for j in range(r + 1))
            for r in range(4)}
@@ -5988,6 +6010,16 @@ def _lmom_sql() -> str:
     l2 = f"(2.0 * {b[1]} - {b[0]})"
     l3 = f"(6.0 * {b[2]} - 6.0 * {b[1]} + {b[0]})"
     l4 = f"(20.0 * {b[3]} - 30.0 * {b[2]} + 12.0 * {b[1]} - {b[0]})"
+    return f"""SELECT g AS event_type, CAST(n AS BIGINT) AS n, s0,
+       ROUND({l1}, 6) AS l1_cents,
+       ROUND({l2}, 6) AS l2_cents,
+       ROUND({l2} / {l1}, 6) AS l_cv,
+       ROUND({l3} / {l2}, 6) AS l_skew,
+       ROUND({l4} / {l2}, 6) AS l_kurt
+FROM {src}"""
+
+
+def _lmom_sql() -> str:
     return f"""
 WITH vals AS (
   SELECT event_type AS g, event_id,
@@ -5995,29 +6027,33 @@ WITH vals AS (
   FROM events),
 ranked AS (
   SELECT g, x,
-         ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, event_id) AS i
+         CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, event_id)
+              AS BIGINT) AS i
   FROM vals),
-m AS (
-  SELECT g, COUNT(*) AS n,
-         CAST(SUM(x) AS BIGINT) AS s0,
-         SUM(CAST(i - 1 AS DECIMAL(38, 0)) * x) AS s1,
-         SUM(CAST((i - 1) * (i - 2) AS DECIMAL(38, 0)) * x) AS s2,
-         SUM(CAST(i - 1 AS DECIMAL(38, 0)) * (i - 2) * (i - 3) * x)
-           AS s3
-  FROM ranked GROUP BY 1)
-SELECT g AS event_type, CAST(n AS BIGINT) AS n, s0,
-       ROUND({l1}, 6) AS l1_cents,
-       ROUND({l2}, 6) AS l2_cents,
-       ROUND({l2} / {l1}, 6) AS l_cv,
-       ROUND({l3} / {l2}, 6) AS l_skew,
-       ROUND({l4} / {l2}, 6) AS l_kurt
-FROM m
+m AS ({_lmom_m_sql('ranked')})
+{_lmom_select('m')}
 """
 
 
 def q_l_moments(spark, sf_dir):
-    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_lmom_sql())
+    v = _t(spark, sf_dir, "events").selectExpr(
+        "event_type AS g", "event_id",
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x").selectExpr(
+        "g", "event_id", "x",
+        f"CAST(FLOOR(x / {LMOM_BUCKET}.0) AS BIGINT) AS bkt")
+    base = (v.groupBy("g", "bkt").agg(F.count(F.lit(1)).alias("c"))
+            .selectExpr(
+                "g", "bkt",
+                "COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY bkt "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+                "AS base"))
+    ranked = v.join(F.broadcast(base), ["g", "bkt"]).selectExpr(
+        "g", "x",
+        "base + ROW_NUMBER() OVER (PARTITION BY g, bkt "
+        "ORDER BY x, event_id) AS i")
+    ranked.createOrReplaceTempView("lmom_ranked")
+    return spark.sql(
+        f"WITH m AS ({_lmom_m_sql('lmom_ranked')})\n{_lmom_select('m')}")
 
 
 QUERIES.update({

@@ -477,3 +477,60 @@ def test_recsys_hitrate_matches_sequential_recommender(spark):
     totn = sum(r["n_customers"] for r in out.values())
     tot1 = sum(r["hits_at_1"] for r in out.values())
     assert 0 < tot5 < totn and tot1 <= tot5
+
+
+def test_als_full_loop_rmse_decreases(spark):
+    """VERDICT r3 item 5: alternating the gated ridge half-step user↔item
+    must drive training RMSE monotonically down over ≥3 alternations on a
+    planted rank-2 matrix, and recover most of the planted structure."""
+    import numpy as np
+    from spark_shp import als
+
+    # planted low-rank ratings: r = tu·ti with deterministic factors
+    u = np.repeat(np.arange(120, dtype=np.int64), 40)
+    i = np.tile(np.arange(40, dtype=np.int64), 120)
+    tu = np.stack([(u % 7 + 1) / 7.0, (u % 5 + 1) / 5.0], axis=1)
+    ti = np.stack([(i % 6 + 1) / 6.0, (i % 11 + 1) / 11.0], axis=1)
+    r = (tu * ti).sum(axis=1)
+    import pandas as pd
+    inter = spark.createDataFrame(
+        pd.DataFrame({"u": u, "i": i, "r": r}))
+
+    rmses = []
+    items = als.init_factors(
+        inter.selectExpr("CAST(u AS BIGINT) u", "CAST(i AS BIGINT) i",
+                         "CAST(r AS DOUBLE) r"), "i", 2).localCheckpoint()
+    inter2 = inter.selectExpr("CAST(u AS BIGINT) u", "CAST(i AS BIGINT) i",
+                              "CAST(r AS DOUBLE) r")
+    users = None
+    for _ in range(4):
+        users = als.als_half_step(inter2, items, "u", "i", 2, 0.05,
+                                  broadcast_fixed=True).localCheckpoint()
+        items = als.als_half_step(inter2, users, "i", "u", 2,
+                                  0.05).localCheckpoint()
+        rmses.append(als.als_rmse(inter2, users, items, 2))
+    # monotone decrease over the alternations, and real convergence
+    assert all(b <= a + 1e-12 for a, b in zip(rmses, rmses[1:])), rmses
+    # iteration 1 already lands near the planted solution on an exactly
+    # rank-2 matrix; the loop must still halve the residual and end tiny
+    assert rmses[-1] < 0.5 * rmses[0]
+    assert rmses[-1] < 0.05
+
+
+def test_als_train_wrapper_matches_manual_loop(spark):
+    """als_train is exactly the manual alternation (same init, same
+    order), so its outputs must reproduce the loop's RMSE."""
+    import numpy as np
+    import pandas as pd
+    from spark_shp import als
+
+    u = np.repeat(np.arange(30, dtype=np.int64), 12)
+    i = np.tile(np.arange(12, dtype=np.int64), 30)
+    r = ((u % 4 + 1) * (i % 3 + 1) / 12.0)
+    inter = spark.createDataFrame(pd.DataFrame({"u": u, "i": i, "r": r}))
+    users, items = als.als_train(inter, rank=2, iters=2, lam=0.05)
+    rmse = als.als_rmse(
+        inter.selectExpr("CAST(u AS BIGINT) u", "CAST(i AS BIGINT) i",
+                         "CAST(r AS DOUBLE) r"), users, items, 2)
+    assert rmse < 0.2
+    assert users.count() == 30 and items.count() == 12
