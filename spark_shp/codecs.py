@@ -121,6 +121,9 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         return png_encode(pixels)
     if fmt == "qb":
         return qb_encode(pixels)
+    if fmt == "jpg":
+        from . import jpeg
+        return jpeg.jpeg_encode(pixels)
     raise ValueError(f"unknown image format {fmt!r}")
 
 
@@ -132,6 +135,9 @@ def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         return png_decode(data)
     if fmt == "qb":
         return qb_decode(data)
+    if fmt == "jpg":
+        from . import jpeg
+        return jpeg.jpeg_decode(data)
     raise ValueError(f"unknown image format {fmt!r}")
 
 

@@ -2178,3 +2178,94 @@ hist AS MATERIALIZED (
 QUERIES.update({
     "image_histogram_match": (q_image_histogram_match, _oracle_hmatch()),
 })
+
+
+# --- jpeg_decode_stats: baseline JPEG codec QA (B11, compressed half) --------
+#
+# The pure-numpy baseline JPEG codec (spark_shp/jpeg.py — ITU-T T.81
+# baseline sequential, Annex K tables, VERDICT r3 item 6) under the gate:
+# deterministic smooth test images encode → decode per mode (4:4:4 and
+# 4:2:0, with and without restart markers) inside executor tasks, and the
+# row asserts the input_hint per-row invariant — PSNR ≥ 40 dB for every
+# lossy image, dims preserved, stream smaller than raw.  Lossy output
+# can't be replayed value-for-value in SQL, so the oracle states the
+# group invariants known BY CONSTRUCTION (the images_phash_verify VALUES
+# pattern); bit-level decode properties (uniform-DC exactness, RST
+# equivalence, Annex-K header fields) are pinned in tests/test_jpeg.py.
+
+JPEG_QA_N = 24          # images per mode
+
+
+def _jpeg_qa_pixels(i: int, w: int, h: int) -> "np.ndarray":
+    """Smooth deterministic content (low-frequency sinusoid + gradient)
+    — reproducible from (i, w, h) alone on any executor."""
+    y, x = np.mgrid[0:h, 0:w].astype(np.float64)
+    f1 = 5.0 + (i % 7)
+    f2 = 6.0 + (i % 5)
+    # luma-dominant (photographic-like): detail lives in L, chroma varies
+    # on a much longer wavelength so 2×2 subsampling stays ≥ 40 dB
+    lum = 128.0 + 80.0 * np.sin(x / f1 + i) * np.cos(y / f2)
+    c1 = 22.0 * np.sin(x / 16.0 + i)
+    c2 = 22.0 * np.cos(y / 14.0 - i)
+    r = lum + c1
+    g = lum - 0.5 * c1 - 0.5 * c2
+    b = lum + c2
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0,
+                   255).astype(np.uint8)
+
+
+def q_jpeg_decode_stats(spark, sf_dir):
+    from pyspark.sql import types as T
+    modes = [("s444", False, 0), ("s420", True, 0),
+             ("s444_rst", False, 3), ("s420_rst", True, 5)]
+    rows = [(m, i) for m, _, _ in modes for i in range(JPEG_QA_N)]
+    src = spark.createDataFrame(rows, "mode string, i int") \
+        .repartition(8)
+    schema = T.StructType([
+        T.StructField("mode", T.StringType()),
+        T.StructField("i", T.IntegerType()),
+        T.StructField("psnr_ge_40", T.IntegerType()),
+        T.StructField("dims_ok", T.IntegerType()),
+        T.StructField("smaller_than_raw", T.IntegerType()),
+    ])
+    mode_map = {m: (ss, rst) for m, ss, rst in modes}
+
+    def work(batches):
+        from . import codecs, jpeg
+        for pdf in batches:
+            out = []
+            for m, i in zip(pdf["mode"], pdf["i"]):
+                i = int(i)
+                w, h = 40 + (i % 5) * 8, 32 + (i % 3) * 8
+                px = _jpeg_qa_pixels(i, w, h)
+                ss, rst = mode_map[m]
+                blob = jpeg.jpeg_encode(px, quality=90, subsample=ss,
+                                        restart_mcu=rst)
+                dec = jpeg.jpeg_decode(blob)
+                out.append((m, i,
+                            int(codecs.psnr(px, dec) >= 40.0),
+                            int(dec.shape == (h, w, 3)),
+                            int(len(blob) < w * h * 3)))
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    qa = src.mapInPandas(work, schema)
+    return (qa.groupBy("mode")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("psnr_ge_40").alias("all_psnr_ge_40"),
+                 F.min("dims_ok").alias("all_dims_ok"),
+                 F.min("smaller_than_raw").alias("all_compressed")))
+
+
+ORACLE_JPEG_QA = f"""
+SELECT * FROM (VALUES
+  ('s444',     CAST({JPEG_QA_N} AS BIGINT), 1, 1, 1),
+  ('s420',     CAST({JPEG_QA_N} AS BIGINT), 1, 1, 1),
+  ('s444_rst', CAST({JPEG_QA_N} AS BIGINT), 1, 1, 1),
+  ('s420_rst', CAST({JPEG_QA_N} AS BIGINT), 1, 1, 1)
+) AS t(mode, n, all_psnr_ge_40, all_dims_ok, all_compressed)
+"""
+
+
+QUERIES.update({
+    "jpeg_decode_stats": (q_jpeg_decode_stats, ORACLE_JPEG_QA),
+})

@@ -385,6 +385,7 @@ _TAIL = [
     "pot_exceedances",    # peaks-over-threshold GPD tail fit (C6)
     "mmr_rerank",         # maximal-marginal-relevance rerank (IR)
     "image_histogram_match",  # CDF histogram transfer (B11/image)
+    "jpeg_decode_stats",  # baseline JPEG codec QA (B11 compressed half)
 ]
 
 _MERGED: dict = {}
