@@ -870,6 +870,34 @@ WHERE a.event_type = 'view' AND b.event_type = 'click'
 """
 
 
+def q_user_session_features(spark, sf_dir):
+    """Batch twin of streaming.session_features — the
+    ``transformWithStateInPandas`` arbitrary-state operator (Spark 4
+    StatefulProcessor with a ValueState + MapState per user). Every
+    feature is order-independent (count, integer-micros sum, distinct
+    types, ts span), so this one groupBy IS the converged streaming
+    state; stream≡batch is pytest-asserted in test_streaming.py."""
+    e = (_t(spark, sf_dir, "events")
+         .withColumn("us", F.unix_micros(F.col("ts")
+                                         .cast("timestamp_ltz"))))
+    return (e.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.expr("CAST(ROUND(value * 1000000.0) AS BIGINT)"))
+                 .alias("sum_value_micros"),
+                 F.countDistinct("event_type").alias("n_types"),
+                 (F.max("us") - F.min("us")).alias("span_us")))
+
+
+ORACLE_SESSION_FEATURES = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS sum_value_micros,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us
+FROM events GROUP BY 1
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """The clustering step of the dedup pipeline: strong LSH candidate
     pairs (n_bands >= 4, the precision knob) become duplicate GROUPS via
@@ -1019,6 +1047,8 @@ QUERIES: dict = {
     "dedup_survivors": (q_dedup_survivors, ORACLE_DEDUP_SURVIVORS),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "attribution_pairs": (q_attribution_pairs, ORACLE_ATTRIBUTION),
+    "user_session_features": (q_user_session_features,
+                              ORACLE_SESSION_FEATURES),
 }
 
 
