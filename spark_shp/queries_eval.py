@@ -140,12 +140,18 @@ FROM events e JOIN scd2 d
 # lift_gains rule), so every engine sees the same permutation; each
 # precision@k term is quantized to floor(Q * cum_pos / k) BEFORE the
 # variable-cardinality sum, so the distributed aggregate is exact int64
-# and the only float op is the final one-literal division.  Plan: one
-# shuffle on segment, per-row window inside it (an eval-table shape — at
-# corpus scale the per-segment serialization would move to the two-phase
-# histogram rank the exact_order_statistics/outlier_audit ops use).
+# and the only float op is the final one-literal division.  Plan (r4,
+# VERDICT item 4's second op): the per-segment global window is
+# de-serialized with the l_moments/outlier_audit two-phase pattern —
+# rank and running positives only WITHIN each (segment, score-bucket),
+# then add the bucket's cumulative (count, positives) base offsets from
+# a window over the TINY per-bucket aggregate.  Buckets are monotone in
+# the (s DESC) sort and score ties share a bucket, so base + local
+# equals the oracle's global ROW_NUMBER / running SUM exactly;
+# parallelism is segments x buckets instead of one task per segment.
 
 AP_Q = 1_000_000
+AP_BUCKET = 1 << 21          # ~2M-cent score bands (~30 buckets)
 
 
 def q_average_precision(spark, sf_dir):
@@ -154,10 +160,23 @@ def q_average_precision(spark, sf_dir):
         "o_orderpriority AS seg",
         "CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS s",
         "o_orderkey AS key",
-        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y")
-    w = W.partitionBy("seg").orderBy(F.desc("s"), F.asc("key"))
-    k = (r.withColumn("k", F.row_number().over(w))
-         .withColumn("cp", F.sum("y").over(
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y").selectExpr(
+        "seg", "s", "key", "y",
+        f"-(s DIV {AP_BUCKET}) AS bkt")      # ascends as score descends
+    base = (r.groupBy("seg", "bkt")
+            .agg(F.count(F.lit(1)).alias("c"), F.sum("y").alias("cy"))
+            .selectExpr(
+                "seg", "bkt",
+                "COALESCE(SUM(c) OVER (PARTITION BY seg ORDER BY bkt "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+                "AS base_n",
+                "COALESCE(SUM(cy) OVER (PARTITION BY seg ORDER BY bkt "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+                "AS base_p"))
+    w = W.partitionBy("seg", "bkt").orderBy(F.desc("s"), F.asc("key"))
+    k = (r.join(F.broadcast(base), ["seg", "bkt"])
+         .withColumn("k", F.expr("base_n") + F.row_number().over(w))
+         .withColumn("cp", F.expr("base_p") + F.sum("y").over(
              w.rowsBetween(W.unboundedPreceding, 0))))
     return (k.groupBy("seg")
             .agg(F.count(F.lit(1)).alias("n"),

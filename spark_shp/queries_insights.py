@@ -5975,16 +5975,22 @@ QUERIES.update({
 # over the type-sorted cents are EXACT (int64 for S0, DECIMAL(38,0)
 # for the rank-weighted sums — (i^3 x) overflows int64 at bench
 # scale), and l1/l2, L-CV, L-skewness, L-kurtosis compose them in
-# literal float expressions.  The Spark side de-serializes the per-type
-# rank window with the outlier_audit two-phase pattern (VERDICT r3 item
-# 4): bucket cents into LMOM_BUCKET-wide ranges, rank only WITHIN each
-# (type, bucket) — parallelism types × buckets instead of one task per
-# type — and recover the exact global rank as the bucket's cumulative
-# base offset (a window over the TINY per-bucket aggregate) plus the
-# local rank.  Buckets are monotonic in x and ties share a bucket, so
-# base + local == the oracle's global ROW_NUMBER exactly.
-
-LMOM_BUCKET = 4096
+# literal float expressions.  The Spark side needs NO rank window at all
+# (VERDICT r3 item 4, taken past the outlier_audit pattern): x is
+# quantized cents, so its cardinality is value-range-bounded (~100k),
+# not row-bounded — and within a run of TIED x values every rank
+# permutation yields the same Σ f(i)·x.  So: ONE map-side-combinable
+# groupBy (g, x) collapses the corpus to |g|·|distinct x| rows, a window
+# over that TINY aggregate yields each run's exclusive rank offset
+# A = rows-before, and the falling-factorial rank sums over the run
+# i = A+1..A+c are closed forms (consecutive-integer products, each
+# divisible by 2/3/4, so the decimal divisions below are exact):
+#   Σ(i-1)           = [f2(A+c) − f2(A)] DIV 2,  f2(z) = z(z−1)
+#   Σ(i-1)(i-2)      = [f3(A+c) − f3(A)] / 3,    f3(z) = z(z−1)(z−2)
+#   Σ(i-1)(i-2)(i-3) = [f4(A+c) − f4(A)] / 4,    f4(z) = z·..·(z−3)
+# No 100M-row sort, no big exchange beyond the partial-agg shuffle —
+# measured >10x over the serial rank window at 100M rows and
+# bit-identical to the oracle's global window (BENCH/ROUND4.json).
 
 
 def _lmom_m_sql(ranked: str) -> str:
@@ -6036,24 +6042,39 @@ m AS ({_lmom_m_sql('ranked')})
 
 
 def q_l_moments(spark, sf_dir):
-    v = _t(spark, sf_dir, "events").selectExpr(
-        "event_type AS g", "event_id",
-        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x").selectExpr(
-        "g", "event_id", "x",
-        f"CAST(FLOOR(x / {LMOM_BUCKET}.0) AS BIGINT) AS bkt")
-    base = (v.groupBy("g", "bkt").agg(F.count(F.lit(1)).alias("c"))
-            .selectExpr(
-                "g", "bkt",
-                "COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY bkt "
-                "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
-                "AS base"))
-    ranked = v.join(F.broadcast(base), ["g", "bkt"]).selectExpr(
-        "g", "x",
-        "base + ROW_NUMBER() OVER (PARTITION BY g, bkt "
-        "ORDER BY x, event_id) AS i")
-    ranked.createOrReplaceTempView("lmom_ranked")
-    return spark.sql(
-        f"WITH m AS ({_lmom_m_sql('lmom_ranked')})\n{_lmom_select('m')}")
+    h = (_t(spark, sf_dir, "events")
+         .selectExpr("event_type AS g",
+                     "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x")
+         .groupBy("g", "x").agg(F.count(F.lit(1)).alias("c")))
+    h.createOrReplaceTempView("lmom_h")
+    return spark.sql(f"""
+WITH runs AS (
+  SELECT g, x, c,
+         COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a
+  FROM lmom_h),
+ff AS (
+  SELECT g, x, c, a, a + c AS z FROM runs),
+rank_sums AS (
+  SELECT g, x, c,
+         (z * (z - 1) - a * (a - 1)) DIV 2 AS t1,
+         CAST((CAST(z AS DECIMAL(38, 0)) * (z - 1) * (z - 2)
+               - CAST(a AS DECIMAL(38, 0)) * (a - 1) * (a - 2)) / 3
+              AS DECIMAL(38, 0)) AS t2,
+         CAST((CAST(z AS DECIMAL(38, 0)) * (z - 1) * (z - 2) * (z - 3)
+               - CAST(a AS DECIMAL(38, 0)) * (a - 1) * (a - 2) * (a - 3))
+              / 4 AS DECIMAL(38, 0)) AS t3
+  FROM ff),
+m AS (
+  SELECT g, SUM(c) AS n,
+         CAST(SUM(c * x) AS BIGINT) AS s0,
+         CAST(SUM(CAST(t1 AS DECIMAL(38, 0)) * x) AS DECIMAL(38, 0))
+           AS s1,
+         CAST(SUM(t2 * x) AS DECIMAL(38, 0)) AS s2,
+         CAST(SUM(t3 * x) AS DECIMAL(38, 0)) AS s3
+  FROM rank_sums GROUP BY g)
+{_lmom_select('m')}
+""")
 
 
 QUERIES.update({

@@ -2079,6 +2079,102 @@ FROM s7
 ORACLE_SHP_VDG = _oracle_vdg_sql()
 
 
+N_EE = 40
+_EE_WKT = (
+    'PROJCS["World_Equal_Earth",GEOGCS["GCS_Sphere_Authalic",'
+    'DATUM["D_Sphere",SPHEROID["Authalic_Sphere",6371008.7714,0.0]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Equal_Earth"],'
+    'PARAMETER["False_Easting",0.0],'
+    'PARAMETER["False_Northing",0.0],'
+    'PARAMETER["Central_Meridian",11.0],UNIT["Meter",1.0]]')
+_EE_PARAMS = (6371008.7714, 11.0, 0.0, 0.0)
+
+
+def q_shp_equalearth_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 Equal Earth (EPSG:8857 / ESRI:54035 — the 2018 equal-area
+    world projection, the Robinson successor): Point shapefile in Equal
+    Earth meters -> engine inverse (parser.make_inv_equalearth — FIXED
+    8-step Newton on the published Šavrič-Patterson-Jenny polynomial; the
+    equal-area Jacobian property is pinned numerically in pytest, which
+    would catch any wrong coefficient).  The oracle unrolls the identical
+    float64 Newton sequence in DuckDB from the same
+    equalearth_constants(); 9-decimal rounding policy."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_EE, dtype=np.int64)
+    xm = (u01(i * 89 + 3) - 0.5) * 33000000.0
+    ym = (u01(i * 89 + 4) - 0.5) * 16400000.0
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_EE_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+def _oracle_equalearth_sql() -> str:
+    """Equal Earth fixed-Newton inverse as DuckDB SQL, op-for-op the
+    numpy kernel's sequence, from the same equalearth_constants()."""
+    from .shp.parser import _EE_ITERS, equalearth_constants
+    cv = equalearth_constants(*_EE_PARAMS)
+    c = {k: f"CAST({v!r} AS DOUBLE)" for k, v in cv.items()}
+    newton = (
+        "th - (th * ({a1} + {a2} * (th * th)"
+        " + ((th * th) * (th * th) * (th * th))"
+        " * ({a3} + {a4} * (th * th))) - y)"
+        " / ({a1} + 3.0 * {a2} * (th * th)"
+        " + ((th * th) * (th * th) * (th * th))"
+        " * (7.0 * {a3} + 9.0 * {a4} * (th * th)))"
+    ).format(**c)
+    its = "\n".join(
+        f"it{k} AS (SELECT rec_no, xr, y, {newton} AS th FROM it{k - 1}),"
+        for k in range(1, _EE_ITERS + 1))
+    fp = ("({a1} + 3.0 * {a2} * (th * th)"
+          " + ((th * th) * (th * th) * (th * th))"
+          " * (7.0 * {a3} + 9.0 * {a4} * (th * th)))").format(**c)
+    return f"""
+WITH src AS (
+  SELECT CAST(i + 1 AS INT) AS rec_no,
+         ({u01_sql('i * 89 + 3')} - 0.5) * 33000000.0 AS x,
+         ({u01_sql('i * 89 + 4')} - 0.5) * 16400000.0 AS y0
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_EE - 1})) AS i) t),
+it0 AS (
+  SELECT rec_no, (x - {c['fe']}) AS xr,
+         (y0 - {c['fn']}) / {c['a']} AS y,
+         (y0 - {c['fn']}) / {c['a']} AS th
+  FROM src),
+{its}
+sel AS (SELECT * FROM it{_EE_ITERS})
+SELECT rec_no,
+       ROUND(DEGREES({c['lam0']} + (xr / {c['a']}) * {c['m']} * {fp}
+                     / COS(th)), 9) AS lon,
+       ROUND(DEGREES(ASIN(GREATEST(-1.0, LEAST(1.0,
+                     SIN(th) / {c['m']})))), 9) AS lat
+FROM sel
+"""
+
+
+ORACLE_SHP_EQUALEARTH = _oracle_equalearth_sql()
+
+
 N_TOW = 40
 # OSGB36 / British National Grid (EPSG:27700) in the GDAL-style WKT1 that
 # carries the published OSGB36→WGS84 position-vector TOWGS84 — the datum
@@ -2689,7 +2785,7 @@ ORACLE_SHP_ORTHO = _oracle_ortho_sql()
 
 
 def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 — ALL twenty-four supported .prj projection families under ONE gated
+    """A12 — ALL twenty-five supported .prj projection families under ONE gated
     row (the shp_zm_semantics consolidation pattern applied to CRS): each
     family decodes its own Point shapefile + WKT through the engine's
     inverse kernel, tagged with a family id, unioned. Driver-gates the
@@ -2712,7 +2808,8 @@ def q_shp_reproject_families(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_shp_gnomonic_reproject, q_shp_ortho_reproject,
             q_shp_bonne_reproject, q_shp_eckert4_reproject,
             q_shp_robinson_reproject, q_shp_miller_reproject,
-            q_shp_vdg_reproject, q_shp_towgs84_reproject]
+            q_shp_vdg_reproject, q_shp_towgs84_reproject,
+            q_shp_equalearth_reproject]
     out = None
     for fam_id, fn in enumerate(fams):
         d = fn(spark, sf_dir).select(
@@ -2732,7 +2829,7 @@ ORACLE_REPROJECT_FAMILIES = "\nUNION ALL\n".join(
         ORACLE_SHP_POLYCONIC, ORACLE_SHP_GNOM, ORACLE_SHP_ORTHO,
         ORACLE_SHP_BONNE, ORACLE_SHP_ECK4,
         ORACLE_SHP_ROBIN, ORACLE_SHP_MILLER, ORACLE_SHP_VDG,
-        ORACLE_SHP_TOWGS84]))
+        ORACLE_SHP_TOWGS84, ORACLE_SHP_EQUALEARTH]))
 
 
 def q_shp_decode_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3196,6 +3293,8 @@ QUERIES: dict = {
     "shp_miller_reproject": (q_shp_miller_reproject, ORACLE_SHP_MILLER),
     "shp_vdg_reproject": (q_shp_vdg_reproject, ORACLE_SHP_VDG),
     "shp_towgs84_reproject": (q_shp_towgs84_reproject, ORACLE_SHP_TOWGS84),
+    "shp_equalearth_reproject": (q_shp_equalearth_reproject,
+                                 ORACLE_SHP_EQUALEARTH),
     "shp_aeqd_reproject": (q_shp_aeqd_reproject, ORACLE_SHP_AEQD),
     "shp_gnomonic_reproject": (q_shp_gnomonic_reproject, ORACLE_SHP_GNOM),
     "shp_ortho_reproject": (q_shp_ortho_reproject, ORACLE_SHP_ORTHO),

@@ -950,6 +950,59 @@ def make_inv_robinson(a: float, lon0_deg: float,
     return inv
 
 
+# Equal Earth polynomial (Šavrič, Patterson & Jenny 2018 — the published
+# coefficients every implementation shares)
+_EE_A1, _EE_A2, _EE_A3, _EE_A4 = 1.340264, -0.081106, 0.000893, 0.003796
+_EE_ITERS = 8           # fixed Newton unroll (oracle-replayable)
+
+
+def equalearth_constants(a: float, lon0_deg: float,
+                         fe: float = 0.0, fn: float = 0.0) -> dict:
+    """Shared float64 constants for the Equal Earth inverse — consumed by
+    the numpy kernel AND the DuckDB oracle generator (tmerc policy)."""
+    return {
+        "a": a, "lam0": math.radians(lon0_deg), "fe": fe, "fn": fn,
+        "m": math.sqrt(3.0) / 2.0,
+        "a1": _EE_A1, "a2": _EE_A2, "a3": _EE_A3, "a4": _EE_A4,
+    }
+
+
+def make_inv_equalearth(a: float, lon0_deg: float,
+                        fe: float = 0.0, fn: float = 0.0):
+    """Equal Earth inverse (EPSG:8857 / ESRI:54035 — the 2018 equal-area
+    world projection adopted as the Robinson successor). Forward:
+    θ = asin(M sin φ) with M = √3/2, y = R·θ·P(θ), x = R·λ·cosθ/(M·P'(θ))
+    with P(θ) = A1 + A2θ² + θ⁶(A3 + A4θ²). Inverse: a FIXED
+    ``_EE_ITERS``-step Newton solve of θ(A1+A2θ²+θ⁶(A3+A4θ²)) = y/R
+    (converges in ≤3 steps over the valid range; the fixed unroll is what
+    lets the oracle replay it op-for-op), then φ = asin(sinθ/M),
+    λ = λ0 + x·M·P'(θ)/(R·cosθ). Spherical by definition (the published
+    projection is authalic-sphere-based). Returns a vectorized (n,2)
+    meters → (n,2) lon/lat° fn."""
+    c = equalearth_constants(a, lon0_deg, fe, fn)
+    m, a1, a2, a3, a4 = c["m"], c["a1"], c["a2"], c["a3"], c["a4"]
+    lam0 = c["lam0"]
+
+    def inv(pts: np.ndarray) -> np.ndarray:
+        x = pts[:, 0] - fe
+        y = (pts[:, 1] - fn) / a
+        th = y                                     # Newton start: θ0 = y/R
+        for _ in range(_EE_ITERS):
+            th2 = th * th
+            th6 = th2 * th2 * th2
+            f = th * (a1 + a2 * th2 + th6 * (a3 + a4 * th2)) - y
+            fp = a1 + 3.0 * a2 * th2 + th6 * (7.0 * a3 + 9.0 * a4 * th2)
+            th = th - f / fp
+        th2 = th * th
+        th6 = th2 * th2 * th2
+        fp = a1 + 3.0 * a2 * th2 + th6 * (7.0 * a3 + 9.0 * a4 * th2)
+        phi = np.arcsin(np.clip(np.sin(th) / m, -1.0, 1.0))
+        lam = lam0 + (x / a) * m * fp / np.cos(th)
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    return inv
+
+
 def mollweide_constants(a: float, lon0_deg: float,
                         fe: float = 0.0, fn: float = 0.0) -> dict:
     """Shared float64 constants for the Mollweide inverse — consumed by the
@@ -1910,6 +1963,14 @@ def _projection_only_from_wkt(wkt) -> "callable | None":
             p = _wkt_params(wkt)
             a, _inv_f = _wkt_spheroid(wkt)  # spherical-only: R = semimajor
             return _with_unit(make_inv_miller(
+                a,
+                p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+                p.get("false_easting", 0.0) * unit,
+                p.get("false_northing", 0.0) * unit), unit)
+        if re.search(r'PROJECTION\["?Equal[_ ]?Earth', wkt, re.I):
+            p = _wkt_params(wkt)
+            a, _inv_f = _wkt_spheroid(wkt)  # spherical by definition
+            return _with_unit(make_inv_equalearth(
                 a,
                 p.get("central_meridian", p.get("longitude_of_center", 0.0)),
                 p.get("false_easting", 0.0) * unit,

@@ -1872,3 +1872,56 @@ def test_towgs84_wkt_composition_and_gates():
     kro = projection_from_wkt(_KRO_WKT)(np.array([[-568990.9967,
                                                    -1050538.6431]]))
     assert abs(kro[0, 0] - 16.84977194) < 1e-6   # no TOWGS84 → unchanged
+
+
+def test_equalearth_roundtrip_and_equal_area_property():
+    """Equal Earth (EPSG:8857): the engine inverse must roundtrip an
+    INDEPENDENTLY written forward (the published Šavrič-Patterson-Jenny
+    formulas) to <1e-9°, and the forward's numeric Jacobian must equal
+    R²·cos(φ) — the equal-area property that uniquely pins the
+    polynomial (a wrong coefficient breaks it immediately)."""
+    import numpy as np
+    from spark_shp.shp.parser import make_inv_equalearth
+
+    a = 6371008.7714
+    inv = make_inv_equalearth(a, 0.0)
+
+    def fwd(lon, lat):
+        lam, phi = np.radians(lon), np.radians(lat)
+        m = np.sqrt(3.0) / 2.0
+        th = np.arcsin(m * np.sin(phi))
+        A1, A2, A3, A4 = 1.340264, -0.081106, 0.000893, 0.003796
+        th2 = th * th
+        th6 = th2 * th2 * th2
+        y = a * th * (A1 + A2 * th2 + th6 * (A3 + A4 * th2))
+        x = (a * lam * np.cos(th)
+             / (m * (A1 + 3 * A2 * th2 + th6 * (7 * A3 + 9 * A4 * th2))))
+        return x, y
+
+    lons = np.linspace(-179.0, 179.0, 23)
+    lats = np.linspace(-88.0, 88.0, 21)
+    lo, la = np.meshgrid(lons, lats)
+    x, y = fwd(lo.ravel(), la.ravel())
+    out = inv(np.column_stack([x, y]))
+    assert np.abs(out - np.column_stack([lo.ravel(),
+                                         la.ravel()])).max() < 1e-9
+
+    for lat0 in (-67.0, 0.0, 23.5, 51.0, 80.0):
+        eps = 1e-6
+        x0, y0 = fwd(37.0, lat0)
+        xl, yl = fwd(37.0 + eps, lat0)
+        xp, yp = fwd(37.0, lat0 + eps)
+        jac = (abs((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0))
+               / np.radians(eps) ** 2)
+        assert abs(jac / (a * a * np.cos(np.radians(lat0))) - 1.0) < 1e-5
+
+
+def test_equalearth_wkt_dispatch():
+    import numpy as np
+    from spark_shp.queries_shp import _EE_WKT
+    from spark_shp.shp.parser import projection_from_wkt
+
+    inv = projection_from_wkt(_EE_WKT)
+    assert inv is not None
+    out = inv(np.array([[0.0, 0.0]]))
+    assert abs(out[0, 0] - 11.0) < 1e-9 and abs(out[0, 1]) < 1e-9
