@@ -507,6 +507,11 @@ def _decode_scan(frame, scan, qts, huff, ecs, segments, restart):
     preds = {comp["id"]: 0 for comp, _, _ in scan}
     seg_i = 1
     n_mcu = 0
+    # entropy-decode every block first (the serial part), then batch the
+    # dequantize → unzigzag → IDCT per component in ONE einsum — per-block
+    # numpy calls dominated decode time otherwise
+    blocks: dict[int, list] = {comp["id"]: [] for comp, _, _ in scan}
+    places: dict[int, list] = {comp["id"]: [] for comp, _, _ in scan}
     for my in range(mcuy):
         for mx in range(mcux):
             if restart and n_mcu and n_mcu % restart == 0:
@@ -517,18 +522,25 @@ def _decode_scan(frame, scan, qts, huff, ecs, segments, restart):
                 preds = {k: 0 for k in preds}
             n_mcu += 1
             for comp, td, ta in scan:
-                qt = qts[comp["tq"]]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
                         zz, preds[comp["id"]] = _decode_one_block(
                             rd, huff[(0, td)], huff[(1, ta)],
                             preds[comp["id"]])
-                        coef = (zz * qt.reshape(64)[_ZIGZAG]) \
-                            .astype(np.float64)[_UNZIGZAG].reshape(8, 8)
-                        blk = _idct(coef[None])[0] + 128.0
-                        py = (my * comp["v"] + by) * 8
-                        px = (mx * comp["h"] + bx) * 8
-                        planes[comp["id"]][py:py + 8, px:px + 8] = blk
+                        blocks[comp["id"]].append(zz)
+                        places[comp["id"]].append(
+                            ((my * comp["v"] + by) * 8,
+                             (mx * comp["h"] + bx) * 8))
+    for comp, _, _ in scan:
+        cid = comp["id"]
+        zzs = np.stack(blocks[cid])
+        qt = qts[comp["tq"]].reshape(64)[_ZIGZAG]
+        coef = (zzs * qt).astype(np.float64)[:, _UNZIGZAG] \
+            .reshape(-1, 8, 8)
+        blks = _idct(coef) + 128.0
+        plane = planes[cid]
+        for (py, px), blk in zip(places[cid], blks):
+            plane[py:py + 8, px:px + 8] = blk
     # upsample each component to full (padded) resolution by replication
     full = {}
     for comp, _, _ in scan:
