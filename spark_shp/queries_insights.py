@@ -1612,6 +1612,119 @@ QUERIES.update({
 })
 
 
+# --- getis_ord_hotspots: Gi* hotspot z-scores ----------------------------------
+#
+# The standard NAMED hotspot statistic next to LISA's quadrants (ArcGIS
+# "Hot Spot Analysis"): per occupied level-6 cell, Gi* with binary queen
+# weights INCLUDING self over the occupied set —
+#   Gi* = (S1 − X̄·W) / (S·√((n·W − W²)/(n−1)))
+# where S1/W come from one constant-fan-out 3×3 scatter join (self
+# included — the * in Gi*), and X̄/S from exact global moments (Σx
+# BIGINT, Σx² DECIMAL per the ANOVA overflow lesson).  z composes the
+# exact integers in ONE shared literal; per-cell z is quantized to
+# integer micro-units BEFORE the variable-cardinality class sums (the
+# rayleigh rule).  Classes at the ±1.960/±2.576 normal thresholds.
+
+GI_LVL = LISA_LVL
+
+
+def _gi_z() -> str:
+    xbar = "(CAST(sx AS DOUBLE) / n)"
+    s = f"SQRT(CAST(sxx AS DOUBLE) / n - {xbar} * {xbar})"
+    num = f"(CAST(s1 AS DOUBLE) - {xbar} * w)"
+    den = (f"({s} * SQRT((CAST(n AS DOUBLE) * w - CAST(w AS DOUBLE) * w)"
+           " / (CAST(n AS DOUBLE) - 1.0)))")
+    return (f"CASE WHEN n * w - w * w <= 0 "
+            f"OR sxx * n <= CAST(sx AS DECIMAL(38, 0)) * sx "
+            f"THEN NULL ELSE {num} / {den} END")
+
+
+_GI_CLS = ("CASE WHEN z IS NULL THEN 'ns' "
+           "WHEN z >= 2.576 THEN 'hot99' WHEN z >= 1.96 THEN 'hot95' "
+           "WHEN z <= -2.576 THEN 'cold99' WHEN z <= -1.96 THEN 'cold95' "
+           "ELSE 'ns' END")
+
+
+def q_getis_ord_hotspots(spark, sf_dir):
+    nside = 1 << GI_LVL
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, GI_LVL)
+    cnt = (_t(spark, sf_dir, "events")
+           .selectExpr(f"{ix} AS ix", f"{iy} AS iy")
+           .groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("x"))
+           .localCheckpoint())
+    g = cnt.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+        F.expr("SUM(CAST(x AS DECIMAL(38, 0)) * x)").alias("sxx"))
+    sc = (cnt.selectExpr("ix", "iy", "x",
+                         "explode(sequence(-1, 1)) AS dx")
+          .selectExpr("ix", "iy", "x", "dx",
+                      "explode(sequence(-1, 1)) AS dy")
+          .selectExpr("ix + dx AS nx", "iy + dy AS ny", "x")
+          .where(f"nx BETWEEN 0 AND {nside - 1} "
+                 f"AND ny BETWEEN 0 AND {nside - 1}")
+          .groupBy("nx", "ny")
+          .agg(F.sum("x").alias("s1"), F.count(F.lit(1)).alias("w")))
+    per = (cnt.join(sc, (cnt.ix == sc.nx) & (cnt.iy == sc.ny))
+           .crossJoin(F.broadcast(g))
+           .selectExpr("ix", "iy", "s1", "w", "n", "sx", "sxx")
+           .selectExpr("ix", "iy", f"{_gi_z()} AS z"))
+    cls = per.selectExpr("ix", "iy",
+                         f"{_GI_CLS} AS cls",
+                         "CAST(FLOOR(COALESCE(z, 0.0) * 1000000.0) "
+                         "AS BIGINT) AS zq")
+    return (cls.groupBy("cls")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("zq").alias("sum_zq"),
+                 F.max("zq").alias("max_zq"),
+                 F.expr("SUM(ix * 64 + iy)").alias("checksum"))
+            .selectExpr("cls", "CAST(n_cells AS BIGINT) AS n_cells",
+                        "CAST(sum_zq AS BIGINT) AS sum_zq",
+                        "CAST(max_zq AS BIGINT) AS max_zq",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_getis() -> str:
+    nside = 1 << GI_LVL
+    ix, iy = cells.quantize_sql(fixtures.EVENT_LON_SQL,
+                                fixtures.EVENT_LAT_SQL, GI_LVL)
+    return f"""
+WITH cnt AS MATERIALIZED (
+  SELECT {ix} AS ix, {iy} AS iy, COUNT(*) AS x
+  FROM events GROUP BY 1, 2),
+g AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx,
+         CAST(SUM(CAST(x AS DECIMAL(38, 0)) * x) AS DECIMAL(38, 0))
+           AS sxx
+  FROM cnt),
+sc AS (
+  SELECT ix + dx.v AS nx, iy + dy.v AS ny,
+         SUM(x) AS s1, COUNT(*) AS w
+  FROM cnt, (SELECT UNNEST([-1, 0, 1]) AS v) dx,
+       (SELECT UNNEST([-1, 0, 1]) AS v) dy
+  WHERE ix + dx.v BETWEEN 0 AND {nside - 1}
+    AND iy + dy.v BETWEEN 0 AND {nside - 1}
+  GROUP BY 1, 2),
+per AS (
+  SELECT cnt.ix, cnt.iy, {_gi_z()} AS z
+  FROM cnt JOIN sc ON cnt.ix = sc.nx AND cnt.iy = sc.ny, g),
+cls AS (
+  SELECT ix, iy, {_GI_CLS} AS cls,
+         CAST(FLOOR(COALESCE(z, 0.0) * 1000000.0) AS BIGINT) AS zq
+  FROM per)
+SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(zq) AS BIGINT) AS sum_zq,
+       CAST(MAX(zq) AS BIGINT) AS max_zq,
+       CAST(SUM(ix * 64 + iy) AS BIGINT) AS checksum
+FROM cls GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "getis_ord_hotspots": (q_getis_ord_hotspots, _oracle_getis()),
+})
+
+
 # --- harris_corners: exact-integer corner detection ---------------------------------
 #
 # The Harris/Shi-Tomasi interest-point primitive with k = 1/20 so the

@@ -194,6 +194,7 @@ _TAIL = [
     "image_dither",           # Bayer ordered halftoning, real decode (B11)
     "item_cooccurrence",      # item-item CF recommender table (C3/C6)
     "local_moran_quadrants",  # LISA cluster classification (B/C6 stats)
+    "getis_ord_hotspots",     # Gi* hotspot z-scores (B/C6 stats)
     "welch_ttest",            # unequal-variance t across types (C6 stats)
     "harris_corners",         # exact-integer Harris response (B11/CV)
     "geofence_dwell",         # enter/exit dwell episodes (B5/C7)

@@ -2265,3 +2265,57 @@ def test_pot_exceedances_matches_numpy_and_tail_laws(spark):
             < 1e-3 * max(1.0, abs(m))
         assert 0.05 * n < ne <= 0.15 * n
         assert r["mean_excess"] > 0 and r["gpd_beta"] > 0
+
+
+def test_getis_ord_matches_numpy(spark):
+    """Gi* replicated sequentially in python (dict scatter + textbook
+    formula) — class counts, quantized z sums, and checksums must match
+    the distributed result exactly."""
+    import math
+
+    from spark_shp import cells
+    from spark_shp.queries_insights import GI_LVL, q_getis_ord_hotspots
+
+    out = {r["cls"]: r for r in
+           q_getis_ord_hotspots(spark, SF).collect()}
+    ev, lon, lat = _event_points(SF)
+    ix, iy = cells.quantize(lon, lat, GI_LVL)
+    cnt = pd.DataFrame({"ix": ix, "iy": iy}).groupby(
+        ["ix", "iy"]).size().to_dict()
+    n, sx = len(cnt), sum(cnt.values())
+    sxx = sum(x * x for x in cnt.values())
+    xbar = sx / n
+    s = math.sqrt(sxx / n - xbar * xbar)
+    nside = 1 << GI_LVL
+    agg = {}
+    for (cx, cy) in cnt:
+        s1 = w = 0
+        for a in (-1, 0, 1):
+            for b in (-1, 0, 1):
+                if not (0 <= cx + a < nside and 0 <= cy + b < nside):
+                    continue
+                if (cx + a, cy + b) in cnt:
+                    s1 += cnt[(cx + a, cy + b)]
+                    w += 1
+        if n * w - w * w <= 0 or sxx * n <= sx * sx:
+            z = None
+        else:
+            z = ((s1 - xbar * w)
+                 / (s * math.sqrt((n * w - w * w) / (n - 1.0))))
+        cls = ("ns" if z is None else
+               "hot99" if z >= 2.576 else "hot95" if z >= 1.96 else
+               "cold99" if z <= -2.576 else
+               "cold95" if z <= -1.96 else "ns")
+        zq = math.floor((z or 0.0) * 1e6)
+        a_ = agg.setdefault(cls, [0, 0, None, 0])
+        a_[0] += 1
+        a_[1] += zq
+        a_[2] = zq if a_[2] is None else max(a_[2], zq)
+        a_[3] += cx * 64 + cy
+    assert set(out) == set(agg)
+    for c, (nc, szq, mzq, chk) in agg.items():
+        r = out[c]
+        assert (r["n_cells"], r["sum_zq"], r["max_zq"],
+                r["checksum"]) == (nc, szq, mzq, chk)
+    # a real hotspot structure must exist at this SF
+    assert any(c.startswith("hot") for c in agg)
