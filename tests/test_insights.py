@@ -2319,3 +2319,31 @@ def test_getis_ord_matches_numpy(spark):
                 r["checksum"]) == (nc, szq, mzq, chk)
     # a real hotspot structure must exist at this SF
     assert any(c.startswith("hot") for c in agg)
+
+
+def test_plan_shapes_of_round4_ops(spark):
+    """Round-4 plan pins: the rank-free l_moments must carry exactly ONE
+    corpus-keyed exchange (the (type, cents) partial-agg shuffle) and —
+    the whole point of the rework — NO sort of corpus-scale data (only
+    the window over the tiny per-(g,x) aggregate sorts). Gi* carries the
+    grid agg + scatter agg exchanges and no Python nodes."""
+    from spark_shp.queries_insights import (q_getis_ord_hotspots,
+                                            q_l_moments)
+
+    lm = q_l_moments(spark, SF)
+    plan = lm._jdf.queryExecution().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    physical = lm._jdf.queryExecution().executedPlan().toString()
+    # exactly two hash exchanges: the (g,x) partial-agg corpus shuffle
+    # (map-side combined) and the g-keyed repartition of the TINY
+    # aggregate for its cumulative window — nothing else
+    assert physical.count("Exchange hashpartitioning") == 2
+    # the only sort is the tiny window's (over |g|·|distinct x| rows);
+    # the corpus path itself is sort-free — the whole point
+    assert physical.count("Sort ") <= 1
+
+    gi = q_getis_ord_hotspots(spark, SF)
+    phys_gi = gi._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in phys_gi
+    # grid agg, scatter agg, join, final class agg — bounded exchanges
+    assert phys_gi.count("Exchange hashpartitioning") <= 5
