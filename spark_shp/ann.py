@@ -159,3 +159,139 @@ def ivf_search(indexed: DataFrame, queries: np.ndarray, qids: np.ndarray,
                                      F.col("nid").asc())
     return (hits.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= topk))
+
+
+# --- IVF-PQ: product-quantized ADC search (the 10^12-scale memory path) ------
+#
+# At 10^12 vectors the float corpus cannot be held or scanned; product
+# quantization stores each vector as m uint8 sub-codes (d·4 bytes →
+# m bytes, 16-32x), and asymmetric-distance (ADC) search scans only the
+# codes: per query, one (m, ksub) table of exact query-to-centroid
+# sub-distances, then each candidate's distance is m table lookups.
+# Training state on the driver is one (m, ksub, d/m) codebook tensor —
+# never corpus-proportional; encode is one Arrow map pass; search reuses
+# the IVF inverted-list routing (repartition by cid, nprobe lists only).
+
+
+def pq_train(emb: DataFrame, m: int = 4, ksub: int = 16, iters: int = 8,
+             sample: int = 4096, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> np.ndarray:
+    """→ (m, ksub, dsub) float64 codebooks via per-subspace Lloyd on a
+    BOUNDED deterministic sample (the ``sample`` smallest ids — PQ
+    codebooks are classically trained on a fixed-size sample; the bound
+    is a parameter, never corpus-proportional)."""
+    rows = (emb.orderBy(id_col).limit(sample)
+            .select(vec_col).collect())            # ≤ `sample` rows
+    v = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    n, d = v.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.zeros((m, ksub, dsub))
+    for s in range(m):
+        sub = v[:, s * dsub:(s + 1) * dsub]
+        cents = sub[:ksub].copy()                  # deterministic seeds
+        for _ in range(iters):
+            a = _dists2(sub, cents).argmin(axis=1)
+            for c in range(ksub):
+                pts = sub[a == c]
+                if len(pts):
+                    cents[c] = pts.mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def pq_encode(indexed: DataFrame, books: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, vec, cid) → (id, cid, code: array<int> of length m): one
+    Arrow pass against the broadcast codebooks. The float vector is
+    DROPPED — downstream search touches only the m-byte codes."""
+    spark = indexed.sparkSession
+    bc = spark.sparkContext.broadcast(books)
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("cid", T.IntegerType()),
+        T.StructField("code", T.ArrayType(T.IntegerType())),
+    ])
+
+    def enc(batches):
+        bks = bc.value
+        m, _, dsub = bks.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.zeros((len(v), m), dtype=np.int32)
+            for s in range(m):
+                codes[:, s] = _dists2(
+                    v[:, s * dsub:(s + 1) * dsub], bks[s]).argmin(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(np.int64),
+                "cid": pdf["cid"].to_numpy(np.int32),
+                "code": list(codes)})
+
+    return indexed.select(id_col, vec_col, "cid").mapInPandas(enc, schema)
+
+
+def ivfpq_search(codes: DataFrame, queries: np.ndarray, qids: np.ndarray,
+                 cents: np.ndarray, books: np.ndarray, nprobe: int = 2,
+                 topk: int = 10, id_col: str = "vec_id") -> DataFrame:
+    """ADC search over PQ codes: per (query, probed list), distance =
+    Σ_s table[s, code_s] from the per-query (m, ksub) lookup table —
+    the corpus pass reads ONLY integer codes (the 10^12-scale property).
+    Returns (qid, nid, adist, rank) with rank 1 = nearest (smallest
+    approximate L2)."""
+    spark = codes.sparkSession
+    q = queries.astype(np.float64)
+    m, ksub, dsub = books.shape
+    # (nq, m, ksub) exact query-to-subcentroid squared distances
+    tables = np.stack([
+        _dists2(q[:, s * dsub:(s + 1) * dsub], books[s])
+        for s in range(m)], axis=1)
+    probe = np.argsort(_dists2(q, cents), axis=1,
+                       kind="stable")[:, :nprobe]
+    probe_map: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in probe[qi]:
+            probe_map.setdefault(int(c), []).append(qi)
+    bc = spark.sparkContext.broadcast(
+        (tables, qids.astype(np.int64), probe_map, topk))
+    schema = T.StructType([
+        T.StructField("qid", T.LongType()),
+        T.StructField("nid", T.LongType()),
+        T.StructField("adist", T.DoubleType()),
+    ])
+
+    def search(batches):
+        tabs, qids_, pmap, k_ = bc.value
+        m_ = tabs.shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q, out_n, out_d = [], [], []
+            for cid, grp in pdf.groupby("cid"):
+                qlist = pmap.get(int(cid))
+                if not qlist:
+                    continue
+                cmat = np.stack(grp["code"].to_numpy()).astype(np.int64)
+                nid = grp[id_col].to_numpy(dtype=np.int64)
+                for qi in qlist:
+                    t = tabs[qi]                   # (m, ksub)
+                    dist = t[np.arange(m_), cmat].sum(axis=1)
+                    keep = nid != qids_[qi]
+                    dj, nj = dist[keep], nid[keep]
+                    if len(dj) > k_:
+                        top = np.argpartition(dj, k_ - 1)[:k_]
+                        dj, nj = dj[top], nj[top]
+                    out_q.extend([int(qids_[qi])] * len(nj))
+                    out_n.extend(nj.tolist())
+                    out_d.extend(dj.tolist())
+            yield pd.DataFrame({"qid": out_q, "nid": out_n,
+                                "adist": out_d})
+
+    hits = codes.repartition("cid").mapInPandas(search, schema)
+    w = W.partitionBy("qid").orderBy(F.col("adist").asc(),
+                                     F.col("nid").asc())
+    return (hits.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= topk))

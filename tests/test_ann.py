@@ -69,3 +69,74 @@ def test_ivf_assign_partitions_by_cluster(spark):
     grp = out.assign(true=out.vec_id % 4).groupby("true")["cid"].nunique()
     assert (grp == 1).all()
     assert out["cid"].nunique() == 4
+
+
+def test_pq_roundtrip_reconstruction_on_clustered_data(spark):
+    """PQ encode of well-clustered data: every vector's reconstruction
+    (codebook entries at its codes) must be closer to it than a random
+    other cluster's reconstruction — the quantization actually carries
+    the signal."""
+    df, _ = _clustered_df(spark, n_per=40)
+    cents = ann.kmeans_centroids(df, k=4, iters=3)
+    indexed = ann.ivf_assign(df, cents)
+    books = ann.pq_train(df, m=4, ksub=8, sample=160)
+    codes = ann.pq_encode(indexed, books).toPandas()
+    assert set(codes.columns) == {"vec_id", "cid", "code"}
+    assert all(len(c) == 4 for c in codes["code"])
+    pdf = df.toPandas().set_index("vec_id")
+    m, ksub, dsub = books.shape
+    errs = []
+    for _, r in codes.iterrows():
+        v = np.asarray(list(pdf.loc[r["vec_id"], "embedding"]))
+        rec = np.concatenate([books[s, r["code"][s]] for s in range(m)])
+        errs.append(float(((v - rec) ** 2).sum()))
+    # quantization error well below the inter-cluster distance scale
+    assert np.mean(errs) < 1.0
+
+
+def test_ivfpq_full_probe_recall_vs_exact(spark):
+    """ADC search with full probe: approximate top-5 must overlap the
+    exact L2 top-5 strongly on clustered data (recall@5 >= 0.6 with a
+    16x memory reduction is the standard PQ trade)."""
+    df, _ = _clustered_df(spark, n_per=40)
+    cents = ann.kmeans_centroids(df, k=4, iters=3)
+    indexed = ann.ivf_assign(df, cents)
+    books = ann.pq_train(df, m=4, ksub=16, sample=160)
+    codes = ann.pq_encode(indexed, books)
+    pdf = df.toPandas().sort_values("vec_id")
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    qsel = np.arange(0, len(ids), 29)
+    got = (ann.ivfpq_search(codes, vecs[qsel], ids[qsel], cents, books,
+                            nprobe=4, topk=5)
+           .orderBy("qid", "rank").collect())
+    hits = tot = 0
+    for qi in qsel:
+        d2 = ((vecs - vecs[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf
+        want = set(ids[np.lexsort((ids, d2))[:5]].tolist())
+        have = {r.nid for r in got if r.qid == ids[qi]}
+        assert len(have) == 5
+        hits += len(want & have)
+        tot += 5
+    assert hits / tot >= 0.6
+
+
+def test_ivfpq_scans_only_probed_lists(spark):
+    """nprobe=1 must only return neighbors from the query's own cluster
+    (the inverted-list routing contract)."""
+    df, _ = _clustered_df(spark, n_per=40)
+    cents = ann.kmeans_centroids(df, k=4, iters=3)
+    indexed = ann.ivf_assign(df, cents)
+    books = ann.pq_train(df, m=4, ksub=8, sample=160)
+    codes = ann.pq_encode(indexed, books)
+    amap = {r.vec_id: r.cid for r in indexed.select("vec_id",
+                                                    "cid").collect()}
+    pdf = df.toPandas().sort_values("vec_id")
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    qsel = np.array([0, 1, 2, 3])
+    got = (ann.ivfpq_search(codes, vecs[qsel], ids[qsel], cents, books,
+                            nprobe=1, topk=5).collect())
+    for r in got:
+        assert amap[r.nid] == amap[r.qid]
