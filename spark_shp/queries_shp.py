@@ -1478,10 +1478,63 @@ def q_shp_krovak_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.mapInPandas(decode, schema)
 
 
-def _oracle_krovak_sql() -> str:
+def _datum_stage_sql(a: float, inv_f: float, p7, src_cte: str) -> str:
+    """The make_datum_shift op sequence (geodetic→geocentric at h=0,
+    position-vector Helmert, Bowring closed form) as DuckDB CTE stages
+    over ``src_cte`` exposing (rec_no, lon_s, lat_s) in UNROUNDED source-
+    datum degrees — including the engine's degrees→radians roundtrip
+    between the projection inverse and the shift. Shared by every
+    datum-composed oracle; zero rotation/scale terms stay in the SQL
+    (±0.0·y is exact, matching the kernel's own float ops)."""
+    import math
+    from .shp.parser import datum_constants
+    d = {k: f"CAST({v!r} AS DOUBLE)"
+         for k, v in datum_constants(a, inv_f, p7).items()}
+    # np.radians multiplies by the double nearest pi/180 — a single
+    # constant multiply, NOT x*pi/180 (two roundings)
+    d2r = f"CAST({(math.pi / 180.0)!r} AS DOUBLE)"
+    return f"""
+g1 AS (
+  SELECT rec_no, lon_s * {d2r} AS lam, lat_s * {d2r} AS phi
+  FROM {src_cte}),
+g2 AS (
+  SELECT rec_no, lam, SIN(phi) AS sp, COS(phi) AS cp FROM g1),
+g3 AS (
+  SELECT rec_no, lam, sp, cp,
+         {d['a_src']} / SQRT(1.0 - {d['e2_src']} * sp * sp) AS n
+  FROM g2),
+g4 AS (
+  SELECT rec_no,
+         n * cp * COS(lam) AS gx, n * cp * SIN(lam) AS gy,
+         n * (1.0 - {d['e2_src']}) * sp AS gz
+  FROM g3),
+g5 AS (
+  SELECT rec_no,
+         {d['dx']} + {d['m']} * (gx - {d['rz']} * gy + {d['ry']} * gz) AS x2,
+         {d['dy']} + {d['m']} * ({d['rz']} * gx + gy - {d['rx']} * gz) AS y2,
+         {d['dz']} + {d['m']} * (-{d['ry']} * gx + {d['rx']} * gy + gz) AS z2
+  FROM g4),
+g6 AS (
+  SELECT rec_no, x2, y2, z2, SQRT(x2 * x2 + y2 * y2) AS p FROM g5),
+g7 AS (
+  SELECT rec_no, x2, y2, z2, p,
+         SIN(ATAN2(z2 * {d['aw']}, p * {d['bw']})) AS su,
+         COS(ATAN2(z2 * {d['aw']}, p * {d['bw']})) AS cu
+  FROM g6)
+SELECT rec_no,
+       ROUND(DEGREES(ATAN2(y2, x2)), 9) AS lon,
+       ROUND(DEGREES(ATAN2(z2 + {d['ep2w_bw']} * su * su * su,
+                           p - {d['e2w_aw']} * cu * cu * cu)), 9) AS lat
+FROM g7
+"""
+
+def _oracle_krovak_sql(seed1: int = 5, seed2: int = 6,
+                       datum_p7=None) -> str:
     """EPSG 9819 Krovak inverse as DuckDB SQL, op-for-op the numpy
     kernel's sequence (incl. the four FIXED latitude iterations), from the
-    same shared krovak_constants() float64 values."""
+    same shared krovak_constants() float64 values. With ``datum_p7`` the
+    final select becomes an unrounded-degrees CTE feeding the shared
+    Helmert stages (the 3-param S-JTSK→WGS84 composition)."""
     import math
     from .shp.parser import krovak_constants
     cv = krovak_constants(*_KRO_PARAMS)
@@ -1495,11 +1548,21 @@ def _oracle_krovak_sql() -> str:
     its = "\n".join(
         f"it{k} AS (SELECT rec_no, lam, base, {step} FROM it{k - 1}),"
         for k in range(1, 5))
+    if datum_p7 is None:
+        tail = f"""sel AS (SELECT * FROM it4)
+SELECT rec_no, ROUND(DEGREES(lam), 9) AS lon, ROUND(DEGREES(phi), 9) AS lat
+FROM sel
+"""
+    else:
+        tail = f"""sel AS (SELECT * FROM it4),
+kro AS (
+  SELECT rec_no, DEGREES(lam) AS lon_s, DEGREES(phi) AS lat_s FROM sel),
+{_datum_stage_sql(_KRO_PARAMS[0], _KRO_PARAMS[1], datum_p7, 'kro')}"""
     return f"""
 WITH src AS (
   SELECT CAST(i + 1 AS INT) AS rec_no,
-         -880000.0 + {u01_sql('i * 71 + 5')} * 420000.0 AS x,
-         -1220000.0 + {u01_sql('i * 71 + 6')} * 280000.0 AS y
+         -880000.0 + {u01_sql(f'i * 71 + {seed1}')} * 420000.0 AS x,
+         -1220000.0 + {u01_sql(f'i * 71 + {seed2}')} * 280000.0 AS y
   FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_KRO - 1})) AS i) t),
 s1 AS (
   SELECT rec_no, -(y - {c['fn']}) AS xs, -(x - {c['fe']}) AS ys FROM src),
@@ -1525,13 +1588,62 @@ it0 AS (
          u AS phi
   FROM s5),
 {its}
-sel AS (SELECT * FROM it4)
-SELECT rec_no, ROUND(DEGREES(lam), 9) AS lon, ROUND(DEGREES(phi), 9) AS lat
-FROM sel
-"""
+{tail}"""
 
 
 ORACLE_SHP_KROVAK = _oracle_krovak_sql()
+
+
+# S-JTSK → WGS84 with the published 3-param TOWGS84 (the Czech national
+# transform EPSG:1622-class values) — exercises the 3-param Helmert
+# branch (rotations/scale zero) end-to-end through a non-TM projection
+_KRO_DATUM_P7 = (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)
+_KRO_DATUM_WKT = _KRO_WKT.replace(
+    'SPHEROID["Bessel_1841",6377397.155,299.1528128]]',
+    'SPHEROID["Bessel_1841",6377397.155,299.1528128],'
+    'TOWGS84[589.0,76.0,480.0]]')
+
+
+def q_shp_krovak_datum_reproject(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """A12 + datum, 3-param branch: the S-JTSK Krovak grid whose .prj
+    carries the published TOWGS84[589,76,480] — Krovak inverse (EPSG
+    9819) composed with the 3-param position-vector Helmert
+    (rotations/scale zero; ~120 m offset vs the bare-datum
+    shp_krovak_reproject fixture). Oracle: the shared Krovak iteration
+    stages feeding the shared Helmert stages, op-for-op."""
+    import numpy as np
+    from .hashing import u01
+    from .shp import parser, writer
+
+    i = np.arange(N_KRO, dtype=np.int64)
+    xm = -880000.0 + u01(i * 71 + 9) * 420000.0
+    ym = -1220000.0 + u01(i * 71 + 10) * 280000.0
+    blob = writer.write_shp([
+        (writer.POINT, (float(x), float(y))) for x, y in zip(xm, ym)])
+    schema = T.StructType([
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+
+    def decode(batches):
+        trans = parser.projection_from_wkt(_KRO_DATUM_WKT)
+        for pdf in batches:
+            for content in pdf["content"]:
+                geoms = parser.parse_shp(bytes(content), trans)
+                yield pd.DataFrame(
+                    [(n + 1, round(g["coordinates"][0], 9),
+                      round(g["coordinates"][1], 9))
+                     for n, g in enumerate(geoms)],
+                    columns=["rec_no", "lon", "lat"])
+
+    files = spark.createDataFrame(pd.DataFrame({"content": [blob]}))
+    return files.mapInPandas(decode, schema)
+
+
+ORACLE_SHP_KROVAK_DATUM = _oracle_krovak_sql(
+    seed1=9, seed2=10, datum_p7=_KRO_DATUM_P7)
 
 
 N_CAS = 40
@@ -2236,21 +2348,16 @@ def q_shp_towgs84_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.mapInPandas(decode, schema)
 
 
+
+
 def _oracle_towgs84_sql() -> str:
     """TM inverse + TOWGS84 Helmert as DuckDB SQL, op-for-op the numpy
     composition projection_from_wkt builds (shift∘inv — including the
     engine's degrees→radians roundtrip between the two stages), from the
     same tmerc_constants() and datum_constants() float64 values."""
-    import math
-    from .shp.parser import datum_constants, tmerc_constants
+    from .shp.parser import tmerc_constants
     c = {k: f"CAST({v!r} AS DOUBLE)"
          for k, v in tmerc_constants(*_TOW_TM_PARAMS).items()}
-    d = {k: f"CAST({v!r} AS DOUBLE)"
-         for k, v in datum_constants(
-             _TOW_TM_PARAMS[0], _TOW_TM_PARAMS[1], _TOW_P7).items()}
-    # np.radians multiplies by the double nearest pi/180 — a single
-    # constant multiply, NOT x*pi/180 (two roundings)
-    d2r = f"CAST({(math.pi / 180.0)!r} AS DOUBLE)"
     return f"""
 WITH src AS (
   SELECT CAST(i + 1 AS INT) AS rec_no,
@@ -2301,38 +2408,7 @@ tm AS (
                   - 252.0 * {c['ep2']} - 3.0 * c1 * c1)
                  * dd2 * dd2 * dd2 / 720.0)) AS lat_s
   FROM s6),
-g1 AS (
-  SELECT rec_no, lon_s * {d2r} AS lam, lat_s * {d2r} AS phi FROM tm),
-g2 AS (
-  SELECT rec_no, lam, SIN(phi) AS sp, COS(phi) AS cp FROM g1),
-g3 AS (
-  SELECT rec_no, lam, sp, cp,
-         {d['a_src']} / SQRT(1.0 - {d['e2_src']} * sp * sp) AS n
-  FROM g2),
-g4 AS (
-  SELECT rec_no,
-         n * cp * COS(lam) AS gx, n * cp * SIN(lam) AS gy,
-         n * (1.0 - {d['e2_src']}) * sp AS gz
-  FROM g3),
-g5 AS (
-  SELECT rec_no,
-         {d['dx']} + {d['m']} * (gx - {d['rz']} * gy + {d['ry']} * gz) AS x2,
-         {d['dy']} + {d['m']} * ({d['rz']} * gx + gy - {d['rx']} * gz) AS y2,
-         {d['dz']} + {d['m']} * (-{d['ry']} * gx + {d['rx']} * gy + gz) AS z2
-  FROM g4),
-g6 AS (
-  SELECT rec_no, x2, y2, z2, SQRT(x2 * x2 + y2 * y2) AS p FROM g5),
-g7 AS (
-  SELECT rec_no, x2, y2, z2, p,
-         SIN(ATAN2(z2 * {d['aw']}, p * {d['bw']})) AS su,
-         COS(ATAN2(z2 * {d['aw']}, p * {d['bw']})) AS cu
-  FROM g6)
-SELECT rec_no,
-       ROUND(DEGREES(ATAN2(y2, x2)), 9) AS lon,
-       ROUND(DEGREES(ATAN2(z2 + {d['ep2w_bw']} * su * su * su,
-                           p - {d['e2w_aw']} * cu * cu * cu)), 9) AS lat
-FROM g7
-"""
+{_datum_stage_sql(_TOW_TM_PARAMS[0], _TOW_TM_PARAMS[1], _TOW_P7, 'tm')}"""
 
 
 ORACLE_SHP_TOWGS84 = _oracle_towgs84_sql()
@@ -3284,6 +3360,8 @@ QUERIES: dict = {
     "shp_mollweide_reproject": (q_shp_mollweide_reproject,
                                 ORACLE_SHP_MOLLWEIDE),
     "shp_krovak_reproject": (q_shp_krovak_reproject, ORACLE_SHP_KROVAK),
+    "shp_krovak_datum_reproject": (q_shp_krovak_datum_reproject,
+                                   ORACLE_SHP_KROVAK_DATUM),
     "shp_cassini_reproject": (q_shp_cassini_reproject,
                               ORACLE_SHP_CASSINI),
     "shp_bonne_reproject": (q_shp_bonne_reproject, ORACLE_SHP_BONNE),

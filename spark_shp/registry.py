@@ -48,6 +48,7 @@ _TAIL = [
     "shp_hom_reproject",      # A12 (same family — Hotine Oblique Mercator)
     "shp_towgs84_reproject",  # A12 + TOWGS84 datum stage (in families row)
     "shp_equalearth_reproject",  # A12 (same family — Equal Earth 2018)
+    "shp_krovak_datum_reproject",  # A12 + 3-param TOWGS84 branch
     "shp_krovak_reproject",   # A12 (same family — Krovak S-JTSK)
     "shp_cassini_reproject",  # A12 (same family — Cassini-Soldner)
     "shp_aeqd_reproject",     # A12 (same family — Azimuthal Equidistant)

@@ -1925,3 +1925,21 @@ def test_equalearth_wkt_dispatch():
     assert inv is not None
     out = inv(np.array([[0.0, 0.0]]))
     assert abs(out[0, 0] - 11.0) < 1e-9 and abs(out[0, 1]) < 1e-9
+
+
+def test_krovak_3param_datum_offset_magnitude():
+    """The S-JTSK 3-param TOWGS84 must move Krovak-decoded coordinates by
+    the plausible national-transform magnitude (~90-160 m) and leave the
+    TOWGS84-less Krovak WKT untouched."""
+    import numpy as np
+    from spark_shp.queries_shp import _KRO_DATUM_WKT, _KRO_WKT
+    from spark_shp.shp.parser import projection_from_wkt
+
+    pts = np.array([[-568990.9967, -1050538.6431]])
+    bare = projection_from_wkt(_KRO_WKT)(pts)
+    shifted = projection_from_wkt(_KRO_DATUM_WKT)(pts)
+    dlat_m = abs(shifted[0, 1] - bare[0, 1]) * 111320.0
+    dlon_m = (abs(shifted[0, 0] - bare[0, 0]) * 111320.0
+              * np.cos(np.radians(50.0)))
+    dist = (dlat_m ** 2 + dlon_m ** 2) ** 0.5
+    assert 60.0 < dist < 200.0
