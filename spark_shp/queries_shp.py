@@ -3188,6 +3188,70 @@ GROUP BY i
 """
 
 
+N_FLAC = 24
+
+
+def q_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed audio under the oracle gate (the JPEG sibling, but
+    LOSSLESS so the gate is bit-exact, not an invariant): each task
+    synthesizes a 16-bit PCM stream from a deterministic sawtooth
+    formula (sample k of stream i = (i*97 + k*31) % 4000 − 2000 —
+    locally linear, so the FIXED predictors genuinely compress it),
+    round-trips it through the REAL FLAC encode→decode
+    (spark_shp.flac: Rice-coded fixed-predictor subframes, CRC-8/16,
+    STREAMINFO MD5 verified on decode), asserts the stream actually
+    shrank, and reduces to integer stats DuckDB reproduces from the same
+    formula. A single corrupted sample anywhere fails the hash."""
+    import numpy as np
+    from . import flac
+
+    schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].astype(int):
+                n = 900 + (i * 53) % 700
+                k = np.arange(n, dtype=np.int64)
+                s = ((i * 97 + k * 31) % 4000 - 2000).astype(np.int16)
+                blob = flac.flac_encode(s, 16000)
+                assert len(blob) < 2 * n          # really compressed
+                got, rate = flac.flac_decode(blob)
+                got = got[:, 0]
+                assert rate == 16000 and len(got) == n
+                zc = int(np.sum((got[1:] < 0) != (got[:-1] < 0)))
+                rows.append((f"flac{i:03d}", n, int(np.abs(got).sum()),
+                             zc))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (spark.range(0, N_FLAC, numPartitions=4)
+            .mapInPandas(work, schema))
+
+
+ORACLE_FLAC_STATS = f"""
+WITH ids AS (SELECT UNNEST(GENERATE_SERIES(0, {N_FLAC - 1})) AS i),
+samp AS (
+  SELECT i, k, ((i * 97 + k * 31) % 4000) - 2000 AS s
+  FROM ids, GENERATE_SERIES(0, 1599) g(k)
+  WHERE k < 900 + (i * 53) % 700),
+lagged AS (
+  SELECT i, s, LAG(s) OVER (PARTITION BY i ORDER BY k) AS prev
+  FROM samp)
+SELECT printf('flac%03d', i) AS media_id,
+       COUNT(*) AS n_samples,
+       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND (s < 0) != (prev < 0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM lagged
+GROUP BY i
+"""
+
+
 N_RS = 20
 
 
@@ -3387,6 +3451,7 @@ QUERIES: dict = {
     # parked in registry._TAIL (multimodal RIFF decode under the gate;
     # in-window image coverage via images_phash_verify/clip_coverage_stats)
     "wav_decode_stats": (q_wav_decode_stats, ORACLE_WAV_STATS),
+    "flac_decode_stats": (q_flac_decode_stats, ORACLE_FLAC_STATS),
     "avi_frame_stats": (q_avi_frame_stats, ORACLE_AVI_STATS),
     "audio_resample_stats": (q_audio_resample_stats, ORACLE_RESAMPLE),
     "images_phash_verify": (q_images_phash_verify, """

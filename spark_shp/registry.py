@@ -67,6 +67,7 @@ _TAIL = [
                               # A20 ingest e2e gets a driver row — VERDICT
                               # r3 item 1)
     "wav_decode_stats",       # multimodal audio RIFF decode (exact oracle)
+    "flac_decode_stats",      # compressed audio FLAC codec (exact oracle)
     "avi_frame_stats",        # multimodal video RIFF decode (exact oracle)
     "dedup_clusters",         # near-dup CC clustering (exact oracle)
     "dedup_survivors",        # per-cluster best-quality survivor (exact)
