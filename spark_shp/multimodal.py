@@ -120,13 +120,20 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
 # --- audio/video: real RIFF decode (WAV / uncompressed AVI), loud otherwise ---
 
 def _decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
-    """RIFF/WAVE bytes decode for real (riff.wav_decode: PCM 8/16/24/32-bit
-    + IEEE float, any channel count, mixed down to mono). Non-WAV bytes fall
-    back to the deterministic raw-int16 interpretation so headerless PCM
-    streams keep flowing; compressed-in-WAV raises (no codec lib here)."""
+    """Container-sniffed audio decode: RIFF/WAVE for real
+    (riff.wav_decode: PCM 8/16/24/32-bit + IEEE float, any channel
+    count, mixed down to mono), FLAC for real (spark_shp.flac — the
+    lossless compressed path, r4). Other bytes fall back to the
+    deterministic raw-int16 interpretation so headerless PCM streams
+    keep flowing; compressed-in-WAV raises (no codec lib here)."""
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         wav, _ = riff.wav_decode(data)
         return wav.mean(axis=1) if wav.shape[1] > 1 else wav[:, 0]
+    if data[:4] == b"fLaC":
+        from . import flac
+        s, _ = flac.flac_decode(data)
+        mono = s.mean(axis=1) if s.shape[1] > 1 else s[:, 0]
+        return (mono / 32768.0).astype(np.float64)
     raw = np.frombuffer(data, dtype=np.uint8)
     n = (len(raw) // 2) * 2
     return raw[:n].view("<i2").astype(np.float32) / 32768.0

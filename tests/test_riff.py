@@ -150,3 +150,17 @@ def test_video_features_real_avi(spark):
     assert out["busy"].motion > 1.0
     want = static[0].reshape(-1, 3).mean(axis=0)
     assert np.allclose(out["still"].mean_rgb, want)
+
+
+def test_audio_decode_sniffs_flac():
+    """multimodal._decode_audio must route fLaC-magic bytes through the
+    real FLAC decoder — identical mono floats to the WAV path for the
+    same samples."""
+    import numpy as np
+    from spark_shp import flac, multimodal, riff
+
+    k = np.arange(5000, dtype=np.int64)
+    s = ((k * 31) % 4000 - 2000).astype(np.int16)
+    via_wav = multimodal._decode_audio(riff.wav_encode(s, 16000), 16000)
+    via_flac = multimodal._decode_audio(flac.flac_encode(s, 16000), 16000)
+    assert np.allclose(via_wav.astype(np.float64), via_flac, atol=1e-9)
