@@ -736,6 +736,136 @@ WHERE d.dot_q > 0 AND 25 * d.dot_q * d.dot_q >= 4 * na.n2 * nb.n2
 """
 
 
+# --- semantic_dedup: SemDeDup-style cluster-then-prune curation ---------------
+#
+# The named LLM-curation method (SemDeDup, Abbas et al. 2023 — public):
+# cluster the embedding space coarsely, then remove near-duplicate
+# members WITHIN each cluster, keeping one representative.  Deterministic
+# gate form: the coarse "k-means" is a 7-plane sign-LSH partition (128
+# clusters — the ann_ivf_search stand-in precedent, integer math DuckDB
+# replays; swap ann.kmeans_centroids in production), membership pairs
+# compare int16-quantized cosine against the RATIONAL threshold
+# cos ≥ 24/25 (625·dot² ≥ 576·|a|²·|b|², exact int64 — the
+# dedup_embedding_near overflow trick), and the survivor rule is
+# keep-smallest-id.  Scale shape: ONE cluster-keyed shuffle; all-pairs
+# work is bounded within clusters (the SemDeDup point — n²/k, never n²),
+# hot clusters are the add-planes knob.  Output is per-cluster:
+# members, removed count, survivor id-sum (any wrong pair flips it).
+
+SEMDEDUP_PLANES = 7
+SEMDEDUP_SEED = 9000          # plane-formula offset (≠ the LSH bands')
+
+
+def q_semantic_dedup(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from .hashing import u01
+
+    e = _t(spark, sf_dir, "embeddings")
+    jj, ii = np.meshgrid(np.arange(SEMDEDUP_PLANES, dtype=np.int64),
+                         np.arange(64, dtype=np.int64), indexing="ij")
+    planes = np.rint((u01((SEMDEDUP_SEED + jj) * 64 + ii) - 0.5)
+                     * 1000.0).astype(np.int64)
+    bc = spark.sparkContext.broadcast(planes)
+    assign_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cid", T.LongType()),
+        T.StructField("q", T.ArrayType(T.ShortType())),
+    ])
+
+    def assign(batches):
+        pl = bc.value
+        w = 1 << np.arange(SEMDEDUP_PLANES, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.rint(np.stack(pdf["embedding"].to_numpy())
+                        .astype(np.float64) * 1000.0).astype(np.int64)
+            cid = ((q @ pl.T >= 0).astype(np.int64) @ w)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                "cid": cid, "q": list(q.astype(np.int16))})
+
+    assigned = e.select("vec_id", "embedding").mapInPandas(assign,
+                                                           assign_schema)
+    out_schema = T.StructType([
+        T.StructField("cid", T.LongType()),
+        T.StructField("n_members", T.LongType()),
+        T.StructField("n_removed", T.LongType()),
+        T.StructField("survivor_idsum", T.LongType()),
+    ])
+
+    def prune(_key, pdf):
+        vid = pdf["vec_id"].to_numpy(np.int64)
+        order = np.argsort(vid)
+        vid = vid[order]
+        cid = int(pdf["cid"].iloc[0])
+        if len(vid) < 2:
+            return pd.DataFrame({"cid": [cid], "n_members": [len(vid)],
+                                 "n_removed": [0],
+                                 "survivor_idsum": [int(vid.sum())]})
+        q = np.stack(pdf["q"].to_numpy())[order].astype(np.int64)
+        dots = q @ q.T
+        n2 = np.einsum("ij,ij->i", q, q)
+        dup = (dots > 0) & (625 * dots * dots >= 576 * np.outer(n2, n2))
+        # removed = has a duplicate with a SMALLER id (strict lower tri)
+        removed = np.tril(dup, k=-1).any(axis=1)
+        return pd.DataFrame({
+            "cid": [cid], "n_members": [len(vid)],
+            "n_removed": [int(removed.sum())],
+            "survivor_idsum": [int(vid[~removed].sum())]})
+
+    return (assigned.groupBy("cid").applyInPandas(prune, out_schema)
+            .orderBy("cid"))
+
+
+ORACLE_SEMDEDUP = f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000.0) AS BIGINT)
+           AS q
+  FROM embeddings),
+comp AS (
+  SELECT vec_id, j,
+         SUM(q * CAST(ROUND(({u01_sql(f'({SEMDEDUP_SEED} + j) * 64 + i')}
+                             - 0.5) * 1000.0) AS BIGINT)) AS dot
+  FROM flat CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0,
+       {SEMDEDUP_PLANES - 1})) AS j) p
+  GROUP BY vec_id, j),
+assign AS (
+  SELECT vec_id,
+         SUM(CASE WHEN dot >= 0 THEN CAST(POWER(2.0, j) AS BIGINT)
+             ELSE 0 END) AS cid
+  FROM comp GROUP BY vec_id),
+norms AS (SELECT vec_id, SUM(q * q) AS n2 FROM flat GROUP BY vec_id),
+pairs AS (
+  SELECT a.cid, a.vec_id AS va, b.vec_id AS vb
+  FROM assign a JOIN assign b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+dup AS (
+  SELECT p.cid, p.va, p.vb
+  FROM (
+    SELECT p.cid, p.va, p.vb, CAST(SUM(fa.q * fb.q) AS BIGINT) AS dot
+    FROM pairs p
+    JOIN flat fa ON fa.vec_id = p.va
+    JOIN flat fb ON fb.vec_id = p.vb AND fb.i = fa.i
+    GROUP BY p.cid, p.va, p.vb) p
+  JOIN norms na ON na.vec_id = p.va
+  JOIN norms nb ON nb.vec_id = p.vb
+  WHERE p.dot > 0 AND 625 * p.dot * p.dot >= 576 * na.n2 * nb.n2),
+removed AS (SELECT DISTINCT cid, vb AS vec_id FROM dup)
+SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN r.vec_id IS NULL THEN a.vec_id ELSE 0 END)
+            AS BIGINT) AS survivor_idsum
+FROM assign a LEFT JOIN removed r
+  ON r.cid = a.cid AND r.vec_id = a.vec_id
+GROUP BY a.cid ORDER BY a.cid
+"""
+
+
 # --- streaming batch-equivalents (C12 oracles; live streams in streaming.py) -------------
 
 def q_tumbling_window(spark, sf_dir):
@@ -1049,6 +1179,7 @@ QUERIES: dict = {
     "attribution_pairs": (q_attribution_pairs, ORACLE_ATTRIBUTION),
     "user_session_features": (q_user_session_features,
                               ORACLE_SESSION_FEATURES),
+    "semantic_dedup": (q_semantic_dedup, ORACLE_SEMDEDUP),
 }
 
 

@@ -90,6 +90,7 @@ _TAIL = [
     "spatial_autocorr",       # Moran's I / Geary's C (B1/B3 stats family)
     "attribution_pairs",      # stream-stream interval join batch twin (C12)
     "user_session_features",  # transformWithStateInPandas batch twin (C12)
+    "semantic_dedup",         # SemDeDup cluster-then-prune (dedup family)
     "funnel_stages",          # ordered conversion funnel (C7/agg family)
     "cohort_retention",       # weekly cohort-retention matrix (C7/agg family)
     "ohlc_hourly",            # OHLC time-series resample (C6/agg family)

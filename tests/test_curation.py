@@ -487,3 +487,81 @@ def test_split_leakage_matches_python_and_finds_leaks(spark):
     assert sum(v[0] for v in expect.values()) == len(pairs)
     assert any(k[0] != k[1] for k in expect)      # leaks exist
     assert any(k[0] == k[1] for k in expect)      # clean classes exist
+
+
+def test_semantic_dedup_matches_sequential_replay(spark):
+    """SemDeDup replicated sequentially: LSH cluster assignment, exact
+    int16 cosine pairs at the 24/25 rational threshold, keep-smallest-id
+    survivors — per-cluster counts and survivor id-sums must match, and
+    the survivor set must conserve (members = removed + survivors)."""
+    import numpy as np
+    from spark_shp.hashing import u01
+    from spark_shp.queries_text import (SEMDEDUP_PLANES, SEMDEDUP_SEED,
+                                        q_semantic_dedup)
+
+    SF = "/root/testdata/sf0.001"
+    out = {r["cid"]: r for r in q_semantic_dedup(spark, SF).collect()}
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .orderBy("vec_id").collect()
+    vids = np.array([r["vec_id"] for r in emb], dtype=np.int64)
+    v = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in emb])
+    q = np.rint(v * 1000.0).astype(np.int64)
+    jj, ii = np.meshgrid(np.arange(SEMDEDUP_PLANES, dtype=np.int64),
+                         np.arange(64, dtype=np.int64), indexing="ij")
+    planes = np.rint((u01((SEMDEDUP_SEED + jj) * 64 + ii) - 0.5)
+                     * 1000.0).astype(np.int64)
+    cid = ((q @ planes.T >= 0).astype(np.int64)
+           @ (1 << np.arange(SEMDEDUP_PLANES, dtype=np.int64)))
+    agg = {}
+    for c in np.unique(cid):
+        m = cid == c
+        mv, mq = vids[m], q[m]
+        order = np.argsort(mv)
+        mv, mq = mv[order], mq[order]
+        dots = mq @ mq.T
+        n2 = np.einsum("ij,ij->i", mq, mq)
+        dup = (dots > 0) & (625 * dots * dots >= 576 * np.outer(n2, n2))
+        removed = np.tril(dup, k=-1).any(axis=1)
+        agg[int(c)] = (len(mv), int(removed.sum()),
+                       int(mv[~removed].sum()))
+    assert set(out) == set(agg)
+    total_members = total_removed = 0
+    for c, (n, nr, sid) in agg.items():
+        r = out[c]
+        assert (r["n_members"], r["n_removed"],
+                r["survivor_idsum"]) == (n, nr, sid)
+        total_members += n
+        total_removed += nr
+    assert total_members == len(vids)       # partition covers the corpus
+
+
+def test_semantic_dedup_prunes_planted_duplicates(spark, tmp_path):
+    """Planted near-identical vectors must be pruned to one survivor per
+    group (keep-smallest-id), and unrelated vectors must all survive."""
+    import numpy as np
+    import pandas as pd
+    from spark_shp.queries_text import q_semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 0.3, (6, 64))
+    rows = []
+    vid = 0
+    for g in range(6):
+        for k in range(3):                   # 3 near-copies per group
+            vec = base[g] + rng.normal(0, 1e-4, 64)
+            rows.append((vid, vec.tolist()))
+            vid += 1
+    for _ in range(20):                      # unrelated singletons
+        rows.append((vid, rng.normal(0, 0.3, 64).tolist()))
+        vid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/embeddings.parquet")
+    out = q_semantic_dedup(spark, d).collect()
+    total_removed = sum(r["n_removed"] for r in out)
+    total_members = sum(r["n_members"] for r in out)
+    assert total_members == 38
+    # each planted triple collapses to one survivor IF the triple shares
+    # a cluster (near-identical vectors always do: same LSH signs)
+    assert total_removed == 12
