@@ -140,14 +140,15 @@ def _decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
 
 
 def _sample_video_frames(data: bytes, n_frames: int) -> np.ndarray:
-    """RIFF/AVI with a BI_RGB 'DIB ' stream decodes for real
-    (riff.avi_sample_frames, evenly spaced). Compressed streams and
-    non-AVI bytes raise loudly — those need a codec library (pyav) not
-    present in this environment."""
+    """RIFF/AVI with a BI_RGB 'DIB ' stream OR an MJPG (Motion-JPEG)
+    stream decodes for real (riff.avi_sample_frames — MJPG frames route
+    through the in-repo baseline JPEG decoder, r4). Other codecs
+    (H.264/H.265/VP9) and non-AVI containers raise loudly — those need a
+    codec library (pyav) not present in this environment."""
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return riff.avi_sample_frames(data, n_frames)[0]
     raise NotImplementedError(
-        "only uncompressed BI_RGB AVI decodes without a codec library; this "
+        "only BI_RGB and MJPG AVI decode without a codec library; this "
         "environment has none (would be pyav on a real cluster)")
 
 

@@ -3188,6 +3188,61 @@ GROUP BY i
 """
 
 
+N_MJPEG = 12
+
+
+def q_mjpeg_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed VIDEO under the gate: per task, synthesize a short clip
+    of luma-dominant frames (the jpeg_decode_stats generator), encode as
+    a Motion-JPEG AVI (riff.avi_encode codec='MJPG' — every frame a full
+    JFIF image from the in-repo baseline JPEG encoder), decode through
+    the container walk + JPEG decoder, and assert the input_hint
+    invariants BY CONSTRUCTION: every frame ≥ 40 dB, dims/fps preserved,
+    stream smaller than a third of raw. Lossy ⇒ VALUES oracle (the
+    jpeg_decode_stats pattern); frame-exact container semantics are
+    separately gated by avi_frame_stats' DIB path."""
+    import numpy as np
+    from . import riff
+    from .codecs import psnr
+    from .queries_vision import _jpeg_qa_pixels
+
+    schema = T.StructType([
+        T.StructField("video_id", T.StringType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("all_psnr_ge_40", T.IntegerType()),
+        T.StructField("dims_fps_ok", T.IntegerType()),
+        T.StructField("compressed_3x", T.IntegerType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].astype(int):
+                nf = 4 + i % 3
+                w, h = 48 + (i % 3) * 8, 32 + (i % 2) * 8
+                frames = np.stack([_jpeg_qa_pixels(7 * i + t, w, h)
+                                   for t in range(nf)])
+                blob = riff.avi_encode(frames, fps=5, codec="MJPG")
+                dec, fps = riff.avi_decode(blob)
+                ok_psnr = int(all(psnr(frames[t], dec[t]) >= 40.0
+                                  for t in range(nf)))
+                ok_dims = int(dec.shape == frames.shape and fps == 5)
+                rows.append((f"mjpg{i:03d}", nf, ok_psnr, ok_dims,
+                             int(3 * len(blob) < frames.nbytes)))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (spark.range(0, N_MJPEG, numPartitions=4)
+            .mapInPandas(work, schema))
+
+
+ORACLE_MJPEG_STATS = f"""
+SELECT printf('mjpg%03d', i) AS video_id,
+       CAST(4 + i % 3 AS BIGINT) AS n_frames,
+       1 AS all_psnr_ge_40, 1 AS dims_fps_ok, 1 AS compressed_3x
+FROM (SELECT UNNEST(GENERATE_SERIES(0, {N_MJPEG - 1})) AS i) t
+"""
+
+
 N_FLAC = 24
 
 
@@ -3452,6 +3507,7 @@ QUERIES: dict = {
     # in-window image coverage via images_phash_verify/clip_coverage_stats)
     "wav_decode_stats": (q_wav_decode_stats, ORACLE_WAV_STATS),
     "flac_decode_stats": (q_flac_decode_stats, ORACLE_FLAC_STATS),
+    "mjpeg_video_stats": (q_mjpeg_video_stats, ORACLE_MJPEG_STATS),
     "avi_frame_stats": (q_avi_frame_stats, ORACLE_AVI_STATS),
     "audio_resample_stats": (q_audio_resample_stats, ORACLE_RESAMPLE),
     "images_phash_verify": (q_images_phash_verify, """

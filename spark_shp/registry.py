@@ -68,6 +68,7 @@ _TAIL = [
                               # r3 item 1)
     "wav_decode_stats",       # multimodal audio RIFF decode (exact oracle)
     "flac_decode_stats",      # compressed audio FLAC codec (exact oracle)
+    "mjpeg_video_stats",      # Motion-JPEG compressed video (invariants)
     "avi_frame_stats",        # multimodal video RIFF decode (exact oracle)
     "dedup_clusters",         # near-dup CC clustering (exact oracle)
     "dedup_survivors",        # per-cluster best-quality survivor (exact)

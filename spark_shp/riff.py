@@ -142,21 +142,41 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
 
 # --- AVI (uncompressed BI_RGB DIB frames) ------------------------------------
 
-def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
-    """(n, h, w, 3) uint8 RGB → AVI bytes with one 'DIB ' video stream of
-    BI_RGB 24-bit frames (bottom-up rows, BGR, rows padded to 4 bytes) —
-    the layout every uncompressed-AVI reader expects."""
+_MJPG = 0x47504A4D               # 'MJPG' little-endian biCompression
+
+
+def avi_encode(frames: np.ndarray, fps: int = 10,
+               codec: str = "DIB", quality: int = 90) -> bytes:
+    """(n, h, w, 3) uint8 RGB → AVI bytes.
+
+    ``codec='DIB'``: one BI_RGB 24-bit stream (bottom-up rows, BGR, rows
+    padded to 4 bytes) — what ffmpeg's ``-c:v rawvideo`` writes.
+    ``codec='MJPG'``: Motion-JPEG — each frame is a full JFIF image from
+    the in-repo baseline JPEG encoder (spark_shp.jpeg) in a ``00dc``
+    chunk. Real COMPRESSED video in-sandbox (r4; the JPEG codec's video
+    application)."""
     f = np.ascontiguousarray(frames, dtype=np.uint8)
     n, h, w, _ = f.shape
-    stride = (w * 3 + 3) & ~3
-    row = np.zeros((n, h, stride), dtype=np.uint8)
-    row[:, :, : w * 3] = f[:, ::-1, :, ::-1].reshape(n, h, w * 3)  # flip+BGR
-    dib = row.reshape(n, h * stride)
-    frame_size = h * stride
+    if codec == "MJPG":
+        from . import jpeg
+        payloads = [jpeg.jpeg_encode(f[i], quality=quality,
+                                     subsample=True) for i in range(n)]
+        frame_size = max(len(p) for p in payloads)
+        fourcc, comp, tag = b"MJPG", _MJPG, b"00dc"
+    elif codec == "DIB":
+        stride = (w * 3 + 3) & ~3
+        row = np.zeros((n, h, stride), dtype=np.uint8)
+        row[:, :, : w * 3] = f[:, ::-1, :, ::-1].reshape(n, h, w * 3)
+        dib = row.reshape(n, h * stride)
+        payloads = [dib[i].tobytes() for i in range(n)]
+        frame_size = h * stride
+        fourcc, comp, tag = b"DIB ", 0, b"00db"
+    else:
+        raise ValueError(f"unknown AVI codec {codec!r}")
 
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size,
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, comp, frame_size,
                        0, 0, 0, 0)                       # BITMAPINFOHEADER
-    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIIhhhh",
+    strh = (b"vids" + fourcc + struct.pack("<IHHIIIIIIIIhhhh",
             0, 0, 0, 0, 1, fps, 0, n, frame_size, 0xFFFFFFFF, 0,
             0, 0, w, h))
     strl = _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
@@ -164,8 +184,7 @@ def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
                        frame_size * fps, 0, 0x10, n, 0, 1, frame_size,
                        w, h, 0, 0, 0, 0)
     hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strl)
-    movi = _list(b"movi", b"".join(_chunk(b"00db", dib[i].tobytes())
-                                   for i in range(n)))
+    movi = _list(b"movi", b"".join(_chunk(tag, p) for p in payloads))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -209,10 +228,23 @@ def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
     walk_list(12, len(buf))
     if w is None:
         raise ValueError("AVI missing video stream header")
+    if comp == _MJPG:
+        # Motion-JPEG: each chunk is a standalone JFIF image — decode
+        # through the in-repo baseline JPEG decoder (frames must carry
+        # their Huffman tables; OpenDML table-less AVI1 streams are not
+        # supported). Per-frame loop is inherent (variable-length).
+        from . import jpeg
+        raw = bytes(buf)
+        frames = [jpeg.jpeg_decode(raw[p:p + s])
+                  for p, s in frame_chunks]
+        if not frames:
+            raise ValueError("MJPG stream with no frames")
+        return np.stack(frames), fps
     if comp != 0 or bits != 24:
         raise ValueError(
             f"AVI compression 0x{comp:x}/{bits}bpp needs a codec library "
-            "not present in this environment (only BI_RGB 24-bit decodes)")
+            "not present in this environment (BI_RGB 24-bit and MJPG "
+            "decode in-repo)")
     h = abs(h)
     stride = (w * 3 + 3) & ~3
     raw = np.frombuffer(buf, dtype=np.uint8)

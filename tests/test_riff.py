@@ -164,3 +164,28 @@ def test_audio_decode_sniffs_flac():
     via_wav = multimodal._decode_audio(riff.wav_encode(s, 16000), 16000)
     via_flac = multimodal._decode_audio(flac.flac_encode(s, 16000), 16000)
     assert np.allclose(via_wav.astype(np.float64), via_flac, atol=1e-9)
+
+
+def test_mjpeg_avi_roundtrip_and_sampling():
+    """MJPG AVI: every frame decodes >= 40 dB vs its source (the JPEG
+    invariant carried into video), dims/fps survive, the stream really
+    compresses, and even sampling + the multimodal sniffer route it."""
+    import numpy as np
+    from spark_shp import multimodal, riff
+    from spark_shp.codecs import psnr
+
+    y, x = np.mgrid[0:48, 0:64].astype(float)
+    frames = np.stack([
+        np.clip(128 + 80 * np.sin(x / 6 + t) * np.cos(y / 5),
+                0, 255).astype(np.uint8) for t in range(6)])
+    frames = np.repeat(frames[..., None], 3, axis=3)
+    blob = riff.avi_encode(frames, fps=5, codec="MJPG")
+    dec, fps = riff.avi_decode(blob)
+    assert dec.shape == frames.shape and fps == 5
+    assert min(psnr(frames[i], dec[i]) for i in range(6)) >= 40.0
+    assert len(blob) < frames.nbytes // 3
+    s = multimodal._sample_video_frames(blob, 3)
+    assert s.shape == (3, 48, 64, 3)
+    # DIB path untouched
+    dec2, _ = riff.avi_decode(riff.avi_encode(frames, fps=5))
+    assert np.array_equal(dec2, frames)
