@@ -835,8 +835,8 @@ comp AS (
   GROUP BY vec_id, j),
 assign AS (
   SELECT vec_id,
-         SUM(CASE WHEN dot >= 0 THEN CAST(POWER(2.0, j) AS BIGINT)
-             ELSE 0 END) AS cid
+         CAST(SUM(CASE WHEN dot >= 0 THEN CAST(POWER(2.0, j) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS cid
   FROM comp GROUP BY vec_id),
 norms AS (SELECT vec_id, SUM(q * q) AS n2 FROM flat GROUP BY vec_id),
 pairs AS (
