@@ -45,21 +45,23 @@ def png_encode(pixels: np.ndarray) -> bytes:
             + _chunk(b"IEND", b""))
 
 
-def _unfilter(raw: np.ndarray, h: int, w: int) -> np.ndarray:
-    """Undo PNG row filters. raw: (h, 1 + w*3) uint8."""
-    bpp = 3
-    out = np.zeros((h, w * 3), dtype=np.uint8)
+def _unfilter(raw: np.ndarray, h: int, nbytes: int,
+              bpp: int = 3) -> np.ndarray:
+    """Undo PNG row filters. raw: (h, 1 + nbytes) uint8; ``bpp`` is the
+    bytes-per-pixel the Sub/Average/Paeth left-neighbor offset uses."""
+    out = np.zeros((h, nbytes), dtype=np.uint8)
     for y in range(h):
         f = int(raw[y, 0])
         line = raw[y, 1:].astype(np.int32)
-        prev = out[y - 1].astype(np.int32) if y else np.zeros(w * 3, np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(nbytes,
+                                                              np.int32)
         if f == 0:
             res = line
         elif f == 2:  # Up
             res = (line + prev) & 0xFF
         else:  # Sub / Average / Paeth need left-to-right recurrence
-            res = np.zeros(w * 3, dtype=np.int32)
-            for i in range(w * 3):
+            res = np.zeros(nbytes, dtype=np.int32)
+            for i in range(nbytes):
                 a = res[i - bpp] if i >= bpp else 0
                 b = prev[i]
                 c = prev[i - bpp] if i >= bpp else 0
@@ -78,27 +80,75 @@ def _unfilter(raw: np.ndarray, h: int, w: int) -> np.ndarray:
     return out
 
 
+# channel bytes per pixel per PNG color type (8-bit depth)
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass grid: (x0, y0, dx, dy)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
 def png_decode(data: bytes) -> np.ndarray:
+    """PNG → (h, w, 3) uint8 RGB. Decodes every 8-bit color type real
+    PNGs use — grayscale (0), RGB (2), palette (3, via PLTE), gray+alpha
+    (4) and RGBA (6, alpha dropped — the catalog schema is RGB) — with
+    all five row filters and both interlace methods (none / Adam7).
+    16-bit depth raises (rare in the wild; halving would be lossy-silent,
+    which the codec family bans)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, w = 8, None
     idat = bytearray()
+    plte = None
+    interlace = 0
     while pos < len(data):
         (ln,) = struct.unpack(">I", data[pos:pos + 4])
         tag = data[pos + 4:pos + 8]
         payload = data[pos + 8:pos + 8 + ln]
         if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
-            if depth != 8 or ctype != 2:
-                raise ValueError("only 8-bit RGB PNGs supported")
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload[:13])
+            if depth != 8:
+                raise ValueError(f"only 8-bit PNGs supported (depth {depth})")
+            if ctype not in _PNG_BPP:
+                raise ValueError(f"unsupported PNG color type {ctype}")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
         pos += 12 + ln
+    bpp = _PNG_BPP[ctype]
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    raw = raw.reshape(h, w * 3 + 1)
-    return _unfilter(raw, h, w).reshape(h, w, 3)
+    if interlace == 0:
+        px = _unfilter(raw.reshape(h, w * bpp + 1), h, w * bpp,
+                       bpp).reshape(h, w, bpp)
+    elif interlace == 1:
+        px = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            n = ph * (1 + pw * bpp)
+            sub = _unfilter(raw[off:off + n].reshape(ph, pw * bpp + 1),
+                            ph, pw * bpp, bpp)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            off += n
+    else:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    if ctype == 2:
+        return px
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[px[:, :, 0]]
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]                    # 6: RGBA → drop alpha
 
 
 def qb_encode(pixels: np.ndarray) -> bytes:
