@@ -216,6 +216,176 @@ d{r} AS (
             f"\nSELECT node, CAST(d AS BIGINT) AS dist FROM d{SSSP_ROUNDS}")
 
 
+# --- betweenness_roads: Brandes dependency accumulation (sampled sources) -----
+#
+# The remaining classic centrality next to PageRank/HITS/k-core:
+# betweenness via Brandes' algorithm on the SAME hash-derived road
+# graph sssp_roads uses, from BC_SOURCES fixed sources (source-sampled
+# betweenness — the standard estimator; exact per included source).
+# Source-PARALLEL: state is keyed (source, node), so each of the
+# BC_ROUNDS forward levels is ONE (s,node)-keyed join + groupBy-SUM
+# (level-synchronized BFS: dist via min-plus rounds, then σ accumulated
+# level by level — σ_l(v) = Σ over edges u→v with dist(u)=l−1 of σ(u)),
+# and each backward level accumulates the Brandes dependency
+#   δ(v) += ⌊σ(v) · (SCALE + δ(w)) / σ(w)⌋   over edges v→w one level
+# deeper — quantized to integer SCALE-units with floor division per
+# TERM (the repo's variable-cardinality float rule made exact), so both
+# engines replay it bit-for-bit. Directed paths of ≤ BC_ROUNDS edges
+# (documented truncation — the sssp_roads horizon). Output: top
+# BC_TOPK nodes by accumulated dependency, total order.
+
+BC_SOURCES = 4
+BC_ROUNDS = 6
+BC_SCALE = 1_000_000
+BC_TOPK = 15
+
+
+def _bc_edges(spark, v):
+    backbone = spark.range(v - 1).selectExpr(
+        "id AS src", "id + 1 AS dst")
+    rand = (spark.range(SSSP_EDGE_FACTOR * v)
+            .selectExpr(f"{_rand_src_sql('id', v)} AS src",
+                        f"{_rand_dst_sql('id', v)} AS dst")
+            .where("src <> dst"))
+    return backbone.unionAll(rand).distinct()
+
+
+def _bc_src_sql(k: str, v: str) -> str:
+    return f"(({mix_sql(f'({k}) * 5 + 17')}) % {v})"
+
+
+def q_betweenness_roads(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = ev.agg(F.countDistinct("user_id")).collect()[0][0]  # bounded scalar
+    edges = _bc_edges(spark, v).localCheckpoint()
+    srcs = spark.range(BC_SOURCES).selectExpr(
+        "id AS s", f"CAST({_bc_src_sql('id', v)} AS BIGINT) AS node")
+
+    # forward min-dist BFS (unit weights), keyed (s, node)
+    dist = srcs.selectExpr("s", "node", "CAST(0 AS BIGINT) AS d")
+    for _ in range(BC_ROUNDS):
+        relaxed = (dist.join(edges, dist.node == edges.src)
+                   .selectExpr("s", "dst AS node", "d + 1 AS d"))
+        dist = (dist.unionAll(relaxed)
+                .groupBy("s", "node").agg(F.min("d").alias("d")))
+    dist = dist.localCheckpoint()
+
+    # sigma, level by level
+    sigma = dist.where("d = 0").selectExpr(
+        "s", "node", "CAST(1 AS BIGINT) AS sig")
+    for lvl in range(1, BC_ROUNDS + 1):
+        nxt = (sigma.join(edges, sigma.node == edges.src)
+               .selectExpr("s", "dst AS node", "sig")
+               .join(dist.where(f"d = {lvl}")
+                     .selectExpr("s AS s2", "node AS n2"),
+                     F.expr("s = s2 AND node = n2"))
+               .groupBy("s", "node").agg(F.sum("sig").alias("sig")))
+        sigma = sigma.unionAll(nxt)
+    sigma = sigma.join(dist, ["s", "node"]).localCheckpoint()
+
+    # backward dependency accumulation, deepest level first
+    delta = sigma.selectExpr("s", "node", "d",
+                             "CAST(0 AS BIGINT) AS dq")
+    for lvl in range(BC_ROUNDS - 1, -1, -1):
+        contrib = (delta.where(f"d = {lvl + 1}")
+                   .selectExpr("s AS sw", "node AS w", "dq AS dqw")
+                   .join(edges.selectExpr("src AS vv", "dst AS w"), "w")
+                   .join(sigma.where(f"d = {lvl + 1}")
+                         .selectExpr("s AS sw2", "node AS w2",
+                                     "sig AS sigw"),
+                         F.expr("sw = sw2 AND w = w2"))
+                   .join(sigma.where(f"d = {lvl}")
+                         .selectExpr("s AS sv", "node AS v2",
+                                     "sig AS sigv"),
+                         F.expr("sw = sv AND vv = v2"))
+                   .selectExpr("sv AS s", "vv AS node",
+                               f"(sigv * ({BC_SCALE} + dqw)) DIV sigw "
+                               "AS c")
+                   .groupBy("s", "node").agg(F.sum("c").alias("add")))
+        delta = (delta.join(contrib, ["s", "node"], "left")
+                 .selectExpr("s", "node", "d",
+                             "dq + COALESCE(add, 0) AS dq")
+                 .localCheckpoint())
+    bc = (delta.where("d > 0")            # exclude each source itself
+          .groupBy("node").agg(F.sum("dq").alias("bc_q"),
+                               F.count(F.lit(1)).alias("n_sources")))
+    return (bc.orderBy(F.desc("bc_q"), "node").limit(BC_TOPK)
+            .selectExpr("CAST(node AS BIGINT) AS node",
+                        "CAST(bc_q AS BIGINT) AS bc_q",
+                        "CAST(n_sources AS BIGINT) AS n_sources"))
+
+
+def _oracle_betweenness() -> str:
+    v = "(SELECT COUNT(DISTINCT user_id) FROM events)"
+    stages = [f"""
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT CAST(i AS BIGINT) AS src, CAST(i + 1 AS BIGINT) AS dst
+    FROM (SELECT UNNEST(range({v} - 1)) AS i)
+    UNION ALL
+    SELECT * FROM (
+      SELECT CAST({_rand_src_sql('j', v)} AS BIGINT) AS src,
+             CAST({_rand_dst_sql('j', v)} AS BIGINT) AS dst
+      FROM (SELECT UNNEST(range({SSSP_EDGE_FACTOR} * {v})) AS j))
+    WHERE src <> dst)),
+d0 AS (
+  SELECT CAST(k AS BIGINT) AS s,
+         CAST({_bc_src_sql('k', v)} AS BIGINT) AS node,
+         CAST(0 AS BIGINT) AS d
+  FROM (SELECT UNNEST(range({BC_SOURCES})) AS k))"""]
+    for r in range(1, BC_ROUNDS + 1):
+        stages.append(f"""
+d{r} AS (
+  SELECT s, node, MIN(d) AS d FROM (
+    SELECT s, node, d FROM d{r - 1}
+    UNION ALL
+    SELECT p.s, e.dst AS node, p.d + 1 AS d
+    FROM d{r - 1} p JOIN edges e ON e.src = p.node)
+  GROUP BY s, node)""")
+    stages.append(f"""
+dist AS MATERIALIZED (SELECT * FROM d{BC_ROUNDS}),
+sig0 AS (SELECT s, node, CAST(1 AS BIGINT) AS sig
+         FROM dist WHERE d = 0)""")
+    for lvl in range(1, BC_ROUNDS + 1):
+        stages.append(f"""
+sig{lvl} AS (
+  SELECT * FROM sig{lvl - 1}
+  UNION ALL
+  SELECT p.s, e.dst AS node, SUM(p.sig) AS sig
+  FROM sig{lvl - 1} p JOIN edges e ON e.src = p.node
+  JOIN dist dd ON dd.s = p.s AND dd.node = e.dst AND dd.d = {lvl}
+  GROUP BY p.s, e.dst)""")
+    stages.append(f"""
+sigma AS MATERIALIZED (
+  SELECT g.s, g.node, g.sig, dist.d
+  FROM sig{BC_ROUNDS} g JOIN dist
+    ON dist.s = g.s AND dist.node = g.node),
+del{BC_ROUNDS} AS (
+  SELECT s, node, d, CAST(0 AS BIGINT) AS dq FROM sigma)""")
+    for lvl in range(BC_ROUNDS - 1, -1, -1):
+        stages.append(f"""
+del{lvl} AS (
+  SELECT p.s, p.node, p.d,
+         p.dq + COALESCE(c.addq, 0) AS dq
+  FROM del{lvl + 1} p
+  LEFT JOIN (
+    SELECT sv.s, sv.node,
+           SUM((sv.sig * ({BC_SCALE} + w.dq)) // sw.sig) AS addq
+    FROM del{lvl + 1} w
+    JOIN edges e ON e.dst = w.node
+    JOIN sigma sw ON sw.s = w.s AND sw.node = w.node
+      AND sw.d = {lvl + 1}
+    JOIN sigma sv ON sv.s = w.s AND sv.node = e.src AND sv.d = {lvl}
+    WHERE w.d = {lvl + 1}
+    GROUP BY sv.s, sv.node) c
+    ON c.s = p.s AND c.node = p.node)""")
+    return ("WITH " + ",".join(stages) + f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(SUM(dq) AS BIGINT) AS bc_q,
+       CAST(COUNT(*) AS BIGINT) AS n_sources
+FROM del0 WHERE d > 0
+GROUP BY node ORDER BY bc_q DESC, node LIMIT {BC_TOPK}""")
+
+
 # --- dp_noisy_counts: discrete-Laplace differential privacy --------------------
 #
 # The geometric (discrete Laplace) mechanism releases COUNT + (G1 - G2),
@@ -436,6 +606,7 @@ FROM {prev}""")
 QUERIES: dict = {
     "convoy_pairs": (q_convoy_pairs, _oracle_convoy()),
     "sssp_roads": (q_sssp_roads, _oracle_sssp()),
+    "betweenness_roads": (q_betweenness_roads, _oracle_betweenness()),
     "dp_noisy_counts": (q_dp_noisy_counts, _oracle_dp()),
     "trajectory_alignment": (q_trajectory_alignment, _oracle_alignment()),
 }

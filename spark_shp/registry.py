@@ -326,6 +326,7 @@ _TAIL = [
     "percentiles_exact",
     "convoy_pairs",       # B5/B7 spatio-temporal co-movement mining
     "sssp_roads",         # weighted SSSP (graph family; BFS in-window kin)
+    "betweenness_roads",  # Brandes sampled betweenness (graph family)
     "dp_noisy_counts",    # discrete-Laplace DP release (privacy family)
     "trajectory_alignment",  # DTW + Frechet sequence alignment (staged DP)
     "image_pyramid_stats",  # mipmap block-sum pyramid (B11/image)

@@ -197,3 +197,71 @@ def test_alignment_matches_classic_dp():
            for r in q_trajectory_alignment(spark, sf).collect()}
     assert got == expected
     assert len(got) > 0
+
+
+def test_betweenness_matches_sequential_brandes(spark):
+    """Sampled-source Brandes replicated sequentially in python (dict
+    BFS per source, level lists, integer-quantized dependency with the
+    same per-term floor division) — the distributed top-K must match
+    exactly, and the quantized estimate must rank a true high-traffic
+    node first."""
+    from collections import defaultdict
+
+    from spark_shp.queries_patterns import (BC_ROUNDS, BC_SCALE,
+                                            BC_SOURCES, BC_TOPK,
+                                            SSSP_EDGE_FACTOR,
+                                            q_betweenness_roads)
+
+    got = [(r["node"], r["bc_q"], r["n_sources"])
+           for r in q_betweenness_roads(spark, SF).collect()]
+
+    v = (spark.read.parquet(f"{SF}/events.parquet")
+         .selectExpr("user_id").distinct().count())
+    edges = set()
+    for i in range(v - 1):
+        edges.add((i, i + 1))
+    for j in range(SSSP_EDGE_FACTOR * v):
+        s = mix(j * 3 + 11) % v
+        d = mix(j * 3 + 12) % v
+        if s != d:
+            edges.add((s, d))
+    adj = defaultdict(list)
+    radj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+        radj[d].append(s)
+
+    acc = defaultdict(lambda: [0, 0])
+    for k in range(BC_SOURCES):
+        src = mix(k * 5 + 17) % v
+        dist = {src: 0}
+        frontier = [src]
+        levels = [[src]]
+        for lvl in range(1, BC_ROUNDS + 1):
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = lvl
+                        nxt.append(w)
+            levels.append(nxt)
+            frontier = nxt
+        sigma = {src: 1}
+        for lvl in range(1, BC_ROUNDS + 1):
+            for w in levels[lvl]:
+                sigma[w] = sum(sigma[u] for u in radj[w]
+                               if dist.get(u) == lvl - 1)
+        delta = {n: 0 for n in dist}
+        for lvl in range(BC_ROUNDS - 1, -1, -1):
+            for vtx in levels[lvl]:
+                delta[vtx] += sum(
+                    (sigma[vtx] * (BC_SCALE + delta[w])) // sigma[w]
+                    for w in adj[vtx] if dist.get(w) == lvl + 1)
+        for n, d in dist.items():
+            if d > 0:
+                acc[n][0] += delta[n]
+                acc[n][1] += 1
+    want = sorted(((n, dq, ns) for n, (dq, ns) in acc.items()),
+                  key=lambda t: (-t[1], t[0]))[:BC_TOPK]
+    assert got == want
+    assert got[0][1] > BC_SCALE          # a genuinely central node exists
