@@ -1401,3 +1401,97 @@ QUERIES.update({
                        .replace("nbr AS (", "nbr AS MATERIALIZED (")
                        .replace("recs0 AS (", "recs0 AS MATERIALIZED (")),
 })
+
+
+# --- isolation_grid_anomalies: random-partition forest anomaly scoring --------
+#
+# Isolation-forest-STYLE anomaly detection in its oracle-replayable
+# deterministic form: T fixed-depth random partitions of the
+# (price-cents, order-epoch-day) plane — at each of D levels tree t cuts
+# a hash-chosen dimension at a hash-chosen fraction of the GLOBAL range
+# (python-folded u01 literals; the data-dependent part is only the
+# min/max scalars, shared via one tiny aggregate) — and a point's
+# isolation score is the total occupancy of its T leaves: genuinely
+# isolated points land in sparse cells of EVERY random grid.  Deviations
+# from Liu's iForest (path-dependent splits, early termination, subsample
+# per tree) are exactly the data-dependent parts an oracle can't replay;
+# swap real trees in production — the plan shape is identical.  Scale:
+# leaf ids are pure codegen CASE arithmetic, ONE (tree, leaf) groupBy
+# with map-side combine, one broadcast join back; everything int64.
+
+ISO_TREES = 6
+ISO_DEPTH = 5
+ISO_TOPK = 12
+
+
+def _iso_cuts():
+    from .hashing import u01
+    import numpy as np
+    t, d = np.meshgrid(np.arange(ISO_TREES, dtype=np.int64),
+                       np.arange(ISO_DEPTH, dtype=np.int64), indexing="ij")
+    dims = (np.floor(u01(t * 31 + d * 7 + 1) * 2.0)).astype(np.int64)
+    fracs = u01(t * 31 + d * 7 + 2)
+    return dims, fracs
+
+
+def _iso_leaf_sql(tree: int) -> str:
+    dims, fracs = _iso_cuts()
+    bits = []
+    for lvl in range(ISO_DEPTH):
+        dim = int(dims[tree, lvl])
+        f = float(fracs[tree, lvl])
+        x = "x1" if dim == 0 else "x2"
+        lo = "mn1" if dim == 0 else "mn2"
+        hi = "mx1" if dim == 0 else "mx2"
+        bits.append(
+            f"(CASE WHEN CAST({x} AS DOUBLE) > {lo} + CAST({f!r} AS DOUBLE)"
+            f" * ({hi} - {lo}) THEN {1 << lvl} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+_ISO_SQL_BODY = None
+
+
+def _iso_sql() -> str:
+    leafs = ", ".join(
+        f"({_iso_leaf_sql(t)}) AS leaf{t}" for t in range(ISO_TREES))
+    stack = " UNION ALL ".join(
+        f"SELECT ok, {t} AS tree, leaf{t} AS leaf FROM pts"
+        for t in range(ISO_TREES))
+    return f"""
+WITH src AS (
+  SELECT o_orderkey AS ok,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS x1,
+         CAST(epoch_days(o_orderdate) AS BIGINT) AS x2
+  FROM orders),
+rng AS (
+  SELECT CAST(MIN(x1) AS DOUBLE) AS mn1, CAST(MAX(x1) AS DOUBLE) AS mx1,
+         CAST(MIN(x2) AS DOUBLE) AS mn2, CAST(MAX(x2) AS DOUBLE) AS mx2
+  FROM src),
+pts AS (SELECT ok, {leafs} FROM src, rng),
+stacked AS ({stack}),
+occ AS (
+  SELECT tree, leaf, COUNT(*) AS c FROM stacked GROUP BY 1, 2),
+scored AS (
+  SELECT s.ok, CAST(SUM(o.c) AS BIGINT) AS iso_q
+  FROM stacked s JOIN occ o ON o.tree = s.tree AND o.leaf = s.leaf
+  GROUP BY s.ok)
+SELECT ok AS orderkey, iso_q
+FROM scored ORDER BY iso_q ASC, ok LIMIT {ISO_TOPK}
+"""
+
+
+def q_isolation_grid_anomalies(spark, sf_dir):
+    for t in ("orders",):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_iso_sql().replace(
+        "epoch_days(o_orderdate)", "datediff(o_orderdate, DATE'1970-01-01')"))
+
+
+QUERIES.update({
+    "isolation_grid_anomalies": (q_isolation_grid_anomalies,
+                                 _iso_sql().replace(
+                                     "epoch_days(o_orderdate)",
+                                     "date_diff('day', DATE '1970-01-01', "
+                                     "o_orderdate)")),
+})

@@ -232,6 +232,7 @@ _TAIL = [
     "percolation_sweep",      # largest-cluster share vs threshold (B/graph)
     "calibration_bins",       # reliability diagram, exact bins (C6/ML)
     "mad_outliers",           # robust median/MAD anomaly flags (C6)
+    "isolation_grid_anomalies",  # random-partition forest scoring (ML)
     "image_curation_pipeline",  # decode->QA->dedup->tiles e2e (B11 flagship)
     "pps_sample",             # deterministic PPS corpus sampling (text)
     "soundex_blocking",       # phonetic blocking for record linkage (text)

@@ -534,3 +534,52 @@ def test_als_train_wrapper_matches_manual_loop(spark):
                          "CAST(r AS DOUBLE) r"), users, items, 2)
     assert rmse < 0.2
     assert users.count() == 30 and items.count() == 12
+
+
+def test_isolation_grid_matches_python_replay(spark):
+    """Random-partition forest replicated sequentially (dict leaf
+    counting over the same folded cut literals) — the top-K most
+    isolated orders and their occupancy sums must match exactly, and
+    the winner must be rarer than the median point by construction."""
+    from collections import Counter
+
+    from spark_shp.queries_ml import (ISO_DEPTH, ISO_TOPK, ISO_TREES,
+                                      _iso_cuts,
+                                      q_isolation_grid_anomalies)
+
+    SF = "/root/testdata/sf0.001"
+    got = [(r["orderkey"], r["iso_q"])
+           for r in q_isolation_grid_anomalies(spark, SF).collect()]
+    rows = (spark.read.parquet(f"{SF}/orders.parquet")
+            .selectExpr("o_orderkey AS ok",
+                        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+                        " AS x1",
+                        "CAST(datediff(o_orderdate, DATE'1970-01-01') "
+                        "AS BIGINT) AS x2").collect())
+    x1 = [r["x1"] for r in rows]
+    x2 = [r["x2"] for r in rows]
+    mn1, mx1 = float(min(x1)), float(max(x1))
+    mn2, mx2 = float(min(x2)), float(max(x2))
+    dims, fracs = _iso_cuts()
+    leaves = {}
+    for r in rows:
+        ids = []
+        for t in range(ISO_TREES):
+            leaf = 0
+            for lvl in range(ISO_DEPTH):
+                if int(dims[t, lvl]) == 0:
+                    thr = mn1 + float(fracs[t, lvl]) * (mx1 - mn1)
+                    hit = float(r["x1"]) > thr
+                else:
+                    thr = mn2 + float(fracs[t, lvl]) * (mx2 - mn2)
+                    hit = float(r["x2"]) > thr
+                if hit:
+                    leaf += 1 << lvl
+            ids.append((t, leaf))
+        leaves[r["ok"]] = ids
+    occ = Counter(c for ids in leaves.values() for c in ids)
+    score = {ok: sum(occ[c] for c in ids) for ok, ids in leaves.items()}
+    want = sorted(score.items(), key=lambda t: (t[1], t[0]))[:ISO_TOPK]
+    assert got == want
+    med = sorted(score.values())[len(score) // 2]
+    assert got[0][1] < med               # winner genuinely isolated
