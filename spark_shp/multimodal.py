@@ -117,6 +117,98 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
             .mapInPandas(work, schema))
 
 
+def canny_stats(images: DataFrame, t_lo2: int,
+                t_hi2: int) -> DataFrame:
+    """Canny edge detection over real decoded bytes, in the exact-integer
+    gate form (σ=0 — the deterministic fixture is already the test
+    signal; a Gaussian stage is a production knob): 3×3 Sobel on the
+    GREEN channel, gradient direction quantized to 4 sectors by the
+    RATIONAL rule 5·|gy| ⋚ 2·|gx| (tan 22.5° ≈ 2/5 — exact int64, both
+    engines replay it), non-maximum suppression along the gradient
+    (strict > forward, ≥ backward — a deterministic tie-break),
+    double threshold on g² = gx²+gy², and hysteresis: weak survivors
+    8-connected to a strong survivor, computed as a binary-dilation
+    fixpoint over the whole decode stack (no per-pixel Python; converges
+    in ≤ diag(image) rounds). Emits per image: strong/weak/final counts
+    and a position checksum over the final edge map."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_strong", T.LongType()),
+        T.StructField("n_weak", T.LongType()),
+        T.StructField("n_final", T.LongType()),
+        T.StructField("edge_checksum", T.LongType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["image_id"].to_numpy()
+            rows = [None] * len(pdf)
+            for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"]) \
+                                       .indices.items():
+                w, h = int(w), int(h)
+                p = _decode_stack(pdf, idx, w, h, fmt)[..., 1] \
+                    .astype(np.int64)
+                gx = ((p[:, :-2, 2:] + 2 * p[:, 1:-1, 2:] + p[:, 2:, 2:])
+                      - (p[:, :-2, :-2] + 2 * p[:, 1:-1, :-2]
+                         + p[:, 2:, :-2]))
+                gy = ((p[:, 2:, :-2] + 2 * p[:, 2:, 1:-1] + p[:, 2:, 2:])
+                      - (p[:, :-2, :-2] + 2 * p[:, :-2, 1:-1]
+                         + p[:, :-2, 2:]))
+                g2 = gx * gx + gy * gy                  # (n, h-2, w-2)
+                ax, ay = np.abs(gx), np.abs(gy)
+                sector = np.where(
+                    5 * ay <= 2 * ax, 0,
+                    np.where(5 * ax <= 2 * ay, 2,
+                             np.where(gx * gy > 0, 1, 3)))
+                # neighbor values along the gradient per sector, with a
+                # -1 border so edge-of-interior pixels compare true
+                pad = np.full((g2.shape[0], g2.shape[1] + 2,
+                               g2.shape[2] + 2), -1, dtype=np.int64)
+                pad[:, 1:-1, 1:-1] = g2
+                offs = {0: (0, 1), 1: (1, 1), 2: (1, 0), 3: (-1, 1)}
+                fwd = np.empty_like(g2)
+                bwd = np.empty_like(g2)
+                for s, (dy, dx) in offs.items():
+                    m = sector == s
+                    fwd[m] = pad[:, 1 + dy:pad.shape[1] - 1 + dy,
+                                 1 + dx:pad.shape[2] - 1 + dx][m]
+                    bwd[m] = pad[:, 1 - dy:pad.shape[1] - 1 - dy,
+                                 1 - dx:pad.shape[2] - 1 - dx][m]
+                keep = (g2 > fwd) & (g2 >= bwd)
+                strong = keep & (g2 >= t_hi2)
+                weak = keep & (g2 >= t_lo2) & (g2 < t_hi2)
+                # hysteresis: dilate the reached set into weak pixels
+                reach = strong.copy()
+                cand = strong | weak
+                while True:
+                    # 8-neighborhood dilation = row dilation then column
+                    grown = reach.copy()
+                    grown[:, 1:, :] |= reach[:, :-1, :]
+                    grown[:, :-1, :] |= reach[:, 1:, :]
+                    g3 = grown.copy()
+                    g3[:, :, 1:] |= grown[:, :, :-1]
+                    g3[:, :, :-1] |= grown[:, :, 1:]
+                    nxt = reach | (g3 & cand)
+                    if (nxt == reach).all():
+                        break
+                    reach = nxt
+                yy, xx = np.meshgrid(
+                    np.arange(1, h - 1, dtype=np.int64),
+                    np.arange(1, w - 1, dtype=np.int64), indexing="ij")
+                pos = yy * 4096 + xx
+                for k, i in enumerate(idx):
+                    img_i = int(str(ids[i])[3:])
+                    rows[i] = (ids[i], int(strong[k].sum()),
+                               int(weak[k].sum()), int(reach[k].sum()),
+                               int(((img_i + 1) * pos[reach[k]]).sum()))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(work, schema))
+
+
 # --- audio/video: real RIFF decode (WAV / uncompressed AVI), loud otherwise ---
 
 def _decode_audio(data: bytes, sample_rate: int) -> np.ndarray:

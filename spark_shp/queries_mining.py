@@ -4308,6 +4308,128 @@ QUERIES.update({
 })
 
 
+# --- canny_edge_stats: full Canny over real decoded bytes ---------------------
+#
+# The named edge detector completing the CV family (Sobel energy /
+# Harris / Hough / BRIEF already gated): 3×3 Sobel on the green channel,
+# direction quantized by the RATIONAL 5|gy| ⋚ 2|gx| rule (tan 22.5° ≈
+# 2/5 — exact int64), non-maximum suppression along the gradient with a
+# deterministic tie-break (> forward, ≥ backward), double threshold on
+# g², and TRUE hysteresis — weak survivors 8-connected to a strong
+# survivor (binary-dilation fixpoint in the kernel; recursive-CTE
+# reachability in the oracle, the dedup_clusters precedent).  σ=0 blur
+# documented in multimodal.canny_stats.  raw/png only (bit-exact
+# decode); the oracle re-derives every pixel from the generator formula
+# — a genuinely independent path.
+
+CANNY_N = 18
+CANNY_LO2 = 200_000
+CANNY_HI2 = 330_000
+
+
+def q_canny_edge_stats(spark, sf_dir):
+    from . import multimodal
+    img = fixtures.images_df(spark, CANNY_N, partitions=4).where(
+        F.col("fmt") != "qb")
+    e = multimodal.canny_stats(img, CANNY_LO2, CANNY_HI2)
+    withi = e.selectExpr(
+        "n_strong", "n_weak", "n_final", "edge_checksum",
+        "CAST(substr(image_id, 4) AS BIGINT) AS i",
+        "CASE WHEN CAST(substr(image_id, 4) AS BIGINT) % 3 = 0 "
+        "THEN 'raw' ELSE 'png' END AS fmt")
+    return (withi.groupBy("fmt")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("n_strong").alias("strong_px"),
+                 F.sum("n_weak").alias("weak_px"),
+                 F.sum("n_final").alias("final_px"),
+                 F.sum("edge_checksum").alias("checksum"))
+            .selectExpr("fmt", "CAST(n_images AS BIGINT) AS n_images",
+                        "CAST(strong_px AS BIGINT) AS strong_px",
+                        "CAST(weak_px AS BIGINT) AS weak_px",
+                        "CAST(final_px AS BIGINT) AS final_px",
+                        "CAST(checksum AS BIGINT) AS checksum"))
+
+
+def _oracle_canny() -> str:
+    from .hashing import mix_sql
+    m = fixtures.images_meta_sql("i")
+
+    def p(dy: int, dx: int) -> str:
+        key = (f"i * 1000003 + (yy.y + {dy}) * 4096 "
+               f"+ (xx.x + {dx}) * 4 + 1")
+        return f"(({mix_sql(key)}) % 256)"
+
+    gx = (f"(({p(-1, 1)} + 2 * {p(0, 1)} + {p(1, 1)}) "
+          f"- ({p(-1, -1)} + 2 * {p(0, -1)} + {p(1, -1)}))")
+    gy = (f"(({p(1, -1)} + 2 * {p(1, 0)} + {p(1, 1)}) "
+          f"- ({p(-1, -1)} + 2 * {p(-1, 0)} + {p(-1, 1)}))")
+    return f"""
+WITH RECURSIVE imgs AS (
+  SELECT i, {m['w']} AS w, {m['h']} AS h,
+         CASE WHEN i % 3 = 0 THEN 'raw' ELSE 'png' END AS fmt
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {CANNY_N - 1})) AS i) t
+  WHERE i % 3 <> 2),
+grad AS MATERIALIZED (
+  SELECT i, fmt, w, h, yy.y AS y, xx.x AS x,
+         {gx} AS gx, {gy} AS gy
+  FROM imgs,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(1, h - 2)) AS y) yy,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(1, w - 2)) AS x) xx),
+g2t AS MATERIALIZED (
+  SELECT i, fmt, y, x, gx * gx + gy * gy AS g2,
+         CASE WHEN 5 * ABS(gy) <= 2 * ABS(gx) THEN 0
+              WHEN 5 * ABS(gx) <= 2 * ABS(gy) THEN 2
+              WHEN gx * gy > 0 THEN 1 ELSE 3 END AS s
+  FROM grad),
+nms AS MATERIALIZED (
+  SELECT g.i, g.fmt, g.y, g.x, g.g2
+  FROM g2t g
+  LEFT JOIN g2t f ON f.i = g.i
+    AND f.y = g.y + CASE g.s WHEN 0 THEN 0 WHEN 1 THEN 1
+                             WHEN 2 THEN 1 ELSE -1 END
+    AND f.x = g.x + CASE g.s WHEN 0 THEN 1 WHEN 1 THEN 1
+                             WHEN 2 THEN 0 ELSE 1 END
+  LEFT JOIN g2t b ON b.i = g.i
+    AND b.y = g.y - CASE g.s WHEN 0 THEN 0 WHEN 1 THEN 1
+                             WHEN 2 THEN 1 ELSE -1 END
+    AND b.x = g.x - CASE g.s WHEN 0 THEN 1 WHEN 1 THEN 1
+                             WHEN 2 THEN 0 ELSE 1 END
+  WHERE g.g2 > COALESCE(f.g2, -1) AND g.g2 >= COALESCE(b.g2, -1)),
+cand AS MATERIALIZED (
+  SELECT i, fmt, y, x,
+         CASE WHEN g2 >= {CANNY_HI2} THEN 1 ELSE 0 END AS strong
+  FROM nms WHERE g2 >= {CANNY_LO2}),
+reach AS (
+  SELECT i, y, x FROM cand WHERE strong = 1
+  UNION
+  SELECT c.i, c.y, c.x
+  FROM reach r JOIN cand c
+    ON c.i = r.i AND ABS(c.y - r.y) <= 1 AND ABS(c.x - r.x) <= 1
+   AND NOT (c.y = r.y AND c.x = r.x)),
+per AS (
+  SELECT c.i, c.fmt,
+         SUM(c.strong) AS n_strong,
+         SUM(1 - c.strong) AS n_weak,
+         SUM(CASE WHEN r.y IS NOT NULL THEN 1 ELSE 0 END) AS n_final,
+         SUM(CASE WHEN r.y IS NOT NULL
+             THEN (c.i + 1) * (c.y * 4096 + c.x) ELSE 0 END) AS chk
+  FROM cand c LEFT JOIN (SELECT DISTINCT i, y, x FROM reach) r
+    ON r.i = c.i AND r.y = c.y AND r.x = c.x
+  GROUP BY c.i, c.fmt)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(n_strong) AS BIGINT) AS strong_px,
+       CAST(SUM(n_weak) AS BIGINT) AS weak_px,
+       CAST(SUM(n_final) AS BIGINT) AS final_px,
+       CAST(SUM(chk) AS BIGINT) AS checksum
+FROM per GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "canny_edge_stats": (q_canny_edge_stats, _oracle_canny()),
+})
+
+
 # --- bpe_pair_counts: adjacent-symbol pair frequencies (tokenizer training) ------
 #
 # The inner loop of BPE tokenizer training (count all adjacent symbol

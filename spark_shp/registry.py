@@ -167,6 +167,7 @@ _TAIL = [
     "watershed_labels",       # drainage-basin labels, pointer doubling (B3)
     "map_match_segments",     # nearest-road-segment snap, exact int argmin (B6/B9)
     "sobel_edge_stats",       # Sobel gradient energy, real decode (B11)
+    "canny_edge_stats",       # full Canny (NMS + hysteresis), real decode
     "image_blob_count",       # CC blob detection, real decode (B11)
     "template_match_peaks",   # exact cross-correlation patch search (B11)
     "viewshed_rays",          # line-of-sight visibility on the raster (B3/B10)

