@@ -467,9 +467,16 @@ def flac_decode(data: bytes,
         for c in range(len(subs)):
             chans[c].append(subs[c])
 
-    outc = [np.concatenate(c)[:total] if total else np.concatenate(c)
-            for c in chans]
-    result = np.stack(outc, axis=1)
+    if not any(chans):
+        # no frames decoded: an empty-audio stream (flac_encode happily
+        # produces one, and total_samples==0 also legitimately means
+        # "unknown") — return an explicit (0, nch) array instead of
+        # letting np.concatenate raise on an empty list (ADVICE r4 #2)
+        result = np.zeros((0, nch), dtype=np.int64)
+    else:
+        outc = [np.concatenate(c)[:total] if total else np.concatenate(c)
+                for c in chans]
+        result = np.stack(outc, axis=1)
     if verify and md5 != b"\0" * 16:
         raw = result.astype("<i2").tobytes() if bps == 16 else None
         if raw is not None and hashlib.md5(raw).digest() != md5:

@@ -324,10 +324,18 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
     wr = _BitWriter()
     n_mcu = [0]
     rst_i = [0]
+    # RSTn SEPARATES restart intervals — emitting one after the FINAL MCU
+    # is non-standard and strict foreign decoders may reject it, so guard
+    # every emission on n_mcu < total (ADVICE r4 #4)
+    if subsample:
+        total_mcu = ((h + 15) // 16) * ((w + 15) // 16)
+    else:
+        total_mcu = ((h + 7) // 8) * ((w + 7) // 8)
 
     def _maybe_restart(preds):
         n_mcu[0] += 1
-        if restart_mcu and n_mcu[0] % restart_mcu == 0:
+        if (restart_mcu and n_mcu[0] % restart_mcu == 0
+                and n_mcu[0] < total_mcu):
             wr.flush()
             wr.out += bytes([0xFF, 0xD0 + (rst_i[0] % 8)])
             rst_i[0] += 1
@@ -405,6 +413,32 @@ def _decode_one_block(rd: _BitReader, dc_lut, ac_lut, pred: int):
         zz[k] = _extend(rd.take(s), s)
         k += 1
     return zz, pred
+
+
+def jpeg_dims(data: bytes) -> tuple[int, int]:
+    """JFIF bytes → (h, w) from the SOF0/SOF1 frame header, via the same
+    marker walk as :func:`jpeg_decode` but stopping at SOF — the cheap
+    header-integrity probe ``multimodal.header_audit`` uses (JFIF carries
+    no dims at a fixed offset, so auditing it like a qb header silently
+    misreads — ADVICE r4 #5). Raises on non-JPEG / truncated input."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        tag = data[pos + 1]
+        pos += 2
+        if tag in (0xD8, 0x01) or 0xD0 <= tag <= 0xD7:
+            continue
+        if tag in (0xD9, 0xDA):
+            break
+        seg_len = struct.unpack(">H", data[pos:pos + 2])[0]
+        if tag in (0xC0, 0xC1):
+            _, h, w, _ = struct.unpack(">BHHB", data[pos + 2:pos + 8])
+            return h, w
+        pos += seg_len
+    raise ValueError("no SOF0/SOF1 frame header found")
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:

@@ -979,7 +979,8 @@ def harris_checksums(images: DataFrame) -> DataFrame:
 def header_audit(images: DataFrame) -> DataFrame:
     """Container-metadata integrity audit WITHOUT full decode: parse each
     format's header fields (png IHDR w/h at bytes 16..24; qb's ">II" w/h
-    at 0..8; raw is headerless — its length must equal w*h*3) and compare
+    at 0..8; jpg's SOF0 frame header via a marker walk; raw is headerless
+    — its length must equal w*h*3) and compare
     against the catalog's w/h columns.  The cheap-scan counterpart of
     distortion_checksums: catches catalog/bytes drift before any decode
     cost is paid.  Vectorized per fmt group: the first 24 header bytes of
@@ -1009,6 +1010,20 @@ def header_audit(images: DataFrame) -> DataFrame:
                 if fmt == "raw":          # headerless: exact length check
                     ok[idx] = n_bytes[idx] == w[idx] * h[idx] * 3
                     continue
+                if fmt == "jpg":          # dims live in the SOF0 marker,
+                    # not at a fixed offset — walk markers per blob (a
+                    # few segments each; header-only, no entropy decode)
+                    from .jpeg import jpeg_dims
+                    for i in idx:
+                        try:
+                            jh, jw = jpeg_dims(bytes(blobs.iloc[int(i)]))
+                        except Exception:
+                            continue
+                        ok[i] = int(jw == w[i] and jh == h[i])
+                    continue
+                if fmt not in ("png", "qb"):   # fail LOUDLY on unknown
+                    raise ValueError(
+                        f"header_audit: unknown image fmt {fmt!r}")
                 slab = np.frombuffer(
                     b"".join(bytes(blobs.iloc[int(i)])[:24].ljust(24, b"\0")
                              for i in idx),

@@ -1735,8 +1735,14 @@ def projection_from_wkt(wkt) -> "callable | None":
     except Exception:
         return inv
     if inv is None:
-        # geographic CRS on a shifted datum — apply only the Helmert step
-        if re.search(r'GEOGCS\[', wkt, re.I):
+        # geographic CRS on a shifted datum — apply only the Helmert step.
+        # Gate on a GENUINELY geographic CRS (GEOGCS present AND PROJCS
+        # absent): a PROJCS WKT whose projection inverse resolved to None
+        # (missing PROJECTION tag / swallowed parse error) still embeds a
+        # GEOGCS, and bare-shifting its projected meters as if they were
+        # degrees yields in-range but wrong lon/lat (ADVICE r4 #1).
+        if (re.search(r'GEOGCS\[', wkt, re.I)
+                and not re.search(r'PROJCS\[', wkt, re.I)):
             return shift
         return None
 

@@ -17,6 +17,18 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def _sum_value_micros(values) -> int:
+    """Σ round(value·1e6) with ROUND-half-away-from-zero — the SAME
+    rounding the batch twin (``CAST(ROUND(value * 1000000.0) AS BIGINT)``
+    in Spark SQL) and the DuckDB oracle use. np.rint here (half-to-even)
+    would diverge on products landing exactly on .5 and break the
+    pytest-asserted stream≡batch equality (ADVICE r4 #3)."""
+    import numpy as np
+    x = values.to_numpy(np.float64) * 1_000_000.0
+    return int(np.copysign(np.floor(np.abs(x) + 0.5), x)
+               .astype(np.int64).sum())
+
+
 def has_protobuf() -> bool:
     """transformWithStateInPandas dependency probe (find_spec raises when
     the parent ``google`` namespace package is entirely absent)."""
@@ -125,8 +137,7 @@ def stateful_user_totals(stream: DataFrame,
         n, s = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            s += int(np.rint(pdf["value"].to_numpy(np.float64)
-                             * 1_000_000.0).astype(np.int64).sum())
+            s += _sum_value_micros(pdf["value"])
         state.update((n, s))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
                             "sum_value_micros": [s]})
@@ -193,8 +204,7 @@ def session_features(stream: DataFrame,
                 if not len(pdf):
                     continue
                 n += len(pdf)
-                s += int(np.rint(pdf["value"].to_numpy(np.float64)
-                                 * 1_000_000.0).astype(np.int64).sum())
+                s += _sum_value_micros(pdf["value"])
                 us = pdf["us"].to_numpy(np.int64)
                 lo, hi = int(us.min()), int(us.max())
                 mn = lo if mn is None else min(mn, lo)
@@ -265,8 +275,7 @@ def session_features_applyinpandas(stream: DataFrame,
             if not len(pdf):
                 continue
             n += len(pdf)
-            s += int(np.rint(pdf["value"].to_numpy(np.float64)
-                             * 1_000_000.0).astype(np.int64).sum())
+            s += _sum_value_micros(pdf["value"])
             us = pdf["us"].to_numpy(np.int64)
             lo, hi = int(us.min()), int(us.max())
             mn = lo if mn is None else min(mn, lo)

@@ -147,3 +147,13 @@ def test_crc_vectors():
     for blob in (b"", b"\x00", b"123456789", bytes(range(50))):
         assert flac.crc8(blob) == crc8_ref(blob)
         assert flac.crc16(blob) == crc16_ref(blob)
+
+
+def test_zero_sample_stream_roundtrip():
+    """ADVICE r4 #2: an empty-audio stream must decode to an explicit
+    (0, nch) array, not crash in np.concatenate."""
+    for nch in (1, 2):
+        blob = flac.flac_encode(np.zeros((0, nch), dtype=np.int64),
+                                sample_rate=16000)
+        out, rate = flac.flac_decode(blob)
+        assert out.shape == (0, nch) and rate == 16000

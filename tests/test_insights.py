@@ -5,6 +5,7 @@ hotspot classes)."""
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from spark_shp import codecs, fixtures
 from spark_shp.hashing import mix, u01
@@ -2347,3 +2348,27 @@ def test_plan_shapes_of_round4_ops(spark):
     assert "BatchEvalPython" not in phys_gi
     # grid agg, scatter agg, join, final class agg — bounded exchanges
     assert phys_gi.count("Exchange hashpartitioning") <= 5
+
+
+def test_header_audit_jpg_and_unknown_fmt(spark):
+    """ADVICE r4 #5: header_audit must parse jpg SOF0 dims (JFIF has no
+    fixed-offset dims) and fail loudly on unknown fmt values."""
+    from spark_shp import multimodal
+    from spark_shp.jpeg import jpeg_encode
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    blob = jpeg_encode(img, 90)
+    rows = [("ok", bytearray(blob), 24, 16, "jpg"),
+            ("bad", bytearray(blob), 25, 16, "jpg")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, "
+                                     "w int, h int, fmt string")
+    out = {r["image_id"]: r["hdr_ok"]
+           for r in multimodal.header_audit(df).collect()}
+    assert out == {"ok": 1, "bad": 0}
+
+    bad = spark.createDataFrame([("x", bytearray(b"zz"), 1, 1, "tiff")],
+                                "image_id string, bytes binary, "
+                                "w int, h int, fmt string")
+    with pytest.raises(Exception, match="unknown image fmt"):
+        multimodal.header_audit(bad).collect()

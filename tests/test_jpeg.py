@@ -163,3 +163,31 @@ def test_codecs_dispatch_jpg():
     dec = codecs.decode(blob, 32, 32, "jpg")
     assert dec.shape == (32, 32, 3)
     assert codecs.psnr(img, dec) >= 40.0
+
+
+def test_no_trailing_restart_marker():
+    """ADVICE r4 #4: RSTn separates intervals — when the MCU count is
+    divisible by restart_mcu there must be no RST marker after the final
+    MCU (strict foreign decoders reject trailing RSTs)."""
+    img = _smooth(32, 32, seed=7)           # 4:4:4 -> 16 MCUs; 4:2:0 -> 4
+    for ss, n_mcu in ((False, 16), (True, 4)):
+        for r in (1, 2, 4):
+            assert n_mcu % r == 0
+            blob = jpeg.jpeg_encode(img, 90, subsample=ss, restart_mcu=r)
+            scan = blob[blob.index(b"\xFF\xDA"):-2]
+            # last marker before EOI must not be an RSTn
+            rst_positions = [i for i in range(len(scan) - 1)
+                             if scan[i] == 0xFF
+                             and 0xD0 <= scan[i + 1] <= 0xD7]
+            assert len(rst_positions) == n_mcu // r - 1
+            dec = jpeg.jpeg_decode(blob)
+            ref = jpeg.jpeg_decode(jpeg.jpeg_encode(img, 90, subsample=ss))
+            assert np.array_equal(dec, ref)
+
+
+def test_jpeg_dims_helper():
+    img = _smooth(56, 24, seed=3)
+    blob = jpeg.jpeg_encode(img, 85)
+    assert jpeg.jpeg_dims(blob) == (24, 56)
+    with pytest.raises(ValueError):
+        jpeg.jpeg_dims(b"\x00\x01\x02\x03")

@@ -1943,3 +1943,30 @@ def test_krovak_3param_datum_offset_magnitude():
               * np.cos(np.radians(50.0)))
     dist = (dlat_m ** 2 + dlon_m ** 2) ** 0.5
     assert 60.0 < dist < 200.0
+
+
+def test_projcs_without_projection_never_bare_shifts():
+    """ADVICE r4 #1: a PROJCS WKT whose projection inverse can't resolve
+    (no PROJECTION tag) but that carries a non-zero TOWGS84 must NOT fall
+    through to the bare Helmert branch — shifting projected meters as
+    degrees yields in-range but wrong lon/lat. It must behave exactly as
+    it did pre-datum-support: identity passthrough (None)."""
+    import numpy as np
+    wkt = ('PROJCS["Broken_Grid",GEOGCS["GCS_OSGB_1936",'
+           'DATUM["D_OSGB_1936",SPHEROID["Airy_1830",6377563.396,299.3249646],'
+           'TOWGS84[446.448,-125.157,542.06,0.15,0.247,0.842,-20.489]],'
+           'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]],'
+           'UNIT["Meter",1.0]]')
+    assert parser.projection_from_wkt(wkt) is None
+    # the GEOGCS-only sibling (genuinely geographic) still gets the shift
+    geog = ('GEOGCS["GCS_OSGB_1936",'
+            'DATUM["D_OSGB_1936",SPHEROID["Airy_1830",6377563.396,299.3249646],'
+            'TOWGS84[446.448,-125.157,542.06,0.15,0.247,0.842,-20.489]],'
+            'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]]')
+    f = parser.projection_from_wkt(geog)
+    assert f is not None
+    out = f(np.array([[-2.0, 52.0]]))
+    # OSGB36->WGS84 moves points by ~100-130 m, never degrees-scale
+    d_m = np.hypot((out[0, 0] + 2.0) * 111320.0 * np.cos(np.radians(52)),
+                   (out[0, 1] - 52.0) * 111320.0)
+    assert 50.0 < d_m < 300.0

@@ -414,3 +414,21 @@ def test_transform_with_state_session_features(spark, replay_dir):
         else:
             spark.conf.unset(
                 "spark.sql.streaming.stateStore.providerClass")
+
+
+def test_sum_value_micros_half_away_matches_sql_round():
+    """ADVICE r4 #3: the streaming micros sum must use ROUND
+    half-away-from-zero (the batch twin's Spark-SQL / DuckDB semantics),
+    not np.rint's half-to-even."""
+    import pandas as pd
+    # 2.5 / -2.5 / 3.5 micros-products land exactly on .5
+    vals = pd.Series([2.5e-6, -2.5e-6, 3.5e-6, -3.5e-6, 1.2345678])
+    got = streaming._sum_value_micros(vals)
+    # ROUND-half-away: 3 - 3 + 4 - 4 + 1234568 (1.2345678e6 rounds up)
+    assert got == 3 - 3 + 4 - 4 + 1234568
+    import duckdb
+    ora = duckdb.sql(
+        "SELECT SUM(CAST(ROUND(v * 1000000.0) AS BIGINT)) FROM "
+        "(VALUES (2.5e-6),(-2.5e-6),(3.5e-6),(-3.5e-6),(1.2345678)) t(v)"
+    ).fetchone()[0]
+    assert got == ora
