@@ -35,6 +35,20 @@ from . import (queries_analytics, queries_curation, queries_eval,
 #   distinct_counts           -> C6 distinct via cell_hierarchy/sliding_window
 #   percentiles_exact         -> C6 via pricing/rollup/cube/pivot
 _TAIL = [
+    "spatial_join_chunked",   # B7 variant: driver evidence kept by
+                              #   spatial_join_pairs + spatial_join_agg
+                              #   (displaced r5 so jpeg_decode_stats gets a
+                              #   driver row - VERDICT r4 item 1)
+    "cell_ring_sum",          # B3 variant: cell_ring is exercised by
+                              #   knn_events_nations_cells' ring expansion;
+                              #   B2/B3 keep cell_hierarchy in-window
+                              #   (displaced r5 for semantic_dedup)
+    "distance_join_events",   # B9 variant: range_join_counts keeps B9
+                              #   in-window (displaced r5 for
+                              #   flac_decode_stats)
+    "event_dedup",            # C12 variant: tumbling/session windows stay
+                              #   in-window and user_session_features adds
+                              #   stateful C12 (displaced r5)
     "shp_webmerc_reproject",  # A12: all five families driver-gated via the
     "shp_utm_reproject",      #   combined shp_reproject_families row
     "shp_lcc_reproject",      # A12 (same family)
@@ -67,7 +81,6 @@ _TAIL = [
                               # A20 ingest e2e gets a driver row — VERDICT
                               # r3 item 1)
     "wav_decode_stats",       # multimodal audio RIFF decode (exact oracle)
-    "flac_decode_stats",      # compressed audio FLAC codec (exact oracle)
     "mjpeg_video_stats",      # Motion-JPEG compressed video (invariants)
     "avi_frame_stats",        # multimodal video RIFF decode (exact oracle)
     "dedup_clusters",         # near-dup CC clustering (exact oracle)
@@ -90,8 +103,6 @@ _TAIL = [
     "tfidf_keywords",         # TF-IDF top-k keywords (text/quality family)
     "spatial_autocorr",       # Moran's I / Geary's C (B1/B3 stats family)
     "attribution_pairs",      # stream-stream interval join batch twin (C12)
-    "user_session_features",  # transformWithStateInPandas batch twin (C12)
-    "semantic_dedup",         # SemDeDup cluster-then-prune (dedup family)
     "funnel_stages",          # ordered conversion funnel (C7/agg family)
     "cohort_retention",       # weekly cohort-retention matrix (C7/agg family)
     "ohlc_hourly",            # OHLC time-series resample (C6/agg family)
@@ -395,7 +406,6 @@ _TAIL = [
     "pot_exceedances",    # peaks-over-threshold GPD tail fit (C6)
     "mmr_rerank",         # maximal-marginal-relevance rerank (IR)
     "image_histogram_match",  # CDF histogram transfer (B11/image)
-    "jpeg_decode_stats",  # baseline JPEG codec QA (B11 compressed half)
 ]
 
 _MERGED: dict = {}
@@ -427,21 +437,20 @@ if len(ALL_QUERIES) > DRIVER_WINDOW:
 EXPECTED_WINDOW = (
     "shp_decode_points", "dbf_decode_types", "shp_polygon_rings",
     "shp_polyline_parts", "shp_zm_semantics", "shp_reproject_families",
-    "shp_decode_index_join", "shp_zip_bundle", "images_phash_verify",
-    "clip_coverage_stats", "tile_assign_events", "cell_hierarchy",
-    "cell_ring_sum", "polygon_cover_nations", "spatial_join_pairs",
-    "spatial_join_agg", "spatial_join_chunked", "knn_events_nations_cells",
-    "range_join_counts", "images_hot_cell",
-    "images_fence_join", "distance_join_events",
-    "dedup_exact", "token_stats", "quality_score",
-    "langid_heuristic", "minhash_signatures", "minhash_lsh_pairs",
-    "simhash16", "bigram_jaccard", "doc_fingerprint", "cosine_topk",
-    "ann_lsh_buckets", "ann_ivf_search", "dedup_embedding_near",
-    "tumbling_window", "session_windows", "event_dedup", "pricing_summary",
-    "semi_join_open_orders", "anti_join_no_orders",
-    "outer_join_order_counts", "window_running_totals", "rollup_sales",
-    "cube_orders", "set_ops_nations", "asof_join_event_order",
-    "conditional_pivot", "scalar_functions_suite", "approx_sketches",
+    "shp_decode_index_join", "shp_zip_bundle", "flac_decode_stats",
+    "images_phash_verify", "clip_coverage_stats", "tile_assign_events",
+    "cell_hierarchy", "polygon_cover_nations", "spatial_join_pairs",
+    "spatial_join_agg", "knn_events_nations_cells", "range_join_counts",
+    "images_hot_cell", "images_fence_join", "dedup_exact", "token_stats",
+    "quality_score", "langid_heuristic", "minhash_signatures",
+    "minhash_lsh_pairs", "simhash16", "bigram_jaccard", "doc_fingerprint",
+    "cosine_topk", "ann_lsh_buckets", "ann_ivf_search",
+    "dedup_embedding_near", "tumbling_window", "session_windows",
+    "user_session_features", "semantic_dedup", "pricing_summary",
+    "semi_join_open_orders", "anti_join_no_orders", "outer_join_order_counts",
+    "window_running_totals", "rollup_sales", "cube_orders", "set_ops_nations",
+    "asof_join_event_order", "conditional_pivot", "scalar_functions_suite",
+    "approx_sketches", "jpeg_decode_stats",
 )
 if tuple(ALL_QUERIES) != EXPECTED_WINDOW:
     raise RuntimeError(
