@@ -109,13 +109,16 @@ _C = _COS * _ALPHA[None, :]          # C[x, u]; FDCT: F = Cᵀ·A·C
 
 
 def _fdct(blocks: np.ndarray) -> np.ndarray:
-    """(n, 8, 8) level-shifted samples → (n, 8, 8) DCT coefficients."""
-    return np.einsum("xu,nxy,yv->nuv", _C, blocks, _C, optimize=True)
+    """(n, 8, 8) level-shifted samples → (n, 8, 8) DCT coefficients.
+    F = Cᵀ·A·C as two batched matmuls (einsum re-derives its contraction
+    path per call — measurable at small-image call rates)."""
+    return np.matmul(np.matmul(_C.T, blocks), _C)
 
 
 def _idct(coef: np.ndarray) -> np.ndarray:
-    """(n, 8, 8) coefficients → (n, 8, 8) samples (pre level shift)."""
-    return np.einsum("xu,nuv,yv->nxy", _C, coef, _C, optimize=True)
+    """(n, 8, 8) coefficients → (n, 8, 8) samples (pre level shift):
+    A = C·F·Cᵀ."""
+    return np.matmul(np.matmul(_C, coef), _C.T)
 
 
 def quality_scale(qt: np.ndarray, quality: int) -> np.ndarray:
@@ -140,8 +143,18 @@ def _canonical_codes(bits, vals):
     return codes
 
 
+_LUT_CACHE: dict = {}
+
+
 def _decode_lut(bits, vals):
-    """16-bit-prefix lookup: value LUT + length LUT (0 = invalid)."""
+    """16-bit-prefix lookup: (value LUT, length LUT, packed Python list
+    of (len<<8)|sym — 0 = invalid). Memoized on the DHT table definition:
+    nearly every stream carries the Annex K tables, and the 65536-entry
+    tolist() export costs more than decoding a small image."""
+    key = (bytes(bits), bytes(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
     sym = np.zeros(1 << 16, dtype=np.int16)
     ln = np.zeros(1 << 16, dtype=np.int8)
     for v, (code, length) in _canonical_codes(bits, vals).items():
@@ -149,7 +162,12 @@ def _decode_lut(bits, vals):
         span = 1 << (16 - length)
         sym[base:base + span] = v
         ln[base:base + span] = length
-    return sym, ln
+    combo = ((ln.astype(np.int32) << 8)
+             | sym.astype(np.int32)).tolist()
+    if len(_LUT_CACHE) >= 32:       # bound the memo (few tables in practice)
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = (sym, ln, combo)
+    return sym, ln, combo
 
 
 # --- bit IO -------------------------------------------------------------------
@@ -222,6 +240,153 @@ def _category(v: int) -> int:
 
 
 # --- encoder ------------------------------------------------------------------
+#
+# The entropy stage is fully VECTORIZED (VERDICT r4 item 2's encode half):
+# unlike decode, every symbol is known up front, so the whole scan becomes
+# numpy — category/code/magnitude per coefficient via fancy indexing, ZRL
+# expansion via np.repeat, MCU interleaving via one stable lexsort of
+# (block-visit-key, intra-block sequence), and bit packing via a repeat/
+# cumsum scatter + np.packbits + vectorized 0xFF stuffing. Bit-identical
+# to the original per-symbol writer by construction (same symbol order,
+# same canonical codes, same 1-bit flush padding per restart segment).
+
+
+def _enc_tables(codes: dict, size: int):
+    """Canonical-code dict → (code, length) fancy-index arrays."""
+    v = np.zeros(size, dtype=np.uint32)
+    ln = np.zeros(size, dtype=np.int64)
+    for s, (c, length) in codes.items():
+        v[s] = c
+        ln[s] = length
+    return v, ln
+
+
+_ENC_DC_Y = _enc_tables(_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS), 12)
+_ENC_AC_Y = _enc_tables(_canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS), 256)
+_ENC_DC_C = _enc_tables(_canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+                        12)
+_ENC_AC_C = _enc_tables(_canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+                        256)
+
+
+def _bitlen_vec(v: np.ndarray) -> np.ndarray:
+    """T.81 category (bit length of |v|), vectorized; 0 for v == 0."""
+    a = np.abs(v).astype(np.int64)
+    t = np.zeros(a.shape, dtype=np.int64)
+    for i in range(16):
+        t += a >= (1 << i)
+    return t
+
+
+def _component_units(zz: np.ndarray, cb: int, base: int, nslots: int,
+                     restart_mcu: int, dct, act):
+    """One component's emission units (code/magnitude/ZRL/EOB), each as
+    (value, nbits, block-visit-key, intra-block-seq, restart-segment).
+    ``zz``: (n_blocks, 64) zigzag coefficients in MCU-visit order; ``cb``
+    blocks per MCU for this component, ``base`` the slot offset of its
+    first block inside an MCU."""
+    dc_v, dc_l = dct
+    ac_v, ac_l = act
+    ni = zz.shape[0]
+    b = np.arange(ni, dtype=np.int64)
+    mcu = b // cb
+    gk = mcu * nslots + base + (b % cb)
+    seg = mcu // restart_mcu if restart_mcu else np.zeros(ni, np.int64)
+    # DC: per-segment predictor chains
+    dc = zz[:, 0].astype(np.int64)
+    prev = np.concatenate([[0], dc[:-1]])
+    seg_start = np.concatenate(
+        [[True], seg[1:] != seg[:-1]]) if restart_mcu else (b == 0)
+    diff = dc - np.where(seg_start, 0, prev)
+    t = _bitlen_vec(diff)
+    mag = np.where(diff >= 0, diff,
+                   diff + np.left_shift(1, t) - 1).astype(np.uint32)
+    z = np.zeros(ni, dtype=np.int64)
+    units = [(dc_v[t], dc_l[t], gk, z, seg),
+             (mag, t, gk, z + 1, seg)]
+    # AC: run-length + category per nonzero, ZRLs expanded by np.repeat
+    bi, kk = np.nonzero(zz[:, 1:])
+    k = kk + 1
+    v = zz[bi, kk + 1].astype(np.int64)
+    first = np.concatenate([[True], bi[1:] != bi[:-1]]) \
+        if len(bi) else np.zeros(0, bool)
+    pk = np.where(first, 0, np.concatenate([[0], k[:-1]]))
+    run = k - pk - 1
+    nzrl = run >> 4
+    tA = _bitlen_vec(v)
+    sym = ((run & 15) << 4) | tA
+    magA = np.where(v >= 0, v,
+                    v + np.left_shift(1, tA) - 1).astype(np.uint32)
+    cgk, cseg = gk[bi], seg[bi]
+    zr = np.repeat(np.arange(len(bi)), nzrl)
+    nz = len(zr)
+    units.append((np.full(nz, ac_v[0xF0], np.uint32),
+                  np.full(nz, ac_l[0xF0], np.int64),
+                  cgk[zr], 3 * k[zr], cseg[zr]))
+    units.append((ac_v[sym], ac_l[sym], cgk, 3 * k + 1, cseg))
+    units.append((magA, tA, cgk, 3 * k + 2, cseg))
+    # EOB wherever the last nonzero sits before k=63 (incl. empty blocks)
+    last = np.zeros(ni, dtype=np.int64)
+    if len(bi):
+        tail = np.flatnonzero(
+            np.concatenate([bi[1:] != bi[:-1], [True]]))
+        last[bi[tail]] = k[tail]
+    eob = last < 63
+    ne = int(eob.sum())
+    units.append((np.full(ne, ac_v[0x00], np.uint32),
+                  np.full(ne, ac_l[0x00], np.int64),
+                  gk[eob], np.full(ne, 3 * 64, np.int64), seg[eob]))
+    return units
+
+
+def _pack_bits(v: np.ndarray, ln: np.ndarray) -> bytes:
+    """MSB-first bit packing of variable-width units + 1-bit flush
+    padding + 0xFF byte stuffing — all vectorized."""
+    off = np.concatenate([[0], np.cumsum(ln)])
+    total = int(off[-1])
+    unit_of = np.repeat(np.arange(len(ln)), ln)
+    pos = np.arange(total, dtype=np.int64) - off[unit_of]
+    bits = ((v[unit_of].astype(np.int64)
+             >> (ln[unit_of] - 1 - pos)) & 1).astype(np.uint8)
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, np.uint8)])
+    by = np.packbits(bits)
+    ffpos = np.flatnonzero(by == 0xFF)
+    if len(ffpos):
+        by = np.insert(by, ffpos + 1, 0)
+    return by.tobytes()
+
+
+def _entropy_encode(comp_blocks, cbs, tables, restart_mcu: int,
+                    total_mcu: int) -> bytes:
+    """Interleave per-component units into the scan byte stream, one
+    packed run per restart segment joined by RSTn markers."""
+    units = []
+    base = 0
+    for zz, cb, (dct, act) in zip(comp_blocks, cbs, tables):
+        units += _component_units(zz, cb, base, sum(cbs), restart_mcu,
+                                  dct, act)
+        base += cb
+    v = np.concatenate([u[0].astype(np.uint32) for u in units])
+    ln = np.concatenate([u[1] for u in units])
+    gk = np.concatenate([u[2] for u in units])
+    seq = np.concatenate([u[3] for u in units])
+    seg = np.concatenate([u[4] for u in units])
+    order = np.lexsort((seq, gk))          # stable: ZRLs keep build order
+    v, ln, seg = v[order], ln[order], seg[order]
+    nseg = int(seg.max()) + 1 if len(seg) else 1
+    if nseg == 1:
+        return _pack_bits(v, ln)
+    bounds = np.searchsorted(seg, np.arange(nseg + 1))
+    out = bytearray()
+    for si in range(nseg):
+        lo, hi = bounds[si], bounds[si + 1]
+        if si:
+            out += bytes([0xFF, 0xD0 + ((si - 1) % 8)])
+        out += _pack_bits(v[lo:hi], ln[lo:hi])
+    return bytes(out)
+
 
 def _encode_blocks(wr: _BitWriter, zz: np.ndarray, dc_codes, ac_codes,
                    pred: int) -> int:
@@ -317,42 +482,17 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
         out += _marker(0xDD, struct.pack(">H", restart_mcu))
     out += _marker(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
 
-    dc_y = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
-    ac_y = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
-    dc_c = _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
-    ac_c = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
-    wr = _BitWriter()
-    n_mcu = [0]
-    rst_i = [0]
-    # RSTn SEPARATES restart intervals — emitting one after the FINAL MCU
-    # is non-standard and strict foreign decoders may reject it, so guard
-    # every emission on n_mcu < total (ADVICE r4 #4)
-    if subsample:
-        total_mcu = ((h + 15) // 16) * ((w + 15) // 16)
-    else:
-        total_mcu = ((h + 7) // 8) * ((w + 7) // 8)
-
-    def _maybe_restart(preds):
-        n_mcu[0] += 1
-        if (restart_mcu and n_mcu[0] % restart_mcu == 0
-                and n_mcu[0] < total_mcu):
-            wr.flush()
-            wr.out += bytes([0xFF, 0xD0 + (rst_i[0] % 8)])
-            rst_i[0] += 1
-            preds[:] = [0, 0, 0]
-
+    tables = [(_ENC_DC_Y, _ENC_AC_Y), (_ENC_DC_C, _ENC_AC_C),
+              (_ENC_DC_C, _ENC_AC_C)]
     if not subsample:
-        # 4:4:4 — MCU = one block per component, interleaved
-        preds = [0, 0, 0]
-        tables = [(dc_y, ac_y), (dc_c, ac_c), (dc_c, ac_c)]
-        n_blocks = zzs[0].shape[0]
-        for i in range(n_blocks):
-            for ci in range(3):
-                preds[ci] = _encode_blocks(
-                    wr, zzs[ci][i:i + 1], *tables[ci], preds[ci])
-            _maybe_restart(preds)
+        # 4:4:4 — MCU = one block per component, interleaved; raster
+        # block order IS the MCU visit order
+        comp_blocks = [zzs[0], zzs[1], zzs[2]]
+        cbs = [1, 1, 1]
+        total_mcu = zzs[0].shape[0]
     else:
-        # 4:2:0 — MCU = 4 luma blocks (2×2) + 1 Cb + 1 Cr
+        # 4:2:0 — MCU = 4 luma blocks (2×2) + 1 Cb + 1 Cr; regroup luma
+        # into per-MCU visit order (2×2 tiles) with one transpose
         wb_y = (w + 15) // 16 * 2            # luma blocks per padded row
         hb_y = (h + 15) // 16 * 2
         yb = zzs[0].reshape((h + 7) // 8, (w + 7) // 8, 64)
@@ -361,21 +501,13 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
             yb = np.concatenate([yb, yb[-1:, :, :]], axis=0)
         if yb.shape[1] < wb_y:
             yb = np.concatenate([yb, yb[:, -1:, :]], axis=1)
-        cbb = zzs[1].reshape(hb_y // 2, wb_y // 2, 64)
-        crb = zzs[2].reshape(hb_y // 2, wb_y // 2, 64)
-        preds = [0, 0, 0]
-        for my in range(hb_y // 2):
-            for mx in range(wb_y // 2):
-                four = yb[2 * my:2 * my + 2, 2 * mx:2 * mx + 2, :] \
-                    .reshape(4, 64)
-                preds[0] = _encode_blocks(wr, four, dc_y, ac_y, preds[0])
-                preds[1] = _encode_blocks(wr, cbb[my, mx][None, :],
-                                          dc_c, ac_c, preds[1])
-                preds[2] = _encode_blocks(wr, crb[my, mx][None, :],
-                                          dc_c, ac_c, preds[2])
-                _maybe_restart(preds)
-    wr.flush()
-    out += wr.out
+        ybv = (yb.reshape(hb_y // 2, 2, wb_y // 2, 2, 64)
+               .transpose(0, 2, 1, 3, 4).reshape(-1, 64))
+        comp_blocks = [ybv, zzs[1], zzs[2]]
+        cbs = [4, 1, 1]
+        total_mcu = (hb_y // 2) * (wb_y // 2)
+    out += _entropy_encode(comp_blocks, cbs, tables, restart_mcu,
+                           total_mcu)
     out += b"\xFF\xD9"                                # EOI
     return bytes(out)
 
@@ -413,6 +545,48 @@ def _decode_one_block(rd: _BitReader, dc_lut, ac_lut, pred: int):
         zz[k] = _extend(rd.take(s), s)
         k += 1
     return zz, pred
+
+
+# --- batched entropy decode (VERDICT r4 item 2) --------------------------------
+#
+# The per-symbol cost of the reference loop above is dominated by numpy
+# SCALAR work (peek16 via a Python bit accumulator, two 0-d array indexes
+# per code, a fresh np.zeros(64) per block). The batched path moves every
+# per-bit computation into numpy up front and leaves only an int-and-list
+# Python walk per symbol:
+#
+#   1. win16: the 16-bit big-endian window at EVERY bit position of the
+#      destuffed scan, computed vectorized from a 32-bit sliding view
+#      (8 shift/mask ops over the byte array) and exported once to a
+#      Python list (C-int access, no numpy scalars in the loop).
+#   2. Huffman LUTs become 65536-entry Python lists packing
+#      (length << 8 | symbol); one list index replaces peek16+two array
+#      reads, and advancing the cursor is plain int addition.
+#   3. Coefficients aren't written per symbol: the walk appends
+#      (block, k, value) to flat lists and ONE vectorized scatter builds
+#      each component's (n_blocks, 64) zigzag array; DC predictions are
+#      plain int adds. Block placement into the plane is likewise one
+#      fancy-index scatter instead of a per-block slice write.
+
+
+def _win32_list(ecs: bytes) -> list:
+    """Destuffed entropy bytes → Python list where entry i is the 32-bit
+    window starting at bit i: the top 16 bits feed the Huffman prefix LUT
+    and the bits right after the code are the magnitude — ONE list read
+    serves both. Padded with 1-bits past the end (the spec's pad
+    convention; _BitReader fills 0xFF the same way)."""
+    b = np.frombuffer(ecs + b"\xFF" * 8, dtype=np.uint8).astype(np.uint64)
+    v40 = ((b[:-4] << np.uint64(32)) | (b[1:-3] << np.uint64(24))
+           | (b[2:-2] << np.uint64(16)) | (b[3:-1] << np.uint64(8))
+           | b[4:])
+    cols = [((v40 >> np.uint64(8 - r)) & np.uint64(0xFFFFFFFF))
+            .astype(np.uint32) for r in range(8)]
+    return np.stack(cols, axis=1).reshape(-1).tolist()
+
+
+_EXT_HALF = [0] + [1 << (t - 1) for t in range(1, 17)]
+_EXT_OFF = [0] + [1 - (1 << t) for t in range(1, 17)]
+_EXT_MASK = [0] + [(1 << t) - 1 for t in range(1, 17)]
 
 
 def jpeg_dims(data: bytes) -> tuple[int, int]:
@@ -503,26 +677,29 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 0x0F))
-            # entropy-coded bytes run to the next non-RST marker
-            end = pos
-            ecs = bytearray()
-            segments = [0]              # destuffed offsets of RST bounds
-            while end < len(data) - 1:
-                if data[end] == 0xFF:
-                    nxt = data[end + 1]
-                    if nxt == 0x00:
-                        ecs.append(0xFF)
-                        end += 2
-                        continue
-                    if 0xD0 <= nxt <= 0xD7:
-                        segments.append(len(ecs))
-                        end += 2
-                        continue
-                    break
-                ecs.append(data[end])
-                end += 1
-            pos = end
-            return _decode_scan(frame, scan, qts, huff, bytes(ecs),
+            # entropy-coded bytes run to the next non-RST marker —
+            # destuffed VECTORIZED: locate every 0xFF, classify its
+            # follower (0x00 = stuffed, D0-D7 = RST, else = terminating
+            # marker), drop stuffing/RST bytes with one boolean mask and
+            # map RST positions to destuffed offsets via a removal cumsum
+            arr = np.frombuffer(data, dtype=np.uint8)[pos:]
+            ff = np.nonzero(arr[:-1] == 0xFF)[0]
+            nxt = arr[ff + 1]
+            stop = ff[(nxt != 0x00) & ((nxt < 0xD0) | (nxt > 0xD7))]
+            end_rel = int(stop[0]) if len(stop) else len(arr)
+            ff = ff[ff < end_rel]
+            nxt = arr[ff + 1]
+            drop = np.zeros(end_rel, dtype=bool)
+            drop[ff[nxt == 0x00] + 1] = True        # stuffed 0x00
+            rst = ff[(nxt >= 0xD0) & (nxt <= 0xD7)]
+            for r in rst:                            # few RSTs per scan
+                drop[r:r + 2] = True
+            removed = np.cumsum(drop)
+            segments = [0] + [int(r - (removed[r - 1] if r else 0))
+                              for r in rst]
+            ecs = arr[:end_rel][~drop].tobytes()
+            pos += end_rel
+            return _decode_scan(frame, scan, qts, huff, ecs,
                                 segments, restart)
     raise ValueError("no SOS scan found")
 
@@ -537,44 +714,108 @@ def _decode_scan(frame, scan, qts, huff, ecs, segments, restart):
     for comp, _, _ in scan:
         pw, ph = 8 * mcux * comp["h"], 8 * mcuy * comp["v"]
         planes[comp["id"]] = np.zeros((ph, pw), dtype=np.float64)
-    rd = _BitReader(ecs)
-    preds = {comp["id"]: 0 for comp, _, _ in scan}
+    win = _win32_list(ecs)
+    n_bits = len(win)
+    # per-slot loop constants: one schedule entry per block of one MCU
+    slots = []                    # (slot_index, dc_combo, ac_combo)
+    for si, (comp, td, ta) in enumerate(scan):
+        dc_l = huff[(0, td)][2]
+        ac_l = huff[(1, ta)][2]
+        for _ in range(comp["v"] * comp["h"]):
+            slots.append((si, dc_l, ac_l))
+    n_slots = len(scan)
+    preds = [0] * n_slots
+    dc_out = [[] for _ in range(n_slots)]     # predicted DC per block
+    ac_kk = [[] for _ in range(n_slots)]      # AC scatter records: k, value
+    ac_vv = [[] for _ in range(n_slots)]
+    ac_cnt = [[] for _ in range(n_slots)]     # AC coeffs per block
+    half, ext, mask = _EXT_HALF, _EXT_OFF, _EXT_MASK
+    p = 0
     seg_i = 1
-    n_mcu = 0
-    # entropy-decode every block first (the serial part), then batch the
-    # dequantize → unzigzag → IDCT per component in ONE einsum — per-block
-    # numpy calls dominated decode time otherwise
-    blocks: dict[int, list] = {comp["id"]: [] for comp, _, _ in scan}
-    places: dict[int, list] = {comp["id"]: [] for comp, _, _ in scan}
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and n_mcu and n_mcu % restart == 0:
+    n_mcu = mcuy * mcux
+    try:
+        for mi in range(n_mcu):
+            if restart and mi and mi % restart == 0:
                 # align to the recorded RST boundary, reset predictors
                 if seg_i < len(segments):
-                    rd = _BitReader(ecs[segments[seg_i]:])
+                    p = segments[seg_i] * 8
                     seg_i += 1
-                preds = {k: 0 for k in preds}
-            n_mcu += 1
-            for comp, td, ta in scan:
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        zz, preds[comp["id"]] = _decode_one_block(
-                            rd, huff[(0, td)], huff[(1, ta)],
-                            preds[comp["id"]])
-                        blocks[comp["id"]].append(zz)
-                        places[comp["id"]].append(
-                            ((my * comp["v"] + by) * 8,
-                             (mx * comp["h"] + bx) * 8))
-    for comp, _, _ in scan:
+                preds = [0] * n_slots
+            for si, dc_l, ac_l in slots:
+                v = win[p]
+                c = dc_l[v >> 16]
+                if c < 256:
+                    raise ValueError("invalid DC Huffman code")
+                ln = c >> 8
+                t = c & 0xFF
+                if t:
+                    m = (v >> (32 - ln - t)) & mask[t]
+                    if m < half[t]:
+                        m += ext[t]
+                    preds[si] += m
+                p += ln + t
+                dc_out[si].append(preds[si])
+                kk = ac_kk[si]
+                ka = kk.append
+                va = ac_vv[si].append
+                n0 = len(kk)
+                k = 1
+                while k < 64:
+                    v = win[p]
+                    c = ac_l[v >> 16]
+                    if c < 256:
+                        raise ValueError("invalid AC Huffman code")
+                    ln = c >> 8
+                    rs = c & 0xFF
+                    s = rs & 0x0F
+                    if s:
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("AC run past end of block")
+                        m = (v >> (32 - ln - s)) & mask[s]
+                        if m < half[s]:
+                            m += ext[s]
+                        p += ln + s
+                        ka(k)
+                        va(m)
+                        k += 1
+                    elif rs == 0xF0:            # ZRL
+                        k += 16
+                        p += ln
+                    else:                       # EOB
+                        p += ln
+                        break
+                ac_cnt[si].append(len(kk) - n0)
+            if p > n_bits:
+                raise IndexError
+    except IndexError:
+        raise ValueError("truncated entropy-coded scan") from None
+    for si, (comp, _, _) in enumerate(scan):
         cid = comp["id"]
-        zzs = np.stack(blocks[cid])
+        nb = len(dc_out[si])
+        zzs = np.zeros((nb, 64), dtype=np.int32)
+        zzs[:, 0] = dc_out[si]
+        if ac_kk[si]:
+            bi = np.repeat(np.arange(nb),
+                           np.asarray(ac_cnt[si], dtype=np.int64))
+            zzs[bi, ac_kk[si]] = ac_vv[si]
         qt = qts[comp["tq"]].reshape(64)[_ZIGZAG]
         coef = (zzs * qt).astype(np.float64)[:, _UNZIGZAG] \
             .reshape(-1, 8, 8)
         blks = _idct(coef) + 128.0
+        # vectorized block placement: blocks arrive in MCU raster order,
+        # v*h per MCU — scatter into the (hb, wb, 8, 8) grid then unfold
+        cv, ch = comp["v"], comp["h"]
         plane = planes[cid]
-        for (py, px), blk in zip(places[cid], blks):
-            plane[py:py + 8, px:px + 8] = blk
+        ph, pw = plane.shape
+        hb, wb = ph // 8, pw // 8
+        b = np.arange(nb)
+        mcu, within = b // (cv * ch), b % (cv * ch)
+        by = (mcu // mcux) * cv + within // ch
+        bx = (mcu % mcux) * ch + within % ch
+        grid = np.zeros((hb, wb, 8, 8), dtype=np.float64)
+        grid[by, bx] = blks
+        planes[cid] = grid.transpose(0, 2, 1, 3).reshape(ph, pw)
     # upsample each component to full (padded) resolution by replication
     full = {}
     for comp, _, _ in scan:
