@@ -110,15 +110,22 @@ _C = _COS * _ALPHA[None, :]          # C[x, u]; FDCT: F = Cᵀ·A·C
 
 def _fdct(blocks: np.ndarray) -> np.ndarray:
     """(n, 8, 8) level-shifted samples → (n, 8, 8) DCT coefficients.
-    F = Cᵀ·A·C as two batched matmuls (einsum re-derives its contraction
-    path per call — measurable at small-image call rates)."""
-    return np.matmul(np.matmul(_C.T, blocks), _C)
+    F = Cᵀ·A·C restructured as TWO large GEMMs over the whole batch
+    (one (8, 8n) and one (8n, 8)) — batched 8×8 matmuls run an order of
+    magnitude below BLAS throughput."""
+    n = blocks.shape[0]
+    tmp = (_C.T @ blocks.transpose(1, 0, 2).reshape(8, -1))
+    tmp = tmp.reshape(8, n, 8).transpose(1, 0, 2)       # [n, u, y]
+    return (tmp.reshape(-1, 8) @ _C).reshape(n, 8, 8)
 
 
 def _idct(coef: np.ndarray) -> np.ndarray:
     """(n, 8, 8) coefficients → (n, 8, 8) samples (pre level shift):
-    A = C·F·Cᵀ."""
-    return np.matmul(np.matmul(_C, coef), _C.T)
+    A = C·F·Cᵀ, same two-GEMM restructuring as :func:`_fdct`."""
+    n = coef.shape[0]
+    tmp = (_C @ coef.transpose(1, 0, 2).reshape(8, -1))
+    tmp = tmp.reshape(8, n, 8).transpose(1, 0, 2)       # [n, x, v]
+    return (tmp.reshape(-1, 8) @ _C.T).reshape(n, 8, 8)
 
 
 def quality_scale(qt: np.ndarray, quality: int) -> np.ndarray:
@@ -279,24 +286,30 @@ def _bitlen_vec(v: np.ndarray) -> np.ndarray:
 
 
 def _component_units(zz: np.ndarray, cb: int, base: int, nslots: int,
-                     restart_mcu: int, dct, act):
+                     restart_mcu: int, dct, act, mcu_per_img: int):
     """One component's emission units (code/magnitude/ZRL/EOB), each as
-    (value, nbits, block-visit-key, intra-block-seq, restart-segment).
-    ``zz``: (n_blocks, 64) zigzag coefficients in MCU-visit order; ``cb``
-    blocks per MCU for this component, ``base`` the slot offset of its
-    first block inside an MCU."""
+    (value, nbits, block-visit-key, intra-block-seq, pack-segment).
+    ``zz``: (n_imgs · n_blocks, 64) zigzag coefficients in per-image
+    MCU-visit order; ``cb`` blocks per MCU for this component, ``base``
+    the slot offset of its first block inside an MCU. Pack segments
+    compose (image, restart interval) — DC predictor chains reset at
+    every segment boundary, so image boundaries reset them too."""
     dc_v, dc_l = dct
     ac_v, ac_l = act
     ni = zz.shape[0]
     b = np.arange(ni, dtype=np.int64)
-    mcu = b // cb
+    mcu = b // cb                       # global = img * mcu_per_img + local
     gk = mcu * nslots + base + (b % cb)
-    seg = mcu // restart_mcu if restart_mcu else np.zeros(ni, np.int64)
+    img = mcu // mcu_per_img
+    if restart_mcu:
+        nseg = -(-mcu_per_img // restart_mcu)
+        seg = img * nseg + (mcu % mcu_per_img) // restart_mcu
+    else:
+        seg = img
     # DC: per-segment predictor chains
     dc = zz[:, 0].astype(np.int64)
     prev = np.concatenate([[0], dc[:-1]])
-    seg_start = np.concatenate(
-        [[True], seg[1:] != seg[:-1]]) if restart_mcu else (b == 0)
+    seg_start = np.concatenate([[True], seg[1:] != seg[:-1]])
     diff = dc - np.where(seg_start, 0, prev)
     t = _bitlen_vec(diff)
     mag = np.where(diff >= 0, diff,
@@ -359,14 +372,16 @@ def _pack_bits(v: np.ndarray, ln: np.ndarray) -> bytes:
 
 
 def _entropy_encode(comp_blocks, cbs, tables, restart_mcu: int,
-                    total_mcu: int) -> bytes:
-    """Interleave per-component units into the scan byte stream, one
-    packed run per restart segment joined by RSTn markers."""
+                    mcu_per_img: int, n_imgs: int = 1) -> list:
+    """Interleave per-component units into per-image scan byte streams,
+    one packed run per (image, restart segment) joined by RSTn markers
+    within each image. ONE unit build + ONE stable lexsort covers the
+    whole batch — the per-image work left is just bit packing."""
     units = []
     base = 0
     for zz, cb, (dct, act) in zip(comp_blocks, cbs, tables):
         units += _component_units(zz, cb, base, sum(cbs), restart_mcu,
-                                  dct, act)
+                                  dct, act, mcu_per_img)
         base += cb
     v = np.concatenate([u[0].astype(np.uint32) for u in units])
     ln = np.concatenate([u[1] for u in units])
@@ -375,17 +390,20 @@ def _entropy_encode(comp_blocks, cbs, tables, restart_mcu: int,
     seg = np.concatenate([u[4] for u in units])
     order = np.lexsort((seq, gk))          # stable: ZRLs keep build order
     v, ln, seg = v[order], ln[order], seg[order]
-    nseg = int(seg.max()) + 1 if len(seg) else 1
-    if nseg == 1:
-        return _pack_bits(v, ln)
+    nseg_img = -(-mcu_per_img // restart_mcu) if restart_mcu else 1
+    nseg = n_imgs * nseg_img
     bounds = np.searchsorted(seg, np.arange(nseg + 1))
-    out = bytearray()
-    for si in range(nseg):
-        lo, hi = bounds[si], bounds[si + 1]
-        if si:
-            out += bytes([0xFF, 0xD0 + ((si - 1) % 8)])
-        out += _pack_bits(v[lo:hi], ln[lo:hi])
-    return bytes(out)
+    scans = []
+    for ii in range(n_imgs):
+        out = bytearray()
+        for si in range(nseg_img):
+            gs = ii * nseg_img + si
+            lo, hi = bounds[gs], bounds[gs + 1]
+            if si:
+                out += bytes([0xFF, 0xD0 + ((si - 1) % 8)])
+            out += _pack_bits(v[lo:hi], ln[lo:hi])
+        scans.append(bytes(out))
+    return scans
 
 
 def _encode_blocks(wr: _BitWriter, zz: np.ndarray, dc_codes, ac_codes,
@@ -422,14 +440,19 @@ def _encode_blocks(wr: _BitWriter, zz: np.ndarray, dc_codes, ac_codes,
     return pred
 
 
-def _component_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
-    """Pad (replicate) to 8-multiples, FDCT+quantize → zigzagged (n, 64)
-    int32 with blocks in raster order."""
-    h, w = plane.shape
+def _component_blocks(planes: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(n_imgs, h, w) planes → pad (replicate) to 8-multiples,
+    FDCT+quantize the WHOLE batch at once → zigzagged (n_imgs·blocks, 64)
+    int32, per-image blocks contiguous in raster order. A single 2-D
+    plane is treated as a batch of one."""
+    if planes.ndim == 2:
+        planes = planes[None]
+    n, h, w = planes.shape
     ph, pw = -h % 8, -w % 8
-    p = np.pad(plane, ((0, ph), (0, pw)), mode="edge").astype(np.float64)
-    hb, wb = p.shape[0] // 8, p.shape[1] // 8
-    blocks = (p.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3)
+    p = np.pad(planes, ((0, 0), (0, ph), (0, pw)),
+               mode="edge").astype(np.float64)
+    hb, wb = p.shape[1] // 8, p.shape[2] // 8
+    blocks = (p.reshape(n, hb, 8, wb, 8).transpose(0, 1, 3, 2, 4)
               .reshape(-1, 8, 8) - 128.0)
     coef = _fdct(blocks)
     q = np.round(coef / qt[None, :, :]).astype(np.int32)
@@ -440,29 +463,14 @@ def _marker(tag: int, payload: bytes) -> bytes:
     return struct.pack(">HH", 0xFF00 | tag, len(payload) + 2) + payload
 
 
-def jpeg_encode(pixels: np.ndarray, quality: int = 90,
-                subsample: bool = False, restart_mcu: int = 0) -> bytes:
-    """(h, w, 3) uint8 RGB → baseline JFIF bytes (4:4:4, or 4:2:0 when
-    ``subsample``; ``restart_mcu`` > 0 emits DRI + RSTn markers every
-    that many MCUs — the error-resilience feature real encoders use)."""
-    p = np.ascontiguousarray(pixels, dtype=np.uint8).astype(np.float64)
-    h, w, _ = pixels.shape
-    r, g, b = p[..., 0], p[..., 1], p[..., 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-    if subsample:
-        ph, pw = -h % 2, -w % 2
-        cb = np.pad(cb, ((0, ph), (0, pw)), mode="edge")
-        cr = np.pad(cr, ((0, ph), (0, pw)), mode="edge")
-        cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
-        cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
-    qty = quality_scale(_QT_LUMA, quality)
-    qtc = quality_scale(_QT_CHROMA, quality)
-    zzs = [_component_blocks(y, qty),
-           _component_blocks(cb, qtc),
-           _component_blocks(cr, qtc)]
+_RGB2YCC_T = np.array([[0.299, 0.587, 0.114],
+                       [-0.168736, -0.331264, 0.5],
+                       [0.5, -0.418688, -0.081312]]).T
 
+
+def _jfif_header(h: int, w: int, qty, qtc, subsample: bool,
+                 restart_mcu: int) -> bytes:
+    """SOI..SOS marker run — shared by every image of a uniform batch."""
     out = bytearray(b"\xFF\xD8")                      # SOI
     out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _marker(0xDB, b"\x00" + bytes(qty.reshape(64)[_ZIGZAG]
@@ -481,6 +489,41 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
     if restart_mcu:
         out += _marker(0xDD, struct.pack(">H", restart_mcu))
     out += _marker(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return bytes(out)
+
+
+def jpeg_encode_batch(pixels: np.ndarray, quality: int = 90,
+                      subsample: bool = False,
+                      restart_mcu: int = 0) -> list:
+    """(n, h, w, 3) uint8 RGB → n baseline JFIF byte strings,
+    bit-identical to per-image :func:`jpeg_encode`. The whole batch runs
+    through ONE color transform, ONE batched FDCT, ONE unit build and ONE
+    lexsort — per-image numpy fixed overhead is what dominates encode of
+    QA-sized images, and this amortizes it across the batch (the
+    distributed decode path hands us stacked same-shape images already)."""
+    p = np.ascontiguousarray(pixels, dtype=np.uint8).astype(np.float64)
+    n, h, w, _ = p.shape
+    # RGB→YCbCr as ONE (npx, 3)·(3, 3) GEMM instead of nine broadcast
+    # passes (dgemm's k=3 accumulation order matches the a·r+b·g+c·b
+    # left-to-right sum, keeping the transform bit-identical)
+    ycc = p.reshape(-1, 3) @ _RGB2YCC_T
+    y = ycc[:, 0].reshape(n, h, w)
+    cb = ycc[:, 1].reshape(n, h, w) + 128.0
+    cr = ycc[:, 2].reshape(n, h, w) + 128.0
+    if subsample:
+        ph, pw = -h % 2, -w % 2
+        cb = np.pad(cb, ((0, 0), (0, ph), (0, pw)), mode="edge")
+        cr = np.pad(cr, ((0, 0), (0, ph), (0, pw)), mode="edge")
+        cb = cb.reshape(n, cb.shape[1] // 2, 2,
+                        cb.shape[2] // 2, 2).mean((2, 4))
+        cr = cr.reshape(n, cr.shape[1] // 2, 2,
+                        cr.shape[2] // 2, 2).mean((2, 4))
+    qty = quality_scale(_QT_LUMA, quality)
+    qtc = quality_scale(_QT_CHROMA, quality)
+    zzs = [_component_blocks(y, qty),
+           _component_blocks(cb, qtc),
+           _component_blocks(cr, qtc)]
+    header = _jfif_header(h, w, qty, qtc, subsample, restart_mcu)
 
     tables = [(_ENC_DC_Y, _ENC_AC_Y), (_ENC_DC_C, _ENC_AC_C),
               (_ENC_DC_C, _ENC_AC_C)]
@@ -489,27 +532,36 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
         # block order IS the MCU visit order
         comp_blocks = [zzs[0], zzs[1], zzs[2]]
         cbs = [1, 1, 1]
-        total_mcu = zzs[0].shape[0]
+        mcu_per_img = ((h + 7) // 8) * ((w + 7) // 8)
     else:
         # 4:2:0 — MCU = 4 luma blocks (2×2) + 1 Cb + 1 Cr; regroup luma
         # into per-MCU visit order (2×2 tiles) with one transpose
         wb_y = (w + 15) // 16 * 2            # luma blocks per padded row
         hb_y = (h + 15) // 16 * 2
-        yb = zzs[0].reshape((h + 7) // 8, (w + 7) // 8, 64)
+        hb, wb = (h + 7) // 8, (w + 7) // 8
+        yb = zzs[0].reshape(n, hb, wb, 64)
         # re-pad luma block grid to even counts (replicate edge blocks)
-        if yb.shape[0] < hb_y:
-            yb = np.concatenate([yb, yb[-1:, :, :]], axis=0)
-        if yb.shape[1] < wb_y:
-            yb = np.concatenate([yb, yb[:, -1:, :]], axis=1)
-        ybv = (yb.reshape(hb_y // 2, 2, wb_y // 2, 2, 64)
-               .transpose(0, 2, 1, 3, 4).reshape(-1, 64))
+        if hb < hb_y:
+            yb = np.concatenate([yb, yb[:, -1:, :, :]], axis=1)
+        if wb < wb_y:
+            yb = np.concatenate([yb, yb[:, :, -1:, :]], axis=2)
+        ybv = (yb.reshape(n, hb_y // 2, 2, wb_y // 2, 2, 64)
+               .transpose(0, 1, 3, 2, 4, 5).reshape(-1, 64))
         comp_blocks = [ybv, zzs[1], zzs[2]]
         cbs = [4, 1, 1]
-        total_mcu = (hb_y // 2) * (wb_y // 2)
-    out += _entropy_encode(comp_blocks, cbs, tables, restart_mcu,
-                           total_mcu)
-    out += b"\xFF\xD9"                                # EOI
-    return bytes(out)
+        mcu_per_img = (hb_y // 2) * (wb_y // 2)
+    scans = _entropy_encode(comp_blocks, cbs, tables, restart_mcu,
+                            mcu_per_img, n)
+    return [header + s + b"\xFF\xD9" for s in scans]
+
+
+def jpeg_encode(pixels: np.ndarray, quality: int = 90,
+                subsample: bool = False, restart_mcu: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes (4:4:4, or 4:2:0 when
+    ``subsample``; ``restart_mcu`` > 0 emits DRI + RSTn markers every
+    that many MCUs — the error-resilience feature real encoders use)."""
+    return jpeg_encode_batch(pixels[None], quality, subsample,
+                             restart_mcu)[0]
 
 
 # --- decoder ------------------------------------------------------------------
@@ -617,6 +669,13 @@ def jpeg_dims(data: bytes) -> tuple[int, int]:
 
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes → (h, w, 3) uint8 RGB."""
+    return _decode_scan(*_parse_stream(data))
+
+
+def _parse_stream(data: bytes):
+    """Marker walk: JFIF bytes → (frame, scan, qts, huff, destuffed ecs,
+    RST segment offsets, restart interval) — everything _decode_scan (or
+    the batch walker) needs."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -699,8 +758,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                               for r in rst]
             ecs = arr[:end_rel][~drop].tobytes()
             pos += end_rel
-            return _decode_scan(frame, scan, qts, huff, ecs,
-                                segments, restart)
+            return frame, scan, qts, huff, ecs, segments, restart
     raise ValueError("no SOS scan found")
 
 
@@ -710,10 +768,6 @@ def _decode_scan(frame, scan, qts, huff, ecs, segments, restart):
     vmax = max(c["v"] for c in frame["comps"])
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = {}
-    for comp, _, _ in scan:
-        pw, ph = 8 * mcux * comp["h"], 8 * mcuy * comp["v"]
-        planes[comp["id"]] = np.zeros((ph, pw), dtype=np.float64)
     win = _win32_list(ecs)
     n_bits = len(win)
     # per-slot loop constants: one schedule entry per block of one MCU
@@ -790,8 +844,8 @@ def _decode_scan(frame, scan, qts, huff, ecs, segments, restart):
                 raise IndexError
     except IndexError:
         raise ValueError("truncated entropy-coded scan") from None
-    for si, (comp, _, _) in enumerate(scan):
-        cid = comp["id"]
+    zz_list = []
+    for si in range(n_slots):
         nb = len(dc_out[si])
         zzs = np.zeros((nb, 64), dtype=np.int32)
         zzs[:, 0] = dc_out[si]
@@ -799,38 +853,236 @@ def _decode_scan(frame, scan, qts, huff, ecs, segments, restart):
             bi = np.repeat(np.arange(nb),
                            np.asarray(ac_cnt[si], dtype=np.int64))
             zzs[bi, ac_kk[si]] = ac_vv[si]
+        zz_list.append(zzs[None])
+    return _reconstruct(frame, scan, qts, zz_list, mcux, mcuy)[0]
+
+
+def _reconstruct(frame, scan, qts, zz_list, mcux, mcuy) -> np.ndarray:
+    """Coefficients → pixels for a WHOLE batch: ``zz_list[si]`` is
+    (n_imgs, nb, 64) zigzag coefficients of scan component ``si`` in
+    MCU-visit order. Dequantize → dezigzag → one two-GEMM IDCT over
+    every block of every image → fancy-index block placement → chroma
+    upsample → YCbCr→RGB, all batched. Returns (n_imgs, h, w, 3)."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    n_imgs = zz_list[0].shape[0]
+    full = {}
+    for si, (comp, _, _) in enumerate(scan):
+        zzs = zz_list[si]
+        nb = zzs.shape[1]
         qt = qts[comp["tq"]].reshape(64)[_ZIGZAG]
-        coef = (zzs * qt).astype(np.float64)[:, _UNZIGZAG] \
+        coef = (zzs.reshape(-1, 64) * qt).astype(np.float64)[:, _UNZIGZAG] \
             .reshape(-1, 8, 8)
-        blks = _idct(coef) + 128.0
+        blks = (_idct(coef) + 128.0).reshape(n_imgs, nb, 8, 8)
         # vectorized block placement: blocks arrive in MCU raster order,
         # v*h per MCU — scatter into the (hb, wb, 8, 8) grid then unfold
         cv, ch = comp["v"], comp["h"]
-        plane = planes[cid]
-        ph, pw = plane.shape
+        ph, pw = 8 * mcuy * cv, 8 * mcux * ch
         hb, wb = ph // 8, pw // 8
         b = np.arange(nb)
         mcu, within = b // (cv * ch), b % (cv * ch)
         by = (mcu // mcux) * cv + within // ch
         bx = (mcu % mcux) * ch + within % ch
-        grid = np.zeros((hb, wb, 8, 8), dtype=np.float64)
-        grid[by, bx] = blks
-        planes[cid] = grid.transpose(0, 2, 1, 3).reshape(ph, pw)
-    # upsample each component to full (padded) resolution by replication
-    full = {}
-    for comp, _, _ in scan:
-        p = planes[comp["id"]]
-        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        grid = np.zeros((n_imgs, hb, wb, 8, 8), dtype=np.float64)
+        grid[:, by, bx] = blks
+        p = grid.transpose(0, 1, 3, 2, 4).reshape(n_imgs, ph, pw)
+        # upsample to full (padded) resolution by replication
+        ry, rx = vmax // cv, hmax // ch
         if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full[comp["id"]] = p[:h, :w]
+            p = np.repeat(np.repeat(p, ry, axis=1), rx, axis=2)
+        full[comp["id"]] = p[:, :h, :w]
     if len(scan) == 1:
         y = np.clip(full[scan[0][0]["id"]], 0.0, 255.0)
-        return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
+        return np.repeat(y[:, :, :, None], 3, axis=3).astype(np.uint8)
     ids = [c["id"] for c, _, _ in scan]
     y, cb, cr = full[ids[0]], full[ids[1]] - 128.0, full[ids[2]] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0.0, 255.0).astype(np.uint8)
+    rgb = np.empty(y.shape + (3,), dtype=np.float64)
+    rgb[..., 0] = y + 1.402 * cr
+    rgb[..., 1] = y - 0.344136 * cb - 0.714136 * cr
+    rgb[..., 2] = y + 1.772 * cb
+    # in-place rint (== np.round at 0 decimals, without its scale/copy
+    # passes) + clip: these two full-array passes dominated batch decode
+    np.rint(rgb, out=rgb)
+    np.clip(rgb, 0.0, 255.0, out=rgb)
+    return rgb.astype(np.uint8)
+
+
+# --- cross-image batched decode (VERDICT r4 item 2) ---------------------------
+#
+# Huffman decode is serial WITHIN a stream (the next code's position
+# depends on the current code's length), but a QA/curation task hands the
+# executor THOUSANDS of same-shape streams — so the walker below advances
+# ONE symbol in EVERY active stream per iteration with numpy ops over the
+# batch axis. Per-symbol Python cost is amortized across the batch: the
+# scalar loop pays ~25 bytecodes per symbol per image, the walker ~60
+# numpy calls per BATCH of symbols.
+
+
+def jpeg_decode_batch(blobs, min_batch: int = 16) -> list:
+    """Iterable of JFIF byte strings → list of (h, w, 3) uint8 arrays,
+    identical to per-blob :func:`jpeg_decode`. Streams sharing a frame
+    config (dims, sampling, tables, restart cadence) decode together
+    through the multi-stream walker; leftovers and sub-``min_batch``
+    groups fall back to the scalar path."""
+    blobs = list(blobs)
+    parsed = [_parse_stream(b) for b in blobs]
+    groups: dict = {}
+    for i, (frame, scan, qts, huff, ecs, segments, restart) in \
+            enumerate(parsed):
+        key = (frame["h"], frame["w"],
+               tuple((c["id"], c["h"], c["v"], c["tq"])
+                     for c in frame["comps"]),
+               tuple(sorted((k, v.tobytes()) for k, v in qts.items())),
+               tuple(sorted((k, id(v)) for k, v in huff.items())),
+               restart, len(segments))
+        groups.setdefault(key, []).append(i)
+    out: list = [None] * len(blobs)
+    for idx in groups.values():
+        if len(idx) < min_batch:
+            for i in idx:
+                out[i] = _decode_scan(*parsed[i])
+            continue
+        f0 = parsed[idx[0]]
+        pix = _decode_scan_batch(
+            f0[0], f0[1], f0[2], f0[3],
+            [parsed[i][4] for i in idx],
+            np.asarray([parsed[i][5] for i in idx], dtype=np.int64),
+            f0[6])
+        for j, i in enumerate(idx):
+            out[i] = pix[j]
+    return out
+
+
+def _decode_scan_batch(frame, scan, qts, huff, ecs_list, segments2d,
+                       restart) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcux * mcuy
+    N = len(ecs_list)
+    # ONE 32-bit-window array over every stream's bits: concatenate the
+    # destuffed streams (each padded with 8 spec 1-bits bytes) and build
+    # the sliding windows in one vectorized pass — windows that straddle
+    # a stream boundary are garbage but no cursor ever reads them (each
+    # stream ends inside its own padding)
+    lens = np.asarray([len(e) + 8 for e in ecs_list], dtype=np.int64)
+    byte_base = np.concatenate([[0], np.cumsum(lens)])
+    base = byte_base[:-1] * 8
+    pad = b"\xFF" * 8
+    b = np.frombuffer(b"".join(e + pad for e in ecs_list) + b"\xFF" * 4,
+                      dtype=np.uint8).astype(np.uint64)
+    v40 = ((b[:-4] << np.uint64(32)) | (b[1:-3] << np.uint64(24))
+           | (b[2:-2] << np.uint64(16)) | (b[3:-1] << np.uint64(8))
+           | b[4:])
+    win = np.empty((len(v40), 8), dtype=np.uint32)
+    for r in range(8):
+        win[:, r] = ((v40 >> np.uint64(8 - r))
+                     & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    win = win.reshape(-1)
+    # schedule: which scan component owns each block slot of an MCU
+    sched = []
+    for si, (comp, _, _) in enumerate(scan):
+        sched += [si] * (comp["v"] * comp["h"])
+    sched = np.asarray(sched, dtype=np.int64)
+    B = len(sched)
+    n_si = len(scan)
+    # ONE flat LUT: row (phase * n_si + si) → that table's packed combos;
+    # a single gather decodes every active stream's next code, DC or AC
+    lut_rows = [np.asarray(huff[(0, td)][2], dtype=np.int64)
+                for _, td, _ in scan]
+    lut_rows += [np.asarray(huff[(1, ta)][2], dtype=np.int64)
+                 for _, _, ta in scan]
+    lut_flat = np.concatenate(lut_rows)
+    sched_of_slot = sched                  # alias for clarity
+    coefs = np.zeros((N, n_mcu * B, 64), dtype=np.int32)
+    pos = base.copy()               # absolute bit cursor per stream
+    slot = np.zeros(N, dtype=np.int64)
+    phase = np.zeros(N, dtype=np.int64)    # 0 = DC next, 1 = AC
+    kk = np.zeros(N, dtype=np.int64)
+    mcu = np.zeros(N, dtype=np.int64)
+    preds = np.zeros((N, n_si), dtype=np.int64)
+    done = np.zeros(N, dtype=bool)
+    bad = np.zeros(N, dtype=bool)
+    n_win = len(win)
+    one = np.int64(1)
+    while not done.all():
+        a = np.flatnonzero(~done)
+        pa = pos[a]
+        over_end = pa >= n_win
+        if over_end.any():                 # runaway stream(s)
+            bad[a[over_end]] = True
+            done[a[over_end]] = True
+            a = a[~over_end]
+            if not len(a):
+                continue
+            pa = pos[a]
+        wv = win[pa].astype(np.int64)
+        si_a = sched_of_slot[slot[a]]
+        isdc = phase[a] == 0
+        c = lut_flat[((phase[a] * n_si + si_a) << 16) + (wv >> 16)]
+        inv = c < 256
+        if inv.any():
+            bad[a[inv]] = True
+            done[a[inv]] = True
+            c = np.where(inv, 0x100, c)    # harmless 0-bit, 0-sym code
+        ln = c >> 8
+        sym = c & 0xFF
+        s = np.where(isdc, sym, sym & 0x0F)       # magnitude bit count
+        run = np.where(isdc, 0, sym >> 4)
+        mag = (wv >> (32 - ln - s)) & (np.left_shift(one, s) - 1)
+        half = np.left_shift(one, np.maximum(s, 1) - 1)
+        val = np.where(s > 0,
+                       np.where(mag < half,
+                                mag + 1 - np.left_shift(one, s), mag), 0)
+        pos[a] += ln + s
+        # DC: accumulate predictor, emit at k=0
+        pr = preds[a, si_a] + np.where(isdc, val, 0)
+        preds[a, si_a] = pr
+        zrl = ~isdc & (sym == 0xF0)
+        kc = kk[a] + np.where(zrl, 16, run)     # ZRL: 16 zeros, no coeff
+        kover = ~isdc & (s > 0) & (kc > 63)
+        if kover.any():
+            bad[a[kover]] = True
+            done[a[kover]] = True
+        emit = isdc | ((s > 0) & ~kover)
+        blockpos = mcu[a] * B + slot[a]
+        kpos = np.where(isdc, 0, kc)
+        cval = np.where(isdc, pr, val)
+        coefs[a[emit], blockpos[emit], kpos[emit]] = cval[emit]
+        kk[a] = np.where(isdc, 1, kc + (s > 0))
+        fin = ~isdc & ((sym == 0x00) | (kk[a] >= 64))
+        phase[a] = np.where(fin, 0, 1)
+        # --- block transitions for finished AC runs ---
+        if fin.any():
+            ai = a[fin]
+            slot_n = slot[ai] + 1
+            wrap = slot_n == B
+            slot[ai] = np.where(wrap, 0, slot_n)
+            mcu_n = mcu[ai] + wrap
+            mcu[ai] = mcu_n
+            ended = mcu_n == n_mcu
+            done[ai[ended]] = True
+            if restart:
+                rst = ~ended & wrap & (mcu_n % restart == 0)
+                if rst.any():
+                    ar = ai[rst]
+                    seg_i = mcu_n[rst] // restart
+                    pos[ar] = base[ar] + segments2d[ar, seg_i] * 8
+                    preds[ar] = 0
+    if bad.any():
+        # surface the precise per-stream error via the scalar path
+        first = int(np.flatnonzero(bad)[0])
+        _decode_scan(frame, scan, qts, huff, ecs_list[first],
+                     list(segments2d[first]), restart)
+        raise ValueError("corrupt stream in batch")   # pragma: no cover
+    # slice per-component coefficient tensors in visit order
+    zz_list = []
+    for si in range(n_si):
+        sl = np.flatnonzero(sched == si)
+        vis = (np.arange(n_mcu, dtype=np.int64)[:, None] * B
+               + sl[None, :]).reshape(-1)
+        zz_list.append(coefs[:, vis, :])
+    return _reconstruct(frame, scan, qts, zz_list, mcux, mcuy)

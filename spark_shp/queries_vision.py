@@ -2219,8 +2219,9 @@ def q_jpeg_decode_stats(spark, sf_dir):
     modes = [("s444", False, 0), ("s420", True, 0),
              ("s444_rst", False, 3), ("s420_rst", True, 5)]
     rows = [(m, i) for m, _, _ in modes for i in range(JPEG_QA_N)]
+    n_part = min(32, max(8, spark.sparkContext.defaultParallelism))
     src = spark.createDataFrame(rows, "mode string, i int") \
-        .repartition(8)
+        .repartition(n_part)
     schema = T.StructType([
         T.StructField("mode", T.StringType()),
         T.StructField("i", T.IntegerType()),
@@ -2231,21 +2232,37 @@ def q_jpeg_decode_stats(spark, sf_dir):
     mode_map = {m: (ss, rst) for m, ss, rst in modes}
 
     def work(batches):
-        from . import codecs, jpeg
+        from . import jpeg
         for pdf in batches:
-            out = []
-            for m, i in zip(pdf["mode"], pdf["i"]):
-                i = int(i)
+            # group rows by (mode, dims) → batch-encode the stacked
+            # images and batch-decode the blobs through the cross-image
+            # walker (bit-identical to the per-image codec paths)
+            rows = [(str(m), int(i)) for m, i in zip(pdf["mode"],
+                                                     pdf["i"])]
+            groups: dict = {}
+            for j, (m, i) in enumerate(rows):
                 w, h = 40 + (i % 5) * 8, 32 + (i % 3) * 8
-                px = _jpeg_qa_pixels(i, w, h)
+                groups.setdefault((m, w, h), []).append(j)
+            out = [None] * len(rows)
+            for (m, w, h), idx in groups.items():
                 ss, rst = mode_map[m]
-                blob = jpeg.jpeg_encode(px, quality=90, subsample=ss,
-                                        restart_mcu=rst)
-                dec = jpeg.jpeg_decode(blob)
-                out.append((m, i,
-                            int(codecs.psnr(px, dec) >= 40.0),
-                            int(dec.shape == (h, w, 3)),
-                            int(len(blob) < w * h * 3)))
+                px = np.stack([_jpeg_qa_pixels(rows[j][1], w, h)
+                               for j in idx])
+                blobs = jpeg.jpeg_encode_batch(px, quality=90,
+                                               subsample=ss,
+                                               restart_mcu=rst)
+                dec = np.stack(jpeg.jpeg_decode_batch(blobs, min_batch=4))
+                err = (px.astype(np.float64) - dec) ** 2
+                mse = err.reshape(len(idx), -1).mean(axis=1)
+                psnr = np.where(mse > 0,
+                                10.0 * np.log10(255.0 ** 2
+                                                / np.maximum(mse, 1e-12)),
+                                np.inf)
+                for jj, j in enumerate(idx):
+                    out[j] = (m, rows[j][1],
+                              int(psnr[jj] >= 40.0),
+                              int(dec[jj].shape == (h, w, 3)),
+                              int(len(blobs[jj]) < w * h * 3))
             yield pd.DataFrame(out, columns=[f.name for f in schema])
 
     qa = src.mapInPandas(work, schema)

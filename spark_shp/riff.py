@@ -159,8 +159,8 @@ def avi_encode(frames: np.ndarray, fps: int = 10,
     n, h, w, _ = f.shape
     if codec == "MJPG":
         from . import jpeg
-        payloads = [jpeg.jpeg_encode(f[i], quality=quality,
-                                     subsample=True) for i in range(n)]
+        payloads = jpeg.jpeg_encode_batch(f, quality=quality,
+                                          subsample=True)
         frame_size = max(len(p) for p in payloads)
         fourcc, comp, tag = b"MJPG", _MJPG, b"00dc"
     elif codec == "DIB":
@@ -232,11 +232,12 @@ def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
         # Motion-JPEG: each chunk is a standalone JFIF image — decode
         # through the in-repo baseline JPEG decoder (frames must carry
         # their Huffman tables; OpenDML table-less AVI1 streams are not
-        # supported). Per-frame loop is inherent (variable-length).
+        # supported). Same-shape frames decode together through the
+        # cross-frame batched walker (jpeg.jpeg_decode_batch).
         from . import jpeg
         raw = bytes(buf)
-        frames = [jpeg.jpeg_decode(raw[p:p + s])
-                  for p, s in frame_chunks]
+        frames = jpeg.jpeg_decode_batch(
+            [raw[p:p + s] for p, s in frame_chunks])
         if not frames:
             raise ValueError("MJPG stream with no frames")
         return np.stack(frames), fps

@@ -191,3 +191,54 @@ def test_jpeg_dims_helper():
     assert jpeg.jpeg_dims(blob) == (24, 56)
     with pytest.raises(ValueError):
         jpeg.jpeg_dims(b"\x00\x01\x02\x03")
+
+
+def test_encode_batch_matches_single():
+    rng = np.random.default_rng(3)
+    imgs = np.clip(rng.normal(128, 40, (12, 24, 40, 3)), 0,
+                   255).astype(np.uint8)
+    for ss in (False, True):
+        for rst in (0, 2):
+            batch = jpeg.jpeg_encode_batch(imgs, 85, subsample=ss,
+                                           restart_mcu=rst)
+            singles = [jpeg.jpeg_encode(im, 85, subsample=ss,
+                                        restart_mcu=rst) for im in imgs]
+            assert batch == singles
+
+
+def test_decode_batch_matches_single():
+    """Cross-image walker == scalar decoder bit-for-bit, across modes,
+    restart intervals, mixed shapes (separate groups) and the scalar
+    fallback for sub-min_batch groups."""
+    rng = np.random.default_rng(4)
+    blobs = []
+    for ss in (False, True):
+        for rst in (0, 3):
+            for i in range(20):
+                im = np.clip(rng.normal(128, 45, (32, 40, 3)), 0,
+                             255).astype(np.uint8)
+                blobs.append(jpeg.jpeg_encode(im, 90, subsample=ss,
+                                              restart_mcu=rst))
+    for i in range(3):           # below min_batch -> scalar fallback
+        im = np.clip(rng.normal(128, 45, (17, 23, 3)), 0,
+                     255).astype(np.uint8)
+        blobs.append(jpeg.jpeg_encode(im, 85))
+    refs = [jpeg.jpeg_decode(b) for b in blobs]
+    out = jpeg.jpeg_decode_batch(blobs)
+    assert len(out) == len(refs)
+    for o, r in zip(out, refs):
+        assert np.array_equal(o, r)
+
+
+def test_decode_batch_surfaces_corrupt_stream():
+    rng = np.random.default_rng(6)
+    blobs = []
+    for i in range(20):
+        im = np.clip(rng.normal(128, 45, (32, 40, 3)), 0,
+                     255).astype(np.uint8)
+        blobs.append(jpeg.jpeg_encode(im, 90))
+    # truncate one stream's entropy data mid-scan
+    broken = blobs[7][:-40] + b"\xFF\xD9"
+    blobs[7] = broken
+    with pytest.raises(ValueError):
+        jpeg.jpeg_decode_batch(blobs)
