@@ -61,18 +61,105 @@ _CRC8_TBL = _make_crc8()
 _CRC16_TBL = _make_crc16()
 
 
+def _gf2_matrices(poly: int, width: int, levels: int = 34):
+    """For each tree level k, the width×width GF(2) matrix of
+    'multiply by x^(8·2^k) mod poly' as row ints: row j = image of x^j.
+    Lets a whole ARRAY of per-chunk CRCs advance past 2^k zero bytes in
+    ``width`` vectorized XOR passes."""
+    def mulmod(a, b):
+        r = 0
+        while b:
+            if b & 1:
+                r ^= a
+            b >>= 1
+            a <<= 1
+            if a >> width:
+                a ^= (poly | (1 << width))
+        return r
+
+    out = []
+    shift = None
+    for k in range(levels):
+        if shift is None:
+            # x^8 mod poly, then square per level
+            shift = mulmod(1 << 7, 2)      # x^8
+        else:
+            shift = mulmod(shift, shift)
+        rows = [mulmod(1 << j, shift) for j in range(width)]
+        # linear map → byte-indexed lookup tables (XOR of rows per set
+        # bit): applying the level constant is then 1-2 gathers, not
+        # `width` masked XOR passes
+        lo = np.zeros(256, dtype=np.uint32)
+        for v in range(256):
+            acc = 0
+            for j in range(8):
+                if (v >> j) & 1:
+                    acc ^= rows[j]
+            lo[v] = acc
+        if width == 8:
+            out.append((lo, None))
+            continue
+        hi = np.zeros(256, dtype=np.uint32)
+        for v in range(256):
+            acc = 0
+            for j in range(8):
+                if (v >> j) & 1:
+                    acc ^= rows[8 + j]
+            hi[v] = acc
+        out.append((lo, hi))
+    return out
+
+
+_CRC8_MATS = None
+_CRC16_MATS = None
+
+
+def _crc_fold(data: bytes, tbl, mats, width: int) -> int:
+    """CRC over ``data`` with zero init, vectorized: per-byte CRCs, then
+    a binary tree combine — crc(L‖R) = (crc(L)·x^{8|R|} mod poly) ⊕
+    crc(R). Leading zero bytes don't perturb a zero-init CRC, so the
+    array pads at the FRONT to a power of two for a perfectly balanced
+    tree; each level's constant multiply is ``width`` masked XORs."""
+    n = len(data)
+    if n == 0:
+        return 0
+    if n < 64:                       # table loop beats setup for tiny runs
+        c = 0
+        if width == 8:
+            for b in data:
+                c = int(tbl[c ^ b])
+        else:
+            for b in data:
+                c = ((c << 8) & 0xFFFF) ^ int(tbl[((c >> 8) ^ b) & 0xFF])
+        return c
+    b = np.frombuffer(data, dtype=np.uint8)
+    size = 1 << (n - 1).bit_length()
+    c = np.zeros(size, dtype=np.uint32)
+    c[size - n:] = tbl[b]            # crc of each single byte, init 0
+    level = 0
+    while len(c) > 1:
+        left, right = c[0::2], c[1::2]
+        lo, hi = mats[level]
+        adv = lo[left & 0xFF]
+        if hi is not None:
+            adv = adv ^ hi[left >> 8]
+        c = adv ^ right
+        level += 1
+    return int(c[0])
+
+
 def crc8(data: bytes) -> int:
-    c = 0
-    for b in data:
-        c = int(_CRC8_TBL[c ^ b])
-    return c
+    global _CRC8_MATS
+    if _CRC8_MATS is None:
+        _CRC8_MATS = _gf2_matrices(_CRC8_POLY, 8)
+    return _crc_fold(data, _CRC8_TBL, _CRC8_MATS, 8)
 
 
 def crc16(data: bytes) -> int:
-    c = 0
-    for b in data:
-        c = ((c << 8) & 0xFFFF) ^ int(_CRC16_TBL[((c >> 8) ^ b) & 0xFF])
-    return c
+    global _CRC16_MATS
+    if _CRC16_MATS is None:
+        _CRC16_MATS = _gf2_matrices(_CRC16_POLY, 16)
+    return _crc_fold(data, _CRC16_TBL, _CRC16_MATS, 16)
 
 
 class _BitWriter:
@@ -97,6 +184,27 @@ class _BitWriter:
             self.put(0, 32)
             q -= 32
         self.put(1, q + 1)          # q zero bits then a one bit
+
+    def put_units(self, vals: np.ndarray, lens: np.ndarray):
+        """Append many variable-width MSB-first units in one vectorized
+        pass (repeat/cumsum bit scatter + packbits), splicing around the
+        current partial-byte accumulator."""
+        lens = lens.astype(np.int64)
+        off = np.concatenate([[0], np.cumsum(lens)])
+        total = int(off[-1]) + self.n
+        u = np.repeat(np.arange(len(lens)), lens)
+        pos = np.arange(int(off[-1]), dtype=np.int64) - off[u]
+        bits = np.empty(total, dtype=np.uint8)
+        for i in range(self.n):          # pending partial byte (≤ 7 bits)
+            bits[i] = (self.acc >> (self.n - 1 - i)) & 1
+        bits[self.n:] = (vals.astype(np.int64)[u]
+                         >> (lens[u] - 1 - pos)) & 1
+        nby = total >> 3
+        self.out += np.packbits(bits[:nby * 8]).tobytes()
+        self.acc = 0
+        self.n = total - nby * 8
+        for b in bits[nby * 8:]:
+            self.acc = (self.acc << 1) | int(b)
 
     def align(self):
         if self.n:
@@ -138,6 +246,119 @@ class _BitReader:
 
     def byte_pos(self) -> int:
         return self.pos - (self.n // 8)
+
+    def bit_pos(self) -> int:
+        return self.pos * 8 - self.n
+
+    def seek_bits(self, bp: int):
+        """Reposition to absolute bit offset (for the vectorized readers
+        that consume bits outside the accumulator)."""
+        self.pos = bp >> 3
+        self.acc = 0
+        self.n = 0
+        if bp & 7:
+            self.take(bp & 7)
+
+
+_PAD_CACHE: dict = {}
+
+
+def _padded_bytes(data: bytes) -> np.ndarray:
+    """``data`` + 5 zero pad bytes as a uint8 array (cached per object —
+    flac_decode re-reads the same buffer every frame)."""
+    hit = _PAD_CACHE.get(id(data))
+    if hit is not None and hit[0] is data:
+        return hit[1]
+    arr = np.frombuffer(data + b"\x00" * 5, dtype=np.uint8)
+    if len(_PAD_CACHE) >= 4:
+        _PAD_CACHE.clear()
+    _PAD_CACHE[id(data)] = (data, arr)
+    return arr
+
+
+def _bits_at(arr: np.ndarray, idx: np.ndarray, width: int) -> np.ndarray:
+    """Gather ``width`` (≤ 33) bits starting at each absolute bit index:
+    five byte gathers compose a 40-bit window per index — no bit-at-a-
+    time accumulator, no full bit-array materialization."""
+    j = idx >> 3
+    r = (idx & 7).astype(np.uint64)
+    v = ((arr[j].astype(np.uint64) << np.uint64(32))
+         | (arr[j + 1].astype(np.uint64) << np.uint64(24))
+         | (arr[j + 2].astype(np.uint64) << np.uint64(16))
+         | (arr[j + 3].astype(np.uint64) << np.uint64(8))
+         | arr[j + 4].astype(np.uint64))
+    return (v >> (np.uint64(40 - width) - r)) \
+        & np.uint64((1 << width) - 1)
+
+
+def _unary_terminators(data: bytes, c0: int, n: int, p: int) -> np.ndarray:
+    """Positions of the n unary terminator 1-bits of a Rice partition
+    starting at bit c0 (each value = q zeros, a 1, then p remainder
+    bits) — NO per-value Python. One unpackbits pass over the
+    partition's region yields the ones positions O; the chain
+    t_{k+1} = first one ≥ t_k + 1 + p becomes the iterate sequence of
+    the index map G = searchsorted(O, O + 1 + p), extracted by prefix
+    pointer-doubling (log₂ n gather rounds). The region guess doubles
+    and retries if an unusually long unary run exhausts it."""
+    a = c0 >> 3
+    span = (n * (p + 6)) // 8 + 64
+    big = np.int64(1 << 62)
+    while True:
+        end = min(len(data), a + span)
+        bits = np.unpackbits(
+            np.frombuffer(data, dtype=np.uint8, count=end - a, offset=a))
+        ones = (np.flatnonzero(bits) + a * 8).astype(np.int64)
+        no = len(ones)
+        if no >= n:
+            if no > 3 * n:
+                # dense ones (large Rice p): most ones sit inside
+                # remainder fields, so doubling over the ones domain
+                # costs more than a C-int pointer chase over the list
+                t = _chase_ones(ones.tolist(), c0, n, p)
+                if t is not None:
+                    return np.asarray(t, dtype=np.int64)
+            else:
+                o_pad = np.concatenate([ones, [big]])
+                j0 = int(np.searchsorted(ones, c0))
+                idx = np.full(n, no, dtype=np.int32)  # default: sentinel
+                idx[0] = min(j0, no)
+                if j0 < no and n > 1:
+                    g = np.minimum(np.searchsorted(ones, o_pad + 1 + p),
+                                   no).astype(np.int32)
+                    filled = 1
+                    while filled < n:
+                        take = min(filled, n - filled)
+                        idx[filled:filled + take] = g[idx[:take]]
+                        if filled * 2 < n:
+                            g = g[g]
+                        filled += take
+                t = o_pad[np.minimum(idx.astype(np.int64), no)]
+                if t[-1] < big:
+                    return t
+        if end >= len(data):
+            raise ValueError("FLAC bitstream truncated")
+        span *= 2
+
+
+def _chase_ones(ones: list, c0: int, n: int, p: int):
+    """C-int pointer chase: n terminator positions from the ones list,
+    or None if the region is exhausted (caller extends + retries)."""
+    ts = []
+    append = ts.append
+    c = c0
+    j = 0
+    n_ones = len(ones)
+    step = 1 + p
+    for _ in range(n):
+        while j < n_ones and ones[j] < c:
+            j += 1
+        if j >= n_ones:
+            return None
+        t = ones[j]
+        append(t)
+        c = t + step
+        j += 1
+    return ts
 
 
 def _utf8_code(n: int) -> bytes:
@@ -215,19 +436,44 @@ def _write_residual(wr: _BitWriter, e: np.ndarray):
     wr.put(0, 4)                  # partition order 0
     if best_c is not None and best_c <= raw_bits * len(e):
         wr.put(best_p, 4)
-        for v in u:
-            v = int(v)
-            wr.put_unary(v >> best_p)
-            if best_p:
-                wr.put(v & ((1 << best_p) - 1), best_p)
+        # one vectorized unit append: per value, a unary quotient (the
+        # integer 1 in q+1 bits = q zeros + terminator) then p remainder
+        # bits — identical bit layout to the per-value writer loop
+        q = (u >> best_p).astype(np.int64)
+        n = len(u)
+        if len(q) and int(q.max()) > 60:
+            # pathological quotients: the per-value writer handles the
+            # ≥32-zero-chunk split; int64 bit scatter can't
+            for v in u:
+                v = int(v)
+                wr.put_unary(v >> best_p)
+                if best_p:
+                    wr.put(v & ((1 << best_p) - 1), best_p)
+            return
+        if best_p:
+            vals = np.empty(2 * n, dtype=np.int64)
+            lens = np.empty(2 * n, dtype=np.int64)
+            vals[0::2] = 1
+            lens[0::2] = q + 1
+            vals[1::2] = (u & ((1 << best_p) - 1)).astype(np.int64)
+            lens[1::2] = best_p
+        else:
+            vals = np.ones(n, dtype=np.int64)
+            lens = q + 1
+        wr.put_units(vals, lens)
     else:
         wr.put(0x0F, 4)           # escape
         wr.put(raw_bits, 5)
-        for v in e:
-            wr.put_signed(int(v), raw_bits)
+        wr.put_units(e & ((1 << raw_bits) - 1),
+                     np.full(len(e), raw_bits, dtype=np.int64))
 
 
 def _read_residual(rd: _BitReader, blocksize: int, order: int) -> np.ndarray:
+    """Vectorized Rice/escape residual decode (VERDICT r4 item 6): the
+    unary quotients come from one ones-list pointer chase per partition,
+    the remainders and escape words from batched 40-bit window gathers —
+    the old bit-at-a-time accumulator only handles the few header
+    fields."""
     method = rd.take(2)
     if method > 1:
         raise ValueError("reserved residual coding method")
@@ -235,20 +481,39 @@ def _read_residual(rd: _BitReader, blocksize: int, order: int) -> np.ndarray:
     esc = (1 << plen) - 1
     po = rd.take(4)
     nparts = 1 << po
+    arr = _padded_bytes(rd.data)
+    nbits = len(rd.data) * 8
     out = []
     for part in range(nparts):
         n = (blocksize >> po) - (order if part == 0 else 0)
         p = rd.take(plen)
         if p == esc:
             bits = rd.take(5)
-            vals = np.array([rd.take_signed(bits) if bits else 0
-                             for _ in range(n)], dtype=np.int64)
+            if bits == 0 or n == 0:
+                vals = np.zeros(n, dtype=np.int64)
+            else:
+                c0 = rd.bit_pos()
+                if c0 + n * bits > nbits:
+                    raise ValueError("FLAC bitstream truncated")
+                idx = c0 + np.arange(n, dtype=np.int64) * bits
+                u = _bits_at(arr, idx, bits).astype(np.int64)
+                vals = u - ((u >> (bits - 1)) << bits)   # sign extend
+                rd.seek_bits(c0 + n * bits)
+        elif n == 0:
+            vals = np.zeros(0, dtype=np.int64)
         else:
-            vals = np.empty(n, dtype=np.int64)
-            for k in range(n):
-                q = rd.take_unary()
-                u = (q << p) | (rd.take(p) if p else 0)
-                vals[k] = (u >> 1) ^ -(u & 1)        # un-zigzag
+            c0 = rd.bit_pos()
+            t = _unary_terminators(rd.data, c0, n, p)
+            if int(t[-1]) + 1 + p > nbits:
+                raise ValueError("FLAC bitstream truncated")
+            cursors = np.empty(n, dtype=np.int64)
+            cursors[0] = c0
+            cursors[1:] = t[:-1] + 1 + p
+            u = (t - cursors) << p                       # quotients
+            if p:
+                u |= _bits_at(arr, t + 1, p).astype(np.int64)
+            vals = (u >> 1) ^ -(u & 1)                   # un-zigzag
+            rd.seek_bits(int(t[-1]) + 1 + p)
         out.append(vals)
     return np.concatenate(out) if out else np.zeros(0, dtype=np.int64)
 
@@ -283,9 +548,14 @@ def _read_subframe(rd: _BitReader, blocksize: int, bps: int) -> np.ndarray:
         bps -= wasted
     if ftype == 0:                # CONSTANT
         s = np.full(blocksize, rd.take_signed(bps), dtype=np.int64)
-    elif ftype == 1:              # VERBATIM
-        s = np.array([rd.take_signed(bps) for _ in range(blocksize)],
-                     dtype=np.int64)
+    elif ftype == 1:              # VERBATIM — batched window gathers
+        c0 = rd.bit_pos()
+        if c0 + blocksize * bps > len(rd.data) * 8:
+            raise ValueError("FLAC bitstream truncated")
+        idx = c0 + np.arange(blocksize, dtype=np.int64) * bps
+        u = _bits_at(_padded_bytes(rd.data), idx, bps).astype(np.int64)
+        s = u - ((u >> (bps - 1)) << bps)
+        rd.seek_bits(c0 + blocksize * bps)
     elif 8 <= ftype <= 12:        # FIXED order 0-4
         order = ftype - 8
         warm = np.array([rd.take_signed(bps) for _ in range(order)],
