@@ -565,3 +565,148 @@ def test_semantic_dedup_prunes_planted_duplicates(spark, tmp_path):
     # each planted triple collapses to one survivor IF the triple shares
     # a cluster (near-identical vectors always do: same LSH signs)
     assert total_removed == 12
+
+
+def _sd_capped_reference(vids, q, cap, max_depth):
+    """Sequential replay of semantic_dedup_capped's algorithm."""
+    from spark_shp.hashing import u01
+    from spark_shp.queries_text import SEMDEDUP_PLANES, SEMDEDUP_SEED
+
+    def planes_for(j0, nj):
+        jj, ii = np.meshgrid(np.arange(j0, j0 + nj, dtype=np.int64),
+                             np.arange(64, dtype=np.int64), indexing="ij")
+        return np.rint((u01((SEMDEDUP_SEED + jj) * 64 + ii) - 0.5)
+                       * 1000.0).astype(np.int64)
+
+    split_bits = 2
+    pl = planes_for(0, SEMDEDUP_PLANES)
+    w = 1 << np.arange(SEMDEDUP_PLANES, dtype=np.int64)
+    cid = ((q @ pl.T >= 0).astype(np.int64) @ w)
+    for depth in range(max_depth):
+        uniq, counts = np.unique(cid, return_counts=True)
+        hot = set(uniq[counts > cap].tolist())
+        if not hot:
+            break
+        j0 = SEMDEDUP_PLANES + depth * split_bits
+        shift = SEMDEDUP_PLANES + depth * (split_bits + 1)
+        pl = planes_for(j0, split_bits)
+        w2 = 1 << np.arange(split_bits, dtype=np.int64)
+        m = np.isin(cid, list(hot))
+        sub = ((q[m] @ pl.T >= 0).astype(np.int64) @ w2)
+        cid[m] |= (sub + 1) << shift
+    agg = {}
+    removed_ids = set()
+    for c in np.unique(cid):
+        m = cid == c
+        mv, mq = vids[m], q[m]
+        order = np.argsort(mv)
+        mv, mq = mv[order], mq[order]
+        dots = mq @ mq.T
+        n2 = np.einsum("ij,ij->i", mq, mq)
+        dup = (dots > 0) & (625 * dots * dots >= 576 * np.outer(n2, n2))
+        rem = np.tril(dup, k=-1).any(axis=1)
+        removed_ids |= set(mv[rem].tolist())
+        agg[int(c)] = (len(mv), int(rem.sum()), int(mv[~rem].sum()))
+    return agg, removed_ids
+
+
+def test_semantic_dedup_capped_bounds_hot_cluster(spark):
+    """VERDICT r4 item 4: a 30%-hot LSH cell must split until every
+    prune group holds <= cap members, planted duplicate pairs must still
+    be pruned, and the whole output must match a sequential replay."""
+    import pandas as pd
+    from spark_shp.hashing import u01
+    from spark_shp.queries_text import (SEMDEDUP_PLANES, SEMDEDUP_SEED,
+                                        semantic_dedup_capped)
+
+    rng = np.random.default_rng(77)
+    jj, ii = np.meshgrid(np.arange(SEMDEDUP_PLANES, dtype=np.int64),
+                         np.arange(64, dtype=np.int64), indexing="ij")
+    planes = np.rint((u01((SEMDEDUP_SEED + jj) * 64 + ii) - 0.5)
+                     * 1000.0).astype(np.int64)
+    w = 1 << np.arange(SEMDEDUP_PLANES, dtype=np.int64)
+
+    def cell_of(v):
+        qv = np.rint(v * 1000.0).astype(np.int64)
+        return int(((qv @ planes.T >= 0).astype(np.int64) @ w)[0]) \
+            if v.ndim == 2 else None
+
+    mu = rng.normal(0, 1, 64)
+    mu /= np.linalg.norm(mu)
+    target = cell_of(mu[None])
+    hot_vecs = []
+    while len(hot_vecs) < 168:          # ~30% of 600, one concentrated cell
+        v = mu + rng.normal(0, 0.25, 64)
+        if cell_of(v[None]) == target:
+            hot_vecs.append(v)
+    # 6 planted near-duplicate pairs inside the hot cell
+    dup_pairs = []
+    base_n = len(hot_vecs)
+    for k in range(6):
+        a = hot_vecs[k]
+        hot_vecs.append(a * 1.0001)
+        dup_pairs.append((k, base_n + k))
+    vecs = hot_vecs + [rng.normal(0, 1, 64) for _ in range(420)]
+    vids = np.arange(len(vecs), dtype=np.int64)
+    v = np.stack(vecs)
+    q = np.rint(v * 1000.0).astype(np.int64)
+
+    emb_df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": vids, "embedding": list(v)}),
+        "vec_id long, embedding array<double>")
+    cap = 48
+    out = {r["cid"]: (r["n_members"], r["n_removed"], r["survivor_idsum"])
+           for r in semantic_dedup_capped(spark, None, cap=cap,
+                                          emb_df=emb_df).collect()}
+    ref, removed_ids = _sd_capped_reference(vids, q, cap, 6)
+    assert out == ref
+    # every final prune group is bounded by the cap
+    assert max(n for n, _, _ in out.values()) <= cap
+    # the hot cell really was hot (the cap had work to do)
+    assert 168 + 6 > cap
+    # planted duplicates survive the split: higher-id partner pruned
+    for a, b in dup_pairs:
+        assert int(vids[b]) in removed_ids
+    assert sum(nr for _, nr, _ in out.values()) >= len(dup_pairs)
+
+
+def test_semantic_dedup_kmeans_matches_sequential_replay(spark):
+    """The k-means SemDeDup variant replicated sequentially: exact-int
+    Lloyd (seeds = k smallest vec_ids, ties to smaller cid, floor-div
+    centroids, empty keeps previous), then the shared cosine prune."""
+    from spark_shp.queries_text import (SDK_K, SDK_ROUNDS, SDK_SHIFT,
+                                        q_semantic_dedup_kmeans)
+
+    SF = "/root/testdata/sf0.001"
+    out = {r["cid"]: (r["n_members"], r["n_removed"], r["survivor_idsum"])
+           for r in q_semantic_dedup_kmeans(spark, SF).collect()}
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .orderBy("vec_id").collect()
+    vids = np.array([r["vec_id"] for r in emb], dtype=np.int64)
+    v = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in emb])
+    q = np.rint(v * 1000.0).astype(np.int64)
+    qs = q + SDK_SHIFT
+    cents = qs[:SDK_K].copy()           # vids sorted ascending already
+    for _ in range(SDK_ROUNDS):
+        d2 = ((qs[:, None, :] - cents[None]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        nxt = cents.copy()
+        for c in np.unique(a):
+            m = a == c
+            nxt[c] = qs[m].sum(axis=0) // int(m.sum())
+        cents = nxt
+    a = ((qs[:, None, :] - cents[None]) ** 2).sum(axis=2).argmin(axis=1)
+    agg = {}
+    for c in np.unique(a):
+        m = a == c
+        mv, mq = vids[m], q[m]
+        order = np.argsort(mv)
+        mv, mq = mv[order], mq[order]
+        dots = mq @ mq.T
+        n2 = np.einsum("ij,ij->i", mq, mq)
+        dup = (dots > 0) & (625 * dots * dots >= 576 * np.outer(n2, n2))
+        rem = np.tril(dup, k=-1).any(axis=1)
+        agg[int(c)] = (len(mv), int(rem.sum()), int(mv[~rem].sum()))
+    assert out == agg
+    assert sum(n for n, _, _ in out.values()) == len(vids)
