@@ -583,3 +583,48 @@ def test_isolation_grid_matches_python_replay(spark):
     assert got == want
     med = sorted(score.values())[len(score) // 2]
     assert got[0][1] < med               # winner genuinely isolated
+
+
+def test_plan_shapes_of_round4_ml_ops(spark):
+    """VERDICT r4 item 8 — explain-based pins for the round-4 ML ops
+    (the tile_pyramid/mining pins caught two real scan replays in r3):
+
+    * betweenness_roads: every BFS/sigma/delta round is localCheckpoint-
+      truncated, so the FINAL plan must be just the node rollup + top-k —
+      one hash exchange, a TakeOrderedAndProject, no Python nodes.
+    * isolation_grid_anomalies: pure codegen SQL — exactly its two
+      grouping exchanges, zero sorts, zero Python nodes.
+    * als_half_step(broadcast): the fixed side must broadcast (never a
+      fact-fact shuffle join), the moment rollup is ONE map-side-
+      combinable groupBy, and the only Python is the Arrow-batched
+      solver — no row-at-a-time BatchEvalPython anywhere.
+    """
+    from pyspark.sql import functions as F
+    from spark_shp import als
+    from spark_shp.queries_ml import q_isolation_grid_anomalies
+    from spark_shp.queries_patterns import q_betweenness_roads
+
+    bt = q_betweenness_roads(spark, SF)
+    p = bt._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") <= 1
+    assert "TakeOrderedAndProject" in p        # top-k, never a full sort
+
+    iso = q_isolation_grid_anomalies(spark, SF)
+    p = iso._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert p.count("Sort ") == 0
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    inter = ev.selectExpr("CAST(user_id AS BIGINT) AS u",
+                          "CAST(event_id % 50 AS BIGINT) AS i",
+                          "CAST(value AS DOUBLE) AS r")
+    items = als.init_factors(inter, "i", 2)
+    half = als.als_half_step(inter, items, "u", "i", 2, 0.1,
+                             broadcast_fixed=True)
+    p = half._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p            # small side broadcast
+    assert "BatchEvalPython" not in p          # Arrow solver only
+    assert "MapInPandas" in p
+    assert p.count("Exchange hashpartitioning") <= 2
