@@ -1094,22 +1094,28 @@ GROUP BY a.cid ORDER BY a.cid
 # --- hot-cluster cap (VERDICT r4 item 4, first half) -------------------------
 
 def semantic_dedup_capped(spark, sf_dir, cap: int = 64,
-                          max_depth: int = 6, emb_df=None):
+                          max_depth: int = 16, emb_df=None):
     """SemDeDup with a CLUSTER-SIZE CAP: the n²/k pair bound collapses if
-    one LSH cell captures a large corpus fraction, so oversized clusters
-    split BEFORE the prune shuffle by extending their cell id with extra
-    deterministic sign-planes until every cell holds ≤ ``cap`` members
-    (or ``max_depth`` extra rounds pass — a cell of EXACT duplicates is
-    unsplittable by any hyperplane and is then pruned as-is, which is
-    cheap anyway: identical rows dedup in one pass of the pair matrix).
+    one LSH cell captures a large corpus fraction, so oversized cells
+    split BEFORE the prune shuffle until every prune group holds ≤
+    ``cap`` members. Split rule: k-d-tree style — each oversized cell
+    bisects on its own MAX-VARIANCE dimension at the cell MEAN (an exact
+    integer predicate, q[dim]·n > Σq[dim]), which stays ~balanced even
+    for CONCENTRATED hot cells where random extra sign-planes barely
+    split at all (measured: a 36k-member cell at σ=0.25 concentration
+    shrank only ~12× under six 4-way plane rounds, but halves every
+    mean-split round). A cell with zero variance on every dimension is
+    all exact duplicates — unsplittable by ANY rule — and prunes as-is,
+    which is cheap: identical rows fall out in one pass of the pair
+    matrix.
 
-    Scale shape: each round is one cell-count aggregation (≤ #cells
-    rows on the driver, bounded by construction) + one broadcast of the
-    oversized cell ids; the pair work per task is then ≤ cap² and the
-    per-group memory ≤ cap rows. Recall tradeoff is the standard
-    SemDeDup one: near-identical pairs agree on extra plane signs with
-    high probability, so splits rarely separate true duplicates
-    (pytest-pinned on a planted 30%-hot cluster)."""
+    Scale shape per round: one count aggregation over cell ids + one
+    129-column moment aggregation over ONLY the oversized cells (driver
+    rows = #hot cells, bounded), then one broadcast map. Per-task prune
+    work is then ≤ cap² and per-group memory ≤ cap rows. Recall
+    tradeoff: a mean-split can separate a near-duplicate pair straddling
+    the threshold — the standard SemDeDup partition tradeoff
+    (pytest-pinned on a planted 30%-hot cell with seeded duplicates)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -1122,17 +1128,12 @@ def semantic_dedup_capped(spark, sf_dir, cap: int = 64,
         T.StructField("q", T.ArrayType(T.ShortType())),
     ])
 
-    def planes_for(j0, nj):
-        jj, ii = np.meshgrid(np.arange(j0, j0 + nj, dtype=np.int64),
-                             np.arange(64, dtype=np.int64), indexing="ij")
-        return np.rint((u01((SEMDEDUP_SEED + jj) * 64 + ii) - 0.5)
-                       * 1000.0).astype(np.int64)
-
-    split_bits = 2                      # 4-way split per extra round
-
     def base_assign(df):
-        bc_pl = spark.sparkContext.broadcast(
-            planes_for(0, SEMDEDUP_PLANES))
+        jj, ii = np.meshgrid(np.arange(SEMDEDUP_PLANES, dtype=np.int64),
+                             np.arange(64, dtype=np.int64), indexing="ij")
+        pl0 = np.rint((u01((SEMDEDUP_SEED + jj) * 64 + ii) - 0.5)
+                      * 1000.0).astype(np.int64)
+        bc_pl = spark.sparkContext.broadcast(pl0)
 
         def work(batches):
             pl = bc_pl.value
@@ -1147,42 +1148,72 @@ def semantic_dedup_capped(spark, sf_dir, cap: int = 64,
                     "q": pdf["q"]})
         return df.mapInPandas(work, schema)
 
-    def split_round(df, hot_set, depth):
-        # extra planes j = PLANES + depth·split_bits…; the (sub+1) marker
-        # occupies a per-depth reserved (split_bits+1)-bit field, so an
-        # extended cell can never collide with an untouched one or with
-        # another depth's extension
-        j0 = SEMDEDUP_PLANES + depth * split_bits
-        shift = SEMDEDUP_PLANES + depth * (split_bits + 1)
-        bc_pl = spark.sparkContext.broadcast(planes_for(j0, split_bits))
-        bc_hot = spark.sparkContext.broadcast(hot_set)
+    def split_round(df, rules, depth):
+        # rules: {cid: (dim, n, s)} — bisect at q[dim]·n > s; the
+        # (side+1) marker occupies a per-depth reserved 2-bit field so
+        # split cells never collide with untouched cells or other depths
+        shift = SEMDEDUP_PLANES + depth * 2
+        bc_r = spark.sparkContext.broadcast(rules)
 
         def work(batches):
-            pl = bc_pl.value
-            hot = np.fromiter(bc_hot.value, dtype=np.int64)
-            w = 1 << np.arange(split_bits, dtype=np.int64)
+            r = bc_r.value
             for pdf in batches:
                 if not len(pdf):
                     continue
                 cid = pdf["cid"].to_numpy(np.int64).copy()
+                hot = np.fromiter(r.keys(), dtype=np.int64)
                 m = np.isin(cid, hot)
                 if m.any():
                     q = np.stack(pdf["q"].to_numpy())[m].astype(np.int64)
-                    sub = ((q @ pl.T >= 0).astype(np.int64) @ w)
-                    cid[m] |= (sub + 1) << shift
+                    sub = np.zeros(int(m.sum()), dtype=np.int64)
+                    cm = cid[m]
+                    for c, (dim, n, s) in r.items():
+                        g = cm == c
+                        if g.any():
+                            sub[g] = (q[g, dim] * n > s).astype(np.int64)
+                    cid[m] = cm | ((sub + 1) << shift)
                 yield pd.DataFrame({
                     "vec_id": pdf["vec_id"].to_numpy(np.int64),
                     "cid": cid, "q": pdf["q"]})
         return df.mapInPandas(work, schema)
 
-    cur = base_assign(qdf)
+    dim_sum = [F.sum(F.element_at("q", i + 1).cast("long")).alias(f"s{i}")
+               for i in range(64)]
+    dim_ssq = [F.sum((F.element_at("q", i + 1).cast("long")
+                      * F.element_at("q", i + 1).cast("long")))
+               .alias(f"q{i}") for i in range(64)]
+    # localCheckpoint per round: the split loop is iterative — without
+    # truncation every counts/stats action re-executes the whole chain
+    # of prior rounds (the graph.py connected-components lesson)
+    cur = base_assign(qdf).localCheckpoint()
+    terminal: set = set()
     for depth in range(max_depth):
         counts = (cur.groupBy("cid").count()
                   .where(F.col("count") > cap).collect())   # bounded
-        if not counts:
+        hot = [int(r["cid"]) for r in counts
+               if int(r["cid"]) not in terminal]
+        if not hot:
             break
-        hot = {int(r["cid"]) for r in counts}
-        cur = split_round(cur, hot, depth)
+        stats = (cur.where(F.col("cid").isin(hot)).groupBy("cid")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      *dim_sum, *dim_ssq)
+                 .collect())                                # ≤ #hot rows
+        rules = {}
+        for r in stats:
+            n = int(r["n"])
+            s = np.array([int(r[f"s{i}"]) for i in range(64)],
+                         dtype=np.int64)
+            ssq = np.array([int(r[f"q{i}"]) for i in range(64)],
+                           dtype=np.int64)
+            var_n2 = ssq * n - s * s        # n²·variance, exact int
+            if var_n2.max() <= 0:           # all exact duplicates
+                terminal.add(int(r["cid"]))
+                continue
+            dim = int(var_n2.argmax())      # ties → smaller dim
+            rules[int(r["cid"])] = (dim, n, int(s[dim]))
+        if not rules:
+            break
+        cur = split_round(cur, rules, depth).localCheckpoint()
     return (cur.groupBy("cid")
             .applyInPandas(_sd_prune, _sd_prune_out_schema()))
 

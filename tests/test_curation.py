@@ -568,32 +568,44 @@ def test_semantic_dedup_prunes_planted_duplicates(spark, tmp_path):
 
 
 def _sd_capped_reference(vids, q, cap, max_depth):
-    """Sequential replay of semantic_dedup_capped's algorithm."""
+    """Sequential replay of semantic_dedup_capped's algorithm (base LSH
+    cells, then k-d mean-splits on the max-variance dimension)."""
     from spark_shp.hashing import u01
     from spark_shp.queries_text import SEMDEDUP_PLANES, SEMDEDUP_SEED
 
-    def planes_for(j0, nj):
-        jj, ii = np.meshgrid(np.arange(j0, j0 + nj, dtype=np.int64),
-                             np.arange(64, dtype=np.int64), indexing="ij")
-        return np.rint((u01((SEMDEDUP_SEED + jj) * 64 + ii) - 0.5)
-                       * 1000.0).astype(np.int64)
-
-    split_bits = 2
-    pl = planes_for(0, SEMDEDUP_PLANES)
+    jj, ii = np.meshgrid(np.arange(SEMDEDUP_PLANES, dtype=np.int64),
+                         np.arange(64, dtype=np.int64), indexing="ij")
+    pl = np.rint((u01((SEMDEDUP_SEED + jj) * 64 + ii) - 0.5)
+                 * 1000.0).astype(np.int64)
     w = 1 << np.arange(SEMDEDUP_PLANES, dtype=np.int64)
     cid = ((q @ pl.T >= 0).astype(np.int64) @ w)
+    terminal = set()
     for depth in range(max_depth):
         uniq, counts = np.unique(cid, return_counts=True)
-        hot = set(uniq[counts > cap].tolist())
+        hot = [int(c) for c, n in zip(uniq, counts)
+               if n > cap and int(c) not in terminal]
         if not hot:
             break
-        j0 = SEMDEDUP_PLANES + depth * split_bits
-        shift = SEMDEDUP_PLANES + depth * (split_bits + 1)
-        pl = planes_for(j0, split_bits)
-        w2 = 1 << np.arange(split_bits, dtype=np.int64)
-        m = np.isin(cid, list(hot))
-        sub = ((q[m] @ pl.T >= 0).astype(np.int64) @ w2)
-        cid[m] |= (sub + 1) << shift
+        rules = {}
+        for c in hot:
+            m = cid == c
+            qs = q[m]
+            n = int(m.sum())
+            s = qs.sum(axis=0)
+            ssq = (qs * qs).sum(axis=0)
+            var_n2 = ssq * n - s * s
+            if var_n2.max() <= 0:
+                terminal.add(c)
+                continue
+            dim = int(var_n2.argmax())
+            rules[c] = (dim, n, int(s[dim]))
+        if not rules:
+            break
+        shift = SEMDEDUP_PLANES + depth * 2
+        for c, (dim, n, s) in rules.items():
+            m = cid == c
+            sub = (q[m, dim] * n > s).astype(np.int64)
+            cid[m] = c | ((sub + 1) << shift)
     agg = {}
     removed_ids = set()
     for c in np.unique(cid):
@@ -658,7 +670,7 @@ def test_semantic_dedup_capped_bounds_hot_cluster(spark):
     out = {r["cid"]: (r["n_members"], r["n_removed"], r["survivor_idsum"])
            for r in semantic_dedup_capped(spark, None, cap=cap,
                                           emb_df=emb_df).collect()}
-    ref, removed_ids = _sd_capped_reference(vids, q, cap, 6)
+    ref, removed_ids = _sd_capped_reference(vids, q, cap, 16)
     assert out == ref
     # every final prune group is bounded by the cap
     assert max(n for n, _, _ in out.values()) <= cap
