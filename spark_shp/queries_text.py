@@ -1218,6 +1218,99 @@ def semantic_dedup_capped(spark, sf_dir, cap: int = 64,
             .applyInPandas(_sd_prune, _sd_prune_out_schema()))
 
 
+# --- dedup_substring_spans: exact duplicated-substring dedup (r5) ------------
+#
+# The NAMED method of Lee et al. 2022 ("Deduplicating Training Data
+# Makes Language Models Better") in its equi-join gate form: find every
+# maximal corpus-duplicated character span of length ≥ K per document.
+# A position is duplicated iff its K-gram occurs ≥ 2 times corpus-wide
+# (counting all occurrences, including within one document — the
+# suffix-array criterion restricted to spans ≥ K), and overlapping or
+# abutting duplicated K-gram windows merge into maximal spans via a
+# gaps-and-islands window per document.
+#
+# Scale shape (ENGINE): K-gram explode → ONE gram-keyed groupBy count
+# (map-side combinable) → semi-join back on the gram key → per-doc
+# islands window — the shingle equi-join family, never doc×doc, never a
+# corpus-wide window over gram partitions. The ORACLE instead counts
+# occurrences with a window over each gram partition — a genuinely
+# different plan that must agree bit-for-bit.
+
+SUBSTR_K = 20
+
+
+def q_dedup_substring_spans(spark, sf_dir):
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(f"""
+WITH grams AS (
+  SELECT doc_id, pos, SUBSTRING(text, pos, {SUBSTR_K}) AS g
+  FROM documents
+  LATERAL VIEW explode(sequence(1, length(text) - {SUBSTR_K - 1})) t AS pos
+  WHERE length(text) >= {SUBSTR_K}),
+dup_grams AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+dup AS (
+  SELECT gr.doc_id, gr.pos FROM grams gr
+  LEFT SEMI JOIN dup_grams dg ON gr.g = dg.g),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos <= COALESCE(MAX(pos + {SUBSTR_K}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 0 ELSE 1 END AS new_island
+  FROM dup),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM flagged),
+spans AS (
+  SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + {SUBSTR_K} AS e
+  FROM islands GROUP BY doc_id, isl)
+SELECT d.doc_id,
+       CAST(COUNT(s.isl) AS BIGINT) AS n_spans,
+       CAST(COALESCE(SUM(s.e - s.s), 0) AS BIGINT) AS dup_chars,
+       CAST(MAX(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d LEFT JOIN spans s ON s.doc_id = d.doc_id
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+""")
+
+
+ORACLE_SUBSTRING_SPANS = f"""
+WITH grams AS MATERIALIZED (
+  SELECT doc_id, pos, SUBSTRING(text, pos, {SUBSTR_K}) AS g
+  FROM documents,
+  LATERAL (SELECT UNNEST(GENERATE_SERIES(
+      1, LENGTH(text) - {SUBSTR_K - 1})) AS pos) p
+  WHERE LENGTH(text) >= {SUBSTR_K}),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY g) AS c
+    FROM grams) WHERE c >= 2),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos <= COALESCE(MAX(pos + {SUBSTR_K}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 0 ELSE 1 END AS new_island
+  FROM dup),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM flagged),
+spans AS (
+  SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + {SUBSTR_K} AS e
+  FROM islands GROUP BY doc_id, isl)
+SELECT d.doc_id,
+       CAST(COUNT(s.isl) AS BIGINT) AS n_spans,
+       CAST(COALESCE(SUM(s.e - s.s), 0) AS BIGINT) AS dup_chars,
+       CAST(MAX(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d LEFT JOIN spans s ON s.doc_id = d.doc_id
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # --- streaming batch-equivalents (C12 oracles; live streams in streaming.py) -------------
 
 def q_tumbling_window(spark, sf_dir):
@@ -1534,6 +1627,8 @@ QUERIES: dict = {
     "semantic_dedup": (q_semantic_dedup, ORACLE_SEMDEDUP),
     "semantic_dedup_kmeans": (q_semantic_dedup_kmeans,
                               _oracle_sd_kmeans()),
+    "dedup_substring_spans": (q_dedup_substring_spans,
+                              ORACLE_SUBSTRING_SPANS),
 }
 
 

@@ -103,6 +103,9 @@ _TAIL = [
     "tfidf_keywords",         # TF-IDF top-k keywords (text/quality family)
     "spatial_autocorr",       # Moran's I / Geary's C (B1/B3 stats family)
     "attribution_pairs",      # stream-stream interval join batch twin (C12)
+    "dedup_substring_spans",  # exact duplicated-substring spans, Lee et al.
+                              #   2022 method in equi-join gate form (r5;
+                              #   dedup family)
     "semantic_dedup_kmeans",  # SemDeDup over exact-int Lloyd clusters (r5;
                               #   dedup family keeps semantic_dedup in-window)
     "funnel_stages",          # ordered conversion funnel (C7/agg family)

@@ -722,3 +722,42 @@ def test_semantic_dedup_kmeans_matches_sequential_replay(spark):
         agg[int(c)] = (len(mv), int(rem.sum()), int(mv[~rem].sum()))
     assert out == agg
     assert sum(n for n, _, _ in out.values()) == len(vids)
+
+
+def test_dedup_substring_spans_matches_sequential_replay(spark):
+    """Exact duplicated-substring spans (Lee et al. 2022 gate form)
+    replicated sequentially: K-gram corpus counts, duplicated positions,
+    per-doc maximal-span merge. A known duplicated phrase planted in the
+    corpus must also surface with at least K covered chars per copy."""
+    from spark_shp.queries_text import SUBSTR_K, q_dedup_substring_spans
+
+    SF = "/root/testdata/sf0.001"
+    out = {r["doc_id"]: (r["n_spans"], r["dup_chars"], r["total_chars"])
+           for r in q_dedup_substring_spans(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text", "n_chars").collect()
+    from collections import Counter
+    counts = Counter()
+    for r in docs:
+        t = r["text"]
+        for i in range(len(t) - SUBSTR_K + 1):
+            counts[t[i:i + SUBSTR_K]] += 1
+    agg = {}
+    total_dup = 0
+    for r in docs:
+        t = r["text"]
+        pos = [i + 1 for i in range(len(t) - SUBSTR_K + 1)
+               if counts[t[i:i + SUBSTR_K]] >= 2]
+        spans = []
+        for p in pos:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + SUBSTR_K)
+            else:
+                spans.append([p, p + SUBSTR_K])
+        dup = sum(e - s for s, e in spans)
+        agg[r["doc_id"]] = (len(spans), dup, r["n_chars"])
+        total_dup += dup
+    assert out == agg
+    # synthetic template corpus must actually contain duplication
+    assert total_dup > 0
+    assert any(n > 0 for n, _, _ in out.values())
