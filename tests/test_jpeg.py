@@ -242,3 +242,39 @@ def test_decode_batch_surfaces_corrupt_stream():
     blobs[7] = broken
     with pytest.raises(ValueError):
         jpeg.jpeg_decode_batch(blobs)
+
+
+def test_decode_batch_grayscale_group():
+    """Single-component (grayscale) streams run the batch walker too:
+    hand-assemble 24 1-component scans and pin batch == scalar."""
+    def gray_blob(seed):
+        y, x = np.mgrid[0:16, 0:16].astype(np.float64)
+        plane = np.clip(128.0 + 90.0 * np.sin(x / (4 + seed % 3))
+                        * np.cos(y / 4.0), 0, 255).round()
+        qt = jpeg.quality_scale(jpeg._QT_LUMA, 90)
+        zz = jpeg._component_blocks(plane, qt)
+        out = bytearray(b"\xFF\xD8")
+        out += jpeg._marker(0xDB, b"\x00" + bytes(
+            qt.reshape(64)[jpeg._ZIGZAG].astype(np.uint8)))
+        out += jpeg._marker(0xC0, struct.pack(">BHHB", 8, 16, 16, 1)
+                            + bytes([1, 0x11, 0]))
+        out += jpeg._marker(0xC4, b"\x00" + bytes(jpeg._DC_LUMA_BITS)
+                            + bytes(jpeg._DC_LUMA_VALS))
+        out += jpeg._marker(0xC4, b"\x10" + bytes(jpeg._AC_LUMA_BITS)
+                            + bytes(jpeg._AC_LUMA_VALS))
+        out += jpeg._marker(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        wr = jpeg._BitWriter()
+        jpeg._encode_blocks(
+            wr, zz,
+            jpeg._canonical_codes(jpeg._DC_LUMA_BITS, jpeg._DC_LUMA_VALS),
+            jpeg._canonical_codes(jpeg._AC_LUMA_BITS, jpeg._AC_LUMA_VALS),
+            0)
+        wr.flush()
+        return bytes(out + wr.out + b"\xFF\xD9")
+
+    blobs = [gray_blob(s) for s in range(24)]
+    refs = [jpeg.jpeg_decode(b) for b in blobs]
+    out = jpeg.jpeg_decode_batch(blobs)
+    for o, r in zip(out, refs):
+        assert np.array_equal(o, r)
+        assert o.shape == (16, 16, 3)       # Y replicated to RGB
